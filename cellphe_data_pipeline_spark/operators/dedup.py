@@ -1,0 +1,139 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference has no corpus-dedup surface (its nearest relative is the
+order-preserving coordinate dedup parse_xml.py:38-41); these are the
+engine's training-data-pipeline extensions, designed shuffle-first:
+
+- ``exact_dedup_groups``: hash-groupBy on md5(text). One shuffle on a
+  uniformly distributed 128-bit key — no skew by construction; partial
+  aggregation (map-side combine) makes the shuffle carry one row per
+  distinct hash per partition, not per input row.
+- MinHash + LSH: shingle → 16 minhashes via ONE groupBy with 16 min()
+  aggregates (single shuffle, map-side combinable — NOT an explode×16,
+  which would multiply shuffle volume 16x at 100 TB) → 4 bands of 4 →
+  band-bucket self-join on (band, band_key) → exact-Jaccard verify of
+  the (tiny) candidate set. The expensive all-pairs join never happens;
+  the band join only collides near-duplicates.
+- ``ngram_jaccard_pairs``: exact all-pairs baseline (shingle self-join).
+  Quadratic per hot shingle — correct at test scale, superseded by the
+  MinHash path at corpus scale; kept as the oracle-verifiable baseline.
+
+All hashing uses md5-derived :func:`portable_hash64` so every stage is
+reproducible in any ANSI-SQL engine (DuckDB oracle equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5 content hash → (keep_id = min id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle) rows.
+
+    Docs with < n tokens produce no shingles (guard required: Spark's
+    ``sequence`` would otherwise emit a *descending* range).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
+    ).filter(F.size("t") >= n)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+    )
+    return toks.select("doc_id", F.explode(joined).alias("sh")).distinct()
+
+
+def pairwise_jaccard(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over shingle sets; optionally restricted to a
+    candidate-pair DataFrame (doc_a, doc_b) from LSH."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
+    b = shingles.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
+    pairs = a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"])
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("ni"))
+    jacc = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return jacc.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_band_keys(
+    shingles: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """MinHash signature → LSH band keys, in ONE aggregation pass.
+
+    groupBy(doc_id) with `num_hashes` independent min() aggregates; band
+    key is an order-independent weighted sum of the band's minhashes
+    (weights 1..band_size) so no collect_list/sort is needed — every
+    aggregate is map-side combinable, the shuffle carries one row per doc.
+    """
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash64(F.col("sh"), str(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        key = sum(
+            (F.col(f"h{b * band_size + i}") * F.lit(i + 1) for i in range(band_size)),
+            start=F.lit(0),
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("band_key")))
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Docs sharing any (band, band_key) bucket → distinct ordered pairs.
+    The join key is a 64-bit bucket id: hash-partitioned, no broadcast,
+    collision lists short by construction (near-dups only)."""
+    a = band_keys.withColumnRenamed("doc_id", "doc_a")
+    b = band_keys.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
+    exact-Jaccard verify. Output: (doc_a, doc_b, jaccard)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    cand = lsh_candidate_pairs(minhash_band_keys(sh, num_hashes, band_size))
+    return pairwise_jaccard(sh, threshold, candidates=cand)

@@ -1,0 +1,123 @@
+"""Track-lineage graph operators (G1-G4 — SURVEY §2.9).
+
+Reference: parse_xml.py:83-163 — an in-memory DFS over the TrackMate
+spot graph (splits renumber, merges first-wins). That approach needs
+the whole graph on one node; the engine's primitives are iterative
+DataFrame joins that scale to edge sets far beyond single-node memory:
+
+- ``degree`` / ``prune_isolated`` (G2, parse_xml.py:115-118)
+- ``roots`` (G3, parse_xml.py:120-122): anti-join on target ids
+- ``connected_components`` (basis for G4 track partitioning): the
+  alternating large-star / small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+  in O(log d) rounds even on path graphs, where naive min-label
+  propagation needs O(diameter) rounds. Each round is two shuffles on
+  node id; intermediate frames are localCheckpoint()ed to cut lineage
+  growth (without it, round N replays rounds 1..N-1).
+
+G4's split/merge *renumbering* is traversal-order-dependent in the
+reference; the engine's contract (SURVEY §7) is set-partition equality,
+for which connected components over the pruned edge set is the
+deterministic canonical form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree); nodes absent from edges don't appear."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def prune_isolated(nodes: DataFrame, edges: DataFrame, id_col: str = "ID") -> DataFrame:
+    """G2: drop nodes participating in no edge (parse_xml.py:115-118)."""
+    touched = (
+        edges.select(F.col(edges.columns[0]).alias(id_col))
+        .union(edges.select(F.col(edges.columns[1]).alias(id_col)))
+        .distinct()
+    )
+    return nodes.join(touched, id_col, "left_semi")
+
+
+def roots(nodes: DataFrame, edges: DataFrame, id_col: str = "ID", dst: str | None = None) -> DataFrame:
+    """G3: nodes with no incoming edge, among non-isolated nodes."""
+    dst = dst or edges.columns[1]
+    pruned = prune_isolated(nodes, edges, id_col)
+    targets = edges.select(F.col(dst).alias(id_col)).distinct()
+    return pruned.join(targets, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Undirected connected components → (node, component=min node id).
+
+    Alternating large-star/small-star; terminates when an iteration
+    changes nothing. Each operation is a key-partitioned shuffle —
+    no driver-side graph state, so the edge set can exceed any single
+    machine's memory.
+    """
+    spark = edges.sparkSession
+    # Undirect + self-pair each node so singleton-in-edge nodes keep labels.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every neighbor > u to min(neighborhood ∪ {u})
+        m = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        return (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(e.select("u", "v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        ew = e.filter(F.col("v") <= F.col("u")).union(
+            e.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = ew.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            ew.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(m.select(F.col("u"), F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_hash = -1
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        h = (
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u") * F.lit(31) + F.col("v")).alias("s"),
+            ).first()
+        )
+        cur = (h["n"], h["s"])
+        if cur == prev_hash:
+            break
+        prev_hash = cur
+
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    mins = labels.groupBy("node").agg(F.min("component").alias("component"))
+    comp_ids = mins.select(F.col("component").alias("node"), F.col("component"))
+    return mins.union(comp_ids).groupBy("node").agg(F.min("component").alias("component"))

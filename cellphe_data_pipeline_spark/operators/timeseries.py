@@ -1,0 +1,126 @@
+"""Per-key time-series features (A8 — SURVEY §2.4).
+
+Reference: cellphe.features.time_series_features (time_series_features.py:13-15,
+[pkg], Wiseman et al. 2023): per cell, per feature — summary statistics,
+ascent/descent (signed first-difference sums), and Haar-wavelet detail
+summaries at 3 scales.
+
+Two implementations:
+
+1. ``timeseries_stats`` — the SQL-expressible subset (count/mean/std/
+   skewness via explicit moment sums, ascent/descent via lag) as pure
+   native window/agg ops. Used for the DuckDB-oracle correctness gate.
+2. ``timeseries_features`` — the full kernel incl. Haar wavelet detail
+   energies, as a ``groupBy(key).applyInPandas`` Arrow-batched UDAF.
+   Haar DWT is implemented directly in numpy (pairwise sums/diffs per
+   level) — no pywt dependency. One group = one trajectory (bounded:
+   ≤ thousands of rows), so executor memory is independent of total
+   data volume; the only shuffle is the groupBy hash partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def timeseries_stats(df: DataFrame, key: str, order: list[str], value: str) -> DataFrame:
+    """Native-Spark per-key series stats. Skewness uses the explicit
+    population-moment formula (m3 / m2^1.5) computed from raw power sums
+    so the oracle SQL can reproduce it exactly — Spark's builtin
+    ``skewness`` and DuckDB's differ in sample-adjustment convention."""
+    w = Window.partitionBy(key).orderBy(*order)
+    x = F.col(value)
+    diff = x - F.lag(x).over(w)
+    per_row = df.select(
+        F.col(key),
+        x.alias("_x"),
+        diff.alias("_d"),
+    )
+    n = F.count(F.lit(1))
+    s1, s2, s3 = (F.sum(F.pow(F.col("_x"), p)) for p in (1, 2, 3))
+    agg = per_row.groupBy(key).agg(
+        n.alias("n_obs"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        s3.alias("_s3"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0))).alias("_asc"),
+        F.sum(F.when(F.col("_d") < 0, F.col("_d")).otherwise(F.lit(0.0))).alias("_desc"),
+    )
+    mean = F.col("_s1") / F.col("n_obs")
+    m2 = F.col("_s2") / F.col("n_obs") - mean * mean
+    m3 = (
+        F.col("_s3") / F.col("n_obs")
+        - 3 * mean * (F.col("_s2") / F.col("n_obs"))
+        + 2 * mean * mean * mean
+    )
+    return agg.select(
+        F.col(key),
+        F.col("n_obs"),
+        F.round(mean, 6).alias("mean_val"),
+        F.round(F.sqrt(F.greatest(m2, F.lit(0.0))), 6).alias("std_pop"),
+        F.round(
+            F.when(m2 <= 0, F.lit(0.0)).otherwise(m3 / F.pow(m2, F.lit(1.5))), 4
+        ).alias("skew_pop"),
+        F.round(F.col("_asc"), 6).alias("ascent"),
+        F.round(F.col("_desc"), 6).alias("descent"),
+    )
+
+
+def _haar_details(x: np.ndarray, levels: int = 3) -> list[float]:
+    """Sum of |detail coefficients| per Haar DWT level (unnormalised
+    pairwise differences, odd tail dropped per level)."""
+    out = []
+    a = x.astype("float64")
+    for _ in range(levels):
+        m = len(a) // 2
+        if m == 0:
+            out.append(0.0)
+            a = a[:0]
+            continue
+        pairs = a[: 2 * m].reshape(m, 2)
+        detail = (pairs[:, 0] - pairs[:, 1]) / np.sqrt(2.0)
+        out.append(float(np.abs(detail).sum()))
+        a = (pairs[:, 0] + pairs[:, 1]) / np.sqrt(2.0)
+    return out
+
+
+def timeseries_features(
+    df: DataFrame, key: str, order: list[str], value: str, levels: int = 3
+) -> DataFrame:
+    """Full A8 analogue: stats + ascent/descent + Haar detail energies,
+    one output row per key, via Arrow-batched applyInPandas."""
+    schema = T.StructType(
+        [
+            df.schema[key],
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("std_pop", T.DoubleType()),
+            T.StructField("ascent", T.DoubleType()),
+            T.StructField("descent", T.DoubleType()),
+        ]
+        + [T.StructField(f"haar_l{i + 1}", T.DoubleType()) for i in range(levels)]
+    )
+    order_cols = list(order)
+    val = value
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        x = pdf[val].to_numpy(dtype="float64")
+        d = np.diff(x)
+        row = {
+            key: pdf[key].iloc[0],
+            "n_obs": len(x),
+            "mean_val": float(np.mean(x)) if len(x) else 0.0,
+            "std_pop": float(np.std(x)) if len(x) else 0.0,
+            "ascent": float(d[d > 0].sum()) if len(d) else 0.0,
+            "descent": float(d[d < 0].sum()) if len(d) else 0.0,
+        }
+        for i, e in enumerate(_haar_details(x, levels)):
+            row[f"haar_l{i + 1}"] = e
+        return pd.DataFrame([row])
+
+    return df.select(key, *order_cols, val).groupBy(key).applyInPandas(kernel, schema)

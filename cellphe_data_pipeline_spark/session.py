@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads);
+the same config block is what we would ship to a 1000-executor cluster —
+the only per-deployment knobs are master/shuffle-partition count.
+
+Scale rationale (100 TB target):
+- AQE on (coalesce partitions + skew-join splitting) so the static
+  ``spark.sql.shuffle.partitions`` only needs to be an upper bound; on a
+  real cluster set it to ~2-3x total cores and let AQE coalesce.
+- Arrow transfer on: every pandas-UDF kernel (wavelets, image decode)
+  moves columnar batches, not pickled rows.
+- Session timezone pinned to UTC: deterministic timestamp semantics,
+  required for DuckDB-oracle hash equality.
+- 128 MiB parquet split size: keeps per-task input bounded so executor
+  memory sizing is independent of total data volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cellphe-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` → ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    on a cluster, pass the real master / rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from cellphe_data_pipeline_spark.sources.tables import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]
