@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``cellphe_data_pipeline_spark.queries`` — a
+registry of (spark callable, DuckDB oracle SQL) pairs, one per
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+extensions (dedup / text / similarity).
 """
 
 from __future__ import annotations
@@ -13,26 +17,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cellphe_data_pipeline_spark.queries import REGISTRY
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (M5 movement features — SURVEY §2.10, the
+    reference's create_frame_summary_features.py:22-52 chain) at
+    sf0.001. Also exercises the nanos-timestamp `events` read that
+    blocked round 1."""
+    return REGISTRY["m5_movement_features"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: e.fn for name, e in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query;
+    non-SQL-expressible kernels (wavelet UDAF) are omitted → the driver
+    records a weaker rows-only check for those."""
+    return {name: e.sql for name, e in REGISTRY.items() if e.sql is not None}

@@ -1,0 +1,71 @@
+"""Aggregation operators (A1-A7 — SURVEY §2.4).
+
+Reference sites: argmin/first-row-per-group (create_frame_summary_
+features.py:23 idxmin), group counts (tracking_qc.qmd:45-51), the x4
+min/median/max/n summarise blocks (tracking_qc.qmd:55-63,115-122,
+156-164; segmentation_qc.qmd:182-191,205-214 — R's exact median, NOT
+percentile_approx, per SURVEY §7), group sums (tracking_qc.qmd:151-155),
+label histograms (segmentation_qc.qmd:159-170), global min/max
+normalisation (frame_features_image.py:25-26).
+
+Scale notes:
+- ``argmin_rows`` uses a per-key window row_number (one shuffle on the
+  key), not groupBy+join-back (two shuffles).
+- ``multistat_summary`` uses Spark's exact ``median`` — a full sort per
+  group under the hood; at 100 TB prefer percentile_approx unless the
+  oracle-exactness contract requires the exact form (it does here).
+- ``minmax_normalize`` uses an unordered partition window: min/max are
+  computed in the same single shuffle that distributes the groups; no
+  join-back, map-side partial aggregation applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def argmin_rows(df: DataFrame, keys: list[str], order: list[Column | str]) -> DataFrame:
+    """A1: the first row per key group under `order` (must be a total
+    order for determinism — include a unique tiebreaker)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def multistat_summary(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """A3: min / exact-median / max / count per group (the reference's
+    4x-repeated R summarise block)."""
+    v = F.col(value)
+    return df.groupBy(*keys).agg(
+        F.min(v).alias("min_val"),
+        F.median(v).alias("median_val"),
+        F.max(v).alias("max_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def value_histogram(df: DataFrame, value: str, bucket_width: float) -> DataFrame:
+    """A5: count-by-bucket histogram (label histogram analogue)."""
+    bucket = F.floor(F.col(value) / F.lit(float(bucket_width))).cast("int")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def minmax_normalize(df: DataFrame, keys: list[str], value: str, out_col: str = "norm_value") -> DataFrame:
+    """A6 + F10: per-group min-max normalisation to [0,1] via an
+    unordered window (min/max over the whole partition), NULL when the
+    group is constant (min == max)."""
+    w = Window.partitionBy(*keys)
+    v = F.col(value)
+    mn, mx = F.min(v).over(w), F.max(v).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(mx == mn, F.lit(None).cast("double")).otherwise((v - mn) / (mx - mn)),
+    )

@@ -14,7 +14,7 @@ engine's training-data-pipeline extensions, designed shuffle-first:
   band-bucket self-join on (band, band_key) → exact-Jaccard verify of
   the (tiny) candidate set. The expensive all-pairs join never happens;
   the band join only collides near-duplicates.
-- ``ngram_jaccard_pairs``: exact all-pairs baseline (shingle self-join).
+- ``pairwise_jaccard``: exact all-pairs baseline (shingle self-join).
   Quadratic per hot shingle — correct at test scale, superseded by the
   MinHash path at corpus scale; kept as the oracle-verifiable baseline.
 

@@ -69,34 +69,35 @@ def connected_components(
     no driver-side graph state, so the edge set can exceed any single
     machine's memory.
     """
-    spark = edges.sparkSession
-    # Undirect + self-pair each node so singleton-in-edge nodes keep labels.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
     def large_star(e: DataFrame) -> DataFrame:
-        # connect every neighbor > u to min(neighborhood ∪ {u})
-        m = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        # Per the paper: treat edges as unordered (process from BOTH
+        # endpoints — re-symmetrizing every round is what makes the
+        # alternation correct); for each u, rewire every strictly-larger
+        # neighbor v to m = min(Γ(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
         return (
-            e.join(m, "u")
+            sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .union(e.select("u", "v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        ew = e.filter(F.col("v") <= F.col("u")).union(
-            e.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m = ew.groupBy("u").agg(F.min("v").alias("mn"))
+        # Orient each edge high -> low; for each u, rewire its smaller
+        # neighborhood (and u itself) to its minimum.
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = oriented.groupBy("u").agg(F.min("v").alias("mn"))
         return (
-            ew.join(m, "u")
+            oriented.join(m, "u")
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(m.select(F.col("u"), F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))

@@ -1,0 +1,130 @@
+"""Join operators (J1-J7 — SURVEY §2.3).
+
+Most reference joins are plain equi-joins that Catalyst plans directly
+(J1 broadcast: create_frame_summary_features.py:23-25; J2 composite:
+:55; J3 id lookup: parse_xml.py:166-167) — those live inline in the
+query catalog. This module implements the two that need real engine
+work:
+
+- ``zip_join`` (J6, main.nf:435-437): positional merge of ordered
+  relations via row_number. The reference relies on channel emission
+  order; the engine makes the order an explicit sort key.
+- ``density_self_join`` (J7, create_frame_summary_features.py:57-62):
+  the reference DISABLED this per-frame pairwise-distance density
+  feature — "doesn't work with large datasets, runs out of memory" —
+  and hard-codes dens=0. This grid-bucketed range join is the flagship
+  Spark win: never materialises the quadratic pair set.
+
+Scale design of ``density_self_join``:
+- Grid cell size == radius r. A point's neighbors within r can only lie
+  in its own or the 8 adjacent cells, so each probe joins exactly 9
+  candidate cells instead of the whole frame.
+- Build side is exploded 9x into neighbor cells (factor-9 data, NOT
+  factor-N^2), probe side stays 1x; the equi-join key is
+  (frame, cell_x, cell_y) — a plain hash-partitioned shuffle that AQE
+  can skew-split. No broadcast, no cartesian: `.explain` shows a single
+  SortMergeJoin/ShuffledHashJoin on the composite key.
+- The exact distance predicate filters candidates after the equi-join;
+  per-point counts come from one map-side-combinable groupBy.
+- At 100 TB: shuffle volume is ~10x the point set (9x build + 1x
+  probe), independent of frame population; the quadratic blow-up the
+  reference hit cannot occur. Hot frames are split by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: list[str],
+    right_order: list[str],
+    rn_col: str = "rn",
+) -> DataFrame:
+    """J6: positional zip — pair the i-th row of each side in its sort
+    order (inner on position => truncates to the shorter side).
+
+    Single-partition window per side: correct for the reference's
+    per-timelapse metadata channels (hundreds of rows). For billion-row
+    zips, zipWithIndex-style range partitioning would replace this; the
+    reference semantics never need it.
+    """
+    lw = Window.orderBy(*[F.col(c) for c in left_order])
+    rw = Window.orderBy(*[F.col(c) for c in right_order])
+    lhs = left.withColumn(rn_col, F.row_number().over(lw))
+    rhs = right.withColumn(rn_col, F.row_number().over(rw))
+    return lhs.join(rhs, rn_col)
+
+
+def density_self_join(
+    df: DataFrame,
+    frame_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    radius: float,
+) -> DataFrame:
+    """J7: per-point neighbor count within `radius` in the same frame.
+
+    Output: all original rows + ``density`` = number of OTHER points in
+    the same frame with euclidean distance <= radius (the reference's
+    disabled dens feature, un-stubbed).
+    """
+    r = float(radius)
+    cx = F.floor(F.col(x_col) / F.lit(r)).cast("long")
+    cy = F.floor(F.col(y_col) / F.lit(r)).cast("long")
+
+    probe = df.select(
+        F.col(frame_col).alias("_f"),
+        F.col(id_col).alias("_id"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    # build side: each point copied into its 9 neighboring cells
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    build = (
+        df.select(
+            F.col(frame_col).alias("_f"),
+            F.col(id_col).alias("_bid"),
+            F.col(x_col).alias("_bx"),
+            F.col(y_col).alias("_by"),
+            cx.alias("_bcx"),
+            cy.alias("_bcy"),
+        )
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            "_f",
+            "_bid",
+            "_bx",
+            "_by",
+            (F.col("_bcx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_bcy") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    dx = F.col("_x") - F.col("_bx")
+    dy = F.col("_y") - F.col("_by")
+    counts = (
+        probe.join(build, ["_f", "_cx", "_cy"])
+        .filter((F.col("_id") != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
+        .groupBy(F.col("_f"), F.col("_id"))
+        .agg(F.count(F.lit(1)).alias("density"))
+    )
+    return (
+        df.join(
+            counts.withColumnsRenamed({"_f": frame_col, "_id": id_col}),
+            [frame_col, id_col],
+            "left",
+        )
+        .withColumn("density", F.coalesce(F.col("density"), F.lit(0)))
+    )

@@ -11,18 +11,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Language set matches the driver's `documents.lang` domain (en/de/fr/es/zh).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is"],
     "de": ["der", "und", "die", "das", "nicht", "ein"],
     "fr": ["le", "la", "et", "les", "des", "une"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "zh": ["的", "是", "了", "我", "不", "在"],
 }
+
+#: Fixed argmax tie-break preference (first wins on >=).
+LANG_ORDER = ("en", "de", "fr", "es", "zh")
 
 TOKEN_RE = "[a-zA-Z0-9]+"
 
 
-def _hit_count(text: Column, words: list[str]) -> Column:
-    pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
+def _hit_count(text: Column, words: list[str], boundaries: bool = True) -> Column:
+    """Stopword hits on LOWERCASED text. `boundaries=False` for scripts whose
+    chars are non-word in ASCII regex semantics (zh) — \\b behaviour there
+    differs between regex engines, so plain substring counting is used."""
+    alt = "|".join(words)
+    pat = rf"\b({alt})\b" if boundaries else f"({alt})"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint")
 
 
 def token_count(text: Column) -> Column:
@@ -38,15 +48,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = token_count(text)
     n_chars = F.length(text).cast("bigint")
     stripped = F.regexp_replace(text, "[^a-zA-Z0-9 ]", "")
-    punct_ratio = (n_chars - F.length(stripped)).cast("double") / n_chars
-    stop_ratio = _hit_count(text, STOPWORDS["en"]).cast("double") / n_tok
+    # nullif-style guards: empty text / zero tokens yield NULL ratios (not
+    # Infinity/NaN) so results are well-defined and oracle-comparable.
+    n_tok_nz = F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
+    n_chars_nz = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars)
+    punct_ratio = (n_chars - F.length(stripped)).cast("double") / n_chars_nz
+    stop_ratio = _hit_count(text, STOPWORDS["en"]).cast("double") / n_tok_nz
     return df.withColumns(
         {
             "n_tokens": n_tok,
             "n_chars_calc": n_chars,
             "punct_ratio": F.round(punct_ratio, 6),
             "stopword_ratio": F.round(stop_ratio, 6),
-            "avg_token_len": F.round(n_chars.cast("double") / n_tok, 6),
+            "avg_token_len": F.round(n_chars.cast("double") / n_tok_nz, 6),
             "quality_score": F.round(
                 F.least(F.lit(1.0), n_tok.cast("double") / 400.0) * (1.0 - punct_ratio), 6
             ),
@@ -55,16 +69,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic n-gram/stopword language ID: hit counts per language
-    wordlist, argmax with fixed tie-break order (en > de > fr)."""
+    """Heuristic stopword language ID over the driver's 5-language domain:
+    case-insensitive hit counts per wordlist, argmax with the fixed
+    tie-break preference LANG_ORDER (earlier wins ties)."""
     text = F.col(text_col)
-    en, de, fr = (_hit_count(text, STOPWORDS[lang]) for lang in ("en", "de", "fr"))
-    pred = (
-        F.when((en >= de) & (en >= fr), F.lit("en"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
-    return df.withColumns({"en_hits": en, "de_hits": de, "fr_hits": fr, "lang_pred": pred})
+    hits = {
+        lang: _hit_count(text, STOPWORDS[lang], boundaries=(lang != "zh"))
+        for lang in LANG_ORDER
+    }
+    pred = F.lit(LANG_ORDER[-1])
+    # build the argmax back-to-front: lang wins if >= every later lang
+    for i in range(len(LANG_ORDER) - 2, -1, -1):
+        lang = LANG_ORDER[i]
+        cond = None
+        for later in LANG_ORDER[i + 1 :]:
+            c = hits[lang] >= hits[later]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    cols = {f"{lang}_hits": hits[lang] for lang in LANG_ORDER}
+    cols["lang_pred"] = pred
+    return df.withColumns(cols)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

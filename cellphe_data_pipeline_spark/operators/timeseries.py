@@ -41,7 +41,11 @@ def timeseries_stats(df: DataFrame, key: str, order: list[str], value: str) -> D
         diff.alias("_d"),
     )
     n = F.count(F.lit(1))
-    s1, s2, s3 = (F.sum(F.pow(F.col("_x"), p)) for p in (1, 2, 3))
+    # raw power sums via plain multiplication (NOT pow): x*x is an exact IEEE
+    # product in every engine, while pow(x, 2.0) may differ in the last ulp
+    # between libm and the JVM — enough to break oracle hash equality.
+    xx = F.col("_x")
+    s1, s2, s3 = F.sum(xx), F.sum(xx * xx), F.sum(xx * xx * xx)
     agg = per_row.groupBy(key).agg(
         n.alias("n_obs"),
         s1.alias("_s1"),
@@ -63,7 +67,9 @@ def timeseries_stats(df: DataFrame, key: str, order: list[str], value: str) -> D
         F.round(mean, 6).alias("mean_val"),
         F.round(F.sqrt(F.greatest(m2, F.lit(0.0))), 6).alias("std_pop"),
         F.round(
-            F.when(m2 <= 0, F.lit(0.0)).otherwise(m3 / F.pow(m2, F.lit(1.5))), 4
+            # m2^1.5 spelled m2*sqrt(m2): sqrt and * are IEEE-exact, pow(x,1.5)
+            # is engine-dependent in the last ulp.
+            F.when(m2 <= 0, F.lit(0.0)).otherwise(m3 / (m2 * F.sqrt(m2))), 4
         ).alias("skew_pop"),
         F.round(F.col("_asc"), 6).alias("ascent"),
         F.round(F.col("_desc"), 6).alias("descent"),

@@ -1,0 +1,1221 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 registered as (spark callable, DuckDB oracle SQL) pairs.
+
+Conventions (driver compares row count + schema + order-insensitive
+value hash, columns sorted by NAME):
+- every computed column is aliased IDENTICALLY in Spark and SQL,
+  lowercase;
+- float outputs that involve cross-engine-nondeterministic reduction
+  order (unordered SUM/AVG) are rounded to >= 6 decimals — analysis per
+  query shows accumulated error << rounding granularity;
+- money sums go through DECIMAL(18,2) so they are EXACT in both
+  engines, then cast back to double;
+- sqrt/* /- expressions are written with the same operation order on
+  both sides (IEEE ops are deterministic given identical order);
+- pow() is never used (libm vs JVM differ in the last ulp).
+
+Reference anchors are cited per query; tables are the driver's
+TPC-H-ish testdata (TESTDATA.md) standing in for the reference's
+spot/feature tables (TRACK_ID -> user_id/orderkey, FRAME -> ts/event
+order, AREA -> l_quantity, positions -> value/event coords).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.operators.aggregates import (
+    argmin_rows,
+    minmax_normalize,
+    multistat_summary,
+    value_histogram,
+)
+from cellphe_data_pipeline_spark.operators.graph import connected_components, degree, roots
+from cellphe_data_pipeline_spark.operators.joins import density_self_join, zip_join
+from cellphe_data_pipeline_spark.operators.movement import movement_features
+from cellphe_data_pipeline_spark.operators.qc_filters import (
+    filter_size_and_observations,
+    rows_with_group_count,
+)
+from cellphe_data_pipeline_spark.operators.timeseries import timeseries_stats
+from cellphe_data_pipeline_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible, driver does rows-only check
+
+
+REGISTRY: dict[str, QueryEntry] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryEntry(fn, sql)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Filters / projections (P1-P14)
+# =====================================================================
+
+@register(
+    "p1_p2_filter_min_obs",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+      FROM lineitem WHERE l_quantity >= 30
+    ) t WHERE n >= 3
+    """,
+)
+def p1_p2(spark, sf_dir):
+    """P1+P2 (main.nf:180-185): scalar predicate then group-cardinality
+    HAVING-keep-rows, via one window shuffle (qc_filters.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = filter_size_and_observations(
+        li, area_col="l_quantity", key="l_orderkey",
+        minimum_cell_size=30.0, minimum_observations=3,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "p4_filter_distinct",
+    "SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 1000",
+)
+def p4(spark, sf_dir):
+    """P4 (frame_features_image.py:46): equality filter + distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") > 1000).select("c_nationkey").distinct()
+
+
+@register(
+    "p5_duplicate_key_rows",
+    """
+    SELECT user_id, event_type, event_id, n FROM (
+      SELECT user_id, event_type, event_id,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ) t WHERE n > 1
+    """,
+)
+def p5(spark, sf_dir):
+    """P5 (tracking_qc.qmd:30-35): duplicate-key detector, rows kept."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rows_with_group_count(ev, ["user_id", "event_type"], "n > 1")
+    return out.select("user_id", "event_type", "event_id", "n")
+
+
+@register(
+    "p6_unique_key_rows",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ) t WHERE n = 1
+    """,
+)
+def p6(spark, sf_dir):
+    """P6 (tracking_qc.qmd:82-84): unique-key filter."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rows_with_group_count(ev, ["user_id", "event_type"], "n = 1")
+    return out.select("user_id", "event_type", "event_id")
+
+
+@register(
+    "p7_p8_nonzero_nonnull",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    WHERE l_discount <> 0 AND l_shipdate IS NOT NULL
+    """,
+)
+def p7_p8(spark, sf_dir):
+    """P7 background filter (!=0, segmentation_qc.qmd:168) + P8 NA filter
+    (tracking_qc.qmd:112)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") != 0) & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_discount")
+
+
+@register(
+    "p9_p12_project_rename_cast",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           CAST(l_quantity AS INT) AS qty_int, l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def p9_p12(spark, sf_dir):
+    """P9-P12 (parse_xml.py:170-196, :103-105): projection + reorder +
+    rename + cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "p13_stride_sample",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def p13(spark, sf_dir):
+    """P13 (segmentation_qc.qmd:55-58): every-10th stride sampling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# =====================================================================
+# Joins (J1-J7)
+# =====================================================================
+
+@register(
+    "j1_broadcast_dim_join",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j1(spark, sf_dir):
+    """J1 (create_frame_summary_features.py:23-25): broadcast equi-join
+    of small dims; money sum via exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "j2_composite_key_joinback",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, g.grp_mean
+    FROM events e
+    JOIN (
+      SELECT user_id, event_type, ROUND(AVG(value), 6) AS grp_mean
+      FROM events GROUP BY user_id, event_type
+    ) g ON e.user_id = g.user_id AND e.event_type = g.event_type
+    """,
+)
+def j2(spark, sf_dir):
+    """J2 (create_frame_summary_features.py:55): composite-key equi-join
+    of a group aggregate back onto the fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(F.round(F.avg("value"), 6).alias("grp_mean"))
+    return ev.join(g, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", "grp_mean"
+    )
+
+
+@register(
+    "j3_lookup_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j3(spark, sf_dir):
+    """J3 (parse_xml.py:166-167): id lookup join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice"
+    )
+
+
+@register(
+    "j4_semi_join",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def j4(spark, sf_dir):
+    """J4 (parse_xml.py:213-223): lookup-with-missing-drop == left semi."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@register(
+    "j5_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5(spark, sf_dir):
+    """J5 (frame_features_image.py:49-54): missing-key skip == left anti
+    (the logged-miss side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j6_positional_zip_join",
+    """
+    SELECT l.rn, l.s_name, r.n_name FROM
+      (SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn FROM supplier) l
+    JOIN
+      (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation) r
+    USING (rn)
+    """,
+)
+def j6(spark, sf_dir):
+    """J6 (main.nf:435-437): positional zip-join by explicit order."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return zip_join(s, n, ["s_suppkey"], ["n_nationkey"]).select("rn", "s_name", "n_name")
+
+
+@register(
+    "j7_density_grid_join",
+    """
+    WITH pts AS (
+      SELECT event_id, event_type, value AS x, CAST(user_id AS DOUBLE) AS y
+      FROM events
+    )
+    SELECT a.event_id, COUNT(b.event_id) AS density
+    FROM pts a LEFT JOIN pts b
+      ON a.event_type = b.event_type AND b.event_id <> a.event_id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625.0
+    GROUP BY a.event_id
+    """,
+)
+def j7(spark, sf_dir):
+    """J7 (create_frame_summary_features.py:57-62): the reference's
+    DISABLED (OOM) per-frame pairwise density, un-stubbed as a
+    grid-bucketed range join (operators/joins.py). The oracle is the
+    quadratic formulation; the Spark plan is the scale-safe one."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+    out = density_self_join(pts, "event_type", "x", "y", "event_id", radius=25.0)
+    return out.select("event_id", F.col("density").cast("bigint").alias("density"))
+
+
+# =====================================================================
+# Aggregates (A1-A8)
+# =====================================================================
+
+@register(
+    "a1_argmin_first_row",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def a1(spark, sf_dir):
+    """A1 (create_frame_summary_features.py:23 idxmin): first row per
+    group under a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    out = argmin_rows(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "a2_group_count",
+    "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
+)
+def a2(spark, sf_dir):
+    """A2 (tracking_qc.qmd:45-51): group count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "a3_multistat_median",
+    """
+    SELECT l_returnflag, MIN(l_quantity) AS min_val, MEDIAN(l_quantity) AS median_val,
+           MAX(l_quantity) AS max_val, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3(spark, sf_dir):
+    """A3 (tracking_qc.qmd:55-63 x4 sites): min/EXACT-median/max/n —
+    `median`, not percentile_approx, for oracle equality (SURVEY §7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return multistat_summary(li, ["l_returnflag"], "l_quantity")
+
+
+@register(
+    "a4_group_sum_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4(spark, sf_dir):
+    """A4 (tracking_qc.qmd:151-155) as a TPC-H-Q1-shaped rollup; money
+    sums exact via decimal, qty sums exact (integral doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(dec_price).cast("double").alias("sum_base_price"),
+        F.sum(dec_price * dec_disc).cast("double").alias("sum_disc_price"),
+        F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a5_value_histogram",
+    """
+    SELECT CAST(FLOOR(value / 10.0) AS INT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def a5(spark, sf_dir):
+    """A5 (segmentation_qc.qmd:159-170): count-by-value histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", 10.0)
+
+
+@register(
+    "a6_minmax_normalize",
+    """
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN mx = mn THEN NULL ELSE (value - mn) / (mx - mn) END, 6)
+             AS norm_value
+    FROM (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    ) t
+    """,
+)
+def a6(spark, sf_dir):
+    """A6+F10 (frame_features_image.py:25-26): per-group min-max
+    normalisation via unordered window (no join-back)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = minmax_normalize(ev, ["event_type"], "value")
+    return out.select("event_id", "event_type", F.round("norm_value", 6).alias("norm_value"))
+
+
+@register(
+    "a7_count_distinct",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def a7(spark, sf_dir):
+    """A7 (frame_features_image.py:46): distinct count per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "a8_timeseries_stats",
+    """
+    WITH d AS (
+      SELECT user_id, value AS x,
+             value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+      FROM events
+    ), a AS (
+      SELECT user_id, COUNT(*) AS n_obs, SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+             SUM(CASE WHEN dd > 0 THEN dd ELSE 0.0 END) AS asum,
+             SUM(CASE WHEN dd < 0 THEN dd ELSE 0.0 END) AS dsum
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND(s1/n_obs, 6) AS mean_val,
+           ROUND(SQRT(GREATEST(s2/n_obs - (s1/n_obs)*(s1/n_obs), 0.0)), 6) AS std_pop,
+           ROUND(CASE WHEN s2/n_obs - (s1/n_obs)*(s1/n_obs) <= 0 THEN 0.0
+                 ELSE (s3/n_obs - 3*(s1/n_obs)*(s2/n_obs) + 2*(s1/n_obs)*(s1/n_obs)*(s1/n_obs))
+                      / ((s2/n_obs - (s1/n_obs)*(s1/n_obs))
+                         * SQRT(s2/n_obs - (s1/n_obs)*(s1/n_obs))) END, 4) AS skew_pop,
+           ROUND(asum, 6) AS ascent, ROUND(dsum, 6) AS descent
+    FROM a
+    """,
+)
+def a8(spark, sf_dir):
+    """A8 (time_series_features.py:13-15 [pkg]): SQL-expressible subset
+    of the per-key time-series UDAF, via explicit power sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries_stats(ev, "user_id", ["ts", "event_id"], "value")
+
+
+# =====================================================================
+# Windows (W1-W5) / sorts (O1-O4)
+# =====================================================================
+
+@register(
+    "w1_lag_diff",
+    """
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff_value
+    FROM events
+    """,
+)
+def w1(spark, sf_dir):
+    """W1 (create_frame_summary_features.py:33-34; tracking_qc.qmd:106-110):
+    per-key lag/diff ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("diff_value")
+    )
+
+
+@register(
+    "w2_cumulative_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+    FROM events
+    """,
+)
+def w2(spark, sf_dir):
+    """W2 (create_frame_summary_features.py:39): per-key cumulative sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("cum_value")
+    )
+
+
+@register(
+    "w3_first_value",
+    """
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS first_val
+    FROM events
+    """,
+)
+def w3(spark, sf_dir):
+    """W3 (create_frame_summary_features.py:23-25): first value per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", "user_id", F.first("value").over(w).alias("first_val"))
+
+
+@register(
+    "w4_natsort_row_number",
+    """
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+                              source, doc_id) AS rn
+    FROM documents
+    """,
+)
+def w4(spark, sf_dir):
+    """W4+O2 (main.nf:349-358 rename_frames): natural sort (numeric-aware,
+    src2 < src10) + sequential row numbering."""
+    d = load_table(spark, sf_dir, "documents")
+    natkey = F.regexp_extract("source", r"([0-9]+)", 1).cast("bigint")
+    w = Window.orderBy(natkey, "source", "doc_id")
+    return d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "o1_multikey_sort_rank",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS pos,
+           l_orderkey, l_linenumber
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def o1(spark, sf_dir):
+    """O1/O3 (create_frame_summary_features.py:26-27): multi-key sort made
+    hash-checkable by materialising the rank."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        F.row_number().over(w).alias("pos"), "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "o4_order_preserving_dedup",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def o4(spark, sf_dir):
+    """O4 (parse_xml.py:38-41): dedup keeping first occurrence in order."""
+    ev = load_table(spark, sf_dir, "events")
+    out = argmin_rows(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id")
+
+
+# =====================================================================
+# Unions (U1-U4)
+# =====================================================================
+
+@register(
+    "u1_union_all",
+    """
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def u1(spark, sf_dir):
+    """U1 (main.nf:209-222): schema-safe union-all (unionByName replaces
+    the reference's header-aware awk concat)."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 200000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+@register(
+    "u2_tagged_union",
+    """
+    SELECT 'raw' AS type, l_orderkey, l_quantity FROM lineitem
+    UNION ALL
+    SELECT 'filtered' AS type, l_orderkey, l_quantity FROM (
+      SELECT l_orderkey, l_quantity,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+      FROM lineitem WHERE l_quantity >= 30
+    ) t WHERE n >= 3
+    """,
+)
+def u2(spark, sf_dir):
+    """U2 (tracking_qc.qmd:44-52): raw vs filtered tagged union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(F.lit("raw").alias("type"), "l_orderkey", "l_quantity")
+    filt = filter_size_and_observations(
+        li, area_col="l_quantity", key="l_orderkey",
+        minimum_cell_size=30.0, minimum_observations=3,
+    ).select(F.lit("filtered").alias("type"), "l_orderkey", "l_quantity")
+    return raw.unionByName(filt)
+
+
+# =====================================================================
+# Scalar functions (F1-F15)
+# =====================================================================
+
+@register(
+    "f1_f4_string_funcs",
+    """
+    SELECT doc_id,
+           CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num,
+           lpad(CAST(doc_id AS VARCHAR), 5, '0') AS padded_id,
+           regexp_replace(source, 'src', 'source_', 'g') AS renamed,
+           lpad(CAST(doc_id AS VARCHAR), 5, '0') || '-' || source AS fname
+    FROM documents
+    """,
+)
+def f1_f4(spark, sf_dir):
+    """F1 regexp-extract-int (frame_features_image.py:28-33), F2
+    regexp-replace (main.nf:322-337), F3/F4 zero-pad + concat filename
+    (parse_xml.py:202-211, main.nf:317)."""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.lpad(F.col("doc_id").cast("string"), 5, "0")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("int").alias("src_num"),
+        padded.alias("padded_id"),
+        F.regexp_replace("source", "src", "source_").alias("renamed"),
+        F.concat(padded, F.lit("-"), F.col("source")).alias("fname"),
+    )
+
+
+@register(
+    "f3_lpad_two_pass",
+    """
+    SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), CAST(w AS INT), '0') AS padded_key
+    FROM orders CROSS JOIN
+      (SELECT MAX(LENGTH(CAST(o_orderkey AS VARCHAR))) AS w FROM orders) m
+    """,
+)
+def f3(spark, sf_dir):
+    """F3 (parse_xml.py:202-211): lpad to DATA-DRIVEN width — two-pass
+    (max-length agg broadcast back, no driver collect)."""
+    o = load_table(spark, sf_dir, "orders")
+    widths = o.agg(F.max(F.length(F.col("o_orderkey").cast("string"))).alias("w"))
+    return o.crossJoin(F.broadcast(widths)).select(
+        "o_orderkey",
+        F.expr("lpad(cast(o_orderkey as string), w, '0')").alias("padded_key"),
+    )
+
+
+@register(
+    "f11_json_extract",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val
+    FROM events
+    """,
+)
+def f11(spark, sf_dir):
+    """F11/F15 analogue: typed extraction from a serialized payload
+    (parse_xml.py:97-100 string->typed)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "f13_recode",
+    """
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+           ELSE 'partial' END AS status_label,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f13(spark, sf_dir):
+    """F13 (tracking_qc.qmd:53-54): categorical recode."""
+    o = load_table(spark, sf_dir, "orders")
+    label = (
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+    )
+    return o.groupBy(label.alias("status_label")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# Movement features (M5 flagship) + streaming-shaped rollup
+# =====================================================================
+
+MOVEMENT_SQL = """
+    WITH pts AS (
+      SELECT event_id, user_id, ts, value AS x, CAST(event_id % 97 AS DOUBLE) AS y
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, ts, x, y,
+             FIRST_VALUE(x) OVER win AS x_start,
+             FIRST_VALUE(y) OVER win AS y_start,
+             LAG(x) OVER win AS xl, LAG(y) OVER win AS yl,
+             epoch_us(ts)/1000000.0 - LAG(epoch_us(ts)/1000000.0) OVER win AS tdiff
+      FROM pts
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT *,
+             SQRT((x-x_start)*(x-x_start) + (y-y_start)*(y-y_start)) AS dis,
+             COALESCE(SQRT((x-xl)*(x-xl) + (y-yl)*(y-yl)), 0.0) AS frame_dist
+      FROM w
+    ), c AS (
+      SELECT *,
+             SUM(frame_dist) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS trac
+      FROM m
+    )
+    SELECT event_id, user_id,
+           ROUND(dis, 6) AS dis,
+           ROUND(frame_dist, 6) AS frame_dist,
+           ROUND(trac, 6) AS trac,
+           ROUND(CASE WHEN trac = 0 THEN 0.0 ELSE dis/trac END, 6) AS d2t,
+           ROUND(0.0028 * frame_dist / (CASE WHEN tdiff IS NULL OR tdiff = 0
+                                        THEN 1.0 ELSE tdiff END), 6) AS vel
+    FROM c
+    """
+
+
+@register("m5_movement_features", MOVEMENT_SQL)
+def m5(spark, sf_dir):
+    """M5 flagship (create_frame_summary_features.py:22-52): Dis/Trac/
+    D2T/Vel — fully native single-window plan (operators/movement.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    out = movement_features(
+        pts, key="user_id", order=["ts", "event_id"], x="x", y="y",
+        time_col=F.col("ts").cast("double"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("Dis", 6).alias("dis"),
+        F.round("frame_dist", 6).alias("frame_dist"),
+        F.round("Trac", 6).alias("trac"),
+        F.round("D2T", 6).alias("d2t"),
+        F.round("Vel", 6).alias("vel"),
+    )
+
+
+@register(
+    "e1_hourly_rollup",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def e1(spark, sf_dir):
+    """§2.11 batch form of the streaming tumbling-window rollup (also
+    proves the nanos-timestamp events read, the round-1 blocker)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# =====================================================================
+# Graph (G1-G4) — event-chain lineage per user
+# =====================================================================
+
+EDGES_SQL = """
+    edges AS (
+      SELECT src, dst, user_id FROM (
+        SELECT user_id,
+               LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+               event_id AS dst
+        FROM events
+      ) t WHERE src IS NOT NULL
+    )
+    """
+
+
+def _event_edges(spark, sf_dir) -> DataFrame:
+    """G1 (parse_xml.py:108-113): edge-list build — consecutive events of
+    a user linked src->dst (the engine analogue of TrackMate links)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_id").over(w).alias("src"),
+            F.col("event_id").alias("dst"),
+            "user_id",
+        )
+        .filter(F.col("src").isNotNull())
+    )
+
+
+@register("g1_edge_build", f"WITH {EDGES_SQL} SELECT src, dst, user_id FROM edges")
+def g1(spark, sf_dir):
+    return _event_edges(spark, sf_dir)
+
+
+@register(
+    "g2_degree",
+    f"""
+    WITH {EDGES_SQL},
+    o AS (SELECT src AS node, COUNT(*) AS out_degree FROM edges GROUP BY src),
+    i AS (SELECT dst AS node, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree
+    FROM o FULL JOIN i ON o.node = i.node
+    """,
+)
+def g2(spark, sf_dir):
+    """G2 (parse_xml.py:115-118): node degrees over the edge set
+    (isolated nodes pruned by construction)."""
+    return degree(_event_edges(spark, sf_dir), "src", "dst")
+
+
+@register(
+    "g3_roots",
+    f"""
+    WITH {EDGES_SQL}
+    SELECT event_id AS id, user_id FROM events
+    WHERE event_id IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+      AND event_id NOT IN (SELECT dst FROM edges)
+    """,
+)
+def g3(spark, sf_dir):
+    """G3 (parse_xml.py:120-122): root detection — no incoming edge."""
+    ev = load_table(spark, sf_dir, "events")
+    nodes = ev.select(F.col("event_id").alias("id"), "user_id")
+    return roots(nodes, _event_edges(spark, sf_dir), id_col="id", dst="dst")
+
+
+@register(
+    "g4_connected_components",
+    """
+    SELECT event_id AS node, MIN(event_id) OVER (PARTITION BY user_id) AS component
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 1)
+    """,
+)
+def g4(spark, sf_dir):
+    """G4 basis (parse_xml.py:124-163): distributed connected components
+    (large-star/small-star) — oracle knows each user's chain is one
+    component labelled by its min event id, so the result is fully
+    checkable without recursion."""
+    return connected_components(_event_edges(spark, sf_dir), "src", "dst")
+
+
+# =====================================================================
+# Deduplication (training-data extensions — dedup.py)
+# =====================================================================
+
+#: Shared DuckDB CTEs reproducing word_shingles (dedup.py): whitespace-
+#: normalised token list -> distinct word 3-grams per doc. DuckDB list
+#: slicing t[i:i+2] is 1-based inclusive => tokens i..i+2.
+SHINGLE_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      FROM toks,
+           UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2)
+                       ELSE [] END) AS g(i)
+    )
+    """
+
+
+@register(
+    "d1_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d1(spark, sf_dir):
+    """Exact dedup via md5-hash groupBy (dedup.py:33-39); single shuffle
+    on a uniform 128-bit key, map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    from cellphe_data_pipeline_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(d)
+
+
+@register(
+    "d2_shingle_counts",
+    f"WITH {SHINGLE_CTE} SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id",
+)
+def d2(spark, sf_dir):
+    """Word-3-gram shingle cardinality per doc (dedup.py:42-58)."""
+    d = load_table(spark, sf_dir, "documents")
+    from cellphe_data_pipeline_spark.operators.dedup import word_shingles
+
+    return (
+        word_shingles(d)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.3) -> str:
+    """DuckDB mirror of the full MinHash-LSH pipeline (dedup.py:126-141):
+    portable_hash64 == ('0x' || first-8-md5-hex)::BIGINT."""
+    hcols = ",\n             ".join(
+        f"MIN(('0x' || substring(md5('{s}' || sh), 1, 8))::BIGINT) AS h{s}"
+        for s in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" + ".join(
+                f"h{b * band_size + i}*{i + 1}" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH {SHINGLE_CTE},
+    mins AS (
+      SELECT doc_id,
+             {hcols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b, CASE b {cases} END AS band_key
+      FROM mins, UNNEST([{bands_list}]) AS bb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+       AND a.doc_id < c.doc_id
+    ),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS ni
+      FROM sh s1
+      JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {threshold}
+    """
+
+
+@register("d3_minhash_near_dups", _minhash_oracle_sql())
+def d3(spark, sf_dir):
+    """MinHash+LSH near-dup detection end-to-end (dedup.py:126-141):
+    shingle -> 16 minhashes in ONE groupBy -> band self-join -> exact-
+    Jaccard verify of candidates only."""
+    d = load_table(spark, sf_dir, "documents")
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(d)
+
+
+# =====================================================================
+# Text analysis (training-data extensions — text.py)
+# =====================================================================
+
+_TOKENS = "regexp_extract_all(text, '[a-zA-Z0-9]+')"
+_STRIPPED = "regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')"
+_EN_HITS = r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b'))"
+
+
+@register(
+    "t1_quality_features",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS}) AS n_tokens,
+           length(text) AS n_chars_calc,
+           ROUND(CAST(length(text) - length({_STRIPPED}) AS DOUBLE)
+                 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           ROUND(CAST({_EN_HITS} AS DOUBLE) / NULLIF(len({_TOKENS}), 0), 6)
+             AS stopword_ratio,
+           ROUND(CAST(length(text) AS DOUBLE) / NULLIF(len({_TOKENS}), 0), 6)
+             AS avg_token_len,
+           ROUND(least(1.0, len({_TOKENS}) / 400.0)
+                 * (1.0 - CAST(length(text) - length({_STRIPPED}) AS DOUBLE)
+                          / NULLIF(length(text), 0)), 6) AS quality_score
+    FROM documents
+    """,
+)
+def t1(spark, sf_dir):
+    """Text quality metrics (text.py:42-70): pure codegen expressions."""
+    from cellphe_data_pipeline_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "n_chars_calc", "punct_ratio",
+        "stopword_ratio", "avg_token_len", "quality_score",
+    )
+
+
+_LANG_HITS_SQL = {
+    "en": _EN_HITS,
+    "de": r"len(regexp_extract_all(lower(text), '\b(der|und|die|das|nicht|ein)\b'))",
+    "fr": r"len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|une)\b'))",
+    "es": r"len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b'))",
+    "zh": "len(regexp_extract_all(lower(text), '(的|是|了|我|不|在)'))",
+}
+
+
+@register(
+    "t2_language_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_LANG_HITS_SQL['en']} AS en_hits,
+             {_LANG_HITS_SQL['de']} AS de_hits,
+             {_LANG_HITS_SQL['fr']} AS fr_hits,
+             {_LANG_HITS_SQL['es']} AS es_hits,
+             {_LANG_HITS_SQL['zh']} AS zh_hits
+      FROM documents
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits
+              AND en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits
+              AND de_hits >= zh_hits THEN 'de'
+             WHEN fr_hits >= es_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN es_hits >= zh_hits THEN 'es'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM h
+    """,
+)
+def t2(spark, sf_dir):
+    """Stopword-hit language ID over the 5-language domain (text.py:67-87);
+    case-insensitive, fixed argmax tie-break (round-1 flaw fixed)."""
+    from cellphe_data_pipeline_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d).select(
+        "doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits", "lang_pred"
+    )
+
+
+@register(
+    "t3_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+           substring(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 4)
+             AS fp_band
+    FROM documents
+    """,
+)
+def t3(spark, sf_dir):
+    """Canonical-form content fingerprint + shard band (text.py:90-100)."""
+    from cellphe_data_pipeline_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fp", "fp_band")
+
+
+# =====================================================================
+# Similarity search (embeddings — similarity.py)
+# =====================================================================
+
+EMB_DIM = 64  # driver's embeddings.embedding is array<float> of 64
+
+
+@register(
+    "v1_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def v1(spark, sf_dir):
+    """Brute-force cosine self-kNN baseline (similarity.py:49-85): exact
+    top-5, partitioned theta join (no corpus broadcast — round-1 flaw
+    fixed); rounding before ranking makes order engine-reproducible."""
+    from cellphe_data_pipeline_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, k=5)
+
+
+def _srp_oracle_sql(dim: int = EMB_DIM, n_bits: int = 8, seed: int = 7, k: int = 5) -> str:
+    """DuckDB mirror of srp_topk: identical ±1 plane literals, identical
+    sequential dot products => identical bucket codes and cosines."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_bits, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) >= 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in plane), v=1 << m
+        )
+        for m, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+             {bucket} AS bucket
+      FROM e
+    ),
+    p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("v2_srp_topk", _srp_oracle_sql())
+def v2(spark, sf_dir):
+    """SRP-LSH bucketed approximate self-kNN (similarity.py:123-161) —
+    the 100 TB path: per-bucket join instead of all-pairs, no broadcast,
+    no plan-time dimension sniffing (round-1 gap closed)."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_topk(e, dim=EMB_DIM, k=5)
+
+
+# =====================================================================
+# Non-SQL-expressible kernels (rows-only driver check)
+# =====================================================================
+
+
+@register("a8b_timeseries_wavelet", None)
+def a8b(spark, sf_dir):
+    """A8 full kernel (time_series_features.py:13-15 [pkg]): stats +
+    ascent/descent + Haar detail energies via Arrow applyInPandas.
+    Wavelets are not ANSI-SQL-expressible => rows-only check; the native
+    subset is oracle-checked as a8_timeseries_stats."""
+    from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries_features(ev, key="user_id", order=["ts", "event_id"], value="value")

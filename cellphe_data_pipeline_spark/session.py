@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read as long nanos
+        # and convert in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

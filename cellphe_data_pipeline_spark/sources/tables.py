@@ -12,16 +12,32 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cellphe_data_pipeline_spark.schemas import TEST_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Columns stored as Parquet TIMESTAMP(NANOS), which Spark cannot read
+#: natively — read as long (legacy.parquet.nanosAsLong) and convert to a
+#: microsecond timestamp (truncation matches what DuckDB/pyarrow report).
+NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Schema comes from parquet footers
-    (already explicit/typed — written by the driver); no inference pass."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    (already explicit/typed — written by the driver); no inference pass.
+
+    Sets ``nanosAsLong`` at runtime too so a caller-provided session (the
+    driver's own) can read `events` without our builder config.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TIMESTAMP_COLS.get(name, ()):
+        # integer nanos -> floor-divide to micros; always positive here so
+        # `div` truncation == floor == DuckDB's nanos->micros behaviour.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
