@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a cheap count-style action (no
+driver-side collect of full results — measures engine time, not
+result-transfer time). One warm-up of a trivial query amortises JVM/
+codegen start so numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "m5_movement_features",    # flagship native window chain
+    "j7_density_grid_join",    # the un-stubbed OOM feature (grid range join)
+    "j1_broadcast_dim_join",   # broadcast star join + agg
+    "a4_group_sum_revenue",    # TPC-H-Q1-shaped rollup
+    "a3_multistat_median",     # exact median
+    "a8_timeseries_stats",     # per-key series stats
+    "g4_connected_components", # iterative large/small-star CC
+    "d1_exact_dedup",          # hash dedup
+    "d3_minhash_near_dups",    # MinHash+LSH near-dup pipeline
+    "v2_srp_topk",             # bucketed ANN
+    "t1_quality_features",     # text quality (codegen regex)
+    "e1_hourly_rollup",        # streaming-shaped rollup (events read)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from cellphe_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="cellphe-bench")
+    qs = entry_mod.queries()
+
+    # warm-up: JVM, parquet footer reads, codegen
+    qs["a2_group_count"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # cheap full-materialisation action: count() executes every
+        # operator but ships only one long back to the driver
+        df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Aggregate / join operator tests with python oracles."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+from cellphe_data_pipeline_spark.operators.aggregates import (
+    argmin_rows,
+    minmax_normalize,
+    multistat_summary,
+)
+from cellphe_data_pipeline_spark.operators.joins import density_self_join, zip_join
+
+
+def test_median_is_exact(spark):
+    # even-sized group: exact median interpolates; approx would not
+    vals = [1.0, 2.0, 3.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    row = multistat_summary(df, ["k"], "v").collect()[0]
+    assert row["median_val"] == statistics.median(vals) == 2.5
+    assert row["min_val"] == 1.0 and row["max_val"] == 100.0 and row["n"] == 4
+
+
+def test_argmin_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b"), (1, 7, "c"), (2, 1, "d")],
+        "k int, ord int, tag string",
+    )
+    out = {r["k"]: r["tag"] for r in argmin_rows(df, ["k"], ["ord", "tag"]).collect()}
+    assert out == {1: "a", 2: "d"}
+
+
+def test_minmax_normalize_constant_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 3.0), ("b", 3.0)],
+        "k string, v double",
+    )
+    out = {(r["k"], r["v"]): r["norm_value"] for r in minmax_normalize(df, ["k"], "v").collect()}
+    assert out[("a", 0.0)] == 0.0 and out[("a", 10.0)] == 1.0 and out[("a", 5.0)] == 0.5
+    assert out[("b", 3.0)] is None
+
+
+def test_zip_join_positional(spark):
+    l = spark.createDataFrame([(10, "x"), (20, "y"), (30, "z")], "lk int, lv string")
+    r = spark.createDataFrame([(1, "a"), (2, "b")], "rk int, rv string")
+    out = sorted(
+        (row["rn"], row["lv"], row["rv"]) for row in zip_join(l, r, ["lk"], ["rk"]).collect()
+    )
+    assert out == [(1, "x", "a"), (2, "y", "b")]  # truncates to shorter side
+
+
+def test_density_self_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    pts = [
+        (f, i, rng.uniform(0, 100), rng.uniform(0, 100))
+        for f in (1, 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts, "frame int, id int, x double, y double")
+    radius = 15.0
+    out = {(r["frame"], r["id"]): r["density"]
+           for r in density_self_join(df, "frame", "x", "y", "id", radius).collect()}
+    for f, i, x, y in pts:
+        want = sum(
+            1
+            for f2, j, x2, y2 in pts
+            if f2 == f and j != i and (x - x2) ** 2 + (y - y2) ** 2 <= radius**2
+        )
+        assert out[(f, i)] == want, (f, i)
+    # boundary case: two points exactly `radius` apart in different grid cells
+    df2 = spark.createDataFrame(
+        [(1, 1, 0.0, 0.0), (1, 2, 15.0, 0.0), (1, 3, 200.0, 200.0)],
+        "frame int, id int, x double, y double",
+    )
+    out2 = {r["id"]: r["density"] for r in density_self_join(df2, "frame", "x", "y", "id", radius).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 0}
+
+
+def test_timeseries_wavelet_kernel(spark):
+    from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+    import numpy as np
+
+    vals = [1.0, 3.0, 2.0, 8.0, 5.0, 5.0, 9.0, 0.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    r = timeseries_features(df, key="k", order=["t"], value="v").collect()[0]
+    assert r["n_obs"] == 8
+    assert math.isclose(r["mean_val"], float(np.mean(vals)))
+    d = np.diff(vals)
+    assert math.isclose(r["ascent"], float(d[d > 0].sum()))
+    assert math.isclose(r["descent"], float(d[d < 0].sum()))
+    # level-1 haar details: pairwise diffs / sqrt(2)
+    l1 = sum(abs(a - b) / math.sqrt(2) for a, b in zip(vals[0::2], vals[1::2]))
+    assert math.isclose(r["haar_l1"], l1, rel_tol=1e-12)

@@ -1,0 +1,128 @@
+"""Tests for the training-data-pipeline extensions: dedup, text,
+similarity — small in-memory fixtures with numpy/python oracles."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+
+from cellphe_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_duplicates,
+    pairwise_jaccard,
+    word_shingles,
+)
+from cellphe_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    srp_topk,
+)
+from cellphe_data_pipeline_spark.operators.text import language_id, quality_features
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "el perro y el gato que corren en los campos"),
+    (6, "short"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup_groups(_docs_df(spark)).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2          # docs 1 and 3 collapse, min id kept
+    assert sum(groups.values()) == len(DOCS)
+    assert len(out) == len(DOCS) - 1
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+
+def test_shingles_match_python(spark):
+    got: dict[int, set[str]] = {}
+    for r in word_shingles(_docs_df(spark)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["sh"])
+    for doc_id, text in DOCS:
+        assert got.get(doc_id, set()) == _py_shingles(text), doc_id
+
+
+def test_pairwise_jaccard_exact(spark):
+    sh = word_shingles(_docs_df(spark))
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairwise_jaccard(sh, 0.0).collect()}
+    py = {d: _py_shingles(t) for d, t in DOCS}
+    for a, b in itertools.combinations(sorted(py), 2):
+        sa, sb = py[a], py[b]
+        inter = len(sa & sb)
+        if not sa or not sb or inter == 0:
+            assert (a, b) not in out
+            continue
+        expect = inter / len(sa | sb)
+        assert math.isclose(out[(a, b)], round(expect, 6), abs_tol=1e-6)
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           minhash_near_duplicates(_docs_df(spark), threshold=0.3).collect()}
+    assert out[(1, 3)] == 1.0          # exact dup always collides in every band
+    assert (1, 2) in out               # near-dup (jaccard ~0.57)
+    # verified jaccard is EXACT (not estimated): compare vs python
+    expect = len(_py_shingles(DOCS[0][1]) & _py_shingles(DOCS[1][1])) / len(
+        _py_shingles(DOCS[0][1]) | _py_shingles(DOCS[1][1])
+    )
+    assert math.isclose(out[(1, 2)], round(expect, 6), abs_tol=1e-6)
+    assert all(j >= 0.3 for j in out.values())
+
+
+def test_quality_and_langid(spark):
+    df = _docs_df(spark)
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] > 0        # 'the' x2, 'over' no, ...
+    assert q[6]["punct_ratio"] == 0.0
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert lang[1] == "en"
+    assert lang[5] == "es"
+
+
+def _embeddings_df(spark, n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"), vecs
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    df, vecs = _embeddings_df(spark)
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    out: dict[int, list] = {}
+    for r in cosine_topk_bruteforce(df, k=3).collect():
+        out.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    for i in range(len(v)):
+        got = [nb for _, nb, _ in sorted(out[i])]
+        want = list(np.argsort(np.round(-cos[i], 5), kind="stable")[:3])
+        # compare by rounded cosine values (ties may order differently
+        # between stable argsort and (cos desc, id) — compare the scores)
+        got_scores = sorted((c for _, _, c in out[i]), reverse=True)
+        want_scores = sorted((round(cos[i][j], 5) for j in want), reverse=True)
+        assert got_scores == want_scores, i
+
+
+def test_srp_topk_subset_of_bruteforce_scores(spark):
+    df, vecs = _embeddings_df(spark)
+    bf = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+          for r in cosine_topk_bruteforce(df, k=len(vecs) - 1).collect()}
+    for r in srp_topk(df, dim=8, k=3).collect():
+        # every SRP result is a real pair with the exact same cosine
+        assert math.isclose(bf[(r["vec_id"], r["neighbor_id"])], r["cos_sim"], abs_tol=1e-9)

@@ -1,0 +1,80 @@
+"""Graph operator tests: CC vs an in-memory union-find oracle on random
+graphs (SURVEY §5 — partition equality, not label equality)."""
+
+from __future__ import annotations
+
+import random
+
+from cellphe_data_pipeline_spark.operators.graph import (
+    connected_components,
+    degree,
+    prune_isolated,
+    roots,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _partition(labels: dict[int, int]) -> set[frozenset[int]]:
+    groups: dict[int, set[int]] = {}
+    for n, c in labels.items():
+        groups.setdefault(c, set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        want = _uf_components(edges)
+        assert _partition(got) == _partition(want), f"trial {trial}"
+        # engine labels are canonical: component id == min node of component
+        for comp in _partition(got):
+            assert {got[n] for n in comp} == {min(comp)}
+
+
+def test_cc_long_path(spark):
+    # path graph: worst case for naive propagation; large/small star must
+    # converge in O(log n) rounds, well under the max_iter cap
+    n = 500
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_degree_roots_prune(spark):
+    # 1->2->3, 4->3 (merge), 5 isolated (appears in nodes only)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "ID bigint")
+
+    deg = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degree(edges).collect()}
+    assert deg == {1: (1, 0), 2: (1, 1), 3: (0, 2), 4: (1, 0)}
+
+    kept = sorted(r["ID"] for r in prune_isolated(nodes, edges).collect())
+    assert kept == [1, 2, 3, 4]
+
+    rts = sorted(r["ID"] for r in roots(nodes, edges).collect())
+    assert rts == [1, 4]
