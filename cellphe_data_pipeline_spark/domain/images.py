@@ -1,0 +1,251 @@
+"""Image-pipeline operators (S1/S3-S5/S11-S12, M1/M2/M6 — SURVEY §2.1/§2.10).
+
+Images are opaque ``binary`` payloads with typed metadata — the
+multimodal-column pattern: Spark moves/partitions the bytes, Arrow
+batches them into pandas UDFs, and the codec boundary is a narrow
+per-batch kernel. The real TIFF/JPEG/PNG codecs (Pillow, tifffile,
+ImageMagick) are NOT in this container, so the decode step is isolated
+behind ``decode_frame``: a clearly-marked stub that raises
+``NotImplementedError`` for real payloads and produces a DETERMINISTIC
+fake raster for payloads tagged with the ``FAKE1`` magic — the
+Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested either way.
+
+Scale notes:
+- ``scan_images`` (S1, main.nf:418-452): ``binaryFile`` source with
+  pathGlobFilter pushdown — list + read parallelised over executors.
+- ``split_frames`` (S3/S4, main.nf:305-320/361-374): UDTF shape via
+  ``mapInPandas`` — 1 container file → N frame rows; one input file per
+  Arrow batch keeps executor memory bounded by the largest container,
+  independent of corpus size.
+- ``segment_frames`` (M1/M2, segment_image.py:20-23): model-per-
+  executor pattern — the (stub) model loads once per partition, frames
+  stream through it in batches (the GPU-batching economics of
+  segment_image_batch.py:20-25 map to partition batching + stage-level
+  resource scheduling on a real cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_MAGIC = b"FAKE1"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+MASK_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("mask", T.BinaryType()),  # uint16 labels, row-major
+    ]
+)
+
+
+def scan_images(spark: SparkSession, path: str, glob: str = "*.tiff") -> DataFrame:
+    """S1: binary directory scan with glob pushdown. Columns:
+    path/modificationTime/length/content (Spark binaryFile contract)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def make_fake_image(seed: int, height: int = 32, width: int = 32, n_frames: int = 1) -> bytes:
+    """Deterministic fake multi-frame container: FAKE1 | h | w | n |
+    zlib(frames as uint8). Stands in for multi-page TIFF in tests."""
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 255, size=(n_frames, height, width), dtype=np.uint8)
+    header = FAKE_MAGIC + np.array([height, width, n_frames], dtype="<u4").tobytes()
+    return header + zlib.compress(frames.tobytes())
+
+
+def decode_frame(content: bytes) -> list[np.ndarray]:
+    """Codec boundary. Real TIFF/JPEG decode requires Pillow/tifffile —
+    unavailable in this container — so only the FAKE1 container decodes;
+    anything else raises. Swap this single function for a real codec in
+    production; nothing else changes."""
+    if content[:5] == FAKE_MAGIC:
+        h, w, n = np.frombuffer(content[5:17], dtype="<u4")
+        raw = zlib.decompress(content[17:])
+        return list(np.frombuffer(raw, dtype=np.uint8).reshape(int(n), int(h), int(w)))
+    raise NotImplementedError(
+        "real image codecs (TIFF/JPEG) are not available in this container; "
+        "replace decode_frame with a Pillow/tifffile-backed codec"
+    )
+
+
+def split_frames(binaries: DataFrame) -> DataFrame:
+    """S3/S4: 1 container file → N standalone frame rows (UDTF shape).
+    `frame_index` is the within-file page index (the OME `IFD`); global
+    ordering/renumbering is W4's job downstream."""
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                frames = decode_frame(row["content"])
+                yield pd.DataFrame(
+                    {
+                        "path": row["path"],
+                        "frame_index": range(len(frames)),
+                        "height": [f.shape[0] for f in frames],
+                        "width": [f.shape[1] for f in frames],
+                        "data": [f.tobytes() for f in frames],
+                    }
+                )
+
+    return binaries.select("path", "content").mapInPandas(split, FRAME_SCHEMA)
+
+
+def grayscale_convert(frames: DataFrame) -> DataFrame:
+    """S5 (main.nf:392-406 JPEG→gray TIFF): payloads here are already
+    single-channel rasters, so this is the identity on data + a format
+    tag — kept as an explicit stage so a real codec slots in."""
+    return frames.withColumn("colorspace", F.lit("gray"))
+
+
+def _fake_segment(img: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in for CellposeModel.eval (segment_image.py:
+    20-23): threshold at the image median, 4-connected component label.
+    Pure numpy BFS — fine for 32x32 test rasters."""
+    thr = np.median(img)
+    fg = img > thr
+    labels = np.zeros(img.shape, dtype=np.uint16)
+    cur = 0
+    for i in range(img.shape[0]):
+        for j in range(img.shape[1]):
+            if fg[i, j] and labels[i, j] == 0:
+                cur += 1
+                stack = [(i, j)]
+                labels[i, j] = cur
+                while stack:
+                    a, b = stack.pop()
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        na, nb = a + da, b + db
+                        if (
+                            0 <= na < img.shape[0]
+                            and 0 <= nb < img.shape[1]
+                            and fg[na, nb]
+                            and labels[na, nb] == 0
+                        ):
+                            labels[na, nb] = cur
+                            stack.append((na, nb))
+    return labels
+
+
+def segment_frames(frames: DataFrame, model_args: dict | None = None) -> DataFrame:
+    """M1/M2: per-frame segmentation → uint16 label mask. Model-per-
+    partition: the (stub) model is constructed once per mapInPandas
+    partition and reused across its frames — the Spark translation of
+    the reference's GPU batch economics (segment_image_batch.py:20-25).
+    `model_args` pass through verbatim like the reference's config."""
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _fake_segment  # stand-in for CellposeModel(**model_args)
+        for pdf in batches:
+            masks = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["data"], dtype=np.uint8).reshape(
+                    row["height"], row["width"]
+                )
+                masks.append(model(img).tobytes())
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "frame_index": pdf["frame_index"],
+                    "height": pdf["height"],
+                    "width": pdf["width"],
+                    "mask": masks,
+                }
+            )
+
+    return frames.mapInPandas(seg, MASK_SCHEMA)
+
+
+MASK_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("mask_id", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def mask_label_histogram(masks: DataFrame) -> DataFrame:
+    """A5 (segmentation_qc.qmd:159-170): per-mask label histogram =
+    per-cell pixel areas. UDTF shape: 1 mask → one row per label
+    (np.unique with counts); downstream filters mask_id != 0 (P7)."""
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16)
+                ids, counts = np.unique(m, return_counts=True)
+                yield pd.DataFrame(
+                    {
+                        "path": row["path"],
+                        "frame_index": row["frame_index"],
+                        "mask_id": ids.astype("int32"),
+                        "n": counts.astype("int64"),
+                    }
+                )
+
+    return masks.mapInPandas(hist, MASK_HIST_SCHEMA)
+
+
+def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
+    """M6 (segmentation_qc.qmd:132-140): QC boundary render — boundary
+    pixel = any 4-neighbor with a different label. Emits boundary pixel
+    rows (relational form; PNG overlay is an edge-side export)."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("px", T.IntegerType()),
+            T.StructField("py", T.IntegerType()),
+            T.StructField("mask_id", T.IntegerType()),
+        ]
+    )
+
+    def bounds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                diff = np.zeros(m.shape, dtype=bool)
+                diff[:-1, :] |= m[:-1, :] != m[1:, :]
+                diff[1:, :] |= m[1:, :] != m[:-1, :]
+                diff[:, :-1] |= m[:, :-1] != m[:, 1:]
+                diff[:, 1:] |= m[:, 1:] != m[:, :-1]
+                diff &= m != 0
+                ys, xs = np.nonzero(diff)
+                yield pd.DataFrame(
+                    {
+                        "path": row["path"],
+                        "frame_index": row["frame_index"],
+                        "px": xs.astype("int32"),
+                        "py": ys.astype("int32"),
+                        "mask_id": m[ys, xs].astype("int32"),
+                    }
+                )
+
+    return masks.mapInPandas(bounds, schema)

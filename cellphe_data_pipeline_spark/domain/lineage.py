@@ -1,0 +1,133 @@
+"""G4 — track partitioning with split renumbering (SURVEY §2.9).
+
+Reference: parse_xml.py:124-163 — a recursive DFS over the TrackMate
+spot graph with a global track counter:
+  - each root starts a new track (roots sorted by frame, :121-122);
+  - at a split (1 parent → N children), the first-visited child
+    continues the parent's track, every later child starts a new one
+    (:151-153);
+  - at a merge (N parents → 1 child), the first-arriving traversal
+    claims the child (`traversed_nodes` guard, :147-149).
+
+Those semantics are traversal-order-dependent (SURVEY §7 hard part #1).
+The engine fixes them with explicit deterministic tie-breaks:
+  - the MIN-id child continues its parent's track;
+  - the MIN-id parent wins a merge;
+  - track ids are assigned 1..K by segment head order (frame, id) —
+    1-indexed like the reference (parse_xml.py:198-200).
+
+Under these rules a "track" is a maximal path over KEEP edges, where
+keep(p→c) ⟺ c = min(children(p)) ∧ p = min(parents(c)). Every node has
+≤1 incoming and ≤1 outgoing keep edge, so components of the keep-edge
+graph are simple paths — computable as connected components, fully
+relationally:
+
+Scale: two groupBy shuffles (min-child, min-parent) + the O(log d) CC
+rounds + one window over segment heads. No driver-side graph state;
+the reference's whole-graph-in-memory DFS is replaced by joins that
+partition across the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.operators.graph import connected_components
+
+
+def keep_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Edges that continue a track: min-child of the parent AND
+    min-parent of the child (both deterministic tie-breaks)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    min_child = e.groupBy("src").agg(F.min("dst").alias("dst"))
+    min_parent = e.groupBy("dst").agg(F.min("src").alias("src"))
+    return e.join(min_child, ["src", "dst"], "left_semi").join(
+        min_parent, ["src", "dst"], "left_semi"
+    )
+
+
+def renumber_tracks(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "ID",
+    frame_col: str = "FRAME",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Assign 1-indexed TRACK_ID to every non-isolated node.
+
+    Output: (id_col, frame_col, TRACK_ID). Isolated nodes (no edges)
+    are dropped, as in the reference (parse_xml.py:115-118).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    touched = (
+        e.select(F.col("src").alias(id_col))
+        .union(e.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    members = nodes.join(touched, id_col, "left_semi").select(id_col, frame_col)
+
+    keep = keep_edges(e)
+    # segments: CC over keep edges; nodes with no keep edge are their own
+    # singleton segment (component = own id)
+    cc = connected_components(keep, "src", "dst")
+    labelled = members.join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("segment", F.coalesce(F.col("component"), F.col(id_col)))
+
+    # segment head = the path START (no incoming keep edge; unique per
+    # segment since keep edges form simple paths on the temporal DAG the
+    # reference guarantees — edges always advance in frame);
+    # track ids follow head (frame, id) order — deterministic, 1-indexed
+    head_nodes = labelled.join(
+        keep.select(F.col("dst").alias(id_col)), id_col, "left_anti"
+    )
+    heads = head_nodes.groupBy("segment").agg(
+        F.min(F.struct(F.col(frame_col), F.col(id_col))).alias("head")
+    )
+    w = Window.orderBy(F.col("head"))
+    track_ids = heads.select(
+        "segment", F.row_number().over(w).cast("int").alias("TRACK_ID")
+    )
+    return labelled.join(track_ids, "segment").select(id_col, frame_col, "TRACK_ID")
+
+
+def renumber_tracks_oracle(
+    nodes: list[tuple[int, int]], edges: list[tuple[int, int]]
+) -> dict[int, int]:
+    """In-memory reimplementation of the SAME deterministic semantics
+    (test oracle, SURVEY §5): DFS from roots ordered by (frame, id),
+    children visited in id order, min-parent wins merges, min-child
+    continues the parent's track; ids canonicalised by head (frame, id).
+    """
+    children: dict[int, list[int]] = {}
+    parents: dict[int, list[int]] = {}
+    for s, d in edges:
+        children.setdefault(s, []).append(d)
+        parents.setdefault(d, []).append(s)
+    frame = dict(nodes)
+    touched = sorted({n for e in edges for n in e})
+
+    # follow keep-edge paths from each segment head
+    def keep_next(p: int) -> int | None:
+        c = min(children.get(p, []), default=None)
+        if c is not None and min(parents[c]) == p:
+            return c
+        return None
+
+    def keep_prev(c: int) -> int | None:
+        p = min(parents.get(c, []), default=None)
+        if p is not None and min(children[p]) == c:
+            return p
+        return None
+
+    heads = [n for n in touched if keep_prev(n) is None]
+    heads.sort(key=lambda n: (frame[n], n))
+    out: dict[int, int] = {}
+    for tid, h in enumerate(heads, start=1):
+        n: int | None = h
+        while n is not None:
+            out[n] = tid
+            n = keep_next(n)
+    return out

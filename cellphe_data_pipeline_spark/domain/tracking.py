@@ -1,0 +1,127 @@
+"""M3 — cell tracking by frame-pair linking (SURVEY §2.10, Phase 4).
+
+Reference: track_images.py:24-201 drives TrackMate's JVM LAP tracker
+over ALL masks of a timelapse as one global 32-CPU task
+(nextflow.config:46-51). Global LAP optimisation is inherently
+sequential across frames; the engine's documented deviation (SURVEY §7
+hard part #5) is *same-shape, simplified* linking:
+
+  - per consecutive frame pair, assign detections greedily by ascending
+    centroid distance under ``linking_max_distance`` — the
+    NearestNeighbor tracker option of README.md:152-160;
+  - gap closing: an unmatched track end may re-link ≤ ``max_frame_gap``
+    frames later within ``gap_closing_max_distance``
+    (ALLOW_GAP_CLOSING / MAX_FRAME_GAP=4 / GAP_CLOSING_MAX_DISTANCE,
+    templates/cyto3.json:27-29);
+  - deterministic: candidate pairs sorted by (distance, src id, dst id).
+
+Parallelism: ``applyInPandas`` grouped by timelapse — tracking is
+global per timelapse (the reference runs it as one task too), but
+timelapses parallelise across the cluster; one group = one timelapse's
+detections (~72k rows for the documented 721-frame run — bounded, fits
+a pandas kernel comfortably). The cross-timelapse fan-out is where the
+100 TB parallelism lives, exactly like the reference's per-run Slurm
+jobs.
+
+Output edges feed G1-G4 (``domain.lineage.renumber_tracks``) unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("timelapse_id", T.StringType()),
+        T.StructField("src", T.IntegerType()),
+        T.StructField("dst", T.IntegerType()),
+        T.StructField("gap", T.IntegerType()),
+        T.StructField("dist", T.DoubleType()),
+    ]
+)
+
+
+def _link_one(
+    pdf: pd.DataFrame,
+    linking_max_distance: float,
+    max_frame_gap: int,
+    gap_closing_max_distance: float,
+) -> pd.DataFrame:
+    frames = sorted(pdf["frame"].unique())
+    by_frame = {
+        f: pdf[pdf["frame"] == f][["id", "x", "y"]].to_numpy() for f in frames
+    }
+    # open track ends: spot id -> (frame, x, y)
+    open_ends: dict[int, tuple[int, float, float]] = {}
+    edges: list[tuple[int, int, int, float]] = []
+    for f in frames:
+        dets = by_frame[f]
+        # candidate links (dist, src, dst, gap): open ends within the
+        # distance window; gap = frames skipped (0 = consecutive)
+        cands = []
+        for src, (ef, ex, ey) in open_ends.items():
+            gap = f - ef - 1
+            if gap > max_frame_gap:
+                continue
+            limit = linking_max_distance if gap == 0 else gap_closing_max_distance
+            for det in dets:
+                d = float(np.hypot(det[1] - ex, det[2] - ey))
+                if d <= limit:
+                    cands.append((d, int(src), int(det[0]), gap))
+        cands.sort()  # greedy by (distance, src, dst) — deterministic
+        used_src: set[int] = set()
+        used_dst: set[int] = set()
+        for d, src, dst, gap in cands:
+            if src in used_src or dst in used_dst:
+                continue
+            used_src.add(src)
+            used_dst.add(dst)
+            edges.append((src, dst, gap, d))
+            open_ends.pop(src, None)  # the end moved forward to dst
+        # every detection of this frame is now an open end (matched ones
+        # continue their track under the new spot id; unmatched ones
+        # start prospective tracks); ends past the gap window expire
+        for det in dets:
+            open_ends[int(det[0])] = (f, float(det[1]), float(det[2]))
+        open_ends = {
+            i: (ef, ex, ey)
+            for i, (ef, ex, ey) in open_ends.items()
+            if f - ef - 1 <= max_frame_gap
+        }
+    tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
+    return pd.DataFrame(
+        [(tl, s, d, g, dist) for s, d, g, dist in edges],
+        columns=["timelapse_id", "src", "dst", "gap", "dist"],
+    )
+
+
+def track_detections(
+    detections: DataFrame,
+    linking_max_distance: float = 70.0,
+    max_frame_gap: int = 4,
+    gap_closing_max_distance: float = 90.0,
+) -> DataFrame:
+    """M3: link per-frame detections into track edges.
+
+    `detections`: (timelapse_id, id, frame, x, y) — id unique per
+    timelapse. Returns EDGES_SCHEMA rows (src, dst spot ids + the gap
+    length and link distance for QC).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _link_one(
+            pdf.sort_values(["frame", "id"]),
+            linking_max_distance,
+            max_frame_gap,
+            gap_closing_max_distance,
+        )
+
+    return (
+        detections.select("timelapse_id", "id", "frame", "x", "y")
+        .groupBy("timelapse_id")
+        .applyInPandas(kernel, EDGES_SCHEMA)
+    )

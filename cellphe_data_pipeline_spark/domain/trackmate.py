@@ -1,0 +1,139 @@
+"""S8/S2 — XML sources (SURVEY §2.1).
+
+``parse_trackmate_xml`` re-expresses parse_xml.py:77-113: one TrackMate
+XML document → three relational outputs (spots, edges, rois). The
+reference walks an ElementTree on one node; here each XML document is a
+row, every attribute list is extracted with a single ``xpath()`` call
+(document order), and the per-spot lists are zipped positionally with
+``arrays_zip`` + ``posexplode`` — the whole parse is one JVM-side
+projection, no Python, and scales to millions of XML documents (one per
+timelapse) by ordinary partition parallelism.
+
+``parse_ome_companion`` re-expresses the 3 xpath processes + positional
+channel merge of main.nf:257-303/425-437 (S2 + J6): all three
+attributes in ONE pass — the positional zip the reference does across
+process boundaries happens inside ``arrays_zip`` for free.
+
+ROI boundary text (parse_xml.py:97-100): the spot element's text
+payload is a flat whitespace-separated float list; reshaped to
+array<struct<x,y>> and translated by the spot position (F11), with
+negative clip (F9, frame_features_image.py:55-56) left to
+``domain.rois`` so the raw parse stays lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: TrackMate spot attributes parsed as doubles (parse_xml.py:170-196).
+SPOT_DOUBLE_ATTRS = (
+    "QUALITY",
+    "POSITION_X",
+    "POSITION_Y",
+    "POSITION_Z",
+    "POSITION_T",
+    "RADIUS",
+    "MEAN_INTENSITY_CH1",
+    "MEDIAN_INTENSITY_CH1",
+    "MIN_INTENSITY_CH1",
+    "MAX_INTENSITY_CH1",
+    "TOTAL_INTENSITY_CH1",
+    "STD_INTENSITY_CH1",
+    "CONTRAST_CH1",
+    "SNR_CH1",
+    "AREA",
+    "PERIMETER",
+    "CIRCULARITY",
+    "SOLIDITY",
+    "SHAPE_INDEX",
+)
+
+
+def _xpath(colname: str, path: str) -> Column:
+    return F.expr(f"xpath({colname}, '{path}')")
+
+
+def parse_trackmate_spots(
+    df: DataFrame, xml_col: str = "xml", doc_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Spots table from TrackMate XML: one row per <Spot>, typed columns
+    ID/name/FRAME ints + SPOT_DOUBLE_ATTRS doubles + boundary float list.
+
+    1-indexing at the edge (ID+1? — the reference keeps raw TrackMate ids
+    for spots and 1-indexes FRAME/TRACK_ID at export, parse_xml.py:198-200;
+    we keep raw values here and 1-index in the export projection).
+    """
+    attrs = {
+        "ID": _xpath(xml_col, "//Spot/@ID"),
+        "name": _xpath(xml_col, "//Spot/@name"),
+        "FRAME": _xpath(xml_col, "//Spot/@FRAME"),
+        "boundary": _xpath(xml_col, "//Spot/text()"),
+        **{a: _xpath(xml_col, f"//Spot/@{a}") for a in SPOT_DOUBLE_ATTRS},
+    }
+    zipped = F.arrays_zip(*[v.alias(k) for k, v in attrs.items()])
+    out = df.select(*doc_cols, F.posexplode(zipped).alias("_pos", "_s"))
+    boundary = F.transform(
+        F.split(F.trim(F.col("_s.boundary")), r"\s+"), lambda v: v.cast("double")
+    )
+    return out.select(
+        *doc_cols,
+        F.col("_s.ID").cast("int").alias("ID"),
+        F.col("_s.name").alias("LABEL"),  # name→LABEL rename (parse_xml.py:103)
+        F.col("_s.FRAME").cast("int").alias("FRAME"),
+        *[F.col(f"_s.{a}").cast("double").alias(a) for a in SPOT_DOUBLE_ATTRS],
+        boundary.alias("boundary_flat"),
+    )
+
+
+def parse_trackmate_edges(
+    df: DataFrame, xml_col: str = "xml", doc_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Edge list from TrackMate XML (G1 — parse_xml.py:108-113)."""
+    zipped = F.arrays_zip(
+        _xpath(xml_col, "//Edge/@SPOT_SOURCE_ID").alias("src"),
+        _xpath(xml_col, "//Edge/@SPOT_TARGET_ID").alias("dst"),
+    )
+    out = df.select(*doc_cols, F.explode(zipped).alias("_e"))
+    return out.select(
+        *doc_cols,
+        F.col("_e.src").cast("int").alias("src"),
+        F.col("_e.dst").cast("int").alias("dst"),
+    )
+
+
+def spot_rois(spots: DataFrame) -> DataFrame:
+    """ROI polygons from parsed spots (parse_xml.py:97-101): reshape the
+    flat boundary list to (x,y) int pairs translated by the spot
+    position. Output: (ID, FRAME, coords array<struct<x:int,y:int>>)."""
+    n_pairs = F.size("boundary_flat") / 2
+    idx = F.sequence(F.lit(0), (n_pairs - 1).cast("int"))
+    coords = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.round(F.element_at("boundary_flat", i * 2 + 1) + F.col("POSITION_X"))
+            .cast("int")
+            .alias("x"),
+            F.round(F.element_at("boundary_flat", i * 2 + 2) + F.col("POSITION_Y"))
+            .cast("int")
+            .alias("y"),
+        ),
+    )
+    return spots.filter(F.size("boundary_flat") >= 2).select(
+        "ID", "FRAME", coords.alias("coords")
+    )
+
+
+def parse_ome_companion(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """S2+J6 in one pass: (FileName, IFD, FirstT) per TiffData element of
+    an OME companion XML (main.nf:257-303, zip-merge 425-437)."""
+    zipped = F.arrays_zip(
+        _xpath(xml_col, "//TiffData/UUID/@FileName").alias("filename"),
+        _xpath(xml_col, "//TiffData/@IFD").alias("ifd"),
+        _xpath(xml_col, "//TiffData/@FirstT").alias("first_t"),
+    )
+    return df.select(F.explode(zipped).alias("_t")).select(
+        F.col("_t.filename").alias("filename"),
+        F.col("_t.ifd").cast("int").alias("ifd"),
+        F.col("_t.first_t").cast("int").alias("first_t"),
+    )

@@ -1219,3 +1219,228 @@ def a8b(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return timeseries_features(ev, key="user_id", order=["ts", "event_id"], value="value")
+
+
+# =====================================================================
+# Domain operators on deterministic fixtures (FIXTURES.md). The star
+# schema has no XML/lineage/image tables, so these queries build their
+# fixture input inline (ignoring sf_dir) and the oracle is a golden
+# VALUES relation — valid because fixture + kernel are bit-deterministic
+# (goldens independently cross-checked against python/numpy oracles in
+# tests/test_domain.py).
+# =====================================================================
+
+
+@register(
+    "s2_ome_companion_scan",
+    """
+    SELECT filename, CAST(ifd AS INT) AS ifd, CAST(first_t AS INT) AS first_t
+    FROM (VALUES ('a.tiff', 0, 0), ('a.tiff', 1, 1), ('b.tiff', 0, 2))
+      AS t(filename, ifd, first_t)
+    """,
+)
+def s2(spark, sf_dir):
+    """S2+J6 (main.nf:257-303, 425-437): OME companion scan — all three
+    TiffData attributes in ONE xpath pass + arrays_zip (the positional
+    channel merge collapses into the zip)."""
+    from cellphe_data_pipeline_spark.domain.trackmate import parse_ome_companion
+    from cellphe_data_pipeline_spark.testing.fixtures import ome_df
+
+    return parse_ome_companion(ome_df(spark))
+
+
+@register(
+    "s8_trackmate_spots",
+    """
+    SELECT CAST(ID AS INT) AS ID, LABEL, CAST(FRAME AS INT) AS FRAME,
+           CAST(px AS DOUBLE) AS POSITION_X, CAST(py AS DOUBLE) AS POSITION_Y,
+           CAST(area AS DOUBLE) AS AREA
+    FROM (VALUES
+      (1, 'ID1', 0, 10.0, 10.0, 30.0),
+      (2, 'ID2', 0, 50.0, 50.0, 40.0),
+      (3, 'ID3', 1, 11.0, 11.0, 31.0),
+      (4, 'ID4', 1, 51.0, 51.0, 41.0),
+      (5, 'ID5', 2, 12.0, 10.0, 32.0),
+      (6, 'ID6', 2, 10.0, 12.0, 33.0)
+    ) AS t(ID, LABEL, FRAME, px, py, area)
+    """,
+)
+def s8(spark, sf_dir):
+    """S8 (parse_xml.py:77-113): TrackMate XML -> typed spots table via
+    one xpath+arrays_zip projection (name->LABEL rename included)."""
+    from cellphe_data_pipeline_spark.domain.trackmate import parse_trackmate_spots
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    return parse_trackmate_spots(trackmate_df(spark)).select(
+        "ID", "LABEL", "FRAME", "POSITION_X", "POSITION_Y", "AREA"
+    )
+
+
+@register(
+    "s8b_trackmate_edges",
+    """
+    SELECT CAST(src AS INT) AS src, CAST(dst AS INT) AS dst
+    FROM (VALUES (1, 3), (2, 4), (3, 5), (3, 6)) AS t(src, dst)
+    """,
+)
+def s8b(spark, sf_dir):
+    """G1 via S8 (parse_xml.py:108-113): edge list from TrackMate XML."""
+    from cellphe_data_pipeline_spark.domain.trackmate import parse_trackmate_edges
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    return parse_trackmate_edges(trackmate_df(spark))
+
+
+@register(
+    "g4b_renumber_tracks",
+    """
+    SELECT CAST(ID AS BIGINT) AS ID, CAST(FRAME AS INT) AS FRAME,
+           CAST(tid AS INT) AS TRACK_ID
+    FROM (VALUES
+      (1, 0, 1), (3, 1, 1), (5, 2, 1),
+      (2, 0, 2), (4, 1, 2), (8, 2, 2),
+      (6, 2, 3), (9, 3, 3), (10, 4, 3)
+    ) AS t(ID, FRAME, tid)
+    """,
+)
+def g4b(spark, sf_dir):
+    """G4 proper (parse_xml.py:124-163): track partitioning WITH split
+    renumbering — min-child continues, min-parent wins merges, track ids
+    1-indexed by head (frame, id); fixture has a split, a merge, two
+    roots and an isolated node (pruned). Cross-checked against the
+    python DFS oracle in tests."""
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+    from cellphe_data_pipeline_spark.testing.fixtures import lineage_dfs
+
+    nodes, edges = lineage_dfs(spark)
+    return renumber_tracks(nodes, edges)
+
+
+@register(
+    "f16_roi_interpolation",
+    """
+    SELECT CAST(id AS INT) AS id, CAST(pos AS INT) AS pos,
+           CAST(px AS INT) AS px, CAST(py AS INT) AS py
+    FROM (VALUES
+      (1, 0, 0, 0), (1, 1, 1, 0), (1, 2, 2, 0), (1, 3, 3, 0),
+      (1, 4, 3, 1), (1, 5, 3, 2), (1, 6, 3, 3), (1, 7, 2, 3),
+      (1, 8, 1, 3), (1, 9, 0, 3), (1, 10, 0, 2), (1, 11, 0, 1)
+    ) AS t(id, pos, px, py)
+    """,
+)
+def f16(spark, sf_dir):
+    """F16+O4 (parse_xml.py:13-45): Bresenham gap closing around the
+    polygon (wrap last->first) + order-preserving dedup; square-corner
+    fixture -> the 12-point perimeter in traversal order."""
+    from cellphe_data_pipeline_spark.domain.rois import interpolate_rois
+    from cellphe_data_pipeline_spark.testing.fixtures import roi_df
+
+    return interpolate_rois(roi_df(spark)).select(
+        "id", F.posexplode("coords").alias("pos", "_c")
+    ).select("id", "pos", F.col("_c.x").alias("px"), F.col("_c.y").alias("py"))
+
+
+@register(
+    "m3_tracking_links",
+    """
+    SELECT tl AS timelapse_id, CAST(src AS INT) AS src, CAST(dst AS INT) AS dst,
+           CAST(gap AS INT) AS gap, CAST(dist AS DOUBLE) AS dist
+    FROM (VALUES
+      ('tl1', 100, 101, 0, 1.0), ('tl1', 101, 102, 0, 1.0),
+      ('tl1', 102, 103, 0, 1.0), ('tl1', 103, 104, 0, 1.0),
+      ('tl1', 104, 105, 0, 1.0),
+      ('tl1', 200, 201, 0, 0.0), ('tl1', 201, 204, 2, 0.0),
+      ('tl1', 204, 205, 0, 0.0)
+    ) AS t(tl, src, dst, gap, dist)
+    """,
+)
+def m3(spark, sf_dir):
+    """M3 (track_images.py:24-201, simplified per SURVEY §7): greedy
+    frame-pair linking + gap closing (<=4 frames), applyInPandas per
+    timelapse; fixture exercises consecutive links, a 2-frame gap close,
+    and an unlinked noise detection."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import detections_df
+
+    return track_detections(
+        detections_df(spark), linking_max_distance=5.0, max_frame_gap=4,
+        gap_closing_max_distance=10.0,
+    )
+
+
+@register(
+    "a5b_mask_histogram",
+    """
+    SELECT path, CAST(fi AS INT) AS frame_index, CAST(mid AS INT) AS mask_id,
+           CAST(n AS BIGINT) AS n
+    FROM (VALUES
+      ('fx3.fake', 0, 0, 129), ('fx3.fake', 0, 1, 24), ('fx3.fake', 0, 2, 1),
+      ('fx3.fake', 0, 3, 83), ('fx3.fake', 0, 4, 1), ('fx3.fake', 0, 5, 2),
+      ('fx3.fake', 0, 6, 2), ('fx3.fake', 0, 7, 3), ('fx3.fake', 0, 8, 1),
+      ('fx3.fake', 0, 9, 1), ('fx3.fake', 0, 10, 1), ('fx3.fake', 0, 11, 3),
+      ('fx3.fake', 0, 12, 1), ('fx3.fake', 0, 13, 2), ('fx3.fake', 0, 14, 1),
+      ('fx3.fake', 0, 15, 1),
+      ('fx3.fake', 1, 0, 129), ('fx3.fake', 1, 1, 4), ('fx3.fake', 1, 2, 7),
+      ('fx3.fake', 1, 3, 1), ('fx3.fake', 1, 4, 1), ('fx3.fake', 1, 5, 1),
+      ('fx3.fake', 1, 6, 1), ('fx3.fake', 1, 7, 11), ('fx3.fake', 1, 8, 6),
+      ('fx3.fake', 1, 9, 1), ('fx3.fake', 1, 10, 1), ('fx3.fake', 1, 11, 12),
+      ('fx3.fake', 1, 12, 1), ('fx3.fake', 1, 13, 3), ('fx3.fake', 1, 14, 15),
+      ('fx3.fake', 1, 15, 1), ('fx3.fake', 1, 16, 46), ('fx3.fake', 1, 17, 3),
+      ('fx3.fake', 1, 18, 1), ('fx3.fake', 1, 19, 3), ('fx3.fake', 1, 20, 1),
+      ('fx3.fake', 1, 21, 2), ('fx3.fake', 1, 22, 1), ('fx3.fake', 1, 23, 1),
+      ('fx3.fake', 1, 24, 1), ('fx3.fake', 1, 25, 1), ('fx3.fake', 1, 26, 1)
+    ) AS t(path, fi, mid, n)
+    """,
+)
+def a5b(spark, sf_dir):
+    """S3/S4 + M1/M2 + A5 chained (main.nf:305-320, segment_image.py:
+    20-23, segmentation_qc.qmd:159-170): fake container -> frame split
+    UDTF -> per-partition (stub) segmentation -> label histogram."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        mask_label_histogram,
+        segment_frames,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_frames_df
+
+    return mask_label_histogram(segment_frames(split_frames(fake_frames_df(spark))))
+
+
+@register(
+    "m4_static_features",
+    """
+    SELECT path, CAST(f AS INT) AS FrameID, CAST(c AS INT) AS CellID,
+           rf AS ROI_filename,
+           CAST(area AS DOUBLE) AS Area, CAST(x AS DOUBLE) AS x,
+           CAST(y AS DOUBLE) AS y, CAST(rm AS DOUBLE) AS Rad_mean,
+           CAST(rx AS DOUBLE) AS Rad_max, CAST(bl AS DOUBLE) AS Boundary_len,
+           CAST(im AS DOUBLE) AS Int_mean, CAST(isd AS DOUBLE) AS Int_std,
+           CAST(imin AS DOUBLE) AS Int_min, CAST(imax AS DOUBLE) AS Int_max,
+           CAST(q25 AS DOUBLE) AS Int_q25, CAST(q75 AS DOUBLE) AS Int_q75
+    FROM (VALUES
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132,
+       16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.13834, 0.537549),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911,
+       5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.29249, 0.600791),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132,
+       16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.310039, 0.669291)
+    ) AS t(path, f, c, rf, area, x, y, rm, rx, bl, im, isd, imin, imax, q25, q75)
+    """,
+)
+def m4(spark, sf_dir):
+    """M4 (frame_features_image.py:57-70): per-(cell,frame) static
+    features via applyInPandas grouped by frame — image decoded once per
+    frame, min-max normalised (A6/F10), degenerate ROI skipped; values
+    rounded to 6 for the golden."""
+    from cellphe_data_pipeline_spark.domain.features import static_features
+    from cellphe_data_pipeline_spark.domain.images import split_frames
+    from cellphe_data_pipeline_spark.testing.fixtures import (
+        fake_frames_df,
+        fixture_rois_df,
+    )
+
+    feats = static_features(split_frames(fake_frames_df(spark)), fixture_rois_df(spark))
+    dbl = [c for c, t in feats.dtypes if t == "double"]
+    return feats.select(
+        *[F.round(c, 6).alias(c) if c in dbl else F.col(c) for c in feats.columns]
+    )

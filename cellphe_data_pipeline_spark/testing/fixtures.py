@@ -1,0 +1,128 @@
+"""Deterministic domain fixtures (FIXTURES.md) shared by tests and the
+fixture-literal driver queries.
+
+The driver's star schema has no TrackMate XML / lineage / image tables,
+so domain operators (S2/S8, G4, F16, M3, M4, A5) are exercised on these
+fixtures inside their ``queries()`` callables; the matching
+``oracle_sql()`` is a golden VALUES relation — legitimate because every
+fixture and every kernel is bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _spot_xml(sid: int, frame: int, x: float, y: float, area: float,
+              boundary: str = "0.0 0.0 2.0 0.0 2.0 2.0") -> str:
+    attrs = " ".join(
+        f'{a}="1.0"'
+        for a in (
+            "QUALITY POSITION_Z POSITION_T RADIUS MEAN_INTENSITY_CH1 "
+            "MEDIAN_INTENSITY_CH1 MIN_INTENSITY_CH1 MAX_INTENSITY_CH1 "
+            "TOTAL_INTENSITY_CH1 STD_INTENSITY_CH1 CONTRAST_CH1 SNR_CH1 "
+            "PERIMETER CIRCULARITY SOLIDITY SHAPE_INDEX"
+        ).split()
+    )
+    return (
+        f'<Spot ID="{sid}" name="ID{sid}" FRAME="{frame}" POSITION_X="{x}" '
+        f'POSITION_Y="{y}" AREA="{area}" {attrs}>{boundary}</Spot>'
+    )
+
+
+#: TrackMate-shaped document: 6 spots over 3 frames; track 1 splits at
+#: spot 3 (children 5, 6); track 2 is a plain chain (parse_xml.py shapes).
+TRACKMATE_XML = (
+    "<Model><AllSpots>"
+    f'<SpotsInFrame frame="0">{_spot_xml(1, 0, 10.0, 10.0, 30.0)}'
+    f"{_spot_xml(2, 0, 50.0, 50.0, 40.0)}</SpotsInFrame>"
+    f'<SpotsInFrame frame="1">{_spot_xml(3, 1, 11.0, 11.0, 31.0)}'
+    f"{_spot_xml(4, 1, 51.0, 51.0, 41.0)}</SpotsInFrame>"
+    f'<SpotsInFrame frame="2">{_spot_xml(5, 2, 12.0, 10.0, 32.0)}'
+    f"{_spot_xml(6, 2, 10.0, 12.0, 33.0)}</SpotsInFrame>"
+    "</AllSpots><AllTracks>"
+    '<Track><Edge SPOT_SOURCE_ID="1" SPOT_TARGET_ID="3"/>'
+    '<Edge SPOT_SOURCE_ID="3" SPOT_TARGET_ID="5"/>'
+    '<Edge SPOT_SOURCE_ID="3" SPOT_TARGET_ID="6"/></Track>'
+    '<Track><Edge SPOT_SOURCE_ID="2" SPOT_TARGET_ID="4"/></Track>'
+    "</AllTracks></Model>"
+)
+
+#: OME companion document (S2): 3 TiffData entries across 2 files.
+OME_XML = (
+    "<OME><Image><Pixels>"
+    '<TiffData IFD="0" FirstT="0"><UUID FileName="a.tiff"/></TiffData>'
+    '<TiffData IFD="1" FirstT="1"><UUID FileName="a.tiff"/></TiffData>'
+    '<TiffData IFD="0" FirstT="2"><UUID FileName="b.tiff"/></TiffData>'
+    "</Pixels></Image></OME>"
+)
+
+#: Lineage graph (G4): split at 3 (children 5,6), merge at 9 (parents
+#: 6,8), two roots (1, 2), isolated node 99.
+LINEAGE_NODES: list[tuple[int, int]] = [
+    (1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 2), (8, 2), (9, 3), (10, 4), (99, 7),
+]
+LINEAGE_EDGES: list[tuple[int, int]] = [
+    (1, 3), (3, 5), (3, 6), (2, 4), (4, 8), (6, 9), (8, 9), (9, 10),
+]
+
+#: Tracking detections (M3): drifting cell, gap-closed stationary cell,
+#: unlinked noise detection.
+TRACK_DETECTIONS: list[tuple[str, int, int, float, float]] = (
+    [("tl1", 100 + f, f, 10.0 + f, 10.0) for f in range(6)]
+    + [("tl1", 200 + f, f, 500.0, 500.0) for f in (0, 1, 4, 5)]
+    + [("tl1", 999, 2, 5000.0, 5000.0)]
+)
+
+#: ROI polygon with gaps (F16): 4 square corners -> 12 perimeter points.
+ROI_COORDS = [(0, 0), (3, 0), (3, 3), (0, 3)]
+
+
+def trackmate_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(TRACKMATE_XML,)], "xml string")
+
+
+def ome_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(OME_XML,)], "xml string")
+
+
+def lineage_dfs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.createDataFrame(LINEAGE_NODES, "ID bigint, FRAME int"),
+        spark.createDataFrame(LINEAGE_EDGES, "src bigint, dst bigint"),
+    )
+
+
+def detections_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TRACK_DETECTIONS, "timelapse_id string, id int, frame int, x double, y double"
+    )
+
+
+def roi_df(spark: SparkSession) -> DataFrame:
+    coords = [{"x": x, "y": y} for x, y in ROI_COORDS]
+    return spark.createDataFrame(
+        [(1, coords)], "id int, coords array<struct<x:int,y:int>>"
+    )
+
+
+def fake_frames_df(spark: SparkSession, seed: int = 3, n_frames: int = 2) -> DataFrame:
+    from cellphe_data_pipeline_spark.domain.images import make_fake_image
+
+    payload = make_fake_image(seed=seed, height=16, width=16, n_frames=n_frames)
+    return spark.createDataFrame(
+        [(f"fx{seed}.fake", bytearray(payload))], "path string, content binary"
+    )
+
+
+def fixture_rois_df(spark: SparkSession) -> DataFrame:
+    square = [{"x": x, "y": y} for x in range(4, 8) for y in range(4, 8)]
+    tri = [{"x": x, "y": y} for x, y in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 1)]]
+    return spark.createDataFrame(
+        [
+            (0, 10, "000-01-010", square),
+            (0, 11, "000-01-011", tri),
+            (1, 10, "001-01-010", square),
+        ],
+        "FrameID int, CellID int, ROI_filename string, coords array<struct<x:int,y:int>>",
+    )

@@ -1,0 +1,264 @@
+"""Domain-layer tests: TrackMate XML parse, lineage renumbering vs the
+python oracle, ROI interpolation, image kernels, tracking, and the full
+chain (golden fixture per SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.domain.images import (
+    make_fake_image,
+    mask_label_histogram,
+    segment_frames,
+    split_frames,
+)
+from cellphe_data_pipeline_spark.domain.lineage import (
+    renumber_tracks,
+    renumber_tracks_oracle,
+)
+from cellphe_data_pipeline_spark.domain.rois import (
+    clip_negative,
+    interpolate_rois,
+    roi_filename,
+)
+from cellphe_data_pipeline_spark.domain.trackmate import (
+    parse_ome_companion,
+    parse_trackmate_edges,
+    parse_trackmate_spots,
+    spot_rois,
+)
+
+
+def _spot(sid, frame, x, y, area, boundary="0.0 0.0 2.0 0.0 2.0 2.0"):
+    attrs = " ".join(
+        f'{a}="1.0"'
+        for a in (
+            "QUALITY POSITION_Z POSITION_T RADIUS MEAN_INTENSITY_CH1 "
+            "MEDIAN_INTENSITY_CH1 MIN_INTENSITY_CH1 MAX_INTENSITY_CH1 "
+            "TOTAL_INTENSITY_CH1 STD_INTENSITY_CH1 CONTRAST_CH1 SNR_CH1 "
+            "PERIMETER CIRCULARITY SOLIDITY SHAPE_INDEX"
+        ).split()
+    )
+    return (
+        f'<Spot ID="{sid}" name="ID{sid}" FRAME="{frame}" POSITION_X="{x}" '
+        f'POSITION_Y="{y}" AREA="{area}" {attrs}>{boundary}</Spot>'
+    )
+
+
+TRACKMATE_XML = f"""<Model><AllSpots>
+<SpotsInFrame frame="0">{_spot(1, 0, 10.0, 10.0, 30.0)}{_spot(2, 0, 50.0, 50.0, 40.0)}</SpotsInFrame>
+<SpotsInFrame frame="1">{_spot(3, 1, 11.0, 11.0, 31.0)}{_spot(4, 1, 51.0, 51.0, 41.0)}</SpotsInFrame>
+<SpotsInFrame frame="2">{_spot(5, 2, 12.0, 10.0, 32.0)}{_spot(6, 2, 10.0, 12.0, 33.0)}</SpotsInFrame>
+</AllSpots><AllTracks>
+<Track><Edge SPOT_SOURCE_ID="1" SPOT_TARGET_ID="3"/><Edge SPOT_SOURCE_ID="3" SPOT_TARGET_ID="5"/>
+<Edge SPOT_SOURCE_ID="3" SPOT_TARGET_ID="6"/></Track>
+<Track><Edge SPOT_SOURCE_ID="2" SPOT_TARGET_ID="4"/></Track>
+</AllTracks></Model>"""
+
+
+def test_parse_trackmate(spark):
+    df = spark.createDataFrame([(TRACKMATE_XML,)], "xml string")
+    spots = parse_trackmate_spots(df).collect()
+    assert len(spots) == 6
+    by_id = {r["ID"]: r for r in spots}
+    assert by_id[1]["POSITION_X"] == 10.0 and by_id[1]["FRAME"] == 0
+    assert by_id[4]["AREA"] == 41.0
+    assert by_id[1]["LABEL"] == "ID1"
+    assert by_id[1]["boundary_flat"] == [0.0, 0.0, 2.0, 0.0, 2.0, 2.0]
+
+    edges = {(r["src"], r["dst"]) for r in parse_trackmate_edges(df).collect()}
+    assert edges == {(1, 3), (3, 5), (3, 6), (2, 4)}
+
+    rois = {r["ID"]: r["coords"] for r in spot_rois(parse_trackmate_spots(df)).collect()}
+    # boundary translated by spot position and rounded to int
+    assert [(c["x"], c["y"]) for c in rois[1]] == [(10, 10), (12, 10), (12, 12)]
+
+
+def test_parse_ome(spark):
+    xml = """<OME><Image><Pixels>
+    <TiffData IFD="0" FirstT="0"><UUID FileName="a.tiff"/></TiffData>
+    <TiffData IFD="1" FirstT="1"><UUID FileName="a.tiff"/></TiffData>
+    <TiffData IFD="0" FirstT="2"><UUID FileName="b.tiff"/></TiffData>
+    </Pixels></Image></OME>"""
+    out = [tuple(r) for r in parse_ome_companion(
+        spark.createDataFrame([(xml,)], "xml string")
+    ).collect()]
+    assert out == [("a.tiff", 0, 0), ("a.tiff", 1, 1), ("b.tiff", 0, 2)]
+
+
+def test_renumber_tracks_vs_oracle(spark):
+    # chain with a split at 3 (children 5,6), a merge at 9 (parents 6,8),
+    # two roots, plus an isolated node 99
+    edges = [(1, 3), (3, 5), (3, 6), (2, 4), (4, 8), (6, 9), (8, 9), (9, 10)]
+    nodes = [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 2), (8, 2), (9, 3), (10, 4), (99, 7)]
+    got = {
+        r["ID"]: r["TRACK_ID"]
+        for r in renumber_tracks(
+            spark.createDataFrame(nodes, "ID bigint, FRAME int"),
+            spark.createDataFrame(edges, "src bigint, dst bigint"),
+        ).collect()
+    }
+    want = renumber_tracks_oracle(nodes, edges)
+    assert got == want
+    assert 99 not in got  # isolated pruned
+    # semantic spot-checks: min child 5 continues track of 1-3; 6 starts new;
+    # merge child 9 continues min-parent 6's track; 8's track ends at 8
+    assert got[1] == got[3] == got[5]
+    assert got[6] != got[3]
+    assert got[9] == got[6] and got[10] == got[9]
+    assert got[8] != got[9]
+    # 1-indexed contiguous ids
+    assert sorted(set(got.values())) == list(range(1, len(set(got.values())) + 1))
+
+
+def test_renumber_tracks_random_vs_oracle(spark):
+    import random
+
+    rng = random.Random(5)
+    n = 120
+    nodes = [(i, rng.randrange(20)) for i in range(n)]
+    # lineage edges always advance in time (temporal DAG) — orient low->high
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    edges = [(min(u, v), max(u, v)) for u, v in edges if u != v]
+    got = {
+        r["ID"]: r["TRACK_ID"]
+        for r in renumber_tracks(
+            spark.createDataFrame(nodes, "ID bigint, FRAME int"),
+            spark.createDataFrame(edges, "src bigint, dst bigint"),
+        ).collect()
+    }
+    want = renumber_tracks_oracle(nodes, edges)
+    assert got == want
+
+
+def test_roi_interpolation(spark):
+    # square corners with gaps -> Bresenham closes the boundary, no dups
+    df = spark.createDataFrame(
+        [(1, [{"x": 0, "y": 0}, {"x": 3, "y": 0}, {"x": 3, "y": 3}, {"x": 0, "y": 3}])],
+        "id int, coords array<struct<x:int,y:int>>",
+    )
+    [row] = interpolate_rois(df).collect()
+    pts = [(c["x"], c["y"]) for c in row["coords"]]
+    assert len(pts) == len(set(pts)) == 12  # 4x4 square perimeter
+    assert pts[0] == (0, 0) and (1, 0) in pts and (0, 1) in pts
+
+
+def test_clip_and_filename(spark):
+    df = spark.createDataFrame(
+        [(1, [{"x": -2, "y": 5}, {"x": 3, "y": -1}])],
+        "id int, coords array<struct<x:int,y:int>>",
+    )
+    [row] = df.select(clip_negative(F.col("coords")).alias("coords")).collect()
+    assert [(c["x"], c["y"]) for c in row["coords"]] == [(0, 5), (3, 0)]
+
+    spots = spark.createDataFrame(
+        [(5, 3, 7), (123, 45, 999)], "FRAME int, TRACK_ID int, ID int"
+    )
+    out = {r["ID"]: r["ROI_FILENAME"] for r in roi_filename(spots).collect()}
+    assert out == {7: "005-03-007", 999: "123-45-999"}  # data-driven widths
+
+
+def test_image_chain(spark):
+    payload1 = make_fake_image(seed=1, height=16, width=16, n_frames=3)
+    payload2 = make_fake_image(seed=2, height=16, width=16, n_frames=2)
+    bins = spark.createDataFrame(
+        [("f1.fake", bytearray(payload1)), ("f2.fake", bytearray(payload2))],
+        "path string, content binary",
+    )
+    frames = split_frames(bins)
+    rows = frames.collect()
+    assert len(rows) == 5  # S3/S4: 1 file -> N frames
+    assert {r["path"] for r in rows} == {"f1.fake", "f2.fake"}
+    assert all(len(r["data"]) == 16 * 16 for r in rows)
+
+    masks = segment_frames(frames)
+    hist = mask_label_histogram(masks)
+    out = hist.collect()
+    # background label present, counts sum to pixel count per frame
+    per_frame: dict = {}
+    for r in out:
+        per_frame.setdefault((r["path"], r["frame_index"]), []).append(r)
+    assert len(per_frame) == 5
+    for rows_ in per_frame.values():
+        assert sum(r["n"] for r in rows_) == 16 * 16
+        assert any(r["mask_id"] == 0 for r in rows_)
+    # deterministic: same seed -> same histogram
+    out2 = mask_label_histogram(segment_frames(split_frames(bins))).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_static_features(spark):
+    from cellphe_data_pipeline_spark.domain.features import static_features
+
+    payload = make_fake_image(seed=3, height=16, width=16, n_frames=1)
+    frames = spark.createDataFrame(
+        [("t.fake", 1, 16, 16, bytearray(payload))],
+        "path string, frame_index int, height int, width int, data binary",
+    )
+    square = [{"x": x, "y": y} for x in range(4, 8) for y in range(4, 8)]
+    rois = spark.createDataFrame(
+        [(1, 10, "001-01-010", square), (1, 11, "001-01-011", [{"x": 0, "y": 0}])],
+        "FrameID int, CellID int, ROI_filename string, coords array<struct<x:int,y:int>>",
+    )
+    out = static_features(frames, rois).collect()
+    assert len(out) == 1  # degenerate ROI (cell 11) skipped
+    r = out[0]
+    assert r["CellID"] == 10 and r["Area"] == 16.0
+    assert r["x"] == 5.5 and r["y"] == 5.5
+    assert 0.0 <= r["Int_min"] <= r["Int_q25"] <= r["Int_mean"] <= r["Int_q75"] <= r["Int_max"] <= 1.0
+
+
+def test_tracking(spark):
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    dets = []
+    # cell A: drifts right 1px/frame over frames 0-5
+    for f in range(6):
+        dets.append(("tl1", 100 + f, f, 10.0 + f, 10.0))
+    # cell B: stationary far away, with a 2-frame gap (frames 0,1, 4,5)
+    for f in (0, 1, 4, 5):
+        dets.append(("tl1", 200 + f, f, 500.0, 500.0))
+    # noise: single detection out of range of everything
+    dets.append(("tl1", 999, 2, 5000.0, 5000.0))
+    df = spark.createDataFrame(dets, "timelapse_id string, id int, frame int, x double, y double")
+    edges = track_detections(df, linking_max_distance=5.0, max_frame_gap=4,
+                             gap_closing_max_distance=10.0).collect()
+    es = {(r["src"], r["dst"]): (r["gap"], r["dist"]) for r in edges}
+    for f in range(5):  # A chain linked consecutively
+        assert (100 + f, 100 + f + 1) in es and es[(100 + f, 100 + f + 1)][0] == 0
+    assert es[(201, 204)][0] == 2  # B's gap closed across 2 missing frames
+    assert (204, 205) in es
+    assert all(999 not in e for e in es)  # noise unlinked
+
+
+def test_csv_and_config_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        empty_with_schema,
+        read_config,
+        read_csv,
+        write_config,
+        write_csv,
+    )
+
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    p = str(tmp_path / "csv_out")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+    empty = empty_with_schema(spark, schema)
+    assert empty.unionByName(df).count() == 2  # S7 schema-safe union
+
+    cfg = {"QC": {"minimum_cell_size": 50, "minimum_observations": 50}, "run": {"tracking": True}}
+    cp = str(tmp_path / "cfg")
+    write_config(spark, cfg, cp)
+    assert read_config(spark, cp) == cfg
