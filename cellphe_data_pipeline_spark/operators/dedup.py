@@ -137,3 +137,74 @@ def minhash_near_duplicates(
     sh = word_shingles(df, text_col, id_col, n)
     cand = lsh_candidate_pairs(minhash_band_keys(sh, num_hashes, band_size))
     return pairwise_jaccard(sh, threshold, candidates=cand)
+
+
+def simhash_codes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """SimHash document fingerprint: bit j of the code = sign of the
+    token-count-weighted sum of (±1 per bit j of each token's hash).
+
+    One explode to (doc, token, count) and ONE groupBy(doc) with
+    ``n_bits`` conditional sums — the same single-shuffle shape as the
+    MinHash signature; near-duplicate docs (small token-multiset edits)
+    land on codes within a small Hamming distance. md5-derived hashing
+    keeps it ANSI-SQL-reproducible (oracle equality).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = portable_hash64(F.col("tok"))
+    weights = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        )
+        for j in range(n_bits)
+    ]
+    bits = [
+        F.when(w >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, w in enumerate(weights)
+    ]
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return counted.groupBy("doc_id").agg(code.cast("bigint").alias("simhash"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (a, b, cos_sim) with a < b and
+    cos >= threshold. Exact theta-join form (the oracle-checkable
+    baseline); at corpus scale route through ``similarity.srp_topk``
+    buckets first — same verify expression, candidate set from LSH."""
+    from cellphe_data_pipeline_spark.operators.similarity import with_norm
+
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("doc_a"), F.col("_emb").alias("a_emb"), F.col("_norm").alias("a_norm")
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("doc_b"), F.col("_emb").alias("b_emb"), F.col("_norm").alias("b_norm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_sim", F.round(dot / (F.col("a_norm") * F.col("b_norm")), 5))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "cos_sim")
+    )

@@ -1444,3 +1444,149 @@ def m4(spark, sf_dir):
     return feats.select(
         *[F.round(c, 6).alias(c) if c in dbl else F.col(c) for c in feats.columns]
     )
+
+
+# =====================================================================
+# Remaining dedup variants + leftover §2 operators
+# =====================================================================
+
+
+def _simhash_oracle_sql(n_bits: int = 16) -> str:
+    h = "('0x' || substring(md5(tok), 1, 8))::BIGINT"
+    bit_sums = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) t WHERE tok <> ''
+    ),
+    counted AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id, CAST({bit_sums} AS BIGINT) AS simhash
+    FROM counted GROUP BY doc_id
+    """
+
+
+@register("d4_simhash", _simhash_oracle_sql())
+def d4(spark, sf_dir):
+    """SimHash fingerprint (dedup.py): token-count-weighted sign hash,
+    one explode + one groupBy; md5-based bits for oracle equality."""
+    from cellphe_data_pipeline_spark.operators.dedup import simhash_codes
+
+    return simhash_codes(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d5_pairwise_jaccard",
+    f"""
+    WITH {SHINGLE_CTE},
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS ni
+      FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2
+    """,
+)
+def d5(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard (dedup.py:61-80) — the quadratic
+    baseline the MinHash path (d3) approximates; documented test-scale
+    oracle, superseded by LSH at corpus scale."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        pairwise_jaccard,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pairwise_jaccard(word_shingles(d), threshold=0.2)
+
+
+@register(
+    "d6_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) >= 0.9
+    """,
+)
+def d6(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup.py): exact theta-join
+    baseline; scale path = SRP buckets (v2) feeding the same verify."""
+    from cellphe_data_pipeline_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@register(
+    "p14_predicate_branch",
+    """
+    SELECT doc_id, source, 'digit' AS branch FROM documents
+    WHERE regexp_matches(source, '[0-9]')
+    UNION ALL
+    SELECT doc_id, source, 'plain' AS branch FROM documents
+    WHERE NOT regexp_matches(source, '[0-9]')
+    """,
+)
+def p14(spark, sf_dir):
+    """P14 (main.nf:456-461): predicate branch — split one relation into
+    tagged disjoint branches (reference: has-space/no-space channels)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    has = d.filter(F.col("source").rlike("[0-9]")).withColumn("branch", F.lit("digit"))
+    not_has = d.filter(~F.col("source").rlike("[0-9]")).withColumn("branch", F.lit("plain"))
+    return has.unionByName(not_has)
+
+
+@register(
+    "p3_conditional_output",
+    """
+    SELECT l_orderkey, l_quantity FROM lineitem
+    WHERE l_quantity >= 49
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def p3(spark, sf_dir):
+    """P3 (main.nf:186-188): conditional sink — emit the relation only
+    if non-empty. Relational form: rows gated on an existence check
+    (the write-side `if nrow > 0` guard becomes a semi-join-with-
+    constant that Catalyst collapses to a scalar subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = F.col("l_quantity") >= 49
+    filtered = li.filter(pred).select("l_orderkey", "l_quantity")
+    nonempty = li.filter(pred).limit(1).select(F.lit(1).alias("one"))
+    return filtered.join(F.broadcast(nonempty), how="cross").drop("one")
+
+
+@register(
+    "f9_f12_clip_sprintf",
+    """
+    SELECT event_id,
+           GREATEST(value, 0.0) AS clipped,
+           printf('%05d', CAST(user_id AS INT)) AS padded_user,
+           printf('n=%d min=%.2f', CAST(event_id AS INT), value) AS label
+    FROM events
+    """,
+)
+def f9_f12(spark, sf_dir):
+    """F9 clip-at-0 (frame_features_image.py:55-56) + F12 sprintf stat
+    labels (tracking_qc.qmd:64-65)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.greatest(F.col("value"), F.lit(0.0)).alias("clipped"),
+        F.format_string("%05d", F.col("user_id").cast("int")).alias("padded_user"),
+        F.format_string("n=%d min=%.2f", F.col("event_id").cast("int"), F.col("value")).alias("label"),
+    )

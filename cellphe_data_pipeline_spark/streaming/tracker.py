@@ -1,0 +1,214 @@
+"""Structured Streaming variant (SURVEY §2.11).
+
+The reference is pure batch, but its domain is an ordered stream: frame
+index = event time, a cell's trajectory = a keyed session that may gap
+≤ MAX_FRAME_GAP=4 frames and ends when no link arrives
+(templates/cyto3.json:27-29). The engine maps this directly:
+
+- ``streaming_window_rollup``: watermarked tumbling-window counts/sums
+  — the cells-per-frame QC series as a live stream (batch twin:
+  ``e1_hourly_rollup``).
+- ``streaming_movement_features``: ``applyInPandasWithState`` keyed by
+  entity — carries (start x/y, last x/y, cumulative Trac) across
+  micro-batches and emits the M5 movement features incrementally.
+  Batch-equivalence: on a single micro-batch the output matches
+  ``operators.movement.movement_features`` exactly (tested).
+- ``streaming_session_summary``: the A8 session-end mapping — state
+  accumulates per-key power sums; when the event-time timeout fires
+  (no events for `gap` duration past the watermark), the summary row is
+  emitted — "track ends → emit time-series features".
+
+Scale: state lives in the state store, partitioned by key — per-key
+state is O(1) doubles for movement and O(1) for the summary; watermark
+bounds retention. This is the standard Spark production topology for
+per-entity telemetry at millions of keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_window_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling rollup: (window, key) -> count + sum."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+MOVE_STATE = T.StructType(
+    [
+        T.StructField("x_start", T.DoubleType()),
+        T.StructField("y_start", T.DoubleType()),
+        T.StructField("last_x", T.DoubleType()),
+        T.StructField("last_y", T.DoubleType()),
+        T.StructField("last_t", T.DoubleType()),
+        T.StructField("trac", T.DoubleType()),
+    ]
+)
+
+MOVE_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("Dis", T.DoubleType()),
+        T.StructField("frame_dist", T.DoubleType()),
+        T.StructField("Trac", T.DoubleType()),
+        T.StructField("D2T", T.DoubleType()),
+        T.StructField("Vel", T.DoubleType()),
+    ]
+)
+
+
+def streaming_movement_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    t_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+    framerate: float = 0.0028,
+) -> DataFrame:
+    """M5 as an incremental stateful operator (W1/W2/W3/F5-F8 carried in
+    per-key state). Rows inside a batch are ordered by (t, seq); state
+    chains batches together."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x_start, y_start, last_x, last_y, last_t, trac = state.get
+        else:
+            x_start = y_start = last_x = last_y = last_t = trac = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([t_col, seq_col])
+            for _, r in pdf.iterrows():
+                x, y, t = float(r[x_col]), float(r[y_col]), float(r[t_col])
+                if x_start is None:
+                    x_start, y_start = x, y
+                    frame_dist = 0.0
+                    t_diff = 1.0
+                else:
+                    dx, dy = x - last_x, y - last_y
+                    frame_dist = (dx * dx + dy * dy) ** 0.5
+                    t_diff = t - last_t if t != last_t else 1.0
+                trac = (trac or 0.0) + frame_dist
+                ddx, ddy = x - x_start, y - y_start
+                dis = (ddx * ddx + ddy * ddy) ** 0.5
+                out.append(
+                    {
+                        "key": r[key_col],
+                        "seq": r[seq_col],
+                        "Dis": dis,
+                        "frame_dist": frame_dist,
+                        "Trac": trac,
+                        "D2T": 0.0 if trac == 0.0 else dis / trac,
+                        "Vel": framerate * frame_dist / t_diff,
+                    }
+                )
+                last_x, last_y, last_t = x, y, t
+        state.update((x_start, y_start, last_x, last_y, last_t, trac))
+        yield pd.DataFrame(out, columns=[f.name for f in MOVE_OUT.fields])
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update, MOVE_OUT, MOVE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+SUMMARY_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+SUMMARY_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("std_pop", T.DoubleType()),
+    ]
+)
+
+
+def streaming_session_summary(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+    gap_ms: int = 4 * 60 * 1000,
+) -> DataFrame:
+    """A8 session-end emission: accumulate per-key moment sums; when the
+    key sees no events for `gap_ms` past the watermark (the streaming
+    form of MAX_FRAME_GAP track closure), emit its summary row."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, s1, s2, _ = state.get
+            state.remove()
+            mean = s1 / n
+            var = max(s2 / n - mean * mean, 0.0)
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "n_obs": n,
+                        "mean_val": mean,
+                        "std_pop": var**0.5,
+                    }
+                ]
+            )
+            return
+        n, s1, s2, last_ms = state.get if state.exists else (0, 0.0, 0.0, 0)
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            n += len(vals)
+            s1 += float(vals.sum())
+            s2 += float((vals * vals).sum())
+            last_ms = max(
+                last_ms, int(pdf[ts_col].max().value // 1_000_000)
+            )
+        state.update((n, s1, s2, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame([], columns=[f.name for f in SUMMARY_OUT.fields])
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, SUMMARY_OUT, SUMMARY_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

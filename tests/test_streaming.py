@@ -1,0 +1,140 @@
+"""Streaming-variant tests (§2.11): file-source micro-batches with
+availableNow trigger, memory sink; batch equivalence as the oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.sources.tables import load_table
+
+
+def _stage_events(spark, sf_dir, tmp_path, n_users=20):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < n_users)
+    path = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(path)
+    return ev, path
+
+
+def test_streaming_window_rollup_matches_batch(spark, sf_dir, tmp_path):
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_window_rollup
+
+    ev, path = _stage_events(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        streaming_window_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    want = {
+        (r["hour_ts"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    # append mode emits only windows closed by the watermark; with
+    # availableNow the final watermark closes all but the trailing window(s)
+    assert len(got) >= len(want) - 4
+    for k, v in got.items():
+        assert want[k][0] == v[0]
+        assert math.isclose(want[k][1], v[1], rel_tol=1e-9)
+
+
+def test_streaming_movement_matches_batch(spark, sf_dir, tmp_path):
+    from cellphe_data_pipeline_spark.operators.movement import movement_features
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_movement_features,
+    )
+
+    ev, path = _stage_events(spark, sf_dir, tmp_path, n_users=10)
+    pts = "event_id bigint, user_id bigint, t double, x double, y double"
+    prep = lambda df: df.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("t"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    staged = str(tmp_path / "pts_stream")
+    prep(ev).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(pts).parquet(staged)
+    q = (
+        streaming_movement_features(stream, t_col="t")
+        .writeStream.format("memory")
+        .queryName("move_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["seq"]): (r["Dis"], r["frame_dist"], r["Trac"], r["D2T"], r["Vel"])
+        for r in spark.sql("SELECT * FROM move_test").collect()
+    }
+    batch = movement_features(
+        prep(ev), key="user_id", order=["t", "event_id"], x="x", y="y",
+        time_col=F.col("t"),
+    )
+    want = {
+        (r["user_id"], r["event_id"]): (r["Dis"], r["frame_dist"], r["Trac"], r["D2T"], r["Vel"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_streaming_session_summary_emits_on_timeout(spark, tmp_path):
+    from datetime import datetime
+
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_session_summary
+
+    # two batches: users 1,2 active early; only user 2 continues later.
+    # After the second batch advances the watermark past user 1's
+    # timeout, user 1's summary is emitted.
+    rows1 = [(1, "2024-01-01 00:00:00", 2.0), (1, "2024-01-01 00:01:00", 4.0),
+             (2, "2024-01-01 00:00:30", 10.0)]
+    rows2 = [(2, "2024-01-01 01:00:00", 20.0)]
+    rows3 = [(2, "2024-01-01 03:00:00", 30.0)]
+    schema = "user_id bigint, ts timestamp, value double"
+    path = str(tmp_path / "sess_stream")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        df = spark.createDataFrame(
+            [(u, datetime.fromisoformat(t), v) for u, t, v in rows], schema
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        streaming_session_summary(stream, watermark="1 minute", gap_ms=4 * 60 * 1000)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert 1 in got  # user 1's session closed by event-time timeout
+    assert got[1]["n_obs"] == 2
+    assert math.isclose(got[1]["mean_val"], 3.0)
+    assert math.isclose(got[1]["std_pop"], 1.0)
