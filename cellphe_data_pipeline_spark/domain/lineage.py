@@ -54,6 +54,7 @@ def renumber_tracks(
     frame_col: str = "FRAME",
     src: str = "src",
     dst: str = "dst",
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Assign 1-indexed TRACK_ID to every non-isolated node.
 
@@ -71,7 +72,9 @@ def renumber_tracks(
     keep = keep_edges(e)
     # segments: CC over keep edges; nodes with no keep edge are their own
     # singleton segment (component = own id)
-    cc = connected_components(keep, "src", "dst")
+    cc = connected_components(
+        keep, "src", "dst", loop_shuffle_partitions=loop_shuffle_partitions
+    )
     labelled = members.join(
         cc.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("segment", F.coalesce(F.col("component"), F.col(id_col)))

@@ -903,7 +903,9 @@ def g4(spark, sf_dir):
     (large-star/small-star) — oracle knows each user's chain is one
     component labelled by its min event id, so the result is fully
     checkable without recursion."""
-    return connected_components(_event_edges(spark, sf_dir), "src", "dst")
+    return connected_components(
+        _event_edges(spark, sf_dir), "src", "dst", loop_shuffle_partitions=8
+    )
 
 
 # =====================================================================
@@ -1313,7 +1315,7 @@ def g4b(spark, sf_dir):
     from cellphe_data_pipeline_spark.testing.fixtures import lineage_dfs
 
     nodes, edges = lineage_dfs(spark)
-    return renumber_tracks(nodes, edges)
+    return renumber_tracks(nodes, edges, loop_shuffle_partitions=4)
 
 
 @register(
