@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY §4: the scale contract).
+
+These are regression tests on `.explain` output: filters reach the
+parquet scan, column pruning applies, small dims broadcast, the density
+join never degenerates to a cartesian, and the self-kNN theta join never
+broadcasts the corpus (the round-1 scale flaw)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from cellphe_data_pipeline_spark.queries import REGISTRY
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["p1_p2_filter_min_obs"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in p
+    # column pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in p
+
+
+def test_broadcast_dims(spark, sf_dir):
+    p = plan(REGISTRY["j1_broadcast_dim_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_density_join_no_cartesian(spark, sf_dir):
+    p = plan(REGISTRY["j7_density_grid_join"].fn(spark, sf_dir))
+    # grid bucketing turns the distance predicate into an equi-join on
+    # (frame, cell); anything nested-loop-shaped means the bucketing broke
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_srp_topk_is_bucketed_equi_join(spark, sf_dir):
+    # v1 brute force is the documented quadratic baseline (nested-loop at
+    # test scale); the SCALE path v2 must be a plain hash-partitioned
+    # equi-join on the bucket code — never nested-loop, never cartesian
+    p2 = plan(REGISTRY["v2_srp_topk"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2 or "BroadcastHashJoin" in p2
+
+
+def test_movement_single_shuffle(spark, sf_dir):
+    # every window/lag/cumsum shares ONE hash partitioning on the key —
+    # exactly one exchange in the whole plan (simple mode: one line/node)
+    p = plan(REGISTRY["m5_movement_features"].fn(spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1
+    # expression work happens inside codegen'd stages, not interpreted
+    assert "WholeStageCodegen subtrees" in plan(
+        REGISTRY["m5_movement_features"].fn(spark, sf_dir), mode="codegen"
+    )
+
+
+def test_qc_filter_single_shuffle(spark, sf_dir):
+    p = plan(REGISTRY["p1_p2_filter_min_obs"].fn(spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1  # window form, not groupBy+join-back
+
+
+def test_exact_dedup_partial_agg(spark, sf_dir):
+    p = plan(REGISTRY["d1_exact_dedup"].fn(spark, sf_dir), mode="simple")
+    # map-side combine: partial HashAggregate before the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(content_hash" in p
