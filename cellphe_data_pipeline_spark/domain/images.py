@@ -249,3 +249,32 @@ def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
                 )
 
     return masks.mapInPandas(bounds, schema)
+
+
+def mask_to_pgm(masks: DataFrame) -> DataFrame:
+    """S11 (segment_image.py:23 uint16 PNG sink): encode each label mask
+    as a 16-bit binary PGM (P5, maxval 65535) — a real, dependency-free
+    raster container (PNG needs a codec this container lacks; PGM is the
+    same uint16 payload with a text header and is accepted by ImageJ).
+    Pure per-row encode, no shuffle."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                header = f"P5\n{row['width']} {row['height']}\n65535\n".encode()
+                blobs.append(header + m.astype(">u2").tobytes())
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "frame_index": pdf["frame_index"],
+                    "pgm": blobs,
+                }
+            )
+
+    return masks.mapInPandas(
+        enc, "path string, frame_index int, pgm binary"
+    )

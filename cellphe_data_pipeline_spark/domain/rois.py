@@ -142,3 +142,86 @@ def roi_mask_points(df: DataFrame, coords_col: str = "coords") -> DataFrame:
         F.col("_pt.x").alias("px"),
         F.col("_pt.y").alias("py"),
     )
+
+
+ROI_ZIP_SCHEMA_DDL = "group_key string, roi_zip binary, n_rois int"
+
+
+def rois_to_zip(df: DataFrame, group_col: str, name_col: str = "ROI_filename",
+                coords_col: str = "coords") -> DataFrame:
+    """S9/S12 sink shape (parse_xml.py:47-67, main.nf:376-390): package
+    each group's ROIs into ONE zip payload — (group_key, roi_zip binary,
+    n_rois). Entry format: `<name>.roi` containing the vertex list as
+    little-endian int32 pairs (the ImageJ .roi polygon payload needs the
+    `roifile` writer, absent here — the container/entry layout and the
+    relational->archive boundary are the real, tested parts; swap the
+    entry serializer for `roifile.roiwrite` in production).
+
+    One zip per GROUP (frame or timelapse), built inside applyInPandas —
+    archives parallelise across groups, no driver collect."""
+    import io
+    import struct
+    import zipfile
+
+    import pandas as pd  # noqa: F811
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for _, r in pdf.sort_values(name_col).iterrows():
+                payload = b"".join(
+                    struct.pack("<ii", int(c["x"]), int(c["y"])) for c in r[coords_col]
+                )
+                zf.writestr(f"{r[name_col]}.roi", payload)
+        return pd.DataFrame(
+            [
+                {
+                    "group_key": str(pdf[group_col].iloc[0]),
+                    "roi_zip": buf.getvalue(),
+                    "n_rois": len(pdf),
+                }
+            ]
+        )
+
+    return (
+        df.select(group_col, name_col, coords_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, ROI_ZIP_SCHEMA_DDL)
+    )
+
+
+def rois_from_zip(df: DataFrame, zip_col: str = "roi_zip") -> DataFrame:
+    """S10 source: unpack the zip payload back to (name, coords) rows —
+    the inverse of :func:`rois_to_zip` (reference reads the archive per
+    frame, frame_features_image.py:47)."""
+    import io
+    import struct
+    import zipfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("coords", COORDS_TYPE),
+        ]
+    )
+
+    @F.udf(T.ArrayType(schema))
+    def unpack(blob):
+        out = []
+        with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+            for entry in sorted(zf.namelist()):
+                raw = zf.read(entry)
+                pts = [
+                    {"x": x, "y": y}
+                    for x, y in struct.iter_unpack("<ii", raw)
+                ]
+                out.append({"name": entry.removesuffix(".roi"), "coords": pts})
+        return out
+
+    return df.withColumn("_rois", F.explode(unpack(F.col(zip_col)))).select(
+        *[c for c in df.columns if c != zip_col],
+        F.col("_rois.name").alias("name"),
+        F.col("_rois.coords").alias("coords"),
+    )

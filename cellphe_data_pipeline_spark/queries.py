@@ -1592,3 +1592,53 @@ def f9_f12(spark, sf_dir):
         F.format_string("%05d", F.col("user_id").cast("int")).alias("padded_user"),
         F.format_string("n=%d min=%.2f", F.col("event_id").cast("int"), F.col("value")).alias("label"),
     )
+
+
+@register(
+    "u3_u4_multi_concat",
+    """
+    SELECT r_name AS name, 'region' AS src FROM region
+    UNION ALL
+    SELECT n_name AS name, 'nation' AS src FROM nation
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def u3_u4(spark, sf_dir):
+    """U3/U4 (segmentation_qc.qmd:170, main.nf:463-466): n-way concat of
+    heterogeneous per-source frames under one schema."""
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return r.unionByName(n).unionByName(s)
+
+
+@register(
+    "f15_json_encode",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(status := o_orderstatus,
+                               priority := o_orderpriority)) AS cfg_json
+    FROM orders
+    """,
+)
+def f15(spark, sf_dir):
+    """F15 (main.nf:37,53,125): JSON-encode a config/params struct per
+    row (to_json of a named struct; key order = declaration order in
+    both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("cfg_json"),
+    )

@@ -262,3 +262,61 @@ def test_csv_and_config_roundtrip(spark, tmp_path):
     cp = str(tmp_path / "cfg")
     write_config(spark, cfg, cp)
     assert read_config(spark, cp) == cfg
+
+
+def test_roi_zip_roundtrip(spark):
+    from cellphe_data_pipeline_spark.domain.rois import rois_from_zip, rois_to_zip
+
+    rois = spark.createDataFrame(
+        [
+            ("f1", "001-01-010", [{"x": 1, "y": 2}, {"x": 3, "y": 4}]),
+            ("f1", "001-01-011", [{"x": 5, "y": 6}]),
+            ("f2", "002-01-010", [{"x": 7, "y": 8}]),
+        ],
+        "grp string, ROI_filename string, coords array<struct<x:int,y:int>>",
+    )
+    zips = rois_to_zip(rois, "grp")
+    z = {r["group_key"]: r for r in zips.collect()}
+    assert z["f1"]["n_rois"] == 2 and z["f2"]["n_rois"] == 1
+    assert bytes(z["f1"]["roi_zip"][:2]) == b"PK"  # a real zip container
+
+    back = rois_from_zip(zips)
+    got = {
+        (r["group_key"], r["name"]): [(c["x"], c["y"]) for c in r["coords"]]
+        for r in back.collect()
+    }
+    assert got[("f1", "001-01-010")] == [(1, 2), (3, 4)]
+    assert got[("f1", "001-01-011")] == [(5, 6)]
+    assert got[("f2", "002-01-010")] == [(7, 8)]
+
+
+def test_mask_pgm_sink(spark):
+    from cellphe_data_pipeline_spark.domain.images import (
+        make_fake_image,
+        mask_to_pgm,
+        segment_frames,
+        split_frames,
+    )
+
+    bins = spark.createDataFrame(
+        [("m.fake", bytearray(make_fake_image(seed=9, height=8, width=8)))],
+        "path string, content binary",
+    )
+    [row] = mask_to_pgm(segment_frames(split_frames(bins))).collect()
+    blob = bytes(row["pgm"])
+    assert blob.startswith(b"P5\n8 8\n65535\n")
+    assert len(blob) == len(b"P5\n8 8\n65535\n") + 8 * 8 * 2  # uint16 payload
+
+
+def test_scan_images_glob(spark, tmp_path):
+    from cellphe_data_pipeline_spark.domain.images import make_fake_image, scan_images
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.fake").write_bytes(make_fake_image(seed=1, n_frames=1))
+    (d / "b.fake").write_bytes(make_fake_image(seed=2, n_frames=2))
+    (d / "skip.txt").write_bytes(b"not an image")
+    df = scan_images(spark, str(d), glob="*.fake")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2  # glob pushdown excluded skip.txt
+    assert all(bytes(r["content"][:5]) == b"FAKE1" for r in rows)
