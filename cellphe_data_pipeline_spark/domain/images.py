@@ -278,3 +278,48 @@ def mask_to_pgm(masks: DataFrame) -> DataFrame:
     return masks.mapInPandas(
         enc, "path string, frame_index int, pgm binary"
     )
+
+
+CENTROID_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("mask_id", T.IntegerType()),
+        T.StructField("area", T.LongType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ]
+)
+
+
+def mask_centroids(masks: DataFrame) -> DataFrame:
+    """Per-label centroid + pixel area from each mask — the detection
+    table that feeds tracking (the engine's analogue of TrackMate's
+    LabelImageDetector, track_images.py:60-71). Background (0) excluded."""
+
+    def cent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                ids, counts = np.unique(m, return_counts=True)
+                keep = ids != 0
+                ids, counts = ids[keep], counts[keep]
+                if len(ids) == 0:
+                    continue
+                ys, xs = np.indices(m.shape)
+                sum_x = np.bincount(m.ravel(), weights=xs.ravel())
+                sum_y = np.bincount(m.ravel(), weights=ys.ravel())
+                yield pd.DataFrame(
+                    {
+                        "path": row["path"],
+                        "frame_index": row["frame_index"],
+                        "mask_id": ids.astype("int32"),
+                        "area": counts.astype("int64"),
+                        "cx": sum_x[ids] / counts,
+                        "cy": sum_y[ids] / counts,
+                    }
+                )
+
+    return masks.mapInPandas(cent, CENTROID_SCHEMA)

@@ -37,8 +37,8 @@ from pyspark.sql import types as T
 EDGES_SCHEMA = T.StructType(
     [
         T.StructField("timelapse_id", T.StringType()),
-        T.StructField("src", T.IntegerType()),
-        T.StructField("dst", T.IntegerType()),
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
         T.StructField("gap", T.IntegerType()),
         T.StructField("dist", T.DoubleType()),
     ]

@@ -132,7 +132,7 @@ def connected_components(
             h = (
                 e.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("u") * F.lit(31) + F.col("v")).alias("s"),
+                    F.sum(F.col("u").cast("bigint") * F.lit(31) + F.col("v").cast("bigint")).alias("s"),
                 ).first()
             )
             cur = (h["n"], h["s"])

@@ -1,0 +1,134 @@
+"""The full E2/E3 dataflow as ONE lazy Spark plan (SURVEY §3).
+
+Reference chain (main.nf:408-525, lineage README.md:12-89):
+  raw images → frame split → segmentation → detection → tracking →
+  lineage track ids → QC filter → per-frame static features →
+  movement features → per-track time-series features.
+
+The reference runs this as 2,170 Slurm tasks with CSV between every
+stage; here it is one logical plan with three genuine barriers
+(segmentation fan-out, the per-timelapse tracking cohort, and the
+per-track time-series aggregation) — exactly the reference's `collect`
+points (main.nf:484,488,516) — and Parquet `publish()` cuts wherever a
+resumable boundary is wanted (S15).
+
+Everything between kernels is native DataFrame code: Catalyst prunes
+and pushes down across the whole chain, so e.g. a user who only reads
+`summary` never decodes a single mask column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.domain.features import static_features
+from cellphe_data_pipeline_spark.domain.images import (
+    mask_centroids,
+    segment_frames,
+    split_frames,
+)
+from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+from cellphe_data_pipeline_spark.domain.tracking import track_detections
+from cellphe_data_pipeline_spark.operators.movement import movement_features
+from cellphe_data_pipeline_spark.operators.qc_filters import (
+    filter_size_and_observations,
+)
+from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+
+DEFAULT_QC = {"minimum_cell_size": 2.0, "minimum_observations": 3}
+
+
+def run_pipeline(
+    binaries: DataFrame,
+    qc: dict | None = None,
+    linking_max_distance: float = 10.0,
+    max_frame_gap: int = 4,
+    gap_closing_max_distance: float = 20.0,
+) -> dict[str, DataFrame]:
+    """Run the whole chain on a binary image table (S1 output shape:
+    path/content). Returns every stage as a DataFrame keyed like the
+    reference's published outputs.
+
+    Spot ids are (frame_index * 100000 + mask_id): unique per timelapse,
+    monotone in frame — satisfying the temporal-DAG contract G4 needs.
+    """
+    qc = {**DEFAULT_QC, **(qc or {})}
+
+    frames = split_frames(binaries)                      # S3/S4
+    masks = segment_frames(frames)                       # M1/M2
+    # broadcast timelapse index dim: spot ids must be unique ACROSS
+    # timelapses (lineage runs on the union) and frame-monotone within one
+    from pyspark.sql import Window
+
+    tl_dim = (
+        binaries.select(F.col("path"))
+        .distinct()
+        .withColumn("_tl_idx", F.row_number().over(Window.orderBy("path")).cast("long"))
+    )
+    dets = (
+        mask_centroids(masks)
+        .join(F.broadcast(tl_dim), "path")
+        .select(
+            F.col("path").alias("timelapse_id"),
+            (
+                F.col("_tl_idx") * 1_000_000_000
+                + F.col("frame_index").cast("long") * 100000
+                + F.col("mask_id")
+            ).alias("id"),
+            F.col("frame_index").alias("frame"),
+            F.col("cx").alias("x"),
+            F.col("cy").alias("y"),
+            "area",
+            "mask_id",
+        )
+    )
+    edges = track_detections(                            # M3
+        dets,
+        linking_max_distance=linking_max_distance,
+        max_frame_gap=max_frame_gap,
+        gap_closing_max_distance=gap_closing_max_distance,
+    )
+    tracks = renumber_tracks(                            # G2-G4
+        dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
+        edges.select("src", "dst"),
+    )
+    # drop the track table's FRAME before joining: Spark resolves
+    # case-insensitively, so dets.frame vs tracks.FRAME would be ambiguous
+    spots = dets.join(
+        tracks.withColumnRenamed("ID", "id").drop("FRAME"), "id"
+    ).select(
+        "timelapse_id",
+        "id",
+        "frame",
+        "TRACK_ID",
+        "x",
+        "y",
+        F.col("area").cast("double").alias("AREA"),
+    )
+    filtered = filter_size_and_observations(             # P1+P2
+        spots,
+        area_col="AREA",
+        key="TRACK_ID",
+        minimum_cell_size=qc["minimum_cell_size"],
+        minimum_observations=qc["minimum_observations"],
+    )
+    movement = movement_features(                        # M5 (W1-W3, F5-F8)
+        filtered, key="TRACK_ID", order=["frame", "id"], x="x", y="y"
+    )
+    timeseries = timeseries_features(                    # A8
+        movement.select("TRACK_ID", "frame", "id", "Dis"),
+        key="TRACK_ID",
+        order=["frame", "id"],
+        value="Dis",
+    )
+    return {
+        "frames": frames,
+        "masks": masks,
+        "detections": dets,
+        "track_edges": edges,
+        "spots": spots,
+        "spots_filtered": filtered,
+        "movement": movement,
+        "timeseries": timeseries,
+    }

@@ -1345,7 +1345,7 @@ def f16(spark, sf_dir):
 @register(
     "m3_tracking_links",
     """
-    SELECT tl AS timelapse_id, CAST(src AS INT) AS src, CAST(dst AS INT) AS dst,
+    SELECT tl AS timelapse_id, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
            CAST(gap AS INT) AS gap, CAST(dist AS DOUBLE) AS dist
     FROM (VALUES
       ('tl1', 100, 101, 0, 1.0), ('tl1', 101, 102, 0, 1.0),

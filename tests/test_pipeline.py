@@ -1,0 +1,64 @@
+"""End-to-end chain test (SURVEY §3 E3): fake timelapse through
+split → segment → detect → track → renumber → QC → movement →
+time-series, checking cross-stage invariants."""
+
+from __future__ import annotations
+
+from cellphe_data_pipeline_spark.domain.images import make_fake_image
+from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+
+
+def test_full_pipeline(spark):
+    bins = spark.createDataFrame(
+        [
+            ("tl_a.fake", bytearray(make_fake_image(seed=21, height=24, width=24, n_frames=4))),
+            ("tl_b.fake", bytearray(make_fake_image(seed=22, height=24, width=24, n_frames=3))),
+        ],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins)
+
+    frames = out["frames"].collect()
+    assert len(frames) == 7
+
+    dets = out["detections"].collect()
+    assert len(dets) > 0
+    assert all(r["mask_id"] != 0 for r in dets)
+    assert all(0 <= r["x"] < 24 and 0 <= r["y"] < 24 for r in dets)
+
+    spots = out["spots"].collect()
+    # every spot belongs to exactly one 1-indexed track
+    tids = {r["TRACK_ID"] for r in spots}
+    assert min(tids) == 1
+    # ids of one track are frame-monotone (temporal DAG held)
+    by_track: dict = {}
+    for r in sorted(spots, key=lambda r: r["frame"]):
+        by_track.setdefault((r["timelapse_id"], r["TRACK_ID"]), []).append(r["frame"])
+    for fs in by_track.values():
+        assert fs == sorted(fs)
+        assert len(fs) == len(set(fs))  # one spot per frame per track
+
+    filtered = out["spots_filtered"].collect()
+    counts: dict = {}
+    for r in filtered:
+        assert r["AREA"] >= 2.0
+        counts[r["TRACK_ID"]] = counts.get(r["TRACK_ID"], 0) + 1
+    assert all(c >= 3 for c in counts.values())
+
+    movement = out["movement"].collect()
+    for r in movement:
+        assert r["Dis"] <= r["Trac"] + 1e-9
+        assert 0.0 <= r["D2T"] <= 1.0 + 1e-12
+
+    ts = out["timeseries"].collect()
+    assert {r["TRACK_ID"] for r in ts} == set(counts)
+    for r in ts:
+        assert r["n_obs"] == counts[r["TRACK_ID"]]
+
+    # determinism: same input -> same spot set
+    out2 = run_pipeline(bins)
+    s1 = sorted((r["timelapse_id"], r["id"], r["TRACK_ID"]) for r in spots)
+    s2 = sorted(
+        (r["timelapse_id"], r["id"], r["TRACK_ID"]) for r in out2["spots"].collect()
+    )
+    assert s1 == s2
