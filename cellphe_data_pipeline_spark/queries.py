@@ -120,15 +120,18 @@ def p5(spark, sf_dir):
     """
     SELECT user_id, event_type, event_id FROM (
       SELECT user_id, event_type, event_id,
-             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+             COUNT(*) OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)) AS n
       FROM events
     ) t WHERE n = 1
     """,
 )
 def p6(spark, sf_dir):
-    """P6 (tracking_qc.qmd:82-84): unique-key filter."""
-    ev = load_table(spark, sf_dir, "events")
-    out = rows_with_group_count(ev, ["user_id", "event_type"], "n = 1")
+    """P6 (tracking_qc.qmd:82-84): unique-key filter — keyed so that
+    unique groups actually exist at sf0.01 (a 0-row pass proves little)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    out = rows_with_group_count(ev, ["user_id", "event_type", "day"], "n = 1")
     return out.select("user_id", "event_type", "event_id")
 
 
@@ -273,14 +276,16 @@ def j4(spark, sf_dir):
     "j5_anti_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def j5(spark, sf_dir):
     """J5 (frame_features_image.py:49-54): missing-key skip == left anti
-    (the logged-miss side)."""
+    (the logged-miss side); build side filtered so the miss set is
+    non-empty at sf0.01 (every customer has SOME order)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
