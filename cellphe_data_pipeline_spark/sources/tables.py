@@ -29,9 +29,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (already explicit/typed — written by the driver); no inference pass.
 
     Sets ``nanosAsLong`` at runtime too so a caller-provided session (the
-    driver's own) can read `events` without our builder config.
+    driver's own) can read `events` without our builder config, and pins
+    the session timezone to UTC: parquet timestamps are naive instants
+    and the DuckDB oracle treats them as such — any other session TZ
+    would shift date_trunc/day boundaries (incl. DST) and break oracle
+    equality.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TIMESTAMP_COLS.get(name, ()):
         # integer nanos -> floor-divide to micros; always positive here so
