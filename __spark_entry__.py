@@ -13,11 +13,18 @@ extensions (dedup / text / similarity).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cellphe_data_pipeline_spark.queries import REGISTRY
+# importable regardless of the caller's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from cellphe_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,71 @@
+"""Scale-operator tests: bucketed joins must be exchange-free, salted
+joins must preserve join semantics while spreading hot keys."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.operators.scale import (
+    publish_bucketed,
+    read_bucketed,
+    salted_join,
+)
+
+
+def _plan(df, mode="simple") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    publish_bucketed(a, "bk_a", ["k"], num_buckets=8)
+    publish_bucketed(b, "bk_b", ["k"], num_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would be broadcast (which also disables
+        # bucketing); force the shuffle-join path the 100 TB case takes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "bk_a").join(read_bucketed(spark, "bk_b"), "k")
+        p = _plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located buckets: zero shuffle
+        assert "Bucketed: true" in _plan(j, mode="formatted") or "SelectedBucketsCount" in _plan(j, mode="formatted")
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "a", "b") for i in range(200 if k == "hot" else 5)],
+        "key string, lv int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("c", 3)], "key string, rv int"
+    )
+    plain = sorted(map(tuple, left.join(right, "key").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "key", salt=4).collect()))
+    assert plain == salted
+    # salt actually spreads the hot key across shards
+    lsalt = left.withColumn(
+        "_salt", F.pmod(F.xxhash64("key", "lv"), F.lit(4)).cast("int")
+    )
+    n_shards = (
+        lsalt.filter(F.col("key") == "hot").select("_salt").distinct().count()
+    )
+    assert n_shards > 1
