@@ -159,3 +159,89 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate self-kNN — the centroid-bucketed
+    alternative to :func:`srp_topk`.
+
+    Train: KMeans (Spark ML, seeded) partitions the corpus into
+    ``n_lists`` lists; each vector is ASSIGNED to its nearest centroid's
+    list. Probe: each query vector joins against the vectors of its
+    ``n_probe`` nearest lists; exact cosine + top-k inside that
+    candidate set.
+
+    Scale shape: the model is ``n_lists × dim`` floats — broadcast-sized
+    by construction regardless of corpus size. Candidate generation is a
+    hash equi-join on ``list_id`` (no broadcast of data, no cartesian);
+    recall/cost is tuned by (n_lists, n_probe) exactly as in standard
+    IVF-Flat. The KMeans fit itself is Spark ML's distributed Lloyd's —
+    a few passes over the data, amortised across every subsequent query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    ).withColumn("_vec", array_to_vector(F.col("_emb")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_vec").fit(feats)
+
+    # centers: n_lists x dim doubles — tiny, safe as literals (broadcast)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    spark = df.sparkSession
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], "list_id int, center array<double>"
+        )
+    )
+
+    with_norm_df = feats.withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
+    assigned = model.transform(with_norm_df).select(
+        "vec_id", "_emb", "_norm", F.col(model.getPredictionCol()).cast("int").alias("list_id")
+    )
+
+    # each query probes its n_probe nearest centroids (L2 distance)
+    diff = F.zip_with(F.col("_emb"), F.col("center"), lambda a, b: (a - b) * (a - b))
+    dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    probes = (
+        with_norm_df.crossJoin(centers_df)
+        .withColumn("_d2", dist2)
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_d2"), F.col("list_id"))
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("vec_id", F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_norm"), "list_id")
+    )
+
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_emb").alias("c_emb"),
+            F.col("_norm").alias("c_norm"),
+            "list_id",
+        ),
+        "list_id",
+    ).filter(F.col("vec_id") != F.col("neighbor_id"))
+    pairs = cand.withColumn(
+        "cos_sim",
+        F.round(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 5),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1647,3 +1647,16 @@ def f15(spark, sf_dir):
             )
         ).alias("cfg_json"),
     )
+
+
+@register("v3_ivf_topk", None)
+def v3(spark, sf_dir):
+    """IVF-Flat approximate self-kNN (similarity.py `ivf_topk`):
+    seeded Spark-ML KMeans lists + n_probe nearest-list candidate join +
+    exact cosine top-k. KMeans is not ANSI-SQL-expressible => rows-only
+    check; recall vs brute force is tested in
+    tests/test_dedup_text_similarity.py."""
+    from cellphe_data_pipeline_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, dim=EMB_DIM, k=5, n_lists=16, n_probe=2)

@@ -126,3 +126,32 @@ def test_srp_topk_subset_of_bruteforce_scores(spark):
     for r in srp_topk(df, dim=8, k=3).collect():
         # every SRP result is a real pair with the exact same cosine
         assert math.isclose(bf[(r["vec_id"], r["neighbor_id"])], r["cos_sim"], abs_tol=1e-9)
+
+
+def test_ivf_topk_recall_and_consistency(spark):
+    from cellphe_data_pipeline_spark.operators.similarity import ivf_topk
+
+    df, vecs = _embeddings_df(spark, n=120, dim=8, seed=4)
+    bf = {}
+    for r in cosine_topk_bruteforce(df, k=5).collect():
+        bf.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    bf_scores = {
+        (r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk_bruteforce(df, k=len(vecs) - 1).collect()
+    }
+    got = ivf_topk(df, dim=8, k=5, n_lists=6, n_probe=3)
+    rows = got.collect()
+    # every IVF pair carries the exact cosine of that pair
+    for r in rows:
+        assert math.isclose(
+            bf_scores[(r["vec_id"], r["neighbor_id"])], r["cos_sim"], abs_tol=1e-9
+        )
+    # decent recall@5 with 3 of 6 lists probed
+    hits = sum(
+        1 for r in rows if r["neighbor_id"] in bf.get(r["vec_id"], set())
+    )
+    total = sum(len(v) for v in bf.values())
+    assert hits / total > 0.5, f"recall {hits}/{total}"
+    # deterministic under the fixed seed
+    rows2 = ivf_topk(df, dim=8, k=5, n_lists=6, n_probe=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
