@@ -122,6 +122,10 @@ def connected_components(
     if loop_shuffle_partitions is not None:
         spark.conf.set(conf_key, str(loop_shuffle_partitions))
     try:
+        # materialise the input ONCE: round 0's large-star references the
+        # edge list several times (e ∪ swap(e), then the join) and would
+        # otherwise recompute the upstream lineage per reference
+        e = e.localCheckpoint(eager=True)
         prev_hash: tuple | int = -1
         for i in range(max_iter):
             e = small_star(large_star(e)).localCheckpoint(eager=True)
