@@ -69,3 +69,14 @@ def minmax_normalize(df: DataFrame, keys: list[str], value: str, out_col: str = 
         out_col,
         F.when(mx == mn, F.lit(None).cast("double")).otherwise((v - mn) / (mx - mn)),
     )
+
+
+def approx_distinct(df: DataFrame, keys: list[str], value: str, rsd: float = 0.02) -> DataFrame:
+    """A7 scale variant: HyperLogLog++ distinct count (SURVEY §7 scale
+    extras). At 100 TB an exact countDistinct shuffles every distinct
+    value; the HLL sketch is map-side mergeable constant memory —
+    the right default for QC dashboards where ±2% is fine. Exact form
+    stays available (a7_count_distinct) for oracle-checked paths."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value, rsd=rsd).alias("approx_n_distinct")
+    )

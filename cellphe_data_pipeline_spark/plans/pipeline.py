@@ -132,3 +132,60 @@ def run_pipeline(
         "movement": movement,
         "timeseries": timeseries,
     }
+
+
+#: Shape of the reference's params document (templates/cyto3.json:1-48).
+DEFAULT_CONFIG = {
+    "folder_names": {"timelapse_id": "run"},
+    "run": {"segmentation": True, "tracking": True, "cellphe": True},
+    "segmentation": {"model": {}, "eval": {}},
+    "tracking": {
+        "algorithm": "NearestNeighbor",
+        "settings": {
+            "LINKING_MAX_DISTANCE": 10.0,
+            "ALLOW_GAP_CLOSING": True,
+            "MAX_FRAME_GAP": 4,
+            "GAP_CLOSING_MAX_DISTANCE": 20.0,
+        },
+    },
+    "QC": {"minimum_cell_size": 2.0, "minimum_observations": 3},
+}
+
+
+def run_pipeline_from_config(
+    spark: SparkSession, input_path: str, config: dict, glob: str = "*.fake"
+) -> dict[str, DataFrame]:
+    """E1/E2 entry: the reference's params-file contract (S13,
+    main.nf:3-10) driving the chain. Run flags gate sub-DAGs exactly as
+    the reference's `if params.run.*` blocks (main.nf:470,490,507) — and
+    because the plan is lazy, a gated-off branch is never even planned.
+    """
+    from cellphe_data_pipeline_spark.domain.images import scan_images
+
+    cfg = {**DEFAULT_CONFIG, **config}
+    qc = {**DEFAULT_CONFIG["QC"], **cfg.get("QC", {})}
+    tr = {
+        **DEFAULT_CONFIG["tracking"]["settings"],
+        **cfg.get("tracking", {}).get("settings", {}),
+    }
+    binaries = scan_images(spark, input_path, glob=glob).select("path", "content")
+    if not cfg["run"].get("segmentation", True):
+        return {"binaries": binaries}
+    out = run_pipeline(
+        binaries,
+        qc=qc,
+        linking_max_distance=float(tr["LINKING_MAX_DISTANCE"]),
+        max_frame_gap=(
+            int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
+        ),
+        gap_closing_max_distance=float(tr["GAP_CLOSING_MAX_DISTANCE"]),
+    )
+    if not cfg["run"].get("tracking", True):
+        out = {k: out[k] for k in ("frames", "masks", "detections")}
+    elif not cfg["run"].get("cellphe", True):
+        out = {
+            k: out[k]
+            for k in ("frames", "masks", "detections", "track_edges", "spots",
+                      "spots_filtered")
+        }
+    return out

@@ -212,3 +212,17 @@ def streaming_session_summary(
             update, SUMMARY_OUT, SUMMARY_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup (the corpus-dedup d1 as a stream): keep the
+    first arrival of each key; state retention bounded by the watermark
+    (keys older than it are evicted — the standard late-data contract).
+    At scale the dedup state is hash-partitioned by key in the state
+    store, the same single-shuffle shape as the batch md5 groupBy."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

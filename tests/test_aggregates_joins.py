@@ -95,3 +95,17 @@ def test_timeseries_wavelet_kernel(spark):
     # level-1 haar details: pairwise diffs / sqrt(2)
     l1 = sum(abs(a - b) / math.sqrt(2) for a, b in zip(vals[0::2], vals[1::2]))
     assert math.isclose(r["haar_l1"], l1, rel_tol=1e-12)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from cellphe_data_pipeline_spark.operators.aggregates import approx_distinct
+    from cellphe_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r["event_type"]: r["approx_n_distinct"]
+              for r in approx_distinct(ev, ["event_type"], "user_id").collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)

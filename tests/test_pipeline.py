@@ -62,3 +62,33 @@ def test_full_pipeline(spark):
         (r["timelapse_id"], r["id"], r["TRACK_ID"]) for r in out2["spots"].collect()
     )
     assert s1 == s2
+
+
+def test_pipeline_from_config(spark, tmp_path):
+    import json
+
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline_from_config
+    from cellphe_data_pipeline_spark.sources.io import read_config, write_config
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "tl.fake").write_bytes(make_fake_image(seed=31, height=24, width=24, n_frames=4))
+
+    cfg = {
+        "run": {"segmentation": True, "tracking": True, "cellphe": True},
+        "QC": {"minimum_cell_size": 2, "minimum_observations": 2},
+        "tracking": {"settings": {"LINKING_MAX_DISTANCE": 8.0,
+                                  "GAP_CLOSING_MAX_DISTANCE": 16.0}},
+    }
+    # S13 round-trip feeds the run, as in the reference's params-file
+    write_config(spark, cfg, str(tmp_path / "cfg"))
+    loaded = read_config(spark, str(tmp_path / "cfg"))
+    out = run_pipeline_from_config(spark, str(d), loaded)
+    assert out["timeseries"].count() > 0
+    assert all(r["AREA"] >= 2 for r in out["spots_filtered"].collect())
+
+    # gated run: tracking off -> only the segmentation sub-DAG exists
+    out2 = run_pipeline_from_config(
+        spark, str(d), {**loaded, "run": {"segmentation": True, "tracking": False}}
+    )
+    assert set(out2) == {"frames", "masks", "detections"}

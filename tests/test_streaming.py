@@ -138,3 +138,26 @@ def test_streaming_session_summary_emits_on_timeout(spark, tmp_path):
     assert got[1]["n_obs"] == 2
     assert math.isclose(got[1]["mean_val"], 3.0)
     assert math.isclose(got[1]["std_pop"], 1.0)
+
+
+def test_streaming_exact_dedup(spark, sf_dir, tmp_path):
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_exact_dedup
+    from pyspark.sql import functions as F
+
+    ev, path = _stage_events(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        streaming_exact_dedup(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_test").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in got}
+    assert len(got) == len(keys)  # exactly one row per key
+    want = {(r["user_id"], r["event_type"])
+            for r in ev.select("user_id", "event_type").distinct().collect()}
+    assert keys == want
