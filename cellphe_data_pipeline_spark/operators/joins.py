@@ -54,8 +54,8 @@ def zip_join(
     """
     lw = Window.orderBy(*[F.col(c) for c in left_order])
     rw = Window.orderBy(*[F.col(c) for c in right_order])
-    lhs = left.withColumn(rn_col, F.row_number().over(lw))
-    rhs = right.withColumn(rn_col, F.row_number().over(rw))
+    lhs = left.withColumn(rn_col, F.row_number().over(lw).cast("bigint"))
+    rhs = right.withColumn(rn_col, F.row_number().over(rw).cast("bigint"))
     return lhs.join(rhs, rn_col)
 
 

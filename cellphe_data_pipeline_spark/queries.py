@@ -567,7 +567,7 @@ def w4(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     natkey = F.regexp_extract("source", r"([0-9]+)", 1).cast("bigint")
     w = Window.orderBy(natkey, "source", "doc_id")
-    return d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+    return d.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn"))
 
 
 @register(
@@ -584,7 +584,7 @@ def o1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
     w = Window.orderBy("l_orderkey", "l_linenumber")
     return li.select(
-        F.row_number().over(w).alias("pos"), "l_orderkey", "l_linenumber"
+        F.row_number().over(w).cast("bigint").alias("pos"), "l_orderkey", "l_linenumber"
     )
 
 
