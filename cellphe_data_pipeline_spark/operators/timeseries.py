@@ -41,18 +41,32 @@ def timeseries_stats(df: DataFrame, key: str, order: list[str], value: str) -> D
         diff.alias("_d"),
     )
     n = F.count(F.lit(1))
-    # raw power sums via plain multiplication (NOT pow): x*x is an exact IEEE
-    # product in every engine, while pow(x, 2.0) may differ in the last ulp
-    # between libm and the JVM — enough to break oracle hash equality.
+    # Power sums as EXACT DECIMAL sums: an unordered DOUBLE reduction
+    # depends on shuffle merge-arrival order (varies run to run and with
+    # partition count) and its last-ulp jitter can flip a rounded output
+    # digit. The per-row products are IEEE-deterministic (x*x, never
+    # pow() — libm vs JVM differ in the last ulp); the deterministic cast
+    # to decimal then makes the SUM associative => the aggregate is a
+    # pure function of the data in every engine at any parallelism.
     xx = F.col("_x")
-    s1, s2, s3 = F.sum(xx), F.sum(xx * xx), F.sum(xx * xx * xx)
+    s1 = F.sum(xx.cast("decimal(18,6)"))
+    s2 = F.sum((xx * xx).cast("decimal(28,10)"))
+    s3 = F.sum((xx * xx * xx).cast("decimal(38,12)"))
     agg = per_row.groupBy(key).agg(
         n.alias("n_obs"),
-        s1.alias("_s1"),
-        s2.alias("_s2"),
-        s3.alias("_s3"),
-        F.sum(F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0))).alias("_asc"),
-        F.sum(F.when(F.col("_d") < 0, F.col("_d")).otherwise(F.lit(0.0))).alias("_desc"),
+        s1.cast("double").alias("_s1"),
+        s2.cast("double").alias("_s2"),
+        s3.cast("double").alias("_s3"),
+        F.sum(
+            F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("_asc"),
+        F.sum(
+            F.when(F.col("_d") < 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("_desc"),
     )
     mean = F.col("_s1") / F.col("n_obs")
     m2 = F.col("_s2") / F.col("n_obs") - mean * mean

@@ -227,7 +227,9 @@ def j1(spark, sf_dir):
     SELECT e.event_id, e.user_id, e.event_type, g.grp_mean
     FROM events e
     JOIN (
-      SELECT user_id, event_type, ROUND(AVG(value), 6) AS grp_mean
+      SELECT user_id, event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS grp_mean
       FROM events GROUP BY user_id, event_type
     ) g ON e.user_id = g.user_id AND e.event_type = g.event_type
     """,
@@ -236,7 +238,16 @@ def j2(spark, sf_dir):
     """J2 (create_frame_summary_features.py:55): composite-key equi-join
     of a group aggregate back onto the fact rows."""
     ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy("user_id", "event_type").agg(F.round(F.avg("value"), 6).alias("grp_mean"))
+    # decimal-exact sum: an unordered DOUBLE sum depends on shuffle merge
+    # order (varies run to run); DECIMAL addition is associative => the
+    # mean is a deterministic function of the data in both engines
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("grp_mean")
+    )
     return ev.join(g, ["user_id", "event_type"]).select(
         "event_id", "user_id", "event_type", "grp_mean"
     )
@@ -465,9 +476,14 @@ def a7(spark, sf_dir):
              value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
       FROM events
     ), a AS (
-      SELECT user_id, COUNT(*) AS n_obs, SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
-             SUM(CASE WHEN dd > 0 THEN dd ELSE 0.0 END) AS asum,
-             SUM(CASE WHEN dd < 0 THEN dd ELSE 0.0 END) AS dsum
+      SELECT user_id, COUNT(*) AS n_obs,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x*x AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x*x*x AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(CASE WHEN dd > 0 THEN dd ELSE 0.0 END AS DECIMAL(18,8)))
+                  AS DOUBLE) AS asum,
+             CAST(SUM(CAST(CASE WHEN dd < 0 THEN dd ELSE 0.0 END AS DECIMAL(18,8)))
+                  AS DOUBLE) AS dsum
       FROM d GROUP BY user_id
     )
     SELECT user_id, n_obs,
