@@ -1676,3 +1676,30 @@ def v3(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, dim=EMB_DIM, k=5, n_lists=16, n_probe=2)
+
+
+@register(
+    "j8_salted_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_retailprice > 990
+    """,
+)
+def j8(spark, sf_dir):
+    """Skew-salted equi-join (operators/scale.py `salted_join`): the
+    deterministic heavy-skew fallback — result must equal the plain
+    join, which is exactly what the oracle states."""
+    from cellphe_data_pipeline_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("pk")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 990)
+        .select(F.col("p_partkey").alias("pk"), "p_name")
+    )
+    return salted_join(li, p, "pk", salt=8).select(
+        "l_orderkey", "l_linenumber", "p_name"
+    )
