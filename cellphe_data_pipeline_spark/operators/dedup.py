@@ -90,11 +90,20 @@ def minhash_band_keys(
     (weights 1..band_size) so no collect_list/sort is needed — every
     aggregate is map-side combinable, the shuffle carries one row per doc.
     """
+    # 4 hash values per md5 digest (the 32 hex chars sliced into 8-char
+    # windows) instead of one md5 per hash function: 4x less hashing in
+    # the dominant map stage, still fully ANSI-SQL-reproducible.
+    digests = {
+        g: F.md5(F.concat(F.lit(f"g{g}"), F.col("sh")))
+        for g in range(-(-num_hashes // 4))
+    }
+
+    def hash_s(s: int):
+        window = F.substring(digests[s // 4], 1 + 8 * (s % 4), 8)
+        return F.conv(window, 16, 10).cast("bigint")
+
     mins = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(portable_hash64(F.col("sh"), str(s))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
+        *[F.min(hash_s(s)).alias(f"h{s}") for s in range(num_hashes)]
     )
     n_bands = num_hashes // band_size
     band_cols = []
@@ -133,7 +142,13 @@ def minhash_near_duplicates(
     threshold: float = 0.3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
-    exact-Jaccard verify. Output: (doc_a, doc_b, jaccard)."""
+    exact-Jaccard verify. Output: (doc_a, doc_b, jaccard).
+
+    The shingle table is referenced four times downstream (signature,
+    both sides of the verify join, sizes); at corpus scale cut it to a
+    published parquet stage (S15) so the regexp/explode/distinct work
+    runs once. At bench scale the recompute is cheaper than a cache
+    (measured: persist(MEMORY_AND_DISK) saved nothing at sf0.1)."""
     sh = word_shingles(df, text_col, id_col, n)
     cand = lsh_candidate_pairs(minhash_band_keys(sh, num_hashes, band_size))
     return pairwise_jaccard(sh, threshold, candidates=cand)

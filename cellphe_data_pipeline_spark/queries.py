@@ -987,7 +987,8 @@ def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, threshold: flo
     """DuckDB mirror of the full MinHash-LSH pipeline (dedup.py:126-141):
     portable_hash64 == ('0x' || first-8-md5-hex)::BIGINT."""
     hcols = ",\n             ".join(
-        f"MIN(('0x' || substring(md5('{s}' || sh), 1, 8))::BIGINT) AS h{s}"
+        f"MIN(('0x' || substring(md5('g{s // 4}' || sh), {1 + 8 * (s % 4)}, 8))::BIGINT)"
+        f" AS h{s}"
         for s in range(num_hashes)
     )
     n_bands = num_hashes // band_size
