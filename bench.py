@@ -67,6 +67,28 @@ def main() -> None:
         times[name] = round(best, 3)
         total += times[name]
 
+    # End-to-end domain chain at the reference's documented shape:
+    # 33 containers -> ~721 frames (README.md:407) through split ->
+    # segment -> track -> lineage -> QC -> movement -> time-series.
+    # Kernel caveat: segmentation/decode are the deterministic stubs
+    # (real codecs absent), so this measures ENGINE orchestration +
+    # relational/graph work, not Cellpose inference.
+    from cellphe_data_pipeline_spark.domain.images import make_fake_timelapse
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    bins = spark.createDataFrame(
+        [
+            (f"tl_{i:02d}.fake", bytearray(make_fake_timelapse(seed=100 + i, height=48, width=48, n_frames=22)))
+            for i in range(33)
+        ],
+        "path string, content binary",
+    )
+    t0 = time.perf_counter()
+    out = run_pipeline(bins, cc_shuffle_partitions=8)
+    n_ts = out["timeseries"].count()
+    times["pipeline_726frames"] = round(time.perf_counter() - t0, 3)
+    total += times["pipeline_726frames"]
+
     print(
         json.dumps(
             {

@@ -323,3 +323,39 @@ def mask_centroids(masks: DataFrame) -> DataFrame:
                 )
 
     return masks.mapInPandas(cent, CENTROID_SCHEMA)
+
+
+def make_fake_timelapse(
+    seed: int,
+    height: int = 48,
+    width: int = 48,
+    n_frames: int = 22,
+    n_cells: int = 8,
+) -> bytes:
+    """Structured fake timelapse: ``n_cells`` bright disks drifting
+    linearly (bouncing off edges) over a dark background — the shape the
+    real pipeline sees (cells on phase background), so the stub
+    segmentation finds ~n_cells components per frame and tracking links
+    them across frames. Same FAKE1 container as :func:`make_fake_image`.
+    """
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(8, min(height, width) - 8, size=(n_cells, 2))
+    vel = rng.uniform(-1.5, 1.5, size=(n_cells, 2))
+    rad = rng.uniform(3.0, 5.0, size=n_cells)
+    yy, xx = np.mgrid[0:height, 0:width]
+    frames = np.zeros((n_frames, height, width), dtype=np.uint8)
+    p = pos.copy()
+    for f in range(n_frames):
+        img = frames[f]
+        for c in range(n_cells):
+            cx, cy = p[c]
+            img[(xx - cx) ** 2 + (yy - cy) ** 2 <= rad[c] ** 2] = 200
+        p += vel
+        # bounce off the walls (keeps motion smooth for the tracker)
+        for axis, limit in ((0, width), (1, height)):
+            over = p[:, axis] > limit - 6
+            under = p[:, axis] < 6
+            vel[over | under, axis] *= -1
+            p[:, axis] = np.clip(p[:, axis], 5, limit - 5)
+    header = FAKE_MAGIC + np.array([height, width, n_frames], dtype="<u4").tobytes()
+    return header + zlib.compress(frames.tobytes())

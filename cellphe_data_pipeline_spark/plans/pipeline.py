@@ -45,6 +45,7 @@ def run_pipeline(
     linking_max_distance: float = 10.0,
     max_frame_gap: int = 4,
     gap_closing_max_distance: float = 20.0,
+    cc_shuffle_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -92,6 +93,7 @@ def run_pipeline(
     tracks = renumber_tracks(                            # G2-G4
         dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
         edges.select("src", "dst"),
+        loop_shuffle_partitions=cc_shuffle_partitions,
     )
     # drop the track table's FRAME before joining: Spark resolves
     # case-insensitively, so dets.frame vs tracks.FRAME would be ambiguous
