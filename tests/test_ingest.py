@@ -1,0 +1,51 @@
+"""Input-resolution tests (E2 steps 1-2): dispatch, natural-sort
+renumbering, space normalisation, OME-companion indexing."""
+
+from __future__ import annotations
+
+from cellphe_data_pipeline_spark.domain.images import make_fake_image
+from cellphe_data_pipeline_spark.plans.ingest import resolve_input
+
+
+def test_resolve_plain_images_natural_order(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    # natural sort: img_2 before img_10; 'img 3' has a space (F2)
+    (d / "img_10.fake").write_bytes(make_fake_image(seed=1, height=8, width=8))
+    (d / "img_2.fake").write_bytes(make_fake_image(seed=2, height=8, width=8))
+    (d / "img 3.fake").write_bytes(make_fake_image(seed=3, height=8, width=8))
+    (d / "notes.txt").write_bytes(b"ignore me")
+
+    out = resolve_input(spark, str(d)).collect()
+    assert len(out) == 3
+    by_idx = {r["global_index"]: r for r in sorted(out, key=lambda r: r["global_index"])}
+    assert [by_idx[i]["frame_name"] for i in (1, 2, 3)] == [
+        "frame_00001.tiff", "frame_00002.tiff", "frame_00003.tiff",
+    ]
+    # order is img_2 < img 3 < img_10 (numeric-aware, space-normalised)
+    assert by_idx[1]["path"].endswith("img_2.fake")
+    assert by_idx[2]["path"].endswith("img 3.fake")
+    assert by_idx[3]["path"].endswith("img_10.fake")
+
+
+def test_resolve_with_ome_companion(spark, tmp_path):
+    d = tmp_path / "ome"
+    d.mkdir()
+    (d / "a.fake").write_bytes(make_fake_image(seed=4, height=8, width=8, n_frames=2))
+    (d / "b.fake").write_bytes(make_fake_image(seed=5, height=8, width=8, n_frames=1))
+    xml = (
+        "<OME><Image><Pixels>"
+        '<TiffData IFD="0" FirstT="2"><UUID FileName="a.fake"/></TiffData>'
+        '<TiffData IFD="1" FirstT="0"><UUID FileName="a.fake"/></TiffData>'
+        '<TiffData IFD="0" FirstT="1"><UUID FileName="b.fake"/></TiffData>'
+        "</Pixels></Image></OME>"
+    )
+    (d / "x.companion.ome").write_bytes(xml.encode())
+
+    out = resolve_input(spark, str(d)).collect()
+    assert len(out) == 3
+    got = {
+        (r["path"].rsplit("/", 1)[-1], r["global_index"]) for r in out
+    }
+    # FirstT drives the global order (+1 for 1-indexing), NOT file order
+    assert got == {("a.fake", 3), ("a.fake", 1), ("b.fake", 2)}

@@ -1,0 +1,50 @@
+"""QC report tables over real pipeline output (tracking_qc /
+segmentation_qc analogues)."""
+
+from __future__ import annotations
+
+import statistics
+
+from cellphe_data_pipeline_spark.domain.images import (
+    make_fake_timelapse,
+    mask_label_histogram,
+    segment_frames,
+    split_frames,
+)
+from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+from cellphe_data_pipeline_spark.plans.qc import segmentation_qc, tracking_qc
+
+
+def test_qc_reports(spark):
+    bins = spark.createDataFrame(
+        [("tl.fake", bytearray(make_fake_timelapse(seed=7, height=40, width=40, n_frames=8, n_cells=5)))],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins, cc_shuffle_partitions=4)
+
+    qc = tracking_qc(out["spots"], out["spots_filtered"])
+    lengths = qc["track_lengths"].collect()
+    raw = {r["TRACK_ID"]: r["track_length"] for r in lengths if r["type"] == "raw"}
+    filt = {r["TRACK_ID"]: r["track_length"] for r in lengths if r["type"] == "filtered"}
+    assert raw and filt
+    assert all(filt[t] >= 3 for t in filt)  # QC min_observations
+    summ = {r["type"]: r for r in qc["track_length_summary"].collect()}
+    assert summ["raw"]["median_val"] == statistics.median(raw.values())
+    dists = qc["frame_distances"].collect()
+    assert all(r["frame_dist"] >= 0 for r in dists)
+    for r in dists:
+        assert r["cum_frame_dist"] >= r["frame_dist"] - 1e-9
+    td = {r["TRACK_ID"]: r["total_dist"] for r in qc["total_distance"].collect()}
+    by_track: dict = {}
+    for r in dists:
+        by_track[r["TRACK_ID"]] = by_track.get(r["TRACK_ID"], 0.0) + r["frame_dist"]
+    for t, v in td.items():
+        assert abs(by_track[t] - v) < 1e-6
+
+    hist = mask_label_histogram(segment_frames(split_frames(bins)))
+    seg = segmentation_qc(hist)
+    areas = seg["cell_areas"].collect()
+    assert all(r["mask_id"] != 0 for r in areas)
+    cpf = {r["frame_index"]: r["n_cells"] for r in seg["cells_per_frame"].collect()}
+    assert len(cpf) == 8
+    assert all(1 <= n <= 6 for n in cpf.values())  # ~5 disks per frame
