@@ -111,8 +111,9 @@ def _haar_details(x: np.ndarray, levels: int = 3) -> list[float]:
 def timeseries_features(
     df: DataFrame, key: str, order: list[str], value: str, levels: int = 3
 ) -> DataFrame:
-    """Full A8 analogue: stats + ascent/descent + Haar detail energies,
-    one output row per key, via Arrow-batched applyInPandas."""
+    """Full A8 analogue for ONE value column: stats + ascent/descent +
+    Haar detail energies, one output row per key (column names match the
+    original single-feature contract)."""
     schema = T.StructType(
         [
             df.schema[key],
@@ -144,3 +145,47 @@ def timeseries_features(
         return pd.DataFrame([row])
 
     return df.select(key, *order_cols, val).groupBy(key).applyInPandas(kernel, schema)
+
+
+def timeseries_features_multi(
+    df: DataFrame, key: str, order: list[str], values: list[str], levels: int = 3
+) -> DataFrame:
+    """A8 over MANY feature columns at once — the reference's actual
+    shape: ``time_series_features`` summarises EVERY static/movement
+    feature per cell (~15 derived vars per input feature, Wiseman 2023;
+    time_series_features.py:13-15 [pkg]). One output row per key with
+    ``<feature>_{mean,std,ascent,descent,haar_l*}`` columns.
+
+    Still ONE shuffle: all feature columns ride the same groupBy; the
+    kernel loops features inside the Arrow batch (vectorised numpy per
+    feature), so cost is O(features) CPU on an unchanged data motion."""
+    per_feature = ["mean", "std", "ascent", "descent"] + [
+        f"haar_l{i + 1}" for i in range(levels)
+    ]
+    schema = T.StructType(
+        [df.schema[key], T.StructField("n_obs", T.LongType())]
+        + [
+            T.StructField(f"{v}_{stat}", T.DoubleType())
+            for v in values
+            for stat in per_feature
+        ]
+    )
+    order_cols = list(order)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        row: dict = {key: pdf[key].iloc[0], "n_obs": len(pdf)}
+        for v in values:
+            x = pdf[v].to_numpy(dtype="float64")
+            d = np.diff(x)
+            row[f"{v}_mean"] = float(np.mean(x)) if len(x) else 0.0
+            row[f"{v}_std"] = float(np.std(x)) if len(x) else 0.0
+            row[f"{v}_ascent"] = float(d[d > 0].sum()) if len(d) else 0.0
+            row[f"{v}_descent"] = float(d[d < 0].sum()) if len(d) else 0.0
+            for i, e in enumerate(_haar_details(x, levels)):
+                row[f"{v}_haar_l{i + 1}"] = e
+        return pd.DataFrame([row])
+
+    return (
+        df.select(key, *order_cols, *values).groupBy(key).applyInPandas(kernel, schema)
+    )

@@ -34,7 +34,7 @@ from cellphe_data_pipeline_spark.operators.movement import movement_features
 from cellphe_data_pipeline_spark.operators.qc_filters import (
     filter_size_and_observations,
 )
-from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features_multi
 
 DEFAULT_QC = {"minimum_cell_size": 2.0, "minimum_observations": 3}
 
@@ -118,11 +118,11 @@ def run_pipeline(
     movement = movement_features(                        # M5 (W1-W3, F5-F8)
         filtered, key="TRACK_ID", order=["frame", "id"], x="x", y="y"
     )
-    timeseries = timeseries_features(                    # A8
-        movement.select("TRACK_ID", "frame", "id", "Dis"),
+    timeseries = timeseries_features_multi(              # A8
+        movement.select("TRACK_ID", "frame", "id", "Dis", "Trac", "D2T", "Vel"),
         key="TRACK_ID",
         order=["frame", "id"],
-        value="Dis",
+        values=["Dis", "Trac", "D2T", "Vel"],
     )
     return {
         "frames": frames,

@@ -109,3 +109,26 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
              for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
+
+
+def test_timeseries_multi_feature(spark):
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.operators.timeseries import (
+        timeseries_features,
+        timeseries_features_multi,
+    )
+
+    rows = [(1, i, float(i % 5), float(i * i % 7)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k int, t int, f1 double, f2 double")
+    multi = timeseries_features_multi(df, key="k", order=["t"], values=["f1", "f2"]).collect()[0]
+    # per-feature values equal the single-feature kernel's
+    for feat in ("f1", "f2"):
+        single = timeseries_features(
+            df.select("k", "t", feat), key="k", order=["t"], value=feat
+        ).collect()[0]
+        assert multi[f"{feat}_mean"] == single["mean_val"]
+        assert multi[f"{feat}_std"] == single["std_pop"]
+        assert multi[f"{feat}_ascent"] == single["ascent"]
+        assert multi[f"{feat}_haar_l2"] == single["haar_l2"]
+    assert multi["n_obs"] == 12
