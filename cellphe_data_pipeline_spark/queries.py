@@ -1704,3 +1704,35 @@ def j8(spark, sf_dir):
     return salted_join(li, p, "pk", salt=8).select(
         "l_orderkey", "l_linenumber", "p_name"
     )
+
+
+@register(
+    "v4_probe_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 20),
+    p AS (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 5) AS cos_sim
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def v4(spark, sf_dir):
+    """Probe-vs-corpus kNN (similarity.py:49-85, explicit `queries`
+    side): the usual production shape — a SMALL probe set broadcast
+    against the streaming corpus, zero shuffle for the join (the plan
+    the 10k-probes-vs-100TB-corpus case wants)."""
+    from cellphe_data_pipeline_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(e, k=5, queries=probes)
