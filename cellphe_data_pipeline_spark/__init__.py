@@ -18,6 +18,15 @@ defines HOW, idiomatically on Spark:
 """
 
 from cellphe_data_pipeline_spark.session import get_spark
+from cellphe_data_pipeline_spark.sources.tables import load_table, load_tables
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = ["get_spark", "load_table", "load_tables"]
+__version__ = "0.2.0"
+
+
+def run_pipeline(*args, **kwargs):
+    """Convenience re-export of plans.pipeline.run_pipeline (lazy import
+    keeps bare `import cellphe_data_pipeline_spark` light)."""
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline as _rp
+
+    return _rp(*args, **kwargs)

@@ -51,8 +51,9 @@ def run_pipeline(
     path/content). Returns every stage as a DataFrame keyed like the
     reference's published outputs.
 
-    Spot ids are (frame_index * 100000 + mask_id): unique per timelapse,
-    monotone in frame — satisfying the temporal-DAG contract G4 needs.
+    Spot ids are (timelapse_idx * 1e9 + frame_index * 1e5 + mask_id):
+    unique across timelapses (lineage runs on the union) and monotone in
+    frame within one — satisfying the temporal-DAG contract G4 needs.
     """
     qc = {**DEFAULT_QC, **(qc or {})}
 

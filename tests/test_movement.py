@@ -84,3 +84,37 @@ def test_filter_invariants(spark):
     for r in out:
         counts[r["track_id"]] = counts.get(r["track_id"], 0) + 1
     assert counts == {1: 3}
+
+
+def test_movement_invariants_hypothesis(spark):
+    """SURVEY §5 property test: the M5 invariants hold on arbitrary
+    random trajectories, not just the hand-built ones."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32)
+    traj = st.lists(st.tuples(coord, coord), min_size=1, max_size=20)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(traj, min_size=1, max_size=3))
+    def check(trajs):
+        rows = [
+            (c, f + 1, float(x), float(y))
+            for c, t in enumerate(trajs)
+            for f, (x, y) in enumerate(t)
+        ]
+        df = spark.createDataFrame(rows, "cell_id int, frame_id int, x double, y double")
+        out = movement_features(df, key="cell_id", order=["frame_id"], x="x", y="y").collect()
+        by_cell: dict = {}
+        for r in sorted(out, key=lambda r: (r["cell_id"], r["frame_id"])):
+            by_cell.setdefault(r["cell_id"], []).append(r)
+        for rs in by_cell.values():
+            assert rs[0]["frame_dist"] == 0.0 and rs[0]["Dis"] == 0.0
+            assert rs[0]["D2T"] == 0.0  # 0/0 -> 0
+            prev = 0.0
+            for r in rs:
+                assert r["Trac"] >= prev - 1e-9          # nondecreasing
+                assert r["Dis"] <= r["Trac"] + 1e-6      # triangle ineq
+                assert 0.0 <= r["D2T"] <= 1.0 + 1e-9
+                prev = r["Trac"]
+
+    check()
