@@ -102,3 +102,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_band": F.substring(F.md5(canon), 1, 4),
         }
     )
+
+
+#: BPE-ish pre-tokenisation pattern (GPT-2-style, lookahead-free so it
+#: behaves identically under Java regex and RE2): contractions, letter
+#: runs, digit runs, punctuation runs, whitespace runs.
+BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Training-data token estimate: counts GPT-2-style pre-tokens —
+    the standard proxy for LLM token budgets when the real BPE merges
+    are not needed (whitespace-only counting undercounts punctuation-
+    heavy text badly). Pure regexp, codegen-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("bigint")

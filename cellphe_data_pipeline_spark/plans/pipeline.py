@@ -192,3 +192,36 @@ def run_pipeline_from_config(
                       "spots_filtered")
         }
     return out
+
+
+def run_pipeline_resumable(
+    spark: SparkSession,
+    binaries: DataFrame,
+    stage_dir: str,
+    force: tuple[str, ...] = (),
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """The reference's `-resume` (README.md:206-212, SURVEY §4 "manual
+    materialisation policy"): every stage is published to
+    `{stage_dir}/{stage}` parquet; a stage whose output already exists
+    is READ BACK instead of recomputed, cutting the lineage there.
+
+    `force` lists stage names to recompute regardless (the reference's
+    re-run-tracking-only workflow: reuse segmentation, redo the rest).
+    Publishing order follows the dataflow, so forcing an early stage
+    naturally invalidates nothing downstream unless also forced — same
+    contract as Nextflow's content-hash resume at stage granularity.
+    """
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import publish
+
+    out = run_pipeline(binaries, **kwargs)
+    resumed: dict[str, DataFrame] = {}
+    for stage, df in out.items():
+        path = os.path.join(stage_dir, stage)
+        marker = os.path.join(path, "_SUCCESS")
+        if stage in force or not os.path.exists(marker):
+            publish(df, path)
+        resumed[stage] = spark.read.parquet(path)
+    return resumed

@@ -1736,3 +1736,31 @@ def v4(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
     return cosine_topk_bruteforce(e, k=5, queries=probes)
+
+
+@register(
+    "t4_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens_ws,
+           len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))
+             AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def t4(spark, sf_dir):
+    """Token counting both ways (text.py): whitespace/alnum runs and the
+    GPT-2-style BPE-ish pre-tokeniser — the LLM-budget estimate the
+    training-data pipeline reports per document."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )

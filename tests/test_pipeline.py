@@ -92,3 +92,29 @@ def test_pipeline_from_config(spark, tmp_path):
         spark, str(d), {**loaded, "run": {"segmentation": True, "tracking": False}}
     )
     assert set(out2) == {"frames", "masks", "detections"}
+
+
+def test_pipeline_resumable(spark, tmp_path):
+    import os
+
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline_resumable
+
+    bins = spark.createDataFrame(
+        [("r.fake", bytearray(make_fake_image(seed=41, height=20, width=20, n_frames=3)))],
+        "path string, content binary",
+    )
+    stage_dir = str(tmp_path / "stages")
+    out1 = run_pipeline_resumable(spark, bins, stage_dir)
+    n1 = out1["spots"].count()
+    assert n1 > 0
+    mtime = os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS"))
+
+    # second run: stages are read back, not rewritten
+    out2 = run_pipeline_resumable(spark, bins, stage_dir)
+    assert out2["spots"].count() == n1
+    assert os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS")) == mtime
+
+    # forcing a stage rewrites just that stage
+    out3 = run_pipeline_resumable(spark, bins, stage_dir, force=("spots",))
+    assert out3["spots"].count() == n1
+    assert os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS")) > mtime
