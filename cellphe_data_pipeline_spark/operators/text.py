@@ -116,3 +116,25 @@ def bpe_ish_token_count(text: Column) -> Column:
     are not needed (whitespace-only counting undercounts punctuation-
     heavy text badly). Pure regexp, codegen-side."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/boilerplate scrub: emails -> <EMAIL>, URLs -> <URL>, with
+    per-document redaction counts (the audit column a curation pipeline
+    keeps). Pure regexp_replace — codegen, order: URLs first so an email
+    inside a URL is counted once as a URL."""
+    text = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).cast("bigint")
+    no_urls = F.regexp_replace(text, URL_RE, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(no_urls, F.lit(EMAIL_RE), 0)).cast("bigint")
+    return df.withColumns(
+        {
+            "text_redacted": F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>"),
+            "n_urls": n_urls,
+            "n_emails": n_emails,
+        }
+    )

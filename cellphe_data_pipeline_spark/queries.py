@@ -1764,3 +1764,65 @@ def t4(spark, sf_dir):
         token_count(F.col("text")).alias("n_tokens_ws"),
         bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
     )
+
+
+@register(
+    "t5_redact",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_urls
+      FROM documents
+    )
+    SELECT doc_id, n_urls,
+           len(regexp_extract_all(no_urls,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+           regexp_replace(no_urls,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')
+             AS text_redacted
+    FROM u
+    """,
+)
+def t5(spark, sf_dir):
+    """PII/URL redaction with audit counts (text.py `redact`)."""
+    from cellphe_data_pipeline_spark.operators.text import redact
+
+    d = load_table(spark, sf_dir, "documents")
+    return redact(d).select("doc_id", "n_urls", "n_emails", "text_redacted")
+
+
+@register(
+    "c1_corpus_curation",
+    r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tok,
+             ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) / NULLIF(length(text), 0), 6) AS punct
+      FROM documents
+    ),
+    keep_ids AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT q.doc_id, q.n_tok
+    FROM q JOIN keep_ids ON q.doc_id = keep_ids.doc_id
+    WHERE q.n_tok >= 20 AND q.punct <= 0.2
+    """,
+)
+def c1(spark, sf_dir):
+    """Composed corpus curation — the training-data pipeline's daily
+    query: exact-dedup keep-set ∩ quality gates (min tokens, max
+    punctuation). One scan feeds both sides; the dedup keep-set join is
+    a semi-join on doc_id."""
+    from cellphe_data_pipeline_spark.operators.dedup import exact_dedup_groups
+    from cellphe_data_pipeline_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(d)
+    keep = exact_dedup_groups(d).select(F.col("keep_id").alias("doc_id"))
+    return (
+        q.join(keep, "doc_id", "left_semi")
+        .filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
+        .select("doc_id", F.col("n_tokens").alias("n_tok"))
+    )
