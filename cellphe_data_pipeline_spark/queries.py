@@ -1826,3 +1826,79 @@ def c1(spark, sf_dir):
         .filter((F.col("n_tokens") >= 20) & (F.col("punct_ratio") <= 0.2))
         .select("doc_id", F.col("n_tokens").alias("n_tok"))
     )
+
+
+@register(
+    "u5_intersect_except",
+    """
+    SELECT n_nationkey AS nationkey, 'both' AS side FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS side FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def u5(spark, sf_dir):
+    """Set ops beyond the reference (SURVEY §2.7 'absent — built-in'):
+    INTERSECT / EXCEPT over nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return c.intersect(s).withColumn("side", F.lit("both")).unionByName(
+        c.exceptAll(s).withColumn("side", F.lit("customer_only"))
+    )
+
+
+@register(
+    "w6_rank_lead_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           LEAD(o_orderkey) OVER w AS next_order,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w6(spark, sf_dir):
+    """Window surface beyond the reference (SURVEY §2.5 'absent —
+    trivially available'): rank / dense_rank / lead / ntile."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "o5_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def o5(spark, sf_dir):
+    """Top-k (SURVEY §2.6 'no LIMIT anywhere — available'): global
+    ordered limit with deterministic tiebreak; Spark plans it as
+    TakeOrderedAndProject (no global sort materialisation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
