@@ -1902,3 +1902,23 @@ def o5(spark, sf_dir):
     return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "a9_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def a9(spark, sf_dir):
+    """Grouping sets / rollup (SURVEY §2.4 'absent — Catalyst provides
+    free'): subtotal + grand-total rows in one pass (partial aggregation
+    applies per grouping set); money exact via decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
