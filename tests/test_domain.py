@@ -320,3 +320,20 @@ def test_scan_images_glob(spark, tmp_path):
     rows = df.select("path", "length", "content").collect()
     assert len(rows) == 2  # glob pushdown excluded skip.txt
     assert all(bytes(r["content"][:5]) == b"FAKE1" for r in rows)
+
+
+def test_read_lines_and_publish(spark, tmp_path):
+    from cellphe_data_pipeline_spark.sources.io import publish, read_lines
+
+    p = tmp_path / "lines.txt"
+    p.write_text("  a line  \nsecond\n   \n")
+    vals = [r["value"] for r in read_lines(spark, str(p)).collect()]
+    assert vals == ["a line", "second", ""]  # trimmed, order kept
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    out = str(tmp_path / "stage")
+    publish(df, out, partition_by=("k",))
+    back = spark.read.parquet(out)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+    import os
+    assert os.path.isdir(os.path.join(out, "k=1"))  # partitioned layout

@@ -76,3 +76,11 @@ def test_exact_dedup_partial_agg(spark, sf_dir):
     # map-side combine: partial HashAggregate before the exchange
     assert p.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(content_hash" in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    # global ORDER BY + LIMIT must plan as TakeOrderedAndProject — a
+    # per-partition heap + driver merge, never a full global sort
+    p = plan(REGISTRY["o5_topk"].fn(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p
