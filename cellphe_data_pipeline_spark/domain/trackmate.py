@@ -137,3 +137,54 @@ def parse_ome_companion(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         F.col("_t.ifd").cast("int").alias("ifd"),
         F.col("_t.first_t").cast("int").alias("first_t"),
     )
+
+
+#: The reference's exact 24-column GUI-export order (parse_xml.py:170-196).
+EXPORT_COLUMNS = (
+    "LABEL",
+    "ID",
+    "TRACK_ID",
+    "QUALITY",
+    "POSITION_X",
+    "POSITION_Y",
+    "POSITION_Z",
+    "POSITION_T",
+    "FRAME",
+    "RADIUS",
+    "VISIBILITY",
+    "MEAN_INTENSITY_CH1",
+    "MEDIAN_INTENSITY_CH1",
+    "MIN_INTENSITY_CH1",
+    "MAX_INTENSITY_CH1",
+    "TOTAL_INTENSITY_CH1",
+    "STD_INTENSITY_CH1",
+    "CONTRAST_CH1",
+    "SNR_CH1",
+    "AREA",
+    "PERIMETER",
+    "CIRCULARITY",
+    "SOLIDITY",
+    "SHAPE_INDEX",
+)
+
+
+def export_trackmate_features(spots: DataFrame, tracks: DataFrame) -> DataFrame:
+    """The `trackmate_features.csv` export projection (P9/P12 +
+    1-indexing, parse_xml.py:166-211): spots ⋈ track assignment, FRAME
+    and TRACK_ID 1-indexed (parse_xml.py:198-200), int casts, the fixed
+    24-column order, plus ROI_FILENAME zero-padded to data-driven widths
+    (F3). `tracks` = renumber_tracks output (already 1-indexed)."""
+    from cellphe_data_pipeline_spark.domain.rois import roi_filename
+
+    joined = spots.join(
+        tracks.select(F.col("ID"), F.col("TRACK_ID")), "ID"
+    ).withColumns(
+        {
+            "FRAME": (F.col("FRAME") + 1).cast("int"),  # 1-index at the edge
+            "ID": F.col("ID").cast("int"),
+            "TRACK_ID": F.col("TRACK_ID").cast("int"),
+            "VISIBILITY": F.lit(1).cast("int"),
+        }
+    )
+    named = roi_filename(joined)  # FRAME-TRACK-ID, data-driven widths
+    return named.select(*EXPORT_COLUMNS, "ROI_FILENAME")

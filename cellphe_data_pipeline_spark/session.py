@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound pandas-UDF batch memory: image rows carry raster payloads,
+        # so a 10k-row default Arrow batch could hold GBs (SURVEY §7 hard
+        # part #6); 256 rows bounds executor memory independent of corpus
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's

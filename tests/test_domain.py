@@ -337,3 +337,30 @@ def test_read_lines_and_publish(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "x"), (2, "y")]
     import os
     assert os.path.isdir(os.path.join(out, "k=1"))  # partitioned layout
+
+
+def test_export_trackmate_features(spark):
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+    from cellphe_data_pipeline_spark.domain.trackmate import (
+        EXPORT_COLUMNS,
+        export_trackmate_features,
+        parse_trackmate_edges,
+        parse_trackmate_spots,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    xml = trackmate_df(spark)
+    spots = parse_trackmate_spots(xml)
+    edges = parse_trackmate_edges(xml)
+    tracks = renumber_tracks(
+        spots.select("ID", "FRAME"), edges.select("src", "dst")
+    )
+    out = export_trackmate_features(spots, tracks)
+    assert out.columns == list(EXPORT_COLUMNS) + ["ROI_FILENAME"]
+    rows = {r["ID"]: r for r in out.collect()}
+    assert rows[1]["FRAME"] == 1          # 1-indexed at the edge
+    assert rows[1]["TRACK_ID"] >= 1
+    assert rows[1]["ROI_FILENAME"] == "1-1-1"
+    assert rows[5]["FRAME"] == 3
+    # splits renumber: the two children of spot 3 are on different tracks
+    assert rows[5]["TRACK_ID"] != rows[6]["TRACK_ID"]
