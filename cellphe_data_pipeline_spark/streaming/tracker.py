@@ -226,3 +226,104 @@ def streaming_exact_dedup(
     At scale the dedup state is hash-partitioned by key in the state
     store, the same single-shuffle shape as the batch md5 groupBy."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+TRACK_STATE = T.StructType(
+    [
+        T.StructField("next_tid", T.LongType()),
+        T.StructField("ends_json", T.StringType()),  # open track ends
+    ]
+)
+
+TRACK_OUT = T.StructType(
+    [
+        T.StructField("timelapse_id", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("track_id", T.LongType()),
+    ]
+)
+
+
+def streaming_tracker(
+    detections: DataFrame,
+    linking_max_distance: float = 10.0,
+    max_frame_gap: int = 4,
+    gap_closing_max_distance: float = 20.0,
+) -> DataFrame:
+    """M3 as a STATEFUL STREAMING operator (SURVEY Phase 6 — the
+    applyInPandasWithState tracker): per-timelapse state carries the
+    open track ends and the track-id counter across micro-batches;
+    each arriving frame's detections are greedily linked against the
+    state exactly like the batch kernel (domain/tracking.py), so when
+    micro-batch boundaries fall on frame boundaries the emitted track
+    partition equals the batch tracker's.
+
+    Input: (timelapse_id, id, frame, x, y) arriving in frame order per
+    timelapse. Output: one (id → track_id) assignment per detection.
+    Gap closing: an end that has been silent ≤ max_frame_gap frames may
+    re-link within gap_closing_max_distance — ends past the gap expire
+    from state, which is the streaming retention bound (the reference's
+    MAX_FRAME_GAP as state TTL measured in event-time frames).
+    """
+    import json
+
+    import numpy as np  # noqa: F811
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            next_tid, ends_json = state.get
+            ends = {int(k): v for k, v in json.loads(ends_json).items()}
+        else:
+            next_tid, ends = 1, {}
+        out_rows = []
+        for pdf in pdfs:
+            for f in sorted(pdf["frame"].unique()):
+                dets = pdf[pdf["frame"] == f].sort_values("id")
+                cands = []
+                for src, (ef, ex, ey, tid) in ends.items():
+                    gap = int(f) - ef - 1
+                    if gap > max_frame_gap:
+                        continue
+                    limit = (
+                        linking_max_distance if gap == 0 else gap_closing_max_distance
+                    )
+                    for _, det in dets.iterrows():
+                        d = float(np.hypot(det["x"] - ex, det["y"] - ey))
+                        if d <= limit:
+                            cands.append((d, int(src), int(det["id"])))
+                cands.sort()
+                used_src, assigned = set(), {}
+                for d, src, dst in cands:
+                    if src in used_src or dst in assigned:
+                        continue
+                    used_src.add(src)
+                    assigned[dst] = ends[src][3]  # continue the track
+                    del ends[src]
+                for _, det in dets.iterrows():
+                    did = int(det["id"])
+                    tid = assigned.get(did)
+                    if tid is None:
+                        tid = next_tid
+                        next_tid += 1
+                    ends[did] = (int(f), float(det["x"]), float(det["y"]), int(tid))
+                    out_rows.append(
+                        {
+                            "timelapse_id": key[0],
+                            "id": did,
+                            "frame": int(f),
+                            "track_id": int(tid),
+                        }
+                    )
+                ends = {
+                    i: e for i, e in ends.items() if int(f) - e[0] - 1 <= max_frame_gap
+                }
+        state.update((next_tid, json.dumps({str(k): list(v) for k, v in ends.items()})))
+        yield pd.DataFrame(out_rows, columns=[fld.name for fld in TRACK_OUT.fields])
+
+    return (
+        detections.groupBy("timelapse_id")
+        .applyInPandasWithState(
+            update, TRACK_OUT, TRACK_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

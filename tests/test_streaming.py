@@ -161,3 +161,77 @@ def test_streaming_exact_dedup(spark, sf_dir, tmp_path):
     want = {(r["user_id"], r["event_type"])
             for r in ev.select("user_id", "event_type").distinct().collect()}
     assert keys == want
+
+
+def test_streaming_tracker_matches_batch_partition(spark, tmp_path):
+    """The streaming tracker's track PARTITION (which spots share a
+    track) must equal the batch tracker+renumber partition when
+    micro-batches align with frame boundaries."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_tracker
+    from cellphe_data_pipeline_spark.testing.fixtures import TRACK_DETECTIONS
+
+    dets = sorted(TRACK_DETECTIONS, key=lambda r: (r[2], r[1]))  # frame order
+    schema = pa.schema(
+        [("timelapse_id", pa.string()), ("id", pa.int64()), ("frame", pa.int32()),
+         ("x", pa.float64()), ("y", pa.float64())]
+    )
+    d = tmp_path / "det_stream"
+    os.makedirs(d)
+    # one file per pair of frames, named so listing order == frame order
+    by_frame: dict = {}
+    for r in dets:
+        by_frame.setdefault(r[2] // 2, []).append(r)
+    for g, rows in sorted(by_frame.items()):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {"timelapse_id": cols[0], "id": cols[1], "frame": cols[2],
+                 "x": cols[3], "y": cols[4]},
+                schema=schema,
+            ),
+            str(d / f"b{g:03d}.parquet"),
+        )
+
+    stream = spark.readStream.schema(
+        "timelapse_id string, id bigint, frame int, x double, y double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = (
+        streaming_tracker(stream, linking_max_distance=5.0, max_frame_gap=4,
+                          gap_closing_max_distance=10.0)
+        .writeStream.format("memory")
+        .queryName("strack_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM strack_test").collect()
+    assert len(got) == len(dets)  # one assignment per detection
+    stream_tracks: dict = {}
+    for r in got:
+        stream_tracks.setdefault(r["track_id"], set()).add(r["id"])
+
+    ddf = spark.createDataFrame(
+        dets, "timelapse_id string, id int, frame int, x double, y double"
+    )
+    edges = track_detections(ddf, linking_max_distance=5.0, max_frame_gap=4,
+                             gap_closing_max_distance=10.0)
+    tracks = renumber_tracks(
+        ddf.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
+        edges.select("src", "dst"),
+    )
+    batch_tracks: dict = {}
+    for r in tracks.collect():
+        batch_tracks.setdefault(r["TRACK_ID"], set()).add(r["ID"])
+    # partition equality over linked spots (singletons: streaming assigns
+    # every detection a track; batch renumber drops isolated nodes)
+    stream_parts = {frozenset(s) for s in stream_tracks.values() if len(s) > 1}
+    batch_parts = {frozenset(s) for s in batch_tracks.values() if len(s) > 1}
+    assert stream_parts == batch_parts
