@@ -132,3 +132,13 @@ def test_timeseries_multi_feature(spark):
         assert multi[f"{feat}_ascent"] == single["ascent"]
         assert multi[f"{feat}_haar_l2"] == single["haar_l2"]
     assert multi["n_obs"] == 12
+
+
+def test_density_join_negative_coords(spark):
+    # grid bucketing must be correct across the 0 boundary (floor of
+    # negatives) — a classic off-by-one-cell bug class
+    pts = [(1, 1, -0.5, -0.5), (1, 2, 0.5, 0.5), (1, 3, -30.0, 10.0)]
+    df = spark.createDataFrame(pts, "frame int, id int, x double, y double")
+    out = {r["id"]: r["density"]
+           for r in density_self_join(df, "frame", "x", "y", "id", 5.0).collect()}
+    assert out == {1: 1, 2: 1, 3: 0}  # 1<->2 within sqrt(2), 3 isolated

@@ -364,3 +364,21 @@ def test_export_trackmate_features(spark):
     assert rows[5]["FRAME"] == 3
     # splits renumber: the two children of spot 3 are on different tracks
     assert rows[5]["TRACK_ID"] != rows[6]["TRACK_ID"]
+
+
+def test_mask_boundary_overlay(spark):
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import mask_boundary_overlay
+
+    # 8x8 mask with a 4x4 block of label 7: boundary = block edge pixels
+    m = np.zeros((8, 8), dtype=np.uint16)
+    m[2:6, 2:6] = 7
+    masks = spark.createDataFrame(
+        [("m", 0, 8, 8, bytearray(m.tobytes()))],
+        "path string, frame_index int, height int, width int, mask binary",
+    )
+    pts = {(r["px"], r["py"]) for r in mask_boundary_overlay(masks).collect()}
+    want = {(x, y) for x in range(2, 6) for y in range(2, 6)
+            if x in (2, 5) or y in (2, 5)}
+    assert pts == want  # 12 edge pixels, interior excluded
