@@ -80,3 +80,27 @@ def approx_distinct(df: DataFrame, keys: list[str], value: str, rsd: float = 0.0
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(value, rsd=rsd).alias("approx_n_distinct")
     )
+
+
+def limit_per_group(
+    df: DataFrame, keys: list[str], order: list[Column | str], k: int
+) -> DataFrame:
+    """Deterministic per-group top-k (corpus balancing: 'at most k docs
+    per source/language'). Window row_number under a total order — one
+    shuffle on the group key; rank column dropped."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key: str, fractions: dict, seed: int = 7
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (class rebalancing). Thin wrapper
+    over sampleBy: seeded => reproducible within Spark, but the sampling
+    hash is engine-specific — use limit_per_group when cross-engine
+    determinism is required."""
+    return df.sampleBy(key, fractions, seed)

@@ -1922,3 +1922,26 @@ def a9(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "o6_limit_per_group",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 25
+    """,
+)
+def o6(spark, sf_dir):
+    """Per-group limit (aggregates.py `limit_per_group`): corpus
+    balancing — keep the 25 longest docs per language, deterministic
+    tiebreak."""
+    from cellphe_data_pipeline_spark.operators.aggregates import limit_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return limit_per_group(
+        d, ["lang"], [F.col("n_chars").desc(), F.col("doc_id")], 25
+    ).select("lang", "doc_id", "n_chars")

@@ -142,3 +142,35 @@ def test_density_join_negative_coords(spark):
     out = {r["id"]: r["density"]
            for r in density_self_join(df, "frame", "x", "y", "id", 5.0).collect()}
     assert out == {1: 1, 2: 1, 3: 0}  # 1<->2 within sqrt(2), 3 isolated
+
+
+def test_stratified_sample_and_limit_per_group(spark, sf_dir):
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        limit_per_group,
+        stratified_sample,
+    )
+    from cellphe_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    top = limit_per_group(d, ["lang"], [F.col("n_chars").desc(), F.col("doc_id")], 3)
+    rows = top.collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    full_counts = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    for lang, lens in per_lang.items():
+        assert len(lens) == min(3, full_counts[lang])
+        # these really are the longest-3
+        all_lens = sorted(
+            (r["n_chars"] for r in d.filter(F.col("lang") == lang).collect()),
+            reverse=True,
+        )
+        assert sorted(lens, reverse=True) == all_lens[: len(lens)]
+
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    frac = {l: 0.5 for l in langs}
+    s1 = stratified_sample(d, "lang", frac, seed=3).count()
+    s2 = stratified_sample(d, "lang", frac, seed=3).count()
+    assert s1 == s2  # seeded => reproducible
+    assert 0 < s1 < d.count()
