@@ -138,3 +138,35 @@ def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_emails": n_emails,
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Fixed-size overlapping chunking with character offsets — the LLM
+    preprocessing staple (context-window packing, RAG indexing). One
+    codegen `sequence`+`explode`: (doc_id, chunk_id, chunk_start,
+    chunk_text); the final chunk is the remainder (never empty, always
+    covers the tail). Step = size - overlap."""
+    step = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(step))).cast("int"),
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(idx).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * step
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("bigint").alias("chunk_start"),
+        F.substring(F.col("_t"), start + 1, size).alias("chunk_text"),
+    )

@@ -1945,3 +1945,26 @@ def o6(spark, sf_dir):
     return limit_per_group(
         d, ["lang"], [F.col("n_chars").desc(), F.col("doc_id")], 25
     ).select("lang", "doc_id", "n_chars")
+
+
+@register(
+    "c2_chunking",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(i * 150 AS BIGINT) AS chunk_start,
+           substring(text, i * 150 + 1, 200) AS chunk_text
+    FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+    """,
+)
+def c2(spark, sf_dir):
+    """Overlapping document chunking (text.py `chunk_documents`):
+    size=200, overlap=50 — per-chunk rows with char offsets."""
+    from cellphe_data_pipeline_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, size=200, overlap=50)
