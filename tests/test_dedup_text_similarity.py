@@ -158,3 +158,26 @@ def test_ivf_topk_recall_and_consistency(spark):
     # deterministic under the fixed seed
     rows2 = ivf_topk(df, dim=8, k=5, n_lists=6, n_probe=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_chunking_boundaries(spark):
+    from cellphe_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short"), (3, "y" * 200), (4, "z" * 201)],
+        "doc_id bigint, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, size=200, overlap=50).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    # 500 chars, step 150: chunks at 0,150,300 -> 3 chunks
+    assert [r["chunk_start"] for r in sorted(out[1], key=lambda r: r["chunk_id"])] == [0, 150, 300]
+    assert all(len(r["chunk_text"]) <= 200 for r in out[1])
+    # coverage: every char position falls inside some chunk
+    covered = set()
+    for r in out[1]:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + len(r["chunk_text"])))
+    assert covered == set(range(500))
+    assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "short"
+    assert len(out[3]) == 1          # exactly size -> one chunk
+    assert len(out[4]) == 2          # size+1 -> tail chunk appears
