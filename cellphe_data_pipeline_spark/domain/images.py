@@ -359,3 +359,20 @@ def make_fake_timelapse(
             p[:, axis] = np.clip(p[:, axis], 5, limit - 5)
     header = FAKE_MAGIC + np.array([height, width, n_frames], dtype="<u4").tobytes()
     return header + zlib.compress(frames.tobytes())
+
+
+def register_split_frames_udtf(spark: SparkSession, name: str = "split_frames_udtf"):
+    """S3/S4 as a NATIVE SQL table function (PySpark 4 Python UDTF):
+    `SELECT b.path, t.* FROM bins b, LATERAL split_frames_udtf(b.content) t`
+    — the declarative twin of :func:`split_frames` for SQL-first users.
+    Same codec boundary (decode_frame), same 1-file→N-frames contract."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frame_index int, height int, width int, data binary")
+    class SplitFrames:
+        def eval(self, content):
+            for i, f in enumerate(decode_frame(bytes(content))):
+                yield i, f.shape[0], f.shape[1], f.tobytes()
+
+    spark.udtf.register(name, SplitFrames)
+    return SplitFrames

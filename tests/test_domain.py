@@ -382,3 +382,26 @@ def test_mask_boundary_overlay(spark):
     want = {(x, y) for x in range(2, 6) for y in range(2, 6)
             if x in (2, 5) or y in (2, 5)}
     assert pts == want  # 12 edge pixels, interior excluded
+
+
+def test_split_frames_udtf_matches_mapinpandas(spark):
+    from cellphe_data_pipeline_spark.domain.images import (
+        make_fake_image,
+        register_split_frames_udtf,
+        split_frames,
+    )
+
+    register_split_frames_udtf(spark)
+    bins = spark.createDataFrame(
+        [("u1.fake", bytearray(make_fake_image(seed=13, height=8, width=8, n_frames=4)))],
+        "path string, content binary",
+    )
+    bins.createOrReplaceTempView("udtf_bins")
+    sql_rows = spark.sql(
+        "SELECT b.path, t.* FROM udtf_bins b, LATERAL split_frames_udtf(b.content) t"
+    ).collect()
+    mip_rows = split_frames(bins).collect()
+    key = lambda r: (r["path"], r["frame_index"])
+    assert sorted((key(r), bytes(r["data"])) for r in sql_rows) == sorted(
+        (key(r), bytes(r["data"])) for r in mip_rows
+    )
