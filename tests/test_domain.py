@@ -405,3 +405,37 @@ def test_split_frames_udtf_matches_mapinpandas(spark):
     assert sorted((key(r), bytes(r["data"])) for r in sql_rows) == sorted(
         (key(r), bytes(r["data"])) for r in mip_rows
     )
+
+
+def test_audio_windows_and_features(spark):
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.media import (
+        decode_audio,
+        make_fake_audio,
+        sample_windows,
+        window_features,
+    )
+
+    payload = make_fake_audio(seed=5, n_samples=10000, sample_rate=16000)
+    clips = spark.createDataFrame(
+        [("a.faka", bytearray(payload))], "path string, content binary"
+    )
+    wins = sample_windows(clips, window_samples=4000, hop_samples=2000).collect()
+    # windows at 0,2000,4000,6000,8000 (tail kept, shorter)
+    assert [r["sample_start"] for r in sorted(wins, key=lambda r: r["window_index"])] == [
+        0, 2000, 4000, 6000, 8000,
+    ]
+    assert all(r["sample_rate"] == 16000 for r in wins)
+    lengths = {r["sample_start"]: len(r["samples"]) // 2 for r in wins}
+    assert lengths[0] == 4000 and lengths[8000] == 2000  # tail window
+
+    feats = {r["window_index"]: r for r in window_features(
+        sample_windows(clips, 4000, 2000)
+    ).collect()}
+    assert len(feats) == 5
+    _, pcm = decode_audio(payload)
+    x = pcm[:4000].astype("float64") / 32768.0
+    assert abs(feats[0]["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
+    assert 0 < feats[0]["rms"] < feats[0]["peak"] <= 1.0
+    assert feats[0]["zero_crossings"] > 100  # 440Hz over 0.25s ≈ 220 crossings
