@@ -417,23 +417,23 @@ def test_audio_windows_and_features(spark):
         window_features,
     )
 
-    payload = make_fake_audio(seed=5, n_samples=10000, sample_rate=16000)
+    payload = make_fake_audio(seed=5, n_samples=9000, sample_rate=16000)
     clips = spark.createDataFrame(
         [("a.faka", bytearray(payload))], "path string, content binary"
     )
     wins = sample_windows(clips, window_samples=4000, hop_samples=2000).collect()
-    # windows at 0,2000,4000,6000,8000 (tail kept, shorter)
+    # full coverage: last window starts at 6000 and carries the 3000-sample tail
     assert [r["sample_start"] for r in sorted(wins, key=lambda r: r["window_index"])] == [
-        0, 2000, 4000, 6000, 8000,
+        0, 2000, 4000, 6000,
     ]
     assert all(r["sample_rate"] == 16000 for r in wins)
     lengths = {r["sample_start"]: len(r["samples"]) // 2 for r in wins}
-    assert lengths[0] == 4000 and lengths[8000] == 2000  # tail window
+    assert lengths[0] == 4000 and lengths[6000] == 3000  # tail kept, shorter
 
     feats = {r["window_index"]: r for r in window_features(
         sample_windows(clips, 4000, 2000)
     ).collect()}
-    assert len(feats) == 5
+    assert len(feats) == 4
     _, pcm = decode_audio(payload)
     x = pcm[:4000].astype("float64") / 32768.0
     assert abs(feats[0]["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
