@@ -92,24 +92,26 @@ def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:
 
     `frames`: (path, frame_index, height, width, data=binary container
     payload or raw raster bytes). `rois`: (FrameID, CellID,
-    ROI_filename, coords array<struct<x,y>>). Output one row per
-    surviving cell-frame with FEATURES_SCHEMA.
+    ROI_filename, coords array<struct<x,y>>) — optionally carrying a
+    ``path`` column; when present the join keys on (path, FrameID) so
+    multiple timelapses in one DataFrame stay separated. Without it the
+    rois are assumed to describe a SINGLE timelapse: joining on FrameID
+    alone would cross-match identically-numbered frames across paths.
+    Output one row per surviving cell-frame with FEATURES_SCHEMA.
     """
+    roi_cols = ["FrameID", "CellID", "ROI_filename", "coords"]
+    if "path" in rois.columns:
+        join_keys = ["path", "FrameID"]
+        roi_cols = ["path"] + roi_cols
+    else:
+        join_keys = ["FrameID"]
     tagged = frames.select(
         "path",
         F.col("frame_index").alias("FrameID"),
         "height",
         "width",
         "data",
-    ).join(
-        rois.select(
-            "FrameID",
-            "CellID",
-            "ROI_filename",
-            "coords",
-        ),
-        "FrameID",
-    )
+    ).join(rois.select(*roi_cols), join_keys)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]

@@ -60,7 +60,18 @@ def salted_join(
 
     Use when one side has pathological key skew that AQE's split
     threshold doesn't catch; `salt` bounds right-side replication.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated `salt`×, so right/full outer joins would emit each
+    UNMATCHED right row `salt` times (matched rows are fine — they pair
+    with exactly one left salt value). Inner/left never surface
+    unmatched right rows, so replication is invisible.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right-side replication would duplicate unmatched right rows"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
     l = left.withColumn("_salt", lsalt)
     r = right.withColumn(

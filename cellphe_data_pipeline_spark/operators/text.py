@@ -151,7 +151,15 @@ def chunk_documents(
     preprocessing staple (context-window packing, RAG indexing). One
     codegen `sequence`+`explode`: (doc_id, chunk_id, chunk_start,
     chunk_text); the final chunk is the remainder (never empty, always
-    covers the tail). Step = size - overlap."""
+    covers the tail). Step = size - overlap, so size must exceed
+    overlap: step <= 0 would make the chunk-count division yield null
+    and silently truncate every document to its first `size` chars."""
+    if not (isinstance(size, int) and isinstance(overlap, int)):
+        raise TypeError("size and overlap must be ints")
+    if not size > overlap >= 0:
+        raise ValueError(
+            f"chunk_documents requires size > overlap >= 0, got size={size} overlap={overlap}"
+        )
     step = size - overlap
     n_chunks = F.greatest(
         F.lit(1),

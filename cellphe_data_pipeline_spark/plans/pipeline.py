@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellphe_data_pipeline_spark.domain.features import static_features
 from cellphe_data_pipeline_spark.domain.images import (
     mask_centroids,
     segment_frames,
@@ -73,10 +72,23 @@ def run_pipeline(
         .join(F.broadcast(tl_dim), "path")
         .select(
             F.col("path").alias("timelapse_id"),
+            # bit-packed spot id: 21 bits each for timelapse / frame /
+            # mask (2M apiece, 63 bits total) — the old decimal packing
+            # (tl*1e9 + frame*1e5 + mask) silently collided once
+            # frame_index hit 10000. assert_true turns an overflow into
+            # a loud runtime error instead of a corrupt lineage DAG.
             (
-                F.col("_tl_idx") * 1_000_000_000
-                + F.col("frame_index").cast("long") * 100000
+                F.shiftleft(F.col("_tl_idx"), 42)
+                + F.shiftleft(F.col("frame_index").cast("long"), 21)
                 + F.col("mask_id")
+                + F.coalesce(
+                    F.assert_true(
+                        (F.col("frame_index") < (1 << 21))
+                        & (F.col("mask_id") < (1 << 21)),
+                        F.lit("spot id field overflow (frame or mask >= 2^21)"),
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                )
             ).alias("id"),
             F.col("frame_index").alias("frame"),
             F.col("cx").alias("x"),

@@ -221,11 +221,22 @@ def streaming_exact_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup (the corpus-dedup d1 as a stream): keep the
-    first arrival of each key; state retention bounded by the watermark
-    (keys older than it are evicted — the standard late-data contract).
-    At scale the dedup state is hash-partitioned by key in the state
-    store, the same single-shuffle shape as the batch md5 groupBy."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    first arrival of each key. Uses ``dropDuplicatesWithinWatermark`` so
+    the state store actually EVICTS keys once they age past the
+    watermark — plain ``dropDuplicates(keys)`` without the event-time
+    column in the keys keeps every key forever and grows unboundedly on
+    a real stream. The within-watermark contract ("no duplicate emitted
+    for records whose arrival gap is inside the watermark") is exactly
+    the late-data dedup guarantee the batch md5 groupBy gives per
+    snapshot. At scale the state is hash-partitioned by key, the same
+    single-shuffle shape as the batch form. Falls back to keying on
+    (keys + ts) for Spark < 3.5 where the API is absent."""
+    marked = events.withWatermark(ts_col, watermark)
+    if hasattr(marked, "dropDuplicatesWithinWatermark"):
+        return marked.dropDuplicatesWithinWatermark(key_cols)
+    # Pre-3.5 fallback: including the event-time column in the keys is
+    # the documented pattern that lets the store evict old state.
+    return marked.dropDuplicates(key_cols + [ts_col])
 
 
 TRACK_STATE = T.StructType(

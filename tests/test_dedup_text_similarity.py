@@ -181,3 +181,16 @@ def test_chunking_boundaries(spark):
     assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "short"
     assert len(out[3]) == 1          # exactly size -> one chunk
     assert len(out[4]) == 2          # size+1 -> tail chunk appears
+
+
+def test_chunking_validates_args(spark):
+    import pytest
+    from cellphe_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="size > overlap"):
+        chunk_documents(docs, size=50, overlap=50)
+    with pytest.raises(ValueError, match="size > overlap"):
+        chunk_documents(docs, size=50, overlap=60)
+    with pytest.raises(ValueError, match="size > overlap"):
+        chunk_documents(docs, size=50, overlap=-1)

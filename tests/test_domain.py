@@ -439,3 +439,35 @@ def test_audio_windows_and_features(spark):
     assert abs(feats[0]["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
     assert 0 < feats[0]["rms"] < feats[0]["peak"] <= 1.0
     assert feats[0]["zero_crossings"] > 100  # 440Hz over 0.25s ≈ 220 crossings
+
+
+def test_static_features_multi_timelapse_path_join(spark):
+    """ADVICE r2: with two timelapses sharing frame indices, rois that
+    carry a `path` column must join on (path, FrameID) — one output row
+    per (path, cell), each computed against its own image."""
+    from cellphe_data_pipeline_spark.domain.features import static_features
+
+    pa = make_fake_image(seed=11, height=16, width=16, n_frames=1)
+    pb = make_fake_image(seed=22, height=16, width=16, n_frames=1)
+    frames = spark.createDataFrame(
+        [("a.fake", 1, 16, 16, bytearray(pa)), ("b.fake", 1, 16, 16, bytearray(pb))],
+        "path string, frame_index int, height int, width int, data binary",
+    )
+    square = [{"x": x, "y": y} for x in range(4, 8) for y in range(4, 8)]
+    rois = spark.createDataFrame(
+        [("a.fake", 1, 10, "001-01-010", square), ("b.fake", 1, 20, "001-01-020", square)],
+        "path string, FrameID int, CellID int, ROI_filename string,"
+        " coords array<struct<x:int,y:int>>",
+    )
+    out = static_features(frames, rois).collect()
+    # no cross-path duplication: exactly one row per (path, cell)
+    assert sorted((r["path"], r["CellID"]) for r in out) == [("a.fake", 10), ("b.fake", 20)]
+    by_path = {r["path"]: r for r in out}
+    # different seeds -> different pixel content under the same ROI
+    assert by_path["a.fake"]["Int_mean"] != by_path["b.fake"]["Int_mean"]
+    # legacy single-timelapse contract (no path column) still works
+    out1 = static_features(
+        frames.filter(F.col("path") == "a.fake"),
+        rois.filter(F.col("path") == "a.fake").drop("path"),
+    ).collect()
+    assert len(out1) == 1 and out1[0]["CellID"] == 10

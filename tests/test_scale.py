@@ -69,3 +69,17 @@ def test_salted_join_matches_plain_join(spark):
         lsalt.filter(F.col("key") == "hot").select("_salt").distinct().count()
     )
     assert n_shards > 1
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([("a", 1)], "key string, lv int")
+    right = spark.createDataFrame([("a", 2)], "key string, rv int")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(left, right, "key", salt=4, how=how)
+    # left join still supported and unmatched-left preserved exactly once
+    left2 = spark.createDataFrame([("a", 1), ("b", 9)], "key string, lv int")
+    rows = sorted(map(tuple, salted_join(left2, right, "key", salt=4, how="left").collect()))
+    assert rows == [("a", 1, 2), ("b", 9, None)]
