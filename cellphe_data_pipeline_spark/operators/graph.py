@@ -59,12 +59,70 @@ def roots(nodes: DataFrame, edges: DataFrame, id_col: str = "ID", dst: str | Non
     return pruned.join(targets, id_col, "left_anti")
 
 
+def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
+    """Partition-local contraction pre-pass for connected components.
+
+    Range-partition the edge list by ``u`` and run an in-memory
+    union-find inside each partition, replacing the partition's edges
+    with a STAR on each local component (node -> local min id). This is
+    connectivity-preserving — the union of the per-partition stars has
+    exactly the same components as the input — but it collapses every
+    intra-partition path to diameter 2, so the distributed alternation
+    afterwards only has to merge ACROSS partition boundaries:
+    O(log num_parts) rounds instead of O(log graph_diameter).
+
+    Why range (not hash) partitioning: graph node ids produced by this
+    engine are locality-bearing (event ids are time-ordered; spot ids
+    are (timelapse, frame, mask) bit-packs), so consecutive chain edges
+    land in the same range block and the local union-find swallows whole
+    chain segments. Under adversarial (random) id layouts the pre-pass
+    degrades gracefully: stars are small but the alternation is no worse
+    than without it. One extra shuffle + one Arrow-batched pass; at
+    cluster scale each task's union-find holds only its partition's
+    endpoints (~edge_bytes/num_parts), not the graph.
+    """
+    import pandas as pd
+
+    def star(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].values, pdf["v"].values):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min id: local roots ARE local component mins
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        nodes = list(parent)
+        out = pd.DataFrame(
+            {"u": nodes, "v": [find(n) for n in nodes]}, dtype="int64"
+        )
+        yield out[out["u"] != out["v"]]
+
+    return e.repartitionByRange(num_parts, "u").mapInPandas(star, e.schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     loop_shuffle_partitions: int | None = None,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """Undirected connected components → (node, component=min node id).
 
@@ -125,6 +183,11 @@ def connected_components(
     if loop_shuffle_partitions is not None:
         spark.conf.set(conf_key, str(loop_shuffle_partitions))
     try:
+        if pre_contract:
+            n_parts = loop_shuffle_partitions or max(
+                2, spark.sparkContext.defaultParallelism // 4
+            )
+            e = _contract_local(e, n_parts)
         # materialise the input ONCE: round 0's large-star references the
         # edge list several times (e ∪ swap(e), then the join) and would
         # otherwise recompute the upstream lineage per reference
@@ -132,10 +195,9 @@ def connected_components(
         prev_hash: tuple | int = -1
         for i in range(max_iter):
             e = small_star(large_star(e)).localCheckpoint(eager=True)
-            # probe convergence every other round: halves the probe
-            # actions at the cost of at most one redundant cheap round
-            if i % 2 == 0:
-                continue
+            # probe convergence every round: post-contraction the loop
+            # converges in O(log num_parts) rounds, so a ~0.2s probe per
+            # ~1s round beats running up to 2 redundant rounds
             h = (
                 e.agg(
                     F.count(F.lit(1)).alias("n"),

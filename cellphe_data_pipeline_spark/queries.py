@@ -924,8 +924,11 @@ def g4(spark, sf_dir):
     (large-star/small-star) — oracle knows each user's chain is one
     component labelled by its min event id, so the result is fully
     checkable without recursion."""
+    # loop partitions sized to EDGE volume (graph.py docstring: ~64 MiB
+    # per partition): sf0.1 is ~100k edges = ~1.6 MB, so 2 partitions —
+    # fewer rounds AND fewer tasks; at cluster SF scale this knob up.
     return connected_components(
-        _event_edges(spark, sf_dir), "src", "dst", loop_shuffle_partitions=8
+        _event_edges(spark, sf_dir), "src", "dst", loop_shuffle_partitions=2
     )
 
 

@@ -78,3 +78,36 @@ def test_degree_roots_prune(spark):
 
     rts = sorted(r["ID"] for r in roots(nodes, edges).collect())
     assert rts == [1, 4]
+
+
+def test_cc_pre_contract_equivalence(spark):
+    """The partition-local contraction pre-pass is connectivity-
+    preserving: identical labels with and without it, including on
+    random (no id locality) and shuffled-id graphs."""
+    rng = random.Random(41)
+    n = 300
+    # scattered ids: destroys range locality on purpose
+    ids = rng.sample(range(10_000_000), n)
+    edges = [
+        (ids[rng.randrange(n)], ids[rng.randrange(n)]) for _ in range(220)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with_pre = {
+        r["node"]: r["component"]
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    without = {
+        r["node"]: r["component"]
+        for r in connected_components(df, pre_contract=False).collect()
+    }
+    assert with_pre == without
+    assert _partition(with_pre) == _partition(_uf_components(edges))
+
+
+def test_cc_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(empty).collect() == []
+    one = spark.createDataFrame([(7, 3)], "src bigint, dst bigint")
+    got = {r["node"]: r["component"] for r in connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}
