@@ -30,7 +30,7 @@ partition across the cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cellphe_data_pipeline_spark.operators.graph import connected_components
@@ -89,10 +89,13 @@ def renumber_tracks(
     heads = head_nodes.groupBy("segment").agg(
         F.min(F.struct(F.col(frame_col), F.col(id_col))).alias("head")
     )
-    w = Window.orderBy(F.col("head"))
-    track_ids = heads.select(
-        "segment", F.row_number().over(w).cast("int").alias("TRACK_ID")
-    )
+    # scale-safe two-pass numbering (one row per track, but at 100 TB
+    # "tracks" can be billions of documents/chains — never single-partition)
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
+    track_ids = global_row_number(
+        heads, [F.col("head." + frame_col), F.col("head." + id_col)], "_tid"
+    ).select("segment", F.col("_tid").cast("int").alias("TRACK_ID"))
     return labelled.join(track_ids, "segment").select(id_col, frame_col, "TRACK_ID")
 
 

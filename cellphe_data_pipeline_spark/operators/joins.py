@@ -33,7 +33,7 @@ Scale design of ``density_self_join``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,15 +47,16 @@ def zip_join(
     """J6: positional zip — pair the i-th row of each side in its sort
     order (inner on position => truncates to the shorter side).
 
-    Single-partition window per side: correct for the reference's
-    per-timelapse metadata channels (hundreds of rows). For billion-row
-    zips, zipWithIndex-style range partitioning would replace this; the
-    reference semantics never need it.
+    Each side is numbered with the scale-safe two-pass partition-offset
+    form (operators/scale.global_row_number) — range-partitioned sort +
+    driver-side prefix-sum of per-partition counts — so neither side
+    ever funnels through a single-partition window, and billion-row
+    zips stay parallel end to end.
     """
-    lw = Window.orderBy(*[F.col(c) for c in left_order])
-    rw = Window.orderBy(*[F.col(c) for c in right_order])
-    lhs = left.withColumn(rn_col, F.row_number().over(lw).cast("bigint"))
-    rhs = right.withColumn(rn_col, F.row_number().over(rw).cast("bigint"))
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
+    lhs = global_row_number(left, list(left_order), rn_col)
+    rhs = global_row_number(right, list(right_order), rn_col)
     return lhs.join(rhs, rn_col)
 
 

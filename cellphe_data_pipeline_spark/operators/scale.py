@@ -16,6 +16,10 @@ code never needs (SURVEY §4; engine-side additions):
   shuffle balance restored at the cost of a bounded `salt`× replication
   of the (small) right side. AQE's skew-join handles moderate skew
   automatically; salting is the deterministic heavy-skew fallback.
+- **Global numbering** (`global_row_number`): a `row_number OVER
+  (ORDER BY ...)` with no PARTITION BY funnels the whole relation
+  through ONE reducer — the classic correct-but-scale-killer. The
+  two-pass partition-offset form here keeps every stage parallel.
 """
 
 from __future__ import annotations
@@ -79,3 +83,68 @@ def salted_join(
     )
     out = l.join(r, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_parts: int | None = None,
+    start: int = 1,
+) -> DataFrame:
+    """Scale-safe global sequential numbering (W4/O1/J6 basis).
+
+    Equivalent to ``row_number() OVER (ORDER BY order_cols)`` but never
+    moves the relation to a single partition. Two passes, both parallel:
+
+    1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` —
+       partition p holds a contiguous key range below partition p+1's
+       (equal keys co-locate, so numbering is deterministic whenever
+       `order_cols` is a total order, which every caller guarantees).
+       The layout is pinned with ``localCheckpoint`` so pass 2 sees the
+       identical assignment.
+    2. Per-partition row counts (≤ num_parts rows) come back to the
+       driver, prefix-sum to offsets, and an Arrow-batched
+       ``mapInPandas`` adds ``offset + position_in_partition`` — no
+       extra shuffle, no single-reducer sort, O(num_parts) driver state.
+
+    ``order_cols`` accepts column names or Column expressions.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = max(2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    arranged = (
+        df.repartitionByRange(num_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in arranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start - 1
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def number(batches):
+        pos: int | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = np.arange(pos + 1, pos + 1 + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return arranged.mapInPandas(number, out_schema)

@@ -16,7 +16,7 @@ from the natural-sorted file order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cellphe_data_pipeline_spark.domain.images import scan_images, split_frames
@@ -64,8 +64,18 @@ def canonical_frames(
         idx = F.col("first_t") + 1  # 1-indexed like the reference
         base = joined
     else:
-        w = Window.orderBy(natural_sort_key(norm_name), F.col("frame_index"))
-        base = frames.withColumn("_rn", F.row_number().over(w))
+        # Scale-safe numbering: number a NARROW (path, frame_index)
+        # projection with the two-pass partition-offset form, then hash-
+        # join back — the binary frame payloads never cross a single-
+        # partition window NOR an Arrow boundary.
+        from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
+        keys = global_row_number(
+            frames.select("path", "frame_index"),
+            [natural_sort_key(norm_name), F.col("frame_index")],
+            "_rn",
+        )
+        base = frames.join(keys, ["path", "frame_index"])
         idx = F.col("_rn")
 
     return base.select(

@@ -59,13 +59,13 @@ def run_pipeline(
     frames = split_frames(binaries)                      # S3/S4
     masks = segment_frames(frames)                       # M1/M2
     # broadcast timelapse index dim: spot ids must be unique ACROSS
-    # timelapses (lineage runs on the union) and frame-monotone within one
-    from pyspark.sql import Window
+    # timelapses (lineage runs on the union) and frame-monotone within one;
+    # numbered with the scale-safe two-pass form (dim is small today, but
+    # the pattern must survive a million-timelapse catalog)
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
 
-    tl_dim = (
-        binaries.select(F.col("path"))
-        .distinct()
-        .withColumn("_tl_idx", F.row_number().over(Window.orderBy("path")).cast("long"))
+    tl_dim = global_row_number(
+        binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx"
     )
     dets = (
         mask_centroids(masks)

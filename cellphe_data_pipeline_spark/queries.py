@@ -579,11 +579,16 @@ def w3(spark, sf_dir):
 )
 def w4(spark, sf_dir):
     """W4+O2 (main.nf:349-358 rename_frames): natural sort (numeric-aware,
-    src2 < src10) + sequential row numbering."""
+    src2 < src10) + sequential row numbering — via the scale-safe
+    two-pass partition-offset form (operators/scale.global_row_number),
+    not a single-partition global window."""
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
     natkey = F.regexp_extract("source", r"([0-9]+)", 1).cast("bigint")
-    w = Window.orderBy(natkey, "source", "doc_id")
-    return d.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn"))
+    return global_row_number(d, [natkey, "source", "doc_id"], "rn").select(
+        "doc_id", "source", "rn"
+    )
 
 
 @register(
@@ -596,12 +601,14 @@ def w4(spark, sf_dir):
 )
 def o1(spark, sf_dir):
     """O1/O3 (create_frame_summary_features.py:26-27): multi-key sort made
-    hash-checkable by materialising the rank."""
+    hash-checkable by materialising the rank — scale-safe two-pass
+    numbering, no single-partition window."""
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return li.select(
-        F.row_number().over(w).cast("bigint").alias("pos"), "l_orderkey", "l_linenumber"
-    )
+    return global_row_number(
+        li.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "pos"
+    ).select("pos", "l_orderkey", "l_linenumber")
 
 
 @register(
