@@ -86,7 +86,7 @@ def main() -> None:
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = run_pipeline(bins, cc_shuffle_partitions=8)
+        out = run_pipeline(bins, cc_shuffle_partitions=2)
         out["timeseries"].count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)

@@ -94,7 +94,12 @@ def renumber_tracks(
     from cellphe_data_pipeline_spark.operators.scale import global_row_number
 
     track_ids = global_row_number(
-        heads, [F.col("head." + frame_col), F.col("head." + id_col)], "_tid"
+        heads,
+        [F.col("head." + frame_col), F.col("head." + id_col)],
+        "_tid",
+        # track-head table is ~1 row per track; size its passes with the
+        # loop's edge-volume knob rather than the scan-sized default
+        num_parts=loop_shuffle_partitions,
     ).select("segment", F.col("_tid").cast("int").alias("TRACK_ID"))
     return labelled.join(track_ids, "segment").select(id_col, frame_col, "TRACK_ID")
 

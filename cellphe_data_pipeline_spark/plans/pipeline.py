@@ -65,7 +65,7 @@ def run_pipeline(
     from cellphe_data_pipeline_spark.operators.scale import global_row_number
 
     tl_dim = global_row_number(
-        binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx"
+        binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx", num_parts=4
     )
     dets = (
         mask_centroids(masks)
@@ -97,6 +97,14 @@ def run_pipeline(
             "mask_id",
         )
     )
+    # Pin the detection table ONCE: everything downstream (tracking,
+    # lineage CC with its per-round checkpoints, the track-id numbering
+    # passes, the final spots join) hangs off `dets`; without this the
+    # split->segment->centroid chain re-executes for every internal
+    # action (4+ full recomputes measured at the 726-frame bench shape).
+    # At cluster scale this is the "persist the hub table" rule; tiny
+    # (one narrow row per detection), so localCheckpoint is safe.
+    dets = dets.localCheckpoint(eager=True)
     edges = track_detections(                            # M3
         dets,
         linking_max_distance=linking_max_distance,

@@ -1167,7 +1167,8 @@ EMB_DIM = 64  # driver's embeddings.embedding is array<float> of 64
 @register(
     "v1_cosine_topk",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 300),
     n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
     p AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -1186,10 +1187,13 @@ EMB_DIM = 64  # driver's embeddings.embedding is array<float> of 64
 def v1(spark, sf_dir):
     """Brute-force cosine self-kNN baseline (similarity.py:49-85): exact
     top-5, partitioned theta join (no corpus broadcast — round-1 flaw
-    fixed); rounding before ranking makes order engine-reproducible."""
+    fixed); rounding before ranking makes order engine-reproducible.
+    Input capped at 300 vectors: this is the deliberately-quadratic
+    ORACLE BASELINE for v2/v3 — bounding N keeps the correctness gate
+    O(1) as sf grows (the scale path is v2 SRP / v3 IVF)."""
     from cellphe_data_pipeline_spark.operators.similarity import cosine_topk_bruteforce
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return cosine_topk_bruteforce(e, k=5)
 
 
