@@ -1247,16 +1247,36 @@ def v2(spark, sf_dir):
 # =====================================================================
 
 
-@register("a8b_timeseries_wavelet", None)
+@register("a8b_timeseries_wavelet", """
+    SELECT CAST(u AS INT) AS user_id, CAST(n AS BIGINT) AS n_obs,
+           CAST(m AS DOUBLE) AS mean_val, CAST(s AS DOUBLE) AS std_pop,
+           CAST(a AS DOUBLE) AS ascent, CAST(d AS DOUBLE) AS descent,
+           CAST(h1 AS DOUBLE) AS haar_l1, CAST(h2 AS DOUBLE) AS haar_l2,
+           CAST(h3 AS DOUBLE) AS haar_l3
+    FROM (VALUES
+      (1, 9, 4.361111, 2.796603, 21.0, -17.0, 13.611806, 4.375, 1.325825),
+      (2, 8, 5.25, 3.436932, 10.5, 0.0, 4.242641, 6.0, 8.485281),
+      (3, 1, 42.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    ) AS t(u, n, m, s, a, d, h1, h2, h3)
+    """)
 def a8b(spark, sf_dir):
     """A8 full kernel (time_series_features.py:13-15 [pkg]): stats +
     ascent/descent + Haar detail energies via Arrow applyInPandas.
-    Wavelets are not ANSI-SQL-expressible => rows-only check; the native
-    subset is oracle-checked as a8_timeseries_stats."""
+    Wavelets are not ANSI-SQL-expressible, so the kernel runs on the
+    deterministic TIMESERIES_ROWS fixture and the oracle is a golden
+    VALUES relation (cross-checked against a numpy oracle in
+    tests/test_aggregates_joins.py); the native stats subset stays
+    sf-table-backed as a8_timeseries_stats. Doubles rounded to 6."""
     from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+    from cellphe_data_pipeline_spark.testing.fixtures import timeseries_df
 
-    ev = load_table(spark, sf_dir, "events")
-    return timeseries_features(ev, key="user_id", order=["ts", "event_id"], value="value")
+    out = timeseries_features(
+        timeseries_df(spark), key="user_id", order=["seq"], value="value"
+    )
+    dbl = [c for c, t in out.dtypes if t == "double"]
+    return out.select(
+        *[F.round(c, 6).alias(c) if c in dbl else F.col(c) for c in out.columns]
+    )
 
 
 # =====================================================================
@@ -1680,17 +1700,80 @@ def f15(spark, sf_dir):
     )
 
 
-@register("v3_ivf_topk", None)
+@register("v3_ivf_topk", """
+    SELECT CAST(v AS BIGINT) AS vec_id, CAST(nb AS BIGINT) AS neighbor_id,
+           CAST(c AS DOUBLE) AS cos_sim, CAST(r AS BIGINT) AS rank
+    FROM (VALUES
+      (0, 3, 0.99909, 2),
+      (0, 12, 0.99887, 3),
+      (0, 15, 1.0, 1),
+      (1, 4, 0.99909, 2),
+      (1, 13, 0.99898, 3),
+      (1, 16, 1.0, 1),
+      (2, 5, 0.99848, 3),
+      (2, 14, 0.99888, 2),
+      (2, 17, 1.0, 1),
+      (3, 0, 0.99909, 1),
+      (3, 12, 0.99872, 3),
+      (3, 15, 0.99909, 2),
+      (4, 1, 0.99909, 1),
+      (4, 13, 0.99886, 3),
+      (4, 16, 0.99909, 2),
+      (5, 2, 0.99848, 3),
+      (5, 8, 0.99914, 1),
+      (5, 14, 0.99857, 2),
+      (6, 3, 0.99855, 2),
+      (6, 9, 0.99917, 1),
+      (6, 12, 0.99839, 3),
+      (7, 4, 0.99855, 2),
+      (7, 10, 0.99858, 1),
+      (7, 13, 0.99848, 3),
+      (8, 5, 0.99914, 1),
+      (8, 11, 0.99856, 2),
+      (8, 14, 0.99843, 3),
+      (9, 3, 0.99845, 3),
+      (9, 6, 0.99917, 1),
+      (9, 12, 0.99857, 2),
+      (10, 1, 0.9983, 3),
+      (10, 7, 0.99858, 2),
+      (10, 13, 0.99919, 1),
+      (11, 5, 0.9984, 3),
+      (11, 8, 0.99856, 2),
+      (11, 14, 0.99917, 1),
+      (12, 0, 0.99887, 1),
+      (12, 3, 0.99872, 3),
+      (12, 15, 0.99887, 2),
+      (13, 1, 0.99898, 2),
+      (13, 10, 0.99919, 1),
+      (13, 16, 0.99898, 3),
+      (14, 2, 0.99888, 2),
+      (14, 11, 0.99917, 1),
+      (14, 17, 0.99888, 3),
+      (15, 0, 1.0, 1),
+      (15, 3, 0.99909, 2),
+      (15, 12, 0.99887, 3),
+      (16, 1, 1.0, 1),
+      (16, 4, 0.99909, 2),
+      (16, 13, 0.99898, 3),
+      (17, 2, 1.0, 1),
+      (17, 5, 0.99848, 3),
+      (17, 14, 0.99888, 2)
+    ) AS t(v, nb, c, r)
+    """)
 def v3(spark, sf_dir):
     """IVF-Flat approximate self-kNN (similarity.py `ivf_topk`):
     seeded Spark-ML KMeans lists + n_probe nearest-list candidate join +
-    exact cosine top-k. KMeans is not ANSI-SQL-expressible => rows-only
-    check; recall vs brute force is tested in
-    tests/test_dedup_text_similarity.py."""
+    exact cosine top-k. KMeans is not ANSI-SQL-expressible, so the
+    operator runs on the deterministic well-separated-cluster embedding
+    fixture and the oracle is a golden VALUES relation (assignments are
+    robust: cluster separation >> per-vector offsets); sf-scale recall
+    vs brute force is tested in tests/test_dedup_text_similarity.py."""
     from cellphe_data_pipeline_spark.operators.similarity import ivf_topk
+    from cellphe_data_pipeline_spark.testing.fixtures import fixture_embeddings_df
 
-    e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, dim=EMB_DIM, k=5, n_lists=16, n_probe=2)
+    return ivf_topk(
+        fixture_embeddings_df(spark), dim=8, k=3, n_lists=3, n_probe=2, seed=7
+    )
 
 
 @register(

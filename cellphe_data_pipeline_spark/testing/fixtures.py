@@ -126,3 +126,37 @@ def fixture_rois_df(spark: SparkSession) -> DataFrame:
         ],
         "FrameID int, CellID int, ROI_filename string, coords array<struct<x:int,y:int>>",
     )
+
+
+#: Time-series fixture (A8 full kernel): 3 series with distinct shapes —
+#: a rising+falling 9-pointer (both ascent and descent, odd length so
+#: every Haar level drops a tail), a pure ramp of 8 (power of two), and
+#: a singleton (degenerate: no diffs, zero-length details).
+TIMESERIES_ROWS: list[tuple[int, int, float]] = (
+    [(1, s, v) for s, v in enumerate([2.0, 5.0, 3.5, 8.0, 1.0, 4.25, 9.0, 0.5, 6.0])]
+    + [(2, s, float(s) * 1.5) for s in range(8)]
+    + [(3, 0, 42.0)]
+)
+
+
+def timeseries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TIMESERIES_ROWS, "user_id int, seq int, value double"
+    )
+
+
+def fixture_embeddings_df(spark: SparkSession, n: int = 18, dim: int = 8) -> DataFrame:
+    """Deterministic embedding fixture for the IVF golden: 3 well-
+    separated cluster centers with small per-vector integer offsets —
+    no RNG, so KMeans assignment and every cosine are bit-stable."""
+    centers = [
+        [10.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 1.0],
+        [0.0, 10.0, 0.0, 0.0, 5.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % 3]
+        vec = [c[d] + ((i * 7 + d * 3) % 5 - 2) / 10.0 for d in range(dim)]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")

@@ -174,3 +174,68 @@ def test_stratified_sample_and_limit_per_group(spark, sf_dir):
     s2 = stratified_sample(d, "lang", frac, seed=3).count()
     assert s1 == s2  # seeded => reproducible
     assert 0 < s1 < d.count()
+
+
+def test_a8b_golden_fixture_numpy_oracle(spark):
+    """Cross-check the a8b golden-VALUES oracle independently: the
+    fixture run must match a straight numpy reimplementation."""
+    import numpy as np
+    from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
+    from cellphe_data_pipeline_spark.testing.fixtures import TIMESERIES_ROWS, timeseries_df
+
+    got = {
+        r["user_id"]: r
+        for r in timeseries_features(
+            timeseries_df(spark), key="user_id", order=["seq"], value="value"
+        ).collect()
+    }
+    series: dict[int, list[float]] = {}
+    for uid, seq, val in sorted(TIMESERIES_ROWS, key=lambda t: (t[0], t[1])):
+        series.setdefault(uid, []).append(val)
+    for uid, xs in series.items():
+        x = np.array(xs)
+        d = np.diff(x)
+        r = got[uid]
+        assert r["n_obs"] == len(x)
+        assert math.isclose(r["mean_val"], float(x.mean()), rel_tol=1e-12)
+        assert math.isclose(r["std_pop"], float(x.std()), rel_tol=1e-12)
+        assert math.isclose(r["ascent"], float(d[d > 0].sum()) if len(d) else 0.0, abs_tol=1e-12)
+        assert math.isclose(r["descent"], float(d[d < 0].sum()) if len(d) else 0.0, abs_tol=1e-12)
+        a = x.copy()
+        for lvl in range(1, 4):
+            m2 = len(a) // 2
+            if m2 == 0:
+                assert r[f"haar_l{lvl}"] == 0.0
+                a = a[:0]
+                continue
+            pairs = a[: 2 * m2].reshape(m2, 2)
+            detail = (pairs[:, 0] - pairs[:, 1]) / np.sqrt(2.0)
+            assert math.isclose(r[f"haar_l{lvl}"], float(np.abs(detail).sum()), rel_tol=1e-12)
+            a = (pairs[:, 0] + pairs[:, 1]) / np.sqrt(2.0)
+
+
+def test_v3_golden_fixture_brute_force_oracle(spark):
+    """Cross-check the v3 golden: on the well-separated fixture, IVF
+    with n_probe=2 must reach every true top-3 neighbor computed by a
+    numpy brute force (clusters are far apart, so the true neighbors
+    live in the same list the query probes first)."""
+    import numpy as np
+    from cellphe_data_pipeline_spark.operators.similarity import ivf_topk
+    from cellphe_data_pipeline_spark.testing.fixtures import fixture_embeddings_df
+
+    emb_df = fixture_embeddings_df(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb_df.collect()}
+    got = {}
+    for r in ivf_topk(emb_df, dim=8, k=3, n_lists=3, n_probe=2, seed=7).collect():
+        got.setdefault(r["vec_id"], {})[r["rank"]] = (r["neighbor_id"], r["cos_sim"])
+    for q, v in vecs.items():
+        sims = []
+        for c, w in vecs.items():
+            if c == q:
+                continue
+            cos = round(float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))), 5)
+            sims.append((-cos, c))
+        sims.sort()
+        want = [(c, -negcos) for negcos, c in sims[:3]]
+        have = [got[q][rk] for rk in (1, 2, 3)]
+        assert have == want, f"vec {q}: {have} != {want}"
