@@ -13,10 +13,14 @@ so executor memory is bounded by one image + its ROIs regardless of
 corpus size; 721-frame × N-timelapse corpora parallelise frame-wise
 (the reference's own speedup axis, README.md:409).
 
-The feature vector here is a REPRESENTATIVE subset (area / centroid /
-radius stats / intensity stats / boundary length) computed with real
-numpy on the decoded raster — the full 74-feature CellPhe kernel lives
-in the public `cellphe` package and would slot into `_cell_features`
+The feature vector covers the CellPhe blocks that matter structurally:
+size/shape (area, centroid, radius stats), boundary, first-order
+intensity stats + quantiles, cooccurrence (GLCM) texture — contrast /
+homogeneity / energy / correlation / entropy over the cell's quantised
+pixels — and per-cell 2-D Haar detail energies (levels 1-2), all real
+numpy on the decoded raster (Wiseman 2023). The remaining long tail of
+the ~74-feature CellPhe set (per-variable curvature/polygon variants)
+follows the same kernel shape and would extend `_cell_features`
 unchanged; the engine contract (schema, grouping, normalisation, skip
 semantics) is what's tested.
 
@@ -41,6 +45,7 @@ STATIC_FEATURE_NAMES = (
     "y",
     "Rad_mean",
     "Rad_max",
+    "Rad_var",
     "Boundary_len",
     "Int_mean",
     "Int_std",
@@ -48,6 +53,17 @@ STATIC_FEATURE_NAMES = (
     "Int_max",
     "Int_q25",
     "Int_q75",
+    # cooccurrence (GLCM) texture over the cell's quantised pixels —
+    # the CellPhe "Coo" block (Wiseman 2023; frame_features_image.py:2)
+    "Coo_contrast",
+    "Coo_homogeneity",
+    "Coo_energy",
+    "Coo_correlation",
+    "Coo_entropy",
+    # per-cell 2-D Haar detail energies (levels 1-2) — the CellPhe
+    # wavelet texture block
+    "Haar2d_l1",
+    "Haar2d_l2",
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -61,6 +77,93 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+GLCM_LEVELS = 8
+
+
+def _glcm_features(patch: np.ndarray, inmask: np.ndarray) -> dict[str, float]:
+    """Gray-level cooccurrence features over the cell's pixels.
+
+    Pixels are quantised to GLCM_LEVELS bins over the CELL's own
+    min-max range; the matrix accumulates symmetric (0,1) and (1,0)
+    offsets restricted to pairs where BOTH pixels belong to the cell.
+    Features are the classic Haralick set: contrast, homogeneity,
+    energy (ASM), correlation, entropy. Degenerate cases (flat cell,
+    no valid pair) yield the distribution-free limits: contrast 0,
+    homogeneity/energy 1, correlation 0, entropy 0.
+    """
+    vals = patch[inmask]
+    lo, hi = float(vals.min()), float(vals.max())
+    q = np.zeros(patch.shape, dtype=np.int64)
+    if hi > lo:
+        q[inmask] = np.minimum(
+            ((patch[inmask] - lo) / (hi - lo) * GLCM_LEVELS).astype(np.int64),
+            GLCM_LEVELS - 1,
+        )
+    glcm = np.zeros((GLCM_LEVELS, GLCM_LEVELS), dtype=np.float64)
+    for dy, dx in ((0, 1), (1, 0)):
+        a_mask = inmask[: patch.shape[0] - dy, : patch.shape[1] - dx]
+        b_mask = inmask[dy:, dx:]
+        both = a_mask & b_mask
+        a = q[: patch.shape[0] - dy, : patch.shape[1] - dx][both]
+        b = q[dy:, dx:][both]
+        np.add.at(glcm, (a, b), 1.0)
+        np.add.at(glcm, (b, a), 1.0)  # symmetric
+    total = glcm.sum()
+    if total == 0:
+        return {
+            "Coo_contrast": 0.0,
+            "Coo_homogeneity": 1.0,
+            "Coo_energy": 1.0,
+            "Coo_correlation": 0.0,
+            "Coo_entropy": 0.0,
+        }
+    p = glcm / total
+    i, j = np.indices(p.shape)
+    mu_i = float((i * p).sum())
+    mu_j = float((j * p).sum())
+    var_i = float(((i - mu_i) ** 2 * p).sum())
+    var_j = float(((j - mu_j) ** 2 * p).sum())
+    if var_i > 0 and var_j > 0:
+        corr = float((((i - mu_i) * (j - mu_j) * p).sum()) / np.sqrt(var_i * var_j))
+    else:
+        corr = 0.0
+    nz = p[p > 0]
+    return {
+        "Coo_contrast": float((p * (i - j) ** 2).sum()),
+        "Coo_homogeneity": float((p / (1.0 + (i - j) ** 2)).sum()),
+        "Coo_energy": float((p**2).sum()),
+        "Coo_correlation": corr,
+        "Coo_entropy": float(-(nz * np.log2(nz)).sum()),
+    }
+
+
+def _haar2d_energies(patch: np.ndarray, levels: int = 2) -> list[float]:
+    """2-D Haar DWT detail ENERGY per level (sum of squared LH/HL/HH
+    coefficients) over the cell's bounding-box patch (non-cell pixels
+    zero). Odd dimensions drop the trailing row/column per level, like
+    the 1-D time-series kernel (timeseries.py `_haar_details`)."""
+    out: list[float] = []
+    a = patch.astype("float64")
+    for _ in range(levels):
+        h2, w2 = a.shape[0] // 2, a.shape[1] // 2
+        if h2 == 0 or w2 == 0:
+            out.append(0.0)
+            a = a[:0, :0]
+            continue
+        t = a[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2)
+        tl = t[:, 0, :, 0]
+        tr = t[:, 0, :, 1]
+        bl = t[:, 1, :, 0]
+        br = t[:, 1, :, 1]
+        ll = (tl + tr + bl + br) / 2.0
+        lh = (tl - tr + bl - br) / 2.0
+        hl = (tl + tr - bl - br) / 2.0
+        hh = (tl - tr - bl + br) / 2.0
+        out.append(float((lh**2).sum() + (hl**2).sum() + (hh**2).sum()))
+        a = ll
+    return out
+
+
 def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | None:
     """Feature kernel for one cell on a [0,1]-normalised image. Returns
     None for degenerate ROIs (reference RuntimeError→skip)."""
@@ -71,12 +174,23 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
     cx, cy = float(xs.mean()), float(ys.mean())
     rad = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
     vals = img[ys, xs].astype("float64")
-    return {
+
+    # bounding-box patch for the 2-D texture blocks: cell pixels carry
+    # their normalised intensity, non-cell pixels are zero
+    x0, y0 = int(xs.min()), int(ys.min())
+    patch = np.zeros((int(ys.max()) - y0 + 1, int(xs.max()) - x0 + 1))
+    inmask = np.zeros(patch.shape, dtype=bool)
+    patch[ys - y0, xs - x0] = vals
+    inmask[ys - y0, xs - x0] = True
+    haar = _haar2d_energies(patch)
+
+    feats = {
         "Area": float(len(np.unique(np.stack([xs, ys], axis=1), axis=0))),
         "x": cx,
         "y": cy,
         "Rad_mean": float(rad.mean()),
         "Rad_max": float(rad.max()),
+        "Rad_var": float(rad.var()),
         "Boundary_len": float(len(xs)),
         "Int_mean": float(vals.mean()),
         "Int_std": float(vals.std()),
@@ -84,7 +198,11 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
         "Int_max": float(vals.max()),
         "Int_q25": float(np.quantile(vals, 0.25)),
         "Int_q75": float(np.quantile(vals, 0.75)),
+        "Haar2d_l1": haar[0],
+        "Haar2d_l2": haar[1],
     }
+    feats.update(_glcm_features(patch, inmask))
+    return feats
 
 
 def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:

@@ -1467,22 +1467,35 @@ def a5b(spark, sf_dir):
 @register(
     "m4_static_features",
     """
-    SELECT path, CAST(f AS INT) AS FrameID, CAST(c AS INT) AS CellID,
+    SELECT path,
+           CAST(f AS INT) AS FrameID,
+           CAST(c AS INT) AS CellID,
            rf AS ROI_filename,
-           CAST(area AS DOUBLE) AS Area, CAST(x AS DOUBLE) AS x,
-           CAST(y AS DOUBLE) AS y, CAST(rm AS DOUBLE) AS Rad_mean,
-           CAST(rx AS DOUBLE) AS Rad_max, CAST(bl AS DOUBLE) AS Boundary_len,
-           CAST(im AS DOUBLE) AS Int_mean, CAST(isd AS DOUBLE) AS Int_std,
-           CAST(imin AS DOUBLE) AS Int_min, CAST(imax AS DOUBLE) AS Int_max,
-           CAST(q25 AS DOUBLE) AS Int_q25, CAST(q75 AS DOUBLE) AS Int_q75
+           CAST(v4 AS DOUBLE) AS Area,
+           CAST(v5 AS DOUBLE) AS x,
+           CAST(v6 AS DOUBLE) AS y,
+           CAST(v7 AS DOUBLE) AS Rad_mean,
+           CAST(v8 AS DOUBLE) AS Rad_max,
+           CAST(v9 AS DOUBLE) AS Rad_var,
+           CAST(v10 AS DOUBLE) AS Boundary_len,
+           CAST(v11 AS DOUBLE) AS Int_mean,
+           CAST(v12 AS DOUBLE) AS Int_std,
+           CAST(v13 AS DOUBLE) AS Int_min,
+           CAST(v14 AS DOUBLE) AS Int_max,
+           CAST(v15 AS DOUBLE) AS Int_q25,
+           CAST(v16 AS DOUBLE) AS Int_q75,
+           CAST(v17 AS DOUBLE) AS Coo_contrast,
+           CAST(v18 AS DOUBLE) AS Coo_homogeneity,
+           CAST(v19 AS DOUBLE) AS Coo_energy,
+           CAST(v20 AS DOUBLE) AS Coo_correlation,
+           CAST(v21 AS DOUBLE) AS Coo_entropy,
+           CAST(v22 AS DOUBLE) AS Haar2d_l1,
+           CAST(v23 AS DOUBLE) AS Haar2d_l2
     FROM (VALUES
-      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132,
-       16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.13834, 0.537549),
-      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911,
-       5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.29249, 0.600791),
-      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132,
-       16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.310039, 0.669291)
-    ) AS t(path, f, c, rf, area, x, y, rm, rx, bl, im, isd, imin, imax, q25, q75)
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.13834, 0.537549, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.29249, 0.600791, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.310039, 0.669291, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449)
+    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23)
     """,
 )
 def m4(spark, sf_dir):

@@ -471,3 +471,49 @@ def test_static_features_multi_timelapse_path_join(spark):
         rois.filter(F.col("path") == "a.fake").drop("path"),
     ).collect()
     assert len(out1) == 1 and out1[0]["CellID"] == 10
+
+
+def test_glcm_and_haar2d_features_numpy_oracle():
+    """Independent cross-check of the new texture blocks: GLCM features
+    on a hand-computable 2x2 patch, Haar 2-D energies on a patch with a
+    closed-form transform."""
+    import numpy as np
+    from cellphe_data_pipeline_spark.domain.features import (
+        _glcm_features,
+        _haar2d_energies,
+    )
+
+    # 2x2 patch, values 0 and 1 in a checkerboard: quantised levels are
+    # 0 and 7; four directed pairs, each (0,7) or (7,0) -> after
+    # symmetrisation p(0,7)=p(7,0)=0.5
+    patch = np.array([[0.0, 1.0], [1.0, 0.0]])
+    mask = np.ones((2, 2), dtype=bool)
+    g = _glcm_features(patch, mask)
+    assert g["Coo_contrast"] == 49.0  # (0-7)^2 * (0.5+0.5)
+    assert g["Coo_homogeneity"] == 1.0 / 50.0
+    assert g["Coo_energy"] == 0.5  # 2 * 0.5^2
+    assert g["Coo_correlation"] == -1.0  # perfectly anti-correlated
+    assert g["Coo_entropy"] == 1.0  # -2*0.5*log2(0.5)
+    # flat patch -> degenerate limits
+    gf = _glcm_features(np.full((3, 3), 0.4), np.ones((3, 3), dtype=bool))
+    assert gf["Coo_contrast"] == 0.0 and gf["Coo_energy"] == 1.0
+    assert gf["Coo_correlation"] == 0.0
+
+    # Haar level-1 on one 2x2 block: lh=(tl-tr+bl-br)/2, hl=..., hh=...
+    p = np.array([[1.0, 2.0], [3.0, 5.0]])
+    lh = (1 - 2 + 3 - 5) / 2.0
+    hl = (1 + 2 - 3 - 5) / 2.0
+    hh = (1 - 2 - 3 + 5) / 2.0
+    e = _haar2d_energies(p, levels=2)
+    assert e[0] == lh * lh + hl * hl + hh * hh
+    # level 2 has no full 2x2 block left (1x1 LL) -> 0
+    assert e[1] == 0.0
+    # energy conservation on a random even-sized patch:
+    # total energy == LL energy + detail energy (orthonormal transform)
+    rng = np.random.RandomState(5)
+    q = rng.rand(6, 8)
+    h2, w2 = 3, 4
+    t = q.reshape(h2, 2, w2, 2)
+    ll = (t[:, 0, :, 0] + t[:, 0, :, 1] + t[:, 1, :, 0] + t[:, 1, :, 1]) / 2.0
+    details = _haar2d_energies(q, levels=1)[0]
+    assert np.isclose((q ** 2).sum(), (ll ** 2).sum() + details)
