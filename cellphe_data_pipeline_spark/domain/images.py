@@ -77,18 +77,117 @@ def make_fake_image(seed: int, height: int = 32, width: int = 32, n_frames: int 
     return header + zlib.compress(frames.tobytes())
 
 
+def _decode_tiff_baseline(content: bytes) -> list[np.ndarray] | None:
+    """Minimal pure-numpy TIFF 6.0 baseline reader: II/MM byte order,
+    UNCOMPRESSED single-sample (grayscale) strips, 8- or 16-bit, multi-
+    page via the IFD chain. Returns None if `content` is not TIFF;
+    raises ValueError on TIFF variants beyond the baseline (compressed,
+    tiled, multi-sample) — those need the Pillow/tifffile path."""
+    import struct
+
+    if content[:2] == b"II":
+        e = "<"
+    elif content[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", content[2:4])[0] != 42:
+        return None
+
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+
+    def read_tag_values(tag_bytes: bytes) -> tuple[int, list[int]]:
+        tag, typ, cnt = struct.unpack(e + "HHI", tag_bytes[:8])
+        if typ not in type_size:
+            return tag, []
+        total = type_size[typ] * cnt
+        if total <= 4:
+            raw = tag_bytes[8 : 8 + total]
+        else:
+            off = struct.unpack(e + "I", tag_bytes[8:12])[0]
+            raw = content[off : off + total]
+        return tag, list(struct.unpack(e + str(cnt) + type_fmt[typ], raw))
+
+    frames: list[np.ndarray] = []
+    off = struct.unpack(e + "I", content[4:8])[0]
+    while off:
+        n = struct.unpack(e + "H", content[off : off + 2])[0]
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            tag, vals = read_tag_values(content[off + 2 + 12 * i : off + 14 + 12 * i])
+            tags[tag] = vals
+        width = tags[256][0]
+        height = tags[257][0]
+        bits = tags.get(258, [8])[0]
+        compression = tags.get(259, [1])[0]
+        samples = tags.get(277, [1])[0]
+        if compression != 1 or samples != 1 or bits not in (8, 16):
+            raise ValueError(
+                "TIFF beyond uncompressed-grayscale baseline "
+                f"(compression={compression}, samples={samples}, bits={bits}): "
+                "install Pillow or tifffile for full coverage"
+            )
+        data = b"".join(
+            content[o : o + c]
+            for o, c in zip(tags[273], tags[279])
+        )
+        dt = np.dtype(("<" if e == "<" else ">") + ("u1" if bits == 8 else "u2"))
+        frames.append(np.frombuffer(data, dtype=dt).reshape(height, width))
+        off = struct.unpack(
+            e + "I", content[off + 2 + 12 * n : off + 6 + 12 * n]
+        )[0]
+    return frames
+
+
 def decode_frame(content: bytes) -> list[np.ndarray]:
-    """Codec boundary. Real TIFF/JPEG decode requires Pillow/tifffile —
-    unavailable in this container — so only the FAKE1 container decodes;
-    anything else raises. Swap this single function for a real codec in
-    production; nothing else changes."""
+    """Codec boundary — ONE function to swap for production codecs;
+    nothing else in the engine changes. Resolution order:
+
+    1. FAKE1 container (deterministic test payloads);
+    2. import-guarded tifffile, then Pillow, if installed (full
+       TIFF/JPEG coverage — absent from this container);
+    3. pure-numpy TIFF 6.0 baseline reader (uncompressed grayscale
+       strips, 8/16-bit, multi-page) — real container-format parsing
+       with no third-party dependency;
+    4. otherwise NotImplementedError naming the missing codec.
+    """
     if content[:5] == FAKE_MAGIC:
         h, w, n = np.frombuffer(content[5:17], dtype="<u4")
         raw = zlib.decompress(content[17:])
         return list(np.frombuffer(raw, dtype=np.uint8).reshape(int(n), int(h), int(w)))
+    import io as _io
+
+    try:
+        import tifffile  # type: ignore
+    except ImportError:
+        tifffile = None
+    if tifffile is not None:
+        try:
+            with tifffile.TiffFile(_io.BytesIO(content)) as tf:
+                return [np.asarray(p.asarray()) for p in tf.pages]
+        except Exception:
+            pass  # not a TIFF (e.g. JPEG) — try the next codec
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    if Image is not None:
+        try:
+            img = Image.open(_io.BytesIO(content))
+            out = []
+            for i in range(getattr(img, "n_frames", 1)):
+                img.seek(i)
+                out.append(np.asarray(img))
+            return out
+        except Exception:
+            pass
+    tiff = _decode_tiff_baseline(content)
+    if tiff is not None:
+        return tiff
     raise NotImplementedError(
-        "real image codecs (TIFF/JPEG) are not available in this container; "
-        "replace decode_frame with a Pillow/tifffile-backed codec"
+        "no codec for this payload: not a FAKE1/baseline-TIFF container "
+        "and neither tifffile nor Pillow is installed"
     )
 
 

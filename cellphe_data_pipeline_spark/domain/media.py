@@ -63,16 +63,67 @@ def make_fake_audio(seed: int, n_samples: int = 16000, sample_rate: int = 16000)
     return header + zlib.compress(pcm.tobytes())
 
 
+def _decode_wav_pcm16(content: bytes) -> tuple[int, np.ndarray] | None:
+    """Minimal pure-numpy RIFF/WAVE reader: PCM (format 1), 16-bit,
+    first channel of N. Returns None if not RIFF/WAVE; raises ValueError
+    on non-PCM16 variants (those need the soundfile path)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, rate, n_ch, bits = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"WAV beyond PCM16 baseline (format={fmt}, bits={bits}): "
+                    "install soundfile for full coverage"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            pcm = np.frombuffer(body[: len(body) - len(body) % 2], dtype="<i2")
+            if n_ch and n_ch > 1:
+                pcm = pcm[::n_ch]  # first channel
+            return int(rate), pcm
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("WAV file has no data chunk")
+
+
 def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
-    """Codec boundary: (sample_rate, int16 samples). Only the FAKA1
-    container decodes here; real formats need soundfile/ffmpeg."""
+    """Codec boundary: (sample_rate, int16 samples) — swap THIS function
+    for production codecs. Resolution order: FAKA1 test container;
+    import-guarded soundfile if installed (full format coverage — absent
+    from this container); pure-numpy RIFF/WAV PCM16 baseline; otherwise
+    NotImplementedError naming the missing codec."""
     if content[:5] == AUDIO_MAGIC:
         rate, n = np.frombuffer(content[5:13], dtype="<u4")
         pcm = np.frombuffer(zlib.decompress(content[13:]), dtype="<i2")[: int(n)]
         return int(rate), pcm
+    try:
+        import soundfile  # type: ignore
+    except ImportError:
+        soundfile = None
+    if soundfile is not None:
+        try:
+            import io as _io
+
+            data, rate = soundfile.read(_io.BytesIO(content), dtype="int16")
+            if data.ndim > 1:
+                data = data[:, 0]
+            return int(rate), np.asarray(data, dtype="<i2")
+        except Exception:
+            pass  # not a soundfile-readable payload — try the baseline
+    wav = _decode_wav_pcm16(content)
+    if wav is not None:
+        return wav
     raise NotImplementedError(
-        "real audio codecs are not available in this container; replace "
-        "decode_audio with a soundfile/ffmpeg-backed codec"
+        "no codec for this payload: not a FAKA1/RIFF-PCM16 container "
+        "and soundfile is not installed"
     )
 
 

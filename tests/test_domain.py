@@ -517,3 +517,120 @@ def test_glcm_and_haar2d_features_numpy_oracle():
     ll = (t[:, 0, :, 0] + t[:, 0, :, 1] + t[:, 1, :, 0] + t[:, 1, :, 1]) / 2.0
     details = _haar2d_energies(q, levels=1)[0]
     assert np.isclose((q ** 2).sum(), (ll ** 2).sum() + details)
+
+
+def _build_tiff_2page(pages) -> bytes:
+    """Byte-build a little-endian uncompressed grayscale multi-page TIFF
+    (TIFF 6.0 baseline) — no imaging library involved."""
+    import struct
+
+    def ifd(img, data_off, ifd_off, next_ifd):
+        h, w = img.shape
+        bits = 8 if img.dtype == np.uint8 else 16
+        tags = [
+            (256, 4, 1, w),              # ImageWidth
+            (257, 4, 1, h),              # ImageLength
+            (258, 3, 1, bits),           # BitsPerSample
+            (259, 3, 1, 1),              # Compression = none
+            (262, 3, 1, 1),              # Photometric = BlackIsZero
+            (273, 4, 1, data_off),       # StripOffsets
+            (277, 3, 1, 1),              # SamplesPerPixel
+            (278, 4, 1, h),              # RowsPerStrip
+            (279, 4, 1, img.nbytes),     # StripByteCounts
+        ]
+        out = struct.pack("<H", len(tags))
+        for tag, typ, cnt, val in tags:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", next_ifd)
+        return out
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    # layout: header | ifd0 | ifd1 | data0 | data1
+    ifd_size = 2 + 9 * 12 + 4
+    ifd0_off, ifd1_off = 8, 8 + ifd_size
+    data0_off = ifd1_off + ifd_size
+    data1_off = data0_off + pages[0].nbytes
+    return (
+        header
+        + ifd(pages[0], data0_off, ifd0_off, ifd1_off)
+        + ifd(pages[1], data1_off, ifd1_off, 0)
+        + pages[0].tobytes()
+        + pages[1].tobytes()
+    )
+
+
+def test_decode_frame_real_tiff_container(spark):
+    """The codec boundary decodes a REAL (byte-built, spec-conformant)
+    2-page uncompressed TIFF — both directly and through the Spark
+    split_frames path."""
+    from cellphe_data_pipeline_spark.domain.images import decode_frame, split_frames
+
+    rng = np.random.RandomState(9)
+    p0 = rng.randint(0, 255, size=(6, 5), dtype=np.uint8)
+    p1 = rng.randint(0, 255, size=(6, 5), dtype=np.uint8)
+    tiff = _build_tiff_2page([p0, p1])
+
+    frames = decode_frame(tiff)
+    assert len(frames) == 2
+    assert (frames[0] == p0).all() and (frames[1] == p1).all()
+
+    df = spark.createDataFrame(
+        [("real.tiff", bytearray(tiff))], "path string, content binary"
+    )
+    rows = {r["frame_index"]: r for r in split_frames(df).collect()}
+    assert sorted(rows) == [0, 1]
+    assert rows[0]["height"] == 6 and rows[0]["width"] == 5
+    got0 = np.frombuffer(rows[0]["data"], dtype=np.uint8).reshape(6, 5)
+    assert (got0 == p0).all()
+
+
+def test_decode_frame_16bit_tiff():
+    from cellphe_data_pipeline_spark.domain.images import decode_frame
+
+    rng = np.random.RandomState(4)
+    p = rng.randint(0, 65535, size=(4, 3)).astype("<u2")
+    tiff = _build_tiff_2page([p, p])
+    frames = decode_frame(tiff)
+    assert frames[0].dtype.itemsize == 2
+    assert (frames[0] == p).all()
+
+
+def test_decode_frame_unknown_payload_raises():
+    import pytest
+    from cellphe_data_pipeline_spark.domain.images import decode_frame
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_frame(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+def test_decode_frame_library_path():
+    """Exercised only where tifffile/Pillow exist (absent here)."""
+    import pytest
+
+    pytest.importorskip("tifffile")
+
+
+def test_decode_audio_real_wav():
+    """RIFF/WAVE PCM16 decodes through the audio codec boundary."""
+    import struct
+    from cellphe_data_pipeline_spark.domain.media import decode_audio
+
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-3000, 3000, size=500).astype("<i2")
+    rate = 8000
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", pcm.nbytes) + pcm.tobytes()
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    got_rate, got = decode_audio(wav)
+    assert got_rate == rate
+    assert (got == pcm).all()
+    # stereo: first channel extracted
+    stereo = np.stack([pcm, -pcm], axis=1).astype("<i2")
+    fmt2 = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    body2 = b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+    body2 += b"data" + struct.pack("<I", stereo.nbytes) + stereo.tobytes()
+    wav2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WAVE" + body2
+    _, got2 = decode_audio(wav2)
+    assert (got2 == pcm).all()
