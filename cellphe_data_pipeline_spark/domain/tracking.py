@@ -8,7 +8,12 @@ hard part #5) is *same-shape, simplified* linking:
 
   - per consecutive frame pair, assign detections greedily by ascending
     centroid distance under ``linking_max_distance`` — the
-    NearestNeighbor tracker option of README.md:152-160;
+    NearestNeighbor tracker option of README.md:152-160; or, with
+    ``method="lap"``, by a per-frame-pair Hungarian assignment
+    (minimum total distance — TrackMate's frame-to-frame LAP step,
+    track_images.py:74-123) solved by scipy when installed, else the
+    built-in O(n^3) numpy Hungarian. Greedy stays the default (it is
+    the documented oracle semantics);
   - gap closing: an unmatched track end may re-link ≤ ``max_frame_gap``
     frames later within ``gap_closing_max_distance``
     (ALLOW_GAP_CLOSING / MAX_FRAME_GAP=4 / GAP_CLOSING_MAX_DISTANCE,
@@ -45,11 +50,75 @@ EDGES_SCHEMA = T.StructType(
 )
 
 
+#: cost sentinel for forbidden (out-of-range) assignment pairs
+_LAP_BIG = 1e12
+
+
+def _hungarian(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-cost assignment. Prefers scipy's Jonker-Volgenant solver
+    when installed; otherwise the classic O(n^3) potentials + shortest-
+    augmenting-path Hungarian (square-padded with a constant, which
+    preserves the optimum over the real cells)."""
+    try:
+        from scipy.optimize import linear_sum_assignment  # type: ignore
+
+        return linear_sum_assignment(cost)
+    except ImportError:
+        pass
+    n_rows, n_cols = cost.shape
+    n = max(n_rows, n_cols)
+    a = np.zeros((n, n))
+    a[:n_rows, :n_cols] = cost
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (n + 1)
+    p = [0] * (n + 1)  # p[j] = row matched to column j (1-indexed)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = a[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    rows, cols = [], []
+    for j in range(1, n + 1):
+        if p[j] <= n_rows and j <= n_cols:
+            rows.append(p[j] - 1)
+            cols.append(j - 1)
+    order = np.argsort(rows)
+    return np.array(rows)[order], np.array(cols)[order]
+
+
 def _link_one(
     pdf: pd.DataFrame,
     linking_max_distance: float,
     max_frame_gap: int,
     gap_closing_max_distance: float,
+    method: str = "greedy",
 ) -> pd.DataFrame:
     frames = sorted(pdf["frame"].unique())
     by_frame = {
@@ -72,16 +141,40 @@ def _link_one(
                 d = float(np.hypot(det[1] - ex, det[2] - ey))
                 if d <= limit:
                     cands.append((d, int(src), int(det[0]), gap))
-        cands.sort()  # greedy by (distance, src, dst) — deterministic
-        used_src: set[int] = set()
-        used_dst: set[int] = set()
-        for d, src, dst, gap in cands:
-            if src in used_src or dst in used_dst:
-                continue
-            used_src.add(src)
-            used_dst.add(dst)
-            edges.append((src, dst, gap, d))
-            open_ends.pop(src, None)  # the end moved forward to dst
+        if method == "lap" and cands:
+            # Hungarian per frame: minimise TOTAL link distance instead
+            # of taking locally-shortest links first. Forbidden pairs
+            # (outside the window) carry the _LAP_BIG sentinel and are
+            # dropped from the solution afterwards, so non-assignment
+            # stays allowed exactly as in greedy mode.
+            srcs = sorted({s for _, s, _, _ in cands})
+            dsts = sorted({t for _, _, t, _ in cands})
+            s_ix = {s: i for i, s in enumerate(srcs)}
+            d_ix = {t: i for i, t in enumerate(dsts)}
+            cost = np.full((len(srcs), len(dsts)), _LAP_BIG)
+            meta: dict[tuple[int, int], tuple[float, int]] = {}
+            for d, s, t, gap in cands:
+                if d < cost[s_ix[s], d_ix[t]]:
+                    cost[s_ix[s], d_ix[t]] = d
+                    meta[(s_ix[s], d_ix[t])] = (d, gap)
+            for r, c in zip(*_hungarian(cost)):
+                if cost[r, c] >= _LAP_BIG:
+                    continue
+                d, gap = meta[(r, c)]
+                src, dst = srcs[r], dsts[c]
+                edges.append((src, dst, gap, d))
+                open_ends.pop(src, None)
+        else:
+            cands.sort()  # greedy by (distance, src, dst) — deterministic
+            used_src: set[int] = set()
+            used_dst: set[int] = set()
+            for d, src, dst, gap in cands:
+                if src in used_src or dst in used_dst:
+                    continue
+                used_src.add(src)
+                used_dst.add(dst)
+                edges.append((src, dst, gap, d))
+                open_ends.pop(src, None)  # the end moved forward to dst
         # every detection of this frame is now an open end (matched ones
         # continue their track under the new spot id; unmatched ones
         # start prospective tracks); ends past the gap window expire
@@ -104,13 +197,18 @@ def track_detections(
     linking_max_distance: float = 70.0,
     max_frame_gap: int = 4,
     gap_closing_max_distance: float = 90.0,
+    method: str = "greedy",
 ) -> DataFrame:
     """M3: link per-frame detections into track edges.
 
     `detections`: (timelapse_id, id, frame, x, y) — id unique per
     timelapse. Returns EDGES_SCHEMA rows (src, dst spot ids + the gap
-    length and link distance for QC).
-    """
+    length and link distance for QC). ``method``: "greedy" (default,
+    the documented oracle semantics) or "lap" (per-frame-pair Hungarian
+    minimum-total-distance assignment)."""
+
+    if method not in ("greedy", "lap"):
+        raise ValueError(f"method must be 'greedy' or 'lap', got {method!r}")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _link_one(
@@ -118,6 +216,7 @@ def track_detections(
             linking_max_distance,
             max_frame_gap,
             gap_closing_max_distance,
+            method,
         )
 
     return (

@@ -634,3 +634,80 @@ def test_decode_audio_real_wav():
     wav2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WAVE" + body2
     _, got2 = decode_audio(wav2)
     assert (got2 == pcm).all()
+
+
+def test_tracking_lap_beats_greedy_on_crossing(spark):
+    """A=(0,0), B=(6,0) then detections C=(5,0), D=(11,0) with
+    linking_max_distance=10: greedy grabs B->C (dist 1) and strands A
+    (A->D = 11 > limit); LAP assigns A->C, B->D (total 10, both ends
+    linked) — the per-frame-pair Hungarian improvement TrackMate's LAP
+    step makes (track_images.py:74-123)."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    dets = spark.createDataFrame(
+        [
+            ("tl", 1, 0, 0.0, 0.0),   # A
+            ("tl", 2, 0, 6.0, 0.0),   # B
+            ("tl", 3, 1, 5.0, 0.0),   # C
+            ("tl", 4, 1, 11.0, 0.0),  # D
+        ],
+        "timelapse_id string, id int, frame int, x double, y double",
+    )
+    kw = dict(linking_max_distance=10.0, max_frame_gap=0, gap_closing_max_distance=10.0)
+    greedy = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    lap = {(r["src"], r["dst"]) for r in track_detections(dets, method="lap", **kw).collect()}
+    assert greedy == {(2, 3)}
+    assert lap == {(1, 3), (2, 4)}
+
+
+def test_hungarian_matches_brute_force():
+    import itertools
+    from cellphe_data_pipeline_spark.domain.tracking import _hungarian
+
+    rng = np.random.RandomState(13)
+    for n, m in [(3, 3), (4, 6), (6, 4), (1, 5)]:
+        cost = rng.rand(n, m) * 10
+        rows, cols = _hungarian(cost)
+        got = cost[rows, cols].sum()
+        k = min(n, m)
+        best = min(
+            sum(cost[r, c] for r, c in zip(rs, cs))
+            for rs in itertools.permutations(range(n), k)
+            for cs in itertools.permutations(range(m), k)
+        )
+        assert np.isclose(got, best), (n, m, got, best)
+        assert len(rows) == k
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    """VERDICT r2 #9: the 24-column 1-indexed trackmate_features export
+    written through the S6 CSV sink and re-ingested with the S6 source
+    must come back schema- and value-identical (parse_xml.py:170-200
+    contract: the published CSV is a faithful edge)."""
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+    from cellphe_data_pipeline_spark.domain.trackmate import (
+        export_trackmate_features,
+        parse_trackmate_edges,
+        parse_trackmate_spots,
+    )
+    from cellphe_data_pipeline_spark.sources.io import read_csv, write_csv
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    xml = trackmate_df(spark)
+    spots = parse_trackmate_spots(xml)
+    edges = parse_trackmate_edges(xml)
+    tracks = renumber_tracks(spots.select("ID", "FRAME"), edges.select("src", "dst"))
+    out = export_trackmate_features(spots, tracks)
+
+    path = str(tmp_path / "trackmate_features_csv")
+    write_csv(out, path)
+    back = read_csv(spark, path, out.schema)
+
+    # names + types must survive the edge; CSV has no nullability notion
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in out.schema.fields
+    ]
+    want = sorted(map(tuple, out.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    assert len(got) == 6  # every fixture spot exported exactly once
