@@ -379,6 +379,67 @@ def mask_to_pgm(masks: DataFrame) -> DataFrame:
     )
 
 
+def encode_png_gray16(img: np.ndarray) -> bytes:
+    """Encode a uint16 2-D array as a 16-bit grayscale PNG with nothing
+    but zlib + struct (PNG 1.2: signature, IHDR bit-depth 16 / color
+    type 0, one filter-0 byte per scanline, big-endian samples, IDAT,
+    IEND — each chunk CRC32'd over type+data). Dependency-free, so the
+    reference's uint16 PNG sink (segment_image.py:23) is matched
+    byte-format-for-byte-format, not approximated."""
+    import struct
+    import zlib as _zlib
+
+    h, w = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    rows = img.astype(">u2").tobytes()
+    stride = w * 2
+    raw = b"".join(
+        b"\x00" + rows[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def mask_to_png(masks: DataFrame) -> DataFrame:
+    """S11 exact form (segment_image.py:23 uint16 PNG sink): each label
+    mask as a 16-bit grayscale PNG via the dependency-free encoder.
+    Pure per-row encode, no shuffle; the PGM variant stays for ImageJ
+    streams that prefer it."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                blobs.append(encode_png_gray16(m))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "frame_index": pdf["frame_index"],
+                    "png": blobs,
+                }
+            )
+
+    return masks.mapInPandas(
+        enc, "path string, frame_index int, png binary"
+    )
+
+
 CENTROID_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

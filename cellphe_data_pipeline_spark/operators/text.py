@@ -178,3 +178,56 @@ def chunk_documents(
         start.cast("bigint").alias("chunk_start"),
         F.substring(F.col("_t"), start + 1, size).alias("chunk_text"),
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals — the Gopher-style quality
+    gates a curation pipeline filters on (Rae et al. 2021 §A1.1):
+    duplicate-line fraction and top-bigram fraction. Line/token passes
+    are codegen expressions; the top-bigram mode needs a per-(doc,
+    bigram) count — one explode + two map-side-combinable groupBys on
+    (doc_id, bigram), the same single-logical-shuffle shape as the
+    shingle pipeline (dedup.py), so it scales with token volume, not
+    vocabulary."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            F.round(F.lit(1.0) - n_uniq.cast("double") / n_lines, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ").alias("_toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(_toks)-2),"
+                    " i -> concat(_toks[i], ' ', _toks[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+    return (
+        base.drop("_toks")
+        .join(top, "doc_id", "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )

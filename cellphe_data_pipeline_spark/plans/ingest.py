@@ -95,7 +95,13 @@ def resolve_input(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     comps = binaries.filter(F.col("kind") == "ome_companion").select(
         F.col("content").cast("string").alias("xml")
     )
-    has_companion = comps.limit(1).count() > 0
+    # Branch dispatch is a deliberate plan-build action (isEmpty = scan
+    # until first match, the minimal probe). A lazy union-of-branches was
+    # considered and rejected: the no-companion branch's scale-safe
+    # numbering pass runs real jobs when constructed, so building BOTH
+    # branches would do strictly more work than this one probe — and the
+    # reference's channel branch (main.nf:425-452) is likewise decided
+    # at wiring time.
     return canonical_frames(
-        binaries, companions=comps if has_companion else None
+        binaries, companions=None if comps.isEmpty() else comps
     )

@@ -1903,6 +1903,49 @@ def t5(spark, sf_dir):
 
 
 @register(
+    "t6_repetition",
+    r"""
+    WITH lf AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN ROUND(1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(trim(x)) > 0) AS ls
+            FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+      FROM toks,
+           UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1)
+                       ELSE [] END) AS g(i)
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bt AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+           FROM bc GROUP BY doc_id)
+    SELECT lf.doc_id, n_lines, dup_line_frac,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM lf LEFT JOIN bt ON lf.doc_id = bt.doc_id
+    """,
+)
+def t6(spark, sf_dir):
+    """Within-document repetition signals (text.py `repetition_features`):
+    Gopher-style duplicate-line and top-bigram fractions — the curation
+    gates that catch boilerplate/spam documents exact-dedup misses."""
+    from cellphe_data_pipeline_spark.operators.text import repetition_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_features(d)
+
+
+@register(
     "c1_corpus_curation",
     r"""
     WITH q AS (

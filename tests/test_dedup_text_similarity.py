@@ -194,3 +194,30 @@ def test_chunking_validates_args(spark):
         chunk_documents(docs, size=50, overlap=60)
     with pytest.raises(ValueError, match="size > overlap"):
         chunk_documents(docs, size=50, overlap=-1)
+
+
+def test_repetition_features_hand_computed(spark):
+    from cellphe_data_pipeline_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 distinct -> dup_line_frac = 0.5;
+            # bigrams of "a b a b a b": "a b" x3, "b a" x2 -> top 3/5
+            (1, "a b a b\n\na b a b\nx y\nx y"),
+            (2, "unique line one\nunique line two"),
+            (3, "single"),          # no bigrams -> 0.0
+            (4, ""),                # empty -> all zero
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5
+    # doc1 tokens: a b a b a b a b x y x y -> "a b" appears 4x... recompute:
+    # text flattened: 'a b a b a b a b x y x y' (12 tokens, 11 bigrams)
+    # 'a b' x4, 'b a' x3, 'b x' 1, 'x y' x2, 'y x' 1 -> top 4/11
+    assert got[1]["top_bigram_frac"] == round(4 / 11, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["n_lines"] == 1
+    assert got[4]["n_lines"] == 0
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0

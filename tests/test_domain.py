@@ -711,3 +711,45 @@ def test_export_csv_roundtrip(spark, tmp_path):
     got = sorted(map(tuple, back.collect()))
     assert got == want
     assert len(got) == 6  # every fixture spot exported exactly once
+
+
+def test_mask_png_sink_roundtrip(spark):
+    """S11 exact form: the dependency-free 16-bit grayscale PNG is
+    spec-conformant — verified by parsing it back with an independent
+    minimal reader (signature, IHDR fields, chunk CRCs, filter-0
+    scanlines) and comparing pixels."""
+    import struct
+    import zlib
+    from cellphe_data_pipeline_spark.domain.images import mask_to_png, segment_frames
+
+    bins = spark.createDataFrame(
+        [("p.fake", bytearray(make_fake_image(seed=6, height=16, width=16, n_frames=2)))],
+        "path string, content binary",
+    )
+    masks = {r["frame_index"]: r for r in segment_frames(split_frames(bins)).collect()}
+    pngs = {r["frame_index"]: bytes(r["png"]) for r in mask_to_png(segment_frames(split_frames(bins))).collect()}
+    assert sorted(pngs) == [0, 1]
+
+    for fi, blob in pngs.items():
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, chunks = 8, {}
+        while pos < len(blob):
+            (size,) = struct.unpack(">I", blob[pos : pos + 4])
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + size]
+            (crc,) = struct.unpack(">I", blob[pos + 8 + size : pos + 12 + size])
+            assert crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF), ctype
+            chunks[ctype] = chunks.get(ctype, b"") + data
+            pos += 12 + size
+        w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", chunks[b"IHDR"])
+        assert (w, h, depth, ctyp, comp, filt, inter) == (16, 16, 16, 0, 0, 0, 0)
+        raw = zlib.decompress(chunks[b"IDAT"])
+        stride = w * 2 + 1
+        assert len(raw) == h * stride
+        rows = []
+        for y in range(h):
+            assert raw[y * stride] == 0  # filter type 0
+            rows.append(np.frombuffer(raw[y * stride + 1 : (y + 1) * stride], dtype=">u2"))
+        got = np.stack(rows)
+        want = np.frombuffer(masks[fi]["mask"], dtype=np.uint16).reshape(16, 16)
+        assert (got == want).all()
