@@ -51,8 +51,18 @@ STATIC_FEATURE_NAMES = (
     "Int_std",
     "Int_min",
     "Int_max",
+    "Int_q10",
     "Int_q25",
+    "Int_q50",
     "Int_q75",
+    "Int_q90",
+    # principal-axis shape block: Len/Wid are 4*sqrt(eigenvalue) of the
+    # coords covariance (the CellPhe length/width pair), Sphericity
+    # their bounded ratio, A2B the area-to-boundary ratio
+    "Len",
+    "Wid",
+    "Sphericity",
+    "A2B",
     # cooccurrence (GLCM) texture over the cell's quantised pixels —
     # the CellPhe "Coo" block (Wiseman 2023; frame_features_image.py:2)
     "Coo_contrast",
@@ -196,11 +206,26 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
         "Int_std": float(vals.std()),
         "Int_min": float(vals.min()),
         "Int_max": float(vals.max()),
+        "Int_q10": float(np.quantile(vals, 0.10)),
         "Int_q25": float(np.quantile(vals, 0.25)),
+        "Int_q50": float(np.quantile(vals, 0.50)),
         "Int_q75": float(np.quantile(vals, 0.75)),
+        "Int_q90": float(np.quantile(vals, 0.90)),
         "Haar2d_l1": haar[0],
         "Haar2d_l2": haar[1],
     }
+    # principal axes of the point cloud: eigen-decomposition of the 2x2
+    # coordinate covariance; 4*sqrt(eig) spans ±2 std — the standard
+    # ellipse-equivalent length/width
+    pts = np.stack([xs, ys], axis=1).astype("float64")
+    cov = np.cov(pts.T, bias=True)
+    eig = np.sort(np.linalg.eigvalsh(cov))
+    length = 4.0 * float(np.sqrt(max(eig[1], 0.0)))
+    width = 4.0 * float(np.sqrt(max(eig[0], 0.0)))
+    feats["Len"] = length
+    feats["Wid"] = width
+    feats["Sphericity"] = width / length if length > 0 else 1.0
+    feats["A2B"] = feats["Area"] / feats["Boundary_len"]
     feats.update(_glcm_features(patch, inmask))
     return feats
 

@@ -1482,20 +1482,27 @@ def a5b(spark, sf_dir):
            CAST(v12 AS DOUBLE) AS Int_std,
            CAST(v13 AS DOUBLE) AS Int_min,
            CAST(v14 AS DOUBLE) AS Int_max,
-           CAST(v15 AS DOUBLE) AS Int_q25,
-           CAST(v16 AS DOUBLE) AS Int_q75,
-           CAST(v17 AS DOUBLE) AS Coo_contrast,
-           CAST(v18 AS DOUBLE) AS Coo_homogeneity,
-           CAST(v19 AS DOUBLE) AS Coo_energy,
-           CAST(v20 AS DOUBLE) AS Coo_correlation,
-           CAST(v21 AS DOUBLE) AS Coo_entropy,
-           CAST(v22 AS DOUBLE) AS Haar2d_l1,
-           CAST(v23 AS DOUBLE) AS Haar2d_l2
+           CAST(v15 AS DOUBLE) AS Int_q10,
+           CAST(v16 AS DOUBLE) AS Int_q25,
+           CAST(v17 AS DOUBLE) AS Int_q50,
+           CAST(v18 AS DOUBLE) AS Int_q75,
+           CAST(v19 AS DOUBLE) AS Int_q90,
+           CAST(v20 AS DOUBLE) AS Len,
+           CAST(v21 AS DOUBLE) AS Wid,
+           CAST(v22 AS DOUBLE) AS Sphericity,
+           CAST(v23 AS DOUBLE) AS A2B,
+           CAST(v24 AS DOUBLE) AS Coo_contrast,
+           CAST(v25 AS DOUBLE) AS Coo_homogeneity,
+           CAST(v26 AS DOUBLE) AS Coo_energy,
+           CAST(v27 AS DOUBLE) AS Coo_correlation,
+           CAST(v28 AS DOUBLE) AS Coo_entropy,
+           CAST(v29 AS DOUBLE) AS Haar2d_l1,
+           CAST(v30 AS DOUBLE) AS Haar2d_l2
     FROM (VALUES
-      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.13834, 0.537549, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296),
-      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.29249, 0.600791, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0),
-      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.310039, 0.669291, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449)
-    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23)
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449)
+    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30)
     """,
 )
 def m4(spark, sf_dir):

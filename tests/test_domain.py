@@ -753,3 +753,22 @@ def test_mask_png_sink_roundtrip(spark):
         got = np.stack(rows)
         want = np.frombuffer(masks[fi]["mask"], dtype=np.uint16).reshape(16, 16)
         assert (got == want).all()
+
+
+def test_shape_block_numpy_oracle():
+    """Len/Wid/Sphericity/A2B on an axis-aligned 8x2 point rectangle:
+    covariance is diagonal with known variances, so the principal-axis
+    extents are closed-form."""
+    from cellphe_data_pipeline_spark.domain.features import _cell_features
+
+    img = np.full((20, 20), 0.5)
+    coords = np.array([(x, y) for x in range(2, 10) for y in range(5, 7)], dtype="int64")
+    f = _cell_features(img, coords)
+    var_x = np.var(np.arange(2, 10).repeat(2))
+    var_y = np.var(np.tile(np.arange(5, 7), 8))
+    assert math.isclose(f["Len"], 4 * math.sqrt(var_x), rel_tol=1e-12)
+    assert math.isclose(f["Wid"], 4 * math.sqrt(var_y), rel_tol=1e-12)
+    assert math.isclose(f["Sphericity"], f["Wid"] / f["Len"], rel_tol=1e-12)
+    assert f["A2B"] == f["Area"] / f["Boundary_len"] == 1.0  # filled ROI
+    # decile quantiles present and ordered on a flat image
+    assert f["Int_q10"] == f["Int_q50"] == f["Int_q90"] == 0.5
