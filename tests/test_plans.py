@@ -84,3 +84,20 @@ def test_topk_is_take_ordered(spark, sf_dir):
     p = plan(REGISTRY["o5_topk"].fn(spark, sf_dir), mode="simple")
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p
+
+
+def test_global_numbering_has_no_single_partition_window(spark, sf_dir):
+    """Regression guard for the round-3 scale fix: the numbering queries
+    (w4/o1) must contain NO WindowExec at all — the two-pass partition-
+    offset form replaces the single-partition global window."""
+    import io
+    from contextlib import redirect_stdout
+    import __spark_entry__ as m
+
+    for name in ("w4_natsort_row_number", "o1_multikey_sort_rank"):
+        df = m.queries()[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan, f"{name} regressed to a window plan:\n{plan}"
