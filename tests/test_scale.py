@@ -83,3 +83,32 @@ def test_salted_join_rejects_outer(spark):
     left2 = spark.createDataFrame([("a", 1), ("b", 9)], "key string, lv int")
     rows = sorted(map(tuple, salted_join(left2, right, "key", salt=4, how="left").collect()))
     assert rows == [("a", 1, 2), ("b", 9, None)]
+
+
+def test_global_row_number_properties(spark):
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
+    # empty input
+    empty = spark.createDataFrame([], "k int, v int")
+    assert global_row_number(empty, ["k"]).collect() == []
+
+    # tiny input, num_parts > rows
+    one = spark.createDataFrame([(5, 1), (2, 2)], "k int, v int")
+    got = {r["k"]: r["rn"] for r in global_row_number(one, ["k"], num_parts=8).collect()}
+    assert got == {2: 1, 5: 2}
+
+    # start offset
+    got = {r["k"]: r["rn"] for r in global_row_number(one, ["k"], start=100).collect()}
+    assert got == {2: 100, 5: 101}
+
+    # permutation property on a larger scrambled set: numbering is a
+    # bijection 1..N consistent with the total order
+    import random
+
+    rng = random.Random(3)
+    keys = list(range(2000))
+    rng.shuffle(keys)
+    df = spark.createDataFrame([(k, k % 7) for k in keys], "k int, grp int")
+    rows = global_row_number(df, ["k"], num_parts=5).collect()
+    assert sorted(r["rn"] for r in rows) == list(range(1, 2001))
+    assert all(r["rn"] == r["k"] + 1 for r in rows)
