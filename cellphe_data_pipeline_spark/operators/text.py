@@ -231,3 +231,45 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
         .join(top, "doc_id", "left")
         .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
     )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """Context-window sharding — assign documents (in deterministic
+    (stream, doc_id) order) to consecutive training shards by cumulative
+    token budget: ``shard_id = floor(preceding_tokens / budget)`` within
+    each stream. The SQL-expressible fixed-budget form of greedy
+    packing: a document belongs to the shard where its tokens START, so
+    a shard overflows by at most one document (the standard streaming-
+    packing contract).
+
+    Scale shape: ONE window shuffle partitioned by ``stream_col`` (the
+    natural packing unit — corpus source/domain); no global ordering
+    anywhere, so a million-source corpus keeps every reducer bounded by
+    its stream. Token counting is the BPE-ish codegen estimator."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stream_col).alias("stream"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumns(
+        {
+            "shard_id": F.floor(pre / budget_tokens).cast("bigint"),
+            "shard_start_tok": pre.cast("bigint"),
+        }
+    )

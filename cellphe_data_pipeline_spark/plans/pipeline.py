@@ -45,6 +45,7 @@ def run_pipeline(
     max_frame_gap: int = 4,
     gap_closing_max_distance: float = 20.0,
     cc_shuffle_partitions: int | None = None,
+    tracking_method: str = "greedy",
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -110,6 +111,7 @@ def run_pipeline(
         linking_max_distance=linking_max_distance,
         max_frame_gap=max_frame_gap,
         gap_closing_max_distance=gap_closing_max_distance,
+        method=tracking_method,
     )
     tracks = renumber_tracks(                            # G2-G4
         dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
@@ -194,6 +196,11 @@ def run_pipeline_from_config(
     binaries = scan_images(spark, input_path, glob=glob).select("path", "content")
     if not cfg["run"].get("segmentation", True):
         return {"binaries": binaries}
+    # reference's tracking.algorithm field (templates/cyto3.json:24,
+    # README.md:152-160): NearestNeighbor -> greedy frame-pair linking,
+    # the LAP* trackers -> per-frame-pair Hungarian assignment
+    algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
+    method = "lap" if "lap" in str(algo).lower() else "greedy"
     out = run_pipeline(
         binaries,
         qc=qc,
@@ -202,6 +209,7 @@ def run_pipeline_from_config(
             int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
         ),
         gap_closing_max_distance=float(tr["GAP_CLOSING_MAX_DISTANCE"]),
+        tracking_method=method,
     )
     if not cfg["run"].get("tracking", True):
         out = {k: out[k] for k in ("frames", "masks", "detections")}

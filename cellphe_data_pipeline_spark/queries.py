@@ -1910,6 +1910,39 @@ def t5(spark, sf_dir):
 
 
 @register(
+    "c3_token_budget_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source AS stream,
+             len(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM t
+    )
+    SELECT doc_id, stream, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(pre / 2048) AS BIGINT) AS shard_id,
+           CAST(pre AS BIGINT) AS shard_start_tok
+    FROM c
+    """,
+)
+def c3(spark, sf_dir):
+    """Context-window sharding (text.py `token_budget_shards`): docs in
+    (stream, doc_id) order assigned to consecutive training shards by
+    cumulative BPE-ish token budget — the fixed-budget form of greedy
+    packing, one window shuffle partitioned by stream."""
+    from cellphe_data_pipeline_spark.operators.text import token_budget_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_shards(d, budget_tokens=2048)
+
+
+@register(
     "t6_repetition",
     r"""
     WITH lf AS (

@@ -118,3 +118,24 @@ def test_pipeline_resumable(spark, tmp_path):
     out3 = run_pipeline_resumable(spark, bins, stage_dir, force=("spots",))
     assert out3["spots"].count() == n1
     assert os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS")) > mtime
+
+
+def test_config_algorithm_selects_lap(spark, tmp_path):
+    """tracking.algorithm config field maps to the tracker method:
+    LAP-family names use Hungarian linking, NearestNeighbor stays
+    greedy (templates/cyto3.json:24 contract)."""
+    import os
+    from cellphe_data_pipeline_spark.domain.images import make_fake_timelapse
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline_from_config
+
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    (d / "a.fake").write_bytes(make_fake_timelapse(seed=3, height=32, width=32, n_frames=4))
+    for algo in ("SparseLAPTracker", "NearestNeighbor"):
+        out = run_pipeline_from_config(
+            spark,
+            str(d),
+            {"tracking": {"algorithm": algo}},
+        )
+        # both methods track this easy fixture into the same non-empty edge set
+        assert out["track_edges"].count() > 0
