@@ -33,7 +33,7 @@ Scale design of ``density_self_join``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,4 +128,57 @@ def density_self_join(
             "left",
         )
         .withColumn("density", F.coalesce(F.col("density"), F.lit(0)))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """As-of join — for every LEFT row, the most recent STRICTLY PRIOR
+    RIGHT row with the same key. Spark has no native ASOF JOIN; the
+    sort-merge formulation here is the scale-correct composition:
+
+    union the two tagged streams, ONE window shuffle partitioned by key
+    ordered by (ts, tie, side), and carry the right side's columns
+    forward with ``last(..., ignorenulls=True)`` over the strictly-
+    preceding frame. Shuffle volume = |L| + |R| on the key — the same
+    cost as one equi-join, versus the naive theta-join
+    (L ⋈ R on key AND r.ts < l.ts, then argmax) which materialises
+    every historical pair. Left rows order AFTER right rows at equal
+    timestamps (side ordinal breaks the tie), so "strictly prior"
+    includes same-timestamp right rows — DuckDB ASOF (<=) semantics;
+    ``tie_col`` makes the ordering total when timestamps can collide.
+    """
+    order = [F.col(ts)] + ([F.col(tie_col)] if tie_col else []) + [F.col("_side")]
+    l = left.withColumn("_side", F.lit(1))
+    r = right.withColumn("_side", F.lit(0))
+    carried = {c: f"_r_{c}" for c in right_cols}
+    r = r.select(
+        key,
+        ts,
+        *([tie_col] if tie_col and tie_col in right.columns else []),
+        "_side",
+        *[F.col(c).alias(a) for c, a in carried.items()],
+    )
+    lcols = [c for c in left.columns if c != "_side"]
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(a, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c, a in carried.items()
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *[f"asof_{c}" for c in right_cols]
     )

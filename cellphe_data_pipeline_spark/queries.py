@@ -1824,6 +1824,54 @@ def j8(spark, sf_dir):
 
 
 @register(
+    "j9_asof_join",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, event_id AS click_id, 0 AS side
+      FROM events WHERE event_type = 'click'
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+      FROM u
+    )
+    SELECT user_id, ts, event_id AS purchase_id, prev_click_id
+    FROM f WHERE side = 1
+    """,
+)
+def j9(spark, sf_dir):
+    """As-of join (operators/joins.py `asof_join`): every purchase joined
+    to the user's most recent prior-or-simultaneous click. Spark has no
+    native ASOF JOIN; the union + single-key-window composition costs
+    one shuffle of |L|+|R| — never the naive historical theta join. The
+    oracle mirrors the identical window formulation (same ORDER BY), so
+    semantics are pinned, not approximated."""
+    from cellphe_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.col("event_id").alias("event_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["click_id"], tie_col="event_id",
+    )
+    return out.select(
+        "user_id", "ts", "purchase_id",
+        F.col("asof_click_id").alias("prev_click_id"),
+    )
+
+
+@register(
     "v4_probe_topk",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

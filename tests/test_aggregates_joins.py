@@ -239,3 +239,27 @@ def test_v3_golden_fixture_brute_force_oracle(spark):
         want = [(c, -negcos) for negcos, c in sims[:3]]
         have = [got[q][rk] for rk in (1, 2, 3)]
         assert have == want, f"vec {q}: {have} != {want}"
+
+
+def test_asof_join_semantics(spark):
+    """As-of: most recent prior-or-simultaneous right row per key;
+    no-match rows survive with nulls; later right rows never leak."""
+    from cellphe_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        "user bigint, t bigint, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "c1"), (1, 10, "c2"), (1, 15, "c3"), (2, 9, "c4")],
+        "user bigint, t bigint, cid string",
+    )
+    out = {
+        r["pid"]: (r["asof_cid"], r["asof_t"])
+        for r in asof_join(left, right, key="user", ts="t", right_cols=["cid", "t"]).collect()
+    }
+    assert out == {
+        "p1": ("c2", 10),   # same-ts right row included (<= semantics)
+        "p2": ("c3", 15),   # latest prior of several
+        "p3": (None, None), # right row at t=9 is AFTER t=5: no match
+    }
