@@ -848,6 +848,45 @@ def e1(spark, sf_dir):
     )
 
 
+@register(
+    "e2_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def e2(spark, sf_dir):
+    """Batch sessionization (the streaming session summary's batch twin):
+    per-user session ordinals split on >30 min inactivity gaps — lag +
+    running sum of session-start flags in ONE user-partitioned window
+    pass (integer microsecond arithmetic, bit-exact vs the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+
+
 # =====================================================================
 # Graph (G1-G4) — event-chain lineage per user
 # =====================================================================
