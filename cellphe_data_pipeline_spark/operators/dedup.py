@@ -24,7 +24,7 @@ reproducible in any ANSI-SQL engine (DuckDB oracle equality).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
@@ -222,4 +222,39 @@ def embedding_near_duplicates(
         .withColumn("cos_sim", F.round(dot / (F.col("a_norm") * F.col("b_norm")), 5))
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Near-dup pairs → transitive duplicate clusters → canonical pick.
+
+    The step every production dedup needs after pair detection: A~B and
+    B~C must collapse to ONE keep-doc even when A~C was never scored.
+    Runs the distributed alternating-star CC (operators/graph.py) over
+    the pair graph — component label = min doc id = the canonical doc —
+    then annotates cluster size with one component-partitioned window
+    (no join-back). Only docs that appear in some pair are emitted;
+    the keep-set semantics match the reference's unique-filter shape
+    (bin/qc.py analogue P6) applied post-closure.
+
+    Scale: the pair graph is tiny relative to the corpus (near-dups
+    only), and CC's shuffles are keyed on node ids — no driver state,
+    no broadcast. Output: (doc_id, cluster_id, is_canonical,
+    cluster_size).
+    """
+    from cellphe_data_pipeline_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    comps = connected_components(edges, "src", "dst", **cc_kwargs)
+    w = Window.partitionBy("component")
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

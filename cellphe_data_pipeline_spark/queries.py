@@ -2248,3 +2248,114 @@ def c2(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d, size=200, overlap=50)
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """d7 oracle: the full MinHash pipeline as a CTE, then transitive
+    closure via WITH RECURSIVE (fine at oracle scale — the pair graph is
+    tiny), labelling each doc with the min reachable doc id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """
+
+
+@register("d7_dedup_clusters", _dedup_clusters_oracle_sql())
+def d7(spark, sf_dir):
+    """Transitive dedup clustering: MinHash near-dup pairs (d3) →
+    connected components → canonical doc per cluster. The post-closure
+    step a real corpus dedup needs (A~B, B~C collapse to one keep even
+    when A~C was never scored); CC is the same distributed alternating-
+    star as g4, so the closure is shuffle-keyed, not driver-side."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d)
+    return dedup_clusters(pairs, loop_shuffle_partitions=2)
+
+
+@register(
+    "a10_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a10(spark, sf_dir):
+    """Pivot / cross-tab (SURVEY §2.4 beyond-reference surface): order
+    counts by priority × status. Explicit pivot values keep the plan
+    single-pass (no distinct-values pre-scan) and the output schema
+    static — the form that scales, since the pivoted agg is still one
+    partial-aggregated shuffle on the groupBy key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "w7_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w7(spark, sf_dir):
+    """Native session windows in batch mode (the streaming session
+    summary's groupBy twin, streaming/tracker.py:162): Spark's
+    session_window merges events whose [ts, ts+30min) extents overlap —
+    i.e. a NEW session starts when the gap is >= 30 min (strict
+    overlap), which the oracle mirrors with the >= flag. window.end is
+    last-event ts + gap by definition. One keyed shuffle; state size per
+    group is bounded by the session extent, same as streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
