@@ -74,6 +74,18 @@ STATIC_FEATURE_NAMES = (
     # wavelet texture block
     "Haar2d_l1",
     "Haar2d_l2",
+    # fill / convexity block: how much of each reference region the
+    # cell's pixels actually cover (box, ellipse, convex hull) plus the
+    # principal-axis eccentricity — the CellPhe Box/Rect/convexity
+    # analogues (Wiseman 2023)
+    "Box",
+    "Rect",
+    "Solidity",
+    "Hull_area",
+    "Eccentricity",
+    # first-order intensity distribution shape (FOskew/FOkurt analogue)
+    "Int_skew",
+    "Int_kurt",
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -174,6 +186,39 @@ def _haar2d_energies(patch: np.ndarray, levels: int = 2) -> list[float]:
     return out
 
 
+def _hull_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Convex hull area of the REGION covered by unit pixels centred at
+    (xs, ys): the hull is taken over each pixel's four corners
+    (x±0.5, y±0.5), so a filled w×h rectangle of pixels reports w·h —
+    making Solidity = Area/Hull_area exactly 1 for convex filled cells
+    instead of the pixel-count-vs-polygon-area mismatch a centre-point
+    hull gives. Monotone chain (pure numpy/python, no scipy) + shoelace.
+    """
+    cx = np.concatenate([xs - 0.5, xs - 0.5, xs + 0.5, xs + 0.5])
+    cy = np.concatenate([ys - 0.5, ys + 0.5, ys - 0.5, ys + 0.5])
+    pts = np.unique(np.stack([cx, cy], axis=1), axis=0)  # lexicographic sort
+    if len(pts) < 3:
+        return 0.0
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    x = np.array([p[0] for p in hull])
+    y = np.array([p[1] for p in hull])
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
 def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | None:
     """Feature kernel for one cell on a [0,1]-normalised image. Returns
     None for degenerate ROIs (reference RuntimeError→skip)."""
@@ -227,6 +272,29 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
     feats["Sphericity"] = width / length if length > 0 else 1.0
     feats["A2B"] = feats["Area"] / feats["Boundary_len"]
     feats.update(_glcm_features(patch, inmask))
+
+    # fill / convexity: pixel-count area against bbox, principal-axis
+    # ellipse-rect, and pixel-corner convex hull (Solidity=1 for convex
+    # filled cells by construction of _hull_area)
+    bbox_area = float(patch.shape[0] * patch.shape[1])
+    feats["Box"] = feats["Area"] / bbox_area
+    feats["Rect"] = feats["Area"] / (length * width) if length * width > 0 else 1.0
+    ux, uy = np.unique(np.stack([xs, ys], axis=1), axis=0).T
+    hull = _hull_area(ux.astype("float64"), uy.astype("float64"))
+    feats["Hull_area"] = hull
+    feats["Solidity"] = feats["Area"] / hull if hull > 0 else 1.0
+    feats["Eccentricity"] = (
+        float(np.sqrt(max(1.0 - (width / length) ** 2, 0.0))) if length > 0 else 0.0
+    )
+    # population skewness / excess kurtosis of the intensity sample
+    sd = float(vals.std())
+    if sd > 0:
+        z = (vals - vals.mean()) / sd
+        feats["Int_skew"] = float((z**3).mean())
+        feats["Int_kurt"] = float((z**4).mean() - 3.0)
+    else:
+        feats["Int_skew"] = 0.0
+        feats["Int_kurt"] = 0.0
     return feats
 
 

@@ -1536,12 +1536,19 @@ def a5b(spark, sf_dir):
            CAST(v27 AS DOUBLE) AS Coo_correlation,
            CAST(v28 AS DOUBLE) AS Coo_entropy,
            CAST(v29 AS DOUBLE) AS Haar2d_l1,
-           CAST(v30 AS DOUBLE) AS Haar2d_l2
+           CAST(v30 AS DOUBLE) AS Haar2d_l2,
+           CAST(v31 AS DOUBLE) AS Box,
+           CAST(v32 AS DOUBLE) AS Rect,
+           CAST(v33 AS DOUBLE) AS Solidity,
+           CAST(v34 AS DOUBLE) AS Hull_area,
+           CAST(v35 AS DOUBLE) AS Eccentricity,
+           CAST(v36 AS DOUBLE) AS Int_skew,
+           CAST(v37 AS DOUBLE) AS Int_kurt
     FROM (VALUES
-      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296),
-      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0),
-      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449)
-    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30)
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296, 1.0, 0.8, 1.0, 16.0, 0.0, 0.918581, -0.627754),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0, 0.833333, 0.90211, 0.909091, 5.5, 0.816497, -0.037601, -1.382315),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449, 1.0, 0.8, 1.0, 16.0, 0.0, 0.063732, -1.006618)
+    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
     """,
 )
 def m4(spark, sf_dir):

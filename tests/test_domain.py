@@ -772,3 +772,43 @@ def test_shape_block_numpy_oracle():
     assert f["A2B"] == f["Area"] / f["Boundary_len"] == 1.0  # filled ROI
     # decile quantiles present and ordered on a flat image
     assert f["Int_q10"] == f["Int_q50"] == f["Int_q90"] == 0.5
+
+
+def test_fill_block_numpy_oracle():
+    """Box/Rect/Solidity/Hull_area/Eccentricity/skew/kurt closed-form
+    checks on the same 8x2 filled rectangle (convex, axis-aligned) plus
+    an L-shape whose hull area is hand-computable."""
+    from cellphe_data_pipeline_spark.domain.features import _cell_features, _hull_area
+
+    img = np.full((20, 20), 0.5)
+    rect = np.array([(x, y) for x in range(2, 10) for y in range(5, 7)], dtype="int64")
+    f = _cell_features(img, rect)
+    assert f["Box"] == 1.0                      # fills its own bbox
+    assert f["Hull_area"] == 16.0               # pixel-corner hull = 8*2
+    assert f["Solidity"] == 1.0                 # convex filled => exactly 1
+    assert math.isclose(f["Rect"], f["Area"] / (f["Len"] * f["Wid"]), rel_tol=1e-12)
+    assert math.isclose(
+        f["Eccentricity"], math.sqrt(1 - (f["Wid"] / f["Len"]) ** 2), rel_tol=1e-12
+    )
+    assert f["Int_skew"] == f["Int_kurt"] == 0.0  # flat image => sd 0
+
+    # L-shape: 3x3 square minus its top-right 1x2 notch => 7 px.
+    # Pixel-corner hull = full 3x3 square (9) minus the cut triangle.
+    L = np.array(
+        [(x, y) for x in range(3) for y in range(3) if not (x == 2 and y < 2)],
+        dtype="int64",
+    )
+    f2 = _cell_features(img, L)
+    hull = _hull_area(L[:, 0].astype("float64"), L[:, 1].astype("float64"))
+    assert f2["Hull_area"] == hull
+    assert 0 < f2["Solidity"] < 1 and math.isclose(
+        f2["Solidity"], 7.0 / hull, rel_tol=1e-12
+    )
+    # skew/kurt against direct numpy on the sampled intensities
+    rng = np.random.RandomState(7)
+    img2 = rng.rand(20, 20)
+    f3 = _cell_features(img2, rect)
+    vals = img2[rect[:, 1], rect[:, 0]]
+    z = (vals - vals.mean()) / vals.std()
+    assert math.isclose(f3["Int_skew"], (z**3).mean(), rel_tol=1e-9)
+    assert math.isclose(f3["Int_kurt"], (z**4).mean() - 3, rel_tol=1e-9)
