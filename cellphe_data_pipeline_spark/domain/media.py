@@ -176,3 +176,79 @@ def window_features(windows: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return windows.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Video: temporal ops over the frame rows images.split_frames produces.
+# Container→frames is shared with S3/S4; what's video-SPECIFIC is the
+# temporal structure — consecutive-frame difference and shot (scene)
+# boundaries, the standard curation ops for video training data
+# (near-static clip removal, cut-aligned clip extraction).
+# ---------------------------------------------------------------------
+
+DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("diff_energy", T.DoubleType()),
+    ]
+)
+
+
+def frame_diff_energy(frames: DataFrame) -> DataFrame:
+    """Per-frame temporal difference: mean |pixel delta| vs the previous
+    frame of the same path, on [0,1]-scaled uint8 rasters; the first
+    frame of each path is NULL.
+
+    Shape: ONE path-keyed window shuffle pairs each frame with its
+    predecessor's bytes (F.lag on the binary column — the pairing stays
+    JVM-side), then a stateless Arrow-batched kernel does the numpy
+    subtraction per row. No per-path sequential barrier: a 2-hour video
+    diffs in parallel across all its frame rows, unlike a
+    groupBy(path).applyInPandas design which would serialise the whole
+    video through one task.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("path").orderBy("frame_index")
+    paired = frames.select(
+        "path",
+        "frame_index",
+        "data",
+        F.lag("data").over(w).alias("prev_data"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["prev_data"] is None:
+                    e = None
+                else:
+                    a = np.frombuffer(bytes(r["data"]), np.uint8).astype("float64")
+                    b = np.frombuffer(bytes(r["prev_data"]), np.uint8).astype("float64")
+                    e = float(np.abs(a - b).mean() / 255.0)
+                rows.append(
+                    {"path": r["path"], "frame_index": int(r["frame_index"]), "diff_energy": e}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DIFF_SCHEMA.fields])
+
+    return paired.mapInPandas(kernel, DIFF_SCHEMA)
+
+
+def scene_cuts(diffs: DataFrame, k: float = 1.5) -> DataFrame:
+    """Shot-boundary flag: a frame is a cut when its diff energy exceeds
+    k × its path's mean diff energy (unordered path window — native agg,
+    no join-back, same shape as A6). First frames (NULL diff) are never
+    cuts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("path")
+    return diffs.withColumn(
+        "is_cut",
+        F.when(F.col("diff_energy").isNull(), F.lit(False)).otherwise(
+            F.col("diff_energy") > k * F.avg("diff_energy").over(w)
+        ),
+    )

@@ -2366,3 +2366,32 @@ def w7(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "mm1_scene_cuts",
+    """
+    SELECT path, CAST(f AS INT) AS frame_index,
+           CAST(e AS DOUBLE) AS diff_energy, c AS is_cut
+    FROM (VALUES
+      ('vid11.fake', 0, NULL, false),
+      ('vid11.fake', 1, 0.014828, false),
+      ('vid11.fake', 2, 0.01368, false),
+      ('vid11.fake', 3, 0.314691, true),
+      ('vid11.fake', 4, 0.015732, false),
+      ('vid11.fake', 5, 0.014338, false)
+    ) AS t(path, f, e, c)
+    """,
+)
+def mm1(spark, sf_dir):
+    """Video temporal curation (multimodal extension): container →
+    frames (S3/S4 split) → consecutive-frame diff energy (binary-column
+    lag window + Arrow kernel, media.py `frame_diff_energy`) → shot
+    boundary flag at 1.5× the path's mean diff (native unordered
+    window). Golden: a two-shot fixture whose only cut is frame 3."""
+    from cellphe_data_pipeline_spark.domain.images import split_frames
+    from cellphe_data_pipeline_spark.domain.media import frame_diff_energy, scene_cuts
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_video_df
+
+    d = scene_cuts(frame_diff_energy(split_frames(fake_video_df(spark))))
+    return d.withColumn("diff_energy", F.round("diff_energy", 6))

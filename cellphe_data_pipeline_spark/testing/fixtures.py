@@ -10,6 +10,7 @@ fixture and every kernel is bit-deterministic.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -160,3 +161,30 @@ def fixture_embeddings_df(spark: SparkSession, n: int = 18, dim: int = 8) -> Dat
         vec = [c[d] + ((i * 7 + d * 3) % 5 - 2) / 10.0 for d in range(dim)]
         rows.append((i, [float(x) for x in vec]))
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def fake_video_df(spark: SparkSession) -> DataFrame:
+    """Two-shot video in one FAKE1 container: frames 0-2 are base scene A
+    plus small jitter, frames 3-5 are base scene B plus jitter — so the
+    only large temporal difference is at frame 3 (the cut)."""
+    import zlib
+
+    from cellphe_data_pipeline_spark.domain.images import FAKE_MAGIC
+
+    rng = np.random.RandomState(11)
+    h = w = 16
+    base_a = rng.randint(0, 200, (h, w))
+    base_b = rng.randint(55, 255, (h, w))
+    frames = [
+        np.clip(base + rng.randint(-5, 6, (h, w)), 0, 255)
+        for base in [base_a] * 3 + [base_b] * 3
+    ]
+    arr = np.stack(frames).astype(np.uint8)
+    payload = (
+        FAKE_MAGIC
+        + np.array([h, w, len(frames)], dtype="<u4").tobytes()
+        + zlib.compress(arr.tobytes())
+    )
+    return spark.createDataFrame(
+        [("vid11.fake", bytearray(payload))], "path string, content binary"
+    )

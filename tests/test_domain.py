@@ -812,3 +812,26 @@ def test_fill_block_numpy_oracle():
     z = (vals - vals.mean()) / vals.std()
     assert math.isclose(f3["Int_skew"], (z**3).mean(), rel_tol=1e-9)
     assert math.isclose(f3["Int_kurt"], (z**4).mean() - 3, rel_tol=1e-9)
+
+
+def test_frame_diff_multi_path_separation(spark):
+    """Two videos in one DataFrame never diff across paths: each path's
+    first frame is NULL and its cut structure is unchanged by the other
+    video's presence."""
+    from cellphe_data_pipeline_spark.domain.images import split_frames
+    from cellphe_data_pipeline_spark.domain.media import frame_diff_energy, scene_cuts
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_frames_df, fake_video_df
+
+    both = fake_video_df(spark).union(fake_frames_df(spark, seed=5, n_frames=3))
+    out = scene_cuts(frame_diff_energy(split_frames(both))).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["path"], []).append(r)
+    assert set(by_path) == {"vid11.fake", "fx5.fake"}
+    for rows in by_path.values():
+        rows.sort(key=lambda r: r["frame_index"])
+        assert rows[0]["diff_energy"] is None and rows[0]["is_cut"] is False
+        assert all(r["diff_energy"] is not None for r in rows[1:])
+    # the fixture's only cut is frame 3 of the video
+    cuts = [(r["path"], r["frame_index"]) for r in out if r["is_cut"]]
+    assert cuts == [("vid11.fake", 3)]
