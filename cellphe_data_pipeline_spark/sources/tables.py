@@ -39,9 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TIMESTAMP_COLS.get(name, ()):
-        # integer nanos -> floor-divide to micros; always positive here so
-        # `div` truncation == floor == DuckDB's nanos->micros behaviour.
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # Only TIMESTAMP(NANOS) footers surface as bigint under
+        # nanosAsLong; micro/milli footers arrive as a native timestamp
+        # already, so convert conditionally on the read type.
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer nanos -> floor-divide to micros; always positive so
+            # `div` truncation == floor == DuckDB's nanos->micros result.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # Parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ,
+    # which streaming watermarks and numeric casts reject. The session TZ
+    # is pinned UTC above, so casting NTZ -> TIMESTAMP is a pure relabel
+    # (identical wall-clock instants, identical DuckDB-oracle semantics).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
