@@ -86,6 +86,32 @@ STATIC_FEATURE_NAMES = (
     # first-order intensity distribution shape (FOskew/FOkurt analogue)
     "Int_skew",
     "Int_kurt",
+    # curvature profile (CellPhe "Cur" block, Wiseman 2023): triangle-
+    # excess curvature at each boundary point over a fixed index gap,
+    # summarised over the cell
+    "Cur_mean",
+    "Cur_std",
+    "Cur_max",
+    "Cur_skew",
+    # polygon-class block: Ramer-Douglas-Peucker simplification of the
+    # boundary → vertex count, side-length and interior-angle stats
+    # (the CellPhe polygon features)
+    "Poly_n",
+    "Poly_side_mean",
+    "Poly_side_var",
+    "Poly_ang_mean",
+    "Poly_ang_var",
+    # boundary spectral block: 1-D Haar detail energies (3 levels) of
+    # the centroid-radius profile along the boundary — the per-variable
+    # wavelet boundary features
+    "Rad_haar_l1",
+    "Rad_haar_l2",
+    "Rad_haar_l3",
+    # remaining size/shape + intensity-dispersion tail
+    "Perim",
+    "Rad_min",
+    "Int_iqr",
+    "Int_mad",
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -219,6 +245,116 @@ def _hull_area(xs: np.ndarray, ys: np.ndarray) -> float:
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
+def _haar1d_energies(series: np.ndarray, levels: int = 3) -> list[float]:
+    """1-D Haar detail ENERGY per level (sum of squared detail
+    coefficients, orthonormal scaling). Odd lengths drop the trailing
+    sample per level — same convention as the 2-D kernel above and the
+    time-series Haar (operators/timeseries.py)."""
+    out: list[float] = []
+    a = series.astype("float64")
+    for _ in range(levels):
+        n2 = len(a) // 2
+        if n2 == 0:
+            out.append(0.0)
+            a = a[:0]
+            continue
+        pairs = a[: 2 * n2].reshape(n2, 2)
+        detail = (pairs[:, 0] - pairs[:, 1]) / np.sqrt(2.0)
+        out.append(float((detail**2).sum()))
+        a = (pairs[:, 0] + pairs[:, 1]) / np.sqrt(2.0)
+    return out
+
+
+def _curvature_profile(xs: np.ndarray, ys: np.ndarray, gap: int = 4) -> np.ndarray:
+    """Triangle-excess curvature at each boundary point (CellPhe "Cur"
+    semantics, Wiseman 2023): for point i with neighbours i-gap / i+gap
+    (indices wrap — the boundary is closed),
+
+        cur_i = d(p_{i-g}, p_i) + d(p_i, p_{i+g}) - d(p_{i-g}, p_{i+g})
+
+    Zero on straight segments, positive where the boundary bends; gap
+    shrinks for very short boundaries so neighbours stay distinct."""
+    n = len(xs)
+    g = max(1, min(gap, (n - 1) // 2))
+    prev_ = np.roll(np.stack([xs, ys], axis=1).astype("float64"), g, axis=0)
+    next_ = np.roll(np.stack([xs, ys], axis=1).astype("float64"), -g, axis=0)
+    cur = np.stack([xs, ys], axis=1).astype("float64")
+    d_in = np.hypot(*(cur - prev_).T)
+    d_out = np.hypot(*(next_ - cur).T)
+    d_span = np.hypot(*(next_ - prev_).T)
+    return d_in + d_out - d_span
+
+
+def _rdp(points: np.ndarray, eps: float) -> np.ndarray:
+    """Ramer-Douglas-Peucker polyline simplification (iterative stack
+    form, pure numpy) on an OPEN chain; returns the kept points in
+    order. eps = max allowed perpendicular deviation."""
+    n = len(points)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = points[a:b + 1].astype("float64")
+        v = seg[-1] - seg[0]
+        norm = float(np.hypot(*v))
+        if norm == 0.0:
+            d = np.hypot(*(seg - seg[0]).T)
+        else:
+            d = np.abs(np.cross(v, seg - seg[0])) / norm
+        i = int(np.argmax(d[1:-1])) + 1
+        if d[i] > eps:
+            keep[a + i] = True
+            stack.append((a, a + i))
+            stack.append((a + i, b))
+    return points[keep]
+
+
+def _polygon_features(xs: np.ndarray, ys: np.ndarray, eps: float = 1.5) -> dict[str, float]:
+    """Polygon-class block: simplify the closed boundary with RDP
+    (split at index 0 and the point farthest from it — deterministic
+    anchors), then summarise vertex count, side lengths, and interior
+    angles of the resulting polygon."""
+    pts = np.stack([xs, ys], axis=1).astype("float64")
+    n = len(pts)
+    far = int(np.argmax(np.hypot(*(pts - pts[0]).T)))
+    if far == 0:  # all points coincide
+        return {
+            "Poly_n": 1.0, "Poly_side_mean": 0.0, "Poly_side_var": 0.0,
+            "Poly_ang_mean": 0.0, "Poly_ang_var": 0.0,
+        }
+    chain_a = _rdp(pts[: far + 1], eps)
+    chain_b = _rdp(np.concatenate([pts[far:], pts[:1]], axis=0), eps)
+    # drop duplicated junction points when re-closing
+    poly = np.concatenate([chain_a[:-1], chain_b[:-1]], axis=0)
+    m = len(poly)
+    if m < 3:
+        side = float(np.hypot(*(pts[far] - pts[0]))) if m == 2 else 0.0
+        return {
+            "Poly_n": float(m), "Poly_side_mean": side, "Poly_side_var": 0.0,
+            "Poly_ang_mean": 0.0, "Poly_ang_var": 0.0,
+        }
+    nxt = np.roll(poly, -1, axis=0)
+    sides = np.hypot(*(nxt - poly).T)
+    prv = np.roll(poly, 1, axis=0)
+    v1 = prv - poly
+    v2 = nxt - poly
+    n1 = np.hypot(*v1.T)
+    n2 = np.hypot(*v2.T)
+    denom = np.where(n1 * n2 > 0, n1 * n2, 1.0)
+    cosang = np.clip((v1 * v2).sum(axis=1) / denom, -1.0, 1.0)
+    ang = np.arccos(cosang)
+    return {
+        "Poly_n": float(m),
+        "Poly_side_mean": float(sides.mean()),
+        "Poly_side_var": float(sides.var()),
+        "Poly_ang_mean": float(ang.mean()),
+        "Poly_ang_var": float(ang.var()),
+    }
+
+
 def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | None:
     """Feature kernel for one cell on a [0,1]-normalised image. Returns
     None for degenerate ROIs (reference RuntimeError→skip)."""
@@ -295,6 +431,37 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
     else:
         feats["Int_skew"] = 0.0
         feats["Int_kurt"] = 0.0
+
+    # curvature profile along the boundary sequence (as given — the F16
+    # Bresenham interpolation upstream supplies the ordered closed
+    # boundary; fixture ROIs that enumerate regions simply measure the
+    # sequence they provide)
+    cur = _curvature_profile(xs, ys)
+    feats["Cur_mean"] = float(cur.mean())
+    feats["Cur_std"] = float(cur.std())
+    feats["Cur_max"] = float(cur.max())
+    csd = float(cur.std())
+    if csd > 0:
+        cz = (cur - cur.mean()) / csd
+        feats["Cur_skew"] = float((cz**3).mean())
+    else:
+        feats["Cur_skew"] = 0.0
+
+    feats.update(_polygon_features(xs, ys))
+
+    # boundary spectral block: Haar detail energies of the radius series
+    rh = _haar1d_energies(rad, levels=3)
+    feats["Rad_haar_l1"] = rh[0]
+    feats["Rad_haar_l2"] = rh[1]
+    feats["Rad_haar_l3"] = rh[2]
+
+    # perimeter of the closed boundary polygon (consecutive distances,
+    # wrapping) — distinct from Boundary_len (the point count)
+    nxt = np.roll(np.stack([xs, ys], axis=1).astype("float64"), -1, axis=0)
+    feats["Perim"] = float(np.hypot(*(nxt - np.stack([xs, ys], axis=1)).T).sum())
+    feats["Rad_min"] = float(rad.min())
+    feats["Int_iqr"] = feats["Int_q75"] - feats["Int_q25"]
+    feats["Int_mad"] = float(np.median(np.abs(vals - np.median(vals))))
     return feats
 
 

@@ -814,6 +814,128 @@ def test_fill_block_numpy_oracle():
     assert math.isclose(f3["Int_kurt"], (z**4).mean() - 3, rel_tol=1e-9)
 
 
+def test_curvature_block_numpy_oracle():
+    """Curvature triangle-excess: exactly 0 everywhere on a straight
+    collinear chain; positive at the corners of a square boundary, with
+    the per-point values verified against a direct python loop."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import _curvature_profile
+
+    # straight horizontal chain (wrap-around points are still collinear)
+    xs = np.arange(20, dtype="int64")
+    ys = np.full(20, 5, dtype="int64")
+    cur = _curvature_profile(xs, ys, gap=4)
+    # interior points are collinear; only wrap-spanning windows bend
+    assert (cur[4:16] == 0.0).all()
+    assert cur.max() > 0  # the wrap join is a fold
+
+    # direct per-point re-computation on an ordered square boundary
+    b = []
+    for x in range(0, 5):
+        b.append((x, 0))
+    for y in range(1, 5):
+        b.append((4, y))
+    for x in range(3, -1, -1):
+        b.append((x, 4))
+    for y in range(3, 0, -1):
+        b.append((0, y))
+    pts = np.array(b, dtype="int64")
+    got = _curvature_profile(pts[:, 0], pts[:, 1], gap=3)
+    n = len(pts)
+    for i in range(n):
+        p, c, q = pts[(i - 3) % n], pts[i], pts[(i + 3) % n]
+        want = (
+            math.hypot(*(c - p)) + math.hypot(*(q - c)) - math.hypot(*(q - p))
+        )
+        assert math.isclose(got[i], want, rel_tol=1e-12)
+
+
+def test_polygon_block_numpy_oracle():
+    """RDP polygon on an exact square boundary collapses to the 4
+    corners: sides 4, interior angles pi/2, zero variance. A straight
+    chain stays 2 vertices."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import _polygon_features, _rdp
+
+    b = []
+    for x in range(0, 5):
+        b.append((x, 0))
+    for y in range(1, 5):
+        b.append((4, y))
+    for x in range(3, -1, -1):
+        b.append((x, 4))
+    for y in range(3, 0, -1):
+        b.append((0, y))
+    pts = np.array(b, dtype="int64")
+    f = _polygon_features(pts[:, 0], pts[:, 1], eps=0.5)
+    assert f["Poly_n"] == 4.0
+    assert math.isclose(f["Poly_side_mean"], 4.0, rel_tol=1e-12)
+    assert f["Poly_side_var"] == 0.0
+    assert math.isclose(f["Poly_ang_mean"], math.pi / 2, rel_tol=1e-12)
+    assert math.isclose(f["Poly_ang_var"], 0.0, abs_tol=1e-24)
+
+    # RDP keeps only endpoints of a collinear chain
+    chain = np.array([(x, 2 * x) for x in range(10)], dtype="float64")
+    kept = _rdp(chain, eps=0.1)
+    assert len(kept) == 2 and (kept[0] == chain[0]).all() and (kept[-1] == chain[-1]).all()
+    # a triangle wave above eps keeps its apex
+    tri = np.array([(0.0, 0.0), (5.0, 3.0), (10.0, 0.0)])
+    assert len(_rdp(tri, eps=1.0)) == 3
+
+
+def test_boundary_spectral_and_tail_numpy_oracle():
+    """Rad_haar energies conserve (orthonormal 1-D Haar: total energy =
+    approx + detail at every level); Perim/Rad_min/Int_iqr/Int_mad match
+    direct numpy on a random cell."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        _cell_features,
+        _haar1d_energies,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.rand(16)
+    e = _haar1d_energies(s, levels=1)
+    n2 = 8
+    pairs = s.reshape(n2, 2)
+    approx = (pairs[:, 0] + pairs[:, 1]) / np.sqrt(2.0)
+    assert math.isclose((s**2).sum(), (approx**2).sum() + e[0], rel_tol=1e-12)
+    # odd length drops the trailing sample
+    e_odd = _haar1d_energies(np.array([1.0, 3.0, 9.0]), levels=1)
+    assert math.isclose(e_odd[0], ((1 - 3) / np.sqrt(2)) ** 2, rel_tol=1e-12)
+
+    img = rng.rand(20, 20)
+    b = []
+    for x in range(2, 10):
+        b.append((x, 3))
+    for y in range(4, 8):
+        b.append((9, y))
+    for x in range(8, 1, -1):
+        b.append((x, 7))
+    for y in range(6, 3, -1):
+        b.append((2, y))
+    pts = np.array(b, dtype="int64")
+    f = _cell_features(img, pts)
+    xs, ys = pts[:, 0], pts[:, 1]
+    nxt = np.roll(pts.astype("float64"), -1, axis=0)
+    assert math.isclose(f["Perim"], np.hypot(*(nxt - pts).T).sum(), rel_tol=1e-12)
+    cx, cy = xs.mean(), ys.mean()
+    rad = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+    assert math.isclose(f["Rad_min"], rad.min(), rel_tol=1e-12)
+    rh = _haar1d_energies(rad, levels=3)
+    assert f["Rad_haar_l1"] == rh[0] and f["Rad_haar_l2"] == rh[1] and f["Rad_haar_l3"] == rh[2]
+    vals = img[ys, xs]
+    assert math.isclose(
+        f["Int_iqr"], np.quantile(vals, 0.75) - np.quantile(vals, 0.25), rel_tol=1e-12
+    )
+    assert math.isclose(
+        f["Int_mad"], np.median(np.abs(vals - np.median(vals))), rel_tol=1e-12
+    )
+
+
 def test_frame_diff_multi_path_separation(spark):
     """Two videos in one DataFrame never diff across paths: each path's
     first frame is NULL and its cut structure is unchanged by the other
