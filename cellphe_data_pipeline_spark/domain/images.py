@@ -295,17 +295,22 @@ def mask_label_histogram(masks: DataFrame) -> DataFrame:
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            parts: list[pd.DataFrame] = []  # one Arrow batch per input batch
             for _, row in pdf.iterrows():
                 m = np.frombuffer(row["mask"], dtype=np.uint16)
                 ids, counts = np.unique(m, return_counts=True)
-                yield pd.DataFrame(
-                    {
-                        "path": row["path"],
-                        "frame_index": row["frame_index"],
-                        "mask_id": ids.astype("int32"),
-                        "n": counts.astype("int64"),
-                    }
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "path": row["path"],
+                            "frame_index": row["frame_index"],
+                            "mask_id": ids.astype("int32"),
+                            "n": counts.astype("int64"),
+                        }
+                    )
                 )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return masks.mapInPandas(hist, MASK_HIST_SCHEMA)
 
@@ -459,6 +464,10 @@ def mask_centroids(masks: DataFrame) -> DataFrame:
 
     def cent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # ONE output frame per Arrow batch (not per mask): per-row
+            # yields made every ~7-row result its own Arrow batch — 726
+            # batch flushes per bench run, ~2x the stage's real work
+            parts: list[pd.DataFrame] = []
             for _, row in pdf.iterrows():
                 m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
                     row["height"], row["width"]
@@ -471,16 +480,20 @@ def mask_centroids(masks: DataFrame) -> DataFrame:
                 ys, xs = np.indices(m.shape)
                 sum_x = np.bincount(m.ravel(), weights=xs.ravel())
                 sum_y = np.bincount(m.ravel(), weights=ys.ravel())
-                yield pd.DataFrame(
-                    {
-                        "path": row["path"],
-                        "frame_index": row["frame_index"],
-                        "mask_id": ids.astype("int32"),
-                        "area": counts.astype("int64"),
-                        "cx": sum_x[ids] / counts,
-                        "cy": sum_y[ids] / counts,
-                    }
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "path": row["path"],
+                            "frame_index": row["frame_index"],
+                            "mask_id": ids.astype("int32"),
+                            "area": counts.astype("int64"),
+                            "cx": sum_x[ids] / counts,
+                            "cy": sum_y[ids] / counts,
+                        }
+                    )
                 )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return masks.mapInPandas(cent, CENTROID_SCHEMA)
 

@@ -69,15 +69,23 @@ def renumber_tracks(
     )
     members = nodes.join(touched, id_col, "left_semi").select(id_col, frame_col)
 
-    keep = keep_edges(e)
+    # Pin the keep-edge list: it is executed ~3x (CC's contraction
+    # sampling, CC's input checkpoint, the head-detection anti-join),
+    # and each execution re-runs two groupBys + two semi-joins. One
+    # narrow row per kept edge.
+    keep = keep_edges(e).localCheckpoint(eager=True)
     # segments: CC over keep edges; nodes with no keep edge are their own
     # singleton segment (component = own id)
     cc = connected_components(
         keep, "src", "dst", loop_shuffle_partitions=loop_shuffle_partitions
     )
-    labelled = members.join(
-        cc.withColumnRenamed("node", id_col), id_col, "left"
-    ).withColumn("segment", F.coalesce(F.col("component"), F.col(id_col)))
+    # Pinned for the same reason: re-executed by head detection, both
+    # numbering passes, and the final track-id join (~3x without a cut).
+    labelled = (
+        members.join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("segment", F.coalesce(F.col("component"), F.col(id_col)))
+        .localCheckpoint(eager=True)
+    )
 
     # segment head = the path START (no incoming keep edge; unique per
     # segment since keep edges form simple paths on the temporal DAG the

@@ -37,6 +37,11 @@ from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
 
 DEFAULT_QC = {"minimum_cell_size": 2.0, "minimum_observations": 3}
 
+#: containers-per-batch bound under which the timelapse dim is numbered
+#: driver-side (one take()); beyond it the two-pass distributed
+#: numbering takes over. ~100k paths ≈ a few MB of driver memory.
+TL_DIM_DRIVER_CAP = 100_000
+
 
 def run_pipeline(
     binaries: DataFrame,
@@ -60,14 +65,27 @@ def run_pipeline(
     frames = split_frames(binaries)                      # S3/S4
     masks = segment_frames(frames)                       # M1/M2
     # broadcast timelapse index dim: spot ids must be unique ACROSS
-    # timelapses (lineage runs on the union) and frame-monotone within one;
-    # numbered with the scale-safe two-pass form (dim is small today, but
-    # the pattern must survive a million-timelapse catalog)
-    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+    # timelapses (lineage runs on the union) and frame-monotone within
+    # one. The dim has one row per CONTAINER in this ingest batch —
+    # operationally bounded (33 in the reference run) — so the default
+    # path numbers it driver-side in one job and broadcasts the result;
+    # only a batch beyond TL_DIM_DRIVER_CAP falls back to the scale-safe
+    # two-pass numbering. (The old unconditional two-pass form cost ~8s
+    # of the pipeline's cold start in sampling/checkpoint/collect jobs
+    # for a 33-row relation.)
+    spark = binaries.sparkSession
+    probe = binaries.select(F.col("path")).distinct().take(TL_DIM_DRIVER_CAP + 1)
+    if len(probe) <= TL_DIM_DRIVER_CAP:
+        tl_dim = spark.createDataFrame(
+            [(p, i) for i, p in enumerate(sorted(r["path"] for r in probe), start=1)],
+            "path string, _tl_idx long",
+        )
+    else:
+        from cellphe_data_pipeline_spark.operators.scale import global_row_number
 
-    tl_dim = global_row_number(
-        binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx", num_parts=4
-    )
+        tl_dim = global_row_number(
+            binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx", num_parts=4
+        )
     dets = (
         mask_centroids(masks)
         .join(F.broadcast(tl_dim), "path")
@@ -113,6 +131,12 @@ def run_pipeline(
         gap_closing_max_distance=gap_closing_max_distance,
         method=tracking_method,
     )
+    # Pin the edge list too: lineage (CC input + head detection +
+    # the numbering passes) re-executes its input several times, and
+    # without this cut each of those actions re-runs the tracking
+    # kernel (~3x measured at the bench shape). One narrow row per
+    # link — same "persist the hub table" rationale as `dets`.
+    edges = edges.localCheckpoint(eager=True)
     tracks = renumber_tracks(                            # G2-G4
         dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
         edges.select("src", "dst"),
