@@ -1543,12 +1543,28 @@ def a5b(spark, sf_dir):
            CAST(v34 AS DOUBLE) AS Hull_area,
            CAST(v35 AS DOUBLE) AS Eccentricity,
            CAST(v36 AS DOUBLE) AS Int_skew,
-           CAST(v37 AS DOUBLE) AS Int_kurt
+           CAST(v37 AS DOUBLE) AS Int_kurt,
+           CAST(v38 AS DOUBLE) AS Cur_mean,
+           CAST(v39 AS DOUBLE) AS Cur_std,
+           CAST(v40 AS DOUBLE) AS Cur_max,
+           CAST(v41 AS DOUBLE) AS Cur_skew,
+           CAST(v42 AS DOUBLE) AS Poly_n,
+           CAST(v43 AS DOUBLE) AS Poly_side_mean,
+           CAST(v44 AS DOUBLE) AS Poly_side_var,
+           CAST(v45 AS DOUBLE) AS Poly_ang_mean,
+           CAST(v46 AS DOUBLE) AS Poly_ang_var,
+           CAST(v47 AS DOUBLE) AS Rad_haar_l1,
+           CAST(v48 AS DOUBLE) AS Rad_haar_l2,
+           CAST(v49 AS DOUBLE) AS Rad_haar_l3,
+           CAST(v50 AS DOUBLE) AS Perim,
+           CAST(v51 AS DOUBLE) AS Rad_min,
+           CAST(v52 AS DOUBLE) AS Int_iqr,
+           CAST(v53 AS DOUBLE) AS Int_mad
     FROM (VALUES
-      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296, 1.0, 0.8, 1.0, 16.0, 0.0, 0.918581, -0.627754),
-      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0, 0.833333, 0.90211, 0.909091, 5.5, 0.816497, -0.037601, -1.382315),
-      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449, 1.0, 0.8, 1.0, 16.0, 0.0, 0.063732, -1.006618)
-    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296, 1.0, 0.8, 1.0, 16.0, 0.0, 0.918581, -0.627754, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.399209, 0.142292),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0, 0.833333, 0.90211, 0.909091, 5.5, 0.816497, -0.037601, -1.382315, 1.294427, 0.403102, 1.821854, -0.628702, 2.0, 2.0, 0.0, 0.0, 0.0, 0.167544, 0.021143, 0.0, 6.828427, 0.447214, 0.3083, 0.181818),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449, 1.0, 0.8, 1.0, 16.0, 0.0, 0.063732, -1.006618, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.359252, 0.194882)
+    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50, v51, v52, v53)
     """,
 )
 def m4(spark, sf_dir):
@@ -2408,6 +2424,37 @@ def mm1(spark, sf_dir):
 
     d = scene_cuts(frame_diff_energy(split_frames(fake_video_df(spark))))
     return d.withColumn("diff_energy", F.round("diff_energy", 6))
+
+
+@register(
+    "mm2_audio_quality",
+    """
+    SELECT path, CAST(w AS INT) AS window_index,
+           CAST(r AS DOUBLE) AS rms, CAST(p AS DOUBLE) AS peak,
+           CAST(z AS BIGINT) AS zero_crossings
+    FROM (VALUES
+      ('au5.fake', 0, 0.368215, 0.803864, 369),
+      ('au5.fake', 1, 0.369672, 0.813171, 341),
+      ('au5.fake', 2, 0.367613, 0.813171, 324),
+      ('au5.fake', 3, 0.367119, 0.822357, 247),
+      ('au6.fake', 0, 0.368008, 0.835083, 330),
+      ('au6.fake', 1, 0.36827, 0.835083, 206)
+    ) AS t(path, w, r, p, z)
+    """,
+)
+def mm2(spark, sf_dir):
+    """Audio quality-gate chain (multimodal extension, media.py): FAKA1
+    clips → overlapping windows (`sample_windows` UDTF shape, short
+    tails kept) → per-window RMS / peak / zero-crossings
+    (`window_features`, the silence/clipping corpus gates). Golden: two
+    fixture clips — 9000 samples → 4 windows (one short tail), 4500 →
+    2 windows — independently cross-checked against direct numpy in
+    tests/test_domain.py::test_audio_windows_and_features."""
+    from cellphe_data_pipeline_spark.domain.media import sample_windows, window_features
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_audio_df
+
+    d = window_features(sample_windows(fake_audio_df(spark)))
+    return d.withColumn("rms", F.round("rms", 6)).withColumn("peak", F.round("peak", 6))
 
 
 # =====================================================================

@@ -188,3 +188,19 @@ def fake_video_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [("vid11.fake", bytearray(payload))], "path string, content binary"
     )
+
+
+def fake_audio_df(spark: SparkSession) -> DataFrame:
+    """Two FAKA1 clips for the audio-quality golden (mm2): clip au5 is
+    9000 samples (5 overlapping windows incl. a short tail), au6 is
+    4500 samples (2 windows) — covers multi-path separation and the
+    keep-short-tails contract of sample_windows."""
+    from cellphe_data_pipeline_spark.domain.media import make_fake_audio
+
+    return spark.createDataFrame(
+        [
+            ("au5.fake", bytearray(make_fake_audio(seed=5, n_samples=9000))),
+            ("au6.fake", bytearray(make_fake_audio(seed=6, n_samples=4500))),
+        ],
+        "path string, content binary",
+    )
