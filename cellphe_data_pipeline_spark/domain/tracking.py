@@ -113,13 +113,75 @@ def _hungarian(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.array(rows)[order], np.array(cols)[order]
 
 
+def _close_gaps_segment_lap(
+    pdf: pd.DataFrame,
+    edges: list[tuple[int, int, int, float]],
+    max_frame_gap: int,
+    gap_closing_max_distance: float,
+) -> list[tuple[int, int, int, float]]:
+    """TrackMate's second LAP phase, lite (track_images.py:74-123
+    semantics: ALLOW_GAP_CLOSING / MAX_FRAME_GAP /
+    GAP_CLOSING_MAX_DISTANCE): after frame-to-frame linking, ONE
+    Hungarian assignment over (segment end × segment start) candidate
+    pairs — minimising TOTAL reconnection distance globally, where the
+    inline greedy closure commits to locally-shortest links first.
+
+    Candidates: end e → start s with 2 ≤ frame(s) − frame(e) ≤
+    max_frame_gap + 1 (a difference of 1 is consecutive — phase 1's
+    job) and dist ≤ gap_closing_max_distance. Splitting/merging
+    (TrackMate's other phase-2 blocks) stay out of scope per SURVEY §7.
+    """
+    nxt = {s: d for s, d, _, _ in edges}
+    prv = {d: s for s, d, _, _ in edges}
+    spot = {
+        int(r["id"]): (int(r["frame"]), float(r["x"]), float(r["y"]))
+        for _, r in pdf.iterrows()
+    }
+    seg_ends = [i for i in spot if i not in nxt]      # no outgoing link
+    seg_starts = [i for i in spot if i not in prv]    # no incoming link
+    cands: list[tuple[float, int, int, int]] = []
+    for e in seg_ends:
+        fe, xe, ye = spot[e]
+        for s in seg_starts:
+            fs, xs, ys = spot[s]
+            dframe = fs - fe
+            if dframe < 2 or dframe > max_frame_gap + 1:
+                continue
+            d = float(np.hypot(xs - xe, ys - ye))
+            if d <= gap_closing_max_distance:
+                cands.append((d, e, s, dframe - 1))
+    if not cands:
+        return edges
+    srcs = sorted({e for _, e, _, _ in cands})
+    dsts = sorted({s for _, _, s, _ in cands})
+    s_ix = {e: i for i, e in enumerate(srcs)}
+    d_ix = {s: i for i, s in enumerate(dsts)}
+    cost = np.full((len(srcs), len(dsts)), _LAP_BIG)
+    meta: dict[tuple[int, int], tuple[float, int]] = {}
+    for d, e, s, gap in cands:
+        if d < cost[s_ix[e], d_ix[s]]:
+            cost[s_ix[e], d_ix[s]] = d
+            meta[(s_ix[e], d_ix[s])] = (d, gap)
+    out = list(edges)
+    for r, c in zip(*_hungarian(cost)):
+        if cost[r, c] >= _LAP_BIG:
+            continue
+        d, gap = meta[(r, c)]
+        out.append((srcs[r], dsts[c], gap, d))
+    return out
+
+
 def _link_one(
     pdf: pd.DataFrame,
     linking_max_distance: float,
     max_frame_gap: int,
     gap_closing_max_distance: float,
     method: str = "greedy",
+    gap_strategy: str = "inline",
 ) -> pd.DataFrame:
+    # segment-LAP closure: phase 1 links consecutive frames ONLY (gap
+    # candidates excluded), phase 2 reconnects segments globally
+    inline_gap = max_frame_gap if gap_strategy == "inline" else 0
     frames = sorted(pdf["frame"].unique())
     by_frame = {
         f: pdf[pdf["frame"] == f][["id", "x", "y"]].to_numpy() for f in frames
@@ -134,7 +196,7 @@ def _link_one(
         cands = []
         for src, (ef, ex, ey) in open_ends.items():
             gap = f - ef - 1
-            if gap > max_frame_gap:
+            if gap > inline_gap:
                 continue
             limit = linking_max_distance if gap == 0 else gap_closing_max_distance
             for det in dets:
@@ -183,8 +245,12 @@ def _link_one(
         open_ends = {
             i: (ef, ex, ey)
             for i, (ef, ex, ey) in open_ends.items()
-            if f - ef - 1 <= max_frame_gap
+            if f - ef - 1 <= inline_gap
         }
+    if gap_strategy == "segment_lap" and max_frame_gap > 0:
+        edges = _close_gaps_segment_lap(
+            pdf, edges, max_frame_gap, gap_closing_max_distance
+        )
     tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
     return pd.DataFrame(
         [(tl, s, d, g, dist) for s, d, g, dist in edges],
@@ -198,6 +264,7 @@ def track_detections(
     max_frame_gap: int = 4,
     gap_closing_max_distance: float = 90.0,
     method: str = "greedy",
+    gap_strategy: str = "inline",
 ) -> DataFrame:
     """M3: link per-frame detections into track edges.
 
@@ -205,10 +272,18 @@ def track_detections(
     timelapse. Returns EDGES_SCHEMA rows (src, dst spot ids + the gap
     length and link distance for QC). ``method``: "greedy" (default,
     the documented oracle semantics) or "lap" (per-frame-pair Hungarian
-    minimum-total-distance assignment)."""
+    minimum-total-distance assignment). ``gap_strategy``: "inline"
+    (default — gap candidates compete inside each frame's assignment)
+    or "segment_lap" (TrackMate phase-2 shape: consecutive-frame
+    linking first, then ONE global Hungarian over segment end/start
+    reconnection candidates)."""
 
     if method not in ("greedy", "lap"):
         raise ValueError(f"method must be 'greedy' or 'lap', got {method!r}")
+    if gap_strategy not in ("inline", "segment_lap"):
+        raise ValueError(
+            f"gap_strategy must be 'inline' or 'segment_lap', got {gap_strategy!r}"
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _link_one(
@@ -217,6 +292,7 @@ def track_detections(
             max_frame_gap,
             gap_closing_max_distance,
             method,
+            gap_strategy,
         )
 
     return (

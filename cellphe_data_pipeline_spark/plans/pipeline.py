@@ -51,6 +51,7 @@ def run_pipeline(
     gap_closing_max_distance: float = 20.0,
     cc_shuffle_partitions: int | None = None,
     tracking_method: str = "greedy",
+    tracking_gap_strategy: str = "inline",
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -130,6 +131,7 @@ def run_pipeline(
         max_frame_gap=max_frame_gap,
         gap_closing_max_distance=gap_closing_max_distance,
         method=tracking_method,
+        gap_strategy=tracking_gap_strategy,
     )
     # Pin the edge list too: lineage (CC input + head detection +
     # the numbering passes) re-executes its input several times, and
@@ -222,9 +224,11 @@ def run_pipeline_from_config(
         return {"binaries": binaries}
     # reference's tracking.algorithm field (templates/cyto3.json:24,
     # README.md:152-160): NearestNeighbor -> greedy frame-pair linking,
-    # the LAP* trackers -> per-frame-pair Hungarian assignment
+    # the LAP* trackers -> per-frame-pair Hungarian assignment PLUS the
+    # segment-level gap-closing LAP (TrackMate's two-phase shape:
+    # frame linking, then end/start reconnection, track_images.py:74-123)
     algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
-    method = "lap" if "lap" in str(algo).lower() else "greedy"
+    is_lap = "lap" in str(algo).lower()
     out = run_pipeline(
         binaries,
         qc=qc,
@@ -233,7 +237,8 @@ def run_pipeline_from_config(
             int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
         ),
         gap_closing_max_distance=float(tr["GAP_CLOSING_MAX_DISTANCE"]),
-        tracking_method=method,
+        tracking_method="lap" if is_lap else "greedy",
+        tracking_gap_strategy="segment_lap" if is_lap else "inline",
     )
     if not cfg["run"].get("tracking", True):
         out = {k: out[k] for k in ("frames", "masks", "detections")}

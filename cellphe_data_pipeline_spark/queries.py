@@ -1466,6 +1466,38 @@ def m3(spark, sf_dir):
 
 
 @register(
+    "m3b_gap_closing",
+    """
+    SELECT tl AS timelapse_id, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(gap AS INT) AS gap, CAST(dist AS DOUBLE) AS dist
+    FROM (VALUES
+      ('tl', 1, 2, 0, 0.0), ('tl', 2, 3, 0, 0.0),
+      ('tl', 4, 5, 0, 0.0), ('tl', 5, 6, 0, 0.0),
+      ('tl', 7, 8, 0, 0.0), ('tl', 9, 10, 0, 0.0),
+      ('tl', 3, 7, 1, 4.0), ('tl', 6, 9, 1, 1.5)
+    ) AS t(tl, src, dst, gap, dist)
+    """,
+)
+def m3b(spark, sf_dir):
+    """M3 phase 2 (track_images.py:74-123, TrackMate segment-level
+    gap-closing LAP, lite): consecutive-frame linking first, then ONE
+    Hungarian over (segment end × segment start) reconnection
+    candidates within MAX_FRAME_GAP / GAP_CLOSING_MAX_DISTANCE.
+    Golden: the crossing-gap fixture where inline greedy closure
+    mis-assigns (ends 3,6 onto starts 9,7 — total 7.5) and the
+    segment LAP recovers the global optimum (3->7, 6->9 — total 5.5);
+    equivalence + rescue asserted in tests/test_domain.py."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import gap_closing_detections_df
+
+    return track_detections(
+        gap_closing_detections_df(spark), linking_max_distance=1.0,
+        max_frame_gap=4, gap_closing_max_distance=7.0,
+        gap_strategy="segment_lap",
+    )
+
+
+@register(
     "a5b_mask_histogram",
     """
     SELECT path, CAST(fi AS INT) AS frame_index, CAST(mid AS INT) AS mask_id,

@@ -204,3 +204,20 @@ def fake_audio_df(spark: SparkSession) -> DataFrame:
         ],
         "path string, content binary",
     )
+
+
+def gap_closing_detections_df(spark: SparkSession) -> DataFrame:
+    """Gap-closing fixture (m3b): two stationary tracks (x=0 and x=5,
+    frames 0-2), a 1-frame detection gap, then two resumed tracks (x=4
+    and x=6.5, frames 4-5). Inline greedy closure links end(5,0)->
+    start(4,0) first and strands end(0,0) onto (6.5,0); the segment-
+    level Hungarian (TrackMate phase-2 lite) finds the global optimum."""
+    rows = [
+        ("tl", 1, 0, 0.0, 0.0), ("tl", 2, 1, 0.0, 0.0), ("tl", 3, 2, 0.0, 0.0),
+        ("tl", 4, 0, 5.0, 0.0), ("tl", 5, 1, 5.0, 0.0), ("tl", 6, 2, 5.0, 0.0),
+        ("tl", 7, 4, 4.0, 0.0), ("tl", 8, 5, 4.0, 0.0),
+        ("tl", 9, 4, 6.5, 0.0), ("tl", 10, 5, 6.5, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "timelapse_id string, id int, frame int, x double, y double"
+    )

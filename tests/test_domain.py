@@ -660,6 +660,43 @@ def test_tracking_lap_beats_greedy_on_crossing(spark):
     assert lap == {(1, 3), (2, 4)}
 
 
+def test_segment_lap_gap_closing_rescues_greedy_misassignment(spark):
+    """TrackMate phase-2 lite: two tracks end at frame 2 (E1 at x=0,
+    E2 at x=5); two resume at frame 4 (S1 at x=4, S2 at x=6.5). Inline
+    greedy closure takes the locally-shortest E2->S1 (1.0) and strands
+    E1 onto S2 (6.5) — total 7.5; the segment-level Hungarian assigns
+    E1->S1 (4.0) + E2->S2 (1.5) — total 5.5, the global optimum.
+    Consecutive-frame links are identical in both modes."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import gap_closing_detections_df
+
+    dets = gap_closing_detections_df(spark)
+    kw = dict(linking_max_distance=1.0, max_frame_gap=4, gap_closing_max_distance=7.0)
+    inline = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    seglap = {
+        (r["src"], r["dst"])
+        for r in track_detections(dets, gap_strategy="segment_lap", **kw).collect()
+    }
+    consec = {(1, 2), (2, 3), (4, 5), (5, 6), (7, 8), (9, 10)}
+    assert inline == consec | {(3, 9), (6, 7)}      # greedy total 7.5
+    assert seglap == consec | {(3, 7), (6, 9)}      # LAP total 5.5
+
+    # max_frame_gap=0 disables phase 2 entirely
+    none = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, linking_max_distance=1.0, max_frame_gap=0,
+            gap_closing_max_distance=7.0, gap_strategy="segment_lap",
+        ).collect()
+    }
+    assert none == consec
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gap_strategy"):
+        track_detections(dets, gap_strategy="both")
+
+
 def test_hungarian_matches_brute_force():
     import itertools
     from cellphe_data_pipeline_spark.domain.tracking import _hungarian

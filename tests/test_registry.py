@@ -31,7 +31,7 @@ DOMAIN_GOLDENS = [
 
 # Names listed in the priority order ahead of their implementation
 # landing this round; must shrink to empty as the round progresses.
-PENDING_IMPLEMENTATION: set[str] = {"m3b_gap_closing"}
+PENDING_IMPLEMENTATION: set[str] = set()
 
 
 def test_registry_priority_names_are_registered():
