@@ -18,9 +18,11 @@ from cellphe_data_pipeline_spark.schemas import TEST_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Columns stored as Parquet TIMESTAMP(NANOS), which Spark cannot read
-#: natively — read as long (legacy.parquet.nanosAsLong) and convert to a
-#: microsecond timestamp (truncation matches what DuckDB/pyarrow report).
+#: Columns that MAY be stored as Parquet TIMESTAMP(NANOS), which Spark
+#: cannot read natively. Under legacy.parquet.nanosAsLong such a column
+#: surfaces as bigint; conversion to a microsecond timestamp applies
+#: ONLY in that case (checked against the actual read dtype below) —
+#: testdata generations that already write micros pass through as-is.
 NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -50,6 +52,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # which streaming watermarks and numeric casts reject. The session TZ
     # is pinned UTC above, so casting NTZ -> TIMESTAMP is a pure relabel
     # (identical wall-clock instants, identical DuckDB-oracle semantics).
+    # Scope: TOP-LEVEL columns only — the driver's star schema is flat;
+    # an NTZ nested inside a struct/array would need a recursive schema
+    # walk here if a nested table is ever added.
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
