@@ -279,56 +279,18 @@ def streaming_tracker(
     """
     import json
 
-    import numpy as np  # noqa: F811
-
     def update(key, pdfs, state: GroupState):
         if state.exists:
             next_tid, ends_json = state.get
-            ends = {int(k): v for k, v in json.loads(ends_json).items()}
+            ends = {int(k): tuple(v) for k, v in json.loads(ends_json).items()}
         else:
             next_tid, ends = 1, {}
         out_rows = []
         for pdf in pdfs:
-            for f in sorted(pdf["frame"].unique()):
-                dets = pdf[pdf["frame"] == f].sort_values("id")
-                cands = []
-                for src, (ef, ex, ey, tid) in ends.items():
-                    gap = int(f) - ef - 1
-                    if gap > max_frame_gap:
-                        continue
-                    limit = (
-                        linking_max_distance if gap == 0 else gap_closing_max_distance
-                    )
-                    for _, det in dets.iterrows():
-                        d = float(np.hypot(det["x"] - ex, det["y"] - ey))
-                        if d <= limit:
-                            cands.append((d, int(src), int(det["id"])))
-                cands.sort()
-                used_src, assigned = set(), {}
-                for d, src, dst in cands:
-                    if src in used_src or dst in assigned:
-                        continue
-                    used_src.add(src)
-                    assigned[dst] = ends[src][3]  # continue the track
-                    del ends[src]
-                for _, det in dets.iterrows():
-                    did = int(det["id"])
-                    tid = assigned.get(did)
-                    if tid is None:
-                        tid = next_tid
-                        next_tid += 1
-                    ends[did] = (int(f), float(det["x"]), float(det["y"]), int(tid))
-                    out_rows.append(
-                        {
-                            "timelapse_id": key[0],
-                            "id": did,
-                            "frame": int(f),
-                            "track_id": int(tid),
-                        }
-                    )
-                ends = {
-                    i: e for i, e in ends.items() if int(f) - e[0] - 1 <= max_frame_gap
-                }
+            out_rows, ends, next_tid = _link_stream_frames(
+                key[0], pdf, ends, next_tid, out_rows,
+                linking_max_distance, max_frame_gap, gap_closing_max_distance,
+            )
         state.update((next_tid, json.dumps({str(k): list(v) for k, v in ends.items()})))
         yield pd.DataFrame(out_rows, columns=[fld.name for fld in TRACK_OUT.fields])
 
@@ -337,4 +299,126 @@ def streaming_tracker(
         .applyInPandasWithState(
             update, TRACK_OUT, TRACK_STATE, "append", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def _link_stream_frames(
+    tl: str,
+    pdf: pd.DataFrame,
+    ends: dict,
+    next_tid: int,
+    out_rows: list,
+    linking_max_distance: float,
+    max_frame_gap: int,
+    gap_closing_max_distance: float,
+) -> tuple[list, dict, int]:
+    """Shared per-micro-batch linking kernel for both stateful-tracker
+    backends: greedily link each arriving frame against the open ends
+    (same semantics as the batch kernel, domain/tracking.py), mutating
+    `ends` {id: (frame, x, y, tid)} and the track-id counter."""
+    import numpy as np  # noqa: F811
+
+    for f in sorted(pdf["frame"].unique()):
+        dets = pdf[pdf["frame"] == f].sort_values("id")
+        cands = []
+        for src, (ef, ex, ey, tid) in ends.items():
+            gap = int(f) - ef - 1
+            if gap > max_frame_gap:
+                continue
+            limit = linking_max_distance if gap == 0 else gap_closing_max_distance
+            for _, det in dets.iterrows():
+                d = float(np.hypot(det["x"] - ex, det["y"] - ey))
+                if d <= limit:
+                    cands.append((d, int(src), int(det["id"])))
+        cands.sort()
+        used_src, assigned = set(), {}
+        for d, src, dst in cands:
+            if src in used_src or dst in assigned:
+                continue
+            used_src.add(src)
+            assigned[dst] = ends[src][3]  # continue the track
+            del ends[src]
+        for _, det in dets.iterrows():
+            did = int(det["id"])
+            tid = assigned.get(did)
+            if tid is None:
+                tid = next_tid
+                next_tid += 1
+            ends[did] = (int(f), float(det["x"]), float(det["y"]), int(tid))
+            out_rows.append(
+                {"timelapse_id": tl, "id": did, "frame": int(f), "track_id": int(tid)}
+            )
+        ends = {i: e for i, e in ends.items() if int(f) - e[0] - 1 <= max_frame_gap}
+    return out_rows, ends, next_tid
+
+
+def streaming_tracker_tws(
+    detections: DataFrame,
+    linking_max_distance: float = 10.0,
+    max_frame_gap: int = 4,
+    gap_closing_max_distance: float = 20.0,
+) -> DataFrame:
+    """The streaming tracker on the Spark 4 ``transformWithState``
+    API: the same linking kernel, but state is TYPED — a ValueState
+    long for the track-id counter and a MapState (spot id → open-end
+    struct) for the track ends — instead of the JSON-string blob the
+    3.5-compat ``applyInPandasWithState`` version serialises. Typed
+    state is incrementally updatable (only touched keys are written per
+    micro-batch) and schema-evolvable, and the state store can index it
+    — the production-preferred form; the compat version stays for
+    pre-4.0 clusters.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — a
+    transformWithState constraint, set by the caller/session — and the
+    ``protobuf`` package (the TWS python worker's wire format to the
+    JVM state server; absent from this container, so the equivalence
+    test env-skips here and the compat version remains the tested
+    default).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TrackerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._next = handle.getValueState("next_tid", "next_tid long")
+            self._ends = handle.getMapState(
+                "ends",
+                "id long",
+                "frame int, x double, y double, tid long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            next_tid = self._next.get()[0] if self._next.exists() else 1
+            ends = {
+                int(k[0]): (int(v[0]), float(v[1]), float(v[2]), int(v[3]))
+                for k, v in self._ends.iterator()
+            }
+            before = dict(ends)
+            out_rows: list = []
+            for pdf in rows:
+                out_rows, ends, next_tid = _link_stream_frames(
+                    key[0], pdf, ends, next_tid, out_rows,
+                    linking_max_distance, max_frame_gap, gap_closing_max_distance,
+                )
+            # diff-write the typed map: only touched keys hit the store
+            for k in before:
+                if k not in ends:
+                    self._ends.removeKey((k,))
+            for k, v in ends.items():
+                if before.get(k) != v:
+                    self._ends.updateValue((k,), v)
+            self._next.update((next_tid,))
+            yield pd.DataFrame(out_rows, columns=[fld.name for fld in TRACK_OUT.fields])
+
+        def close(self) -> None:
+            pass
+
+    return detections.groupBy("timelapse_id").transformWithStateInPandas(
+        statefulProcessor=TrackerProcessor(),
+        outputStructType=TRACK_OUT,
+        outputMode="append",
+        timeMode="none",
     )

@@ -306,3 +306,88 @@ def test_streaming_tracker_matches_batch_partition(spark, tmp_path):
     stream_parts = {frozenset(s) for s in stream_tracks.values() if len(s) > 1}
     batch_parts = {frozenset(s) for s in batch_tracks.values() if len(s) > 1}
     assert stream_parts == batch_parts
+
+
+def test_streaming_tracker_tws_matches_compat(spark, tmp_path):
+    """The transformWithState (typed-state) tracker emits the SAME
+    per-detection assignments as the applyInPandasWithState compat
+    version on the same frame-aligned micro-batch sequence — including
+    across batch boundaries, where both must reload open ends from the
+    state store. Skipped if the Spark build lacks transformWithState."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_tracker,
+        streaming_tracker_tws,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import TRACK_DETECTIONS
+
+    if not hasattr(
+        spark.createDataFrame([("a",)], "k string").groupBy("k"),
+        "transformWithStateInPandas",
+    ):
+        pytest.skip("transformWithState needs Spark >= 4.0")
+    # the transformWithState python worker speaks protobuf to the JVM
+    # state server; without the package the driver worker crashes at
+    # init (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE ->
+    # "cannot import google.protobuf") — absent from this container
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+
+    dets = sorted(TRACK_DETECTIONS, key=lambda r: (r[2], r[1]))
+    schema = pa.schema(
+        [("timelapse_id", pa.string()), ("id", pa.int64()), ("frame", pa.int32()),
+         ("x", pa.float64()), ("y", pa.float64())]
+    )
+    d = tmp_path / "det_stream_tws"
+    os.makedirs(d)
+    by_frame: dict = {}
+    for r in dets:
+        by_frame.setdefault(r[2] // 2, []).append(r)
+    for g, rows in sorted(by_frame.items()):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {"timelapse_id": cols[0], "id": cols[1], "frame": cols[2],
+                 "x": cols[3], "y": cols[4]},
+                schema=schema,
+            ),
+            str(d / f"b{g:03d}.parquet"),
+        )
+
+    kw = dict(linking_max_distance=5.0, max_frame_gap=4, gap_closing_max_distance=10.0)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        results = {}
+        for name, fn in [("compat", streaming_tracker), ("tws", streaming_tracker_tws)]:
+            stream = spark.readStream.schema(
+                "timelapse_id string, id bigint, frame int, x double, y double"
+            ).option("maxFilesPerTrigger", 1).parquet(str(d))
+            q = (
+                fn(stream, **kw)
+                .writeStream.format("memory")
+                .queryName(f"tws_eq_{name}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            results[name] = {
+                (r["id"], r["frame"]): r["track_id"]
+                for r in spark.sql(f"SELECT * FROM tws_eq_{name}").collect()
+            }
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    assert len(results["tws"]) == len(dets)
+    assert results["tws"] == results["compat"]
