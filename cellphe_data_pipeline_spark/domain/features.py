@@ -13,16 +13,16 @@ so executor memory is bounded by one image + its ROIs regardless of
 corpus size; 721-frame × N-timelapse corpora parallelise frame-wise
 (the reference's own speedup axis, README.md:409).
 
-The feature vector covers the CellPhe blocks that matter structurally:
-size/shape (area, centroid, radius stats), boundary, first-order
-intensity stats + quantiles, cooccurrence (GLCM) texture — contrast /
-homogeneity / energy / correlation / entropy over the cell's quantised
-pixels — and per-cell 2-D Haar detail energies (levels 1-2), all real
-numpy on the decoded raster (Wiseman 2023). The remaining long tail of
-the ~74-feature CellPhe set (per-variable curvature/polygon variants)
-follows the same kernel shape and would extend `_cell_features`
-unchanged; the engine contract (schema, grouping, normalisation, skip
-semantics) is what's tested.
+The 62-feature vector covers every structural CellPhe block (Wiseman
+2023): size/shape (area, centroid, radius stats, principal axes,
+fill/convexity, compactness), boundary (curvature profile, polygon
+class via RDP, radius-profile Haar spectrum + roughness, perimeter),
+first-order intensity (stats, deciles + extremes, IQR/MAD, skew/kurt,
+entropy), and texture (cooccurrence GLCM at pixel distances 1 and 2,
+2-D Haar detail energies levels 1-3) — all real numpy on the decoded
+raster, each block cross-checked by a closed-form or direct-numpy
+oracle test (tests/test_domain.py). Names are engine-local; the
+blocks map 1:1 to the published CellPhe feature families.
 
 RuntimeError-on-degenerate-cell → skip (frame_features_image.py:66-70):
 cells whose clipped ROI has no interior pixels are silently dropped,
@@ -112,6 +112,25 @@ STATIC_FEATURE_NAMES = (
     "Rad_min",
     "Int_iqr",
     "Int_mad",
+    # cooccurrence at pixel distance 2 — the multi-scale Coo block
+    # (texture correlation length; Wiseman 2023 computes cooccurrence
+    # at several scales)
+    "Coo2_contrast",
+    "Coo2_homogeneity",
+    "Coo2_energy",
+    "Coo2_correlation",
+    "Coo2_entropy",
+    # third Haar texture level + first-order intensity entropy
+    "Haar2d_l3",
+    "Int_entropy",
+    # extreme intensity quantiles completing the decile block
+    "Int_q05",
+    "Int_q95",
+    # boundary roughness: first-difference stats of the radius profile
+    "Rad_diff_mean",
+    "Rad_diff_var",
+    # isoperimetric compactness: Perim^2 / (4*pi*Area), 1 for a disc
+    "Compactness",
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -128,16 +147,20 @@ FEATURES_SCHEMA = T.StructType(
 GLCM_LEVELS = 8
 
 
-def _glcm_features(patch: np.ndarray, inmask: np.ndarray) -> dict[str, float]:
-    """Gray-level cooccurrence features over the cell's pixels.
+def _glcm_features(
+    patch: np.ndarray, inmask: np.ndarray, dist: int = 1, prefix: str = "Coo"
+) -> dict[str, float]:
+    """Gray-level cooccurrence features over the cell's pixels at pixel
+    offset ``dist`` (1 = adjacent texture, 2 = coarser scale — the
+    multi-scale Coo block).
 
     Pixels are quantised to GLCM_LEVELS bins over the CELL's own
-    min-max range; the matrix accumulates symmetric (0,1) and (1,0)
-    offsets restricted to pairs where BOTH pixels belong to the cell.
-    Features are the classic Haralick set: contrast, homogeneity,
-    energy (ASM), correlation, entropy. Degenerate cases (flat cell,
-    no valid pair) yield the distribution-free limits: contrast 0,
-    homogeneity/energy 1, correlation 0, entropy 0.
+    min-max range; the matrix accumulates symmetric (0,dist) and
+    (dist,0) offsets restricted to pairs where BOTH pixels belong to
+    the cell. Features are the classic Haralick set: contrast,
+    homogeneity, energy (ASM), correlation, entropy. Degenerate cases
+    (flat cell, no valid pair) yield the distribution-free limits:
+    contrast 0, homogeneity/energy 1, correlation 0, entropy 0.
     """
     vals = patch[inmask]
     lo, hi = float(vals.min()), float(vals.max())
@@ -148,7 +171,9 @@ def _glcm_features(patch: np.ndarray, inmask: np.ndarray) -> dict[str, float]:
             GLCM_LEVELS - 1,
         )
     glcm = np.zeros((GLCM_LEVELS, GLCM_LEVELS), dtype=np.float64)
-    for dy, dx in ((0, 1), (1, 0)):
+    for dy, dx in ((0, dist), (dist, 0)):
+        if patch.shape[0] <= dy or patch.shape[1] <= dx:
+            continue
         a_mask = inmask[: patch.shape[0] - dy, : patch.shape[1] - dx]
         b_mask = inmask[dy:, dx:]
         both = a_mask & b_mask
@@ -159,11 +184,11 @@ def _glcm_features(patch: np.ndarray, inmask: np.ndarray) -> dict[str, float]:
     total = glcm.sum()
     if total == 0:
         return {
-            "Coo_contrast": 0.0,
-            "Coo_homogeneity": 1.0,
-            "Coo_energy": 1.0,
-            "Coo_correlation": 0.0,
-            "Coo_entropy": 0.0,
+            f"{prefix}_contrast": 0.0,
+            f"{prefix}_homogeneity": 1.0,
+            f"{prefix}_energy": 1.0,
+            f"{prefix}_correlation": 0.0,
+            f"{prefix}_entropy": 0.0,
         }
     p = glcm / total
     i, j = np.indices(p.shape)
@@ -177,11 +202,11 @@ def _glcm_features(patch: np.ndarray, inmask: np.ndarray) -> dict[str, float]:
         corr = 0.0
     nz = p[p > 0]
     return {
-        "Coo_contrast": float((p * (i - j) ** 2).sum()),
-        "Coo_homogeneity": float((p / (1.0 + (i - j) ** 2)).sum()),
-        "Coo_energy": float((p**2).sum()),
-        "Coo_correlation": corr,
-        "Coo_entropy": float(-(nz * np.log2(nz)).sum()),
+        f"{prefix}_contrast": float((p * (i - j) ** 2).sum()),
+        f"{prefix}_homogeneity": float((p / (1.0 + (i - j) ** 2)).sum()),
+        f"{prefix}_energy": float((p**2).sum()),
+        f"{prefix}_correlation": corr,
+        f"{prefix}_entropy": float(-(nz * np.log2(nz)).sum()),
     }
 
 
@@ -462,6 +487,41 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
     feats["Rad_min"] = float(rad.min())
     feats["Int_iqr"] = feats["Int_q75"] - feats["Int_q25"]
     feats["Int_mad"] = float(np.median(np.abs(vals - np.median(vals))))
+
+    # multi-scale texture: cooccurrence at pixel distance 2 + Haar l3
+    feats.update(_glcm_features(patch, inmask, dist=2, prefix="Coo2"))
+    feats["Haar2d_l3"] = _haar2d_energies(patch, levels=3)[2]
+
+    # first-order intensity entropy over GLCM_LEVELS bins of the cell's
+    # own [min,max] range (flat cell -> 0 by convention)
+    if feats["Int_max"] > feats["Int_min"]:
+        bins = np.minimum(
+            (
+                (vals - feats["Int_min"])
+                / (feats["Int_max"] - feats["Int_min"])
+                * GLCM_LEVELS
+            ).astype(np.int64),
+            GLCM_LEVELS - 1,
+        )
+        ph = np.bincount(bins, minlength=GLCM_LEVELS).astype("float64")
+        ph = ph[ph > 0] / len(vals)
+        feats["Int_entropy"] = float(-(ph * np.log2(ph)).sum())
+    else:
+        feats["Int_entropy"] = 0.0
+    feats["Int_q05"] = float(np.quantile(vals, 0.05))
+    feats["Int_q95"] = float(np.quantile(vals, 0.95))
+
+    # boundary roughness: first differences of the radius profile along
+    # the closed boundary (wrap)
+    rd = np.abs(np.diff(np.concatenate([rad, rad[:1]])))
+    feats["Rad_diff_mean"] = float(rd.mean())
+    feats["Rad_diff_var"] = float(rd.var())
+
+    # isoperimetric quotient inverse: 1 for a disc, grows with boundary
+    # complexity
+    feats["Compactness"] = (
+        feats["Perim"] ** 2 / (4.0 * np.pi * feats["Area"]) if feats["Area"] > 0 else 0.0
+    )
     return feats
 
 

@@ -973,6 +973,71 @@ def test_boundary_spectral_and_tail_numpy_oracle():
     )
 
 
+def test_multiscale_texture_and_tail2_numpy_oracle():
+    """Distance-2 GLCM on a hand-computable patch; entropy/quantile/
+    roughness/compactness against direct numpy."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        GLCM_LEVELS,
+        _cell_features,
+        _glcm_features,
+    )
+
+    # 1x3 patch [0, .5, 1]: the only distance-2 pair is (0,1) -> after
+    # symmetrisation p(0,7)=p(7,0)=0.5 — same matrix as the adjacent
+    # checkerboard case but from the wider offset
+    patch = np.array([[0.0, 0.5, 1.0]])
+    mask = np.ones((1, 3), dtype=bool)
+    g2 = _glcm_features(patch, mask, dist=2, prefix="Coo2")
+    assert g2["Coo2_contrast"] == 49.0
+    assert g2["Coo2_energy"] == 0.5
+    assert g2["Coo2_correlation"] == -1.0
+    # adjacent offset on the same patch sees (0,3),(3,7) pairs instead
+    g1 = _glcm_features(patch, mask, dist=1, prefix="Coo")
+    assert g1["Coo_contrast"] != g2["Coo2_contrast"]
+    # a patch too small for distance 2 -> degenerate limits
+    tiny = _glcm_features(np.array([[0.0, 1.0]]), np.ones((1, 2), bool), dist=2, prefix="Coo2")
+    assert tiny["Coo2_energy"] == 1.0 and tiny["Coo2_contrast"] == 0.0
+
+    rng = np.random.RandomState(17)
+    img = rng.rand(20, 20)
+    b = []
+    for x in range(2, 10):
+        b.append((x, 3))
+    for y in range(4, 8):
+        b.append((9, y))
+    for x in range(8, 1, -1):
+        b.append((x, 7))
+    for y in range(6, 3, -1):
+        b.append((2, y))
+    pts = np.array(b, dtype="int64")
+    f = _cell_features(img, pts)
+    xs, ys = pts[:, 0], pts[:, 1]
+    vals = img[ys, xs]
+    # entropy over GLCM_LEVELS bins of the cell's own range
+    bins = np.minimum(
+        ((vals - vals.min()) / (vals.max() - vals.min()) * GLCM_LEVELS).astype(int),
+        GLCM_LEVELS - 1,
+    )
+    ph = np.bincount(bins, minlength=GLCM_LEVELS) / len(vals)
+    ph = ph[ph > 0]
+    assert math.isclose(f["Int_entropy"], -(ph * np.log2(ph)).sum(), rel_tol=1e-12)
+    assert math.isclose(f["Int_q05"], np.quantile(vals, 0.05), rel_tol=1e-12)
+    assert math.isclose(f["Int_q95"], np.quantile(vals, 0.95), rel_tol=1e-12)
+    cx, cy = xs.mean(), ys.mean()
+    rad = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+    rd = np.abs(np.diff(np.concatenate([rad, rad[:1]])))
+    assert math.isclose(f["Rad_diff_mean"], rd.mean(), rel_tol=1e-12)
+    assert math.isclose(f["Rad_diff_var"], rd.var(), rel_tol=1e-12)
+    assert math.isclose(
+        f["Compactness"], f["Perim"] ** 2 / (4 * np.pi * f["Area"]), rel_tol=1e-12
+    )
+    # flat image -> entropy 0 by convention
+    f2 = _cell_features(np.full((20, 20), 0.5), pts)
+    assert f2["Int_entropy"] == 0.0
+
+
 def test_frame_diff_multi_path_separation(spark):
     """Two videos in one DataFrame never diff across paths: each path's
     first frame is NULL and its cut structure is unchanged by the other
