@@ -225,6 +225,74 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_srp(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup at corpus scale: the LSH-bucketed candidate
+    path for :func:`embedding_near_duplicates` (whose theta join is the
+    O(N²) oracle baseline). ``n_bands`` independent SRP codes (seeds
+    ``seed..seed+n_bands-1``) each bucket the corpus; candidate pairs
+    share a bucket in ANY band (union + distinct — MinHash-banding
+    economics applied to cosine space); the exact cosine check runs on
+    candidates only.
+
+    Every shuffle is keyed (bucket, then pair), nothing is broadcast or
+    collected: N² never materialises. Recall is tunable — fewer bits /
+    more bands = more candidates; at the driver's synthetic sf0.01
+    corpus the 4-bit × 4-band default recovers ~half the true ≥0.4
+    pairs (a production deployment tunes to its threshold; the verify
+    expression is shared with the exact form either way)."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        srp_bucket_codes,
+        with_norm,
+    )
+
+    cands: DataFrame | None = None
+    for band in range(n_bands):
+        coded = srp_bucket_codes(df, dim, id_col, vec_col, n_bits, seed + band)
+        a = coded.select("bucket", F.col("vec_id").alias("doc_a"))
+        b = coded.select("bucket", F.col("vec_id").alias("doc_b"))
+        p = (
+            a.join(b, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cands = p if cands is None else cands.union(p)
+    assert cands is not None
+    cands = cands.distinct()
+
+    n = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), "_emb", "_norm"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(
+            n.select(F.col("_id").alias("doc_a"), F.col("_emb").alias("a_emb"),
+                     F.col("_norm").alias("a_norm")),
+            "doc_a",
+        )
+        .join(
+            n.select(F.col("_id").alias("doc_b"), F.col("_emb").alias("b_emb"),
+                     F.col("_norm").alias("b_norm")),
+            "doc_b",
+        )
+        .withColumn("cos_sim", F.round(dot / (F.col("a_norm") * F.col("b_norm")), 5))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1717,7 +1717,7 @@ def d5(spark, sf_dir):
 )
 def d6(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup.py): exact theta-join
-    baseline; scale path = SRP buckets (v2) feeding the same verify.
+    baseline; scale path = SRP buckets feeding the same verify (d6b).
     Input capped at D6_VEC_CAP vectors (v1 pattern) — gate cost stays
     O(1) in sf.  Threshold 0.4 (not a realistic near-dup 0.9) because
     the driver's synthetic embeddings have no true near-dup pairs —
@@ -1726,6 +1726,62 @@ def d6(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < D6_VEC_CAP)
     return embedding_near_duplicates(e, threshold=0.4)
+
+
+def _srp_neardup_oracle_sql(
+    dim: int = 64, threshold: float = 0.4, n_bits: int = 4, n_bands: int = 4,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of embedding_near_duplicates_srp: identical ±1
+    plane literals per band → identical buckets, candidates, cosines."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_planes
+
+    def bucket_expr(band_seed: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(emb, [{w}]) >= 0 THEN {v} ELSE 0 END)".format(
+                w=", ".join(str(x) for x in plane), v=1 << m
+            )
+            for m, plane in enumerate(srp_planes(dim, n_bits, band_seed))
+        )
+
+    band_ctes = ",\n    ".join(
+        f"c{b} AS (SELECT vec_id, {bucket_expr(seed + b)} AS bucket FROM e)"
+        for b in range(n_bands)
+    )
+    band_joins = "\n      UNION ALL\n      ".join(
+        f"SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM c{b} a "
+        f"JOIN c{b} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {band_ctes},
+    cands AS (SELECT DISTINCT doc_a, doc_b FROM (
+      {band_joins}
+    )),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+    SELECT doc_a, doc_b,
+           ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 5) AS cos_sim
+    FROM cands JOIN n na ON na.vec_id = doc_a JOIN n nb ON nb.vec_id = doc_b
+    WHERE ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 5) >= {threshold}
+    """
+
+
+@register("d6b_srp_neardup", _srp_neardup_oracle_sql())
+def d6b(spark, sf_dir):
+    """Embedding near-dup — the 100 TB path (dedup.py
+    `embedding_near_duplicates_srp`): 4 independent SRP bucketings
+    (MinHash-banding economics in cosine space) → union + distinct
+    candidate pairs → exact cosine verify on candidates only. UNCAPPED
+    input, unlike the d6 baseline: every shuffle is bucket-/pair-keyed,
+    N² never materialises. Full SQL oracle with inlined plane literals
+    (v2 pattern)."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        embedding_near_duplicates_srp,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_srp(e, dim=EMB_DIM, threshold=0.4)
 
 
 @register(
@@ -2534,6 +2590,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "d4_simhash",
     "d5_pairwise_jaccard",
     "d6_embedding_neardup",
+    "d6b_srp_neardup",
     "d7_dedup_clusters",
     # round-3 relational extensions
     "j8_salted_join",

@@ -221,3 +221,36 @@ def test_repetition_features_hand_computed(spark):
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["n_lines"] == 1
     assert got[4]["n_lines"] == 0
     assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_srp_neardup_subset_of_exact(spark):
+    """The SRP-bucketed near-dup path returns a SUBSET of the exact
+    theta-join pairs (cosines computed identically; LSH only restricts
+    candidates), with useful recall on the fixture corpus, and never
+    emits a pair below threshold or a self/reversed pair."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_srp,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import fixture_embeddings_df
+
+    emb = fixture_embeddings_df(spark, n=18, dim=8)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates_srp(
+            emb, dim=8, threshold=0.9, n_bits=4, n_bands=4
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]          # identical rounded cosine
+        assert v >= 0.9
+        assert k[0] < k[1]
+    # the 3-cluster fixture has many same-cluster pairs; LSH must find
+    # a non-trivial share of them (deterministic planes -> stable count)
+    assert len(exact) > 0
+    assert len(approx) >= len(exact) // 2
