@@ -252,3 +252,48 @@ def scene_cuts(diffs: DataFrame, k: float = 1.5) -> DataFrame:
             F.col("diff_energy") > k * F.avg("diff_energy").over(w)
         ),
     )
+
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("clip_index", T.IntegerType()),
+        T.StructField("start_frame", T.IntegerType()),
+        T.StructField("end_frame", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_diff", T.DoubleType()),
+    ]
+)
+
+
+def clip_segments(cuts: DataFrame) -> DataFrame:
+    """Cut-aligned clip extraction: group each path's frames into shots
+    bounded by the scene cuts (the step after `scene_cuts` in a video
+    curation pipeline — clips become the training units, near-static or
+    ultra-short ones get filtered downstream).
+
+    clip_index = running count of cuts at-or-before the frame (a
+    path-keyed ordered window — one shuffle on path, no per-video
+    serialisation), then one groupBy for the per-clip summary: frame
+    span, length, and mean intra-clip diff energy (cut-frame diffs
+    excluded — they measure the transition, not the clip)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("path").orderBy("frame_index")
+    tagged = cuts.withColumn(
+        "clip_index",
+        F.sum(F.col("is_cut").cast("int")).over(w).cast("int"),
+    )
+    return (
+        tagged.groupBy("path", "clip_index")
+        .agg(
+            F.min("frame_index").alias("start_frame"),
+            F.max("frame_index").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(
+                F.avg(F.when(~F.col("is_cut"), F.col("diff_energy"))), 6
+            ).alias("mean_diff"),
+        )
+        .select(*[f.name for f in CLIP_SCHEMA.fields])
+    )

@@ -2557,6 +2557,37 @@ def mm2(spark, sf_dir):
     return d.withColumn("rms", F.round("rms", 6)).withColumn("peak", F.round("peak", 6))
 
 
+@register(
+    "mm3_clip_segments",
+    """
+    SELECT path, CAST(ci AS INT) AS clip_index,
+           CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+           CAST(n AS BIGINT) AS n_frames, CAST(md AS DOUBLE) AS mean_diff
+    FROM (VALUES
+      ('vid11.fake', 0, 0, 2, 3, 0.014254),
+      ('vid11.fake', 1, 3, 5, 3, 0.015035)
+    ) AS t(path, ci, sf, ef, n, md)
+    """,
+)
+def mm3(spark, sf_dir):
+    """Cut-aligned clip extraction (media.py `clip_segments`): the
+    video curation step after shot detection — clip_index = running cut
+    count (ONE path-keyed window), per-clip span/length/mean intra-clip
+    diff (cut-frame transition diffs excluded). Golden: the two-shot
+    mm1 fixture splits into clips [0-2] and [3-5]."""
+    from cellphe_data_pipeline_spark.domain.images import split_frames
+    from cellphe_data_pipeline_spark.domain.media import (
+        clip_segments,
+        frame_diff_energy,
+        scene_cuts,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_video_df
+
+    return clip_segments(
+        scene_cuts(frame_diff_energy(split_frames(fake_video_df(spark))))
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -2584,6 +2615,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "m4_static_features",
     "mm1_scene_cuts",
     "mm2_audio_quality",
+    "mm3_clip_segments",
     # similarity / dedup variants outside the r03 window
     "v3_ivf_topk",
     "v4_probe_topk",

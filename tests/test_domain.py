@@ -1059,3 +1059,21 @@ def test_frame_diff_multi_path_separation(spark):
     # the fixture's only cut is frame 3 of the video
     cuts = [(r["path"], r["frame_index"]) for r in out if r["is_cut"]]
     assert cuts == [("vid11.fake", 3)]
+
+    # clip segmentation stays path-separated too: the video splits at
+    # its cut, the cut-free frame stack is one clip, and clip spans
+    # tile each path's frames without overlap
+    from cellphe_data_pipeline_spark.domain.media import clip_segments
+
+    clips = {}
+    for r in clip_segments(scene_cuts(frame_diff_energy(split_frames(both)))).collect():
+        clips.setdefault(r["path"], []).append(r)
+    vid = sorted(clips["vid11.fake"], key=lambda r: r["clip_index"])
+    assert [(c["start_frame"], c["end_frame"], c["n_frames"]) for c in vid] == [
+        (0, 2, 3), (3, 5, 3),
+    ]
+    fx = clips["fx5.fake"]
+    assert len(fx) == 1 and (fx[0]["start_frame"], fx[0]["end_frame"]) == (0, 2)
+    # cut-frame diffs are excluded from mean_diff: clip 1's mean uses
+    # frames 4,5 only (both intra-shot jitters, well under the cut diff)
+    assert vid[1]["mean_diff"] < 0.1
