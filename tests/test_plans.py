@@ -55,6 +55,23 @@ def test_srp_topk_is_bucketed_equi_join(spark, sf_dir):
     assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2 or "BroadcastHashJoin" in p2
 
 
+def test_srp_neardup_is_bucketed_equi_join(spark, sf_dir):
+    # d6 theta join is the quadratic oracle baseline; the SCALE path d6b
+    # must stay candidate-bucketed: every join an equi-join, no
+    # nested-loop anywhere despite the 4-band union + verify joins
+    p = plan(REGISTRY["d6b_srp_neardup"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_clip_segments_single_keyed_window(spark, sf_dir):
+    # mm3's running cut count must be a path-KEYED window (parallel
+    # across videos), never a global one
+    p = plan(REGISTRY["mm3_clip_segments"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "No Partition Defined" not in p
+
+
 def test_movement_single_shuffle(spark, sf_dir):
     # every window/lag/cumsum shares ONE hash partitioning on the key —
     # exactly one exchange in the whole plan (simple mode: one line/node)
