@@ -1038,6 +1038,50 @@ def test_multiscale_texture_and_tail2_numpy_oracle():
     assert f2["Int_entropy"] == 0.0
 
 
+def test_cell_features_total_robustness_hypothesis():
+    """SURVEY §5 property test on the full 62-feature kernel: for
+    ARBITRARY integer coordinate sequences (ordered boundaries, blobs,
+    repeated points, single pixels) the kernel either skips (None, <3
+    points) or returns every declared feature as a finite float, with
+    the structural invariants: curvature excess ≥ 0 (triangle
+    inequality), radius/intensity bounds ordered, polygon vertex count
+    ≥ 1, spectral energies ≥ 0."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        STATIC_FEATURE_NAMES,
+        _cell_features,
+    )
+
+    rng = np.random.RandomState(23)
+    img = rng.rand(24, 24)
+    pt = st.tuples(st.integers(-3, 26), st.integers(-3, 26))  # incl. clipped
+    roi = st.lists(pt, min_size=1, max_size=40)
+
+    @settings(max_examples=40, deadline=None)
+    @given(roi)
+    def check(points):
+        f = _cell_features(img, np.array(points, dtype="int64"))
+        if f is None:
+            assert len(points) < 3
+            return
+        assert set(f) == set(STATIC_FEATURE_NAMES)
+        for k, v in f.items():
+            assert np.isfinite(v), f"{k} not finite: {v}"
+        assert f["Cur_mean"] >= 0 and f["Cur_max"] >= -1e-12
+        assert f["Rad_min"] <= f["Rad_mean"] <= f["Rad_max"] + 1e-12
+        assert f["Int_min"] <= f["Int_q50"] <= f["Int_max"] + 1e-12
+        assert f["Int_q05"] <= f["Int_q95"] + 1e-12
+        assert f["Poly_n"] >= 1
+        for k in ("Rad_haar_l1", "Rad_haar_l2", "Rad_haar_l3",
+                  "Haar2d_l1", "Haar2d_l2", "Haar2d_l3"):
+            assert f[k] >= 0
+        assert 0 <= f["Sphericity"] <= 1 + 1e-12
+        assert 0 <= f["Box"] <= 1 + 1e-12
+
+    check()
+
+
 def test_frame_diff_multi_path_separation(spark):
     """Two videos in one DataFrame never diff across paths: each path's
     first frame is NULL and its cut structure is unchanged by the other
