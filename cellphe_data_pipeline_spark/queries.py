@@ -2341,6 +2341,65 @@ def a9(spark, sf_dir):
 
 
 @register(
+    "a11_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def a11(spark, sf_dir):
+    """CUBE grouping sets (SURVEY §2.4 'absent — Catalyst provides
+    free'): all 2^k subtotal combinations in one pass — the a9 ROLLUP's
+    superset, adding the per-priority-only margin. Partial aggregation
+    applies per grouping set; money exact via decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "w8_range_frame",
+    """
+    SELECT user_id, event_id, value,
+           CAST(cnt_pm5 AS BIGINT) AS cnt_pm5,
+           CAST(sum_pm5 AS DOUBLE) AS sum_pm5
+    FROM (
+      SELECT user_id, event_id, value,
+             COUNT(*) OVER w AS cnt_pm5,
+             ROUND(SUM(value) OVER w, 6) AS sum_pm5
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY value
+                   RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)
+    ) t
+    """,
+)
+def w8(spark, sf_dir):
+    """RANGE-frame window (SURVEY §2.5 'absent — trivially available'):
+    per-key VALUE-range frames (all events within ±5.0 of the current
+    row's value) — the rangeBetween form the reference never needed but
+    a generic engine surface must expose. One keyed window shuffle.
+    Expressed as SQL window expressions because the pyspark
+    ``Window.rangeBetween`` API only accepts integer offsets; the
+    double-typed RANGE frame is Catalyst-native either way."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY value "
+        "RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)"
+    )
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "value",
+        f"COUNT(*) {over} AS cnt_pm5",
+        f"ROUND(SUM(value) {over}, 6) AS sum_pm5",
+    )
+
+
+@register(
     "o6_limit_per_group",
     """
     SELECT lang, doc_id, n_chars FROM (
@@ -2640,6 +2699,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "o6_limit_per_group",
     "a9_rollup",
     "a10_pivot",
+    "a11_cube",
+    "w8_range_frame",
     "p3_conditional_output",
     "p14_predicate_branch",
     "f9_f12_clip_sprintf",
