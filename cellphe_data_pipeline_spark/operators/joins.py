@@ -182,3 +182,57 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[f"asof_{c}" for c in right_cols]
     )
+
+
+def interval_self_join_count(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    key_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Temporal interval self-join (engine extension — SURVEY §2.3 lists
+    interval joins as absent from the reference): for each row, count
+    rows of OTHER keys whose timestamp lies within ±window_seconds.
+
+    Same shape as the J7 spatial grid join but in 1-D time: bucket =
+    floor(unix_micros / window); the build side is exploded into its
+    ±1 neighbor buckets, the join is a plain hash equi-join on bucket,
+    and the exact |Δt| predicate filters the candidates — never a
+    nested-loop theta join, so at 100 TB the shuffle is keyed by time
+    bucket and the per-task candidate set is bounded by bucket density
+    (skewed hot buckets split by AQE).
+    """
+    win_us = int(window_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.floor(us / F.lit(win_us)).cast("long")
+
+    probe = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        us.alias("_us"),
+        bucket.alias("_b"),
+    )
+    build = (
+        df.select(
+            F.col(key_col).alias("_bkey"),
+            us.alias("_bus"),
+            bucket.alias("_bb"),
+        )
+        .withColumn("_o", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select("_bkey", "_bus", (F.col("_bb") + F.col("_o")).alias("_b"))
+    )
+    counts = (
+        probe.join(build, "_b")
+        .filter(
+            (F.col("_key") != F.col("_bkey"))
+            & (F.abs(F.col("_us") - F.col("_bus")) <= F.lit(win_us))
+        )
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+    return (
+        df.join(
+            counts.withColumnRenamed("_id", id_col), id_col, "left"
+        ).withColumn("n_nearby", F.coalesce(F.col("n_nearby"), F.lit(0)))
+    )

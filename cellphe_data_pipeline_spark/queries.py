@@ -2047,6 +2047,34 @@ def j9(spark, sf_dir):
 
 
 @register(
+    "j10_interval_join",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events)
+    SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
+    FROM e a LEFT JOIN e b
+      ON b.user_id <> a.user_id
+      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+    GROUP BY a.event_id
+    """,
+)
+def j10(spark, sf_dir):
+    """Temporal interval self-join (operators/joins.py
+    `interval_self_join_count` — SURVEY §2.3 lists interval joins as
+    absent from the reference): per event, how many OTHER users' events
+    fall within ±60s. The J7 grid-join pattern in 1-D time: ±1
+    time-bucket explode → hash equi-join on bucket → exact |Δt| filter,
+    never a theta join; the DuckDB oracle IS the theta-join formulation,
+    pinning the semantics the bucketing must reproduce."""
+    from cellphe_data_pipeline_spark.operators.joins import interval_self_join_count
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = interval_self_join_count(
+        ev, ts_col="ts", id_col="event_id", key_col="user_id", window_seconds=60
+    )
+    return out.select("event_id", "n_nearby")
+
+
+@register(
     "v4_probe_topk",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2686,6 +2714,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-3 relational extensions
     "j8_salted_join",
     "j9_asof_join",
+    "j10_interval_join",
     "t4_token_counts",
     "t5_redact",
     "t6_repetition",

@@ -64,6 +64,15 @@ def test_srp_neardup_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    # the oracle is the theta join; the engine plan must be the ±1
+    # time-bucket hash equi-join — nested-loop anywhere means the
+    # bucketing regressed to the quadratic form
+    p = plan(REGISTRY["j10_interval_join"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_clip_segments_single_keyed_window(spark, sf_dir):
     # mm3's running cut count must be a path-KEYED window (parallel
     # across videos), never a global one
