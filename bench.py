@@ -32,6 +32,7 @@ HEADLINE = [
     "d3_minhash_near_dups",    # MinHash+LSH near-dup pipeline
     "v2_srp_topk",             # bucketed ANN
     "t1_quality_features",     # text quality (codegen regex)
+    "j10_interval_join",       # temporal bucket range join (new r4)
     "t6_repetition",           # Gopher repetition gates (bigram mode)
     "c3_token_budget_shards",  # context-window packing (stream windows)
     "e1_hourly_rollup",        # streaming-shaped rollup (events read)

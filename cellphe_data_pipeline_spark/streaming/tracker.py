@@ -422,3 +422,63 @@ def streaming_tracker_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+def streaming_interval_pairs(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    window_seconds: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval self-join (the streaming port of the
+    batch `interval_self_join_count` pattern): pairs of events from
+    DIFFERENT keys within ±window_seconds of each other, emitted as
+    the stream advances.
+
+    Same scale shape as the batch op — time-bucket equality drives the
+    join (the ±1-bucket explode on the build side is stateless), so the
+    stream-stream join state is keyed by bucket, and BOTH sides carry
+    watermarks plus a time-range condition, which lets Spark expire
+    join state once the watermark passes a bucket: bounded state on an
+    unbounded stream. A bare non-equi time-range join would be legal
+    but state-unbounded per micro-batch; the bucket key is what makes
+    it production-shaped.
+    """
+    win_us = int(window_seconds) * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(win_us)).cast("long")
+
+    probe = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("l_id"),
+            F.col(key_col).alias("l_key"),
+            F.col(ts_col).alias("l_ts"),
+            bucket.alias("_b"),
+        )
+    )
+    build = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("r_id"),
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+            bucket.alias("_bb"),
+        )
+        .withColumn("_o", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select("r_id", "r_key", "r_ts", (F.col("_bb") + F.col("_o")).alias("_b"))
+    )
+    return (
+        probe.join(
+            build,
+            [
+                probe["_b"] == build["_b"],
+                F.col("l_key") != F.col("r_key"),
+                F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"),
+                F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"),
+            ],
+            "inner",
+        )
+        .select("l_id", "r_id", "l_key", "r_key", "l_ts", "r_ts")
+    )

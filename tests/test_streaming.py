@@ -308,6 +308,49 @@ def test_streaming_tracker_matches_batch_partition(spark, tmp_path):
     assert stream_parts == batch_parts
 
 
+def test_streaming_interval_pairs_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    pair set the batch bucketed interval join would count: for each
+    event, its set of other-user neighbors within ±60s matches
+    interval_self_join_count's n_nearby."""
+    from cellphe_data_pipeline_spark.operators.joins import interval_self_join_count
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_interval_pairs
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("event_id", "user_id", "ts")
+    )
+    path = str(tmp_path / "iv_stream")
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        streaming_interval_pairs(stream, window_seconds=60)
+        .writeStream.format("memory")
+        .queryName("iv_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT l_id, r_id FROM iv_pairs").collect()
+    pairs = {(r["l_id"], r["r_id"]) for r in got}
+    assert len(pairs) == len(got)  # ±1-bucket explode introduces no dup pairs
+    per_left: dict = {}
+    for l, r in pairs:
+        per_left[l] = per_left.get(l, 0) + 1
+
+    batch = {
+        r["event_id"]: r["n_nearby"]
+        for r in interval_self_join_count(
+            ev, ts_col="ts", id_col="event_id", key_col="user_id", window_seconds=60
+        ).collect()
+    }
+    assert sum(batch.values()) > 0  # fixture slice actually has neighbors
+    for eid, n in batch.items():
+        assert per_left.get(eid, 0) == n
+
+
 def test_streaming_tracker_tws_matches_compat(spark, tmp_path):
     """The transformWithState (typed-state) tracker emits the SAME
     per-detection assignments as the applyInPandasWithState compat
