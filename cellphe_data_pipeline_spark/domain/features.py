@@ -13,16 +13,18 @@ so executor memory is bounded by one image + its ROIs regardless of
 corpus size; 721-frame × N-timelapse corpora parallelise frame-wise
 (the reference's own speedup axis, README.md:409).
 
-The 62-feature vector covers every structural CellPhe block (Wiseman
-2023): size/shape (area, centroid, radius stats, principal axes,
-fill/convexity, compactness), boundary (curvature profile, polygon
-class via RDP, radius-profile Haar spectrum + roughness, perimeter),
-first-order intensity (stats, deciles + extremes, IQR/MAD, skew/kurt,
-entropy), and texture (cooccurrence GLCM at pixel distances 1 and 2,
-2-D Haar detail energies levels 1-3) — all real numpy on the decoded
-raster, each block cross-checked by a closed-form or direct-numpy
-oracle test (tests/test_domain.py). Names are engine-local; the
-blocks map 1:1 to the published CellPhe feature families.
+The 74-feature vector covers every structural CellPhe block at the
+reference's feature count (Wiseman 2023): size/shape (area, centroid,
+radius stats + quartiles, principal axes, fill/convexity,
+compactness), boundary (curvature profile with distribution extremes,
+polygon class via RDP, radius-profile Haar spectrum + roughness,
+perimeter), first-order intensity (stats, deciles + extremes, IQR/MAD,
+skew/kurt, entropy, range, centre-of-mass asymmetry), and texture
+(cooccurrence GLCM at pixel distances 1 and 2, 2-D Haar detail
+energies levels 1-3) — all real numpy on the decoded raster, each
+block cross-checked by a closed-form or direct-numpy oracle test
+(tests/test_domain.py). Names are engine-local; the blocks map 1:1 to
+the published CellPhe feature families.
 
 RuntimeError-on-degenerate-cell → skip (frame_features_image.py:66-70):
 cells whose clipped ROI has no interior pixels are silently dropped,
@@ -131,6 +133,23 @@ STATIC_FEATURE_NAMES = (
     "Rad_diff_var",
     # isoperimetric compactness: Perim^2 / (4*pi*Area), 1 for a disc
     "Compactness",
+    # radius distribution quartiles + spread (radial shape profile)
+    "Rad_q25",
+    "Rad_q50",
+    "Rad_q75",
+    "Rad_iqr",
+    # intensity centre-of-mass offset from the geometric centroid —
+    # internal brightness asymmetry (x/y components + magnitude)
+    "Int_com_dx",
+    "Int_com_dy",
+    "Int_com_offset",
+    # curvature / polygon distribution extremes completing those blocks
+    "Cur_min",
+    "Cur_var",
+    "Poly_side_max",
+    "Poly_ang_min",
+    # full intensity range (dynamic-range gate)
+    "Int_range",
 )
 
 FEATURES_SCHEMA = T.StructType(
@@ -349,6 +368,7 @@ def _polygon_features(xs: np.ndarray, ys: np.ndarray, eps: float = 1.5) -> dict[
         return {
             "Poly_n": 1.0, "Poly_side_mean": 0.0, "Poly_side_var": 0.0,
             "Poly_ang_mean": 0.0, "Poly_ang_var": 0.0,
+            "Poly_side_max": 0.0, "Poly_ang_min": 0.0,
         }
     chain_a = _rdp(pts[: far + 1], eps)
     chain_b = _rdp(np.concatenate([pts[far:], pts[:1]], axis=0), eps)
@@ -360,6 +380,7 @@ def _polygon_features(xs: np.ndarray, ys: np.ndarray, eps: float = 1.5) -> dict[
         return {
             "Poly_n": float(m), "Poly_side_mean": side, "Poly_side_var": 0.0,
             "Poly_ang_mean": 0.0, "Poly_ang_var": 0.0,
+            "Poly_side_max": side, "Poly_ang_min": 0.0,
         }
     nxt = np.roll(poly, -1, axis=0)
     sides = np.hypot(*(nxt - poly).T)
@@ -377,6 +398,8 @@ def _polygon_features(xs: np.ndarray, ys: np.ndarray, eps: float = 1.5) -> dict[
         "Poly_side_var": float(sides.var()),
         "Poly_ang_mean": float(ang.mean()),
         "Poly_ang_var": float(ang.var()),
+        "Poly_side_max": float(sides.max()),
+        "Poly_ang_min": float(ang.min()),
     }
 
 
@@ -522,6 +545,30 @@ def _cell_features(img: np.ndarray, coords: np.ndarray) -> dict[str, float] | No
     feats["Compactness"] = (
         feats["Perim"] ** 2 / (4.0 * np.pi * feats["Area"]) if feats["Area"] > 0 else 0.0
     )
+
+    # radial quartiles + spread
+    feats["Rad_q25"] = float(np.quantile(rad, 0.25))
+    feats["Rad_q50"] = float(np.quantile(rad, 0.50))
+    feats["Rad_q75"] = float(np.quantile(rad, 0.75))
+    feats["Rad_iqr"] = feats["Rad_q75"] - feats["Rad_q25"]
+
+    # intensity centre-of-mass offset from the geometric centroid
+    wsum = float(vals.sum())
+    if wsum > 0:
+        com_x = float((vals * xs).sum()) / wsum
+        com_y = float((vals * ys).sum()) / wsum
+        feats["Int_com_dx"] = com_x - cx
+        feats["Int_com_dy"] = com_y - cy
+        feats["Int_com_offset"] = float(np.hypot(com_x - cx, com_y - cy))
+    else:
+        feats["Int_com_dx"] = 0.0
+        feats["Int_com_dy"] = 0.0
+        feats["Int_com_offset"] = 0.0
+
+    # curvature distribution extremes
+    feats["Cur_min"] = float(cur.min())
+    feats["Cur_var"] = float(cur.var())
+    feats["Int_range"] = feats["Int_max"] - feats["Int_min"]
     return feats
 
 

@@ -1603,12 +1603,24 @@ def a5b(spark, sf_dir):
            CAST(v62 AS DOUBLE) AS Int_q95,
            CAST(v63 AS DOUBLE) AS Rad_diff_mean,
            CAST(v64 AS DOUBLE) AS Rad_diff_var,
-           CAST(v65 AS DOUBLE) AS Compactness
+           CAST(v65 AS DOUBLE) AS Compactness,
+           CAST(v66 AS DOUBLE) AS Rad_q25,
+           CAST(v67 AS DOUBLE) AS Rad_q50,
+           CAST(v68 AS DOUBLE) AS Rad_q75,
+           CAST(v69 AS DOUBLE) AS Rad_iqr,
+           CAST(v70 AS DOUBLE) AS Int_com_dx,
+           CAST(v71 AS DOUBLE) AS Int_com_dy,
+           CAST(v72 AS DOUBLE) AS Int_com_offset,
+           CAST(v73 AS DOUBLE) AS Cur_min,
+           CAST(v74 AS DOUBLE) AS Cur_var,
+           CAST(v75 AS DOUBLE) AS Poly_side_max,
+           CAST(v76 AS DOUBLE) AS Poly_ang_min,
+           CAST(v77 AS DOUBLE) AS Int_range
     FROM (VALUES
-      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296, 1.0, 0.8, 1.0, 16.0, 0.0, 0.918581, -0.627754, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.399209, 0.142292, 15.875, 0.278997, 0.085938, -0.182083, 3.852217, 0.0, 2.352217, 0.082016, 0.991107, 0.421076, 0.123101, 3.292547),
-      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0, 0.833333, 0.90211, 0.909091, 5.5, 0.816497, -0.037601, -1.382315, 1.294427, 0.403102, 1.821854, -0.628702, 2.0, 2.0, 0.0, 0.0, 0.0, 0.167544, 0.021143, 0.0, 6.828427, 0.447214, 0.3083, 0.181818, 36.0, 0.027027, 0.5, -1.0, 1.0, 0.0, 2.321928, 0.194466, 0.711462, 0.474097, 0.010816, 0.742098),
-      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449, 1.0, 0.8, 1.0, 16.0, 0.0, 0.063732, -1.006618, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.359252, 0.194882, 16.625, 0.193209, 0.041016, -0.564706, 4.6875, 0.0, 2.858459, 0.065945, 0.923228, 0.421076, 0.123101, 3.292547)
-    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50, v51, v52, v53, v54, v55, v56, v57, v58, v59, v60, v61, v62, v63, v64, v65)
+      ('fx3.fake', 0, 10, '000-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.390563, 0.323146, 0.055336, 1.0, 0.096838, 0.13834, 0.23913, 0.537549, 0.972332, 4.472136, 4.472136, 1.0, 1.0, 9.958333, 0.430521, 0.0625, 0.293553, 4.236441, 0.924475, 0.746296, 1.0, 0.8, 1.0, 16.0, 0.0, 0.918581, -0.627754, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.399209, 0.142292, 15.875, 0.278997, 0.085938, -0.182083, 3.852217, 0.0, 2.352217, 0.082016, 0.991107, 0.421076, 0.123101, 3.292547, 1.362631, 1.581139, 1.716184, 0.353553, -0.181214, -0.437381, 0.473435, 0.0, 1.0, 4.242641, 0.321751, 0.944664),
+      ('fx3.fake', 0, 11, '000-01-011', 5.0, 1.8, 1.4, 0.847801, 1.264911, 0.081233, 5.0, 0.455336, 0.204946, 0.16996, 0.73913, 0.218972, 0.29249, 0.474308, 0.600791, 0.683794, 3.098387, 1.788854, 0.57735, 1.0, 21.4, 0.089405, 0.1, -0.599402, 3.321928, 0.176866, 0.0, 0.833333, 0.90211, 0.909091, 5.5, 0.816497, -0.037601, -1.382315, 1.294427, 0.403102, 1.821854, -0.628702, 2.0, 2.0, 0.0, 0.0, 0.0, 0.167544, 0.021143, 0.0, 6.828427, 0.447214, 0.3083, 0.181818, 36.0, 0.027027, 0.5, -1.0, 1.0, 0.0, 2.321928, 0.194466, 0.711462, 0.474097, 0.010816, 0.742098, 0.632456, 0.894427, 1.0, 0.367544, -0.070833, -0.061458, 0.093779, 0.585786, 0.162491, 2.0, 0.0, 0.56917),
+      ('fx3.fake', 1, 10, '001-01-010', 16.0, 5.5, 5.5, 1.497676, 2.12132, 0.256966, 16.0, 0.490896, 0.288094, 0.062992, 1.0, 0.068898, 0.310039, 0.517717, 0.669291, 0.885827, 4.472136, 4.472136, 1.0, 1.0, 11.791667, 0.272633, 0.032118, -0.074769, 5.043296, 1.158523, 0.169449, 1.0, 0.8, 1.0, 16.0, 0.0, 0.063732, -1.006618, 1.0, 1.0, 2.0, 0.0, 6.0, 3.288246, 0.187441, 0.4763, 0.032552, 2.111456, 0.0, 2.0, 25.729474, 0.707107, 0.359252, 0.194882, 16.625, 0.193209, 0.041016, -0.564706, 4.6875, 0.0, 2.858459, 0.065945, 0.923228, 0.421076, 0.123101, 3.292547, 1.362631, 1.581139, 1.716184, 0.353553, -0.181704, 0.123058, 0.219453, 0.0, 1.0, 4.242641, 0.321751, 0.937008)
+    ) AS t(path, f, c, rf, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50, v51, v52, v53, v54, v55, v56, v57, v58, v59, v60, v61, v62, v63, v64, v65, v66, v67, v68, v69, v70, v71, v72, v73, v74, v75, v76, v77)
     """,
 )
 def m4(spark, sf_dir):

@@ -1038,6 +1038,58 @@ def test_multiscale_texture_and_tail2_numpy_oracle():
     assert f2["Int_entropy"] == 0.0
 
 
+def test_final_block_numpy_oracle():
+    """Radius quartiles, intensity centre-of-mass offset, curvature and
+    polygon extremes, intensity range — direct numpy cross-checks plus
+    the zero-intensity degenerate."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        _cell_features,
+        _curvature_profile,
+    )
+
+    rng = np.random.RandomState(29)
+    img = rng.rand(20, 20)
+    b = []
+    for x in range(2, 10):
+        b.append((x, 3))
+    for y in range(4, 8):
+        b.append((9, y))
+    for x in range(8, 1, -1):
+        b.append((x, 7))
+    for y in range(6, 3, -1):
+        b.append((2, y))
+    pts = np.array(b, dtype="int64")
+    f = _cell_features(img, pts)
+    xs, ys = pts[:, 0], pts[:, 1]
+    cx, cy = xs.mean(), ys.mean()
+    rad = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+    for q, name in [(0.25, "Rad_q25"), (0.50, "Rad_q50"), (0.75, "Rad_q75")]:
+        assert math.isclose(f[name], np.quantile(rad, q), rel_tol=1e-12)
+    assert math.isclose(f["Rad_iqr"], f["Rad_q75"] - f["Rad_q25"], rel_tol=1e-12)
+
+    vals = img[ys, xs]
+    com_x = (vals * xs).sum() / vals.sum()
+    com_y = (vals * ys).sum() / vals.sum()
+    assert math.isclose(f["Int_com_dx"], com_x - cx, rel_tol=1e-12)
+    assert math.isclose(f["Int_com_dy"], com_y - cy, rel_tol=1e-12)
+    assert math.isclose(
+        f["Int_com_offset"], math.hypot(com_x - cx, com_y - cy), rel_tol=1e-12
+    )
+
+    cur = _curvature_profile(xs, ys)
+    assert math.isclose(f["Cur_min"], cur.min(), rel_tol=1e-12)
+    assert math.isclose(f["Cur_var"], cur.var(), rel_tol=1e-12)
+    assert math.isclose(f["Int_range"], vals.max() - vals.min(), rel_tol=1e-12)
+    assert f["Poly_side_max"] >= f["Poly_side_mean"]
+    assert 0 <= f["Poly_ang_min"] <= f["Poly_ang_mean"]
+
+    # zero image: center-of-mass undefined -> offset 0 by convention
+    f0 = _cell_features(np.zeros((20, 20)), pts)
+    assert f0["Int_com_offset"] == 0.0 and f0["Int_range"] == 0.0
+
+
 def test_cell_features_total_robustness_hypothesis():
     """SURVEY §5 property test on the full 62-feature kernel: for
     ARBITRARY integer coordinate sequences (ordered boundaries, blobs,
