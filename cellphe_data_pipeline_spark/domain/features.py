@@ -627,4 +627,24 @@ def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
-    return tagged.groupBy("path", "FrameID").applyInPandas(kernel, FEATURES_SCHEMA)
+    # Explicit RANGE repartition on the group key, sized to CORES: the
+    # feature kernel is CPU-bound pandas, and AQE's byte-based shuffle
+    # coalescing folds the (tiny-in-bytes) cell rows into ONE partition
+    # — serializing every frame through a single task (measured: 19s at
+    # the 726-frame bench shape on 32 cores, identical to local[1]).
+    # Byte-sized coalescing cannot see per-row kernel cost; this is the
+    # engine's standing rule for pandas-kernel stages whose rows are
+    # small but expensive. repartitionByRange specifically:
+    # a plain repartition(n, keys) is removed as redundant by the
+    # logical optimizer (the groupBy's requirement subsumes it) and the
+    # replacement ENSURE_REQUIREMENTS shuffle is AQE-coalesced; the
+    # range form survives (REPARTITION_BY_NUM origin — coalesce-exempt)
+    # and still satisfies the groupBy's ClusteredDistribution, so no
+    # second exchange appears. At production raster sizes (MB frames)
+    # the bytes-based default behaves fine either way.
+    n_parts = max(2, tagged.sparkSession.sparkContext.defaultParallelism)
+    return (
+        tagged.repartitionByRange(n_parts, "path", "FrameID")
+        .groupBy("path", "FrameID")
+        .applyInPandas(kernel, FEATURES_SCHEMA)
+    )

@@ -331,6 +331,7 @@ def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
 
     def bounds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            parts: list[pd.DataFrame] = []  # one Arrow batch per input batch
             for _, row in pdf.iterrows():
                 m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
                     row["height"], row["width"]
@@ -342,15 +343,19 @@ def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
                 diff[:, 1:] |= m[:, 1:] != m[:, :-1]
                 diff &= m != 0
                 ys, xs = np.nonzero(diff)
-                yield pd.DataFrame(
-                    {
-                        "path": row["path"],
-                        "frame_index": row["frame_index"],
-                        "px": xs.astype("int32"),
-                        "py": ys.astype("int32"),
-                        "mask_id": m[ys, xs].astype("int32"),
-                    }
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "path": row["path"],
+                            "frame_index": row["frame_index"],
+                            "px": xs.astype("int32"),
+                            "py": ys.astype("int32"),
+                            "mask_id": m[ys, xs].astype("int32"),
+                        }
+                    )
                 )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return masks.mapInPandas(bounds, schema)
 

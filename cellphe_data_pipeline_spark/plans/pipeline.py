@@ -37,6 +37,36 @@ from cellphe_data_pipeline_spark.operators.timeseries import timeseries_features
 
 DEFAULT_QC = {"minimum_cell_size": 2.0, "minimum_observations": 3}
 
+
+def mask_rois(masks: DataFrame) -> DataFrame:
+    """Label masks → per-cell boundary ROIs: the engine's analogue of
+    the reference's TrackMate-XML ROI extraction (parse_xml.py:97-101)
+    when tracking runs on mask centroids. Boundary pixels (M6 kernel)
+    grouped per (path, frame, label); `array_sort` makes the coord
+    array deterministic regardless of partitioning. One keyed shuffle.
+    """
+    from cellphe_data_pipeline_spark.domain.images import mask_boundary_overlay
+
+    b = mask_boundary_overlay(masks)
+    return (
+        b.groupBy(
+            "path",
+            F.col("frame_index").alias("FrameID"),
+            F.col("mask_id").alias("CellID"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("px").alias("x"), F.col("py").alias("y")))
+            ).alias("coords")
+        )
+        # FRAME-TRACK zero-padded name, the reference's ROI_filename
+        # convention (parse_xml.py:202-211)
+        .withColumn(
+            "ROI_filename", F.format_string("%05d-%05d", F.col("FrameID"), F.col("CellID"))
+        )
+    )
+
+
 #: containers-per-batch bound under which the timelapse dim is numbered
 #: driver-side (one take()); beyond it the two-pass distributed
 #: numbering takes over. ~100k paths ≈ a few MB of driver memory.
@@ -63,8 +93,15 @@ def run_pipeline(
     """
     qc = {**DEFAULT_QC, **(qc or {})}
 
-    frames = split_frames(binaries)                      # S3/S4
-    masks = segment_frames(frames)                       # M1/M2
+    # Checkpoint chain: frames (decode once), masks (segment once),
+    # dets (centroid once). Each cut materializes exactly one kernel
+    # stage; every downstream consumer — detection AND the M4 feature
+    # branch, which re-reads both frames (pixels) and masks (ROIs) —
+    # reuses the checkpointed rows instead of re-running the upstream
+    # Python kernels per action. Payloads are one raster per frame
+    # (~2-5 KB at QC sizes): the cuts are MBs, not the input corpus.
+    frames = split_frames(binaries).localCheckpoint(eager=True)   # S3/S4
+    masks = segment_frames(frames).localCheckpoint(eager=True)    # M1/M2
     # broadcast timelapse index dim: spot ids must be unique ACROSS
     # timelapses (lineage runs on the union) and frame-monotone within
     # one. The dim has one row per CONTAINER in this ingest batch —
@@ -173,6 +210,25 @@ def run_pipeline(
         order=["frame", "id"],
         values=["Dis", "Trac", "D2T", "Vel"],
     )
+    # M4: per-(cell, frame) static features over the QC-surviving cells
+    # — the reference's heaviest per-op budget (frame-features 5 min /
+    # 16 GB, nextflow.config). ROIs come from the mask boundaries (M6
+    # relational form) grouped per label; the semi-join keeps only
+    # cells that passed P1/P2, exactly the reference's filtered->M4
+    # ordering (main.nf:499 -> 511-514 manual predicate-push).
+    from cellphe_data_pipeline_spark.domain.features import static_features
+
+    rois = mask_rois(masks)
+    # mask label recovered from the bit-packed spot id (low 21 bits —
+    # see the id construction above); avoids widening the spots schema
+    keep = filtered.select(
+        F.col("timelapse_id").alias("path"),
+        F.col("frame").alias("FrameID"),
+        F.col("id").bitwiseAND(F.lit((1 << 21) - 1)).cast("int").alias("CellID"),
+    )
+    features = static_features(
+        frames, rois.join(keep, ["path", "FrameID", "CellID"], "left_semi")
+    )
     return {
         "frames": frames,
         "masks": masks,
@@ -182,6 +238,7 @@ def run_pipeline(
         "spots_filtered": filtered,
         "movement": movement,
         "timeseries": timeseries,
+        "features": features,
     }
 
 

@@ -55,6 +55,34 @@ def test_full_pipeline(spark):
     for r in ts:
         assert r["n_obs"] == counts[r["TRACK_ID"]]
 
+    # M4 stage (r4): one feature row per QC-surviving (cell, frame)
+    # computed from mask-boundary ROIs. Keys are a subset of the
+    # filtered spots' (path, frame, low-21-bit mask label): cells whose
+    # boundary has <3 pixels are skipped — the reference's
+    # RuntimeError-on-degenerate -> skip (frame_features_image.py:66-70)
+    feats = out["features"].collect()
+    want_keys = {
+        (r["timelapse_id"], r["frame"], int(r["id"]) & ((1 << 21) - 1))
+        for r in filtered
+    }
+    got_keys = {(r["path"], r["FrameID"], r["CellID"]) for r in feats}
+    assert got_keys <= want_keys
+    assert len(got_keys) > 0
+    from cellphe_data_pipeline_spark.plans.pipeline import mask_rois
+
+    boundary_n = {
+        (r["path"], r["FrameID"], r["CellID"]): len(r["coords"])
+        for r in mask_rois(out["masks"]).collect()
+    }
+    for k in want_keys - got_keys:
+        assert boundary_n[k] < 3  # only degenerates are skipped
+    from cellphe_data_pipeline_spark.domain.features import STATIC_FEATURE_NAMES
+
+    for r in feats[:5]:
+        d = r.asDict()
+        assert all(n in d and d[n] is not None for n in STATIC_FEATURE_NAMES)
+        assert d["Area"] > 0 and d["Perim"] > 0
+
     # determinism: same input -> same spot set
     out2 = run_pipeline(bins)
     s1 = sorted((r["timelapse_id"], r["id"], r["TRACK_ID"]) for r in spots)
