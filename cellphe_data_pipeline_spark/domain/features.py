@@ -627,24 +627,17 @@ def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
-    # Explicit RANGE repartition on the group key, sized to CORES: the
-    # feature kernel is CPU-bound pandas, and AQE's byte-based shuffle
-    # coalescing folds the (tiny-in-bytes) cell rows into ONE partition
-    # — serializing every frame through a single task (measured: 19s at
-    # the 726-frame bench shape on 32 cores, identical to local[1]).
-    # Byte-sized coalescing cannot see per-row kernel cost; this is the
-    # engine's standing rule for pandas-kernel stages whose rows are
-    # small but expensive. repartitionByRange specifically:
-    # a plain repartition(n, keys) is removed as redundant by the
-    # logical optimizer (the groupBy's requirement subsumes it) and the
-    # replacement ENSURE_REQUIREMENTS shuffle is AQE-coalesced; the
-    # range form survives (REPARTITION_BY_NUM origin — coalesce-exempt)
-    # and still satisfies the groupBy's ClusteredDistribution, so no
-    # second exchange appears. At production raster sizes (MB frames)
-    # the bytes-based default behaves fine either way.
-    n_parts = max(2, tagged.sparkSession.sparkContext.defaultParallelism)
+    # CPU-bound kernel over tiny rows: pre-shuffle with the
+    # coalesce-exempt range repartition so AQE's byte-based coalescing
+    # cannot serialize all frames through one task (measured 19s -> 1.9s
+    # at the 726-frame bench shape; rationale in
+    # operators/scale.py `repartition_for_cpu_kernel`).
+    from cellphe_data_pipeline_spark.operators.scale import (
+        repartition_for_cpu_kernel,
+    )
+
     return (
-        tagged.repartitionByRange(n_parts, "path", "FrameID")
+        repartition_for_cpu_kernel(tagged, "path", "FrameID")
         .groupBy("path", "FrameID")
         .applyInPandas(kernel, FEATURES_SCHEMA)
     )

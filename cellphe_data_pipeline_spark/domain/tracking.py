@@ -295,8 +295,18 @@ def track_detections(
             gap_strategy,
         )
 
+    # CPU-bound per-timelapse kernel over narrow rows — keep the groups
+    # spread across cores despite AQE's byte-based coalescing
+    # (operators/scale.py `repartition_for_cpu_kernel`)
+    from cellphe_data_pipeline_spark.operators.scale import (
+        repartition_for_cpu_kernel,
+    )
+
     return (
-        detections.select("timelapse_id", "id", "frame", "x", "y")
+        repartition_for_cpu_kernel(
+            detections.select("timelapse_id", "id", "frame", "x", "y"),
+            "timelapse_id",
+        )
         .groupBy("timelapse_id")
         .applyInPandas(kernel, EDGES_SCHEMA)
     )

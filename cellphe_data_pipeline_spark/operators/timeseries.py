@@ -144,7 +144,15 @@ def timeseries_features(
             row[f"haar_l{i + 1}"] = e
         return pd.DataFrame([row])
 
-    return df.select(key, *order_cols, val).groupBy(key).applyInPandas(kernel, schema)
+    from cellphe_data_pipeline_spark.operators.scale import (
+        repartition_for_cpu_kernel,
+    )
+
+    return (
+        repartition_for_cpu_kernel(df.select(key, *order_cols, val), key)
+        .groupBy(key)
+        .applyInPandas(kernel, schema)
+    )
 
 
 def timeseries_features_multi(
@@ -186,6 +194,12 @@ def timeseries_features_multi(
                 row[f"{v}_haar_l{i + 1}"] = e
         return pd.DataFrame([row])
 
+    from cellphe_data_pipeline_spark.operators.scale import (
+        repartition_for_cpu_kernel,
+    )
+
     return (
-        df.select(key, *order_cols, *values).groupBy(key).applyInPandas(kernel, schema)
+        repartition_for_cpu_kernel(df.select(key, *order_cols, *values), key)
+        .groupBy(key)
+        .applyInPandas(kernel, schema)
     )
