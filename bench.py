@@ -91,11 +91,13 @@ def main() -> None:
         t0 = time.perf_counter()
         out = run_pipeline(bins, cc_shuffle_partitions=2)
         # materialise BOTH terminal stages: the A8 time-series table and
-        # (new in r4) the M4 static-feature table — the bench now covers
-        # the reference's full chain incl. its heaviest per-op budget
-        # (frame features 5 min/16 GB, nextflow.config:23-92)
+        # (new in r5) the frame-summary table — movement ⋈ M4 static
+        # features ⋈ the un-stubbed J7 density column, the reference's
+        # final CSV shape (create_frame_summary_features.py), covering
+        # its heaviest per-op budget (frame features 5 min/16 GB,
+        # nextflow.config:23-92) PLUS the feature it had to disable
         out["timeseries"].count()
-        out["features"].count()
+        out["summary"].count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     times["pipeline_726frames"] = round(best, 3)

@@ -360,6 +360,126 @@ def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
     return masks.mapInPandas(bounds, schema)
 
 
+#: Moore neighborhood in clockwise order (dy, dx), starting East, in
+#: image coordinates (y grows downward) — the scan order of boundary
+#: tracing below.
+_MOORE_CW = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+
+def trace_outer_contour(region: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Moore-neighbor boundary tracing: ordered outer contour of a
+    binary region. Returns (xs, ys) in closed traversal order (start
+    pixel first, closing edge implied last→first). Pixels may repeat
+    where the boundary squeezes through a 1-px neck — that IS the
+    traversal, exactly what perimeter/curvature features need.
+
+    Termination: transitions between (pixel, backtrack) states are
+    deterministic, each state is recorded once, and the walk stops on
+    the first repeated state; the emitted sequence is trimmed to the
+    cycle, so the result is a clean closed loop regardless of the
+    artificial scan-order start state. Traces the component containing
+    the topmost-leftmost pixel (one contour per label — the reference's
+    TrackMate one-polygon-per-spot shape, parse_xml.py:47-67).
+    Cost O(perimeter); callers crop to the label's bbox first.
+    """
+    ys, xs = np.nonzero(region)
+    if len(ys) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    top = int(ys.min())
+    left = int(xs[ys == top].min())
+    s = (top, left)
+    if len(ys) == 1:
+        return np.array([left], dtype=np.int64), np.array([top], dtype=np.int64)
+    h, w = region.shape
+
+    def fg(p: tuple[int, int]) -> bool:
+        return 0 <= p[0] < h and 0 <= p[1] < w and bool(region[p[0], p[1]])
+
+    # state = (current pixel, backtrack background pixel); start as if
+    # entered by the row-major scan (backtrack = West, which is
+    # background for a topmost-leftmost start pixel)
+    state = (s, (top, left - 1))
+    index: dict[tuple, int] = {state: 0}
+    pixels: list[tuple[int, int]] = [s]
+    while True:
+        (c, b) = state
+        i0 = _MOORE_CW.index((b[0] - c[0], b[1] - c[1]))
+        nxt = None
+        for k in range(1, 9):
+            dd = _MOORE_CW[(i0 + k) % 8]
+            cand = (c[0] + dd[0], c[1] + dd[1])
+            if fg(cand):
+                pb = _MOORE_CW[(i0 + k - 1) % 8]
+                nxt = (cand, (c[0] + pb[0], c[1] + pb[1]))
+                break
+        if nxt is None:  # unreachable for len>1 connected regions
+            break
+        if nxt in index:
+            pixels = pixels[index[nxt] :]  # trim any pre-cycle tail
+            break
+        index[nxt] = len(pixels)
+        pixels.append(nxt[0])
+        state = nxt
+    return (
+        np.array([p[1] for p in pixels], dtype=np.int64),
+        np.array([p[0] for p in pixels], dtype=np.int64),
+    )
+
+
+CONTOUR_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("mask_id", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+    ]
+)
+
+
+def mask_contours(masks: DataFrame) -> DataFrame:
+    """Ordered per-cell boundary: Moore-traced outer contour of every
+    label, one row per contour step with its traversal index ``seq``.
+    This is the mask-path analogue of the reference's TrackMate contour
+    ROIs (parse_xml.py:47-67), whose vertex order F16 interpolation and
+    the order-dependent M4 features (Perim, Compactness, Cur_*, Poly_*,
+    Rad_haar_*, Rad_diff_*) all assume — an unordered boundary-pixel
+    set (``mask_boundary_overlay``) is only valid for the QC overlay.
+    Per-label bbox crop keeps tracing O(perimeter) per cell."""
+
+    def trace(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts: list[pd.DataFrame] = []  # one Arrow batch per input batch
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                for label in np.unique(m):
+                    if label == 0:
+                        continue
+                    lys, lxs = np.nonzero(m == label)
+                    y0, x0 = int(lys.min()), int(lxs.min())
+                    region = m[y0 : int(lys.max()) + 1, x0 : int(lxs.max()) + 1] == label
+                    cxs, cys = trace_outer_contour(region)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "path": row["path"],
+                                "frame_index": row["frame_index"],
+                                "mask_id": int(label),
+                                "seq": np.arange(len(cxs), dtype="int32"),
+                                "px": (cxs + x0).astype("int32"),
+                                "py": (cys + y0).astype("int32"),
+                            }
+                        )
+                    )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return masks.mapInPandas(trace, CONTOUR_SCHEMA)
+
+
 def mask_to_pgm(masks: DataFrame) -> DataFrame:
     """S11 (segment_image.py:23 uint16 PNG sink): encode each label mask
     as a 16-bit binary PGM (P5, maxval 65535) — a real, dependency-free

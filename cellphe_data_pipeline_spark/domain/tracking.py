@@ -18,6 +18,11 @@ hard part #5) is *same-shape, simplified* linking:
     frames later within ``gap_closing_max_distance``
     (ALLOW_GAP_CLOSING / MAX_FRAME_GAP=4 / GAP_CLOSING_MAX_DISTANCE,
     templates/cyto3.json:27-29);
+  - splitting/merging: 1→2 division and 2→1 fusion links between
+    segment starts/ends and track middles one frame apart
+    (ALLOW_TRACK_SPLITTING / SPLITTING_MAX_DISTANCE /
+    ALLOW_TRACK_MERGING / MERGING_MAX_DISTANCE,
+    templates/cyto3.json:31-38) — ``_split_merge_lap``;
   - deterministic: candidate pairs sorted by (distance, src id, dst id).
 
 Parallelism: ``applyInPandas`` grouped by timelapse — tracking is
@@ -128,8 +133,8 @@ def _close_gaps_segment_lap(
 
     Candidates: end e → start s with 2 ≤ frame(s) − frame(e) ≤
     max_frame_gap + 1 (a difference of 1 is consecutive — phase 1's
-    job) and dist ≤ gap_closing_max_distance. Splitting/merging
-    (TrackMate's other phase-2 blocks) stay out of scope per SURVEY §7.
+    job) and dist ≤ gap_closing_max_distance. Splitting/merging are the
+    separate ``_split_merge_lap`` pass (runs after this one).
     """
     nxt = {s: d for s, d, _, _ in edges}
     prv = {d: s for s, d, _, _ in edges}
@@ -171,6 +176,91 @@ def _close_gaps_segment_lap(
     return out
 
 
+def _split_merge_lap(
+    pdf: pd.DataFrame,
+    edges: list[tuple[int, int, int, float]],
+    allow_splitting: bool,
+    splitting_max_distance: float,
+    allow_merging: bool,
+    merging_max_distance: float,
+) -> list[tuple[int, int, int, float]]:
+    """TrackMate phase-2 splitting/merging blocks, lite
+    (track_images.py:74-123 wiring; templates/cyto3.json:31-38 enables
+    both by default with SPLITTING_MAX_DISTANCE 5.0 /
+    MERGING_MAX_DISTANCE 50.0):
+
+    - SPLIT: a segment START s (no incoming link after linking + gap
+      closing) may attach to a MIDDLE spot m of another track (a spot
+      with both incoming and outgoing links) one frame EARLIER, within
+      ``splitting_max_distance`` — emitting a second outgoing edge
+      m → s, the 1→2 division link.
+    - MERGE: a segment END e (no outgoing link) may attach to a middle
+      spot m one frame LATER within ``merging_max_distance`` — emitting
+      a second incoming edge e → m, the 2→1 fusion link.
+
+    Each side is ONE Hungarian assignment (starts × middles and
+    ends × middles), so a middle hosts at most one split and one merge —
+    the assignment discipline of TrackMate's joint phase-2 matrix,
+    solved as two independent blocks (documented deviation: the
+    reference's single matrix also trades split/merge links against
+    gap-closing alternatives; feature penalties such as
+    MERGING_FEATURE_PENALTIES stay out of scope). Runs AFTER gap
+    closing so gap-closed starts/ends are no longer candidates.
+    Emitted edges carry gap=0 (adjacent frames by construction).
+    """
+    has_out = {e[0] for e in edges}
+    has_in = {e[1] for e in edges}
+    spot = {
+        int(r["id"]): (int(r["frame"]), float(r["x"]), float(r["y"]))
+        for _, r in pdf.iterrows()
+    }
+    mid_by_frame: dict[int, list[int]] = {}
+    for i in spot:
+        if i in has_out and i in has_in:
+            mid_by_frame.setdefault(spot[i][0], []).append(i)
+
+    def one_side(
+        loose: list[int], frame_delta: int, max_dist: float
+    ) -> list[tuple[int, int, float]]:
+        """Assign loose spots (starts or ends) to middles at
+        frame + frame_delta; returns (loose, middle, dist) picks."""
+        cands: list[tuple[float, int, int]] = []
+        for a in loose:
+            fa, xa, ya = spot[a]
+            for m in mid_by_frame.get(fa + frame_delta, []):
+                _, xm, ym = spot[m]
+                d = float(np.hypot(xm - xa, ym - ya))
+                if d <= max_dist:
+                    cands.append((d, a, m))
+        if not cands:
+            return []
+        lefts = sorted({a for _, a, _ in cands})
+        mids = sorted({m for _, _, m in cands})
+        l_ix = {a: i for i, a in enumerate(lefts)}
+        m_ix = {m: i for i, m in enumerate(mids)}
+        cost = np.full((len(lefts), len(mids)), _LAP_BIG)
+        for d, a, m in cands:
+            if d < cost[l_ix[a], m_ix[m]]:
+                cost[l_ix[a], m_ix[m]] = d
+        out = []
+        for r, c in zip(*_hungarian(cost)):
+            if cost[r, c] >= _LAP_BIG:
+                continue
+            out.append((lefts[r], mids[c], float(cost[r, c])))
+        return out
+
+    out = list(edges)
+    if allow_splitting:
+        starts = [i for i in spot if i not in has_in]
+        for s, m, d in one_side(starts, -1, splitting_max_distance):
+            out.append((m, s, 0, d))  # parent middle → child start
+    if allow_merging:
+        ends = [i for i in spot if i not in has_out]
+        for e, m, d in one_side(ends, +1, merging_max_distance):
+            out.append((e, m, 0, d))  # dying end → surviving middle
+    return out
+
+
 def _link_one(
     pdf: pd.DataFrame,
     linking_max_distance: float,
@@ -178,6 +268,10 @@ def _link_one(
     gap_closing_max_distance: float,
     method: str = "greedy",
     gap_strategy: str = "inline",
+    allow_splitting: bool = False,
+    splitting_max_distance: float = 5.0,
+    allow_merging: bool = False,
+    merging_max_distance: float = 50.0,
 ) -> pd.DataFrame:
     # segment-LAP closure: phase 1 links consecutive frames ONLY (gap
     # candidates excluded), phase 2 reconnects segments globally
@@ -251,6 +345,15 @@ def _link_one(
         edges = _close_gaps_segment_lap(
             pdf, edges, max_frame_gap, gap_closing_max_distance
         )
+    if allow_splitting or allow_merging:
+        edges = _split_merge_lap(
+            pdf,
+            edges,
+            allow_splitting,
+            splitting_max_distance,
+            allow_merging,
+            merging_max_distance,
+        )
     tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
     return pd.DataFrame(
         [(tl, s, d, g, dist) for s, d, g, dist in edges],
@@ -265,6 +368,10 @@ def track_detections(
     gap_closing_max_distance: float = 90.0,
     method: str = "greedy",
     gap_strategy: str = "inline",
+    allow_splitting: bool = False,
+    splitting_max_distance: float = 5.0,
+    allow_merging: bool = False,
+    merging_max_distance: float = 50.0,
 ) -> DataFrame:
     """M3: link per-frame detections into track edges.
 
@@ -276,7 +383,17 @@ def track_detections(
     (default — gap candidates compete inside each frame's assignment)
     or "segment_lap" (TrackMate phase-2 shape: consecutive-frame
     linking first, then ONE global Hungarian over segment end/start
-    reconnection candidates)."""
+    reconnection candidates).
+
+    ``allow_splitting`` / ``allow_merging`` enable the phase-2
+    division/fusion blocks (ALLOW_TRACK_SPLITTING /
+    SPLITTING_MAX_DISTANCE / ALLOW_TRACK_MERGING / MERGING_MAX_DISTANCE,
+    templates/cyto3.json:31-38 — the reference template turns BOTH on):
+    a 1→2 split edge from a track middle to a nearby next-frame segment
+    start, a 2→1 merge edge from a segment end to a nearby next-frame
+    track middle (``_split_merge_lap``). Defaults mirror the reference
+    template's distances; downstream G4 renumbering already assigns
+    split children new track ids (domain/lineage.py)."""
 
     if method not in ("greedy", "lap"):
         raise ValueError(f"method must be 'greedy' or 'lap', got {method!r}")
@@ -293,6 +410,10 @@ def track_detections(
             gap_closing_max_distance,
             method,
             gap_strategy,
+            allow_splitting,
+            splitting_max_distance,
+            allow_merging,
+            merging_max_distance,
         )
 
     # CPU-bound per-timelapse kernel over narrow rows — keep the groups

@@ -39,15 +39,26 @@ DEFAULT_QC = {"minimum_cell_size": 2.0, "minimum_observations": 3}
 
 
 def mask_rois(masks: DataFrame) -> DataFrame:
-    """Label masks → per-cell boundary ROIs: the engine's analogue of
-    the reference's TrackMate-XML ROI extraction (parse_xml.py:97-101)
-    when tracking runs on mask centroids. Boundary pixels (M6 kernel)
-    grouped per (path, frame, label); `array_sort` makes the coord
-    array deterministic regardless of partitioning. One keyed shuffle.
-    """
-    from cellphe_data_pipeline_spark.domain.images import mask_boundary_overlay
+    """Label masks → per-cell boundary ROIs in CONTOUR TRAVERSAL ORDER:
+    the engine's analogue of the reference's TrackMate-XML ROI
+    extraction (parse_xml.py:97-101) when tracking runs on mask
+    centroids. The Moore-traced contour (``mask_contours``) carries a
+    ``seq`` index, so `array_sort` on (seq, x, y) reconstructs the
+    closed traversal deterministically regardless of partitioning —
+    the ordered-boundary contract the order-dependent M4 features
+    (Perim, Compactness, Cur_*, Poly_*, Rad_haar_*) assume, exactly as
+    the reference's contours preserve vertex order (parse_xml.py:47-67).
+    One keyed shuffle.
 
-    b = mask_boundary_overlay(masks)
+    ``ROI_filename`` here is the ENGINE-LOCAL 2-part FrameID-CellID
+    name (fixed %05d widths): track ids don't exist at mask time. The
+    pipeline rebuilds the reference's 3-part FRAME-TRACK-ID name with
+    data-driven padding (parse_xml.py:202-211) once tracking has run —
+    see ``run_pipeline``.
+    """
+    from cellphe_data_pipeline_spark.domain.images import mask_contours
+
+    b = mask_contours(masks)
     return (
         b.groupBy(
             "path",
@@ -55,12 +66,15 @@ def mask_rois(masks: DataFrame) -> DataFrame:
             F.col("mask_id").alias("CellID"),
         )
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("px").alias("x"), F.col("py").alias("y")))
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("seq", F.col("px").alias("x"), F.col("py").alias("y"))
+                    )
+                ),
+                lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
             ).alias("coords")
         )
-        # FRAME-TRACK zero-padded name, the reference's ROI_filename
-        # convention (parse_xml.py:202-211)
         .withColumn(
             "ROI_filename", F.format_string("%05d-%05d", F.col("FrameID"), F.col("CellID"))
         )
@@ -82,6 +96,11 @@ def run_pipeline(
     cc_shuffle_partitions: int | None = None,
     tracking_method: str = "greedy",
     tracking_gap_strategy: str = "inline",
+    allow_splitting: bool = False,
+    splitting_max_distance: float = 5.0,
+    allow_merging: bool = False,
+    merging_max_distance: float = 50.0,
+    density_radius: float = 25.0,
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -169,6 +188,10 @@ def run_pipeline(
         gap_closing_max_distance=gap_closing_max_distance,
         method=tracking_method,
         gap_strategy=tracking_gap_strategy,
+        allow_splitting=allow_splitting,
+        splitting_max_distance=splitting_max_distance,
+        allow_merging=allow_merging,
+        merging_max_distance=merging_max_distance,
     )
     # Pin the edge list too: lineage (CC input + head detection +
     # the numbering passes) re-executes its input several times, and
@@ -220,14 +243,67 @@ def run_pipeline(
 
     rois = mask_rois(masks)
     # mask label recovered from the bit-packed spot id (low 21 bits —
-    # see the id construction above); avoids widening the spots schema
+    # see the id construction above); avoids widening the spots schema.
+    # The inner join both applies the QC gate (one spot row per cell-
+    # frame, so no fan-out) and brings TRACK_ID in, letting the ROI
+    # name follow the reference's 3-part FRAME-TRACK-ID convention with
+    # data-driven zero-padding (parse_xml.py:202-211, F3 two-pass).
     keep = filtered.select(
         F.col("timelapse_id").alias("path"),
         F.col("frame").alias("FrameID"),
         F.col("id").bitwiseAND(F.lit((1 << 21) - 1)).cast("int").alias("CellID"),
+        "TRACK_ID",
     )
-    features = static_features(
-        frames, rois.join(keep, ["path", "FrameID", "CellID"], "left_semi")
+    from cellphe_data_pipeline_spark.domain.rois import roi_filename
+
+    kept_rois = roi_filename(
+        rois.drop("ROI_filename").join(keep, ["path", "FrameID", "CellID"]),
+        frame_col="FrameID",
+        track_col="TRACK_ID",
+        id_col="CellID",
+        out_col="ROI_filename",
+    ).drop("TRACK_ID")
+    features = static_features(frames, kept_rois)
+    # Frame-summary table (create_frame_summary_features.py:1-70): the
+    # reference's final per-(cell,frame) CSV = identity/track columns +
+    # movement (Dis/Trac/D2T/Vel) + the static features + `dens`. The
+    # reference HARD-CODES dens=0 — its pandas all-pairs density "runs
+    # out of memory" on large datasets (:57-62) — while the engine
+    # computes it with the grid-bucketed density self-join (J7), scoped
+    # per (timelapse, frame) via the composite bucket key. x/y/Area in
+    # the summary are the ROI-derived static-feature versions, as in
+    # the reference's merged table.
+    from cellphe_data_pipeline_spark.operators.joins import density_self_join
+
+    dens = density_self_join(
+        filtered.withColumn(
+            "_fkey", F.concat_ws("#", F.col("timelapse_id"), F.col("frame"))
+        ).select("_fkey", "id", "x", "y"),
+        frame_col="_fkey",
+        x_col="x",
+        y_col="y",
+        id_col="id",
+        radius=density_radius,
+    ).select("id", F.col("density").cast("double").alias("dens"))
+    summary = (
+        movement.select(
+            "timelapse_id",
+            "id",
+            "frame",
+            "TRACK_ID",
+            F.col("id").bitwiseAND(F.lit((1 << 21) - 1)).cast("int").alias("CellID"),
+            "Dis",
+            "Trac",
+            "D2T",
+            "Vel",
+        )
+        .join(
+            features.withColumnsRenamed(
+                {"path": "timelapse_id", "FrameID": "frame"}
+            ),
+            ["timelapse_id", "frame", "CellID"],
+        )
+        .join(dens, "id")
     )
     return {
         "frames": frames,
@@ -239,6 +315,7 @@ def run_pipeline(
         "movement": movement,
         "timeseries": timeseries,
         "features": features,
+        "summary": summary,
     }
 
 
@@ -254,6 +331,12 @@ DEFAULT_CONFIG = {
             "ALLOW_GAP_CLOSING": True,
             "MAX_FRAME_GAP": 4,
             "GAP_CLOSING_MAX_DISTANCE": 20.0,
+            # reference template enables BOTH division and fusion links
+            # (templates/cyto3.json:31-38, same distances)
+            "ALLOW_TRACK_SPLITTING": True,
+            "SPLITTING_MAX_DISTANCE": 5.0,
+            "ALLOW_TRACK_MERGING": True,
+            "MERGING_MAX_DISTANCE": 50.0,
         },
     },
     "QC": {"minimum_cell_size": 2.0, "minimum_observations": 3},
@@ -296,6 +379,10 @@ def run_pipeline_from_config(
         gap_closing_max_distance=float(tr["GAP_CLOSING_MAX_DISTANCE"]),
         tracking_method="lap" if is_lap else "greedy",
         tracking_gap_strategy="segment_lap" if is_lap else "inline",
+        allow_splitting=bool(tr.get("ALLOW_TRACK_SPLITTING", False)),
+        splitting_max_distance=float(tr.get("SPLITTING_MAX_DISTANCE", 5.0)),
+        allow_merging=bool(tr.get("ALLOW_TRACK_MERGING", False)),
+        merging_max_distance=float(tr.get("MERGING_MAX_DISTANCE", 50.0)),
     )
     if not cfg["run"].get("tracking", True):
         out = {k: out[k] for k in ("frames", "masks", "detections")}

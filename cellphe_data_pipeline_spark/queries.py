@@ -1498,6 +1498,47 @@ def m3b(spark, sf_dir):
 
 
 @register(
+    "m3c_split_merge",
+    """
+    SELECT tl AS timelapse_id, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(gap AS INT) AS gap, CAST(dist AS DOUBLE) AS dist
+    FROM (VALUES
+      ('tl', 1, 101, 0, 2.0), ('tl', 2, 102, 0, 2.0),
+      ('tl', 101, 201, 0, 2.0), ('tl', 102, 202, 0, 2.0),
+      ('tl', 201, 301, 0, 2.0), ('tl', 202, 302, 0, 2.0),
+      ('tl', 301, 401, 0, 2.0), ('tl', 303, 403, 0, 2.0),
+      ('tl', 401, 501, 0, 2.0), ('tl', 403, 503, 0, 2.0),
+      ('tl', 201, 303, 0, 2.236068),
+      ('tl', 302, 401, 0, 2.0)
+    ) AS t(tl, src, dst, gap, dist)
+    """,
+)
+def m3c(spark, sf_dir):
+    """M3 phase 2 proper (r5): splitting + merging link emission
+    (ALLOW_TRACK_SPLITTING / ALLOW_TRACK_MERGING,
+    templates/cyto3.json:31-38; wired in track_images.py:74-123). The
+    fixture's division (child budding off A's middle) and fusion (B
+    dying onto A's middle) are links that NEITHER greedy linking NOR
+    gap closing can produce: the golden's last two rows are the 1→2
+    split edge 201→303 and the 2→1 merge edge 302→401, on top of the
+    10 consecutive-frame links. dist rounded to 6 for the golden."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import split_merge_detections_df
+
+    return track_detections(
+        split_merge_detections_df(spark),
+        linking_max_distance=2.5,
+        max_frame_gap=4,
+        gap_closing_max_distance=2.5,
+        gap_strategy="segment_lap",
+        allow_splitting=True,
+        splitting_max_distance=2.5,
+        allow_merging=True,
+        merging_max_distance=2.5,
+    ).withColumn("dist", F.round("dist", 6))
+
+
+@register(
     "a5b_mask_histogram",
     """
     SELECT path, CAST(fi AS INT) AS frame_index, CAST(mid AS INT) AS mask_id,
@@ -1639,6 +1680,64 @@ def m4(spark, sf_dir):
     dbl = [c for c, t in feats.dtypes if t == "double"]
     return feats.select(
         *[F.round(c, 6).alias(c) if c in dbl else F.col(c) for c in feats.columns]
+    )
+
+
+@register(
+    "m6b_mask_contours",
+    """
+    SELECT path, CAST(f AS INT) AS FrameID, CAST(c AS INT) AS CellID,
+           CAST(s AS INT) AS seq, CAST(x AS INT) AS x, CAST(y AS INT) AS y
+    FROM (VALUES
+      ('cx.fake', 0, 5, 0, 2, 1), ('cx.fake', 0, 5, 1, 3, 1),
+      ('cx.fake', 0, 5, 2, 4, 1), ('cx.fake', 0, 5, 3, 5, 1),
+      ('cx.fake', 0, 5, 4, 5, 2), ('cx.fake', 0, 5, 5, 5, 3),
+      ('cx.fake', 0, 5, 6, 4, 3), ('cx.fake', 0, 5, 7, 3, 3),
+      ('cx.fake', 0, 5, 8, 2, 3), ('cx.fake', 0, 5, 9, 2, 2),
+      ('cx.fake', 0, 7, 0, 1, 5), ('cx.fake', 0, 7, 1, 2, 5),
+      ('cx.fake', 0, 7, 2, 2, 6), ('cx.fake', 0, 7, 3, 3, 7),
+      ('cx.fake', 0, 7, 4, 4, 7), ('cx.fake', 0, 7, 5, 5, 7),
+      ('cx.fake', 0, 7, 6, 6, 7), ('cx.fake', 0, 7, 7, 6, 8),
+      ('cx.fake', 0, 7, 8, 5, 8), ('cx.fake', 0, 7, 9, 4, 8),
+      ('cx.fake', 0, 7, 10, 3, 8), ('cx.fake', 0, 7, 11, 2, 8),
+      ('cx.fake', 0, 7, 12, 1, 8), ('cx.fake', 0, 7, 13, 1, 7),
+      ('cx.fake', 0, 7, 14, 1, 6)
+    ) AS t(path, f, c, s, x, y)
+    """,
+)
+def m6b(spark, sf_dir):
+    """M6 ordered form (r5, ADVICE r4 high): Moore-traced outer contour
+    per mask label, traversal order preserved through the grouped
+    shuffle by the seq index — the ordered-closed-boundary contract the
+    order-dependent M4 features assume, matching the vertex-order-
+    preserving TrackMate contour path (parse_xml.py:47-67). Golden is
+    the HAND-DERIVED clockwise traversal of a rectangle and a concave L
+    (the L is exactly the shape where the old lexicographic ordering
+    scrambled the boundary); the rectangle oracle is independently
+    asserted point-for-point in tests/test_domain.py."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.plans.pipeline import mask_rois
+
+    m = np.zeros((10, 10), dtype=np.uint16)
+    m[1:4, 2:6] = 5  # rectangle label 5: rows 1-3, cols 2-5
+    m[5:9, 1:3] = 7  # concave L label 7: vertical arm ...
+    m[7:9, 1:7] = 7  # ... + horizontal arm
+    masks = spark.createDataFrame(
+        [("cx.fake", 0, 10, 10, bytearray(m.tobytes()))],
+        "path string, frame_index int, height int, width int, mask binary",
+    )
+    return (
+        mask_rois(masks)
+        .select("path", "FrameID", "CellID", F.posexplode("coords").alias("seq", "pt"))
+        .select(
+            "path",
+            "FrameID",
+            "CellID",
+            F.col("seq").cast("int").alias("seq"),
+            F.col("pt.x").alias("x"),
+            F.col("pt.y").alias("y"),
+        )
     )
 
 

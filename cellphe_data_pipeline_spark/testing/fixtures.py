@@ -206,6 +206,31 @@ def fake_audio_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def split_merge_detections_df(spark: SparkSession) -> DataFrame:
+    """Split/merge fixture (m3c): track A drifts right along y=10
+    (frames 0-5); a child track buds off A's frame-2 position and moves
+    up (frames 3-5) — only a SPLIT link (A middle → child start) can
+    attach it, since A's middle already has its own continuation and
+    gap closing needs a ≥2-frame gap; track B approaches from the right
+    and dies at frame 3 next to A's frame-4 spot — only a MERGE link
+    (B end → A middle) can record the fusion."""
+    rows = [
+        # track A: (2f, 10), ids f*100+1
+        ("tl", 1, 0, 0.0, 10.0), ("tl", 101, 1, 2.0, 10.0),
+        ("tl", 201, 2, 4.0, 10.0), ("tl", 301, 3, 6.0, 10.0),
+        ("tl", 401, 4, 8.0, 10.0), ("tl", 501, 5, 10.0, 10.0),
+        # child: buds from A@frame2 (4,10) → starts frame 3 at (5,12)
+        ("tl", 303, 3, 5.0, 12.0), ("tl", 403, 4, 5.0, 14.0),
+        ("tl", 503, 5, 5.0, 16.0),
+        # track B: approaches A and ends at frame 3 near A's frame-4 spot
+        ("tl", 2, 0, 16.0, 10.0), ("tl", 102, 1, 14.0, 10.0),
+        ("tl", 202, 2, 12.0, 10.0), ("tl", 302, 3, 10.0, 10.0),
+    ]
+    return spark.createDataFrame(
+        rows, "timelapse_id string, id int, frame int, x double, y double"
+    )
+
+
 def gap_closing_detections_df(spark: SparkSession) -> DataFrame:
     """Gap-closing fixture (m3b): two stationary tracks (x=0 and x=5,
     frames 0-2), a 1-frame detection gap, then two resumed tracks (x=4

@@ -235,6 +235,67 @@ def test_tracking(spark):
     assert all(999 not in e for e in es)  # noise unlinked
 
 
+def test_tracking_split_merge_links(spark):
+    """M3 phase 2 proper (r5): the split (201→303) and merge (302→401)
+    links exist ONLY when the ALLOW_* flags are on — greedy linking +
+    gap closing alone cannot produce them — and G4 renumbering assigns
+    the split child a NEW track id (lineage.py renumber_tracks)."""
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import split_merge_detections_df
+
+    dets = split_merge_detections_df(spark)
+    kw = dict(
+        linking_max_distance=2.5,
+        max_frame_gap=4,
+        gap_closing_max_distance=2.5,
+        gap_strategy="segment_lap",
+    )
+    base = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    assert (201, 303) not in base and (302, 401) not in base  # negative control
+
+    edges = track_detections(
+        dets,
+        **kw,
+        allow_splitting=True,
+        splitting_max_distance=2.5,
+        allow_merging=True,
+        merging_max_distance=2.5,
+    )
+    es = {(r["src"], r["dst"]): (r["gap"], r["dist"]) for r in edges.collect()}
+    assert set(es) == base | {(201, 303), (302, 401)}
+    assert es[(201, 303)][0] == 0 and abs(es[(201, 303)][1] - 5**0.5) < 1e-9
+    assert es[(302, 401)] == (0, 2.0)
+
+    # G4: the division renumbers — parent keeps its track id up to the
+    # split point, both branches downstream get NEW ids (TrackMate's
+    # track-splitting semantics, lineage README.md:52-60)
+    from pyspark.sql import functions as F
+
+    nodes = dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME"))
+    import pandas as pd
+
+    e_pdf = pd.DataFrame(sorted(es), columns=["src", "dst"])
+    tracks = {
+        r["ID"]: r["TRACK_ID"]
+        for r in renumber_tracks(
+            nodes, spark.createDataFrame(e_pdf, "src long, dst long")
+        ).collect()
+    }
+    # the min-id child continues the parent's track (keep-edge rule), so
+    # A stays one track through the split AND the merge point
+    assert (
+        tracks[1] == tracks[101] == tracks[201] == tracks[301]
+        == tracks[401] == tracks[501]
+    )
+    # the split child gets a NEW track id
+    assert tracks[303] == tracks[403] == tracks[503]
+    assert tracks[303] != tracks[1]
+    # the merging track B keeps its own id and ends at the merge
+    assert tracks[2] == tracks[102] == tracks[202] == tracks[302]
+    assert len({tracks[1], tracks[2], tracks[303]}) == 3
+
+
 def test_csv_and_config_roundtrip(spark, tmp_path):
     from pyspark.sql import types as T
 
@@ -382,6 +443,101 @@ def test_mask_boundary_overlay(spark):
     want = {(x, y) for x in range(2, 6) for y in range(2, 6)
             if x in (2, 5) or y in (2, 5)}
     assert pts == want  # 12 edge pixels, interior excluded
+
+
+def test_trace_outer_contour_rectangle_hand_oracle():
+    """Moore tracing of a 4x3 rectangle must equal the hand-written
+    clockwise traversal of its edge pixels — the ordered-boundary
+    contract the order-dependent M4 features assume."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import trace_outer_contour
+
+    region = np.zeros((6, 7), dtype=bool)
+    region[1:4, 2:6] = True  # rows 1-3, cols 2-5
+    xs, ys = trace_outer_contour(region)
+    got = list(zip(xs.tolist(), ys.tolist()))
+    # clockwise from topmost-leftmost (2,1): top edge → right edge →
+    # bottom edge → left edge
+    want = [
+        (2, 1), (3, 1), (4, 1), (5, 1),
+        (5, 2), (5, 3),
+        (4, 3), (3, 3), (2, 3),
+        (2, 2),
+    ]
+    assert got == want
+
+
+def test_trace_outer_contour_properties():
+    """Closedness + unit-step property on shapes where lexicographic or
+    radial-angle ordering breaks: an L (concave) and a 1-px neck."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import trace_outer_contour
+
+    shapes = []
+    L = np.zeros((8, 8), dtype=bool)
+    L[1:7, 1:3] = True
+    L[5:7, 1:7] = True
+    shapes.append(L)
+    neck = np.zeros((7, 9), dtype=bool)
+    neck[1:4, 1:4] = True
+    neck[2, 4] = True  # 1-px bridge
+    neck[1:4, 5:8] = True
+    shapes.append(neck)
+    for region in shapes:
+        xs, ys = trace_outer_contour(region)
+        assert len(xs) >= 3
+        pts = np.stack([xs, ys], axis=1)
+        steps = np.diff(np.concatenate([pts, pts[:1]], axis=0), axis=0)
+        # every consecutive step (incl. the closing edge) is 8-adjacent
+        assert np.abs(steps).max() == 1
+        # traversal covers every boundary pixel of the region
+        on = {(int(x), int(y)) for x, y in pts}
+        interior = set()
+        h, w = region.shape
+        for yy, xx in zip(*np.nonzero(region)):
+            nb = [(yy + d, xx + e) for d, e in ((1, 0), (-1, 0), (0, 1), (0, -1))]
+            if all(0 <= a < h and 0 <= b < w and region[a, b] for a, b in nb):
+                interior.add((int(xx), int(yy)))
+        boundary = {
+            (int(x), int(y)) for y, x in zip(*np.nonzero(region))
+        } - interior
+        assert on == boundary
+    # degenerate: single pixel
+    one = np.zeros((3, 3), dtype=bool)
+    one[1, 1] = True
+    xs, ys = trace_outer_contour(one)
+    assert (xs.tolist(), ys.tolist()) == ([1], [1])
+
+
+def test_mask_contours_ordering(spark):
+    """mask_contours emits the traversal with seq; re-sorting by seq
+    reconstructs a closed 8-adjacent loop regardless of shuffle — the
+    fix for the lexicographic-order boundary bug (ADVICE r4 high)."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import mask_contours
+
+    m = np.zeros((10, 10), dtype=np.uint16)
+    m[2:8, 2:4] = 5          # concave L of label 5
+    m[6:8, 2:8] = 5
+    m[1:3, 7:9] = 9          # second label in the same frame
+    masks = spark.createDataFrame(
+        [("m", 0, 10, 10, bytearray(m.tobytes()))],
+        "path string, frame_index int, height int, width int, mask binary",
+    )
+    rows = mask_contours(masks).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["mask_id"], []).append((r["seq"], r["px"], r["py"]))
+    assert set(by_label) == {5, 9}
+    for label, pts in by_label.items():
+        pts.sort()
+        assert [s for s, _, _ in pts] == list(range(len(pts)))
+        xy = np.array([(x, y) for _, x, y in pts])
+        steps = np.diff(np.concatenate([xy, xy[:1]], axis=0), axis=0)
+        assert np.abs(steps).max() == 1  # closed 8-adjacent loop
 
 
 def test_split_frames_udtf_matches_mapinpandas(spark):

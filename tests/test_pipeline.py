@@ -82,6 +82,42 @@ def test_full_pipeline(spark):
         d = r.asDict()
         assert all(n in d and d[n] is not None for n in STATIC_FEATURE_NAMES)
         assert d["Area"] > 0 and d["Perim"] > 0
+    # Order-dependent features are computed on a true contour traversal
+    # (r5, ADVICE r4 high): every step of a Moore-traced closed boundary
+    # is 8-adjacent, so Boundary_len <= Perim <= sqrt(2)*Boundary_len.
+    # A lexicographically-ordered boundary zigzags and blows through the
+    # upper bound (and with it Compactness = Perim^2/(4*pi*Area)).
+    import math
+
+    for r in feats:
+        assert r["Boundary_len"] - 1e-9 <= r["Perim"] <= math.sqrt(2) * r["Boundary_len"] + 1e-9
+    # reference 3-part ROI naming on the pipeline path (parse_xml.py:
+    # 202-211): FRAME-TRACK-CELL, zero-padded to data-driven widths
+    for r in feats:
+        parts = r["ROI_filename"].split("-")
+        assert len(parts) == 3
+        assert int(parts[0]) == r["FrameID"] and int(parts[2]) == r["CellID"]
+
+    # r5: frame-summary table — the reference's final CSV shape
+    # (create_frame_summary_features.py): movement + static features +
+    # the un-stubbed dens column (reference hard-codes 0 after its
+    # pandas density OOM'd, :57-62)
+    summary = out["summary"].collect()
+    assert {(r["timelapse_id"], r["frame"], r["CellID"]) for r in summary} == got_keys
+    d0 = summary[0].asDict()
+    for n in ("TRACK_ID", "Dis", "Trac", "D2T", "Vel", "dens", "Perim", "ROI_filename"):
+        assert n in d0
+    assert all(r["dens"] >= 0.0 for r in summary)
+    # the fake frames carry many cells in a 24x24 field with radius 25:
+    # every cell sharing its frame with another QC-surviving cell has a
+    # positive neighbor count — the stub-vs-un-stubbed difference
+    frame_pop: dict = {}
+    for r in filtered:
+        k = (r["timelapse_id"], r["frame"])
+        frame_pop[k] = frame_pop.get(k, 0) + 1
+    for r in summary:
+        if frame_pop[(r["timelapse_id"], r["frame"])] > 1:
+            assert r["dens"] > 0
 
     # determinism: same input -> same spot set
     out2 = run_pipeline(bins)
@@ -90,6 +126,61 @@ def test_full_pipeline(spark):
         (r["timelapse_id"], r["id"], r["TRACK_ID"]) for r in out2["spots"].collect()
     )
     assert s1 == s2
+
+
+def test_pipeline_split_tracks(spark):
+    """A dividing cell through the WHOLE chain (r5, M3 phase 2): one
+    blob in frames 0-1 splits into two in frame 2. With
+    ALLOW_TRACK_SPLITTING the tracker emits the 1→2 split link and G4
+    renumbering keeps the parent's track on one child and assigns the
+    other a NEW track id — the reference's division semantics
+    (templates/cyto3.json:31-38 + parse_xml.py:151-153)."""
+    import zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import FAKE_MAGIC
+
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((3, h, w), dtype=np.uint8)
+
+    def disk(img, cx, cy, r=3):
+        img[(xx - cx) ** 2 + (yy - cy) ** 2 <= r * r] = 200
+
+    disk(frames[0], 10, 10)
+    disk(frames[1], 10, 10)
+    disk(frames[2], 6, 10)   # near child: continues the parent track
+    disk(frames[2], 15, 10)  # far child: reachable only via the split link
+    payload = (
+        FAKE_MAGIC
+        + np.array([h, w, 3], dtype="<u4").tobytes()
+        + zlib.compress(frames.tobytes())
+    )
+    bins = spark.createDataFrame(
+        [("div.fake", bytearray(payload))], "path string, content binary"
+    )
+    out = run_pipeline(
+        bins,
+        qc={"minimum_cell_size": 2.0, "minimum_observations": 1},
+        allow_splitting=True,
+        splitting_max_distance=6.0,
+    )
+    spots = out["spots"].collect()
+    by_frame: dict = {}
+    for r in spots:
+        by_frame.setdefault(r["frame"], []).append(r)
+    assert len(by_frame[0]) == 1 and len(by_frame[1]) == 1 and len(by_frame[2]) == 2
+    parent_tid = by_frame[0][0]["TRACK_ID"]
+    assert by_frame[1][0]["TRACK_ID"] == parent_tid
+    child_tids = {r["TRACK_ID"] for r in by_frame[2]}
+    # one child continues the parent's track, the other is renumbered
+    assert parent_tid in child_tids and len(child_tids) == 2
+    # without the flag, the far child is a disconnected singleton and is
+    # DROPPED by renumbering (isolated node) — the split link is what
+    # brings it into the lineage at all
+    base = run_pipeline(bins, qc={"minimum_cell_size": 2.0, "minimum_observations": 1})
+    assert base["spots"].count() == 3
 
 
 def test_pipeline_from_config(spark, tmp_path):
