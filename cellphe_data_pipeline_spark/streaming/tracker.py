@@ -365,16 +365,25 @@ def streaming_tracker_tws(
     3.5-compat ``applyInPandasWithState`` version serialises. Typed
     state is incrementally updatable (only touched keys are written per
     micro-batch) and schema-evolvable, and the state store can index it
-    — the production-preferred form; the compat version stays for
-    pre-4.0 clusters.
+    — typed state is where this should land; the compat version stays
+    for pre-4.0 clusters.
 
-    Requires the RocksDB state store provider
+    **EXPERIMENTAL — UNVERIFIED IN THIS ENVIRONMENT.** Requires the
+    RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) — a
     transformWithState constraint, set by the caller/session — and the
     ``protobuf`` package (the TWS python worker's wire format to the
     JVM state server; absent from this container, so the equivalence
-    test env-skips here and the compat version remains the tested
-    default).
+    test env-skips and this function has NEVER executed here). The
+    typed-state accesses bake in API assumptions that vary across
+    Spark 4.0.x python releases — ``ValueState.get()`` returning an
+    indexable tuple, MapState key/value tuple shapes, and the
+    ``getValueState``/``getMapState`` schema-string signatures. Run
+    ``tests/test_streaming.py::test_streaming_tracker_tws_matches_compat``
+    on a protobuf-equipped cluster and fix any of those call shapes
+    BEFORE treating this as the production form; until then
+    ``streaming_tracker`` (applyInPandasWithState, fully tested here)
+    is the supported tracker.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -1,15 +1,28 @@
 """Regenerate the m4_static_features golden VALUES oracle in place.
 
-Run after ANY change to the static-feature kernel or its fixture:
-
     python scripts/regen_m4_golden.py
 
 Executes the registered m4 query at sf0.01 (the fixture ignores sf),
 formats the rows (floats rounded to 6, matching the query's rounding),
 and rewrites the SQL literal inside queries.py between the
-m4_static_features @register header and `def m4`. The per-feature
-numpy-oracle tests in tests/test_domain.py remain the independent
-cross-check — regen does NOT replace re-running them.
+m4_static_features @register header and `def m4`.
+
+ANTI-CIRCULARITY INVARIANT — read before running. This golden is
+produced BY the engine, so by itself it can only pin regressions, not
+prove correctness. It is a legitimate oracle ONLY while every feature
+it contains is independently cross-checked by a direct-numpy oracle
+test in tests/test_domain.py (the per-block closed-form tests +
+tests/test_regen_guard.py, which asserts that coverage is exhaustive
+over STATIC_FEATURE_NAMES). Therefore:
+
+  1. NEVER regen to "fix" a golden mismatch you can't explain — that
+     buries a kernel bug in the oracle.
+  2. Before regenerating after a kernel change, add/extend the
+     direct-numpy oracle test for EVERY feature whose values change,
+     and get `pytest tests/test_domain.py tests/test_regen_guard.py`
+     green first.
+  3. Only then regen, and commit the golden change together with the
+     kernel + test change so the diff shows all three moving at once.
 """
 
 from __future__ import annotations

@@ -1246,8 +1246,77 @@ def test_final_block_numpy_oracle():
     assert f0["Int_com_offset"] == 0.0 and f0["Int_range"] == 0.0
 
 
+def test_basic_stats_blocks_numpy_oracle():
+    """Direct-numpy recomputation of the centroid / radius / intensity
+    basics, the curvature summary stats, and the 2-D texture feature
+    WIRING on a hand-built cell — closing literal coverage of every
+    STATIC_FEATURE_NAMES entry in the numpy-oracle suite (enforced
+    mechanically by tests/test_regen_guard.py). The texture helpers
+    (_haar2d_energies, _glcm_features) have their own closed-form
+    oracles above; here we verify the kernel feeds them the right
+    patch/mask and lands each value in the right feature slot."""
+    import math
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        _cell_features,
+        _curvature_profile,
+        _glcm_features,
+        _haar2d_energies,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(18, 18)
+    b = []
+    for x in range(3, 9):
+        b.append((x, 3))
+    for y in range(4, 9):
+        b.append((8, y))
+    for x in range(7, 2, -1):
+        b.append((x, 8))
+    for y in range(7, 3, -1):
+        b.append((3, y))
+    pts = np.array(b, dtype="int64")
+    xs, ys = pts[:, 0], pts[:, 1]
+    f = _cell_features(img, pts)
+
+    assert math.isclose(f["x"], xs.mean(), rel_tol=1e-12)
+    assert math.isclose(f["y"], ys.mean(), rel_tol=1e-12)
+    rad = np.sqrt((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2)
+    assert math.isclose(f["Rad_mean"], rad.mean(), rel_tol=1e-12)
+    assert math.isclose(f["Rad_max"], rad.max(), rel_tol=1e-12)
+    assert math.isclose(f["Rad_var"], rad.var(), rel_tol=1e-12)
+    assert math.isclose(f["Rad_q50"], np.quantile(rad, 0.5), rel_tol=1e-12)
+    vals = img[ys, xs]
+    assert math.isclose(f["Int_mean"], vals.mean(), rel_tol=1e-12)
+    assert math.isclose(f["Int_std"], vals.std(), rel_tol=1e-12)
+    assert f["Int_min"] == vals.min() and f["Int_max"] == vals.max()
+    assert math.isclose(f["Int_q25"], np.quantile(vals, 0.25), rel_tol=1e-12)
+    assert math.isclose(f["Int_q75"], np.quantile(vals, 0.75), rel_tol=1e-12)
+
+    cur = _curvature_profile(xs, ys)  # helper closed-form-tested above
+    assert math.isclose(f["Cur_mean"], cur.mean(), rel_tol=1e-12)
+    assert math.isclose(f["Cur_std"], cur.std(), rel_tol=1e-12)
+    assert math.isclose(f["Cur_max"], cur.max(), rel_tol=1e-12)
+    cz = (cur - cur.mean()) / cur.std()
+    assert math.isclose(f["Cur_skew"], (cz**3).mean(), rel_tol=1e-12)
+
+    # texture wiring: rebuild the kernel's bbox patch and check each
+    # helper value lands in its feature slot
+    x0, y0 = xs.min(), ys.min()
+    patch = np.zeros((ys.max() - y0 + 1, xs.max() - x0 + 1))
+    inmask = np.zeros(patch.shape, dtype=bool)
+    patch[ys - y0, xs - x0] = vals
+    inmask[ys - y0, xs - x0] = True
+    h2 = _haar2d_energies(patch, levels=3)
+    assert f["Haar2d_l1"] == h2[0] and f["Haar2d_l2"] == h2[1]
+    assert f["Haar2d_l3"] == h2[2]
+    coo2 = _glcm_features(patch, inmask, dist=2, prefix="Coo2")
+    assert f["Coo2_homogeneity"] == coo2["Coo2_homogeneity"]
+    assert f["Coo2_entropy"] == coo2["Coo2_entropy"]
+
+
 def test_cell_features_total_robustness_hypothesis():
-    """SURVEY §5 property test on the full 62-feature kernel: for
+    """SURVEY §5 property test on the full 74-feature kernel: for
     ARBITRARY integer coordinate sequences (ordered boundaries, blobs,
     repeated points, single pixels) the kernel either skips (None, <3
     points) or returns every declared feature as a finite float, with
