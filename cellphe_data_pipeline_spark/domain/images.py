@@ -150,7 +150,10 @@ def decode_frame(content: bytes) -> list[np.ndarray]:
     3. pure-numpy TIFF 6.0 baseline reader (uncompressed grayscale
        strips, 8/16-bit, multi-page) — real container-format parsing
        with no third-party dependency;
-    4. otherwise NotImplementedError naming the missing codec.
+    4. pure-numpy baseline JPEG decoder (T.81 sequential DCT + Huffman,
+       domain/jpeg.py) — the S5 JPEG→gray input path (main.nf:392-406)
+       with no third-party dependency; luma plane = grayscale;
+    5. otherwise NotImplementedError naming the missing codec.
     """
     if content[:5] == FAKE_MAGIC:
         h, w, n = np.frombuffer(content[5:17], dtype="<u4")
@@ -185,9 +188,13 @@ def decode_frame(content: bytes) -> list[np.ndarray]:
     tiff = _decode_tiff_baseline(content)
     if tiff is not None:
         return tiff
+    if content[:2] == b"\xff\xd8":
+        from cellphe_data_pipeline_spark.domain.jpeg import decode_jpeg_gray
+
+        return [decode_jpeg_gray(content)]
     raise NotImplementedError(
-        "no codec for this payload: not a FAKE1/baseline-TIFF container "
-        "and neither tifffile nor Pillow is installed"
+        "no codec for this payload: not a FAKE1/baseline-TIFF/baseline-"
+        "JPEG container and neither tifffile nor Pillow is installed"
     )
 
 
@@ -214,9 +221,13 @@ def split_frames(binaries: DataFrame) -> DataFrame:
 
 
 def grayscale_convert(frames: DataFrame) -> DataFrame:
-    """S5 (main.nf:392-406 JPEG→gray TIFF): payloads here are already
-    single-channel rasters, so this is the identity on data + a format
-    tag — kept as an explicit stage so a real codec slots in."""
+    """S5 (main.nf:392-406 JPEG→gray TIFF): the DECODE half of the
+    conversion is real — JPEG payloads entering ``split_frames`` go
+    through the pure-numpy baseline decoder (domain/jpeg.py), whose
+    luma plane IS the BT.601 grayscale, so frame rows reaching this
+    stage are single-channel rasters already. This stage tags the
+    colorspace (the TIFF re-wrap half is the S3 path in reverse and
+    lives at the sink edge)."""
     return frames.withColumn("colorspace", F.lit("gray"))
 
 

@@ -751,11 +751,79 @@ def test_decode_frame_16bit_tiff():
     assert (frames[0] == p).all()
 
 
+def test_decode_frame_jpeg_baseline(spark):
+    """S5 real path (r5): a BYTE-BUILT baseline JPEG decodes through
+    the codec ladder within 1 gray level at quality 100, and JPEG
+    containers run the split→segment Spark chain end to end."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        decode_frame,
+        segment_frames,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.domain.jpeg import encode_jpeg_gray
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    blob = encode_jpeg_gray(img, quality=100)
+    out = decode_frame(blob)
+    assert len(out) == 1 and out[0].shape == (24, 40)
+    assert np.abs(out[0].astype(int) - img.astype(int)).max() <= 1
+
+    bins = spark.createDataFrame(
+        [("cell.jpg", bytearray(blob))], "path string, content binary"
+    )
+    frames = split_frames(bins)
+    rows = frames.collect()
+    assert len(rows) == 1 and rows[0]["height"] == 24 and rows[0]["width"] == 40
+    assert np.abs(
+        np.frombuffer(rows[0]["data"], dtype=np.uint8).reshape(24, 40).astype(int)
+        - img.astype(int)
+    ).max() <= 1
+    assert segment_frames(frames).count() == 1
+
+
+def test_jpeg_codec_restart_and_variants():
+    """Decoder handles DRI/RSTn restart streams (DC predictor reset);
+    lossy qualities stay close on smooth images; beyond-baseline
+    variants raise ValueError naming the variant instead of garbage."""
+    import struct
+
+    import pytest
+
+    from cellphe_data_pipeline_spark.domain.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = (128 + 70 * np.sin(xx / 8.0) * np.cos(yy / 6.0)).astype(np.uint8)
+    # restart markers every 3 MCUs
+    blob = encode_jpeg_gray(smooth, quality=100, restart_interval=3)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    dec = decode_jpeg_gray(blob)
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 1
+    # lossy quality: close but not exact on a smooth field
+    lossy = decode_jpeg_gray(encode_jpeg_gray(smooth, quality=75))
+    assert np.abs(lossy.astype(int) - smooth.astype(int)).mean() < 3.0
+
+    # progressive (SOF2) refused by name
+    sof2 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 13) + bytes(11)
+    with pytest.raises(ValueError, match="beyond baseline"):
+        decode_jpeg_gray(sof2)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+
+
 def test_decode_frame_unknown_payload_raises():
     import pytest
     from cellphe_data_pipeline_spark.domain.images import decode_frame
 
+    # unknown magic -> explicit no-codec error, not silent garbage
     with pytest.raises(NotImplementedError, match="codec"):
+        decode_frame(b"\x00\x01 not any known container")
+    # JPEG magic with a corrupt body -> the JPEG parser's error (the
+    # ladder routes FFD8 payloads to the baseline decoder, r5)
+    with pytest.raises(ValueError):
         decode_frame(b"\xff\xd8\xff\xe0 not really a jpeg")
 
 
