@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 
 from cellphe_data_pipeline_spark.operators.graph import connected_components
 
+#: tracks-per-call bound under which head numbering happens driver-side
+#: (one take(); ~100k heads ≈ a few MB of driver memory). Same pattern
+#: and rationale as plans/pipeline.py TL_DIM_DRIVER_CAP.
+TRACK_DIM_DRIVER_CAP = 100_000
+
 
 def keep_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Edges that continue a track: min-child of the parent AND
@@ -97,18 +102,37 @@ def renumber_tracks(
     heads = head_nodes.groupBy("segment").agg(
         F.min(F.struct(F.col(frame_col), F.col(id_col))).alias("head")
     )
-    # scale-safe two-pass numbering (one row per track, but at 100 TB
-    # "tracks" can be billions of documents/chains — never single-partition)
-    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+    # Numbering (r5, same pattern as the pipeline's timelapse dim): the
+    # head table has one row per TRACK. Below TRACK_DIM_DRIVER_CAP it is
+    # numbered driver-side in ONE TakeOrderedAndProject job and comes
+    # back as a size-known local relation — so the final join
+    # BROADCASTS instead of shuffling `labelled`, and the two-pass
+    # checkpoint/count/offset jobs disappear (several jobs per call on
+    # a loop-heavy cold path). Beyond the cap (100 TB corpora where
+    # "tracks" are billions of chains) the scale-safe two-pass
+    # partition-offset numbering takes over unchanged.
+    head_order = [F.col("head." + frame_col), F.col("head." + id_col)]
+    head_rows = heads.orderBy(*head_order).take(TRACK_DIM_DRIVER_CAP + 1)
+    if len(head_rows) <= TRACK_DIM_DRIVER_CAP:
+        seg_type = dict(labelled.dtypes)["segment"]
+        spark = labelled.sparkSession
+        track_ids = F.broadcast(
+            spark.createDataFrame(
+                [(r["segment"], i) for i, r in enumerate(head_rows, start=1)],
+                f"segment {seg_type}, TRACK_ID int",
+            )
+        )
+    else:
+        from cellphe_data_pipeline_spark.operators.scale import global_row_number
 
-    track_ids = global_row_number(
-        heads,
-        [F.col("head." + frame_col), F.col("head." + id_col)],
-        "_tid",
-        # track-head table is ~1 row per track; size its passes with the
-        # loop's edge-volume knob rather than the scan-sized default
-        num_parts=loop_shuffle_partitions,
-    ).select("segment", F.col("_tid").cast("int").alias("TRACK_ID"))
+        track_ids = global_row_number(
+            heads,
+            head_order,
+            "_tid",
+            # track-head table is ~1 row per track; size its passes with
+            # the loop's edge-volume knob, not the scan-sized default
+            num_parts=loop_shuffle_partitions,
+        ).select("segment", F.col("_tid").cast("int").alias("TRACK_ID"))
     return labelled.join(track_ids, "segment").select(id_col, frame_col, "TRACK_ID")
 
 

@@ -224,6 +224,13 @@ def run_pipeline(
         minimum_cell_size=qc["minimum_cell_size"],
         minimum_observations=qc["minimum_observations"],
     )
+    # Pin the QC-surviving spot table (r5): it feeds FOUR consumers —
+    # movement (→ timeseries), the density self-join, the M4 keep-join,
+    # and the summary assembly — and without a cut the
+    # spots→window→filter subtree re-executes once per consumer per
+    # action. One narrow row per surviving spot; same "persist the hub
+    # table" rationale as `dets`/`edges`.
+    filtered = filtered.localCheckpoint(eager=True)
     movement = movement_features(                        # M5 (W1-W3, F5-F8)
         filtered, key="TRACK_ID", order=["frame", "id"], x="x", y="y"
     )
