@@ -427,6 +427,13 @@ def trace_outer_contour(region: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             break
         if nxt in index:
             pixels = pixels[index[nxt] :]  # trim any pre-cycle tail
+            # the cycle always passes through the topmost-leftmost pixel
+            # (it is on the outer contour); rotate so it comes first —
+            # the trim may have cut in mid-loop, and a fixed start makes
+            # the traversal deterministic AND canonical for goldens
+            if s in pixels and pixels[0] != s:
+                i = pixels.index(s)
+                pixels = pixels[i:] + pixels[:i]
             break
         index[nxt] = len(pixels)
         pixels.append(nxt[0])

@@ -511,6 +511,52 @@ def test_trace_outer_contour_properties():
     assert (xs.tolist(), ys.tolist()) == ([1], [1])
 
 
+def test_trace_outer_contour_random_components_property():
+    """Property sweep over random 4-connected components (the shape the
+    stub segmenter emits): every traced contour is a closed 8-adjacent
+    loop, starts at the topmost-leftmost pixel, visits only pixels on
+    the region's boundary (4-neighbor definition — a strict subset when
+    the blob has holes, since tracing follows the OUTER contour like
+    the reference's TrackMate polygons), and is deterministic."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        _fake_segment,
+        trace_outer_contour,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial in range(25):
+        img = (rng.rand(14, 14) < 0.35).astype(np.uint8) * 200
+        labels = _fake_segment(img)
+        for label in np.unique(labels):
+            if label == 0:
+                continue
+            region = labels == label
+            xs, ys = trace_outer_contour(region)
+            assert len(xs) >= 1
+            # start pixel: topmost then leftmost
+            rys, rxs = np.nonzero(region)
+            top = rys.min()
+            assert (ys[0], xs[0]) == (top, rxs[rys == top].min())
+            if len(xs) > 1:
+                pts = np.stack([xs, ys], axis=1)
+                steps = np.diff(np.concatenate([pts, pts[:1]], axis=0), axis=0)
+                assert np.abs(steps).max() == 1  # closed 8-adjacent loop
+            # traced pixels lie on the boundary (some 4-neighbor is
+            # background or out of bounds)
+            h, w = region.shape
+            for x, y in zip(xs, ys):
+                nb = [(y + d, x + e) for d, e in ((1, 0), (-1, 0), (0, 1), (0, -1))]
+                assert any(
+                    not (0 <= a < h and 0 <= b < w) or not region[a, b]
+                    for a, b in nb
+                )
+            # deterministic
+            xs2, ys2 = trace_outer_contour(region)
+            assert (xs == xs2).all() and (ys == ys2).all()
+
+
 def test_mask_contours_ordering(spark):
     """mask_contours emits the traversal with seq; re-sorting by seq
     reconstructs a closed 8-adjacent loop regardless of shuffle — the

@@ -112,6 +112,43 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "Sort " not in p
 
 
+def test_summary_plan_no_cartesian(spark):
+    """The r5 frame-summary stage (movement ⋈ features ⋈ density) must
+    stay cartesian-free: the density arm is the grid-bucketed J7 shape
+    and every other join is keyed. Plan-regression gate on the WHOLE
+    pipeline summary output."""
+    from cellphe_data_pipeline_spark.domain.images import make_fake_image
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    bins = spark.createDataFrame(
+        [("pl.fake", bytearray(make_fake_image(seed=9, height=20, width=20, n_frames=3)))],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins, qc={"minimum_cell_size": 2.0, "minimum_observations": 1})
+    plan = out["summary"]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_renumber_tracks_broadcasts_track_ids_under_cap(spark):
+    """Under TRACK_DIM_DRIVER_CAP the head table is numbered driver-side
+    and the final track-id join must be a BROADCAST of the tiny id
+    relation, never a shuffle of the labelled node table (r5)."""
+    from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
+
+    # 4 cells over 5 frames: node id = frame*4 + cell, edges advance one
+    # frame (the temporal-DAG contract renumber_tracks documents)
+    nodes = spark.createDataFrame(
+        [(i, i // 4) for i in range(20)], "ID long, FRAME int"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 4) for i in range(16)], "src long, dst long"
+    )
+    tracks = renumber_tracks(nodes, edges)
+    plan = tracks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_global_numbering_has_no_single_partition_window(spark, sf_dir):
     """Regression guard for the round-3 scale fix: the numbering queries
     (w4/o1) must contain NO WindowExec at all — the two-pass partition-
