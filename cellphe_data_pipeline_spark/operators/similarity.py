@@ -245,3 +245,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (r5): scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) — the standard ANN memory lever (4×
+    smaller vectors, SIMD int8 dot products in a production index).
+    Emitted in relational (id, scale, pos, qv) form so the driver's
+    value-hash oracle covers every component; reassemble with
+    collect_list(sorted by pos) when a packed column is wanted.
+
+    Scale shape: pure codegen Column expressions inside one projection —
+    no shuffle, no UDF; a 100 TB embedding table quantizes at scan
+    speed. floor(x+0.5) (round-half-up) is used instead of round() so
+    Spark and the SQL oracle agree bit-for-bit; all-zero vectors get
+    scale 0 and an all-zero code.
+    """
+    maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = maxabs.cast("double") / F.lit(127.0)
+    with_scale = df.select(
+        F.col(id_col), scale.alias("scale"), F.col(vec_col).alias("_v")
+    )
+    return with_scale.select(
+        id_col,
+        "scale",
+        F.posexplode(
+            F.transform(
+                F.col("_v"),
+                lambda x: F.when(F.col("scale") == 0, F.lit(0))
+                .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
+                .cast("int"),
+            )
+        ).alias("pos", "qv"),
+    )

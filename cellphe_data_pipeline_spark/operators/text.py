@@ -273,3 +273,34 @@ def token_budget_shards(
             "shard_start_tok": pre.cast("bigint"),
         }
     )
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    quotas: dict[str, float],
+    default_rate: float = 0.1,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum corpus sampling (r5): keep a row iff
+    its id's md5-derived bucket falls below the stratum's quota —
+    "sample 50% of English, 20% of Chinese, 10% of everything else"
+    as a pure MAP over the corpus.
+
+    Why hash-gated instead of `sample()`/`sampleBy()`: RNG sampling is
+    run-dependent (fractions drift per partitioning) and cannot be
+    oracle-checked; the md5 gate keeps the SAME documents in every run,
+    on every engine, at every scale — reproducible training-corpus
+    snapshots, rebalance-by-editing-quotas, and an exact ANSI-SQL twin.
+    Scale shape: zero shuffle, codegen md5 (~100ns/row), quota CASE is
+    a broadcast-free literal expression; the 100 TB corpus streams
+    through map tasks untouched by any exchange.
+    """
+    from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+
+    bucket = portable_hash64(F.col(id_col).cast("string")) % buckets
+    thr: Column = F.lit(int(default_rate * buckets))
+    for value, rate in sorted(quotas.items()):
+        thr = F.when(F.col(strata_col) == value, int(rate * buckets)).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -1498,6 +1498,60 @@ def m3b(spark, sf_dir):
 
 
 @register(
+    "c4_hash_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 1000 END
+    """,
+)
+def c4(spark, sf_dir):
+    """Deterministic hash-gated stratified corpus sampling (r5):
+    keep 50% of English, 20% of Chinese, 10% of the rest — the
+    reproducible (same rows every run/engine/scale) alternative to
+    RNG sampleBy for training-corpus balancing. Zero shuffle, codegen
+    md5 gate (functions/scalars.portable_hash64)."""
+    from cellphe_data_pipeline_spark.operators.text import hash_stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.2}, default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "v5_int8_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)/127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, scale, CAST(u.pos AS INT) AS pos, CAST(u.qv AS INT) AS qv
+    FROM (
+      SELECT vec_id, scale,
+             unnest(list_transform(embedding, (x, i) -> {'pos': i - 1,
+               'qv': CASE WHEN scale = 0 THEN 0
+                          ELSE floor(CAST(x AS DOUBLE)/scale + 0.5) END})) AS u
+      FROM s
+    ) t
+    """,
+)
+def v5(spark, sf_dir):
+    """Symmetric per-vector int8 embedding quantization (r5): the ANN
+    memory/bandwidth lever (4x smaller vectors) as pure codegen — one
+    projection, no shuffle. floor(x+0.5) half-up rounding keeps Spark
+    and DuckDB bit-identical; relational (id, scale, pos, qv) output
+    puts every quantized component under the value-hash oracle."""
+    from cellphe_data_pipeline_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "s5_jpeg_gray",
     """
     SELECT path, CAST(fi AS INT) AS frame_index, CAST(h AS INT) AS height,
@@ -2870,6 +2924,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "s5_jpeg_gray",
     "m3c_split_merge",
     "m6b_mask_contours",
+    "c4_hash_stratified_sample",
+    "v5_int8_quantize",
     # --- changed-code re-verification (tracking.py gained the
     #     split/merge pass; these prove the default path unchanged) ---
     "m3_tracking_links",
@@ -2919,11 +2975,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "d1_exact_dedup",
     "d2_shingle_counts",
     "t1_quality_features",
-    "t2_language_id",
-    "t3_fingerprint",
-    # --- r4-proven goldens now behind the window (rotate back in r6):
-    #     s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/j7-j10/t4-t6/c1-c3/u3/u5/
-    #     w6-w8/o5/o6/a8/a8b/a9-a11/p3/p14/f9/f15/g4/m5 ---
+    # --- displaced to keep the window at 50 after the r5 late
+    #     additions (c4/v5): t2_language_id and t3_fingerprint — both
+    #     driver-proven r1-r3, both pure codegen expressions; first in
+    #     line for the r6 rotation. Also behind the window: the
+    #     r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/j7-j10/
+    #     t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/a9-a11/p3/p14/f9/f15/
+    #     g4/m5 ---
 ]
 
 

@@ -254,3 +254,63 @@ def test_srp_neardup_subset_of_exact(spark):
     # a non-trivial share of them (deterministic planes -> stable count)
     assert len(exact) > 0
     assert len(approx) >= len(exact) // 2
+
+
+def test_hash_stratified_sample_deterministic_and_rated(spark):
+    """The md5 gate keeps the SAME rows on every run and hits each
+    stratum's quota within binomial tolerance; strata not in the quota
+    map fall back to the default rate."""
+    from cellphe_data_pipeline_spark.operators.text import hash_stratified_sample
+
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {r["doc_id"] for r in hash_stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.2}, default_rate=0.1
+    ).collect()}
+    kept2 = {r["doc_id"] for r in hash_stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.2}, default_rate=0.1
+    ).collect()}
+    assert kept1 == kept2  # deterministic: identical sample every run
+    by_lang = {"en": 0, "zh": 0, "fr": 0}
+    for i in kept1:
+        by_lang[["en", "zh", "fr"][i % 3]] += 1
+    # 1000 draws per stratum; allow ~4 sigma of binomial noise
+    assert abs(by_lang["en"] - 500) < 65
+    assert abs(by_lang["zh"] - 200) < 55
+    assert abs(by_lang["fr"] - 100) < 40
+    # widening a quota only ADDS rows (monotone gate — stable snapshots)
+    wider = {r["doc_id"] for r in hash_stratified_sample(
+        df, "doc_id", "lang", {"en": 0.8, "zh": 0.2}, default_rate=0.1
+    ).collect()}
+    assert kept1 <= wider
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    """Dequantized values land within half a quantization step of the
+    source (the round-half-up contract), codes stay in [-127, 127], and
+    the max-|v| component maps to ±127 exactly."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.operators.similarity import quantize_int8
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(16).astype("float32")]) for i in range(40)]
+    vecs.append((40, [0.0] * 16))  # all-zero vector edge
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = quantize_int8(df).collect()
+    by_vec: dict = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    assert set(by_vec) == set(range(41))
+    for vid, emb in vecs:
+        rows = sorted(by_vec[vid], key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(16))
+        scale = rows[0]["scale"]
+        qv = np.array([r["qv"] for r in rows])
+        assert np.abs(qv).max() <= 127
+        src = np.array(emb, dtype="float64")
+        if scale == 0.0:
+            assert (qv == 0).all()
+            continue
+        assert np.abs(qv * scale - src).max() <= scale / 2 + 1e-12
+        assert np.abs(qv).max() == 127  # max component saturates exactly
