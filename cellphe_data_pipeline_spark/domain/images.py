@@ -220,14 +220,88 @@ def split_frames(binaries: DataFrame) -> DataFrame:
     return binaries.select("path", "content").mapInPandas(split, FRAME_SCHEMA)
 
 
+def encode_tiff_gray(frames_list: list[np.ndarray]) -> bytes:
+    """Encode grayscale frames as a multi-page TIFF 6.0 baseline
+    container (little-endian, uncompressed single-strip pages, 8- or
+    16-bit) with nothing but struct — the write twin of
+    ``_decode_tiff_baseline``, so a round-trip stays in-engine with no
+    third-party codec. Used by the S5 JPEG→gray-TIFF conversion
+    (main.nf:392-406) and as a byte-built test-payload writer."""
+    import struct
+
+    if not frames_list:
+        raise ValueError("encode_tiff_gray needs at least one frame")
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 8)  # first IFD offset (right after header)
+    pos = 8
+    n = len(frames_list)
+    for i, f in enumerate(frames_list):
+        if f.dtype == np.uint8:
+            bits = 8
+        elif f.dtype == np.uint16:
+            bits = 16
+        else:
+            raise ValueError(f"unsupported dtype {f.dtype} (uint8/uint16 only)")
+        h, w = f.shape
+        data = f.astype("<u2").tobytes() if bits == 16 else f.tobytes()
+        # IFD: 8 tags × 12 bytes + count + next-offset
+        ifd_size = 2 + 8 * 12 + 4
+        data_off = pos + ifd_size
+        next_ifd = 0 if i == n - 1 else data_off + len(data)
+        tags = [
+            (256, 3, 1, w),               # ImageWidth
+            (257, 3, 1, h),               # ImageLength
+            (258, 3, 1, bits),            # BitsPerSample
+            (259, 3, 1, 1),               # Compression: none
+            (262, 3, 1, 1),               # Photometric: BlackIsZero
+            (273, 4, 1, data_off),        # StripOffsets (single strip)
+            (277, 3, 1, 1),               # SamplesPerPixel
+            (279, 4, 1, len(data)),       # StripByteCounts
+        ]
+        out += struct.pack("<H", len(tags))
+        for tag, typ, cnt, val in tags:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+        out += struct.pack("<I", next_ifd)
+        out += data
+        pos = data_off + len(data)
+    return bytes(out)
+
+
+def jpeg_to_gray_tiff(binaries: DataFrame) -> DataFrame:
+    """S5 COMPLETE (main.nf:392-406): JPEG containers → grayscale TIFF
+    containers, both halves in-engine — the pure-numpy T.81 decoder
+    (domain/jpeg.py, luma = BT.601 gray) feeding the baseline TIFF
+    writer above. Per-row map over binary payloads, no shuffle; output
+    rows are (path, tiff binary) ready for the S15 published-dir sink,
+    exactly the reference's convert-then-segment staging."""
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cellphe_data_pipeline_spark.domain.jpeg import decode_jpeg_gray
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray = decode_jpeg_gray(bytes(row["content"]))
+                out.append(
+                    {"path": row["path"], "tiff": encode_tiff_gray([gray])}
+                )
+            yield pd.DataFrame(out, columns=["path", "tiff"])
+
+    return binaries.select("path", "content").mapInPandas(
+        conv, "path string, tiff binary"
+    )
+
+
 def grayscale_convert(frames: DataFrame) -> DataFrame:
-    """S5 (main.nf:392-406 JPEG→gray TIFF): the DECODE half of the
-    conversion is real — JPEG payloads entering ``split_frames`` go
-    through the pure-numpy baseline decoder (domain/jpeg.py), whose
-    luma plane IS the BT.601 grayscale, so frame rows reaching this
-    stage are single-channel rasters already. This stage tags the
-    colorspace (the TIFF re-wrap half is the S3 path in reverse and
-    lives at the sink edge)."""
+    """S5 (main.nf:392-406 JPEG→gray TIFF): BOTH halves of the
+    conversion are real in-engine — JPEG payloads entering
+    ``split_frames`` go through the pure-numpy baseline decoder
+    (domain/jpeg.py, luma = BT.601 grayscale), and the container-level
+    converter ``jpeg_to_gray_tiff`` re-wraps the gray plane as a
+    baseline TIFF (``encode_tiff_gray``), matching the reference's
+    staging byte-format-for-byte-format. Frame rows reaching this stage
+    are single-channel rasters already; it tags the colorspace."""
     return frames.withColumn("colorspace", F.lit("gray"))
 
 

@@ -828,6 +828,45 @@ def test_decode_frame_jpeg_baseline(spark):
     assert segment_frames(frames).count() == 1
 
 
+def test_jpeg_to_gray_tiff_conversion(spark):
+    """S5 complete (r5): JPEG container → grayscale TIFF via the
+    in-engine codec pair; the produced TIFF round-trips through the
+    baseline reader AND the full split_frames chain, within the JPEG
+    q100 1-gray-level bound of the source."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        decode_frame,
+        encode_tiff_gray,
+        jpeg_to_gray_tiff,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.domain.jpeg import encode_jpeg_gray
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (20, 28), dtype=np.uint8)
+    bins = spark.createDataFrame(
+        [("t.jpg", bytearray(encode_jpeg_gray(img, quality=100)))],
+        "path string, content binary",
+    )
+    tiffs = jpeg_to_gray_tiff(bins).collect()
+    assert len(tiffs) == 1
+    blob = bytes(tiffs[0]["tiff"])
+    pages = decode_frame(blob)
+    assert len(pages) == 1 and pages[0].shape == (20, 28)
+    assert np.abs(pages[0].astype(int) - img.astype(int)).max() <= 1
+    # the converted TIFF feeds the standard ingest chain unchanged
+    frames = split_frames(
+        spark.createDataFrame([("t.tiff", bytearray(blob))], "path string, content binary")
+    ).collect()
+    assert len(frames) == 1 and frames[0]["width"] == 28
+
+    # multi-page + 16-bit writer round-trips through the baseline reader
+    a = rng.randint(0, 65535, (6, 7), dtype=np.uint16)
+    b = rng.randint(0, 65535, (6, 7), dtype=np.uint16)
+    pages2 = decode_frame(encode_tiff_gray([a, b]))
+    assert len(pages2) == 2
+    assert (pages2[0] == a).all() and (pages2[1] == b).all()
+
+
 def test_jpeg_codec_restart_and_variants():
     """Decoder handles DRI/RSTn restart streams (DC predictor reset);
     lossy qualities stay close on smooth images; beyond-baseline
