@@ -280,3 +280,76 @@ def quantize_int8(
             )
         ).alias("pos", "qv"),
     )
+
+
+def quantize_int8_packed(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Packed form of :func:`quantize_int8`: (id, scale, q array<int>)
+    in ONE projection — the shape ANN consumers join on. Same half-up
+    rounding contract; no explode, no shuffle."""
+    maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = maxabs.cast("double") / F.lit(127.0)
+    with_scale = df.select(
+        F.col(id_col), scale.alias("scale"), F.col(vec_col).alias("_v")
+    )
+    return with_scale.select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.when(F.col("scale") == 0, F.lit(0))
+            .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
+            .cast("int"),
+        ).alias("q"),
+    )
+
+
+def int8_topk(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized brute-force top-k (r5): neighbors ranked by the INT8
+    dot product rescaled by the two vectors' scales — MAXIMUM INNER
+    PRODUCT (MIPS) semantics, the metric a SIMD int8 index
+    (IVF-PQ-style) serves at 100 TB (v1's cosine baseline divides by
+    norms; this deliberately does not).
+
+    Why it's oracle-exact: the dot product is a fold over int32
+    products into a 64-bit sum (no floating accumulation at all), and
+    the only float work is ONE multiply by scale_a*scale_b at the end —
+    bit-identical in any engine. Like v1 this quadratic form is the
+    CAPPED correctness baseline; the scale path is quantization
+    composed with the SRP/IVF bucketed candidate joins (v2/v3).
+    Determinism: ties broken by neighbor id.
+    """
+    q = quantize_int8_packed(df, vec_col, id_col)
+    left = q.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("scale").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    right = q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("scale").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    pairs = left.join(right, F.col("vec_id") != F.col("neighbor_id"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q_a"), F.col("q_b"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.withColumn(
+        "sim_q", idot.cast("double") * F.col("s_a") * F.col("s_b")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_q", "rank")
+    )

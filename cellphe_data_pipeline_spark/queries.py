@@ -1552,6 +1552,51 @@ def v5(spark, sf_dir):
 
 
 @register(
+    "v6_int8_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)/127.0
+               AS scale,
+             embedding
+      FROM embeddings WHERE vec_id < 200
+    ),
+    p AS (
+      SELECT vec_id, scale,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) END) AS qv
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
+               * a.scale * b.scale AS sim_q
+      FROM p a, p b WHERE a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, sim_q, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_q DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+    """,
+)
+def v6(spark, sf_dir):
+    """Quantized (int8) brute-force top-k (r5): the ANN memory lever's
+    END-TO-END semantics — neighbors ranked by the integer dot product
+    of the packed codes rescaled by the two per-vector scales. Oracle-
+    EXACT because the accumulation is pure int64 (the only float op is
+    one final multiply), unlike float-cosine baselines that need
+    rounding. Capped (vec_id < 200) quadratic correctness baseline like
+    v1; the scale path composes quantization with the SRP/IVF bucketed
+    candidate joins. Recall vs the float ranking is pinned in
+    tests/test_dedup_text_similarity.py."""
+    from cellphe_data_pipeline_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return int8_topk(emb, k=3)
+
+
+@register(
     "s5_jpeg_gray",
     """
     SELECT path, CAST(fi AS INT) AS frame_index, CAST(h AS INT) AS height,
@@ -2926,6 +2971,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "m6b_mask_contours",
     "c4_hash_stratified_sample",
     "v5_int8_quantize",
+    "v6_int8_topk",
     # --- changed-code re-verification (tracking.py gained the
     #     split/merge pass; these prove the default path unchanged) ---
     "m3_tracking_links",
@@ -2974,14 +3020,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "g3_roots",
     "d1_exact_dedup",
     "d2_shingle_counts",
-    "t1_quality_features",
     # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5): t2_language_id and t3_fingerprint — both
-    #     driver-proven r1-r3, both pure codegen expressions; first in
-    #     line for the r6 rotation. Also behind the window: the
-    #     r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/j7-j10/
-    #     t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/a9-a11/p3/p14/f9/f15/
-    #     g4/m5 ---
+    #     additions (c4/v5/v6): t1_quality_features, t2_language_id,
+    #     t3_fingerprint — all driver-proven r1-r3, all pure codegen
+    #     expressions; first in line for the r6 rotation. Also behind
+    #     the window: the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/
+    #     v1-v4/d3-d7/j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/
+    #     a9-a11/p3/p14/f9/f15/g4/m5 ---
 ]
 
 
