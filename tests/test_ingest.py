@@ -49,3 +49,35 @@ def test_resolve_with_ome_companion(spark, tmp_path):
     }
     # FirstT drives the global order (+1 for 1-indexing), NOT file order
     assert got == {("a.fake", 3), ("a.fake", 1), ("b.fake", 2)}
+
+
+def test_resolve_jpeg_inputs(spark, tmp_path):
+    """The reference's JPEG branch (main.nf:392-406) end-to-end for
+    real (r5): byte-built baseline JPEGs land in the same canonical
+    frame relation as TIFF/FAKE inputs, decoded by the in-engine T.81
+    codec, natural-sorted and renumbered frame_%05d."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.jpeg import encode_jpeg_gray
+    from cellphe_data_pipeline_spark.plans.ingest import resolve_input
+
+    rng = np.random.RandomState(8)
+    d = tmp_path / "jpgs"
+    d.mkdir()
+    imgs = {}
+    for name in ("t 2.jpg", "t 10.jpg"):  # space + natural-sort probe
+        img = rng.randint(0, 256, (12, 16), dtype=np.uint8)
+        imgs[name] = img
+        (d / name).write_bytes(encode_jpeg_gray(img, quality=100))
+
+    out = resolve_input(spark, str(d), glob="*.jpg").collect()
+    assert len(out) == 2
+    by_idx = {r["global_index"]: r for r in out}
+    # natural sort: t 2 before t 10 (lexicographic would invert)
+    assert by_idx[1]["path"].endswith("t 2.jpg")
+    assert by_idx[2]["path"].endswith("t 10.jpg")
+    assert by_idx[1]["frame_name"] == "frame_00001.tiff"
+    for i, name in ((1, "t 2.jpg"), (2, "t 10.jpg")):
+        r = by_idx[i]
+        dec = np.frombuffer(r["data"], dtype=np.uint8).reshape(r["height"], r["width"])
+        assert np.abs(dec.astype(int) - imgs[name].astype(int)).max() <= 1
