@@ -384,11 +384,6 @@ def encode_jpeg_gray(
     padded[h:, :w] = img[-1:, :].astype(np.float64)  # edge-replicate pad
     padded[:, w:] = padded[:, w - 1 : w]
 
-    def emit_magnitude(v: int) -> tuple[int, int]:
-        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        code = v if v >= 0 else v + (1 << s) - 1
-        return s, code
-
     for y0 in range(0, pad_h, 8):
         for x0 in range(0, pad_w, 8):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -399,37 +394,128 @@ def encode_jpeg_gray(
                 rst = (rst + 1) % 8
                 pred = 0
             mcu_count += 1
-            block = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            coeff = _C @ block @ _C.T
-            quant = np.round(coeff / q).astype(np.int64)
-            diff = int(quant[0, 0]) - pred
-            pred = int(quant[0, 0])
-            s, code = emit_magnitude(diff) if diff else (0, 0)
-            length, hc = dc_map[s]
+            pred = _encode_block(
+                bw, padded[y0 : y0 + 8, x0 : x0 + 8], q, dc_map, ac_map, pred
+            )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_magnitude(v: int) -> tuple[int, int]:
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _encode_block(
+    bw: _BitWriter,
+    pixels: np.ndarray,
+    q: np.ndarray,
+    dc_map: dict,
+    ac_map: dict,
+    pred: int,
+) -> int:
+    """Forward-DCT + quantise + Huffman-code one 8×8 block; returns the
+    new DC predictor. Shared by the gray and YCbCr test writers."""
+    coeff = _C @ (pixels - 128.0) @ _C.T
+    quant = np.round(coeff / q).astype(np.int64)
+    diff = int(quant[0, 0]) - pred
+    pred = int(quant[0, 0])
+    s, code = _emit_magnitude(diff) if diff else (0, 0)
+    length, hc = dc_map[s]
+    bw.write(hc, length)
+    if s:
+        bw.write(code, s)
+    zz = [int(quant[r, c]) for r, c in _ZIGZAG[1:]]
+    run = 0
+    last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
+    for i, v in enumerate(zz):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, hc = ac_map[0xF0]  # ZRL
             bw.write(hc, length)
-            if s:
-                bw.write(code, s)
-            zz = [int(quant[r, c]) for r, c in _ZIGZAG[1:]]
-            run = 0
-            last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
-            for i, v in enumerate(zz):
-                if i > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, hc = ac_map[0xF0]  # ZRL
-                    bw.write(hc, length)
-                    run -= 16
-                s, code = emit_magnitude(v)
-                length, hc = ac_map[(run << 4) | s]
-                bw.write(hc, length)
-                bw.write(code, s)
-                run = 0
-            if last_nz < len(zz) - 1:  # EOB unless k=63 itself was coded
-                length, hc = ac_map[0x00]
-                bw.write(hc, length)
+            run -= 16
+        s, code = _emit_magnitude(v)
+        length, hc = ac_map[(run << 4) | s]
+        bw.write(hc, length)
+        bw.write(code, s)
+        run = 0
+    if last_nz < len(zz) - 1:  # EOB unless k=63 itself was coded
+        length, hc = ac_map[0x00]
+        bw.write(hc, length)
+    return pred
+
+
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsample: bool = False,
+    quality: int = 90,
+) -> bytes:
+    """Three-component baseline JPEG test writer: 4:4:4
+    (``subsample=False``, cb/cr same shape as y) or 4:2:0
+    (``subsample=True``, cb/cr at half resolution, y dims multiples of
+    16). One shared quant + Huffman table set for all components (legal
+    per T.81; keeps the writer minimal). Exists to drive the DECODER's
+    multi-component MCU/interleave/subsampling paths with byte-built
+    payloads — the decoder returns the luma plane, so a round-trip
+    compares against ``y`` regardless of chroma content."""
+    import struct
+
+    h, w = y.shape
+    if quality < 50:
+        scale = 5000 // quality
+    else:
+        scale = 200 - 2 * quality
+    q = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255).astype(np.int64).reshape(8, 8)
+    dc_map = _huffman_encode_map(*_STD_DC_LUMA)
+    ac_map = _huffman_encode_map(*_STD_AC_LUMA)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    sy = 2 if subsample else 1
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zz_q)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sy << 4) | sy, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1]))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    mcu = 8 * sy
+    if h % mcu or w % mcu:
+        raise ValueError(f"test writer needs dims divisible by {mcu}")
+    planes = {
+        "y": y.astype(np.float64),
+        "cb": cb.astype(np.float64),
+        "cr": cr.astype(np.float64),
+    }
+    bw = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(h // mcu):
+        for mx in range(w // mcu):
+            for by in range(sy):
+                for bx in range(sy):
+                    blk = planes["y"][
+                        (my * sy + by) * 8 : (my * sy + by) * 8 + 8,
+                        (mx * sy + bx) * 8 : (mx * sy + bx) * 8 + 8,
+                    ]
+                    preds["y"] = _encode_block(bw, blk, q, dc_map, ac_map, preds["y"])
+            for name in ("cb", "cr"):
+                blk = planes[name][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[name] = _encode_block(bw, blk, q, dc_map, ac_map, preds[name])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

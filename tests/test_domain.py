@@ -899,6 +899,35 @@ def test_jpeg_codec_restart_and_variants():
         decode_jpeg_gray(b"not a jpeg")
 
 
+def test_jpeg_color_mcu_paths():
+    """The decoder's MULTI-COMPONENT paths — 4:4:4 interleave and
+    4:2:0 (4 Y blocks + subsampled chroma per MCU) — driven by
+    byte-built YCbCr payloads: the luma plane round-trips within 1
+    gray level regardless of (random) chroma content, proving chroma
+    blocks are entropy-decoded in sync rather than skipped."""
+    from cellphe_data_pipeline_spark.domain.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(4)
+    y = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    cb = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    cr = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_ycbcr(y, cb, cr, quality=100))
+    assert dec.shape == (24, 32)
+    assert np.abs(dec.astype(int) - y.astype(int)).max() <= 1
+
+    y2 = rng.randint(0, 256, (32, 48), dtype=np.uint8)
+    cb2 = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    cr2 = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    dec2 = decode_jpeg_gray(
+        encode_jpeg_ycbcr(y2, cb2, cr2, subsample=True, quality=100)
+    )
+    assert dec2.shape == (32, 48)
+    assert np.abs(dec2.astype(int) - y2.astype(int)).max() <= 1
+
+
 def test_decode_frame_unknown_payload_raises():
     import pytest
     from cellphe_data_pipeline_spark.domain.images import decode_frame
