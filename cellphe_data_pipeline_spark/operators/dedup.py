@@ -326,3 +326,36 @@ def dedup_clusters(
         (F.col("node") == F.col("component")).alias("is_canonical"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (r5): flag training documents sharing
+    any word n-gram with a held-out benchmark/eval set — the standard
+    overlap gate for training corpora (GPT-3-style 13-gram matching;
+    ``n`` is a parameter, the registered query uses the corpus's 3-gram
+    shingle machinery). Returns (doc_id, n_contaminated_shingles) for
+    flagged docs; anti-join the result against the corpus to drop them.
+
+    Scale shape: shingle explode on both sides, ONE equi-join on the
+    shingle string. The benchmark side is orders of magnitude smaller
+    than a 100 TB corpus (eval sets are MBs), so it is BROADCAST —
+    the corpus streams through map-side hash probes with no shuffle of
+    the training side at all; the only shuffle is the per-doc count.
+    """
+    d = word_shingles(docs, text_col, id_col, n)
+    b = (
+        word_shingles(benchmark, text_col, id_col, n)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )

@@ -1552,6 +1552,32 @@ def v5(spark, sf_dir):
 
 
 @register(
+    "c5_decontaminate",
+    f"""
+    WITH {SHINGLE_CTE},
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id < 480),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 480)
+    SELECT t.doc_id, COUNT(*) AS n_contaminated_shingles
+    FROM train t JOIN bench b USING (sh)
+    GROUP BY t.doc_id
+    """,
+)
+def c5(spark, sf_dir):
+    """Benchmark decontamination (r5): training docs (doc_id < 480)
+    sharing any word 3-gram with the held-out 'benchmark' slice
+    (doc_id >= 480) are flagged with their overlap count — the standard
+    n-gram decontamination gate for training corpora. Benchmark side
+    broadcast (eval sets are MBs vs a 100 TB corpus); the training side
+    never shuffles before the per-doc count."""
+    from cellphe_data_pipeline_spark.operators.dedup import flag_contaminated
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flag_contaminated(
+        docs.filter(F.col("doc_id") < 480), docs.filter(F.col("doc_id") >= 480)
+    )
+
+
+@register(
     "v6_int8_topk",
     """
     WITH q AS (
@@ -2972,6 +2998,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c4_hash_stratified_sample",
     "v5_int8_quantize",
     "v6_int8_topk",
+    "c5_decontaminate",
     # --- changed-code re-verification (tracking.py gained the
     #     split/merge pass; these prove the default path unchanged) ---
     "m3_tracking_links",
@@ -3019,14 +3046,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "g2_degree",
     "g3_roots",
     "d1_exact_dedup",
-    "d2_shingle_counts",
     # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5/v6): t1_quality_features, t2_language_id,
-    #     t3_fingerprint — all driver-proven r1-r3, all pure codegen
-    #     expressions; first in line for the r6 rotation. Also behind
-    #     the window: the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/
-    #     v1-v4/d3-d7/j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/
-    #     a9-a11/p3/p14/f9/f15/g4/m5 ---
+    #     additions (c4/v5/v6/c5): d2_shingle_counts (its machinery is
+    #     exercised by c5/d5 in-window), t1_quality_features,
+    #     t2_language_id, t3_fingerprint — all driver-proven r1-r3,
+    #     first in line for the r6 rotation. Also behind the window:
+    #     the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/
+    #     j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/a9-a11/p3/p14/
+    #     f9/f15/g4/m5 ---
 ]
 
 

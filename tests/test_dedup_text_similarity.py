@@ -343,3 +343,28 @@ def test_int8_topk_recall_vs_float(spark):
     hits = sum(len(qtop[v] & ftop[v]) for v in ftop)
     total = sum(len(ftop[v]) for v in ftop)
     assert hits / total >= 0.9  # int8 keeps the MIPS neighborhood
+
+
+def test_flag_contaminated_semantics_and_plan(spark):
+    """Decontamination: a doc is flagged iff it shares an n-gram with
+    the benchmark; the overlap count is exact; the benchmark side is
+    broadcast (no shuffle of the training side before the count)."""
+    from cellphe_data_pipeline_spark.operators.dedup import flag_contaminated
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 'quick brown fox'
+            (2, "completely different words here entirely"),
+            (3, "quick brown fox quick brown fox"),  # distinct-shingle dedup
+            (4, "too short"),                      # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")], "doc_id long, text string"
+    )
+    out = flag_contaminated(train, bench, n=3)
+    rows = {r["doc_id"]: r["n_contaminated_shingles"] for r in out.collect()}
+    assert rows == {1: 1, 3: 1}  # doc 3's repeat counts once (distinct shingles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
