@@ -293,6 +293,38 @@ def jpeg_to_gray_tiff(binaries: DataFrame) -> DataFrame:
     )
 
 
+def frames_to_tiff_stack(frames: DataFrame) -> DataFrame:
+    """E2 step 6 (main.nf:523-525 ``create_tiff_stack``): archive each
+    timelapse's frames as ONE multi-page TIFF — the reference's
+    always-on final packaging step, closed by the in-engine baseline
+    writer. One archive per ``path`` group via applyInPandas (frames
+    sorted by frame_index inside the kernel), so archives parallelise
+    across timelapses exactly like the ROI zip sink; output rows
+    (path, n_frames, tiff) feed the S15 published-dir sink."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_index")
+        pages = [
+            np.frombuffer(r["data"], dtype=np.uint8).reshape(r["height"], r["width"])
+            for _, r in pdf.iterrows()
+        ]
+        return pd.DataFrame(
+            [
+                {
+                    "path": pdf["path"].iloc[0],
+                    "n_frames": len(pages),
+                    "tiff": encode_tiff_gray(pages),
+                }
+            ]
+        )
+
+    return (
+        frames.select("path", "frame_index", "height", "width", "data")
+        .groupBy("path")
+        .applyInPandas(pack, "path string, n_frames int, tiff binary")
+    )
+
+
 def grayscale_convert(frames: DataFrame) -> DataFrame:
     """S5 (main.nf:392-406 JPEG→gray TIFF): BOTH halves of the
     conversion are real in-engine — JPEG payloads entering

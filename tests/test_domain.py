@@ -867,6 +867,39 @@ def test_jpeg_to_gray_tiff_conversion(spark):
     assert (pages2[0] == a).all() and (pages2[1] == b).all()
 
 
+def test_frames_to_tiff_stack_roundtrip(spark):
+    """create_tiff_stack parity (main.nf:523-525): frames re-archive as
+    one multi-page TIFF per timelapse, and splitting the archive back
+    reproduces the exact frame rasters in frame order."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        frames_to_tiff_stack,
+        make_fake_image,
+        split_frames,
+    )
+
+    bins = spark.createDataFrame(
+        [
+            ("a.fake", bytearray(make_fake_image(seed=6, height=10, width=12, n_frames=3))),
+            ("b.fake", bytearray(make_fake_image(seed=7, height=10, width=12, n_frames=2))),
+        ],
+        "path string, content binary",
+    )
+    frames = split_frames(bins)
+    stacks = {r["path"]: r for r in frames_to_tiff_stack(frames).collect()}
+    assert stacks["a.fake"]["n_frames"] == 3 and stacks["b.fake"]["n_frames"] == 2
+    orig = {
+        (r["path"], r["frame_index"]): bytes(r["data"]) for r in frames.collect()
+    }
+    back = split_frames(
+        spark.createDataFrame(
+            [(p, bytearray(bytes(r["tiff"]))) for p, r in stacks.items()],
+            "path string, content binary",
+        )
+    )
+    for r in back.collect():
+        assert bytes(r["data"]) == orig[(r["path"], r["frame_index"])]
+
+
 def test_jpeg_codec_restart_and_variants():
     """Decoder handles DRI/RSTn restart streams (DC predictor reset);
     lossy qualities stay close on smooth images; beyond-baseline
