@@ -249,8 +249,8 @@ def encode_tiff_gray(frames_list: list[np.ndarray]) -> bytes:
         data_off = pos + ifd_size
         next_ifd = 0 if i == n - 1 else data_off + len(data)
         tags = [
-            (256, 3, 1, w),               # ImageWidth
-            (257, 3, 1, h),               # ImageLength
+            (256, 4, 1, w),               # ImageWidth (LONG: >64k-wide rasters)
+            (257, 4, 1, h),               # ImageLength (LONG)
             (258, 3, 1, bits),            # BitsPerSample
             (259, 3, 1, 1),               # Compression: none
             (262, 3, 1, 1),               # Photometric: BlackIsZero
@@ -304,10 +304,16 @@ def frames_to_tiff_stack(frames: DataFrame) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_index")
-        pages = [
-            np.frombuffer(r["data"], dtype=np.uint8).reshape(r["height"], r["width"])
-            for _, r in pdf.iterrows()
-        ]
+        pages = []
+        for _, r in pdf.iterrows():
+            # frame payloads are raw rasters with no dtype column: the
+            # byte count distinguishes 8- from 16-bit pages (both are
+            # produced by the ingest codec ladder)
+            npx = int(r["height"]) * int(r["width"])
+            dt = np.uint8 if len(r["data"]) == npx else np.uint16
+            pages.append(
+                np.frombuffer(r["data"], dtype=dt).reshape(r["height"], r["width"])
+            )
         return pd.DataFrame(
             [
                 {
@@ -562,6 +568,40 @@ CONTOUR_SCHEMA = T.StructType(
 )
 
 
+def _largest_component(region: np.ndarray) -> np.ndarray:
+    """Largest 4-connected component of a binary region (tie → the one
+    whose seed comes first in scan order). Pure-python BFS over the
+    (bbox-cropped) region — cost O(area), inside an already-Python
+    kernel. Fast path: one BFS confirms the common connected case."""
+    h, w = region.shape
+    seen = np.zeros_like(region, dtype=bool)
+    total = int(region.sum())
+    best: np.ndarray | None = None
+    best_n = 0
+    for sy, sx in zip(*np.nonzero(region)):
+        if seen[sy, sx]:
+            continue
+        comp = np.zeros_like(region, dtype=bool)
+        stack = [(int(sy), int(sx))]
+        seen[sy, sx] = comp[sy, sx] = True
+        n = 1
+        while stack:
+            a, b = stack.pop()
+            for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                na, nb = a + da, b + db
+                if 0 <= na < h and 0 <= nb < w and region[na, nb] and not seen[na, nb]:
+                    seen[na, nb] = comp[na, nb] = True
+                    n += 1
+                    stack.append((na, nb))
+        if n > best_n:
+            best, best_n = comp, n
+        if best_n * 2 > total:
+            # components partition the region: anything else is at most
+            # total - best_n < best_n (covers the connected fast path)
+            break
+    return best if best is not None else region
+
+
 def mask_contours(masks: DataFrame) -> DataFrame:
     """Ordered per-cell boundary: Moore-traced outer contour of every
     label, one row per contour step with its traversal index ``seq``.
@@ -570,7 +610,15 @@ def mask_contours(masks: DataFrame) -> DataFrame:
     the order-dependent M4 features (Perim, Compactness, Cur_*, Poly_*,
     Rad_haar_*, Rad_diff_*) all assume — an unordered boundary-pixel
     set (``mask_boundary_overlay``) is only valid for the QC overlay.
-    Per-label bbox crop keeps tracing O(perimeter) per cell."""
+    Per-label bbox crop keeps tracing O(perimeter) per cell.
+
+    Fragmented labels (a segmenter emitting one id as several disjoint
+    blobs): ONE contour per label is still emitted — the reference's
+    one-polygon-per-spot shape — taken from the LARGEST 4-connected
+    component (deterministic tie-break: earliest seed in scan order),
+    not whichever fragment happens to contain the topmost pixel. The
+    smaller fragments are deliberately excluded from the ROI; use
+    ``mask_boundary_overlay`` when every fragment pixel matters (QC)."""
 
     def trace(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -584,7 +632,9 @@ def mask_contours(masks: DataFrame) -> DataFrame:
                         continue
                     lys, lxs = np.nonzero(m == label)
                     y0, x0 = int(lys.min()), int(lxs.min())
-                    region = m[y0 : int(lys.max()) + 1, x0 : int(lxs.max()) + 1] == label
+                    region = _largest_component(
+                        m[y0 : int(lys.max()) + 1, x0 : int(lxs.max()) + 1] == label
+                    )
                     cxs, cys = trace_outer_contour(region)
                     parts.append(
                         pd.DataFrame(

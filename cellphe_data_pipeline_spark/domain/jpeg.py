@@ -158,12 +158,19 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(content):
+            raise ValueError("JPEG truncated at marker boundary")
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7:  # stray RST outside scan
             continue
+        if pos + 2 > len(content):
+            raise ValueError("JPEG truncated inside segment header")
         (seglen,) = struct.unpack(">H", content[pos : pos + 2])
         seg = content[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -247,6 +254,22 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     intervals.append(bytes(cur))
 
     comps = frame["comps"]
+    # T.81 A.2: a single-component scan is always NON-interleaved — its
+    # sampling factors apply only to multi-component interleave, so the
+    # MCU is one block regardless of declared h/v
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    # this decoder supports the dominant baseline layout: ONE
+    # interleaved scan covering every frame component; a multi-scan
+    # (non-interleaved) baseline file is legal T.81 but out of scope
+    scan_ids = {s["id"] for s in scan}
+    missing = [c["id"] for c in comps if c["id"] not in scan_ids]
+    if missing:
+        raise ValueError(
+            "multi-scan (non-interleaved) baseline JPEG: components "
+            f"{missing} are not in the first scan — install Pillow for "
+            "this variant"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -335,6 +358,35 @@ class _BitWriter:
             self.n = 0
 
 
+def _quality_tables(quality: int) -> tuple[np.ndarray, dict, dict]:
+    """(quant 8×8, DC map, AC map) for a libjpeg-style quality factor —
+    shared by both test writers so the scaling contract exists once."""
+    if quality < 50:
+        scale = 5000 // quality
+    else:
+        scale = 200 - 2 * quality
+    q = (
+        np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255)
+        .astype(np.int64)
+        .reshape(8, 8)
+    )
+    return q, _huffman_encode_map(*_STD_DC_LUMA), _huffman_encode_map(*_STD_AC_LUMA)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _table_segments(q: np.ndarray) -> bytes:
+    """DQT + the two DHT segments every writer emits."""
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    return (
+        _seg(0xDB, b"\x00" + zz_q)
+        + _seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
+        + _seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1]))
+    )
+
+
 def encode_jpeg_gray(
     img: np.ndarray, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
@@ -345,33 +397,13 @@ def encode_jpeg_gray(
     > 0 writes a DRI segment and RSTn markers every N MCUs (with DC
     predictor reset), exercising the decoder's restart path."""
     h, w = img.shape
-    if quality < 50:
-        scale = 5000 // quality
-    else:
-        scale = 200 - 2 * quality
-    q = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255).astype(np.int64).reshape(8, 8)
-
-    dc_map = _huffman_encode_map(*_STD_DC_LUMA)
-    ac_map = _huffman_encode_map(*_STD_AC_LUMA)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    q, dc_map, ac_map = _quality_tables(quality)
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + zz_q)
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]),
-    )
-    out += seg(
-        0xC4,
-        bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1]),
-    )
+    out += _table_segments(q)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
     bw = _BitWriter()
     pred = 0
@@ -467,32 +499,17 @@ def encode_jpeg_ycbcr(
     multi-component MCU/interleave/subsampling paths with byte-built
     payloads — the decoder returns the luma plane, so a round-trip
     compares against ``y`` regardless of chroma content."""
-    import struct
-
     h, w = y.shape
-    if quality < 50:
-        scale = 5000 // quality
-    else:
-        scale = 200 - 2 * quality
-    q = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255).astype(np.int64).reshape(8, 8)
-    dc_map = _huffman_encode_map(*_STD_DC_LUMA)
-    ac_map = _huffman_encode_map(*_STD_AC_LUMA)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
+    q, dc_map, ac_map = _quality_tables(quality)
     sy = 2 if subsample else 1
-    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + zz_q)
-    out += seg(
+    out += _table_segments(q)
+    out += _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, (sy << 4) | sy, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
-    out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
-    out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1]))
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
 
     mcu = 8 * sy
     if h % mcu or w % mcu:

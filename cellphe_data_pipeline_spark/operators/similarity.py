@@ -261,24 +261,11 @@ def quantize_int8(
     no shuffle, no UDF; a 100 TB embedding table quantizes at scan
     speed. floor(x+0.5) (round-half-up) is used instead of round() so
     Spark and the SQL oracle agree bit-for-bit; all-zero vectors get
-    scale 0 and an all-zero code.
+    scale 0 and an all-zero code. The rounding contract lives ONCE in
+    :func:`quantize_int8_packed`; this is its exploded view.
     """
-    maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
-    scale = maxabs.cast("double") / F.lit(127.0)
-    with_scale = df.select(
-        F.col(id_col), scale.alias("scale"), F.col(vec_col).alias("_v")
-    )
-    return with_scale.select(
-        id_col,
-        "scale",
-        F.posexplode(
-            F.transform(
-                F.col("_v"),
-                lambda x: F.when(F.col("scale") == 0, F.lit(0))
-                .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
-                .cast("int"),
-            )
-        ).alias("pos", "qv"),
+    return quantize_int8_packed(df, vec_col, id_col).select(
+        id_col, "scale", F.posexplode("q").alias("pos", "qv")
     )
 
 

@@ -300,7 +300,10 @@ def hash_stratified_sample(
     from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
 
     bucket = portable_hash64(F.col(id_col).cast("string")) % buckets
-    thr: Column = F.lit(int(default_rate * buckets))
+    # round, don't truncate: 0.29*10000 is 2899.999... in floats, and a
+    # truncated threshold would drift one bucket below the requested
+    # rate (and disagree with a literal CASE ... THEN 2900 SQL oracle)
+    thr: Column = F.lit(round(default_rate * buckets))
     for value, rate in sorted(quotas.items()):
-        thr = F.when(F.col(strata_col) == value, int(rate * buckets)).otherwise(thr)
+        thr = F.when(F.col(strata_col) == value, round(rate * buckets)).otherwise(thr)
     return df.filter(bucket < thr)

@@ -900,6 +900,51 @@ def test_frames_to_tiff_stack_roundtrip(spark):
         assert bytes(r["data"]) == orig[(r["path"], r["frame_index"])]
 
 
+def test_frames_to_tiff_stack_16bit(spark):
+    """Review-found regression: 16-bit frame payloads (which the ingest
+    ladder produces from 16-bit TIFFs) must archive without assuming
+    uint8 — dtype is inferred from the byte count."""
+    import struct as _struct
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        decode_frame,
+        encode_tiff_gray,
+        frames_to_tiff_stack,
+        split_frames,
+    )
+
+    rng = np.random.RandomState(31)
+    a = rng.randint(0, 65535, (6, 5), dtype=np.uint16)
+    b = rng.randint(0, 65535, (6, 5), dtype=np.uint16)
+    src = encode_tiff_gray([a, b])
+    frames = split_frames(
+        spark.createDataFrame([("hi.tiff", bytearray(src))], "path string, content binary")
+    )
+    stack = frames_to_tiff_stack(frames).collect()
+    assert stack[0]["n_frames"] == 2
+    pages = decode_frame(bytes(stack[0]["tiff"]))
+    assert (pages[0] == a).all() and (pages[1] == b).all()
+    assert pages[0].dtype == np.uint16
+
+
+def test_mask_contours_fragmented_label_takes_largest_component(spark):
+    """Review-found: a label split into disjoint blobs keeps ONE
+    contour (reference's one-polygon-per-spot), taken from the LARGEST
+    component — not whichever fragment holds the topmost pixel."""
+    from cellphe_data_pipeline_spark.domain.images import mask_contours
+
+    m = np.zeros((12, 12), dtype=np.uint16)
+    m[1, 1] = 5            # 1-px fragment, topmost
+    m[5:9, 5:9] = 5        # the real 4x4 cell body
+    masks = spark.createDataFrame(
+        [("f", 0, 12, 12, bytearray(m.tobytes()))],
+        "path string, frame_index int, height int, width int, mask binary",
+    )
+    pts = {(r["px"], r["py"]) for r in mask_contours(masks).collect()}
+    assert (1, 1) not in pts           # fragment excluded
+    assert (5, 5) in pts and (8, 8) in pts  # body contour present
+
+
 def test_jpeg_codec_restart_and_variants():
     """Decoder handles DRI/RSTn restart streams (DC predictor reset);
     lossy qualities stay close on smooth images; beyond-baseline
@@ -930,6 +975,32 @@ def test_jpeg_codec_restart_and_variants():
         decode_jpeg_gray(sof2)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"not a jpeg")
+
+    # review-found robustness: T.81 fill bytes (extra 0xFF before a
+    # marker) must not desync the parse
+    blob = encode_jpeg_gray(smooth, quality=100)
+    i = blob.index(b"\xff\xdb")
+    filled = blob[:i] + b"\xff\xff" + blob[i:]  # 2 fill bytes before DQT
+    assert np.array_equal(decode_jpeg_gray(filled), decode_jpeg_gray(blob))
+    # truncation raises the documented ValueError, not IndexError
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob[: i + 1])  # cut after a lone 0xFF
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob[: i + 3])  # cut inside a segment length
+    # multi-scan (non-interleaved) refused by name: re-declare SOF with
+    # 3 components but keep the single-component scan
+    import struct as _s
+
+    j = blob.index(b"\xff\xc0")
+    seglen = _s.unpack(">H", blob[j + 2 : j + 4])[0]
+    sof3 = (
+        _s.pack(">BBH", 0xFF, 0xC0, 2 + 6 + 9)
+        + blob[j + 4 : j + 9]  # precision + h + w
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    multi = blob[:j] + sof3 + blob[j + 2 + seglen :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_gray(multi)
 
 
 def test_jpeg_color_mcu_paths():
