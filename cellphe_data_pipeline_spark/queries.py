@@ -1555,25 +1555,27 @@ def v5(spark, sf_dir):
     "c5_decontaminate",
     f"""
     WITH {SHINGLE_CTE},
-    train AS (SELECT doc_id, sh FROM sh WHERE doc_id < 480),
-    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 480)
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
     SELECT t.doc_id, COUNT(*) AS n_contaminated_shingles
     FROM train t JOIN bench b USING (sh)
     GROUP BY t.doc_id
     """,
 )
 def c5(spark, sf_dir):
-    """Benchmark decontamination (r5): training docs (doc_id < 480)
+    """Benchmark decontamination (r5): training docs (doc_id >= 20)
     sharing any word 3-gram with the held-out 'benchmark' slice
-    (doc_id >= 480) are flagged with their overlap count — the standard
-    n-gram decontamination gate for training corpora. Benchmark side
-    broadcast (eval sets are MBs vs a 100 TB corpus); the training side
-    never shuffles before the per-doc count."""
+    (doc_id < 20 — a FIXED small set, so the benchmark stays eval-set-
+    sized at every scale factor while the training side grows) are
+    flagged with their overlap count — the standard n-gram
+    decontamination gate for training corpora. Benchmark side broadcast
+    (eval sets are MBs vs a 100 TB corpus); the training side never
+    shuffles before the per-doc count."""
     from cellphe_data_pipeline_spark.operators.dedup import flag_contaminated
 
     docs = load_table(spark, sf_dir, "documents")
     return flag_contaminated(
-        docs.filter(F.col("doc_id") < 480), docs.filter(F.col("doc_id") >= 480)
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
     )
 
 
