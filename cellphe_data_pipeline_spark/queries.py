@@ -1552,6 +1552,82 @@ def v5(spark, sf_dir):
 
 
 @register(
+    "mm4_resize",
+    """
+    SELECT 'rz.fake' AS path, CAST(0 AS INT) AS frame_index,
+           CAST(y AS INT) AS y, CAST(x AS INT) AS x, CAST(v AS INT) AS v
+    FROM (VALUES
+      (0, 0, 15), (0, 1, 43), (0, 2, 71), (0, 3, 99),
+      (0, 4, 127), (0, 5, 155), (0, 6, 183), (0, 7, 211),
+      (1, 0, 27), (1, 1, 55), (1, 2, 83), (1, 3, 111),
+      (1, 4, 139), (1, 5, 167), (1, 6, 195), (1, 7, 223),
+      (2, 0, 39), (2, 1, 67), (2, 2, 95), (2, 3, 123),
+      (2, 4, 151), (2, 5, 179), (2, 6, 207), (2, 7, 235),
+      (3, 0, 51), (3, 1, 79), (3, 2, 107), (3, 3, 135),
+      (3, 4, 163), (3, 5, 191), (3, 6, 219), (3, 7, 199),
+      (4, 0, 63), (4, 1, 91), (4, 2, 119), (4, 3, 147),
+      (4, 4, 175), (4, 5, 203), (4, 6, 231), (4, 7, 99),
+      (5, 0, 75), (5, 1, 103), (5, 2, 131), (5, 3, 159),
+      (5, 4, 187), (5, 5, 215), (5, 6, 227), (5, 7, 15),
+      (6, 0, 87), (6, 1, 115), (6, 2, 143), (6, 3, 171),
+      (6, 4, 199), (6, 5, 227), (6, 6, 127), (6, 7, 27),
+      (7, 0, 99), (7, 1, 127), (7, 2, 155), (7, 3, 183),
+      (7, 4, 211), (7, 5, 239), (7, 6, 43), (7, 7, 39)
+    ) AS t(y, x, v)
+    """,
+)
+def mm4(spark, sf_dir):
+    """Multimodal image resize (r5): area-average 32×32 → 8×8 over a
+    deterministic gradient fixture, emitted pixel-relationally so the
+    oracle checks EVERY output sample (the corner block's mean
+    7·1.5 + 3·1.5 = 15 is hand-verifiable; mod-256 wrap makes the edge
+    blocks non-trivial). The kernel is the thumbnail/model-input
+    normalisation stage of a multimodal training pipeline — stateless
+    Arrow map, no shuffle."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        resize_frames,
+        split_frames,
+    )
+    import zlib as _zlib
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    payload = (
+        FAKE_MAGIC
+        + np.array([32, 32, 1], dtype="<u4").tobytes()
+        + _zlib.compress(img.tobytes())
+    )
+    bins = spark.createDataFrame(
+        [("rz.fake", bytearray(payload))], "path string, content binary"
+    )
+    small = resize_frames(split_frames(bins), 8, 8, method="area")
+
+    import pandas as pd
+
+    def px(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(8, 8)
+                ys, xs = np.indices(a.shape)
+                yield pd.DataFrame(
+                    {
+                        "path": r["path"],
+                        "frame_index": r["frame_index"],
+                        "y": ys.ravel().astype("int32"),
+                        "x": xs.ravel().astype("int32"),
+                        "v": a.ravel().astype("int32"),
+                    }
+                )
+
+    return small.mapInPandas(
+        px, "path string, frame_index int, y int, x int, v int"
+    )
+
+
+@register(
     "c5_decontaminate",
     f"""
     WITH {SHINGLE_CTE},
@@ -3001,6 +3077,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v5_int8_quantize",
     "v6_int8_topk",
     "c5_decontaminate",
+    "mm4_resize",
     # --- changed-code re-verification (tracking.py gained the
     #     split/merge pass; these prove the default path unchanged) ---
     "m3_tracking_links",
@@ -3047,10 +3124,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "g1_edge_build",
     "g2_degree",
     "g3_roots",
-    "d1_exact_dedup",
     # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5/v6/c5): d2_shingle_counts (its machinery is
-    #     exercised by c5/d5 in-window), t1_quality_features,
+    #     additions (c4/v5/v6/c5/mm4): d1_exact_dedup (md5 groupBy also
+    #     exercised by c1 in prior windows), d2_shingle_counts (its
+    #     machinery is exercised by c5/d5), t1_quality_features,
     #     t2_language_id, t3_fingerprint — all driver-proven r1-r3,
     #     first in line for the r6 rotation. Also behind the window:
     #     the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/

@@ -900,6 +900,47 @@ def test_frames_to_tiff_stack_roundtrip(spark):
         assert bytes(r["data"]) == orig[(r["path"], r["frame_index"])]
 
 
+def test_resize_frames(spark):
+    """Area resize = exact block mean (constant blocks stay constant,
+    uint16 supported); nearest = index sampling at arbitrary ratios;
+    non-integer area factors refuse loudly."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.domain.images import resize_frames
+
+    # 4 constant 8x8 quadrants -> area 2x2 must be exactly the 4 values
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 20, 30, 40
+    frames = spark.createDataFrame(
+        [("r.fake", 0, 16, 16, bytearray(img.tobytes()))],
+        "path string, frame_index int, height int, width int, data binary",
+    )
+    out = resize_frames(frames, 2, 2, method="area").collect()[0]
+    assert np.frombuffer(out["data"], dtype=np.uint8).reshape(2, 2).tolist() == [
+        [10, 20],
+        [30, 40],
+    ]
+    # nearest at a non-integer ratio picks exact source samples
+    out_n = resize_frames(frames, 3, 5, method="nearest").collect()[0]
+    a = np.frombuffer(out_n["data"], dtype=np.uint8).reshape(3, 5)
+    ys = (np.arange(3) * 16) // 3
+    xs = (np.arange(5) * 16) // 5
+    assert (a == img[np.ix_(ys, xs)]).all()
+    # 16-bit payloads keep their dtype
+    img16 = (np.arange(64, dtype=np.uint16) * 1000).reshape(8, 8)
+    f16 = spark.createDataFrame(
+        [("s.fake", 0, 8, 8, bytearray(img16.tobytes()))],
+        "path string, frame_index int, height int, width int, data binary",
+    )
+    o16 = resize_frames(f16, 4, 4, method="area").collect()[0]
+    got16 = np.frombuffer(o16["data"], dtype=np.uint16).reshape(4, 4)
+    want16 = img16.reshape(4, 2, 4, 2).mean(axis=(1, 3)).round().astype(np.uint16)
+    assert (got16 == want16).all()
+    # loud refusal instead of a silent quality cliff
+    with pytest.raises(Exception, match="integer factors"):
+        resize_frames(frames, 3, 3, method="area").collect()
+
+
 def test_frames_to_tiff_stack_16bit(spark):
     """Review-found regression: 16-bit frame payloads (which the ingest
     ladder produces from 16-bit TIFFs) must archive without assuming
