@@ -296,6 +296,73 @@ def test_tracking_split_merge_links(spark):
     assert len({tracks[1], tracks[2], tracks[303]}) == 3
 
 
+def test_tracking_invariants_random_detections(spark):
+    """Property sweep over random detection clouds with every tracker
+    feature on (LAP linking, segment-LAP gap closing, split+merge):
+    structural invariants that must hold for ANY input —
+      - at most one PRIMARY outgoing/incoming link per spot; a second
+        outgoing is only ever a split FROM a middle, a second incoming
+        only a merge INTO a middle;
+      - every edge advances in frame; gap edges respect max_frame_gap;
+      - every link distance respects its phase's radius;
+      - no duplicate (src, dst) pairs; determinism across reruns."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    rng = np.random.RandomState(42)
+    rows = []
+    for f in range(8):
+        for k in range(rng.randint(3, 8)):
+            rows.append(
+                ("tl", f * 100 + k, f, float(rng.uniform(0, 30)), float(rng.uniform(0, 30)))
+            )
+    dets = spark.createDataFrame(
+        rows, "timelapse_id string, id int, frame int, x double, y double"
+    )
+    kw = dict(
+        linking_max_distance=6.0,
+        max_frame_gap=3,
+        gap_closing_max_distance=9.0,
+        method="lap",
+        gap_strategy="segment_lap",
+        allow_splitting=True,
+        splitting_max_distance=5.0,
+        allow_merging=True,
+        merging_max_distance=5.0,
+    )
+    edges = [(r["src"], r["dst"], r["gap"], r["dist"]) for r in track_detections(dets, **kw).collect()]
+    assert len({(s, d) for s, d, _, _ in edges}) == len(edges)  # no dup pairs
+
+    frame = {r[1]: r[2] for r in rows}
+    pos = {r[1]: (r[3], r[4]) for r in rows}
+    out_deg: dict = {}
+    in_deg: dict = {}
+    for s, d, g, dist in edges:
+        assert frame[d] > frame[s]                      # temporal DAG
+        assert g == frame[d] - frame[s] - 1 or g == 0   # split/merge carry gap 0
+        limit = 6.0 if frame[d] - frame[s] == 1 else 9.0
+        assert dist <= max(limit, 5.0) + 1e-9
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[d] = in_deg.get(d, 0) + 1
+        ex, ey = pos[s]
+        assert abs(np.hypot(pos[d][0] - ex, pos[d][1] - ey) - dist) < 1e-6
+    # degree bounds: ≤2 out (primary + one split), ≤2 in (primary + one merge)
+    assert max(out_deg.values(), default=0) <= 2
+    assert max(in_deg.values(), default=0) <= 2
+    for n, deg in out_deg.items():
+        if deg == 2:
+            assert in_deg.get(n, 0) >= 1  # split source is a middle
+    for n, deg in in_deg.items():
+        if deg == 2:
+            assert out_deg.get(n, 0) >= 1  # merge target is a middle
+    # determinism
+    edges2 = [
+        (r["src"], r["dst"], r["gap"], r["dist"]) for r in track_detections(dets, **kw).collect()
+    ]
+    assert sorted(edges) == sorted(edges2)
+
+
 def test_csv_and_config_roundtrip(spark, tmp_path):
     from pyspark.sql import types as T
 
