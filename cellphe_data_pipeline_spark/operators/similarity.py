@@ -270,18 +270,27 @@ def quantize_int8(
 
 
 def quantize_int8_packed(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Packed form of :func:`quantize_int8`: (id, scale, q array<int>)
-    in ONE projection — the shape ANN consumers join on. Same half-up
-    rounding contract; no explode, no shuffle."""
+    """Packed form of :func:`quantize_int8`: (id, *keep, scale,
+    q array<int>) in ONE projection — the shape ANN consumers join on.
+    Same half-up rounding contract; no explode, no shuffle. ``keep``
+    carries extra columns (e.g. an LSH bucket) through the projection
+    so composed indexes avoid a join-back."""
     maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = maxabs.cast("double") / F.lit(127.0)
     with_scale = df.select(
-        F.col(id_col), scale.alias("scale"), F.col(vec_col).alias("_v")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        scale.alias("scale"),
+        F.col(vec_col).alias("_v"),
     )
     return with_scale.select(
         id_col,
+        *keep,
         "scale",
         F.transform(
             F.col("_v"),
@@ -289,6 +298,65 @@ def quantize_int8_packed(
             .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
             .cast("int"),
         ).alias("q"),
+    )
+
+
+def _int8_dot(qa, qb):
+    """Pure-int64 fold over int32 code products — the oracle-exact
+    accumulation shared by every quantized scorer."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_srp_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SCALE path for quantized ANN (r5): SRP buckets gate the
+    candidates (v2's equi-join shape — shuffle key is the 32-bit
+    bucket, never all-pairs), int8 codes score them (v6's integer MIPS
+    fold). At 100 TB the index side of the join carries only
+    (bucket, scale, int8[dim]) — a 4× payload cut over float vectors —
+    and the per-pair cost is an integer dot product. UNCAPPED: bucket
+    fan-out bounds the pair count exactly as in v2. Output
+    (vec_id, neighbor_id, sim_q, rank), ties by neighbor id."""
+    coded = srp_bucket_codes(df, dim, id_col, vec_col, n_bits, seed)
+    # quantize the SAME projection (bucket kept inline — no join-back);
+    # _emb is the double-cast embedding, bit-identical input to the
+    # float-col path since float→double widening is exact
+    q = quantize_int8_packed(coded, vec_col="_emb", id_col="vec_id", keep=("bucket",))
+    a = q.select(
+        "bucket", "vec_id", F.col("scale").alias("s_a"), F.col("q").alias("q_a")
+    )
+    b = q.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim_q",
+            _int8_dot(F.col("q_a"), F.col("q_b")).cast("double")
+            * F.col("s_a")
+            * F.col("s_b"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim_q").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_q", "rank")
     )
 
 
@@ -324,13 +392,11 @@ def int8_topk(
         F.col("q").alias("q_b"),
     )
     pairs = left.join(right, F.col("vec_id") != F.col("neighbor_id"))
-    idot = F.aggregate(
-        F.zip_with(F.col("q_a"), F.col("q_b"), lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = pairs.withColumn(
-        "sim_q", idot.cast("double") * F.col("s_a") * F.col("s_b")
+        "sim_q",
+        _int8_dot(F.col("q_a"), F.col("q_b")).cast("double")
+        * F.col("s_a")
+        * F.col("s_b"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim_q").desc(), F.col("neighbor_id")

@@ -1270,6 +1270,64 @@ def _srp_oracle_sql(dim: int = EMB_DIM, n_bits: int = 8, seed: int = 7, k: int =
     """
 
 
+def _int8_srp_oracle_sql(dim: int = EMB_DIM, n_bits: int = 8, seed: int = 7, k: int = 5) -> str:
+    """DuckDB mirror of int8_srp_topk: v2's inlined SRP planes gate the
+    buckets, v5/v6's half-up int8 quantisation + pure-integer dot
+    scores the candidates — sim_q is exact (int64 sum, one final float
+    multiply), so no rounding is needed anywhere."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_bits, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) >= 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in plane), v=1 << m
+        )
+        for m, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+    qz AS (
+      SELECT vec_id, bucket,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale,
+             emb
+      FROM c
+    ),
+    p AS (
+      SELECT vec_id, bucket, scale,
+             list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(floor(x/scale + 0.5) AS BIGINT) END) AS qv
+      FROM qz
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
+               * a.scale * b.scale AS sim_q
+      FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, sim_q,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim_q DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id, sim_q, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("v7_int8_srp_topk", _int8_srp_oracle_sql())
+def v7(spark, sf_dir):
+    """Quantized ANN at scale (r5): SRP-bucketed candidate join (v2's
+    shape — UNCAPPED, pair count bounded by bucket fan-out) scored by
+    the int8 integer dot product (v6's oracle-exact fold) over packed
+    codes carried inline with the bucket (no join-back). The index
+    payload is (bucket, scale, int8[dim]) — the 4× memory cut an int8
+    SIMD index banks at 100 TB."""
+    from cellphe_data_pipeline_spark.operators.similarity import int8_srp_topk
+
+    return int8_srp_topk(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM, k=5)
+
+
 @register("v2_srp_topk", _srp_oracle_sql())
 def v2(spark, sf_dir):
     """SRP-LSH bucketed approximate self-kNN (similarity.py:123-161) —
@@ -3078,6 +3136,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v6_int8_topk",
     "c5_decontaminate",
     "mm4_resize",
+    "v7_int8_srp_topk",
     # --- changed-code re-verification (tracking.py gained the
     #     split/merge pass; these prove the default path unchanged) ---
     "m3_tracking_links",
@@ -3123,9 +3182,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "f13_recode",
     "g1_edge_build",
     "g2_degree",
-    "g3_roots",
     # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5/v6/c5/mm4): d1_exact_dedup (md5 groupBy also
+    #     additions (c4/v5/v6/c5/mm4/v7): g3_roots,
+    #     d1_exact_dedup (md5 groupBy also
     #     exercised by c1 in prior windows), d2_shingle_counts (its
     #     machinery is exercised by c5/d5), t1_quality_features,
     #     t2_language_id, t3_fingerprint — all driver-proven r1-r3,

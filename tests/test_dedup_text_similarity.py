@@ -368,3 +368,31 @@ def test_flag_contaminated_semantics_and_plan(spark):
     assert rows == {1: 1, 3: 1}  # doc 3's repeat counts once (distinct shingles)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_int8_srp_topk_bucket_and_error_consistency(spark):
+    """v7 composition: every emitted pair shares an SRP bucket (numpy
+    recomputation of the same planes) and the quantized score tracks
+    the float inner product within the per-pair quantization error
+    bound sum(|a_i|*eb + |b_i|*ea + ea*eb), ea/eb = scale/2."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        int8_srp_topk,
+        srp_planes,
+    )
+
+    df, vecs = _embeddings_df(spark, n=80, dim=8, seed=9)
+    v = vecs.astype("float64")
+    planes = np.array(srp_planes(8, 8, 7))
+    codes = ((v @ planes.T) >= 0) @ (1 << np.arange(8))
+    rows = int8_srp_topk(df, dim=8, k=3).collect()
+    assert len(rows) > 0
+    for r in rows:
+        a, b = r["vec_id"], r["neighbor_id"]
+        assert codes[a] == codes[b]  # same bucket, recomputed independently
+        fdot = float(v[a] @ v[b])
+        ea = np.abs(v[a]).max() / 127.0 / 2.0
+        eb = np.abs(v[b]).max() / 127.0 / 2.0
+        bound = float(np.sum(np.abs(v[a]) * eb + np.abs(v[b]) * ea + ea * eb)) + 1e-9
+        assert abs(r["sim_q"] - fdot) <= bound
