@@ -293,6 +293,14 @@ def jpeg_to_gray_tiff(binaries: DataFrame) -> DataFrame:
     )
 
 
+def _raster_dtype(data, h: int, w: int) -> type:
+    """Frame payloads are raw rasters with no dtype column: the byte
+    count distinguishes 8- from 16-bit pages (the two the codec ladder
+    produces). Single home for the rule — resize + stack archive share
+    it."""
+    return np.uint8 if len(data) == h * w else np.uint16
+
+
 def resize_frames(
     frames: DataFrame, out_h: int, out_w: int, method: str = "area"
 ) -> DataFrame:
@@ -315,8 +323,7 @@ def resize_frames(
             rows = []
             for _, r in pdf.iterrows():
                 h, w = int(r["height"]), int(r["width"])
-                npx = h * w
-                dt = np.uint8 if len(r["data"]) == npx else np.uint16
+                dt = _raster_dtype(r["data"], h, w)
                 img = np.frombuffer(r["data"], dtype=dt).reshape(h, w)
                 if method == "area":
                     if h % out_h or w % out_w:
@@ -325,12 +332,13 @@ def resize_frames(
                             f"{out_h}x{out_w}; use method='nearest'"
                         )
                     fy, fx = h // out_h, w // out_w
-                    out = (
-                        img.reshape(out_h, fy, out_w, fx)
-                        .mean(axis=(1, 3))
-                        .round()
-                        .astype(dt)
-                    )
+                    # floor(x+0.5): the repo's half-up rounding contract
+                    # (matches every quantization oracle); numpy's
+                    # .round() is half-to-even and would diverge from a
+                    # SQL mirror on .5-ending block means
+                    out = np.floor(
+                        img.reshape(out_h, fy, out_w, fx).mean(axis=(1, 3)) + 0.5
+                    ).astype(dt)
                 else:
                     ys = (np.arange(out_h) * h) // out_h
                     xs = (np.arange(out_w) * w) // out_w
@@ -362,11 +370,7 @@ def frames_to_tiff_stack(frames: DataFrame) -> DataFrame:
         pdf = pdf.sort_values("frame_index")
         pages = []
         for _, r in pdf.iterrows():
-            # frame payloads are raw rasters with no dtype column: the
-            # byte count distinguishes 8- from 16-bit pages (both are
-            # produced by the ingest codec ladder)
-            npx = int(r["height"]) * int(r["width"])
-            dt = np.uint8 if len(r["data"]) == npx else np.uint16
+            dt = _raster_dtype(r["data"], int(r["height"]), int(r["width"]))
             pages.append(
                 np.frombuffer(r["data"], dtype=dt).reshape(r["height"], r["width"])
             )

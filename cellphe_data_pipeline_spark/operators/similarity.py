@@ -314,11 +314,11 @@ def _int8_dot(qa, qb):
 def int8_srp_topk(
     df: DataFrame,
     dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     k: int = 5,
     n_bits: int = 8,
     seed: int = 7,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
     """The SCALE path for quantized ANN (r5): SRP buckets gate the
     candidates (v2's equi-join shape — shuffle key is the 32-bit

@@ -336,13 +336,28 @@ def test_tracking_invariants_random_detections(spark):
 
     frame = {r[1]: r[2] for r in rows}
     pos = {r[1]: (r[3], r[4]) for r in rows}
+    # the split/merge edges are EXACTLY the delta against a run without
+    # the ALLOW flags — lets each edge class be checked against its OWN
+    # radius instead of a loose shared bound
+    base_kw = {k_: v for k_, v in kw.items() if not k_.startswith("allow_")}
+    base = {
+        (r["src"], r["dst"], r["gap"], r["dist"])
+        for r in track_detections(dets, **base_kw).collect()
+    }
+    assert base <= set(edges)  # the phase-2 pass only ADDS edges
+    extra = [e for e in edges if e not in base]
+    for s, d, g, dist in extra:  # every added edge is a split or merge
+        assert frame[d] - frame[s] == 1 and g == 0
+        assert dist <= 5.0 + 1e-9  # its OWN radius, not the link radius
     out_deg: dict = {}
     in_deg: dict = {}
     for s, d, g, dist in edges:
-        assert frame[d] > frame[s]                      # temporal DAG
-        assert g == frame[d] - frame[s] - 1 or g == 0   # split/merge carry gap 0
-        limit = 6.0 if frame[d] - frame[s] == 1 else 9.0
-        assert dist <= max(limit, 5.0) + 1e-9
+        fd = frame[d] - frame[s]
+        assert fd > 0                                   # temporal DAG
+        if (s, d, g, dist) in base:
+            assert g == fd - 1                          # true gap length
+            assert g <= kw["max_frame_gap"]             # gap cap enforced
+            assert dist <= (6.0 if fd == 1 else 9.0) + 1e-9
         out_deg[s] = out_deg.get(s, 0) + 1
         in_deg[d] = in_deg.get(d, 0) + 1
         ex, ey = pos[s]
