@@ -55,6 +55,16 @@ def test_srp_topk_is_bucketed_equi_join(spark, sf_dir):
     assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2 or "BroadcastHashJoin" in p2
 
 
+def test_int8_srp_topk_is_bucketed_equi_join(spark, sf_dir):
+    # v7 (quantized scale path) must keep v2's join shape: equi-join on
+    # the bucket code, never nested-loop/cartesian — the int8 scoring
+    # changes the payload, not the data motion
+    p7 = plan(REGISTRY["v7_int8_srp_topk"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p7
+    assert "BroadcastNestedLoopJoin" not in p7
+    assert "SortMergeJoin" in p7 or "ShuffledHashJoin" in p7 or "BroadcastHashJoin" in p7
+
+
 def test_srp_neardup_is_bucketed_equi_join(spark, sf_dir):
     # d6 theta join is the quadratic oracle baseline; the SCALE path d6b
     # must stay candidate-bucketed: every join an equi-join, no
