@@ -359,3 +359,84 @@ def flag_contaminated(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+
+
+def positioned_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles WITH their 0-based token position:
+    (doc_id, pos, sh) rows. Unlike :func:`word_shingles` this keeps
+    every occurrence (no distinct) — span detection needs positions,
+    not set semantics. Same tokenizer (whitespace-normalised split)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
+    ).filter(F.size("t") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]).alias("sh"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"-style):
+    find, per document, the maximal token spans covered by word
+    n-grams that also occur in at least one OTHER document. The paper
+    builds a monolithic suffix array; the distributed re-expression is
+    positioned shingles + a shingle-frequency semi-join + a per-doc
+    interval merge (gaps-and-islands) — every stage shuffles on a key
+    whose group size is bounded (shingle occurrence list / one doc's
+    hits), so it scales where a suffix array over 100 TB cannot.
+
+    Returns (doc_id, span_start, span_end, span_len) with token-index
+    bounds, one row per maximal duplicated span. All-integer output =>
+    bit-exact across engines.
+
+    Scale shape: one combinable groupBy(sh) for cross-doc frequency
+    (count distinct docs), one shuffle join of occurrences against the
+    duplicated-shingle keys, ONE window shuffle on doc_id for the
+    interval merge. No self-join of documents ever happens.
+    """
+    grams = positioned_shingles(df, text_col, id_col, n)
+    dup_sh = (
+        grams.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    hits = grams.join(dup_sh, "sh").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

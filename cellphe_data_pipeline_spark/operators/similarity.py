@@ -406,3 +406,111 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "sim_q", "rank")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd ASSIGNMENT step: nearest centroid by squared L2, ties
+    broken by cluster_id. `centroids` is (cluster_id, cvec) with k rows
+    — BROADCAST, so assignment is a map-side ×k nested loop followed by
+    ONE combinable groupBy(vec) min(struct) argmin; the corpus never
+    shuffles on anything but its own id. Distance is a sequential
+    in-order fold of (a-b)^2 — bit-reproducible (see _dot)."""
+    c = F.broadcast(centroids.select("cluster_id", _as_double(F.col("cvec")).alias("c")))
+    v = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    diff_sq = F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y))
+    dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        v.crossJoin(c)
+        .select("vec_id", "v", "cluster_id", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cluster_id"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), "v")
+    )
+
+
+def kmeans_update(assigned: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Lloyd UPDATE step with FIXED-POINT accumulation: components are
+    half-up-rounded to 1e-6 grid integers (the v5 quantization idiom
+    floor(x*scale + 0.5)), summed EXACTLY as int64, and the mean is the
+    final pair of divisions. Rationale: an unordered float SUM is
+    reduction-order-dependent (different per engine/partitioning); the
+    int grid makes the centroid bit-exact everywhere at 1e-6 precision
+    — far finer than k-means needs. Long-format output
+    (cluster_id, dim, centroid_val, n_members): one posexplode + ONE
+    combinable groupBy(cluster, dim); group count = k*dim regardless of
+    corpus size."""
+    parts = assigned.select(
+        "cluster_id", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "cluster_id",
+        "dim",
+        F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    return (
+        parts.groupBy("cluster_id", "dim")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.col("sq").cast("double") / F.col("n_members") / F.lit(float(scale)))
+            .alias("centroid_val"),
+            "n_members",
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means for IVF centroid TRAINING (the engine's
+    ivf_topk consumes externally supplied centroids; this closes the
+    loop so the index is trainable in-engine). Deterministic
+    farthest-from-origin-free init: seeds are the k lowest-id vectors
+    (reproducible, oracle-expressible). Each iteration = broadcast-k
+    assignment + fixed-point update (see kmeans_assign/kmeans_update);
+    per-iteration cost is one corpus map pass + one groupBy(vec) + one
+    k*dim-group aggregate — the canonical scalable k-means shape (k-
+    means|| init would slot in as a pre-pass; out of scope, the seeds
+    are a parameter in spirit).
+
+    Returns long-format centroids (cluster_id, dim, centroid_val,
+    n_members) after `iterations` rounds.
+    """
+    seeds = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cvec")
+    )
+    centroids = seeds
+    out = None
+    for _ in range(iterations):
+        assigned = kmeans_assign(df, centroids, vec_col, id_col)
+        out = kmeans_update(assigned)
+        # next-round centroids: rebuild the dense vectors from the
+        # long format (array_sort on (dim, val) structs -> positional
+        # array); only used when iterations > 1.
+        centroids = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
+                ).alias("s")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("s"), lambda e: e.centroid_val).alias("cvec"),
+            )
+        )
+    return out

@@ -307,3 +307,114 @@ def hash_stratified_sample(
     for value, rate in sorted(quotas.items()):
         thr = F.when(F.col(strata_col) == value, round(rate * buckets)).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF (rational-idf
+    variant): score = tf * N / df, i.e. the idf FACTOR is the raw
+    rarity ratio N/df rather than log(N/df). Chosen deliberately:
+    tf, df, N are exact integers, so the score is ONE IEEE division of
+    identical operands in any engine — bit-exact oracle equality,
+    where log() (libm vs JVM last-ulp) is not. The variant keeps the
+    rare-term-boosting semantics; only the idf damping curve differs.
+
+    Scale shape: explode (map) -> two combinable groupBys (doc-term tf;
+    term df as count_distinct) -> one shuffle join on term -> ONE
+    window shuffle on doc_id for the top-k. N (corpus doc count) joins
+    in as a broadcast 1-row aggregate, never a driver collect(). The
+    term-df table is vocabulary-sized (<< corpus), the doc-term table
+    shuffles once; at 100 TB the per-key group sizes stay bounded by
+    doc length and term document-frequency.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def char_bigram_rarity(
+    df: DataFrame,
+    common_permille: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained character-bigram language-model quality gate
+    (CCNet-style LM filtering re-expressed exp-free): train bigram
+    conditional frequencies P(c2|c1) on the corpus itself, then score
+    each document by the fraction of its bigrams that are corpus-COMMON
+    (P(c2|c1) >= common_permille/1000). Gibberish / wrong-charset docs
+    score low. The threshold test is pure integer arithmetic
+    (1000 * n(c1c2) >= permille * n(c1.)) and the output fraction is a
+    single division of exact integers — bit-exact in any engine, no
+    log-prob transcendentals.
+
+    Scale shape: ONE bigram explode over the corpus; the model is two
+    combinable groupBys collapsing to |alphabet|^2 rows -> BROADCAST
+    back against the same exploded stream; the only per-corpus-size
+    shuffle is the final per-doc count. At 100 TB the explode is a map
+    stage and the model stays KB-sized.
+    """
+    # length>=2 guard BEFORE sequence(): Spark's sequence(1, 0) emits a
+    # DESCENDING range (same pitfall word_shingles documents).
+    big = (
+        df.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col) - 1),
+                    lambda i: F.col(text_col).substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+    )
+    pair_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    first_counts = (
+        pair_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("n_pair").alias("n_first"))
+    )
+    model = pair_counts.join(
+        first_counts, F.substring(F.col("bg"), 1, 1) == F.col("c1")
+    ).select(
+        "bg",
+        (F.lit(1000) * F.col("n_pair") >= F.lit(common_permille) * F.col("n_first"))
+        .alias("is_common"),
+    )
+    return (
+        big.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("is_common").cast("bigint")).alias("n_common"),
+        )
+        .withColumn(
+            "common_frac",
+            F.col("n_common").cast("double") / F.col("n_bigrams"),
+        )
+    )

@@ -3111,6 +3111,183 @@ def mm3(spark, sf_dir):
 
 
 # =====================================================================
+# Round-5b training-data extensions: substring-span dedup, TF-IDF,
+# char-LM quality gate, k-means centroid training
+# =====================================================================
+
+@register(
+    "d8_duplicated_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(t[i:i+2], ' ') AS sh
+      FROM toks,
+           UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2)
+                       ELSE [] END) AS g(i)
+    ),
+    dup AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos, g.pos + 2 AS e FROM grams g JOIN dup USING (sh)),
+    fl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM fl
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+           MAX(e) - MIN(pos) + 1 AS span_len
+    FROM isl GROUP BY doc_id, span_id
+    """,
+)
+def d8(spark, sf_dir):
+    """Exact duplicated-substring spans (r5b; Lee et al. 2022 suffix-
+    array dedup re-expressed distributed): maximal token spans covered
+    by word 3-grams occurring in >= 2 documents, via positioned
+    shingles -> combinable cross-doc frequency -> occurrence semi-join
+    -> ONE doc-keyed window interval-merge (gaps-and-islands). All-
+    integer output. The reference has no corpus surface; this is the
+    span-level companion to d1/d3 set-level dedup."""
+    from cellphe_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t7_tfidf_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+              WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def t7(spark, sf_dir):
+    """TF-IDF top-3 keywords per document (r5b, rational-idf variant:
+    score = tf*N/df — exact-integer operands, ONE IEEE division, so the
+    oracle hash is bit-exact where log-idf's libm-vs-JVM last ulp is
+    not; rare-term boosting semantics preserved, damping curve differs
+    and is documented in text.py). Explode -> two combinable groupBys
+    -> term join -> one doc-keyed top-k window."""
+    from cellphe_data_pipeline_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "t8_charlm_gate",
+    """
+    WITH big AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+      FROM documents,
+           UNNEST(CASE WHEN length(text) >= 2
+                       THEN generate_series(1, length(text)-1)
+                       ELSE [] END) AS g(i)
+    ),
+    pc AS (SELECT bg, COUNT(*) AS n_pair FROM big GROUP BY bg),
+    fc AS (SELECT substr(bg, 1, 1) AS c1, SUM(n_pair) AS n_first
+           FROM pc GROUP BY substr(bg, 1, 1)),
+    model AS (
+      SELECT pc.bg, (1000 * pc.n_pair >= 50 * fc.n_first) AS is_common
+      FROM pc JOIN fc ON substr(pc.bg, 1, 1) = fc.c1
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN m.is_common THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           CAST(SUM(CASE WHEN m.is_common THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS common_frac
+    FROM big b JOIN model m USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def t8(spark, sf_dir):
+    """Corpus-trained char-bigram LM quality gate (r5b; CCNet-style LM
+    filtering, exp-free): docs scored by the fraction of their bigrams
+    with corpus conditional frequency P(c2|c1) >= 5% (50 permille — the
+    threshold that discriminates on this corpus's token alphabet). The
+    threshold test is pure integer cross-multiplication; the model is
+    |alphabet|^2 rows broadcast back over the same exploded stream."""
+    from cellphe_data_pipeline_spark.operators.text import char_bigram_rarity
+
+    return char_bigram_rarity(
+        load_table(spark, sf_dir, "documents"), common_permille=50
+    )
+
+
+@register(
+    "v8_kmeans_train",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
+      FROM e, c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d
+    ),
+    parts AS (
+      SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM a, UNNEST(generate_series(1, len(v))) AS g(i)
+      WHERE rn = 1
+    )
+    SELECT cluster_id, dim,
+           CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid_val,
+           COUNT(*) AS n_members
+    FROM parts GROUP BY cluster_id, dim
+    """,
+)
+def v8(spark, sf_dir):
+    """Distributed Lloyd k-means iteration for IVF centroid TRAINING
+    (r5b): deterministic k-lowest-id seeds, broadcast-k map-side
+    assignment (sequential (a-b)^2 fold == DuckDB's list_dot_product of
+    the diff vector), FIXED-POINT centroid update (components half-up
+    rounded to the 1e-6 grid, summed exactly as int64 — the v5
+    quantization idiom — so the unordered SUM is bit-exact in any
+    engine at any partitioning). Closes the ivf_topk training loop;
+    multi-iteration convergence is numpy-oracle-tested."""
+    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=8, iterations=1
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries
@@ -3128,6 +3305,10 @@ def mm3(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
+    "d8_duplicated_spans",
+    "t7_tfidf_topk",
+    "t8_charlm_gate",
+    "v8_kmeans_train",
     "s5_jpeg_gray",
     "m3c_split_merge",
     "m6b_mask_contours",
@@ -3178,15 +3359,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "u1_union_all",
     "u2_tagged_union",
     "f1_f4_string_funcs",
-    "f11_json_extract",
-    "f13_recode",
-    "g1_edge_build",
-    "g2_degree",
     # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5/v6/c5/mm4/v7): g3_roots,
-    #     d1_exact_dedup (md5 groupBy also
+    #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
+    #     d8/t7/t8/v8): f11_json_extract, f13_recode, g1_edge_build,
+    #     g2_degree (its machinery is re-exercised by g4/s8b),
+    #     g3_roots, d1_exact_dedup (md5 groupBy also
     #     exercised by c1 in prior windows), d2_shingle_counts (its
-    #     machinery is exercised by c5/d5), t1_quality_features,
+    #     machinery is exercised by c5/d5/d8), t1_quality_features,
     #     t2_language_id, t3_fingerprint — all driver-proven r1-r3,
     #     first in line for the r6 rotation. Also behind the window:
     #     the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/

@@ -396,3 +396,197 @@ def test_int8_srp_topk_bucket_and_error_consistency(spark):
         eb = np.abs(v[b]).max() / 127.0 / 2.0
         bound = float(np.sum(np.abs(v[a]) * eb + np.abs(v[b]) * ea + ea * eb)) + 1e-9
         assert abs(r["sim_q"] - fdot) <= bound
+
+
+# ---------------------------------------------------------------------
+# r5b: duplicated spans / TF-IDF / char-LM gate / k-means training
+# ---------------------------------------------------------------------
+
+def _dup_spans_python(docs, n=3):
+    """Independent oracle: positioned n-grams, cross-doc dup set,
+    per-doc greedy interval merge."""
+    grams = {}  # (doc, pos) -> shingle
+    for doc_id, text in docs:
+        toks = " ".join(text.split()).split(" ")
+        for i in range(len(toks) - n + 1):
+            grams[(doc_id, i)] = " ".join(toks[i : i + n])
+    by_sh = {}
+    for (doc, _pos), sh in grams.items():
+        by_sh.setdefault(sh, set()).add(doc)
+    dup = {sh for sh, ds in by_sh.items() if len(ds) >= 2}
+    spans = []
+    for doc_id, _ in docs:
+        hits = sorted(p for (d, p), sh in grams.items() if d == doc_id and sh in dup)
+        cur = None
+        for p in hits:
+            e = p + n - 1
+            if cur is None or p > cur[1]:
+                if cur:
+                    spans.append((doc_id, *cur))
+                cur = [p, e]
+            else:
+                cur[1] = max(cur[1], e)
+        if cur:
+            spans.append((doc_id, *cur))
+    return sorted((d, s, e, e - s + 1) for d, (s, e) in
+                  ((d, (s, e)) for d, s, e in spans))
+
+
+def test_duplicated_spans_match_python_oracle(spark):
+    from cellphe_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    docs = [
+        # docs 1/2 share "a b c d" (two overlapping 3-grams -> ONE
+        # merged span); doc 1 also shares "x y z" with doc 3 later on
+        # (a second, disjoint span); doc 4 is all-unique.
+        (1, "a b c d q r s t u x y z"),
+        (2, "p a b c d q2 r2"),
+        (3, "m n o x y z"),
+        (4, "unique tokens only here nothing shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicated_spans(df).collect()
+    )
+    assert got == _dup_spans_python(docs)
+    # the overlapping 3-grams in doc 1 merged: spans are maximal
+    doc1 = [g for g in got if g[0] == 1]
+    assert (1, 0, 3, 4) in doc1 and (1, 9, 11, 3) in doc1
+
+
+def test_duplicated_spans_plan_no_cartesian(spark):
+    from cellphe_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string"
+    )
+    plan = duplicated_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_matches_python_oracle(spark):
+    from cellphe_data_pipeline_spark.operators.text import tfidf_topk
+
+    docs = [
+        (1, "apple apple banana rare1"),
+        (2, "apple banana banana cherry"),
+        (3, "apple cherry cherry rare2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in tfidf_topk(df, k=2).collect()
+    }
+    # python oracle
+    n_docs = len(docs)
+    tf, dfreq = {}, {}
+    for d, t in docs:
+        toks = t.split()
+        for w in toks:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+        for w in set(toks):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    for d, _ in docs:
+        scored = sorted(
+            ((tf[(d, w)] * n_docs / dfreq[w], w) for (dd, w) in tf if dd == d),
+            key=lambda s: (-s[0], s[1]),
+        )
+        for rank, (score, w) in enumerate(scored[:2], start=1):
+            assert got[(d, rank)] == (w, tf[(d, w)], dfreq[w], score)
+    # the rare singleton dominates doc 1; doc 3 ties cherry (2*3/2=3)
+    # with rare2 (1*3/1=3) and the alphabetical tie-break picks cherry
+    assert got[(1, 1)][0] == "rare1"
+    assert got[(3, 1)][0] == "cherry" and got[(3, 2)][0] == "rare2"
+
+
+def test_char_bigram_rarity_matches_python_oracle(spark):
+    from cellphe_data_pipeline_spark.operators.text import char_bigram_rarity
+
+    docs = [
+        (1, "aaaa aaaa aaaa"),     # only very common bigrams
+        # 'aq' is rare CONDITIONALLY: 'a' has many other continuations
+        # ('aa', 'a '), so P(q|a) < 10%. (A bigram like 'zq' would NOT
+        # be rare — 'z' has no other continuation, so P(q|z)=1.)
+        (2, "aaaa aq aaaa"),
+        (3, "x"),                  # shorter than a bigram -> no output row
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in char_bigram_rarity(df, common_permille=100).collect()}
+    # python oracle
+    bigs = {}
+    for d, t in docs:
+        for i in range(len(t) - 1):
+            bigs.setdefault(d, []).append(t[i : i + 2])
+    pair = {}
+    for bl in bigs.values():
+        for b in bl:
+            pair[b] = pair.get(b, 0) + 1
+    first = {}
+    for b, c in pair.items():
+        first[b[0]] = first.get(b[0], 0) + c
+    for d, bl in bigs.items():
+        n_common = sum(1 for b in bl if 1000 * pair[b] >= 100 * first[b[0]])
+        assert rows[d]["n_bigrams"] == len(bl)
+        assert rows[d]["n_common"] == n_common
+        assert rows[d]["common_frac"] == n_common / len(bl)
+    assert 3 not in rows
+    assert rows[1]["common_frac"] > rows[2]["common_frac"]
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(11)
+    # three well-separated blobs so convergence is unambiguous
+    blobs = np.concatenate(
+        [rng.randn(20, 4) * 0.05 + center
+         for center in ([0, 0, 0, 0], [5, 5, 5, 5], [-5, 5, -5, 5])]
+    ).astype(np.float32)
+    # seeds are the k lowest vec_ids: put one member of each blob first
+    # (deterministic k-point init needs separated seeds to converge),
+    # then shuffle the remainder
+    rest = rng.permutation(np.arange(len(blobs))[~np.isin(np.arange(len(blobs)), [0, 20, 40])])
+    vecs = blobs[np.concatenate([[0, 20, 40], rest])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    k, iters = 3, 3
+
+    def numpy_lloyd():
+        cents = vecs[:k].astype(np.float64)
+        for _ in range(iters):
+            d = ((vecs[:, None, :].astype(np.float64) - cents[None]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+            sums = np.zeros((k, vecs.shape[1]), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for c in range(k):
+                sel = q[assign == c]
+                counts[c] = len(sel)
+                sums[c] = sel.sum(0)
+            cents = sums.astype(np.float64) / counts[:, None] / 1e6
+        return cents, counts
+
+    exp_cents, exp_counts = numpy_lloyd()
+    got = kmeans_lloyd(df, k=k, iterations=iters).collect()
+    for r in got:
+        assert exp_counts[r["cluster_id"]] == r["n_members"]
+        assert abs(exp_cents[r["cluster_id"], r["dim"]] - r["centroid_val"]) < 1e-9
+    # converged: each blob of 20 is one cluster
+    assert sorted(exp_counts.tolist()) == [20, 20, 20]
+
+
+def test_kmeans_assignment_plan_broadcasts_centroids(spark):
+    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plan = kmeans_lloyd(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    # the xk assignment loop must be a broadcast nested loop over the k
+    # centroid rows, never a shuffle cartesian of the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
