@@ -418,3 +418,44 @@ def char_bigram_rarity(
             F.col("n_common").cast("double") / F.col("n_bigrams"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 2,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-epoch training-order shuffle: every epoch is
+    a reproducible pseudo-random permutation of the corpus (keyed
+    md5(seed, epoch, id)), materialised as an explicit position column
+    — the shuffled-shard manifest a trainer consumes. RNG-free, so the
+    order is identical on every run/engine/partitioning (resumable
+    training: epoch 2 is the same epoch 2 after a restart).
+
+    Scale shape: the ordering uses global_row_number (scale.py) — range
+    repartition + per-partition offsets — NEVER a single-partition
+    row_number() window; the epoch fan-out is a map-side explode. Output
+    (doc_id, epoch, global_pos, epoch_pos) where global_pos runs over
+    the concatenated epoch stream and epoch_pos within the epoch.
+    """
+    from cellphe_data_pipeline_spark.operators.scale import global_row_number
+
+    eps = F.explode(F.array(*[F.lit(i) for i in range(1, epochs + 1)])).alias("epoch")
+    keyed = df.select(F.col(id_col).alias("doc_id"), eps).withColumn(
+        "h",
+        F.md5(F.concat_ws("-", F.lit(f"s{seed}"), F.col("epoch"), F.col("doc_id"))),
+    )
+    numbered = global_row_number(keyed, ["epoch", "h", "doc_id"], out_col="global_pos")
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        numbered.join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "epoch",
+            "global_pos",
+            (F.col("global_pos") - (F.col("epoch") - 1) * F.col("n_docs")).alias(
+                "epoch_pos"
+            ),
+        )
+    )

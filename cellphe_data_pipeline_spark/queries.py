@@ -3287,6 +3287,42 @@ def v8(spark, sf_dir):
     )
 
 
+@register(
+    "c6_epoch_shuffle",
+    """
+    WITH e AS (
+      SELECT doc_id, CAST(epoch AS INT) AS epoch
+      FROM documents, UNNEST([1, 2]) AS t(epoch)
+    ),
+    h AS (
+      SELECT doc_id, epoch,
+             md5('s17' || '-' || epoch || '-' || doc_id) AS h
+      FROM e
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, epoch,
+           row_number() OVER (ORDER BY epoch, h, doc_id) AS global_pos,
+           row_number() OVER (ORDER BY epoch, h, doc_id)
+             - (epoch - 1) * n.n_docs AS epoch_pos
+    FROM h, n
+    """,
+)
+def c6(spark, sf_dir):
+    """Deterministic multi-epoch training-order shuffle (r5b): each
+    epoch is a reproducible md5-keyed permutation of the corpus with
+    explicit global/within-epoch positions — the shuffled-shard
+    manifest a trainer reads (restart-safe: epoch 2 is the same epoch 2
+    after resume, unlike RNG .sample/.orderBy(rand())). The ordering is
+    W4's two-pass global numbering (range repartition + partition
+    offsets), never a single-partition row_number window — the oracle's
+    OVER (ORDER BY ...) is exactly the shape the operator avoids."""
+    from cellphe_data_pipeline_spark.operators.text import epoch_shuffle
+
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), epochs=2, seed=17
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3305,6 +3341,7 @@ def v8(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
+    "c6_epoch_shuffle",
     "d8_duplicated_spans",
     "t7_tfidf_topk",
     "t8_charlm_gate",
@@ -3358,10 +3395,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "o4_order_preserving_dedup",
     "u1_union_all",
     "u2_tagged_union",
-    "f1_f4_string_funcs",
     # --- displaced to keep the window at 50 after the r5 late
     #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
-    #     d8/t7/t8/v8): f11_json_extract, f13_recode, g1_edge_build,
+    #     d8/t7/t8/v8/c6): f1_f4_string_funcs,
+    #     f11_json_extract, f13_recode, g1_edge_build,
     #     g2_degree (its machinery is re-exercised by g4/s8b),
     #     g3_roots, d1_exact_dedup (md5 groupBy also
     #     exercised by c1 in prior windows), d2_shingle_counts (its

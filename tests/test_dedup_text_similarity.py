@@ -590,3 +590,39 @@ def test_kmeans_assignment_plan_broadcasts_centroids(spark):
     # centroid rows, never a shuffle cartesian of the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    from cellphe_data_pipeline_spark.operators.text import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id bigint, text string"
+    )
+    out = epoch_shuffle(df, epochs=2, seed=17).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = (
+            r["epoch_pos"], r["global_pos"],
+        )
+    # each epoch is a bijection onto 1..N
+    for ep, m in by_epoch.items():
+        assert sorted(p for p, _ in m.values()) == list(range(1, 31))
+    # global positions concatenate the epochs
+    assert all(g == p for p, g in by_epoch[1].values())
+    assert all(g == p + 30 for p, g in by_epoch[2].values())
+    # epochs are DIFFERENT permutations of the same ids
+    assert [by_epoch[1][i][0] for i in range(30)] != [
+        by_epoch[2][i][0] for i in range(30)
+    ]
+    # deterministic across plans/runs
+    rerun = {
+        (r["doc_id"], r["epoch"]): r["global_pos"]
+        for r in epoch_shuffle(df, epochs=2, seed=17).collect()
+    }
+    assert rerun == {(r["doc_id"], r["epoch"]): r["global_pos"] for r in out}
+    # a different seed reorders
+    other = {
+        (r["doc_id"], r["epoch"]): r["global_pos"]
+        for r in epoch_shuffle(df, epochs=2, seed=18).collect()
+    }
+    assert other != rerun
