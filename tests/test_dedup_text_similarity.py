@@ -626,3 +626,61 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
         for r in epoch_shuffle(df, epochs=2, seed=18).collect()
     }
     assert other != rerun
+
+
+def test_duplicated_spans_property_vs_python(spark):
+    """Property test: on arbitrary small corpora over a 4-token
+    alphabet (guaranteeing shared and unshared 3-grams), the engine's
+    spans equal the independent python oracle's."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    token = st.sampled_from(["a", "b", "c", "dd"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=4))
+    def check(texts):
+        docs = [(i + 1, t) for i, t in enumerate(texts) if t]
+        if not docs:
+            return
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in duplicated_spans(df).collect()
+        )
+        assert got == _dup_spans_python(docs)
+        # structural invariants: spans within a doc are disjoint,
+        # separated, and ordered
+        per_doc: dict = {}
+        for d, s, e, L in got:
+            assert L == e - s + 1 >= 3
+            per_doc.setdefault(d, []).append((s, e))
+        for spans in per_doc.values():
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > e1 + 1 or (s2 > e1)  # disjoint, ordered
+
+    check()
+
+
+def test_tfidf_and_charlm_plan_shapes(spark):
+    """Plan gates for the r5b text queries: t7 must not cartesian, and
+    t8's model joins must be broadcasts (the corpus stream is probed
+    map-side, never shuffled against the model)."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        char_bigram_rarity,
+        tfidf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id bigint, text string"
+    )
+    p7 = tfidf_topk(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p7
+    # the 1-row n_docs aggregate joins via broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in p7
+
+    p8 = char_bigram_rarity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p8
+    assert "BroadcastHashJoin" in p8
