@@ -440,3 +440,56 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def minhash_band_key_cols(
+    text_col, num_hashes: int = 16, band_size: int = 4, n: int = 3
+):
+    """MinHash LSH band keys as ONE stateless Column expression:
+    array<struct<band, band_key>> computed per row with zero shuffle —
+    same hash family and band-key formula as :func:`minhash_band_keys`
+    (md5("g{g}"||shingle) sliced into 8-hex windows; order-independent
+    weighted band sums), so the two paths are interchangeable.
+
+    When to use which: the groupBy form materialises shingles as rows
+    (reusable by Jaccard verify, map-side-combinable when shingle rows
+    already exist); this expression form is the zero-shuffle signature
+    for one-row-per-doc pipelines — and the ONLY shape a streaming
+    source can use, since a per-doc groupBy would be a stateful
+    aggregation. Docs with < n tokens yield NULL band keys (filter
+    them). The 4-hashes-per-md5 digest trick means Catalyst's common
+    subexpression elimination evaluates 4 md5s per shingle, not 16.
+    """
+    t = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def hash_min(s: int):
+        # NOTE: the inner lambda must be single-arg — F.transform passes
+        # the element INDEX to any second parameter, clobbering a
+        # default-bound loop variable.
+        g, w = s // 4, s % 4
+
+        def one(c):
+            dig = F.md5(F.concat(F.lit(f"g{g}"), c))
+            return F.conv(F.substring(dig, 1 + 8 * w, 8), 16, 10).cast("bigint")
+
+        return F.array_min(F.transform(sh, one))
+
+    mins = [hash_min(s) for s in range(num_hashes)]
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = sum(
+            (mins[b * band_size + i] * F.lit(i + 1) for i in range(band_size)),
+            start=F.lit(0),
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("band_key"))
+        )
+    return F.array(*bands)

@@ -3287,6 +3287,60 @@ def v8(spark, sf_dir):
     )
 
 
+def _minhash_bands_only_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+    """The mins+bands prefix of the MinHash oracle, projected as
+    (doc_id, band, band_key) — the signature layer alone."""
+    hcols = ",\n             ".join(
+        f"MIN(('0x' || substring(md5('g{s // 4}' || sh), {1 + 8 * (s % 4)}, 8))::BIGINT)"
+        f" AS h{s}"
+        for s in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" + ".join(
+                f"h{b * band_size + i}*{i + 1}" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH {SHINGLE_CTE},
+    mins AS (
+      SELECT doc_id,
+             {hcols}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(b AS INT) AS band,
+           CAST(CASE b {cases} END AS BIGINT) AS band_key
+    FROM mins, UNNEST([{bands_list}]) AS bb(b)
+    """
+
+
+@register("d3b_minhash_expr_bands", _minhash_bands_only_sql())
+def d3b(spark, sf_dir):
+    """Stateless EXPRESSION-form MinHash signatures (r5b,
+    dedup.minhash_band_key_cols): the same (doc_id, band, band_key)
+    rows as the groupBy signature path, computed with ZERO shuffle as
+    one Column expression per doc — the form a streaming source must
+    use (streaming_minhash_neardup) and the cheapest batch form when
+    docs are one row each. This query pins expression ≡ groupBy ≡ SQL
+    oracle equality for the whole hash family."""
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(minhash_band_key_cols(F.col("text"))).alias("bk"),
+        )
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .filter(F.col("band_key").isNotNull())
+    )
+
+
 @register(
     "c6_epoch_shuffle",
     """
@@ -3341,6 +3395,7 @@ def c6(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
+    "d3b_minhash_expr_bands",
     "c6_epoch_shuffle",
     "d8_duplicated_spans",
     "t7_tfidf_topk",
@@ -3394,10 +3449,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "o1_multikey_sort_rank",
     "o4_order_preserving_dedup",
     "u1_union_all",
-    "u2_tagged_union",
     # --- displaced to keep the window at 50 after the r5 late
     #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
-    #     d8/t7/t8/v8/c6): f1_f4_string_funcs,
+    #     d8/t7/t8/v8/c6/d3b): u2_tagged_union, f1_f4_string_funcs,
     #     f11_json_extract, f13_recode, g1_edge_build,
     #     g2_degree (its machinery is re-exercised by g4/s8b),
     #     g3_roots, d1_exact_dedup (md5 groupBy also

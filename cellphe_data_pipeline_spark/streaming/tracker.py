@@ -491,3 +491,78 @@ def streaming_interval_pairs(
         )
         .select("l_id", "r_id", "l_key", "r_key", "l_ts", "r_ts")
     )
+
+
+def streaming_minhash_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    horizon_seconds: int = 3600,
+    watermark: str = "10 minutes",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: each arriving
+    document is paired with every EARLIER document (within
+    `horizon_seconds`) sharing an LSH band bucket — the streaming twin
+    of the batch d3 pipeline (minhash_band_keys → lsh_candidate_pairs),
+    for ingest-time dedup of a document firehose.
+
+    Why this shape survives an unbounded stream:
+    - signatures are the STATELESS expression form
+      (dedup.minhash_band_key_cols) — a per-doc groupBy would be a
+      stateful streaming aggregation; the expression is a map.
+    - the self-join keys on (band, band_key) — exactly the batch
+      bucket join — and BOTH sides carry watermarks plus a closed
+      time-range condition (ts_a <= ts_b <= ts_a + horizon), so Spark
+      expires join state once the watermark passes a bucket: bounded
+      state, like streaming_interval_pairs.
+    - multi-band collisions are collapsed by a downstream
+      dropDuplicatesWithinWatermark on the pair key (chained stateful
+      operators, Spark >= 3.4), whose state also evicts by watermark.
+
+    Output (doc_a, doc_b, ts_b): doc_b arrived at ts_b and collides
+    with earlier-or-same-timestamp doc_a (ties oriented doc_a < doc_b).
+    Exact-Jaccard verification of candidates stays a batch
+    post-pass (pairwise_jaccard), as in the batch pipeline.
+    """
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_cols
+
+    bands = minhash_band_key_cols(
+        F.col(text_col), num_hashes=num_hashes, band_size=band_size, n=n
+    )
+
+    def side(a: str) -> DataFrame:
+        return (
+            docs.withWatermark(ts_col, watermark)
+            .select(
+                F.col(id_col).alias(f"doc_{a}"),
+                F.col(ts_col).alias(f"ts_{a}"),
+                F.explode(bands).alias("_bk"),
+            )
+            .select(
+                f"doc_{a}",
+                f"ts_{a}",
+                F.col("_bk.band").alias(f"band_{a}"),
+                F.col("_bk.band_key").alias(f"key_{a}"),
+            )
+            .filter(F.col(f"key_{a}").isNotNull())
+        )
+
+    left, right = side("a"), side("b")
+    joined = left.join(
+        right,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("key_a") == F.col("key_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS"))
+        & (
+            (F.col("ts_b") > F.col("ts_a"))
+            | (F.col("doc_a") < F.col("doc_b"))
+        ),
+    ).select("doc_a", "doc_b", "ts_b")
+    if hasattr(joined, "dropDuplicatesWithinWatermark"):
+        return joined.dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+    return joined.dropDuplicates(["doc_a", "doc_b", "ts_b"])
