@@ -3287,6 +3287,254 @@ def v8(spark, sf_dir):
     )
 
 
+@register(
+    "s1_glob_scan",
+    """
+    SELECT fname, CAST(length AS BIGINT) AS length, magic_hex
+    FROM (VALUES
+      ('a_0001.tiff', 64, '49492A00'),
+      ('a_0002.tiff', 128, '49492A00')
+    ) AS t(fname, length, magic_hex)
+    """,
+)
+def s1(spark, sf_dir):
+    """S1 driver-checked (r5b; was pytest-only because it 'needs fs'):
+    a temp directory staged with two .tiff files (TIFF-II magic +
+    deterministic padding) and one .txt decoy, scanned via the
+    binaryFile source with pathGlobFilter pushdown (domain/images.py
+    scan_images; reference glob main.nf:100-141). The golden pins glob
+    selection, length metadata, and content access (magic bytes); the
+    decoy proves the filter reaches the listing."""
+    import os
+    import tempfile
+
+    from cellphe_data_pipeline_spark.domain.images import scan_images
+
+    d = tempfile.mkdtemp(prefix="s1_scan_")
+    for fname, size in (("a_0001.tiff", 64), ("a_0002.tiff", 128)):
+        with open(os.path.join(d, fname), "wb") as f:
+            body = b"II*\x00" + bytes((i % 251 for i in range(size - 4)))
+            f.write(body)
+    with open(os.path.join(d, "notes.txt"), "w") as f:
+        f.write("not an image")
+    return scan_images(spark, d, "*.tiff").select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length"),
+        F.hex(F.expr("substring(content, 1, 4)")).alias("magic_hex"),
+    )
+
+
+@register(
+    "s6_s7_csv_roundtrip",
+    """
+    SELECT CAST(id AS INT) AS id, name, CAST(val AS DOUBLE) AS val
+    FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', -2.25), (3, NULL, 0.0))
+      AS t(id, name, val)
+    """,
+)
+def s6_s7(spark, sf_dir):
+    """S6+S7 driver-checked (r5b; was pytest-only): headered CSV sink →
+    explicit-schema source round-trip through real files (sources/io.py
+    read_csv/write_csv — no inference pass), unioned with the S7
+    schema-safe empty relation (empty_with_schema + unionByName, the
+    reference's header-only empty CSV, frame_features_image.py:72-78).
+    Values chosen to round-trip doubles exactly (binary fractions)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        empty_with_schema,
+        read_csv,
+        write_csv,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)], schema
+    )
+    d = tempfile.mkdtemp(prefix="s6_csv_") + "/out"
+    write_csv(df, d)
+    return read_csv(spark, d, schema).unionByName(empty_with_schema(spark, schema))
+
+
+@register(
+    "s13_config_roundtrip",
+    """
+    SELECT key, value_json FROM (VALUES
+      ('frames_glob', '"*.tiff"'),
+      ('min_cell_size', '50'),
+      ('tracking', '{"gap": 4, "split": true}')
+    ) AS t(key, value_json)
+    """,
+)
+def s13(spark, sf_dir):
+    """S13 driver-checked (r5b; was pytest-only): JSON config sink →
+    source round-trip through real files (sources/io.py write_config/
+    read_config — the reference's params-file contract, main.nf:3-10 +
+    save_*_config provenance snapshots, main.nf:57-89), re-emitted as
+    sorted (key, canonical-json-value) rows."""
+    import json
+    import tempfile
+
+    from cellphe_data_pipeline_spark.sources.io import read_config, write_config
+
+    cfg = {
+        "frames_glob": "*.tiff",
+        "min_cell_size": 50,
+        "tracking": {"gap": 4, "split": True},
+    }
+    d = tempfile.mkdtemp(prefix="s13_cfg_") + "/cfg"
+    write_config(spark, cfg, d)
+    back = read_config(spark, d)
+    rows = [
+        (k, json.dumps(back[k], sort_keys=True, separators=(", ", ": ")))
+        for k in sorted(back)
+    ]
+    return spark.createDataFrame(rows, "key string, value_json string")
+
+
+@register(
+    "s11_png_mask_sink",
+    """
+    SELECT CAST(frame_index AS INT) AS frame_index, CAST(h AS INT) AS height,
+           CAST(w AS INT) AS width, CAST(s AS BIGINT) AS px_sum,
+           CAST(nz AS BIGINT) AS n_nonzero, CAST(mx AS INT) AS px_max
+    FROM (VALUES (0, 4, 5, 20, 9, 3)) AS t(frame_index, h, w, s, nz, mx)
+    """,
+)
+def s11(spark, sf_dir):
+    """S11 driver-checked (r5b; was pytest-only): a literal uint16 label
+    mask through the dependency-free 16-bit grayscale PNG encoder
+    (domain/images.py mask_to_png — the reference's exact mask format,
+    main.nf:157) and back through an independent in-query decode
+    (signature check, IDAT inflate, filter-0 unfilter), emitting pixel
+    stats the golden pins. Spec conformance (CRCs, IHDR fields) is
+    separately pytest-verified."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cellphe_data_pipeline_spark.domain.images import mask_to_png
+
+    mask = np.array(
+        [
+            [0, 0, 1, 1, 0],
+            [0, 2, 2, 0, 0],
+            [3, 3, 0, 0, 0],
+            [0, 3, 3, 2, 0],
+        ],
+        dtype=np.uint16,
+    )
+    masks = spark.createDataFrame(
+        [("m.fake", 0, 4, 5, bytearray(mask.tobytes()))],
+        "path string, frame_index int, height int, width int, mask binary",
+    )
+    pngs = mask_to_png(masks)
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["png"])
+                assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+                pos, idat, dims = 8, b"", None
+                while pos < len(blob):
+                    (size,) = struct.unpack(">I", blob[pos : pos + 4])
+                    ctype = blob[pos + 4 : pos + 8]
+                    data = blob[pos + 8 : pos + 8 + size]
+                    if ctype == b"IHDR":
+                        w, h = struct.unpack(">II", data[:8])
+                        dims = (h, w)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    pos += 12 + size
+                h, w = dims
+                raw = zlib.decompress(idat)
+                stride = w * 2 + 1
+                px = np.stack(
+                    [
+                        np.frombuffer(
+                            raw[y * stride + 1 : (y + 1) * stride], dtype=">u2"
+                        ).astype(np.int64)
+                        for y in range(h)
+                    ]
+                )
+                out.append(
+                    {
+                        "frame_index": int(r["frame_index"]),
+                        "height": h,
+                        "width": w,
+                        "px_sum": int(px.sum()),
+                        "n_nonzero": int((px > 0).sum()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return pngs.mapInPandas(
+        decode,
+        "frame_index int, height int, width int, px_sum bigint, "
+        "n_nonzero bigint, px_max int",
+    )
+
+
+@register(
+    "s9_s10_roi_zip_roundtrip",
+    """
+    SELECT group_key, CAST(n_rois AS INT) AS n_rois, name,
+           CAST(pos AS INT) AS pos, CAST(px AS INT) AS px, CAST(py AS INT) AS py
+    FROM (VALUES
+      ('f1', 2, '00001-00001', 0, 0, 0),
+      ('f1', 2, '00001-00001', 1, 2, 1),
+      ('f1', 2, '00001-00001', 2, 3, 4),
+      ('f1', 2, '00001-00002', 0, 5, 5),
+      ('f1', 2, '00001-00002', 1, 6, 7),
+      ('f2', 1, '00002-00001', 0, 9, 0),
+      ('f2', 1, '00002-00001', 1, 8, 2)
+    ) AS t(group_key, n_rois, name, pos, px, py)
+    """,
+)
+def s9_s10(spark, sf_dir):
+    """S9/S10/S12 driver-checked round-trip (r5b; was pytest-only): a
+    deterministic ROI table packed into one zip archive per group
+    (rois_to_zip — applyInPandas, one archive per frame group,
+    main.nf:376-390) and unpacked back to (name, coords) rows
+    (rois_from_zip), coordinates re-exploded with positions. The golden
+    pins the container/entry layout and the int32-LE vertex payload
+    end-to-end through real zipfile bytes."""
+    from cellphe_data_pipeline_spark.domain.rois import rois_from_zip, rois_to_zip
+
+    rows = [
+        ("f1", "00001-00001", [(0, 0), (2, 1), (3, 4)]),
+        ("f1", "00001-00002", [(5, 5), (6, 7)]),
+        ("f2", "00002-00001", [(9, 0), (8, 2)]),
+    ]
+    df = spark.createDataFrame(
+        [(g, n, [{"x": x, "y": y} for x, y in pts]) for g, n, pts in rows],
+        "frame string, ROI_filename string, coords array<struct<x:int,y:int>>",
+    )
+    packed = rois_to_zip(df, group_col="frame")
+    unpacked = rois_from_zip(packed)
+    return unpacked.select(
+        "group_key",
+        "n_rois",
+        "name",
+        F.posexplode("coords").alias("pos", "_pt"),
+    ).select(
+        "group_key", "n_rois", "name", "pos",
+        F.col("_pt.x").alias("px"), F.col("_pt.y").alias("py"),
+    )
+
+
 def _minhash_bands_only_sql(num_hashes: int = 16, band_size: int = 4) -> str:
     """The mins+bands prefix of the MinHash oracle, projected as
     (doc_id, band, band_key) — the signature layer alone."""
@@ -3395,6 +3643,11 @@ def c6(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
+    "s1_glob_scan",
+    "s6_s7_csv_roundtrip",
+    "s9_s10_roi_zip_roundtrip",
+    "s11_png_mask_sink",
+    "s13_config_roundtrip",
     "d3b_minhash_expr_bands",
     "c6_epoch_shuffle",
     "d8_duplicated_spans",
@@ -3444,14 +3697,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "a7_count_distinct",
     "w1_lag_diff",
     "w2_cumulative_sum",
-    "w3_first_value",
-    "w4_natsort_row_number",
-    "o1_multikey_sort_rank",
-    "o4_order_preserving_dedup",
-    "u1_union_all",
     # --- displaced to keep the window at 50 after the r5 late
     #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
-    #     d8/t7/t8/v8/c6/d3b): u2_tagged_union, f1_f4_string_funcs,
+    #     d8/t7/t8/v8/c6/d3b plus the edge-I/O goldens
+    #     s1/s6_s7/s9_s10/s11/s13): w3_first_value,
+    #     w4_natsort_row_number, o1_multikey_sort_rank,
+    #     o4_order_preserving_dedup, u1_union_all,
+    #     u2_tagged_union, f1_f4_string_funcs,
     #     f11_json_extract, f13_recode, g1_edge_build,
     #     g2_degree (its machinery is re-exercised by g4/s8b),
     #     g3_roots, d1_exact_dedup (md5 groupBy also
