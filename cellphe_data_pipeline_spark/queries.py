@@ -3488,6 +3488,57 @@ def s11(spark, sf_dir):
 
 
 @register(
+    "s14_lines_source",
+    """
+    SELECT value FROM (VALUES ('frame_0001.tiff'), ('frame_0002.tiff'),
+                              ('frame_0003.tiff')) AS t(value)
+    """,
+)
+def s14(spark, sf_dir):
+    """S14 driver-checked (r5b): newline list -> trimmed rows
+    (sources/io.py read_lines — the reference's stdout-lines channel,
+    main.nf:425-434), including whitespace-padded and blank-free trim
+    behaviour."""
+    import os
+    import tempfile
+
+    from cellphe_data_pipeline_spark.sources.io import read_lines
+
+    d = tempfile.mkdtemp(prefix="s14_lines_")
+    p = os.path.join(d, "files.txt")
+    with open(p, "w") as f:
+        f.write("frame_0001.tiff\n  frame_0002.tiff\nframe_0003.tiff  \n")
+    return read_lines(spark, p)
+
+
+@register(
+    "s15_publish_roundtrip",
+    """
+    SELECT part, CAST(id AS INT) AS id, CAST(v AS DOUBLE) AS v
+    FROM (VALUES ('a', 1, 0.5), ('a', 2, 1.25), ('b', 3, -4.0))
+      AS t(part, id, v)
+    """,
+)
+def s15(spark, sf_dir):
+    """S15 driver-checked (r5b): the published-dir sink round-trip —
+    `publish` (sources/io.py, the reference's publishDir/-resume stage
+    cut) writes partitioned Parquet to a temp stage dir and the query
+    re-reads it, proving the cut point is a faithful re-readable
+    relation including the partition column."""
+    import tempfile
+
+    from cellphe_data_pipeline_spark.sources.io import publish
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("a", 2, 1.25), ("b", 3, -4.0)],
+        "part string, id int, v double",
+    )
+    d = tempfile.mkdtemp(prefix="s15_pub_") + "/stage"
+    publish(df, d, partition_by=("part",))
+    return spark.read.parquet(d).select("part", "id", "v")
+
+
+@register(
     "s9_s10_roi_zip_roundtrip",
     """
     SELECT group_key, CAST(n_rois AS INT) AS n_rois, name,
@@ -3648,6 +3699,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "s9_s10_roi_zip_roundtrip",
     "s11_png_mask_sink",
     "s13_config_roundtrip",
+    "s14_lines_source",
+    "s15_publish_roundtrip",
     "d3b_minhash_expr_bands",
     "c6_epoch_shuffle",
     "d8_duplicated_spans",
@@ -3695,12 +3748,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "a5_value_histogram",
     "a6_minmax_normalize",
     "a7_count_distinct",
-    "w1_lag_diff",
-    "w2_cumulative_sum",
     # --- displaced to keep the window at 50 after the r5 late
     #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
     #     d8/t7/t8/v8/c6/d3b plus the edge-I/O goldens
-    #     s1/s6_s7/s9_s10/s11/s13): w3_first_value,
+    #     s1/s6_s7/s9_s10/s11/s13/s14/s15): w1_lag_diff,
+    #     w2_cumulative_sum, w3_first_value,
     #     w4_natsort_row_number, o1_multikey_sort_rank,
     #     o4_order_preserving_dedup, u1_union_all,
     #     u2_tagged_union, f1_f4_string_funcs,
