@@ -432,15 +432,131 @@ def _fake_segment(img: np.ndarray) -> np.ndarray:
     return labels
 
 
-def segment_frames(frames: DataFrame, model_args: dict | None = None) -> DataFrame:
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's method over the 256-bin histogram: the threshold
+    maximising between-class variance — the standard classical
+    auto-threshold (Otsu 1979), fully vectorised (no per-pixel
+    python). Foreground = img > t. Deterministic (first maximal bin
+    wins via np.argmax)."""
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    cum_mean = np.cumsum(hist * np.arange(256))
+    mean_total = cum_mean[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = cum_mean / w0
+        mu1 = (mean_total - cum_mean) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[~np.isfinite(between)] = -1.0
+    return int(np.argmax(between))
+
+
+def label_components_runs(fg: np.ndarray) -> np.ndarray:
+    """4-connected component labeling via RUN-LENGTH two-pass
+    union-find — the production-raster path next to the per-pixel BFS
+    in :func:`_fake_segment`. Work is O(runs·α) with numpy run
+    extraction per row, so a 2048x2048 frame with hundreds of cells
+    labels in milliseconds where pixel-BFS spends seconds in the
+    interpreter. Numbering matches the BFS exactly: components take
+    1..K in row-major order of their first pixel (equivalence
+    property-tested in tests/test_domain.py)."""
+    h, w = fg.shape
+    labels = np.zeros((h, w), dtype=np.uint16)
+    runs: list[tuple[int, int, int]] = []  # (row, start, end_exclusive)
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    prev_row_runs: list[int] = []
+    for y in range(h):
+        d = np.diff(np.concatenate(([0], fg[y].astype(np.int8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur_row_runs: list[int] = []
+        pi = 0
+        for s0, e0 in zip(starts, ends):
+            rid = len(runs)
+            runs.append((y, int(s0), int(e0)))
+            parent.append(rid)
+            cur_row_runs.append(rid)
+            # union with every previous-row run overlapping in columns
+            # (4-connectivity); two-pointer sweep — both run lists are
+            # column-sorted
+            while pi < len(prev_row_runs):
+                _, ps, pe = runs[prev_row_runs[pi]]
+                if ps >= e0:
+                    break
+                if pe > s0:
+                    ra, rb = find(rid), find(prev_row_runs[pi])
+                    if ra != rb:
+                        # smaller root = earlier scan order stays root
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+                if pe <= e0:
+                    pi += 1
+                else:
+                    break
+        prev_row_runs = cur_row_runs
+        pi = 0
+    # second pass: roots -> consecutive labels in scan order of the
+    # component's FIRST run; painted with vectorised row slices
+    root_label: dict[int, int] = {}
+    nxt = 0
+    for rid in range(len(runs)):
+        r = find(rid)
+        if r not in root_label:
+            nxt += 1
+            root_label[r] = nxt
+        y, s0, e0 = runs[rid]
+        labels[y, s0:e0] = root_label[r]
+    return labels
+
+
+def _otsu_segment(img: np.ndarray) -> np.ndarray:
+    """REAL classical segmentation kernel (the M1 baseline this
+    environment can actually ship): Otsu auto-threshold + run-based
+    4-connected labeling. `CellposeModel.eval` (segment_image.py:20-23)
+    remains the documented swap point when the deep model is present —
+    but threshold-separable imagery segments for real on this path,
+    with no model weights and no per-pixel python."""
+    return label_components_runs(img > otsu_threshold(img))
+
+
+SEGMENT_METHODS = ("median", "otsu")
+
+
+def segment_frames(
+    frames: DataFrame,
+    model_args: dict | None = None,
+    method: str = "median",
+) -> DataFrame:
     """M1/M2: per-frame segmentation → uint16 label mask. Model-per-
-    partition: the (stub) model is constructed once per mapInPandas
-    partition and reused across its frames — the Spark translation of
-    the reference's GPU batch economics (segment_image_batch.py:20-25).
-    `model_args` pass through verbatim like the reference's config."""
+    partition: the model is constructed once per mapInPandas partition
+    and reused across its frames — the Spark translation of the
+    reference's GPU batch economics (segment_image_batch.py:20-25).
+    `model_args` pass through verbatim like the reference's config.
+
+    `method`: "median" (median threshold + pixel-BFS labeling — the
+    original deterministic fixture kernel, kept as default so every
+    golden stays byte-stable) or "otsu" (Otsu auto-threshold +
+    run-based union-find labeling — the vectorised classical path for
+    production raster sizes). Cellpose slots in as a third method
+    where available."""
+    if method not in SEGMENT_METHODS:
+        raise ValueError(f"unknown segmentation method: {method!r}")
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _fake_segment  # stand-in for CellposeModel(**model_args)
+        model = (
+            _otsu_segment if method == "otsu" else _fake_segment
+        )  # or CellposeModel(**model_args) when present
         for pdf in batches:
             masks = []
             for _, row in pdf.iterrows():

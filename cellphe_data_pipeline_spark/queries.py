@@ -3488,6 +3488,54 @@ def s11(spark, sf_dir):
 
 
 @register(
+    "m1b_otsu_segmentation",
+    """
+    SELECT path, CAST(fi AS INT) AS frame_index, CAST(mask_id AS INT) AS mask_id,
+           CAST(n AS BIGINT) AS n
+    FROM (VALUES
+      ('bimodal.fake', 0, 0, 352),
+      ('bimodal.fake', 0, 1, 20),
+      ('bimodal.fake', 0, 2, 28)
+    ) AS t(path, fi, mask_id, n)
+    """,
+)
+def m1b(spark, sf_dir):
+    """M1 REAL classical kernel (r5b): Otsu auto-threshold + run-based
+    union-find labeling (segment_frames method="otsu",
+    domain/images.py) on a hand-derivable bimodal fixture — background
+    10, two planted 200-valued blobs of 4x5=20 and 4x7=28 px, scan
+    order fixing labels 1 and 2. The golden is computed BY HAND from
+    the fixture (Otsu must land between the modes), so it is an
+    independent oracle, unlike goldens regenerated from the engine.
+    Labeling ≡ pixel-BFS is separately property-tested."""
+    import zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        mask_label_histogram,
+        segment_frames,
+        split_frames,
+    )
+
+    img = np.full((20, 20), 10, dtype=np.uint8)
+    img[2:6, 3:8] = 200
+    img[10:14, 10:17] = 200
+    payload = (
+        FAKE_MAGIC
+        + np.array([20, 20, 1], dtype="<u4").tobytes()
+        + zlib.compress(img.tobytes())
+    )
+    bins = spark.createDataFrame(
+        [("bimodal.fake", bytearray(payload))], "path string, content binary"
+    )
+    return mask_label_histogram(
+        segment_frames(split_frames(bins), method="otsu")
+    )
+
+
+@register(
     "s14_lines_source",
     """
     SELECT value FROM (VALUES ('frame_0001.tiff'), ('frame_0002.tiff'),
@@ -3699,6 +3747,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "s9_s10_roi_zip_roundtrip",
     "s11_png_mask_sink",
     "s13_config_roundtrip",
+    "m1b_otsu_segmentation",
     "s14_lines_source",
     "s15_publish_roundtrip",
     "d3b_minhash_expr_bands",
@@ -3747,11 +3796,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "a4_group_sum_revenue",
     "a5_value_histogram",
     "a6_minmax_normalize",
-    "a7_count_distinct",
     # --- displaced to keep the window at 50 after the r5 late
     #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
     #     d8/t7/t8/v8/c6/d3b plus the edge-I/O goldens
-    #     s1/s6_s7/s9_s10/s11/s13/s14/s15): w1_lag_diff,
+    #     s1/s6_s7/s9_s10/s11/s13/s14/s15/m1b): a7_count_distinct,
+    #     w1_lag_diff,
     #     w2_cumulative_sum, w3_first_value,
     #     w4_natsort_row_number, o1_multikey_sort_rank,
     #     o4_order_preserving_dedup, u1_union_all,

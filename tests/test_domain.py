@@ -1807,3 +1807,106 @@ def test_frame_diff_multi_path_separation(spark):
     # cut-frame diffs are excluded from mean_diff: clip 1's mean uses
     # frames 4,5 only (both intra-shot jitters, well under the cut diff)
     assert vid[1]["mean_diff"] < 0.1
+
+
+def test_run_labeling_equals_bfs_property():
+    """r5b: the run-based union-find labeler must produce EXACTLY the
+    per-pixel BFS labeling (same components, same scan-order
+    numbering) on arbitrary foreground masks — including checkerboard,
+    single-pixel, full, and empty extremes."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        _fake_segment,
+        label_components_runs,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.floats(min_value=0.05, max_value=0.95),
+    )
+    def check(h, w, seed, p):
+        rng = np.random.RandomState(seed % (2**31))
+        fg = rng.rand(h, w) < p
+        # BFS path via _fake_segment's labeling: reuse by building an
+        # image where img > median == fg is not controllable; instead
+        # call the labeling loop directly through a crafted image:
+        # img = fg ? 2 : 0 with threshold median... simpler: inline BFS
+        # oracle here.
+        labels = np.zeros((h, w), dtype=np.uint16)
+        cur = 0
+        for i in range(h):
+            for j in range(w):
+                if fg[i, j] and labels[i, j] == 0:
+                    cur += 1
+                    stack = [(i, j)]
+                    labels[i, j] = cur
+                    while stack:
+                        a, b = stack.pop()
+                        for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            na, nb = a + da, b + db
+                            if (
+                                0 <= na < h and 0 <= nb < w
+                                and fg[na, nb] and labels[na, nb] == 0
+                            ):
+                                labels[na, nb] = cur
+                                stack.append((na, nb))
+        got = label_components_runs(fg)
+        assert got.dtype == np.uint16
+        assert (got == labels).all()
+
+    check()
+    # extremes the strategy may not hit
+    from cellphe_data_pipeline_spark.domain.images import label_components_runs
+
+    assert (label_components_runs(np.zeros((3, 3), bool)) == 0).all()
+    full = label_components_runs(np.ones((3, 3), bool))
+    assert (full == 1).all()
+    cb = np.indices((4, 4)).sum(0) % 2 == 0
+    got = label_components_runs(cb)
+    assert got[cb].min() == 1 and got[cb].max() == 8  # 8 isolated pixels
+    assert (got[~cb] == 0).all()
+
+
+def test_otsu_threshold_bimodal_and_segment():
+    """r5b: Otsu on a clean bimodal image must threshold between the
+    modes, and the otsu segment_frames method must label the two
+    planted blobs with hand-derivable areas."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        _otsu_segment,
+        otsu_threshold,
+    )
+
+    img = np.full((20, 20), 10, dtype=np.uint8)
+    img[2:6, 3:8] = 200       # blob 1: 4x5 = 20 px
+    img[10:14, 10:17] = 200   # blob 2: 4x7 = 28 px
+    t = otsu_threshold(img)
+    assert 10 <= t < 200
+    labels = _otsu_segment(img)
+    areas = {int(l): int((labels == l).sum()) for l in np.unique(labels) if l}
+    assert areas == {1: 20, 2: 28}
+
+
+def test_segment_frames_otsu_method(spark):
+    """r5b: the otsu method flows through the Spark kernel and differs
+    from the median path where the histogram is skewed; unknown method
+    names are rejected."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        segment_frames,
+        split_frames,
+    )
+
+    bins = spark.createDataFrame(
+        [("q.fake", bytearray(make_fake_image(seed=9, height=16, width=16)))],
+        "path string, content binary",
+    )
+    frames = split_frames(bins)
+    out = segment_frames(frames, method="otsu").collect()
+    assert len(out) == 1 and len(out[0]["mask"]) == 16 * 16 * 2
+    with pytest.raises(ValueError, match="unknown segmentation method"):
+        segment_frames(frames, method="cellpose2")
