@@ -101,6 +101,7 @@ def run_pipeline(
     allow_merging: bool = False,
     merging_max_distance: float = 50.0,
     density_radius: float = 25.0,
+    segmentation_method: str = "median",
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -120,7 +121,9 @@ def run_pipeline(
     # Python kernels per action. Payloads are one raster per frame
     # (~2-5 KB at QC sizes): the cuts are MBs, not the input corpus.
     frames = split_frames(binaries).localCheckpoint(eager=True)   # S3/S4
-    masks = segment_frames(frames).localCheckpoint(eager=True)    # M1/M2
+    masks = segment_frames(frames, method=segmentation_method).localCheckpoint(
+        eager=True
+    )  # M1/M2
     # broadcast timelapse index dim: spot ids must be unique ACROSS
     # timelapses (lineage runs on the union) and frame-monotone within
     # one. The dim has one row per CONTAINER in this ingest batch —
@@ -330,7 +333,9 @@ def run_pipeline(
 DEFAULT_CONFIG = {
     "folder_names": {"timelapse_id": "run"},
     "run": {"segmentation": True, "tracking": True, "cellphe": True},
-    "segmentation": {"model": {}, "eval": {}},
+    # method: "median" (fixture kernel) | "otsu" (real classical path);
+    # the reference's model/eval dicts pass to Cellpose when present
+    "segmentation": {"model": {}, "eval": {}, "method": "median"},
     "tracking": {
         "algorithm": "NearestNeighbor",
         "settings": {
@@ -376,9 +381,11 @@ def run_pipeline_from_config(
     # frame linking, then end/start reconnection, track_images.py:74-123)
     algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
     is_lap = "lap" in str(algo).lower()
+    seg_method = cfg.get("segmentation", {}).get("method", "median")
     out = run_pipeline(
         binaries,
         qc=qc,
+        segmentation_method=seg_method,
         linking_max_distance=float(tr["LINKING_MAX_DISTANCE"]),
         max_frame_gap=(
             int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0

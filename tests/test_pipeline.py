@@ -258,3 +258,22 @@ def test_config_algorithm_selects_lap(spark, tmp_path):
         )
         # both methods track this easy fixture into the same non-empty edge set
         assert out["track_edges"].count() > 0
+
+
+def test_pipeline_config_selects_otsu_segmentation(spark, tmp_path):
+    """r5b: segmentation.method in the params-file reaches the M1
+    kernel — the otsu chain produces masks and downstream detections,
+    and an invalid method fails fast at plan time."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.domain.images import make_fake_image
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    bins = spark.createDataFrame(
+        [("o.fake", bytearray(make_fake_image(seed=3, height=24, width=24, n_frames=3)))],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins, segmentation_method="otsu")
+    assert out["detections"].count() > 0
+    with pytest.raises(ValueError, match="unknown segmentation method"):
+        run_pipeline(bins, segmentation_method="nope")
