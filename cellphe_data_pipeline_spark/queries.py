@@ -3684,7 +3684,6 @@ def d3b(spark, sf_dir):
             F.explode(minhash_band_key_cols(F.col("text"))).alias("bk"),
         )
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-        .filter(F.col("band_key").isNotNull())
     )
 
 

@@ -548,8 +548,7 @@ def streaming_minhash_neardup(
                 F.col("_bk.band").alias(f"band_{a}"),
                 F.col("_bk.band_key").alias(f"key_{a}"),
             )
-            .filter(F.col(f"key_{a}").isNotNull())
-        )
+        )  # short docs already dropped: the band expression is empty for them
 
     left, right = side("a"), side("b")
     joined = left.join(
