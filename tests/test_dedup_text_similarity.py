@@ -684,3 +684,25 @@ def test_tfidf_and_charlm_plan_shapes(spark):
     p8 = char_bigram_rarity(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p8
     assert "BroadcastHashJoin" in p8
+
+
+def test_minhash_expr_bands_plan_has_no_filter(spark):
+    """Regression gate for the r5b 64x finding: a filter above the
+    band-key explode gets optimizer-rewritten into a per-array-element
+    predicate that re-runs the full signature per band (measured 1.8s
+    -> 122s at sf0.1). Short docs must be dropped INSIDE the band
+    expression (empty array), leaving no Filter node in the plan."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_cols
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x")], "doc_id bigint, text string"
+    )
+    out = df.select(
+        "doc_id", F.explode(minhash_band_key_cols(F.col("text"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" not in plan
+    # and the short doc vanished via the empty array, not a filter
+    assert {r["doc_id"] for r in out.collect()} == {1}
