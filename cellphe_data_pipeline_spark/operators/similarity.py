@@ -512,5 +512,9 @@ def kmeans_lloyd(
                 "cluster_id",
                 F.transform(F.col("s"), lambda e: e.centroid_val).alias("cvec"),
             )
+            # lineage cut per iteration (k rows), same pattern as the CC
+            # loop (graph.py): without it iteration i re-plans and
+            # re-executes iterations 1..i-1 from the source
+            .localCheckpoint(eager=True)
         )
     return out
