@@ -433,18 +433,22 @@ def _fake_segment(img: np.ndarray) -> np.ndarray:
 
 
 def otsu_threshold(img: np.ndarray) -> int:
-    """Otsu's method over the 256-bin histogram: the threshold
+    """Otsu's method over the integer-value histogram: the threshold
     maximising between-class variance — the standard classical
     auto-threshold (Otsu 1979), fully vectorised (no per-pixel
-    python). Foreground = img > t. Deterministic (first maximal bin
-    wins via np.argmax)."""
-    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
-    total = hist.sum()
-    if total == 0:
+    python). Foreground = img > t. Works for both raster widths the
+    codec ladder produces: the histogram spans the ACTUAL value range
+    (256 bins for uint8, up to 65536 for uint16 — still trivial).
+    Deterministic (first maximal bin wins via np.argmax)."""
+    flat = img.reshape(-1)
+    if flat.size == 0:
         return 0
+    n_bins = max(256, int(flat.max()) + 1)
+    hist = np.bincount(flat, minlength=n_bins).astype(np.float64)
+    total = hist.sum()
     w0 = np.cumsum(hist)
     w1 = total - w0
-    cum_mean = np.cumsum(hist * np.arange(256))
+    cum_mean = np.cumsum(hist * np.arange(len(hist)))
     mean_total = cum_mean[-1]
     with np.errstate(divide="ignore", invalid="ignore"):
         mu0 = cum_mean / w0
@@ -514,6 +518,14 @@ def label_components_runs(fg: np.ndarray) -> np.ndarray:
         r = find(rid)
         if r not in root_label:
             nxt += 1
+            if nxt > 0xFFFF:
+                # uint16 is the mask contract (reference format); a
+                # noisy threshold CAN exceed it on large frames — fail
+                # loudly instead of wrapping labels into background
+                raise ValueError(
+                    "label_components_runs: more than 65535 components; "
+                    "denoise or pre-filter the foreground mask"
+                )
             root_label[r] = nxt
         y, s0, e0 = runs[rid]
         labels[y, s0:e0] = root_label[r]
@@ -560,9 +572,12 @@ def segment_frames(
         for pdf in batches:
             masks = []
             for _, row in pdf.iterrows():
-                img = np.frombuffer(row["data"], dtype=np.uint8).reshape(
-                    row["height"], row["width"]
-                )
+                h, w = row["height"], row["width"]
+                # 16-bit pages (the codec ladder produces both widths)
+                # must not be misread as uint8 — shared rule
+                img = np.frombuffer(
+                    row["data"], dtype=_raster_dtype(row["data"], h, w)
+                ).reshape(h, w)
                 masks.append(model(img).tobytes())
             yield pd.DataFrame(
                 {

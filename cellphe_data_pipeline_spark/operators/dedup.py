@@ -456,9 +456,13 @@ def minhash_band_key_cols(
     already exist); this expression form is the zero-shuffle signature
     for one-row-per-doc pipelines — and the ONLY shape a streaming
     source can use, since a per-doc groupBy would be a stateful
-    aggregation. Docs with < n tokens yield NULL band keys (filter
-    them). The 4-hashes-per-md5 digest trick means Catalyst's common
-    subexpression elimination evaluates 4 md5s per shingle, not 16.
+    aggregation. Docs with < n tokens yield an EMPTY array — explode
+    drops them, and callers must NOT add a null/size filter after the
+    explode (see the inline comment: the optimizer rewrites such a
+    filter into a per-element predicate that re-runs the whole
+    signature per band — measured 64x). The 4-hashes-per-md5 digest
+    trick means Catalyst's common subexpression elimination evaluates
+    4 md5s per shingle, not 16.
     """
     t = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
     sh = F.when(

@@ -495,26 +495,29 @@ def kmeans_lloyd(
     )
     centroids = seeds
     out = None
-    for _ in range(iterations):
+    for i in range(iterations):
         assigned = kmeans_assign(df, centroids, vec_col, id_col)
-        out = kmeans_update(assigned)
-        # next-round centroids: rebuild the dense vectors from the
-        # long format (array_sort on (dim, val) structs -> positional
-        # array); only used when iterations > 1.
-        centroids = (
-            out.groupBy("cluster_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
-                ).alias("s")
+        # lineage cut per iteration ON THE RESULT (k*dim rows), same
+        # pattern as the CC loop (graph.py): without it iteration i
+        # re-plans and re-executes iterations 1..i-1 from the source —
+        # and the caller's first action would re-run the final corpus
+        # pass a second time. Cutting `out` (not a derived centroid
+        # table) means each corpus pass executes exactly once.
+        out = kmeans_update(assigned).localCheckpoint(eager=True)
+        if i + 1 < iterations:
+            # next-round centroids: rebuild the dense vectors from the
+            # checkpointed long format (array_sort on (dim, val)
+            # structs -> positional array)
+            centroids = (
+                out.groupBy("cluster_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
+                    ).alias("s")
+                )
+                .select(
+                    "cluster_id",
+                    F.transform(F.col("s"), lambda e: e.centroid_val).alias("cvec"),
+                )
             )
-            .select(
-                "cluster_id",
-                F.transform(F.col("s"), lambda e: e.centroid_val).alias("cvec"),
-            )
-            # lineage cut per iteration (k rows), same pattern as the CC
-            # loop (graph.py): without it iteration i re-plans and
-            # re-executes iterations 1..i-1 from the source
-            .localCheckpoint(eager=True)
-        )
     return out

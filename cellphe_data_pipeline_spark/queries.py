@@ -3287,6 +3287,23 @@ def v8(spark, sf_dir):
     )
 
 
+
+def _stage_dir(name: str) -> str:
+    """Bounded staging dir for the edge-I/O golden queries: one fixed
+    directory per query name, wiped and recreated per invocation —
+    repeated verify/bench loops reuse the same path instead of leaking
+    a fresh mkdtemp each run. (Deletion-on-return would break the LAZY
+    plan, which reads the files only when the driver evaluates.)"""
+    import shutil
+    import tempfile
+    import os
+
+    d = os.path.join(tempfile.gettempdir(), "cellphe_stage", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 @register(
     "s1_glob_scan",
     """
@@ -3306,11 +3323,10 @@ def s1(spark, sf_dir):
     selection, length metadata, and content access (magic bytes); the
     decoy proves the filter reaches the listing."""
     import os
-    import tempfile
 
     from cellphe_data_pipeline_spark.domain.images import scan_images
 
-    d = tempfile.mkdtemp(prefix="s1_scan_")
+    d = _stage_dir("s1_scan")
     for fname, size in (("a_0001.tiff", 64), ("a_0002.tiff", 128)):
         with open(os.path.join(d, fname), "wb") as f:
             body = b"II*\x00" + bytes((i % 251 for i in range(size - 4)))
@@ -3339,8 +3355,6 @@ def s6_s7(spark, sf_dir):
     schema-safe empty relation (empty_with_schema + unionByName, the
     reference's header-only empty CSV, frame_features_image.py:72-78).
     Values chosen to round-trip doubles exactly (binary fractions)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from cellphe_data_pipeline_spark.sources.io import (
@@ -3359,7 +3373,7 @@ def s6_s7(spark, sf_dir):
     df = spark.createDataFrame(
         [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)], schema
     )
-    d = tempfile.mkdtemp(prefix="s6_csv_") + "/out"
+    d = _stage_dir("s6_csv") + "/out"
     write_csv(df, d)
     return read_csv(spark, d, schema).unionByName(empty_with_schema(spark, schema))
 
@@ -3381,7 +3395,6 @@ def s13(spark, sf_dir):
     save_*_config provenance snapshots, main.nf:57-89), re-emitted as
     sorted (key, canonical-json-value) rows."""
     import json
-    import tempfile
 
     from cellphe_data_pipeline_spark.sources.io import read_config, write_config
 
@@ -3390,7 +3403,7 @@ def s13(spark, sf_dir):
         "min_cell_size": 50,
         "tracking": {"gap": 4, "split": True},
     }
-    d = tempfile.mkdtemp(prefix="s13_cfg_") + "/cfg"
+    d = _stage_dir("s13_cfg") + "/cfg"
     write_config(spark, cfg, d)
     back = read_config(spark, d)
     rows = [
@@ -3548,11 +3561,10 @@ def s14(spark, sf_dir):
     main.nf:425-434), including whitespace-padded and blank-free trim
     behaviour."""
     import os
-    import tempfile
 
     from cellphe_data_pipeline_spark.sources.io import read_lines
 
-    d = tempfile.mkdtemp(prefix="s14_lines_")
+    d = _stage_dir("s14_lines")
     p = os.path.join(d, "files.txt")
     with open(p, "w") as f:
         f.write("frame_0001.tiff\n  frame_0002.tiff\nframe_0003.tiff  \n")
@@ -3573,15 +3585,13 @@ def s15(spark, sf_dir):
     cut) writes partitioned Parquet to a temp stage dir and the query
     re-reads it, proving the cut point is a faithful re-readable
     relation including the partition column."""
-    import tempfile
-
     from cellphe_data_pipeline_spark.sources.io import publish
 
     df = spark.createDataFrame(
         [("a", 1, 0.5), ("a", 2, 1.25), ("b", 3, -4.0)],
         "part string, id int, v double",
     )
-    d = tempfile.mkdtemp(prefix="s15_pub_") + "/stage"
+    d = _stage_dir("s15_pub") + "/stage"
     publish(df, d, partition_by=("part",))
     return spark.read.parquet(d).select("part", "id", "v")
 

@@ -555,6 +555,10 @@ def streaming_minhash_neardup(
         right,
         (F.col("band_a") == F.col("band_b"))
         & (F.col("key_a") == F.col("key_b"))
+        # at-least-once ingest can redeliver the SAME doc id at a later
+        # timestamp; without this guard every band self-collides and a
+        # dedup consumer would drop the doc against itself
+        & (F.col("doc_a") != F.col("doc_b"))
         & (F.col("ts_b") >= F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS"))
         & (

@@ -1910,3 +1910,40 @@ def test_segment_frames_otsu_method(spark):
     assert len(out) == 1 and len(out[0]["mask"]) == 16 * 16 * 2
     with pytest.raises(ValueError, match="unknown segmentation method"):
         segment_frames(frames, method="cellpose2")
+
+
+def test_segment_frames_otsu_on_16bit_raster(spark):
+    """r5b review fix: 16-bit pages (2 bytes/px) must flow through
+    segment_frames without being misread as uint8, and Otsu must
+    threshold over the real uint16 value range."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        _otsu_segment,
+        otsu_threshold,
+        segment_frames,
+    )
+
+    img16 = np.full((8, 8), 1000, dtype=np.uint16)
+    img16[2:5, 2:6] = 40000  # 3x4 bright blob
+    t = otsu_threshold(img16)
+    assert 1000 <= t < 40000
+    labels = _otsu_segment(img16)
+    assert {int(l): int((labels == l).sum()) for l in np.unique(labels) if l} == {1: 12}
+    # and through the Spark kernel: frame rows carry 2-byte payloads
+    frames = spark.createDataFrame(
+        [("p16", 0, 8, 8, bytearray(img16.tobytes()))],
+        "path string, frame_index int, height int, width int, data binary",
+    )
+    out = segment_frames(frames, method="otsu").collect()
+    m = np.frombuffer(out[0]["mask"], dtype=np.uint16).reshape(8, 8)
+    assert (m == labels).all()
+
+
+def test_label_components_runs_overflow_guard():
+    """>65535 components must fail loudly, not wrap into background."""
+    import pytest
+    from cellphe_data_pipeline_spark.domain.images import label_components_runs
+
+    side = 520  # checkerboard: 520*520/2 = 135200 isolated pixels
+    cb = np.indices((side, side)).sum(0) % 2 == 0
+    with pytest.raises(ValueError, match="65535"):
+        label_components_runs(cb)
