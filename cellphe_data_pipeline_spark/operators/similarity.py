@@ -521,3 +521,162 @@ def kmeans_lloyd(
                 )
             )
     return out
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index ANN scale path
+# ---------------------------------------------------------------------
+
+
+def pq_subvectors(
+    df: DataFrame,
+    dim: int,
+    m_subs: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-format subvector view: one row per (vector, subspace).
+
+    ``dim`` must divide evenly by ``m_subs``; subspace ``m`` owns the
+    slice ``[m*sub, (m+1)*sub)``. One posexplode, no shuffle — the
+    subspace id rides along as a narrow int."""
+    sub = dim // m_subs
+    if sub * m_subs != dim:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    v = _as_double(F.col(vec_col))
+    slices = F.array(*[F.slice(v, m * sub + 1, sub) for m in range(m_subs)])
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(slices).alias("m", "sv")
+    )
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    codebook (m_subs * n_codes rows), equi-join on the subspace id, and
+    argmin squared L2 via ONE combinable groupBy(vec_id, m) min(struct)
+    — the corpus never shuffles on data. Distance is the sequential
+    in-order (a-b)^2 fold (bit-reproducible, see _dot)."""
+    c = F.broadcast(codebook.select("m", "code", F.col("cv")))
+    diff_sq = F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        sub.join(c, "m")
+        .select("vec_id", "m", "sv", "code", dist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("code"))).alias("a"),
+            F.first("sv").alias("sv"),
+        )
+        .select("vec_id", "m", F.col("a.code").alias("code"), "sv")
+    )
+
+
+def pq_train_codebook(
+    sub: DataFrame, n_codes: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """One fixed-point Lloyd iteration per subspace (the kmeans_update
+    idiom: components half-up rounded to the 1e-6 grid, summed exactly
+    as int64, mean = final divisions — bit-exact at any partitioning).
+    Seeds are the subvectors of the ``n_codes`` lowest vec_ids
+    (deterministic, oracle-expressible). Returns (m, code, cv) with
+    dense centroid arrays; codewords that attract no members after the
+    iteration are dropped (consistent everywhere)."""
+    seeds = sub.filter(F.col("vec_id") < n_codes).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    assigned = _pq_assign(sub, seeds)
+    parts = assigned.select(
+        "m", "code", F.posexplode("sv").alias("dim", "x")
+    ).select(
+        "m",
+        "code",
+        "dim",
+        F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    return (
+        parts.groupBy("m", "code", "dim")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "m",
+            "code",
+            "dim",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(float(scale))).alias("cval"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("cval")))).alias("s")
+        )
+        .select("m", "code", F.transform(F.col("s"), lambda e: e.cval).alias("cv"))
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 4,
+    n_codes: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ-compressed approximate kNN with asymmetric distance (ADC) —
+    the memory-bound 100 TB embedding-search path (Jegou et al. 2011,
+    public technique).
+
+    Index: each vector is stored as ``m_subs`` one-byte codes (here
+    4 codes for 64 floats — a 64x memory cut); the codebook is
+    ``m_subs * n_codes * (dim/m_subs)`` doubles — broadcast-sized by
+    construction, independent of corpus size.
+
+    Query: for each probe, precompute the LUT of squared distances from
+    its subvectors to every codeword (``m_subs * n_codes`` entries,
+    fixed-point rounded to the 1e-6 grid so the cross-subspace SUM is
+    an exact int64). Approximate distance = SUM over subspaces of
+    LUT[m, code[m]] — a broadcast hash join of the code table against
+    the LUT on (m, code) followed by ONE combinable groupBy(probe,
+    vector) SUM of bigints. No cartesian, no float-order sensitivity;
+    top-k per probe via row_number (ties by neighbor id).
+
+    Probes here are the ``n_queries`` lowest-id corpus vectors (the
+    deterministic oracle-expressible choice); production would pass an
+    arbitrary probe table through the same LUT construction.
+
+    Output: (vec_id, neighbor_id, adc_q BIGINT — squared-L2 on the
+    1e-6 grid, rank)."""
+    sub = pq_subvectors(df, dim, m_subs, vec_col, id_col)
+    codebook = pq_train_codebook(sub, n_codes, scale)
+    # cut lineage: codebook is tiny (m_subs*n_codes rows) but feeds
+    # BOTH the encode pass and the LUT; without the cut each consumer
+    # re-runs the training corpus pass.
+    codebook = codebook.localCheckpoint(eager=True)
+
+    codes = _pq_assign(sub, codebook).select("vec_id", "m", "code")
+
+    diff_sq = F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    lut = (
+        sub.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codebook), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            F.floor(dist * scale + F.lit(0.5)).cast("bigint").alias("dq"),
+        )
+    )
+
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_q"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", "adc_q", "rank")
+    )

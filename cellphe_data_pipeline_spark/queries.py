@@ -3287,6 +3287,102 @@ def v8(spark, sf_dir):
     )
 
 
+def _pq_oracle_sql(
+    dim: int = EMB_DIM,
+    m_subs: int = 4,
+    n_codes: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB mirror of pq_topk: identical subvector slices, the v8
+    fixed-point Lloyd iteration replayed per subspace, identical
+    sequential diff-square folds (list_dot_product of the diff vector)
+    and identical 1e-6-grid LUT rounding — so codes, LUT entries and
+    the exact-bigint ADC sums are bit-equal, and the row_number ties
+    break identically."""
+    sub = dim // m_subs
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(m AS INT) AS m,
+             v[(m*{sub}+1):((m+1)*{sub})] AS sv
+      FROM e, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)
+    ),
+    seeds AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {n_codes}),
+    a1 AS (
+      SELECT sub.vec_id, sub.m, sub.sv, s.code,
+             list_dot_product(list_transform(sub.sv, (x, i) -> x - s.cv[i]),
+                              list_transform(sub.sv, (x, i) -> x - s.cv[i])) AS dist
+      FROM sub JOIN seeds s ON sub.m = s.m
+    ),
+    asg AS (
+      SELECT vec_id, m, sv, code,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+      FROM a1
+    ),
+    parts AS (
+      SELECT m, code, i AS dim,
+             CAST(floor(sv[i] * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM asg, UNNEST(generate_series(1, len(sv))) AS g(i)
+      WHERE rn = 1
+    ),
+    cb1 AS (
+      SELECT m, code, dim,
+             CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS cval
+      FROM parts GROUP BY m, code, dim
+    ),
+    cb AS (SELECT m, code, list(cval ORDER BY dim) AS cv FROM cb1 GROUP BY m, code),
+    enc1 AS (
+      SELECT sub.vec_id, sub.m, cb.code,
+             list_dot_product(list_transform(sub.sv, (x, i) -> x - cb.cv[i]),
+                              list_transform(sub.sv, (x, i) -> x - cb.cv[i])) AS dist
+      FROM sub JOIN cb ON sub.m = cb.m
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM enc1) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS qid, sub.m, cb.code,
+             CAST(floor(list_dot_product(list_transform(sub.sv, (x, i) -> x - cb.cv[i]),
+                                         list_transform(sub.sv, (x, i) -> x - cb.cv[i]))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+      FROM sub JOIN cb ON sub.m = cb.m
+      WHERE sub.vec_id < {n_queries}
+    ),
+    sc AS (
+      SELECT l.qid, enc.vec_id AS neighbor_id, SUM(l.dq) AS adc_q
+      FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
+      WHERE l.qid <> enc.vec_id
+      GROUP BY l.qid, enc.vec_id
+    )
+    SELECT CAST(vec_id AS INT) AS vec_id,
+           CAST(neighbor_id AS INT) AS neighbor_id,
+           CAST(adc_q AS BIGINT) AS adc_q,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid AS vec_id, neighbor_id, adc_q,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_q, neighbor_id) AS rank
+      FROM sc
+    ) r WHERE rank <= {k}
+    """
+
+
+@register("v9_pq_topk", _pq_oracle_sql())
+def v9(spark, sf_dir):
+    """Product-quantization ADC kNN (r5c; similarity.py pq_topk) — the
+    compressed-index ANN scale path: vectors stored as m_subs one-byte
+    codes (64x cut at dim=64), codebook trained in-engine with one
+    fixed-point Lloyd iteration per subspace (v8's bit-exact idiom),
+    queries scored via a broadcast distance LUT + ONE combinable
+    bigint-SUM groupBy. Recall vs exact kNN is property-tested in
+    tests/test_dedup_text_similarity.py."""
+    from cellphe_data_pipeline_spark.operators.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
 
 def _stage_dir(name: str) -> str:
     """Bounded staging dir for the edge-I/O golden queries: one fixed
@@ -3751,6 +3847,7 @@ def c6(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
+    "v9_pq_topk",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

@@ -718,3 +718,102 @@ def test_minhash_expr_bands_plan_has_no_filter(spark):
     assert "Filter" not in plan
     # and the short doc vanished via the empty array, not a filter
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_pq_topk_recall_and_exact_adc(spark):
+    """PQ ADC vs numpy oracle: codes, LUT entries and ADC sums are
+    replayed in numpy with the identical fixed-point rules; recall@5
+    vs exact squared-L2 kNN must clear 0.5 on clustered data."""
+    from cellphe_data_pipeline_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(3)
+    # clustered corpus so PQ cells are meaningful
+    centers = rng.randn(6, 16) * 3
+    vecs = np.concatenate(
+        [centers[i % 6] + rng.randn(1, 16) * 0.4 for i in range(120)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # 32 codewords: with ~6 true clusters that's ~5 cells per cluster,
+    # so same-code tie sets stay small enough for identity recall@5 to
+    # be meaningful (with 8 codewords a whole 20-member cluster shares
+    # one code and tie-breaking caps recall near 5/19 by construction)
+    m_subs, n_codes, n_queries, k = 4, 32, 10, 5
+    sub = 16 // m_subs
+    v = vecs.astype(np.float64)
+
+    def np_pq():
+        sv = v.reshape(len(v), m_subs, sub)  # (n, m, sub)
+        seeds = sv[:n_codes]                 # (codes, m, sub)
+        # assignment to seeds
+        d = ((sv[:, None] - seeds.transpose(1, 0, 2)[None].transpose(0, 2, 1, 3)) ** 2)
+        # simpler: loop
+        cb = np.zeros((m_subs, n_codes, sub))
+        members = [[[] for _ in range(n_codes)] for _ in range(m_subs)]
+        for m in range(m_subs):
+            dist = ((sv[:, m][:, None, :] - seeds[:, m][None]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            q = np.floor(sv[:, m] * 1e6 + 0.5).astype(np.int64)
+            for c in range(n_codes):
+                sel = q[a == c]
+                if len(sel):
+                    cb[m, c] = sel.sum(0).astype(np.float64) / len(sel) / 1e6
+                    members[m][c] = sel
+        codes = np.zeros((len(v), m_subs), dtype=np.int64)
+        for m in range(m_subs):
+            live = [c for c in range(n_codes) if len(members[m][c])]
+            dist = ((sv[:, m][:, None, :] - cb[m, live][None]) ** 2).sum(-1)
+            codes[:, m] = np.array(live)[dist.argmin(1)]
+        # LUT + ADC for the probe set
+        out = {}
+        for qid in range(n_queries):
+            dq = np.zeros((m_subs, n_codes), dtype=np.int64)
+            for m in range(m_subs):
+                for c in range(n_codes):
+                    dq[m, c] = np.int64(
+                        np.floor(((sv[qid, m] - cb[m, c]) ** 2).sum() * 1e6 + 0.5)
+                    )
+            adc = {
+                nb: int(sum(dq[m, codes[nb, m]] for m in range(m_subs)))
+                for nb in range(len(v)) if nb != qid
+            }
+            out[qid] = sorted(adc.items(), key=lambda t: (t[1], t[0]))[:k]
+        return out
+
+    exp = np_pq()
+    got = {}
+    rows = pq_topk(df, dim=16, m_subs=m_subs, n_codes=n_codes,
+                   n_queries=n_queries, k=k).collect()
+    for r in rows:
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["adc_q"]))
+    for qid in range(n_queries):
+        want = [(i + 1, nb, adc) for i, (nb, adc) in enumerate(exp[qid])]
+        assert sorted(got[qid]) == want, qid
+    # recall@5 vs exact squared-L2 kNN
+    hits = total = 0
+    for qid in range(n_queries):
+        d2 = ((v - v[qid]) ** 2).sum(1)
+        d2[qid] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[:k])
+        approx = {nb for _, nb, _ in got[qid]}
+        hits += len(exact & approx)
+        total += k
+    assert hits / total > 0.5, f"recall {hits}/{total}"
+
+
+def test_pq_topk_plan_broadcasts_lut_no_cartesian(spark):
+    """Scale-shape gate: the ADC scoring join must be a broadcast hash
+    join of the tiny LUT against the code table — never a shuffle of
+    the corpus on anything but its own keys, never a cartesian."""
+    from cellphe_data_pipeline_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = pq_topk(df, dim=4, m_subs=2, n_codes=4, n_queries=3, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
