@@ -3829,6 +3829,65 @@ def c6(spark, sf_dir):
     )
 
 
+@register(
+    "c7_incremental_upsert",
+    """
+    WITH hist AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    base AS (
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM hist) t WHERE rn = 1
+    ),
+    chg AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             (event_type = 'error') AS is_delete
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    u AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             FALSE AS is_delete, 0 AS src FROM base
+      UNION ALL
+      SELECT user_id, event_id, ts, event_type, value, is_delete, 1 FROM chg
+    ),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY src DESC, ts DESC, event_id DESC) AS rn
+      FROM u
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM w WHERE rn = 1 AND NOT is_delete
+    """,
+)
+def c7(spark, sf_dir):
+    """Incremental latest-wins upsert merge (r5c; operators/cdc.py) —
+    the MERGE INTO / SCD-1 maintenance step of an incremental corpus
+    ingest: a keyed base snapshot (here the collapsed pre-cutoff event
+    state) folds in an op log (post-cutoff events; 'error' rows act as
+    delete tombstones) via ONE union + ONE key-window — a single
+    |B|+|C| shuffle, no join, no point lookups. With the base bucketed
+    on the key only the change log moves."""
+    from cellphe_data_pipeline_spark.operators.cdc import collapse_log, merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    base = collapse_log(ev.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"])
+    changes = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    out = merge_upsert(base, changes, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3848,6 +3907,7 @@ def c6(spark, sf_dir):
 _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
     "v9_pq_topk",
+    "c7_incremental_upsert",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

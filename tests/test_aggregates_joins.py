@@ -263,3 +263,46 @@ def test_asof_join_semantics(spark):
         "p2": ("c3", 15),   # latest prior of several
         "p3": (None, None), # right row at t=9 is AFTER t=5: no match
     }
+
+
+def test_merge_upsert_semantics(spark):
+    """CDC latest-wins merge: change beats base, greatest seq wins among
+    changes, tombstone removes the key, untouched base keys survive."""
+    from cellphe_data_pipeline_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [("A", 1, 10.0), ("B", 1, 20.0), ("D", 1, 40.0)],
+        "k string, seq int, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("A", 2, 11.0, False),
+            ("A", 3, 12.0, False),   # latest update for A wins
+            ("B", 2, 0.0, True),     # tombstone: B vanishes
+            ("C", 2, 30.0, False),   # brand-new key inserted
+            ("E", 2, 50.0, True),    # tombstone for a key not in base
+        ],
+        "k string, seq int, v double, is_delete boolean",
+    )
+    out = {r["k"]: (r["seq"], r["v"])
+           for r in merge_upsert(base, changes, ["k"], ["seq"]).collect()}
+    assert out == {"A": (3, 12.0), "C": (2, 30.0), "D": (1, 40.0)}
+
+
+def test_merge_upsert_plan_no_join(spark):
+    """Scale gate: the merge is the union+window composition — there
+    must be NO join operator anywhere in the plan, and the only wide
+    operation is the key-partitioned window."""
+    from cellphe_data_pipeline_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([("A", 1, 1.0)], "k string, seq int, v double")
+    changes = spark.createDataFrame(
+        [("A", 2, 2.0, False)], "k string, seq int, v double, is_delete boolean"
+    )
+    p = (
+        merge_upsert(base, changes, ["k"], ["seq"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "No Partition Defined" not in p
