@@ -40,6 +40,18 @@ from cellphe_data_pipeline_spark.operators.graph import connected_components
 #: and rationale as plans/pipeline.py TL_DIM_DRIVER_CAP.
 TRACK_DIM_DRIVER_CAP = 100_000
 
+#: edge count under which the WHOLE renumbering runs driver-side through
+#: ``renumber_tracks_oracle`` (exact-equality property-tested against
+#: the distributed form, tests/test_domain.py). A lineage graph is
+#: per-experiment bounded (one edge per linked detection pair: the
+#: reference's 726-frame run has ~10^4), while the distributed path
+#: costs ~6 scheduled jobs (keep-edge checkpoint, CC, label checkpoint,
+#: head numbering, final join) — a pure scheduling floor at these sizes.
+#: 500k edges ≈ tens of MB of driver memory; beyond it the fully
+#: distributed path runs unchanged. Same bounded-smallness pattern as
+#: TL_DIM_DRIVER_CAP and graph.CC_DRIVER_FINISH_CAP.
+EDGE_DRIVER_CAP = 500_000
+
 
 def keep_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Edges that continue a track: min-child of the parent AND
@@ -60,13 +72,39 @@ def renumber_tracks(
     src: str = "src",
     dst: str = "dst",
     loop_shuffle_partitions: int | None = None,
+    edge_driver_cap: int = EDGE_DRIVER_CAP,
 ) -> DataFrame:
     """Assign 1-indexed TRACK_ID to every non-isolated node.
 
     Output: (id_col, frame_col, TRACK_ID). Isolated nodes (no edges)
     are dropped, as in the reference (parse_xml.py:115-118).
+
+    ``edge_driver_cap``: see EDGE_DRIVER_CAP; pass 0 to force the fully
+    distributed path (the property tests exercise both and assert exact
+    TRACK_ID equality).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if edge_driver_cap:
+        edge_rows = e.take(edge_driver_cap + 1)
+        if len(edge_rows) <= edge_driver_cap:
+            spark = nodes.sparkSession
+            edge_list = [(r["src"], r["dst"]) for r in edge_rows]
+            touched = sorted({n for uv in edge_list for n in uv})
+            id_type = dict(nodes.dtypes)[id_col]
+            frame_type = dict(nodes.dtypes)[frame_col]
+            node_rows = nodes.join(
+                F.broadcast(
+                    spark.createDataFrame([(n,) for n in touched], f"{id_col} {id_type}")
+                ),
+                id_col,
+                "left_semi",
+            ).select(id_col, frame_col).collect()
+            node_list = [(r[id_col], r[frame_col]) for r in node_rows]
+            tid = renumber_tracks_oracle(node_list, edge_list)
+            return spark.createDataFrame(
+                [(i, f, tid[i]) for i, f in node_list],
+                f"{id_col} {id_type}, {frame_col} {frame_type}, TRACK_ID int",
+            )
     touched = (
         e.select(F.col("src").alias(id_col))
         .union(e.select(F.col("dst").alias(id_col)))

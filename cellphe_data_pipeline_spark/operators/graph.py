@@ -116,6 +116,20 @@ def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
     return e.repartitionByRange(num_parts, "u").mapInPandas(star, e.schema)
 
 
+#: contracted-edge count under which the CC alternation is FINISHED on
+#: the driver in one union-find pass (~16 bytes/row ⇒ the cap is ~16 MB
+#: of driver memory). Same bounded-smallness pattern as the pipeline's
+#: TL_DIM_DRIVER_CAP / lineage's TRACK_DIM_DRIVER_CAP, and the same
+#: runtime-adaptive rationale as AQE demoting a shuffle join to
+#: broadcast: after the partition-local contraction the surviving
+#: cross-partition star graph is usually orders of magnitude smaller
+#: than the input, and ONE take() + in-memory union-find replaces
+#: O(log n) scheduled rounds of (2 shuffles + checkpoint + probe) —
+#: the dominant cost of iterative CC on all but genuinely huge graphs.
+#: Beyond the cap the distributed alternation runs unchanged.
+CC_DRIVER_FINISH_CAP = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -123,6 +137,7 @@ def connected_components(
     max_iter: int = 50,
     loop_shuffle_partitions: int | None = None,
     pre_contract: bool = True,
+    driver_finish_cap: int = CC_DRIVER_FINISH_CAP,
 ) -> DataFrame:
     """Undirected connected components → (node, component=min node id).
 
@@ -137,6 +152,9 @@ def connected_components(
     session's shuffle-partition conf is lowered for the duration of the
     loop (restored after). Measured locally at sf0.1: 32→8 partitions is
     1.4× faster end-to-end; on a cluster size it ~= edge_bytes / 64 MiB.
+
+    ``driver_finish_cap``: see CC_DRIVER_FINISH_CAP; pass 0 to force the
+    fully distributed loop (the property tests exercise both paths).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -192,6 +210,41 @@ def connected_components(
         # edge list several times (e ∪ swap(e), then the join) and would
         # otherwise recompute the upstream lineage per reference
         e = e.localCheckpoint(eager=True)
+        if driver_finish_cap:
+            # bounded driver finish (see CC_DRIVER_FINISH_CAP): probe the
+            # contracted edge count with one limit-pushed take() on the
+            # checkpointed list; within the cap, finish the union-find
+            # centrally and return a size-known local relation (so the
+            # caller's label join can BROADCAST it).
+            rows = e.take(driver_finish_cap + 1)
+            if len(rows) <= driver_finish_cap:
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for r in rows:
+                    u, v = r["u"], r["v"]
+                    if u not in parent:
+                        parent[u] = u
+                    if v not in parent:
+                        parent[v] = v
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        if ru < rv:
+                            parent[rv] = ru
+                        else:
+                            parent[ru] = rv
+                node_type = dict(e.dtypes)["u"]
+                return spark.createDataFrame(
+                    [(n, find(n)) for n in parent],
+                    f"node {node_type}, component {node_type}",
+                )
         prev_hash: tuple | int = -1
         for i in range(max_iter):
             e = small_star(large_star(e)).localCheckpoint(eager=True)

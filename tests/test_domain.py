@@ -133,6 +133,17 @@ def test_renumber_tracks_random_vs_oracle(spark):
     }
     want = renumber_tracks_oracle(nodes, edges)
     assert got == want
+    # the bounded driver path (default) and the fully distributed path
+    # must assign IDENTICAL track ids
+    distributed = {
+        r["ID"]: r["TRACK_ID"]
+        for r in renumber_tracks(
+            spark.createDataFrame(nodes, "ID bigint, FRAME int"),
+            spark.createDataFrame(edges, "src bigint, dst bigint"),
+            edge_driver_cap=0,
+        ).collect()
+    }
+    assert distributed == want
 
 
 def test_roi_interpolation(spark):

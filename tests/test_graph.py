@@ -103,6 +103,13 @@ def test_cc_pre_contract_equivalence(spark):
     }
     assert with_pre == without
     assert _partition(with_pre) == _partition(_uf_components(edges))
+    # the bounded driver-finish fast path (take + central union-find)
+    # and the fully distributed alternation must agree exactly
+    distributed = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_finish_cap=0).collect()
+    }
+    assert with_pre == distributed
 
 
 def test_cc_empty_and_single_edge(spark):
