@@ -3242,6 +3242,89 @@ def t8(spark, sf_dir):
 
 
 @register(
+    "t9_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT source, SUM(n_chars) AS sm, SUM(n_chars * n_chars) AS sq,
+             COUNT(*) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           ROUND((d.n_chars - CAST(sm AS DOUBLE) / n)
+                 / sqrt(CAST(sq AS DOUBLE) / n
+                        - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)),
+                 6) AS z,
+           (abs((d.n_chars - CAST(sm AS DOUBLE) / n)
+                / sqrt(CAST(sq AS DOUBLE) / n
+                       - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)))
+            > 2.0) AS is_outlier
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def t9(spark, sf_dir):
+    """Per-source statistical outlier gate (r5c) — the distribution-
+    drift monitor a corpus ingest runs on every batch: z-score of doc
+    length against its source's population mean/stddev. The moments
+    come from EXACT int64 power sums (n_chars is integral, so sum and
+    sum-of-squares are reduction-order-independent bigints — the A8
+    power-sum idiom), and mean/var/z derive from them in one identical
+    expression tree in both engines ⇒ bit-stable at any partitioning.
+    ONE combinable groupBy (a handful of source rows) broadcast back
+    over the corpus — no window, no second shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = F.broadcast(
+        docs.groupBy("source").agg(
+            F.sum("n_chars").alias("sm"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mean = F.col("sm").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mean * mean
+    z = (F.col("n_chars") - mean) / F.sqrt(var)
+    return (
+        docs.join(stats, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "a12_group_quantiles",
+    """
+    SELECT source,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS q25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS q75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS q95,
+           COUNT(*) AS n
+    FROM documents GROUP BY source
+    """,
+)
+def a12(spark, sf_dir):
+    """Per-source length-distribution profile (r5c): EXACT linear-
+    interpolated quantiles (type-7, the Spark `percentile` == DuckDB
+    `quantile_cont` definition) at p25/p50/p75/p95 — the distribution
+    fingerprint batch-over-batch corpus monitoring diffs. Exactness
+    extends A3's single exact median to a quantile VECTOR in one
+    combinable aggregate; at 100 TB the same call swaps to
+    percentile_approx (t-digest) — the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.lit([0.25, 0.5, 0.75, 0.95]))
+    return docs.groupBy("source").agg(
+        F.round(F.element_at(pct, 1), 6).alias("q25"),
+        F.round(F.element_at(pct, 2), 6).alias("q50"),
+        F.round(F.element_at(pct, 3), 6).alias("q75"),
+        F.round(F.element_at(pct, 4), 6).alias("q95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "v8_kmeans_train",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3908,6 +3991,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- new in round 5 (never driver-proven) ---
     "v9_pq_topk",
     "c7_incremental_upsert",
+    "t9_zscore_outliers",
+    "a12_group_quantiles",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",
