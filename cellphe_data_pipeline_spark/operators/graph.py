@@ -269,3 +269,76 @@ def connected_components(
     mins = labels.groupBy("node").agg(F.min("component").alias("component"))
     comp_ids = mins.select(F.col("component").alias("node"), F.col("component"))
     return mins.union(comp_ids).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank — the link-authority score web-corpus
+    curation weighs domains/documents by (public technique; the
+    CommonCrawl-style quality prior).
+
+    All arithmetic is INTEGER on a 1e-6 grid: ranks are int64
+    micro-units, a node's per-edge contribution is rank div out_degree
+    (truncating integer division — exact and identical in any engine),
+    the in-neighbor SUM is an order-independent int64 reduction, and
+    damping applies as (sum * damping_pct) div 100. Every quantity is
+    therefore bit-equal at any partitioning / engine — the float
+    formulation's unordered double sums are not. Deviation from float
+    PageRank is O(1e-6) per term; dangling-mass redistribution is
+    deliberately omitted (documented deviation — rank leaks at sinks,
+    as in the common sparse formulation).
+
+    Scale shape per iteration: ONE combinable groupBy(dst) int64 sum +
+    one join of the rank vector to the out-degree table — both shuffles
+    keyed on node id; the rank vector is one int64 per node. The loop
+    localCheckpoints per round (lineage cut, same as the CC loop).
+    Output: (node, rank_q BIGINT micro-units).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base_q = (scale * (100 - damping_pct)) // (100 * n_nodes)
+    init_q = scale // n_nodes
+    ranks = nodes.withColumn("rank_q", F.lit(init_q).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(e, ranks["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_q div outdeg").alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base_q).cast("bigint")
+                    + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -3241,6 +3241,62 @@ def t8(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
+    """DuckDB mirror of operators/graph.pagerank on the customer→
+    supplier order graph: the fixed-point iteration unrolled — every
+    quantity is an int64 (truncating integer division for the per-edge
+    contribution and the damping), so the unordered SUMs are exact and
+    the ranks bit-equal."""
+    sql = """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 10000000 AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY u),
+    r0 AS (SELECT node, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS rank_q
+           FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.v AS node, SUM({prev}.rank_q // od.outdeg) AS s
+      FROM {prev} JOIN od USING (node) JOIN e ON e.u = {prev}.node
+      GROUP BY e.v
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST((1000000 * {100 - damping_pct}) // (100 * (SELECT n FROM nn)) AS BIGINT)
+             + (COALESCE(c{i}.s, 0) * {damping_pct}) // 100 AS rank_q
+      FROM nodes LEFT JOIN c{i} USING (node)
+    )"""
+        prev = f"r{i}"
+    return sql + f"\n    SELECT node, rank_q FROM {prev}"
+
+
+@register("g5_pagerank", _pagerank_oracle_sql())
+def g5(spark, sf_dir):
+    """Fixed-point PageRank (r5c; operators/graph.py pagerank) over the
+    customer→supplier order graph — the link-authority prior web-corpus
+    curation weighs sources by. Integer micro-unit arithmetic makes the
+    iteration bit-exact at any partitioning (unordered int64 sums;
+    truncating div for contributions and damping); per iteration: one
+    combinable groupBy(dst) sum + one node-keyed join. Suppliers offset
+    by 1e7 to disambiguate the two key spaces."""
+    from cellphe_data_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
+
+
 @register(
     "t9_zscore_outliers",
     """
@@ -3993,6 +4049,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c7_incremental_upsert",
     "t9_zscore_outliers",
     "a12_group_quantiles",
+    "g5_pagerank",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

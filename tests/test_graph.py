@@ -118,3 +118,30 @@ def test_cc_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], "src bigint, dst bigint")
     got = {r["node"]: r["component"] for r in connected_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_pagerank_fixed_point_vs_python(spark):
+    """Integer micro-unit PageRank replayed exactly in python; the hub
+    (most-linked) node must outrank leaves."""
+    from cellphe_data_pipeline_spark.operators.graph import pagerank
+
+    # star into 1 plus a chain: 1 is the authority
+    edges = [(2, 1), (3, 1), (4, 1), (5, 1), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (1_000_000 * 15) // (100 * n)
+    r = {v: 1_000_000 // n for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: base + (s[v] * 85) // 100 for v in nodes}
+    assert got == r
+    assert got[1] == max(got.values())
+    assert all(got[1] > got[v] for v in (2, 4))
