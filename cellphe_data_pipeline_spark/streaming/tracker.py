@@ -569,3 +569,85 @@ def streaming_minhash_neardup(
     if hasattr(joined, "dropDuplicatesWithinWatermark"):
         return joined.dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
     return joined.dropDuplicates(["doc_a", "doc_b", "ts_b"])
+
+
+# ---------------------------------------------------------------------
+# Streaming CDC upsert (the operators/cdc.merge_upsert twin)
+# ---------------------------------------------------------------------
+
+UPSERT_STATE = T.StructType(
+    [
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("typ", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+UPSERT_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("is_delete", T.BooleanType()),
+    ]
+)
+
+
+def streaming_upsert(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t_ms",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    delete_type: str = "error",
+) -> DataFrame:
+    """Latest-wins CDC state as a stream — the incremental twin of
+    ``operators/cdc.merge_upsert`` (same (t, seq) total order, same
+    tombstone semantics): per-key state holds the current winner; each
+    micro-batch emits the key's refreshed snapshot row, ``is_delete``
+    marking keys a tombstone currently removes. State is ONE fixed-size
+    row per live key (the snapshot itself — not a buffer), so state
+    size tracks the key cardinality exactly like the batch output, and
+    a downstream sink applying the rows in arrival order materialises
+    the same table the batch merge produces."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            t_ms, seq, typ, val, deleted = state.get
+        else:
+            t_ms = seq = typ = val = deleted = None
+        for pdf in pdfs:
+            for _, r in pdf.sort_values([t_col, seq_col]).iterrows():
+                rt, rs = int(r[t_col]), int(r[seq_col])
+                if t_ms is None or (rt, rs) > (t_ms, seq):
+                    t_ms, seq = rt, rs
+                    typ = str(r[type_col])
+                    val = float(r[value_col])
+                    deleted = typ == delete_type
+        state.update((t_ms, seq, typ, val, deleted))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "t_ms": t_ms,
+                    "last_seq": seq,
+                    "last_type": typ,
+                    "last_value": val,
+                    "is_delete": deleted,
+                }
+            ],
+            columns=[f.name for f in UPSERT_OUT.fields],
+        )
+
+    return changes.groupBy(key_col).applyInPandasWithState(
+        update, UPSERT_OUT, UPSERT_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -508,3 +508,71 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
     assert (3, 4) in got
+
+
+def test_streaming_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
+    """The streaming latest-wins CDC state, drained across MULTIPLE
+    micro-batches (maxFilesPerTrigger=1), must finish at exactly the
+    batch merge_upsert snapshot: same winners, same tombstoned keys."""
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_upsert
+
+    ev, _ = _stage_events(spark, sf_dir, tmp_path, n_users=15)
+    prep = ev.select(
+        "user_id",
+        (F.col("ts").cast("double") * 1000).cast("long").alias("t_ms"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    staged = str(tmp_path / "upsert_stream")
+    # several files => several micro-batches => state chains batches
+    prep.repartition(4).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_upsert(stream)
+        .writeStream.format("memory")
+        .queryName("upsert_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM upsert_test").collect()
+    # a sink applying rows in arrival order keeps each key's LAST row;
+    # memory sink appends in batch order, so last occurrence wins
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["t_ms"], r["last_seq"], r["last_type"],
+                           r["last_value"], r["is_delete"])
+
+    # batch oracle: latest-wins winner per key over the whole log
+    want = {}
+    for r in prep.collect():
+        k = r["user_id"]
+        cand = (r["t_ms"], r["event_id"])
+        if k not in want or cand > (want[k][0], want[k][1]):
+            want[k] = (r["t_ms"], r["event_id"], r["event_type"],
+                       r["value"], r["event_type"] == "error")
+    assert final == want
+    # and the live (non-tombstoned) snapshot equals merge_upsert run on
+    # (empty base + full log)
+    from cellphe_data_pipeline_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [], "user_id bigint, t_ms long, event_id bigint, event_type string, value double"
+    )
+    merged = {
+        r["user_id"]: (r["t_ms"], r["event_id"])
+        for r in merge_upsert(
+            base,
+            prep.withColumn("is_delete", F.col("event_type") == "error"),
+            ["user_id"],
+            ["t_ms", "event_id"],
+        ).collect()
+    }
+    live = {k: (v[0], v[1]) for k, v in final.items() if not v[4]}
+    assert live == merged
