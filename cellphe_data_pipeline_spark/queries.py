@@ -2862,6 +2862,52 @@ def w8(spark, sf_dir):
     )
 
 
+def _ewma_terms(k: int = 8) -> tuple[str, str]:
+    """Shared numerator/denominator SQL for the finite-horizon EWMA:
+    identical text runs in Spark SQL and DuckDB (inline OVER per lag),
+    so the expression trees — and with α=1/2 the arithmetic
+    (binary-fraction weights: every product is an exact scaling,
+    summed in fixed left-to-right order) — are bit-identical."""
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    num = ["value"]
+    den = ["1.0"]
+    for i in range(1, k):
+        w = 0.5**i
+        num.append(f"COALESCE(LAG(value, {i}) {over} * {w!r}, 0.0)")
+        den.append(
+            f"(CASE WHEN LAG(value, {i}) {over} IS NULL THEN 0.0 ELSE {w!r} END)"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "w9_ewma",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM events WHERE user_id < 50
+    """.format(num=_ewma_terms()[0], den=_ewma_terms()[1]),
+)
+def w9(spark, sf_dir):
+    """Finite-horizon EWMA (r5c) — decayed trend smoothing for metric
+    monitoring: α=1/2 over the last 8 observations per user, weights
+    renormalised over the lags that exist (so early rows are unbiased).
+    The truncated-horizon form is what makes the op ONE keyed window
+    (the recursive definition needs sequential state — that's the
+    streaming operators' territory); horizon error is (1-α)^8 < 0.4%.
+    α=1/2 ⇒ every weight is a binary fraction: products are exact
+    scalings and the fixed-order sum is bit-identical in any engine.
+    All 8 lags share one window spec ⇒ one shuffle, one sort."""
+    num, den = _ewma_terms()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "value",
+        f"ROUND(({num}) / ({den}), 6) AS ewma",
+    )
+
+
 @register(
     "o6_limit_per_group",
     """
@@ -4050,6 +4096,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t9_zscore_outliers",
     "a12_group_quantiles",
     "g5_pagerank",
+    "w9_ewma",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",
