@@ -297,3 +297,95 @@ def clip_segments(cuts: DataFrame) -> DataFrame:
         )
         .select(*[f.name for f in CLIP_SCHEMA.fields])
     )
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("samples", T.BinaryType()),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_q", T.LongType()),
+        T.StructField("sumsq_q", T.LongType()),
+        T.StructField("first_val", T.IntegerType()),
+        T.StructField("last_val", T.IntegerType()),
+    ]
+)
+
+
+def resample_audio(clips: DataFrame, dst_rate: int = 12000) -> DataFrame:
+    """INTEGER-EXACT linear-interpolation resample of PCM16 clips — the
+    sample-rate normalisation step an audio training corpus runs before
+    feature extraction (every clip to one canonical rate).
+
+    All interpolation math is integer: output sample i sits at source
+    position i*src/dst, split as idx = (i*src) div dst and fractional
+    numerator f = (i*src) mod dst; the value is
+    x[idx] + ((x[idx+1]-x[idx]) * f) div dst (truncating int division,
+    clamped at the tail) — bit-identical on every engine/partitioning,
+    no float rounding ambiguity. Stateless per clip ⇒ one mapInPandas
+    pass, rows stream one Arrow batch per input batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                src_rate, pcm = decode_audio(bytes(row["content"]))
+                x = pcm.astype(np.int64)
+                n_out = (len(x) * dst_rate) // src_rate if len(x) else 0
+                if n_out == 0:
+                    out = np.zeros(0, dtype="<i2")
+                else:
+                    i = np.arange(n_out, dtype=np.int64)
+                    pos = i * src_rate
+                    idx = pos // dst_rate
+                    f = pos % dst_rate
+                    idx = np.minimum(idx, len(x) - 1)
+                    nxt = np.minimum(idx + 1, len(x) - 1)
+                    out = (x[idx] + ((x[nxt] - x[idx]) * f) // dst_rate).astype("<i2")
+                rows.append(
+                    {
+                        "path": row["path"],
+                        "sample_rate": int(dst_rate),
+                        "n_samples": int(len(out)),
+                        "samples": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields])
+
+    return clips.select("path", "content").mapInPandas(kernel, RESAMPLE_SCHEMA)
+
+
+def audio_stats(resampled: DataFrame) -> DataFrame:
+    """Exact integer summary of a PCM16 payload column (count, int64
+    sum and sum-of-squares, first/last samples) — the per-clip
+    fingerprint used to golden-check resampling end-to-end without
+    shipping every sample through the oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                x = np.frombuffer(row["samples"], dtype="<i2").astype(np.int64)
+                rows.append(
+                    {
+                        "path": row["path"],
+                        "sample_rate": int(row["sample_rate"]),
+                        "n_samples": int(len(x)),
+                        "sum_q": int(x.sum()) if len(x) else 0,
+                        "sumsq_q": int((x * x).sum()) if len(x) else 0,
+                        "first_val": int(x[0]) if len(x) else 0,
+                        "last_val": int(x[-1]) if len(x) else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return resampled.mapInPandas(kernel, AUDIO_STATS_SCHEMA)

@@ -3126,6 +3126,34 @@ def mm2(spark, sf_dir):
 
 
 @register(
+    "mm5_audio_resample",
+    """
+    SELECT path, CAST(r AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+           CAST(s AS BIGINT) AS sum_q, CAST(sq AS BIGINT) AS sumsq_q,
+           CAST(fv AS INT) AS first_val, CAST(lv AS INT) AS last_val
+    FROM (VALUES
+      ('au5.fake', 12000, 6750, 119594, 957267465128, 1445, 3493),
+      ('au6.fake', 12000, 3375, 212516, 480175411490, -1021, -18415)
+    ) AS t(path, r, n, s, sq, fv, lv)
+    """,
+)
+def mm5(spark, sf_dir):
+    """Audio sample-rate normalisation (r5c, media.py resample_audio):
+    INTEGER-EXACT linear-interpolation resample 16 kHz → 12 kHz (index
+    and fraction as truncating integer div/mod — bit-identical on every
+    engine, no float rounding ambiguity), summarised per clip by the
+    exact integer fingerprint (count / int64 sum / sum-of-squares /
+    first / last). Golden: the two fixture clips; the kernel is
+    independently cross-checked against scalar-integer AND float numpy
+    replays plus the identity-resample no-op in
+    tests/test_domain.py::test_resample_audio_integer_exact_vs_numpy."""
+    from cellphe_data_pipeline_spark.domain.media import audio_stats, resample_audio
+    from cellphe_data_pipeline_spark.testing.fixtures import fake_audio_df
+
+    return audio_stats(resample_audio(fake_audio_df(spark), dst_rate=12000))
+
+
+@register(
     "mm3_clip_segments",
     """
     SELECT path, CAST(ci AS INT) AS clip_index,
@@ -4097,6 +4125,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a12_group_quantiles",
     "g5_pagerank",
     "w9_ewma",
+    "mm5_audio_resample",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

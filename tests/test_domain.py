@@ -1958,3 +1958,58 @@ def test_label_components_runs_overflow_guard():
     cb = np.indices((side, side)).sum(0) % 2 == 0
     with pytest.raises(ValueError, match="65535"):
         label_components_runs(cb)
+
+
+def test_resample_audio_integer_exact_vs_numpy(spark):
+    """mm5 anti-circularity oracle: the integer linear-interp resample
+    replayed independently in numpy float arithmetic must agree to the
+    truncation contract, and an integer replay must agree EXACTLY;
+    identity resample (src==dst) must be a byte-for-byte no-op."""
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.media import (
+        audio_stats,
+        decode_audio,
+        make_fake_audio,
+        resample_audio,
+    )
+
+    clips = [(f"c{i}.fake", bytearray(make_fake_audio(seed=40 + i, n_samples=5000)))
+             for i in range(3)]
+    df = spark.createDataFrame(clips, "path string, content binary")
+    got = {
+        r["path"]: np.frombuffer(r["samples"], dtype="<i2")
+        for r in resample_audio(df, dst_rate=12000).collect()
+    }
+    for path, content in clips:
+        src_rate, pcm = decode_audio(bytes(content))
+        x = pcm.astype(np.int64)
+        n_out = (len(x) * 12000) // src_rate
+        exp = np.empty(n_out, dtype=np.int64)
+        for i in range(n_out):           # scalar integer replay
+            pos = i * src_rate
+            idx = min(pos // 12000, len(x) - 1)
+            nxt = min(idx + 1, len(x) - 1)
+            exp[i] = x[idx] + ((x[nxt] - x[idx]) * (pos % 12000)) // 12000
+        assert np.array_equal(got[path], exp.astype("<i2")), path
+        # float replay agrees within the truncation step
+        fpos = np.arange(n_out) * src_rate / 12000
+        fi = np.minimum(fpos.astype(np.int64), len(x) - 1)
+        fn = np.minimum(fi + 1, len(x) - 1)
+        fval = x[fi] + (x[fn] - x[fi]) * (fpos - fi)
+        assert np.max(np.abs(got[path] - fval)) <= 1.0, path
+    # identity: resampling 16000 -> 16000 returns the input samples
+    ident = {
+        r["path"]: np.frombuffer(r["samples"], dtype="<i2")
+        for r in resample_audio(df, dst_rate=16000).collect()
+    }
+    for path, content in clips:
+        _, pcm = decode_audio(bytes(content))
+        assert np.array_equal(ident[path], pcm), path
+    # stats kernel agrees with direct numpy on the resampled payloads
+    stats = {r["path"]: r for r in audio_stats(resample_audio(df, dst_rate=12000)).collect()}
+    for path in got:
+        x = got[path].astype(np.int64)
+        s = stats[path]
+        assert (s["n_samples"], s["sum_q"], s["sumsq_q"], s["first_val"], s["last_val"]) == (
+            len(x), int(x.sum()), int((x * x).sum()), int(x[0]), int(x[-1]))
