@@ -3378,17 +3378,20 @@ def g5(spark, sf_dir):
       SELECT source, SUM(n_chars) AS sm, SUM(n_chars * n_chars) AS sq,
              COUNT(*) AS n
       FROM documents GROUP BY source
+    ),
+    v AS (
+      SELECT source, CAST(sm AS DOUBLE) / n AS mu,
+             CAST(sq AS DOUBLE) / n
+               - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n) AS var
+      FROM s
     )
     SELECT d.doc_id, d.source,
-           ROUND((d.n_chars - CAST(sm AS DOUBLE) / n)
-                 / sqrt(CAST(sq AS DOUBLE) / n
-                        - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)),
-                 6) AS z,
-           (abs((d.n_chars - CAST(sm AS DOUBLE) / n)
-                / sqrt(CAST(sq AS DOUBLE) / n
-                       - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)))
-            > 2.0) AS is_outlier
-    FROM documents d JOIN s USING (source)
+           CASE WHEN var > 0
+                THEN ROUND((d.n_chars - mu) / sqrt(var), 6) END AS z,
+           CASE WHEN var > 0
+                THEN abs((d.n_chars - mu) / sqrt(var)) > 2.0
+                ELSE FALSE END AS is_outlier
+    FROM documents d JOIN v USING (source)
     """,
 )
 def t9(spark, sf_dir):
@@ -3412,13 +3415,15 @@ def t9(spark, sf_dir):
     mean = F.col("sm").cast("double") / F.col("n")
     var = F.col("sq").cast("double") / F.col("n") - mean * mean
     z = (F.col("n_chars") - mean) / F.sqrt(var)
+    # var==0 (constant-length source) guarded to NULL/false explicitly:
+    # IEEE x/0.0 semantics differ across engines, so never emit them
     return (
         docs.join(stats, "source")
         .select(
             "doc_id",
             "source",
-            F.round(z, 6).alias("z"),
-            (F.abs(z) > 2.0).alias("is_outlier"),
+            F.when(var > 0, F.round(z, 6)).alias("z"),
+            F.when(var > 0, F.abs(z) > 2.0).otherwise(F.lit(False)).alias("is_outlier"),
         )
     )
 
