@@ -174,3 +174,17 @@ def test_global_numbering_has_no_single_partition_window(spark, sf_dir):
             df.explain("formatted")
         plan = buf.getvalue()
         assert "Window" not in plan, f"{name} regressed to a window plan:\n{plan}"
+
+
+def test_ewma_single_window(spark, sf_dir):
+    # all 8 lag terms must share ONE window spec: one exchange, one
+    # Window node — never a per-lag re-sort
+    p = plan(REGISTRY["w9_ewma"].fn(spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 1
+
+
+def test_pagerank_no_cartesian_broadcastable_rank(spark, sf_dir):
+    # per-iteration: node-keyed joins only; never a cartesian
+    p = plan(REGISTRY["g5_pagerank"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
