@@ -140,9 +140,12 @@ def test_summary_plan_no_cartesian(spark):
 
 
 def test_renumber_tracks_broadcasts_track_ids_under_cap(spark):
-    """Under TRACK_DIM_DRIVER_CAP the head table is numbered driver-side
-    and the final track-id join must be a BROADCAST of the tiny id
-    relation, never a shuffle of the labelled node table (r5)."""
+    """On the DISTRIBUTED path (edge_driver_cap=0 — below EDGE_DRIVER_CAP
+    the whole renumbering short-circuits to the driver oracle and the
+    plan is a LocalTableScan), under TRACK_DIM_DRIVER_CAP the head table
+    is numbered driver-side and the final track-id join must be a
+    BROADCAST of the tiny id relation, never a shuffle of the labelled
+    node table (r5)."""
     from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
 
     # 4 cells over 5 frames: node id = frame*4 + cell, edges advance one
@@ -153,10 +156,17 @@ def test_renumber_tracks_broadcasts_track_ids_under_cap(spark):
     edges = spark.createDataFrame(
         [(i, i + 4) for i in range(16)], "src long, dst long"
     )
-    tracks = renumber_tracks(nodes, edges)
+    tracks = renumber_tracks(nodes, edges, edge_driver_cap=0)
     plan = tracks._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # and the default path on the same input IS the driver short-circuit:
+    # a bare local-relation scan, no joins at all
+    local_plan = (
+        renumber_tracks(nodes, edges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in local_plan
+    assert "Exchange" not in local_plan
 
 
 def test_global_numbering_has_no_single_partition_window(spark, sf_dir):
