@@ -48,12 +48,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.resume_dir:
         from cellphe_data_pipeline_spark.domain.images import scan_images
-        from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline_resumable
+        from cellphe_data_pipeline_spark.plans.pipeline import (
+            config_to_run_kwargs,
+            run_pipeline_resumable,
+        )
 
         binaries = scan_images(spark, args.input, glob=args.glob).select(
             "path", "content"
         )
-        stages = run_pipeline_resumable(spark, binaries, args.resume_dir)
+        # same config -> same pipeline on BOTH entry paths: the resumable
+        # form takes run_pipeline kwargs, translated by the same helper
+        # run_pipeline_from_config uses
+        stages = run_pipeline_resumable(
+            spark, binaries, args.resume_dir, **config_to_run_kwargs(cfg)
+        )
     else:
         from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline_from_config
 

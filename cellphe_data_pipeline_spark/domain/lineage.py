@@ -100,11 +100,19 @@ def renumber_tracks(
                 "left_semi",
             ).select(id_col, frame_col).collect()
             node_list = [(r[id_col], r[frame_col]) for r in node_rows]
-            tid = renumber_tracks_oracle(node_list, edge_list)
-            return spark.createDataFrame(
-                [(i, f, tid[i]) for i, f in node_list],
-                f"{id_col} {id_type}, {frame_col} {frame_type}, TRACK_ID int",
-            )
+            if len({i for i, _ in node_list}) == len(touched):
+                tid = renumber_tracks_oracle(node_list, edge_list)
+                # a keep-edge CYCLE (non-temporal-DAG input) has no head,
+                # so its nodes get no id — the distributed path drops
+                # them too (no head ⇒ the numbering join misses the
+                # segment); mirror that instead of raising
+                return spark.createDataFrame(
+                    [(i, f, tid[i]) for i, f in node_list if i in tid],
+                    f"{id_col} {id_type}, {frame_col} {frame_type}, TRACK_ID int",
+                )
+            # else: edges reference ids absent from the node table — the
+            # oracle has no frame for them; fall through to the
+            # distributed path, which tolerates phantom endpoints
     touched = (
         e.select(F.col("src").alias(id_col))
         .union(e.select(F.col("dst").alias(id_col)))

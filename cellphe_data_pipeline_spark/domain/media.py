@@ -327,12 +327,14 @@ def resample_audio(clips: DataFrame, dst_rate: int = 12000) -> DataFrame:
     feature extraction (every clip to one canonical rate).
 
     All interpolation math is integer: output sample i sits at source
-    position i*src/dst, split as idx = (i*src) div dst and fractional
-    numerator f = (i*src) mod dst; the value is
-    x[idx] + ((x[idx+1]-x[idx]) * f) div dst (truncating int division,
-    clamped at the tail) — bit-identical on every engine/partitioning,
-    no float rounding ambiguity. Stateless per clip ⇒ one mapInPandas
-    pass, rows stream one Arrow batch per input batch."""
+    position i*src/dst, split as idx = floor((i*src) / dst) and
+    fractional numerator f = (i*src) mod dst; the value is
+    x[idx] + floor((x[idx+1]-x[idx]) * f / dst) — FLOOR division
+    (numpy ``//``; trunc would differ on falling edges where the delta
+    is negative — any port must floor), clamped at the tail.
+    Bit-identical on every engine/partitioning, no float rounding
+    ambiguity. Stateless per clip ⇒ one mapInPandas pass, rows stream
+    one Arrow batch per input batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -59,6 +59,37 @@ def roots(nodes: DataFrame, edges: DataFrame, id_col: str = "ID", dst: str | Non
     return pruned.join(targets, id_col, "left_anti")
 
 
+def _union_find():
+    """Shared in-memory union-find (path-halving find, union by MIN id —
+    so every root is its component's minimum, the engine's canonical CC
+    label). ONE implementation used by both the partition-local
+    contraction kernel and the bounded driver-finish path: the two must
+    stay exactly equivalent for driver == distributed to hold."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(u, v):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+
+    return parent, find, union
+
+
 def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
     """Partition-local contraction pre-pass for connected components.
 
@@ -84,29 +115,10 @@ def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
     import pandas as pd
 
     def star(batches):
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
+        parent, find, union = _union_find()
         for pdf in batches:
             for u, v in zip(pdf["u"].values, pdf["v"].values):
-                if u not in parent:
-                    parent[u] = u
-                if v not in parent:
-                    parent[v] = v
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    # union by min id: local roots ARE local component mins
-                    if ru < rv:
-                        parent[rv] = ru
-                    else:
-                        parent[ru] = rv
+                union(u, v)
         nodes = list(parent)
         out = pd.DataFrame(
             {"u": nodes, "v": [find(n) for n in nodes]}, dtype="int64"
@@ -218,28 +230,9 @@ def connected_components(
             # caller's label join can BROADCAST it).
             rows = e.take(driver_finish_cap + 1)
             if len(rows) <= driver_finish_cap:
-                parent: dict = {}
-
-                def find(x):
-                    r = x
-                    while parent[r] != r:
-                        r = parent[r]
-                    while parent[x] != r:
-                        parent[x], x = r, parent[x]
-                    return r
-
+                parent, find, union = _union_find()
                 for r in rows:
-                    u, v = r["u"], r["v"]
-                    if u not in parent:
-                        parent[u] = u
-                    if v not in parent:
-                        parent[v] = v
-                    ru, rv = find(u), find(v)
-                    if ru != rv:
-                        if ru < rv:
-                            parent[rv] = ru
-                        else:
-                            parent[ru] = rv
+                    union(r["u"], r["v"])
                 node_type = dict(e.dtypes)["u"]
                 return spark.createDataFrame(
                     [(n, find(n)) for n in parent],
@@ -313,6 +306,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty (or self-loop-only) edge set: empty result, same schema
+        # — mirrors connected_components' empty-graph behavior
+        node_type = dict(e.dtypes)["u"]
+        return edges.sparkSession.createDataFrame(
+            [], f"node {node_type}, rank_q bigint"
+        )
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

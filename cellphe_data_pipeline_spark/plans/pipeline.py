@@ -355,6 +355,43 @@ DEFAULT_CONFIG = {
 }
 
 
+def config_to_run_kwargs(config: dict) -> dict:
+    """Translate the reference's params-file document into
+    ``run_pipeline`` keyword arguments — ONE translation shared by the
+    config entry point and the resumable CLI path, so the same config
+    always produces the same pipeline regardless of entry.
+
+    Reference's tracking.algorithm field (templates/cyto3.json:24,
+    README.md:152-160): NearestNeighbor -> greedy frame-pair linking,
+    the LAP* trackers -> per-frame-pair Hungarian assignment PLUS the
+    segment-level gap-closing LAP (TrackMate's two-phase shape:
+    frame linking, then end/start reconnection, track_images.py:74-123).
+    """
+    cfg = {**DEFAULT_CONFIG, **config}
+    qc = {**DEFAULT_CONFIG["QC"], **cfg.get("QC", {})}
+    tr = {
+        **DEFAULT_CONFIG["tracking"]["settings"],
+        **cfg.get("tracking", {}).get("settings", {}),
+    }
+    algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
+    is_lap = "lap" in str(algo).lower()
+    return {
+        "qc": qc,
+        "segmentation_method": cfg.get("segmentation", {}).get("method", "median"),
+        "linking_max_distance": float(tr["LINKING_MAX_DISTANCE"]),
+        "max_frame_gap": (
+            int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
+        ),
+        "gap_closing_max_distance": float(tr["GAP_CLOSING_MAX_DISTANCE"]),
+        "tracking_method": "lap" if is_lap else "greedy",
+        "tracking_gap_strategy": "segment_lap" if is_lap else "inline",
+        "allow_splitting": bool(tr.get("ALLOW_TRACK_SPLITTING", False)),
+        "splitting_max_distance": float(tr.get("SPLITTING_MAX_DISTANCE", 5.0)),
+        "allow_merging": bool(tr.get("ALLOW_TRACK_MERGING", False)),
+        "merging_max_distance": float(tr.get("MERGING_MAX_DISTANCE", 50.0)),
+    }
+
+
 def run_pipeline_from_config(
     spark: SparkSession, input_path: str, config: dict, glob: str = "*.fake"
 ) -> dict[str, DataFrame]:
@@ -366,38 +403,10 @@ def run_pipeline_from_config(
     from cellphe_data_pipeline_spark.domain.images import scan_images
 
     cfg = {**DEFAULT_CONFIG, **config}
-    qc = {**DEFAULT_CONFIG["QC"], **cfg.get("QC", {})}
-    tr = {
-        **DEFAULT_CONFIG["tracking"]["settings"],
-        **cfg.get("tracking", {}).get("settings", {}),
-    }
     binaries = scan_images(spark, input_path, glob=glob).select("path", "content")
     if not cfg["run"].get("segmentation", True):
         return {"binaries": binaries}
-    # reference's tracking.algorithm field (templates/cyto3.json:24,
-    # README.md:152-160): NearestNeighbor -> greedy frame-pair linking,
-    # the LAP* trackers -> per-frame-pair Hungarian assignment PLUS the
-    # segment-level gap-closing LAP (TrackMate's two-phase shape:
-    # frame linking, then end/start reconnection, track_images.py:74-123)
-    algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
-    is_lap = "lap" in str(algo).lower()
-    seg_method = cfg.get("segmentation", {}).get("method", "median")
-    out = run_pipeline(
-        binaries,
-        qc=qc,
-        segmentation_method=seg_method,
-        linking_max_distance=float(tr["LINKING_MAX_DISTANCE"]),
-        max_frame_gap=(
-            int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
-        ),
-        gap_closing_max_distance=float(tr["GAP_CLOSING_MAX_DISTANCE"]),
-        tracking_method="lap" if is_lap else "greedy",
-        tracking_gap_strategy="segment_lap" if is_lap else "inline",
-        allow_splitting=bool(tr.get("ALLOW_TRACK_SPLITTING", False)),
-        splitting_max_distance=float(tr.get("SPLITTING_MAX_DISTANCE", 5.0)),
-        allow_merging=bool(tr.get("ALLOW_TRACK_MERGING", False)),
-        merging_max_distance=float(tr.get("MERGING_MAX_DISTANCE", 50.0)),
-    )
+    out = run_pipeline(binaries, **config_to_run_kwargs(config))
     if not cfg["run"].get("tracking", True):
         out = {k: out[k] for k in ("frames", "masks", "detections")}
     elif not cfg["run"].get("cellphe", True):

@@ -2880,13 +2880,16 @@ def _ewma_terms(k: int = 8) -> tuple[str, str]:
     return " + ".join(num), " + ".join(den)
 
 
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
 @register(
     "w9_ewma",
     """
     SELECT user_id, event_id, value,
            ROUND(({num}) / ({den}), 6) AS ewma
     FROM events WHERE user_id < 50
-    """.format(num=_ewma_terms()[0], den=_ewma_terms()[1]),
+    """.format(num=_EWMA_NUM, den=_EWMA_DEN),
 )
 def w9(spark, sf_dir):
     """Finite-horizon EWMA (r5c) — decayed trend smoothing for metric
@@ -2898,7 +2901,7 @@ def w9(spark, sf_dir):
     α=1/2 ⇒ every weight is a binary fraction: products are exact
     scalings and the fixed-order sum is bit-identical in any engine.
     All 8 lags share one window spec ⇒ one shuffle, one sort."""
-    num, den = _ewma_terms()
+    num, den = _EWMA_NUM, _EWMA_DEN
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return ev.selectExpr(
         "user_id",
@@ -3325,6 +3328,7 @@ def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
     WITH e AS (
       SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 10000000 AS v
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey <> l.l_suppkey + 10000000
     ),
     nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
     nn AS (SELECT COUNT(*) AS n FROM nodes),

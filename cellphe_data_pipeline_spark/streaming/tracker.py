@@ -614,7 +614,12 @@ def streaming_upsert(
     row per live key (the snapshot itself — not a buffer), so state
     size tracks the key cardinality exactly like the batch output, and
     a downstream sink applying the rows in arrival order materialises
-    the same table the batch merge produces."""
+    the same table the batch merge produces.
+
+    Rows with a NULL ordering key (t/seq) are SKIPPED — they carry no
+    position in the total order (the batch twin's descending window
+    sorts SQL NULLs last, so they never win there either); a NULL
+    payload value is carried as NULL."""
 
     def update(
         key: tuple[Any, ...],
@@ -626,12 +631,16 @@ def streaming_upsert(
         else:
             t_ms = seq = typ = val = deleted = None
         for pdf in pdfs:
-            for _, r in pdf.sort_values([t_col, seq_col]).iterrows():
+            # no sort: the strict (t, seq) tuple max is order-independent
+            for _, r in pdf.iterrows():
+                if pd.isna(r[t_col]) or pd.isna(r[seq_col]):
+                    continue
                 rt, rs = int(r[t_col]), int(r[seq_col])
                 if t_ms is None or (rt, rs) > (t_ms, seq):
                     t_ms, seq = rt, rs
                     typ = str(r[type_col])
-                    val = float(r[value_col])
+                    rv = r[value_col]
+                    val = None if pd.isna(rv) else float(rv)
                     deleted = typ == delete_type
         state.update((t_ms, seq, typ, val, deleted))
         yield pd.DataFrame(

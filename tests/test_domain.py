@@ -2013,3 +2013,34 @@ def test_resample_audio_integer_exact_vs_numpy(spark):
         s = stats[path]
         assert (s["n_samples"], s["sum_q"], s["sumsq_q"], s["first_val"], s["last_val"]) == (
             len(x), int(x.sum()), int((x * x).sum()), int(x[0]), int(x[-1]))
+
+
+def test_renumber_tracks_tolerates_phantom_endpoints_and_cycles(spark):
+    """Review-finding regression: the bounded driver path must not crash
+    where the distributed path tolerates — edges referencing ids absent
+    from the node table (falls back to the distributed path) and
+    keep-edge cycles (nodes dropped, as the head-join drops them)."""
+    # phantom: edge endpoint 99 has no node row
+    nodes = spark.createDataFrame([(1, 0), (2, 1)], "ID bigint, FRAME int")
+    edges = spark.createDataFrame([(1, 2), (2, 99)], "src bigint, dst bigint")
+    got = {
+        r["ID"]: r["TRACK_ID"] for r in renumber_tracks(nodes, edges).collect()
+    }
+    assert got.keys() == {1, 2} and got[1] == got[2]
+    # cycle: (5->6),(6->5) forms a headless keep cycle; chain 1->2 still
+    # numbered; cycle nodes dropped on BOTH paths
+    nodes2 = spark.createDataFrame(
+        [(1, 0), (2, 1), (5, 0), (6, 1)], "ID bigint, FRAME int"
+    )
+    edges2 = spark.createDataFrame(
+        [(1, 2), (5, 6), (6, 5)], "src bigint, dst bigint"
+    )
+    driver = {
+        r["ID"]: r["TRACK_ID"] for r in renumber_tracks(nodes2, edges2).collect()
+    }
+    dist = {
+        r["ID"]: r["TRACK_ID"]
+        for r in renumber_tracks(nodes2, edges2, edge_driver_cap=0).collect()
+    }
+    assert driver == dist
+    assert driver.keys() == {1, 2}

@@ -145,3 +145,12 @@ def test_pagerank_fixed_point_vs_python(spark):
     assert got == r
     assert got[1] == max(got.values())
     assert all(got[1] > got[v] for v in (2, 4))
+
+
+def test_pagerank_empty_and_self_loop_only(spark):
+    from cellphe_data_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(empty).collect() == []
+    loops = spark.createDataFrame([(3, 3), (7, 7)], "src bigint, dst bigint")
+    assert pagerank(loops).collect() == []
