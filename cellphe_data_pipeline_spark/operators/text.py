@@ -459,3 +459,44 @@ def epoch_shuffle(
             ),
         )
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DATA-DRIVEN mixture rebalancing (r5c): downsample every stratum
+    to the SMALLEST stratum's size — the uniform-mixture construction a
+    multi-source training corpus runs when one source dwarfs the others
+    (c4's cousin with rates COMPUTED from corpus stats, not given).
+
+    Keep-rate per stratum is the exact integer
+    ``min(buckets, (min_count * buckets) div count)`` in basis points —
+    integer arithmetic end-to-end, so the thresholds (and therefore the
+    kept set, gated by the same md5 bucket as hash_stratified_sample)
+    are bit-identical on any engine. Expected kept size per stratum ≈
+    min_count (hash-uniform, not exact-count — the price of a
+    zero-shuffle stateless gate; exact-count trimming needs a per-group
+    rank, one window shuffle — that is `limit_per_group`).
+
+    Scale shape: ONE combinable groupBy(strata) count (a handful of
+    rows) broadcast back over the corpus; the corpus itself never
+    shuffles. Output: kept rows + their stratum's `rate_bp`.
+    """
+    from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(min_n)).select(
+            strata_col,
+            F.least(
+                F.lit(buckets).cast("bigint"),
+                F.expr(f"_min_n * {buckets} div _n"),
+            ).alias("rate_bp"),
+        )
+    )
+    bucket = portable_hash64(F.col(id_col).cast("string")) % buckets
+    return df.join(rates, strata_col).filter(bucket < F.col("rate_bp"))

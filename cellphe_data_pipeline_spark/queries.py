@@ -3464,6 +3464,40 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "c8_mixture_rebalance",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS min_n FROM c),
+    r AS (
+      SELECT lang,
+             LEAST(10000, (m.min_n * 10000) // c.n) AS rate_bp
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source, d.lang, r.rate_bp
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < r.rate_bp
+    """,
+)
+def c8(spark, sf_dir):
+    """Data-driven mixture rebalancing (r5c; text.py mixture_rebalance):
+    every LANGUAGE downsampled toward the smallest language's size (the
+    corpus is en-heavy ~3.5:1 — the real multi-source skew case; the
+    `source` column is uniform by construction, which would gate
+    nothing) — rates are exact integer basis points
+    ((min_n*10000) div n), the gate is the portable md5 bucket (c4's
+    idiom), so the kept set is bit-identical anywhere. ONE tiny
+    combinable count aggregate broadcast back; the corpus never
+    shuffles."""
+    from cellphe_data_pipeline_spark.operators.text import mixture_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rebalance(docs, "doc_id", "lang").select(
+        "doc_id", "source", "lang", "rate_bp"
+    )
+
+
+@register(
     "v8_kmeans_train",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4135,6 +4169,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "g5_pagerank",
     "w9_ewma",
     "mm5_audio_resample",
+    "c8_mixture_rebalance",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

@@ -817,3 +817,25 @@ def test_pq_topk_plan_broadcasts_lut_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_rebalance_rates_and_gate(spark):
+    """Data-driven rebalance: rate_bp is exactly (min_n*10000) div n per
+    stratum, the kept set is exactly the md5-bucket gate, and the
+    smallest stratum keeps everything."""
+    from cellphe_data_pipeline_spark.operators.text import mixture_rebalance
+    import hashlib
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    out = mixture_rebalance(df, "doc_id", "src").collect()
+    rates = {r["src"]: r["rate_bp"] for r in out}
+    assert rates["small"] == 10000 and rates["big"] == (10 * 10000) // 40
+    kept = {r["doc_id"] for r in out}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    want = {i for i, s in rows if bucket(i) < (10000 if s == "small" else 2500)}
+    assert kept == want
+    assert {i for i, s in rows if s == "small"} <= kept
