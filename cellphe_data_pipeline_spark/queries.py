@@ -887,6 +887,106 @@ def e2(spark, sf_dir):
     )
 
 
+@register(
+    "e3_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT s.user_id, s.signup_ts, p.purchase_ts,
+           (p.user_id IS NOT NULL) AS converted,
+           CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS BIGINT)
+             AS time_to_convert_us
+    FROM s LEFT JOIN p USING (user_id, signup_ts)
+    """,
+)
+def e3(spark, sf_dir):
+    """Funnel conversion (r5c) — the signup→purchase sequence query
+    every event-analytics engine answers: per user, first signup, first
+    purchase AT-OR-AFTER it, conversion flag, exact integer-microsecond
+    time-to-convert. Two combinable MIN aggregates + one keyed join —
+    never an all-pairs sequence scan; at 100 TB both aggregates
+    partial-combine map-side and the join shuffles one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return s.join(p, ["user_id", "signup_ts"], "left").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        F.col("purchase_ts").isNotNull().alias("converted"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts"))
+        .cast("bigint")
+        .alias("time_to_convert_us"),
+    )
+
+
+@register(
+    "e4_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week,
+           CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+)
+def e4(spark, sf_dir):
+    """Retention cohort matrix (r5c) — users grouped by first-activity
+    week, counted per subsequent active week offset: the standard
+    retention triangle. Shapes: one MIN aggregate (cohort per user),
+    one DISTINCT on (user, week) — both combinable — and a final tiny
+    groupBy; the user table moves once, broadcastable when the cohort
+    dim is small."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    f = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    a = (
+        ev.select("user_id", week.alias("active_week"))
+        .join(f, "user_id")
+        .distinct()
+    )
+    return (
+        a.groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 # =====================================================================
 # Graph (G1-G4) — event-chain lineage per user
 # =====================================================================
@@ -4170,6 +4270,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "w9_ewma",
     "mm5_audio_resample",
     "c8_mixture_rebalance",
+    "e3_funnel_conversion",
+    "e4_retention_cohorts",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",
