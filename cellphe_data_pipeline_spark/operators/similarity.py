@@ -680,3 +680,40 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "adc_q", "rank")
     )
+
+
+def quantize_int8_per_dim(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-DIMENSION symmetric int8 quantization (r5c) — the
+    channel-wise variant of :func:`quantize_int8`: scale_d =
+    corpus-max|x_d| / 127 per coordinate, so one outlier dimension no
+    longer crushes every other dimension's resolution (per-vector
+    scaling loses ~all precision on anisotropic embeddings; per-dim is
+    what production SQ8 indexes store).
+
+    Scale shape: ONE combinable groupBy(pos) MAX over the exploded
+    corpus (dim rows out), broadcast back, quantize in codegen. MAX of
+    floats is exact (no reduction-order sensitivity, unlike SUM), and
+    floor(x/scale + 0.5) is the engine's standard half-up contract —
+    bit-identical to the SQL oracle. Output (vec_id, pos, scale, qv);
+    all-zero dimensions get scale 0 and qv 0.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    scales = F.broadcast(
+        exploded.groupBy("pos").agg(
+            (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
+        )
+    )
+    return exploded.join(scales, "pos").select(
+        "vec_id",
+        "pos",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("x") / F.col("scale") + F.lit(0.5)))
+        .cast("int")
+        .alias("qv"),
+    )

@@ -3564,6 +3564,38 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "v10_int8_per_dim",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(u.pos AS INT) AS pos, CAST(u.x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (v, i) -> {'pos': i - 1, 'x': v})) AS u
+        FROM embeddings
+      ) t
+    ),
+    s AS (SELECT pos, MAX(abs(x)) / 127.0 AS scale FROM e GROUP BY pos)
+    SELECT e.vec_id, e.pos, s.scale,
+           CAST(CASE WHEN s.scale = 0 THEN 0
+                     ELSE floor(e.x / s.scale + 0.5) END AS INT) AS qv
+    FROM e JOIN s USING (pos)
+    """,
+)
+def v10(spark, sf_dir):
+    """Per-dimension int8 quantization (r5c; similarity.py
+    quantize_int8_per_dim) — channel-wise SQ8: corpus-max per
+    coordinate sets each dimension's scale, so anisotropic embeddings
+    keep resolution everywhere (v5's per-vector scale does not). ONE
+    combinable MAX groupBy (dim rows) broadcast back; MAX is
+    reduction-order-exact, the half-up floor matches the oracle
+    bit-for-bit."""
+    from cellphe_data_pipeline_spark.operators.similarity import quantize_int8_per_dim
+
+    return quantize_int8_per_dim(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "c8_mixture_rebalance",
     """
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -4272,6 +4304,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c8_mixture_rebalance",
     "e3_funnel_conversion",
     "e4_retention_cohorts",
+    "v10_int8_per_dim",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

@@ -839,3 +839,41 @@ def test_mixture_rebalance_rates_and_gate(spark):
     want = {i for i, s in rows if bucket(i) < (10000 if s == "small" else 2500)}
     assert kept == want
     assert {i for i, s in rows if s == "small"} <= kept
+
+
+def test_quantize_int8_per_dim_exact_and_better_than_per_vector(spark):
+    """Per-dim scales replayed in numpy exactly; on an anisotropic
+    corpus (one huge dimension) the per-dim reconstruction error is
+    strictly smaller than the per-vector one on the small dims."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+        quantize_int8_per_dim,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(30, 4).astype("float32")
+    vecs[:, 0] *= 100.0  # outlier channel
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = quantize_int8_per_dim(df).collect()
+    v = vecs.astype(np.float64)
+    scales = np.abs(v).max(axis=0) / 127.0
+    for r in rows:
+        x = v[r["vec_id"], r["pos"]]
+        s = scales[r["pos"]]
+        assert math.isclose(r["scale"], s, rel_tol=1e-12)
+        assert r["qv"] == (0 if s == 0 else int(np.floor(x / s + 0.5)))
+    # reconstruction error on the SMALL dims: per-dim must beat per-vector
+    per_dim_err = per_vec_err = 0.0
+    pv = {(r["vec_id"], r["pos"]): (r["scale"], r["qv"])
+          for r in quantize_int8(df).collect()}
+    for r in rows:
+        if r["pos"] == 0:
+            continue
+        x = v[r["vec_id"], r["pos"]]
+        per_dim_err += abs(x - r["qv"] * r["scale"])
+        s2, q2 = pv[(r["vec_id"], r["pos"])]
+        per_vec_err += abs(x - q2 * s2)
+    assert per_dim_err < per_vec_err / 10
