@@ -3564,6 +3564,63 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "w10_gap_fill",
+    """
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE user_id < 50
+    ),
+    obs AS (
+      SELECT user_id, h, CAST(SUM(v) AS DOUBLE) AS hv
+      FROM h GROUP BY user_id, h
+    ),
+    rng AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    )
+    SELECT g.user_id, g.h AS hour_ts,
+           (obs.hv IS NOT NULL) AS observed,
+           last_value(obs.hv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled
+    FROM grid g LEFT JOIN obs ON obs.user_id = g.user_id AND obs.h = g.h
+    """,
+)
+def w10(spark, sf_dir):
+    """Time-grid gap fill with LOCF (r5c) — the regularisation step
+    before any per-entity time-series model: per user, a dense hourly
+    grid from first to last observation (F.sequence — codegen, no UDF),
+    hourly sums (decimal-exact, the e1 idiom — an unordered double SUM
+    would be reduction-order-unstable), missing hours carried forward
+    with last-observation (one keyed window, IGNORE NULLS). Shapes: two
+    combinable groupBys + a grid explode proportional to the OUTPUT +
+    one keyed window — never a per-entity driver loop."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hours = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    obs = hours.groupBy("user_id", "h").agg(F.sum("v").cast("double").alias("hv"))
+    rng = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        F.col("hv").isNotNull().alias("observed"),
+        F.last("hv", ignorenulls=True).over(w).alias("val_filled"),
+    )
+
+
+@register(
     "v10_int8_per_dim",
     """
     WITH e AS (
@@ -4305,6 +4362,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e3_funnel_conversion",
     "e4_retention_cohorts",
     "v10_int8_per_dim",
+    "w10_gap_fill",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",
