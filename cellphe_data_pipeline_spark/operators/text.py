@@ -500,3 +500,45 @@ def mixture_rebalance(
     )
     bucket = portable_hash64(F.col(id_col).cast("string")) % buckets
     return df.join(rates, strata_col).filter(bucket < F.col("rate_bp"))
+
+
+#: mojibake tell-tales: UTF-8 bytes re-decoded as Latin-1 ("café" ->
+#: "cafÃ©", smart quote -> "â€™", NBSP -> "Â "). Substring CONTAINS
+#: checks — portable across engines, unlike regex-flavor edge cases.
+MOJIBAKE_MARKERS = ("Ã", "â€", "Â°", "Â ")
+
+#: typographic -> ASCII normalisation pairs (curly quotes, dashes,
+#: ellipsis, NBSP) — the pre-tokenisation cleanup most corpora run
+NORMALIZE_PAIRS = (
+    ("‘", "'"), ("’", "'"),
+    ("“", '"'), ("”", '"'),
+    ("–", "-"), ("—", "-"),
+    ("…", "..."), (" ", " "),
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode hygiene for a text corpus (r5c): flag mojibake
+    (UTF-8-decoded-as-Latin-1 tell-tales) and normalise typographic
+    punctuation to ASCII — the cleanup pass that runs before
+    tokenisation so quote/dash variants don't fragment the vocabulary.
+
+    Pure codegen: a chain of `contains` ORs for the flag and `replace`
+    calls for the normalisation — no regex (Java vs RE2 flavor drift),
+    no UDF, no shuffle; a 100 TB corpus streams through map tasks.
+    Output: (id, has_mojibake, normalized, norm_hash md5) — the hash
+    gives downstream exact-dedup a normalised key for free."""
+    flag = F.lit(False)
+    for m in MOJIBAKE_MARKERS:
+        flag = flag | F.contains(F.col(text_col), F.lit(m))
+    norm = F.col(text_col)
+    for frm, to in NORMALIZE_PAIRS:
+        norm = F.replace(norm, F.lit(frm), F.lit(to))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        flag.alias("has_mojibake"),
+        norm.alias("normalized"),
+        F.md5(norm).alias("norm_hash"),
+    )

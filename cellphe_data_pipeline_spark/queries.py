@@ -3564,6 +3564,52 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "t10_normalize_mojibake",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© â€™quoteâ€™'
+                          WHEN doc_id % 5 = 0 THEN ' “smart” – dash… done'
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           (contains(text, 'Ã') OR contains(text, 'â€')
+            OR contains(text, 'Â°') OR contains(text, 'Â ')) AS has_mojibake,
+           replace(replace(replace(replace(replace(replace(replace(replace(
+             text, '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
+             '–', '-'), '—', '-'), '…', '...'), ' ', ' ') AS normalized,
+           md5(replace(replace(replace(replace(replace(replace(replace(replace(
+             text, '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
+             '–', '-'), '—', '-'), '…', '...'), ' ', ' ')) AS norm_hash
+    FROM aug
+    """,
+)
+def t10(spark, sf_dir):
+    """Unicode hygiene (r5c; text.py normalize_text): mojibake flagging
+    (UTF-8-as-Latin-1 tell-tales, substring contains — portable, no
+    regex-flavor drift) + typographic→ASCII normalisation with an md5
+    key for normalised exact-dedup. The synthetic corpus is clean
+    ASCII, so deterministic positive cases are INJECTED identically in
+    both engines (doc_id%7 mojibake, doc_id%5 typographic) — the
+    detection and rewrite paths are both exercised, not vacuously
+    false. Pure codegen chain, zero shuffle."""
+    from cellphe_data_pipeline_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ© â€™quoteâ€™"))
+            .when(F.col("doc_id") % 5 == 0, F.lit(" “smart” – dash… done"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(aug)
+
+
+@register(
     "w10_gap_fill",
     """
     WITH h AS (
@@ -4363,6 +4409,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e4_retention_cohorts",
     "v10_int8_per_dim",
     "w10_gap_fill",
+    "t10_normalize_mojibake",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

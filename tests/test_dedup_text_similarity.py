@@ -877,3 +877,21 @@ def test_quantize_int8_per_dim_exact_and_better_than_per_vector(spark):
         s2, q2 = pv[(r["vec_id"], r["pos"])]
         per_vec_err += abs(x - q2 * s2)
     assert per_dim_err < per_vec_err / 10
+
+
+def test_normalize_text_and_mojibake_flag(spark):
+    from cellphe_data_pipeline_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "cafÃ© mojibake"),
+        (3, "“smart” – dash… and nbsp ’quote’"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert not out[1]["has_mojibake"] and out[1]["normalized"] == "plain ascii"
+    assert out[2]["has_mojibake"]
+    assert not out[3]["has_mojibake"]
+    assert out[3]["normalized"] == '"smart" - dash... and nbsp \'quote\''
+    import hashlib
+    assert out[3]["norm_hash"] == hashlib.md5(out[3]["normalized"].encode()).hexdigest()
