@@ -505,3 +505,71 @@ def minhash_band_key_cols(
     return F.when(F.size(t) >= n, F.array(*bands)).otherwise(
         F.array().cast(f"array<struct<band:int,band_key:bigint>>")
     )
+
+
+def incremental_near_duplicates(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup (r5c): a NEW batch checked against
+    an EXISTING corpus index — the daily-ingest production shape, where
+    recomputing the full corpus self-join per batch (what
+    :func:`minhash_near_duplicates` does) would be O(corpus) every day
+    instead of O(batch).
+
+    Candidates = new-batch band keys equi-joined against the index's
+    band keys (in production the index side is the PERSISTED band-key
+    table from previous runs — S15 parquet, bucketed by (band,
+    band_key) so the daily join co-locates; here it is computed from
+    the index docs). Exact-Jaccard verify runs only on candidate pairs,
+    shingles drawn from each side. Output: (doc_a=index id,
+    doc_b=new id, jaccard) — a new doc with any hit is a known
+    near-dup; the miss set is safe to append to the index.
+
+    Scale: the batch side is small by definition — every stage is
+    O(batch + matched index rows); the index band table is never
+    self-joined.
+    """
+    sh_idx = word_shingles(index_docs, text_col, id_col, n)
+    sh_new = word_shingles(new_docs, text_col, id_col, n)
+    bk_idx = minhash_band_keys(sh_idx, num_hashes, band_size).withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    bk_new = minhash_band_keys(sh_new, num_hashes, band_size).withColumnRenamed(
+        "doc_id", "doc_b"
+    )
+    cand = (
+        bk_idx.join(bk_new, ["band", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes_a = sh_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_b = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a = sh_idx.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
+    b = sh_new.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
+    inter = (
+        a.join(b, F.col("sh_a") == F.col("sh_b"))
+        .join(cand, ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sizes_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1184,6 +1184,82 @@ def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, threshold: flo
     """
 
 
+def _incremental_minhash_oracle_sql(
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.3,
+    split_id: int = 400,
+) -> str:
+    """DuckDB mirror of incremental_near_duplicates: docs below
+    ``split_id`` are the standing index, the rest the new batch;
+    candidates come from index-band x new-band equi-join (no
+    self-join), exact-Jaccard verify on candidates only."""
+    hcols = ",\n             ".join(
+        f"MIN(('0x' || substring(md5('g{s // 4}' || sh), {1 + 8 * (s % 4)}, 8))::BIGINT)"
+        f" AS h{s}"
+        for s in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" + ".join(
+                f"h{b * band_size + i}*{i + 1}" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH {SHINGLE_CTE},
+    mins AS (
+      SELECT doc_id,
+             {hcols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b, CASE b {cases} END AS band_key
+      FROM mins, UNNEST([{bands_list}]) AS bb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+      WHERE a.doc_id < {split_id} AND c.doc_id >= {split_id}
+    ),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS ni
+      FROM sh s1
+      JOIN sh s2 ON s1.sh = s2.sh
+      JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= {threshold}
+    """
+
+
+@register("d10_incremental_neardup", _incremental_minhash_oracle_sql())
+def d10(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (r5c; dedup.py
+    incremental_near_duplicates) — the daily-ingest shape: the NEW
+    batch (doc_id >= 400) checked against the standing index
+    (doc_id < 400) via index-band x new-band equi-join; no corpus
+    self-join, O(batch) per increment, the persisted band table is the
+    index (S15 + bucketing co-locates the daily join). Pairs well with
+    c7: dedup gate first, CDC upsert merge second."""
+    from cellphe_data_pipeline_spark.operators.dedup import incremental_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_duplicates(
+        docs.filter(F.col("doc_id") < 400), docs.filter(F.col("doc_id") >= 400)
+    )
+
+
 @register("d3_minhash_near_dups", _minhash_oracle_sql())
 def d3(spark, sf_dir):
     """MinHash+LSH near-dup detection end-to-end (dedup.py:126-141):
@@ -4410,6 +4486,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v10_int8_per_dim",
     "w10_gap_fill",
     "t10_normalize_mojibake",
+    "d10_incremental_neardup",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

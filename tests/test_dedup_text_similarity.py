@@ -895,3 +895,34 @@ def test_normalize_text_and_mojibake_flag(spark):
     assert out[3]["normalized"] == '"smart" - dash... and nbsp \'quote\''
     import hashlib
     assert out[3]["norm_hash"] == hashlib.md5(out[3]["normalized"].encode()).hexdigest()
+
+
+def test_incremental_neardup_matches_full_restriction(spark):
+    """Incremental index-vs-batch dedup must equal the FULL self-join
+    near-dup result restricted to (index, new) pairs."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    df = _docs_df(spark)  # docs 1-6; 1&3 exact dups, 1&2 near dups
+    idx = df.filter("doc_id <= 3")
+    new = df.filter("doc_id > 3")
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in incremental_near_duplicates(idx, new, threshold=0.0,
+                                             band_size=2).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(df, threshold=0.0,
+                                         band_size=2).collect()
+        if r["doc_a"] <= 3 < r["doc_b"]
+    }
+    assert inc == full
+    # and a new doc that duplicates an index doc IS caught
+    new2 = spark.createDataFrame(
+        [(10, DOCS[0][1])], "doc_id bigint, text string"
+    )
+    hits = incremental_near_duplicates(idx, new2, band_size=2).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in hits} >= {(1, 10), (3, 10)}
