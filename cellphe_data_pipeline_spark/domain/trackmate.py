@@ -188,3 +188,94 @@ def export_trackmate_features(spots: DataFrame, tracks: DataFrame) -> DataFrame:
     )
     named = roi_filename(joined)  # FRAME-TRACK-ID, data-driven widths
     return named.select(*EXPORT_COLUMNS, "ROI_FILENAME")
+
+
+def spots_to_trackmate_xml(
+    spots: DataFrame,
+    edges: DataFrame,
+    group_col: str | None = None,
+) -> DataFrame:
+    """TrackMate XML SINK (r5c) — the write half of the engine's
+    TrackMate surface (the reference only PARSES, parse_xml.py; the
+    sink closes the round-trip so downstream TrackMate/Fiji tooling can
+    consume engine output). One XML document per ``group_col`` value
+    (or one overall), assembled relationally: per-spot/per-edge element
+    strings via format_string (codegen), per-frame concat_ws +
+    collect_list, then the document concat — no Python in the loop.
+
+    Numeric formatting contract: doubles as %.1f — enough for the
+    parser round-trip test to reproduce the input bit-exactly after
+    cast (positions in this engine are half-pixel grids), documented
+    rather than hidden. Output: (group?, xml string).
+
+    Scale: a document per group (a timelapse), built by two combinable
+    collect_list aggregations; the XML string is driver-sized per
+    GROUP, not per corpus — the same bound as the reference's one-XML-
+    per-timelapse layout."""
+    g = [group_col] if group_col else []
+    spot_el = F.format_string(
+        '<Spot ID="%d" name="ID%d" FRAME="%d" QUALITY="%.1f" '
+        'POSITION_X="%.1f" POSITION_Y="%.1f" POSITION_Z="%.1f" '
+        'POSITION_T="%.1f" RADIUS="%.1f" AREA="%.1f" '
+        'VISIBILITY="1">%s</Spot>',
+        F.col("ID"),
+        F.col("ID"),
+        F.col("FRAME"),
+        F.coalesce(F.col("QUALITY"), F.lit(1.0)),
+        F.col("POSITION_X"),
+        F.col("POSITION_Y"),
+        F.coalesce(F.col("POSITION_Z"), F.lit(0.0)),
+        F.coalesce(F.col("POSITION_T"), F.col("FRAME").cast("double")),
+        F.coalesce(F.col("RADIUS"), F.lit(1.0)),
+        F.coalesce(F.col("AREA"), F.lit(0.0)),
+        F.coalesce(F.col("boundary_txt"), F.lit("")),
+    )
+    frames = (
+        spots.withColumn("_el", spot_el)
+        .groupBy(*g, "FRAME")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct(F.col("ID"), F.col("_el"))))
+                .getField("_el")
+            ).alias("_spots")
+        )
+        .select(
+            *g,
+            "FRAME",
+            F.format_string(
+                '<SpotsInFrame frame="%d">%s</SpotsInFrame>', F.col("FRAME"), F.col("_spots")
+            ).alias("_sif"),
+        )
+    )
+    spots_xml = frames.groupBy(*g).agg(
+        F.concat_ws(
+            "",
+            F.array_sort(F.collect_list(F.struct(F.col("FRAME"), F.col("_sif"))))
+            .getField("_sif"),
+        ).alias("_allspots")
+    )
+    edge_el = F.format_string(
+        '<Edge SPOT_SOURCE_ID="%d" SPOT_TARGET_ID="%d"/>', F.col("src"), F.col("dst")
+    )
+    edges_xml = edges.withColumn("_el", edge_el).groupBy(*g).agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(F.struct(F.col("src"), F.col("dst"), F.col("_el")))
+            ).getField("_el"),
+        ).alias("_alledges")
+    )
+    joined = spots_xml.join(edges_xml, g, "left") if g else spots_xml.crossJoin(
+        edges_xml
+    )
+    return joined.select(
+        *g,
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><TrackMate><Model>'
+                  "<AllSpots>"),
+            F.col("_allspots"),
+            F.lit("</AllSpots><AllTracks><Track>"),
+            F.coalesce(F.col("_alledges"), F.lit("")),
+            F.lit("</Track></AllTracks></Model></TrackMate>"),
+        ).alias("xml"),
+    )

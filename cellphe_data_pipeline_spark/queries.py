@@ -1608,6 +1608,55 @@ def s8(spark, sf_dir):
 
 
 @register(
+    "s16_trackmate_sink_roundtrip",
+    """
+    SELECT CAST(ID AS INT) AS ID, LABEL, CAST(FRAME AS INT) AS FRAME,
+           CAST(px AS DOUBLE) AS POSITION_X, CAST(py AS DOUBLE) AS POSITION_Y,
+           CAST(area AS DOUBLE) AS AREA
+    FROM (VALUES
+      (1, 'ID1', 0, 10.0, 10.0, 30.0),
+      (2, 'ID2', 0, 50.0, 50.0, 40.0),
+      (3, 'ID3', 1, 11.0, 11.0, 31.0),
+      (4, 'ID4', 1, 51.0, 51.0, 41.0),
+      (5, 'ID5', 2, 12.0, 10.0, 32.0),
+      (6, 'ID6', 2, 10.0, 12.0, 33.0)
+    ) AS t(ID, LABEL, FRAME, px, py, area)
+    """,
+)
+def s16(spark, sf_dir):
+    """TrackMate XML SINK round-trip (r5c; trackmate.py
+    spots_to_trackmate_xml — the write half the reference lacks):
+    parse the fixture → EMIT a TrackMate document relationally
+    (format_string elements + two collect_list concats, no Python) →
+    re-parse the EMITTED xml with the engine's own S8 parser. The
+    oracle is s8's golden VERBATIM — external proof the sink loses
+    nothing the parser reads. Boundary fidelity is pytest-pinned
+    (tests/test_domain.py::test_trackmate_xml_sink_roundtrip)."""
+    from cellphe_data_pipeline_spark.domain.trackmate import (
+        parse_trackmate_edges,
+        parse_trackmate_spots,
+        spots_to_trackmate_xml,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    xml_df = trackmate_df(spark)
+    spots = parse_trackmate_spots(xml_df)
+    emitted = spots_to_trackmate_xml(
+        spots.withColumn(
+            "boundary_txt",
+            F.concat_ws(
+                " ",
+                F.transform("boundary_flat", lambda v: F.format_string("%.1f", v)),
+            ),
+        ),
+        parse_trackmate_edges(xml_df),
+    )
+    return parse_trackmate_spots(emitted).select(
+        "ID", "LABEL", "FRAME", "POSITION_X", "POSITION_Y", "AREA"
+    )
+
+
+@register(
     "s8b_trackmate_edges",
     """
     SELECT CAST(src AS INT) AS src, CAST(dst AS INT) AS dst
@@ -4487,6 +4536,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "w10_gap_fill",
     "t10_normalize_mojibake",
     "d10_incremental_neardup",
+    "s16_trackmate_sink_roundtrip",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

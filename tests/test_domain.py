@@ -2044,3 +2044,44 @@ def test_renumber_tracks_tolerates_phantom_endpoints_and_cycles(spark):
     }
     assert driver == dist
     assert driver.keys() == {1, 2}
+
+
+def test_trackmate_xml_sink_roundtrip(spark):
+    """S-sink symmetry (r5c): parse the fixture XML, re-emit it with
+    spots_to_trackmate_xml, re-parse the EMITTED document — spots
+    (ids/frames/positions/boundaries) and edges must survive exactly."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.domain.trackmate import (
+        parse_trackmate_edges,
+        parse_trackmate_spots,
+        spots_to_trackmate_xml,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import trackmate_df
+
+    xml_df = trackmate_df(spark)
+    spots = parse_trackmate_spots(xml_df)
+    edges = parse_trackmate_edges(xml_df)
+    emitted = spots_to_trackmate_xml(
+        spots.withColumn(
+            "boundary_txt",
+            F.concat_ws(
+                " ", F.transform("boundary_flat", lambda v: F.format_string("%.1f", v))
+            ),
+        ),
+        edges,
+    )
+    spots2 = parse_trackmate_spots(emitted)
+    edges2 = parse_trackmate_edges(emitted)
+
+    def key(rows):
+        return sorted(
+            (r["ID"], r["FRAME"], r["POSITION_X"], r["POSITION_Y"],
+             tuple(r["boundary_flat"] or []))
+            for r in rows
+        )
+
+    assert key(spots2.collect()) == key(spots.collect())
+    assert sorted((r["src"], r["dst"]) for r in edges2.collect()) == sorted(
+        (r["src"], r["dst"]) for r in edges.collect()
+    )
