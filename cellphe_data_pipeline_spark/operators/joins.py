@@ -236,3 +236,77 @@ def interval_self_join_count(
             counts.withColumnRenamed("_id", id_col), id_col, "left"
         ).withColumn("n_nearby", F.coalesce(F.col("n_nearby"), F.lit(0)))
     )
+
+
+def nearest_neighbor_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    frame_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    radius: float,
+) -> DataFrame:
+    """Radius-bounded spatial nearest-neighbor JOIN (r5c) — J7's grid
+    machinery pointed at the argmin problem: for each probe point, the
+    single closest corpus point in the same frame/group within
+    ``radius`` (probes with no neighbor in range are absent — the
+    radius is what keeps the candidate set grid-bounded; an unbounded
+    NN needs ring-expansion, out of scope).
+
+    Plan: corpus exploded into its 9 neighboring cells (cell size =
+    radius guarantees every ≤radius pair shares a cell), hash equi-join
+    on (frame, cell), exact distance filter, then ONE combinable
+    min(struct) argmin per probe — never a cartesian, never a theta
+    join. Ties break on neighbor id (deterministic; distances are
+    bit-identical expressions on both engines). Output: (frame, id,
+    neighbor_id, dist2).
+    """
+    r = float(radius)
+
+    def cells(df, idc, xc, yc, prefix):
+        return df.select(
+            F.col(frame_col).alias("_f"),
+            F.col(idc).alias(f"_{prefix}id"),
+            F.col(xc).alias(f"_{prefix}x"),
+            F.col(yc).alias(f"_{prefix}y"),
+            F.floor(F.col(xc) / F.lit(r)).cast("long").alias("_cx"),
+            F.floor(F.col(yc) / F.lit(r)).cast("long").alias("_cy"),
+        )
+
+    probe = cells(probes, id_col, x_col, y_col, "p")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    build = (
+        cells(corpus, id_col, x_col, y_col, "b")
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            "_f",
+            "_bid",
+            "_bx",
+            "_by",
+            (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    dx = F.col("_px") - F.col("_bx")
+    dy = F.col("_py") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    return (
+        probe.join(build, ["_f", "_cx", "_cy"])
+        .filter((F.col("_pid") != F.col("_bid")) & (d2 <= F.lit(r * r)))
+        .select("_f", "_pid", "_bid", d2.alias("_d2"))
+        .groupBy("_f", "_pid")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("_bid"))).alias("_m"))
+        .select(
+            F.col("_f").alias(frame_col),
+            F.col("_pid").alias(id_col),
+            F.col("_m._bid").alias("neighbor_id"),
+            F.col("_m._d2").alias("dist2"),
+        )
+    )

@@ -3689,6 +3689,57 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "j11_spatial_nn_join",
+    """
+    WITH pts AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS x,
+             CAST(user_id AS DOUBLE) AS y
+      FROM events
+    ),
+    pr AS (SELECT * FROM pts WHERE event_id % 20 = 0),
+    pairs AS (
+      SELECT p.event_type, p.event_id,
+             b.event_id AS neighbor_id,
+             (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) AS d2
+      FROM pr p JOIN pts b
+        ON p.event_type = b.event_type AND p.event_id <> b.event_id
+      WHERE (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) <= 625.0
+    )
+    SELECT event_type, event_id, neighbor_id, d2 AS dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, event_id
+                                   ORDER BY d2, neighbor_id) AS rn
+      FROM pairs
+    ) t WHERE rn = 1
+    """,
+)
+def j11(spark, sf_dir):
+    """Radius-bounded spatial nearest-neighbor join (r5c; joins.py
+    nearest_neighbor_join) — J7's grid pattern pointed at argmin: each
+    probe (every 20th event) matched to its closest same-type point
+    within radius 25 via 9-cell explode + hash equi-join + ONE
+    combinable min(struct); the oracle is the quadratic theta-join
+    formulation the plan never executes."""
+    from cellphe_data_pipeline_spark.operators.joins import nearest_neighbor_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+    return nearest_neighbor_join(
+        pts.filter(F.col("event_id") % 20 == 0),
+        pts,
+        "event_type",
+        "x",
+        "y",
+        "event_id",
+        radius=25.0,
+    )
+
+
+@register(
     "t10_normalize_mojibake",
     """
     WITH aug AS (
@@ -4537,6 +4588,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t10_normalize_mojibake",
     "d10_incremental_neardup",
     "s16_trackmate_sink_roundtrip",
+    "j11_spatial_nn_join",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

@@ -198,3 +198,11 @@ def test_pagerank_no_cartesian_broadcastable_rank(spark, sf_dir):
     # per-iteration: node-keyed joins only; never a cartesian
     p = plan(REGISTRY["g5_pagerank"].fn(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in p
+
+
+def test_spatial_nn_join_no_cartesian(spark, sf_dir):
+    # the NN argmin must ride the 9-cell hash equi-join, never the
+    # oracle's quadratic theta join
+    p = plan(REGISTRY["j11_spatial_nn_join"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
