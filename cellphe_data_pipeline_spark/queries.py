@@ -3689,6 +3689,69 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "u6_union_by_name",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS INT) AS n_chars, source
+    FROM (
+      SELECT doc_id, lang, n_chars, NULL AS source
+      FROM documents WHERE doc_id < 100
+      UNION ALL BY NAME
+      SELECT source, lang, doc_id, n_chars
+      FROM documents WHERE doc_id >= 400
+    ) t
+    """,
+)
+def u6(spark, sf_dir):
+    """Schema-evolution union (r5c): two ingest batches whose columns
+    arrive in DIFFERENT order, one missing a column entirely — the
+    daily reality of long-lived corpus ingestion. unionByName with
+    allowMissingColumns aligns by NAME (positional union would silently
+    mix doc_id into source — the classic corruption) and nulls the
+    absent column; DuckDB's UNION ALL BY NAME is the oracle twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", "lang", "n_chars"
+    )  # pre-evolution schema: no source column
+    new_batch = docs.filter(F.col("doc_id") >= 400).select(
+        "source", "lang", "doc_id", "n_chars"
+    )  # evolved schema, shuffled column order
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars"), "source"
+    )
+
+
+@register(
+    "c9_split_manifest",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substring(md5('split1-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS b
+      FROM documents
+    ) t
+    """,
+)
+def c9(spark, sf_dir):
+    """Deterministic train/val/test split manifest (r5c): 80/10/10 by
+    seeded md5 bucket — the same document lands in the same split on
+    every run, engine, and scale (RNG splits don't survive re-runs or
+    backfills; leakage via re-assignment is a real eval bug). Zero
+    shuffle, pure codegen; the seed string versions the split."""
+    from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_hash64(F.col("doc_id").cast("string"), seed="split1-") % 10000
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
     "j11_spatial_nn_join",
     """
     WITH pts AS (
@@ -4589,6 +4652,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "d10_incremental_neardup",
     "s16_trackmate_sink_roundtrip",
     "j11_spatial_nn_join",
+    "u6_union_by_name",
+    "c9_split_manifest",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",
