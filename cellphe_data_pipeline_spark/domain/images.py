@@ -1039,3 +1039,48 @@ def register_split_frames_udtf(spark: SparkSession, name: str = "split_frames_ud
 
     spark.udtf.register(name, SplitFrames)
     return SplitFrames
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("mask_id", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+    ]
+)
+
+
+def mask_pixels(masks: DataFrame) -> DataFrame:
+    """Relational pixel view of label masks (r5c): one row per non-
+    background pixel — the exploded form that turns mask OVERLAP
+    computations (IoU tracking, M3's Overlap tracker option) into plain
+    equi-joins on (path, px, py). One Arrow frame per input batch (the
+    mask_centroids batching contract)."""
+
+    def pix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts: list[pd.DataFrame] = []
+            for _, row in pdf.iterrows():
+                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
+                    row["height"], row["width"]
+                )
+                ys, xs = np.nonzero(m)
+                if len(ys) == 0:
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "path": row["path"],
+                            "frame_index": np.int32(row["frame_index"]),
+                            "mask_id": m[ys, xs].astype("int32"),
+                            "px": xs.astype("int32"),
+                            "py": ys.astype("int32"),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return masks.mapInPandas(pix, PIXEL_SCHEMA)

@@ -431,3 +431,114 @@ def track_detections(
         .groupBy("timelapse_id")
         .applyInPandas(kernel, EDGES_SCHEMA)
     )
+
+
+def overlap_links(
+    pixels: DataFrame,
+    iou_threshold: float = 0.3,
+    mutual: bool = True,
+) -> DataFrame:
+    """The reference's OVERLAP tracker option (track_images.py:74-123
+    tracker menu, README.md:152-160) — linking by mask IoU between
+    consecutive frames — expressed FULLY RELATIONALLY over the
+    mask-pixel table (images.mask_pixels), no sequential kernel:
+
+      intersection = equi-join of frame f pixels with frame f+1 pixels
+                     on (path, px, py) + ONE combinable pair count;
+      areas        = per-label pixel counts;
+      IoU          = inter / (area_a + area_b - inter);
+      links        = per-source argmax (min(struct(-iou, dst)) — ties
+                     to the lower dst id), thresholded; with
+                     ``mutual=True`` ALSO per-target argmax and keep
+                     only agreeing pairs (the 1-1 matching the
+                     reference's tracker produces).
+
+    Scale: pixel self-join keyed on (path, px, py) — co-partitioned,
+    no cartesian; everything downstream is combinable aggregation.
+    Where centroid trackers need the sequential per-timelapse kernel
+    (tracking is inherently ordered), overlap linking is pure joins —
+    the shape that parallelises across a 1000-executor cluster with no
+    per-key state at all. Output: (path, frame_index, src_mask,
+    dst_mask, iou).
+
+    The pixel table is pinned once (hub-table rule: it feeds both join
+    sides AND the area counts — 3 consumers), and the scored pair table
+    once more (feeds the links + both argmax sides); without the cuts
+    the upstream decode/segment kernels re-execute per consumer."""
+    px = pixels.select(
+        "path",
+        "frame_index",
+        F.col("mask_id"),
+        "px",
+        "py",
+    ).localCheckpoint(eager=True)
+    a = px.select(
+        "path",
+        F.col("frame_index").alias("f"),
+        F.col("mask_id").alias("src_mask"),
+        "px",
+        "py",
+    )
+    b = px.select(
+        "path",
+        (F.col("frame_index") - 1).alias("f"),
+        F.col("mask_id").alias("dst_mask"),
+        "px",
+        "py",
+    )
+    inter = (
+        a.join(b, ["path", "f", "px", "py"])
+        .groupBy("path", "f", "src_mask", "dst_mask")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    areas = px.groupBy("path", "frame_index", "mask_id").agg(
+        F.count(F.lit(1)).alias("area")
+    )
+    scored = (
+        inter.join(
+            areas.select(
+                "path",
+                F.col("frame_index").alias("f"),
+                F.col("mask_id").alias("src_mask"),
+                F.col("area").alias("area_a"),
+            ),
+            ["path", "f", "src_mask"],
+        )
+        .join(
+            areas.select(
+                "path",
+                (F.col("frame_index") - 1).alias("f"),
+                F.col("mask_id").alias("dst_mask"),
+                F.col("area").alias("area_b"),
+            ),
+            ["path", "f", "dst_mask"],
+        )
+        .withColumn(
+            "iou",
+            F.col("inter")
+            / (F.col("area_a") + F.col("area_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("iou") >= iou_threshold)
+    ).localCheckpoint(eager=True)
+    best_src = (
+        scored.groupBy("path", "f", "src_mask")
+        .agg(F.min(F.struct(-F.col("iou"), F.col("dst_mask"))).alias("m"))
+        .select("path", "f", "src_mask", F.col("m.dst_mask").alias("dst_mask"))
+    )
+    links = scored.join(best_src, ["path", "f", "src_mask", "dst_mask"], "left_semi")
+    if mutual:
+        best_dst = (
+            scored.groupBy("path", "f", "dst_mask")
+            .agg(F.min(F.struct(-F.col("iou"), F.col("src_mask"))).alias("m"))
+            .select("path", "f", "dst_mask", F.col("m.src_mask").alias("src_mask"))
+        )
+        links = links.join(
+            best_dst, ["path", "f", "dst_mask", "src_mask"], "left_semi"
+        )
+    return links.select(
+        "path",
+        F.col("f").alias("frame_index"),
+        "src_mask",
+        "dst_mask",
+        F.round("iou", 6).alias("iou"),
+    )

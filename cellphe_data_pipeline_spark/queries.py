@@ -3689,6 +3689,59 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "m3d_overlap_tracking",
+    """
+    SELECT path, CAST(f AS INT) AS frame_index, CAST(s AS INT) AS src_mask,
+           CAST(d AS INT) AS dst_mask, CAST(iou AS DOUBLE) AS iou
+    FROM (VALUES
+      ('tl.fake', 0, 1, 1, 0.76),
+      ('tl.fake', 0, 2, 2, 0.574713),
+      ('tl.fake', 0, 3, 4, 0.752809),
+      ('tl.fake', 0, 4, 5, 0.876543),
+      ('tl.fake', 1, 1, 1, 0.72),
+      ('tl.fake', 1, 2, 2, 0.775281),
+      ('tl.fake', 1, 3, 3, 0.662921),
+      ('tl.fake', 1, 4, 4, 0.739726),
+      ('tl.fake', 1, 5, 5, 0.864198),
+      ('tl.fake', 2, 1, 1, 0.72),
+      ('tl.fake', 2, 2, 2, 0.584416),
+      ('tl.fake', 2, 3, 3, 0.666667),
+      ('tl.fake', 2, 4, 4, 0.490909),
+      ('tl.fake', 2, 5, 5, 0.865854)
+    ) AS t(path, f, s, d, iou)
+    """,
+)
+def m3d(spark, sf_dir):
+    """M3 OVERLAP tracker option (r5c; tracking.py overlap_links) — the
+    reference's IoU-based tracker (track_images.py tracker menu,
+    README.md:152-160) expressed FULLY RELATIONALLY: mask pixels
+    (images.mask_pixels) equi-joined across consecutive frames on
+    (path, px, py), combinable intersection/area counts, mutual-argmax
+    1-1 linking. Unlike the centroid trackers (sequential per-timelapse
+    kernel by nature), overlap linking is pure joins — no per-key state
+    at any scale. Golden: 4-frame fixture chain (note labels DRIFT:
+    frame-0 masks 3→4, 4→5 — the raster-order relabeling that makes
+    tracking necessary); cross-checked against a python IoU replay in
+    tests/test_domain.py::test_overlap_links_match_python_iou."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        make_fake_timelapse,
+        mask_pixels,
+        segment_frames,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.domain.tracking import overlap_links
+
+    bins = spark.createDataFrame(
+        [("tl.fake",
+          bytearray(make_fake_timelapse(seed=101, height=48, width=48, n_frames=4)))],
+        "path string, content binary",
+    )
+    return overlap_links(
+        mask_pixels(segment_frames(split_frames(bins))), iou_threshold=0.1
+    )
+
+
+@register(
     "u6_union_by_name",
     """
     SELECT doc_id, lang, CAST(n_chars AS INT) AS n_chars, source
@@ -4654,6 +4707,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "j11_spatial_nn_join",
     "u6_union_by_name",
     "c9_split_manifest",
+    "m3d_overlap_tracking",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

@@ -2085,3 +2085,66 @@ def test_trackmate_xml_sink_roundtrip(spark):
     assert sorted((r["src"], r["dst"]) for r in edges2.collect()) == sorted(
         (r["src"], r["dst"]) for r in edges.collect()
     )
+
+
+def test_overlap_links_match_python_iou(spark):
+    """Relational IoU linking vs a python replay over the same pixel
+    rows: identical intersections, IoU values, argmax choices, and
+    mutual-1-1 filtering; drifting fixture cells must track to
+    themselves frame-over-frame."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        make_fake_timelapse,
+        mask_pixels,
+        segment_frames,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.domain.tracking import overlap_links
+
+    bins = spark.createDataFrame(
+        [("tl.fake", bytearray(make_fake_timelapse(seed=101, height=48, width=48,
+                                                   n_frames=5)))],
+        "path string, content binary",
+    )
+    px = mask_pixels(segment_frames(split_frames(bins)))
+    rows = px.collect()
+    got = {
+        (r["frame_index"], r["src_mask"], r["dst_mask"]): r["iou"]
+        for r in overlap_links(px, iou_threshold=0.1).collect()
+    }
+
+    # python replay
+    by_frame: dict[int, dict[int, set]] = {}
+    for r in rows:
+        by_frame.setdefault(r["frame_index"], {}).setdefault(
+            r["mask_id"], set()
+        ).add((r["px"], r["py"]))
+    want = {}
+    for f in sorted(by_frame):
+        if f + 1 not in by_frame:
+            continue
+        cand = {}
+        for sa, pa in by_frame[f].items():
+            for sb, pb in by_frame[f + 1].items():
+                i = len(pa & pb)
+                if i:
+                    iou = i / (len(pa) + len(pb) - i)
+                    if iou >= 0.1:
+                        cand[(sa, sb)] = iou
+        bs = {}
+        for (sa, sb), iou in cand.items():
+            if sa not in bs or (iou, -sb) > (bs[sa][1], -bs[sa][0]):
+                bs[sa] = (sb, iou)
+        bd = {}
+        for (sa, sb), iou in cand.items():
+            if sb not in bd or (iou, -sa) > (bd[sb][1], -bd[sb][0]):
+                bd[sb] = (sa, iou)
+        for sa, (sb, iou) in bs.items():
+            if bd.get(sb, (None,))[0] == sa:
+                want[(f, sa, sb)] = round(iou, 6)
+    assert got == want
+    assert len(got) > 0
+    # mutual-1-1: a source links at most one target and vice versa
+    for f in {f for (f, _, _) in got}:
+        srcs = [sa for (ff, sa, _) in got if ff == f]
+        dsts = [sb for (ff, _, sb) in got if ff == f]
+        assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
