@@ -12,8 +12,10 @@ hard part #5) is *same-shape, simplified* linking:
     ``method="lap"``, by a per-frame-pair Hungarian assignment
     (minimum total distance — TrackMate's frame-to-frame LAP step,
     track_images.py:74-123) solved by scipy when installed, else the
-    built-in O(n^3) numpy Hungarian. Greedy stays the default (it is
-    the documented oracle semantics);
+    built-in O(n^3) numpy Hungarian; or, with ``method="kalman"``, by
+    greedy assignment against constant-velocity PREDICTED positions
+    (TrackMate's Kalman tracker family, README.md:152-160). Greedy
+    stays the default (it is the documented oracle semantics);
   - gap closing: an unmatched track end may re-link ≤ ``max_frame_gap``
     frames later within ``gap_closing_max_distance``
     (ALLOW_GAP_CLOSING / MAX_FRAME_GAP=4 / GAP_CLOSING_MAX_DISTANCE,
@@ -282,9 +284,17 @@ def _link_one(
     }
     # open track ends: spot id -> (frame, x, y)
     open_ends: dict[int, tuple[int, float, float]] = {}
+    # per-end constant-velocity estimate (method="kalman"): set when a
+    # link lands, consulted to PREDICT the end's position at frame f —
+    # TrackMate's Kalman tracker semantics, lite (predict + gate +
+    # assign; no covariance update — the constant-velocity point
+    # prediction is the part that changes which links are possible).
+    # New tracks have no history -> velocity 0 -> identical to greedy.
+    vel: dict[int, tuple[float, float]] = {}
     edges: list[tuple[int, int, int, float]] = []
     for f in frames:
         dets = by_frame[f]
+        det_pos = {int(det[0]): (float(det[1]), float(det[2])) for det in dets}
         # candidate links (dist, src, dst, gap): open ends within the
         # distance window; gap = frames skipped (0 = consecutive)
         cands = []
@@ -293,8 +303,13 @@ def _link_one(
             if gap > inline_gap:
                 continue
             limit = linking_max_distance if gap == 0 else gap_closing_max_distance
+            if method == "kalman":
+                vx, vy = vel.get(src, (0.0, 0.0))
+                ex_, ey_ = ex + vx * (f - ef), ey + vy * (f - ef)
+            else:
+                ex_, ey_ = ex, ey
             for det in dets:
-                d = float(np.hypot(det[1] - ex, det[2] - ey))
+                d = float(np.hypot(det[1] - ex_, det[2] - ey_))
                 if d <= limit:
                     cands.append((d, int(src), int(det[0]), gap))
         if method == "lap" and cands:
@@ -319,6 +334,10 @@ def _link_one(
                 d, gap = meta[(r, c)]
                 src, dst = srcs[r], dsts[c]
                 edges.append((src, dst, gap, d))
+                if src in open_ends:
+                    _, ex0, ey0 = open_ends[src]
+                    dx0, dy0 = det_pos[dst]
+                    vel[dst] = ((dx0 - ex0) / (gap + 1), (dy0 - ey0) / (gap + 1))
                 open_ends.pop(src, None)
         else:
             cands.sort()  # greedy by (distance, src, dst) — deterministic
@@ -330,6 +349,10 @@ def _link_one(
                 used_src.add(src)
                 used_dst.add(dst)
                 edges.append((src, dst, gap, d))
+                if src in open_ends:
+                    _, ex0, ey0 = open_ends[src]
+                    dx0, dy0 = det_pos[dst]
+                    vel[dst] = ((dx0 - ex0) / (gap + 1), (dy0 - ey0) / (gap + 1))
                 open_ends.pop(src, None)  # the end moved forward to dst
         # every detection of this frame is now an open end (matched ones
         # continue their track under the new spot id; unmatched ones
@@ -378,8 +401,13 @@ def track_detections(
     `detections`: (timelapse_id, id, frame, x, y) — id unique per
     timelapse. Returns EDGES_SCHEMA rows (src, dst spot ids + the gap
     length and link distance for QC). ``method``: "greedy" (default,
-    the documented oracle semantics) or "lap" (per-frame-pair Hungarian
-    minimum-total-distance assignment). ``gap_strategy``: "inline"
+    the documented oracle semantics), "lap" (per-frame-pair Hungarian
+    minimum-total-distance assignment), or "kalman" (constant-velocity
+    point prediction before the greedy gate+assign — TrackMate's
+    KalmanTracker option, lite: the track's velocity estimate carries
+    its predicted position forward, so fast movers keep their identity
+    through crossings that fool raw nearest-distance linking).
+    ``gap_strategy``: "inline"
     (default — gap candidates compete inside each frame's assignment)
     or "segment_lap" (TrackMate phase-2 shape: consecutive-frame
     linking first, then ONE global Hungarian over segment end/start
@@ -395,8 +423,10 @@ def track_detections(
     template's distances; downstream G4 renumbering already assigns
     split children new track ids (domain/lineage.py)."""
 
-    if method not in ("greedy", "lap"):
-        raise ValueError(f"method must be 'greedy' or 'lap', got {method!r}")
+    if method not in ("greedy", "lap", "kalman"):
+        raise ValueError(
+            f"method must be 'greedy', 'lap', or 'kalman', got {method!r}"
+        )
     if gap_strategy not in ("inline", "segment_lap"):
         raise ValueError(
             f"gap_strategy must be 'inline' or 'segment_lap', got {gap_strategy!r}"

@@ -3689,6 +3689,42 @@ def a12(spark, sf_dir):
 
 
 @register(
+    "m3e_kalman_tracking",
+    """
+    SELECT tl AS timelapse_id, CAST(s AS BIGINT) AS src,
+           CAST(d AS BIGINT) AS dst, CAST(g AS INT) AS gap,
+           CAST(dist AS DOUBLE) AS dist
+    FROM (VALUES
+      ('tl', 1, 2, 0, 10.0), ('tl', 2, 3, 0, 0.0),
+      ('tl', 3, 4, 0, 0.0), ('tl', 4, 5, 0, 0.0),
+      ('tl', 11, 12, 0, 10.0), ('tl', 12, 13, 0, 0.0),
+      ('tl', 13, 14, 0, 0.0), ('tl', 14, 15, 0, 0.0)
+    ) AS t(tl, s, d, g, dist)
+    """,
+)
+def m3e(spark, sf_dir):
+    """M3 KALMAN tracker option (r5c; tracking.py method="kalman" —
+    TrackMate's Kalman family, README.md:152-160, lite): constant-
+    velocity point prediction before the greedy gate+assign. Golden:
+    the crossing-cells fixture where raw nearest-distance greedy SWAPS
+    the two identities at the crossing frame (each end is closer to
+    the other cell's next detection) while the velocity-predicted
+    positions land EXACTLY on the true continuations (dist 0.0 from
+    the second link on — visible in the golden). The greedy-vs-kalman
+    divergence is pinned in
+    tests/test_domain.py::test_kalman_tracking_keeps_identities_through_crossing."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import crossing_detections_df
+
+    return track_detections(
+        crossing_detections_df(spark),
+        linking_max_distance=15.0,
+        max_frame_gap=0,
+        method="kalman",
+    )
+
+
+@register(
     "m3d_overlap_tracking",
     """
     SELECT path, CAST(f AS INT) AS frame_index, CAST(s AS INT) AS src_mask,
@@ -4708,6 +4744,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "u6_union_by_name",
     "c9_split_manifest",
     "m3d_overlap_tracking",
+    "m3e_kalman_tracking",
     "s1_glob_scan",
     "s6_s7_csv_roundtrip",
     "s9_s10_roi_zip_roundtrip",

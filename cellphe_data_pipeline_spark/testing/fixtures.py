@@ -246,3 +246,20 @@ def gap_closing_detections_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "timelapse_id string, id int, frame int, x double, y double"
     )
+
+
+def crossing_detections_df(spark: SparkSession) -> DataFrame:
+    """Two cells crossing with opposite velocities (m3e): A moves right
+    at +10/frame along y=0 (ids 1-5), B moves left at -10/frame along
+    y=1 (ids 11-15). At the crossing (frame 2→3) each end is CLOSER to
+    the other cell's next detection (√82 ≈ 9.06 < 10), so raw
+    nearest-distance greedy SWAPS the identities; constant-velocity
+    prediction (method="kalman") puts each predicted position exactly
+    on its own next detection and keeps them."""
+    rows = []
+    for f in range(5):
+        rows.append(("tl", 1 + f, f, 0.0 + 10.0 * f, 0.0))       # A: ids 1..5
+        rows.append(("tl", 11 + f, f, 41.0 - 10.0 * f, 1.0))     # B: ids 11..15
+    return spark.createDataFrame(
+        rows, "timelapse_id string, id bigint, frame int, x double, y double"
+    )

@@ -2148,3 +2148,30 @@ def test_overlap_links_match_python_iou(spark):
         srcs = [sa for (ff, sa, _) in got if ff == f]
         dsts = [sb for (ff, _, sb) in got if ff == f]
         assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
+
+
+def test_kalman_tracking_keeps_identities_through_crossing(spark):
+    """m3e semantics: greedy swaps the two crossing tracks at frame
+    2→3 (each end is closer to the OTHER cell's next detection);
+    kalman's constant-velocity prediction keeps both identities, with
+    zero prediction error on the linear fixture."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import crossing_detections_df
+
+    dets = crossing_detections_df(spark)
+    greedy = {(r["src"], r["dst"])
+              for r in track_detections(dets, linking_max_distance=15.0,
+                                        max_frame_gap=0).collect()}
+    kalman = {(r["src"], r["dst"]): r["dist"]
+              for r in track_detections(dets, linking_max_distance=15.0,
+                                        max_frame_gap=0,
+                                        method="kalman").collect()}
+    # greedy mislinks at the crossing: A's frame-2 spot (id 3) links to
+    # B's frame-3 spot (id 14) and vice versa
+    assert (3, 14) in greedy and (13, 4) in greedy
+    # kalman keeps identities everywhere: 1→2→3→4→5 and 11→…→15
+    want = {(i, i + 1) for i in (1, 2, 3, 4)} | {(i, i + 1) for i in (11, 12, 13, 14)}
+    assert set(kalman) == want
+    # after one link establishes velocity, predictions land exactly on
+    # the true next detection (linear motion): distance 0 from frame 1 on
+    assert all(d == 0.0 for (s, _), d in kalman.items() if s not in (1, 11))
