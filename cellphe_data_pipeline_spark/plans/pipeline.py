@@ -373,8 +373,14 @@ def config_to_run_kwargs(config: dict) -> dict:
         **DEFAULT_CONFIG["tracking"]["settings"],
         **cfg.get("tracking", {}).get("settings", {}),
     }
-    algo = cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")
-    is_lap = "lap" in str(algo).lower()
+    algo = str(cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")).lower()
+    # reference tracker menu (README.md:152-160): LAP* -> per-pair
+    # Hungarian + segment-LAP gap phase; Kalman/AdvancedKalman ->
+    # constant-velocity prediction; everything else -> greedy
+    # NearestNeighbor. (The Overlap tracker links MASKS, not centroids
+    # — it is the standalone relational tracking.overlap_links.)
+    is_lap = "lap" in algo
+    method = "lap" if is_lap else ("kalman" if "kalman" in algo else "greedy")
     return {
         "qc": qc,
         "segmentation_method": cfg.get("segmentation", {}).get("method", "median"),
@@ -383,7 +389,7 @@ def config_to_run_kwargs(config: dict) -> dict:
             int(tr["MAX_FRAME_GAP"]) if tr.get("ALLOW_GAP_CLOSING", True) else 0
         ),
         "gap_closing_max_distance": float(tr["GAP_CLOSING_MAX_DISTANCE"]),
-        "tracking_method": "lap" if is_lap else "greedy",
+        "tracking_method": method,
         "tracking_gap_strategy": "segment_lap" if is_lap else "inline",
         "allow_splitting": bool(tr.get("ALLOW_TRACK_SPLITTING", False)),
         "splitting_max_distance": float(tr.get("SPLITTING_MAX_DISTANCE", 5.0)),
