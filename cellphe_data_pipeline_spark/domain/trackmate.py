@@ -73,15 +73,24 @@ def parse_trackmate_spots(
     }
     zipped = F.arrays_zip(*[v.alias(k) for k, v in attrs.items()])
     out = df.select(*doc_cols, F.posexplode(zipped).alias("_pos", "_s"))
+    # filter-then-cast: an empty/whitespace-only text node yields []
+    # (split of "" gives [""], whose ANSI cast would fail the job);
+    # try_cast tolerates malformed floats as null
     boundary = F.transform(
-        F.split(F.trim(F.col("_s.boundary")), r"\s+"), lambda v: v.cast("double")
+        F.filter(
+            F.split(F.trim(F.col("_s.boundary")), r"\s+"), lambda v: v != ""
+        ),
+        lambda v: v.try_cast("double"),
     )
     return out.select(
         *doc_cols,
         F.col("_s.ID").cast("int").alias("ID"),
         F.col("_s.name").alias("LABEL"),  # name→LABEL rename (parse_xml.py:103)
         F.col("_s.FRAME").cast("int").alias("FRAME"),
-        *[F.col(f"_s.{a}").cast("double").alias(a) for a in SPOT_DOUBLE_ATTRS],
+        # try_cast: an empty or malformed attribute value reads as null
+        # instead of failing the job under ANSI mode (and the engine's
+        # own sink emits NULL attr values as empty strings)
+        *[F.col(f"_s.{a}").try_cast("double").alias(a) for a in SPOT_DOUBLE_ATTRS],
         boundary.alias("boundary_flat"),
     )
 
@@ -203,32 +212,52 @@ def spots_to_trackmate_xml(
     strings via format_string (codegen), per-frame concat_ws +
     collect_list, then the document concat — no Python in the loop.
 
-    Numeric formatting contract: doubles as %.1f — enough for the
-    parser round-trip test to reproduce the input bit-exactly after
-    cast (positions in this engine are half-pixel grids), documented
-    rather than hidden. Output: (group?, xml string).
+    Fidelity contract:
+    - the spot name comes from a ``LABEL`` column when present
+      (TrackMate labels are user-editable) and falls back to
+      ``ID<id>``;
+    - EVERY ``SPOT_DOUBLE_ATTRS`` column present on the input is
+      emitted (missing columns are simply absent — the parser reads
+      them as null either way), at %.6f — 1e-6 precision, enough for
+      mask-centroid positions (pixel-count means), documented rather
+      than hidden;
+    - a spot with a null/empty boundary emits a single-space text node:
+      the parser's positional ``//Spot/text()`` zip SKIPS text-less
+      elements, so an empty element would silently shift every later
+      spot's boundary onto the wrong spot (the space keeps the text
+      list aligned; it parses back as an empty boundary).
+    Output: (group?, xml string).
 
     Scale: a document per group (a timelapse), built by two combinable
     collect_list aggregations; the XML string is driver-sized per
     GROUP, not per corpus — the same bound as the reference's one-XML-
     per-timelapse layout."""
     g = [group_col] if group_col else []
-    spot_el = F.format_string(
-        '<Spot ID="%d" name="ID%d" FRAME="%d" QUALITY="%.1f" '
-        'POSITION_X="%.1f" POSITION_Y="%.1f" POSITION_Z="%.1f" '
-        'POSITION_T="%.1f" RADIUS="%.1f" AREA="%.1f" '
-        'VISIBILITY="1">%s</Spot>',
-        F.col("ID"),
-        F.col("ID"),
-        F.col("FRAME"),
-        F.coalesce(F.col("QUALITY"), F.lit(1.0)),
-        F.col("POSITION_X"),
-        F.col("POSITION_Y"),
-        F.coalesce(F.col("POSITION_Z"), F.lit(0.0)),
-        F.coalesce(F.col("POSITION_T"), F.col("FRAME").cast("double")),
-        F.coalesce(F.col("RADIUS"), F.lit(1.0)),
-        F.coalesce(F.col("AREA"), F.lit(0.0)),
-        F.coalesce(F.col("boundary_txt"), F.lit("")),
+    present = [a for a in SPOT_DOUBLE_ATTRS if a in spots.columns]
+    # EVERY present column's attr is emitted on EVERY row — the
+    # parser's positional xpath zip (like //Spot/text()) skips elements
+    # missing an attr, so per-row omission would misalign every later
+    # spot. A NULL value emits an EMPTY attr string, which the parser's
+    # try_cast reads back as null (never a fake 0.0).
+    attr_frags = [
+        F.when(
+            F.col(a).isNotNull(), F.format_string(f' {a}="%.6f"', F.col(a))
+        ).otherwise(F.lit(f' {a}=""'))
+        for a in present
+    ]
+    name_col = (
+        F.coalesce(F.col("LABEL"), F.format_string("ID%d", F.col("ID")))
+        if "LABEL" in spots.columns
+        else F.format_string("ID%d", F.col("ID"))
+    )
+    boundary = F.when(
+        F.coalesce(F.col("boundary_txt"), F.lit("")) == "", F.lit(" ")
+    ).otherwise(F.col("boundary_txt"))
+    spot_el = F.concat(
+        F.format_string('<Spot ID="%d" name="%s" FRAME="%d"', F.col("ID"),
+                        name_col, F.col("FRAME")),
+        *attr_frags,
+        F.format_string(' VISIBILITY="1">%s</Spot>', boundary),
     )
     frames = (
         spots.withColumn("_el", spot_el)

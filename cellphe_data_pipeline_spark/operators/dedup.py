@@ -551,25 +551,34 @@ def incremental_near_duplicates(
     )
     sizes_a = sh_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     sizes_b = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    a = sh_idx.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
-    b = sh_new.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
+    # candidate-first join order (the O(batch) contract): attach the
+    # index side's shingles to the candidate PAIRS, then equi-join the
+    # batch side on (doc_b, shingle) — the intermediate is bounded by
+    # |candidates| x shingles-per-doc. Joining the two shingle tables
+    # on shingle equality FIRST would materialise every cross-corpus
+    # occurrence of every common shingle before the candidate filter
+    # (a ~1e9-row blowup on a 1M-doc index with common trigrams).
+    a = cand.join(
+        sh_idx.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh"}), "doc_a"
+    )
     inter = (
-        a.join(b, F.col("sh_a") == F.col("sh_b"))
-        .join(cand, ["doc_a", "doc_b"])
+        a.join(
+            sh_new.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh"}),
+            ["doc_b", "sh"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # threshold on the RAW ratio, round after — the same order as
+    # pairwise_jaccard, so the incremental result is exactly the full
+    # self-join result restricted to (index, new) pairs even at the
+    # rounding boundary
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast(
+        "double"
     )
     return (
         inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(sizes_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

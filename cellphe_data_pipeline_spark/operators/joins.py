@@ -246,6 +246,7 @@ def nearest_neighbor_join(
     y_col: str,
     id_col: str,
     radius: float,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Radius-bounded spatial nearest-neighbor JOIN (r5c) — J7's grid
     machinery pointed at the argmin problem: for each probe point, the
@@ -253,6 +254,13 @@ def nearest_neighbor_join(
     ``radius`` (probes with no neighbor in range are absent — the
     radius is what keeps the candidate set grid-bounded; an unbounded
     NN needs ring-expansion, out of scope).
+
+    ``exclude_self`` (default True) drops candidate pairs with EQUAL
+    ids — correct when the probes are a subset of the corpus (the j11
+    self-kNN shape). When probing one table against a DIFFERENT table
+    whose id space may coincide, pass ``exclude_self=False`` or a
+    genuinely shared id scheme: otherwise a corpus point that happens
+    to share a probe's id would be wrongly suppressed.
 
     Plan: corpus exploded into its 9 neighboring cells (cell size =
     radius guarantees every ≤radius pair shares a cell), hash equi-join
@@ -297,9 +305,12 @@ def nearest_neighbor_join(
     dx = F.col("_px") - F.col("_bx")
     dy = F.col("_py") - F.col("_by")
     d2 = dx * dx + dy * dy
+    pair_filter = d2 <= F.lit(r * r)
+    if exclude_self:
+        pair_filter = (F.col("_pid") != F.col("_bid")) & pair_filter
     return (
         probe.join(build, ["_f", "_cx", "_cy"])
-        .filter((F.col("_pid") != F.col("_bid")) & (d2 <= F.lit(r * r)))
+        .filter(pair_filter)
         .select("_f", "_pid", "_bid", d2.alias("_d2"))
         .groupBy("_f", "_pid")
         .agg(F.min(F.struct(F.col("_d2"), F.col("_bid"))).alias("_m"))

@@ -379,7 +379,10 @@ def config_to_run_kwargs(config: dict) -> dict:
     # constant-velocity prediction; everything else -> greedy
     # NearestNeighbor. (The Overlap tracker links MASKS, not centroids
     # — it is the standalone relational tracking.overlap_links.)
-    is_lap = "lap" in algo
+    # NOTE "Overlap".lower() contains "lap" — exclude it explicitly so
+    # the Overlap entry falls through to greedy (with a visible warning
+    # path via the docstring) instead of silently running Hungarian
+    is_lap = "lap" in algo and "overlap" not in algo
     method = "lap" if is_lap else ("kalman" if "kalman" in algo else "greedy")
     return {
         "qc": qc,

@@ -2175,3 +2175,39 @@ def test_kalman_tracking_keeps_identities_through_crossing(spark):
     # after one link establishes velocity, predictions land exactly on
     # the true next detection (linear motion): distance 0 from frame 1 on
     assert all(d == 0.0 for (s, _), d in kalman.items() if s not in (1, 11))
+
+
+def test_trackmate_xml_sink_edge_cases(spark):
+    """Review-finding regressions: a boundary-less spot must NOT shift
+    later spots' boundaries (text-node alignment), user-edited LABELs
+    survive, intensity attrs round-trip, and NULL attrs stay null
+    (never coalesced into 0.0)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.domain.trackmate import (
+        parse_trackmate_spots,
+        spots_to_trackmate_xml,
+    )
+
+    spots = spark.createDataFrame(
+        [
+            # (ID, LABEL, FRAME, X, Y, MEAN, boundary_txt)
+            (1, "myCell", 0, 10.25, 5.125, 42.5, None),          # no boundary!
+            (2, "ID2", 0, 1.0, 2.0, None, "1.0 2.0 3.0 4.0"),    # null MEAN
+            (3, "other", 1, 7.0, 8.0, 9.0, "5.0 6.0 7.0 8.0"),
+        ],
+        "ID int, LABEL string, FRAME int, POSITION_X double, POSITION_Y double,"
+        " MEAN_INTENSITY_CH1 double, boundary_txt string",
+    )
+    edges = spark.createDataFrame([], "src int, dst int")
+    out = parse_trackmate_spots(spots_to_trackmate_xml(spots, edges))
+    rows = {r["ID"]: r for r in out.collect()}
+    assert rows[1]["LABEL"] == "myCell"
+    assert rows[1]["MEAN_INTENSITY_CH1"] == 42.5
+    assert rows[1]["POSITION_X"] == 10.25 and rows[1]["POSITION_Y"] == 5.125
+    # the boundary-less spot must NOT steal spot 2's boundary
+    assert not [b for b in (rows[1]["boundary_flat"] or []) if b is not None]
+    assert rows[2]["boundary_flat"] == [1.0, 2.0, 3.0, 4.0]
+    assert rows[3]["boundary_flat"] == [5.0, 6.0, 7.0, 8.0]
+    # null attr stays null, never 0.0
+    assert rows[2]["MEAN_INTENSITY_CH1"] is None
