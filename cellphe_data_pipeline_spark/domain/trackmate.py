@@ -250,6 +250,12 @@ def spots_to_trackmate_xml(
         if "LABEL" in spots.columns
         else F.format_string("ID%d", F.col("ID"))
     )
+    # LABEL is user-editable; escape XML metacharacters (& FIRST, so
+    # the entities introduced by the later replaces aren't re-escaped)
+    # or a label like 'R&D <x>' emits a document neither this module's
+    # own xpath parser nor Fiji/TrackMate can read back.
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        name_col = F.replace(name_col, F.lit(raw), F.lit(ent))
     boundary = F.when(
         F.coalesce(F.col("boundary_txt"), F.lit("")) == "", F.lit(" ")
     ).otherwise(F.col("boundary_txt"))

@@ -408,6 +408,22 @@ def int8_topk(
     )
 
 
+def _k_lowest_ids(df: DataFrame, id_col: str, k: int, what: str) -> list:
+    """The ``k`` smallest DISTINCT ids of ``df`` (ADVICE r5: seeding
+    with ``id < k`` silently degenerates on sparse/offset id spaces —
+    e.g. a shard whose ids start at 1e6 would yield ZERO seeds). One
+    tiny combinable distinct + TakeOrdered job; k is bounded (<= a few
+    hundred codewords/centroids), so the driver-side list is trivial.
+    Raises when the corpus has fewer than ``k`` distinct ids — a
+    degenerate codebook is an error, not a silent fallback."""
+    ids = [r[0] for r in df.select(id_col).distinct().orderBy(id_col).limit(k).collect()]
+    if len(ids) < k:
+        raise ValueError(
+            f"{what}: need {k} distinct {id_col} values to seed, found {len(ids)}"
+        )
+    return ids
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -490,7 +506,8 @@ def kmeans_lloyd(
     Returns long-format centroids (cluster_id, dim, centroid_val,
     n_members) after `iterations` rounds.
     """
-    seeds = df.filter(F.col(id_col) < k).select(
+    seed_ids = _k_lowest_ids(df, id_col, k, "kmeans_lloyd")
+    seeds = df.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cvec")
     )
     centroids = seeds
@@ -581,7 +598,8 @@ def pq_train_codebook(
     (deterministic, oracle-expressible). Returns (m, code, cv) with
     dense centroid arrays; codewords that attract no members after the
     iteration are dropped (consistent everywhere)."""
-    seeds = sub.filter(F.col("vec_id") < n_codes).select(
+    seed_ids = _k_lowest_ids(sub, "vec_id", n_codes, "pq_train_codebook")
+    seeds = sub.filter(F.col("vec_id").isin(seed_ids)).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
     assigned = _pq_assign(sub, seeds)

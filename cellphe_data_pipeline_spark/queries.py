@@ -1239,7 +1239,7 @@ def _incremental_minhash_oracle_sql(
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= {threshold}
+    WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {threshold}
     """
 
 
@@ -3575,7 +3575,10 @@ def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
       FROM nodes LEFT JOIN c{i} USING (node)
     )"""
         prev = f"r{i}"
-    return sql + f"\n    SELECT node, rank_q FROM {prev}"
+    # DuckDB SUM(BIGINT) yields HUGEINT (int128), which propagates into
+    # the final rank_q and hash-mismatches Spark's BIGINT despite equal
+    # values (round-5 driver red) — pin the oracle's output type.
+    return sql + f"\n    SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM {prev}"
 
 
 @register("g5_pagerank", _pagerank_oracle_sql())
@@ -4065,7 +4068,8 @@ def c8(spark, sf_dir):
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings WHERE vec_id < 8),
+          FROM embeddings WHERE vec_id IN
+            (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
     d AS (
       SELECT e.vec_id, c.cluster_id, e.v,
              list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
@@ -4127,7 +4131,8 @@ def _pq_oracle_sql(
              v[(m*{sub}+1):((m+1)*{sub})] AS sv
       FROM e, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)
     ),
-    seeds AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {n_codes}),
+    seeds AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id IN
+                (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT {n_codes})),
     a1 AS (
       SELECT sub.vec_id, sub.m, sub.sv, s.code,
              list_dot_product(list_transform(sub.sv, (x, i) -> x - s.cv[i]),

@@ -619,7 +619,15 @@ def streaming_upsert(
     Rows with a NULL ordering key (t/seq) are SKIPPED — they carry no
     position in the total order (the batch twin's descending window
     sorts SQL NULLs last, so they never win there either); a NULL
-    payload value is carried as NULL."""
+    payload value is carried as NULL.
+
+    Documented DIVERGENCE from the batch twin (ADVICE r5): a key whose
+    rows ALL have null (t, seq) establishes no winner — this stream
+    stores no state and emits NOTHING for it, whereas merge_upsert's
+    window still surfaces one all-null-ordered row (SQL window
+    semantics force some row to rank first). An all-null snapshot row
+    (is_delete NULL) is not a meaningful CDC state, so the stream
+    suppresses it rather than mimicking the window artifact."""
 
     def update(
         key: tuple[Any, ...],
@@ -642,6 +650,10 @@ def streaming_upsert(
                     rv = r[value_col]
                     val = None if pd.isna(rv) else float(rv)
                     deleted = typ == delete_type
+        if t_ms is None:
+            # null-only group: no winner established, nothing to store
+            # or emit (see the divergence note in the docstring)
+            return
         state.update((t_ms, seq, typ, val, deleted))
         yield pd.DataFrame(
             [

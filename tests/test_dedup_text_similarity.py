@@ -578,6 +578,48 @@ def test_kmeans_lloyd_matches_numpy(spark):
     assert sorted(exp_counts.tolist()) == [20, 20, 20]
 
 
+def test_seed_selection_sparse_and_offset_ids(spark):
+    """ADVICE r5 (low): seeding with filter(id < k) equals 'the k
+    lowest ids' only for dense 0-based ids; a sparse/offset id space
+    (e.g. a shard whose ids start at 1e6) must still yield exactly k
+    seeds — and a corpus with fewer than k distinct ids must RAISE
+    rather than train a degenerate codebook."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+        pq_subvectors,
+        pq_train_codebook,
+    )
+
+    rng = np.random.RandomState(3)
+    # offset, sparse ids: 1_000_000, 1_000_007, 1_000_014, ...
+    vecs = rng.randn(12, 8).astype(np.float64)
+    df = spark.createDataFrame(
+        [(1_000_000 + 7 * i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = kmeans_lloyd(df, k=3, iterations=1).collect()
+    # clusters are labeled by the 3 lowest ACTUAL ids, and every
+    # vector lands somewhere (counts sum to the corpus size)
+    assert {r["cluster_id"] for r in cents} <= {1_000_000, 1_000_007, 1_000_014}
+    per_cluster = {}
+    for r in cents:
+        per_cluster[r["cluster_id"]] = r["n_members"]
+    assert sum(per_cluster.values()) == 12
+
+    sub = pq_subvectors(df, dim=8, m_subs=2)
+    cb = pq_train_codebook(sub, n_codes=4)
+    codes = {r["code"] for r in cb.select("code").distinct().collect()}
+    assert codes <= {1_000_000 + 7 * i for i in range(4)}
+    assert len(codes) >= 1  # non-degenerate: at least one surviving codeword
+
+    # fewer distinct ids than k: explicit error, not silence
+    tiny = df.limit(2)
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans_lloyd(tiny, k=3, iterations=1).collect()
+
+
 def test_kmeans_assignment_plan_broadcasts_centroids(spark):
     # inspect the ASSIGNMENT stage directly: kmeans_lloyd returns a
     # localCheckpoint (lineage collapsed to an RDD scan), so the join

@@ -576,3 +576,38 @@ def test_streaming_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
     }
     live = {k: (v[0], v[1]) for k, v in final.items() if not v[4]}
     assert live == merged
+
+
+def test_streaming_upsert_null_only_key_emits_nothing(spark, tmp_path):
+    """ADVICE r5 (low): a key whose rows all carry null (t, seq) has no
+    winner — the stream must store no state and emit NO snapshot row
+    for it (documented divergence from the batch window artifact),
+    while a mixed key still resolves its non-null winner."""
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_upsert
+
+    schema = (
+        "user_id bigint, t_ms long, event_id bigint,"
+        " event_type string, value double"
+    )
+    rows = [
+        (1, None, None, "view", 1.0),   # null-only key 1
+        (1, None, None, "view", 2.0),
+        (2, None, None, "view", 3.0),   # key 2: null row ignored,
+        (2, 100, 7, "buy", 4.0),        # non-null row wins
+    ]
+    staged = str(tmp_path / "null_upsert")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(schema).parquet(staged)
+    q = (
+        streaming_upsert(stream)
+        .writeStream.format("memory")
+        .queryName("null_upsert_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["key"]: r for r in spark.sql("SELECT * FROM null_upsert_test").collect()}
+    assert 1 not in out  # null-only key: nothing emitted
+    assert out[2]["t_ms"] == 100 and out[2]["last_seq"] == 7
+    assert out[2]["last_type"] == "buy" and out[2]["is_delete"] is False
