@@ -4729,61 +4729,42 @@ def c7(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- new in round 5 (never driver-proven) ---
-    "v9_pq_topk",
-    "c7_incremental_upsert",
-    "t9_zscore_outliers",
-    "a12_group_quantiles",
+    # --- round-6 window. r5's only red first: g5's ORACLE was fixed
+    #     (HUGEINT -> BIGINT cast; the Spark side was already correct)
+    #     and must now be driver-green ---
     "g5_pagerank",
-    "w9_ewma",
-    "mm5_audio_resample",
-    "c8_mixture_rebalance",
-    "e3_funnel_conversion",
-    "e4_retention_cohorts",
-    "v10_int8_per_dim",
-    "w10_gap_fill",
-    "t10_normalize_mojibake",
+    # --- changed-code re-verification this round: the d10 oracle now
+    #     thresholds the RAW jaccard (ADVICE), the TrackMate sink
+    #     escapes label metacharacters, and v8/v9 seed from the k
+    #     smallest DISTINCT ids (engine + oracle) ---
     "d10_incremental_neardup",
     "s16_trackmate_sink_roundtrip",
-    "j11_spatial_nn_join",
-    "u6_union_by_name",
-    "c9_split_manifest",
-    "m3d_overlap_tracking",
-    "m3e_kalman_tracking",
-    "s1_glob_scan",
-    "s6_s7_csv_roundtrip",
-    "s9_s10_roi_zip_roundtrip",
-    "s11_png_mask_sink",
-    "s13_config_roundtrip",
-    "m1b_otsu_segmentation",
-    "s14_lines_source",
-    "s15_publish_roundtrip",
-    "d3b_minhash_expr_bands",
-    "c6_epoch_shuffle",
-    "d8_duplicated_spans",
-    "t7_tfidf_topk",
-    "t8_charlm_gate",
+    "v9_pq_topk",
     "v8_kmeans_train",
-    "s5_jpeg_gray",
-    "m3c_split_merge",
-    "m6b_mask_contours",
-    "c4_hash_stratified_sample",
-    "v5_int8_quantize",
-    "v6_int8_topk",
-    "c5_decontaminate",
-    "mm4_resize",
-    "v7_int8_srp_topk",
-    # --- changed-code re-verification (tracking.py gained the
-    #     split/merge pass; these prove the default path unchanged) ---
-    "m3_tracking_links",
-    "m3b_gap_closing",
-    # --- kernel goldens kept under continuous external verification ---
-    "m4_static_features",
-    "a5b_mask_histogram",
-    "g4b_renumber_tracks",
-    # --- rotation cohort: last driver-proven in rounds 1-3 ---
-    "e1_hourly_rollup",
-    "e2_sessionize",
+    # --- rotation tranche 1: displaced since rounds 1-3, the oldest
+    #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
+    "a7_count_distinct",
+    "w1_lag_diff",
+    "w2_cumulative_sum",
+    "w3_first_value",
+    "w4_natsort_row_number",
+    "o1_multikey_sort_rank",
+    "o4_order_preserving_dedup",
+    "u1_union_all",
+    "u2_tagged_union",
+    "f1_f4_string_funcs",
+    "f11_json_extract",
+    "f13_recode",
+    "g1_edge_build",
+    "g2_degree",
+    "g3_roots",
+    "d1_exact_dedup",
+    "d2_shingle_counts",
+    "t1_quality_features",
+    "t2_language_id",
+    "t3_fingerprint",
+    # --- rotation tranche 2: queued for r5's window but displaced by
+    #     the late r5b/r5c additions (last driver-proven r1-r3) ---
     "j6_positional_zip_join",
     "a3_multistat_median",
     "f3_lpad_two_pass",
@@ -4804,26 +4785,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "a4_group_sum_revenue",
     "a5_value_histogram",
     "a6_minmax_normalize",
-    # --- displaced to keep the window at 50 after the r5 late
-    #     additions (c4/v5/v6/c5/mm4/v7 and the r5b batch
-    #     d8/t7/t8/v8/c6/d3b plus the edge-I/O goldens
-    #     s1/s6_s7/s9_s10/s11/s13/s14/s15/m1b): a7_count_distinct,
-    #     w1_lag_diff,
-    #     w2_cumulative_sum, w3_first_value,
-    #     w4_natsort_row_number, o1_multikey_sort_rank,
-    #     o4_order_preserving_dedup, u1_union_all,
-    #     u2_tagged_union, f1_f4_string_funcs,
-    #     f11_json_extract, f13_recode, g1_edge_build,
-    #     g2_degree (its machinery is re-exercised by g4/s8b),
-    #     g3_roots, d1_exact_dedup (md5 groupBy also
-    #     exercised by c1 in prior windows), d2_shingle_counts (its
-    #     machinery is exercised by c5/d5/d8), t1_quality_features,
-    #     t2_language_id, t3_fingerprint — all driver-proven r1-r3,
-    #     first in line for the r6 rotation. Also behind the window:
-    #     the r4-proven goldens s2/s8/s8b/f16/mm1-mm3/v1-v4/d3-d7/
-    #     j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/a8/a8b/a9-a11/p3/p14/
-    #     f9/f15/g4/m5 ---
+    # --- rotation tranche 3: oldest r4-proven goldens ---
+    "s2_ome_companion_scan",
+    "s8_trackmate_spots",
+    "s8b_trackmate_edges",
+    "f16_roi_interpolation",
+    "a8_timeseries_stats",
+    # --- behind the window (all driver-proven r4-r5, recorded in
+    #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
+    #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/
+    #     mm4/mm5/v5-v7/u6/j11/m1b/m3-m3e/m4/m6b/a5b/a12/g4b/s1/s5/
+    #     s6_s7/s9_s10/s11/s13/s14/s15/c7) and the r4-proven
+    #     d3-d7/d6b/v1-v4/j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/
+    #     a8b/a9-a11/p3/p14/f9/f15/g4/m5/mm1-mm3 ---
 ]
+
 
 
 def _reorder_registry() -> None:
