@@ -542,13 +542,15 @@ def _otsu_segment(img: np.ndarray) -> np.ndarray:
     return label_components_runs(img > otsu_threshold(img))
 
 
-SEGMENT_METHODS = ("median", "otsu")
+SEGMENT_METHODS = ("median", "otsu", "model")
 
 
 def segment_frames(
     frames: DataFrame,
     model_args: dict | None = None,
     method: str = "median",
+    eval_args: dict | None = None,
+    model_cls: type | None = None,
 ) -> DataFrame:
     """M1/M2: per-frame segmentation → uint16 label mask. Model-per-
     partition: the model is constructed once per mapInPandas partition
@@ -558,17 +560,46 @@ def segment_frames(
 
     `method`: "median" (median threshold + pixel-BFS labeling — the
     original deterministic fixture kernel, kept as default so every
-    golden stays byte-stable) or "otsu" (Otsu auto-threshold +
-    run-based union-find labeling — the vectorised classical path for
-    production raster sizes). Cellpose slots in as a third method
-    where available."""
+    golden stays byte-stable), "otsu" (Otsu auto-threshold + run-based
+    union-find labeling — the vectorised classical path for production
+    raster sizes), or "model" — the reference's deep-model contract
+    (segment_image.py:20-23): ``model_cls(**model_args)`` once per
+    partition, ``model.eval(image, **eval_args)[0].astype(uint16)``
+    per frame, both dicts passed through VERBATIM (main.nf:38 ships
+    params.segmentation.model / .eval as JSON the same way). By
+    default ``model_cls`` is ``cellpose.models.CellposeModel``
+    (import checked at CALL time on the driver — fails fast with a
+    clear message when the package is absent in this environment);
+    injecting any class with that constructor/eval signature — the
+    contract test does — requires no code changes here."""
     if method not in SEGMENT_METHODS:
         raise ValueError(f"unknown segmentation method: {method!r}")
+    if method == "model" and model_cls is None:
+        try:
+            from cellpose import models as _cp_models  # noqa: PLC0415
+
+            model_cls = _cp_models.CellposeModel
+        except ImportError as e:
+            raise ImportError(
+                "segment_frames(method='model') needs the `cellpose` "
+                "package (not installed in this environment) or an "
+                "injected model_cls implementing "
+                "cls(**model_args).eval(image, **eval_args) -> (masks, ...)"
+            ) from e
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = (
-            _otsu_segment if method == "otsu" else _fake_segment
-        )  # or CellposeModel(**model_args) when present
+        if method == "model":
+            inst = model_cls(**(model_args or {}))
+
+            def model(img: np.ndarray) -> np.ndarray:
+                # reference: masks = model.eval(image, **eval_args)[0],
+                # saved astype("uint16") (segment_image.py:22-23)
+                return np.asarray(
+                    inst.eval(img, **(eval_args or {}))[0]
+                ).astype(np.uint16)
+
+        else:
+            model = _otsu_segment if method == "otsu" else _fake_segment
         for pdf in batches:
             masks = []
             for _, row in pdf.iterrows():

@@ -1949,6 +1949,79 @@ def test_segment_frames_otsu_on_16bit_raster(spark):
     assert (m == labels).all()
 
 
+def test_segment_frames_model_contract(spark):
+    """r6 (VERDICT ask #4): a real CellposeModel must slot into
+    segment_frames' third method WITHOUT code changes. Inject a fake
+    model class with the reference's constructor/eval signature and
+    prove: model_args/eval_args pass through verbatim (main.nf:38
+    JSON semantics), the model is constructed ONCE per partition (the
+    GPU batch economics), eval's masks[0] lands astype-uint16, and a
+    missing cellpose package fails fast with a clear driver-side
+    error."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        segment_frames,
+        split_frames,
+    )
+
+    class ContractSegModel:
+        """Stand-in with the reference's exact model contract
+        (segment_image.py:20-23): cls(**model_args) then
+        eval(image, **eval_args) -> (masks, ...). Asserts both dicts
+        arrive VERBATIM and encodes (construction count, diameter)
+        into the emitted labels so the pass-through is provable from
+        DATA, not just absence-of-error. Defined INSIDE the test so
+        cloudpickle ships it by value to the python workers."""
+
+        EXPECT_MODEL = {"gpu": False, "model_type": "cyto3"}
+        EXPECT_EVAL = {"diameter": 17.5, "channels": [0, 0]}
+        _constructed = 0
+
+        def __init__(self, **model_args):
+            assert model_args == self.EXPECT_MODEL, model_args
+            type(self)._constructed += 1
+            self.n = type(self)._constructed
+
+        def eval(self, image, **eval_args):
+            assert eval_args == self.EXPECT_EVAL, eval_args
+            mask = np.zeros(image.shape, dtype=np.int32)
+            # label = 1000*constructions-in-this-worker + int(diameter)
+            mask[image > image.mean()] = 1000 * self.n + int(eval_args["diameter"])
+            return mask, None, None  # reference takes [0]
+
+    bins = spark.createDataFrame(
+        [
+            ("a.fake", bytearray(make_fake_image(seed=21, height=16, width=16))),
+            ("b.fake", bytearray(make_fake_image(seed=22, height=16, width=16))),
+            ("c.fake", bytearray(make_fake_image(seed=23, height=16, width=16))),
+        ],
+        "path string, content binary",
+    )
+    frames = split_frames(bins).repartition(1)  # one partition => one model
+    out = segment_frames(
+        frames,
+        method="model",
+        model_cls=ContractSegModel,
+        model_args=dict(ContractSegModel.EXPECT_MODEL),
+        eval_args=dict(ContractSegModel.EXPECT_EVAL),
+    ).collect()
+    assert len(out) == 3
+    labels = set()
+    for r in out:
+        m = np.frombuffer(r["mask"], dtype=np.uint16).reshape(16, 16)
+        labels.update(int(v) for v in np.unique(m) if v)
+    # every frame was segmented by the FIRST (and only) instance in the
+    # worker — construction count stayed 1 across all frames — and the
+    # eval_args diameter value reached eval
+    assert labels == {1000 * 1 + 17}
+
+    # no injected class and no cellpose package: clear fail-fast error
+    # at CALL time (driver side), not deep inside a worker
+    with pytest.raises(ImportError, match="cellpose"):
+        segment_frames(frames, method="model")
+
+
 def test_label_components_runs_overflow_guard():
     """>65535 components must fail loudly, not wrap into background."""
     import pytest
