@@ -152,6 +152,67 @@ STATIC_FEATURE_NAMES = (
     "Int_range",
 )
 
+#: Classification of every engine feature against the published CellPhe
+#: feature set (the COVERAGE.md "M4 feature-name pinning" table; Wiseman
+#: et al. 2023, Nat Commun 14:1854). "exact" = implements the published
+#: formula of a named paper feature; "recon" = anchored to a named paper
+#: feature/block, formula reconstructed from its description; "parity" =
+#: ENGINE-LOCAL member of a paper feature family, added to reach the
+#: reference's 74-column CSV width — a consumer of the reference's CSV
+#: shape should treat parity columns as engine extensions, not pinned
+#: reference values. Emitted at the CSV edge via feature_manifest().
+FEATURE_STATUS: dict[str, str] = {
+    # exact (14)
+    **{n: "exact" for n in (
+        "Area", "Len", "Wid", "Sphericity", "A2B", "Box", "Rect", "Perim",
+        "Int_mean", "Int_std", "Int_skew", "Cur_mean", "Cur_std", "Cur_max",
+    )},
+    # recon (33)
+    **{n: "recon" for n in (
+        "x", "y",
+        "Rad_mean", "Rad_max", "Rad_min", "Rad_var",
+        "Rad_haar_l1", "Rad_haar_l2", "Rad_haar_l3",
+        "Poly_n", "Poly_side_mean", "Poly_side_var",
+        "Poly_ang_mean", "Poly_ang_var",
+        "Int_min", "Int_max", "Int_q05", "Int_q10", "Int_q25",
+        "Int_q50", "Int_q75", "Int_q90", "Int_q95",
+        "Coo_contrast", "Coo_homogeneity", "Coo_energy",
+        "Coo_correlation", "Coo_entropy",
+        "Coo2_contrast", "Coo2_homogeneity", "Coo2_energy",
+        "Coo2_correlation", "Coo2_entropy",
+    )},
+    # parity (27) — engine-local
+    **{n: "parity" for n in (
+        "Boundary_len", "Compactness",
+        "Rad_q25", "Rad_q50", "Rad_q75", "Rad_iqr",
+        "Rad_diff_mean", "Rad_diff_var",
+        "Cur_min", "Cur_var", "Cur_skew",
+        "Poly_side_max", "Poly_ang_min",
+        "Hull_area", "Solidity", "Eccentricity",
+        "Int_kurt", "Int_iqr", "Int_mad", "Int_range", "Int_entropy",
+        "Int_com_dx", "Int_com_dy", "Int_com_offset",
+        "Haar2d_l1", "Haar2d_l2", "Haar2d_l3",
+    )},
+}
+
+
+def feature_manifest(spark) -> "DataFrame":
+    """One row per static feature, in output-column order:
+    (feature, status, engine_local). Published alongside the
+    frame-features table (run_pipeline's `feature_manifest` output /
+    the publish sidecar) so a downstream consumer of the reference's
+    CSV shape can mechanically distinguish pinned ("exact"),
+    reconstructed ("recon"), and engine-local ("parity",
+    engine_local=true) columns."""
+    rows = [
+        (i, n, FEATURE_STATUS[n], FEATURE_STATUS[n] == "parity")
+        for i, n in enumerate(STATIC_FEATURE_NAMES)
+    ]
+    return spark.createDataFrame(
+        rows, "column_index int, feature string, status string, engine_local boolean"
+    )
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

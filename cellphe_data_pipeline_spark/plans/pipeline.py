@@ -315,6 +315,8 @@ def run_pipeline(
         )
         .join(dens, "id")
     )
+    from cellphe_data_pipeline_spark.domain.features import feature_manifest
+
     return {
         "frames": frames,
         "masks": masks,
@@ -326,6 +328,10 @@ def run_pipeline(
         "timeseries": timeseries,
         "features": features,
         "summary": summary,
+        # CSV-edge disclosure (r6): which feature columns are pinned to
+        # the published CellPhe set vs reconstructed vs engine-local —
+        # published as a sidecar stage by run_pipeline_resumable
+        "feature_manifest": feature_manifest(binaries.sparkSession),
     }
 
 

@@ -237,6 +237,32 @@ def test_pipeline_resumable(spark, tmp_path):
     out3 = run_pipeline_resumable(spark, bins, stage_dir, force=("spots",))
     assert out3["spots"].count() == n1
     assert os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS")) > mtime
+    # the CSV-edge manifest is a published stage too
+    assert os.path.exists(os.path.join(stage_dir, "feature_manifest", "_SUCCESS"))
+
+
+def test_feature_manifest_discloses_parity_columns(spark):
+    """r6 (VERDICT ask #6): the published frame-features output carries
+    a manifest distinguishing pinned ("exact") from reconstructed
+    ("recon") from engine-local ("parity") columns — one row per
+    STATIC_FEATURE_NAMES entry, in column order, with the COVERAGE.md
+    counts (14/33/27) and engine_local marking exactly the parity
+    set."""
+    from cellphe_data_pipeline_spark.domain.features import (
+        FEATURE_STATUS,
+        STATIC_FEATURE_NAMES,
+        feature_manifest,
+    )
+
+    # the status map covers the feature tuple exactly
+    assert set(FEATURE_STATUS) == set(STATIC_FEATURE_NAMES)
+    rows = feature_manifest(spark).orderBy("column_index").collect()
+    assert [r["feature"] for r in rows] == list(STATIC_FEATURE_NAMES)
+    counts = {}
+    for r in rows:
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+        assert r["engine_local"] == (r["status"] == "parity")
+    assert counts == {"exact": 14, "recon": 33, "parity": 27}
 
 
 def test_config_algorithm_selects_lap(spark, tmp_path):
