@@ -334,6 +334,102 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full-corpus dedup KEEP-LIST with quality-based canonical pick
+    (r6): near-dup pairs (MinHash-LSH) → transitive clusters → keep the
+    HIGHEST-QUALITY member of each cluster (max ``quality_col``, ties
+    to the lowest doc id), drop the rest with a pointer to their
+    replacement. Unlike :func:`dedup_clusters` (which labels only docs
+    that appear in some pair and picks min-id canonicals), this is the
+    materialisable corpus edit a production dedup applies: EVERY doc
+    gets a row — (doc_id, keep, replaced_by) — so
+    ``filter(keep)`` is the deduped corpus and ``replaced_by`` is the
+    redirect map. Quality-based canonicals are what the public dedup
+    recipes keep (e.g. the longest/cleanest member), not the
+    smallest id.
+
+    Scale: the pair graph and its clusters are tiny relative to the
+    corpus (near-dups only); the canonical pick is ONE combinable
+    min(struct) per cluster; the corpus touches only two left joins on
+    its own id (AQE broadcasts the cluster/canonical maps when they fit,
+    which they do by construction at healthy dup rates).
+    """
+    pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")),
+        "doc_id",
+    )
+    # max quality, tie -> LOWEST doc id: one combinable aggregate via
+    # max(struct(q, -doc_id)) — no window, no second shuffle
+    canon = (
+        members.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))).alias("m"))
+        .select("cluster_id", (-F.col("m._nid")).alias("canonical"))
+    )
+    labeled = clusters.join(canon, "cluster_id").select(
+        "doc_id", "canonical"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("canonical").isNull() | (F.col("doc_id") == F.col("canonical"))).alias("keep"),
+            F.when(
+                F.col("canonical").isNotNull() & (F.col("doc_id") != F.col("canonical")),
+                F.col("canonical"),
+            ).alias("replaced_by"),
+        )
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score (r6): the fraction of a doc's
+    distinct word n-grams whose FIRST corpus occurrence (minimum doc id
+    over the whole corpus) is this doc. The dedup-aware curation signal
+    between exact dup detection and span dedup: a doc full of shingles
+    first seen elsewhere is boilerplate/near-copy even when no single
+    pair crosses a Jaccard threshold; novelty ~1 marks genuinely new
+    text worth keeping (first-occurrence attribution is how suffix-
+    array dedup pipelines credit content to its earliest source).
+
+    Scale shape: ONE combinable groupBy(shingle) min() for the
+    first-occurrence table, one equi-join back on the shingle (both
+    sides hash-partitioned on the same key), one combinable
+    groupBy(doc). No pair emission at all — cost is linear in total
+    shingle volume. Output: (doc_id, n_shingles, n_novel, novelty);
+    docs with < n tokens emit nothing (they have no shingles).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def flag_contaminated(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -358,6 +358,57 @@ def tfidf_topk(
     )
 
 
+def vocab_oov(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained vocabulary + per-document OOV rate (r6): the
+    tokenizer-prep signal — build the top-``vocab_size`` token
+    vocabulary by corpus frequency (ties broken by token text, so the
+    vocabulary is deterministic in any engine/partitioning), then score
+    every document by the fraction of its token OCCURRENCES that fall
+    outside it. High OOV flags docs a fixed tokenizer would shred into
+    bytes (wrong language, mojibake, code in a prose corpus); the same
+    two-pass shape computes real coverage stats when sizing a BPE
+    vocabulary.
+
+    Scale shape: token counts are ONE combinable groupBy(token); the
+    vocabulary is a TakeOrdered over the (vocabulary-sized, << corpus)
+    count table; membership is a BROADCAST left join of the vocabulary
+    against the exploded token stream — the corpus shuffles ONCE, on
+    doc_id, for the final per-doc aggregate. Output:
+    (doc_id, n_tokens, n_oov, oov_rate); empty-token docs emit nothing.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+
+
 def char_bigram_rarity(
     df: DataFrame,
     common_permille: int = 10,

@@ -1260,6 +1260,82 @@ def d10(spark, sf_dir):
     )
 
 
+@register(
+    "d9_shingle_novelty",
+    f"""
+    WITH {SHINGLE_CTE},
+    first AS (SELECT sh AS s, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(CAST(SUM(CASE WHEN sh.doc_id = f.first_doc
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first f ON sh.sh = f.s
+    GROUP BY sh.doc_id
+    """,
+)
+def d9(spark, sf_dir):
+    """Per-doc n-gram novelty (r6; dedup.py shingle_novelty): fraction
+    of a doc's distinct word 3-grams whose corpus-wide FIRST occurrence
+    (min doc_id) is this doc — the first-occurrence attribution signal
+    between pair dedup (d3) and span dedup (d8). No pair emission: one
+    combinable groupBy(shingle) min + one shingle-keyed join + one
+    combinable groupBy(doc)."""
+    from cellphe_data_pipeline_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d11_quality_keep_list",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    members AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM members) t
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           (m.doc_id IS NULL OR d.doc_id = c.canonical) AS keep,
+           CASE WHEN m.doc_id IS NOT NULL AND d.doc_id <> c.canonical
+                THEN c.canonical END AS replaced_by
+    FROM documents d
+    LEFT JOIN comp m ON d.doc_id = m.doc_id
+    LEFT JOIN canon c ON m.cluster_id = c.cluster_id
+    """,
+)
+def d11(spark, sf_dir):
+    """Quality-canonical dedup keep-list (r6; dedup.py
+    dedup_keep_list): MinHash pairs -> transitive clusters -> keep the
+    HIGHEST-n_chars member per cluster (tie: lowest id), every corpus
+    doc labelled (keep, replaced_by) — the materialisable corpus edit
+    (filter(keep) = deduped corpus, replaced_by = redirect map), with
+    the quality-based canonical the public dedup recipes keep instead
+    of d7's min-id convention."""
+    from cellphe_data_pipeline_spark.operators.dedup import dedup_keep_list
+
+    return dedup_keep_list(load_table(spark, sf_dir, "documents"))
+
+
 @register("d3_minhash_near_dups", _minhash_oracle_sql())
 def d3(spark, sf_dir):
     """MinHash+LSH near-dup detection end-to-end (dedup.py:126-141):
@@ -3941,6 +4017,39 @@ def t10(spark, sf_dir):
 
 
 @register(
+    "t11_vocab_oov",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                 ' ')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+    vocab AS (SELECT tok FROM counts ORDER BY n DESC, tok ASC LIMIT 100)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def t11(spark, sf_dir):
+    """Corpus vocabulary + per-doc OOV rate (r6; text.py vocab_oov):
+    top-100 tokens by corpus frequency (ties by token text —
+    deterministic in any engine), then each doc scored by the fraction
+    of its token occurrences outside the vocabulary — the
+    tokenizer-prep / wrong-language gate. One combinable token count,
+    TakeOrdered vocabulary, broadcast membership join, ONE doc-keyed
+    shuffle."""
+    from cellphe_data_pipeline_spark.operators.text import vocab_oov
+
+    return vocab_oov(load_table(spark, sf_dir, "documents"), vocab_size=100)
+
+
+@register(
     "w10_gap_fill",
     """
     WITH h AS (
@@ -4741,6 +4850,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "s16_trackmate_sink_roundtrip",
     "v9_pq_topk",
     "v8_kmeans_train",
+    # --- new in round 6 (never driver-proven) ---
+    "d9_shingle_novelty",
+    "d11_quality_keep_list",
+    "t11_vocab_oov",
     # --- rotation tranche 1: displaced since rounds 1-3, the oldest
     #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
     "a7_count_distinct",
@@ -4785,12 +4898,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "a4_group_sum_revenue",
     "a5_value_histogram",
     "a6_minmax_normalize",
-    # --- rotation tranche 3: oldest r4-proven goldens ---
+    # --- rotation tranche 3: oldest r4-proven goldens (s8b/f16/a8
+    #     yielded their slots to the three new r6 queries; they stay
+    #     r4-proven and queue for r7) ---
     "s2_ome_companion_scan",
     "s8_trackmate_spots",
-    "s8b_trackmate_edges",
-    "f16_roi_interpolation",
-    "a8_timeseries_stats",
     # --- behind the window (all driver-proven r4-r5, recorded in
     #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
     #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/

@@ -85,6 +85,85 @@ def test_minhash_finds_exact_and_near_dups(spark):
     assert all(j >= 0.3 for j in out.values())
 
 
+def test_shingle_novelty_first_occurrence_attribution(spark):
+    """r6: novelty = fraction of a doc's distinct shingles first seen
+    (min doc_id) in that doc. Hand-check: doc 1 owns all its shingles;
+    its exact dup doc 3 owns none; doc 6 (< 3 tokens) emits nothing."""
+    from cellphe_data_pipeline_spark.operators.dedup import shingle_novelty
+
+    out = {r["doc_id"]: r for r in shingle_novelty(_docs_df(spark)).collect()}
+    py = {d: _py_shingles(t) for d, t in DOCS}
+    assert 6 not in out  # no shingles
+    first = {}
+    for d in sorted(py):
+        for s in py[d]:
+            first.setdefault(s, d)
+    for d, shset in py.items():
+        if not shset:
+            continue
+        n_novel = sum(1 for s in shset if first[s] == d)
+        assert out[d]["n_shingles"] == len(shset)
+        assert out[d]["n_novel"] == n_novel
+        assert math.isclose(
+            out[d]["novelty"], round(n_novel / len(shset), 6), abs_tol=1e-9
+        )
+    assert out[1]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.0  # exact dup of doc 1: nothing new
+
+
+def test_dedup_keep_list_quality_canonicals(spark):
+    """r6: every corpus doc gets a (keep, replaced_by) row; within a
+    dup cluster the HIGHEST-quality member survives (tie: lowest id)
+    and the dropped members point at it; singletons keep with a null
+    pointer."""
+    from cellphe_data_pipeline_spark.operators.dedup import dedup_keep_list
+
+    rows = [
+        # cluster {1,2,3}: 2 is longest -> canonical
+        (1, "aa bb cc dd ee ff gg hh", 23),
+        (2, "aa bb cc dd ee ff gg hh ii jj", 29),
+        (3, "aa bb cc dd ee ff gg hh", 23),  # ties 1 on quality; 2 wins anyway
+        (4, "totally unrelated text about nothing shared here at all", 55),
+        # cluster {5,6}: equal quality -> lowest id (5) wins
+        (5, "xx yy zz ww vv uu tt ss", 23),
+        (6, "xx yy zz ww vv uu tt ss", 23),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    out = {r["doc_id"]: r for r in dedup_keep_list(df, band_size=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[2]["keep"] and out[2]["replaced_by"] is None
+    assert not out[1]["keep"] and out[1]["replaced_by"] == 2
+    assert not out[3]["keep"] and out[3]["replaced_by"] == 2
+    assert out[4]["keep"] and out[4]["replaced_by"] is None
+    assert out[5]["keep"] and out[5]["replaced_by"] is None
+    assert not out[6]["keep"] and out[6]["replaced_by"] == 5
+
+
+def test_vocab_oov_rates(spark):
+    """r6: top-V vocabulary by corpus frequency (ties by token), OOV =
+    token occurrences outside it — checked against a python oracle on
+    the shared fixture."""
+    from collections import Counter
+
+    from cellphe_data_pipeline_spark.operators.text import vocab_oov
+
+    df = _docs_df(spark)
+    toks = {d: t.split() for d, t in DOCS}
+    counts = Counter(tok for ts in toks.values() for tok in ts)
+    v = 5
+    vocab = set(
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    )
+    out = {r["doc_id"]: r for r in vocab_oov(df, vocab_size=v).collect()}
+    for d, ts in toks.items():
+        n_oov = sum(1 for t in ts if t not in vocab)
+        assert out[d]["n_tokens"] == len(ts)
+        assert out[d]["n_oov"] == n_oov
+        assert math.isclose(
+            out[d]["oov_rate"], round(n_oov / len(ts), 6), abs_tol=1e-9
+        )
+
+
 def test_quality_and_langid(spark):
     df = _docs_df(spark)
     q = {r["doc_id"]: r for r in quality_features(df).collect()}
