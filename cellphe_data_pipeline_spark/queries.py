@@ -849,6 +849,62 @@ def e1(spark, sf_dir):
 
 
 @register(
+    "e5_streaming_rollup",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def e5(spark, sf_dir):
+    """§2.11 run as a REAL Structured Streaming query under the driver
+    oracle (r6): the watermarked tumbling rollup
+    (streaming/tracker.streaming_window_rollup) executed as
+    readStream(parquet) → window agg → availableNow drain → memory
+    sink, the finished sink table returned as this query's result —
+    byte-identical to the batch e1 rows, checked against the SAME
+    DuckDB oracle. This closes the round-5 gap where streaming
+    operators had only pytest + batch-twin coverage: the streaming
+    RUNTIME path (source → stateful agg → sink) is now externally
+    verified, not just its batch semantics twin.
+
+    Mechanics: the events table is staged to a temp parquet dir with
+    normalised types (the raw testdata's nanos timestamps need
+    load_table's session handling, which readStream can't apply
+    mid-plan); COMPLETE output mode so the bounded drain emits every
+    window — in append mode the final watermark would hold back the
+    trailing hours. Tumbling window(1h) starts are epoch-aligned,
+    hence equal to date_trunc('hour')."""
+    import tempfile
+    import uuid
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_window_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    staged = tempfile.mkdtemp(prefix="e5_stream_rollup_")
+    ev.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    qname = f"e5_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_window_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "event_type",
+        F.col("win.start").alias("hour_ts"),
+        "n",
+        "sum_value",
+    )
+
+
+@register(
     "e2_sessionize",
     """
     WITH g AS (
@@ -1333,7 +1389,10 @@ def d11(spark, sf_dir):
     of d7's min-id convention."""
     from cellphe_data_pipeline_spark.operators.dedup import dedup_keep_list
 
-    return dedup_keep_list(load_table(spark, sf_dir, "documents"))
+    return dedup_keep_list(
+        load_table(spark, sf_dir, "documents"),
+        cc_kwargs={"loop_shuffle_partitions": 2},
+    )
 
 
 @register("d3_minhash_near_dups", _minhash_oracle_sql())
@@ -4854,6 +4913,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "d9_shingle_novelty",
     "d11_quality_keep_list",
     "t11_vocab_oov",
+    "e5_streaming_rollup",
     # --- rotation tranche 1: displaced since rounds 1-3, the oldest
     #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
     "a7_count_distinct",
@@ -4898,11 +4958,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "a4_group_sum_revenue",
     "a5_value_histogram",
     "a6_minmax_normalize",
-    # --- rotation tranche 3: oldest r4-proven goldens (s8b/f16/a8
-    #     yielded their slots to the three new r6 queries; they stay
+    # --- rotation tranche 3: oldest r4-proven golden (s8/s8b/f16/a8
+    #     yielded their slots to the four new r6 queries; they stay
     #     r4-proven and queue for r7) ---
     "s2_ome_companion_scan",
-    "s8_trackmate_spots",
     # --- behind the window (all driver-proven r4-r5, recorded in
     #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
     #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/

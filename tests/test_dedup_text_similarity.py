@@ -759,6 +759,28 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert other != rerun
 
 
+def test_r6_operator_plans_are_scale_shaped(spark):
+    """Plan gates for the r6 additions: vocab_oov's membership join is
+    a BROADCAST of the vocabulary (the corpus must not shuffle on
+    token), and neither novelty nor the keep-list plans contain a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_keep_list,
+        shingle_novelty,
+    )
+    from cellphe_data_pipeline_spark.operators.text import vocab_oov
+
+    df = _docs_df(spark).withColumn("n_chars", F.length("text"))
+    plan = vocab_oov(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for out in (shingle_novelty(df), dedup_keep_list(df, band_size=2)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
 def test_duplicated_spans_property_vs_python(spark):
     """Property test: on arbitrary small corpora over a 4-token
     alphabet (guaranteeing shared and unshared 3-grams), the engine's
