@@ -905,6 +905,74 @@ def e5(spark, sf_dir):
 
 
 @register(
+    "e6_streaming_upsert_state",
+    """
+    WITH prep AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type, value
+      FROM events
+    ),
+    w AS (
+      SELECT user_id AS key, t_us, event_id AS last_seq,
+             event_type AS last_type, value AS last_value,
+             (event_type = 'error') AS is_delete,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM prep WHERE t_us IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT key, t_us, last_seq, last_type, last_value, is_delete
+    FROM w WHERE rn = 1
+    """,
+)
+def e6(spark, sf_dir):
+    """§2.11 STATEFUL streaming runtime under the driver oracle (r6):
+    the latest-wins CDC state (streaming/tracker.streaming_upsert,
+    applyInPandasWithState — python state server, Arrow state I/O)
+    drained with availableNow over the staged events log; the emitted
+    per-key snapshot must equal the batch latest-wins window the oracle
+    computes. Complements e5 (which exercises the built-in stateful
+    AGG runtime): this one drives the PYTHON stateful-processor
+    runtime end-to-end. Single-batch drain — each live key emits
+    exactly one snapshot row, so the sink table IS the final state
+    (multi-micro-batch state chaining is pinned by
+    tests/test_streaming.py::test_streaming_upsert_matches_batch_merge).
+    Event times carried as exact integer micros (unix_micros ≡
+    DuckDB epoch_us) — no ms division, no float rounding."""
+    import tempfile
+    import uuid
+
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    staged = tempfile.mkdtemp(prefix="e6_stream_upsert_")
+    ev.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    qname = f"e6_upsert_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_upsert(stream, t_col="t_us")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "key",
+        F.col("t_ms").alias("t_us"),  # carried micros; see docstring
+        "last_seq",
+        "last_type",
+        "last_value",
+        "is_delete",
+    )
+
+
+@register(
     "e2_sessionize",
     """
     WITH g AS (
@@ -4914,6 +4982,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "d11_quality_keep_list",
     "t11_vocab_oov",
     "e5_streaming_rollup",
+    "e6_streaming_upsert_state",
     # --- rotation tranche 1: displaced since rounds 1-3, the oldest
     #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
     "a7_count_distinct",
@@ -4958,10 +5027,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "a4_group_sum_revenue",
     "a5_value_histogram",
     "a6_minmax_normalize",
-    # --- rotation tranche 3: oldest r4-proven golden (s8/s8b/f16/a8
-    #     yielded their slots to the four new r6 queries; they stay
-    #     r4-proven and queue for r7) ---
-    "s2_ome_companion_scan",
+    # --- (s2/s8/s8b/f16/a8 yielded their tranche-3 slots to the five
+    #     new r6 queries; they stay r4-proven and queue for r7) ---
     # --- behind the window (all driver-proven r4-r5, recorded in
     #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
     #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/
