@@ -593,10 +593,19 @@ def segment_frames(
 
             def model(img: np.ndarray) -> np.ndarray:
                 # reference: masks = model.eval(image, **eval_args)[0],
-                # saved astype("uint16") (segment_image.py:22-23)
-                return np.asarray(
-                    inst.eval(img, **(eval_args or {}))[0]
-                ).astype(np.uint16)
+                # saved astype("uint16") (segment_image.py:22-23).
+                # Same overflow invariant as label_components_runs: a
+                # label > 65535 must fail loudly — astype would wrap
+                # 65536 into 0 (background: cell silently deleted) and
+                # alias 65537 with label 1.
+                raw = np.asarray(inst.eval(img, **(eval_args or {}))[0])
+                if raw.size and int(raw.max()) > 65535:
+                    raise ValueError(
+                        "model mask label exceeds 65535 — would wrap in "
+                        "the uint16 mask (label "
+                        f"{int(raw.max())}); renumber labels per frame"
+                    )
+                return raw.astype(np.uint16)
 
         else:
             model = _otsu_segment if method == "otsu" else _fake_segment

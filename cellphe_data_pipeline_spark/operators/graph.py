@@ -245,7 +245,7 @@ def connected_components(
             # the same job that computes (and thereby checkpoints) the
             # round's edge partitions — ONE job per round instead of a
             # materialise job followed by a probe job (r6; measured
-            # sf0.1 warm: 2.4s -> ~1.9s). Post-contraction the loop
+            # sf0.1 warm: 2.4s -> ~2.2s). Post-contraction the loop
             # converges in O(log num_parts) rounds, so probing every
             # round beats running up to 2 redundant rounds.
             e = small_star(large_star(e)).localCheckpoint(eager=False)

@@ -415,8 +415,20 @@ def _k_lowest_ids(df: DataFrame, id_col: str, k: int, what: str) -> list:
     tiny combinable distinct + TakeOrdered job; k is bounded (<= a few
     hundred codewords/centroids), so the driver-side list is trivial.
     Raises when the corpus has fewer than ``k`` distinct ids — a
-    degenerate codebook is an error, not a silent fallback."""
-    ids = [r[0] for r in df.select(id_col).distinct().orderBy(id_col).limit(k).collect()]
+    degenerate codebook is an error, not a silent fallback. NULL ids
+    are excluded up front: Spark sorts NULL FIRST, so a null would
+    otherwise occupy a seed slot that ``isin`` can then never match —
+    exactly the silent k-1 degeneracy this helper exists to prevent
+    (and the DuckDB oracles sort NULLS LAST, so they'd diverge)."""
+    ids = [
+        r[0]
+        for r in df.select(id_col)
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    ]
     if len(ids) < k:
         raise ValueError(
             f"{what}: need {k} distinct {id_col} values to seed, found {len(ids)}"

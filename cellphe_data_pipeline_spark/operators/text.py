@@ -309,6 +309,25 @@ def hash_stratified_sample(
     return df.filter(bucket < thr)
 
 
+def _doc_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tok",
+) -> DataFrame:
+    """Exploded non-empty whitespace tokens: (doc_id, <out_col>) —
+    THE single definition of the engine's word tokenization (shared by
+    tfidf_topk and vocab_oov; dedup.word_shingles and the DuckDB
+    oracles' string_split(trim(regexp_replace(text,'\\s+',' ','g')))
+    CTEs mirror the same expression — change them in lockstep)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias(out_col),
+    ).filter(F.col(out_col) != "")
+
+
 def tfidf_topk(
     df: DataFrame,
     k: int = 3,
@@ -333,12 +352,7 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
+    toks = _doc_tokens(df, text_col, id_col, out_col="term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -381,12 +395,7 @@ def vocab_oov(
     doc_id, for the final per-doc aggregate. Output:
     (doc_id, n_tokens, n_oov, oov_rate); empty-token docs emit nothing.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _doc_tokens(df, text_col, id_col, out_col="tok")
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
         counts.orderBy(F.col("n").desc(), F.col("tok"))

@@ -868,25 +868,26 @@ def e5(spark, sf_dir):
     RUNTIME path (source → stateful agg → sink) is now externally
     verified, not just its batch semantics twin.
 
-    Mechanics: the events table is staged to a temp parquet dir with
+    Mechanics: the events table is staged to a bounded per-query
+    parquet dir (`_stage_dir` — reused and wiped per invocation) with
     normalised types (the raw testdata's nanos timestamps need
     load_table's session handling, which readStream can't apply
     mid-plan); COMPLETE output mode so the bounded drain emits every
     window — in append mode the final watermark would hold back the
-    trailing hours. Tumbling window(1h) starts are epoch-aligned,
-    hence equal to date_trunc('hour')."""
-    import tempfile
-    import uuid
-
+    trailing hours, AND each key's row is the final aggregate
+    regardless of how availableNow splits micro-batches. Tumbling
+    window(1h) starts are epoch-aligned, hence equal to
+    date_trunc('hour'). A drain that exceeds its timeout raises
+    rather than returning a partial table."""
     from cellphe_data_pipeline_spark.streaming.tracker import (
         streaming_window_rollup,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    staged = tempfile.mkdtemp(prefix="e5_stream_rollup_")
+    staged = _stage_dir("e5_stream_rollup")  # fixed, wiped per run — no leak
     ev.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = f"e5_rollup_{uuid.uuid4().hex[:8]}"
+    qname = "e5_rollup_sink"  # fixed: restart replaces the temp view
     q = (
         streaming_window_rollup(stream)
         .writeStream.format("memory")
@@ -895,7 +896,12 @@ def e5(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "e5_streaming_rollup: availableNow drain did not finish in "
+            "300s — refusing to return a partially-filled sink table"
+        )
     return spark.table(qname).select(
         "event_type",
         F.col("win.start").alias("hour_ts"),
@@ -931,15 +937,17 @@ def e6(spark, sf_dir):
     per-key snapshot must equal the batch latest-wins window the oracle
     computes. Complements e5 (which exercises the built-in stateful
     AGG runtime): this one drives the PYTHON stateful-processor
-    runtime end-to-end. Single-batch drain — each live key emits
-    exactly one snapshot row, so the sink table IS the final state
-    (multi-micro-batch state chaining is pinned by
+    runtime end-to-end. The append-mode sink holds one snapshot row
+    per live key PER micro-batch; because the state is latest-wins
+    MONOTONE, the final state row for a key is its snapshot with the
+    maximal (t, seq) — so the result takes that row per key and is
+    correct however availableNow splits the drain into micro-batches
+    (multi-micro-batch state chaining itself is pinned by
     tests/test_streaming.py::test_streaming_upsert_matches_batch_merge).
     Event times carried as exact integer micros (unix_micros ≡
-    DuckDB epoch_us) — no ms division, no float rounding."""
-    import tempfile
-    import uuid
-
+    DuckDB epoch_us) — no ms division, no float rounding. A drain
+    exceeding its timeout raises rather than returning partial
+    state."""
     from cellphe_data_pipeline_spark.streaming.tracker import streaming_upsert
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -949,10 +957,10 @@ def e6(spark, sf_dir):
         "event_type",
         "value",
     )
-    staged = tempfile.mkdtemp(prefix="e6_stream_upsert_")
+    staged = _stage_dir("e6_stream_upsert")  # fixed, wiped per run
     ev.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = f"e6_upsert_{uuid.uuid4().hex[:8]}"
+    qname = "e6_upsert_sink"  # fixed: restart replaces the temp view
     q = (
         streaming_upsert(stream, t_col="t_us")
         .writeStream.format("memory")
@@ -961,14 +969,27 @@ def e6(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(qname).select(
-        "key",
-        F.col("t_ms").alias("t_us"),  # carried micros; see docstring
-        "last_seq",
-        "last_type",
-        "last_value",
-        "is_delete",
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "e6_streaming_upsert_state: availableNow drain did not "
+            "finish in 300s — refusing to return partial state"
+        )
+    w = Window.partitionBy("key").orderBy(
+        F.col("t_ms").desc(), F.col("last_seq").desc()
+    )
+    return (
+        spark.table(qname)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "key",
+            F.col("t_ms").alias("t_us"),  # carried micros; see docstring
+            "last_seq",
+            "last_type",
+            "last_value",
+            "is_delete",
+        )
     )
 
 

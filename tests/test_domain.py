@@ -2021,6 +2021,20 @@ def test_segment_frames_model_contract(spark):
     with pytest.raises(ImportError, match="cellpose"):
         segment_frames(frames, method="model")
 
+    # label_components_runs' overflow invariant holds for model masks
+    # too: a label > 65535 must fail loudly, not wrap into background
+    class OverflowModel:
+        def __init__(self, **kw):
+            pass
+
+        def eval(self, image, **kw):
+            mask = np.zeros(image.shape, dtype=np.int32)
+            mask[0, 0] = 70000
+            return mask, None, None
+
+    with pytest.raises(Exception, match="65535"):
+        segment_frames(frames, method="model", model_cls=OverflowModel).collect()
+
 
 def test_label_components_runs_overflow_guard():
     """>65535 components must fail loudly, not wrap into background."""
