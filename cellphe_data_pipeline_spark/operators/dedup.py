@@ -648,6 +648,11 @@ def incremental_near_duplicates(
     O(batch + matched index rows); the index band table is never
     self-joined.
     """
+    # NOT checkpointed, unlike d3's corpus shingle table: measured at
+    # sf0.1 (r6) the cut saved nothing here — the candidate-first join
+    # order already bounds the re-consumed volume, and in the real
+    # daily-ingest deployment sh_idx comes from the PERSISTED index
+    # (S15) anyway, so only the small batch side ever recomputes.
     sh_idx = word_shingles(index_docs, text_col, id_col, n)
     sh_new = word_shingles(new_docs, text_col, id_col, n)
     bk_idx = minhash_band_keys(sh_idx, num_hashes, band_size).withColumnRenamed(

@@ -137,6 +137,9 @@ def srp_topk(
     :func:`cosine_topk_bruteforce` (vec_id, neighbor_id, cos_sim, rank)
     restricted to same-bucket candidates.
     """
+    # NOT checkpointed: measured (r6, sf0.1) — recomputing the code
+    # expressions for both join sides costs nothing vs the bucket join
+    # + ranking window that dominate; a lineage cut saved 0%.
     coded = srp_bucket_codes(df, dim, id_col, vec_col, n_bits, seed)
     a = coded.select("bucket", F.col("vec_id"), F.col("_emb").alias("a_emb"), F.col("_norm").alias("a_norm"))
     b = coded.select(
