@@ -430,6 +430,17 @@ def run_pipeline_from_config(
             for k in ("frames", "masks", "detections", "track_edges", "spots",
                       "spots_filtered")
         }
+    # params.QC.segmentation_highlight (main.nf:107): the highlight
+    # pixel table behind the segmentation report, in the configured
+    # render mode ('fill'/'outline'; unknown values fall back like the
+    # report itself). Segmentation-level, so it survives the
+    # tracking/cellphe gates.
+    from cellphe_data_pipeline_spark.plans.qc import segmentation_highlight_frames
+
+    out["segmentation_highlight"] = segmentation_highlight_frames(
+        out["masks"],
+        method=cfg.get("QC", {}).get("segmentation_highlight", "outline"),
+    )
     return out
 
 

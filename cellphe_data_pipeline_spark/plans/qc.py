@@ -84,6 +84,30 @@ def tracking_qc(
     }
 
 
+def segmentation_highlight_frames(
+    masks: DataFrame, method: str = "outline", stride: int = 10
+) -> DataFrame:
+    """The pixel table behind the segmentation report's highlight
+    figures (r6 — routes the last unconnected config key,
+    ``params.QC.segmentation_highlight``, main.nf:107): every
+    ``stride``-th frame (the report plots ``i % 10 == 0``,
+    segmentation_qc.qmd:56-58), rendered as boundary pixels
+    (``'outline'`` → M6 :func:`mask_boundary_overlay`) or every
+    labeled pixel (``'fill'`` → :func:`mask_fill_pixels`). An unknown
+    method falls back to 'outline' EXACTLY like the report
+    (segmentation_qc.qmd:30-35 warns and defaults) rather than
+    raising — config files are user-supplied."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        mask_boundary_overlay,
+        mask_fill_pixels,
+    )
+
+    if method not in ("fill", "outline"):
+        method = "outline"  # the report's documented fallback
+    sel = masks.filter((F.col("frame_index") % stride) == 0)
+    return mask_fill_pixels(sel) if method == "fill" else mask_boundary_overlay(sel)
+
+
 def segmentation_qc(mask_histogram: DataFrame) -> dict[str, DataFrame]:
     """Segmentation-QC tables from the A5 label histogram
     (path, frame_index, mask_id, n): per-cell areas (background

@@ -210,7 +210,7 @@ def test_pipeline_from_config(spark, tmp_path):
     out2 = run_pipeline_from_config(
         spark, str(d), {**loaded, "run": {"segmentation": True, "tracking": False}}
     )
-    assert set(out2) == {"frames", "masks", "detections"}
+    assert set(out2) == {"frames", "masks", "detections", "segmentation_highlight"}
 
 
 def test_pipeline_resumable(spark, tmp_path):

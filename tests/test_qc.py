@@ -48,3 +48,35 @@ def test_qc_reports(spark):
     cpf = {r["frame_index"]: r["n_cells"] for r in seg["cells_per_frame"].collect()}
     assert len(cpf) == 8
     assert all(1 <= n <= 6 for n in cpf.values())  # ~5 disks per frame
+
+
+def test_segmentation_highlight_frames(spark):
+    """r6: the highlight table routes params.QC.segmentation_highlight
+    — every stride-th frame, 'outline' = boundary pixels, 'fill' =
+    every labeled pixel (so outline ⊆ fill and fill count = total
+    area), unknown method falls back to outline like the report."""
+    from cellphe_data_pipeline_spark.plans.qc import segmentation_highlight_frames
+
+    bins = spark.createDataFrame(
+        [("tl.fake", bytearray(make_fake_timelapse(seed=9, height=32, width=32, n_frames=12, n_cells=3)))],
+        "path string, content binary",
+    )
+    masks = segment_frames(split_frames(bins))
+    fill = segmentation_highlight_frames(masks, "fill", stride=10).collect()
+    outline = segmentation_highlight_frames(masks, "outline", stride=10).collect()
+    # stride: frames 0 and 10 only
+    assert {r["frame_index"] for r in fill} == {0, 10}
+    assert {r["frame_index"] for r in outline} <= {0, 10}
+    fset = {(r["frame_index"], r["px"], r["py"]) for r in fill}
+    oset = {(r["frame_index"], r["px"], r["py"]) for r in outline}
+    assert oset and oset <= fset  # boundary pixels are labeled pixels
+    # fill pixel count per frame == summed label areas (histogram A5)
+    hist = {
+        (r["frame_index"], r["mask_id"]): r["n"]
+        for r in mask_label_histogram(masks).collect()
+        if r["mask_id"] != 0 and r["frame_index"] in (0, 10)
+    }
+    assert len(fset) == sum(hist.values())
+    # unknown method: the report's documented fallback, not an error
+    fb = segmentation_highlight_frames(masks, "sparkle", stride=10).collect()
+    assert {(r["frame_index"], r["px"], r["py"]) for r in fb} == oset
