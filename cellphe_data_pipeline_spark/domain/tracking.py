@@ -25,6 +25,14 @@ hard part #5) is *same-shape, simplified* linking:
     (ALLOW_TRACK_SPLITTING / SPLITTING_MAX_DISTANCE /
     ALLOW_TRACK_MERGING / MERGING_MAX_DISTANCE,
     templates/cyto3.json:31-38) — ``_split_merge_lap``;
+  - LAP cost shaping (r6, all opt-in): the no-link alternative
+    (ALTERNATIVE_LINKING_COST_FACTOR × CUTOFF_PERCENTILE of the
+    candidate cost distribution, templates/cyto3.json:26,30) via the
+    Jaqaman-augmented matrix, and TrackMate's published
+    feature-penalty factor for split/merge candidates
+    (SPLITTING/MERGING_FEATURE_PENALTIES, cyto3.json:33-35) — the
+    remaining deviation is that phase 2 solves split/merge/gap blocks
+    independently rather than in one joint matrix;
   - deterministic: candidate pairs sorted by (distance, src id, dst id).
 
 Parallelism: ``applyInPandas`` grouped by timelapse — tracking is
@@ -178,6 +186,31 @@ def _close_gaps_segment_lap(
     return out
 
 
+def _penalty_factor(
+    penalties: dict[str, float],
+    fa: dict[str, float],
+    fb: dict[str, float],
+) -> float:
+    """TrackMate feature-penalty cost factor (the PUBLIC formula —
+    Jaqaman et al. 2008 supplementary / TrackMate docs "Linking costs
+    calculation"): per penalised feature, term = 3*p*|f1-f2|/(f1+f2)
+    (0 when the sum is 0 or the feature is absent); the squared-
+    distance cost is multiplied by (1 + sum(terms))^2. A pair of
+    identical feature values is unpenalised; dissimilar values push
+    the candidate's cost up and can push it past the acceptance
+    threshold entirely."""
+    s = 0.0
+    for feat, p in penalties.items():
+        a = fa.get(feat)
+        b = fb.get(feat)
+        if a is None or b is None:
+            continue
+        tot = abs(a) + abs(b)
+        if tot:
+            s += 3.0 * float(p) * abs(a - b) / tot
+    return (1.0 + s) ** 2
+
+
 def _split_merge_lap(
     pdf: pd.DataFrame,
     edges: list[tuple[int, int, int, float]],
@@ -185,6 +218,8 @@ def _split_merge_lap(
     splitting_max_distance: float,
     allow_merging: bool,
     merging_max_distance: float,
+    splitting_feature_penalties: dict[str, float] | None = None,
+    merging_feature_penalties: dict[str, float] | None = None,
 ) -> list[tuple[int, int, int, float]]:
     """TrackMate phase-2 splitting/merging blocks, lite
     (track_images.py:74-123 wiring; templates/cyto3.json:31-38 enables
@@ -205,10 +240,21 @@ def _split_merge_lap(
     the assignment discipline of TrackMate's joint phase-2 matrix,
     solved as two independent blocks (documented deviation: the
     reference's single matrix also trades split/merge links against
-    gap-closing alternatives; feature penalties such as
-    MERGING_FEATURE_PENALTIES stay out of scope). Runs AFTER gap
-    closing so gap-closed starts/ends are no longer candidates.
-    Emitted edges carry gap=0 (adjacent frames by construction).
+    gap-closing alternatives). Runs AFTER gap closing so gap-closed
+    starts/ends are no longer candidates. Emitted edges carry gap=0
+    (adjacent frames by construction).
+
+    Feature penalties (r6 — SPLITTING/MERGING_FEATURE_PENALTIES,
+    templates/cyto3.json:33-35, e.g. {"AREA": 0.5} biasing merges
+    toward similar-area pairs): when a penalty map is given, the cost
+    switches to TrackMate's convention — squared distance times
+    :func:`_penalty_factor`, accepted iff cost <= max_distance**2 —
+    so dissimilar-feature pairs rank worse in the assignment and can
+    be rejected outright, exactly the JVM tracker's behaviour.
+    Feature keys are TrackMate's UPPERCASE names matched
+    case-insensitively against the detection columns (AREA -> area).
+    No penalties (the default) keeps the original plain-distance cost
+    bit-for-bit (goldens unchanged).
     """
     has_out = {e[0] for e in edges}
     has_in = {e[1] for e in edges}
@@ -216,49 +262,79 @@ def _split_merge_lap(
         int(r["id"]): (int(r["frame"]), float(r["x"]), float(r["y"]))
         for _, r in pdf.iterrows()
     }
+    pen_keys = set(splitting_feature_penalties or {}) | set(
+        merging_feature_penalties or {}
+    )
+    feats: dict[int, dict[str, float]] = {}
+    if pen_keys:
+        cols = {c.upper(): c for c in pdf.columns}
+        use = {k: cols[k] for k in pen_keys if k in cols}
+        for _, r in pdf.iterrows():
+            feats[int(r["id"])] = {
+                k: float(r[c]) for k, c in use.items() if pd.notna(r[c])
+            }
     mid_by_frame: dict[int, list[int]] = {}
     for i in spot:
         if i in has_out and i in has_in:
             mid_by_frame.setdefault(spot[i][0], []).append(i)
 
     def one_side(
-        loose: list[int], frame_delta: int, max_dist: float
+        loose: list[int],
+        frame_delta: int,
+        max_dist: float,
+        penalties: dict[str, float] | None = None,
     ) -> list[tuple[int, int, float]]:
         """Assign loose spots (starts or ends) to middles at
-        frame + frame_delta; returns (loose, middle, dist) picks."""
-        cands: list[tuple[float, int, int]] = []
+        frame + frame_delta; returns (loose, middle, dist) picks.
+        With ``penalties``, costs are TrackMate's penalised squared
+        distances gated at max_dist**2 (see the function docstring);
+        the returned third element stays the RAW distance either way
+        (the emitted edge's dist column is a geometric quantity)."""
+        cands: list[tuple[float, int, int, float]] = []  # (cost, a, m, d)
         for a in loose:
             fa, xa, ya = spot[a]
             for m in mid_by_frame.get(fa + frame_delta, []):
                 _, xm, ym = spot[m]
                 d = float(np.hypot(xm - xa, ym - ya))
-                if d <= max_dist:
-                    cands.append((d, a, m))
+                if penalties:
+                    cost = d * d * _penalty_factor(
+                        penalties, feats.get(a, {}), feats.get(m, {})
+                    )
+                    if cost <= max_dist * max_dist:
+                        cands.append((cost, a, m, d))
+                elif d <= max_dist:
+                    cands.append((d, a, m, d))
         if not cands:
             return []
-        lefts = sorted({a for _, a, _ in cands})
-        mids = sorted({m for _, _, m in cands})
+        lefts = sorted({a for _, a, _, _ in cands})
+        mids = sorted({m for _, _, m, _ in cands})
         l_ix = {a: i for i, a in enumerate(lefts)}
         m_ix = {m: i for i, m in enumerate(mids)}
         cost = np.full((len(lefts), len(mids)), _LAP_BIG)
-        for d, a, m in cands:
-            if d < cost[l_ix[a], m_ix[m]]:
-                cost[l_ix[a], m_ix[m]] = d
+        dist_of: dict[tuple[int, int], float] = {}
+        for cst, a, m, d in cands:
+            if cst < cost[l_ix[a], m_ix[m]]:
+                cost[l_ix[a], m_ix[m]] = cst
+                dist_of[(l_ix[a], m_ix[m])] = d
         out = []
         for r, c in zip(*_hungarian(cost)):
             if cost[r, c] >= _LAP_BIG:
                 continue
-            out.append((lefts[r], mids[c], float(cost[r, c])))
+            out.append((lefts[r], mids[c], dist_of[(r, c)]))
         return out
 
     out = list(edges)
     if allow_splitting:
         starts = [i for i in spot if i not in has_in]
-        for s, m, d in one_side(starts, -1, splitting_max_distance):
+        for s, m, d in one_side(
+            starts, -1, splitting_max_distance, splitting_feature_penalties
+        ):
             out.append((m, s, 0, d))  # parent middle → child start
     if allow_merging:
         ends = [i for i in spot if i not in has_out]
-        for e, m, d in one_side(ends, +1, merging_max_distance):
+        for e, m, d in one_side(
+            ends, +1, merging_max_distance, merging_feature_penalties
+        ):
             out.append((e, m, 0, d))  # dying end → surviving middle
     return out
 
@@ -274,6 +350,10 @@ def _link_one(
     splitting_max_distance: float = 5.0,
     allow_merging: bool = False,
     merging_max_distance: float = 50.0,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
+    splitting_feature_penalties: dict[str, float] | None = None,
+    merging_feature_penalties: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     # segment-LAP closure: phase 1 links consecutive frames ONLY (gap
     # candidates excluded), phase 2 reconnects segments globally
@@ -328,9 +408,45 @@ def _link_one(
                 if d < cost[s_ix[s], d_ix[t]]:
                     cost[s_ix[s], d_ix[t]] = d
                     meta[(s_ix[s], d_ix[t])] = (d, gap)
-            for r, c in zip(*_hungarian(cost)):
-                if cost[r, c] >= _LAP_BIG:
-                    continue
+            if alternative_cost_factor is not None:
+                # TrackMate's no-link alternative (r6 —
+                # ALTERNATIVE_LINKING_COST_FACTOR + CUTOFF_PERCENTILE,
+                # templates/cyto3.json:26,30; Jaqaman et al. 2008):
+                # costs switch to SQUARED distances; b = factor x the
+                # cutoff-percentile of the candidate cost distribution;
+                # the Jaqaman-augmented square matrix offers every row
+                # (track end) and column (detection) a diagonal
+                # alternative at cost b, so a within-window candidate
+                # costlier than b stays UNLINKED instead of being
+                # force-assigned. The lower-right completion block
+                # mirrors the transposed topology at cost b: a solution
+                # with L links then totals sum(C_linked) + (n+m-L)*b,
+                # so the net decision rule is exactly "a candidate
+                # joins iff its marginal cost <= b" — the TrackMate
+                # acceptance semantics.
+                sq = np.where(cost < _LAP_BIG, cost * cost, _LAP_BIG)
+                finite = sq[sq < _LAP_BIG]
+                b = float(alternative_cost_factor) * float(
+                    np.percentile(finite, float(cutoff_percentile) * 100.0)
+                )
+                n, m2 = sq.shape
+                full = np.full((n + m2, n + m2), _LAP_BIG)
+                full[:n, :m2] = sq
+                full[:n, m2:] = np.where(np.eye(n, dtype=bool), b, _LAP_BIG)
+                full[n:, :m2] = np.where(np.eye(m2, dtype=bool), b, _LAP_BIG)
+                full[n:, m2:] = np.where(sq.T < _LAP_BIG, b, _LAP_BIG)
+                picks = [
+                    (r, c)
+                    for r, c in zip(*_hungarian(full))
+                    if r < n and c < m2 and full[r, c] < _LAP_BIG
+                ]
+            else:
+                picks = [
+                    (r, c)
+                    for r, c in zip(*_hungarian(cost))
+                    if cost[r, c] < _LAP_BIG
+                ]
+            for r, c in picks:
                 d, gap = meta[(r, c)]
                 src, dst = srcs[r], dsts[c]
                 edges.append((src, dst, gap, d))
@@ -376,6 +492,8 @@ def _link_one(
             splitting_max_distance,
             allow_merging,
             merging_max_distance,
+            splitting_feature_penalties,
+            merging_feature_penalties,
         )
     tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
     return pd.DataFrame(
@@ -395,6 +513,10 @@ def track_detections(
     splitting_max_distance: float = 5.0,
     allow_merging: bool = False,
     merging_max_distance: float = 50.0,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
+    splitting_feature_penalties: dict[str, float] | None = None,
+    merging_feature_penalties: dict[str, float] | None = None,
 ) -> DataFrame:
     """M3: link per-frame detections into track edges.
 
@@ -421,7 +543,21 @@ def track_detections(
     start, a 2→1 merge edge from a segment end to a nearby next-frame
     track middle (``_split_merge_lap``). Defaults mirror the reference
     template's distances; downstream G4 renumbering already assigns
-    split children new track ids (domain/lineage.py)."""
+    split children new track ids (domain/lineage.py).
+
+    r6 LAP cost knobs (all OFF by default — defaults reproduce the
+    pre-r6 behaviour bit-for-bit):
+    ``alternative_cost_factor`` + ``cutoff_percentile``
+    (ALTERNATIVE_LINKING_COST_FACTOR / CUTOFF_PERCENTILE,
+    templates/cyto3.json:26,30) give every LAP row/column a no-link
+    alternative at factor x the cutoff-percentile of the candidate
+    cost distribution — expensive within-window links stay unlinked
+    instead of being force-assigned (method="lap" only);
+    ``splitting_feature_penalties`` / ``merging_feature_penalties``
+    (e.g. {"AREA": 0.5}, templates/cyto3.json:33-35) bias the phase-2
+    division/fusion assignment toward feature-similar pairs with
+    TrackMate's published penalty formula (see
+    :func:`_penalty_factor`)."""
 
     if method not in ("greedy", "lap", "kalman"):
         raise ValueError(
@@ -444,6 +580,10 @@ def track_detections(
             splitting_max_distance,
             allow_merging,
             merging_max_distance,
+            alternative_cost_factor,
+            cutoff_percentile,
+            splitting_feature_penalties,
+            merging_feature_penalties,
         )
 
     # CPU-bound per-timelapse kernel over narrow rows — keep the groups
@@ -453,9 +593,24 @@ def track_detections(
         repartition_for_cpu_kernel,
     )
 
+    # narrow projection by default; penalised features widen it with
+    # exactly the columns the penalty maps name (case-insensitive
+    # TrackMate keys -> detection columns, e.g. AREA -> area)
+    cols = ["timelapse_id", "id", "frame", "x", "y"]
+    pen_keys = set(splitting_feature_penalties or {}) | set(
+        merging_feature_penalties or {}
+    )
+    if pen_keys:
+        by_upper = {c.upper(): c for c in detections.columns}
+        missing = sorted(k for k in pen_keys if k not in by_upper)
+        if missing:
+            raise ValueError(
+                f"feature penalties name columns absent from detections: {missing}"
+            )
+        cols += [by_upper[k] for k in sorted(pen_keys) if by_upper[k] not in cols]
     return (
         repartition_for_cpu_kernel(
-            detections.select("timelapse_id", "id", "frame", "x", "y"),
+            detections.select(*cols),
             "timelapse_id",
         )
         .groupBy("timelapse_id")

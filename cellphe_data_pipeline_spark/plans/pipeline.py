@@ -102,6 +102,10 @@ def run_pipeline(
     merging_max_distance: float = 50.0,
     density_radius: float = 25.0,
     segmentation_method: str = "median",
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
+    splitting_feature_penalties: dict | None = None,
+    merging_feature_penalties: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -195,6 +199,10 @@ def run_pipeline(
         splitting_max_distance=splitting_max_distance,
         allow_merging=allow_merging,
         merging_max_distance=merging_max_distance,
+        alternative_cost_factor=alternative_cost_factor,
+        cutoff_percentile=cutoff_percentile,
+        splitting_feature_penalties=splitting_feature_penalties,
+        merging_feature_penalties=merging_feature_penalties,
     )
     # Pin the edge list too: lineage (CC input + head detection +
     # the numbering passes) re-executes its input several times, and
@@ -404,6 +412,25 @@ def config_to_run_kwargs(config: dict) -> dict:
         "splitting_max_distance": float(tr.get("SPLITTING_MAX_DISTANCE", 5.0)),
         "allow_merging": bool(tr.get("ALLOW_TRACK_MERGING", False)),
         "merging_max_distance": float(tr.get("MERGING_MAX_DISTANCE", 50.0)),
+        # r6 LAP cost knobs — routed ONLY when the config supplies them
+        # (the reference templates do: cyto3.json:26,30,33-35), so a
+        # knob-free config reproduces the pre-r6 pipeline bit-for-bit
+        "alternative_cost_factor": (
+            float(tr["ALTERNATIVE_LINKING_COST_FACTOR"])
+            if "ALTERNATIVE_LINKING_COST_FACTOR" in tr
+            else None
+        ),
+        "cutoff_percentile": float(tr.get("CUTOFF_PERCENTILE", 0.9)),
+        "splitting_feature_penalties": (
+            dict(tr["SPLITTING_FEATURE_PENALTIES"])
+            if tr.get("SPLITTING_FEATURE_PENALTIES")
+            else None
+        ),
+        "merging_feature_penalties": (
+            dict(tr["MERGING_FEATURE_PENALTIES"])
+            if tr.get("MERGING_FEATURE_PENALTIES")
+            else None
+        ),
     }
 
 

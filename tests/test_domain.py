@@ -1273,6 +1273,97 @@ def test_segment_lap_gap_closing_rescues_greedy_misassignment(spark):
         track_detections(dets, gap_strategy="both")
 
 
+def test_lap_alternative_cost_rejects_expensive_links(spark):
+    """r6 — ALTERNATIVE_LINKING_COST_FACTOR + CUTOFF_PERCENTILE
+    (templates/cyto3.json:26,30): with the no-link alternative active,
+    a within-window candidate whose squared distance exceeds
+    b = factor x percentile(costs) stays UNLINKED instead of being
+    force-assigned; without the knob, every feasible window candidate
+    links (the pre-r6 behaviour, which the goldens pin)."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    # f0: a=(0,0), b=(10,0); f1: c=(0,1) near a (d=1), e=(10,30) far
+    # from b (d=30) but inside the 50-px window
+    dets = spark.createDataFrame(
+        [
+            ("t", 1, 0, 0.0, 0.0),
+            ("t", 2, 0, 10.0, 0.0),
+            ("t", 3, 1, 0.0, 1.0),
+            ("t", 4, 1, 10.0, 30.0),
+        ],
+        "timelapse_id string, id long, frame int, x double, y double",
+    )
+    kw = dict(linking_max_distance=50.0, max_frame_gap=0,
+              gap_closing_max_distance=0.0, method="lap")
+    plain = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    assert plain == {(1, 3), (2, 4)}  # LAP force-assigns the far pair
+    # squared candidate costs: a-c 1, a-e ~1000, b-c ~101, b-e 900;
+    # 25th percentile = 76 -> b = 76: the 900-cost link is rejected
+    gated = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=1.0, cutoff_percentile=0.25, **kw
+        ).collect()
+    }
+    assert gated == {(1, 3)}
+    # a generous alternative keeps every link (b >= max cost)
+    loose = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=10.0, cutoff_percentile=0.9, **kw
+        ).collect()
+    }
+    assert loose == {(1, 3), (2, 4)}
+
+
+def test_merge_feature_penalties_bias_and_reject(spark):
+    """r6 — MERGING_FEATURE_PENALTIES (templates/cyto3.json:33-35,
+    {"AREA": 0.5}): TrackMate's penalty formula multiplies the squared
+    merge cost by (1 + 3p|f1-f2|/(f1+f2))^2, so a nearer but
+    area-dissimilar middle loses to a similar-area one (and its
+    penalised cost can exceed the acceptance gate entirely). Without
+    penalties the raw-distance pick is unchanged."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    rows = [
+        # track M (area 100): m0 -> m1 -> m2; m1 is a middle at (0,0)
+        ("t", 1, 0, 0.0, 0.0, 100.0),
+        ("t", 2, 1, 0.0, 0.0, 100.0),
+        ("t", 3, 2, 0.0, 0.0, 100.0),
+        # track P (area 10): p0 -> p1 -> p2; p1 is a middle at (3,0)
+        ("t", 4, 0, 3.0, 0.0, 10.0),
+        ("t", 5, 1, 3.0, 0.0, 10.0),
+        ("t", 6, 2, 3.0, 0.0, 10.0),
+        # lone end n0 (area 100) at (50,0): links to nothing at f1
+        # (distance 47-50 >> linking_max), but within merge range
+        ("t", 7, 0, 50.0, 0.0, 100.0),
+    ]
+    dets = spark.createDataFrame(
+        rows,
+        "timelapse_id string, id long, frame int, x double, y double, area double",
+    )
+    kw = dict(linking_max_distance=5.0, max_frame_gap=0,
+              gap_closing_max_distance=0.0, allow_merging=True,
+              merging_max_distance=100.0)
+    plain = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    assert (7, 5) in plain  # raw distance: nearer small-area middle wins
+    assert (7, 2) not in plain
+    # AREA penalty 0.5: p1's cost 47^2 x (1+3*0.5*90/110)^2 ~ 11k > 100^2
+    # -> rejected; m1 (identical area, factor 1) wins at 50^2 = 2500
+    pen = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, merging_feature_penalties={"AREA": 0.5}, **kw
+        ).collect()
+    }
+    assert (7, 2) in pen and (7, 5) not in pen
+    # a penalty key with no matching detection column fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        track_detections(dets, merging_feature_penalties={"NOPE": 1.0}, **kw)
+
+
 def test_hungarian_matches_brute_force():
     import itertools
     from cellphe_data_pipeline_spark.domain.tracking import _hungarian

@@ -265,6 +265,34 @@ def test_feature_manifest_discloses_parity_columns(spark):
     assert counts == {"exact": 14, "recon": 33, "parity": 27}
 
 
+def test_config_routes_lap_cost_knobs():
+    """r6: the params-file translation routes the LAP cost knobs ONLY
+    when the config supplies them (cyto3.json:26,30,33-35) — a
+    knob-free config reproduces the pre-r6 pipeline exactly."""
+    from cellphe_data_pipeline_spark.plans.pipeline import config_to_run_kwargs
+
+    bare = config_to_run_kwargs({})
+    assert bare["alternative_cost_factor"] is None
+    assert bare["merging_feature_penalties"] is None
+    assert bare["splitting_feature_penalties"] is None
+
+    cyto3ish = {
+        "tracking": {
+            "algorithm": "SparseLAPTracker",
+            "settings": {
+                "ALTERNATIVE_LINKING_COST_FACTOR": 1.05,
+                "CUTOFF_PERCENTILE": 0.9,
+                "MERGING_FEATURE_PENALTIES": {"AREA": 0.5},
+            },
+        }
+    }
+    kw = config_to_run_kwargs(cyto3ish)
+    assert kw["alternative_cost_factor"] == 1.05
+    assert kw["cutoff_percentile"] == 0.9
+    assert kw["merging_feature_penalties"] == {"AREA": 0.5}
+    assert kw["tracking_method"] == "lap"
+
+
 def test_config_algorithm_selects_lap(spark, tmp_path):
     """tracking.algorithm config field maps to the tracker method:
     LAP-family names use Hungarian linking, NearestNeighbor stays
