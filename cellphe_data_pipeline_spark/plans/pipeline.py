@@ -106,6 +106,7 @@ def run_pipeline(
     cutoff_percentile: float = 0.9,
     splitting_feature_penalties: dict | None = None,
     merging_feature_penalties: dict | None = None,
+    overlap_min_iou: float = 0.3,
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
     path/content). Returns every stage as a DataFrame keyed like the
@@ -188,22 +189,65 @@ def run_pipeline(
     # At cluster scale this is the "persist the hub table" rule; tiny
     # (one narrow row per detection), so localCheckpoint is safe.
     dets = dets.localCheckpoint(eager=True)
-    edges = track_detections(                            # M3
-        dets,
-        linking_max_distance=linking_max_distance,
-        max_frame_gap=max_frame_gap,
-        gap_closing_max_distance=gap_closing_max_distance,
-        method=tracking_method,
-        gap_strategy=tracking_gap_strategy,
-        allow_splitting=allow_splitting,
-        splitting_max_distance=splitting_max_distance,
-        allow_merging=allow_merging,
-        merging_max_distance=merging_max_distance,
-        alternative_cost_factor=alternative_cost_factor,
-        cutoff_percentile=cutoff_percentile,
-        splitting_feature_penalties=splitting_feature_penalties,
-        merging_feature_penalties=merging_feature_penalties,
-    )
+    if tracking_method == "overlap":
+        # M3 Overlap option (r6 — previously the config translation
+        # fell back to greedy with a doc note): mask-IoU links from the
+        # fully relational tracker, converted to the spot-id edge list
+        # by joining the detection table on (timelapse, frame, label).
+        # gap is 0 by construction (consecutive frames); dist is the
+        # centroid distance so downstream QC keeps its geometric
+        # meaning. MIN_IOU routes from the tracker settings.
+        from cellphe_data_pipeline_spark.domain.images import mask_pixels
+        from cellphe_data_pipeline_spark.domain.tracking import overlap_links
+        from cellphe_data_pipeline_spark.functions.scalars import euclid
+
+        links = overlap_links(mask_pixels(masks), iou_threshold=overlap_min_iou)
+        src_side = dets.select(
+            F.col("timelapse_id").alias("path"),
+            F.col("frame").alias("frame_index"),
+            F.col("mask_id").alias("src_mask"),
+            F.col("id").alias("src"),
+            F.col("x").alias("_sx"),
+            F.col("y").alias("_sy"),
+        )
+        dst_side = dets.select(
+            F.col("timelapse_id").alias("path"),
+            (F.col("frame") - 1).alias("frame_index"),
+            F.col("mask_id").alias("dst_mask"),
+            F.col("id").alias("dst"),
+            F.col("x").alias("_dx"),
+            F.col("y").alias("_dy"),
+        )
+        edges = (
+            links.join(src_side, ["path", "frame_index", "src_mask"])
+            .join(dst_side, ["path", "frame_index", "dst_mask"])
+            .select(
+                F.col("path").alias("timelapse_id"),
+                "src",
+                "dst",
+                F.lit(0).cast("int").alias("gap"),
+                euclid(
+                    F.col("_sx"), F.col("_sy"), F.col("_dx"), F.col("_dy")
+                ).alias("dist"),
+            )
+        )
+    else:
+        edges = track_detections(                            # M3
+            dets,
+            linking_max_distance=linking_max_distance,
+            max_frame_gap=max_frame_gap,
+            gap_closing_max_distance=gap_closing_max_distance,
+            method=tracking_method,
+            gap_strategy=tracking_gap_strategy,
+            allow_splitting=allow_splitting,
+            splitting_max_distance=splitting_max_distance,
+            allow_merging=allow_merging,
+            merging_max_distance=merging_max_distance,
+            alternative_cost_factor=alternative_cost_factor,
+            cutoff_percentile=cutoff_percentile,
+            splitting_feature_penalties=splitting_feature_penalties,
+            merging_feature_penalties=merging_feature_penalties,
+        )
     # Pin the edge list too: lineage (CC input + head detection +
     # the numbering passes) re-executes its input several times, and
     # without this cut each of those actions re-runs the tracking
@@ -390,14 +434,21 @@ def config_to_run_kwargs(config: dict) -> dict:
     algo = str(cfg.get("tracking", {}).get("algorithm", "NearestNeighbor")).lower()
     # reference tracker menu (README.md:152-160): LAP* -> per-pair
     # Hungarian + segment-LAP gap phase; Kalman/AdvancedKalman ->
-    # constant-velocity prediction; everything else -> greedy
-    # NearestNeighbor. (The Overlap tracker links MASKS, not centroids
-    # — it is the standalone relational tracking.overlap_links.)
-    # NOTE "Overlap".lower() contains "lap" — exclude it explicitly so
-    # the Overlap entry falls through to greedy (with a visible warning
-    # path via the docstring) instead of silently running Hungarian
-    is_lap = "lap" in algo and "overlap" not in algo
-    method = "lap" if is_lap else ("kalman" if "kalman" in algo else "greedy")
+    # constant-velocity prediction; Overlap -> the relational mask-IoU
+    # tracker (r6 — previously fell back to greedy; run_pipeline now
+    # builds its edge list from overlap_links over the mask pixels,
+    # MIN_IOU routed from the settings per TrackMate's TrackerKeys);
+    # everything else -> greedy NearestNeighbor.
+    # NOTE "Overlap".lower() contains "lap" — check it FIRST
+    if "overlap" in algo:
+        method = "overlap"
+    elif "lap" in algo:
+        method = "lap"
+    elif "kalman" in algo:
+        method = "kalman"
+    else:
+        method = "greedy"
+    is_lap = method == "lap"
     return {
         "qc": qc,
         "segmentation_method": cfg.get("segmentation", {}).get("method", "median"),
@@ -431,6 +482,9 @@ def config_to_run_kwargs(config: dict) -> dict:
             if tr.get("MERGING_FEATURE_PENALTIES")
             else None
         ),
+        # Overlap tracker gate (TrackerKeys KEY_MIN_IOU); inert for the
+        # centroid trackers
+        "overlap_min_iou": float(tr.get("MIN_IOU", 0.3)),
     }
 
 

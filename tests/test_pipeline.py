@@ -313,6 +313,20 @@ def test_config_algorithm_selects_lap(spark, tmp_path):
         # both methods track this easy fixture into the same non-empty edge set
         assert out["track_edges"].count() > 0
 
+    # r6: Overlap routes to the relational mask-IoU tracker (was a
+    # greedy fallback) — the easy fixture's near-static disks overlap
+    # frame-to-frame, so the edge list is non-empty, gap is 0 by
+    # construction, and the full downstream chain still runs
+    out = run_pipeline_from_config(
+        spark,
+        str(d),
+        {"tracking": {"algorithm": "Overlap", "settings": {"MIN_IOU": 0.2}}},
+    )
+    edges = out["track_edges"].collect()
+    assert edges and all(r["gap"] == 0 for r in edges)
+    assert all(r["dist"] >= 0.0 for r in edges)
+    assert out["timeseries"].count() > 0
+
 
 def test_pipeline_config_selects_otsu_segmentation(spark, tmp_path):
     """r5b: segmentation.method in the params-file reaches the M1
