@@ -717,42 +717,13 @@ def mask_boundary_overlay(masks: DataFrame) -> DataFrame:
 def mask_fill_pixels(masks: DataFrame) -> DataFrame:
     """Every labeled pixel as a row — the 'fill' highlight mode of the
     segmentation QC report (segmentation_qc.qmd:30-35 /
-    main.nf:107 params.QC.segmentation_highlight), same schema as
-    :func:`mask_boundary_overlay` ('outline' mode) so the two modes
-    are interchangeable downstream."""
-    schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("frame_index", T.IntegerType()),
-            T.StructField("px", T.IntegerType()),
-            T.StructField("py", T.IntegerType()),
-            T.StructField("mask_id", T.IntegerType()),
-        ]
+    main.nf:107 params.QC.segmentation_highlight). A thin projection
+    over :func:`mask_pixels` (ONE shared explode kernel), column-
+    ordered to match :func:`mask_boundary_overlay` ('outline' mode) so
+    the two modes are interchangeable downstream."""
+    return mask_pixels(masks).select(
+        "path", "frame_index", "px", "py", "mask_id"
     )
-
-    def fills(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            parts: list[pd.DataFrame] = []
-            for _, row in pdf.iterrows():
-                m = np.frombuffer(row["mask"], dtype=np.uint16).reshape(
-                    row["height"], row["width"]
-                )
-                ys, xs = np.nonzero(m)
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "path": row["path"],
-                            "frame_index": row["frame_index"],
-                            "px": xs.astype("int32"),
-                            "py": ys.astype("int32"),
-                            "mask_id": m[ys, xs].astype("int32"),
-                        }
-                    )
-                )
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
-
-    return masks.mapInPandas(fills, schema)
 
 
 #: Moore neighborhood in clockwise order (dy, dx), starting East, in

@@ -258,21 +258,20 @@ def _split_merge_lap(
     """
     has_out = {e[0] for e in edges}
     has_in = {e[1] for e in edges}
-    spot = {
-        int(r["id"]): (int(r["frame"]), float(r["x"]), float(r["y"]))
-        for _, r in pdf.iterrows()
-    }
     pen_keys = set(splitting_feature_penalties or {}) | set(
         merging_feature_penalties or {}
     )
+    cols = {c.upper(): c for c in pdf.columns}
+    use = {k: cols[k] for k in pen_keys if k in cols}
+    spot: dict[int, tuple[int, float, float]] = {}
     feats: dict[int, dict[str, float]] = {}
-    if pen_keys:
-        cols = {c.upper(): c for c in pdf.columns}
-        use = {k: cols[k] for k in pen_keys if k in cols}
-        for _, r in pdf.iterrows():
-            feats[int(r["id"])] = {
-                k: float(r[c]) for k, c in use.items() if pd.notna(r[c])
-            }
+    # one pass builds both lookups (a second iterrows over a ~72k-row
+    # timelapse group would double the slowest pandas primitive)
+    for _, r in pdf.iterrows():
+        i = int(r["id"])
+        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
+        if use:
+            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
     mid_by_frame: dict[int, list[int]] = {}
     for i in spot:
         if i in has_out and i in has_in:
@@ -566,6 +565,15 @@ def track_detections(
     if gap_strategy not in ("inline", "segment_lap"):
         raise ValueError(
             f"gap_strategy must be 'inline' or 'segment_lap', got {gap_strategy!r}"
+        )
+    if not (0.0 < float(cutoff_percentile) <= 1.0):
+        # TrackMate configs express this as a FRACTION (cyto3.json:30 =
+        # 0.9); a percent-convention value like 90 would otherwise
+        # crash np.percentile deep inside an executor task
+        raise ValueError(
+            "cutoff_percentile must be a fraction in (0, 1], got "
+            f"{cutoff_percentile!r} — TrackMate's CUTOFF_PERCENTILE "
+            "convention (e.g. 0.9), not a percent"
         )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -368,11 +368,21 @@ def run_pipeline(
         .join(dens, "id")
     )
     from cellphe_data_pipeline_spark.domain.features import feature_manifest
+    from cellphe_data_pipeline_spark.plans.qc import segmentation_highlight_frames
 
     return {
         "frames": frames,
         "masks": masks,
         "detections": dets,
+        # params.QC.segmentation_highlight (main.nf:107): the highlight
+        # pixel table behind the segmentation report, in the configured
+        # render mode ('fill'/'outline'; unknown values fall back like
+        # the report itself). Emitted HERE, not in the config wrapper,
+        # so both entry paths (config and resumable/CLI) expose the
+        # same stage set.
+        "segmentation_highlight": segmentation_highlight_frames(
+            masks, method=qc.get("segmentation_highlight", "outline")
+        ),
         "track_edges": edges,
         "spots": spots,
         "spots_filtered": filtered,
@@ -503,25 +513,19 @@ def run_pipeline_from_config(
     if not cfg["run"].get("segmentation", True):
         return {"binaries": binaries}
     out = run_pipeline(binaries, **config_to_run_kwargs(config))
+    # segmentation_highlight is segmentation-level: it survives the
+    # tracking/cellphe gates
     if not cfg["run"].get("tracking", True):
-        out = {k: out[k] for k in ("frames", "masks", "detections")}
+        out = {
+            k: out[k]
+            for k in ("frames", "masks", "detections", "segmentation_highlight")
+        }
     elif not cfg["run"].get("cellphe", True):
         out = {
             k: out[k]
-            for k in ("frames", "masks", "detections", "track_edges", "spots",
-                      "spots_filtered")
+            for k in ("frames", "masks", "detections", "segmentation_highlight",
+                      "track_edges", "spots", "spots_filtered")
         }
-    # params.QC.segmentation_highlight (main.nf:107): the highlight
-    # pixel table behind the segmentation report, in the configured
-    # render mode ('fill'/'outline'; unknown values fall back like the
-    # report itself). Segmentation-level, so it survives the
-    # tracking/cellphe gates.
-    from cellphe_data_pipeline_spark.plans.qc import segmentation_highlight_frames
-
-    out["segmentation_highlight"] = segmentation_highlight_frames(
-        out["masks"],
-        method=cfg.get("QC", {}).get("segmentation_highlight", "outline"),
-    )
     return out
 
 

@@ -1362,6 +1362,12 @@ def test_merge_feature_penalties_bias_and_reject(spark):
 
     with _pytest.raises(ValueError, match="absent"):
         track_detections(dets, merging_feature_penalties={"NOPE": 1.0}, **kw)
+    # percent-convention CUTOFF_PERCENTILE fails at the driver, not
+    # deep inside an executor np.percentile call
+    with _pytest.raises(ValueError, match="fraction"):
+        track_detections(
+            dets, alternative_cost_factor=1.05, cutoff_percentile=90, **kw
+        )
 
 
 def test_hungarian_matches_brute_force():

@@ -237,8 +237,12 @@ def test_pipeline_resumable(spark, tmp_path):
     out3 = run_pipeline_resumable(spark, bins, stage_dir, force=("spots",))
     assert out3["spots"].count() == n1
     assert os.path.getmtime(os.path.join(stage_dir, "spots", "_SUCCESS")) > mtime
-    # the CSV-edge manifest is a published stage too
+    # the CSV-edge manifest and the QC highlight table are published
+    # stages too (run_pipeline emits them, so BOTH entry paths agree)
     assert os.path.exists(os.path.join(stage_dir, "feature_manifest", "_SUCCESS"))
+    assert os.path.exists(
+        os.path.join(stage_dir, "segmentation_highlight", "_SUCCESS")
+    )
 
 
 def test_feature_manifest_discloses_parity_columns(spark):
