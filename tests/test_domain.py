@@ -1370,6 +1370,57 @@ def test_merge_feature_penalties_bias_and_reject(spark):
         )
 
 
+def test_lap_knobs_neutral_settings_reproduce_base_behavior(spark):
+    """Property: on random instances, (a) a generous alternative cost
+    (factor so large that b exceeds every candidate cost) yields
+    exactly the plain LAP links, and (b) feature penalties over a
+    CONSTANT feature column are a no-op (factor 1 for every pair) —
+    the knobs degrade gracefully to the pre-r6 semantics."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    rng = np.random.RandomState(23)
+    rows = []
+    sid = 1
+    for f in range(3):
+        for _ in range(5):
+            rows.append(
+                ("t", sid, f, float(rng.uniform(0, 30)), float(rng.uniform(0, 30)), 50.0)
+            )
+            sid += 1
+    dets = spark.createDataFrame(
+        rows,
+        "timelapse_id string, id long, frame int, x double, y double, area double",
+    )
+    kw = dict(linking_max_distance=20.0, max_frame_gap=0,
+              gap_closing_max_distance=0.0, method="lap")
+    plain = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    generous = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=1e6, cutoff_percentile=0.9, **kw
+        ).collect()
+    }
+    assert generous == plain
+
+    mkw = dict(linking_max_distance=20.0, max_frame_gap=0,
+               gap_closing_max_distance=0.0, allow_merging=True,
+               merging_max_distance=25.0, allow_splitting=True,
+               splitting_max_distance=25.0)
+    base = {(r["src"], r["dst"]) for r in track_detections(dets, **mkw).collect()}
+    neutral = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets,
+            merging_feature_penalties={"AREA": 0.7},
+            splitting_feature_penalties={"AREA": 0.7},
+            **mkw,
+        ).collect()
+    }
+    # constant AREA: penalty term 0, factor 1; squared-cost gating at
+    # max_dist^2 accepts exactly the d <= max_dist candidates
+    assert neutral == base
+
+
 def test_hungarian_matches_brute_force():
     import itertools
     from cellphe_data_pipeline_spark.domain.tracking import _hungarian
