@@ -848,6 +848,28 @@ def e1(spark, sf_dir):
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bounded_shuffle_partitions(spark, n: int = 16):
+    """Cap shuffle partitions for the duration of a bounded streaming
+    drain: a stateful streaming query creates spark.sql.shuffle.partitions
+    state-store partitions at first start, so on a VANILLA session
+    (default 200 — the driver does not use this repo's session factory)
+    the sf0.01 drains would spend their time on empty-partition
+    scheduling. Restored afterwards so later queries in the same
+    session keep the caller's setting; the memory-sink table is
+    already materialised when the drain ends, so restoring is safe."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
 @register(
     "e5_streaming_rollup",
     """
@@ -888,20 +910,21 @@ def e5(spark, sf_dir):
     ev.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     qname = "e5_rollup_sink"  # fixed: restart replaces the temp view
-    q = (
-        streaming_window_rollup(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "e5_streaming_rollup: availableNow drain did not finish in "
-            "300s — refusing to return a partially-filled sink table"
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_window_rollup(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e5_streaming_rollup: availableNow drain did not finish in "
+                "300s — refusing to return a partially-filled sink table"
+            )
     return spark.table(qname).select(
         "event_type",
         F.col("win.start").alias("hour_ts"),
@@ -961,20 +984,21 @@ def e6(spark, sf_dir):
     ev.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     qname = "e6_upsert_sink"  # fixed: restart replaces the temp view
-    q = (
-        streaming_upsert(stream, t_col="t_us")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "e6_streaming_upsert_state: availableNow drain did not "
-            "finish in 300s — refusing to return partial state"
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_upsert(stream, t_col="t_us")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e6_streaming_upsert_state: availableNow drain did not "
+                "finish in 300s — refusing to return partial state"
+            )
     w = Window.partitionBy("key").orderBy(
         F.col("t_ms").desc(), F.col("last_seq").desc()
     )
