@@ -440,6 +440,62 @@ def shingle_novelty(
     )
 
 
+def drop_common_lines(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+) -> DataFrame:
+    """C4-style LINE-level dedup (r6; Raffel et al. 2020 §2.2 — "we
+    discarded ... any line that occurred more than [k] times in the
+    data set"): the boilerplate killer that removes repeated nav bars,
+    cookie banners and footers WITHIN otherwise-unique documents, the
+    granularity neither doc-level pair dedup (d3) nor span detection
+    (d8) covers. Input: (id, array<string> lines); output one row per
+    doc — (doc_id, n_lines, n_dropped, text_clean) with the surviving
+    lines rejoined in original order ('\\n').
+
+    Scale shape: posexplode → ONE combinable groupBy(line md5) count →
+    frequency table (distinct-lines-sized, << corpus) joined back on
+    the line hash → one doc-keyed ordered re-aggregation. Empty-line
+    entries are dropped up front (they'd all collide). Counting is by
+    md5 of the line, so the frequency table carries no raw text."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).filter(F.col("line") != "")
+    freq = (
+        lines.groupBy(F.md5(F.col("line")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h", F.lit(True).alias("common"))
+    )
+    marked = lines.join(
+        freq, F.md5(F.col("line")) == F.col("h"), "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("common").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("common").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ).getField("line"),
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_dropped", "text_clean")
+    )
+
+
 def flag_contaminated(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -372,6 +372,48 @@ def tfidf_topk(
     )
 
 
+def html_to_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML → plain text extraction (r6) — the web-corpus front door
+    (the WET-file step every crawl-based training corpus starts from).
+    Pure codegen regexp/replace chain, zero shuffle, portable across
+    Java regex and RE2 (no lookarounds; (?s)+non-greedy only):
+
+    1. drop <script>/<style> ELEMENTS wholesale (their text content is
+       code, not prose) and comments;
+    2. strip remaining tags to a space (block boundaries become word
+       boundaries rather than concatenating adjacent words);
+    3. decode the core entities AFTER tag stripping — so literal
+       &lt;script&gt; text in the source can never become an active
+       element during processing;
+    4. collapse whitespace.
+
+    Output: (doc_id, n_tags, text_clean) — n_tags (tags stripped in
+    step 2) is the "was this even HTML" signal a router can gate on.
+    """
+    t = F.col(text_col)
+    for pat in (
+        r"(?s)<script[^>]*>.*?</script>",
+        r"(?s)<style[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        t = F.regexp_replace(t, pat, " ")
+    n_tags = F.size(F.split(t, r"<[^>]+>")) - F.lit(1)
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tags.cast("bigint").alias("n_tags"),
+        t.alias("text_clean"),
+    )
+
+
 def vocab_oov(
     df: DataFrame,
     vocab_size: int = 100,

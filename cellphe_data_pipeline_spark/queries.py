@@ -4222,6 +4222,159 @@ def t11(spark, sf_dir):
 
 
 @register(
+    "t13_html_to_text",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<html><head><style>p{color:red}</style>'
+               || '<script type="text/javascript">var x=1;<!--x--></script>'
+               || '</head><body><p class="a">' || text
+               || '</p><br/>&amp; &lt;b&gt;&nbsp;&quot;q&quot;&#39;</body></html>'
+             WHEN doc_id % 5 = 0 THEN
+               '<div id="main">' || text || '</div><!-- footer\ncomment -->'
+             ELSE text END AS text
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM aug
+    ),
+    tagless AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(t, '<[^>]+>')) - 1 AS BIGINT) AS n_tags,
+             regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+      FROM stripped
+    )
+    SELECT doc_id, n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text_clean
+    FROM tagless
+    """,
+)
+def t13(spark, sf_dir):
+    """HTML → text extraction (r6; text.py html_to_text) — the WET-file
+    step a crawl corpus starts from: script/style/comment elements
+    dropped wholesale, tags stripped to spaces, core entities decoded
+    AFTER stripping, whitespace collapsed; n_tags is the was-this-HTML
+    router signal. The synthetic corpus is plain text, so HTML wrappers
+    (with style/script bodies, attributes, entities, a multiline
+    comment) are injected identically in both engines — doc_id%3 the
+    full-document shape, doc_id%5 the fragment shape, the rest pass
+    through untouched (n_tags 0). Zero shuffle, pure codegen."""
+    from cellphe_data_pipeline_spark.operators.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><style>p{color:red}</style>'
+                    '<script type="text/javascript">var x=1;<!--x--></script>'
+                    '</head><body><p class="a">'
+                ),
+                F.col("text"),
+                F.lit('</p><br/>&amp; &lt;b&gt;&nbsp;&quot;q&quot;&#39;</body></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<div id="main">'),
+                F.col("text"),
+                F.lit("</div><!-- footer\ncomment -->"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return html_to_text(aug)
+
+
+@register(
+    "d12_line_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    docs_l AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               list_concat(
+                 list_transform(
+                   generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1),
+                   i -> array_to_string(t[i*8+1 : i*8+8], ' ')),
+                 ['cookie banner accept terms'])
+             ELSE
+               list_transform(
+                 generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1),
+                 i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+             END AS lines
+      FROM toks
+    ),
+    ln AS (
+      SELECT doc_id, i - 1 AS pos, lines[i] AS line
+      FROM docs_l, UNNEST(generate_series(1, len(lines))) AS g(i)
+      WHERE lines[i] <> ''
+    ),
+    freq AS (
+      SELECT md5(line) AS h FROM ln GROUP BY md5(line)
+      HAVING COUNT(*) >= 3
+    )
+    SELECT ln.doc_id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(array_to_string(
+             array_agg(line ORDER BY pos) FILTER (WHERE f.h IS NULL),
+             chr(10)), '') AS text_clean
+    FROM ln LEFT JOIN freq f ON md5(ln.line) = f.h
+    GROUP BY ln.doc_id
+    """,
+)
+def d12(spark, sf_dir):
+    """C4-style line-level dedup (r6; dedup.py drop_common_lines;
+    Raffel et al. 2020 §2.2): any line occurring >= 3 times in the
+    corpus is dropped from every document — the boilerplate killer
+    (nav bars, cookie banners) that doc-pair dedup (d3) and span
+    detection (d8) both miss. Docs are lined deterministically (8
+    tokens per line, identical list-slicing in both engines) and a
+    known boilerplate line is appended to doc_id%4 docs so the common
+    path fires ~125 times; surviving lines rejoin in original order.
+    One combinable line-hash count + one hash join + one doc-keyed
+    re-aggregation."""
+    from cellphe_data_pipeline_spark.operators.dedup import drop_common_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    base_lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    lined = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(base_lines, F.array(F.lit("cookie banner accept terms"))),
+        )
+        .otherwise(base_lines)
+        .alias("lines"),
+    )
+    return drop_common_lines(lined, min_count=3)
+
+
+@register(
     "w10_gap_fill",
     """
     WITH h AS (
@@ -5028,6 +5181,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "t11_vocab_oov",
     "e5_streaming_rollup",
     "e6_streaming_upsert_state",
+    "t13_html_to_text",
+    "d12_line_dedup",
     # --- rotation tranche 1: displaced since rounds 1-3, the oldest
     #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
     "a7_count_distinct",
@@ -5070,10 +5225,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "a1_argmin_first_row",
     "a2_group_count",
     "a4_group_sum_revenue",
-    "a5_value_histogram",
-    "a6_minmax_normalize",
-    # --- (s2/s8/s8b/f16/a8 yielded their tranche-3 slots to the five
-    #     new r6 queries; they stay r4-proven and queue for r7) ---
+    # --- (s2/s8/s8b/f16/a8 and tranche-2's a5/a6 yielded their slots
+    #     to the seven new r6 queries; all stay driver-proven in
+    #     recorded CORRECTNESS files and queue for r7) ---
     # --- behind the window (all driver-proven r4-r5, recorded in
     #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
     #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/

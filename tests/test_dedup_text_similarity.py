@@ -164,6 +164,62 @@ def test_vocab_oov_rates(spark):
         )
 
 
+def test_html_to_text_extraction(spark):
+    """r6: script/style/comment bodies vanish, tags become word
+    boundaries, entities decode AFTER stripping (literal &lt;script&gt;
+    text stays inert), n_tags counts stripped tags, plain text passes
+    through untouched."""
+    from cellphe_data_pipeline_spark.operators.text import html_to_text
+
+    rows = [
+        (1, '<html><head><style>p {x:1}</style><script a="b">var q = "<p>";'
+            '</script></head><body><p class="c">Hello <b>world</b></p>'
+            '<!-- note\nmore --> &amp; &lt;script&gt;alert(1)&lt;/script&gt;'
+            ' done</body></html>'),
+        (2, "plain text no markup"),
+        (3, "a &lt; b &amp;&amp; c &gt; d"),  # entities in plain text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in html_to_text(df).collect()}
+    # script/style bodies (incl. the tricky "<p>" inside a string) gone;
+    # the literal-entity script text decodes to characters but was
+    # never an element, so it survives as TEXT
+    assert out[1]["text_clean"] == 'Hello world & <script>alert(1)</script> done'
+    assert out[1]["n_tags"] > 0
+    assert out[2]["text_clean"] == "plain text no markup"
+    assert out[2]["n_tags"] == 0
+    assert out[3]["text_clean"] == "a < b && c > d"
+
+
+def test_drop_common_lines_c4_style(spark):
+    """r6: a line occurring >= min_count times corpus-wide is dropped
+    from every doc; unique lines survive in original order; empty
+    lines are ignored; a doc of only-common lines yields empty
+    text_clean."""
+    from cellphe_data_pipeline_spark.operators.dedup import drop_common_lines
+
+    boiler = "accept cookies to continue"
+    rows = [
+        (1, ["intro one", boiler, "body one", ""]),
+        (2, [boiler, "body two"]),
+        (3, ["body three", boiler]),
+        (4, ["unique a", "unique b"]),
+        (5, [boiler]),  # only-common doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = {r["doc_id"]: r for r in drop_common_lines(df, min_count=3).collect()}
+    assert out[1]["text_clean"] == "intro one\nbody one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1  # "" ignored
+    assert out[2]["text_clean"] == "body two"
+    assert out[3]["text_clean"] == "body three"
+    assert out[4]["text_clean"] == "unique a\nunique b"
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_dropped"] == 1
+    # the boiler line occurs 4 times; at min_count=5 it survives
+    out2 = {r["doc_id"]: r for r in drop_common_lines(df, min_count=5).collect()}
+    assert boiler in out2[1]["text_clean"]
+
+
 def test_quality_and_langid(spark):
     df = _docs_df(spark)
     q = {r["doc_id"]: r for r in quality_features(df).collect()}
