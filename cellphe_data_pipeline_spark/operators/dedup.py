@@ -451,48 +451,61 @@ def drop_common_lines(
     data set"): the boilerplate killer that removes repeated nav bars,
     cookie banners and footers WITHIN otherwise-unique documents, the
     granularity neither doc-level pair dedup (d3) nor span detection
-    (d8) covers. Input: (id, array<string> lines); output one row per
-    doc — (doc_id, n_lines, n_dropped, text_clean) with the surviving
-    lines rejoined in original order ('\\n').
+    (d8) covers. Input: (id, array<string> lines); output ONE ROW PER
+    INPUT DOC — including docs whose lines array is empty/NULL/
+    all-empty, which come back as (0, 0, '') rather than vanishing
+    (the full-corpus-edit contract, like d11's keep-list) — with the
+    surviving lines rejoined in original order ('\\n').
 
     Scale shape: posexplode → ONE combinable groupBy(line md5) count →
-    frequency table (distinct-lines-sized, << corpus) joined back on
-    the line hash → one doc-keyed ordered re-aggregation. Empty-line
-    entries are dropped up front (they'd all collide). Counting is by
-    md5 of the line, so the frequency table carries no raw text."""
-    lines = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.col(lines_col)).alias("pos", "line"),
-    ).filter(F.col("line") != "")
+    frequency table (distinct-lines-sized, << corpus) equi-joined back
+    on the ONCE-computed hash column → one doc-keyed ordered
+    re-aggregation → one id-keyed left join restoring line-less docs.
+    Empty-line entries are dropped up front (they'd all collide).
+    Counting is by md5 of the line, so the frequency table carries no
+    raw text."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.col(lines_col)).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("h", F.md5(F.col("line")))
+    )
     freq = (
-        lines.groupBy(F.md5(F.col("line")).alias("h"))
+        lines.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
-        .select("h", F.lit(True).alias("common"))
+        .select(F.col("h").alias("ch"))
     )
-    marked = lines.join(
-        freq, F.md5(F.col("line")) == F.col("h"), "left"
-    )
-    return (
-        marked.groupBy("doc_id")
+    agg = (
+        lines.join(freq, lines["h"] == freq["ch"], "left")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("common").isNotNull().cast("bigint"))
-            .cast("bigint")
-            .alias("n_dropped"),
+            F.sum(F.col("ch").isNotNull().cast("bigint")).alias("n_dropped"),
             F.concat_ws(
                 "\n",
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("common").isNull(),
+                            F.col("ch").isNull(),
                             F.struct(F.col("pos"), F.col("line")),
                         )
                     )
                 ).getField("line"),
             ).alias("text_clean"),
         )
-        .select("doc_id", "n_lines", "n_dropped", "text_clean")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
     )
 
 

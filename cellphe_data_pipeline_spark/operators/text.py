@@ -309,6 +309,15 @@ def hash_stratified_sample(
     return df.filter(bucket < thr)
 
 
+def _doc_token_array(text_col: str = "text") -> Column:
+    """The token-ARRAY form of the engine's word tokenization — THE
+    single expression (shared by _doc_tokens, the d12 line builder;
+    dedup.word_shingles and the DuckDB oracles'
+    string_split(trim(regexp_replace(text,'\\s+',' ','g'))) CTEs
+    mirror it — change them in lockstep)."""
+    return F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+
+
 def _doc_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -316,15 +325,11 @@ def _doc_tokens(
     out_col: str = "tok",
 ) -> DataFrame:
     """Exploded non-empty whitespace tokens: (doc_id, <out_col>) —
-    THE single definition of the engine's word tokenization (shared by
-    tfidf_topk and vocab_oov; dedup.word_shingles and the DuckDB
-    oracles' string_split(trim(regexp_replace(text,'\\s+',' ','g')))
-    CTEs mirror the same expression — change them in lockstep)."""
+    the row form of :func:`_doc_token_array` (shared by tfidf_topk and
+    vocab_oov)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-        ).alias(out_col),
+        F.explode(_doc_token_array(text_col)).alias(out_col),
     ).filter(F.col(out_col) != "")
 
 
@@ -391,16 +396,22 @@ def html_to_text(
 
     Output: (doc_id, n_tags, text_clean) — n_tags (tags stripped in
     step 2) is the "was this even HTML" signal a router can gate on.
+    NULL text is treated as '' (n_tags 0), so the router signal stays
+    two-valued; element matching is case-insensitive ((?i) — uppercase
+    <SCRIPT> is common in older crawls); the tag pattern requires a
+    tag-like start (<letter, </, <!), so prose like "price < 10 and
+    x > 2" is NOT eaten as a pseudo-tag.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     for pat in (
-        r"(?s)<script[^>]*>.*?</script>",
-        r"(?s)<style[^>]*>.*?</style>",
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
         r"(?s)<!--.*?-->",
     ):
         t = F.regexp_replace(t, pat, " ")
-    n_tags = F.size(F.split(t, r"<[^>]+>")) - F.lit(1)
-    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    tag = r"</?[a-zA-Z!][^>]*>"
+    n_tags = F.size(F.split(t, tag)) - F.lit(1)
+    t = F.regexp_replace(t, tag, " ")
     for ent, rep in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST

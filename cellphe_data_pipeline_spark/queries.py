@@ -23,6 +23,7 @@ order, AREA -> l_quantity, positions -> value/event coords).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -846,9 +847,6 @@ def e1(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
@@ -4238,16 +4236,17 @@ def t11(spark, sf_dir):
     ),
     stripped AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(text,
-               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             regexp_replace(regexp_replace(regexp_replace(COALESCE(text, ''),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g') AS t
       FROM aug
     ),
     tagless AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(t, '<[^>]+>')) - 1 AS BIGINT) AS n_tags,
-             regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+             CAST(len(string_split_regex(t, '</?[a-zA-Z!][^>]*>')) - 1
+                  AS BIGINT) AS n_tags,
+             regexp_replace(t, '</?[a-zA-Z!][^>]*>', ' ', 'g') AS t
       FROM stripped
     )
     SELECT doc_id, n_tags,
@@ -4331,15 +4330,22 @@ def t13(spark, sf_dir):
     freq AS (
       SELECT md5(line) AS h FROM ln GROUP BY md5(line)
       HAVING COUNT(*) >= 3
+    ),
+    agg AS (
+      SELECT ln.doc_id, COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             COALESCE(array_to_string(
+               array_agg(line ORDER BY pos) FILTER (WHERE f.h IS NULL),
+               chr(10)), '') AS text_clean
+      FROM ln LEFT JOIN freq f ON md5(ln.line) = f.h
+      GROUP BY ln.doc_id
     )
-    SELECT ln.doc_id, COUNT(*) AS n_lines,
-           CAST(SUM(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped,
-           COALESCE(array_to_string(
-             array_agg(line ORDER BY pos) FILTER (WHERE f.h IS NULL),
-             chr(10)), '') AS text_clean
-    FROM ln LEFT JOIN freq f ON md5(ln.line) = f.h
-    GROUP BY ln.doc_id
+    SELECT d.doc_id,
+           COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def d12(spark, sf_dir):
@@ -4355,8 +4361,10 @@ def d12(spark, sf_dir):
     re-aggregation."""
     from cellphe_data_pipeline_spark.operators.dedup import drop_common_lines
 
+    from cellphe_data_pipeline_spark.operators.text import _doc_token_array
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    toks = _doc_token_array("text")
     nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
     base_lines = F.transform(
         F.sequence(F.lit(0), nl - 1),

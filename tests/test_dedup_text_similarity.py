@@ -178,6 +178,9 @@ def test_html_to_text_extraction(spark):
             ' done</body></html>'),
         (2, "plain text no markup"),
         (3, "a &lt; b &amp;&amp; c &gt; d"),  # entities in plain text
+        (4, "<SCRIPT>var x=1;</SCRIPT><P>Hi</P>"),  # uppercase elements
+        (5, "price < 10 and x > 2 ok"),  # bare angle brackets: NOT tags
+        (6, None),  # NULL text: router signal must stay two-valued
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r["doc_id"]: r for r in html_to_text(df).collect()}
@@ -189,6 +192,12 @@ def test_html_to_text_extraction(spark):
     assert out[2]["text_clean"] == "plain text no markup"
     assert out[2]["n_tags"] == 0
     assert out[3]["text_clean"] == "a < b && c > d"
+    # (?i): uppercase script BODY must vanish, not leak as prose
+    assert out[4]["text_clean"] == "Hi"
+    # prose comparisons are not pseudo-tags
+    assert out[5]["text_clean"] == "price < 10 and x > 2 ok"
+    assert out[5]["n_tags"] == 0
+    assert out[6]["text_clean"] == "" and out[6]["n_tags"] == 0
 
 
 def test_drop_common_lines_c4_style(spark):
@@ -205,6 +214,9 @@ def test_drop_common_lines_c4_style(spark):
         (3, ["body three", boiler]),
         (4, ["unique a", "unique b"]),
         (5, [boiler]),  # only-common doc
+        (6, []),        # empty lines array
+        (7, [""]),      # all-empty lines
+        (8, None),      # NULL lines
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
     out = {r["doc_id"]: r for r in drop_common_lines(df, min_count=3).collect()}
@@ -215,6 +227,12 @@ def test_drop_common_lines_c4_style(spark):
     assert out[4]["text_clean"] == "unique a\nunique b"
     assert out[4]["n_dropped"] == 0
     assert out[5]["text_clean"] == "" and out[5]["n_dropped"] == 1
+    # full-corpus contract: line-less docs come back as (0, 0, ''),
+    # they do NOT vanish from the edit
+    for d in (6, 7, 8):
+        assert out[d]["n_lines"] == 0
+        assert out[d]["n_dropped"] == 0
+        assert out[d]["text_clean"] == ""
     # the boiler line occurs 4 times; at min_count=5 it survives
     out2 = {r["doc_id"]: r for r in drop_common_lines(df, min_count=5).collect()}
     assert boiler in out2[1]["text_clean"]
