@@ -238,6 +238,67 @@ def test_drop_common_lines_c4_style(spark):
     assert boiler in out2[1]["text_clean"]
 
 
+def test_drop_common_lines_property_vs_python(spark):
+    """Property: on arbitrary small line-corpora over a 3-line
+    alphabet (guaranteeing common and unique lines), the engine's
+    full-corpus edit equals an independent python oracle — every doc
+    present, counts and surviving order exact."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.dedup import drop_common_lines
+
+    line = st.sampled_from(["aa", "bb cc", "dd ee ff", ""])
+    doc = st.lists(line, min_size=0, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 4))
+    def check(docs, k):
+        rows = [(i + 1, lines) for i, lines in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+        got = {r["doc_id"]: r for r in drop_common_lines(df, min_count=k).collect()}
+        from collections import Counter
+
+        counts = Counter(
+            ln for _, lines in rows for ln in lines if ln != ""
+        )
+        common = {ln for ln, n in counts.items() if n >= k}
+        assert set(got) == {i for i, _ in rows}  # every doc present
+        for i, lines in rows:
+            nonempty = [ln for ln in lines if ln != ""]
+            keep = [ln for ln in nonempty if ln not in common]
+            assert got[i]["n_lines"] == len(nonempty)
+            assert got[i]["n_dropped"] == len(nonempty) - len(keep)
+            assert got[i]["text_clean"] == "\n".join(keep)
+
+    check()
+
+
+def test_html_to_text_identity_on_clean_text(spark):
+    """Property: text containing no markup metacharacters passes
+    through html_to_text verbatim (after whitespace collapse) with
+    n_tags == 0 — the extractor never mangles already-clean prose."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.text import html_to_text
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789.,!?'", min_size=1, max_size=8
+    )
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in html_to_text(df).collect()}
+        for i, t in rows:
+            assert out[i]["n_tags"] == 0
+            assert out[i]["text_clean"] == " ".join(t.split())
+
+    check()
+
+
 def test_quality_and_langid(spark):
     df = _docs_df(spark)
     q = {r["doc_id"]: r for r in quality_features(df).collect()}
