@@ -214,6 +214,69 @@ def simhash_codes(
     return counted.groupBy("doc_id").agg(code.cast("bigint").alias("simhash"))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRING (r6) — the Manku/Jain/Das Sarma 2007
+    web-crawl dedup design (public technique): two codes within
+    Hamming distance k must agree EXACTLY on at least one of k+1
+    disjoint bit bands (pigeonhole), so candidates come from k+1
+    band-equality self-joins — never an all-pairs scan — and the exact
+    popcount(xor) verify runs on candidates only. Completes the
+    SimHash family to parity with the MinHash path (d3): codes (d4)
+    were previously emitted without a scale pairing step.
+
+    Band width is floor(n_bits/(k+1)) with the LAST band absorbing the
+    remainder, preserving the pigeonhole guarantee. Output:
+    (doc_a, doc_b, hamming), hamming <= max_hamming.
+
+    Scale: one code aggregation (simhash_codes), k+1 explode rows per
+    doc, one equi-join on (band, band_value), verify = two id-keyed
+    joins + a codegen popcount; the final distinct runs over the tiny
+    near-dup pair set. Every shuffle is keyed; no cartesian."""
+    codes = simhash_codes(df, text_col, id_col, n_bits).localCheckpoint(eager=False)
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        w = width if b < n_bands - 1 else n_bits - width * (n_bands - 1)
+        val = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), val.cast("bigint").alias("bv"))
+        )
+    bands = codes.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a = bands.withColumnRenamed("doc_id", "doc_a")
+    b = bands.withColumnRenamed("doc_id", "doc_b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    ca = codes.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    cb = codes.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

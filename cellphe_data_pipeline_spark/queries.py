@@ -2571,6 +2571,51 @@ def d4(spark, sf_dir):
     return simhash_codes(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_neardup_oracle_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, CAST((simhash >> {s}) & {m} AS BIGINT) AS bv"
+        " FROM codes".format(
+            b=b,
+            s=b * width,
+            m=(1 << (width if b < n_bands - 1 else n_bits - width * (n_bands - 1))) - 1,
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH codes AS ({_simhash_oracle_sql(n_bits)}),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv
+      WHERE a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ca.simhash, cb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN codes ca ON ca.doc_id = cand.doc_a
+    JOIN codes cb ON cb.doc_id = cand.doc_b
+    WHERE bit_count(xor(ca.simhash, cb.simhash)) <= {max_hamming}
+    """
+
+
+@register("d13_simhash_neardup", _simhash_neardup_oracle_sql(n_bits=32))
+def d13(spark, sf_dir):
+    """SimHash near-dup pairing (r6; dedup.py simhash_near_duplicates;
+    Manku et al. 2007, the web-crawl dedup design): codes within
+    Hamming distance 3 found via the PIGEONHOLE band join — a pair
+    within distance k must agree exactly on one of k+1 disjoint bit
+    bands — then exact popcount(xor) verify on candidates only. The
+    cosine-sketch counterpart of the MinHash Jaccard path (d3): same
+    band-join scale shape, different similarity geometry."""
+    from cellphe_data_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), n_bits=32
+    )
+
+
 # d5/d6 are deliberately-quadratic oracle baselines (the scale paths
 # are d3 MinHash and v2 SRP).  Like v1, their inputs are capped so the
 # correctness gate stays O(1) as the driver's sf grows.
@@ -5191,6 +5236,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e6_streaming_upsert_state",
     "t13_html_to_text",
     "d12_line_dedup",
+    "d13_simhash_neardup",
     # --- rotation tranche 1: displaced since rounds 1-3, the oldest
     #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
     "a7_count_distinct",
@@ -5232,9 +5278,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "j5_anti_join",
     "a1_argmin_first_row",
     "a2_group_count",
-    "a4_group_sum_revenue",
-    # --- (s2/s8/s8b/f16/a8 and tranche-2's a5/a6 yielded their slots
-    #     to the seven new r6 queries; all stay driver-proven in
+    # --- (s2/s8/s8b/f16/a8 and tranche-2's a4/a5/a6 yielded their
+    #     slots to the eight new r6 queries; all stay driver-proven in
     #     recorded CORRECTNESS files and queue for r7) ---
     # --- behind the window (all driver-proven r4-r5, recorded in
     #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):

@@ -299,6 +299,44 @@ def test_html_to_text_identity_on_clean_text(spark):
     check()
 
 
+def test_simhash_neardup_exact_over_code_space(spark):
+    """r6: unlike probabilistic MinHash banding, the Manku pigeonhole
+    construction is EXACT over code space — any pair within hamming
+    <= k agrees on one of the k+1 bands, so the operator must return
+    precisely the brute-force pair set of the codes. Also checks the
+    semantic direction: a one-token edit stays within the radius, and
+    near-identical docs pair while unrelated ones need not."""
+    import itertools
+
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        simhash_codes,
+        simhash_near_duplicates,
+    )
+
+    rows = [(d, t) for d, t in DOCS] + [
+        (7, "the quick brown fox jumps over the lazy dogs"),  # 1-token edit of 1
+        (8, "completely different content about spark engines"),  # dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    codes = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_codes(df, n_bits=32).collect()
+    }
+    k = 3
+    expect = {}
+    for a, b in itertools.combinations(sorted(codes), 2):
+        h = bin(codes[a] ^ codes[b]).count("1")
+        if h <= k:
+            expect[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(df, n_bits=32, max_hamming=k).collect()
+    }
+    assert got == expect  # exact recall AND precision over code space
+    assert (4, 8) in got and got[(4, 8)] == 0  # exact dup: distance 0
+    assert (1, 3) in got and got[(1, 3)] == 0  # exact dup pair from DOCS
+
+
 def test_quality_and_langid(spark):
     df = _docs_df(spark)
     q = {r["doc_id"]: r for r in quality_features(df).collect()}
