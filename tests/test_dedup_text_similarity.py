@@ -949,7 +949,15 @@ def test_r6_operator_plans_are_scale_shaped(spark):
     plan = vocab_oov(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    for out in (shingle_novelty(df), dedup_keep_list(df, band_size=2)):
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    for out in (
+        shingle_novelty(df),
+        dedup_keep_list(df, band_size=2),
+        simhash_near_duplicates(df),
+    ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
 
