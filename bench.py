@@ -5,10 +5,25 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced end-to-end with a cheap count-style action (no
-driver-side collect of full results — measures engine time, not
-result-transfer time). One warm-up of a trivial query amortises JVM/
-codegen start so numbers reflect steady-state plan execution.
+Each query is forced end-to-end with a NOOP-SINK WRITE
+(``df.write.format("noop")``): every output column is computed and
+every operator executes, but nothing ships to the driver — measures
+engine time, not result-transfer time. One warm-up of a trivial query
+amortises JVM/codegen start so numbers reflect steady-state plan
+execution.
+
+Why not ``count()`` (the r1-r6 harness): Catalyst prunes any operator
+whose columns a count does not need — the r6 verdict measured that the
+left join + explode of j7, the window chains of m5/a8/c3, and the
+join+generate of j10/t6 were optimizer-ELIMINATED under
+``df.count()``, so 7 of 15 recorded per-query numbers measured little
+more than the parquet scan (j7: 0.65s recorded vs 19.5s real). The
+noop sink needs every column, so nothing is prunable;
+tests/test_bench_materialisation.py pins both the harness action and
+each headline query's operator set in the executed plan. BENCH_r07
+onward is therefore NOT comparable with BENCH_r01-r06 per-query rows
+for m5/j7/a8/j10/t6/c3/t1 — the new numbers are honest, the old ones
+were under-measurements (see SCALE.md re-baseline).
 
 Variance self-defence (round-6, after two contended-driver artifact
 rounds — r3's 96.5s and r5's 46.1s vs same-box reruns of 22.5s): the
@@ -59,6 +74,15 @@ def _loadavg() -> float | None:
         return None
 
 
+def _materialise(df) -> None:
+    """Execute EVERY operator of ``df`` without driver transfer.
+
+    The noop sink consumes all columns, so Catalyst cannot prune
+    joins/windows/generates the way it legally does under ``count()``
+    (whose aggregate needs no input columns)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -71,8 +95,8 @@ def main() -> None:
     spark = get_spark(app_name="cellphe-bench")
     qs = entry_mod.queries()
 
-    # warm-up: JVM, parquet footer reads, codegen
-    qs["a2_group_count"](spark, sf_dir).count()
+    # warm-up: JVM, parquet footer reads, codegen, noop-sink lookup
+    _materialise(qs["a2_group_count"](spark, sf_dir))
 
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -84,9 +108,7 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            # cheap full-materialisation action: count() executes every
-            # operator but ships only one long back to the driver
-            df.count()
+            _materialise(df)
             runs.append(round(time.perf_counter() - t0, 3))
         samples[name] = runs
         times[name] = min(runs)
@@ -120,8 +142,8 @@ def main() -> None:
         # final CSV shape (create_frame_summary_features.py), covering
         # its heaviest per-op budget (frame features 5 min/16 GB,
         # nextflow.config:23-92) PLUS the feature it had to disable
-        out["timeseries"].count()
-        out["summary"].count()
+        _materialise(out["timeseries"])
+        _materialise(out["summary"])
         runs.append(round(time.perf_counter() - t0, 3))
     samples["pipeline_726frames"] = runs
     times["pipeline_726frames"] = min(runs)
