@@ -12,22 +12,22 @@ engine's training-data-pipeline extensions, designed shuffle-first:
   aggregates (single shuffle, map-side combinable — NOT an explode×16,
   which would multiply shuffle volume 16x at 100 TB) → 4 bands of 4 →
   band-bucket self-join on (band, band_key) → exact-Jaccard verify of
-  the (tiny) candidate set. The expensive all-pairs join never happens;
-  the band join only collides near-duplicates.
-- ``pairwise_jaccard``: exact all-pairs baseline (shingle self-join).
-  Quadratic per hot shingle — correct at test scale, superseded by the
-  MinHash path at corpus scale; kept as the oracle-verifiable baseline.
+  the (tiny) candidate set, CANDIDATE-FIRST (r7): shingles are joined
+  onto the candidate pairs, never onto each other. The expensive
+  all-pairs shingle join never happens anywhere in the LSH path.
+- ``pairwise_jaccard`` without candidates: exact all-pairs baseline
+  (shingle self-join). Quadratic per hot shingle — correct at test
+  scale, kept ONLY as the oracle-verifiable baseline (d5).
 
-All hashing uses md5-derived :func:`portable_hash64` so every stage is
-reproducible in any ANSI-SQL engine (DuckDB oracle equality).
+All hashing is md5-derived (8-hex-char slices for MinHash, a 15-char
+60-bit prefix for SimHash) so every stage is reproducible in any
+ANSI-SQL engine (DuckDB oracle equality).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,19 +60,48 @@ def word_shingles(
 
 def pairwise_jaccard(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over shingle sets; optionally restricted to a
-    candidate-pair DataFrame (doc_a, doc_b) from LSH. The restriction
-    is a LEFT SEMI join (r6), so candidate multiplicity is irrelevant
-    — callers may pass the raw band-collision pairs without paying a
-    distinct shuffle first (the semi join can never double-count a
-    shingle row into the intersection the way an inner join against
-    duplicated candidates would)."""
+    candidate-pair DataFrame (doc_a, doc_b) from LSH.
+
+    Join order matters at corpus scale (r7). With candidates, the
+    verify is CANDIDATE-FIRST — attach doc_a's shingles to the
+    (distinct) candidate pairs, then equi-join the doc_b side on
+    (doc_b, shingle) — so the intermediate is bounded by
+    |candidates| x shingles-per-doc, the same O(candidates) contract
+    as :func:`incremental_near_duplicates`. The r1-r6 form joined
+    shingles-on-shingles FIRST and only then applied the candidate
+    restriction; the semi join cannot be pushed below a join whose
+    keys span both sides, so the intermediate was Σ_sh count(sh)² —
+    quadratic in hot-shingle frequency (one trigram common to 10⁶
+    docs alone yields ~10¹² rows). The candidate distinct here is a
+    shuffle over the PAIR set (small by LSH construction) and is
+    required: an inner join against duplicated cross-band candidates
+    would double-count intersections, which the old semi form was
+    immune to.
+
+    Without candidates: the exact all-pairs baseline (shingle
+    self-join) — quadratic per hot shingle, kept ONLY as the
+    oracle-verifiable baseline for capped test corpora (d5)."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
-    b = shingles.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
-    pairs = a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("ni"))
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        a = cand.join(
+            shingles.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a"
+        )
+        inter = (
+            a.join(
+                shingles.withColumnsRenamed({"doc_id": "doc_b"}),
+                ["doc_b", "sh"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("ni"))
+        )
+    else:
+        a = shingles.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
+        b = shingles.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
+        pairs = a.join(
+            b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("ni"))
     jacc = (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
@@ -128,9 +157,9 @@ def lsh_candidate_pairs(band_keys: DataFrame, dedup: bool = True) -> DataFrame:
     The join key is a 64-bit bucket id: hash-partitioned, no broadcast,
     collision lists short by construction (near-dups only).
     ``dedup=False`` skips the cross-band distinct — correct whenever
-    the consumer is multiplicity-insensitive (pairwise_jaccard's semi
-    restriction), saving one shuffle over the pair set (r6; ~10-15% of
-    the d3 end-to-end at sf0.1)."""
+    the consumer collapses multiplicity itself (pairwise_jaccard's
+    candidate-first verify distincts the pair set once), avoiding a
+    duplicated shuffle over the pairs (r6/r7)."""
     a = band_keys.withColumnRenamed("doc_id", "doc_a")
     b = band_keys.withColumnRenamed("doc_id", "doc_b")
     pairs = (
@@ -165,9 +194,9 @@ def minhash_near_duplicates(
     (S15) and read it back, which survives executor loss where a
     localCheckpoint's unreplicated blocks do not."""
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
-    # dedup=False: the semi-join restriction downstream is
-    # multiplicity-insensitive, so the cross-band distinct shuffle is
-    # pure overhead here
+    # dedup=False: pairwise_jaccard's candidate-first verify (r7) does
+    # its own distinct over the pair set, so a second cross-band
+    # distinct here would be a duplicated shuffle
     cand = lsh_candidate_pairs(
         minhash_band_keys(sh, num_hashes, band_size), dedup=False
     )
@@ -188,7 +217,18 @@ def simhash_codes(
     MinHash signature; near-duplicate docs (small token-multiset edits)
     land on codes within a small Hamming distance. md5-derived hashing
     keeps it ANSI-SQL-reproducible (oracle equality).
+
+    ``n_bits`` may be up to 60 (r7): the token hash is the first 15
+    hex chars of md5 (60 independent bits, the widest prefix that
+    stays inside SIGNED bigint range in both Spark and DuckDB — 16
+    hex chars can exceed 2^63 and wrap), and the code accumulation
+    1<<j stays far below the signed-64 boundary at j<=59. Wide codes
+    matter for the PAIRING use (:func:`simhash_near_duplicates`):
+    band selectivity at corpus scale needs band widths >= log2(N)
+    bits, which 16/32-bit codes cannot provide.
     """
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -196,7 +236,10 @@ def simhash_codes(
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    h = portable_hash64(F.col("tok"))
+    # 60-bit token hash (15 md5 hex chars): portable_hash64's 8-char
+    # prefix is only 32 bits — bits 32+ of every token would be zero,
+    # silently degenerating wide codes (r7)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     weights = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
@@ -218,7 +261,7 @@ def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 16,
+    n_bits: int = 48,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup PAIRING (r6) — the Manku/Jain/Das Sarma 2007
@@ -234,10 +277,28 @@ def simhash_near_duplicates(
     remainder, preserving the pigeonhole guarantee. Output:
     (doc_a, doc_b, hamming), hamming <= max_hamming.
 
+    BAND SELECTIVITY is what makes this survive corpus scale (r7):
+    a band of w bits has 2^w distinct values, so band buckets hold
+    ~N/2^w docs and the band self-join emits ~(k+1)·N²/2^(w+1)
+    candidates — near-quadratic unless w >= log2(N) + margin. The
+    r6 registration (n_bits=32, k=3 → 8-bit bands, 256 values)
+    already emitted 96k candidates from 5,000 docs (SCALE.md); the
+    default is now 48 bits → 12-bit bands (selective to N~10⁵; at
+    web scale use n_bits=60 → 15-bit bands, and raise k+1 only with
+    width kept >= log2 N). Manku's production design uses 64-bit
+    fingerprints for exactly this reason; 60 is this engine's max
+    (signed-bigint portability, see :func:`simhash_codes`).
+
     Scale: one code aggregation (simhash_codes), k+1 explode rows per
     doc, one equi-join on (band, band_value), verify = two id-keyed
     joins + a codegen popcount; the final distinct runs over the tiny
     near-dup pair set. Every shuffle is keyed; no cartesian."""
+    if n_bits // (max_hamming + 1) < 1:
+        raise ValueError(
+            f"n_bits={n_bits} yields zero-width bands for max_hamming={max_hamming}"
+            " (need n_bits >= max_hamming + 1): every pair would collide"
+            " in the zero-width bands — an all-pairs explosion, not a filter"
+        )
     codes = simhash_codes(df, text_col, id_col, n_bits).localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     width = n_bits // n_bands

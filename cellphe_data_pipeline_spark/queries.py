@@ -2542,7 +2542,9 @@ def m6b(spark, sf_dir):
 
 
 def _simhash_oracle_sql(n_bits: int = 16) -> str:
-    h = "('0x' || substring(md5(tok), 1, 8))::BIGINT"
+    # 15 md5 hex chars = 60-bit token hash, mirroring simhash_codes
+    # (r7: 8 chars was 32-bit, degenerate for wide pairing codes)
+    h = "('0x' || substring(md5(tok), 1, 15))::BIGINT"
     bit_sums = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
@@ -2600,7 +2602,7 @@ def _simhash_neardup_oracle_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
-@register("d13_simhash_neardup", _simhash_neardup_oracle_sql(n_bits=32))
+@register("d13_simhash_neardup", _simhash_neardup_oracle_sql(n_bits=48))
 def d13(spark, sf_dir):
     """SimHash near-dup pairing (r6; dedup.py simhash_near_duplicates;
     Manku et al. 2007, the web-crawl dedup design): codes within
@@ -2608,11 +2610,15 @@ def d13(spark, sf_dir):
     within distance k must agree exactly on one of k+1 disjoint bit
     bands — then exact popcount(xor) verify on candidates only. The
     cosine-sketch counterpart of the MinHash Jaccard path (d3): same
-    band-join scale shape, different similarity geometry."""
+    band-join scale shape, different similarity geometry. r7: 48-bit
+    codes (12-bit bands) — the r6 32-bit registration's 8-bit bands
+    (256 values) were near-quadratic at corpus scale; see the
+    operator docstring's selectivity analysis + SCALE.md
+    measurements."""
     from cellphe_data_pipeline_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), n_bits=32
+        load_table(spark, sf_dir, "documents"), n_bits=48
     )
 
 

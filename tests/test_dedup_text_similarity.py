@@ -85,6 +85,87 @@ def test_minhash_finds_exact_and_near_dups(spark):
     assert all(j >= 0.3 for j in out.values())
 
 
+def test_simhash_width_guards_and_wide_codes(spark):
+    """r7: (1) zero-width bands must raise, not silently emit
+    all-pairs (ADVICE r6); (2) n_bits caps at 60 (15 md5 hex chars —
+    the signed-bigint-portable maximum); (3) wide codes are
+    non-degenerate — bits above 31 actually discriminate (the old
+    32-bit hash source would zero them silently)."""
+    import pytest as _pytest
+
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        simhash_codes,
+        simhash_near_duplicates,
+    )
+
+    df = _docs_df(spark)
+    with _pytest.raises(ValueError, match="zero-width"):
+        simhash_near_duplicates(df, n_bits=3, max_hamming=3)
+    with _pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash_codes(df, n_bits=61)
+    with _pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash_codes(df, n_bits=0)
+
+    codes = [r["simhash"] for r in simhash_codes(df, n_bits=60).collect()]
+    assert all(0 <= c < (1 << 60) for c in codes)
+    assert any(c >> 32 not in (0, (1 << 28) - 1) for c in codes), (
+        "bits 32-59 carry no information — hash source too narrow"
+    )
+    # pairing at the widened default returns hamming within bound and
+    # finds the exact-dup pair (identical text => identical code)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(df).collect()
+    }
+    assert pairs.get((1, 3)) == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_pairwise_jaccard_candidate_first_plan_and_equivalence(spark):
+    """r7 scale gate: with a candidate set, the verify must be
+    CANDIDATE-FIRST — shingles joined onto the pair set, never onto
+    each other (the r1-r6 shingle-equality self-join materialised
+    Σ_sh count(sh)² rows before the candidate restriction, quadratic
+    in hot-shingle frequency). Assertions:
+
+    1. no join in the executed plan is keyed on the shingle ALONE
+       (the verify's shingle join is keyed (doc_b, sh), i.e. gated by
+       a candidate id);
+    2. the candidate-restricted result equals the all-pairs baseline
+       restricted to the same pairs — including when the candidate
+       set carries band-collision DUPLICATES (multiplicity immunity,
+       now via an internal distinct over the pair set)."""
+    import re
+
+    sh = word_shingles(_docs_df(spark))
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in pairwise_jaccard(sh, 0.0).collect()
+    }
+    cand_pairs = [(1, 2), (1, 3), (2, 4)]
+    cand = spark.createDataFrame(
+        cand_pairs * 3, "doc_a long, doc_b long"  # duplicated candidates
+    )
+    out = pairwise_jaccard(sh, 0.0, candidates=cand)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got == {p: base[p] for p in cand_pairs if p in base}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    solo_shingle_join = re.compile(r"Join \[sh(?:_a)?#\d+\], \[sh(?:_b)?#\d+\]")
+    assert not solo_shingle_join.search(plan), "shingle-shingle join above the candidate gate"
+
+    # the full d3 pipeline plan must be gated the same way
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+
+    plan3 = (
+        minhash_near_duplicates(_docs_df(spark), band_size=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not solo_shingle_join.search(plan3)
+
+
 def test_shingle_novelty_first_occurrence_attribution(spark):
     """r6: novelty = fraction of a doc's distinct shingles first seen
     (min doc_id) in that doc. Hand-check: doc 1 owns all its shingles;
