@@ -73,6 +73,19 @@ def density_self_join(
     Output: all original rows + ``density`` = number of OTHER points in
     the same frame with euclidean distance <= radius (the reference's
     disabled dens feature, un-stubbed).
+
+    SYMMETRIC half-stencil (r7): instead of the classic 9-cell build
+    explode that discovers every ORDERED pair (each unordered pair
+    found twice — once per endpoint), the build side is exploded into
+    only 5 cells — its own plus the 4 "forward" neighbors, the
+    adjacent cells strictly greater in (cy, cx) lex order — so every
+    cross-cell unordered pair is discovered exactly ONCE (by the probe
+    point in the greater cell); same-cell pairs are halved by the
+    ``_id < _bid`` predicate. Each surviving pair then credits BOTH
+    endpoints (one explode of the two ids) before the count. Join
+    candidate volume and distance evaluations drop ~2x versus the
+    9-cell form — measured 18.4s -> ~10s at sf0.1 (SCALE.md) with
+    bit-identical output (the d5/j7 oracle covers it).
     """
     r = float(radius)
     cx = F.floor(F.col(x_col) / F.lit(r)).cast("long")
@@ -86,12 +99,12 @@ def density_self_join(
         cx.alias("_cx"),
         cy.alias("_cy"),
     )
-    # build side: each point copied into its 9 neighboring cells
+    # build side: each point copied into its own cell + the 4 forward
+    # neighbors (dy>0, or dy=0 and dx>0) — the half stencil
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
         ]
     )
     build = (
@@ -111,16 +124,25 @@ def density_self_join(
             "_by",
             (F.col("_bcx") + F.col("_o.dx")).alias("_cx"),
             (F.col("_bcy") + F.col("_o.dy")).alias("_cy"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_same"),
         )
     )
     dx = F.col("_x") - F.col("_bx")
     dy = F.col("_y") - F.col("_by")
-    counts = (
+    # cheap id predicate FIRST: halves same-cell candidates before the
+    # distance arithmetic runs (cross-cell pairs are unique already)
+    pairs = (
         probe.join(build, ["_f", "_cx", "_cy"])
-        .filter((F.col("_id") != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
-        .groupBy(F.col("_f"), F.col("_id"))
-        .agg(F.count(F.lit(1)).alias("density"))
+        .filter(
+            (~F.col("_same") | (F.col("_id") < F.col("_bid")))
+            & (dx * dx + dy * dy <= F.lit(r * r))
+        )
+        .select(
+            "_f",
+            F.explode(F.array(F.col("_id"), F.col("_bid"))).alias("_id"),
+        )
     )
+    counts = pairs.groupBy("_f", "_id").agg(F.count(F.lit(1)).alias("density"))
     return (
         df.join(
             counts.withColumnsRenamed({"_f": frame_col, "_id": id_col}),
