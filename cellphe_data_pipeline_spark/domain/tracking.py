@@ -25,14 +25,19 @@ hard part #5) is *same-shape, simplified* linking:
     (ALLOW_TRACK_SPLITTING / SPLITTING_MAX_DISTANCE /
     ALLOW_TRACK_MERGING / MERGING_MAX_DISTANCE,
     templates/cyto3.json:31-38) — ``_split_merge_lap``;
-  - LAP cost shaping (r6, all opt-in): the no-link alternative
+  - LAP cost shaping (r6/r7, all opt-in): the no-link alternative
     (ALTERNATIVE_LINKING_COST_FACTOR × CUTOFF_PERCENTILE of the
     candidate cost distribution, templates/cyto3.json:26,30) via the
-    Jaqaman-augmented matrix, and TrackMate's published
-    feature-penalty factor for split/merge candidates
-    (SPLITTING/MERGING_FEATURE_PENALTIES, cyto3.json:33-35) — the
-    remaining deviation is that phase 2 solves split/merge/gap blocks
-    independently rather than in one joint matrix;
+    Jaqaman-augmented matrix — applied in phase 1 AND (r7) each
+    phase-2 block (gap closing, splitting, merging) — and TrackMate's
+    published feature-penalty factor for all four penalty maps
+    (LINKING/GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES,
+    cyto3.json:24,30,33-35). Remaining documented deviations: phase 2
+    solves its blocks independently rather than in one joint matrix
+    (so each block computes its own alternative cost b over its own
+    candidate distribution), and the penalty denominator hardens
+    (f1+f2) to |f1|+|f2| (identical for TrackMate's nonnegative stock
+    features — see _penalty_factor);
   - deterministic: candidate pairs sorted by (distance, src id, dst id).
 
 Parallelism: ``applyInPandas`` grouped by timelapse — tracking is
@@ -133,6 +138,9 @@ def _close_gaps_segment_lap(
     edges: list[tuple[int, int, int, float]],
     max_frame_gap: int,
     gap_closing_max_distance: float,
+    gap_closing_feature_penalties: dict[str, float] | None = None,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
 ) -> list[tuple[int, int, int, float]]:
     """TrackMate's second LAP phase, lite (track_images.py:74-123
     semantics: ALLOW_GAP_CLOSING / MAX_FRAME_GAP /
@@ -145,16 +153,34 @@ def _close_gaps_segment_lap(
     max_frame_gap + 1 (a difference of 1 is consecutive — phase 1's
     job) and dist ≤ gap_closing_max_distance. Splitting/merging are the
     separate ``_split_merge_lap`` pass (runs after this one).
+
+    r7 cost shaping: ``gap_closing_feature_penalties``
+    (GAP_CLOSING_FEATURE_PENALTIES, templates/cyto3.json:30) switches
+    candidate costs to penalised squared distances gated at limit²
+    (:func:`_penalty_factor`); ``alternative_cost_factor`` extends the
+    no-link alternative to this phase-2 block (:func:`_lap_picks`) —
+    closing the r6 review gap where phase 2 force-assigned every
+    within-window candidate. Defaults keep r6 behaviour bit-for-bit.
     """
     nxt = {s: d for s, d, _, _ in edges}
     prv = {d: s for s, d, _, _ in edges}
-    spot = {
-        int(r["id"]): (int(r["frame"]), float(r["x"]), float(r["y"]))
-        for _, r in pdf.iterrows()
-    }
+    use: dict[str, str] = {}
+    if gap_closing_feature_penalties:
+        by_upper = {c.upper(): c for c in pdf.columns}
+        use = {
+            k: by_upper[k] for k in gap_closing_feature_penalties if k in by_upper
+        }
+    spot: dict[int, tuple[int, float, float]] = {}
+    feats: dict[int, dict[str, float]] = {}
+    for _, r in pdf.iterrows():
+        i = int(r["id"])
+        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
+        if use:
+            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
+    limit = gap_closing_max_distance
     seg_ends = [i for i in spot if i not in nxt]      # no outgoing link
     seg_starts = [i for i in spot if i not in prv]    # no incoming link
-    cands: list[tuple[float, int, int, int]] = []
+    cands: list[tuple[float, int, int, int, float]] = []  # (cost, e, s, gap, d)
     for e in seg_ends:
         fe, xe, ye = spot[e]
         for s in seg_starts:
@@ -163,24 +189,37 @@ def _close_gaps_segment_lap(
             if dframe < 2 or dframe > max_frame_gap + 1:
                 continue
             d = float(np.hypot(xs - xe, ys - ye))
-            if d <= gap_closing_max_distance:
-                cands.append((d, e, s, dframe - 1))
+            if d > limit:
+                continue
+            if gap_closing_feature_penalties:
+                cst = d * d * _penalty_factor(
+                    gap_closing_feature_penalties,
+                    feats.get(e, {}),
+                    feats.get(s, {}),
+                )
+                if cst <= limit * limit:
+                    cands.append((cst, e, s, dframe - 1, d))
+            else:
+                cands.append((d, e, s, dframe - 1, d))
     if not cands:
         return edges
-    srcs = sorted({e for _, e, _, _ in cands})
-    dsts = sorted({s for _, _, s, _ in cands})
+    srcs = sorted({e for _, e, _, _, _ in cands})
+    dsts = sorted({s for _, _, s, _, _ in cands})
     s_ix = {e: i for i, e in enumerate(srcs)}
     d_ix = {s: i for i, s in enumerate(dsts)}
     cost = np.full((len(srcs), len(dsts)), _LAP_BIG)
     meta: dict[tuple[int, int], tuple[float, int]] = {}
-    for d, e, s, gap in cands:
-        if d < cost[s_ix[e], d_ix[s]]:
-            cost[s_ix[e], d_ix[s]] = d
+    for cst, e, s, gap, d in cands:
+        if cst < cost[s_ix[e], d_ix[s]]:
+            cost[s_ix[e], d_ix[s]] = cst
             meta[(s_ix[e], d_ix[s])] = (d, gap)
     out = list(edges)
-    for r, c in zip(*_hungarian(cost)):
-        if cost[r, c] >= _LAP_BIG:
-            continue
+    for r, c in _lap_picks(
+        cost,
+        alternative_cost_factor,
+        cutoff_percentile,
+        squared=bool(gap_closing_feature_penalties),
+    ):
         d, gap = meta[(r, c)]
         out.append((srcs[r], dsts[c], gap, d))
     return out
@@ -205,10 +244,59 @@ def _penalty_factor(
         b = fb.get(feat)
         if a is None or b is None:
             continue
+        # DOCUMENTED DEVIATION (r7, per review): the published
+        # denominator is (f1 + f2); this uses |f1| + |f2|. Identical
+        # for TrackMate's nonnegative stock features (AREA, intensity,
+        # radius...), but a deliberate hardening for signed custom
+        # features, where (f1 + f2) can be zero or negative and the
+        # published ratio becomes unbounded/negative-cost.
         tot = abs(a) + abs(b)
         if tot:
             s += 3.0 * float(p) * abs(a - b) / tot
     return (1.0 + s) ** 2
+
+
+def _lap_picks(
+    cost: np.ndarray,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
+    squared: bool = False,
+) -> list[tuple[int, int]]:
+    """Solve one LAP block, optionally with TrackMate's NO-LINK
+    alternative (r7 — shared by phase 1 linking, phase 2 gap closing
+    and the split/merge blocks, closing the r6 review gap where only
+    phase 1 honoured ALTERNATIVE_LINKING_COST_FACTOR).
+
+    Without the factor: plain Hungarian; sentinel cells are dropped
+    from the solution (non-assignment allowed). With it: costs switch
+    to squared form (``squared=True`` marks matrices already in
+    squared/penalised units), b = factor x the cutoff-percentile of
+    the finite candidate costs, and the Jaqaman-augmented square
+    matrix offers every row and column a diagonal alternative at cost
+    b — so a within-window candidate costlier than b stays UNLINKED
+    instead of being force-assigned (Jaqaman et al. 2008)."""
+    if alternative_cost_factor is None:
+        return [
+            (r, c) for r, c in zip(*_hungarian(cost)) if cost[r, c] < _LAP_BIG
+        ]
+    sq = np.where(cost < _LAP_BIG, cost if squared else cost * cost, _LAP_BIG)
+    finite = sq[sq < _LAP_BIG]
+    if finite.size == 0:
+        return []
+    b = float(alternative_cost_factor) * float(
+        np.percentile(finite, float(cutoff_percentile) * 100.0)
+    )
+    n, m2 = sq.shape
+    full = np.full((n + m2, n + m2), _LAP_BIG)
+    full[:n, :m2] = sq
+    full[:n, m2:] = np.where(np.eye(n, dtype=bool), b, _LAP_BIG)
+    full[n:, :m2] = np.where(np.eye(m2, dtype=bool), b, _LAP_BIG)
+    full[n:, m2:] = np.where(sq.T < _LAP_BIG, b, _LAP_BIG)
+    return [
+        (r, c)
+        for r, c in zip(*_hungarian(full))
+        if r < n and c < m2 and full[r, c] < _LAP_BIG
+    ]
 
 
 def _split_merge_lap(
@@ -220,6 +308,8 @@ def _split_merge_lap(
     merging_max_distance: float,
     splitting_feature_penalties: dict[str, float] | None = None,
     merging_feature_penalties: dict[str, float] | None = None,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
 ) -> list[tuple[int, int, int, float]]:
     """TrackMate phase-2 splitting/merging blocks, lite
     (track_images.py:74-123 wiring; templates/cyto3.json:31-38 enables
@@ -316,9 +406,13 @@ def _split_merge_lap(
                 cost[l_ix[a], m_ix[m]] = cst
                 dist_of[(l_ix[a], m_ix[m])] = d
         out = []
-        for r, c in zip(*_hungarian(cost)):
-            if cost[r, c] >= _LAP_BIG:
-                continue
+        # r7: the no-link alternative now reaches the split/merge
+        # blocks too (each block gets its own b over its own candidate
+        # distribution — documented deviation: TrackMate's joint
+        # phase-2 matrix shares one; see the module docstring)
+        for r, c in _lap_picks(
+            cost, alternative_cost_factor, cutoff_percentile, squared=bool(penalties)
+        ):
             out.append((lefts[r], mids[c], dist_of[(r, c)]))
         return out
 
@@ -353,6 +447,8 @@ def _link_one(
     cutoff_percentile: float = 0.9,
     splitting_feature_penalties: dict[str, float] | None = None,
     merging_feature_penalties: dict[str, float] | None = None,
+    linking_feature_penalties: dict[str, float] | None = None,
+    gap_closing_feature_penalties: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     # segment-LAP closure: phase 1 links consecutive frames ONLY (gap
     # candidates excluded), phase 2 reconnects segments globally
@@ -361,6 +457,31 @@ def _link_one(
     by_frame = {
         f: pdf[pdf["frame"] == f][["id", "x", "y"]].to_numpy() for f in frames
     }
+    # LINKING/GAP_CLOSING_FEATURE_PENALTIES (r7 — the remaining two
+    # penalty maps of the reference's settings dict,
+    # track_images.py settings / templates/cyto3.json:24,30): when
+    # either is present, phase-1 candidate costs switch to TrackMate's
+    # penalised SQUARED distances gated at limit² (factor 1 where a
+    # map is empty, keeping mixed candidates in coherent units);
+    # without penalties costs stay raw distances, bit-identical to r6.
+    pen_active = bool(linking_feature_penalties) or bool(
+        gap_closing_feature_penalties
+    )
+    feats: dict[int, dict[str, float]] = {}
+    if pen_active:
+        by_upper = {c.upper(): c for c in pdf.columns}
+        use = {
+            k: by_upper[k]
+            for k in {
+                **(linking_feature_penalties or {}),
+                **(gap_closing_feature_penalties or {}),
+            }
+            if k in by_upper
+        }
+        for _, r in pdf.iterrows():
+            feats[int(r["id"])] = {
+                k: float(r[c]) for k, c in use.items() if pd.notna(r[c])
+            }
     # open track ends: spot id -> (frame, x, y)
     open_ends: dict[int, tuple[int, float, float]] = {}
     # per-end constant-velocity estimate (method="kalman"): set when a
@@ -389,62 +510,53 @@ def _link_one(
                 ex_, ey_ = ex, ey
             for det in dets:
                 d = float(np.hypot(det[1] - ex_, det[2] - ey_))
-                if d <= limit:
-                    cands.append((d, int(src), int(det[0]), gap))
+                if d > limit:
+                    continue
+                if pen_active:
+                    pmap = (
+                        linking_feature_penalties
+                        if gap == 0
+                        else gap_closing_feature_penalties
+                    )
+                    factor = (
+                        _penalty_factor(
+                            pmap, feats.get(int(src), {}), feats.get(int(det[0]), {})
+                        )
+                        if pmap
+                        else 1.0
+                    )
+                    cost = d * d * factor
+                    if cost <= limit * limit:
+                        cands.append((cost, int(src), int(det[0]), gap, d))
+                else:
+                    cands.append((d, int(src), int(det[0]), gap, d))
         if method == "lap" and cands:
             # Hungarian per frame: minimise TOTAL link distance instead
             # of taking locally-shortest links first. Forbidden pairs
             # (outside the window) carry the _LAP_BIG sentinel and are
             # dropped from the solution afterwards, so non-assignment
             # stays allowed exactly as in greedy mode.
-            srcs = sorted({s for _, s, _, _ in cands})
-            dsts = sorted({t for _, _, t, _ in cands})
+            srcs = sorted({s for _, s, _, _, _ in cands})
+            dsts = sorted({t for _, _, t, _, _ in cands})
             s_ix = {s: i for i, s in enumerate(srcs)}
             d_ix = {t: i for i, t in enumerate(dsts)}
             cost = np.full((len(srcs), len(dsts)), _LAP_BIG)
             meta: dict[tuple[int, int], tuple[float, int]] = {}
-            for d, s, t, gap in cands:
-                if d < cost[s_ix[s], d_ix[t]]:
-                    cost[s_ix[s], d_ix[t]] = d
+            for cst, s, t, gap, d in cands:
+                if cst < cost[s_ix[s], d_ix[t]]:
+                    cost[s_ix[s], d_ix[t]] = cst
                     meta[(s_ix[s], d_ix[t])] = (d, gap)
-            if alternative_cost_factor is not None:
-                # TrackMate's no-link alternative (r6 —
-                # ALTERNATIVE_LINKING_COST_FACTOR + CUTOFF_PERCENTILE,
-                # templates/cyto3.json:26,30; Jaqaman et al. 2008):
-                # costs switch to SQUARED distances; b = factor x the
-                # cutoff-percentile of the candidate cost distribution;
-                # the Jaqaman-augmented square matrix offers every row
-                # (track end) and column (detection) a diagonal
-                # alternative at cost b, so a within-window candidate
-                # costlier than b stays UNLINKED instead of being
-                # force-assigned. The lower-right completion block
-                # mirrors the transposed topology at cost b: a solution
-                # with L links then totals sum(C_linked) + (n+m-L)*b,
-                # so the net decision rule is exactly "a candidate
-                # joins iff its marginal cost <= b" — the TrackMate
-                # acceptance semantics.
-                sq = np.where(cost < _LAP_BIG, cost * cost, _LAP_BIG)
-                finite = sq[sq < _LAP_BIG]
-                b = float(alternative_cost_factor) * float(
-                    np.percentile(finite, float(cutoff_percentile) * 100.0)
-                )
-                n, m2 = sq.shape
-                full = np.full((n + m2, n + m2), _LAP_BIG)
-                full[:n, :m2] = sq
-                full[:n, m2:] = np.where(np.eye(n, dtype=bool), b, _LAP_BIG)
-                full[n:, :m2] = np.where(np.eye(m2, dtype=bool), b, _LAP_BIG)
-                full[n:, m2:] = np.where(sq.T < _LAP_BIG, b, _LAP_BIG)
-                picks = [
-                    (r, c)
-                    for r, c in zip(*_hungarian(full))
-                    if r < n and c < m2 and full[r, c] < _LAP_BIG
-                ]
-            else:
-                picks = [
-                    (r, c)
-                    for r, c in zip(*_hungarian(cost))
-                    if cost[r, c] < _LAP_BIG
-                ]
+            # TrackMate's no-link alternative
+            # (ALTERNATIVE_LINKING_COST_FACTOR + CUTOFF_PERCENTILE,
+            # templates/cyto3.json:26,30; Jaqaman et al. 2008) — see
+            # _lap_picks. A solution with L links totals
+            # sum(C_linked) + (n+m-L)*b, so the net decision rule is
+            # exactly "a candidate joins iff its marginal cost <= b".
+            # With penalties active the matrix is ALREADY in squared
+            # penalised units (squared=True skips the re-square).
+            picks = _lap_picks(
+                cost, alternative_cost_factor, cutoff_percentile, squared=pen_active
+            )
             for r, c in picks:
                 d, gap = meta[(r, c)]
                 src, dst = srcs[r], dsts[c]
@@ -455,10 +567,10 @@ def _link_one(
                     vel[dst] = ((dx0 - ex0) / (gap + 1), (dy0 - ey0) / (gap + 1))
                 open_ends.pop(src, None)
         else:
-            cands.sort()  # greedy by (distance, src, dst) — deterministic
+            cands.sort()  # greedy by (cost, src, dst) — deterministic
             used_src: set[int] = set()
             used_dst: set[int] = set()
-            for d, src, dst, gap in cands:
+            for _cst, src, dst, gap, d in cands:
                 if src in used_src or dst in used_dst:
                     continue
                 used_src.add(src)
@@ -481,7 +593,13 @@ def _link_one(
         }
     if gap_strategy == "segment_lap" and max_frame_gap > 0:
         edges = _close_gaps_segment_lap(
-            pdf, edges, max_frame_gap, gap_closing_max_distance
+            pdf,
+            edges,
+            max_frame_gap,
+            gap_closing_max_distance,
+            gap_closing_feature_penalties,
+            alternative_cost_factor,
+            cutoff_percentile,
         )
     if allow_splitting or allow_merging:
         edges = _split_merge_lap(
@@ -493,6 +611,8 @@ def _link_one(
             merging_max_distance,
             splitting_feature_penalties,
             merging_feature_penalties,
+            alternative_cost_factor,
+            cutoff_percentile,
         )
     tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
     return pd.DataFrame(
@@ -516,6 +636,8 @@ def track_detections(
     cutoff_percentile: float = 0.9,
     splitting_feature_penalties: dict[str, float] | None = None,
     merging_feature_penalties: dict[str, float] | None = None,
+    linking_feature_penalties: dict[str, float] | None = None,
+    gap_closing_feature_penalties: dict[str, float] | None = None,
 ) -> DataFrame:
     """M3: link per-frame detections into track edges.
 
@@ -556,7 +678,19 @@ def track_detections(
     (e.g. {"AREA": 0.5}, templates/cyto3.json:33-35) bias the phase-2
     division/fusion assignment toward feature-similar pairs with
     TrackMate's published penalty formula (see
-    :func:`_penalty_factor`)."""
+    :func:`_penalty_factor`).
+
+    r7 completes the reference's settings-dict penalty surface
+    (track_images.py settings; every template carries the keys —
+    templates/cyto3.json:24,30): ``linking_feature_penalties``
+    (LINKING_FEATURE_PENALTIES) shapes phase-1 frame-to-frame costs
+    and ``gap_closing_feature_penalties``
+    (GAP_CLOSING_FEATURE_PENALTIES) shapes gap-closing costs — both
+    switch candidates to penalised squared distances gated at their
+    limit², in every method (greedy ordering, LAP matrix, Kalman
+    gate). The no-link alternative now also reaches the phase-2
+    blocks (gap closing + split/merge, per-block b). All defaults
+    keep the pre-r7 output bit-for-bit."""
 
     if method not in ("greedy", "lap", "kalman"):
         raise ValueError(
@@ -592,6 +726,8 @@ def track_detections(
             cutoff_percentile,
             splitting_feature_penalties,
             merging_feature_penalties,
+            linking_feature_penalties,
+            gap_closing_feature_penalties,
         )
 
     # CPU-bound per-timelapse kernel over narrow rows — keep the groups
@@ -605,8 +741,11 @@ def track_detections(
     # exactly the columns the penalty maps name (case-insensitive
     # TrackMate keys -> detection columns, e.g. AREA -> area)
     cols = ["timelapse_id", "id", "frame", "x", "y"]
-    pen_keys = set(splitting_feature_penalties or {}) | set(
-        merging_feature_penalties or {}
+    pen_keys = (
+        set(splitting_feature_penalties or {})
+        | set(merging_feature_penalties or {})
+        | set(linking_feature_penalties or {})
+        | set(gap_closing_feature_penalties or {})
     )
     if pen_keys:
         by_upper = {c.upper(): c for c in detections.columns}

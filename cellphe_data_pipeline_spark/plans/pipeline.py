@@ -106,6 +106,8 @@ def run_pipeline(
     cutoff_percentile: float = 0.9,
     splitting_feature_penalties: dict | None = None,
     merging_feature_penalties: dict | None = None,
+    linking_feature_penalties: dict | None = None,
+    gap_closing_feature_penalties: dict | None = None,
     overlap_min_iou: float = 0.3,
 ) -> dict[str, DataFrame]:
     """Run the whole chain on a binary image table (S1 output shape:
@@ -247,6 +249,8 @@ def run_pipeline(
             cutoff_percentile=cutoff_percentile,
             splitting_feature_penalties=splitting_feature_penalties,
             merging_feature_penalties=merging_feature_penalties,
+            linking_feature_penalties=linking_feature_penalties,
+            gap_closing_feature_penalties=gap_closing_feature_penalties,
         )
     # Pin the edge list too: lineage (CC input + head detection +
     # the numbering passes) re-executes its input several times, and
@@ -490,6 +494,20 @@ def config_to_run_kwargs(config: dict) -> dict:
         "merging_feature_penalties": (
             dict(tr["MERGING_FEATURE_PENALTIES"])
             if tr.get("MERGING_FEATURE_PENALTIES")
+            else None
+        ),
+        # r7 — the remaining two penalty maps of the reference's
+        # settings dict (track_images.py settings; every published
+        # template carries both keys as {}, cyto3.json:24,30, so a
+        # template config routes None and stays bit-identical)
+        "linking_feature_penalties": (
+            dict(tr["LINKING_FEATURE_PENALTIES"])
+            if tr.get("LINKING_FEATURE_PENALTIES")
+            else None
+        ),
+        "gap_closing_feature_penalties": (
+            dict(tr["GAP_CLOSING_FEATURE_PENALTIES"])
+            if tr.get("GAP_CLOSING_FEATURE_PENALTIES")
             else None
         ),
         # Overlap tracker gate (TrackerKeys KEY_MIN_IOU); inert for the

@@ -1273,6 +1273,124 @@ def test_segment_lap_gap_closing_rescues_greedy_misassignment(spark):
         track_detections(dets, gap_strategy="both")
 
 
+def test_linking_feature_penalties_bias_and_reject(spark):
+    """r7 — LINKING_FEATURE_PENALTIES (templates/cyto3.json:24; the
+    settings-dict map track_images.py passes through): phase-1 costs
+    become penalised squared distances gated at limit², so a nearer
+    but area-dissimilar detection loses to a similar-area one — and
+    can be rejected outright when its penalised cost exceeds the
+    gate. Without the map, raw-distance behaviour is unchanged."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    # f0: spot 1 (area 100); f1: spot 2 near (d=3) but area 10,
+    # spot 3 farther (d=5) area 100
+    dets = spark.createDataFrame(
+        [
+            ("t", 1, 0, 0.0, 0.0, 100.0),
+            ("t", 2, 1, 3.0, 0.0, 10.0),
+            ("t", 3, 1, 5.0, 0.0, 100.0),
+        ],
+        "timelapse_id string, id long, frame int, x double, y double, area double",
+    )
+    for method in ("greedy", "lap"):
+        kw = dict(
+            linking_max_distance=10.0,
+            max_frame_gap=0,
+            gap_closing_max_distance=0.0,
+            method=method,
+        )
+        plain = {
+            (r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()
+        }
+        assert plain == {(1, 2)}, method  # nearest by raw distance
+        # AREA penalty 1.0: cost(1,2)=9*(1+3*90/110)^2 ~ 108 > 10^2
+        # (rejected at the gate); cost(1,3)=25 -> the similar pair wins
+        pen = {
+            (r["src"], r["dst"])
+            for r in track_detections(
+                dets, linking_feature_penalties={"AREA": 1.0}, **kw
+            ).collect()
+        }
+        assert pen == {(1, 3)}, method
+
+
+def test_gap_closing_feature_penalties_both_strategies(spark):
+    """r7 — GAP_CLOSING_FEATURE_PENALTIES (templates/cyto3.json:30):
+    gap-closing candidates are cost-shaped by the same penalty
+    formula, in BOTH the inline gap competition and the segment-LAP
+    phase-2 block."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    # end 1 at f0 (area 100); f2 candidates: spot 2 near (d=4) area
+    # 10, spot 3 farther (d=8) area 100
+    dets = spark.createDataFrame(
+        [
+            ("t", 1, 0, 0.0, 0.0, 100.0),
+            ("t", 2, 2, 4.0, 0.0, 10.0),
+            ("t", 3, 2, 8.0, 0.0, 100.0),
+        ],
+        "timelapse_id string, id long, frame int, x double, y double, area double",
+    )
+    for method, strategy in (("greedy", "inline"), ("lap", "segment_lap")):
+        kw = dict(
+            linking_max_distance=10.0,
+            max_frame_gap=2,
+            gap_closing_max_distance=20.0,
+            method=method,
+            gap_strategy=strategy,
+        )
+        plain = {
+            (r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()
+        }
+        assert plain == {(1, 2)}, (method, strategy)
+        # cost(1,2)=16*(1+3*90/110)^2 ~ 193; cost(1,3)=64 -> similar wins
+        pen = {
+            (r["src"], r["dst"])
+            for r in track_detections(
+                dets, gap_closing_feature_penalties={"AREA": 1.0}, **kw
+            ).collect()
+        }
+        assert pen == {(1, 3)}, (method, strategy)
+
+
+def test_phase2_alternative_cost_gap_closing(spark):
+    """r7 (review follow-up): ALTERNATIVE_LINKING_COST_FACTOR now
+    reaches the phase-2 gap-closing block — a within-window
+    reconnection costlier than b = factor x percentile stays
+    unlinked instead of being force-assigned."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    # two disjoint segments to reconnect across a 1-frame gap: the
+    # (1->3) pair is cheap (d=1), the (2->4) pair expensive (d=30,
+    # inside the 50px window); cross pairs are out of window
+    dets = spark.createDataFrame(
+        [
+            ("t", 1, 0, 0.0, 0.0),
+            ("t", 2, 0, 100.0, 0.0),
+            ("t", 3, 2, 0.0, 1.0),
+            ("t", 4, 2, 100.0, 30.0),
+        ],
+        "timelapse_id string, id long, frame int, x double, y double",
+    )
+    kw = dict(
+        linking_max_distance=10.0,
+        max_frame_gap=1,
+        gap_closing_max_distance=50.0,
+        method="lap",
+        gap_strategy="segment_lap",
+    )
+    plain = {(r["src"], r["dst"]) for r in track_detections(dets, **kw).collect()}
+    assert plain == {(1, 3), (2, 4)}  # phase 2 force-assigns both
+    # squared costs {1, 900}: 25th pct -> b ~ 225, the 900 rejected
+    gated = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=1.0, cutoff_percentile=0.25, **kw
+        ).collect()
+    }
+    assert gated == {(1, 3)}
+
+
 def test_lap_alternative_cost_rejects_expensive_links(spark):
     """r6 — ALTERNATIVE_LINKING_COST_FACTOR + CUTOFF_PERCENTILE
     (templates/cyto3.json:26,30): with the no-link alternative active,

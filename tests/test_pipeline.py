@@ -296,6 +296,36 @@ def test_config_routes_lap_cost_knobs():
     assert kw["merging_feature_penalties"] == {"AREA": 0.5}
     assert kw["tracking_method"] == "lap"
 
+    # r7: the remaining two penalty maps route too; the published
+    # templates set both to {} (cyto3.json:24,30) which must stay
+    # None — empty maps change nothing
+    assert bare["linking_feature_penalties"] is None
+    assert bare["gap_closing_feature_penalties"] is None
+    kw2 = config_to_run_kwargs(
+        {
+            "tracking": {
+                "settings": {
+                    "LINKING_FEATURE_PENALTIES": {"AREA": 0.7},
+                    "GAP_CLOSING_FEATURE_PENALTIES": {"AREA": 0.3},
+                }
+            }
+        }
+    )
+    assert kw2["linking_feature_penalties"] == {"AREA": 0.7}
+    assert kw2["gap_closing_feature_penalties"] == {"AREA": 0.3}
+    empty = config_to_run_kwargs(
+        {
+            "tracking": {
+                "settings": {
+                    "LINKING_FEATURE_PENALTIES": {},
+                    "GAP_CLOSING_FEATURE_PENALTIES": {},
+                }
+            }
+        }
+    )
+    assert empty["linking_feature_penalties"] is None
+    assert empty["gap_closing_feature_penalties"] is None
+
 
 def test_config_algorithm_selects_lap(spark, tmp_path):
     """tracking.algorithm config field maps to the tracker method:
