@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: md5 content hash → (keep_id = min id, n_copies)."""
@@ -193,7 +195,7 @@ def minhash_near_duplicates(
     durable form of the same cut: publish the shingle table to parquet
     (S15) and read it back, which survives executor loss where a
     localCheckpoint's unreplicated blocks do not."""
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = cut_lineage(word_shingles(df, text_col, id_col, n), eager=False, name="shingles")
     # dedup=False: pairwise_jaccard's candidate-first verify (r7) does
     # its own distinct over the pair set, so a second cross-band
     # distinct here would be a duplicated shuffle
@@ -299,7 +301,7 @@ def simhash_near_duplicates(
             " (need n_bits >= max_hamming + 1): every pair would collide"
             " in the zero-width bands — an all-pairs explosion, not a filter"
         )
-    codes = simhash_codes(df, text_col, id_col, n_bits).localCheckpoint(eager=False)
+    codes = cut_lineage(simhash_codes(df, text_col, id_col, n_bits), eager=False, name="simhash")
     n_bands = max_hamming + 1
     width = n_bits // n_bands
     band_cols = []
@@ -505,21 +507,24 @@ def dedup_keep_list(
     # consumers (quality join, canonical pick, corpus label join);
     # checkpoint it so the minhash+CC lineage runs once, not three
     # times (sf0.01: 7.7s -> ~2.5s warm)
-    clusters = (
-        dedup_clusters(pairs, **cc_kwargs)
-        .select("doc_id", "cluster_id")
-        .localCheckpoint(eager=True)
+    clusters = cut_lineage(
+        dedup_clusters(pairs, **cc_kwargs).select("doc_id", "cluster_id"),
+        name="dedup-clusters",
     )
     members = clusters.join(
         df.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")),
         "doc_id",
     )
     # max quality, tie -> LOWEST doc id: one combinable aggregate via
-    # max(struct(q, -doc_id)) — no window, no second shuffle
+    # min(struct(-q, doc_id)) — no window, no second shuffle. The
+    # NEGATED-QUALITY form (rather than negating the id) keeps the id
+    # opaque, so string-keyed corpora (valid throughout the minhash
+    # path) work; only ``quality_col`` must be numeric, which a quality
+    # SCORE is by construction.
     canon = (
         members.groupBy("cluster_id")
-        .agg(F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))).alias("m"))
-        .select("cluster_id", (-F.col("m._nid")).alias("canonical"))
+        .agg(F.min(F.struct((-F.col("_q")).alias("_nq"), F.col("doc_id").alias("_id"))).alias("m"))
+        .select("cluster_id", F.col("m._id").alias("canonical"))
     )
     labeled = clusters.join(canon, "cluster_id").select(
         "doc_id", "canonical"

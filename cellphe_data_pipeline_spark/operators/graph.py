@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
 
 def degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree); nodes absent from edges don't appear."""
@@ -120,8 +122,13 @@ def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
             for u, v in zip(pdf["u"].values, pdf["v"].values):
                 union(u, v)
         nodes = list(parent)
+        # object dtype keeps the kernel id-type-agnostic (string-keyed
+        # corpora are valid CC inputs); Arrow coerces per e.schema
         out = pd.DataFrame(
-            {"u": nodes, "v": [find(n) for n in nodes]}, dtype="int64"
+            {
+                "u": pd.Series(nodes, dtype=object),
+                "v": pd.Series([find(n) for n in nodes], dtype=object),
+            }
         )
         yield out[out["u"] != out["v"]]
 
@@ -221,7 +228,7 @@ def connected_components(
         # materialise the input ONCE: round 0's large-star references the
         # edge list several times (e ∪ swap(e), then the join) and would
         # otherwise recompute the upstream lineage per reference
-        e = e.localCheckpoint(eager=True)
+        e = cut_lineage(e, name="cc-edges")
         if driver_finish_cap:
             # bounded driver finish (see CC_DRIVER_FINISH_CAP): probe the
             # contracted edge count with one limit-pushed take() on the
@@ -248,11 +255,16 @@ def connected_components(
             # sf0.1 warm: 2.4s -> ~2.2s). Post-contraction the loop
             # converges in O(log num_parts) rounds, so probing every
             # round beats running up to 2 redundant rounds.
-            e = small_star(large_star(e)).localCheckpoint(eager=False)
+            e = cut_lineage(small_star(large_star(e)), eager=False, name="cc-round")
+            # xxhash64 keeps the probe id-type-agnostic (string node
+            # ids are valid); the decimal(38,0) sum cannot overflow
+            # (19-digit terms x row count vs 38 digits of headroom)
             h = (
                 e.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("u").cast("bigint") * F.lit(31) + F.col("v").cast("bigint")).alias("s"),
+                    F.sum(
+                        F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+                    ).alias("s"),
                 ).first()
             )
             cur = (h["n"], h["s"])
@@ -299,16 +311,20 @@ def pagerank(
     Output: (node, rank_q BIGINT micro-units).
     """
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        cut_lineage(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(),
+            name="pr-edges",
+        )
     )
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        cut_lineage(
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct(),
+            name="pr-nodes",
+        )
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -344,6 +360,6 @@ def pagerank(
                     + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
                 ).alias("rank_q"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = cut_lineage(ranks, name="pr-ranks")
     return ranks

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
 
 def publish_bucketed(
     df: DataFrame,
@@ -118,10 +120,12 @@ def global_row_number(
         num_parts = max(2, spark.sparkContext.defaultParallelism)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     arranged = (
-        df.repartitionByRange(num_parts, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        cut_lineage(
+            df.repartitionByRange(num_parts, *cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("_pid", F.spark_partition_id()),
+            name="arranged",
+        )
     )
     counts = {
         r["_pid"]: r["n"]

@@ -401,15 +401,31 @@ def html_to_text(
     <SCRIPT> is common in older crawls); the tag pattern requires a
     tag-like start (<letter, </, <!), so prose like "price < 10 and
     x > 2" is NOT eaten as a pseudo-tag.
+
+    Tag heads are QUOTE-TOLERANT: a '>' inside a quoted attribute
+    value (``<script data-x="a>b">``) does not end the tag — the head
+    pattern skips quoted runs (``"[^"]*"`` / ``'[^']*'``) before
+    looking for the closer, so script bodies behind such tags are
+    still dropped wholesale. An UNTERMINATED <script>/<style> opener
+    drops everything to end-of-document (a truncated crawl record's
+    tail is code, not prose) — matching browser tokeniser behaviour.
+    Known limit (documented, not handled): an UNCLOSED quote inside a
+    tag head can extend the head to the next quote character.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # tag-head body: anything but '>' outside quotes; quoted runs may
+    # contain '>'. Portable across Java regex and RE2 (no lookarounds).
+    head = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
     for pat in (
-        r"(?is)<script[^>]*>.*?</script>",
-        r"(?is)<style[^>]*>.*?</style>",
+        rf"(?is)<script\b{head}>.*?</script\s*>",
+        rf"(?is)<style\b{head}>.*?</style\s*>",
         r"(?s)<!--.*?-->",
+        # unterminated element: opener with no closer left -> drop tail
+        rf"(?is)<script\b{head}>.*$",
+        rf"(?is)<style\b{head}>.*$",
     ):
         t = F.regexp_replace(t, pat, " ")
-    tag = r"</?[a-zA-Z!][^>]*>"
+    tag = rf"</?[a-zA-Z!]{head}>"
     n_tags = F.size(F.split(t, tag)) - F.lit(1)
     t = F.regexp_replace(t, tag, " ")
     for ent, rep in (

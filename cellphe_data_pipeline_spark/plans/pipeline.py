@@ -27,6 +27,7 @@ from cellphe_data_pipeline_spark.domain.images import (
     segment_frames,
     split_frames,
 )
+from cellphe_data_pipeline_spark.checkpoint import cut_lineage
 from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
 from cellphe_data_pipeline_spark.domain.tracking import track_detections
 from cellphe_data_pipeline_spark.operators.movement import movement_features
@@ -127,9 +128,9 @@ def run_pipeline(
     # reuses the checkpointed rows instead of re-running the upstream
     # Python kernels per action. Payloads are one raster per frame
     # (~2-5 KB at QC sizes): the cuts are MBs, not the input corpus.
-    frames = split_frames(binaries).localCheckpoint(eager=True)   # S3/S4
-    masks = segment_frames(frames, method=segmentation_method).localCheckpoint(
-        eager=True
+    frames = cut_lineage(split_frames(binaries), name="frames")   # S3/S4
+    masks = cut_lineage(
+        segment_frames(frames, method=segmentation_method), name="masks"
     )  # M1/M2
     # broadcast timelapse index dim: spot ids must be unique ACROSS
     # timelapses (lineage runs on the union) and frame-monotone within
@@ -190,7 +191,7 @@ def run_pipeline(
     # action (4+ full recomputes measured at the 726-frame bench shape).
     # At cluster scale this is the "persist the hub table" rule; tiny
     # (one narrow row per detection), so localCheckpoint is safe.
-    dets = dets.localCheckpoint(eager=True)
+    dets = cut_lineage(dets, name="dets")
     if tracking_method == "overlap":
         # M3 Overlap option (r6 — previously the config translation
         # fell back to greedy with a doc note): mask-IoU links from the
@@ -257,7 +258,7 @@ def run_pipeline(
     # without this cut each of those actions re-runs the tracking
     # kernel (~3x measured at the bench shape). One narrow row per
     # link — same "persist the hub table" rationale as `dets`.
-    edges = edges.localCheckpoint(eager=True)
+    edges = cut_lineage(edges, name="edges")
     tracks = renumber_tracks(                            # G2-G4
         dets.select(F.col("id").alias("ID"), F.col("frame").alias("FRAME")),
         edges.select("src", "dst"),
@@ -289,7 +290,7 @@ def run_pipeline(
     # spots→window→filter subtree re-executes once per consumer per
     # action. One narrow row per surviving spot; same "persist the hub
     # table" rationale as `dets`/`edges`.
-    filtered = filtered.localCheckpoint(eager=True)
+    filtered = cut_lineage(filtered, name="filtered")
     movement = movement_features(                        # M5 (W1-W3, F5-F8)
         filtered, key="TRACK_ID", order=["frame", "id"], x="x", y="y"
     )

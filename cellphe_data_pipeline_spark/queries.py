@@ -4287,17 +4287,22 @@ def t11(spark, sf_dir):
     ),
     stripped AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(COALESCE(text, ''),
-               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-               '(?s)<!--.*?-->', ' ', 'g') AS t
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(COALESCE(text, ''),
+               '(?is)<script\b(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\b(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*$', ' ', 'g'),
+               '(?is)<style\b(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*$', ' ', 'g') AS t
       FROM aug
     ),
     tagless AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(t, '</?[a-zA-Z!][^>]*>')) - 1
+             CAST(len(string_split_regex(t,
+               '</?[a-zA-Z!](?:[^>"'']|"[^"]*"|''[^'']*'')*>')) - 1
                   AS BIGINT) AS n_tags,
-             regexp_replace(t, '</?[a-zA-Z!][^>]*>', ' ', 'g') AS t
+             regexp_replace(t,
+               '</?[a-zA-Z!](?:[^>"'']|"[^"]*"|''[^'']*'')*>', ' ', 'g') AS t
       FROM stripped
     )
     SELECT doc_id, n_tags,

@@ -220,6 +220,33 @@ def test_dedup_keep_list_quality_canonicals(spark):
     assert not out[6]["keep"] and out[6]["replaced_by"] == 5
 
 
+def test_dedup_keep_list_string_ids(spark):
+    """r7 (ADVICE): a STRING-keyed corpus — valid everywhere else in
+    the minhash path — must work through the keep-list too; the
+    quality tie-break is min(struct(-q, id)), which never negates the
+    id. Tie -> lexicographically smallest id."""
+    from cellphe_data_pipeline_spark.operators.dedup import dedup_keep_list
+
+    rows = [
+        ("url-b", "aa bb cc dd ee ff gg hh", 23),
+        ("url-a", "aa bb cc dd ee ff gg hh ii jj", 29),  # longest -> canonical
+        ("url-c", "aa bb cc dd ee ff gg hh", 23),
+        ("url-z", "totally unrelated text about nothing shared here at all", 55),
+        # equal quality -> lexicographically lowest id wins
+        ("url-e", "xx yy zz ww vv uu tt ss", 23),
+        ("url-d", "xx yy zz ww vv uu tt ss", 23),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, n_chars bigint")
+    out = {r["doc_id"]: r for r in dedup_keep_list(df, band_size=2).collect()}
+    assert set(out) == {"url-a", "url-b", "url-c", "url-d", "url-e", "url-z"}
+    assert out["url-a"]["keep"] and out["url-a"]["replaced_by"] is None
+    assert not out["url-b"]["keep"] and out["url-b"]["replaced_by"] == "url-a"
+    assert not out["url-c"]["keep"] and out["url-c"]["replaced_by"] == "url-a"
+    assert out["url-z"]["keep"] and out["url-z"]["replaced_by"] is None
+    assert out["url-d"]["keep"] and out["url-d"]["replaced_by"] is None
+    assert not out["url-e"]["keep"] and out["url-e"]["replaced_by"] == "url-d"
+
+
 def test_vocab_oov_rates(spark):
     """r6: top-V vocabulary by corpus frequency (ties by token), OOV =
     token occurrences outside it — checked against a python oracle on
@@ -262,6 +289,12 @@ def test_html_to_text_extraction(spark):
         (4, "<SCRIPT>var x=1;</SCRIPT><P>Hi</P>"),  # uppercase elements
         (5, "price < 10 and x > 2 ok"),  # bare angle brackets: NOT tags
         (6, None),  # NULL text: router signal must stay two-valued
+        # r7 (ADVICE): '>' inside a QUOTED attribute must not end the
+        # tag head — the script body behind it is still code
+        (7, '<script data-x="a>b">evil();</script> <p>safe</p>'),
+        # r7 (ADVICE): unterminated opener drops the tail wholesale
+        (8, 'keep this <script type="t">var leak = 1; never closed'),
+        (9, "keep <style>p{x:1} unclosed too"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r["doc_id"]: r for r in html_to_text(df).collect()}
@@ -279,6 +312,11 @@ def test_html_to_text_extraction(spark):
     assert out[5]["text_clean"] == "price < 10 and x > 2 ok"
     assert out[5]["n_tags"] == 0
     assert out[6]["text_clean"] == "" and out[6]["n_tags"] == 0
+    # quoted '>' in the opening tag's attributes: body still dropped
+    assert out[7]["text_clean"] == "safe"
+    # unterminated script/style openers drop everything after them
+    assert out[8]["text_clean"] == "keep this"
+    assert out[9]["text_clean"] == "keep"
 
 
 def test_drop_common_lines_c4_style(spark):
