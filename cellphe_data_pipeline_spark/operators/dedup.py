@@ -911,3 +911,77 @@ def incremental_near_duplicates(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def containment_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_shingle_freq: int = 5,
+    n: int = 3,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs (r7): C(A,B) =
+    |A∩B| / min(|A|,|B|) — the asymmetric-duplication detector.
+    Jaccard (d3) misses a document nearly contained in a much larger
+    one (boilerplate-wrapped reposts, quote-heavy aggregators): the
+    union term crushes the score, and MinHash banding — which
+    approximates Jaccard — won't even emit the candidate. Containment
+    is the measure the dedup literature uses for that case (Broder's
+    original resemblance/containment pair, CACM 1997).
+
+    Candidate generation is RARE-SHINGLE BLOCKING, not MinHash: docs
+    pair iff they share a shingle with corpus frequency <=
+    ``max_shingle_freq``. The frequency cap bounds the blocking
+    self-join by sum over rare shingles of freq^2 <= max_freq * |rare
+    shingle occurrences| — LINEAR in corpus size at fixed cap, no
+    hot-shingle quadratics (the d3 lesson, applied at candidate time).
+    A contained copy shares ALL its shingles with its container, so
+    any (almost-)unique shared shingle blocks the pair; only pairs
+    whose entire overlap is corpus-common boilerplate are missed,
+    and those are d12 line-dedup's territory, not containment's.
+
+    Verify is candidate-first (the incremental_near_duplicates
+    contract): shingles attach to the (distinct) candidate pairs, so
+    the intermediate is |candidates| x shingles-per-doc. Output:
+    (doc_a, doc_b, n_inter, containment) with doc_a < doc_b.
+    """
+    sh = cut_lineage(
+        word_shingles(df, text_col, id_col, n), eager=False, name="cont-shingles"
+    )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") <= max_shingle_freq)
+        .select("sh")
+    )
+    blocked = sh.join(rare, "sh")
+    cands = (
+        blocked.withColumnRenamed("doc_id", "doc_a")
+        .join(
+            blocked.withColumnsRenamed({"doc_id": "doc_b"}),
+            "sh",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter").cast("double") / F.least("na", "nb"), 6
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )

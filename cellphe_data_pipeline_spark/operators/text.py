@@ -8,7 +8,7 @@ path scans 100 TB at parquet-read speed with full column pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Language set matches the driver's `documents.lang` domain (en/de/fr/es/zh).
@@ -670,4 +670,147 @@ def normalize_text(
         flag.alias("has_mojibake"),
         norm.alias("normalized"),
         F.md5(norm).alias("norm_hash"),
+    )
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL canonicalisation (r7) — stage 1 of every web-corpus
+    pipeline (the RefinedWeb/CCNet recipe dedups on canonical URL
+    before any content hashing, because the same page is crawled under
+    dozens of surface forms). Canonical form:
+
+    - scheme and host lowercased; a leading ``www.`` dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - the fragment (``#…``) dropped — never sent to the server;
+    - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``) and the survivors SORTED — param order is
+      not semantic, and sorting makes ``?a=1&b=2`` ≡ ``?b=2&a=1``;
+    - a trailing ``/`` on a non-root path dropped; the root path
+      itself normalises to '' (``http://x.com/`` ≡ ``http://x.com``).
+
+    Pure codegen (regexp_extract + array filter/sort/join) with no
+    lookarounds, so the identical chain runs on Java regex and RE2 —
+    a 100 TB crawl streams through map tasks, zero shuffle. Output:
+    (doc_id, url, url_canonical); malformed URLs (no ``scheme://``)
+    canonicalise to NULL rather than a half-parsed guess.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    rawq = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"),
+        )
+    )
+    query = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        u.alias("url"),
+        F.when(scheme != "", canon).alias("url_canonical"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL exact dedup (r7): every doc keeps a row with its
+    canonical URL, whether it is the group's keeper (min doc id over
+    the canonical key) and the group size. ONE shuffle on the canonical
+    key (a window, so rows are kept — the P2 HAVING-keep-rows shape);
+    NULL canonicals (malformed URLs) are their own keepers with group
+    size 1, never merged. Output: (doc_id, url_canonical, keep,
+    n_group)."""
+    normed = normalize_urls(df, url_col, id_col)
+    w = Window.partitionBy("url_canonical")
+    return normed.select(
+        "doc_id",
+        "url_canonical",
+        F.when(
+            F.col("url_canonical").isNull(), F.lit(True)
+        ).otherwise(F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.when(F.col("url_canonical").isNull(), F.lit(1).cast("bigint"))
+        .otherwise(F.count(F.lit(1)).over(w))
+        .alias("n_group"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-token importance weights for data selection (r7) — the
+    DSIR recipe (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): score every document by how
+    much more likely its tokens are under a TARGET distribution (the
+    high-quality slice selected by ``target_pred``) than under the raw
+    corpus, using hashed bag-of-token models; resampling keeps raw
+    docs with probability proportional to the weight.
+
+    Two documented deviations from the paper, both for engine-exact
+    reproducibility (the repo-wide no-transcendentals policy — see
+    quality_features / tfidf_topk): (1) the per-token log-ratio is
+    replaced by the Laplace-smoothed COUNT RATIO in ppm,
+    ``(tgt_n+1)*1e6 div (raw_n+1)``, and the per-doc score is the MEAN
+    over token occurrences; (2) the corpus-constant totals term
+    ((raw_total+B)/(tgt_total+B)) is omitted. Both transforms are
+    monotone per token / constant per corpus, so the RANKING that
+    importance resampling consumes is the paper's; every intermediate
+    is bigint-exact (no float summation order-dependence).
+
+    Scale shape: bucket counts are ONE combinable groupBy over the
+    n_buckets-sized key space with conditional sums (raw + target in
+    the same pass — the corpus is read once); the bucket table
+    (n_buckets rows, corpus-independent size) BROADCAST-joins back to
+    the token stream; the only doc-keyed shuffle is the final per-doc
+    aggregate. Output: (doc_id, n_tokens, dsir_ppm).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), target_pred.alias("_is_tgt"),
+        F.explode(_doc_token_array(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    counts = (
+        toks.select(bucket, "_is_tgt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.sum(F.col("_is_tgt").cast("bigint")).alias("tgt_n"),
+        )
+    )
+    weights = counts.select(
+        "bucket",
+        F.expr("CAST((tgt_n + 1) * 1000000 AS BIGINT) div CAST(raw_n + 1 AS BIGINT)").alias("w_ppm"),
+    )
+    return (
+        toks.select("doc_id", bucket)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("CAST(sum(w_ppm) AS BIGINT) div count(1)").alias("dsir_ppm"),
+        )
     )

@@ -5210,6 +5210,407 @@ def c7(spark, sf_dir):
     )
 
 
+@register(
+    "t14_url_dedup",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || doc_id
+             WHEN doc_id % 4 = 0 THEN
+               'HTTPS://WWW.Example' || (doc_id % 7) || '.com:443/path/'
+               || (doc_id % 50) || '/?utm_source=x&b=2&a=1#frag'
+             WHEN doc_id % 4 = 1 THEN
+               'https://example' || (doc_id % 7) || '.com/path/'
+               || (doc_id % 50) || '?a=1&b=2'
+             WHEN doc_id % 4 = 2 THEN
+               'http://Example' || (doc_id % 7) || '.com:80/path/'
+               || (doc_id % 50) || '/'
+             ELSE
+               'https://example' || (doc_id % 7) || '.com/path/'
+               || (doc_id % 50) || '?b=2&a=1&fbclid=zz&ref=tw'
+        END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
+      FROM parts_src
+    ),
+    canon AS (
+      SELECT doc_id,
+        CASE WHEN scheme <> '' THEN
+          scheme || '://' ||
+          (CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                ELSE regexp_replace(hostport, '^www\.', '') END) ||
+          regexp_replace(path0, '/$', '') ||
+          (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+        END AS url_canonical
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(rawq, '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))),
+            '&') AS q
+        FROM parts)
+    )
+    SELECT doc_id, url_canonical,
+      CASE WHEN url_canonical IS NULL THEN TRUE
+           ELSE doc_id = min(doc_id) OVER (PARTITION BY url_canonical) END AS keep,
+      CAST(CASE WHEN url_canonical IS NULL THEN 1
+                ELSE count(*) OVER (PARTITION BY url_canonical) END AS BIGINT) AS n_group
+    FROM canon
+    """.replace("FROM parts_src", "FROM urls"),
+)
+def t14(spark, sf_dir):
+    """Canonical-URL dedup (r7; text.py normalize_urls/url_dedup) —
+    the RefinedWeb stage-1 recipe: the same page crawled under case,
+    www, default-port, tracking-param, param-order, fragment and
+    trailing-slash variants collapses to ONE canonical key; dedup is a
+    single window shuffle on that key. The synthetic corpus has no URL
+    column, so messy variants are injected identically in both engines
+    from doc_id (the t13 HTML-injection pattern): four surface forms
+    per (host, path) group plus a malformed shape (doc_id%11) that
+    must canonicalise to NULL and never merge. Normalisation itself is
+    zero-shuffle pure codegen — at 100 TB it runs at parquet-scan
+    speed in map tasks."""
+    from cellphe_data_pipeline_spark.operators.text import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 7
+    p = F.col("doc_id") % 50
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("not a url "), F.col("doc_id"))
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), k, F.lit(".com:443/path/"),
+                p, F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://example"), k, F.lit(".com/path/"), p, F.lit("?a=1&b=2")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://Example"), k, F.lit(".com:80/path/"), p, F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), k, F.lit(".com/path/"),
+                p, F.lit("?b=2&a=1&fbclid=zz&ref=tw"),
+            )
+        )
+        .alias("url"),
+    )
+    return url_dedup(urls).select("doc_id", "url_canonical", "keep", "n_group")
+
+
+@register(
+    "c10_dsir_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, is_tgt, tok FROM (
+        SELECT doc_id, (lang = 'en' AND source = 'src0') AS is_tgt,
+               UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) t WHERE tok <> ''
+    ),
+    bucketed AS (
+      SELECT doc_id, is_tgt,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS raw_n,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+      FROM bucketed GROUP BY bucket
+    ),
+    weights AS (
+      SELECT bucket,
+             CAST((tgt_n + 1) * 1000000 AS BIGINT) // CAST(raw_n + 1 AS BIGINT) AS w_ppm
+      FROM counts
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(w.w_ppm) AS BIGINT) // COUNT(*) AS dsir_ppm
+    FROM bucketed b JOIN weights w USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def c10(spark, sf_dir):
+    """DSIR importance weights (r7; text.py dsir_importance) — hashed
+    bag-of-token importance scoring for data selection (Xie et al.,
+    NeurIPS 2023), with the target slice = English docs from src0.
+    Engine-exact integer form (count-ratio ppm, mean per token; the
+    corpus-constant totals term dropped — rank-preserving, see the
+    operator docstring). ONE combinable bucket groupBy (raw + target
+    counted in the same pass), a 1024-row BROADCAST join back, one
+    doc-keyed shuffle. All-bigint arithmetic — no float summation
+    order-dependence anywhere."""
+    from cellphe_data_pipeline_spark.operators.text import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, (F.col("lang") == "en") & (F.col("source") == "src0")
+    )
+
+
+@register(
+    "d14_containment_neardup",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN
+        'wrapper header boilerplate intro section ' || text ||
+        ' wrapper footer boilerplate outro section'
+      ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM aug
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    rare AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 5
+    ),
+    blocked AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN rare r USING (sh)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           round(CAST(i.n_inter AS DOUBLE) / LEAST(za.n, zb.n), 6) AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / LEAST(za.n, zb.n) >= 0.8
+    """,
+)
+def d14(spark, sf_dir):
+    """Containment near-dup pairs (r7; dedup.py
+    containment_near_duplicates) — the asymmetric-duplication case
+    MinHash/Jaccard structurally misses: docs nearly CONTAINED in
+    larger ones. The injection (identical in both engines) wraps
+    doc_id%10==1 docs in boilerplate, so any pre-existing near-dup
+    pair involving a wrapped doc becomes exactly the asymmetric case:
+    the wrapped doc keeps all the partner's shared shingles but its
+    own shingle set grew — Jaccard drops, containment holds.
+    Candidates come from rare-shingle blocking (freq <= 5), verify is
+    candidate-first; see the operator docstring for the linear-scale
+    argument."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        containment_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(
+                F.lit("wrapper header boilerplate intro section "),
+                F.col("text"),
+                F.lit(" wrapper footer boilerplate outro section"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return containment_near_duplicates(aug, threshold=0.8, max_shingle_freq=5)
+
+
+@register(
+    "e7_streaming_dedup_keys",
+    """
+    SELECT DISTINCT lang, md5(text) AS content_hash FROM documents
+    """,
+)
+def e7(spark, sf_dir):
+    """§2.11 streaming DEDUP runtime under the driver oracle (r7):
+    streaming_exact_dedup (dropDuplicatesWithinWatermark — the
+    watermark-evicting state store) drained with availableNow over the
+    staged documents corpus, keyed on (lang, md5(text)). Emitted rows
+    project ONLY the key columns: which physical row arrives first is
+    micro-batch-order-dependent, the distinct key set is not — so the
+    result is deterministic and equals the batch DISTINCT the oracle
+    computes. Completes the streaming-runtime trilogy: e5 = built-in
+    stateful agg, e6 = python stateful processor, e7 = the
+    key-dedup state store with watermark eviction (the streaming twin
+    of d1 exact dedup — how an always-on ingest keeps a corpus
+    duplicate-free without re-scanning it). Event time is synthesised
+    from doc_id (1s per doc past a fixed epoch) with a 30-day
+    watermark delay, far wider than any sf's id span, so no key can be
+    evicted mid-drain and the drain is exactly the batch answer."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.md5("text").alias("content_hash"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000)
+        ).alias("ts"),
+    )
+    staged = _stage_dir("e7_stream_dedup")  # fixed, wiped per run
+    docs.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    qname = "e7_dedup_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_exact_dedup(
+                stream, ["lang", "content_hash"], ts_col="ts", watermark="30 days"
+            )
+            .select("lang", "content_hash")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e7_streaming_dedup_keys: availableNow drain did not finish "
+                "in 300s — refusing to return a partially-filled sink table"
+            )
+    return spark.table(qname).select("lang", "content_hash")
+
+
+def _ann_recall_oracle_sql(dim: int | None = None, n_bits: int = 8, seed: int = 7, k: int = 5) -> str:
+    """DuckDB mirror of v11: v1's exact top-k and v2's SRP top-k over
+    the same capped corpus, joined into per-query recall (ppm,
+    integer-exact)."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_planes
+
+    dim = dim or EMB_DIM
+    planes = srp_planes(dim, n_bits, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) >= 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in plane), v=1 << m
+        )
+        for m, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 300),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+                 {bucket} AS bucket
+          FROM e),
+    exact_p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    exact_k AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM exact_p) t WHERE rank <= {k}
+    ),
+    srp_p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    srp_k AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM srp_p) t WHERE rank <= {k}
+    ),
+    hits AS (
+      SELECT e.vec_id, COUNT(s.neighbor_id) AS n_hit
+      FROM exact_k e LEFT JOIN srp_k s
+        ON s.vec_id = e.vec_id AND s.neighbor_id = e.neighbor_id
+      GROUP BY e.vec_id
+    ),
+    base AS (
+      SELECT vec_id, COUNT(*) AS n_exact FROM exact_k GROUP BY vec_id
+    )
+    SELECT b.vec_id, b.n_exact, h.n_hit,
+           CAST(h.n_hit * 1000000 AS BIGINT) // b.n_exact AS recall_ppm
+    FROM base b JOIN hits h USING (vec_id)
+    """
+
+
+@register("v11_ann_recall", _ann_recall_oracle_sql())
+def v11(spark, sf_dir):
+    """ANN quality evaluation (r7): recall@5 of the SRP-bucketed
+    search (v2) against the exact brute-force top-5 (v1) over the same
+    capped corpus — the measurement every production ANN deployment
+    runs before trusting an index (the FAISS/ScaNN evaluation loop).
+    Per query: n_exact, n_hit (approx results that appear in the exact
+    top-5) and recall in ppm, all bigint-exact (no float averaging).
+    Both sides reuse the registry operators unchanged; the hit count
+    is one (vec_id, neighbor_id) equi-join of two k-bounded tables —
+    at scale this evaluates on a SAMPLED probe set, which is exactly
+    what the vec_id cap expresses. Corpus capped at 300 vectors: the
+    exact side is the deliberately-quadratic baseline (the v1
+    rationale), so the gate stays O(1) as sf grows."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        srp_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    exact = cosine_topk_bruteforce(e, k=5).select("vec_id", "neighbor_id")
+    approx = srp_topk(e, dim=EMB_DIM, k=5).select(
+        F.col("vec_id"), F.col("neighbor_id").alias("srp_neighbor")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["vec_id"] == approx["vec_id"])
+            & (exact["neighbor_id"] == approx["srp_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["vec_id"].alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("srp_neighbor").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "vec_id",
+        "n_exact",
+        "n_hit",
+        F.expr("CAST(n_hit * 1000000 AS BIGINT) div n_exact").alias("recall_ppm"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -1369,3 +1369,117 @@ def test_incremental_neardup_matches_full_restriction(spark):
     )
     hits = incremental_near_duplicates(idx, new2, band_size=2).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in hits} >= {(1, 10), (3, 10)}
+
+
+def test_normalize_urls_canonical_forms(spark):
+    """r7: case/www/default-port/fragment/tracking-param/param-order/
+    trailing-slash variants collapse to one canonical; malformed URLs
+    canonicalise to NULL; non-default ports and foreign-scheme ports
+    survive."""
+    from cellphe_data_pipeline_spark.operators.text import normalize_urls, url_dedup
+
+    rows = [
+        (1, "HTTPS://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "https://example.com/a/b/?b=2&a=1&fbclid=zz"),
+        (4, "http://example.com/a/b"),          # scheme differs: distinct
+        (5, "https://example.com:8443/a/b"),    # non-default port kept
+        (6, "https://example.com:80/a/b"),      # :80 is NOT https default
+        (7, "not a url at all"),                # malformed -> NULL
+        (8, "https://example.com/"),            # root path -> stripped
+        (9, "https://example.com"),
+        (10, "https://example.com/a/b?ref=tw&utm_campaign=c"),  # all tracked
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r["doc_id"]: r["url_canonical"] for r in normalize_urls(df).collect()}
+    want = "https://example.com/a/b?a=1&b=2"
+    assert out[1] == want and out[2] == want and out[3] == want
+    assert out[4] == "http://example.com/a/b"
+    assert out[5] == "https://example.com:8443/a/b"
+    assert out[6] == "https://example.com:80/a/b"
+    assert out[7] is None
+    assert out[8] == "https://example.com" and out[9] == "https://example.com"
+    assert out[10] == "https://example.com/a/b"
+
+    dd = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert dd[1]["keep"] and dd[1]["n_group"] == 3
+    assert not dd[2]["keep"] and not dd[3]["keep"]
+    # malformed URLs are their own keepers, never merged
+    assert dd[7]["keep"] and dd[7]["n_group"] == 1
+
+
+def test_dsir_importance_python_oracle(spark):
+    """r7: bigint-exact DSIR-lite weights — checked against a direct
+    python reimplementation (same md5 bucketing, Laplace count-ratio
+    ppm, integer mean)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.text import dsir_importance
+
+    rows = [
+        (1, "alpha beta gamma alpha", True),
+        (2, "alpha beta", True),
+        (3, "delta epsilon zeta eta", False),
+        (4, "alpha delta alpha beta", False),
+        (5, "", False),  # empty: no tokens -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, is_tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, F.col("is_tgt"), n_buckets=64).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    raw, tgt = Counter(), Counter()
+    toks_by_doc = {}
+    for d, t, is_t in rows:
+        ts = [w for w in t.split() if w]
+        toks_by_doc[d] = ts
+        for w in ts:
+            raw[bucket(w)] += 1
+            if is_t:
+                tgt[bucket(w)] += 1
+    for d, _, _ in rows:
+        ts = toks_by_doc[d]
+        if not ts:
+            assert d not in out
+            continue
+        s = sum((tgt[bucket(w)] + 1) * 1_000_000 // (raw[bucket(w)] + 1) for w in ts)
+        assert out[d]["n_tokens"] == len(ts)
+        assert out[d]["dsir_ppm"] == s // len(ts)
+    # the semantic direction: target-like docs outscore off-target ones
+    assert out[1]["dsir_ppm"] > out[3]["dsir_ppm"]
+
+
+def test_containment_near_duplicates(spark):
+    """r7: a doc contained in a larger doc pairs at high containment
+    even when Jaccard is low; rare-shingle blocking still finds it;
+    unrelated docs don't pair; the frequency cap excludes pairs whose
+    only overlap is corpus-common boilerplate."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        containment_near_duplicates,
+        pairwise_jaccard,
+        word_shingles,
+    )
+
+    core = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, core),
+        # 2 contains 1 entirely, wrapped in lots of filler: low Jaccard
+        (2, "one two three four five six seven " + core + " eight nine ten eleven twelve thirteen"),
+        (3, "completely different words about nothing shared with others"),
+        (4, "more unrelated content speaking of other topics entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in containment_near_duplicates(df).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment"] == 1.0  # every shingle of 1 is in 2
+    assert all(k == (1, 2) for k in out)
+    # and Jaccard indeed misses it at the same 0.8 bar
+    jac = pairwise_jaccard(word_shingles(df), threshold=0.8).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
