@@ -5628,78 +5628,75 @@ def v11(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-6 window. r5's only red first: g5's ORACLE was fixed
-    #     (HUGEINT -> BIGINT cast; the Spark side was already correct)
-    #     and must now be driver-green ---
-    "g5_pagerank",
-    # --- changed-code re-verification this round: the d10 oracle now
-    #     thresholds the RAW jaccard (ADVICE), the TrackMate sink
-    #     escapes label metacharacters, and v8/v9 seed from the k
-    #     smallest DISTINCT ids (engine + oracle) ---
-    "d10_incremental_neardup",
-    "s16_trackmate_sink_roundtrip",
-    "v9_pq_topk",
-    "v8_kmeans_train",
-    # --- new in round 6 (never driver-proven) ---
-    "d9_shingle_novelty",
-    "d11_quality_keep_list",
-    "t11_vocab_oov",
-    "e5_streaming_rollup",
-    "e6_streaming_upsert_state",
+    # --- round-7 window ---
+    # new this round (never driver-proven)
+    "t14_url_dedup",
+    "c10_dsir_importance",
+    "d14_containment_neardup",
+    "e7_streaming_dedup_keys",
+    "v11_ann_recall",
+    # changed-code re-verification: html_to_text's quote-tolerant /
+    # unterminated-element patterns (t13), the keep-list's string-safe
+    # tie-break + replicated-cut routing (d11), the CC kernel/probe
+    # made id-type-agnostic + cut_lineage routing (g4/g4b/g5), the
+    # candidate-first Jaccard verify (d3, and d5 shares the function),
+    # 48-bit SimHash (d4/d13), the j7 half-stencil, and the tracker's
+    # penalty/alternative-cost surface (m3 family; defaults pinned
+    # bit-for-bit but the code paths are new)
     "t13_html_to_text",
-    "d12_line_dedup",
+    "d11_quality_keep_list",
+    "g4_connected_components",
+    "g4b_renumber_tracks",
+    "g5_pagerank",
+    "d3_minhash_near_dups",
+    "d5_pairwise_jaccard",
+    "d4_simhash",
     "d13_simhash_neardup",
-    # --- rotation tranche 1: displaced since rounds 1-3, the oldest
-    #     externally-verified cohort (P/J/A/W/O/U/F/G/D/T basics) ---
-    "a7_count_distinct",
-    "w1_lag_diff",
-    "w2_cumulative_sum",
-    "w3_first_value",
-    "w4_natsort_row_number",
-    "o1_multikey_sort_rank",
-    "o4_order_preserving_dedup",
-    "u1_union_all",
-    "u2_tagged_union",
-    "f1_f4_string_funcs",
-    "f11_json_extract",
-    "f13_recode",
-    "g1_edge_build",
-    "g2_degree",
-    "g3_roots",
-    "d1_exact_dedup",
-    "d2_shingle_counts",
-    "t1_quality_features",
-    "t2_language_id",
-    "t3_fingerprint",
-    # --- rotation tranche 2: queued for r5's window but displaced by
-    #     the late r5b/r5c additions (last driver-proven r1-r3) ---
-    "j6_positional_zip_join",
-    "a3_multistat_median",
-    "f3_lpad_two_pass",
-    "p1_p2_filter_min_obs",
-    "p4_filter_distinct",
-    "p5_duplicate_key_rows",
-    "p6_unique_key_rows",
-    "p7_p8_nonzero_nonnull",
-    "p9_p12_project_rename_cast",
-    "p13_stride_sample",
-    "j1_broadcast_dim_join",
-    "j2_composite_key_joinback",
-    "j3_lookup_join",
-    "j4_semi_join",
-    "j5_anti_join",
-    "a1_argmin_first_row",
-    "a2_group_count",
-    # --- (s2/s8/s8b/f16/a8 and tranche-2's a4/a5/a6 yielded their
-    #     slots to the eight new r6 queries; all stay driver-proven in
-    #     recorded CORRECTNESS files and queue for r7) ---
-    # --- behind the window (all driver-proven r4-r5, recorded in
-    #     CORRECTNESS_r04/r05.json; first in line for the r7 rotation):
-    #     the whole r5 window (v10/w9/w10/t7-t10/c4-c9/d3b/d8/e1-e4/
-    #     mm4/mm5/v5-v7/u6/j11/m1b/m3-m3e/m4/m6b/a5b/a12/g4b/s1/s5/
-    #     s6_s7/s9_s10/s11/s13/s14/s15/c7) and the r4-proven
-    #     d3-d7/d6b/v1-v4/j7-j10/t4-t6/c1-c3/u3/u5/w6-w8/o5/o6/
-    #     a8b/a9-a11/p3/p14/f9/f15/g4/m5/mm1-mm3 ---
+    "j7_density_grid_join",
+    "m3_tracking_links",
+    "m3b_gap_closing",
+    "m3c_split_merge",
+    "m3d_overlap_tracking",
+    "m3e_kalman_tracking",
+    "m1b_otsu_segmentation",
+    "a5b_mask_histogram",
+    # the oldest externally-proven queries in the registry: the a4-a6
+    # trio's last driver proof is CORRECTNESS_r03
+    "a4_group_sum_revenue",
+    "a5_value_histogram",
+    "a6_minmax_normalize",
+    # rotation tranche: the r4-proven cohort (last external proof
+    # CORRECTNESS_r04) — 25 of its 40 remaining members; the other 15
+    # (a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
+    # in line for the r8 window
+    "d6_embedding_neardup",
+    "d6b_srp_neardup",
+    "d7_dedup_clusters",
+    "v1_cosine_topk",
+    "v2_srp_topk",
+    "v3_ivf_topk",
+    "v4_probe_topk",
+    "j8_salted_join",
+    "j9_asof_join",
+    "j10_interval_join",
+    "t4_token_counts",
+    "t5_redact",
+    "t6_repetition",
+    "c1_corpus_curation",
+    "c2_chunking",
+    "c3_token_budget_shards",
+    "u3_u4_multi_concat",
+    "u5_intersect_except",
+    "w6_rank_lead_ntile",
+    "w7_session_window",
+    "w8_range_frame",
+    "o5_topk",
+    "o6_limit_per_group",
+    "a8_timeseries_stats",
+    "a8b_timeseries_wavelet",
+    # --- behind the window: every other registry query is driver-
+    # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
+    # basics; the full union is enforced by tests/test_registry.py) ---
 ]
 
 
