@@ -814,3 +814,92 @@ def dsir_importance(
             F.expr("CAST(sum(w_ppm) AS BIGINT) div count(1)").alias("dsir_ppm"),
         )
     )
+
+
+#: Gopher rule-set stopwords (Rae et al. 2021 §A1.1): a doc must
+#: contain at least 2 DISTINCT of these to pass the stop-word rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality rule set (r7) — the published heuristic gates
+    (Rae et al., "Scaling Language Models: ... Gopher", 2021 §A1.1)
+    that complement t1's continuous scores and t6's repetition
+    fractions with hard KEEP/DROP decisions:
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10];
+    - '#'-to-word and '...'-to-word symbol ratios <= 0.1;
+    - <= 90% of lines starting with a bullet ('-', '*', '•');
+    - <= 30% of lines ending with an ellipsis ('...' or '…');
+    - >= 80% of words containing at least one alphabetic character;
+    - >= 2 distinct stop words from the published 8-word list.
+
+    Output: (doc_id, n_words, mean_word_len, keep, fail_mask) where
+    ``fail_mask`` is a bitmask (1=word-count, 2=mean-word-length,
+    4=symbol-ratio, 8=bullet-lines, 16=ellipsis-lines, 32=alpha-words,
+    64=stop-words) — the audit column telling a curation run WHY each
+    doc fell, which the boolean alone cannot. Pure codegen expressions
+    (single divisions, no float accumulation): zero shuffle, a 100 TB
+    corpus streams through map tasks at scan speed.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "),
+                    lambda x: x != "")
+    n_words = F.size(toks).cast("bigint")
+    n_words_nz = F.when(n_words == 0, F.lit(None)).otherwise(n_words)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.round(total_chars.cast("double") / n_words_nz, 6)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("bigint")
+    n_ell = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3).cast("bigint")
+    n_ell = n_ell + (
+        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    ).cast("bigint")
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines).cast("bigint")
+    n_lines_nz = F.when(n_lines == 0, F.lit(None)).otherwise(n_lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•])( |$)"))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(F.transform(toks, F.lower), w),
+        )
+    ).cast("bigint")
+
+    fail_wc = (n_words < 50) | (n_words > 100_000)
+    fail_wl = (mean_wl.isNull()) | (mean_wl < 3.0) | (mean_wl > 10.0)
+    fail_sym = F.coalesce(
+        (n_hash.cast("double") / n_words_nz > 0.1)
+        | (n_ell.cast("double") / n_words_nz > 0.1),
+        F.lit(True),
+    )
+    fail_bullet = F.coalesce(n_bullet.cast("double") / n_lines_nz > 0.9, F.lit(True))
+    fail_ell = F.coalesce(n_ell_end.cast("double") / n_lines_nz > 0.3, F.lit(True))
+    fail_alpha = F.coalesce(n_alpha.cast("double") / n_words_nz < 0.8, F.lit(True))
+    fail_stop = n_stop < 2
+    mask = (
+        fail_wc.cast("bigint") * 1
+        + fail_wl.cast("bigint") * 2
+        + fail_sym.cast("bigint") * 4
+        + fail_bullet.cast("bigint") * 8
+        + fail_ell.cast("bigint") * 16
+        + fail_alpha.cast("bigint") * 32
+        + fail_stop.cast("bigint") * 64
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (mask == 0).alias("keep"),
+        mask.alias("fail_mask"),
+    )

@@ -5611,6 +5611,98 @@ def v11(spark, sf_dir):
     )
 
 
+@register(
+    "t15_gopher_rules",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN
+               '- item one' || chr(10) || '- item two' || chr(10) ||
+               '* item three' || chr(10) || text
+             WHEN doc_id % 13 = 0 THEN
+               text || chr(10) || 'to be continued...' || chr(10) ||
+               '### heading ##' || chr(10) || 'more…'
+             ELSE text END AS text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks,
+        list_filter(string_split(COALESCE(text, ''), chr(10)),
+                    x -> length(trim(x)) > 0) AS lines,
+        length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '#', '')) AS n_hash,
+        (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '...', ''))) // 3
+          + (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '…', ''))) AS n_ell
+      FROM aug
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CASE WHEN len(toks) > 0 THEN
+          round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+        END AS mean_word_len,
+        n_hash, n_ell,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])( |$)'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell_end,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                             w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS BIGINT) AS n_stop
+      FROM feat
+    ),
+    flags AS (
+      SELECT doc_id, n_words, mean_word_len,
+        CAST(n_words < 50 OR n_words > 100000 AS BIGINT) * 1
+        + CAST(mean_word_len IS NULL OR mean_word_len < 3.0 OR mean_word_len > 10.0 AS BIGINT) * 2
+        + CAST(COALESCE(CAST(n_hash AS DOUBLE) / NULLIF(n_words, 0) > 0.1
+                        OR CAST(n_ell AS DOUBLE) / NULLIF(n_words, 0) > 0.1, TRUE) AS BIGINT) * 4
+        + CAST(COALESCE(CAST(n_bullet AS DOUBLE) / NULLIF(n_lines, 0) > 0.9, TRUE) AS BIGINT) * 8
+        + CAST(COALESCE(CAST(n_ell_end AS DOUBLE) / NULLIF(n_lines, 0) > 0.3, TRUE) AS BIGINT) * 16
+        + CAST(COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) < 0.8, TRUE) AS BIGINT) * 32
+        + CAST(n_stop < 2 AS BIGINT) * 64 AS fail_mask
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           fail_mask = 0 AS keep, fail_mask
+    FROM flags
+    """,
+)
+def t15(spark, sf_dir):
+    """Gopher quality rule set (r7; text.py gopher_rules) — the
+    published hard gates (Rae et al. 2021 §A1.1: word-count and
+    mean-word-length bounds, #/ellipsis symbol ratios, bullet-start
+    and ellipsis-end line fractions, alpha-word fraction, the 2-of-8
+    stop-word requirement) with a per-rule fail BITMASK so a curation
+    run can audit WHY each doc fell. Bullet/ellipsis shapes are
+    injected identically in both engines (doc_id%9 / doc_id%13 — the
+    t13 pattern) since the synthetic corpus is single-line. Pure
+    codegen, zero shuffle; integer token-length sums (no float
+    accumulation)."""
+    from cellphe_data_pipeline_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit("- item one\n- item two\n* item three\n"), F.col("text")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nto be continued...\n### heading ##\nmore…"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_rules(aug)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5635,6 +5727,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "d14_containment_neardup",
     "e7_streaming_dedup_keys",
     "v11_ann_recall",
+    "t15_gopher_rules",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -5667,7 +5760,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
     # CORRECTNESS_r04) — 25 of its 40 remaining members; the other 15
-    # (a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
+    # (a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
     # in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
@@ -5693,7 +5786,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "o5_topk",
     "o6_limit_per_group",
     "a8_timeseries_stats",
-    "a8b_timeseries_wavelet",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---

@@ -1483,3 +1483,35 @@ def test_containment_near_duplicates(spark):
     # and Jaccard indeed misses it at the same 0.8 bar
     jac = pairwise_jaccard(word_shingles(df), threshold=0.8).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_gopher_rules_bitmask(spark):
+    """r7: each published Gopher gate trips its own bitmask bit; a
+    clean long doc keeps; empty/NULL docs fail closed."""
+    from cellphe_data_pipeline_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog have with be to of and"] * 5
+    )  # 65 words, mean len ~3.5, plenty of stopwords
+    rows = [
+        (1, good),
+        (2, "short doc"),  # word count + stopword fail
+        (3, " ".join(["a"] * 60)),  # mean word len < 3
+        (4, good + " " + " ".join(["#"] * 20)),  # hash symbol ratio > 0.1
+        (5, "\n".join(["- item " + str(i) + " of the have that be with list" for i in range(10)])),  # all bullet lines
+        (6, "\n".join([good] + ["so it goes on..." for _ in range(5)])),  # >30% ellipsis-end lines
+        (7, " ".join(["123 456 789"] * 20) + " the of"),  # alpha-word frac < 0.8
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] and out[1]["fail_mask"] == 0
+    assert out[2]["fail_mask"] & 1
+    assert out[3]["fail_mask"] & 2
+    assert out[4]["fail_mask"] & 4 and not (out[4]["fail_mask"] & 1)
+    assert out[5]["fail_mask"] & 8
+    assert out[6]["fail_mask"] & 16
+    assert out[7]["fail_mask"] & 32
+    for d in (8, 9):
+        assert not out[d]["keep"] and out[d]["fail_mask"] > 0
