@@ -29,6 +29,14 @@ Scale design of ``density_self_join``:
 - At 100 TB: shuffle volume is ~10x the point set (9x build + 1x
   probe), independent of frame population; the quadratic blow-up the
   reference hit cannot occur. Hot frames are split by AQE skew-join.
+- The grid equi-join is pinned to a SHUFFLED HASH join (probe-side
+  hint) rather than sort-merge (r7): grid keys are massively
+  duplicated (hundreds of points per cell), and SMJ's per-key buffer
+  handling made the join 9-12x slower than SHJ at sf0.1 (measured:
+  j7 13.0s -> 1.1s, identical output). The hinted (hash-map) side is
+  the UN-exploded point set, so per-task maps hold ~points/partitions
+  rows — bounded by shuffle-partition sizing exactly like any other
+  aggregation state, and SHJ spills if oversized.
 """
 
 from __future__ import annotations
@@ -132,7 +140,7 @@ def density_self_join(
     # cheap id predicate FIRST: halves same-cell candidates before the
     # distance arithmetic runs (cross-cell pairs are unique already)
     pairs = (
-        probe.join(build, ["_f", "_cx", "_cy"])
+        probe.hint("SHUFFLE_HASH").join(build, ["_f", "_cx", "_cy"])
         .filter(
             (~F.col("_same") | (F.col("_id") < F.col("_bid")))
             & (dx * dx + dy * dy <= F.lit(r * r))
@@ -245,7 +253,7 @@ def interval_self_join_count(
         .select("_bkey", "_bus", (F.col("_bb") + F.col("_o")).alias("_b"))
     )
     counts = (
-        probe.join(build, "_b")
+        probe.hint("SHUFFLE_HASH").join(build, "_b")
         .filter(
             (F.col("_key") != F.col("_bkey"))
             & (F.abs(F.col("_us") - F.col("_bus")) <= F.lit(win_us))
@@ -331,7 +339,7 @@ def nearest_neighbor_join(
     if exclude_self:
         pair_filter = (F.col("_pid") != F.col("_bid")) & pair_filter
     return (
-        probe.join(build, ["_f", "_cx", "_cy"])
+        probe.hint("SHUFFLE_HASH").join(build, ["_f", "_cx", "_cy"])
         .filter(pair_filter)
         .select("_f", "_pid", "_bid", d2.alias("_d2"))
         .groupBy("_f", "_pid")

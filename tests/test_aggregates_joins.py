@@ -306,3 +306,38 @@ def test_merge_upsert_plan_no_join(spark):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert "No Partition Defined" not in p
+
+
+def test_grid_joins_use_shuffled_hash(spark):
+    """r7: the grid equi-joins (density, interval, spatial-NN) must
+    plan as ShuffledHashJoin, not SortMergeJoin — grid keys are
+    massively duplicated (hundreds of rows per cell) and SMJ's
+    per-key-group handling measured 9-12x slower at sf0.1
+    (j7: 13.0s -> 1.1s, identical output)."""
+    from cellphe_data_pipeline_spark.operators.joins import (
+        density_self_join,
+        interval_self_join_count,
+        nearest_neighbor_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, float(i % 7), float(i % 5), i) for i in range(40)],
+        "frame int, x double, y double, id int",
+    )
+    plans = [
+        density_self_join(pts, "frame", "x", "y", "id", 2.0)
+        ._jdf.queryExecution().executedPlan().toString(),
+        nearest_neighbor_join(pts, pts, "frame", "x", "y", "id", 2.0)
+        ._jdf.queryExecution().executedPlan().toString(),
+    ]
+    ev = spark.createDataFrame(
+        [(i, i % 3, 1_700_000_000_000_000 + i * 1_000_000) for i in range(40)],
+        "id int, key int, us long",
+    ).selectExpr("id", "key", "timestamp_micros(us) AS ts")
+    plans.append(
+        interval_self_join_count(ev, "ts", "id", "key", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for p in plans:
+        assert "ShuffledHashJoin" in p, p[:600]
+        assert "CartesianProduct" not in p
