@@ -5703,6 +5703,64 @@ def t15(spark, sf_dir):
     return gopher_rules(aug)
 
 
+@register(
+    "e8_streaming_interval_join",
+    """
+    SELECT a.event_id AS l_id, b.event_id AS r_id,
+           a.user_id AS l_key, b.user_id AS r_key,
+           a.ts AS l_ts, b.ts AS r_ts
+    FROM events a JOIN events b
+      ON a.user_id <> b.user_id
+     AND b.ts >= a.ts - INTERVAL 60 SECOND
+     AND b.ts <= a.ts + INTERVAL 60 SECOND
+    """,
+)
+def e8(spark, sf_dir):
+    """§2.11 STREAM-STREAM JOIN runtime under the driver oracle (r7):
+    streaming_interval_pairs (watermarked bucket-keyed stream-stream
+    interval self-join) drained with availableNow — the fourth
+    verified streaming runtime, covering the join-state machinery the
+    agg (e5), python-state (e6) and dedup-state (e7) paths don't
+    touch. INNER stream-stream joins emit matches as both sides
+    arrive, so the bounded drain produces exactly the batch pair set;
+    each ordered pair appears once (a build row's 3 bucket copies
+    contain exactly one copy matching the probe's bucket when
+    |Δt| <= window = bucket size). The gate uses a 30-day watermark so
+    no join state can be evicted mid-drain whatever order the staged
+    parquet is read in — a production deployment would use the tight
+    watermark (the operator's default 10 minutes) to bound state; the
+    semantics of emitted pairs are identical, late data aside."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_interval_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    staged = _stage_dir("e8_stream_interval")  # fixed, wiped per run
+    ev.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    qname = "e8_interval_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_interval_pairs(
+                stream, window_seconds=60, watermark="30 days"
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e8_streaming_interval_join: availableNow drain did not "
+                "finish in 300s — refusing to return a partial pair set"
+            )
+    return spark.table(qname).select(
+        "l_id", "r_id", "l_key", "r_key", "l_ts", "r_ts"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5728,6 +5786,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e7_streaming_dedup_keys",
     "v11_ann_recall",
     "t15_gopher_rules",
+    "e8_streaming_interval_join",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -5760,7 +5819,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
     # CORRECTNESS_r04) — 25 of its 40 remaining members; the other 15
-    # (a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
+    # (a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
     # in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
@@ -5785,7 +5844,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "w8_range_frame",
     "o5_topk",
     "o6_limit_per_group",
-    "a8_timeseries_stats",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---
