@@ -1136,3 +1136,47 @@ def mask_pixels(masks: DataFrame) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return masks.mapInPandas(pix, PIXEL_SCHEMA)
+
+
+def frame_dhash(frames: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per frame (r7) — the image
+    counterpart of text SimHash for MULTIMODAL corpus dedup: resize to
+    (hash_h, hash_w+1) is the textbook form; this engine resizes to
+    (hash_h, hash_w) with the engine's own area kernel and compares
+    horizontally adjacent pixels, giving hash_h*(hash_w-1) bits
+    (8x8 -> 56 bits — deliberately < 63 so the code is a positive
+    BIGINT, same signed-portability contract as simhash_codes).
+    Brightness/contrast shifts preserve pixel ORDER, so re-encoded or
+    re-exposed copies of an image collide — exactly the near-dup class
+    a crawl's image corpus needs collapsed. Pair via
+    dedup.hamming_code_pairs (the shared Manku band machinery).
+
+    Plumbing: resize_frames (exact block-mean; input dims must be
+    integer multiples of 8) then one Arrow map computing the bit pack —
+    stateless, no shuffle; output (path, frame_index, dhash).
+    """
+    small = resize_frames(frames, hash_h, hash_w, method="area")
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dt = _raster_dtype(r["data"], hash_h, hash_w)
+                a = np.frombuffer(r["data"], dtype=dt).reshape(hash_h, hash_w)
+                bits = (a[:, :-1] > a[:, 1:]).ravel()
+                code = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        code |= 1 << i
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "frame_index": int(r["frame_index"]),
+                        "dhash": code,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_index", "dhash"]
+            ).astype({"frame_index": "int32", "dhash": "int64"})
+
+    return small.mapInPandas(dh, "path string, frame_index int, dhash bigint")

@@ -295,13 +295,37 @@ def simhash_near_duplicates(
     doc, one equi-join on (band, band_value), verify = two id-keyed
     joins + a codegen popcount; the final distinct runs over the tiny
     near-dup pair set. Every shuffle is keyed; no cartesian."""
+    codes = cut_lineage(simhash_codes(df, text_col, id_col, n_bits), eager=False, name="simhash")
+    return hamming_code_pairs(
+        codes, id_col="doc_id", code_col="simhash",
+        n_bits=n_bits, max_hamming=max_hamming,
+    )
+
+
+def hamming_code_pairs(
+    codes: DataFrame,
+    id_col: str = "doc_id",
+    code_col: str = "simhash",
+    n_bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Manku pigeonhole pairing over ANY integer-code relation (r7 —
+    factored out of :func:`simhash_near_duplicates` so the same scale
+    machinery serves every fingerprint family: text SimHash (d13),
+    image dHash (mm6), audio fingerprints). Codes within Hamming
+    distance ``max_hamming`` must agree exactly on one of the
+    ``max_hamming + 1`` disjoint bit bands; candidates come from the
+    band-equality self-join, the exact popcount(xor) verify runs on
+    candidates only. Band-selectivity contract as documented on
+    :func:`simhash_near_duplicates`. Output: (doc_a, doc_b, hamming).
+    """
     if n_bits // (max_hamming + 1) < 1:
         raise ValueError(
             f"n_bits={n_bits} yields zero-width bands for max_hamming={max_hamming}"
             " (need n_bits >= max_hamming + 1): every pair would collide"
             " in the zero-width bands — an all-pairs explosion, not a filter"
         )
-    codes = cut_lineage(simhash_codes(df, text_col, id_col, n_bits), eager=False, name="simhash")
+    codes = codes.select(F.col(id_col).alias("doc_id"), F.col(code_col).alias("simhash"))
     n_bands = max_hamming + 1
     width = n_bits // n_bands
     band_cols = []

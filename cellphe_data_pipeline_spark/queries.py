@@ -5761,6 +5761,77 @@ def e8(spark, sf_dir):
     )
 
 
+@register(
+    "mm6_image_dhash_neardup",
+    """
+    SELECT * FROM (VALUES
+      ('img0.fake', 'img1.fake', CAST(0 AS BIGINT)),
+      ('img0.fake', 'img2.fake', CAST(2 AS BIGINT)),
+      ('img1.fake', 'img2.fake', CAST(2 AS BIGINT)),
+      ('img5.fake', 'img6.fake', CAST(0 AS BIGINT))
+    ) AS t(doc_a, doc_b, hamming)
+    """,
+)
+def mm6(spark, sf_dir):
+    """Multimodal IMAGE near-dup pairing (r7): dHash perceptual codes
+    (domain/images.frame_dhash — the engine's own exact block-mean
+    resize + adjacent-pixel comparisons, 56-bit positive-bigint codes)
+    paired through the SAME Manku band machinery as text SimHash
+    (dedup.hamming_code_pairs) — one fingerprint-pairing scale path
+    shared across modalities. Golden fixture (deterministic gradients,
+    both engines see literals): a sparse-noise copy collides exactly
+    (dHash ignores sub-block noise), a +40 brightness-saturated copy
+    lands at hamming 2 (order mostly preserved), two constant images
+    collide at 0, and the three genuinely different images pair with
+    nothing. Cross-checked by an independent numpy oracle in
+    tests/test_domain.py. Decode is the FAKE codec (real codecs
+    absent — the documented environment wall); the Spark plumbing
+    (binary payloads → Arrow resize/hash kernels → band join) is the
+    real 100 TB path."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        frame_dhash,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.operators.dedup import hamming_code_pairs
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    i0 = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    i1 = i0.astype(int).copy()
+    for (py, px) in [(3, 4), (10, 20), (25, 7), (31, 31)]:
+        i1[py, px] = min(255, i1[py, px] + 2)
+    imgs = {
+        "img0.fake": i0,
+        "img1.fake": i1.astype(np.uint8),
+        "img2.fake": np.minimum(255, i0.astype(int) + 40).astype(np.uint8),
+        "img3.fake": ((xx * 13 + yy * 5) % 256).astype(np.uint8),
+        "img4.fake": (((31 - xx) * 7 + yy * 3) % 256).astype(np.uint8),
+        "img5.fake": np.full((32, 32), 128, np.uint8),
+        "img6.fake": np.full((32, 32), 200, np.uint8),
+        "img7.fake": ((xx * yy + xx * 29) % 256).astype(np.uint8),
+    }
+    rows = [
+        (
+            name,
+            bytearray(
+                FAKE_MAGIC
+                + np.array([32, 32, 1], dtype="<u4").tobytes()
+                + _zlib.compress(img.tobytes())
+            ),
+        )
+        for name, img in imgs.items()
+    ]
+    bins = spark.createDataFrame(rows, "path string, content binary")
+    codes = frame_dhash(split_frames(bins))
+    return hamming_code_pairs(
+        codes, id_col="path", code_col="dhash", n_bits=56, max_hamming=3
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5787,6 +5858,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v11_ann_recall",
     "t15_gopher_rules",
     "e8_streaming_interval_join",
+    "mm6_image_dhash_neardup",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -5819,7 +5891,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
     # CORRECTNESS_r04) — 25 of its 40 remaining members; the other 15
-    # (a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
+    # (o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
     # in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
@@ -5843,7 +5915,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "w7_session_window",
     "w8_range_frame",
     "o5_topk",
-    "o6_limit_per_group",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---

@@ -2597,3 +2597,43 @@ def test_trackmate_xml_sink_escapes_label_metacharacters(spark):
     assert rows[1]["LABEL"] == nasty
     assert rows[2]["LABEL"] == "plain"
     assert rows[1]["boundary_flat"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_frame_dhash_numpy_oracle(spark):
+    """r7: 56-bit dHash codes from the engine's resize+compare kernels
+    equal an independent numpy implementation (block mean, half-up
+    rounding, adjacent-column comparisons); brightness shift preserves
+    the code family (small hamming), constants hash to 0."""
+    import zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        frame_dhash,
+        split_frames,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    imgs = {
+        "a.fake": ((xx * 7 + yy * 3) % 256).astype(np.uint8),
+        "b.fake": np.minimum(255, ((xx * 7 + yy * 3) % 256) + 40).astype(np.uint8),
+        "c.fake": np.full((32, 32), 9, np.uint8),
+    }
+    rows = [
+        (n, bytearray(FAKE_MAGIC + np.array([32, 32, 1], "<u4").tobytes()
+                      + zlib.compress(im.tobytes())))
+        for n, im in imgs.items()
+    ]
+    bins = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r["dhash"] for r in frame_dhash(split_frames(bins)).collect()}
+
+    def oracle(img):
+        a = np.floor(img.reshape(8, 4, 8, 4).mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+        bits = (a[:, :-1] > a[:, 1:]).ravel()
+        return sum(1 << i for i, b in enumerate(bits) if b)
+
+    for n, im in imgs.items():
+        assert got[n] == oracle(im)
+    assert got["c.fake"] == 0
+    assert bin(got["a.fake"] ^ got["b.fake"]).count("1") <= 3
