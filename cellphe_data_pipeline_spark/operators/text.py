@@ -903,3 +903,45 @@ def gopher_rules(
         (mask == 0).alias("keep"),
         mask.alias("fail_mask"),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir-v1",
+) -> DataFrame:
+    """Importance RESAMPLING over DSIR weights (r7) — the second half
+    of the Xie et al. 2023 recipe: keep each raw document with
+    probability proportional to its importance weight (clipped at 1).
+    The acceptance test is a SEEDED-HASH Bernoulli draw —
+    ``md5(seed || doc_id)`` mapped to [0, 1e6) and compared against
+    the ppm weight — so the sample is deterministic across engines,
+    runs, partitionings and scale factors (the c4/c9 seeded-md5
+    contract; changing ``seed`` versions the sample). Docs with
+    weight >= 1e6 ppm (more likely under target than raw) are always
+    kept; a doc at 250k ppm survives with p=0.25.
+
+    Scale: dsir_importance's shapes (one bucket groupBy + broadcast
+    join + doc-keyed shuffle) plus a pure-codegen accept column — no
+    extra shuffle. Output: (doc_id, n_tokens, dsir_ppm, draw_ppm,
+    keep); ``filter(keep)`` is the resampled corpus.
+    """
+    w = dsir_importance(df, target_pred, text_col, id_col, n_buckets)
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_ppm",
+        draw.alias("draw_ppm"),
+        (draw < F.least(F.lit(1_000_000).cast("bigint"), F.col("dsir_ppm"))).alias("keep"),
+    )

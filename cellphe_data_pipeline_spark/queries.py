@@ -5832,6 +5832,127 @@ def mm6(spark, sf_dir):
     )
 
 
+@register(
+    "c11_dsir_resample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, is_tgt, tok FROM (
+        SELECT doc_id, (lang = 'en' AND source = 'src0') AS is_tgt,
+               UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) t WHERE tok <> ''
+    ),
+    bucketed AS (
+      SELECT doc_id, is_tgt,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS raw_n,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+      FROM bucketed GROUP BY bucket
+    ),
+    weights AS (
+      SELECT bucket,
+             CAST((tgt_n + 1) * 1000000 AS BIGINT) // CAST(raw_n + 1 AS BIGINT) AS w_ppm
+      FROM counts
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(w.w_ppm) AS BIGINT) // COUNT(*) AS dsir_ppm
+      FROM bucketed b JOIN weights w USING (bucket)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_ppm,
+           ('0x' || substring(md5('dsir-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000 AS draw_ppm,
+           ('0x' || substring(md5('dsir-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000 < LEAST(1000000, dsir_ppm) AS keep
+    FROM scored
+    """,
+)
+def c11(spark, sf_dir):
+    """DSIR importance RESAMPLING (r7; text.py dsir_resample) — the
+    second half of the Xie et al. recipe: a seeded-md5 Bernoulli draw
+    in ppm against each doc's clipped importance weight, so the
+    resampled corpus is deterministic across engines/runs/partitionings
+    (the c4/c9 seeded-hash contract). Composes c10's weights; the
+    accept column is pure codegen, no extra shuffle."""
+    from cellphe_data_pipeline_spark.operators.text import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, (F.col("lang") == "en") & (F.col("source") == "src0")
+    )
+
+
+def _streaming_minhash_oracle_sql() -> str:
+    return f"""
+    WITH bands AS ({_minhash_bands_only_sql()}),
+    p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           epoch_ms((1700000000 + doc_b) * 1000) AS ts_b
+    FROM p
+    """
+
+
+@register("e9_streaming_minhash_neardup", _streaming_minhash_oracle_sql())
+def e9(spark, sf_dir):
+    """§2.11 streaming INGEST-TIME NEAR-DUP runtime under the driver
+    oracle (r7): streaming_minhash_neardup — stateless expression-form
+    MinHash band keys, watermarked band-keyed stream-stream self-join,
+    CHAINED dropDuplicatesWithinWatermark pair collapse (two stateful
+    operators in one streaming plan, Spark >= 3.4) — drained with
+    availableNow and matched against the batch band-collision pair set
+    (the d3b signature layer joined on itself). The fifth verified
+    streaming runtime, and the one closest to a production corpus
+    ingest: every arriving doc is checked against the standing window
+    without re-scanning the corpus. Event time synthesised from doc_id
+    (1s apart past a fixed epoch); the gate uses a horizon and
+    watermark far wider than any sf's id span so the emitted pair set
+    is exactly the batch answer (ts ordering == id ordering, so pair
+    orientation doc_a < doc_b is deterministic)."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_minhash_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_micros(
+            (F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000)
+        ).alias("ts"),
+    )
+    staged = _stage_dir("e9_stream_minhash")  # fixed, wiped per run
+    docs.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    qname = "e9_minhash_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_minhash_neardup(
+                stream, horizon_seconds=10_000_000, watermark="30 days"
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e9_streaming_minhash_neardup: availableNow drain did not "
+                "finish in 300s — refusing to return a partial pair set"
+            )
+    return spark.table(qname).select("doc_a", "doc_b", "ts_b")
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5859,6 +5980,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "t15_gopher_rules",
     "e8_streaming_interval_join",
     "mm6_image_dhash_neardup",
+    "e9_streaming_minhash_neardup",
+    "c11_dsir_resample",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -5890,9 +6013,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "a5_value_histogram",
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
-    # CORRECTNESS_r04) — 25 of its 40 remaining members; the other 15
-    # (o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14, s2/s8/s8b) are first
-    # in line for the r8 window
+    # CORRECTNESS_r04) — 21 of its 40 remaining members; the other 19
+    # (w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14,
+    # s2/s8/s8b) are first in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
     "d7_dedup_clusters",
@@ -5913,8 +6036,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "u5_intersect_except",
     "w6_rank_lead_ntile",
     "w7_session_window",
-    "w8_range_frame",
-    "o5_topk",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---
