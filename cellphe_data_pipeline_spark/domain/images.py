@@ -1155,6 +1155,13 @@ def frame_dhash(frames: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFram
     integer multiples of 8) then one Arrow map computing the bit pack —
     stateless, no shuffle; output (path, frame_index, dhash).
     """
+    n_code_bits = hash_h * (hash_w - 1)
+    if n_code_bits > 62:
+        raise ValueError(
+            f"hash dims {hash_h}x{hash_w} need {n_code_bits} code bits; "
+            "max 62 so the code stays a positive signed BIGINT "
+            "(same contract as simhash_codes)"
+        )
     small = resize_frames(frames, hash_h, hash_w, method="area")
 
     def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

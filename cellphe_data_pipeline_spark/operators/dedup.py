@@ -85,7 +85,15 @@ def pairwise_jaccard(shingles: DataFrame, threshold: float, candidates: DataFram
     oracle-verifiable baseline for capped test corpora (d5)."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
-        cand = candidates.select("doc_a", "doc_b").distinct()
+        # orientation guard (r7 review): the r6 semi-join form silently
+        # IGNORED reversed/self candidate rows; the candidate-first
+        # inner join would compute them, so restore that contract
+        # explicitly before the distinct
+        cand = (
+            candidates.select("doc_a", "doc_b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
         a = cand.join(
             shingles.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a"
         )
@@ -540,14 +548,25 @@ def dedup_keep_list(
         "doc_id",
     )
     # max quality, tie -> LOWEST doc id: one combinable aggregate via
-    # min(struct(-q, doc_id)) — no window, no second shuffle. The
-    # NEGATED-QUALITY form (rather than negating the id) keeps the id
-    # opaque, so string-keyed corpora (valid throughout the minhash
+    # min(struct(is_null, -q, doc_id)) — no window, no second shuffle.
+    # The NEGATED-QUALITY form (rather than negating the id) keeps the
+    # id opaque, so string-keyed corpora (valid throughout the minhash
     # path) work; only ``quality_col`` must be numeric, which a quality
-    # SCORE is by construction.
+    # SCORE is by construction. The leading is-null flag makes NULL
+    # quality LOSE to any scored member (r7 review: a bare min() would
+    # rank the NULL struct field first, crowning the unscored dup);
+    # all-NULL clusters fall through to the lowest id.
     canon = (
         members.groupBy("cluster_id")
-        .agg(F.min(F.struct((-F.col("_q")).alias("_nq"), F.col("doc_id").alias("_id"))).alias("m"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_q").isNull().cast("int").alias("_qnull"),
+                    (-F.col("_q")).alias("_nq"),
+                    F.col("doc_id").alias("_id"),
+                )
+            ).alias("m")
+        )
         .select("cluster_id", F.col("m._id").alias("canonical"))
     )
     labeled = clusters.join(canon, "cluster_id").select(

@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellphe_data_pipeline_spark.checkpoint import cut_lineage
-
 
 def publish_bucketed(
     df: DataFrame,
@@ -104,7 +102,13 @@ def global_row_number(
        (equal keys co-locate, so numbering is deterministic whenever
        `order_cols` is a total order, which every caller guarantees).
        The layout is pinned with ``localCheckpoint`` so pass 2 sees the
-       identical assignment.
+       identical assignment. DELIBERATELY not `cut_lineage` (r7): the
+       replicated parquet cut does NOT preserve task layout — the
+       re-read bin-packs/splits partition files, so a task could see
+       rows of several ``_pid``s and pass 2's offset arithmetic would
+       number them wrongly. The pin here is consumed by exactly the
+       next two jobs, so executor loss inside that window is an
+       ordinary job retry, not a durability gap.
     2. Per-partition row counts (≤ num_parts rows) come back to the
        driver, prefix-sum to offsets, and an Arrow-batched
        ``mapInPandas`` adds ``offset + position_in_partition`` — no
@@ -120,12 +124,10 @@ def global_row_number(
         num_parts = max(2, spark.sparkContext.defaultParallelism)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     arranged = (
-        cut_lineage(
-            df.repartitionByRange(num_parts, *cols)
-            .sortWithinPartitions(*cols)
-            .withColumn("_pid", F.spark_partition_id()),
-            name="arranged",
-        )
+        df.repartitionByRange(num_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # layout-pinning: see docstring
     )
     counts = {
         r["_pid"]: r["n"]

@@ -739,7 +739,18 @@ def url_dedup(
     size 1, never merged. Output: (doc_id, url_canonical, keep,
     n_group)."""
     normed = normalize_urls(df, url_col, id_col)
-    w = Window.partitionBy("url_canonical")
+    # NULL canonicals (malformed URLs — a non-trivial fraction of any
+    # real crawl) would all land in the window's single NULL partition
+    # even though their keep/n_group are constant-overridden below: a
+    # straggler task at scale (r7 review). Partitioning by a per-doc
+    # salted key for NULLs spreads them while leaving real groups
+    # untouched; \0 prefix cannot collide with a canonical URL.
+    w = Window.partitionBy(
+        F.coalesce(
+            F.col("url_canonical"),
+            F.concat(F.lit("\x00malformed:"), F.col("doc_id").cast("string")),
+        )
+    )
     return normed.select(
         "doc_id",
         "url_canonical",
@@ -773,10 +784,15 @@ def dsir_importance(
     replaced by the Laplace-smoothed COUNT RATIO in ppm,
     ``(tgt_n+1)*1e6 div (raw_n+1)``, and the per-doc score is the MEAN
     over token occurrences; (2) the corpus-constant totals term
-    ((raw_total+B)/(tgt_total+B)) is omitted. Both transforms are
-    monotone per token / constant per corpus, so the RANKING that
-    importance resampling consumes is the paper's; every intermediate
-    is bigint-exact (no float summation order-dependence).
+    ((raw_total+B)/(tgt_total+B)) is omitted. Deviation (2) IS
+    rank-preserving (a positive constant factor). Deviation (1) is
+    NOT in general — a monotone per-token transform does not commute
+    with the per-doc mean, so heavy-tailed documents (one extreme
+    bucket) can rank differently than under the paper's log form,
+    which compresses outlier tokens. It is a deliberately different,
+    documented scoring rule with the same direction of signal,
+    chosen so every intermediate is bigint-exact (no float summation
+    order-dependence, no libm divergence).
 
     Scale shape: bucket counts are ONE combinable groupBy over the
     n_buckets-sized key space with conditional sums (raw + target in
@@ -869,10 +885,13 @@ def gopher_rules(
         F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
     ).cast("bigint")
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    # ONE lowercase pass + set intersection (r7 review: a per-stopword
+    # filter lambda re-evaluated transform(toks, lower) 8x per row —
+    # Catalyst does not CSE across higher-order-function lambdas)
     n_stop = F.size(
-        F.filter(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(F.transform(toks, F.lower), w),
         )
     ).cast("bigint")
 

@@ -5354,8 +5354,9 @@ def c10(spark, sf_dir):
     bag-of-token importance scoring for data selection (Xie et al.,
     NeurIPS 2023), with the target slice = English docs from src0.
     Engine-exact integer form (count-ratio ppm, mean per token; the
-    corpus-constant totals term dropped — rank-preserving, see the
-    operator docstring). ONE combinable bucket groupBy (raw + target
+    corpus-constant totals term dropped — that drop is
+    rank-preserving, the count-ratio-for-log swap is a documented
+    scoring deviation, see the operator docstring). ONE combinable bucket groupBy (raw + target
     counted in the same pass), a 1024-row BROADCAST join back, one
     doc-keyed shuffle. All-bigint arithmetic — no float summation
     order-dependence anywhere."""
@@ -5647,8 +5648,8 @@ def v11(spark, sf_dir):
         CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])( |$)'))) AS BIGINT) AS n_bullet,
         CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell_end,
         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-                             w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS BIGINT) AS n_stop
+        CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
       FROM feat
     ),
     flags AS (

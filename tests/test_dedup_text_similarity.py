@@ -1515,3 +1515,40 @@ def test_gopher_rules_bitmask(spark):
     assert out[7]["fail_mask"] & 32
     for d in (8, 9):
         assert not out[d]["keep"] and out[d]["fail_mask"] > 0
+
+
+def test_dedup_keep_list_null_quality_loses(spark):
+    """r7 review: a NULL-quality member must never win the canonical
+    pick over a scored member (min(struct) would rank the NULL field
+    first without the leading is-null flag); an all-NULL cluster falls
+    back to the lowest id."""
+    from cellphe_data_pipeline_spark.operators.dedup import dedup_keep_list
+
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh", 10),
+        (2, "aa bb cc dd ee ff gg hh", None),   # dup of 1, unscored
+        (3, "xx yy zz ww vv uu tt ss", None),   # all-NULL cluster {3,4}
+        (4, "xx yy zz ww vv uu tt ss", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    out = {r["doc_id"]: r for r in dedup_keep_list(df, band_size=2).collect()}
+    assert out[1]["keep"] and not out[2]["keep"] and out[2]["replaced_by"] == 1
+    assert out[3]["keep"] and not out[4]["keep"] and out[4]["replaced_by"] == 3
+
+
+def test_pairwise_jaccard_ignores_reversed_and_self_candidates(spark):
+    """r7 review: reversed or self candidate rows are ignored (the r6
+    semi-join contract), not computed."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        pairwise_jaccard,
+        word_shingles,
+    )
+
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = word_shingles(df)
+    cands = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (3, 3)], "doc_a bigint, doc_b bigint"
+    )
+    out = pairwise_jaccard(sh, threshold=0.5, candidates=cands).collect()
+    assert len(out) == 1 and (out[0]["doc_a"], out[0]["doc_b"]) == (1, 2)
