@@ -964,3 +964,119 @@ def dsir_resample(
         draw.alias("draw_ppm"),
         (draw < F.least(F.lit(1_000_000).cast("bigint"), F.col("dsir_ppm"))).alias("keep"),
     )
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sentence segmentation (r7) — the unit-of-dedup prep for
+    sentence-level pipelines (CCNet dedups paragraphs/sentences, not
+    documents): split on terminal-punctuation runs followed by
+    whitespace. Deliberately lookaround-free (``[.!?]+\\s+`` as the
+    separator — RE2 has no lookbehind, so the "keep the punctuation"
+    variant would not be oracle-portable); terminal punctuation is
+    dropped, which is exactly what a dedup hash wants anyway
+    (trailing-punctuation variants should collide).
+
+    Output: (doc_id, sent_id 1-based, sentence, sent_hash md5) — the
+    hash column feeds exact/line-style dedup (d1/d12) at sentence
+    granularity for free. One codegen split + posexplode, zero
+    shuffle; empty/whitespace sentences are dropped.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+\s+"),
+            # strip the document-final sentence's terminal run too, so
+            # every sentence is punctuation-normalised identically
+            lambda x: F.regexp_replace(F.trim(x), "[.!?]+$", ""),
+        ),
+        lambda x: x != "",
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(sents))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("sent_id"),
+            F.col("col").alias("sentence"),
+            F.md5(F.col("col")).alias("sent_hash"),
+        )
+    )
+
+
+def bpe_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Plain-python reference BPE apply (greedy, merge-rank order,
+    left-to-right non-overlapping within each rank) — the independent
+    implementation the oracles and tests check the expression form
+    against."""
+    toks = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL BPE tokenization as pure Catalyst expressions (r7): apply a
+    learned merge list (rank order; left-to-right non-overlapping
+    within a rank — the GPT-2 greedy semantics) to every word and
+    count the resulting subword tokens. Unlike bpe_ish_token_count
+    (a regex APPROXIMATION of a tokenizer), this runs the actual merge
+    algorithm — per merge rule, one ``F.aggregate`` fold over the
+    word's token array that joins the last accumulated token with the
+    current one when they match the rule. No UDF, no Python per row:
+    the whole tokenizer is codegen'd column expressions, so the token
+    budget of a 100 TB corpus is computed at scan speed.
+
+    Cost scales with |merges| (one fold per rule nested in the
+    expression tree); for production-size merge tables (10k+ rules)
+    use an Arrow-batched UDF with a trie instead — this expression
+    form is the right tool for the bounded merge lists a budget
+    estimate needs. Output: (doc_id, n_words, n_bpe_tokens); docs with
+    no tokens are absent.
+    """
+
+    def chars(w: Column) -> Column:
+        return F.filter(F.split(w, ""), lambda c: c != "")
+
+    def one_merge(toks: Column, a: str, b: str) -> Column:
+        return F.aggregate(
+            toks,
+            F.array().cast("array<string>"),
+            # F.get returns NULL (not an ANSI error) on the empty
+            # accumulator, falling through to the otherwise branch
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    def bpe_len(w: Column) -> Column:
+        t = chars(w)
+        for a, b in merges:
+            t = one_merge(t, a, b)
+        return F.size(t)
+
+    words = F.filter(_doc_token_array(text_col), lambda x: x != "")
+    counts = F.transform(words, bpe_len)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).cast("bigint").alias("n_words"),
+            F.aggregate(counts, F.lit(0), lambda acc, x: acc + x)
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .filter(F.col("n_words") > 0)
+    )

@@ -5888,6 +5888,122 @@ def c11(spark, sf_dir):
     )
 
 
+@register(
+    "t16_sentence_split",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             replace(replace(text, ' value ', ' value. '),
+                     ' fast ', ' fast! ') AS text
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id,
+             list_transform(
+               string_split_regex(COALESCE(text, ''), '[.!?]+\s+'),
+               x -> regexp_replace(trim(x), '[.!?]+$', '')) AS sents
+      FROM aug
+    ),
+    numbered AS (
+      SELECT doc_id, sents[i] AS sentence,
+             CAST(i AS BIGINT) AS raw_id
+      FROM raw, UNNEST(range(1, len(sents) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, sentence,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_id) AS sent_id
+      FROM numbered WHERE sentence <> ''
+    )
+    SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sentence,
+           md5(sentence) AS sent_hash
+    FROM kept
+    """,
+)
+def t16(spark, sf_dir):
+    """Sentence segmentation (r7; text.py split_sentences) — the
+    unit-of-dedup prep for sentence/paragraph-level pipelines, split
+    on terminal-punctuation runs + whitespace with lookaround-free
+    patterns (RE2-portable), punctuation normalised off every
+    sentence, md5 hash per sentence for downstream exact dedup. The
+    synthetic corpus is punctuation-free, so sentence boundaries are
+    injected identically in both engines (replace-based, no regex in
+    the injection). Zero shuffle, pure codegen."""
+    from cellphe_data_pipeline_spark.operators.text import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" value "), F.lit(" value. ")),
+            F.lit(" fast "),
+            F.lit(" fast! "),
+        ).alias("text"),
+    )
+    return split_sentences(aug)
+
+
+#: t17's merge list: rank-ordered BPE merges chosen so the corpus
+#: vocabulary exercises rank precedence ('batch' blocks the top-ranked
+#: (t,h) by left-to-right order), chained merges (th+e, ro+w, al+ue),
+#: and whole-word collapses ('the', 'row').
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("a", "t"), ("s", "t"),
+    ("r", "o"), ("ro", "w"), ("a", "l"), ("u", "e"), ("al", "ue"),
+    ("c", "o"), ("co", "l"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """Dictionary oracle for t17: the corpus token vocabulary is CLOSED
+    (31 words, stable across scale factors — verified sf0.01/sf0.1),
+    so the reference python BPE (text.bpe_reference, an independent
+    implementation of the same public algorithm) enumerates the exact
+    word -> subtoken-count map as VALUES. The INNER join fails loud on
+    generator drift: an out-of-vocabulary word drops its row here
+    while the Spark side counts it, so the gate's count/hash compare
+    catches any vocabulary change."""
+    from cellphe_data_pipeline_spark.operators.text import bpe_reference
+
+    vocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+    values = ", ".join(
+        f"('{w}', {len(bpe_reference(w, BPE_MERGES))})" for w in vocab
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) t WHERE tok <> ''
+    ),
+    d AS (SELECT * FROM (VALUES {values}) AS v(tok, n_sub))
+    SELECT t.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(d.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM toks t JOIN d USING (tok)
+    GROUP BY t.doc_id
+    """
+
+
+@register("t17_bpe_tokenize", _bpe_oracle_sql())
+def t17(spark, sf_dir):
+    """REAL BPE tokenization as Catalyst expressions (r7; text.py
+    bpe_token_counts): the actual greedy merge algorithm — one
+    F.aggregate fold per merge rank, nested in a transform over the
+    word array — not the bpe_ish regex approximation. Zero UDF, zero
+    shuffle before the per-doc aggregate; the oracle is a dictionary
+    join built from the independent python reference over the closed
+    corpus vocabulary (fails loud on OOV drift)."""
+    from cellphe_data_pipeline_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, BPE_MERGES)
+
+
 def _streaming_minhash_oracle_sql() -> str:
     return f"""
     WITH bands AS ({_minhash_bands_only_sql()}),
@@ -5983,6 +6099,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm6_image_dhash_neardup",
     "e9_streaming_minhash_neardup",
     "c11_dsir_resample",
+    "t16_sentence_split",
+    "t17_bpe_tokenize",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -6014,8 +6132,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "a5_value_histogram",
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
-    # CORRECTNESS_r04) — 21 of its 40 remaining members; the other 19
-    # (w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14,
+    # CORRECTNESS_r04) — 19 of its 40 remaining members; the other 21
+    # (w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14,
     # s2/s8/s8b) are first in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
@@ -6035,8 +6153,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "c3_token_budget_shards",
     "u3_u4_multi_concat",
     "u5_intersect_except",
-    "w6_rank_lead_ntile",
-    "w7_session_window",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---

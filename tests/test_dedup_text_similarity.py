@@ -1552,3 +1552,67 @@ def test_pairwise_jaccard_ignores_reversed_and_self_candidates(spark):
     )
     out = pairwise_jaccard(sh, threshold=0.5, candidates=cands).collect()
     assert len(out) == 1 and (out[0]["doc_a"], out[0]["doc_b"]) == (1, 2)
+
+
+def test_split_sentences(spark):
+    """r7: terminal-punctuation runs split sentences, punctuation is
+    normalised off (including the document-final run), empties drop,
+    sent_id is consecutive per doc, NULL text yields nothing."""
+    from cellphe_data_pipeline_spark.operators.text import split_sentences
+
+    rows = [
+        (1, "First one. Second two!  Third three?!? Fourth"),
+        (2, "Only one sentence."),
+        (3, "... !!  "),   # punctuation soup -> no sentences
+        (4, None),
+        (5, "a.b stays together. next"),  # no whitespace after dot: same sentence
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r["doc_id"], []).append((r["sent_id"], r["sentence"]))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(1, "First one"), (2, "Second two"), (3, "Third three"), (4, "Fourth")]
+    assert out[2] == [(1, "Only one sentence")]
+    assert 3 not in out and 4 not in out
+    assert out[5] == [(1, "a.b stays together"), (2, "next")]
+
+
+def test_bpe_expression_matches_reference(spark):
+    """r7: the Catalyst fold form of BPE equals the plain-python
+    reference (greedy, rank order, left-to-right) on a property basis
+    — random words over a small alphabet, random merge tables."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_reference,
+        bpe_token_counts,
+    )
+
+    alphabet = "abcd"
+    word = st.text(alphabet=alphabet, min_size=1, max_size=10)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(word, min_size=1, max_size=6),
+        st.lists(
+            st.tuples(st.sampled_from(alphabet), st.sampled_from(alphabet)),
+            min_size=0,
+            max_size=5,
+        ),
+    )
+    def check(words, base_merges):
+        # grow a couple of chained rules so merged symbols re-merge
+        merges = list(dict.fromkeys(base_merges))
+        if merges:
+            a, b = merges[0]
+            merges.append((a + b, a))
+        rows = [(1, " ".join(words))]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = bpe_token_counts(df, merges).collect()
+        exp = sum(len(bpe_reference(w, merges)) for w in words)
+        assert out[0]["n_words"] == len(words)
+        assert out[0]["n_bpe_tokens"] == exp
+
+    check()
