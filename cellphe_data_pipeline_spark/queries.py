@@ -5942,6 +5942,79 @@ def t16(spark, sf_dir):
     return split_sentences(aug)
 
 
+@register(
+    "t18_jsonl_parse",
+    r"""
+    WITH lines AS (
+      SELECT doc_id,
+             '{"id": ' || doc_id || ', "meta": {"lang": "' || lang ||
+             '", "source": "' || source || '"}, "text": "' || text ||
+             '", "tags": ["corpus", "sf"]}' AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(json_extract(line, '$.id') AS BIGINT) AS id,
+           json_extract_string(line, '$.meta.lang') AS lang,
+           json_extract_string(line, '$.meta.source') AS source,
+           CAST(length(json_extract_string(line, '$.text')) AS BIGINT) AS n_chars,
+           CAST(json_array_length(json_extract(line, '$.tags')) AS INT) AS n_tags,
+           json_extract_string(line, '$.missing.key') AS absent
+    FROM lines
+    """,
+)
+def t18(spark, sf_dir):
+    """JSONL corpus ingest (r7) — THE exchange format of LLM training
+    corpora (every public dump ships as JSON lines). The operator
+    under test is schema-declared JSON parsing: ``from_json`` with an
+    explicit StructType (nested object, array, and a missing-path
+    probe that must yield NULL, not an error) against DuckDB's JSON
+    extraction. JSON text is synthesised identically in both engines
+    from the documents table (the corpus text is alnum+space, so no
+    escaping divergence); a real deployment replaces the synthesis
+    with ``spark.read.text`` over .jsonl files — the parse expression
+    is identical. Pure codegen (Jackson-backed), zero shuffle, full
+    column pruning of unaccessed JSON fields."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "source": "'), F.col("source"),
+        F.lit('"}, "text": "'), F.col("text"),
+        F.lit('", "tags": ["corpus", "sf"]}'),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("text", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "missing", T.StructType([T.StructField("key", T.StringType())])
+            ),
+        ]
+    )
+    j = F.from_json(line, schema)
+    return docs.select(
+        "doc_id",
+        j["id"].alias("id"),
+        j["meta"]["lang"].alias("lang"),
+        j["meta"]["source"].alias("source"),
+        F.length(j["text"]).cast("bigint").alias("n_chars"),
+        F.size(j["tags"]).cast("int").alias("n_tags"),
+        j["missing"]["key"].alias("absent"),
+    )
+
+
 #: t17's merge list: rank-ordered BPE merges chosen so the corpus
 #: vocabulary exercises rank precedence ('batch' blocks the top-ranked
 #: (t,h) by left-to-right order), chained merges (th+e, ro+w, al+ue),
@@ -6101,6 +6174,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c11_dsir_resample",
     "t16_sentence_split",
     "t17_bpe_tokenize",
+    "t18_jsonl_parse",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -6132,9 +6206,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "a5_value_histogram",
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
-    # CORRECTNESS_r04) — 19 of its 40 remaining members; the other 21
-    # (w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3, p3/p14,
-    # s2/s8/s8b) are first in line for the r8 window
+    # CORRECTNESS_r04) — 18 of its 40 remaining members; the other 22
+    # (u5, w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3,
+    # p3/p14, s2/s8/s8b) are first in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
     "d7_dedup_clusters",
@@ -6152,7 +6226,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "c2_chunking",
     "c3_token_budget_shards",
     "u3_u4_multi_concat",
-    "u5_intersect_except",
     # --- behind the window: every other registry query is driver-
     # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
     # basics; the full union is enforced by tests/test_registry.py) ---
