@@ -529,7 +529,7 @@ def dedup_keep_list(
 
     Scale: the pair graph and its clusters are tiny relative to the
     corpus (near-dups only); the canonical pick is ONE combinable
-    max(struct(quality, -id)) per cluster; the corpus touches only two left joins on
+    min(struct(is_null, -quality, id)) per cluster; the corpus touches only two left joins on
     its own id (AQE broadcasts the cluster/canonical maps when they fit,
     which they do by construction at healthy dup rates).
     """

@@ -106,9 +106,12 @@ def global_row_number(
        replicated parquet cut does NOT preserve task layout — the
        re-read bin-packs/splits partition files, so a task could see
        rows of several ``_pid``s and pass 2's offset arithmetic would
-       number them wrongly. The pin here is consumed by exactly the
-       next two jobs, so executor loss inside that window is an
-       ordinary job retry, not a durability gap.
+       number them wrongly. Trade-off: localCheckpoint blocks are
+       unreplicated, so losing an executor between the pin and the
+       two consuming jobs fails the QUERY (re-run from source) — a
+       narrow window accepted deliberately, because a wrong-but-
+       successful numbering under the replicated cut is strictly
+       worse than a clean retryable failure.
     2. Per-partition row counts (≤ num_parts rows) come back to the
        driver, prefix-sum to offsets, and an Arrow-batched
        ``mapInPandas`` adds ``offset + position_in_partition`` — no
