@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE demote sort-merge joins to shuffled-hash when the
+        # per-partition build side fits 128 MiB (default 0 disables the
+        # rule entirely): bucket/grid/band keys are massively duplicated
+        # in this engine's join family, and SMJ's per-key-group handling
+        # measured 9-12x slower than SHJ on them (SCALE.md r7, j7
+        # 13.0s -> 1.1s). The explicit SHUFFLE_HASH hints on the grid
+        # joins stay as plan-tested guarantees; this conf extends the
+        # same protection, stat-driven and memory-bounded, to every
+        # other join at runtime.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound pandas-UDF batch memory: image rows carry raster payloads,
         # so a 10k-row default Arrow batch could hold GBs (SURVEY §7 hard
