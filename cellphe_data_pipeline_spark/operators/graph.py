@@ -363,3 +363,51 @@ def pagerank(
         )
         ranks = cut_lineage(ranks, name="pr-ranks")
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node TRIANGLE counts (r7) — the clustering-coefficient
+    numerator; in corpus curation, the dedup-cluster quality signal
+    (a near-dup cluster whose pair graph is triangle-dense is one true
+    duplicate group; a triangle-free star is more likely an LSH-band
+    artifact chaining unrelated docs through a hub).
+
+    The classic two-join relational form, undirected: canonicalise
+    each edge to (u < v) and distinct; wedges = e(a,b) ⋈ e(b,c) on the
+    middle node with a < b < c enforced by canonical orientation;
+    close each wedge against e(a,c). Every triangle {a<b<c} is found
+    exactly once, then credited to all 3 corners by one explode before
+    a combinable count. Shuffles are keyed equi-joins on node ids
+    (never a cartesian); the ordering trick bounds the wedge set by
+    Σ deg_fwd(b)² over FORWARD degrees — the standard mitigation that
+    keeps hub nodes from exploding the join (a hub's wedge count
+    depends on its higher-id neighbors only). Output: (node,
+    n_triangles); nodes in no triangle are absent.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -6023,6 +6023,55 @@ def t18(spark, sf_dir):
     )
 
 
+@register(
+    "g6_triangle_counts",
+    """
+    WITH raw AS (
+      SELECT doc_id % 97 AS u, UNNEST([(doc_id * 7) % 97,
+                                       (doc_id * 3) % 97,
+                                       (doc_id + 1) % 97]) AS v
+      FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v
+    ),
+    tri AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.b)
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS node FROM tri) t
+    GROUP BY node
+    """,
+)
+def g6(spark, sf_dir):
+    """Per-node triangle counting (r7; graph.py triangle_counts) — the
+    clustering-coefficient numerator, used here as the dedup-cluster
+    quality signal (triangle-dense pair graphs are true duplicate
+    groups; triangle-free stars are LSH-band chaining artifacts). The
+    classic two-equi-join canonical form with forward-degree ordering
+    (never a cartesian); the graph is derived deterministically from
+    doc_id in both engines — three edge families (7x, 3x, x+1 mod 97)
+    whose union measurably contains triangles (16 on the full residue
+    ring; a single functional family is triangle-free)."""
+    from cellphe_data_pipeline_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7) % 97,
+                (F.col("doc_id") * 3) % 97,
+                (F.col("doc_id") + 1) % 97,
+            )
+        ).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 #: t17's merge list: rank-ordered BPE merges chosen so the corpus
 #: vocabulary exercises chained merges (t+h then th+e; r+o then ro+w;
 #: a+l and u+e then al+ue) and whole-word collapses ('the', 'row');
@@ -6184,6 +6233,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t16_sentence_split",
     "t17_bpe_tokenize",
     "t18_jsonl_parse",
+    "g6_triangle_counts",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
@@ -6215,8 +6265,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "a5_value_histogram",
     "a6_minmax_normalize",
     # rotation tranche: the r4-proven cohort (last external proof
-    # CORRECTNESS_r04) — 17 of its 40 remaining members; the other 23
-    # (u5, w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3,
+    # CORRECTNESS_r04) — 16 of its 40 remaining members; the other 24
+    # (c2, u5, w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3,
     # p3/p14, s2/s8/s8b) are first in line for the r8 window
     "d6_embedding_neardup",
     "d6b_srp_neardup",
@@ -6232,7 +6282,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "t5_redact",
     "t6_repetition",
     "c1_corpus_curation",
-    "c2_chunking",
     "c3_token_budget_shards",
     "u3_u4_multi_concat",
     # --- behind the window: every other registry query is driver-

@@ -154,3 +154,23 @@ def test_pagerank_empty_and_self_loop_only(spark):
     assert pagerank(empty).collect() == []
     loops = spark.createDataFrame([(3, 3), (7, 7)], "src bigint, dst bigint")
     assert pagerank(loops).collect() == []
+
+
+def test_triangle_counts_oracle(spark):
+    """r7: triangle counts equal a brute-force python enumeration on a
+    known graph; direction/duplicates/self-loops are canonicalised
+    away; triangle-free nodes are absent."""
+    import itertools
+
+    from cellphe_data_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 on {1..4} (every vertex in 3 triangles), a pendant (5), a
+    # 4-cycle {6,7,8,9} (no triangles), duplicate/reversed/self edges
+    edges = (
+        [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+        + [(4, 5), (6, 7), (7, 8), (8, 9), (9, 6)]
+        + [(2, 1), (1, 1), (3, 2)]  # noise: reversed, self, duplicate
+    )
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
