@@ -93,3 +93,36 @@ def test_dedup_keep_list_under_replicated_cuts(spark, ckpt_dir):
     assert out[2]["keep"] and not out[1]["keep"] and out[1]["replaced_by"] == 2
     assert out[3]["keep"]
     assert any(n.startswith("dedup-clusters-") for n in _parquet_cuts(ckpt_dir))
+
+
+def test_pipeline_under_replicated_cuts(spark, ckpt_dir):
+    """r7: the whole domain chain (split → segment → detect → track →
+    lineage → QC → movement) runs with every cut_lineage site publishing
+    to parquet, and produces the same detections/summary row counts as
+    the default path — the end-to-end proof behind the flag's
+    cluster-safety claim. global_row_number's layout pin is exempt by
+    design (see scale.py) and keeps working here."""
+    from cellphe_data_pipeline_spark.domain.images import make_fake_timelapse
+    from cellphe_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    bins = spark.createDataFrame(
+        [
+            (
+                f"tl_{i}.fake",
+                bytearray(
+                    make_fake_timelapse(seed=7 + i, height=32, width=32, n_frames=4)
+                ),
+            )
+            for i in range(2)
+        ],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins, cc_shuffle_partitions=2)
+    flagged = {k: out[k].count() for k in ("detections", "summary")}
+    assert flagged["detections"] > 0 and flagged["summary"] > 0
+    assert _parquet_cuts(ckpt_dir)  # cuts actually went through parquet
+
+    spark.conf.unset("spark.cellphe.checkpointDir")
+    out2 = run_pipeline(bins, cc_shuffle_partitions=2)
+    default = {k: out2[k].count() for k in ("detections", "summary")}
+    assert flagged == default
