@@ -374,17 +374,22 @@ def triangle_counts(
     duplicate group; a triangle-free star is more likely an LSH-band
     artifact chaining unrelated docs through a hub).
 
-    The classic two-join relational form, undirected: canonicalise
-    each edge to (u < v) and distinct; wedges = e(a,b) ⋈ e(b,c) on the
-    middle node with a < b < c enforced by canonical orientation;
-    close each wedge against e(a,c). Every triangle {a<b<c} is found
-    exactly once, then credited to all 3 corners by one explode before
-    a combinable count. Shuffles are keyed equi-joins on node ids
-    (never a cartesian); the ordering trick bounds the wedge set by
-    Σ deg_fwd(b)² over FORWARD degrees — the standard mitigation that
-    keeps hub nodes from exploding the join (a hub's wedge count
-    depends on its higher-id neighbors only). Output: (node,
-    n_triangles); nodes in no triangle are absent.
+    Degree-ordered node-iterator form (Cohen's MapReduce triangle
+    algorithm; also Latapy 2008): canonicalise to a distinct
+    undirected edge set, compute degrees, then orient every edge from
+    the endpoint that is SMALLER in the total order (degree, id) to
+    the larger. Wedges are pairs of out-neighbors of a common apex —
+    e(a,b) ⋈ e(a,c) on the apex with ord(b) < ord(c) — closed by a
+    semi-join against the oriented edge (b,c). Every triangle is found
+    exactly once (at its minimum-order corner), then credited to all 3
+    corners by one explode before a combinable count. Shuffles are
+    keyed equi-joins on node ids (never a cartesian). The DEGREE
+    ordering (not raw id) is what bounds the wedge set: forward degree
+    under (deg, id) orientation is O(√m) for every node, so the wedge
+    join is Σ outdeg(a)² ≤ m·√m even when an LSH-band hub has millions
+    of neighbors — a raw-id orientation would leave a median-id hub
+    with ~d²/4 wedges. Output: (node, n_triangles); nodes in no
+    triangle are absent.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -394,17 +399,43 @@ def triangle_counts(
         )
         .distinct()
     )
-    ab = e.select(F.col("a"), F.col("b"))
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each undirected edge from the (deg, id)-smaller endpoint to
+    # the larger; carry the head's order key for the wedge inequality.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ord_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    ord_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ord_a < ord_b, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(ord_a < ord_b, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(ord_a < ord_b, ord_b).otherwise(ord_a).alias("ord_hi"),
+        )
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("b"), F.col("ord_hi").alias("ord_b")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("c"), F.col("ord_hi").alias("ord_c")
+    )
+    closure = oriented.select(F.col("lo").alias("tb"), F.col("hi").alias("tc"))
     tri = (
-        ab.join(bc, "b")
+        w1.join(w2, "apex")
+        .filter(F.col("ord_b") < F.col("ord_c"))
         .join(
-            ac,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            closure,
+            (F.col("b") == F.col("tb")) & (F.col("c") == F.col("tc")),
             "left_semi",
         )
-        .select("a", "b", "c")
+        .select(F.col("apex").alias("a"), "b", "c")
     )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))

@@ -1075,7 +1075,11 @@ def bpe_token_counts(
     # occurrence stream just hash-joins the counts back (AQE broadcasts
     # the vocabulary when it fits, which real vocabularies do).
     # Measured at sf0.1 (5k docs x ~150 words, 12 merges): 15.2s for
-    # the per-occurrence fold -> 0.9s for this form, identical output.
+    # the per-occurrence fold -> 0.79s for this form (SCALE.md),
+    # identical output. NOTE the groupBy keys on doc_id: rows sharing
+    # a doc_id are merged into one summed output row (one row per
+    # DISTINCT doc_id, not per input row) — dedupe or re-key first if
+    # a unioned/re-chunked corpus carries repeated ids.
     occurrences = _doc_tokens(df, text_col, id_col)
     vocab = occurrences.select("tok").distinct().withColumn(
         "n_sub", bpe_len(F.col("tok")).cast("bigint")

@@ -122,7 +122,7 @@ def test_pipeline_under_replicated_cuts(spark, ckpt_dir):
     assert flagged["detections"] > 0 and flagged["summary"] > 0
     assert _parquet_cuts(ckpt_dir)  # cuts actually went through parquet
 
-    spark.conf.unset("spark.cellphe.checkpointDir")
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
     out2 = run_pipeline(bins, cc_shuffle_partitions=2)
     default = {k: out2[k].count() for k in ("detections", "summary")}
     assert flagged == default

@@ -174,3 +174,19 @@ def test_triangle_counts_oracle(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_median_id_hub(spark):
+    """r7 review fix: a hub whose id is MEDIAN among its neighbors —
+    the case a raw-id edge orientation leaves quadratic — still counts
+    correctly under the (degree, id) orientation, which routes every
+    hub edge hub-ward and leaves the hub with forward-degree ≤ O(√m)."""
+    from cellphe_data_pipeline_spark.operators.graph import triangle_counts
+
+    hub = 500
+    spokes = [n for n in range(1000) if n != hub]
+    edges = [(hub, s) for s in spokes]  # ids straddle the hub's id
+    edges += [(1, 2), (hub, 1), (hub, 2)]  # one triangle {1, 2, hub}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, hub: 1}
