@@ -1028,3 +1028,127 @@ def containment_near_duplicates(
         .filter(F.col("containment") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_inter", "containment")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    deduplication: cluster the embedding space, then inside each
+    cluster drop every example that has a >= ``threshold`` cosine
+    neighbor of higher keep-priority, where priority follows the
+    paper's rule of keeping the example LEAST similar to its cluster
+    centroid (low centroid-similarity examples are the informative
+    ones; the near-centroid copies are the semantic redundancy).
+
+    The clustering is the IVF coarse assignment (``kmeans_assign``,
+    broadcast-k, corpus never shuffles on a foreign key): by default
+    against the k lowest-id seed vectors (deterministic +
+    oracle-expressible); pass ``centroids`` = ``kmeans_lloyd`` output
+    reshaped to (cluster_id, cvec) for the paper's trained clustering
+    — the operator is agnostic.
+
+    DOCUMENTED DEVIATION: the reference implementation walks each
+    cluster sequentially in priority order, keeping an example iff its
+    max-cosine to the already-KEPT set is < threshold. That greedy is
+    inherently order-serial; this operator uses the order-free
+    DOMINANCE form — drop x iff ANY higher-priority y in the cluster
+    has cos(x, y) >= threshold, kept or not. Identical on
+    transitively-closed duplicate groups; on chain topologies
+    (a~b, b~c, a!~c) the greedy keeps {a, c} while dominance keeps
+    only {a} — dominance is the strictly-more-aggressive, one-anti-join
+    relational fixed point.
+
+    Scale shape: assignment is map-side x k + one argmin groupBy; the
+    pair stage is a SELF-JOIN KEYED ON cluster_id — work is
+    sum over clusters of |cluster|^2, which the paper bounds by taking
+    k proportional to N (their LAION run: 50k clusters) so cluster
+    size, and per-key join fan-out, stays O(1); AQE skew-join splits
+    oversized clusters. Cosines are the engine-portable sequential
+    fold (similarity._dot), rounded to 5 dp BEFORE thresholding and
+    priority comparison so keep decisions are bit-identical across
+    engines.
+
+    Output: one row per input vector — (vec_id, cluster_id,
+    centroid_sim, kept). The kept corpus is ``WHERE kept``.
+    """
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _k_lowest_ids,
+        kmeans_assign,
+    )
+
+    if centroids is None:
+        seed_ids = _k_lowest_ids(df, id_col, k, "semantic_dedup")
+        centroids = df.filter(F.col(id_col).isin(seed_ids)).select(
+            F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cvec")
+        )
+    assigned = kmeans_assign(df, centroids, vec_col, id_col)
+    cent = F.broadcast(
+        centroids.select(
+            "cluster_id", _as_double(F.col("cvec")).alias("c")
+        ).withColumn("c_norm", F.sqrt(_dot(F.col("c"), F.col("c"))))
+    )
+    m = (
+        assigned.join(cent, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "v",
+            F.round(
+                _dot(F.col("v"), F.col("c"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("c_norm")),
+                5,
+            ).alias("centroid_sim"),
+        )
+    )
+    # the member table feeds three consumers (both self-join sides +
+    # the final keep join); without a cut each re-runs the assignment
+    # corpus pass — same rationale as the d11 cluster-table cut
+    m = cut_lineage(m, name="semdedup-members")
+    x = m.select(
+        "cluster_id",
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("x_v"),
+        F.col("centroid_sim").alias("x_cs"),
+    )
+    y = m.select(
+        "cluster_id",
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("y_v"),
+        F.col("centroid_sim").alias("y_cs"),
+    )
+    cos = F.round(
+        _dot(F.col("x_v"), F.col("y_v"))
+        / (
+            F.sqrt(_dot(F.col("x_v"), F.col("x_v")))
+            * F.sqrt(_dot(F.col("y_v"), F.col("y_v")))
+        ),
+        5,
+    )
+    dominated = (
+        x.join(y, "cluster_id")
+        .filter(F.col("x_id") != F.col("y_id"))
+        .filter(
+            F.struct(F.col("y_cs"), F.col("y_id"))
+            < F.struct(F.col("x_cs"), F.col("x_id"))
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dominated.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "centroid_sim",
+            F.col("_d").isNull().alias("kept"),
+        )
+    )

@@ -5451,6 +5451,67 @@ def d14(spark, sf_dir):
 
 
 @register(
+    "d15_semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
+            (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
+             ORDER BY vec_id LIMIT 8)),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
+      FROM e, c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d
+    ),
+    m AS (
+      SELECT a.vec_id, a.cluster_id, a.v,
+             ROUND(list_dot_product(a.v, c.cv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 5) AS centroid_sim
+      FROM a JOIN c USING (cluster_id) WHERE rn = 1
+    ),
+    dom AS (
+      SELECT DISTINCT x.vec_id
+      FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+                       AND x.vec_id <> y.vec_id
+      WHERE (y.centroid_sim, y.vec_id) < (x.centroid_sim, x.vec_id)
+        AND ROUND(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 5) >= 0.35
+    )
+    SELECT m.vec_id, m.cluster_id, m.centroid_sim,
+           (dom.vec_id IS NULL) AS kept
+    FROM m LEFT JOIN dom ON m.vec_id = dom.vec_id
+    """,
+)
+def d15(spark, sf_dir):
+    """SemDeDup — semantic dedup over the embedding space (r7;
+    dedup.py semantic_dedup; Abbas et al. 2023, arXiv:2303.09540):
+    IVF-style cluster assignment (broadcast-k, deterministic
+    lowest-id seeds — kmeans_lloyd centroids plug in for the paper's
+    trained clustering), then inside each cluster drop every vector
+    with a >= tau cosine neighbor of lower (centroid_sim, id) — the
+    paper's keep-the-least-central rule in its order-free DOMINANCE
+    form (deviation documented in the operator docstring). The pair
+    stage is keyed on cluster_id, never corpus-wide — the scale
+    contract is k proportional to N so per-cluster fan-out stays O(1).
+    tau=0.35 because the driver's synthetic embeddings are near-
+    orthogonal (the d6 rationale: realistic 0.9 returns zero drops, a
+    vacuous check)."""
+    from cellphe_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), k=8, threshold=0.35
+    )
+
+
+@register(
     "e7_streaming_dedup_keys",
     """
     SELECT DISTINCT lang, md5(text) AS content_hash FROM documents
@@ -6234,6 +6295,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t17_bpe_tokenize",
     "t18_jsonl_parse",
     "g6_triangle_counts",
+    "d15_semantic_dedup",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

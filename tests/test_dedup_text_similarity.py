@@ -1616,3 +1616,38 @@ def test_bpe_expression_matches_reference(spark):
         assert out[0]["n_bpe_tokens"] == exp
 
     check()
+
+def test_semantic_dedup_keeps_least_central_and_dominance(spark):
+    """r7 SemDeDup: priority is ascending (centroid_sim, id) — the
+    LEAST-central member of each tau-connected group survives — and
+    the drop rule is the documented DOMINANCE form: vec 1 is dropped
+    by its tau-neighbor 2 even though 2 is itself dropped (the
+    sequential greedy would keep 1; this pins the deviation)."""
+    import math
+
+    from cellphe_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0]
+
+    # k=1 -> single cluster, centroid = vec 1's own vector (lowest id).
+    # Chain: cos(1,2)=cos(2,3)=cos25 ~ 0.906 >= tau; cos(1,3)=cos50
+    # ~ 0.643 < tau. Priorities (centroid_sim asc): 4 < 3 < 2 < 1.
+    rows = [
+        (1, at(0)),            # centroid_sim 1.0
+        (2, at(25)),           # ~0.906
+        (3, at(50)),           # ~0.643
+        (4, [0.0, 0.0, 1.0]),  # 0.0 — tau-isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, k=1, threshold=0.85).collect()
+    }
+    # 4: no tau-neighbor; 3: only higher-priority is 4 (cos 0) -> kept
+    assert out[4] is True and out[3] is True
+    # 2: dominated by 3 (cos25 >= tau, higher priority)
+    assert out[2] is False
+    # 1: its only >=tau higher-priority neighbor is 2, which is itself
+    # dropped — greedy keeps 1, dominance drops it
+    assert out[1] is False
