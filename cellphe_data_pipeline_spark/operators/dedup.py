@@ -1152,3 +1152,88 @@ def semantic_dedup(
             F.col("_d").isNull().alias("kept"),
         )
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB scale path
+    for :func:`flag_contaminated`. c5 broadcasts the DISTINCT benchmark
+    shingle set (strings); at web-corpus eval-suite sizes that
+    broadcast is tens/hundreds of MB per executor and grows with every
+    benchmark added. This variant compresses the bench side to an
+    ``m_bits``-bit Bloom bitmap (m_bits=2^20 is 128 KB for millions of
+    bench shingles) and gates the corpus with pure map-side expression
+    probes — the corpus side needs NO join at all, just one broadcast
+    of a one-row bitmap.
+
+    Determinism contract: hash h of shingle s is
+    ``int(md5(f"{h}:{s}")[:8], 16) % m_bits`` — the repo's portable
+    md5-bucket idiom — so the bitmap, the false-positive SET (not just
+    the rate), and therefore the output are bit-identical in any
+    engine. False positives are INHERENT to the structure (each
+    flagged shingle may be a phantom with probability ~(1-e^{-kb/m})^k)
+    — acceptable for decontamination because the gate errs toward
+    dropping training docs, never toward leaking bench data; callers
+    needing exactness re-verify flagged docs with c5's exact join
+    (candidate-first, same idiom as d3's verify ordering).
+
+    Bitmap layout: 32-bit lanes (lane = pos div 32, bit = pos % 32) —
+    shifts stay far from the signed-64 edge, where DuckDB raises an
+    overflow on ``1 << 63`` (probed; the engines disagree at bit 63,
+    so the layout keeps both in safe range). Lanes are bit_or-combined
+    (combinable aggregate), collected into ONE map row, broadcast via
+    the one-row crossJoin idiom.
+
+    Output: (doc_id, n_flagged_shingles) per training doc with >= 1
+    maybe-contaminated shingle — same shape as flag_contaminated, so
+    the two are drop-in interchangeable.
+    """
+
+    def pos(h, sh_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{h}:"), sh_col)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m_bits
+        )
+
+    b = word_shingles(benchmark, text_col, id_col, n).select("sh").distinct()
+    lanes = (
+        b.select(
+            F.explode(
+                F.array(*[pos(h, F.col("sh")) for h in range(k_hashes)])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 32").alias("lane"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("mask"),
+        )
+        .groupBy("lane")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    bloom = lanes.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("lane", "bits"))).alias("bm")
+    )
+    d = word_shingles(docs, text_col, id_col, n)
+    probed = d.crossJoin(F.broadcast(bloom))
+    for h in range(k_hashes):
+        probed = probed.withColumn(f"_p{h}", pos(h, F.col("sh")))
+    all_hit = None
+    for h in range(k_hashes):
+        hit = F.expr(
+            f"(shiftright(coalesce(element_at(bm, _p{h} div 32), 0L),"
+            f" cast(_p{h} % 32 as int)) & 1) = 1"
+        )
+        all_hit = hit if all_hit is None else (all_hit & hit)
+    return (
+        probed.filter(all_hit)
+        .groupBy(F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_shingles"))
+    )

@@ -2185,6 +2185,62 @@ def c5(spark, sf_dir):
 
 
 @register(
+    "c12_bloom_decontaminate",
+    f"""
+    WITH {SHINGLE_CTE},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+    pos AS (
+      SELECT DISTINCT
+        ('0x' || substring(md5(CAST(h AS VARCHAR) || ':' || sh), 1, 8))::BIGINT
+          % 1024 AS p
+      FROM bench, UNNEST([0, 1, 2]) AS g(h)
+    ),
+    lanes AS (
+      SELECT p // 32 AS lane,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT s.doc_id, s.sh, g.h,
+        ('0x' || substring(md5(CAST(g.h AS VARCHAR) || ':' || s.sh), 1, 8))::BIGINT
+          % 1024 AS p
+      FROM sh s, UNNEST([0, 1, 2]) AS g(h)
+      WHERE s.doc_id >= 20
+    ),
+    hits AS (
+      SELECT doc_id, sh,
+             MIN(CASE WHEN (COALESCE(l.bits, 0) >> CAST(p % 32 AS INT)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_hit
+      FROM probe LEFT JOIN lanes l ON probe.p // 32 = l.lane
+      GROUP BY doc_id, sh
+    )
+    SELECT doc_id, COUNT(*) AS n_flagged_shingles
+    FROM hits WHERE all_hit = 1 GROUP BY doc_id
+    """,
+)
+def c12(spark, sf_dir):
+    """Bloom-filter benchmark decontamination (r7; dedup.py
+    bloom_decontaminate) — the 100 TB scale path for c5: the bench
+    shingle set is compressed to a 1024-bit / 3-hash Bloom bitmap
+    (one-row broadcast, 32-bit lanes — DuckDB raises on 1<<63, so the
+    layout stays off the signed edge) and the corpus is gated by pure
+    map-side expression probes, NO corpus-side join. False positives
+    are part of the operator's CONTRACT and deterministic (md5-derived
+    positions), so the oracle matches the phantom set exactly; the
+    registered m=1024 on ~2.6k bench shingles makes phantoms common
+    enough to be exercised by the gate, not vacuously absent."""
+    from cellphe_data_pipeline_spark.operators.dedup import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        m_bits=1024,
+        k_hashes=3,
+    )
+
+
+@register(
     "v6_int8_topk",
     """
     WITH q AS (
@@ -6296,6 +6352,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t18_jsonl_parse",
     "g6_triangle_counts",
     "d15_semantic_dedup",
+    "c12_bloom_decontaminate",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

@@ -1651,3 +1651,44 @@ def test_semantic_dedup_keeps_least_central_and_dominance(spark):
     # 1: its only >=tau higher-priority neighbor is 2, which is itself
     # dropped — greedy keeps 1, dominance drops it
     assert out[1] is False
+
+
+def test_bloom_decontaminate_superset_and_convergence(spark):
+    """r7 Bloom gate: flagged set is a SUPERSET of the exact c5 flags
+    at any m (no false negatives — the decontamination safety
+    property), and converges to exactly the c5 output when the bitmap
+    is big enough that no phantom collisions occur."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        bloom_decontaminate,
+        flag_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),      # bench
+            (21, "alpha beta gamma delta zeta"),        # overlaps bench
+            (22, "one two three four five six"),        # clean
+            (23, "gamma delta epsilon eta theta"),      # overlaps bench
+        ],
+        "doc_id bigint, text string",
+    )
+    train = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20")
+    exact = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in flag_contaminated(train, bench).collect()
+    }
+    # big bitmap: phantom-free -> identical to the exact join
+    big = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in bloom_decontaminate(train, bench, m_bits=1 << 20).collect()
+    }
+    assert big == exact
+    # tiny bitmap: every position collides -> everything flagged, and
+    # every exact flag is still present with count >= exact count
+    tiny = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in bloom_decontaminate(train, bench, m_bits=2).collect()
+    }
+    for doc, n in exact.items():
+        assert tiny.get(doc, 0) >= n
