@@ -750,3 +750,44 @@ def quantize_int8_per_dim(
         .cast("int")
         .alias("qv"),
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per group — the
+    standard long-document embedding recipe (embed bounded chunks,
+    average into the document vector; same pooling RAG stores and
+    SemDeDup-style curation run before indexing).
+
+    FIXED-POINT accumulation (the kmeans_update idiom): components are
+    half-up-rounded to the 1/scale grid, summed exactly as int64, and
+    divided once at the end — an unordered float SUM is
+    reduction-order-dependent across engines/partitionings, the int
+    grid is bit-exact everywhere. One posexplode + ONE combinable
+    groupBy(group, dim); shuffle rows = groups x dim regardless of
+    chunk fan-in. Long-format output (group, dim, pooled_val,
+    n_chunks) — `array_agg(... ORDER BY dim)` reshapes to dense when a
+    consumer needs it; downstream v-family operators take either."""
+    parts = df.select(
+        F.col(group_col).alias("group_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    ).select(
+        "group_id",
+        "dim",
+        F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    return (
+        parts.groupBy("group_id", "dim")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n_chunks"))
+        .select(
+            "group_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.col("sq").cast("double") / F.col("n_chunks") / F.lit(float(scale)))
+            .alias("pooled_val"),
+            "n_chunks",
+        )
+    )

@@ -1092,3 +1092,100 @@ def bpe_token_counts(
             F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (r7) — the training
+    half of the tokenizer whose APPLICATION half is
+    :func:`bpe_token_counts`: Sennrich et al. 2016's algorithm, k
+    iterations of (count adjacent-pair frequencies over the
+    vocabulary, weighted by word count; merge the argmax pair
+    everywhere).
+
+    Distributed shape (how real parallel BPE trainers work — e.g. the
+    HF tokenizers train loop): the corpus collapses ONCE into the
+    distinct-word table with counts (the t17 insight: folds over
+    |vocab|, not |corpus tokens|); each iteration is ONE map-side
+    combinable groupBy(pair) sum + a 1-row TakeOrdered argmax (the
+    k-bounded driver fetch idiom) + a pure-codegen merge application.
+    Corpus passes: exactly one, at the start.
+
+    The tokenization state is a SENTINEL-DELIMITED STRING
+    ``\\x1f tok \\x1f\\x1f tok \\x1f`` rather than a token array: applying
+    merge (l, r) is then literal ``replace(s, '\\x1f l \\x1f\\x1f r \\x1f',
+    '\\x1f lr \\x1f')`` — every token cell carries its OWN delimiters, so
+    replace's left-to-right non-overlapping scan implements exactly
+    the greedy BPE pass ([a,a,a,a] -> [aa,aa]) with no fold, and the
+    same expression runs verbatim in any SQL engine. Tokens containing
+    the \\x1f sentinel are excluded up front (both engines, same
+    filter) — a character that never occurs in natural text since \\x1f
+    is not regex-\\s whitespace and would otherwise corrupt cell
+    boundaries.
+
+    Ties on pair count break (lhs, rhs) lexicographic — deterministic
+    across engines/partitionings. Output: (merge_rank, lhs, rhs,
+    pair_count), rank-ordered; feed `[(lhs, rhs), ...]` straight into
+    bpe_token_counts. Stops early (fewer rows) if the vocabulary runs
+    out of pairs."""
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
+    sep = "\x1f"
+    s2 = sep + sep
+    words = (
+        _doc_tokens(df, text_col, id_col)
+        .filter(~F.col("tok").contains(sep))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
+    state = words.select(
+        "cnt",
+        F.concat(F.lit(sep), F.array_join(chars, s2), F.lit(sep)).alias("s"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            state.withColumn(
+                "t", F.split(F.expr("substring(s, 2, length(s) - 2)"), s2)
+            )
+            .filter(F.size("t") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), i -> "
+                        "struct(element_at(t, i) AS l, "
+                        "element_at(t, cast(i + 1 AS int)) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((i + 1, l, r, int(c)))
+        state = cut_lineage(
+            state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(sep + l + s2 + r + sep),
+                    F.lit(sep + l + r + sep),
+                ),
+            ),
+            name=f"bpe-learn-{i}",
+        )
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
+    )

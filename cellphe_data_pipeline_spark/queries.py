@@ -5730,6 +5730,42 @@ def v11(spark, sf_dir):
 
 
 @register(
+    "v12_mean_pool_embeddings",
+    """
+    WITH parts AS (
+      SELECT vec_id // 4 AS group_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    )
+    SELECT group_id, dim,
+           CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS pooled_val,
+           COUNT(*) AS n_chunks
+    FROM parts GROUP BY group_id, dim
+    """,
+)
+def v12(spark, sf_dir):
+    """Chunk-to-document mean pooling (r7; similarity.py
+    mean_pool_embeddings): the standard long-document embedding recipe
+    — embed bounded chunks, average into the doc vector — in the
+    engine's FIXED-POINT form (1e-6-grid int64 sums, the
+    v5/v8 quantization idiom) so the unordered SUM is bit-exact at any
+    partitioning in any engine. The synthetic grouping vec_id div 4
+    stands in for the chunk->doc key a chunking stage (c2) carries.
+    ONE posexplode + ONE combinable groupBy; shuffle volume is
+    groups x dim, independent of chunk fan-in."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 4").alias("doc_id"), "embedding"
+    )
+    return mean_pool_embeddings(e, group_col="doc_id")
+
+
+@register(
     "t15_gopher_rules",
     r"""
     WITH aug AS (
@@ -6237,6 +6273,74 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def _bpe_learn_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB mirror of text.bpe_learn_merges: the same sentinel-
+    delimited string state, the same literal-replace merge application
+    (cell-delimited, so non-overlapping LTR replace == greedy BPE),
+    the same (count DESC, lhs, rhs) argmax — unrolled as an n-step CTE
+    chain where step i+1's replace takes its pair from step i's
+    1-row argmax via scalar subqueries. Fully data-driven (no
+    dictionary): word frequencies differ per scale factor, so the
+    merges must be computed, not enumerated."""
+    sep = "\x1f"
+    s2 = sep + sep
+    parts = [
+        f"""toks AS (
+      SELECT tok FROM (
+        SELECT UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> '' AND NOT contains(tok, '{sep}')
+    ),
+    w AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    v0 AS MATERIALIZED (
+      SELECT cnt,
+             '{sep}' || array_to_string(
+               list_transform(generate_series(1, length(tok)), i -> tok[i]),
+               '{s2}') || '{sep}' AS s
+      FROM w)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""t{i} AS (SELECT cnt, string_split(s[2:length(s) - 1], '{s2}') AS t FROM v{i}),
+    p{i} AS MATERIALIZED (
+      SELECT t[g.i] AS lhs, t[g.i + 1] AS rhs, SUM(cnt) AS c
+      FROM t{i}, UNNEST(CASE WHEN len(t) >= 2
+                             THEN generate_series(1, len(t) - 1)
+                             ELSE [] END) AS g(i)
+      GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1)"""
+        )
+        if i + 1 < n_merges:
+            parts.append(
+                f"""v{i + 1} AS MATERIALIZED (
+      SELECT cnt, replace(s,
+        '{sep}' || (SELECT lhs FROM p{i}) || '{s2}' || (SELECT rhs FROM p{i}) || '{sep}',
+        '{sep}' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '{sep}') AS s
+      FROM v{i})"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs,"
+        f" CAST(c AS BIGINT) AS pair_count FROM p{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("t19_bpe_learn_merges", _bpe_learn_oracle_sql(6))
+def t19(spark, sf_dir):
+    """BPE merge-table LEARNING (r7; text.py bpe_learn_merges;
+    Sennrich 2016) — the training half of the t17 tokenizer, run
+    in-engine: one corpus collapse into the counted word vocabulary,
+    then per merge one combinable pair-count groupBy + a 1-row
+    TakeOrdered argmax + a pure-codegen literal-replace application
+    over the sentinel-delimited state (delimited cells make
+    non-overlapping replace == the greedy BPE pass — no fold). The
+    oracle replays the identical algorithm as an unrolled CTE chain,
+    data-driven per scale factor."""
+    from cellphe_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
 @register("t17_bpe_tokenize", _bpe_oracle_sql())
 def t17(spark, sf_dir):
     """REAL BPE tokenization as Catalyst expressions (r7; text.py
@@ -6353,6 +6457,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "g6_triangle_counts",
     "d15_semantic_dedup",
     "c12_bloom_decontaminate",
+    "v12_mean_pool_embeddings",
+    "t19_bpe_learn_merges",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

@@ -1692,3 +1692,66 @@ def test_bloom_decontaminate_superset_and_convergence(spark):
     }
     for doc, n in exact.items():
         assert tiny.get(doc, 0) >= n
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """r7 BPE learning: the engine's pair-count/argmax/replace loop
+    equals an independent plain-python Sennrich trainer (word-count
+    weighted pair frequencies, ties -> lexicographically smallest
+    pair) on a corpus with repeat-heavy words — including the
+    [a,a,a,a] -> [aa,aa] greedy non-overlap case — and the learned
+    table drives bpe_token_counts/bpe_reference consistently."""
+    from collections import Counter
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_reference,
+    )
+
+    docs = [
+        (1, "aaaa aaaa banana low lower lowest"),
+        (2, "banana bandana low low newer newest"),
+        (3, "aaaa banana newer wider wide"),
+    ]
+
+    def py_learn(texts, n):
+        words = Counter(w for _, t in texts for w in t.split() if w)
+        vocab = {w: tuple(w) for w in words}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for w, toks in vocab.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += words[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((l, r, c))
+            vocab = {
+                w: tuple(bpe_reference_apply(toks, l, r))
+                for w, toks in vocab.items()
+            }
+        return merges
+
+    def bpe_reference_apply(toks, a, b):
+        out = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        return out
+
+    expected = py_learn(docs, 5)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [
+        (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn_merges(df, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # the corpus contains "aaaa" so equality at every rank proves the
+    # engine's literal-replace application matches the fold semantics
+    # (bpe_reference_apply) including the greedy non-overlap case
+    assert got == expected
