@@ -1189,3 +1189,68 @@ def bpe_learn_merges(
     return df.sparkSession.createDataFrame(
         merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
     )
+
+
+def pack_context_windows(
+    df: DataFrame,
+    window_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """GPT-style CONTEXT-WINDOW PACKING (r7) — the pretraining step
+    after sharding: concatenate documents (in deterministic
+    (stream, doc_id) order) into one token stream and slice it into
+    fixed-length windows, emitting one row per (window, document)
+    OVERLAP with in-window span offsets. Unlike
+    :func:`token_budget_shards` (which assigns each doc to the shard
+    where it starts), documents here genuinely STRADDLE window
+    boundaries — a doc spanning windows w..w+2 yields three rows with
+    clipped spans, exactly the sample/attention-boundary manifest a
+    training loader needs.
+
+    Scale shape: the cumulative offset is ONE window shuffle
+    partitioned by ``stream_col`` (the c3 contract — streams are the
+    parallel unit, no global ordering); the boundary explode emits
+    ceil(n_tokens / L) + 1 rows per doc — output volume is
+    corpus_tokens / L, independent of doc-count skew. Token counting
+    is the BPE-ish codegen estimator. Zero-token docs emit nothing
+    (they occupy no stream positions).
+
+    Output: (stream, window_id, doc_id, n_tokens, tok_start,
+    tok_end) — tok_* are inclusive in-window offsets in [0, L-1].
+    """
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stream_col).alias("stream"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = base.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    ).filter(F.col("n_tokens") > 0)
+    L = F.lit(window_tokens)
+    pos = pos.withColumn("end", F.col("start") + F.col("n_tokens") - 1)
+    out = pos.withColumn(
+        "window_id",
+        F.explode(F.sequence(F.expr("start div " + str(window_tokens)),
+                             F.expr("end div " + str(window_tokens)))),
+    )
+    return out.select(
+        "stream",
+        F.col("window_id").cast("bigint").alias("window_id"),
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.lit(0), F.col("start") - F.col("window_id") * L)
+        .cast("bigint")
+        .alias("tok_start"),
+        F.least(L - 1, F.col("end") - F.col("window_id") * L)
+        .cast("bigint")
+        .alias("tok_end"),
+    )

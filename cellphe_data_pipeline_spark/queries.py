@@ -3207,6 +3207,52 @@ def c3(spark, sf_dir):
 
 
 @register(
+    "c13_context_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source AS stream,
+             len(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, stream, n_tokens,
+             CAST(start AS BIGINT) AS start,
+             CAST(start + n_tokens - 1 AS BIGINT) AS fin
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT stream, CAST(w AS BIGINT) AS window_id, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(0, start - w * 512) AS BIGINT) AS tok_start,
+           CAST(LEAST(511, fin - w * 512) AS BIGINT) AS tok_end
+    FROM s, UNNEST(generate_series(start // 512, fin // 512)) AS g(w)
+    """,
+)
+def c13(spark, sf_dir):
+    """GPT-style context-window packing (r7; text.py
+    pack_context_windows): the concatenated per-stream token stream
+    sliced into fixed 512-token windows with one row per
+    (window, doc) overlap and clipped in-window spans — documents
+    STRADDLE boundaries (the piece c3's start-shard assignment
+    doesn't model), giving the sample/attention-boundary manifest a
+    training loader consumes. One stream-partitioned window shuffle +
+    a ceil(n/L)+1-bounded explode; output volume is corpus_tokens/L
+    regardless of doc-size skew."""
+    from cellphe_data_pipeline_spark.operators.text import pack_context_windows
+
+    return pack_context_windows(
+        load_table(spark, sf_dir, "documents"), window_tokens=512
+    )
+
+
+@register(
     "t6_repetition",
     r"""
     WITH lf AS (
@@ -6459,6 +6505,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c12_bloom_decontaminate",
     "v12_mean_pool_embeddings",
     "t19_bpe_learn_merges",
+    "c13_context_packing",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

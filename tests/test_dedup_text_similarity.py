@@ -1755,3 +1755,31 @@ def test_bpe_learn_merges_matches_python_reference(spark):
     # engine's literal-replace application matches the fold semantics
     # (bpe_reference_apply) including the greedy non-overlap case
     assert got == expected
+
+
+def test_pack_context_windows_straddles_boundaries(spark):
+    """r7 packing: docs straddle fixed-L windows with clipped spans;
+    streams pack independently; zero-token docs occupy no positions."""
+    from cellphe_data_pipeline_spark.operators.text import pack_context_windows
+
+    docs = [
+        (1, "s1", "a b c"),            # 3 tokens -> [0, 2]
+        (2, "s1", "d e f g"),          # 4 tokens -> [3, 6] straddles w0/w1
+        (3, "s1", "h i"),              # 2 tokens -> [7, 8] straddles w1/w2
+        (4, "s2", "x y z w v"),        # own stream: [0, 4] -> w0 + w1
+        (5, "s2", ""),                 # zero tokens -> absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, source string, text string")
+    rows = {
+        (r["stream"], r["window_id"], r["doc_id"]): (r["tok_start"], r["tok_end"])
+        for r in pack_context_windows(df, window_tokens=4).collect()
+    }
+    assert rows == {
+        ("s1", 0, 1): (0, 2),
+        ("s1", 0, 2): (3, 3),
+        ("s1", 1, 2): (0, 2),
+        ("s1", 1, 3): (3, 3),
+        ("s1", 2, 3): (0, 0),
+        ("s2", 0, 4): (0, 3),
+        ("s2", 1, 4): (0, 0),
+    }
