@@ -1097,13 +1097,14 @@ def semantic_dedup(
     )
     m = (
         assigned.join(cent, "cluster_id")
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
         .select(
             "vec_id",
             "cluster_id",
             "v",
+            "nrm",
             F.round(
-                _dot(F.col("v"), F.col("c"))
-                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("c_norm")),
+                _dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("c_norm")),
                 5,
             ).alias("centroid_sim"),
         )
@@ -1116,21 +1117,20 @@ def semantic_dedup(
         "cluster_id",
         F.col("vec_id").alias("x_id"),
         F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_n"),
         F.col("centroid_sim").alias("x_cs"),
     )
     y = m.select(
         "cluster_id",
         F.col("vec_id").alias("y_id"),
         F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_n"),
         F.col("centroid_sim").alias("y_cs"),
     )
+    # norms precomputed once per member (above), not per pair — the
+    # pair stage evaluates one dot product per candidate, nothing else
     cos = F.round(
-        _dot(F.col("x_v"), F.col("y_v"))
-        / (
-            F.sqrt(_dot(F.col("x_v"), F.col("x_v")))
-            * F.sqrt(_dot(F.col("y_v"), F.col("y_v")))
-        ),
-        5,
+        _dot(F.col("x_v"), F.col("y_v")) / (F.col("x_n") * F.col("y_n")), 5
     )
     dominated = (
         x.join(y, "cluster_id")
