@@ -1254,3 +1254,63 @@ def pack_context_windows(
         .cast("bigint")
         .alias("tok_end"),
     )
+
+
+#: Program-keyword alternation for code detection — language-agnostic
+#: common keywords; word-bounded, RE2-portable (no lookaround).
+CODE_KEYWORD_RE = (
+    r"\b(def|return|import|class|void|int|function|var|const|let|"
+    r"public|static|struct|elif|lambda|print|printf|include|fn)\b"
+)
+
+
+def code_detect(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose detection (r7) — the corpus-router gate every
+    mixed web/code crawl runs (The Stack / StarCoder-style corpus
+    splits route code to a different pipeline than prose: different
+    dedup granularity, different quality rules, different tokenizer).
+    Heuristic surface signals, ALL pure codegen expressions (zero
+    shuffle, scan-speed at 100 TB):
+
+    - ``keyword_hits``: word-bounded program-keyword matches
+    - ``symbol_ratio``: brackets/operators per character
+    - ``code_line_frac``: fraction of non-empty lines that end in
+      ``;``/``{``/``}`` or start indented 4+ spaces / a tab
+    - ``is_code``: >= 2 of the 3 signals over their thresholds — an
+      integer vote, no float weighting, so the decision is
+      bit-identical in any engine
+
+    Thresholds follow the published heuristics' spirit (symbol ratio
+    and line shape are the classic signals); they are knobs, not
+    learned weights. Output keeps every input row."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_chars_nz = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars)
+    kw = F.size(F.regexp_extract_all(F.lower(text), F.lit(CODE_KEYWORD_RE), 0)).cast(
+        "bigint"
+    )
+    sym = F.size(
+        F.regexp_extract_all(text, F.lit(r"[{}()\[\];=<>+*/|&^%#]"), 0)
+    ).cast("bigint")
+    sym_ratio = F.round(sym.cast("double") / n_chars_nz, 6)
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    code_lines = F.filter(
+        lines,
+        lambda x: x.rlike(r"[;{}]\s*$") | x.rlike(r"^(    |\t)"),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_lines_nz = F.when(n_lines == 0, F.lit(None)).otherwise(n_lines)
+    code_line_frac = F.round(F.size(code_lines).cast("double") / n_lines_nz, 6)
+    votes = (
+        F.when(kw >= 2, 1).otherwise(0)
+        + F.when(sym_ratio >= 0.03, 1).otherwise(0)
+        + F.when(code_line_frac >= 0.3, 1).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        kw.alias("keyword_hits"),
+        sym_ratio.alias("symbol_ratio"),
+        n_lines.alias("n_lines"),
+        code_line_frac.alias("code_line_frac"),
+        (votes >= 2).alias("is_code"),
+    )

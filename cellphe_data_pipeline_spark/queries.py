@@ -3253,6 +3253,81 @@ def c13(spark, sf_dir):
 
 
 @register(
+    "t20_code_detect",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 2 THEN
+               'def f(x):' || chr(10) || '    return x * 2;' || chr(10) ||
+               'import os' || chr(10) || 'int main() {' || chr(10) ||
+               '    printf(x);' || chr(10) || '}' || chr(10) ||
+               substring(text, 1, 40)
+             ELSE text END AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, text, lower(text) AS lt, length(text) AS n_chars,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(trim(x)) > 0) AS lines
+      FROM aug
+    ),
+    f AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lt,
+          '\b(def|return|import|class|void|int|function|var|const|let|public|static|struct|elif|lambda|print|printf|include|fn)\b'))
+          AS keyword_hits,
+        len(regexp_extract_all(text, '[{}()\[\];=<>+*/|&^%#]')) AS sym,
+        n_chars, len(lines) AS n_lines,
+        len(list_filter(lines,
+            x -> regexp_matches(x, '[;{}]\s*$')
+                 OR regexp_matches(x, '^(    |\t)'))) AS n_code_lines
+      FROM l
+    )
+    SELECT doc_id,
+      CAST(keyword_hits AS BIGINT) AS keyword_hits,
+      ROUND(CAST(sym AS DOUBLE) / NULLIF(n_chars, 0), 6) AS symbol_ratio,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      ROUND(CAST(n_code_lines AS DOUBLE) / NULLIF(n_lines, 0), 6)
+        AS code_line_frac,
+      (CASE WHEN keyword_hits >= 2 THEN 1 ELSE 0 END
+       + CASE WHEN ROUND(CAST(sym AS DOUBLE) / NULLIF(n_chars, 0), 6) >= 0.03
+              THEN 1 ELSE 0 END
+       + CASE WHEN ROUND(CAST(n_code_lines AS DOUBLE) / NULLIF(n_lines, 0), 6)
+                   >= 0.3
+              THEN 1 ELSE 0 END) >= 2 AS is_code
+    FROM f
+    """,
+)
+def t20(spark, sf_dir):
+    """Code-vs-prose routing gate (r7; text.py code_detect) — the
+    StarCoder/Stack-style corpus split: word-bounded keyword hits,
+    bracket/operator symbol ratio, code-shaped-line fraction, combined
+    by an INTEGER 2-of-3 vote (no float weighting — bit-identical
+    decisions in any engine). Pure codegen expressions, zero shuffle,
+    RE2-portable patterns (no lookaround). The synthetic corpus is
+    all prose, so the d14 idiom applies: doc_id%10==2 docs are
+    rewritten (identically in both engines) into code-dominant text,
+    exercising the true branch of every signal — not just zeros."""
+    from cellphe_data_pipeline_spark.operators.text import code_detect
+
+    docs = load_table(spark, sf_dir, "documents")
+    snippet = (
+        "def f(x):\n    return x * 2;\nimport os\nint main() {\n"
+        "    printf(x);\n}\n"
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.lit(snippet), F.substring(F.col("text"), 1, 40)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_detect(aug)
+
+
+@register(
     "t6_repetition",
     r"""
     WITH lf AS (
@@ -6506,6 +6581,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v12_mean_pool_embeddings",
     "t19_bpe_learn_merges",
     "c13_context_packing",
+    "t20_code_detect",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

@@ -1783,3 +1783,22 @@ def test_pack_context_windows_straddles_boundaries(spark):
         ("s2", 0, 4): (0, 3),
         ("s2", 1, 4): (0, 0),
     }
+
+
+def test_code_detect_discriminates(spark):
+    """r7 code router: obvious code trips >= 2 of 3 signals, prose
+    trips none; the empty doc yields NULL ratios and is_code False."""
+    from cellphe_data_pipeline_spark.operators.text import code_detect
+
+    docs = [
+        (1, "def add(a, b):\n    return a + b;\n\nimport sys\n"
+            "class Foo:\n    x = 1;\n"),
+        (2, "The quick brown fox jumps over the lazy dog. "
+            "It was a bright day and the town was quiet."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert out[1]["is_code"] is True and out[1]["keyword_hits"] >= 2
+    assert out[2]["is_code"] is False and out[2]["keyword_hits"] == 0
+    assert out[3]["is_code"] is False and out[3]["symbol_ratio"] is None
