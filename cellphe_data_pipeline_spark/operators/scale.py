@@ -183,3 +183,25 @@ def repartition_for_cpu_kernel(df: DataFrame, *keys: str) -> DataFrame:
     """
     n = max(2, df.sparkSession.sparkContext.defaultParallelism)
     return df.repartitionByRange(n, *keys)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton/Z-ORDER interleave of the low ``bits`` of two nonneg int
+    columns — the lakehouse DATA-SKIPPING layout key (Delta/Iceberg
+    OPTIMIZE ZORDER BY): writing files in z-key ranges makes each
+    file's per-column min/max footer stats tight on BOTH dimensions at
+    once, so predicates on either column prune files (a single-column
+    sort gives tight stats on that column only). Pure integer
+    expression (2*bits shift/mask/or terms, codegen'd, engine-
+    portable); use with repartitionByRange(z) + sortWithinPartitions(z)
+    ahead of the parquet sink — the S15 publish path composes.
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    terms = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftright(x.cast("bigint"), i) % 2, 2 * i)
+        ty = F.shiftleft(F.shiftright(y.cast("bigint"), i) % 2, 2 * i + 1)
+        t = tx + ty
+        terms = t if terms is None else terms + t
+    return terms.cast("bigint")

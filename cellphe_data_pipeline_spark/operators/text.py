@@ -1314,3 +1314,62 @@ def code_detect(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         code_line_frac.alias("code_line_frac"),
         (votes >= 2).alias("is_code"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    rate_bp: int = 5000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (r7; Bavarian et al. 2022,
+    arXiv:2207.14255) — the code-training data prep that moves a random
+    middle span to the end in PSM order
+    (``<PRE>prefix<SUF>suffix<MID>middle``) so an autoregressive model
+    learns infilling. Deterministic engine-portable randomness
+    throughout (the c4/c11 seeded-md5 contract): the apply gate is an
+    exact basis-point Bernoulli draw on md5(doc_id), and the two cut
+    points are md5-derived offsets in [0, len] — same doc, same cuts,
+    any engine, any partitioning. Pure codegen string arithmetic, zero
+    shuffle. Output keeps every row: (doc_id, fim_applied, cut_lo,
+    cut_hi, fim_text) with fim_text = the original text when the draw
+    says no."""
+    if not 0 <= rate_bp <= 10000:
+        raise ValueError(f"rate_bp must be in [0, 10000], got {rate_bp}")
+
+    def h(salt: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    n = F.length(F.col(text_col))
+    p1 = h(":fim1") % (n + 1)
+    p2 = h(":fim2") % (n + 1)
+    lo = F.least(p1, p2)
+    hi = F.greatest(p1, p2)
+    applied = (h(":fimgate") % 10000) < F.lit(rate_bp)
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.expr(f"substring({text_col}, 1, cast(_lo as int))"),
+        F.lit("<SUF>"),
+        F.expr(f"substring({text_col}, cast(_hi as int) + 1)"),
+        F.lit("<MID>"),
+        F.expr(
+            f"substring({text_col}, cast(_lo as int) + 1, cast(_hi - _lo as int))"
+        ),
+    )
+    return (
+        df.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            applied.alias("fim_applied"),
+            F.when(applied, F.col("_lo")).cast("bigint").alias("cut_lo"),
+            F.when(applied, F.col("_hi")).cast("bigint").alias("cut_hi"),
+            F.when(applied, fim).otherwise(F.col(text_col)).alias("fim_text"),
+        )
+    )

@@ -3252,6 +3252,91 @@ def c13(spark, sf_dir):
     )
 
 
+def _zorder_oracle_sql(bits: int = 16, bucket_shift: int = 24) -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id % 65536 AS x,
+             (epoch_us(ts) // 1000000) % 65536 AS y
+      FROM events
+    ),
+    z AS (SELECT event_id, CAST({terms} AS BIGINT) AS z_key FROM b)
+    SELECT event_id, z_key,
+           CAST(z_key >> {bucket_shift} AS BIGINT) AS z_bucket
+    FROM z
+    """
+
+
+@register(
+    "c14_fim_transform",
+    """
+    WITH h AS (
+      SELECT doc_id, text, length(text) AS n,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 8))::BIGINT AS h1,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 8))::BIGINT AS h2,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fimgate'), 1, 8))::BIGINT AS hg
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo,
+             GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi,
+             (hg % 10000) < 5000 AS applied
+      FROM h
+    )
+    SELECT doc_id, applied AS fim_applied,
+           CASE WHEN applied THEN CAST(lo AS BIGINT) END AS cut_lo,
+           CASE WHEN applied THEN CAST(hi AS BIGINT) END AS cut_hi,
+           CASE WHEN applied THEN
+             '<PRE>' || substring(text, 1, CAST(lo AS INT))
+             || '<SUF>' || substring(text, CAST(hi AS INT) + 1)
+             || '<MID>' || substring(text, CAST(lo AS INT) + 1,
+                                     CAST(hi - lo AS INT))
+           ELSE text END AS fim_text
+    FROM c
+    """,
+)
+def c14(spark, sf_dir):
+    """Fill-in-the-middle transform (r7; text.py fim_transform;
+    Bavarian 2022): a seeded-md5 Bernoulli gate (basis points, the
+    c4/c11 determinism contract) moves an md5-chosen middle span to
+    the end in PSM sentinel order — the infilling objective's data
+    prep. Pure codegen string arithmetic, zero shuffle; cuts and gate
+    are bit-identical across engines and partitionings."""
+    from cellphe_data_pipeline_spark.operators.text import fim_transform
+
+    return fim_transform(load_table(spark, sf_dir, "documents"), rate_bp=5000)
+
+
+@register("o7_zorder_layout", _zorder_oracle_sql())
+def o7(spark, sf_dir):
+    """Z-ORDER layout keys (r7; scale.py zorder_key) — the lakehouse
+    data-skipping write layout (Delta/Iceberg OPTIMIZE ZORDER BY):
+    Morton-interleave the low 16 bits of (user_id, event-time seconds)
+    so that files written in z-key ranges carry min/max footer stats
+    tight on BOTH dimensions — predicates on either column prune
+    files, where a single-column sort gives one-sided stats only.
+    Pure integer shift/mask expression (codegen, zero shuffle in the
+    key computation; the layout write is repartitionByRange(z_key) +
+    the S15 publish sink). The locality win is pinned by
+    tests/test_scale.py: z-buckets have strictly tighter per-bucket
+    2-D bounding boxes than row-order buckets on a grid."""
+    from cellphe_data_pipeline_spark.operators.scale import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("user_id") % 65536
+    y = F.expr("(unix_micros(ts) div 1000000) % 65536")
+    z = zorder_key(x, y, bits=16)
+    return e.select(
+        "event_id",
+        z.alias("z_key"),
+        F.shiftright(z, 24).cast("bigint").alias("z_bucket"),
+    )
+
+
 @register(
     "t20_code_detect",
     r"""
@@ -6582,6 +6667,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "t19_bpe_learn_merges",
     "c13_context_packing",
     "t20_code_detect",
+    "o7_zorder_layout",
+    "c14_fim_transform",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

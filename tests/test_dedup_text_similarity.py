@@ -1802,3 +1802,35 @@ def test_code_detect_discriminates(spark):
     assert out[1]["is_code"] is True and out[1]["keyword_hits"] >= 2
     assert out[2]["is_code"] is False and out[2]["keyword_hits"] == 0
     assert out[3]["is_code"] is False and out[3]["symbol_ratio"] is None
+
+
+def test_fim_transform_reassembles_and_gates(spark):
+    """r7 FIM: applied rows carry the PSM sentinel layout whose parts
+    reassemble the original text exactly (prefix+middle+suffix);
+    unapplied rows pass through verbatim; rate_bp=0 / 10000 gate
+    nothing / everything."""
+    import re
+
+    from cellphe_data_pipeline_spark.operators.text import fim_transform
+
+    docs = [(i, f"doc {i} body abcdefghij" * 3) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    orig = dict(docs)
+
+    out = fim_transform(df, rate_bp=10000).collect()
+    assert all(r["fim_applied"] for r in out)
+    pat = re.compile(r"^<PRE>(.*)<SUF>(.*)<MID>(.*)$", re.S)
+    for r in out:
+        m = pat.match(r["fim_text"])
+        assert m, r["fim_text"]
+        pre, suf, mid = m.groups()
+        assert pre + mid + suf == orig[r["doc_id"]]
+        assert len(pre) == r["cut_lo"] and len(pre) + len(mid) == r["cut_hi"]
+
+    none = fim_transform(df, rate_bp=0).collect()
+    assert all(
+        (not r["fim_applied"])
+        and r["fim_text"] == orig[r["doc_id"]]
+        and r["cut_lo"] is None
+        for r in none
+    )

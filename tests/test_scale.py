@@ -112,3 +112,49 @@ def test_global_row_number_properties(spark):
     rows = global_row_number(df, ["k"], num_parts=5).collect()
     assert sorted(r["rn"] for r in rows) == list(range(1, 2001))
     assert all(r["rn"] == r["k"] + 1 for r in rows)
+
+
+def test_zorder_buckets_have_tighter_bboxes_than_row_order(spark):
+    """r7 z-order: on a 64x64 grid enumerated row-major, bucketing by
+    z-key yields per-bucket bounding boxes that are tight in BOTH
+    dimensions (16x16 squares: side sum 32) where row-major runs are
+    full-width strips (4x64: side sum 68) — a predicate on either
+    column prunes z-buckets, but only an x-predicate prunes strips.
+    That per-dimension tightness is the min/max-footer data-skipping
+    win. Also pins the interleave arithmetic against a python
+    reference."""
+    from cellphe_data_pipeline_spark.operators.scale import zorder_key
+
+    n = 64
+    pts = [(i, i // n, i % n) for i in range(n * n)]
+    df = spark.createDataFrame(pts, "rid bigint, x bigint, y bigint")
+    out = df.select(
+        "rid", "x", "y", zorder_key("x", "y", bits=6).alias("z")
+    ).collect()
+
+    def py_z(x, y, bits=6):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in out:
+        assert r["z"] == py_z(r["x"], r["y"])
+
+    n_buckets = 16
+    per = (n * n) // n_buckets
+
+    def mean_bbox_side_sum(keyed):
+        keyed = sorted(keyed)
+        sums = []
+        for b in range(n_buckets):
+            cell = keyed[b * per : (b + 1) * per]
+            xs = [x for _, x, _ in cell]
+            ys = [y for _, _, y in cell]
+            sums.append((max(xs) - min(xs) + 1) + (max(ys) - min(ys) + 1))
+        return sum(sums) / len(sums)
+
+    z_sum = mean_bbox_side_sum([(r["z"], r["x"], r["y"]) for r in out])
+    row_sum = mean_bbox_side_sum([(r["rid"], r["x"], r["y"]) for r in out])
+    assert z_sum == 32.0 and row_sum == 68.0  # squares vs strips
