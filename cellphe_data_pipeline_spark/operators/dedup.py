@@ -1192,9 +1192,15 @@ def bloom_decontaminate(
     the one-row crossJoin idiom.
 
     Output: (doc_id, n_flagged_shingles) per training doc with >= 1
-    maybe-contaminated shingle — same shape as flag_contaminated, so
-    the two are drop-in interchangeable.
+    maybe-contaminated shingle — the same (doc_id, count) shape as
+    flag_contaminated (whose column is n_contaminated_shingles: the
+    distinct names mark that this count may include phantoms).
     """
+    if k_hashes < 1 or m_bits < 1:
+        raise ValueError(
+            f"bloom_decontaminate requires k_hashes >= 1 and m_bits >= 1,"
+            f" got k_hashes={k_hashes} m_bits={m_bits}"
+        )
 
     def pos(h, sh_col):
         return (
@@ -1233,7 +1239,8 @@ def bloom_decontaminate(
         )
         all_hit = hit if all_hit is None else (all_hit & hit)
     return (
+        # word_shingles already normalized the id column to doc_id
         probed.filter(all_hit)
-        .groupBy(F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_flagged_shingles"))
     )

@@ -469,34 +469,53 @@ def kmeans_assign(
     )
 
 
-def kmeans_update(assigned: DataFrame, scale: int = 1_000_000) -> DataFrame:
-    """Lloyd UPDATE step with FIXED-POINT accumulation: components are
-    half-up-rounded to 1e-6 grid integers (the v5 quantization idiom
-    floor(x*scale + 0.5)), summed EXACTLY as int64, and the mean is the
-    final pair of divisions. Rationale: an unordered float SUM is
-    reduction-order-dependent (different per engine/partitioning); the
-    int grid makes the centroid bit-exact everywhere at 1e-6 precision
-    — far finer than k-means needs. Long-format output
-    (cluster_id, dim, centroid_val, n_members): one posexplode + ONE
-    combinable groupBy(cluster, dim); group count = k*dim regardless of
-    corpus size."""
-    parts = assigned.select(
-        "cluster_id", F.posexplode("v").alias("dim", "x")
+def _fixed_point_vector_mean(
+    df: DataFrame,
+    key_col: str,
+    vec_expr,
+    val_name: str,
+    n_name: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """THE fixed-point vector-mean kernel (single definition — shared
+    by kmeans_update and mean_pool_embeddings so the bit-exactness-
+    critical rounding/accumulation can never drift between them):
+    components half-up-rounded to the 1/scale grid
+    (floor(x*scale + 0.5), the v5 quantization idiom), summed EXACTLY
+    as int64, divided once at the end. Rationale: an unordered float
+    SUM is reduction-order-dependent (different per engine /
+    partitioning); the int grid makes the mean bit-exact everywhere at
+    1/scale precision. One posexplode + ONE combinable
+    groupBy(key, dim); shuffle rows = keys x dim regardless of group
+    fan-in. Output: (key_col, dim, <val_name>, <n_name>)."""
+    parts = df.select(
+        key_col, F.posexplode(vec_expr).alias("dim", "x")
     ).select(
-        "cluster_id",
+        key_col,
         "dim",
         F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("xq"),
     )
     return (
-        parts.groupBy("cluster_id", "dim")
-        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n_members"))
+        parts.groupBy(key_col, "dim")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias(n_name))
         .select(
-            "cluster_id",
+            key_col,
             F.col("dim").cast("bigint").alias("dim"),
-            (F.col("sq").cast("double") / F.col("n_members") / F.lit(float(scale)))
-            .alias("centroid_val"),
-            "n_members",
+            (F.col("sq").cast("double") / F.col(n_name) / F.lit(float(scale)))
+            .alias(val_name),
+            n_name,
         )
+    )
+
+
+def kmeans_update(assigned: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Lloyd UPDATE step — the shared fixed-point vector mean
+    (:func:`_fixed_point_vector_mean`) keyed on cluster_id: centroids
+    bit-exact in any engine at any partitioning at 1e-6 precision (far
+    finer than k-means needs); group count = k*dim regardless of
+    corpus size."""
+    return _fixed_point_vector_mean(
+        assigned, "cluster_id", F.col("v"), "centroid_val", "n_members", scale
     )
 
 
@@ -772,22 +791,11 @@ def mean_pool_embeddings(
     chunk fan-in. Long-format output (group, dim, pooled_val,
     n_chunks) — `array_agg(... ORDER BY dim)` reshapes to dense when a
     consumer needs it; downstream v-family operators take either."""
-    parts = df.select(
-        F.col(group_col).alias("group_id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
-    ).select(
+    return _fixed_point_vector_mean(
+        df.select(F.col(group_col).alias("group_id"), F.col(vec_col)),
         "group_id",
-        "dim",
-        F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("xq"),
-    )
-    return (
-        parts.groupBy("group_id", "dim")
-        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n_chunks"))
-        .select(
-            "group_id",
-            F.col("dim").cast("bigint").alias("dim"),
-            (F.col("sq").cast("double") / F.col("n_chunks") / F.lit(float(scale)))
-            .alias("pooled_val"),
-            "n_chunks",
-        )
+        _as_double(F.col(vec_col)),
+        "pooled_val",
+        "n_chunks",
+        scale,
     )

@@ -1175,17 +1175,21 @@ def bpe_learn_merges(
             break
         l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merges.append((i + 1, l, r, int(c)))
-        state = cut_lineage(
-            state.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(sep + l + s2 + r + sep),
-                    F.lit(sep + l + r + sep),
+        if i + 1 < n_merges:
+            # apply the merge only when another iteration will read it
+            # (the oracle's CTE chain does the same) — the final
+            # state is dead output
+            state = cut_lineage(
+                state.withColumn(
+                    "s",
+                    F.replace(
+                        F.col("s"),
+                        F.lit(sep + l + s2 + r + sep),
+                        F.lit(sep + l + r + sep),
+                    ),
                 ),
-            ),
-            name=f"bpe-learn-{i}",
-        )
+                name=f"bpe-learn-{i}",
+            )
     return df.sparkSession.createDataFrame(
         merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
     )
