@@ -3252,6 +3252,35 @@ def c13(spark, sf_dir):
     )
 
 
+@register(
+    "s17_orc_roundtrip",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation, MAX(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s17(spark, sf_dir):
+    """ORC source/sink round-trip (r7 engine extension) — the second
+    columnar format through the same staged-edge-I/O contract as the
+    CSV (s6) and published-parquet (s15) goldens: write the nation
+    table to ORC with Spark's native writer, read it back from disk,
+    aggregate. The oracle aggregates the parquet original, so any
+    type/value drift through the ORC encode/decode path (decimal
+    widths, string collation, null masks) breaks the value hash. ORC
+    carries the same min/max stripe statistics parquet footers do, so
+    the o7 z-order layout and S15 partition pruning apply unchanged."""
+    staged = _stage_dir("s17_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").orc(staged)
+    back = spark.read.orc(staged)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
 def _zorder_oracle_sql(bits: int = 16, bucket_shift: int = 24) -> str:
     terms = " + ".join(
         f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
@@ -6669,6 +6698,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t20_code_detect",
     "o7_zorder_layout",
     "c14_fim_transform",
+    "s17_orc_roundtrip",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe
