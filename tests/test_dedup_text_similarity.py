@@ -1834,3 +1834,47 @@ def test_fim_transform_reassembles_and_gates(spark):
         and r["cut_lo"] is None
         for r in none
     )
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    """r7: the documented plug-in path — kmeans_lloyd's long-format
+    centroids reshaped to (cluster_id, cvec) drive semantic_dedup's
+    clustering; every input vector is labelled exactly once and the
+    per-cluster keep rule still holds (exactly one kept member per
+    tau-connected group)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.dedup import semantic_dedup
+    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0]
+
+    rows = [(i, at(i * 3)) for i in range(1, 9)] + [
+        (9, [0.0, 0.0, 1.0]),
+        (10, [0.0, 0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = (
+        kmeans_lloyd(df, k=2, iterations=1)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_val"))
+            ).alias("p")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+    out = semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    assert len(out) == 10
+    assert {r["vec_id"] for r in out} == set(range(1, 11))
+    # the ten near-collinear vectors collapse hard under tau=0.95;
+    # the two isolated poles always survive
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert 9 in kept and 10 in kept
+    assert len(kept) < 10
