@@ -1878,3 +1878,56 @@ def test_semantic_dedup_accepts_trained_centroids(spark):
     kept = {r["vec_id"] for r in out if r["kept"]}
     assert 9 in kept and 10 in kept
     assert len(kept) < 10
+
+
+def test_pack_context_windows_property_vs_python(spark):
+    """Property: on arbitrary small corpora, the packing manifest
+    equals an independent python packer — per stream, doc spans tile
+    the concatenated token stream exactly (no gaps, no overlaps),
+    every window's covered token count is L except the final partial
+    window, and per-doc span lengths sum to the doc's token count."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+        pack_context_windows,
+    )
+    from pyspark.sql import functions as F
+
+    word = st.sampled_from(["alpha", "b,b", "c3", ""])
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    doc = st.tuples(st.sampled_from(["s1", "s2"]), text)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8), st.integers(2, 5))
+    def check(docs, L):
+        rows = [(i + 1, s, t) for i, (s, t) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        # engine's own token counter defines the stream positions
+        ntok = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        got = pack_context_windows(df, window_tokens=L).collect()
+
+        expected = []
+        for stream in ("s1", "s2"):
+            pos = 0
+            for i, s, _ in rows:
+                if s != stream or ntok[i] == 0:
+                    continue
+                start, end = pos, pos + ntok[i] - 1
+                for w in range(start // L, end // L + 1):
+                    expected.append(
+                        (stream, w, i,
+                         max(0, start - w * L), min(L - 1, end - w * L))
+                    )
+                pos = end + 1
+        assert sorted(
+            (r["stream"], r["window_id"], r["doc_id"], r["tok_start"], r["tok_end"])
+            for r in got
+        ) == sorted(expected)
+
+    check()
