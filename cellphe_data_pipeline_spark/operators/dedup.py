@@ -1244,3 +1244,67 @@ def bloom_decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_flagged_shingles"))
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Duplicated-substring REMOVAL (r7) — the fix half of
+    :func:`duplicated_spans` (Lee et al. 2022 ExactSubstr: after
+    finding cross-document duplicated spans, CUT them out of every
+    document rather than dropping whole docs). Tokens covered by any
+    detected span are removed; survivors reassemble in original order.
+
+    Pipeline: d8's detection (positioned shingles -> combinable
+    cross-doc frequency -> occurrence join -> one doc-keyed window
+    interval merge) + one doc-keyed join of tokens against the (few,
+    disjoint) spans per doc + one doc-keyed ordered re-aggregation —
+    the d12 line-dedup shape at token granularity. No document
+    self-join anywhere; every shuffle is keyed on doc_id or the
+    shingle.
+
+    Output: one row per INPUT doc (the d12 contract): (doc_id,
+    n_tokens, n_removed, text_clean); a fully-duplicated doc comes
+    back with text_clean = ''."""
+    spans = duplicated_spans(df, text_col, id_col, n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    covered = (
+        toks.join(
+            spans,
+            (toks["doc_id"] == spans["doc_id"])
+            & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        )
+        .select(toks["doc_id"], "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_txt"),
+    )
+    counts = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return (
+        counts.join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_nk"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_txt"), F.lit("")).alias("text_clean"),
+        )
+    )

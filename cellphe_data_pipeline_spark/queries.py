@@ -4054,6 +4054,81 @@ def d8(spark, sf_dir):
 
 
 @register(
+    "d16_remove_dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(t[i:i+2], ' ') AS sh
+      FROM toks,
+           UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2)
+                       ELSE [] END) AS g(i)
+    ),
+    dup AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos, g.pos + 2 AS e FROM grams g JOIN dup USING (sh)),
+    fl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e2
+      FROM isl GROUP BY doc_id, span_id
+    ),
+    tk AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    cov AS (
+      SELECT DISTINCT tk.doc_id, tk.pos
+      FROM tk JOIN spans ON tk.doc_id = spans.doc_id
+                        AND tk.pos BETWEEN spans.s AND spans.e2
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+      WHERE cov.pos IS NULL
+    ),
+    ka AS (
+      SELECT doc_id, COUNT(*) AS nk,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(ka.nk, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.txt, '') AS text_clean
+    FROM toks t LEFT JOIN ka ON t.doc_id = ka.doc_id
+    """,
+)
+def d16(spark, sf_dir):
+    """Duplicated-span REMOVAL (r7; dedup.py remove_duplicated_spans)
+    — the fix half of d8's ExactSubstr detection (Lee et al. 2022):
+    tokens covered by any cross-document duplicated span are cut and
+    the survivors reassemble in order, one output row per input doc
+    (the d12 contract; a fully-duplicated doc returns text_clean='').
+    d8's stages + one doc-keyed token-vs-span join + one doc-keyed
+    ordered re-aggregation; no document self-join anywhere."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "t7_tfidf_topk",
     r"""
     WITH toks AS (
@@ -6699,6 +6774,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o7_zorder_layout",
     "c14_fim_transform",
     "s17_orc_roundtrip",
+    "d16_remove_dup_spans",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

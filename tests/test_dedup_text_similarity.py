@@ -1931,3 +1931,26 @@ def test_pack_context_windows_property_vs_python(spark):
         ) == sorted(expected)
 
     check()
+
+
+def test_remove_duplicated_spans_cuts_and_preserves(spark):
+    """r7 span removal: the shared trigram run vanishes from both
+    docs, unique text survives in order, the untouched doc passes
+    through verbatim, and every input doc has an output row."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "one two three four five"
+    docs = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"delta {shared} epsilon zeta"),
+        (3, "totally unrelated text with no repeats"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text_clean"] == "alpha beta gamma"
+    assert out[2]["text_clean"] == "delta epsilon zeta"
+    assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+    assert out[3]["text_clean"] == docs[2][1] and out[3]["n_removed"] == 0
