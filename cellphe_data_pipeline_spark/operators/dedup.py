@@ -1257,54 +1257,54 @@ def remove_duplicated_spans(
 
     Pipeline: d8's detection (positioned shingles -> combinable
     cross-doc frequency -> occurrence join -> one doc-keyed window
-    interval merge) + one doc-keyed join of tokens against the (few,
-    disjoint) spans per doc + one doc-keyed ordered re-aggregation —
-    the d12 line-dedup shape at token granularity. No document
+    interval merge) + ONE doc-keyed left join of tokens against the
+    (few, disjoint) spans per doc + ONE doc-keyed aggregation that
+    computes counts and the ordered reassembly together — the d12
+    line-dedup single-agg shape at token granularity. No document
     self-join anywhere; every shuffle is keyed on doc_id or the
     shingle.
 
     Output: one row per INPUT doc (the d12 contract): (doc_id,
     n_tokens, n_removed, text_clean); a fully-duplicated doc comes
     back with text_clean = ''."""
-    spans = duplicated_spans(df, text_col, id_col, n)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-        ).alias("t"),
+    spans = duplicated_spans(df, text_col, id_col, n).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
-    toks = base.select(
-        "doc_id", F.posexplode("t").alias("pos", "tok")
-    ).withColumn("pos", F.col("pos").cast("bigint"))
-    covered = (
-        toks.join(
-            spans,
-            (toks["doc_id"] == spans["doc_id"])
-            & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(
+                F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+            ).alias("t"),
         )
-        .select(toks["doc_id"], "pos")
-        .distinct()
+        .select("doc_id", F.posexplode("t").alias("pos", "tok"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
     )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_nk"),
+    # spans are disjoint merged intervals, so the left join matches each
+    # token at most once (no row multiplication) and the covered flag +
+    # ONE aggregation computes everything — the d12 single-agg shape
+    # (conditional collect_list skips NULLs). Every doc tokenizes to
+    # >= 1 token (split('') = ['']), so no doc drops out of the groupBy.
+    flagged = toks.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left",
+    ).withColumn("covered", F.col("span_start").isNotNull())
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("covered"), F.struct("pos", "tok"))
+                    )
+                ),
                 lambda s: s["tok"],
             ),
             " ",
-        ).alias("_txt"),
-    )
-    counts = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
-    return (
-        counts.join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_nk"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(F.col("_txt"), F.lit("")).alias("text_clean"),
-        )
+        ).alias("text_clean"),
     )
