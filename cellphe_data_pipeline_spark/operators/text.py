@@ -1377,3 +1377,88 @@ def fim_transform(
             F.when(applied, fim).otherwise(F.col(text_col)).alias("fim_text"),
         )
     )
+
+
+def pmi_phrases(
+    df: DataFrame,
+    min_count: int = 5,
+    delta: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase detection by corpus PMI (r7) — the word2vec phrase-merge
+    score (Mikolov et al. 2013, §4: score(a,b) =
+    (count(ab) - delta) * N / (count(a) * count(b))): adjacent word
+    pairs that co-occur far above chance become single tokens in the
+    next tokenizer pass (the BPE-adjacent vocabulary-building step
+    over WORDS instead of bytes). ALL-INTEGER scoring: the score is
+    emitted in parts-per-million via bigint arithmetic
+    ((c_ab - delta) * N * 1e6 div (c_a * c_b)) so ordering and values
+    are bit-identical in any engine — no float PMI logs.
+
+    Scale shape: one combinable groupBy for bigram counts, one for
+    unigram counts (both map-side combined, vocabulary-sized outputs),
+    two hash joins of the bigram table against the unigram table, one
+    TakeOrdered top-k. The corpus token stream is scanned once.
+    Output: (w1, w2, n_pair, n_w1, n_w2, score_ppm) — top k by
+    (score_ppm DESC, w1, w2).
+
+    Requires ``min_count > delta``: that keeps every numerator
+    positive, where Spark's ``div`` (truncate toward zero) and
+    floor-division engines (DuckDB ``//``) agree; a negative score
+    would divide differently per engine."""
+    if min_count <= delta:
+        raise ValueError(
+            f"pmi_phrases requires min_count > delta (integer-division"
+            f" portability), got min_count={min_count} delta={delta}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _doc_token_array(text_col).alias("t"),
+    ).select(
+        "doc_id", F.filter(F.col("t"), lambda x: x != "").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "element_at(t, cast(i + 1 AS int)) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    # corpus size as a LAZY one-row broadcast (the repo's one-row
+    # aggregate crossJoin idiom) — no separate driver action
+    tot = uni.groupBy().agg(F.sum("n").alias("n_total"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.expr(
+                f"(n_pair - {delta}) * n_total * 1000000L"
+                " div (n_w1 * n_w2)"
+            ).alias("score_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_ppm").desc(), "w1", "w2"
+    ).limit(k)

@@ -4129,6 +4129,52 @@ def d16(spark, sf_dir):
 
 
 @register(
+    "t21_pmi_phrases",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS n
+      FROM toks, UNNEST(t) AS u(w) GROUP BY w
+    ),
+    tot AS (SELECT SUM(n) AS n_total FROM uni),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_pair
+      FROM toks,
+           UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                       ELSE [] END) AS g(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(u1.n AS BIGINT) AS n_w1, CAST(u2.n AS BIGINT) AS n_w2,
+           CAST((n_pair - 3) * CAST(n_total AS BIGINT) * 1000000
+                // (u1.n * u2.n) AS BIGINT) AS score_ppm
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.w
+    JOIN uni u2 ON bi.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY score_ppm DESC, w1, w2 LIMIT 50
+    """,
+)
+def t21(spark, sf_dir):
+    """Phrase detection by corpus PMI (r7; text.py pmi_phrases;
+    Mikolov 2013 §4's phrase-merge score): adjacent word pairs
+    co-occurring far above chance, scored ALL-INTEGER in ppm
+    ((c_ab - delta) * N * 1e6 div (c_a * c_b)) so ordering and values
+    are bit-identical across engines — no float PMI logs. One corpus
+    token scan, two combinable vocabulary-sized groupBys, two hash
+    joins against the unigram table, a lazy one-row total broadcast,
+    one TakeOrdered top-k."""
+    from cellphe_data_pipeline_spark.operators.text import pmi_phrases
+
+    return pmi_phrases(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "t7_tfidf_topk",
     r"""
     WITH toks AS (
@@ -6775,6 +6821,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c14_fim_transform",
     "s17_orc_roundtrip",
     "d16_remove_dup_spans",
+    "t21_pmi_phrases",
     # changed-code re-verification: html_to_text's quote-tolerant /
     # unterminated-element patterns (t13), the keep-list's string-safe
     # tie-break + replicated-cut routing (d11), the CC kernel/probe

@@ -1954,3 +1954,31 @@ def test_remove_duplicated_spans_cuts_and_preserves(spark):
     assert out[2]["text_clean"] == "delta epsilon zeta"
     assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
     assert out[3]["text_clean"] == docs[2][1] and out[3]["n_removed"] == 0
+
+
+def test_pmi_phrases_scores_and_ranks(spark):
+    """r7 PMI phrases: a pair that always co-occurs outranks a pair
+    diluted across contexts; integer ppm score matches hand
+    arithmetic; min_count filters rare pairs; min_count <= delta is
+    rejected (integer-division portability guard)."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.text import pmi_phrases
+
+    # "new york" appears 6x, always together; "big apple" 6x but both
+    # words also occur alone often, diluting the denominator.
+    text = ("new york " * 6 + "big apple " * 6 + "big dog " * 6
+            + "red apple " * 6).strip()
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = pmi_phrases(df, min_count=5, delta=3, k=10).collect()
+    rows = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in rows
+    ny = rows[("new", "york")]
+    # hand arithmetic: N = 48 tokens, c_ab=6, c_new=6, c_york=6
+    assert ny["n_pair"] == 6 and ny["n_w1"] == 6 and ny["n_w2"] == 6
+    assert ny["score_ppm"] == (6 - 3) * 48 * 1_000_000 // 36
+    if ("big", "apple") in rows:
+        assert rows[("big", "apple")]["score_ppm"] < ny["score_ppm"]
+
+    with pytest.raises(ValueError, match="min_count > delta"):
+        pmi_phrases(df, min_count=3, delta=3)
