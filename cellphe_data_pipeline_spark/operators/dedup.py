@@ -326,6 +326,16 @@ def hamming_code_pairs(
     band-equality self-join, the exact popcount(xor) verify runs on
     candidates only. Band-selectivity contract as documented on
     :func:`simhash_near_duplicates`. Output: (doc_a, doc_b, hamming).
+
+    CONTRACT: ``id_col`` must identify exactly ONE code row — the
+    verify joins back on ``id_col`` alone, so a relation carrying
+    several codes per id (e.g. :func:`frame_dhash` output, one row per
+    (path, frame_index)) would emit duplicated and mutually
+    contradictory (doc_a, doc_b, hamming) rows the final distinct
+    cannot collapse. Callers with multi-code inputs must key on a
+    composite id first (mm6 uses ``path || '#' || frame_index``); the
+    contract is asserted eagerly when the input is multi-code
+    (r8 ADVICE fix).
     """
     if n_bits // (max_hamming + 1) < 1:
         raise ValueError(
@@ -334,6 +344,31 @@ def hamming_code_pairs(
             " in the zero-width bands — an all-pairs explosion, not a filter"
         )
     codes = codes.select(F.col(id_col).alias("doc_id"), F.col(code_col).alias("simhash"))
+    # Plan-embedded one-code-per-id guard (r8 ADVICE fix): a keyed
+    # window count folded into the code value via the repo's
+    # coalesce(assert_true) idiom (pipeline.py spot-id overflow guard)
+    # so column pruning cannot drop it — a multi-code id fails loudly
+    # at execution instead of emitting contradictory pairs. Costs one
+    # keyed shuffle of an (id, int64) relation, cheap next to the band
+    # self-join it protects.
+    _per_id = Window.partitionBy("doc_id")
+    codes = codes.select(
+        "doc_id",
+        (
+            F.col("simhash")
+            + F.coalesce(
+                F.assert_true(
+                    F.count(F.lit(1)).over(_per_id) == 1,
+                    F.concat(
+                        F.lit("hamming_code_pairs: multiple code rows for id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" — key on a composite id (see docstring)"),
+                    ),
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("simhash"),
+    )
     n_bands = max_hamming + 1
     width = n_bits // n_bands
     band_cols = []
@@ -1019,14 +1054,21 @@ def containment_near_duplicates(
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        # threshold on the RAW ratio; round only in the final select —
+        # rounding first admits pairs in [threshold - 5e-7, threshold)
+        # that the oracle (raw-ratio HAVING) rejects (r8 ADVICE fix,
+        # same divergence class the r6 d10 fix removed)
         .withColumn(
-            "containment",
-            F.round(
-                F.col("n_inter").cast("double") / F.least("na", "nb"), 6
-            ),
+            "containment_raw",
+            F.col("n_inter").cast("double") / F.least("na", "nb"),
         )
-        .filter(F.col("containment") >= F.lit(threshold))
-        .select("doc_a", "doc_b", "n_inter", "containment")
+        .filter(F.col("containment_raw") >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round("containment_raw", 6).alias("containment"),
+        )
     )
 
 

@@ -1393,9 +1393,15 @@ def pmi_phrases(
     pairs that co-occur far above chance become single tokens in the
     next tokenizer pass (the BPE-adjacent vocabulary-building step
     over WORDS instead of bytes). ALL-INTEGER scoring: the score is
-    emitted in parts-per-million via bigint arithmetic
+    emitted in parts-per-million via exact integer arithmetic
     ((c_ab - delta) * N * 1e6 div (c_a * c_b)) so ordering and values
-    are bit-identical in any engine — no float PMI logs.
+    are bit-identical in any engine — no float PMI logs. The numerator
+    is computed in decimal(38,0) (mirrored by HUGEINT in the DuckDB
+    oracle): in bigint it silently wraps once c_ab * N > 9.2e12 —
+    reached at ~1e8-token corpora, far below this operator's target
+    scale. The final score itself fits bigint (score ≤
+    N * 1e6 / min_count, i.e. < 9.2e18 for any corpus under ~46
+    trillion tokens at the default min_count=5).
 
     Scale shape: one combinable groupBy for bigram counts, one for
     unigram counts (both map-side combined, vocabulary-sized outputs),
@@ -1454,8 +1460,9 @@ def pmi_phrases(
             "n_w1",
             "n_w2",
             F.expr(
-                f"(n_pair - {delta}) * n_total * 1000000L"
-                " div (n_w1 * n_w2)"
+                f"(cast(n_pair as decimal(38,0)) - {delta})"
+                " * n_total * 1000000"
+                " div (cast(n_w1 as decimal(38,0)) * n_w2)"
             ).alias("score_ppm"),
         )
     )

@@ -4151,8 +4151,8 @@ def d16(spark, sf_dir):
     )
     SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
            CAST(u1.n AS BIGINT) AS n_w1, CAST(u2.n AS BIGINT) AS n_w2,
-           CAST((n_pair - 3) * CAST(n_total AS BIGINT) * 1000000
-                // (u1.n * u2.n) AS BIGINT) AS score_ppm
+           CAST(CAST(n_pair - 3 AS HUGEINT) * n_total * 1000000
+                // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS score_ppm
     FROM bi
     JOIN uni u1 ON bi.w1 = u1.w
     JOIN uni u2 ON bi.w2 = u2.w
@@ -4165,7 +4165,9 @@ def t21(spark, sf_dir):
     Mikolov 2013 §4's phrase-merge score): adjacent word pairs
     co-occurring far above chance, scored ALL-INTEGER in ppm
     ((c_ab - delta) * N * 1e6 div (c_a * c_b)) so ordering and values
-    are bit-identical across engines — no float PMI logs. One corpus
+    are bit-identical across engines — no float PMI logs; the
+    numerator is decimal(38,0) in Spark / HUGEINT in the oracle so it
+    cannot wrap at realistic corpus sizes (r8 ADVICE fix). One corpus
     token scan, two combinable vocabulary-sized groupBys, two hash
     joins against the unigram table, a lazy one-row total broadcast,
     one TakeOrdered top-k."""
@@ -6275,10 +6277,10 @@ def e8(spark, sf_dir):
     "mm6_image_dhash_neardup",
     """
     SELECT * FROM (VALUES
-      ('img0.fake', 'img1.fake', CAST(0 AS BIGINT)),
-      ('img0.fake', 'img2.fake', CAST(2 AS BIGINT)),
-      ('img1.fake', 'img2.fake', CAST(2 AS BIGINT)),
-      ('img5.fake', 'img6.fake', CAST(0 AS BIGINT))
+      ('img0.fake#0', 'img1.fake#0', CAST(0 AS BIGINT)),
+      ('img0.fake#0', 'img2.fake#0', CAST(2 AS BIGINT)),
+      ('img1.fake#0', 'img2.fake#0', CAST(2 AS BIGINT)),
+      ('img5.fake#0', 'img6.fake#0', CAST(0 AS BIGINT))
     ) AS t(doc_a, doc_b, hamming)
     """,
 )
@@ -6336,9 +6338,15 @@ def mm6(spark, sf_dir):
         for name, img in imgs.items()
     ]
     bins = spark.createDataFrame(rows, "path string, content binary")
-    codes = frame_dhash(split_frames(bins))
+    # frame_dhash emits one code per (path, frame_index) — key the
+    # pairing on the composite id to honor hamming_code_pairs'
+    # one-code-per-id contract (r8 ADVICE fix; multi-page inputs would
+    # otherwise collide on path and trip the plan-embedded guard)
+    codes = frame_dhash(split_frames(bins)).select(
+        F.concat_ws("#", "path", "frame_index").alias("frame_id"), "dhash"
+    )
     return hamming_code_pairs(
-        codes, id_col="path", code_col="dhash", n_bits=56, max_hamming=3
+        codes, id_col="frame_id", code_col="dhash", n_bits=56, max_hamming=3
     )
 
 

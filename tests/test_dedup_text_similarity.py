@@ -1982,3 +1982,33 @@ def test_pmi_phrases_scores_and_ranks(spark):
 
     with pytest.raises(ValueError, match="min_count > delta"):
         pmi_phrases(df, min_count=3, delta=3)
+
+
+def test_hamming_code_pairs_multi_code_id_raises(spark):
+    """r8 ADVICE fix: hamming_code_pairs' one-code-per-id contract is
+    enforced by a plan-embedded assert — an id carrying two code rows
+    (e.g. frame_dhash output keyed on path alone for a multi-page
+    input) fails loudly instead of emitting contradictory pairs, and
+    the same data keyed on a composite id passes."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.dedup import hamming_code_pairs
+
+    rows = [("a", 0, 0), ("a", 1, 255), ("b", 0, 1)]
+    df = spark.createDataFrame(rows, "path string, frame int, code bigint")
+
+    with pytest.raises(Exception, match="multiple code rows"):
+        hamming_code_pairs(
+            df, id_col="path", code_col="code", n_bits=8, max_hamming=3
+        ).collect()
+
+    from pyspark.sql import functions as F
+
+    composite = df.select(
+        F.concat_ws("#", "path", "frame").alias("fid"), "code"
+    )
+    out = hamming_code_pairs(
+        composite, id_col="fid", code_col="code", n_bits=8, max_hamming=3
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert pairs == {("a#0", "b#0"): 1}
