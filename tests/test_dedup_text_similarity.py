@@ -2012,3 +2012,78 @@ def test_hamming_code_pairs_multi_code_id_raises(spark):
     ).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
     assert pairs == {("a#0", "b#0"): 1}
+
+
+def test_bpe_delta_strategy_equals_recount(spark):
+    """r8 delta-update BPE learning: the incremental pair-count /
+    batched-merge strategy is bit-identical to the serial full-recount
+    strategy (the r7 implementation, kept as the in-repo oracle) over
+    a seeded word-soup corpus at k=30 — deep enough that batches,
+    affected-slice deltas, and count tombstones all get exercised."""
+    import random
+
+    from cellphe_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    rng = random.Random(8)
+    syll = ["ab", "ba", "ca", "ad", "da", "be", "eb", "fa", "ga", "ha"]
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choices(syll, k=rng.randint(1, 4)))
+                for _ in range(30)
+            ),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = lambda d: [tuple(r) for r in d.orderBy("merge_rank").collect()]
+    got = rows(bpe_learn_merges(df, n_merges=30, strategy="delta"))
+    want = rows(bpe_learn_merges(df, n_merges=30, strategy="recount"))
+    assert got == want
+    assert len(want) == 30
+
+
+def test_bpe_select_batch_conditions():
+    """The driver-side serial-equivalence batch selector: disjoint
+    high-count pairs batch together; a symbol collision (including
+    with a merged token) stops the scan; the hazard bound rejects a
+    candidate an earlier merge could have overtaken; truncated
+    fetches treat the floor as a hazard."""
+    from cellphe_data_pipeline_spark.operators.text import _bpe_select_batch
+
+    row = lambda l, r, c: {"l": l, "r": r, "c": c}
+
+    # fully disjoint: everything batches
+    f = [row("a", "b", 100), row("c", "d", 90), row("e", "f", 80)]
+    assert _bpe_select_batch(f, False, 10) == [
+        ("a", "b", 100), ("c", "d", 90), ("e", "f", 80)
+    ]
+
+    # shared symbol stops the scan at the collision, not past it
+    f = [row("a", "b", 100), row("b", "c", 90), row("e", "f", 80)]
+    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+
+    # merged-token collision ("ab" reappears as a member) stops too
+    f = [row("a", "b", 100), row("ab", "z", 90)]
+    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+
+    # hazard: (x,a) shares "a" with the selected (a,b) and counts 60;
+    # candidate (c,d) at 50 <= 2*60 could have been overtaken by a
+    # pair the (a,b) merge boosts -> rejected
+    f = [row("a", "b", 100), row("x", "a", 60), row("c", "d", 50)]
+    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+    # ...but at 150 > 2*60 + floor 0 it is safe
+    f = [row("a", "b", 200), row("c", "d", 150), row("x", "a", 60)]
+    assert _bpe_select_batch(f, False, 10) == [
+        ("a", "b", 200), ("c", "d", 150)
+    ]
+
+    # truncated fetch: unfetched pairs may count up to the floor, so
+    # a second pick must clear 2 * floor
+    f = [row("a", "b", 10), row("c", "d", 9)]
+    assert _bpe_select_batch(f, True, 10) == [("a", "b", 10)]
+
+    # max_take caps the batch
+    f = [row("a", "b", 100), row("c", "d", 90)]
+    assert _bpe_select_batch(f, False, 1) == [("a", "b", 100)]
