@@ -5926,6 +5926,103 @@ def d15(spark, sf_dir):
 
 
 @register(
+    "d15b_semantic_dedup_trained",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
+            (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
+             ORDER BY vec_id LIMIT 16)),
+    d0 AS (
+      SELECT e.vec_id, c0.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c0.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c0.cv[i])) AS dist
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d0
+    ),
+    parts AS (
+      SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM a0, UNNEST(generate_series(1, len(v))) AS g(i)
+      WHERE rn = 1
+    ),
+    ctl AS (
+      SELECT cluster_id, dim,
+             CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid_val
+      FROM parts GROUP BY cluster_id, dim
+    ),
+    c AS (
+      SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+      FROM ctl GROUP BY cluster_id
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
+      FROM e, c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d
+    ),
+    m AS (
+      SELECT a.vec_id, a.cluster_id, a.v,
+             ROUND(list_dot_product(a.v, c.cv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 5) AS centroid_sim
+      FROM a JOIN c USING (cluster_id) WHERE rn = 1
+    ),
+    dom AS (
+      SELECT DISTINCT x.vec_id
+      FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+                       AND x.vec_id <> y.vec_id
+      WHERE (y.centroid_sim, y.vec_id) < (x.centroid_sim, x.vec_id)
+        AND ROUND(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 5) >= 0.35
+    )
+    SELECT m.vec_id, m.cluster_id, m.centroid_sim,
+           (dom.vec_id IS NULL) AS kept
+    FROM m LEFT JOIN dom ON m.vec_id = dom.vec_id
+    """,
+)
+def d15b(spark, sf_dir):
+    """SemDeDup at TRAINED scale (r8) — the paper's actual regime:
+    clustering comes from the in-engine kmeans_lloyd iteration (v8's
+    fixed-point Lloyd — bit-exact centroids in any engine), reshaped
+    long -> (cluster_id, cvec) and plugged into semantic_dedup's
+    centroid port, at k=16 (vs d15's 8 lowest-id seeds). The scale
+    contract stays k proportional to N so per-cluster pair fan-out is
+    O(1) (Abbas 2023 used 50k clusters for LAION) — measured fan-out
+    at two k values in SCALE.md. The oracle replays seed-assign ->
+    fixed-point update -> re-assign -> dominance as one CTE chain."""
+    from cellphe_data_pipeline_spark.operators.dedup import semantic_dedup
+    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        kmeans_lloyd(emb, k=16, iterations=1)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_val"))
+            ).alias("p")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+    return semantic_dedup(emb, centroids=cents, threshold=0.35)
+
+
+@register(
     "e7_streaming_dedup_keys",
     """
     SELECT DISTINCT lang, md5(text) AS content_hash FROM documents
@@ -6637,15 +6734,13 @@ def _bpe_oracle_sql() -> str:
     """
 
 
-def _bpe_learn_oracle_sql(n_merges: int = 6) -> str:
-    """DuckDB mirror of text.bpe_learn_merges: the same sentinel-
-    delimited string state, the same literal-replace merge application
-    (cell-delimited, so non-overlapping LTR replace == greedy BPE),
-    the same (count DESC, lhs, rhs) argmax — unrolled as an n-step CTE
-    chain where step i+1's replace takes its pair from step i's
-    1-row argmax via scalar subqueries. Fully data-driven (no
-    dictionary): word frequencies differ per scale factor, so the
-    merges must be computed, not enumerated."""
+def _bpe_learn_cte_parts(n_merges: int) -> list[str]:
+    """The shared learn-chain CTEs (tokens -> counted vocab -> k
+    unrolled rounds of pair-count argmax p{i} + replace application
+    v{i+1}) used by both the t19 learn oracle and the t22 roundtrip
+    oracle. Every level is MATERIALIZED — each is referenced twice, so
+    default inlining re-evaluates the base vocabulary exponentially
+    (SCALE.md t19 oracle note)."""
     sep = "\x1f"
     s2 = sep + sep
     parts = [
@@ -6681,12 +6776,70 @@ def _bpe_learn_oracle_sql(n_merges: int = 6) -> str:
         '{sep}' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '{sep}') AS s
       FROM v{i})"""
             )
+    return parts
+
+
+def _bpe_learn_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB mirror of text.bpe_learn_merges: the same sentinel-
+    delimited string state, the same literal-replace merge application
+    (cell-delimited, so non-overlapping LTR replace == greedy BPE),
+    the same (count DESC, lhs, rhs) argmax — unrolled as an n-step CTE
+    chain where step i+1's replace takes its pair from step i's
+    1-row argmax via scalar subqueries. Fully data-driven (no
+    dictionary): word frequencies differ per scale factor, so the
+    merges must be computed, not enumerated."""
+    parts = _bpe_learn_cte_parts(n_merges)
     selects = " UNION ALL ".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs,"
         f" CAST(c AS BIGINT) AS pair_count FROM p{i}"
         for i in range(n_merges)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+def _bpe_roundtrip_oracle_sql(n_merges: int = 6) -> str:
+    """t22 oracle: the t19 learn chain feeding the t17-shaped apply —
+    the learned p{i} pairs are applied IN RANK ORDER to a tok-keyed
+    copy of the vocabulary (same sentinel-replace semantics =
+    bpe_token_counts' greedy per-rank fold), yielding a data-driven
+    word -> subtoken-count dictionary that the per-doc token stream
+    inner-joins (fail-loud on vocabulary drift, the t17 contract)."""
+    sep = "\x1f"
+    s2 = sep + sep
+    parts = _bpe_learn_cte_parts(n_merges)
+    parts.append(
+        f"""a0 AS MATERIALIZED (
+      SELECT tok,
+             '{sep}' || array_to_string(
+               list_transform(generate_series(1, length(tok)), i -> tok[i]),
+               '{s2}') || '{sep}' AS s
+      FROM w)"""
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"""a{i + 1} AS MATERIALIZED (
+      SELECT tok, replace(s,
+        '{sep}' || (SELECT lhs FROM p{i}) || '{s2}' || (SELECT rhs FROM p{i}) || '{sep}',
+        '{sep}' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '{sep}') AS s
+      FROM a{i})"""
+        )
+    parts.append(
+        f"""dict AS (
+      SELECT tok, len(string_split(s[2:length(s) - 1], '{s2}')) AS n_sub
+      FROM a{n_merges}),
+    alltoks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> '')"""
+    )
+    final = (
+        "SELECT a.doc_id, COUNT(*) AS n_words,"
+        " CAST(SUM(d.n_sub) AS BIGINT) AS n_bpe_tokens"
+        " FROM alltoks a JOIN dict d USING (tok) GROUP BY a.doc_id"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
 
 
 @register("t19_bpe_learn_merges", _bpe_learn_oracle_sql(6))
@@ -6703,6 +6856,28 @@ def t19(spark, sf_dir):
     from cellphe_data_pipeline_spark.operators.text import bpe_learn_merges
 
     return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+@register("t22_bpe_roundtrip", _bpe_roundtrip_oracle_sql(6))
+def t22(spark, sf_dir):
+    """BPE TRAIN -> APPLY roundtrip (r8) — the tokenizer-pipeline
+    integration a real corpus run needs (reference analogue: the
+    per-stage CSV chain of E3, SURVEY §3): bpe_learn_merges learns the
+    6-rule merge table from the corpus (delta strategy), the learned
+    rules feed bpe_token_counts verbatim, and every document gets its
+    (n_words, n_bpe_tokens) budget under the corpus's OWN tokenizer —
+    no hand-shipped merge list anywhere. The learned table crosses the
+    stages as a k-row driver list (the bounded argmax idiom); the
+    corpus is scanned once for training and once for application. The
+    oracle replays learn + apply as one materialized CTE chain."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = bpe_learn_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    return bpe_token_counts(docs, [(r["lhs"], r["rhs"]) for r in learned])
 
 
 @register("t17_bpe_tokenize", _bpe_oracle_sql())
@@ -6786,103 +6961,168 @@ def e9(spark, sf_dir):
     return spark.table(qname).select("doc_a", "doc_b", "ts_b")
 
 
+@register(
+    "e10_streaming_quality_gate",
+    r"""
+    WITH feat AS (
+      SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks,
+        list_filter(string_split(COALESCE(text, ''), chr(10)),
+                    x -> length(trim(x)) > 0) AS lines,
+        length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '#', '')) AS n_hash,
+        (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '...', ''))) // 3
+          + (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '…', ''))) AS n_ell
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CASE WHEN len(toks) > 0 THEN
+          round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+        END AS mean_word_len,
+        n_hash, n_ell,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])( |$)'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell_end,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+      FROM feat
+    ),
+    flags AS (
+      SELECT doc_id, n_words, mean_word_len,
+        CAST(n_words < 50 OR n_words > 100000 AS BIGINT) * 1
+        + CAST(mean_word_len IS NULL OR mean_word_len < 3.0 OR mean_word_len > 10.0 AS BIGINT) * 2
+        + CAST(COALESCE(CAST(n_hash AS DOUBLE) / NULLIF(n_words, 0) > 0.1
+                        OR CAST(n_ell AS DOUBLE) / NULLIF(n_words, 0) > 0.1, TRUE) AS BIGINT) * 4
+        + CAST(COALESCE(CAST(n_bullet AS DOUBLE) / NULLIF(n_lines, 0) > 0.9, TRUE) AS BIGINT) * 8
+        + CAST(COALESCE(CAST(n_ell_end AS DOUBLE) / NULLIF(n_lines, 0) > 0.3, TRUE) AS BIGINT) * 16
+        + CAST(COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) < 0.8, TRUE) AS BIGINT) * 32
+        + CAST(n_stop < 2 AS BIGINT) * 64 AS fail_mask
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           fail_mask = 0 AS keep, fail_mask
+    FROM flags
+    """,
+)
+def e10(spark, sf_dir):
+    """§2.11 streaming QUALITY GATE runtime under the driver oracle
+    (r8) — curation at ingest, completing the story e7 (ingest dedup)
+    and e9 (ingest near-dup) started: the t15 Gopher rule set
+    (text.py gopher_rules, pure stateless codegen — trivially
+    streamable, no watermark or state store needed) applied to a real
+    readStream over the staged documents corpus and drained with
+    availableNow. Every arriving doc gets its keep/fail_mask verdict
+    in the micro-batch it arrives in; the drained sink must equal the
+    batch Gopher pass the oracle computes. Sixth verified streaming
+    runtime."""
+    from cellphe_data_pipeline_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = _stage_dir("e10_stream_quality")  # fixed, wiped per run
+    docs.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    qname = "e10_quality_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            gopher_rules(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e10_streaming_quality_gate: availableNow drain did not "
+                "finish in 300s — refusing to return a partial verdict set"
+            )
+    return spark.table(qname).select(
+        "doc_id", "n_words", "mean_word_len", "keep", "fail_mask"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries
 # (dict insertion order). The window ROTATES per round (r5 policy,
 # formalising the r4 advisor's suggestion) by verification recency:
-#   1. queries NEW this round (never driver-proven) go first;
-#   2. then the least-recently-proven cohort — after r4 proved the
-#      entire former head, that is the P/J/A/W/O/U/F/G/D/T/E basics
-#      last driver-green in rounds 1-3;
-#   3. the remaining slots re-verify queries whose IMPLEMENTATION
-#      changed this round plus the highest-value kernel goldens.
+#   1. queries whose PHYSICAL PLAN or implementation changed without
+#      a recent external proof (r8: the j10/j11 grid-family SHJ pins
+#      from r7), then queries NEW this round (never driver-proven)
+#      and this round's changed-code re-verifications;
+#   2. then the least-recently-proven cohort (r8: the r04-proven 35
+#      plus the oldest r05-proven members).
 # Everything displaced is driver-proven in a recorded
 # CORRECTNESS_r0N.json AND stays in the local 100%-coverage gate
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-7 window ---
+    # --- round-8 window ---
+    # changed-plan first (r7 verdict item 1): the grid-join family got
+    # SHUFFLE_HASH pins + the session-wide AQE SMJ->SHJ demotion in r7
+    # with no driver proof since r04/r05
+    "j10_interval_join",
+    "j11_spatial_nn_join",
     # new this round (never driver-proven)
-    "t14_url_dedup",
-    "c10_dsir_importance",
-    "d14_containment_neardup",
-    "e7_streaming_dedup_keys",
-    "v11_ann_recall",
-    "t15_gopher_rules",
-    "e8_streaming_interval_join",
-    "mm6_image_dhash_neardup",
-    "e9_streaming_minhash_neardup",
-    "c11_dsir_resample",
-    "t16_sentence_split",
-    "t17_bpe_tokenize",
-    "t18_jsonl_parse",
-    "g6_triangle_counts",
-    "d15_semantic_dedup",
-    "c12_bloom_decontaminate",
-    "v12_mean_pool_embeddings",
+    "t22_bpe_roundtrip",
+    "d15b_semantic_dedup_trained",
+    "e10_streaming_quality_gate",
+    # changed-code re-verification: t19's delta-update rewrite, t21's
+    # decimal(38,0) numerator, d14's raw-ratio threshold, the
+    # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
+    # through it)
     "t19_bpe_learn_merges",
-    "c13_context_packing",
-    "t20_code_detect",
-    "o7_zorder_layout",
-    "c14_fim_transform",
-    "s17_orc_roundtrip",
-    "d16_remove_dup_spans",
     "t21_pmi_phrases",
-    # changed-code re-verification: html_to_text's quote-tolerant /
-    # unterminated-element patterns (t13), the keep-list's string-safe
-    # tie-break + replicated-cut routing (d11), the CC kernel/probe
-    # made id-type-agnostic + cut_lineage routing (g4/g4b/g5), the
-    # candidate-first Jaccard verify (d3, and d5 shares the function),
-    # 48-bit SimHash (d4/d13), the j7 half-stencil, and the tracker's
-    # penalty/alternative-cost surface (m3 family; defaults pinned
-    # bit-for-bit but the code paths are new)
-    "t13_html_to_text",
-    "d11_quality_keep_list",
-    "g4_connected_components",
-    "g4b_renumber_tracks",
-    "g5_pagerank",
-    "d3_minhash_near_dups",
-    "d5_pairwise_jaccard",
-    "d4_simhash",
+    "d14_containment_neardup",
+    "mm6_image_dhash_neardup",
     "d13_simhash_neardup",
-    "j7_density_grid_join",
-    "m3_tracking_links",
-    "m3b_gap_closing",
-    "m3c_split_merge",
-    "m3d_overlap_tracking",
-    "m3e_kalman_tracking",
-    "m1b_otsu_segmentation",
-    "a5b_mask_histogram",
-    # the oldest externally-proven queries in the registry: the a4-a6
-    # trio's last driver proof is CORRECTNESS_r03
-    "a4_group_sum_revenue",
-    "a5_value_histogram",
-    "a6_minmax_normalize",
-    # rotation tranche: the r4-proven cohort (last external proof
-    # CORRECTNESS_r04) — 16 of its 40 remaining members; the other 24
-    # (c2, u5, w6-w8, o5/o6, a8/a8b, a9-a11, f9/f15/f16, m5, mm1-mm3,
-    # p3/p14, s2/s8/s8b) are first in line for the r8 window
-    "d6_embedding_neardup",
-    "d6b_srp_neardup",
-    "d7_dedup_clusters",
-    "v1_cosine_topk",
-    "v2_srp_topk",
-    "v3_ivf_topk",
-    "v4_probe_topk",
+    # the stale r04 cohort (last external proof CORRECTNESS_r04)
+    "a8_timeseries_stats",
+    "a8b_timeseries_wavelet",
+    "a9_rollup",
+    "a10_pivot",
+    "a11_cube",
+    "c1_corpus_curation",
+    "c2_chunking",
+    "c3_token_budget_shards",
+    "f9_f12_clip_sprintf",
+    "f15_json_encode",
+    "f16_roi_interpolation",
     "j8_salted_join",
     "j9_asof_join",
-    "j10_interval_join",
+    "m5_movement_features",
+    "mm1_scene_cuts",
+    "mm2_audio_quality",
+    "mm3_clip_segments",
+    "o5_topk",
+    "o6_limit_per_group",
+    "p3_conditional_output",
+    "p14_predicate_branch",
+    "s2_ome_companion_scan",
+    "s8_trackmate_spots",
+    "s8b_trackmate_edges",
     "t4_token_counts",
     "t5_redact",
     "t6_repetition",
-    "c1_corpus_curation",
-    "c3_token_budget_shards",
     "u3_u4_multi_concat",
-    # --- behind the window: every other registry query is driver-
-    # proven in CORRECTNESS_r04-r06 (r6's window re-proved the r1-r2
-    # basics; the full union is enforced by tests/test_registry.py) ---
+    "u5_intersect_except",
+    "v3_ivf_topk",
+    "v4_probe_topk",
+    "w6_rank_lead_ntile",
+    "w7_session_window",
+    "w8_range_frame",
+    # oldest r05-proven members fill the remaining slots
+    "a12_group_quantiles",
+    "c4_hash_stratified_sample",
+    "c5_decontaminate",
+    "c6_epoch_shuffle",
+    "c7_incremental_upsert",
+    "c8_mixture_rebalance",
 ]
 
 
