@@ -32,10 +32,14 @@ hard part #5) is *same-shape, simplified* linking:
     phase-2 block (gap closing, splitting, merging) — and TrackMate's
     published feature-penalty factor for all four penalty maps
     (LINKING/GAP_CLOSING/SPLITTING/MERGING_FEATURE_PENALTIES,
-    cyto3.json:24,30,33-35). Remaining documented deviations: phase 2
-    solves its blocks independently rather than in one joint matrix
-    (so each block computes its own alternative cost b over its own
-    candidate distribution), and the penalty denominator hardens
+    cyto3.json:24,30,33-35). r8 adds ``gap_strategy="joint_lap"`` —
+    TrackMate's ACTUAL phase-2 discipline: gap closing, splitting and
+    merging traded off in ONE Jaqaman matrix with one shared
+    alternative cost b over the combined candidate distribution
+    (_joint_segment_lap), closing the former block-independence
+    deviation (the sequential strategies remain the default for
+    bit-stable goldens; there each block computes its own b).
+    Remaining documented deviation: the penalty denominator hardens
     (f1+f2) to |f1|+|f2| (identical for TrackMate's nonnegative stock
     features — see _penalty_factor);
   - deterministic: candidate pairs sorted by (distance, src id, dst id).
@@ -432,6 +436,154 @@ def _split_merge_lap(
     return out
 
 
+def _joint_segment_lap(
+    pdf: pd.DataFrame,
+    edges: list[tuple[int, int, int, float]],
+    max_frame_gap: int,
+    gap_closing_max_distance: float,
+    allow_splitting: bool,
+    splitting_max_distance: float,
+    allow_merging: bool,
+    merging_max_distance: float,
+    gap_closing_feature_penalties: dict[str, float] | None = None,
+    splitting_feature_penalties: dict[str, float] | None = None,
+    merging_feature_penalties: dict[str, float] | None = None,
+    alternative_cost_factor: float | None = None,
+    cutoff_percentile: float = 0.9,
+) -> list[tuple[int, int, int, float]]:
+    """TrackMate's phase 2 as ONE matrix (r8 — closes the module
+    deviation "phase 2 solves its blocks independently"): the Jaqaman
+    et al. 2008 segment-linking layout (their Fig. 1c; TrackMate's
+    JaqamanSegmentCostMatrixCreator, track_images.py:74-123 drives it
+    via the settings dict):
+
+    - rows = segment ENDS (gap-closing / merging sources) then track
+      MIDDLES (splitting sources);
+    - cols = segment STARTS (gap-closing / splitting targets) then
+      MIDDLES (merging targets);
+    - blocks: ends x starts = gap closing, ends x middles = merging,
+      middles x starts = splitting, middles x middles = forbidden.
+
+    One Hungarian solve trades the three link kinds against each
+    other: an end with both a far within-window reconnection and a
+    cheap fusion takes the fusion and LEAVES THE START UNLINKED —
+    the sequential two-pass form structurally cannot (gap closing
+    runs first and consumes the end). With
+    ``alternative_cost_factor`` the no-link alternative b = factor x
+    percentile is computed over the COMBINED candidate distribution
+    (one b for all of phase 2 — TrackMate's semantics), via the same
+    :func:`_lap_picks` augmentation.
+
+    Costs are ALWAYS TrackMate's phase-2 units here: squared distance
+    x penalty factor, gated at limit² (the raw-distance convention of
+    the separate blocks is a no-penalty r6 compatibility surface; a
+    joint matrix needs all blocks in one coherent unit). Assignment
+    discipline: each end closes one gap OR merges once; each middle
+    hosts at most one split (row) and one merge (col); each start
+    receives at most one reconnection or split. Emitted edges carry
+    the RAW distance and gap count, same as the sequential passes.
+    """
+    nxt = {s for s, _, _, _ in edges}
+    prv = {d for _, d, _, _ in edges}
+    pen_keys = (
+        set(gap_closing_feature_penalties or {})
+        | set(splitting_feature_penalties or {})
+        | set(merging_feature_penalties or {})
+    )
+    cols_by_upper = {c.upper(): c for c in pdf.columns}
+    use = {k: cols_by_upper[k] for k in pen_keys if k in cols_by_upper}
+    spot: dict[int, tuple[int, float, float]] = {}
+    feats: dict[int, dict[str, float]] = {}
+    for _, r in pdf.iterrows():
+        i = int(r["id"])
+        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
+        if use:
+            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
+    ends = [i for i in spot if i not in nxt]
+    starts = [i for i in spot if i not in prv]
+    mids_by_frame: dict[int, list[int]] = {}
+    for i in spot:
+        if i in nxt and i in prv:
+            mids_by_frame.setdefault(spot[i][0], []).append(i)
+
+    def pf(pmap: dict[str, float] | None, a: int, b_: int) -> float:
+        if not pmap:
+            return 1.0
+        return _penalty_factor(pmap, feats.get(a, {}), feats.get(b_, {}))
+
+    # (cost, row_spot, col_spot, kind, gap, rawdist); kind: g/s/m
+    cands: list[tuple[float, int, int, str, int, float]] = []
+    if max_frame_gap > 0:
+        lim2 = gap_closing_max_distance * gap_closing_max_distance
+        for e in ends:
+            fe, xe, ye = spot[e]
+            for s in starts:
+                fs, xs, ys = spot[s]
+                if not (2 <= fs - fe <= max_frame_gap + 1):
+                    continue
+                d = float(np.hypot(xs - xe, ys - ye))
+                cst = d * d * pf(gap_closing_feature_penalties, e, s)
+                if cst <= lim2:
+                    cands.append((cst, e, s, "g", fs - fe - 1, d))
+    if allow_merging:
+        lim2 = merging_max_distance * merging_max_distance
+        for e in ends:
+            fe, xe, ye = spot[e]
+            for m in mids_by_frame.get(fe + 1, []):
+                _, xm, ym = spot[m]
+                d = float(np.hypot(xm - xe, ym - ye))
+                cst = d * d * pf(merging_feature_penalties, e, m)
+                if cst <= lim2:
+                    cands.append((cst, e, m, "m", 0, d))
+    if allow_splitting:
+        lim2 = splitting_max_distance * splitting_max_distance
+        for s in starts:
+            fs, xs, ys = spot[s]
+            for m in mids_by_frame.get(fs - 1, []):
+                _, xm, ym = spot[m]
+                d = float(np.hypot(xm - xs, ym - ys))
+                cst = d * d * pf(splitting_feature_penalties, m, s)
+                if cst <= lim2:
+                    cands.append((cst, m, s, "s", 0, d))
+    if not cands:
+        return edges
+    row_ends = sorted({r for _, r, _, k, _, _ in cands if k in ("g", "m")})
+    row_mids = sorted({r for _, r, _, k, _, _ in cands if k == "s"})
+    col_starts = sorted({c for _, _, c, k, _, _ in cands if k in ("g", "s")})
+    col_mids = sorted({c for _, _, c, k, _, _ in cands if k == "m"})
+    r_ix = {i: x for x, i in enumerate(row_ends)}
+    r_ix.update({i: len(row_ends) + x for x, i in enumerate(row_mids)})
+    c_ix = {i: x for x, i in enumerate(col_starts)}
+    c_ix.update({i: len(col_starts) + x for x, i in enumerate(col_mids)})
+    n_r = len(row_ends) + len(row_mids)
+    n_c = len(col_starts) + len(col_mids)
+    cost = np.full((n_r, n_c), _LAP_BIG)
+    meta: dict[tuple[int, int], tuple[str, int, float]] = {}
+    for cst, r, c, kind, gap, d in cands:
+        ri, ci = r_ix[r], c_ix[c]
+        if cst < cost[ri, ci]:
+            cost[ri, ci] = cst
+            meta[(ri, ci)] = (kind, gap, d)
+    row_spots = row_ends + row_mids
+    col_spots = col_starts + col_mids
+    gaps_: list[tuple[int, int, int, float]] = []
+    splits: list[tuple[int, int, int, float]] = []
+    merges_: list[tuple[int, int, int, float]] = []
+    for ri, ci in _lap_picks(
+        cost, alternative_cost_factor, cutoff_percentile, squared=True
+    ):
+        kind, gap, d = meta[(ri, ci)]
+        r, c = row_spots[ri], col_spots[ci]
+        if kind == "g":
+            gaps_.append((r, c, gap, d))        # end → start
+        elif kind == "s":
+            splits.append((r, c, 0, d))          # parent middle → child start
+        else:
+            merges_.append((r, c, 0, d))         # dying end → surviving middle
+    # same emission order as the sequential passes: gaps, splits, merges
+    return list(edges) + sorted(gaps_) + sorted(splits) + sorted(merges_)
+
+
 def _link_one(
     pdf: pd.DataFrame,
     linking_max_distance: float,
@@ -591,6 +743,31 @@ def _link_one(
             for i, (ef, ex, ey) in open_ends.items()
             if f - ef - 1 <= inline_gap
         }
+    if gap_strategy == "joint_lap":
+        # r8: TrackMate's actual phase-2 discipline — gap closing,
+        # splitting and merging traded off in ONE Jaqaman matrix with
+        # one shared no-link alternative (see _joint_segment_lap)
+        return pd.DataFrame(
+            [
+                (pdf["timelapse_id"].iloc[0] if len(pdf) else "", s, d, g, dist)
+                for s, d, g, dist in _joint_segment_lap(
+                    pdf,
+                    edges,
+                    max_frame_gap,
+                    gap_closing_max_distance,
+                    allow_splitting,
+                    splitting_max_distance,
+                    allow_merging,
+                    merging_max_distance,
+                    gap_closing_feature_penalties,
+                    splitting_feature_penalties,
+                    merging_feature_penalties,
+                    alternative_cost_factor,
+                    cutoff_percentile,
+                )
+            ],
+            columns=["timelapse_id", "src", "dst", "gap", "dist"],
+        )
     if gap_strategy == "segment_lap" and max_frame_gap > 0:
         edges = _close_gaps_segment_lap(
             pdf,
@@ -651,10 +828,14 @@ def track_detections(
     its predicted position forward, so fast movers keep their identity
     through crossings that fool raw nearest-distance linking).
     ``gap_strategy``: "inline"
-    (default — gap candidates compete inside each frame's assignment)
-    or "segment_lap" (TrackMate phase-2 shape: consecutive-frame
+    (default — gap candidates compete inside each frame's assignment),
+    "segment_lap" (TrackMate phase-2 shape: consecutive-frame
     linking first, then ONE global Hungarian over segment end/start
-    reconnection candidates).
+    reconnection candidates; splitting/merging solved as separate
+    blocks afterwards), or "joint_lap" (r8 — TrackMate's ACTUAL
+    phase-2 matrix: gap closing, splitting and merging traded off in
+    one Jaqaman assignment with one shared no-link alternative; costs
+    in squared penalised units throughout — see _joint_segment_lap).
 
     ``allow_splitting`` / ``allow_merging`` enable the phase-2
     division/fusion blocks (ALLOW_TRACK_SPLITTING /
@@ -696,9 +877,10 @@ def track_detections(
         raise ValueError(
             f"method must be 'greedy', 'lap', or 'kalman', got {method!r}"
         )
-    if gap_strategy not in ("inline", "segment_lap"):
+    if gap_strategy not in ("inline", "segment_lap", "joint_lap"):
         raise ValueError(
-            f"gap_strategy must be 'inline' or 'segment_lap', got {gap_strategy!r}"
+            "gap_strategy must be 'inline', 'segment_lap' or 'joint_lap',"
+            f" got {gap_strategy!r}"
         )
     if not (0.0 < float(cutoff_percentile) <= 1.0):
         # TrackMate configs express this as a FRACTION (cyto3.json:30 =

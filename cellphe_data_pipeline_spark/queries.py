@@ -2390,6 +2390,58 @@ def m3c(spark, sf_dir):
 
 
 @register(
+    "m3f_joint_lap",
+    """
+    SELECT tl AS timelapse_id, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(gap AS INT) AS gap, CAST(dist AS DOUBLE) AS dist
+    FROM (VALUES
+      ('t', 1, 2, 0, 1.0), ('t', 2, 3, 0, 1.0),
+      ('t', 4, 2, 0, 2.0), ('t', 6, 7, 1, 6.0)
+    ) AS t(tl, src, dst, gap, dist)
+    """,
+)
+def m3f(spark, sf_dir):
+    """M3 phase 2 as TrackMate's ACTUAL joint matrix (r8;
+    tracking.py _joint_segment_lap; Jaqaman et al. 2008 Fig. 1c —
+    gap closing, splitting and merging traded off in ONE Hungarian
+    with one shared no-link alternative, the discipline the
+    sequential two-pass form cannot reproduce). The fixture is the
+    distinguishing instance: end 4 has BOTH a d=8 within-window
+    gap-close to start 5 and a d=2 merge onto track A's middle 2 —
+    sequential gap closing would consume 4 for the reconnection
+    (m3b semantics); the joint matrix takes the cheap fusion 4→2 and
+    leaves 5 an isolated root, while the independent 6→7 gap pair
+    closes either way. Golden VALUES oracle; the trade-off and
+    shared-b behaviours are pinned by three kernel tests
+    (tests/test_domain.py::test_joint_lap_*)."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    rows = [
+        ("t", 1, 0, 0.0, 0.0),
+        ("t", 2, 1, 0.0, 1.0),
+        ("t", 3, 2, 0.0, 2.0),
+        ("t", 4, 0, 2.0, 1.0),
+        ("t", 5, 2, 2.0, 9.0),
+        ("t", 6, 0, 20.0, 0.0),
+        ("t", 7, 2, 20.0, 6.0),
+    ]
+    dets = spark.createDataFrame(
+        rows, "timelapse_id string, id long, frame int, x double, y double"
+    )
+    return track_detections(
+        dets,
+        linking_max_distance=1.5,
+        max_frame_gap=1,
+        gap_closing_max_distance=10.0,
+        allow_splitting=True,
+        splitting_max_distance=5.0,
+        allow_merging=True,
+        merging_max_distance=5.0,
+        gap_strategy="joint_lap",
+    )
+
+
+@register(
     "a5b_mask_histogram",
     """
     SELECT path, CAST(fi AS INT) AS frame_index, CAST(mid AS INT) AS mask_id,
@@ -7072,6 +7124,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t22_bpe_roundtrip",
     "d15b_semantic_dedup_trained",
     "e10_streaming_quality_gate",
+    "m3f_joint_lap",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

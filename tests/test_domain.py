@@ -2637,3 +2637,118 @@ def test_frame_dhash_numpy_oracle(spark):
         assert got[n] == oracle(im)
     assert got["c.fake"] == 0
     assert bin(got["a.fake"] ^ got["b.fake"]).count("1") <= 3
+
+
+def test_joint_lap_matches_sequential_when_independent(spark):
+    """r8 joint phase-2 matrix: when gap-close / split / merge
+    candidates don't compete for the same spots, the single Jaqaman
+    matrix picks exactly what the sequential two-pass form picks (the
+    m3c golden fixture is such an instance)."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+    from cellphe_data_pipeline_spark.testing.fixtures import (
+        split_merge_detections_df,
+    )
+
+    kw = dict(
+        linking_max_distance=2.5,
+        max_frame_gap=4,
+        gap_closing_max_distance=2.5,
+        allow_splitting=True,
+        splitting_max_distance=2.5,
+        allow_merging=True,
+        merging_max_distance=2.5,
+    )
+    rows = lambda strat: {
+        (r["src"], r["dst"], r["gap"], round(r["dist"], 6))
+        for r in track_detections(
+            split_merge_detections_df(spark), gap_strategy=strat, **kw
+        ).collect()
+    }
+    assert rows("joint_lap") == rows("segment_lap")
+
+
+def _joint_tradeoff_dets(spark):
+    # track A: 1(f0)->2(f1)->3(f2); 4 = end at f0 with BOTH a cheap
+    # merge onto middle 2 (d=2) and a far gap-close to start 5 (d=8);
+    # 5 = isolated singleton at f2; 6/7 = an independent gap pair (d=6)
+    rows = [
+        ("t", 1, 0, 0.0, 0.0),
+        ("t", 2, 1, 0.0, 1.0),
+        ("t", 3, 2, 0.0, 2.0),
+        ("t", 4, 0, 2.0, 1.0),
+        ("t", 5, 2, 2.0, 9.0),
+        ("t", 6, 0, 20.0, 0.0),
+        ("t", 7, 2, 20.0, 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "timelapse_id string, id long, frame int, x double, y double"
+    )
+
+
+def test_joint_lap_trades_gap_close_against_merge(spark):
+    """The behaviour the sequential form structurally cannot produce
+    (tracking.py's former block-independence deviation): end 4 has a
+    d=8 within-window gap-close to start 5 AND a d=2 merge onto
+    middle 2. Sequential: gap closing runs first and consumes 4.
+    Joint: one row for 4 — the Hungarian takes the cheap merge and
+    leaves 5 unlinked. The independent 6->7 gap pair closes either
+    way."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    kw = dict(
+        linking_max_distance=1.5,
+        max_frame_gap=1,
+        gap_closing_max_distance=10.0,
+        allow_merging=True,
+        merging_max_distance=5.0,
+    )
+    dets = _joint_tradeoff_dets(spark)
+    seq = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, gap_strategy="segment_lap", **kw
+        ).collect()
+    }
+    assert (4, 5) in seq and (4, 2) not in seq
+    assert (6, 7) in seq
+    joint = {
+        (r["src"], r["dst"])
+        for r in track_detections(dets, gap_strategy="joint_lap", **kw).collect()
+    }
+    assert (4, 2) in joint and (4, 5) not in joint
+    assert (6, 7) in joint and (1, 2) in joint and (2, 3) in joint
+
+
+def test_joint_lap_shared_alternative_cost(spark):
+    """The joint matrix computes ONE b over the combined phase-2
+    candidate distribution: with factor=1 and the 90th percentile of
+    combined squared costs {4, 36, 64} (b ~ 58.4), the cost-64
+    gap-close is rejected while the cost-36 gap pair and the cost-4
+    merge survive — and a generous factor keeps everything
+    assignable."""
+    from cellphe_data_pipeline_spark.domain.tracking import track_detections
+
+    kw = dict(
+        linking_max_distance=1.5,
+        max_frame_gap=1,
+        gap_closing_max_distance=10.0,
+        allow_merging=True,
+        merging_max_distance=5.0,
+        gap_strategy="joint_lap",
+    )
+    dets = _joint_tradeoff_dets(spark)
+    gated = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=1.0, cutoff_percentile=0.9, **kw
+        ).collect()
+    }
+    assert (4, 2) in gated and (6, 7) in gated
+    assert (4, 5) not in gated
+    generous = {
+        (r["src"], r["dst"])
+        for r in track_detections(
+            dets, alternative_cost_factor=100.0, cutoff_percentile=0.9, **kw
+        ).collect()
+    }
+    assert (4, 2) in generous and (6, 7) in generous
