@@ -506,6 +506,94 @@ def embedding_near_duplicates_srp(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """SEMANTIC decontamination (r8): flag corpus examples whose
+    embedding has a >= ``threshold`` cosine neighbor in the eval
+    suite — the paraphrase-robust complement of the exact-text paths
+    (c5's broadcast join on md5, c12's Bloom bitmap): a benchmark
+    answer reworded or lightly edited hashes differently but still
+    lands next to its source in embedding space (the Phi/GPT-4
+    era decontamination practice, e.g. Yang et al. 2023
+    "Rethinking Benchmark and Contamination" — embedding-similarity
+    screening).
+
+    Candidates come from ``n_bands`` independent SRP bucketings of
+    BOTH relations joined on (band, bucket) — the d6b economics with
+    the self-join replaced by a corpus x eval bucket join, so the
+    corpus never pairs with itself and N_corpus x N_eval never
+    materialises; the exact cosine verify runs on candidates only,
+    and one per-corpus-id aggregation + a left join back emits every
+    corpus row. Recall is tunable via bits/bands exactly as d6b
+    documents. Output: (vec_id, n_eval_hits, max_eval_cos,
+    contaminated) — clean rows carry 0 / NULL / false.
+    """
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        srp_bucket_codes,
+        with_norm,
+    )
+
+    cands: DataFrame | None = None
+    for band in range(n_bands):
+        a = srp_bucket_codes(corpus, dim, id_col, vec_col, n_bits, seed + band).select(
+            "bucket", F.col("vec_id").alias("corpus_id")
+        )
+        b = srp_bucket_codes(evals, dim, id_col, vec_col, n_bits, seed + band).select(
+            "bucket", F.col("vec_id").alias("eval_id")
+        )
+        p = a.join(b, "bucket").select("corpus_id", "eval_id")
+        cands = p if cands is None else cands.union(p)
+    assert cands is not None
+    cands = cands.distinct()
+    nc = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    ne = with_norm(evals, vec_col).select(
+        F.col(id_col).alias("eval_id"),
+        F.col("_emb").alias("e_emb"),
+        F.col("_norm").alias("e_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("c_emb"), F.col("e_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    hits = (
+        cands.join(nc, "corpus_id")
+        .join(ne, "eval_id")
+        .withColumn("cos_sim", F.round(dot / (F.col("c_norm") * F.col("e_norm")), 5))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_eval_cos"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(hits.withColumnRenamed("corpus_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("bigint").alias(
+                "n_eval_hits"
+            ),
+            "max_eval_cos",
+            F.col("n_eval_hits").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

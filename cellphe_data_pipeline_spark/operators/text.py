@@ -1533,6 +1533,168 @@ def fim_transform(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    block_tokens: int = 8,
+    rate_pct: int = 40,
+    max_span: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "t5-v1",
+) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION (r8; Raffel et al. 2020 §3.1.4 —
+    the denoising objective's data prep): mask contiguous token spans
+    and emit the (input, target) pair an encoder-decoder or prefix-LM
+    trains on — input = text with each span replaced by a numbered
+    sentinel ``<Xi>``, target = each sentinel followed by the tokens
+    it hides, closed by a final sentinel.
+
+    DOCUMENTED VARIANT (relational-friendly determinism): instead of
+    the paper's sequential random span sampling (inherently
+    order-serial with overlap rejection), positions are partitioned
+    into fixed ``block_tokens``-sized blocks and each block
+    independently draws (gate, offset, length) from seeded md5 — so
+    spans never overlap BY CONSTRUCTION, every draw is reproducible
+    per (doc, block) in any engine at any partitioning (the c4/c11
+    seeded-hash contract), and the corruption rate is
+    rate_pct/100 x E[len]/block_tokens tokens. Same output shape and
+    training semantics as the paper's sampler.
+
+    Scale shape: one token explode, one (doc, block) groupBy, one
+    doc-keyed window for sentinel numbering, one doc groupBy for
+    assembly — the window and final aggregate share the doc hash
+    partitioning, so two shuffles total over the token stream.
+    Output: (doc_id, n_spans, n_masked_tokens, input_text,
+    target_text); docs with no tokens are absent.
+    """
+    if block_tokens < 2 or not 0 <= rate_pct <= 100 or max_span < 1:
+        raise ValueError(
+            f"need block_tokens >= 2, rate_pct in [0, 100], max_span >= 1; "
+            f"got {block_tokens}, {rate_pct}, {max_span}"
+        )
+    B, M = block_tokens, max_span
+
+    def h(salt: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("blk").cast("string"),
+                        F.lit(f":{seed}:{salt}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.filter(_doc_token_array(text_col), lambda x: x != "")
+            ).alias("pos", "tok"),
+        )
+        .withColumn("blk", F.expr(f"pos div {B}"))
+        .withColumn("inb", F.col("pos") % B)
+    )
+    marked = toks.select(
+        "doc_id",
+        "blk",
+        "pos",
+        "tok",
+        (
+            (h("g") % 100 < F.lit(rate_pct))
+            & (F.col("inb") >= h("o") % B)
+            & (F.col("inb") < h("o") % B + 1 + h("l") % M)
+        ).alias("masked"),
+    )
+    s = F.col("s")
+    msk = F.filter(s, lambda e: e.masked)
+    first_masked = F.get(msk, 0).pos
+    blocks = (
+        marked.groupBy("doc_id", "blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok", "masked"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            "blk",
+            (F.size(msk) > 0).alias("has"),
+            F.size(msk).cast("bigint").alias("n_masked"),
+            F.transform(
+                F.filter(s, lambda e: ~e.masked & (e.pos < F.coalesce(first_masked, F.lit(-1)))),
+                lambda e: e.tok,
+            ).alias("pre"),
+            F.transform(
+                F.filter(s, lambda e: ~e.masked & (e.pos > F.coalesce(first_masked, F.lit(-1)))),
+                lambda e: e.tok,
+            ).alias("suf"),
+            F.transform(s, lambda e: e.tok).alias("all_toks"),
+            F.transform(msk, lambda e: e.tok).alias("msk_toks"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("blk")
+    has_i = F.col("has").cast("int")
+    sent = F.concat(F.lit("<X"), (F.sum(has_i).over(w) - has_i).cast("string"), F.lit(">"))
+    parts = blocks.select(
+        "doc_id",
+        "blk",
+        "has",
+        "n_masked",
+        F.when(
+            F.col("has"),
+            F.array_join(
+                F.concat(F.col("pre"), F.array(sent), F.col("suf")), " "
+            ),
+        )
+        .otherwise(F.array_join(F.col("all_toks"), " "))
+        .alias("in_str"),
+        F.when(
+            F.col("has"),
+            F.array_join(F.concat(F.array(sent), F.col("msk_toks")), " "),
+        ).alias("tgt_str"),
+    )
+    p = F.col("p")
+    tgt_parts = F.transform(
+        F.filter(p, lambda e: e.has), lambda e: e.tgt_str
+    )
+    n_spans = F.size(tgt_parts).cast("bigint")
+    final_sent = F.concat(F.lit("<X"), n_spans.cast("string"), F.lit(">"))
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("blk", "has", "n_masked", "in_str", "tgt_str")
+                )
+            ).alias("p")
+        )
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            F.aggregate(
+                p, F.lit(0).cast("bigint"), lambda acc, e: acc + e.n_masked
+            ).alias("n_masked_tokens"),
+            F.array_join(
+                F.transform(p, lambda e: e.in_str), " "
+            ).alias("input_text"),
+            F.when(
+                n_spans > 0,
+                F.concat(F.array_join(tgt_parts, " "), F.lit(" "), final_sent),
+            )
+            .otherwise(final_sent)
+            .alias("target_text"),
+        )
+    )
+
+
 def pmi_phrases(
     df: DataFrame,
     min_count: int = 5,

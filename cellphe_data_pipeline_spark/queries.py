@@ -2832,6 +2832,85 @@ def _srp_neardup_oracle_sql(
     """
 
 
+def _semantic_decontaminate_oracle_sql(
+    dim: int = 64, threshold: float = 0.4, n_bits: int = 4, n_bands: int = 4,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of dedup.semantic_decontaminate over the
+    vec_id%20 eval/corpus split: identical SRP plane literals per band
+    (the d6b idiom) on both relations, bucket-joined corpus x eval,
+    exact cosine verify, per-corpus aggregate + left join back."""
+    from cellphe_data_pipeline_spark.operators.similarity import srp_planes
+
+    def bucket_expr(band_seed: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(emb, [{w}]) >= 0 THEN {v} ELSE 0 END)".format(
+                w=", ".join(str(x) for x in plane), v=1 << m
+            )
+            for m, plane in enumerate(srp_planes(dim, n_bits, band_seed))
+        )
+
+    band_ctes = ",\n    ".join(
+        f"kc{b} AS (SELECT vec_id, {bucket_expr(seed + b)} AS bucket FROM corpus),\n"
+        f"    ke{b} AS (SELECT vec_id, {bucket_expr(seed + b)} AS bucket FROM evals)"
+        for b in range(n_bands)
+    )
+    band_joins = "\n      UNION ALL\n      ".join(
+        f"SELECT a.vec_id AS corpus_id, b.vec_id AS eval_id FROM kc{b} a "
+        f"JOIN ke{b} b ON a.bucket = b.bucket"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    evals AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+    {band_ctes},
+    cands AS (SELECT DISTINCT corpus_id, eval_id FROM (
+      {band_joins}
+    )),
+    nc AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM corpus),
+    ne AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM evals),
+    hits AS (
+      SELECT corpus_id, COUNT(*) AS n_eval_hits,
+             MAX(ROUND(list_dot_product(nc.emb, ne.emb) / (nc.nrm * ne.nrm), 5)) AS max_eval_cos
+      FROM cands
+      JOIN nc ON nc.vec_id = corpus_id
+      JOIN ne ON ne.vec_id = eval_id
+      WHERE ROUND(list_dot_product(nc.emb, ne.emb) / (nc.nrm * ne.nrm), 5) >= {threshold}
+      GROUP BY corpus_id
+    )
+    SELECT c.vec_id,
+           CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+           h.max_eval_cos,
+           h.n_eval_hits IS NOT NULL AS contaminated
+    FROM corpus c LEFT JOIN hits h ON h.corpus_id = c.vec_id
+    """
+
+
+@register("c16_semantic_decontaminate", _semantic_decontaminate_oracle_sql())
+def c16(spark, sf_dir):
+    """SEMANTIC decontamination (r8; dedup.py semantic_decontaminate):
+    flag corpus embeddings with a >= 0.4 cosine neighbor in the eval
+    suite (vec_id%20 split — deterministic in both engines) — the
+    paraphrase-robust complement of c5's exact-hash broadcast join and
+    c12's Bloom bitmap, via d6b's SRP bucket economics with the
+    self-join replaced by a corpus x eval bucket join: the corpus
+    never pairs with itself, candidates are bucket-keyed, the exact
+    cosine verify runs on candidates only, and a left join back keeps
+    every corpus row (clean rows: 0 hits / NULL / false)."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        e.filter(F.col("vec_id") % 20 != 0),
+        e.filter(F.col("vec_id") % 20 == 0),
+        dim=EMB_DIM,
+        threshold=0.4,
+    )
+
+
 @register("d6b_srp_neardup", _srp_neardup_oracle_sql())
 def d6b(spark, sf_dir):
     """Embedding near-dup — the 100 TB path (dedup.py
@@ -3390,6 +3469,93 @@ def c14(spark, sf_dir):
     from cellphe_data_pipeline_spark.operators.text import fim_transform
 
     return fim_transform(load_table(spark, sf_dir, "documents"), rate_bp=5000)
+
+
+@register(
+    "c15_span_corruption",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id,
+              list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                          x -> x <> '') AS t
+            FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    hk AS (
+      SELECT doc_id, pos, tok, pos // 8 AS blk, pos % 8 AS inb FROM toks
+    ),
+    mk AS (
+      SELECT doc_id, blk, pos, tok,
+        (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR) || ':t5-v1:g'), 1, 8))::BIGINT % 100 < 40
+         AND inb >= ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR) || ':t5-v1:o'), 1, 8))::BIGINT % 8
+         AND inb < ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR) || ':t5-v1:o'), 1, 8))::BIGINT % 8
+                   + 1 + ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR) || ':t5-v1:l'), 1, 8))::BIGINT % 3
+        ) AS masked
+      FROM hk
+    ),
+    mk2 AS (
+      SELECT *, MIN(CASE WHEN masked THEN pos END)
+                  OVER (PARTITION BY doc_id, blk) AS fm
+      FROM mk
+    ),
+    blocks AS (
+      SELECT doc_id, blk,
+        COUNT(*) FILTER (WHERE masked) AS n_masked,
+        list(tok ORDER BY pos) FILTER (WHERE NOT masked AND pos < COALESCE(fm, -1)) AS pre,
+        list(tok ORDER BY pos) FILTER (WHERE NOT masked AND pos > COALESCE(fm, -1)) AS suf,
+        list(tok ORDER BY pos) AS all_toks,
+        list(tok ORDER BY pos) FILTER (WHERE masked) AS msk_toks
+      FROM mk2 GROUP BY doc_id, blk
+    ),
+    nb AS (
+      SELECT *,
+        SUM(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY blk)
+        - CASE WHEN n_masked > 0 THEN 1 ELSE 0 END AS sidx
+      FROM blocks
+    ),
+    parts AS (
+      SELECT doc_id, blk, n_masked > 0 AS has, n_masked,
+        CASE WHEN n_masked > 0 THEN
+          array_to_string(COALESCE(pre, []) || ['<X' || CAST(sidx AS VARCHAR) || '>'] || COALESCE(suf, []), ' ')
+        ELSE array_to_string(all_toks, ' ') END AS in_str,
+        CASE WHEN n_masked > 0 THEN
+          array_to_string(['<X' || CAST(sidx AS VARCHAR) || '>'] || msk_toks, ' ') END AS tgt_str
+      FROM nb
+    ),
+    doc AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN has THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        CAST(SUM(n_masked) AS BIGINT) AS n_masked_tokens,
+        string_agg(in_str, ' ' ORDER BY blk) AS input_text,
+        string_agg(tgt_str, ' ' ORDER BY blk) FILTER (WHERE has) AS tgt
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_masked_tokens, input_text,
+      CASE WHEN n_spans > 0
+           THEN tgt || ' <X' || CAST(n_spans AS VARCHAR) || '>'
+           ELSE '<X' || CAST(n_spans AS VARCHAR) || '>' END AS target_text
+    FROM doc
+    """,
+)
+def c15(spark, sf_dir):
+    """T5/UL2 span-corruption data prep (r8; text.py span_corruption;
+    Raffel 2020 §3.1.4): masked token spans become numbered sentinels
+    in the input and sentinel-prefixed answers in the target — the
+    denoising-objective twin of c14's FIM. Blocked deterministic
+    sampling (independent seeded-md5 draws per 8-token block — no
+    overlap resolution, engine-portable; documented variant of the
+    paper's serial sampler). One explode, one block groupBy, one
+    doc window + doc groupBy sharing a partitioning: two shuffles."""
+    from cellphe_data_pipeline_spark.operators.text import span_corruption
+
+    return span_corruption(
+        load_table(spark, sf_dir, "documents"),
+        block_tokens=8,
+        rate_pct=40,
+        max_span=3,
+    )
 
 
 @register("o7_zorder_layout", _zorder_oracle_sql())
@@ -7125,6 +7291,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "d15b_semantic_dedup_trained",
     "e10_streaming_quality_gate",
     "m3f_joint_lap",
+    "c15_span_corruption",
+    "c16_semantic_decontaminate",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

@@ -2087,3 +2087,111 @@ def test_bpe_select_batch_conditions():
     # max_take caps the batch
     f = [row("a", "b", 100), row("c", "d", 90)]
     assert _bpe_select_batch(f, False, 1) == [("a", "b", 100)]
+
+
+def test_span_corruption_matches_python_oracle(spark):
+    """r8 T5-style span corruption: the blocked deterministic sampler
+    equals an independent python implementation (same seeded-md5
+    draws) — input/target reassembly, sentinel numbering, masked
+    counts — and rate_pct=0 is the identity with a bare final
+    sentinel."""
+    import hashlib
+
+    from cellphe_data_pipeline_spark.operators.text import span_corruption
+
+    B, R, M, SEED = 4, 60, 2, "t5-v1"
+
+    def h(doc_id, blk, salt):
+        s = f"{doc_id}:{blk}:{SEED}:{salt}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py(doc_id, text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return None
+        blocks = {}
+        for pos, tok in enumerate(toks):
+            blocks.setdefault(pos // B, []).append((pos, tok))
+        in_parts, tgt_parts, n_masked, sidx = [], [], 0, 0
+        for blk in sorted(blocks):
+            rows = blocks[blk]
+            off = h(doc_id, blk, "o") % B
+            ln = 1 + h(doc_id, blk, "l") % M
+            gate = h(doc_id, blk, "g") % 100 < R
+            msk = [
+                (p, t) for p, t in rows if gate and off <= p % B < off + ln
+            ]
+            if msk:
+                sent = f"<X{sidx}>"
+                sidx += 1
+                n_masked += len(msk)
+                fm = msk[0][0]
+                pre = [t for p, t in rows if (p, t) not in msk and p < fm]
+                suf = [t for p, t in rows if (p, t) not in msk and p > fm]
+                in_parts.append(" ".join(pre + [sent] + suf))
+                tgt_parts.append(" ".join([sent] + [t for _, t in msk]))
+            else:
+                in_parts.append(" ".join(t for _, t in rows))
+        tgt = (
+            " ".join(tgt_parts) + f" <X{sidx}>" if tgt_parts else f"<X{sidx}>"
+        )
+        return (doc_id, sidx, n_masked, " ".join(in_parts), tgt)
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b"),
+        (3, ""),
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "x " * 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r)
+        for r in span_corruption(
+            df, block_tokens=B, rate_pct=R, max_span=M
+        ).collect()
+    )
+    want = sorted(p for p in (py(i, t) for i, t in docs) if p is not None)
+    assert got == want
+
+    clean = span_corruption(df, block_tokens=B, rate_pct=0, max_span=M)
+    for r in clean.collect():
+        assert r["n_spans"] == 0 and r["target_text"] == "<X0>"
+        assert r["input_text"] == " ".join(dict(docs)[r["doc_id"]].split())
+
+
+def test_semantic_decontaminate_flags_neighbors(spark):
+    """r8 semantic decontamination: an exact copy of an eval vector is
+    flagged at cos=1.0, near-copies above the threshold are flagged
+    when SRP buckets collide (copies always collide — identical sign
+    pattern), orthogonal corpus rows stay clean, and every corpus row
+    is emitted exactly once."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    dim = 8
+    e1 = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    evals = spark.createDataFrame(
+        [(100, e1), (101, e2)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, e1),                                        # exact copy
+            (2, [0.9, 0.1, 0.0, 0.0, 0.9, 0.1, 0.0, 0.0]),  # near copy of e1
+            (3, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, -1.0, 0.0]), # orthogonal
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, evals, dim=dim, threshold=0.8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] and out[1]["max_eval_cos"] == 1.0
+    assert out[2]["contaminated"] and out[2]["n_eval_hits"] >= 1
+    assert not out[3]["contaminated"]
+    assert out[3]["n_eval_hits"] == 0 and out[3]["max_eval_cos"] is None
