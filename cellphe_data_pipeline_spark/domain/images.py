@@ -1187,3 +1187,78 @@ def frame_dhash(frames: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFram
             ).astype({"frame_index": "int32", "dhash": "int64"})
 
     return small.mapInPandas(dh, "path string, frame_index int, dhash bigint")
+
+
+def frame_phash(
+    frames: DataFrame, hash_size: int = 8, dct_size: int = 32
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) per frame (r8) — the
+    frequency-domain complement of :func:`frame_dhash`'s gradient
+    fingerprint: resize to ``dct_size`` x ``dct_size`` (exact area
+    mean), orthonormal 2-D DCT-II, keep the ``hash_size`` x
+    ``hash_size`` low-frequency block, DROP the DC coefficient and
+    the block's last (highest-frequency) coefficient — 62 bits, the
+    positive-signed-BIGINT contract shared with simhash_codes — and
+    threshold each retained coefficient against the MEDIAN of the
+    retained set.
+
+    Why both hashes: dHash keys on local gradient ORDER (robust to
+    global brightness, sensitive to blur); pHash keys on global
+    low-frequency STRUCTURE — dropping DC plus the median threshold
+    makes it exactly invariant to non-saturating brightness shifts
+    AND positive contrast scaling (both only touch DC / scale all
+    AC coefficients uniformly), and the low-pass block shrugs off
+    blur and recompression. A crawl dedup runs both and unions the
+    pair sets through the same :func:`~cellphe_data_pipeline_spark.\
+operators.dedup.hamming_code_pairs` band machinery.
+
+    Plumbing: resize_frames (input dims must be integer multiples of
+    ``dct_size``) then one Arrow map doing the double-precision DCT —
+    deterministic (fixed-order numpy matmul), stateless, no shuffle.
+    Output: (path, frame_index, phash).
+    """
+    n_code_bits = hash_size * hash_size - 2
+    if n_code_bits > 62:
+        raise ValueError(
+            f"hash_size {hash_size} needs {n_code_bits} code bits; max 62"
+            " so the code stays a positive signed BIGINT"
+        )
+    if dct_size < hash_size:
+        raise ValueError(
+            f"dct_size {dct_size} must be >= hash_size {hash_size}"
+        )
+    small = resize_frames(frames, dct_size, dct_size, method="area")
+    n = dct_size
+    k = np.arange(n)
+    # orthonormal DCT-II basis: D @ img @ D.T = 2-D transform
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0, :] = np.sqrt(1.0 / n)
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dt = _raster_dtype(r["data"], n, n)
+                img = np.frombuffer(r["data"], dtype=dt).reshape(n, n)
+                coef = basis @ img.astype(np.float64) @ basis.T
+                block = coef[:hash_size, :hash_size].ravel()
+                kept = block[1:-1]  # drop DC and the last coefficient
+                med = float(np.median(kept))
+                code = 0
+                for i, v in enumerate(kept):
+                    if v > med:
+                        code |= 1 << i
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "frame_index": int(r["frame_index"]),
+                        "phash": code,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_index", "phash"]
+            ).astype({"frame_index": "int32", "phash": "int64"})
+
+    return small.mapInPandas(ph, "path string, frame_index int, phash bigint")

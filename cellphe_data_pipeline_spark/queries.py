@@ -6666,6 +6666,81 @@ def mm6(spark, sf_dir):
 
 
 @register(
+    "mm7_image_phash_neardup",
+    """
+    SELECT * FROM (VALUES
+      ('img0.fake#0', 'img1.fake#0', CAST(0 AS BIGINT)),
+      ('img0.fake#0', 'img2.fake#0', CAST(6 AS BIGINT)),
+      ('img1.fake#0', 'img2.fake#0', CAST(6 AS BIGINT))
+    ) AS t(doc_a, doc_b, hamming)
+    """,
+)
+def mm7(spark, sf_dir):
+    """Multimodal IMAGE near-dup via DCT pHash (r8;
+    domain/images.frame_phash — orthonormal 2-D DCT-II, 8x8
+    low-frequency block minus DC and the last coefficient = 62-bit
+    positive-bigint codes, median threshold), paired through the same
+    Manku band machinery as dHash/SimHash at max_hamming=6 (7 disjoint
+    bands — 6 bit errors must leave one band clean). The golden pins
+    pHash's complementary strengths vs mm6's dHash: a +40
+    non-saturating brightness shift collides EXACTLY (DC dropped),
+    a 2x2 box blur lands at hamming 6 (low-pass block), while the
+    two constant images that dHash collides do NOT pair here (flat
+    images have no AC structure — the documented pHash caveat, which
+    is why a production crawl dedup runs BOTH hashes and unions the
+    pair sets). Composite (path#frame) ids per the one-code-per-id
+    contract. Decode is the FAKE codec (environment wall); the
+    resize/DCT/band plumbing is the real 100 TB path."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        frame_phash,
+        split_frames,
+    )
+    from cellphe_data_pipeline_spark.operators.dedup import hamming_code_pairs
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = ((xx * 5 + yy * 2 + (xx * yy) // 8) % 180).astype(np.uint8)
+    blur = base.astype(float)
+    blur = (
+        blur
+        + np.roll(blur, 1, 0)
+        + np.roll(blur, 1, 1)
+        + np.roll(np.roll(blur, 1, 0), 1, 1)
+    ) / 4.0
+    imgs = {
+        "img0.fake": base,
+        "img1.fake": (base + 40).astype(np.uint8),
+        "img2.fake": blur.astype(np.uint8),
+        "img3.fake": (((31 - xx) * 11 + yy * 7) % 200).astype(np.uint8),
+        "img4.fake": ((xx * yy + yy * 13) % 256).astype(np.uint8),
+        "img5.fake": np.full((32, 32), 90, np.uint8),
+        "img6.fake": np.full((32, 32), 210, np.uint8),
+    }
+    rows = [
+        (
+            name,
+            bytearray(
+                FAKE_MAGIC
+                + np.array([32, 32, 1], dtype="<u4").tobytes()
+                + _zlib.compress(img.tobytes())
+            ),
+        )
+        for name, img in imgs.items()
+    ]
+    bins = spark.createDataFrame(rows, "path string, content binary")
+    codes = frame_phash(split_frames(bins)).select(
+        F.concat_ws("#", "path", "frame_index").alias("frame_id"), "phash"
+    )
+    return hamming_code_pairs(
+        codes, id_col="frame_id", code_col="phash", n_bits=62, max_hamming=6
+    )
+
+
+@register(
     "c11_dsir_resample",
     r"""
     WITH toks AS (
@@ -7293,6 +7368,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "m3f_joint_lap",
     "c15_span_corruption",
     "c16_semantic_decontaminate",
+    "mm7_image_phash_neardup",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

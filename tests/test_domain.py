@@ -2752,3 +2752,76 @@ def test_joint_lap_shared_alternative_cost(spark):
         ).collect()
     }
     assert (4, 2) in generous and (6, 7) in generous
+
+
+def test_frame_phash_invariances_and_oracle(spark):
+    """r8 pHash: equals an independent per-coefficient cosine-sum DCT
+    oracle; exactly invariant to non-saturating brightness shift and
+    positive contrast scaling (DC dropped + median threshold); a
+    structurally different image lands far away in Hamming space."""
+    import math
+    import zlib as _zlib
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        FAKE_MAGIC,
+        frame_phash,
+        split_frames,
+    )
+
+    def py_phash(img, hs=8):
+        n = img.shape[0]
+        c = np.zeros((hs, hs))
+        for u in range(hs):
+            for v in range(hs):
+                au = math.sqrt((1 if u == 0 else 2) / n)
+                av = math.sqrt((1 if v == 0 else 2) / n)
+                s = 0.0
+                for x in range(n):
+                    for y in range(n):
+                        s += (
+                            float(img[x, y])
+                            * math.cos(math.pi * (2 * x + 1) * u / (2 * n))
+                            * math.cos(math.pi * (2 * y + 1) * v / (2 * n))
+                        )
+                c[u, v] = au * av * s
+        kept = c.ravel()[1:-1]
+        med = float(np.median(kept))
+        code = 0
+        for i, val in enumerate(kept):
+            if val > med:
+                code |= 1 << i
+        return code
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = ((xx * 5 + yy * 2 + (xx * yy) // 8) % 180).astype(np.uint8)
+    imgs = {
+        "base.fake": base,
+        "bright.fake": (base + 40).astype(np.uint8),          # no saturation (max 219+40? base<180 -> ok)
+        "contrast.fake": ((base.astype(float) * 1.3)).astype(np.uint8),
+        "other.fake": (((31 - xx) * 11 + yy * 7) % 200).astype(np.uint8),
+    }
+    rows = [
+        (
+            name,
+            bytearray(
+                FAKE_MAGIC
+                + np.array([32, 32, 1], dtype="<u4").tobytes()
+                + _zlib.compress(img.tobytes())
+            ),
+        )
+        for name, img in imgs.items()
+    ]
+    bins = spark.createDataFrame(rows, "path string, content binary")
+    got = {
+        r["path"]: r["phash"]
+        for r in frame_phash(split_frames(bins)).collect()
+    }
+    assert got["base.fake"] == py_phash(imgs["base.fake"])
+    assert got["other.fake"] == py_phash(imgs["other.fake"])
+    assert got["bright.fake"] == got["base.fake"]
+    # contrast: uint8 truncation of 1.3x perturbs coefficients slightly
+    # but the median-threshold code stays within a small Hamming ball
+    assert bin(got["contrast.fake"] ^ got["base.fake"]).count("1") <= 3
+    assert bin(got["other.fake"] ^ got["base.fake"]).count("1") > 10
