@@ -1533,6 +1533,113 @@ def fim_transform(
     )
 
 
+def _cm_bucket(row: int, tok_col: Column, width: int) -> Column:
+    """Count-min bucket hash (portable md5 idiom, shared by sketch
+    build and probe): int(md5(f"{row}:{tok}")[:8], 16) % width."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), tok_col)), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % width
+
+
+def count_min_cells(
+    toks: DataFrame, depth: int, width: int, tok_col: str = "tok"
+) -> DataFrame:
+    """Build the count-min cell relation (row, col, cell_n) from a
+    token stream — the MERGEABLE surface: sketches of shards or
+    stream micro-batches combine by unioning cell relations and
+    summing cell_n per (row, col) (pinned by test). One explode x
+    depth + one map-side combinable groupBy; output is depth x width
+    rows regardless of corpus size."""
+    return (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cm_bucket(r, F.col(tok_col), width).alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .select("rc.row", "rc.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    k: int = 50,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-min sketch frequency estimation for the corpus token
+    stream (r8; Cormode & Muthukrishnan 2005) — the third member of
+    the engine's sketch family (a7's HLL cardinality, c12's Bloom
+    membership; this one answers FREQUENCY): ``depth`` x ``width``
+    int64 counters, token t incrementing cell
+    (row, md5(row:t) % width) per occurrence, estimate = min over
+    rows. The sketch is a fixed-size MERGEABLE aggregate — shards and
+    stream micro-batches sum cell-wise, which is why a 100 TB ingest
+    keeps one per shard instead of a vocabulary-sized count table;
+    the estimate NEVER undercounts (min of sums that each include
+    every true occurrence), overcounts only by collisions bounded by
+    e*N/width with probability 1 - e^-depth.
+
+    Determinism contract: the bucket hash is the repo's portable
+    md5 idiom (``int(md5(f"{row}:{t}")[:8], 16) % width``) and
+    counters are exact int64 sums — the sketch, every estimate, and
+    the output are bit-identical in any engine at any partitioning.
+
+    Relational shape: ONE token explode -> ONE map-side combinable
+    groupBy on (row, bucket) — the sketch materializes as
+    depth x width rows, NOT a driver structure; the exact top-``k``
+    vocabulary (one combinable token groupBy + TakeOrdered) probes it
+    with a broadcast-able join. Output: (tok, exact_n, est_n) for the
+    true top-k by (count DESC, tok), with est_n >= exact_n always.
+    """
+    if depth < 1 or width < 2 or k < 1:
+        raise ValueError(
+            f"need depth >= 1, width >= 2, k >= 1; got {depth}, {width}, {k}"
+        )
+    toks = _doc_tokens(df, text_col, id_col)
+    cells = count_min_cells(toks, depth, width)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(k)
+    )
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(r, F.col("tok"), width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "exact_n", "rc.row", "rc.col")
+    return (
+        probes.join(cells, ["row", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select("tok", "exact_n", "est_n")
+    )
+
+
 def span_corruption(
     df: DataFrame,
     block_tokens: int = 8,

@@ -4395,6 +4395,57 @@ def t21(spark, sf_dir):
 
 
 @register(
+    "t23_count_min_topk",
+    r"""
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    ),
+    cells AS (
+      SELECT r,
+             ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS c,
+             COUNT(*) AS cell_n
+      FROM toks, UNNEST([0, 1, 2, 3]) AS g(r)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks
+      GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 50
+    ),
+    probes AS (
+      SELECT tok, exact_n, r,
+             ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS c
+      FROM top, UNNEST([0, 1, 2, 3]) AS g(r)
+    )
+    SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(cell_n) AS BIGINT) AS est_n
+    FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+    GROUP BY p.tok, p.exact_n
+    """,
+)
+def t23(spark, sf_dir):
+    """Count-min sketch token-frequency estimation (r8; text.py
+    count_min_heavy_hitters; Cormode 2005) — the FREQUENCY member of
+    the sketch family (a7 = HLL cardinality, c12 = Bloom membership):
+    4x256 exact-int64 counters built in ONE combinable groupBy over
+    the token stream (the sketch is a fixed-size mergeable relation,
+    not a vocabulary-sized table — shards/micro-batches sum
+    cell-wise), probed by the exact top-50 vocabulary. Deterministic
+    md5 bucketing ⇒ the sketch AND every estimate are bit-identical
+    across engines; est_n >= exact_n structurally (min of sums each
+    containing every true occurrence)."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        count_min_heavy_hitters,
+    )
+
+    return count_min_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), k=50, depth=4, width=256
+    )
+
+
+@register(
     "t7_tfidf_topk",
     r"""
     WITH toks AS (
@@ -7369,6 +7420,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c15_span_corruption",
     "c16_semantic_decontaminate",
     "mm7_image_phash_neardup",
+    "t23_count_min_topk",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

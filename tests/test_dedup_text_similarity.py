@@ -2195,3 +2195,60 @@ def test_semantic_decontaminate_flags_neighbors(spark):
     assert out[2]["contaminated"] and out[2]["n_eval_hits"] >= 1
     assert not out[3]["contaminated"]
     assert out[3]["n_eval_hits"] == 0 and out[3]["max_eval_cos"] is None
+
+
+def test_count_min_sketch_properties(spark):
+    """r8 count-min: estimates never undercount; with width >> vocab
+    the estimate is exact for every token; and the sketch cells are
+    MERGEABLE — sketching two corpus halves and summing cell-wise
+    equals sketching the whole (the fixed-size shard-merge property
+    that makes it a 100 TB structure)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        count_min_heavy_hitters,
+    )
+
+    docs = [
+        (1, "a a a a b b c d e f g h"),
+        (2, "a b b c c c i j k l m n"),
+        (3, "z z z z z z z z y y x w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    tight = count_min_heavy_hitters(df, k=30, depth=4, width=4).collect()
+    assert all(r["est_n"] >= r["exact_n"] for r in tight)
+    assert {r["tok"] for r in tight} == set("abcdefghijklmnwxyz") | {"z", "y"}
+
+    wide = count_min_heavy_hitters(df, k=30, depth=4, width=65536).collect()
+    assert all(r["est_n"] == r["exact_n"] for r in wide)
+    by_tok = {r["tok"]: r["exact_n"] for r in wide}
+    assert by_tok["z"] == 8 and by_tok["a"] == 5 and by_tok["c"] == 4
+
+    # merge property AT THE ENGINE LEVEL: unioning two shard sketches
+    # and summing cell-wise equals sketching the whole corpus — the
+    # fixed-size shard/stream-merge surface (count_min_cells)
+    from cellphe_data_pipeline_spark.operators.text import (
+        _doc_tokens,
+        count_min_cells,
+    )
+
+    def cell_map(d):
+        return {
+            (r["row"], r["col"]): r["cell_n"]
+            for r in count_min_cells(_doc_tokens(d), 2, 8).collect()
+        }
+
+    whole = cell_map(df)
+    merged_df = (
+        count_min_cells(_doc_tokens(df.filter(F.col("doc_id") <= 1)), 2, 8)
+        .unionByName(
+            count_min_cells(_doc_tokens(df.filter(F.col("doc_id") > 1)), 2, 8)
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("cell_n").alias("cell_n"))
+    )
+    merged = {
+        (r["row"], r["col"]): r["cell_n"] for r in merged_df.collect()
+    }
+    assert merged == whole
