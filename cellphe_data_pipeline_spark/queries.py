@@ -7389,6 +7389,65 @@ def e10(spark, sf_dir):
     )
 
 
+@register(
+    "e11_streaming_count_min",
+    r"""
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    )
+    SELECT r AS row,
+           CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS BIGINT) AS col,
+           COUNT(*) AS cell_n
+    FROM toks, UNNEST([0, 1, 2, 3]) AS g(r)
+    GROUP BY 1, 2
+    """,
+)
+def e11(spark, sf_dir):
+    """§2.11 streaming COUNT-MIN runtime under the driver oracle (r8)
+    — how an always-on ingest maintains corpus token statistics:
+    t23's sketch (text.py count_min_cells) as a streaming aggregation
+    whose ENTIRE state is the fixed 4x256 cell table — the sketch's
+    selling point made literal: state size is independent of corpus
+    size, so complete-mode output and unbounded retention are safe by
+    construction (contrast e5's watermarked rollup, whose key space
+    grows with time). Drained with availableNow into a complete-mode
+    memory sink; the final cell table must equal the batch sketch the
+    oracle computes. Seventh verified streaming runtime, and the
+    streaming member of the sketch family."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        _doc_tokens,
+        count_min_cells,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = _stage_dir("e11_stream_cm")  # fixed, wiped per run
+    docs.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    qname = "e11_cm_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            count_min_cells(_doc_tokens(stream), depth=4, width=256)
+            .withColumn("row", F.col("row").cast("int"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e11_streaming_count_min: availableNow drain did not "
+                "finish in 300s — refusing to return a partial sketch"
+            )
+    return spark.table(qname).select(
+        F.col("row").cast("int").alias("row"), "col", "cell_n"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7421,6 +7480,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c16_semantic_decontaminate",
     "mm7_image_phash_neardup",
     "t23_count_min_topk",
+    "e11_streaming_count_min",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
