@@ -1094,6 +1094,87 @@ def bpe_token_counts(
     )
 
 
+def bpe_token_counts_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PRODUCTION-SCALE BPE apply path (r8 — closing
+    :func:`bpe_token_counts`'s documented handoff "for 10k+ rule
+    tables use an Arrow-batched kernel"): the expression form builds
+    one Catalyst ``aggregate`` fold PER RULE, so plan size, analysis
+    time and codegen grow linearly with |merges| — fine at tens of
+    rules, pathological at a real 30-50k-rule vocabulary. This path
+    ships the rank dict once per task and tokenizes with the GPT-2
+    priority-merge loop (repeatedly merge the lowest-rank adjacent
+    pair, left-to-right non-overlapping per pass) — per-word cost
+    governed by word length, INDEPENDENT of |merges|.
+
+    Same relational shape as the expression form (the per-word-cache
+    insight: tokenize the DISTINCT word table, hash-join counts
+    back), and bit-identical output: applying rules fully in rank
+    order == the priority loop, because merging a later-rank pair can
+    only create adjacencies INVOLVING its merged token, never a
+    resurrection of an earlier-rank pair (equality pinned by a
+    hypothesis test and the t24 driver query sharing t17's oracle).
+    Output: (doc_id, n_words, n_bpe_tokens).
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    rules = [tuple(m) for m in merges]
+
+    def tokenize_batch(batches):
+        import pandas as pd  # worker-side; text.py is otherwise pandas-free
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ns = []
+            for w in pdf["tok"]:
+                n = cache.get(w)
+                if n is None:
+                    toks = list(w)
+                    while len(toks) > 1:
+                        best = None
+                        for i in range(len(toks) - 1):
+                            rk = ranks.get((toks[i], toks[i + 1]))
+                            if rk is not None and (best is None or rk < best):
+                                best = rk
+                        if best is None:
+                            break
+                        a, b = rules[best]
+                        out = []
+                        i = 0
+                        while i < len(toks):
+                            if (
+                                i + 1 < len(toks)
+                                and toks[i] == a
+                                and toks[i + 1] == b
+                            ):
+                                out.append(a + b)
+                                i += 2
+                            else:
+                                out.append(toks[i])
+                                i += 1
+                        toks = out
+                    n = len(toks)
+                    cache[w] = n
+                ns.append(n)
+            yield pd.DataFrame({"tok": pdf["tok"], "n_sub": ns})
+
+    occurrences = _doc_tokens(df, text_col, id_col)
+    vocab = occurrences.select("tok").distinct().mapInPandas(
+        tokenize_batch, "tok string, n_sub bigint"
+    )
+    return (
+        occurrences.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def _bpe_state_pairs(state: DataFrame, s2: str) -> DataFrame:
     """Adjacent-pair counts (l, r, c) of a sentinel-delimited BPE
     vocabulary state (cnt, s) — one explode + one map-side combinable

@@ -2050,6 +2050,36 @@ def c4(spark, sf_dir):
 
 
 @register(
+    "c17_bottomk_sample",
+    """
+    SELECT doc_id, lang, source,
+           md5('sample-v1:' || CAST(doc_id AS VARCHAR)) AS sk
+    FROM documents
+    ORDER BY sk, doc_id LIMIT 100
+    """,
+)
+def c17(spark, sf_dir):
+    """Deterministic EXACT-SIZE uniform corpus sample (r8): the 100
+    smallest md5(seed:id) keys — the bottom-k sketch. c4's hash gate
+    gives a reproducible RATE (size varies with N); this gives a
+    reproducible SIZE (eval subsets, human-review batches, fixed
+    validation draws). Scale shape: TakeOrderedAndProject — each
+    partition keeps its local bottom-k, the driver merges k-sized
+    heaps; and bottom-k is MERGEABLE across shards (bottom-k of a
+    union = bottom-k of per-shard bottom-k's), so incremental ingest
+    maintains the sample without rescanning. Same seeded-md5
+    determinism contract as c4/c9: same corpus -> same sample in any
+    engine at any partitioning; the seed string versions the draw."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.lit("sample-v1:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", sk.alias("sk"))
+        .orderBy("sk", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
     "v5_int8_quantize",
     """
     WITH s AS (
@@ -7239,6 +7269,27 @@ def t17(spark, sf_dir):
     return bpe_token_counts(docs, BPE_MERGES)
 
 
+@register("t24_bpe_tokenize_arrow", _bpe_oracle_sql())
+def t24(spark, sf_dir):
+    """BPE tokenization — the PRODUCTION-SCALE Arrow path (r8;
+    text.py bpe_token_counts_arrow): t17's expression form builds one
+    Catalyst fold per rule (plan growth linear in |merges| —
+    pathological at real 30-50k-rule vocabularies); this path runs
+    the GPT-2 priority-merge loop in an Arrow-batched kernel over the
+    SAME distinct-word relation (per-word cost independent of
+    |merges|, rank dict shipped once per task, per-batch word cache).
+    Bit-identical to t17 by the rank-order ≡ priority-loop
+    equivalence (hypothesis-tested); shares t17's dictionary oracle,
+    so the driver independently proves both paths against the same
+    truth."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_token_counts_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts_arrow(docs, BPE_MERGES)
+
+
 def _streaming_minhash_oracle_sql() -> str:
     return f"""
     WITH bands AS ({_minhash_bands_only_sql()}),
@@ -7481,6 +7532,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm7_image_phash_neardup",
     "t23_count_min_topk",
     "e11_streaming_count_min",
+    "c17_bottomk_sample",
+    "t24_bpe_tokenize_arrow",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

@@ -2252,3 +2252,62 @@ def test_count_min_sketch_properties(spark):
         (r["row"], r["col"]): r["cell_n"] for r in merged_df.collect()
     }
     assert merged == whole
+
+
+def test_bpe_arrow_path_equals_expression_path(spark):
+    """r8 Arrow BPE apply: the priority-merge kernel equals the
+    rank-order expression fold on arbitrary small corpora and merge
+    tables (the rank-order ≡ priority-loop equivalence), including a
+    1000-rule table where the expression form would build a
+    1000-fold plan."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_reference,
+        bpe_token_counts_arrow,
+    )
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(words, min_size=1, max_size=6), min_size=1, max_size=4
+        ),
+        merges=st.lists(
+            st.tuples(
+                st.text(alphabet="abcd", min_size=1, max_size=2),
+                st.text(alphabet="abcd", min_size=1, max_size=2),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+    )
+    def check(docs, merges):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts_arrow(df, merges).collect()
+        }
+        want = {
+            i: (
+                len(ws),
+                sum(len(bpe_reference(w, merges)) for w in ws),
+            )
+            for i, ws in enumerate(docs)
+        }
+        assert got == want
+
+    check()
+
+    # 1000-rule table: collapses 'a'*8 pairwise (a+a, aa+aa, ...)
+    # padded with inert rules; the kernel cost must not scale with it
+    big = [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")] + [
+        (f"x{i}", f"y{i}") for i in range(997)
+    ]
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa aaaa bcd")], "doc_id bigint, text string"
+    )
+    out = bpe_token_counts_arrow(df, big).collect()[0]
+    assert (out["n_words"], out["n_bpe_tokens"]) == (3, 1 + 1 + 3)
