@@ -7576,15 +7576,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "v3_ivf_topk",
     "v4_probe_topk",
     "w6_rank_lead_ntile",
+    # the r8 additions grew the head past 50: w7/w8 (r4-proven,
+    # unchanged) are positions 51-52 — first in line for the r9
+    # window together with the oldest r05 cohort (a12, c4-c9, ...)
     "w7_session_window",
     "w8_range_frame",
-    # oldest r05-proven members fill the remaining slots
-    "a12_group_quantiles",
-    "c4_hash_stratified_sample",
-    "c5_decontaminate",
-    "c6_epoch_shuffle",
-    "c7_incremental_upsert",
-    "c8_mixture_rebalance",
 ]
 
 
