@@ -1020,6 +1020,41 @@ def bpe_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return toks
 
 
+def bpe_priority_reference(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Plain-python reference for the GPT-2 PRIORITY-loop BPE apply
+    (repeatedly merge the lowest-rank adjacent pair, left-to-right
+    non-overlapping per pass) — the semantics
+    :func:`bpe_token_counts_arrow` implements. Agrees with
+    :func:`bpe_reference` (the rank-order fold) exactly on
+    rank-closed tables; see the arrow docstring for the divergence
+    on arbitrary ones."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    rules = [tuple(m) for m in merges]
+    toks = list(word)
+    while len(toks) > 1:
+        best = None
+        for i in range(len(toks) - 1):
+            rk = ranks.get((toks[i], toks[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best = rk
+        if best is None:
+            break
+        a, b = rules[best]
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
 def bpe_token_counts(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -1113,11 +1148,22 @@ def bpe_token_counts_arrow(
 
     Same relational shape as the expression form (the per-word-cache
     insight: tokenize the DISTINCT word table, hash-join counts
-    back), and bit-identical output: applying rules fully in rank
-    order == the priority loop, because merging a later-rank pair can
-    only create adjacencies INVOLVING its merged token, never a
-    resurrection of an earlier-rank pair (equality pinned by a
-    hypothesis test and the t24 driver query sharing t17's oracle).
+    back). Bit-identical to the rank-order fold **for RANK-CLOSED
+    merge tables** — every multi-char rule side is the output of an
+    earlier rule, which every table produced by BPE *learning*
+    (bpe_learn_merges, Sennrich 2016) is by construction. Under
+    rank-closure, merging rule i's pair creates adjacencies only for
+    rules that consume token a_i||b_i, all of which rank AFTER i, so
+    the fold's single forward pass never misses a resurrected
+    earlier rule. On an arbitrary (non-learned) table the two
+    semantics genuinely diverge — e.g. ``[("ac","c"), ("a","c")]``
+    on "acc": the priority loop merges rank 1 then the newly-enabled
+    rank 0 → 1 token, while the fold has already passed rank 0 → 2
+    tokens. This path always implements the priority loop (the GPT-2
+    apply semantics); equality on rank-closed tables and
+    priority-loop behaviour on arbitrary ones are both pinned by
+    hypothesis tests, and the t24 driver query shares t17's oracle
+    over the rank-closed BPE_MERGES table.
     Output: (doc_id, n_words, n_bpe_tokens).
     """
     ranks = {tuple(m): i for i, m in enumerate(merges)}

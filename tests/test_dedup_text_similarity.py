@@ -2255,25 +2255,39 @@ def test_count_min_sketch_properties(spark):
 
 
 def test_bpe_arrow_path_equals_expression_path(spark):
-    """r8 Arrow BPE apply: the priority-merge kernel equals the
-    rank-order expression fold on arbitrary small corpora and merge
-    tables (the rank-order ≡ priority-loop equivalence), including a
-    1000-rule table where the expression form would build a
-    1000-fold plan."""
+    """r8 Arrow BPE apply: the kernel implements the GPT-2 priority
+    loop on ARBITRARY merge tables (checked vs a python priority
+    reference), and on RANK-CLOSED tables — the only kind BPE
+    learning produces — it additionally equals the rank-order
+    expression fold (the t17/t24 shared-oracle contract). Arbitrary
+    tables can diverge from the fold (e.g. [("ac","c"),("a","c")]
+    on "acc"), so the equivalence half constrains its generator to
+    rank-closed tables. Includes a 1000-rule table where the
+    expression form would build a 1000-fold plan."""
     from hypothesis import given, settings, strategies as st
 
     from cellphe_data_pipeline_spark.operators.text import (
+        bpe_priority_reference,
         bpe_reference,
         bpe_token_counts_arrow,
     )
 
     words = st.text(alphabet="abcd", min_size=1, max_size=8)
+    docs_strategy = st.lists(
+        st.lists(words, min_size=1, max_size=6), min_size=1, max_size=4
+    )
 
-    @settings(max_examples=15, deadline=None)
+    def run_kernel(docs, merges):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts_arrow(df, merges).collect()
+        }
+
+    @settings(max_examples=10, deadline=None)
     @given(
-        docs=st.lists(
-            st.lists(words, min_size=1, max_size=6), min_size=1, max_size=4
-        ),
+        docs=docs_strategy,
         merges=st.lists(
             st.tuples(
                 st.text(alphabet="abcd", min_size=1, max_size=2),
@@ -2283,13 +2297,34 @@ def test_bpe_arrow_path_equals_expression_path(spark):
             max_size=8,
         ),
     )
-    def check(docs, merges):
-        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
-        df = spark.createDataFrame(rows, "doc_id bigint, text string")
-        got = {
-            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
-            for r in bpe_token_counts_arrow(df, merges).collect()
+    def check_priority_semantics(docs, merges):
+        want = {
+            i: (
+                len(ws),
+                sum(len(bpe_priority_reference(w, merges)) for w in ws),
+            )
+            for i, ws in enumerate(docs)
         }
+        assert run_kernel(docs, merges) == want
+
+    @st.composite
+    def rank_closed_merges(draw):
+        # grow the token pool the way learning does: each rule's
+        # sides are chars or outputs of earlier rules
+        pool = list("abcd")
+        merges = []
+        for _ in range(draw(st.integers(min_value=0, max_value=8))):
+            a = draw(st.sampled_from(pool))
+            b = draw(st.sampled_from(pool))
+            if (a, b) in merges or len(a + b) > 12:
+                continue
+            merges.append((a, b))
+            pool.append(a + b)
+        return merges
+
+    @settings(max_examples=10, deadline=None)
+    @given(docs=docs_strategy, merges=rank_closed_merges())
+    def check_fold_equivalence_on_rank_closed(docs, merges):
         want = {
             i: (
                 len(ws),
@@ -2297,9 +2332,10 @@ def test_bpe_arrow_path_equals_expression_path(spark):
             )
             for i, ws in enumerate(docs)
         }
-        assert got == want
+        assert run_kernel(docs, merges) == want
 
-    check()
+    check_priority_semantics()
+    check_fold_equivalence_on_rank_closed()
 
     # 1000-rule table: collapses 'a'*8 pairwise (a+a, aa+aa, ...)
     # padded with inert rules; the kernel cost must not scale with it
