@@ -104,3 +104,74 @@ def stratified_sample(
     hash is engine-specific — use limit_per_group when cross-engine
     determinism is required."""
     return df.sampleBy(key, fractions, seed)
+
+
+def group_ols(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    t0: str = "2024-01-01",
+) -> DataFrame:
+    """Per-group closed-form least-squares trend (r8): slope /
+    intercept / R² of ``value ~ seconds-since-t0`` from the five
+    power sums — the per-track drift/trend statistic the reference
+    computes per cell track in R (tracking_qc.qmd's per-track
+    summaries; time_series_features.py:13-15 [pkg] trend slot), as
+    ONE map-side-combinable aggregation instead of a per-group model
+    fit.
+
+    Scale shape: a single groupBy shuffle carrying six numbers per
+    group — the same shape as a8's moment sums; no window, no
+    join-back, no per-group solver. At 100 TB the partial aggregation
+    does almost all the work map-side.
+
+    Cross-engine bit-reproducibility follows the a8 idiom: each
+    product is computed in DOUBLE (identical IEEE result in any
+    engine), CAST to a decimal wide enough to hold it exactly at
+    realistic group sizes, and SUMMED in decimal (exact, order-free);
+    the final slope/intercept/R² arithmetic runs on the decimal sums
+    cast back to double, identically on both sides, then rounds to
+    6dp. x is anchored at `t0` (a fixed literal, NOT a per-group min
+    — keeping the aggregation single-pass) so x² stays ~1e13, far
+    inside decimal(38,12)'s exact range even for billion-row groups.
+
+    Degenerate groups (n < 2 or zero x-variance) yield NULL slope,
+    NULL intercept and NULL r2; zero y-variance with positive
+    x-variance yields slope 0 and NULL r2 (0/0 in the R² ratio).
+    """
+    x = (
+        (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.to_timestamp(F.lit(t0)))
+        ).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    y = F.col(value_col).cast("double")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x.cast("decimal(24,6)")).alias("sx"),
+        F.sum(y.cast("decimal(24,6)")).alias("sy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,10)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    dx = n * sxx - sx * sx  # n² · var(x)
+    dy = n * syy - sy * sy  # n² · var(y)
+    cov = n * sxy - sx * sy
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(dx > 0, (sy - (cov / dx) * sx) / n)
+    r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    return agg.select(
+        *keys,
+        "n_obs",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -34,6 +34,7 @@ def publish_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """S15 scale variant: persist a stage output bucketed (and sorted)
     by its join key so downstream equi-joins on that key are
@@ -43,11 +44,33 @@ def publish_bucketed(
     if sort_cols is None:
         sort_cols = bucket_cols
     w = w.sortBy(*sort_cols)
+    if path is not None:
+        # external bucketed table: bucket metadata in the catalog,
+        # files at the caller's path (bench/verify staging dirs)
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def publish_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """S15 scale variant #2: hive-style partition layout — one
+    directory per distinct partition-column tuple. The complement of
+    bucketing: bucketing co-locates JOIN keys, partitioning prunes
+    SCAN predicates. A reader filtering on a partition column never
+    opens the other directories (`.explain` shows the predicate under
+    ``PartitionFilters`` and a pruned partition count), so a
+    100 TB corpus partitioned by e.g. (source, language, date) serves
+    a single-slice query at the slice's cost, not the corpus's.
+    Keep partition cardinality bounded (≤ ~10k dirs): one dir per
+    tuple; high-cardinality keys belong in bucketing or z-order
+    (operators.scale.zorder_key), not the directory tree."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
 def salted_join(

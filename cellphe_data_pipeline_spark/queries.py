@@ -3614,6 +3614,101 @@ def o7(spark, sf_dir):
     )
 
 
+def _o8_bucketed_join(spark, sf_dir):
+    """The exchange-free join body of o8, split out so the plan test
+    can assert zero Exchange on the join itself (the downstream
+    aggregate legitimately shuffles its 5 segment groups)."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_bucketed,
+        read_bucketed,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    publish_bucketed(
+        cust, "o8_cust_bk", ["c_custkey"], num_buckets=8,
+        path=_stage_dir("o8_cust_bk"),
+    )
+    publish_bucketed(
+        orders, "o8_orders_bk", ["o_custkey"], num_buckets=8,
+        path=_stage_dir("o8_orders_bk"),
+    )
+    return read_bucketed(spark, "o8_cust_bk").join(
+        read_bucketed(spark, "o8_orders_bk"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+
+
+@register(
+    "o8_bucketed_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def o8(spark, sf_dir):
+    """Bucketed co-located join (r8; scale.publish_bucketed through
+    the registered-query surface): both sides are published
+    bucketed+sorted by the join key into 8 buckets, so the fact-dim
+    join reads co-located buckets and shuffles NOTHING — `.explain`
+    shows SortMergeJoin with no Exchange on either side
+    (tests/test_scale.py::test_o8_registered_query_join_is_exchange_free).
+    At 100 TB this is the S15 publish discipline for every
+    re-joined stage output: pay one bucketed write, never shuffle
+    that table's join again. The oracle is the plain join on the
+    parquet originals — layout must never change values."""
+    j = _o8_bucketed_join(spark, sf_dir)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "o9_partition_pruned_scan",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def o9(spark, sf_dir):
+    """Hive-partitioned publish + pruned scan (r8;
+    scale.publish_partitioned): events written one directory per
+    event_type, then read back filtered to one type — the filter
+    resolves against the DIRECTORY TREE, not file contents
+    (`.explain` shows it under PartitionFilters with 1-of-5
+    partitions selected; plan-gated in tests/test_scale.py). The
+    100 TB shape: a corpus partitioned by (source, language, date)
+    serves slice queries at slice cost. The oracle filters the
+    unpartitioned original — layout must never change values."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_partitioned,
+    )
+
+    staged = _stage_dir("o9_events_part")
+    ev = load_table(spark, sf_dir, "events")
+    publish_partitioned(ev, staged, ["event_type"])
+    back = spark.read.parquet(staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @register(
     "t20_code_detect",
     r"""
@@ -3883,6 +3978,56 @@ def a11(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "a13_group_ols",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+               / 1000000.0 AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    ), a AS (
+      SELECT user_id, COUNT(*) AS n_obs,
+             SUM(CAST(x AS DECIMAL(24,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(24,6))) AS sy,
+             SUM(CAST(x*x AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(x*y AS DECIMAL(38,10))) AS sxy,
+             SUM(CAST(y*y AS DECIMAL(38,12))) AS syy
+      FROM b GROUP BY user_id
+    ), c AS (
+      SELECT user_id, n_obs, CAST(n_obs AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+             CAST(syy AS DOUBLE) AS syy
+      FROM a
+    ), d AS (
+      SELECT user_id, n_obs, n, sx, sy,
+             n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy, n*sxy - sx*sy AS cov
+      FROM c
+    )
+    SELECT user_id, n_obs,
+           ROUND(CASE WHEN dx > 0 THEN cov/dx END, 6) AS slope,
+           ROUND(CASE WHEN dx > 0 THEN (sy - (cov/dx)*sx)/n END, 6) AS intercept,
+           ROUND(CASE WHEN dx > 0 AND dy > 0 THEN (cov*cov)/(dx*dy) END, 6) AS r2
+    FROM d
+    """,
+)
+def a13(spark, sf_dir):
+    """Per-group closed-form OLS trend of value vs time (r8;
+    aggregates.group_ols) — the per-track drift statistic
+    (tracking_qc.qmd per-track summaries; time_series_features.py
+    [pkg] trend slot) as ONE map-side-combinable aggregation: five
+    decimal-exact power sums per group, slope/intercept/R² derived
+    in identical double arithmetic on both engines (the a8 idiom).
+    No window, no join-back, no per-group solver — the single
+    groupBy shuffle carries six numbers per group."""
+    from cellphe_data_pipeline_spark.operators.aggregates import group_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_ols(ev, ["user_id"], "ts", "value")
 
 
 @register(
@@ -7534,6 +7679,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "e11_streaming_count_min",
     "c17_bottomk_sample",
     "t24_bpe_tokenize_arrow",
+    "a13_group_ols",
+    "o8_bucketed_join",
+    "o9_partition_pruned_scan",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
@@ -7576,9 +7724,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "v3_ivf_topk",
     "v4_probe_topk",
     "w6_rank_lead_ntile",
-    # the r8 additions grew the head past 50: w7/w8 (r4-proven,
-    # unchanged) are positions 51-52 — first in line for the r9
-    # window together with the oldest r05 cohort (a12, c4-c9, ...)
+    # the r8 additions grew the head past 50: v4/w6/w7/w8 and the
+    # trailing r04 members (all r4-proven, unchanged) sit just past
+    # the boundary — first in line for the r9 window together with
+    # the oldest r05 cohort (a12, c4-c9, ...)
     "w7_session_window",
     "w8_range_frame",
 ]

@@ -341,3 +341,48 @@ def test_grid_joins_use_shuffled_hash(spark):
     for p in plans:
         assert "ShuffledHashJoin" in p, p[:600]
         assert "CartesianProduct" not in p
+
+
+def test_group_ols_matches_numpy(spark):
+    """group_ols slope/intercept/R² equal numpy's lstsq fit per group
+    (to the operator's 6dp rounding), and degenerate groups yield the
+    documented NULLs."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import group_ols
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # group 1: clean linear y = 3 + 0.5 x(s) with jitter
+    for i in range(40):
+        rows.append((1, t0 + dt.timedelta(seconds=10 * i), 3.0 + 0.5 * 10 * i + (i % 7 - 3) * 0.25))
+    # group 2: constant y (zero y-variance -> slope 0, r2 NULL)
+    for i in range(10):
+        rows.append((2, t0 + dt.timedelta(seconds=60 * i), 42.0))
+    # group 3: single observation (n<2 -> all NULL)
+    rows.append((3, t0, 5.0))
+    # group 4: zero x-variance (all same ts -> all NULL)
+    for v in (1.0, 2.0, 9.0):
+        rows.append((4, t0 + dt.timedelta(seconds=123), v))
+    df = spark.createDataFrame(rows, "gid bigint, ts timestamp, value double")
+    got = {
+        r["gid"]: (r["n_obs"], r["slope"], r["intercept"], r["r2"])
+        for r in group_ols(df, ["gid"], "ts", "value").collect()
+    }
+
+    xs = np.array([(r[1] - t0).total_seconds() for r in rows if r[0] == 1])
+    ys = np.array([r[2] for r in rows if r[0] == 1])
+    A = np.vstack([xs, np.ones_like(xs)]).T
+    (m, b), res, *_ = np.linalg.lstsq(A, ys, rcond=None)
+    ss_tot = float(((ys - ys.mean()) ** 2).sum())
+    r2 = 1.0 - float(res[0]) / ss_tot
+    n1, s1, i1, q1 = got[1]
+    assert n1 == 40
+    assert abs(s1 - m) < 1e-6 and abs(i1 - b) < 1e-6 and abs(q1 - r2) < 1e-6
+
+    assert got[2] == (10, 0.0, 42.0, None)
+    assert got[3] == (1, None, None, None)
+    assert got[4] == (3, None, None, None)

@@ -158,3 +158,54 @@ def test_zorder_buckets_have_tighter_bboxes_than_row_order(spark):
     z_sum = mean_bbox_side_sum([(r["z"], r["x"], r["y"]) for r in out])
     row_sum = mean_bbox_side_sum([(r["rid"], r["x"], r["y"]) for r in out])
     assert z_sum == 32.0 and row_sum == 68.0  # squares vs strips
+
+
+def test_o8_registered_query_join_is_exchange_free(spark):
+    """The o8 driver query's join body must read co-located buckets:
+    SortMergeJoin with zero Exchange (the plain parquet join would
+    show two)."""
+    from cellphe_data_pipeline_spark.queries import _o8_bucketed_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = _o8_bucketed_join(spark, "/root/testdata/sf0.001")
+        p = _plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS o8_cust_bk")
+        spark.sql("DROP TABLE IF EXISTS o8_orders_bk")
+
+
+def test_partitioned_publish_scan_is_partition_pruned(spark, tmp_path):
+    """publish_partitioned + filtered read must resolve the predicate
+    against the directory tree: the filter appears in PartitionFilters
+    and the scan selects 1 of the 3 partition dirs."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)],
+        "id bigint, part string, v double",
+    )
+    path = str(tmp_path / "part_pub")
+    publish_partitioned(df, path, ["part"])
+    back = spark.read.parquet(path).filter(F.col("part") == "b")
+    p = _plan(back, mode="formatted")
+    assert "PartitionFilters" in p
+    # the partition predicate must NOT degrade to a data filter
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert pf and "part" in pf.group(1)
+    df_filters = re.search(r"DataFilters: \[([^\]]*)\]", p)
+    if df_filters:
+        assert "part" not in df_filters.group(1)
+    assert back.count() == 100
+    # pruning is observable in the executed scan: only the part=b files
+    files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
+    assert files and all("part=b" in f for f in files)
