@@ -7644,6 +7644,78 @@ def e11(spark, sf_dir):
     )
 
 
+@register(
+    "e12_streaming_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def e12(spark, sf_dir):
+    """§2.11 streaming SESSIONIZATION runtime under the driver oracle
+    (r8): Spark's NATIVE session-window state store
+    (streaming/tracker.streaming_session_windows) run as a real
+    readStream → merge-on-arrival session aggregation → availableNow
+    drain, checked against the same gap-split SQL oracle as the batch
+    w7 twin. This is the engine-managed complement to e6's hand-rolled
+    applyInPandasWithState sessions: the state store itself merges
+    overlapping [ts, ts+30min) extents per user as micro-batches
+    arrive, so sessions split across batches converge to the batch
+    answer. COMPLETE output mode for the bounded drain (same rationale
+    as e5: append's final watermark would hold back trailing
+    sessions). Eighth verified streaming runtime."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_session_windows,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    staged = _stage_dir("e12_stream_sessions")  # fixed, wiped per run
+    ev.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    qname = "e12_session_sink"  # fixed: restart replaces the temp view
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            streaming_session_windows(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "e12_streaming_sessionization: availableNow drain did not "
+                "finish in 300s — refusing to return a partial session table"
+            )
+    return spark.table(qname).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7682,6 +7754,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a13_group_ols",
     "o8_bucketed_join",
     "o9_partition_pruned_scan",
+    "e12_streaming_sessionization",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
@@ -7724,10 +7797,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "v3_ivf_topk",
     "v4_probe_topk",
     "w6_rank_lead_ntile",
-    # the r8 additions grew the head past 50: v4/w6/w7/w8 and the
-    # trailing r04 members (all r4-proven, unchanged) sit just past
-    # the boundary — first in line for the r9 window together with
-    # the oldest r05 cohort (a12, c4-c9, ...)
+    # the r8 additions grew the head past 50: u5/v3/v4/w6/w7/w8 (all
+    # r4-proven, unchanged) sit just past the boundary — first in line
+    # for the r9 window together with the oldest r05 cohort
+    # (a12, c4-c9, ...)
     "w7_session_window",
     "w8_range_frame",
 ]

@@ -214,6 +214,53 @@ def streaming_session_summary(
     )
 
 
+def streaming_session_windows(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Native session-window aggregation in streaming mode — the true
+    streaming twin of the batch w7 query (`F.session_window`), and the
+    engine-managed counterpart of ``streaming_session_summary``'s
+    hand-rolled ``applyInPandasWithState`` sessions: Spark's session
+    state store MERGES overlapping [ts, ts+gap) extents per key as
+    micro-batches arrive, so a session split across arbitrarily many
+    batches converges to the same (start, end, n, sum) row the batch
+    plan produces.
+
+    Scale: state per key is one open-session row (merged in place, not
+    per-event), keyed-partitioned across executors; the watermark
+    bounds how long a closed session lingers before eviction. Emission
+    mode is the caller's choice — append emits only watermark-closed
+    sessions (production), complete emits the full merged state (used
+    by the bounded e12 drain so trailing sessions aren't held back by
+    the final watermark, same rationale as e5).
+
+    The default watermark delay is deliberately huge: the watermark
+    filter DROPS late rows before the session operator in every output
+    mode, and a bounded backfill drain (files arriving in arbitrary ts
+    order across micro-batches) must not lose them. Production
+    near-real-time callers pass a tight delay to get state eviction.
+
+    Reference analogue: track closure on frame-gap (cyto3.json:27-29,
+    MAX_FRAME_GAP) — a session IS a track whose gap never exceeds the
+    closure threshold.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def streaming_exact_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -140,6 +140,66 @@ def test_streaming_session_summary_emits_on_timeout(spark, tmp_path):
     assert math.isclose(got[1]["std_pop"], 1.0)
 
 
+def test_streaming_session_windows_merge_across_batches(spark, sf_dir, tmp_path):
+    """Native session_window streaming state must MERGE sessions split
+    across micro-batches: force one file per trigger so each parquet
+    file is its own micro-batch, then compare the complete-mode drain
+    against the batch session_window plan over the same rows."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_session_windows,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ev = ev.select("user_id", "ts", "value")
+    path = str(tmp_path / "events_sessions")
+    # >=3 files so maxFilesPerTrigger=1 yields >=3 micro-batches; rows
+    # for the same user land in different batches (repartition is not
+    # user-keyed), exercising the in-store session merge path.
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        streaming_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_window"]["start"]): (
+            r["session_window"]["end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_window"]["start"]): (
+            r["session_window"]["end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (end_g, n_g, s_g) in got.items():
+        end_w, n_w, s_w = want[k]
+        assert end_g == end_w and n_g == n_w, k
+        assert math.isclose(s_g, s_w, rel_tol=1e-9), k
+
+
 def test_streaming_exact_dedup(spark, sf_dir, tmp_path):
     from cellphe_data_pipeline_spark.streaming.tracker import streaming_exact_dedup
     from pyspark.sql import functions as F
