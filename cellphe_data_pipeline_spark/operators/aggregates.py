@@ -175,3 +175,75 @@ def group_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def column_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """One-pass multi-column table profile (r8): per numeric column,
+    row count, null count, EXACT distinct count, min, max and an
+    exact decimal-summed mean — the "profile before you pipeline"
+    step a 100 TB ingest runs to pick partition keys, spot
+    null-degenerate columns and size dictionaries (the engine-side
+    generalisation of the reference's QC summarise blocks,
+    tracking_qc.qmd:55-63 / segmentation_qc.qmd:182-191, which
+    profile one metric at a time in R).
+
+    Scale shape — the two idioms that matter at 100 TB:
+
+    1. UNPIVOT, not per-column jobs: `df.unpivot` melts k columns to
+       (col_name, value) rows inside the same scan, so the table is
+       read ONCE for the whole profile instead of k times. (The melt
+       lowers to an Expand — k projections per input row — but it is
+       fused in the same whole-stage-codegen pipeline as the scan and
+       never materialised.)
+    2. Two-level aggregation for exact distinct: the partial
+       HashAggregate on (col_name, value) sits directly on the Expand
+       output INSIDE the scan stage, so the k× replication collapses
+       to at most Σ|distinct(col)| rows map-side — only those cross
+       the network. The per-column rollup is then a second, tiny
+       keyed aggregation. Nothing k×-sized is ever shuffled, and the
+       same pre-aggregated rows also carry min/max/null/mean, which a
+       `k × count(distinct)` formulation would recompute per column.
+
+    Mean exactness follows the a8/a13 idiom: value cast to
+    decimal(24,6) per distinct value, multiplied by the exact integer
+    multiplicity, summed in decimal (order-free), divided in double
+    on both engines, rounded to 6dp.
+    """
+    melted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in numeric_cols]
+    ).unpivot([], numeric_cols, "col_name", "value")
+    per_value = melted.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nonnull_cnt = F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_null"),
+            F.count("value").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(
+                F.col("value").cast("decimal(24,6)") * F.col("cnt")
+            ).alias("_sum_dec"),
+            F.sum(nonnull_cnt).alias("_n_nonnull"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_value",
+            "max_value",
+            F.round(
+                F.col("_sum_dec").cast("double")
+                / F.col("_n_nonnull").cast("double"),
+                6,
+            ).alias("mean_value"),
+        )
+    )

@@ -4031,6 +4031,48 @@ def a13(spark, sf_dir):
 
 
 @register(
+    "a14_column_profile",
+    """
+    WITH u AS (
+      SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    ),
+    g AS (
+      SELECT col_name, value, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE value IS NULL), 0) AS BIGINT) AS n_null,
+           COUNT(value) AS n_distinct,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6)) * cnt) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN value IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE),
+                 6) AS mean_value
+    FROM g GROUP BY col_name
+    """,
+)
+def a14(spark, sf_dir):
+    """One-pass multi-column table profile (r8;
+    aggregates.column_profile): per-column rows / nulls / EXACT
+    distinct / min / max / decimal-exact mean over the four lineitem
+    measures — the "profile before you pipeline" ingest step. The two
+    100 TB idioms: unpivot melts all k columns inside ONE scan (not k
+    jobs — its Expand stays fused in the scan's codegen stage), and
+    exact distinct collapses through a map-side (col_name, value)
+    partial aggregate so only Σ|distinct(col)| rows ever cross the
+    network; min/max/null/mean ride the same pre-aggregated rows."""
+    from cellphe_data_pipeline_spark.operators.aggregates import column_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
     "w8_range_frame",
     """
     SELECT user_id, event_id, value,
@@ -7755,6 +7797,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o8_bucketed_join",
     "o9_partition_pruned_scan",
     "e12_streaming_sessionization",
+    "a14_column_profile",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

@@ -386,3 +386,42 @@ def test_group_ols_matches_numpy(spark):
     assert got[2] == (10, 0.0, 42.0, None)
     assert got[3] == (1, None, None, None)
     assert got[4] == (3, None, None, None)
+
+
+def test_column_profile_exact_counts_and_mean(spark):
+    from cellphe_data_pipeline_spark.operators.aggregates import column_profile
+
+    rows = [
+        (1.0, None),
+        (1.0, 10.0),
+        (2.5, 10.0),
+        (None, 30.0),
+        (None, 30.0),
+        (2.5, -1.5),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = {
+        r["col_name"]: (
+            r["n_rows"],
+            r["n_null"],
+            r["n_distinct"],
+            r["min_value"],
+            r["max_value"],
+            r["mean_value"],
+        )
+        for r in column_profile(df, ["a", "b"]).collect()
+    }
+    # a: values 1,1,2.5,2.5 + 2 nulls -> mean 7/4
+    assert got["a"] == (6, 2, 2, 1.0, 2.5, 1.75)
+    # b: 10,10,30,30,-1.5 + 1 null -> mean 78.5/5
+    assert got["b"] == (6, 1, 3, -1.5, 30.0, 15.7)
+
+
+def test_column_profile_all_null_column(spark):
+    from cellphe_data_pipeline_spark.operators.aggregates import column_profile
+
+    df = spark.createDataFrame([(None,), (None,)], "a double")
+    r = column_profile(df, ["a"]).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (2, 2, 0)
+    assert r["min_value"] is None and r["max_value"] is None
+    assert r["mean_value"] is None
