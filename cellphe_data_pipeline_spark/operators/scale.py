@@ -228,3 +228,40 @@ def zorder_key(x, y, bits: int = 16):
         t = tx + ty
         terms = t if terms is None else terms + t
     return terms.cast("bigint")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter / key-skew diagnosis (r8): the top-k keys by row
+    count with their corpus share and their multiple of the mean key
+    size — the profile you run BEFORE keying a 100 TB shuffle on a
+    column, because one hub key (the j7 grid lesson, the LSH-band hub
+    lesson in graph.triangle_counts) turns a balanced join into a
+    straggler. Feeds directly into the mitigation menu: broadcast the
+    hitters, salt them (salted_join), or AQE skew-split.
+
+    Scale shape: ONE combinable groupBy(key) shuffle; the top-k is
+    Spark's TakeOrdered (per-partition partial top-k, no global sort);
+    the (total, n_keys) pair is a one-row broadcast cross-join. Output
+    is top_k rows regardless of input size.
+
+    Cross-engine integer exactness (the t21 overflow lesson, stated as
+    bounds instead of widened types because both stay comfortably
+    int64): share_ppm = cnt*1e6 DIV total is exact while total <=
+    9.2e12 rows; vs_mean_ppm is DEFINED as share_ppm * n_keys (floor
+    applied at the share first), exact while n_keys <= 9.2e12/1e6.
+    """
+    c = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = c.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(t)).select(
+        "key",
+        "cnt",
+        F.expr("cnt * 1000000L DIV total").alias("share_ppm"),
+        (F.expr("cnt * 1000000L DIV total") * F.col("n_keys")).alias(
+            "vs_mean_ppm"
+        ),
+    )

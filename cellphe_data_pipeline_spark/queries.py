@@ -4073,6 +4073,36 @@ def a14(spark, sf_dir):
 
 
 @register(
+    "a15_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c
+    )
+    SELECT c.key, c.cnt,
+           c.cnt * 1000000 // t.total AS share_ppm,
+           (c.cnt * 1000000 // t.total) * t.n_keys AS vs_mean_ppm
+    FROM c, t
+    ORDER BY c.cnt DESC, c.key ASC
+    LIMIT 20
+    """,
+)
+def a15(spark, sf_dir):
+    """Key-skew / heavy-hitter profile (r8; scale.key_skew_profile)
+    over the orders→customer join key: top-20 keys by row count with
+    corpus share and multiple-of-mean, the diagnosis run before
+    keying a 100 TB shuffle (output feeds broadcast/salt/AQE-skew
+    mitigation). One combinable groupBy + distributed TakeOrdered +
+    a one-row broadcast; result size is constant."""
+    from cellphe_data_pipeline_spark.operators.scale import key_skew_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_skew_profile(o, "o_custkey", top_k=20)
+
+
+@register(
     "w8_range_frame",
     """
     SELECT user_id, event_id, value,
@@ -7798,6 +7828,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o9_partition_pruned_scan",
     "e12_streaming_sessionization",
     "a14_column_profile",
+    "a15_key_skew_profile",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route

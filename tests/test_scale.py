@@ -209,3 +209,16 @@ def test_partitioned_publish_scan_is_partition_pruned(spark, tmp_path):
     # pruning is observable in the executed scan: only the part=b files
     files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
     assert files and all("part=b" in f for f in files)
+
+
+def test_key_skew_profile_hitters_and_ppm(spark):
+    from cellphe_data_pipeline_spark.operators.scale import key_skew_profile
+
+    # key 1: 6 rows, key 2: 3 rows, keys 3/4: tie at 2, key 5: 1 (14 total, 5 keys)
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 2 + [(4,)] * 2 + [(5,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    got = key_skew_profile(df, "k", top_k=3).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [(1, 6), (2, 3), (3, 2)]
+    r0 = got[0]
+    assert r0["share_ppm"] == 6 * 1000000 // 14
+    assert r0["vs_mean_ppm"] == (6 * 1000000 // 14) * 5
