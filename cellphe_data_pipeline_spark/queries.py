@@ -7507,6 +7507,86 @@ def t24(spark, sf_dir):
     return bpe_token_counts_arrow(docs, BPE_MERGES)
 
 
+def _fertility_oracle_sql() -> str:
+    """t25: the t17 dictionary-BPE oracle rolled up by the corpus
+    lang label — per-language tokenizer fertility."""
+    from cellphe_data_pipeline_spark.operators.text import bpe_reference
+
+    vocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+    values = ", ".join(
+        f"('{w}', {len(bpe_reference(w, BPE_MERGES))})" for w in vocab
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) t WHERE tok <> ''
+    ),
+    d AS (SELECT * FROM (VALUES {values}) AS v(tok, n_sub)),
+    tokc AS (
+      SELECT t.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(d.n_sub) AS BIGINT) AS n_bpe_tokens
+      FROM toks t JOIN d USING (tok)
+      GROUP BY t.doc_id
+    ),
+    b AS (SELECT doc_id, lang, strlen(text) AS n_bytes FROM documents)
+    SELECT b.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokc.n_bpe_tokens) * 1000000 // SUM(tokc.n_words) AS BIGINT)
+             AS tokens_per_word_ppm,
+           CAST(SUM(b.n_bytes) * 1000000 // SUM(tokc.n_bpe_tokens) AS BIGINT)
+             AS bytes_per_token_ppm
+    FROM tokc
+    JOIN b USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@register("t25_tokenizer_fertility", _fertility_oracle_sql())
+def t25(spark, sf_dir):
+    """Per-language tokenizer FERTILITY (r8): tokens-per-word and
+    bytes-per-token by corpus language slice — the standard diagnostic
+    for how well a learned tokenizer serves each language of a
+    multilingual corpus (high fertility = that language pays more
+    context budget per word). Chains t17's real-BPE token counts
+    (distinct-word cached) with the corpus language label via one
+    co-keyed doc_id join, then a 5-group rollup. (Grouping uses the
+    ground-truth lang column, not t2's stopword predictor: the
+    synthetic corpus draws all text from one closed English-ish
+    vocabulary, so the predictor degenerates to a single class here.)
+    ppm ratios follow the t21 overflow discipline: Spark sums go
+    through decimal(38,0) numerators (DuckDB's SUM is already
+    HUGEINT), so sum(bytes)*1e6 at 100 TB cannot wrap; the ppm
+    results themselves are bounded by fertility, far inside int64."""
+    from cellphe_data_pipeline_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = bpe_token_counts(docs, BPE_MERGES)
+    byt = docs.select(
+        "doc_id", "lang", F.octet_length("text").alias("n_bytes")
+    )
+    return (
+        tok.join(byt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(SUM(n_bpe_tokens) AS DECIMAL(38,0)) * 1000000 DIV SUM(n_words)"
+            ).alias("tokens_per_word_ppm"),
+            F.expr(
+                "CAST(SUM(n_bytes) AS DECIMAL(38,0)) * 1000000 DIV SUM(n_bpe_tokens)"
+            ).alias("bytes_per_token_ppm"),
+        )
+    )
+
+
 def _streaming_minhash_oracle_sql() -> str:
     return f"""
     WITH bands AS ({_minhash_bands_only_sql()}),
@@ -7829,6 +7909,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e12_streaming_sessionization",
     "a14_column_profile",
     "a15_key_skew_profile",
+    "t25_tokenizer_fertility",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
