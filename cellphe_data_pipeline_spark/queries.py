@@ -6045,6 +6045,106 @@ def d3b(spark, sf_dir):
     )
 
 
+def _lsh_recall_oracle_sql() -> str:
+    """d17: exact-Jaccard truth (d5 shape) LEFT JOIN the LSH band
+    candidates (d3b shape), both over the same capped slice, rolled
+    up per threshold."""
+    capped_shingles = SHINGLE_CTE.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {D5_DOC_CAP}"
+    )
+    capped_bands = _minhash_bands_only_sql().replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {D5_DOC_CAP}"
+    )
+    return f"""
+    WITH truth AS (
+      WITH {capped_shingles},
+      inter AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS ni
+        FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2
+    ),
+    cand AS (
+      WITH bands AS ({capped_bands})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT t.jaccard,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(th AS DOUBLE) AS threshold,
+           COUNT(*) AS n_true_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_lsh_hits,
+           CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM m, UNNEST([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS t(th)
+    WHERE m.jaccard >= CAST(th AS DOUBLE)
+    GROUP BY 1
+    """
+
+
+@register("d17_lsh_recall", _lsh_recall_oracle_sql())
+def d17(spark, sf_dir):
+    """MinHash-LSH RECALL audit (r8) — the dedup twin of v11's ANN
+    recall harness, closing the "measure, don't guess" loop for the
+    near-dup family: exact all-pairs Jaccard ground truth on a capped
+    audit slice (d5's quadratic baseline, affordable by construction)
+    left-joined with the production LSH candidate pairs (d3's 16-hash
+    4-band signature), rolled up to recall ppm per Jaccard threshold.
+    This is how a 100 TB run validates its banding config: recall is
+    estimated on a bounded sample slice with the EXACT same signature
+    expressions the full-corpus pass uses, so a band/width change
+    shows up as a measured recall delta (the S-curve: low-similarity
+    pairs are missed by design, 0.8+ pairs must approach 1e6 ppm).
+    Truth inclusion filters RAW jaccard >= 0.2 and thresholds compare
+    the ROUNDED value in BOTH engines (the d14 rounding lesson)."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        cut_lineage,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        pairwise_jaccard,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < D5_DOC_CAP
+    )
+    # shingles feed BOTH the exact truth (3 scans) and the signature —
+    # same multi-consumer cut as minhash_near_duplicates
+    sh = cut_lineage(word_shingles(d), eager=False, name="recall_shingles")
+    truth = pairwise_jaccard(sh, threshold=0.2)
+    cand = lsh_candidate_pairs(minhash_band_keys(sh), dedup=True)
+    marked = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select("jaccard", F.coalesce("hit", F.lit(0)).alias("hit"))
+    thresholds = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    return (
+        marked.withColumn(
+            "threshold", F.explode(F.array(*[F.lit(t) for t in thresholds]))
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("hit").alias("n_lsh_hits"),
+        )
+        .withColumn(
+            "recall_ppm", F.expr("n_lsh_hits * 1000000L DIV n_true_pairs")
+        )
+    )
+
+
 @register(
     "c6_epoch_shuffle",
     """
@@ -7910,6 +8010,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a14_column_profile",
     "a15_key_skew_profile",
     "t25_tokenizer_fertility",
+    "d17_lsh_recall",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
