@@ -987,13 +987,126 @@ def minhash_band_key_cols(
             F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("band_key"))
         )
     # Short docs (< n tokens) yield an EMPTY array, not null band keys:
-    # explode() then drops them with no downstream filter. This is a
-    # 60x performance guard, not just taste — a post-explode
-    # IS NOT NULL filter gets optimizer-rewritten into a per-element
-    # predicate on the array-under-construction, re-evaluating the
-    # full signature per band (measured 1.8s -> 122s at sf0.1).
+    # explode() then drops them with no downstream filter — a
+    # post-explode IS NOT NULL filter gets optimizer-rewritten into a
+    # per-element predicate on the array-under-construction,
+    # re-evaluating the full signature per band. NOTE (r8): even
+    # without that footgun, this monolithic Column inlines the
+    # shingle/digest sub-expressions into all 16 mins and HOFs are
+    # interpreted (no codegen CSE) — re-measured ~150s at sf0.1 vs
+    # ~13s for the staged minhash_band_key_rows and ~2.7s for the
+    # groupBy row form. Treat this function as the semantic SPEC;
+    # hot paths use minhash_band_key_rows (streaming) or
+    # minhash_band_keys (batch).
     return F.when(F.size(t) >= n, F.array(*bands)).otherwise(
         F.array().cast(f"array<struct<band:int,band_key:bigint>>")
+    )
+
+
+def minhash_band_key_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """STAGED-PROJECTION expression-form band keys (r8): the same
+    (doc_id, band, band_key) rows as :func:`minhash_band_keys` and
+    :func:`minhash_band_key_cols` (bit-identical, equality-tested),
+    still zero shuffle and stateless (streaming-legal), but each
+    pipeline level — shingle array, md5 digest arrays, per-window
+    mins, band structs — is its own ``select`` so downstream levels
+    reference ATTRIBUTES instead of re-inlined expressions.
+
+    Why this matters (r8 measurement, sf0.1, noop sink): the
+    single-Column form inlines the shingle/digest sub-expressions into
+    every one of the 16 min computations, and higher-order functions
+    (transform/array_min/aggregate) are NOT whole-stage-codegen'd —
+    they evaluate on the interpreted expression path with no common
+    subexpression elimination, so every inlined copy re-runs:
+    ~150s. Staging across Project boundaries (CollapseProject keeps
+    non-cheap multi-referenced aliases materialised) cuts that to
+    ~13s — 11x. The explode+groupBy row form (:func:`minhash_band_keys`)
+    is still ~5x faster again (~2.7s): per-row md5 IS codegen'd and the
+    mins are one map-side-combinable hash aggregate. Hierarchy, fastest
+    first: groupBy rows (batch default) > staged projections (streaming,
+    where a per-doc groupBy would be a stateful aggregation) >
+    monolithic Column (kept as the semantic spec; avoid in hot paths).
+
+    `passthrough` columns (e.g. the event-time column a streaming
+    join needs) ride alongside doc_id through every stage. Docs with
+    < n tokens vanish at the explode (empty array), preserving
+    minhash_band_key_cols's no-post-filter contract.
+    """
+    t = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keep = [F.col(id_col).alias("doc_id"), *[F.col(c) for c in passthrough]]
+    keep_names = ["doc_id", *passthrough]
+    p1 = df.select(*keep, sh.alias("_sh"))
+
+    def dig_fn(g: int):
+        # single-arg lambda factory: a second lambda parameter would
+        # receive the element INDEX from F.transform (see the
+        # minhash_band_key_cols NOTE)
+        return lambda c: F.md5(F.concat(F.lit(f"g{g}"), c))
+
+    n_digests = -(-num_hashes // 4)
+    p2 = p1.select(
+        *keep_names,
+        *[
+            F.transform(F.col("_sh"), dig_fn(g)).alias(f"_d{g}")
+            for g in range(n_digests)
+        ],
+    )
+
+    def min_fn(w: int):
+        return lambda dg: F.conv(F.substring(dg, 1 + 8 * w, 8), 16, 10).cast(
+            "bigint"
+        )
+
+    p3 = p2.select(
+        *keep_names,
+        *[
+            F.array_min(F.transform(F.col(f"_d{s // 4}"), min_fn(s % 4))).alias(
+                f"_h{s}"
+            )
+            for s in range(num_hashes)
+        ],
+    )
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = sum(
+            (
+                F.col(f"_h{b * band_size + i}") * F.lit(i + 1)
+                for i in range(band_size)
+            ),
+            start=F.lit(0),
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("band_key"))
+        )
+    # short docs: empty _sh -> array_min over empty = NULL mins; guard
+    # the band array on the (attribute, cheap) first min so they
+    # vanish at the explode — the same no-post-filter contract as the
+    # Column form, at zero re-evaluation cost
+    band_arr = F.when(F.col("_h0").isNotNull(), F.array(*bands)).otherwise(
+        F.array().cast("array<struct<band:int,band_key:bigint>>")
+    )
+    return p3.select(*keep_names, F.explode(band_arr).alias("_bk")).select(
+        *keep_names,
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.band_key").alias("band_key"),
     )
 
 

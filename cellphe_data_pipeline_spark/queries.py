@@ -6026,23 +6026,21 @@ def _minhash_bands_only_sql(num_hashes: int = 16, band_size: int = 4) -> str:
 
 @register("d3b_minhash_expr_bands", _minhash_bands_only_sql())
 def d3b(spark, sf_dir):
-    """Stateless EXPRESSION-form MinHash signatures (r5b,
-    dedup.minhash_band_key_cols): the same (doc_id, band, band_key)
-    rows as the groupBy signature path, computed with ZERO shuffle as
-    one Column expression per doc — the form a streaming source must
-    use (streaming_minhash_neardup) and the cheapest batch form when
-    docs are one row each. This query pins expression ≡ groupBy ≡ SQL
-    oracle equality for the whole hash family."""
-    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_cols
+    """Stateless EXPRESSION-form MinHash signatures (r5b; r8: the
+    STAGED-projection shape, dedup.minhash_band_key_rows): the same
+    (doc_id, band, band_key) rows as the groupBy signature path,
+    computed with ZERO shuffle per doc — the form the streaming source
+    uses (streaming_minhash_neardup). r8 re-measurement: the original
+    monolithic-Column form re-evaluated its inlined sub-expressions on
+    the interpreted HOF path (~150s at sf0.1); the staged selects cut
+    that 11x (~13s), and the batch groupBy form (d3) remains ~5x
+    faster again — see minhash_band_key_rows's docstring. This query
+    pins staged-expression ≡ groupBy ≡ SQL oracle equality for the
+    whole hash family."""
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_rows
 
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.explode(minhash_band_key_cols(F.col("text"))).alias("bk"),
-        )
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    )
+    return minhash_band_key_rows(d)
 
 
 def _lsh_recall_oracle_sql() -> str:

@@ -595,9 +595,9 @@ def streaming_minhash_neardup(
     for ingest-time dedup of a document firehose.
 
     Why this shape survives an unbounded stream:
-    - signatures are the STATELESS expression form
-      (dedup.minhash_band_key_cols) — a per-doc groupBy would be a
-      stateful streaming aggregation; the expression is a map.
+    - signatures are the STATELESS staged expression form
+      (dedup.minhash_band_key_rows) — a per-doc groupBy would be a
+      stateful streaming aggregation; the staged selects are maps.
     - the self-join keys on (band, band_key) — exactly the batch
       bucket join — and BOTH sides carry watermarks plus a closed
       time-range condition (ts_a <= ts_b <= ts_a + horizon), so Spark
@@ -612,27 +612,27 @@ def streaming_minhash_neardup(
     Exact-Jaccard verification of candidates stays a batch
     post-pass (pairwise_jaccard), as in the batch pipeline.
     """
-    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_cols
-
-    bands = minhash_band_key_cols(
-        F.col(text_col), num_hashes=num_hashes, band_size=band_size, n=n
-    )
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_band_key_rows
 
     def side(a: str) -> DataFrame:
-        return (
-            docs.withWatermark(ts_col, watermark)
-            .select(
-                F.col(id_col).alias(f"doc_{a}"),
-                F.col(ts_col).alias(f"ts_{a}"),
-                F.explode(bands).alias("_bk"),
-            )
-            .select(
-                f"doc_{a}",
-                f"ts_{a}",
-                F.col("_bk.band").alias(f"band_{a}"),
-                F.col("_bk.band_key").alias(f"key_{a}"),
-            )
-        )  # short docs already dropped: the band expression is empty for them
+        # staged-projection signatures (r8): same rows as the
+        # monolithic-Column form but ~11x faster (HOFs are interpreted;
+        # staging turns re-inlined sub-expressions into attribute
+        # references) — still a stateless map chain, streaming-legal
+        return minhash_band_key_rows(
+            docs.withWatermark(ts_col, watermark),
+            text_col=text_col,
+            id_col=id_col,
+            passthrough=(ts_col,),
+            num_hashes=num_hashes,
+            band_size=band_size,
+            n=n,
+        ).select(
+            F.col("doc_id").alias(f"doc_{a}"),
+            F.col(ts_col).alias(f"ts_{a}"),
+            F.col("band").alias(f"band_{a}"),
+            F.col("band_key").alias(f"key_{a}"),
+        )  # short docs already dropped: the band array is empty for them
 
     left, right = side("a"), side("b")
     joined = left.join(

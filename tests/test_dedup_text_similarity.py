@@ -1163,6 +1163,48 @@ def test_minhash_expr_bands_plan_has_no_filter(spark):
     assert {r["doc_id"] for r in out.collect()} == {1}
 
 
+def test_minhash_band_key_rows_matches_groupby_and_column_forms(spark, sf_dir):
+    """The r8 staged-projection form must be bit-identical to BOTH the
+    groupBy row form and the monolithic Column form (the three-way pin
+    behind d3b's oracle claim), including the short-doc empty-array
+    drop and passthrough columns."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        minhash_band_key_cols,
+        minhash_band_key_rows,
+        minhash_band_keys,
+        word_shingles,
+    )
+    from cellphe_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    short = spark.createDataFrame(
+        [(100001, "x y"), (100002, "")], "doc_id bigint, text string"
+    )
+    d = d.select("doc_id", "text").unionByName(short)
+
+    staged = minhash_band_key_rows(d)
+    grouped = minhash_band_keys(word_shingles(d))
+    column = d.select(
+        "doc_id", F.explode(minhash_band_key_cols(F.col("text"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+    key = lambda rows: sorted((r[0], r[1], r[2]) for r in rows)
+    got = key(staged.collect())
+    assert got == key(grouped.collect())
+    assert got == key(column.collect())
+    assert not any(r[0] >= 100001 for r in got)  # short docs dropped
+
+    # passthrough columns ride every stage
+    with_ts = minhash_band_key_rows(
+        d.withColumn("grp", F.col("doc_id") % 7), passthrough=("grp",)
+    )
+    assert set(with_ts.columns) == {"doc_id", "grp", "band", "band_key"}
+    r = with_ts.filter(F.col("doc_id") == 3).select("grp").distinct().collect()
+    assert [x["grp"] for x in r] == [3]
+
+
 def test_pq_topk_recall_and_exact_adc(spark):
     """PQ ADC vs numpy oracle: codes, LUT entries and ADC sums are
     replayed in numpy with the identical fixed-point rules; recall@5
