@@ -200,6 +200,51 @@ def test_streaming_session_windows_merge_across_batches(spark, sf_dir, tmp_path)
         assert math.isclose(s_g, s_w, rel_tol=1e-9), k
 
 
+def test_streaming_session_windows_append_emits_closed_sessions(spark, tmp_path):
+    """Production (append) semantics: with a tight watermark, a session
+    whose end precedes the final watermark is emitted by the bounded
+    drain; the trailing open session is held back in state."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_session_windows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=10), 5.0),  # session A: 00:00-00:40
+        (1, t0 + dt.timedelta(hours=6), 1.0),  # session B: trailing, open
+        (2, t0 + dt.timedelta(hours=1), 2.0),  # session C: closed
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    path = str(tmp_path / "append_sessions")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        streaming_session_windows(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("session_append_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_window"]["start"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_append_test").collect()
+    }
+    # watermark after the single batch = max ts (06:00): sessions A and
+    # C closed before it emit; B (ends 06:30 > watermark) is held
+    assert got == {
+        (1, t0): (2, 15.0),
+        (2, t0 + dt.timedelta(hours=1)): (1, 2.0),
+    }
+
+
 def test_streaming_exact_dedup(spark, sf_dir, tmp_path):
     from cellphe_data_pipeline_spark.streaming.tracker import streaming_exact_dedup
     from pyspark.sql import functions as F
