@@ -173,6 +173,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate self-kNN — the centroid-bucketed
     alternative to :func:`srp_topk`.
@@ -189,34 +190,47 @@ def ivf_topk(
     recall/cost is tuned by (n_lists, n_probe) exactly as in standard
     IVF-Flat. The KMeans fit itself is Spark ML's distributed Lloyd's —
     a few passes over the data, amortised across every subsequent query.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``centroids`` (r8): a PRE-TRAINED (cluster_id, cvec) table — e.g.
+    kmeans_lloyd output published to parquet — makes this the QUERY
+    half of the production build-once/query-many IVF lifecycle: no
+    training jobs run; assignment is the same broadcast argmin the
+    probe stage already computes (rank-1 probe, ties by list_id — the
+    deterministic rule the Lloyd oracle uses), so the whole query path
+    is one declarative plan over the corpus and the index artifact.
+    """
     feats = df.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("_emb"),
-    ).withColumn("_vec", array_to_vector(F.col("_emb")))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_vec").fit(feats)
-
-    # centers: n_lists x dim doubles — tiny, safe as literals (broadcast)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    spark = df.sparkSession
-    centers_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centers)], "list_id int, center array<double>"
-        )
     )
+    spark = df.sparkSession
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = feats.withColumn("_vec", array_to_vector(F.col("_emb")))
+        model = KMeans(k=n_lists, seed=seed, featuresCol="_vec").fit(feats)
+        # centers: n_lists x dim doubles — tiny, safe as literals (broadcast)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        centers_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centers)], "list_id int, center array<double>"
+            )
+        )
+    else:
+        centers_df = F.broadcast(
+            centroids.select(
+                F.col("cluster_id").cast("int").alias("list_id"),
+                F.col("cvec").alias("center"),
+            )
+        )
 
     with_norm_df = feats.withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
-    assigned = model.transform(with_norm_df).select(
-        "vec_id", "_emb", "_norm", F.col(model.getPredictionCol()).cast("int").alias("list_id")
-    )
 
     # each query probes its n_probe nearest centroids (L2 distance)
     diff = F.zip_with(F.col("_emb"), F.col("center"), lambda a, b: (a - b) * (a - b))
     dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-    probes = (
+    probes_all = (
         with_norm_df.crossJoin(centers_df)
         .withColumn("_d2", dist2)
         .withColumn(
@@ -225,8 +239,19 @@ def ivf_topk(
                 Window.partitionBy("vec_id").orderBy(F.col("_d2"), F.col("list_id"))
             ),
         )
-        .filter(F.col("_pr") <= n_probe)
-        .select("vec_id", F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_norm"), "list_id")
+    )
+    if centroids is None:
+        assigned = model.transform(with_norm_df).select(
+            "vec_id", "_emb", "_norm", F.col(model.getPredictionCol()).cast("int").alias("list_id")
+        )
+    else:
+        # assignment IS the rank-1 probe — no second mechanism, no
+        # training dependency, deterministic (dist, list_id) ties
+        assigned = probes_all.filter(F.col("_pr") == 1).select(
+            "vec_id", "_emb", "_norm", "list_id"
+        )
+    probes = probes_all.filter(F.col("_pr") <= n_probe).select(
+        "vec_id", F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_norm"), "list_id"
     )
 
     cand = probes.join(

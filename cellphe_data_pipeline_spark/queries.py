@@ -6835,6 +6835,113 @@ def v12(spark, sf_dir):
 
 
 @register(
+    "v13_ivf_published",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
+            (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
+             ORDER BY vec_id LIMIT 16)),
+    d0 AS (
+      SELECT e.vec_id, c0.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c0.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c0.cv[i])) AS dist
+      FROM e, c0
+    ),
+    a0 AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d0
+    ),
+    parts AS (
+      SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM a0, UNNEST(generate_series(1, len(v))) AS g(i)
+      WHERE rn = 1
+    ),
+    ctl AS (
+      SELECT cluster_id, dim,
+             CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid_val
+      FROM parts GROUP BY cluster_id, dim
+    ),
+    c AS (
+      SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+      FROM ctl GROUP BY cluster_id
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, e.v,
+             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
+                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
+      FROM e, c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id, v,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster_id) AS rn
+      FROM d
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
+    pr AS (SELECT vec_id, cluster_id FROM a WHERE rn <= 2),
+    cand AS (
+      SELECT q.vec_id, t.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5) AS cos_sim
+      FROM pr q
+      JOIN asg t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
+      JOIN n qn ON qn.vec_id = q.vec_id
+      JOIN n tn ON tn.vec_id = t.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def v13(spark, sf_dir):
+    """IVF with a PUBLISHED index (r8) — the production
+    build-once/query-many ANN lifecycle v3 compresses into one call:
+    kmeans_lloyd trains the centroid table in-engine (bit-exact
+    fixed-point Lloyd, v8), the index artifact is PUBLISHED to parquet
+    (the S15 staged-edge discipline), and the query half reads it back
+    and runs assignment + probe + exact-cosine top-k with ZERO
+    training jobs — assignment is the rank-1 probe against the
+    broadcast index (deterministic (dist, cluster_id) ties). At 100 TB
+    the index build amortises over every query batch, and the query
+    plan is fully declarative over two scans (corpus + KB-scale
+    index). Unlike v3 (Spark-ML KMeans, golden fixture oracle), every
+    stage here is ANSI-expressible, so the ENTIRE lifecycle — train →
+    publish → assign → probe → rank — is one DuckDB oracle chain on
+    the real embeddings table."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        kmeans_lloyd(emb, k=16, iterations=1)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_val"))
+            ).alias("p")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+    staged = _stage_dir("v13_ivf_index")  # the published index artifact
+    cents.write.mode("overwrite").parquet(staged)
+    idx = spark.read.parquet(staged)
+    return ivf_topk(
+        emb, dim=EMB_DIM, k=5, n_probe=2, centroids=idx
+    ).select("vec_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
     "t15_gopher_rules",
     r"""
     WITH aug AS (
@@ -8009,6 +8116,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a15_key_skew_profile",
     "t25_tokenizer_fertility",
     "d17_lsh_recall",
+    "v13_ivf_published",
     # changed-code re-verification: t19's delta-update rewrite, t21's
     # decimal(38,0) numerator, d14's raw-ratio threshold, the
     # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
