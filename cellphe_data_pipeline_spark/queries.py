@@ -8159,10 +8159,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "v3_ivf_topk",
     "v4_probe_topk",
     "w6_rank_lead_ntile",
-    # the r8 additions grew the head past 50: u5/v3/v4/w6/w7/w8 (all
-    # r4-proven, unchanged) sit just past the boundary — first in line
-    # for the r9 window together with the oldest r05 cohort
-    # (a12, c4-c9, ...)
+    # the r8 additions grew the head past 50: s8b/t4/t5/t6/u3_u4/u5/
+    # v3/v4/w6/w7/w8 (all r4-proven; v3 exercised this round via the
+    # v13 shared ivf_topk path and locally re-gated) sit just past the
+    # boundary — first in line for the r9 window together with the
+    # oldest r05 cohort (a12, c4-c9, ...). The in-window r04 cohort is
+    # held at exactly 23 + j10/j11 (the r7 verdict's Done criterion);
+    # adding another new query this round would breach it.
     "w7_session_window",
     "w8_range_frame",
 ]
