@@ -111,20 +111,35 @@ def group_ols(
     keys: list[str],
     ts_col: str,
     value_col: str,
-    t0: str = "2024-01-01",
 ) -> DataFrame:
     """Per-group closed-form least-squares trend (r8): slope /
-    intercept / R² of ``value ~ seconds-since-t0`` from the five
-    power sums — the per-track drift/trend statistic the reference
-    computes per cell track in R (tracking_qc.qmd's per-track
-    summaries; time_series_features.py:13-15 [pkg] trend slot), as
-    ONE map-side-combinable aggregation instead of a per-group model
-    fit.
+    intercept / R² of ``value ~ seconds-since-group-start`` from the
+    five power sums — the per-track drift/trend statistic the
+    reference computes per cell track in R (tracking_qc.qmd's
+    per-track summaries; time_series_features.py:13-15 [pkg] trend
+    slot), as one shuffle with map-side-combinable sums instead of a
+    per-group model fit.
 
-    Scale shape: a single groupBy shuffle carrying six numbers per
-    group — the same shape as a8's moment sums; no window, no
-    join-back, no per-group solver. At 100 TB the partial aggregation
-    does almost all the work map-side.
+    x is anchored at the PER-GROUP min timestamp via an unordered
+    partition window (the minmax_normalize idiom: the window min is
+    computed in the same single shuffle that distributes the groups,
+    and the groupBy reuses that partitioning — no second Exchange,
+    no join-back). The r8 review killed the previous fixed-epoch
+    anchor with a reproduced failure: at x ~ 5e7 s from a global t0,
+    n·sxx and sx² grow to ~1e21 where a double ulp is ~6e5, so the
+    subtraction n·sxx − sx² cancels catastrophically — a 100-point
+    perfectly linear series spanning 2 s returned NULL, a 5 s span
+    returned slope 16.95 for a true 20.0 — while the mirrored oracle
+    agreed, hiding the damage from the gate. Group-start anchoring
+    keeps x = elapsed-within-group (track-scale, not epoch-scale), so
+    the power sums stay far from the cancellation regime for any
+    realistic span. Intercept is therefore the fitted value at the
+    group's FIRST observation.
+
+    Rows with a NULL timestamp or NULL value are excluded from the
+    fit entirely (r8 review: per-sum null-skipping made the five sums
+    range over different row subsets, silently corrupting every
+    derived statistic); n_obs counts fitted rows only.
 
     Cross-engine bit-reproducibility follows the a8 idiom: each
     product is computed in DOUBLE (identical IEEE result in any
@@ -132,23 +147,25 @@ def group_ols(
     realistic group sizes, and SUMMED in decimal (exact, order-free);
     the final slope/intercept/R² arithmetic runs on the decimal sums
     cast back to double, identically on both sides, then rounds to
-    6dp. x is anchored at `t0` (a fixed literal, NOT a per-group min
-    — keeping the aggregation single-pass) so x² stays ~1e13, far
-    inside decimal(38,12)'s exact range even for billion-row groups.
+    6dp.
 
     Degenerate groups (n < 2 or zero x-variance) yield NULL slope,
     NULL intercept and NULL r2; zero y-variance with positive
     x-variance yields slope 0 and NULL r2 (0/0 in the R² ratio).
     """
-    x = (
-        (
-            F.unix_micros(F.col(ts_col))
-            - F.unix_micros(F.to_timestamp(F.lit(t0)))
-        ).cast("double")
-        / F.lit(1_000_000.0)
+    valid = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    y = F.col(value_col).cast("double")
-    agg = df.groupBy(*keys).agg(
+    us = F.unix_micros(F.col(ts_col))
+    t0_us = F.min(us).over(Window.partitionBy(*keys))
+    staged = valid.select(
+        *keys,
+        ((us - t0_us).cast("double") / F.lit(1_000_000.0)).alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    x = F.col("_x")
+    y = F.col("_y")
+    agg = staged.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(x.cast("decimal(24,6)")).alias("sx"),
         F.sum(y.cast("decimal(24,6)")).alias("sy"),

@@ -438,6 +438,83 @@ def embedding_near_duplicates(
     )
 
 
+def _srp_cosine_pairs(
+    left: DataFrame,
+    right: DataFrame | None,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bits: int,
+    n_bands: int,
+    seed: int,
+    left_name: str,
+    right_name: str,
+) -> DataFrame:
+    """Shared SRP candidate + exact-cosine-verify core (r8 review:
+    d6b and c16 carried two copies of this machinery). ``right=None``
+    = self-join (ordered ``left_name < right_name`` pairs, the d6b
+    shape); a second relation = the cross-relation bucket join (the
+    c16 shape, no ordering — left never pairs with itself). Seeds
+    step ``seed..seed+n_bands-1`` per band; the verify is the rounded
+    5dp cosine on candidates only. Output: (left_name, right_name,
+    cos_sim >= threshold)."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        srp_bucket_codes,
+        with_norm,
+    )
+
+    self_join = right is None
+    cands: DataFrame | None = None
+    for band in range(n_bands):
+        coded_l = srp_bucket_codes(left, dim, id_col, vec_col, n_bits, seed + band)
+        a = coded_l.select("bucket", F.col("vec_id").alias(left_name))
+        coded_r = (
+            coded_l
+            if self_join
+            else srp_bucket_codes(right, dim, id_col, vec_col, n_bits, seed + band)
+        )
+        b = coded_r.select("bucket", F.col("vec_id").alias(right_name))
+        p = a.join(b, "bucket")
+        if self_join:
+            p = p.filter(F.col(left_name) < F.col(right_name))
+        p = p.select(left_name, right_name)
+        cands = p if cands is None else cands.union(p)
+    assert cands is not None
+    cands = cands.distinct()
+
+    nl = with_norm(left, vec_col)
+    nr = nl if self_join else with_norm(right, vec_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("_l_emb"), F.col("_r_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(
+            nl.select(
+                F.col(id_col).alias(left_name),
+                F.col("_emb").alias("_l_emb"),
+                F.col("_norm").alias("_l_norm"),
+            ),
+            left_name,
+        )
+        .join(
+            nr.select(
+                F.col(id_col).alias(right_name),
+                F.col("_emb").alias("_r_emb"),
+                F.col("_norm").alias("_r_norm"),
+            ),
+            right_name,
+        )
+        .withColumn(
+            "cos_sim", F.round(dot / (F.col("_l_norm") * F.col("_r_norm")), 5)
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select(left_name, right_name, "cos_sim")
+    )
+
+
 def embedding_near_duplicates_srp(
     df: DataFrame,
     dim: int,
@@ -462,47 +539,9 @@ def embedding_near_duplicates_srp(
     corpus the 4-bit × 4-band default recovers ~half the true ≥0.4
     pairs (a production deployment tunes to its threshold; the verify
     expression is shared with the exact form either way)."""
-    from cellphe_data_pipeline_spark.operators.similarity import (
-        srp_bucket_codes,
-        with_norm,
-    )
-
-    cands: DataFrame | None = None
-    for band in range(n_bands):
-        coded = srp_bucket_codes(df, dim, id_col, vec_col, n_bits, seed + band)
-        a = coded.select("bucket", F.col("vec_id").alias("doc_a"))
-        b = coded.select("bucket", F.col("vec_id").alias("doc_b"))
-        p = (
-            a.join(b, "bucket")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cands = p if cands is None else cands.union(p)
-    assert cands is not None
-    cands = cands.distinct()
-
-    n = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_id"), "_emb", "_norm"
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        cands.join(
-            n.select(F.col("_id").alias("doc_a"), F.col("_emb").alias("a_emb"),
-                     F.col("_norm").alias("a_norm")),
-            "doc_a",
-        )
-        .join(
-            n.select(F.col("_id").alias("doc_b"), F.col("_emb").alias("b_emb"),
-                     F.col("_norm").alias("b_norm")),
-            "doc_b",
-        )
-        .withColumn("cos_sim", F.round(dot / (F.col("a_norm") * F.col("b_norm")), 5))
-        .filter(F.col("cos_sim") >= F.lit(threshold))
-        .select("doc_a", "doc_b", "cos_sim")
+    return _srp_cosine_pairs(
+        df, None, dim, id_col, vec_col, threshold, n_bits, n_bands, seed,
+        "doc_a", "doc_b",
     )
 
 
@@ -537,43 +576,11 @@ def semantic_decontaminate(
     documents. Output: (vec_id, n_eval_hits, max_eval_cos,
     contaminated) — clean rows carry 0 / NULL / false.
     """
-    from cellphe_data_pipeline_spark.operators.similarity import (
-        srp_bucket_codes,
-        with_norm,
-    )
-
-    cands: DataFrame | None = None
-    for band in range(n_bands):
-        a = srp_bucket_codes(corpus, dim, id_col, vec_col, n_bits, seed + band).select(
-            "bucket", F.col("vec_id").alias("corpus_id")
-        )
-        b = srp_bucket_codes(evals, dim, id_col, vec_col, n_bits, seed + band).select(
-            "bucket", F.col("vec_id").alias("eval_id")
-        )
-        p = a.join(b, "bucket").select("corpus_id", "eval_id")
-        cands = p if cands is None else cands.union(p)
-    assert cands is not None
-    cands = cands.distinct()
-    nc = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("corpus_id"),
-        F.col("_emb").alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
-    )
-    ne = with_norm(evals, vec_col).select(
-        F.col(id_col).alias("eval_id"),
-        F.col("_emb").alias("e_emb"),
-        F.col("_norm").alias("e_norm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("c_emb"), F.col("e_emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     hits = (
-        cands.join(nc, "corpus_id")
-        .join(ne, "eval_id")
-        .withColumn("cos_sim", F.round(dot / (F.col("c_norm") * F.col("e_norm")), 5))
-        .filter(F.col("cos_sim") >= F.lit(threshold))
+        _srp_cosine_pairs(
+            corpus, evals, dim, id_col, vec_col, threshold, n_bits, n_bands,
+            seed, "corpus_id", "eval_id",
+        )
         .groupBy("corpus_id")
         .agg(
             F.count(F.lit(1)).alias("n_eval_hits"),

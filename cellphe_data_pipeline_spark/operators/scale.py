@@ -244,11 +244,15 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     the (total, n_keys) pair is a one-row broadcast cross-join. Output
     is top_k rows regardless of input size.
 
-    Cross-engine integer exactness (the t21 overflow lesson, stated as
-    bounds instead of widened types because both stay comfortably
-    int64): share_ppm = cnt*1e6 DIV total is exact while total <=
-    9.2e12 rows; vs_mean_ppm is DEFINED as share_ppm * n_keys (floor
-    applied at the share first), exact while n_keys <= 9.2e12/1e6.
+    Cross-engine integer exactness (the t21 overflow lesson):
+    share_ppm = cnt*1e6 DIV total stays int64-exact while total <=
+    9.2e12 rows (documented bound). vs_mean_ppm floors ONCE at the
+    end — cnt*1e6*n_keys DIV total — with the numerator in
+    decimal(38,0) (HUGEINT in the oracle), because flooring the share
+    first quantizes the signal to n_keys-ppm granularity: at 1e8 keys
+    a 50x-the-mean hub whose share rounds to 0 ppm would read as 0x
+    mean exactly where the profile exists to catch it (r8 review).
+    The ppm RESULT is bounded by 1e6 x the skew ratio — int64-safe.
     """
     c = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -261,7 +265,7 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
         "key",
         "cnt",
         F.expr("cnt * 1000000L DIV total").alias("share_ppm"),
-        (F.expr("cnt * 1000000L DIV total") * F.col("n_keys")).alias(
-            "vs_mean_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 * n_keys DIV total AS BIGINT)"
+        ).alias("vs_mean_ppm"),
     )

@@ -240,16 +240,14 @@ def ivf_topk(
             ),
         )
     )
-    if centroids is None:
-        assigned = model.transform(with_norm_df).select(
-            "vec_id", "_emb", "_norm", F.col(model.getPredictionCol()).cast("int").alias("list_id")
-        )
-    else:
-        # assignment IS the rank-1 probe — no second mechanism, no
-        # training dependency, deterministic (dist, list_id) ties
-        assigned = probes_all.filter(F.col("_pr") == 1).select(
-            "vec_id", "_emb", "_norm", "list_id"
-        )
+    # assignment IS the rank-1 probe in BOTH paths (r8 review): one
+    # mechanism, deterministic (dist, list_id) ties, and the trained
+    # path's query plan no longer depends on model.transform (whose
+    # internal tie-breaking is unspecified — the two mechanisms could
+    # disagree on equidistant vectors)
+    assigned = probes_all.filter(F.col("_pr") == 1).select(
+        "vec_id", "_emb", "_norm", "list_id"
+    )
     probes = probes_all.filter(F.col("_pr") <= n_probe).select(
         "vec_id", F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_norm"), "list_id"
     )

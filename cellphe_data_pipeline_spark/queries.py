@@ -3983,12 +3983,15 @@ def a11(spark, sf_dir):
 @register(
     "a13_group_ols",
     """
-    WITH b AS (
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), b AS (
       SELECT user_id,
-             CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+             CAST(us - MIN(us) OVER (PARTITION BY user_id) AS DOUBLE)
                / 1000000.0 AS x,
-             CAST(value AS DOUBLE) AS y
-      FROM events
+             y
+      FROM v
     ), a AS (
       SELECT user_id, COUNT(*) AS n_obs,
              SUM(CAST(x AS DECIMAL(24,6))) AS sx,
@@ -4016,14 +4019,17 @@ def a11(spark, sf_dir):
     """,
 )
 def a13(spark, sf_dir):
-    """Per-group closed-form OLS trend of value vs time (r8;
-    aggregates.group_ols) — the per-track drift statistic
+    """Per-group closed-form OLS trend of value vs elapsed-in-group
+    time (r8; aggregates.group_ols) — the per-track drift statistic
     (tracking_qc.qmd per-track summaries; time_series_features.py
-    [pkg] trend slot) as ONE map-side-combinable aggregation: five
-    decimal-exact power sums per group, slope/intercept/R² derived
-    in identical double arithmetic on both engines (the a8 idiom).
-    No window, no join-back, no per-group solver — the single
-    groupBy shuffle carries six numbers per group."""
+    [pkg] trend slot): five decimal-exact power sums per group,
+    slope/intercept/R² derived in identical double arithmetic on
+    both engines (the a8 idiom). x anchors at the PER-GROUP min ts
+    via an unordered window in the same single shuffle (no
+    join-back, no second Exchange) — the r8 review replaced the
+    fixed-epoch anchor after reproducing catastrophic cancellation
+    on short spans far from the epoch; NULL ts/value rows are
+    excluded from the fit entirely."""
     from cellphe_data_pipeline_spark.operators.aggregates import group_ols
 
     ev = load_table(spark, sf_dir, "events")
@@ -4083,7 +4089,8 @@ def a14(spark, sf_dir):
     )
     SELECT c.key, c.cnt,
            c.cnt * 1000000 // t.total AS share_ppm,
-           (c.cnt * 1000000 // t.total) * t.n_keys AS vs_mean_ppm
+           CAST(CAST(c.cnt AS HUGEINT) * 1000000 * t.n_keys // t.total AS BIGINT)
+             AS vs_mean_ppm
     FROM c, t
     ORDER BY c.cnt DESC, c.key ASC
     LIMIT 20

@@ -425,3 +425,46 @@ def test_column_profile_all_null_column(spark):
     assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (2, 2, 0)
     assert r["min_value"] is None and r["max_value"] is None
     assert r["mean_value"] is None
+
+
+def test_group_ols_short_span_far_from_epoch(spark):
+    """Regression for the r8 review's reproduced cancellation: a
+    perfectly linear 100-point series spanning 2 seconds in Aug 2025
+    (x ~ 5e7 s from any fixed epoch) must fit exactly — the old
+    fixed-epoch anchor returned NULL here because n*sxx - sx^2
+    cancelled below double precision."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.operators.aggregates import group_ols
+
+    t0 = dt.datetime(2025, 8, 14, 12, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(milliseconds=20 * i), 1.0 + 20.0 * (0.02 * i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "gid bigint, ts timestamp, value double")
+    r = group_ols(df, ["gid"], "ts", "value").collect()[0]
+    assert r["n_obs"] == 100
+    assert abs(r["slope"] - 20.0) < 1e-5
+    assert abs(r["intercept"] - 1.0) < 1e-5
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_group_ols_excludes_null_rows_entirely(spark):
+    """Rows with NULL ts or NULL value must not contribute to ANY of
+    the five sums (the r8 review found per-sum null-skipping made the
+    sums range over different row subsets)."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.operators.aggregates import group_ols
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), 2.0 * i) for i in range(10)]
+    rows += [(1, t0 + dt.timedelta(seconds=99), None)] * 5
+    rows += [(1, None, 7.0)] * 3
+    df = spark.createDataFrame(rows, "gid bigint, ts timestamp, value double")
+    r = group_ols(df, ["gid"], "ts", "value").collect()[0]
+    assert r["n_obs"] == 10
+    assert abs(r["slope"] - 2.0) < 1e-6
+    assert abs(r["intercept"] - 0.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6

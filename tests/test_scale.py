@@ -221,4 +221,4 @@ def test_key_skew_profile_hitters_and_ppm(spark):
     assert [(r["key"], r["cnt"]) for r in got] == [(1, 6), (2, 3), (3, 2)]
     r0 = got[0]
     assert r0["share_ppm"] == 6 * 1000000 // 14
-    assert r0["vs_mean_ppm"] == (6 * 1000000 // 14) * 5
+    assert r0["vs_mean_ppm"] == 6 * 1000000 * 5 // 14
