@@ -222,3 +222,18 @@ def test_key_skew_profile_hitters_and_ppm(spark):
     r0 = got[0]
     assert r0["share_ppm"] == 6 * 1000000 // 14
     assert r0["vs_mean_ppm"] == 6 * 1000000 * 5 // 14
+
+
+def test_key_skew_vs_mean_ppm_survives_sub_ppm_shares(spark):
+    """Regression for the r8 review's floor-first finding: a hub key
+    whose corpus SHARE rounds to 0 ppm must still show its true
+    multiple-of-mean (the exact regime the profile exists for). The
+    expression is evaluated with literal totals mimicking 1e10 rows
+    over 1e8 keys, where the old share_ppm*n_keys form returned 0."""
+    r = spark.sql(
+        """SELECT CAST(5000 AS BIGINT) * 1000000L DIV 10000000000 AS share_ppm,
+                  CAST(CAST(5000 AS DECIMAL(38,0)) * 1000000 * 100000000
+                       DIV 10000000000 AS BIGINT) AS vs_mean_ppm"""
+    ).collect()[0]
+    assert r["share_ppm"] == 0           # sub-ppm share...
+    assert r["vs_mean_ppm"] == 50000000  # ...but 50x the mean, preserved
