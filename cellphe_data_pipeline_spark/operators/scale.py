@@ -253,9 +253,18 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     a 50x-the-mean hub whose share rounds to 0 ppm would read as 0x
     mean exactly where the profile exists to catch it (r8 review).
     The ppm RESULT is bounded by 1e6 x the skew ratio — int64-safe.
+
+    NULL keys are excluded (r8 review): they never match an equi-join
+    (so they cannot cause join skew), and Spark/DuckDB disagree on
+    NULL placement under ASC ordering (NULLS FIRST vs LAST), which
+    would break the deterministic top-k tie boundary. A large NULL
+    population is a data-quality signal — column_profile's n_null is
+    the tool for that.
     """
-    c = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    c = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     t = c.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")

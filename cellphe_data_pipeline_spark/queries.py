@@ -868,6 +868,38 @@ def _bounded_shuffle_partitions(spark, n: int = 16):
         spark.conf.set(key, saved)
 
 
+def _drain_to_memory(batch_df, stage_name, sink_name, transform, output_mode, label):
+    """Shared protocol for every e*-streaming-runtime query (r8 review:
+    eight verbatim copies collapsed): stage the normalised batch table
+    to a bounded per-query parquet dir (`_stage_dir` — reused and
+    wiped per invocation; readStream cannot apply load_table's session
+    handling mid-plan), readStream it, run `transform` (the streaming
+    operator under test), drain with availableNow into a memory sink
+    under `_bounded_shuffle_partitions`, and return the finished sink
+    table. A drain that exceeds 300s raises rather than returning a
+    partial table."""
+    spark = batch_df.sparkSession
+    staged = _stage_dir(stage_name)  # fixed, wiped per run — no leak
+    batch_df.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch_df.schema).parquet(staged)
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)  # fixed: restart replaces the temp view
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"{label}: availableNow drain did not finish in 300s — "
+                "refusing to return a partial sink table"
+            )
+    return spark.table(sink_name)
+
+
 @register(
     "e5_streaming_rollup",
     """
@@ -904,26 +936,11 @@ def e5(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    staged = _stage_dir("e5_stream_rollup")  # fixed, wiped per run — no leak
-    ev.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = "e5_rollup_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_window_rollup(stream)
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e5_streaming_rollup: availableNow drain did not finish in "
-                "300s — refusing to return a partially-filled sink table"
-            )
-    return spark.table(qname).select(
+    sink = _drain_to_memory(
+        ev, "e5_stream_rollup", "e5_rollup_sink",
+        streaming_window_rollup, "complete", "e5_streaming_rollup",
+    )
+    return sink.select(
         "event_type",
         F.col("win.start").alias("hour_ts"),
         "n",
@@ -978,30 +995,16 @@ def e6(spark, sf_dir):
         "event_type",
         "value",
     )
-    staged = _stage_dir("e6_stream_upsert")  # fixed, wiped per run
-    ev.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = "e6_upsert_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_upsert(stream, t_col="t_us")
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e6_streaming_upsert_state: availableNow drain did not "
-                "finish in 300s — refusing to return partial state"
-            )
+    sink = _drain_to_memory(
+        ev, "e6_stream_upsert", "e6_upsert_sink",
+        lambda stream: streaming_upsert(stream, t_col="t_us"),
+        "append", "e6_streaming_upsert_state",
+    )
     w = Window.partitionBy("key").orderBy(
         F.col("t_ms").desc(), F.col("last_seq").desc()
     )
     return (
-        spark.table(qname)
+        sink
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -4082,7 +4085,8 @@ def a14(spark, sf_dir):
     "a15_key_skew_profile",
     """
     WITH c AS (
-      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
     ),
     t AS (
       SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c
@@ -6676,29 +6680,14 @@ def e7(spark, sf_dir):
             (F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000)
         ).alias("ts"),
     )
-    staged = _stage_dir("e7_stream_dedup")  # fixed, wiped per run
-    docs.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(docs.schema).parquet(staged)
-    qname = "e7_dedup_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_exact_dedup(
-                stream, ["lang", "content_hash"], ts_col="ts", watermark="30 days"
-            )
-            .select("lang", "content_hash")
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e7_streaming_dedup_keys: availableNow drain did not finish "
-                "in 300s — refusing to return a partially-filled sink table"
-            )
-    return spark.table(qname).select("lang", "content_hash")
+    sink = _drain_to_memory(
+        docs, "e7_stream_dedup", "e7_dedup_sink",
+        lambda stream: streaming_exact_dedup(
+            stream, ["lang", "content_hash"], ts_col="ts", watermark="30 days"
+        ).select("lang", "content_hash"),
+        "append", "e7_streaming_dedup_keys",
+    )
+    return sink.select("lang", "content_hash")
 
 
 def _ann_recall_oracle_sql(dim: int | None = None, n_bits: int = 8, seed: int = 7, k: int = 5) -> str:
@@ -7072,30 +7061,14 @@ def e8(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    staged = _stage_dir("e8_stream_interval")  # fixed, wiped per run
-    ev.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = "e8_interval_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_interval_pairs(
-                stream, window_seconds=60, watermark="30 days"
-            )
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e8_streaming_interval_join: availableNow drain did not "
-                "finish in 300s — refusing to return a partial pair set"
-            )
-    return spark.table(qname).select(
-        "l_id", "r_id", "l_key", "r_key", "l_ts", "r_ts"
+    sink = _drain_to_memory(
+        ev, "e8_stream_interval", "e8_interval_sink",
+        lambda stream: streaming_interval_pairs(
+            stream, window_seconds=60, watermark="30 days"
+        ),
+        "append", "e8_streaming_interval_join",
     )
+    return sink.select("l_id", "r_id", "l_key", "r_key", "l_ts", "r_ts")
 
 
 @register(
@@ -7841,28 +7814,14 @@ def e9(spark, sf_dir):
             (F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000)
         ).alias("ts"),
     )
-    staged = _stage_dir("e9_stream_minhash")  # fixed, wiped per run
-    docs.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(docs.schema).parquet(staged)
-    qname = "e9_minhash_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_minhash_neardup(
-                stream, horizon_seconds=10_000_000, watermark="30 days"
-            )
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e9_streaming_minhash_neardup: availableNow drain did not "
-                "finish in 300s — refusing to return a partial pair set"
-            )
-    return spark.table(qname).select("doc_a", "doc_b", "ts_b")
+    sink = _drain_to_memory(
+        docs, "e9_stream_minhash", "e9_minhash_sink",
+        lambda stream: streaming_minhash_neardup(
+            stream, horizon_seconds=10_000_000, watermark="30 days"
+        ),
+        "append", "e9_streaming_minhash_neardup",
+    )
+    return sink.select("doc_a", "doc_b", "ts_b")
 
 
 @register(
@@ -7925,26 +7884,11 @@ def e10(spark, sf_dir):
     from cellphe_data_pipeline_spark.operators.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = _stage_dir("e10_stream_quality")  # fixed, wiped per run
-    docs.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(docs.schema).parquet(staged)
-    qname = "e10_quality_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            gopher_rules(stream)
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e10_streaming_quality_gate: availableNow drain did not "
-                "finish in 300s — refusing to return a partial verdict set"
-            )
-    return spark.table(qname).select(
+    sink = _drain_to_memory(
+        docs, "e10_stream_quality", "e10_quality_sink",
+        gopher_rules, "append", "e10_streaming_quality_gate",
+    )
+    return sink.select(
         "doc_id", "n_words", "mean_word_len", "keep", "fail_mask"
     )
 
@@ -7983,29 +7927,12 @@ def e11(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = _stage_dir("e11_stream_cm")  # fixed, wiped per run
-    docs.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(docs.schema).parquet(staged)
-    qname = "e11_cm_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            count_min_cells(_doc_tokens(stream), depth=4, width=256)
-            .withColumn("row", F.col("row").cast("int"))
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e11_streaming_count_min: availableNow drain did not "
-                "finish in 300s — refusing to return a partial sketch"
-            )
-    return spark.table(qname).select(
-        F.col("row").cast("int").alias("row"), "col", "cell_n"
+    sink = _drain_to_memory(
+        docs, "e11_stream_cm", "e11_cm_sink",
+        lambda stream: count_min_cells(_doc_tokens(stream), depth=4, width=256),
+        "complete", "e11_streaming_count_min",
     )
+    return sink.select("row", "col", "cell_n")
 
 
 @register(
@@ -8052,26 +7979,11 @@ def e12(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    staged = _stage_dir("e12_stream_sessions")  # fixed, wiped per run
-    ev.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(ev.schema).parquet(staged)
-    qname = "e12_session_sink"  # fixed: restart replaces the temp view
-    with _bounded_shuffle_partitions(spark):
-        q = (
-            streaming_session_windows(stream)
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "e12_streaming_sessionization: availableNow drain did not "
-                "finish in 300s — refusing to return a partial session table"
-            )
-    return spark.table(qname).select(
+    sink = _drain_to_memory(
+        ev, "e12_stream_sessions", "e12_session_sink",
+        streaming_session_windows, "complete", "e12_streaming_sessionization",
+    )
+    return sink.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
