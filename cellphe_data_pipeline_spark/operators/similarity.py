@@ -273,6 +273,30 @@ def ivf_topk(
     )
 
 
+def lloyd_centroid_vectors(
+    emb: DataFrame,
+    k: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans_lloyd's long (cluster_id, dim, centroid_val) output
+    reshaped to the (cluster_id, cvec) centroid-port form that
+    semantic_dedup and ivf_topk consume (r8 review: d15b and v13
+    carried verbatim copies of this reshape)."""
+    return (
+        kmeans_lloyd(emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))).alias("p")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -4311,11 +4311,19 @@ def a10(spark, sf_dir):
     )
 
 
-@register(
-    "w7_session_window",
-    """
+def _session_oracle_sql(with_value: bool = False) -> str:
+    """Gap-split (30-min) session oracle shared by w7 (batch
+    session_window) and e12 (streaming session-window state store) —
+    r8 review: e12 restated w7's chain by hand, plus a value sum."""
+    vcol = ", value" if with_value else ""
+    vsum = (
+        ",\n           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+        if with_value
+        else ""
+    )
+    return f"""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts{vcol},
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
@@ -4323,7 +4331,7 @@ def a10(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     s AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts{vcol},
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS sid
@@ -4332,9 +4340,14 @@ def a10(spark, sf_dir):
     SELECT user_id,
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events
+           COUNT(*) AS n_events{vsum}
     FROM s GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "w7_session_window",
+    _session_oracle_sql(),
 )
 def w7(spark, sf_dir):
     """Native session windows in batch mode (the streaming session
@@ -4652,15 +4665,19 @@ def t21(spark, sf_dir):
     return pmi_phrases(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "t23_count_min_topk",
-    r"""
-    WITH toks AS (
+# Shared bare token stream for the count-min family (r8 review: t23
+# and e11 restated it) — the corpus as one (tok) relation.
+_CM_TOKS_CTE = r'''WITH toks AS (
       SELECT tok FROM (
         SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
         FROM documents) t
       WHERE tok <> ''
-    ),
+    )'''
+
+
+@register(
+    "t23_count_min_topk",
+    _CM_TOKS_CTE + r""",
     cells AS (
       SELECT r,
              ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS c,
@@ -6550,10 +6567,15 @@ def d15(spark, sf_dir):
     )
 
 
-@register(
-    "d15b_semantic_dedup_trained",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# Shared fixed-point Lloyd CTE chain (r8 review: d15b and v13 carried
+# verbatim copies — the _bpe_learn_cte_parts pattern applied to the
+# k-means family): seed with the 16 lowest ids (c0), assign (d0/a0 —
+# ties by cluster_id, the kmeans_lloyd rule), fixed-point 1e-6-grid
+# centroid update (parts/ctl/c — the v8 idiom), re-assign against the
+# updated centroids (d/a). Exposes CTEs `e` (vectors), `c`
+# (cluster_id, cv) and `a` (vec_id, cluster_id, v, rn) for the
+# consuming oracle to build on.
+_LLOYD_CTE_PREFIX = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
             (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
              ORDER BY vec_id LIMIT 16)),
@@ -6595,7 +6617,13 @@ def d15(spark, sf_dir):
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY dist, cluster_id) AS rn
       FROM d
-    ),
+    ),"""
+
+
+@register(
+    "d15b_semantic_dedup_trained",
+    f"""
+    {_LLOYD_CTE_PREFIX}
     m AS (
       SELECT a.vec_id, a.cluster_id, a.v,
              ROUND(list_dot_product(a.v, c.cv)
@@ -6628,23 +6656,14 @@ def d15b(spark, sf_dir):
     at two k values in SCALE.md. The oracle replays seed-assign ->
     fixed-point update -> re-assign -> dominance as one CTE chain."""
     from cellphe_data_pipeline_spark.operators.dedup import semantic_dedup
-    from cellphe_data_pipeline_spark.operators.similarity import kmeans_lloyd
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        lloyd_centroid_vectors,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        kmeans_lloyd(emb, k=16, iterations=1)
-        .groupBy("cluster_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "centroid_val"))
-            ).alias("p")
-        )
-        .select(
-            "cluster_id",
-            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
-        )
+    return semantic_dedup(
+        emb, centroids=lloyd_centroid_vectors(emb, k=16), threshold=0.35
     )
-    return semantic_dedup(emb, centroids=cents, threshold=0.35)
 
 
 @register(
@@ -6832,50 +6851,8 @@ def v12(spark, sf_dir):
 
 @register(
     "v13_ivf_published",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
-            (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
-             ORDER BY vec_id LIMIT 16)),
-    d0 AS (
-      SELECT e.vec_id, c0.cluster_id, e.v,
-             list_dot_product(list_transform(e.v, (x, i) -> x - c0.cv[i]),
-                              list_transform(e.v, (x, i) -> x - c0.cv[i])) AS dist
-      FROM e, c0
-    ),
-    a0 AS (
-      SELECT vec_id, cluster_id, v,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY dist, cluster_id) AS rn
-      FROM d0
-    ),
-    parts AS (
-      SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
-             CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xq
-      FROM a0, UNNEST(generate_series(1, len(v))) AS g(i)
-      WHERE rn = 1
-    ),
-    ctl AS (
-      SELECT cluster_id, dim,
-             CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid_val
-      FROM parts GROUP BY cluster_id, dim
-    ),
-    c AS (
-      SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
-      FROM ctl GROUP BY cluster_id
-    ),
-    d AS (
-      SELECT e.vec_id, c.cluster_id, e.v,
-             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
-                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
-      FROM e, c
-    ),
-    a AS (
-      SELECT vec_id, cluster_id, v,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY dist, cluster_id) AS rn
-      FROM d
-    ),
+    f"""
+    {_LLOYD_CTE_PREFIX}
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
     pr AS (SELECT vec_id, cluster_id FROM a WHERE rn <= 2),
@@ -6912,23 +6889,11 @@ def v13(spark, sf_dir):
     the real embeddings table."""
     from cellphe_data_pipeline_spark.operators.similarity import (
         ivf_topk,
-        kmeans_lloyd,
+        lloyd_centroid_vectors,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        kmeans_lloyd(emb, k=16, iterations=1)
-        .groupBy("cluster_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "centroid_val"))
-            ).alias("p")
-        )
-        .select(
-            "cluster_id",
-            F.transform(F.col("p"), lambda s: s["centroid_val"]).alias("cvec"),
-        )
-    )
+    cents = lloyd_centroid_vectors(emb, k=16)
     staged = _stage_dir("v13_ivf_index")  # the published index artifact
     cents.write.mode("overwrite").parquet(staged)
     idx = spark.read.parquet(staged)
@@ -6937,21 +6902,11 @@ def v13(spark, sf_dir):
     ).select("vec_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
-@register(
-    "t15_gopher_rules",
-    r"""
-    WITH aug AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 9 = 0 THEN
-               '- item one' || chr(10) || '- item two' || chr(10) ||
-               '* item three' || chr(10) || text
-             WHEN doc_id % 13 = 0 THEN
-               text || chr(10) || 'to be continued...' || chr(10) ||
-               '### heading ##' || chr(10) || 'more…'
-             ELSE text END AS text
-      FROM documents
-    ),
-    feat AS (
+def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:
+    """Gopher-rule CTE chain shared by t15 (augmented input via the `aug`
+    prelude) and e10 (raw readStream input) — r8 review: the two oracles
+    were 40-of-41 identical lines maintained by hand."""
+    chain = r'''feat AS (
       SELECT doc_id,
         list_filter(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' '),
                     x -> x <> '') AS toks,
@@ -6992,7 +6947,27 @@ def v13(spark, sf_dir):
     SELECT doc_id, n_words, mean_word_len,
            fail_mask = 0 AS keep, fail_mask
     FROM flags
+    '''
+    return "\n    WITH " + prelude + chain.replace("FROM aug", "FROM " + doc_rel, 1)
+
+
+@register(
+    "t15_gopher_rules",
+    _gopher_oracle_sql(
+        doc_rel="aug",
+        prelude=r"""aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN
+               '- item one' || chr(10) || '- item two' || chr(10) ||
+               '* item three' || chr(10) || text
+             WHEN doc_id % 13 = 0 THEN
+               text || chr(10) || 'to be continued...' || chr(10) ||
+               '### heading ##' || chr(10) || 'more…'
+             ELSE text END AS text
+      FROM documents
+    ),
     """,
+    ),
 )
 def t15(spark, sf_dir):
     """Gopher quality rule set (r7; text.py gopher_rules) — the
@@ -7826,49 +7801,7 @@ def e9(spark, sf_dir):
 
 @register(
     "e10_streaming_quality_gate",
-    r"""
-    WITH feat AS (
-      SELECT doc_id,
-        list_filter(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' '),
-                    x -> x <> '') AS toks,
-        list_filter(string_split(COALESCE(text, ''), chr(10)),
-                    x -> length(trim(x)) > 0) AS lines,
-        length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '#', '')) AS n_hash,
-        (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '...', ''))) // 3
-          + (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '…', ''))) AS n_ell
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-        CAST(len(toks) AS BIGINT) AS n_words,
-        CASE WHEN len(toks) > 0 THEN
-          round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
-        END AS mean_word_len,
-        n_hash, n_ell,
-        CAST(len(lines) AS BIGINT) AS n_lines,
-        CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•])( |$)'))) AS BIGINT) AS n_bullet,
-        CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell_end,
-        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-        CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
-                                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
-      FROM feat
-    ),
-    flags AS (
-      SELECT doc_id, n_words, mean_word_len,
-        CAST(n_words < 50 OR n_words > 100000 AS BIGINT) * 1
-        + CAST(mean_word_len IS NULL OR mean_word_len < 3.0 OR mean_word_len > 10.0 AS BIGINT) * 2
-        + CAST(COALESCE(CAST(n_hash AS DOUBLE) / NULLIF(n_words, 0) > 0.1
-                        OR CAST(n_ell AS DOUBLE) / NULLIF(n_words, 0) > 0.1, TRUE) AS BIGINT) * 4
-        + CAST(COALESCE(CAST(n_bullet AS DOUBLE) / NULLIF(n_lines, 0) > 0.9, TRUE) AS BIGINT) * 8
-        + CAST(COALESCE(CAST(n_ell_end AS DOUBLE) / NULLIF(n_lines, 0) > 0.3, TRUE) AS BIGINT) * 16
-        + CAST(COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) < 0.8, TRUE) AS BIGINT) * 32
-        + CAST(n_stop < 2 AS BIGINT) * 64 AS fail_mask
-      FROM m
-    )
-    SELECT doc_id, n_words, mean_word_len,
-           fail_mask = 0 AS keep, fail_mask
-    FROM flags
-    """,
+    _gopher_oracle_sql(),
 )
 def e10(spark, sf_dir):
     """§2.11 streaming QUALITY GATE runtime under the driver oracle
@@ -7895,13 +7828,7 @@ def e10(spark, sf_dir):
 
 @register(
     "e11_streaming_count_min",
-    r"""
-    WITH toks AS (
-      SELECT tok FROM (
-        SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
-        FROM documents) t
-      WHERE tok <> ''
-    )
+    _CM_TOKS_CTE + r"""
     SELECT r AS row,
            CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS BIGINT) AS col,
            COUNT(*) AS cell_n
@@ -7937,29 +7864,7 @@ def e11(spark, sf_dir):
 
 @register(
     "e12_streaming_sessionization",
-    """
-    WITH g AS (
-      SELECT user_id, ts, value,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    s AS (
-      SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS sid
-      FROM g
-    )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM s GROUP BY user_id, sid
-    """,
+    _session_oracle_sql(with_value=True),
 )
 def e12(spark, sf_dir):
     """§2.11 streaming SESSIONIZATION runtime under the driver oracle
