@@ -264,3 +264,52 @@ def column_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+
+def string_profile(df: DataFrame, string_cols: list[str]) -> DataFrame:
+    """String-column twin of :func:`column_profile` (same two-level
+    scale shape: one unpivot scan, map-side (col_name, value) collapse,
+    tiny per-column rollup): rows, nulls, EXACT distinct, min/max byte
+    length and exact average byte length — the profile that sizes
+    dictionaries and flags constant or free-text columns before
+    choosing partition/bucket keys. Length moments are exact integer
+    sums over the pre-aggregated distinct values (length x
+    multiplicity), divided and rounded to 6dp at the end.
+    """
+    melted = df.select(
+        *[F.col(c).cast("string").alias(c) for c in string_cols]
+    ).unpivot([], string_cols, "col_name", "value")
+    per_value = melted.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nonnull_cnt = F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    vlen = F.octet_length("value")
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_null"),
+            F.count("value").alias("n_distinct"),
+            F.min(vlen).alias("min_len"),
+            F.max(vlen).alias("max_len"),
+            F.sum(vlen.cast("bigint") * F.col("cnt")).alias("_len_sum"),
+            F.sum(nonnull_cnt).alias("_n_nonnull"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_len",
+            "max_len",
+            F.round(
+                F.col("_len_sum").cast("double")
+                / F.col("_n_nonnull").cast("double"),
+                6,
+            ).alias("avg_len"),
+        )
+    )

@@ -468,3 +468,21 @@ def test_group_ols_excludes_null_rows_entirely(spark):
     assert abs(r["slope"] - 2.0) < 1e-6
     assert abs(r["intercept"] - 0.0) < 1e-6
     assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_string_profile_counts_and_lengths(spark):
+    from cellphe_data_pipeline_spark.operators.aggregates import string_profile
+
+    rows = [("ab", "x"), ("ab", None), ("cdef", "x"), (None, "yyy")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"],
+            r["min_len"], r["max_len"], r["avg_len"],
+        )
+        for r in string_profile(df, ["a", "b"]).collect()
+    }
+    # a: 'ab','ab','cdef' + 1 null -> avg (2+2+4)/3
+    assert got["a"] == (4, 1, 2, 2, 4, round(8 / 3, 6))
+    # b: 'x','x','yyy' + 1 null -> avg (1+1+3)/3
+    assert got["b"] == (4, 1, 2, 1, 3, round(5 / 3, 6))
