@@ -1218,6 +1218,12 @@ operators.dedup.hamming_code_pairs` band machinery.
     Output: (path, frame_index, phash).
     """
     n_code_bits = hash_size * hash_size - 2
+    if hash_size < 2:
+        raise ValueError(
+            f"hash_size must be >= 2 (got {hash_size}): a 1x1 block has no "
+            "AC coefficients, so every frame would silently hash to 0 and "
+            "pair with every other"
+        )
     if n_code_bits > 62:
         raise ValueError(
             f"hash_size {hash_size} needs {n_code_bits} code bits; max 62"

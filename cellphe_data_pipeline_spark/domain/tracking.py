@@ -137,6 +137,27 @@ def _hungarian(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.array(rows)[order], np.array(cols)[order]
 
 
+def _build_spot_feats(
+    pdf, penalty_keys: set[str]
+) -> tuple[dict[int, tuple[int, float, float]], dict[int, dict[str, float]]]:
+    """One iterrows pass building the (frame, x, y) spot lookup and the
+    per-spot penalty-feature dict (TrackMate's UPPERCASE keys matched
+    case-insensitively against detection columns) — shared by all three
+    phase-2 entry points (r8 review: three verbatim copies; one pass,
+    because a second iterrows over a ~72k-row timelapse group doubles
+    the slowest pandas primitive)."""
+    cols_by_upper = {c.upper(): c for c in pdf.columns}
+    use = {k: cols_by_upper[k] for k in penalty_keys if k in cols_by_upper}
+    spot: dict[int, tuple[int, float, float]] = {}
+    feats: dict[int, dict[str, float]] = {}
+    for _, r in pdf.iterrows():
+        i = int(r["id"])
+        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
+        if use:
+            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
+    return spot, feats
+
+
 def _close_gaps_segment_lap(
     pdf: pd.DataFrame,
     edges: list[tuple[int, int, int, float]],
@@ -168,19 +189,9 @@ def _close_gaps_segment_lap(
     """
     nxt = {s: d for s, d, _, _ in edges}
     prv = {d: s for s, d, _, _ in edges}
-    use: dict[str, str] = {}
-    if gap_closing_feature_penalties:
-        by_upper = {c.upper(): c for c in pdf.columns}
-        use = {
-            k: by_upper[k] for k in gap_closing_feature_penalties if k in by_upper
-        }
-    spot: dict[int, tuple[int, float, float]] = {}
-    feats: dict[int, dict[str, float]] = {}
-    for _, r in pdf.iterrows():
-        i = int(r["id"])
-        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
-        if use:
-            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
+    spot, feats = _build_spot_feats(
+        pdf, set(gap_closing_feature_penalties or {})
+    )
     limit = gap_closing_max_distance
     seg_ends = [i for i in spot if i not in nxt]      # no outgoing link
     seg_starts = [i for i in spot if i not in prv]    # no incoming link
@@ -352,20 +363,11 @@ def _split_merge_lap(
     """
     has_out = {e[0] for e in edges}
     has_in = {e[1] for e in edges}
-    pen_keys = set(splitting_feature_penalties or {}) | set(
-        merging_feature_penalties or {}
+    spot, feats = _build_spot_feats(
+        pdf,
+        set(splitting_feature_penalties or {})
+        | set(merging_feature_penalties or {}),
     )
-    cols = {c.upper(): c for c in pdf.columns}
-    use = {k: cols[k] for k in pen_keys if k in cols}
-    spot: dict[int, tuple[int, float, float]] = {}
-    feats: dict[int, dict[str, float]] = {}
-    # one pass builds both lookups (a second iterrows over a ~72k-row
-    # timelapse group would double the slowest pandas primitive)
-    for _, r in pdf.iterrows():
-        i = int(r["id"])
-        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
-        if use:
-            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
     mid_by_frame: dict[int, list[int]] = {}
     for i in spot:
         if i in has_out and i in has_in:
@@ -485,20 +487,12 @@ def _joint_segment_lap(
     """
     nxt = {s for s, _, _, _ in edges}
     prv = {d for _, d, _, _ in edges}
-    pen_keys = (
+    spot, feats = _build_spot_feats(
+        pdf,
         set(gap_closing_feature_penalties or {})
         | set(splitting_feature_penalties or {})
-        | set(merging_feature_penalties or {})
+        | set(merging_feature_penalties or {}),
     )
-    cols_by_upper = {c.upper(): c for c in pdf.columns}
-    use = {k: cols_by_upper[k] for k in pen_keys if k in cols_by_upper}
-    spot: dict[int, tuple[int, float, float]] = {}
-    feats: dict[int, dict[str, float]] = {}
-    for _, r in pdf.iterrows():
-        i = int(r["id"])
-        spot[i] = (int(r["frame"]), float(r["x"]), float(r["y"]))
-        if use:
-            feats[i] = {k: float(r[c]) for k, c in use.items() if pd.notna(r[c])}
     ends = [i for i in spot if i not in nxt]
     starts = [i for i in spot if i not in prv]
     mids_by_frame: dict[int, list[int]] = {}
@@ -747,9 +741,10 @@ def _link_one(
         # r8: TrackMate's actual phase-2 discipline — gap closing,
         # splitting and merging traded off in ONE Jaqaman matrix with
         # one shared no-link alternative (see _joint_segment_lap)
+        tl = pdf["timelapse_id"].iloc[0] if len(pdf) else ""
         return pd.DataFrame(
             [
-                (pdf["timelapse_id"].iloc[0] if len(pdf) else "", s, d, g, dist)
+                (tl, s, d, g, dist)
                 for s, d, g, dist in _joint_segment_lap(
                     pdf,
                     edges,

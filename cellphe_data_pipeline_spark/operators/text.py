@@ -1032,6 +1032,17 @@ def bpe_priority_reference(
     on arbitrary ones."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     rules = [tuple(m) for m in merges]
+    return _priority_merge_loop(word, ranks, rules)
+
+
+def _priority_merge_loop(
+    word: str, ranks: dict[tuple[str, str], int], rules: list[tuple[str, str]]
+) -> list[str]:
+    """The GPT-2 priority-merge inner loop, shared by
+    :func:`bpe_priority_reference` (per-word convenience wrapper) and
+    :func:`bpe_token_counts_arrow`'s batch kernel (which prebuilds
+    ranks/rules once per task) — r8 review: the kernel carried a
+    verbatim copy that could drift."""
     toks = list(word)
     while len(toks) > 1:
         best = None
@@ -1172,39 +1183,13 @@ def bpe_token_counts_arrow(
     def tokenize_batch(batches):
         import pandas as pd  # worker-side; text.py is otherwise pandas-free
 
-        cache: dict[str, int] = {}
+        # no per-word memo (r8 review): the input is the globally
+        # DISTINCT vocab table, so a cache can never hit — it only
+        # grew to hold every word in the partition
         for pdf in batches:
-            ns = []
-            for w in pdf["tok"]:
-                n = cache.get(w)
-                if n is None:
-                    toks = list(w)
-                    while len(toks) > 1:
-                        best = None
-                        for i in range(len(toks) - 1):
-                            rk = ranks.get((toks[i], toks[i + 1]))
-                            if rk is not None and (best is None or rk < best):
-                                best = rk
-                        if best is None:
-                            break
-                        a, b = rules[best]
-                        out = []
-                        i = 0
-                        while i < len(toks):
-                            if (
-                                i + 1 < len(toks)
-                                and toks[i] == a
-                                and toks[i + 1] == b
-                            ):
-                                out.append(a + b)
-                                i += 2
-                            else:
-                                out.append(toks[i])
-                                i += 1
-                        toks = out
-                    n = len(toks)
-                    cache[w] = n
-                ns.append(n)
+            ns = [
+                len(_priority_merge_loop(w, ranks, rules)) for w in pdf["tok"]
+            ]
             yield pd.DataFrame({"tok": pdf["tok"], "n_sub": ns})
 
     occurrences = _doc_tokens(df, text_col, id_col)
@@ -1374,6 +1359,12 @@ def bpe_learn_merges(
 
     if strategy not in ("delta", "recount"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if fetch_width < 1:
+        raise ValueError(
+            f"fetch_width must be >= 1 (got {fetch_width}): limit(0) would "
+            "end training after zero merges, indistinguishable from a "
+            "pair-less corpus"
+        )
     sep = "\x1f"
     s2 = sep + sep
     words = (
@@ -1736,7 +1727,14 @@ def count_min_heavy_hitters(
         raise ValueError(
             f"need depth >= 1, width >= 2, k >= 1; got {depth}, {width}, {k}"
         )
-    toks = _doc_tokens(df, text_col, id_col)
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
+    # toks feeds two consumers (the sketch build and the exact top-k);
+    # pin it so the scan + regexp split + explode run once (the repo's
+    # multi-consumer hub-table rule)
+    toks = cut_lineage(
+        _doc_tokens(df, text_col, id_col), eager=False, name="cm_toks"
+    )
     cells = count_min_cells(toks, depth, width)
     top = (
         toks.groupBy("tok")
@@ -1791,8 +1789,16 @@ def span_corruption(
     spans never overlap BY CONSTRUCTION, every draw is reproducible
     per (doc, block) in any engine at any partitioning (the c4/c11
     seeded-hash contract), and the corruption rate is
-    rate_pct/100 x E[len]/block_tokens tokens. Same output shape and
-    training semantics as the paper's sampler.
+    rate_pct/100 x E[len]/block_tokens tokens. Same output SHAPE as
+    the paper's sampler, with two documented divergences from the
+    canonical sampler's distribution: spans never cross a block
+    boundary, and a span ending at a boundary with the next block's
+    span starting at offset 0 emits TWO sentinels for contiguous
+    masked tokens (``<Xi> <Xi+1>`` with nothing between) where T5's
+    serial sampler would merge them into one — consumers expecting
+    strictly alternating sentinel/text should be tolerant of
+    adjacent sentinels (probability ~(rate/100)²·1/(B·(B−M)) per
+    boundary).
 
     Scale shape: one token explode, one (doc, block) groupBy, one
     doc-keyed window for sentinel numbering, one doc groupBy for
@@ -1836,26 +1842,37 @@ def span_corruption(
         .withColumn("blk", F.expr(f"pos div {B}"))
         .withColumn("inb", F.col("pos") % B)
     )
-    marked = toks.select(
-        "doc_id",
-        "blk",
-        "pos",
-        "tok",
-        (
-            (h("g") % 100 < F.lit(rate_pct))
-            & (F.col("inb") >= h("o") % B)
-            & (F.col("inb") < h("o") % B + 1 + h("l") % M)
-        ).alias("masked"),
-    )
+    # group FIRST, then draw: the (gate, offset, length) draws depend
+    # only on (doc_id, blk), so computing them on the grouped relation
+    # costs 3 md5 per BLOCK instead of 3 per token (r8 review — a
+    # block_tokens-fold hash-cost cut at corpus scale), with the mask
+    # derived per element inside one transform over the sorted array.
+    gate = h("g") % 100 < F.lit(rate_pct)
+    off = h("o") % B
+    lim = off + 1 + h("l") % M
     s = F.col("s")
     msk = F.filter(s, lambda e: e.masked)
     first_masked = F.get(msk, 0).pos
     blocks = (
-        marked.groupBy("doc_id", "blk")
+        toks.groupBy("doc_id", "blk")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("pos", "tok", "masked"))
-            ).alias("s")
+                F.collect_list(F.struct("pos", "inb", "tok"))
+            ).alias("raw")
+        )
+        .select(
+            "doc_id",
+            "blk",
+            F.transform(
+                F.col("raw"),
+                lambda e: F.struct(
+                    e["pos"].alias("pos"),
+                    e["tok"].alias("tok"),
+                    (gate & (e["inb"] >= off) & (e["inb"] < lim)).alias(
+                        "masked"
+                    ),
+                ),
+            ).alias("s"),
         )
         .select(
             "doc_id",
