@@ -22,6 +22,26 @@ def euclid(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+def round_z(col: Column, scale: int = 6) -> Column:
+    """Round to `scale` decimals and normalise IEEE ``-0.0`` to ``+0.0``.
+
+    The driver's correctness gate hashes raw float bits, and the two
+    engines disagree on the sign of a rounded tiny-negative value:
+    Spark's ``round`` goes through BigDecimal HALF_UP which drops the
+    sign (``round(-1e-9, 6) = +0.0``) while DuckDB's ROUND keeps IEEE
+    ``-0.0`` — reproduced on a13's per-group OLS slope (r8 driver red:
+    one ``+0.0`` vs ``-0.0`` cell in 600). Adding ``+ 0.0`` after the
+    round is the IEEE identity everywhere except ``-0.0 + 0.0 = +0.0``
+    and is NULL-transparent, so applying it to BOTH engine and oracle
+    sides makes the bit-level hash agree without changing any other
+    value. Use this (with a matching ``ROUND(...) + 0.0`` in the
+    oracle SQL) for every rounded output whose argument can be
+    tiny-negative: signed slopes/intercepts, z-scores, skewness,
+    descent sums, cosine similarities.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
 def safe_ratio(num: Column, den: Column, default: float = 0.0) -> Column:
     """0/0-safe ratio (F7 — create_frame_summary_features.py:40-41:
     D2T = Dis/Trac with 0/0 → 0)."""

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.functions.scalars import round_z
+
 
 def argmin_rows(df: DataFrame, keys: list[str], order: list[Column | str]) -> DataFrame:
     """A1: the first row per key group under `order` (must be a total
@@ -188,9 +190,9 @@ def group_ols(
     return agg.select(
         *keys,
         "n_obs",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
-        F.round(r2, 6).alias("r2"),
+        round_z(slope, 6).alias("slope"),
+        round_z(intercept, 6).alias("intercept"),
+        round_z(r2, 6).alias("r2"),
     )
 
 

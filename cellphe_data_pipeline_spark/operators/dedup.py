@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.functions.scalars import round_z
+
 from cellphe_data_pipeline_spark.checkpoint import cut_lineage
 
 
@@ -432,7 +434,7 @@ def embedding_near_duplicates(
     )
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_sim", F.round(dot / (F.col("a_norm") * F.col("b_norm")), 5))
+        .withColumn("cos_sim", round_z(dot / (F.col("a_norm") * F.col("b_norm")), 5))
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("doc_a", "doc_b", "cos_sim")
     )
@@ -508,7 +510,7 @@ def _srp_cosine_pairs(
             right_name,
         )
         .withColumn(
-            "cos_sim", F.round(dot / (F.col("_l_norm") * F.col("_r_norm")), 5)
+            "cos_sim", round_z(dot / (F.col("_l_norm") * F.col("_r_norm")), 5)
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select(left_name, right_name, "cos_sim")
@@ -1353,7 +1355,7 @@ def semantic_dedup(
             "cluster_id",
             "v",
             "nrm",
-            F.round(
+            round_z(
                 _dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("c_norm")),
                 5,
             ).alias("centroid_sim"),

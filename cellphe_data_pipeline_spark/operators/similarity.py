@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cellphe_data_pipeline_spark.functions.scalars import round_z
+
 
 def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
@@ -73,7 +75,7 @@ def cosine_topk_bruteforce(
         q = F.broadcast(q)
     pairs = q.join(c, F.col("vec_id") != F.col("neighbor_id")).withColumn(
         "cos_sim",
-        F.round(
+        round_z(
             _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 5
         ),
     )
@@ -153,7 +155,7 @@ def srp_topk(
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm")), 5),
+            round_z(_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm")), 5),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -263,7 +265,7 @@ def ivf_topk(
     ).filter(F.col("vec_id") != F.col("neighbor_id"))
     pairs = cand.withColumn(
         "cos_sim",
-        F.round(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 5),
+        round_z(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 5),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

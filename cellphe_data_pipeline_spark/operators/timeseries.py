@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from cellphe_data_pipeline_spark.functions.scalars import round_z
 from pyspark.sql import types as T
 
 
@@ -80,13 +82,13 @@ def timeseries_stats(df: DataFrame, key: str, order: list[str], value: str) -> D
         F.col("n_obs"),
         F.round(mean, 6).alias("mean_val"),
         F.round(F.sqrt(F.greatest(m2, F.lit(0.0))), 6).alias("std_pop"),
-        F.round(
+        round_z(
             # m2^1.5 spelled m2*sqrt(m2): sqrt and * are IEEE-exact, pow(x,1.5)
             # is engine-dependent in the last ulp.
             F.when(m2 <= 0, F.lit(0.0)).otherwise(m3 / (m2 * F.sqrt(m2))), 4
         ).alias("skew_pop"),
         F.round(F.col("_asc"), 6).alias("ascent"),
-        F.round(F.col("_desc"), 6).alias("descent"),
+        round_z(F.col("_desc"), 6).alias("descent"),
     )
 
 

@@ -42,6 +42,7 @@ from cellphe_data_pipeline_spark.operators.qc_filters import (
     filter_size_and_observations,
     rows_with_group_count,
 )
+from cellphe_data_pipeline_spark.functions.scalars import round_z
 from cellphe_data_pipeline_spark.operators.timeseries import timeseries_stats
 from cellphe_data_pipeline_spark.sources.tables import load_table
 
@@ -493,8 +494,8 @@ def a7(spark, sf_dir):
            ROUND(CASE WHEN s2/n_obs - (s1/n_obs)*(s1/n_obs) <= 0 THEN 0.0
                  ELSE (s3/n_obs - 3*(s1/n_obs)*(s2/n_obs) + 2*(s1/n_obs)*(s1/n_obs)*(s1/n_obs))
                       / ((s2/n_obs - (s1/n_obs)*(s1/n_obs))
-                         * SQRT(s2/n_obs - (s1/n_obs)*(s1/n_obs))) END, 4) AS skew_pop,
-           ROUND(asum, 6) AS ascent, ROUND(dsum, 6) AS descent
+                         * SQRT(s2/n_obs - (s1/n_obs)*(s1/n_obs))) END, 4) + 0.0 AS skew_pop,
+           ROUND(asum, 6) AS ascent, ROUND(dsum, 6) + 0.0 AS descent
     FROM a
     """,
 )
@@ -1636,7 +1637,7 @@ EMB_DIM = 64  # driver's embeddings.embedding is array<float> of 64
     n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
     p AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0.0 AS cos_sim
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
     ),
     r AS (
@@ -1682,7 +1683,7 @@ def _srp_oracle_sql(dim: int = EMB_DIM, n_bits: int = 8, seed: int = 7, k: int =
     ),
     p AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0.0 AS cos_sim
       FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
     r AS (
@@ -2808,7 +2809,7 @@ def d5(spark, sf_dir):
                FROM embeddings WHERE vec_id < {D6_VEC_CAP}),
     n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0.0 AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) >= 0.4
     """,
@@ -2859,7 +2860,7 @@ def _srp_neardup_oracle_sql(
     )),
     n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
     SELECT doc_a, doc_b,
-           ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 5) AS cos_sim
+           ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 5) + 0.0 AS cos_sim
     FROM cands JOIN n na ON na.vec_id = doc_a JOIN n nb ON nb.vec_id = doc_b
     WHERE ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 5) >= {threshold}
     """
@@ -3259,7 +3260,7 @@ def j10(spark, sf_dir):
     q AS (SELECT * FROM n WHERE vec_id < 20),
     p AS (
       SELECT q.vec_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 5) + 0.0 AS cos_sim
       FROM q JOIN n c ON q.vec_id <> c.vec_id
     ),
     r AS (
@@ -4015,9 +4016,9 @@ def a11(spark, sf_dir):
       FROM c
     )
     SELECT user_id, n_obs,
-           ROUND(CASE WHEN dx > 0 THEN cov/dx END, 6) AS slope,
-           ROUND(CASE WHEN dx > 0 THEN (sy - (cov/dx)*sx)/n END, 6) AS intercept,
-           ROUND(CASE WHEN dx > 0 AND dy > 0 THEN (cov*cov)/(dx*dy) END, 6) AS r2
+           ROUND(CASE WHEN dx > 0 THEN cov/dx END, 6) + 0.0 AS slope,
+           ROUND(CASE WHEN dx > 0 THEN (sy - (cov/dx)*sx)/n END, 6) + 0.0 AS intercept,
+           ROUND(CASE WHEN dx > 0 AND dy > 0 THEN (cov*cov)/(dx*dy) END, 6) + 0.0 AS r2
     FROM d
     """,
 )
@@ -4176,7 +4177,7 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms()
     "w9_ewma",
     """
     SELECT user_id, event_id, value,
-           ROUND(({num}) / ({den}), 6) AS ewma
+           ROUND(({num}) / ({den}), 6) + 0.0 AS ewma
     FROM events WHERE user_id < 50
     """.format(num=_EWMA_NUM, den=_EWMA_DEN),
 )
@@ -4196,7 +4197,7 @@ def w9(spark, sf_dir):
         "user_id",
         "event_id",
         "value",
-        f"ROUND(({num}) / ({den}), 6) AS ewma",
+        f"ROUND(({num}) / ({den}), 6) + 0.0 AS ewma",
     )
 
 
@@ -4874,7 +4875,7 @@ def g5(spark, sf_dir):
     )
     SELECT d.doc_id, d.source,
            CASE WHEN var > 0
-                THEN ROUND((d.n_chars - mu) / sqrt(var), 6) END AS z,
+                THEN ROUND((d.n_chars - mu) / sqrt(var), 6) + 0.0 END AS z,
            CASE WHEN var > 0
                 THEN abs((d.n_chars - mu) / sqrt(var)) > 2.0
                 ELSE FALSE END AS is_outlier
@@ -4909,7 +4910,7 @@ def t9(spark, sf_dir):
         .select(
             "doc_id",
             "source",
-            F.when(var > 0, F.round(z, 6)).alias("z"),
+            F.when(var > 0, round_z(z, 6)).alias("z"),
             F.when(var > 0, F.abs(z) > 2.0).otherwise(F.lit(False)).alias("is_outlier"),
         )
     )
@@ -6529,7 +6530,7 @@ def d14(spark, sf_dir):
       SELECT a.vec_id, a.cluster_id, a.v,
              ROUND(list_dot_product(a.v, c.cv)
                    / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(c.cv, c.cv))), 5) AS centroid_sim
+                      * sqrt(list_dot_product(c.cv, c.cv))), 5) + 0.0 AS centroid_sim
       FROM a JOIN c USING (cluster_id) WHERE rn = 1
     ),
     dom AS (
@@ -6628,7 +6629,7 @@ _LLOYD_CTE_PREFIX = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS 
       SELECT a.vec_id, a.cluster_id, a.v,
              ROUND(list_dot_product(a.v, c.cv)
                    / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(c.cv, c.cv))), 5) AS centroid_sim
+                      * sqrt(list_dot_product(c.cv, c.cv))), 5) + 0.0 AS centroid_sim
       FROM a JOIN c USING (cluster_id) WHERE rn = 1
     ),
     dom AS (
@@ -6731,7 +6732,7 @@ def _ann_recall_oracle_sql(dim: int | None = None, n_bits: int = 8, seed: int = 
           FROM e),
     exact_p AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0.0 AS cos_sim
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
     ),
     exact_k AS (
@@ -6743,7 +6744,7 @@ def _ann_recall_oracle_sql(dim: int | None = None, n_bits: int = 8, seed: int = 
     ),
     srp_p AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
-             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0.0 AS cos_sim
       FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
     srp_k AS (
@@ -6858,7 +6859,7 @@ def v12(spark, sf_dir):
     pr AS (SELECT vec_id, cluster_id FROM a WHERE rn <= 2),
     cand AS (
       SELECT q.vec_id, t.vec_id AS neighbor_id,
-             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5) AS cos_sim
+             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5) + 0.0 AS cos_sim
       FROM pr q
       JOIN asg t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
       JOIN n qn ON qn.vec_id = q.vec_id

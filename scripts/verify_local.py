@@ -29,13 +29,20 @@ TABLES = [
 
 
 def norm_cell(v):
+    # NOTE: deliberately NO -0.0 → 0.0 normalization here. The driver
+    # hashes raw float bits, so the local gate must distinguish signed
+    # zeros too — r8's a13 red (`-0.0` vs `+0.0`) passed locally only
+    # because this function used to erase the sign. Engine/oracle pairs
+    # normalize zero sign themselves (scalars.round_z / `ROUND(..)+0.0`).
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
-            return 0.0  # -0.0 == 0.0
+            # Python == treats -0.0 == 0.0; tag the sign so the gate
+            # fails exactly where the driver's bit hash would.
+            return ("zero", math.copysign(1.0, v))
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
