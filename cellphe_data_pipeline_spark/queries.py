@@ -3713,6 +3713,204 @@ def o9(spark, sf_dir):
     )
 
 
+@contextmanager
+def _session_confs(spark, **confs):
+    """Scoped session-conf overrides for a query that must EXECUTE
+    under specific runtime settings (AQE thresholds are read at
+    execution, not plan time, so the caller materialises inside the
+    scope — the j12 pattern). Values restored on exit; keys never set
+    before are unset back."""
+    saved = {}
+    for k, v in confs.items():
+        key = k.replace("__", ".")
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, str(v))
+    try:
+        yield
+    finally:
+        for key, v in saved.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+@register(
+    "o10_dpp_join",
+    """
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(SUM(n_type) AS DOUBLE) / COUNT(*) AS thr FROM c
+    ),
+    dim AS (
+      SELECT event_type, n_type FROM c, t WHERE n_type >= thr
+    )
+    SELECT e.event_type, MAX(d.n_type) AS n_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def o10(spark, sf_dir):
+    """Dynamic partition pruning (r9) — o9's 100 TB sibling: o9 proves
+    STATIC PartitionFilters (a literal predicate resolves against the
+    directory tree); here the pruning predicate is only known at
+    RUNTIME — the dim keeps only the partition keys whose row count is
+    above the mean count per key (SF-stable, unknowable statically,
+    3 of 5 types at sf0.01) — so Spark inserts
+    ``dynamicpruningexpression(event_type IN dynamicpruning#N)`` into
+    the fact scan's PartitionFilters and feeds it from the broadcast
+    of the filtered dim (reused, not recomputed). The fact scan then
+    opens only the surviving partition directories (3 of 5 at sf0.01).
+    This is how a partitioned 100 TB fact serves a dim-filtered join
+    at the surviving slices' cost with no literal filter available —
+    the runtime analogue of the reference's include-filter pushdown
+    (run_pipeline_from_research0.sh:77-80, rclone --include). The
+    pruning mechanism is plan-gated in tests/test_scale.py; the oracle
+    joins the unpartitioned original — layout must never change
+    values."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_partitioned,
+    )
+
+    staged = _stage_dir("o10_events_part")
+    ev = load_table(spark, sf_dir, "events")
+    publish_partitioned(ev, staged, ["event_type"])
+    fact = spark.read.parquet(staged)
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    # one scalar to the driver (a #partition-keys-row agg, O(1)): the
+    # DPP insertion heuristic (PartitionPruning.isLikelySelective)
+    # only fires for LITERAL comparisons on the dim side — an
+    # attribute-vs-attribute threshold (crossJoin'd 1-row agg) is not
+    # considered selective and the scan loses its pruning subquery.
+    # In production the dim filter is a user literal anyway; here the
+    # literal is computed so the demo stays SF-stable.
+    thr_val = counts.agg(
+        (F.sum("n_type").cast("double") / F.count(F.lit(1))).alias("thr")
+    ).collect()[0]["thr"]
+    dim = counts.filter(F.col("n_type") >= F.lit(thr_val))
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_type").alias("n_type"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _j12_skewed_sides(spark, sf_dir):
+    """The deliberately-skewed join inputs of j12, shared with the plan
+    test: 97% of lineitem rows collapse onto skew_key 0 (the hot-cell /
+    hot-token shape a15 profiles), the dim carries every (key,
+    priority) pair. The repartition(8) gives the join exchange a
+    multi-mapper map side — AQE splits a skewed REDUCE partition by
+    map-output ranges, so a single-mapper input (one parquet row
+    group at sf0.01) is structurally unsplittable no matter how
+    skewed; at 100 TB the thousands of scan tasks provide this for
+    free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 97, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("skew_key"),
+        "l_extendedprice",
+        "l_returnflag",
+    ).repartition(8)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 100).alias("skew_key"), "o_orderpriority"
+        )
+        .distinct()
+    )
+    return li, dim
+
+
+# execution-time AQE settings under which j12's skewed join is
+# materialised (shared with the plan test): thresholds scaled to the
+# sf0.01 shuffle (the defaults are 256 MB-scale — correct for
+# production, unreachable in a test fixture), broadcast disabled so a
+# shuffle join exists at all, force= because the demo aggregates
+# downstream (the extra-shuffle veto would otherwise skip the split).
+J12_SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "j12_aqe_skew_split",
+    """
+    WITH sk AS (
+      SELECT CASE WHEN l_orderkey % 100 < 97 THEN 0
+                  ELSE l_orderkey % 100 END AS skew_key,
+             l_extendedprice, l_returnflag
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT o_orderkey % 100 AS skew_key, o_orderpriority
+      FROM orders
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM sk JOIN dim USING (skew_key)
+    GROUP BY l_returnflag
+    """,
+)
+def j12(spark, sf_dir):
+    """AQE skew-join splitting (r9) — the RUNTIME counterpart of j8's
+    manual salting: 97% of the left rows share one key, so one reducer
+    would own the join. Under the skew thresholds AQE detects the hot
+    reduce partition from map statistics and splits it into
+    map-output-range chunks, replicating the matching dim rows per
+    chunk (`AQEShuffleRead coalesced and skewed`, skew=true in the
+    executed plan — asserted by tests/test_scale.py on this exact
+    body). Unlike j8, no query rewrite: the logical plan is the plain
+    equi-join; mitigation is physical and stat-driven. Because the
+    skew confs are read at EXECUTION time, the join is materialised
+    inside the conf scope to a staged parquet and the (tiny) result
+    re-read — the driver's later collect must not depend on session
+    state. The oracle computes the same join on the originals —
+    mitigation must never change values. At 100 TB the thresholds are
+    the defaults (256 MB); they are scaled here to the sf0.01 shuffle
+    (~170 KB hot partition). The manual-vs-automatic trade:
+    salting handles skew AQE's per-partition byte stats cannot see
+    (many warm keys hashing into one partition) and is deterministic;
+    AQE needs no rewrite and adapts per run."""
+    li, dim = _j12_skewed_sides(spark, sf_dir)
+    out = (
+        li.hint("MERGE")
+        .join(dim, "skew_key")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    staged = _stage_dir("j12_skew_out")
+    with _session_confs(spark, **J12_SKEW_CONFS):
+        out.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
 @register(
     "t20_code_detect",
     r"""

@@ -237,3 +237,63 @@ def test_key_skew_vs_mean_ppm_survives_sub_ppm_shares(spark):
     ).collect()[0]
     assert r["share_ppm"] == 0           # sub-ppm share...
     assert r["vs_mean_ppm"] == 50000000  # ...but 50x the mean, preserved
+
+
+def test_o10_dpp_join_prunes_fact_scan_at_runtime(spark):
+    """The o10 driver query must carry a DynamicPruningExpression in
+    the partitioned fact scan's PartitionFilters (the dim's HAVING
+    survivors are unknowable at plan time), and the executed plan must
+    keep it — the runtime sibling of the static o9 PartitionFilters
+    test."""
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    q = REGISTRY["o10_dpp_join"].fn(spark, "/root/testdata/sf0.001")
+    p = _plan(q, mode="formatted")
+    assert "dynamicpruning" in p.lower()
+    assert "PartitionFilters" in p
+    rows = {r["event_type"]: r for r in q.collect()}
+    ex = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in ex.lower()
+    # every surviving group satisfies the dim's HAVING bound, and the
+    # pruned-scan counts equal the dim's own counts (join fan-out 1)
+    assert rows, "DPP join returned no groups"
+    for r in rows.values():
+        assert r["n_rows"] == r["n_type"]
+
+
+def test_j12_skew_join_split_fires_and_preserves_values(spark):
+    """Under J12_SKEW_CONFS the 97%-hot join must show a skew-split
+    shuffle read in the EXECUTED plan (skew=true / 'skewed'), and the
+    mitigated result must match the same join executed with default
+    thresholds (mitigation must never change values). Runs at sf0.01:
+    the thresholds are sized to that shuffle; sf0.001's hot partition
+    sits below any splittable size."""
+    from cellphe_data_pipeline_spark.queries import (
+        J12_SKEW_CONFS,
+        _j12_skewed_sides,
+        _session_confs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li, dim = _j12_skewed_sides(spark, sf)
+    agg = (
+        li.hint("MERGE")
+        .join(dim, "skew_key")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    with _session_confs(spark, **J12_SKEW_CONFS):
+        skewed_rows = {r["l_returnflag"]: r["n_rows"] for r in agg.collect()}
+        ex = agg._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in ex or "skewed" in ex, (
+        "AQE skew split did not fire:\n" + ex[:2000]
+    )
+    li2, dim2 = _j12_skewed_sides(spark, sf)
+    plain = {
+        r["l_returnflag"]: r["n_rows"]
+        for r in li2.join(dim2, "skew_key")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert skewed_rows == plain
