@@ -220,28 +220,10 @@ def ivf_topk(
             )
         )
     else:
-        centers_df = F.broadcast(
-            centroids.select(
-                F.col("cluster_id").cast("int").alias("list_id"),
-                F.col("cvec").alias("center"),
-            )
-        )
+        centers_df = _centers_from_published(centroids)
 
     with_norm_df = feats.withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
-
-    # each query probes its n_probe nearest centroids (L2 distance)
-    diff = F.zip_with(F.col("_emb"), F.col("center"), lambda a, b: (a - b) * (a - b))
-    dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-    probes_all = (
-        with_norm_df.crossJoin(centers_df)
-        .withColumn("_d2", dist2)
-        .withColumn(
-            "_pr",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("_d2"), F.col("list_id"))
-            ),
-        )
-    )
+    probes_all = _probe_centroids(with_norm_df, centers_df)
     # assignment IS the rank-1 probe in BOTH paths (r8 review): one
     # mechanism, deterministic (dist, list_id) ties, and the trained
     # path's query plan no longer depends on model.transform (whose
@@ -259,6 +241,121 @@ def ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.col("_emb").alias("c_emb"),
             F.col("_norm").alias("c_norm"),
+            "list_id",
+        ),
+        "list_id",
+    ).filter(F.col("vec_id") != F.col("neighbor_id"))
+    pairs = cand.withColumn(
+        "cos_sim",
+        round_z(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 5),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _centers_from_published(centroids: DataFrame):
+    """(cluster_id, cvec) published-index table → the broadcast
+    (list_id, center) form every IVF stage probes against."""
+    return F.broadcast(
+        centroids.select(
+            F.col("cluster_id").cast("int").alias("list_id"),
+            F.col("cvec").alias("center"),
+        )
+    )
+
+
+def _probe_centroids(with_norm_df: DataFrame, centers_df) -> DataFrame:
+    """Rank every (vec_id, _emb, _norm) row's centroid probes: L2
+    distance to each broadcast center, deterministic (dist, list_id)
+    ties. Shared by assignment (rank-1), probing (rank ≤ n_probe) and
+    both ivf_topk paths — one mechanism so build-time assignment and
+    query-time probing can never disagree on equidistant vectors."""
+    diff = F.zip_with(F.col("_emb"), F.col("center"), lambda a, b: (a - b) * (a - b))
+    dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        with_norm_df.crossJoin(centers_df)
+        .withColumn("_d2", dist2)
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_d2"), F.col("list_id"))
+            ),
+        )
+    )
+
+
+def ivf_assign_vectors(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a vector batch against a PUBLISHED centroid table — the
+    bucket-table row form (vec_id, emb, norm, list_id) the IVF
+    lifecycle writes at build time and APPENDS at maintenance time
+    (v14): new vectors join the index by one broadcast argmin pass, no
+    retraining jobs (the reference analogue is `-resume` stage caching,
+    README.md:206-212 — reuse the expensive artifact, recompute only
+    the increment). Plan: scan × broadcast(k centroids) → per-vector
+    rank-1 window; no data shuffle beyond the window's keyed exchange,
+    so an append batch costs O(batch), not O(corpus)."""
+    feats = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
+    return (
+        _probe_centroids(feats, _centers_from_published(centroids))
+        .filter(F.col("_pr") == 1)
+        .select(
+            "vec_id",
+            F.col("_emb").alias("emb"),
+            F.col("_norm").alias("norm"),
+            "list_id",
+        )
+    )
+
+
+def ivf_query_published(
+    queries: DataFrame,
+    bucket: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a PUBLISHED (and possibly appended) IVF bucket table:
+    each query probes its ``n_probe`` nearest centroids, candidates
+    come from the bucket table's matching lists via one hash equi-join
+    on list_id, exact cosine + deterministic top-k inside the
+    candidate set. The recurring half of the build-once / append /
+    query-many lifecycle — the corpus is touched only through the
+    pre-assigned bucket rows (vectors + norms already materialised at
+    publish time), so a query batch costs O(batch × corpus/n_lists ×
+    n_probe), never O(corpus²)."""
+    q = queries.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
+    probes = (
+        _probe_centroids(q, _centers_from_published(centroids))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            "vec_id",
+            F.col("_emb").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            "list_id",
+        )
+    )
+    cand = probes.join(
+        bucket.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
             "list_id",
         ),
         "list_id",

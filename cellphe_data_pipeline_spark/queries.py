@@ -4400,6 +4400,48 @@ def w9(spark, sf_dir):
 
 
 @register(
+    "e13_streaming_ewma",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(({num}) / ({den}), 6) + 0.0 AS ewma
+    FROM events WHERE user_id < 50
+    """.format(num=_EWMA_NUM, den=_EWMA_DEN),
+)
+def e13(spark, sf_dir):
+    """§2.11 streaming twin of w9 (r9; streaming/tracker.streaming_ewma
+    — the tenth driver-verified REAL streaming runtime): the α=1/2
+    8-observation finite-horizon EWMA as a python-state operator —
+    per-key state carries only the trailing 7 (t, seq, value) triples,
+    so the smoother chains across micro-batches at O(horizon) state
+    per key. The pandas kernel accumulates numerator/denominator in
+    w9's exact left-to-right lag order with binary-fraction weights,
+    so every emitted double is IEEE-identical to the batch window
+    expression — checked against w9's very oracle text. availableNow
+    drain, append mode (one output row per input row). Multi-batch
+    state chaining is pinned separately by tests/test_streaming.py
+    with explicitly sequenced batches."""
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_ewma
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            "value",
+        )
+    )
+    sink = _drain_to_memory(
+        ev, "e13_stream_ewma", "e13_ewma_sink",
+        streaming_ewma, "append", "e13_streaming_ewma",
+    )
+    return sink.select(
+        "user_id", "event_id", "value", round_z(F.col("ewma"), 6).alias("ewma")
+    )
+
+
+@register(
     "o6_limit_per_group",
     """
     SELECT lang, doc_id, n_chars FROM (
@@ -6774,15 +6816,23 @@ def d15(spark, sf_dir):
 # updated centroids (d/a). Exposes CTEs `e` (vectors), `c`
 # (cluster_id, cv) and `a` (vec_id, cluster_id, v, rn) for the
 # consuming oracle to build on.
-_LLOYD_CTE_PREFIX = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id IN
-            (SELECT DISTINCT vec_id FROM e WHERE vec_id IS NOT NULL
+def _lloyd_cte_prefix(train: str = "e", extra_ctes: str = "") -> str:
+    """Fixed-point-Lloyd CTE chain, parameterised on the TRAINING
+    relation (r9: v14 trains on the base slice only and assigns the
+    full appended corpus — the incremental-index lifecycle). `train`
+    feeds seeding + the centroid update; the final d/a assignment
+    always covers `e` so consumers can assign vectors the trainer
+    never saw. `extra_ctes` is spliced right after `e` (slice
+    definitions). Defaults reproduce the r8 text byte-for-byte."""
+    return ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """ + extra_ctes + """c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM {t} WHERE vec_id IN
+            (SELECT DISTINCT vec_id FROM {t} WHERE vec_id IS NOT NULL
              ORDER BY vec_id LIMIT 16)),
     d0 AS (
-      SELECT e.vec_id, c0.cluster_id, e.v,
-             list_dot_product(list_transform(e.v, (x, i) -> x - c0.cv[i]),
-                              list_transform(e.v, (x, i) -> x - c0.cv[i])) AS dist
-      FROM e, c0
+      SELECT {t}.vec_id, c0.cluster_id, {t}.v,
+             list_dot_product(list_transform({t}.v, (x, i) -> x - c0.cv[i]),
+                              list_transform({t}.v, (x, i) -> x - c0.cv[i])) AS dist
+      FROM {t}, c0
     ),
     a0 AS (
       SELECT vec_id, cluster_id, v,
@@ -6816,7 +6866,10 @@ _LLOYD_CTE_PREFIX = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS 
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY dist, cluster_id) AS rn
       FROM d
-    ),"""
+    ),""").format(t=train)
+
+
+_LLOYD_CTE_PREFIX = _lloyd_cte_prefix()
 
 
 @register(
@@ -7099,6 +7152,73 @@ def v13(spark, sf_dir):
     return ivf_topk(
         emb, dim=EMB_DIM, k=5, n_probe=2, centroids=idx
     ).select("vec_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
+    "v14_ivf_append",
+    _lloyd_cte_prefix(
+        train="eb",
+        extra_ctes="eb AS (SELECT * FROM e WHERE vec_id % 10 <> 0),\n    ",
+    )
+    + """
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
+    pr AS (SELECT vec_id, cluster_id FROM a
+           WHERE rn <= 2 AND vec_id % 10 = 0),
+    cand AS (
+      SELECT q.vec_id, t.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5) + 0.0 AS cos_sim
+      FROM pr q
+      JOIN asg t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
+      JOIN n qn ON qn.vec_id = q.vec_id
+      JOIN n tn ON tn.vec_id = t.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def v14(spark, sf_dir):
+    """Incremental IVF index maintenance (r9) — what v13's
+    build-once/query-many lifecycle needs when the corpus APPENDS:
+    train on the 90% base slice and publish index + bucket table once,
+    then assign ONLY the new 10% batch against the published centroids
+    (one broadcast argmin pass, O(batch) — no retraining jobs, no
+    base-corpus rescan), parquet-APPEND it to the bucket table, and
+    serve the new batch's top-5 queries from the refreshed index
+    (similarity.ivf_assign_vectors / ivf_query_published). The
+    reference analogue is `-resume` stage caching (README.md:206-212):
+    reuse the expensive artifact, recompute only the increment. Index
+    drift is the documented trade — appended vectors never move the
+    centroids; production retrains when a drift monitor (a14/a15 on
+    the list_id histogram) degrades, exactly like IVF-Flat services.
+    The oracle replays train-on-base → assign-all → probe-new as one
+    CTE chain (the v13 Lloyd prefix parameterised on the training
+    slice)."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_assign_vectors,
+        ivf_query_published,
+        lloyd_centroid_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    new_batch = emb.filter(F.col("vec_id") % 10 == 0)
+    # build once: train on base, publish index + assigned bucket table
+    idx_dir = _stage_dir("v14_ivf_index")
+    lloyd_centroid_vectors(base, k=16).write.mode("overwrite").parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
+    bucket_dir = _stage_dir("v14_ivf_bucket")
+    ivf_assign_vectors(base, idx).write.mode("overwrite").parquet(bucket_dir)
+    # maintain: assign the new batch against the SAME published
+    # centroids and append — the only work the increment pays
+    ivf_assign_vectors(new_batch, idx).write.mode("append").parquet(bucket_dir)
+    bucket = spark.read.parquet(bucket_dir)
+    # query-many: the new batch queries the refreshed bucket table
+    return ivf_query_published(new_batch, bucket, idx, k=5, n_probe=2)
 
 
 def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:

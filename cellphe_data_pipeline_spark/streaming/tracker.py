@@ -286,6 +286,117 @@ def streaming_exact_dedup(
     return marked.dropDuplicates(key_cols + [ts_col])
 
 
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("t_us", T.ArrayType(T.LongType())),
+        T.StructField("seqs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    horizon: int = 8,
+) -> DataFrame:
+    """Streaming twin of the batch w9 finite-horizon EWMA (r9): α=1/2
+    over the last ``horizon`` observations per key, weights
+    renormalised over the lags that EXIST, one output row per input
+    row. The per-key state is just the trailing ``horizon-1``
+    (t, seq, value) triples — O(horizon) per key in the state store,
+    hash-partitioned by key like every stateful operator here — so a
+    key's smoothing chains across micro-batches without recomputation.
+
+    Bit-equality with the batch window form: each row's numerator and
+    denominator are accumulated in the SAME left-to-right lag order as
+    w9's inline SQL (value first, then lag1*0.5, lag2*0.25, ...), with
+    α=1/2 every weight is an exact binary fraction, so the emitted
+    double is IEEE-identical to the batch expression — verified
+    row-for-row by the e13 driver oracle (w9's oracle text).
+
+    Ordering contract: rows are sorted by (t, seq) WITHIN each
+    micro-batch before smoothing, and batches are assumed
+    key-monotone (no row older than an already-processed one — the
+    availableNow backfill drain satisfies this trivially with one
+    batch; the multi-batch chain is pinned by
+    tests/test_streaming.py with explicitly sequenced batches). A
+    production deployment with out-of-order arrival needs watermarked
+    buffering in front — the session-window operators' territory, not
+    a moving-average smoother's.
+
+    Reference analogue: tracking_qc.qmd's per-track rolling smoothers
+    over frame-ordered series.
+    """
+    keep = horizon - 1
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            yield pd.DataFrame([], columns=[f.name for f in EWMA_OUT.fields])
+            return
+        batch = batch.sort_values(
+            [t_col, seq_col], kind="mergesort"
+        ).reset_index(drop=True)
+        if state.exists:
+            h_t, h_s, h_v = state.get
+        else:
+            h_t, h_s, h_v = [], [], []
+        n_hist = len(h_v)
+        vals = np.concatenate(
+            [np.asarray(h_v, dtype="float64"), batch[value_col].to_numpy("float64")]
+        )
+        # w9's exact accumulation order: value, then lag j * 0.5^j for
+        # j = 1..horizon-1, each term COALESCEd to 0.0 when the lag
+        # does not exist; denominator accumulates the same weights.
+        acc = vals.copy()
+        den = np.ones_like(vals)
+        for j in range(1, horizon):
+            w = 0.5**j
+            term = np.zeros_like(vals)
+            term[j:] = vals[:-j] * w
+            acc = acc + term
+            exist = np.zeros_like(vals)
+            exist[j:] = w
+            den = den + exist
+        ewma = (acc / den)[n_hist:]
+        out = pd.DataFrame(
+            {
+                "user_id": batch[key_col].to_numpy("int64"),
+                "event_id": batch[seq_col].to_numpy("int64"),
+                "value": batch[value_col].to_numpy("float64"),
+                "ewma": ewma,
+            }
+        )
+        new_t = h_t + batch[t_col].tolist()
+        new_s = h_s + batch[seq_col].tolist()
+        new_v = h_v + batch[value_col].tolist()
+        state.update((new_t[-keep:], new_s[-keep:], new_v[-keep:]))
+        yield out
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, EWMA_OUT, EWMA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 TRACK_STATE = T.StructType(
     [
         T.StructField("next_tid", T.LongType()),

@@ -766,3 +766,64 @@ def test_streaming_upsert_null_only_key_emits_nothing(spark, tmp_path):
     assert 1 not in out  # null-only key: nothing emitted
     assert out[2]["t_ms"] == 100 and out[2]["last_seq"] == 7
     assert out[2]["last_type"] == "buy" and out[2]["is_delete"] is False
+
+
+def test_streaming_ewma_chains_state_across_batches(spark, tmp_path):
+    """The streaming EWMA drained across MULTIPLE micro-batches (one
+    time-slice file per trigger, oldest first) must emit exactly the
+    batch w9 window expression for every row — i.e. the trailing-
+    horizon state genuinely chains across batches (a kernel that only
+    smoothed within its own batch would diverge on every row whose
+    lags cross a slice boundary)."""
+    from cellphe_data_pipeline_spark.queries import _EWMA_NUM, _EWMA_DEN
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_ewma
+
+    rows = [
+        (uid, 1_000_000 * (i + 1), uid * 1000 + i, float((uid * 7 + i * 13) % 50) + 0.25)
+        for uid in (1, 2, 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, t_us bigint, event_id bigint, value double"
+    )
+    staged = str(tmp_path / "ewma_stream")
+    # three ts-ordered slice files written sequentially: oldest-first
+    # mtimes => maxFilesPerTrigger=1 feeds them as three ordered batches
+    import time
+
+    for lo, hi, name in ((0, 10, "s0"), (10, 20, "s1"), (20, 30, "s2")):
+        df.filter(
+            (F.col("t_us") > lo * 1_000_000) & (F.col("t_us") <= hi * 1_000_000)
+        ).coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_chain_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert q.lastProgress is not None and q.recentProgress is not None
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_chain_test").collect()
+    }
+    want = {
+        r["event_id"]: r["ewma"]
+        # the w9 expression orders by (ts, event_id); expose t_us as ts
+        for r in df.withColumn("ts", F.col("t_us")).selectExpr(
+            "event_id", f"(({_EWMA_NUM}) / ({_EWMA_DEN})) AS ewma"
+        ).collect()
+    }
+    assert len(got) == 90
+    # bit-identical, including every row whose lags cross a boundary
+    assert got == want
