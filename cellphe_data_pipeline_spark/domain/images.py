@@ -1214,7 +1214,13 @@ operators.dedup.hamming_code_pairs` band machinery.
 
     Plumbing: resize_frames (input dims must be integer multiples of
     ``dct_size``) then one Arrow map doing the double-precision DCT —
-    deterministic (fixed-order numpy matmul), stateless, no shuffle.
+    stateless, no shuffle. Textured frames hash reproducibly on any
+    BLAS (coefficient magnitudes dwarf summation-order noise); FLAT
+    frames are the exception — their AC block is pure cancellation
+    noise whose sign pattern varies by BLAS build — so they
+    short-circuit to a canonical all-zero code (r9 advisor finding):
+    flat frames are out of pHash's structural domain, and under its
+    brightness invariance they are all one structure anyway.
     Output: (path, frame_index, phash).
     """
     n_code_bits = hash_size * hash_size - 2
@@ -1251,11 +1257,25 @@ operators.dedup.hamming_code_pairs` band machinery.
                 coef = basis @ img.astype(np.float64) @ basis.T
                 block = coef[:hash_size, :hash_size].ravel()
                 kept = block[1:-1]  # drop DC and the last coefficient
-                med = float(np.median(kept))
-                code = 0
-                for i, v in enumerate(kept):
-                    if v > med:
-                        code |= 1 << i
+                # flat-frame short-circuit (r9 advisor): a constant
+                # frame's AC coefficients are mathematically zero, so
+                # `kept` holds nothing but float cancellation noise in
+                # the DCT matmuls — its sign pattern (hence the code)
+                # would depend on the BLAS build's summation order.
+                # Emit the canonical all-zero code instead: under
+                # pHash's brightness invariance all flat frames ARE the
+                # same structure, so they deterministically pair with
+                # each other (hamming 0) and with nothing else.
+                if float(np.max(np.abs(kept))) < 1e-8 * max(
+                    1.0, abs(float(coef[0, 0]))
+                ):
+                    code = 0
+                else:
+                    med = float(np.median(kept))
+                    code = 0
+                    for i, v in enumerate(kept):
+                        if v > med:
+                            code |= 1 << i
                 rows.append(
                     {
                         "path": r["path"],

@@ -154,6 +154,18 @@ def group_ols(
     Degenerate groups (n < 2 or zero x-variance) yield NULL slope,
     NULL intercept and NULL r2; zero y-variance with positive
     x-variance yields slope 0 and NULL r2 (0/0 in the R² ratio).
+
+    Input bounds (r9 advisor; the t21 ppm-bound convention): the
+    decimal sums are exact only while every term fits its cast —
+    sy needs |y| ≤ ~1e17/n_rows_per_group (decimal(24,6)), syy needs
+    y² ≤ ~1e26/n (decimal(38,12)), and sxx needs span² ≤ ~1e26/n
+    seconds² (a 30-year span at a billion rows per group is ~9e17 ≪
+    1e26). Outside the bound the behaviour DIVERGES by engine, not
+    just by value: non-ANSI Spark's overflowing decimal cast yields
+    NULL (silent NULL slope) while DuckDB raises — so a caller with
+    |y| beyond ~1e14 at realistic group sizes must pre-scale the
+    value column. Realistic telemetry/track magnitudes sit orders of
+    magnitude inside the bound.
     """
     valid = df.filter(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()

@@ -172,9 +172,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
-    seed: int = 7,
+    seed: int | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate self-kNN — the centroid-bucketed
@@ -206,10 +206,22 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("_emb"),
     )
     spark = df.sparkSession
+    if centroids is not None and (n_lists is not None or seed is not None):
+        # r9 advisor: with a pre-trained index these training knobs are
+        # dead — a caller passing e.g. n_lists=32 against a 16-centroid
+        # table would silently get 16 lists. Fail loudly instead.
+        raise ValueError(
+            "ivf_topk: n_lists/seed apply only to the in-call training "
+            "path; with a pre-trained `centroids` table the list count "
+            "IS the table's row count and no seeded training runs — "
+            "drop the parameters or drop the table"
+        )
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        n_lists = 16 if n_lists is None else n_lists
+        seed = 7 if seed is None else seed
         feats = feats.withColumn("_vec", array_to_vector(F.col("_emb")))
         model = KMeans(k=n_lists, seed=seed, featuresCol="_vec").fit(feats)
         # centers: n_lists x dim doubles — tiny, safe as literals (broadcast)

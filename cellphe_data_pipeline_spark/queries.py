@@ -7448,7 +7448,8 @@ def mm6(spark, sf_dir):
     SELECT * FROM (VALUES
       ('img0.fake#0', 'img1.fake#0', CAST(0 AS BIGINT)),
       ('img0.fake#0', 'img2.fake#0', CAST(6 AS BIGINT)),
-      ('img1.fake#0', 'img2.fake#0', CAST(6 AS BIGINT))
+      ('img1.fake#0', 'img2.fake#0', CAST(6 AS BIGINT)),
+      ('img5.fake#0', 'img6.fake#0', CAST(0 AS BIGINT))
     ) AS t(doc_a, doc_b, hamming)
     """,
 )
@@ -7461,12 +7462,13 @@ def mm7(spark, sf_dir):
     bands — 6 bit errors must leave one band clean). The golden pins
     pHash's complementary strengths vs mm6's dHash: a +40
     non-saturating brightness shift collides EXACTLY (DC dropped),
-    a 2x2 box blur lands at hamming 6 (low-pass block), while the
-    two constant images that dHash collides do NOT pair here (flat
-    images have no AC structure — the documented pHash caveat, which
-    is why a production crawl dedup runs BOTH hashes and unions the
-    pair sets). Composite (path#frame) ids per the one-code-per-id
-    contract. Decode is the FAKE codec (environment wall); the
+    a 2x2 box blur lands at hamming 6 (low-pass block), and the two
+    constant images collide at hamming 0 via the canonical flat-frame
+    code (r9: a flat frame's AC block is pure float cancellation
+    noise, so its sign pattern would be BLAS-build-dependent; the
+    short-circuit emits all-zeros — under brightness invariance all
+    flat frames are one structure) but pair with nothing textured.
+    Composite (path#frame) ids per the one-code-per-id contract. Decode is the FAKE codec (environment wall); the
     resize/DCT/band plumbing is the real 100 TB path."""
     import zlib as _zlib
 

@@ -2389,3 +2389,26 @@ def test_bpe_arrow_path_equals_expression_path(spark):
     )
     out = bpe_token_counts_arrow(df, big).collect()[0]
     assert (out["n_words"], out["n_bpe_tokens"]) == (3, 1 + 1 + 3)
+
+
+def test_ivf_topk_rejects_training_knobs_with_pretrained_centroids(spark):
+    """r9 advisor: n_lists/seed are dead parameters when a pre-trained
+    centroid table is passed — fail loudly instead of silently using
+    the table's own list count."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.similarity import ivf_topk
+    from cellphe_data_pipeline_spark.testing.fixtures import (
+        fixture_embeddings_df,
+    )
+
+    df = fixture_embeddings_df(spark)
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)], "cluster_id int, cvec array<double>"
+    )
+    with pytest.raises(ValueError, match="training"):
+        ivf_topk(df, dim=8, n_lists=32, centroids=cents)
+    with pytest.raises(ValueError, match="training"):
+        ivf_topk(df, dim=8, seed=3, centroids=cents)
+    # and the trained path still accepts the table alone
+    assert ivf_topk(df, dim=8, k=2, centroids=cents).count() > 0
