@@ -8235,84 +8235,73 @@ def e12(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-8 window ---
-    # changed-plan first (r7 verdict item 1): the grid-join family got
-    # SHUFFLE_HASH pins + the session-wide AQE SMJ->SHJ demotion in r7
-    # with no driver proof since r04/r05
-    "j10_interval_join",
-    "j11_spatial_nn_join",
-    # new this round (never driver-proven)
-    "t22_bpe_roundtrip",
+    # --- round-9 window ---
+    # the r8 red row first: a13 failed hash_match on a -0.0 slope cell;
+    # fixed this round via zero-sign normalization (scalars.round_z +
+    # ROUND(..)+0.0 on the oracle side) — must re-prove under the
+    # driver's bit hash
+    "a13_group_ols",
+    # changed-code re-verification: every query whose engine or oracle
+    # text gained the -0.0 normalization (a8 skew/descent, t9 z, w9
+    # ewma, all cosine outputs), the ivf family refactored through
+    # _probe_centroids/_centers_from_published (v3/v13), and mm7 whose
+    # flat-frame canonical code changed the golden
+    "a8_timeseries_stats",
+    "t9_zscore_outliers",
+    "w9_ewma",
+    "v1_cosine_topk",
+    "v2_srp_topk",
+    "v4_probe_topk",
+    "v7_int8_srp_topk",
+    "v3_ivf_topk",
+    "v13_ivf_published",
+    "d6_embedding_neardup",
+    "d6b_srp_neardup",
+    "d15_semantic_dedup",
     "d15b_semantic_dedup_trained",
-    "e10_streaming_quality_gate",
-    "m3f_joint_lap",
-    "c15_span_corruption",
     "c16_semantic_decontaminate",
     "mm7_image_phash_neardup",
-    "t23_count_min_topk",
-    "e11_streaming_count_min",
-    "c17_bottomk_sample",
-    "t24_bpe_tokenize_arrow",
-    "a13_group_ols",
-    "o8_bucketed_join",
-    "o9_partition_pruned_scan",
-    "e12_streaming_sessionization",
-    "a14_column_profile",
-    "a15_key_skew_profile",
-    "t25_tokenizer_fertility",
-    "d17_lsh_recall",
-    "v13_ivf_published",
-    # changed-code re-verification: t19's delta-update rewrite, t21's
-    # decimal(38,0) numerator, d14's raw-ratio threshold, the
-    # hamming_code_pairs one-code-per-id guard (mm6 + d13 both route
-    # through it)
-    "t19_bpe_learn_merges",
-    "t21_pmi_phrases",
-    "d14_containment_neardup",
-    "mm6_image_dhash_neardup",
-    "d13_simhash_neardup",
-    # the stale r04 cohort (last external proof CORRECTNESS_r04)
-    "a8_timeseries_stats",
-    "a8b_timeseries_wavelet",
-    "a9_rollup",
-    "a10_pivot",
-    "a11_cube",
-    "c1_corpus_curation",
-    "c2_chunking",
-    "c3_token_budget_shards",
-    "f9_f12_clip_sprintf",
-    "f15_json_encode",
-    "f16_roi_interpolation",
-    "j8_salted_join",
-    "j9_asof_join",
-    "m5_movement_features",
-    "mm1_scene_cuts",
-    "mm2_audio_quality",
-    "mm3_clip_segments",
-    "o5_topk",
-    "o6_limit_per_group",
-    "p3_conditional_output",
-    "p14_predicate_branch",
-    "s2_ome_companion_scan",
-    "s8_trackmate_spots",
+    # new this round (never driver-proven)
+    "o10_dpp_join",
+    "j12_aqe_skew_split",
+    "v14_ivf_append",
+    "e13_streaming_ewma",
+    # the stale r04 cohort remainder (last external proof
+    # CORRECTNESS_r04; the r8 verdict's item-2 list minus v3/v4 which
+    # sit in the changed-code block above)
     "s8b_trackmate_edges",
     "t4_token_counts",
     "t5_redact",
     "t6_repetition",
     "u3_u4_multi_concat",
     "u5_intersect_except",
-    "v3_ivf_topk",
-    "v4_probe_topk",
     "w6_rank_lead_ntile",
-    # the r8 additions grew the head past 50: s8b/t4/t5/t6/u3_u4/u5/
-    # v3/v4/w6/w7/w8 (all r4-proven; v3 exercised this round via the
-    # v13 shared ivf_topk path and locally re-gated) sit just past the
-    # boundary — first in line for the r9 window together with the
-    # oldest r05 cohort (a12, c4-c9, ...). The in-window r04 cohort is
-    # held at exactly 23 + j10/j11 (the r7 verdict's Done criterion);
-    # adding another new query this round would breach it.
     "w7_session_window",
     "w8_range_frame",
+    # the oldest r05 cohort (fills the remaining slots; the rest of the
+    # r05 set — s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10, w10 — is
+    # first in line for r10)
+    "a12_group_quantiles",
+    "c4_hash_stratified_sample",
+    "c5_decontaminate",
+    "c6_epoch_shuffle",
+    "c7_incremental_upsert",
+    "c8_mixture_rebalance",
+    "c9_split_manifest",
+    "d3b_minhash_expr_bands",
+    "d8_duplicated_spans",
+    "e1_hourly_rollup",
+    "e2_sessionize",
+    "e3_funnel_conversion",
+    "e4_retention_cohorts",
+    "m4_static_features",
+    "m6b_mask_contours",
+    "mm4_resize",
+    "mm5_audio_resample",
+    "s1_glob_scan",
+    "s5_jpeg_gray",
+    "s6_s7_csv_roundtrip",
+    "s9_s10_roi_zip_roundtrip",
 ]
 
 
