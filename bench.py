@@ -83,6 +83,32 @@ def _materialise(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _preflight_quiet(max_wait_s: float, threshold: float = 2.0) -> list[str]:
+    """r9 (verdict item 3 — BENCH_r07/r08 were both contended
+    artifacts): wait up to ``max_wait_s`` for the 1-minute loadavg to
+    drop below ``threshold`` before measuring, and return warnings to
+    embed in the artifact if the box never quietens. The wait is
+    bounded so a busy driver host still produces an artifact — the
+    warning tells the reader the absolute numbers are not comparable
+    across rounds (per-query minima with tight spreads remain the only
+    readable signal on a contended box)."""
+    warnings: list[str] = []
+    la = _loadavg()
+    if la is None:
+        return warnings
+    deadline = time.monotonic() + max_wait_s
+    while la is not None and la > threshold and time.monotonic() < deadline:
+        time.sleep(5.0)
+        la = _loadavg()
+    if la is not None and la > threshold:
+        warnings.append(
+            f"contended: loadavg {la} > {threshold} after waiting "
+            f"{max_wait_s:.0f}s — absolute numbers not comparable across "
+            "rounds; read per-query sample minima/spreads only"
+        )
+    return warnings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -91,6 +117,9 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    warnings = _preflight_quiet(
+        float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "90"))
+    )
     load_start = _loadavg()
     spark = get_spark(app_name="cellphe-bench")
     qs = entry_mod.queries()
@@ -102,10 +131,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        # best of 2: first run pays codegen/scan caches; the repeat is the
-        # steady-state number a long-running cluster job would see
+        # best of 3: the first run pays codegen/scan caches, the two
+        # repeats are steady-state — their agreement (not the
+        # first-vs-rest gap, which is codegen by design) is the
+        # contention signal the spread check below reads
         runs: list[float] = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             _materialise(df)
@@ -149,6 +180,22 @@ def main() -> None:
     times["pipeline_726frames"] = min(runs)
     total += times["pipeline_726frames"]
 
+    # spread self-check (r9): on an idle box a query's STEADY-STATE
+    # repeats (runs[1:] — the first run pays codegen by design) agree
+    # within ~1.3x; a majority above that marks the artifact contended
+    # even if loadavg looked fine at the start
+    wide = [
+        n
+        for n, r in samples.items()
+        if len(r) > 1 and min(r[1:]) > 0 and max(r[1:]) / min(r[1:]) > 1.3
+    ]
+    if len(wide) * 2 > len(samples):
+        warnings.append(
+            f"wide spreads on {len(wide)}/{len(samples)} queries "
+            f"({', '.join(sorted(wide))}) — repeats disagree >1.3x; "
+            "treat this artifact as contended"
+        )
+
     print(
         json.dumps(
             {
@@ -159,6 +206,7 @@ def main() -> None:
                 "samples": samples,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                "warnings": warnings,
                 "sf": sf,
             }
         )
