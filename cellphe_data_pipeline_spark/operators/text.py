@@ -1294,6 +1294,28 @@ def _bpe_select_batch(
 # < n_merges whenever batching engaged
 _last_learn_rounds = 0
 
+# per-round log of the last delta-strategy learn (r9, the SCALE.md
+# later-stage batching measurement): one dict per round with the batch
+# size and why the greedy selector stopped — "max_take" (budget),
+# "exhausted" (took every fetched pair), "overlap" (next candidate
+# shares a symbol with the batch) or "hazard" (next candidate's count
+# cleared neither the serial-equivalence bound)
+_last_learn_round_log: list[dict] = []
+
+
+def _classify_stop(fetched, batch, max_take) -> str:
+    if len(batch) >= max_take:
+        return "max_take"
+    if len(batch) >= len(fetched):
+        return "exhausted"
+    nxt = fetched[len(batch)]
+    syms = set()
+    for l, r, _ in batch:
+        syms |= {l, r, l + r}
+    if nxt["l"] in syms or nxt["r"] in syms or (nxt["l"] + nxt["r"]) in syms:
+        return "overlap"
+    return "hazard"
+
 
 def bpe_learn_merges(
     df: DataFrame,
@@ -1415,6 +1437,7 @@ def bpe_learn_merges(
     # initial one; every later round touches the affected slice only
     global _last_learn_rounds
     _last_learn_rounds = 0
+    _last_learn_round_log.clear()
     state = cut_lineage(state, name="bpe-state-init")
     counts = cut_lineage(_bpe_state_pairs(state, s2), name="bpe-counts-init")
     while len(merges) < n_merges:
@@ -1426,8 +1449,17 @@ def bpe_learn_merges(
         )
         if not fetched:
             break
+        max_take = n_merges - len(merges)
         batch = _bpe_select_batch(
-            fetched, len(fetched) == fetch_width, n_merges - len(merges)
+            fetched, len(fetched) == fetch_width, max_take
+        )
+        _last_learn_round_log.append(
+            {
+                "round": _last_learn_rounds,
+                "fetched": len(fetched),
+                "batch": len(batch),
+                "stop": _classify_stop(fetched, batch, max_take),
+            }
         )
         for l, r, c in batch:
             merges.append((len(merges), l, r, c))

@@ -4442,6 +4442,73 @@ def e13(spark, sf_dir):
 
 
 @register(
+    "e14_streaming_gap_fill",
+    """
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE user_id < 50
+    ),
+    obs AS (
+      SELECT user_id, h, CAST(SUM(v) AS DOUBLE) AS hv
+      FROM h GROUP BY user_id, h
+    ),
+    rng AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    )
+    SELECT g.user_id, g.h AS hour_ts,
+           (obs.hv IS NOT NULL) AS observed,
+           last_value(obs.hv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled
+    FROM grid g LEFT JOIN obs ON obs.user_id = g.user_id AND obs.h = g.h
+    """,
+)
+def e14(spark, sf_dir):
+    """§2.11 streaming twin of w10 (r9; streaming/tracker.
+    streaming_gap_fill — the ELEVENTH driver-verified real streaming
+    runtime): time-grid LOCF gap fill as a python-state operator.
+    Where the batch form needs a grid EXPLODE plus a keyed IGNORE
+    NULLS window over the whole range, the streaming form keeps three
+    scalars per key (last hour, LOCF cents, seen-any) and emits each
+    gap the moment a later hour closes it — output grows with the
+    stream, not with history. Hourly sums ride as exact int64 CENTS
+    through the kernel (one /100.0 conversion engine-side at the
+    end, bit-identical to the batch decimal-sum-then-double — one
+    rounding from the same rational). Checked against w10's very
+    oracle text. Hour-aligned/monotone batch contract documented at
+    the operator; multi-batch gap emission ACROSS slice boundaries is
+    pinned by tests/test_streaming.py."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_gap_fill,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    sink = _drain_to_memory(
+        ev, "e14_stream_gapfill", "e14_gapfill_sink",
+        streaming_gap_fill, "append", "e14_streaming_gap_fill",
+    )
+    return sink.select(
+        "user_id",
+        F.timestamp_micros(F.col("h_us")).alias("hour_ts"),
+        "observed",
+        F.when(F.col("filled"), F.col("cents") / F.lit(100.0)).alias(
+            "val_filled"
+        ),
+    )
+
+
+@register(
     "o6_limit_per_group",
     """
     SELECT lang, doc_id, n_chars FROM (
@@ -8266,6 +8333,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "j12_aqe_skew_split",
     "v14_ivf_append",
     "e13_streaming_ewma",
+    "e14_streaming_gap_fill",
     # the stale r04 cohort remainder (last external proof
     # CORRECTNESS_r04; the r8 verdict's item-2 list minus v3/v4 which
     # sit in the changed-code block above)
@@ -8279,8 +8347,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "w7_session_window",
     "w8_range_frame",
     # the oldest r05 cohort (fills the remaining slots; the rest of the
-    # r05 set — s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10, w10 — is
-    # first in line for r10)
+    # r05 set — s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10, w10 —
+    # is first in line for r10)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
@@ -8301,7 +8369,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "s1_glob_scan",
     "s5_jpeg_gray",
     "s6_s7_csv_roundtrip",
-    "s9_s10_roi_zip_roundtrip",
 ]
 
 

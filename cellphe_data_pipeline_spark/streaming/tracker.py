@@ -397,6 +397,109 @@ def streaming_ewma(
     )
 
 
+GAPFILL_STATE = T.StructType(
+    [
+        T.StructField("last_h_us", T.LongType()),
+        T.StructField("locf_cents", T.LongType()),
+        T.StructField("has_locf", T.BooleanType()),
+    ]
+)
+
+GAPFILL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("h_us", T.LongType()),
+        T.StructField("observed", T.BooleanType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("filled", T.BooleanType()),  # cents carries a value
+    ]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def streaming_gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    hour_col: str = "h_us",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Streaming twin of the batch w10 time-grid LOCF gap fill (r9):
+    per key, every hour between the first and last OBSERVED hour gets
+    a row — observed hours carry their exact hourly sum, missing hours
+    carry the last observation forward. State per key is three scalars
+    (last emitted hour, LOCF sum in integer cents, whether any
+    non-null sum exists yet): O(1), the streaming-native shape of an
+    operator whose batch form needs a grid explode + keyed window.
+    Emission is incremental — a new hour closes every gap behind it,
+    so output grows with the stream, not with history.
+
+    Exactness: hourly sums arrive as INTEGER CENTS (the caller
+    pre-multiplies the 2dp value column), summed exactly in int64 per
+    (key, hour); the /100.0 conversion happens once, engine-side, in
+    the consuming query — bit-identical to the batch form's
+    decimal-sum-then-double (one rounding from the same rational).
+
+    Ordering contract (e13's, plus hour alignment): batches must be
+    key-monotone AND hour-aligned — an hour's rows must not split
+    across micro-batches, because an emitted hour's sum is final
+    (availableNow backfill drains satisfy both trivially; a live
+    deployment puts a watermarked hourly rollup — e5's operator — in
+    front, whose append-mode emissions are exactly hour-closed
+    batches). Null-sum hours (all values NULL) extend the grid but do
+    not update LOCF, matching the batch oracle's IGNORE NULLS window;
+    rows whose hour is NULL are dropped, matching the grid join.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch[hour_col].notna()]
+        if len(batch) == 0:
+            yield pd.DataFrame([], columns=[f.name for f in GAPFILL_OUT.fields])
+            return
+        if state.exists:
+            last_h, locf, has_locf = state.get
+        else:
+            last_h, locf, has_locf = None, 0, False
+        per_hour = {}
+        for h, c in zip(batch[hour_col].astype("int64"), batch[cents_col]):
+            n, s = per_hour.get(int(h), (0, 0))
+            if pd.notna(c):
+                per_hour[int(h)] = (n + 1, s + int(c))
+            else:
+                per_hour[int(h)] = (n, s)
+        out = []
+        uid = key[0]
+        for h in sorted(per_hour):
+            n_obs, s = per_hour[h]
+            if last_h is not None:
+                g = last_h + _HOUR_US
+                while g < h:
+                    out.append((uid, g, False, locf, has_locf))
+                    g += _HOUR_US
+            if n_obs > 0:
+                out.append((uid, h, True, s, True))
+                locf, has_locf = s, True
+            else:
+                # null-sum hour: on the grid, unobserved, LOCF carried
+                out.append((uid, h, False, locf, has_locf))
+            last_h = h
+        state.update((last_h, locf, has_locf))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in GAPFILL_OUT.fields]
+        ).astype(
+            {"user_id": "int64", "h_us": "int64", "cents": "int64"}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, GAPFILL_OUT, GAPFILL_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 TRACK_STATE = T.StructType(
     [
         T.StructField("next_tid", T.LongType()),

@@ -827,3 +827,68 @@ def test_streaming_ewma_chains_state_across_batches(spark, tmp_path):
     assert len(got) == 90
     # bit-identical, including every row whose lags cross a boundary
     assert got == want
+
+
+def test_streaming_gap_fill_emits_gaps_across_batch_boundaries(spark, tmp_path):
+    """A gap that SPANS micro-batches must be emitted when the later
+    batch's first hour closes it — the per-key (last hour, LOCF)
+    state is what makes that possible. Three hour-aligned slices;
+    user 1 observes hours 0,1 in slice A and hour 5 in slice C: the
+    3-hour gap rows must appear, carrying hour-1's sum forward."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        _HOUR_US,
+        streaming_gap_fill,
+    )
+
+    H = _HOUR_US
+    rows = [
+        # (user, hour_us, cents)
+        (1, 0 * H, 100), (1, 0 * H, 250), (1, 1 * H, 700),
+        (2, 1 * H, 50),
+        (2, 2 * H, 60),
+        (1, 5 * H, 900),
+        (2, 5 * H, None),  # null-sum hour: grid row, LOCF carried
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, h_us bigint, cents bigint")
+    staged = str(tmp_path / "gapfill_stream")
+    import time
+
+    for lo, hi in ((0, 2), (2, 3), (3, 6)):
+        df.filter(
+            (F.col("h_us") >= lo * H) & (F.col("h_us") < hi * H)
+        ).coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_gap_fill(stream)
+        .writeStream.format("memory")
+        .queryName("gapfill_chain_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    got = {
+        (r["user_id"], r["h_us"]): (r["observed"], r["cents"], r["filled"])
+        for r in spark.sql("SELECT * FROM gapfill_chain_test").collect()
+    }
+    want = {
+        (1, 0 * H): (True, 350, True),
+        (1, 1 * H): (True, 700, True),
+        (1, 2 * H): (False, 700, True),   # gap spans the A->C boundary
+        (1, 3 * H): (False, 700, True),
+        (1, 4 * H): (False, 700, True),
+        (1, 5 * H): (True, 900, True),
+        (2, 1 * H): (True, 50, True),
+        (2, 2 * H): (True, 60, True),
+        (2, 3 * H): (False, 60, True),
+        (2, 4 * H): (False, 60, True),
+        (2, 5 * H): (False, 60, True),    # null-sum hour: unobserved, LOCF
+    }
+    assert got == want
