@@ -861,14 +861,32 @@ def pq_topk(
     # BOTH the encode pass and the LUT; without the cut each consumer
     # re-runs the training corpus pass.
     codebook = codebook.localCheckpoint(eager=True)
+    codes = pq_encode(sub, codebook)
+    lut = pq_query_lut(sub.filter(F.col("vec_id") < n_queries), codebook, scale)
+    return pq_adc_topk(codes, lut, k)
 
-    codes = _pq_assign(sub, codebook).select("vec_id", "m", "code")
 
+def pq_encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """ENCODE a (possibly new) subvector batch against a codebook —
+    the (vec_id, m, code) rows the PQ index stores. Shared by the
+    one-call v9 path, the publish half of the v15 lifecycle, and the
+    APPEND half (new vectors cost one broadcast argmin pass each,
+    O(batch), no retraining — the IVF v14 contract, byte-for-byte the
+    same assignment mechanism training used)."""
+    return _pq_assign(sub, codebook).select("vec_id", "m", "code")
+
+
+def pq_query_lut(
+    sub_queries: DataFrame, codebook: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-probe ADC lookup table: squared L2 from each query subvector
+    to every codeword, fixed-point rounded to the 1/scale grid so the
+    cross-subspace SUM is an exact int64. m_subs x n_codes rows per
+    probe — broadcast-sized for any sane probe batch."""
     diff_sq = F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
     dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
-    lut = (
-        sub.filter(F.col("vec_id") < n_queries)
-        .join(F.broadcast(codebook), "m")
+    return (
+        sub_queries.join(F.broadcast(codebook), "m")
         .select(
             F.col("vec_id").alias("qid"),
             "m",
@@ -877,6 +895,13 @@ def pq_topk(
         )
     )
 
+
+def pq_adc_topk(codes: DataFrame, lut: DataFrame, k: int = 5) -> DataFrame:
+    """Score a PQ code table against a broadcast probe LUT: approximate
+    distance = exact int64 SUM over subspaces of LUT[m, code], one
+    combinable groupBy — the corpus-side table is CODES ONLY (m_subs
+    bytes/vector at production widths), never raw vectors. Top-k per
+    probe, ties by neighbor id."""
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(lut), ["m", "code"])

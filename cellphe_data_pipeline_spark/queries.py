@@ -5880,14 +5880,21 @@ def _pq_oracle_sql(
     n_codes: int = 8,
     n_queries: int = 10,
     k: int = 5,
+    train_pred: str = "TRUE",
+    query_pred: str | None = None,
 ) -> str:
     """DuckDB mirror of pq_topk: identical subvector slices, the v8
     fixed-point Lloyd iteration replayed per subspace, identical
     sequential diff-square folds (list_dot_product of the diff vector)
     and identical 1e-6-grid LUT rounding — so codes, LUT entries and
     the exact-bigint ADC sums are bit-equal, and the row_number ties
-    break identically."""
+    break identically. ``train_pred`` restricts the TRAINING slice
+    (r9: v15 trains on the base 90% and encodes everything — the v14
+    incremental-lifecycle parameterisation); ``query_pred`` selects
+    the probes (default: the n_queries lowest ids)."""
     sub = dim // m_subs
+    if query_pred is None:
+        query_pred = f"sub.vec_id < {n_queries}"
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     sub AS (
@@ -5895,13 +5902,14 @@ def _pq_oracle_sql(
              v[(m*{sub}+1):((m+1)*{sub})] AS sv
       FROM e, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)
     ),
-    seeds AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id IN
-                (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT {n_codes})),
+    subt AS (SELECT * FROM sub WHERE {train_pred}),
+    seeds AS (SELECT m, vec_id AS code, sv AS cv FROM subt WHERE vec_id IN
+                (SELECT DISTINCT vec_id FROM subt ORDER BY vec_id LIMIT {n_codes})),
     a1 AS (
       SELECT sub.vec_id, sub.m, sub.sv, s.code,
              list_dot_product(list_transform(sub.sv, (x, i) -> x - s.cv[i]),
                               list_transform(sub.sv, (x, i) -> x - s.cv[i])) AS dist
-      FROM sub JOIN seeds s ON sub.m = s.m
+      FROM subt sub JOIN seeds s ON sub.m = s.m
     ),
     asg AS (
       SELECT vec_id, m, sv, code,
@@ -5938,7 +5946,7 @@ def _pq_oracle_sql(
                                          list_transform(sub.sv, (x, i) -> x - cb.cv[i]))
                         * 1000000 + 0.5) AS BIGINT) AS dq
       FROM sub JOIN cb ON sub.m = cb.m
-      WHERE sub.vec_id < {n_queries}
+      WHERE {query_pred}
     ),
     sc AS (
       SELECT l.qid, enc.vec_id AS neighbor_id, SUM(l.dq) AS adc_q
@@ -7288,6 +7296,50 @@ def v14(spark, sf_dir):
     return ivf_query_published(new_batch, bucket, idx, k=5, n_probe=2)
 
 
+@register(
+    "v15_pq_published",
+    _pq_oracle_sql(
+        train_pred="vec_id % 10 <> 0", query_pred="sub.vec_id % 10 = 0"
+    ),
+)
+def v15(spark, sf_dir):
+    """PQ with a PUBLISHED index + APPEND (r9) — v14's incremental
+    lifecycle on the COMPRESSED index family: train the per-subspace
+    codebook on the 90% base slice and publish codebook + code table
+    (the corpus stored as m_subs one-byte codes per vector — the
+    64x-memory-cut artifact), then ENCODE ONLY the new 10% batch
+    against the published codebook (one broadcast argmin per
+    subvector, O(batch), no retraining — similarity.pq_encode, the
+    byte-identical assignment mechanism training used),
+    parquet-append, and serve the new batch's ADC top-5 from the
+    refreshed code table (pq_query_lut + pq_adc_topk: exact-int64 LUT
+    sums, codes-only corpus side). Same documented drift trade as
+    v14: appended vectors never move codewords; retrain on an a15
+    code-histogram drift signal. Oracle: the v9 PQ chain
+    parameterised on its training slice and probe predicate."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_query_lut,
+        pq_subvectors,
+        pq_train_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    new_batch = emb.filter(F.col("vec_id") % 10 == 0)
+    sub_base = pq_subvectors(base, EMB_DIM)
+    cb_dir = _stage_dir("v15_pq_codebook")
+    pq_train_codebook(sub_base).write.mode("overwrite").parquet(cb_dir)
+    cb = spark.read.parquet(cb_dir)
+    codes_dir = _stage_dir("v15_pq_codes")
+    pq_encode(sub_base, cb).write.mode("overwrite").parquet(codes_dir)
+    sub_new = pq_subvectors(new_batch, EMB_DIM)
+    pq_encode(sub_new, cb).write.mode("append").parquet(codes_dir)
+    codes = spark.read.parquet(codes_dir)
+    return pq_adc_topk(codes, pq_query_lut(sub_new, cb), k=5)
+
+
 def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:
     """Gopher-rule CTE chain shared by t15 (augmented input via the `aug`
     prelude) and e10 (raw readStream input) — r8 review: the two oracles
@@ -8332,6 +8384,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o10_dpp_join",
     "j12_aqe_skew_split",
     "v14_ivf_append",
+    "v15_pq_published",
     "e13_streaming_ewma",
     "e14_streaming_gap_fill",
     # the stale r04 cohort remainder (last external proof
@@ -8346,29 +8399,30 @@ _DRIVER_WINDOW_PRIORITY = [
     "w6_rank_lead_ntile",
     "w7_session_window",
     "w8_range_frame",
-    # the oldest r05 cohort (fills the remaining slots; the rest of the
-    # r05 set — s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10, w10 —
-    # is first in line for r10)
+    # the oldest r05 cohort (fills the remaining slots — w10 included
+    # per the r8 verdict's item-7 Done criterion, alongside its e14
+    # streaming twin above; the rest of the r05 set — c9, s6_s7,
+    # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
+    # line for r10)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
     "c6_epoch_shuffle",
     "c7_incremental_upsert",
     "c8_mixture_rebalance",
-    "c9_split_manifest",
     "d3b_minhash_expr_bands",
     "d8_duplicated_spans",
     "e1_hourly_rollup",
     "e2_sessionize",
     "e3_funnel_conversion",
     "e4_retention_cohorts",
+    "w10_gap_fill",
     "m4_static_features",
     "m6b_mask_contours",
     "mm4_resize",
     "mm5_audio_resample",
     "s1_glob_scan",
     "s5_jpeg_gray",
-    "s6_s7_csv_roundtrip",
 ]
 
 

@@ -297,3 +297,26 @@ def test_j12_skew_join_split_fires_and_preserves_values(spark):
         .collect()
     }
     assert skewed_rows == plain
+
+
+def test_round_z_normalizes_negative_zero(spark):
+    """The r9 gate lesson in one assertion: Spark's round drops the
+    sign of a rounded tiny-negative (so this passes trivially here),
+    and round_z guarantees the +0.0 bit pattern survives any engine's
+    rounding — NULL-transparent, identity elsewhere."""
+    import math
+
+    from cellphe_data_pipeline_spark.functions.scalars import round_z
+
+    r = spark.createDataFrame(
+        [(-1e-9, 1.25, -1.25, None)], "a double, b double, c double, d double"
+    ).select(
+        round_z(F.col("a"), 6).alias("a"),
+        round_z(F.col("b"), 1).alias("b"),
+        round_z(F.col("c"), 1).alias("c"),
+        round_z(F.col("d"), 6).alias("d"),
+    ).collect()[0]
+    assert r["a"] == 0.0 and math.copysign(1.0, r["a"]) == 1.0
+    assert r["b"] == 1.2 or r["b"] == 1.3  # engine HALF_UP: 1.3
+    assert r["c"] == -r["b"]
+    assert r["d"] is None
