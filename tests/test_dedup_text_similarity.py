@@ -2412,3 +2412,59 @@ def test_ivf_topk_rejects_training_knobs_with_pretrained_centroids(spark):
         ivf_topk(df, dim=8, seed=3, centroids=cents)
     # and the trained path still accepts the table alone
     assert ivf_topk(df, dim=8, k=2, centroids=cents).count() > 0
+
+
+def test_ivf_assign_vectors_is_broadcast_only(spark):
+    """v14's append-path contract: assigning a batch against a
+    published centroid table must not shuffle the batch on data —
+    the centroids arrive by broadcast and the only Exchange is the
+    per-vector rank window's keyed partitioning."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_assign_vectors,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import (
+        fixture_embeddings_df,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.9] * 8)], "cluster_id int, cvec array<double>"
+    )
+    df = fixture_embeddings_df(spark)
+    out = ivf_assign_vectors(df, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert out.count() == df.count()  # rank-1: exactly one list per vector
+
+
+def test_pq_adc_topk_corpus_side_never_sort_merge_joins(spark):
+    """v15's query-path contract: scoring the code table against the
+    probe LUT must be a broadcast hash join (codes-only corpus side,
+    LUT broadcast) — a sort-merge join here would shuffle the whole
+    code table per probe batch."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_query_lut,
+        pq_subvectors,
+        pq_train_codebook,
+    )
+    from cellphe_data_pipeline_spark.testing.fixtures import (
+        fixture_embeddings_df,
+    )
+
+    df = fixture_embeddings_df(spark)
+    sub = pq_subvectors(df, dim=8, m_subs=2)
+    cb = pq_train_codebook(sub, n_codes=4).localCheckpoint(eager=True)
+    from pyspark.sql import functions as F
+
+    out = pq_adc_topk(
+        pq_encode(sub, cb),
+        pq_query_lut(sub.filter(F.col("vec_id") < 3), cb),
+        k=2,
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert rows and all(r["rank"] <= 2 for r in rows)
