@@ -3853,6 +3853,79 @@ J12_SKEW_CONFS = {
 }
 
 
+# execution-time settings for o11's bloom-injected join (shared with
+# the plan test): the application-side scan threshold defaults to
+# 10 GB — correct for production (a bloom probe on a small scan costs
+# more than it saves), unreachable at sf0.01 — and broadcast must be
+# off because broadcast joins already filter build-side keys exactly.
+O11_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _o11_bloom_join(spark, sf_dir):
+    """The bloom-filtered join body of o11, shared with the plan test:
+    a selective dim filter (o_totalprice > 400000 keeps ~20% of
+    orders) on a NON-partition join column — static pruning (o9) and
+    DPP (o10) cannot help here; the runtime bloom filter is the
+    row-level third member of that family."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    return li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "o11_bloom_filtered_join",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY l_returnflag
+    """,
+)
+def o11(spark, sf_dir):
+    """Runtime bloom-filter join pruning (r9) — the ROW-LEVEL third
+    member of the runtime-pruning family: o9 prunes partitions with a
+    static literal, o10 prunes partitions with a runtime dim
+    (DynamicPruningExpression), and o11 prunes individual FACT ROWS
+    when the join column is not a partition column at all — Spark
+    builds a bloom filter over the filtered dim's join keys and
+    injects ``might_contain(subquery, xxhash64(l_orderkey))`` into the
+    fact scan's filter, so ~80% of fact rows die BEFORE the join
+    shuffle instead of after it (plan-gated in tests/test_scale.py).
+    At 100 TB this is the lever for selective dim filters over
+    non-partition keys — the case where repartitioning the corpus is
+    not an option. Like j12 the thresholds are read at optimization
+    time, so the join is materialised inside the conf scope (the
+    10 GB application-side default is correct for production and
+    unreachable in the fixture). The oracle computes the same join
+    unfiltered-by-bloom — a bloom filter has false positives but NO
+    false negatives, and the join itself discards them, so values are
+    invariant by construction."""
+    out = _o11_bloom_join(spark, sf_dir)
+    staged = _stage_dir("o11_bloom_out")
+    with _session_confs(spark, **O11_BLOOM_CONFS):
+        out.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
 @register(
     "j12_aqe_skew_split",
     """
@@ -8383,6 +8456,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round (never driver-proven)
     "o10_dpp_join",
     "j12_aqe_skew_split",
+    "o11_bloom_filtered_join",
     "v14_ivf_append",
     "v15_pq_published",
     "e13_streaming_ewma",
@@ -8403,7 +8477,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # per the r8 verdict's item-7 Done criterion, alongside its e14
     # streaming twin above; the rest of the r05 set — c9, s6_s7,
     # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10)
+    # line for r10, with mm5)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
@@ -8420,7 +8494,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "m4_static_features",
     "m6b_mask_contours",
     "mm4_resize",
-    "mm5_audio_resample",
     "s1_glob_scan",
     "s5_jpeg_gray",
 ]

@@ -320,3 +320,28 @@ def test_round_z_normalizes_negative_zero(spark):
     assert r["b"] == 1.2 or r["b"] == 1.3  # engine HALF_UP: 1.3
     assert r["c"] == -r["b"]
     assert r["d"] is None
+
+
+def test_o11_bloom_runtime_filter_fires_and_preserves_values(spark):
+    """Under O11_BLOOM_CONFS the fact scan must carry the injected
+    might_contain(bloom subquery) predicate in the EXECUTED plan, and
+    the bloom-filtered result must match the same join with default
+    thresholds (false positives are discarded by the join; no false
+    negatives by construction)."""
+    from cellphe_data_pipeline_spark.queries import (
+        O11_BLOOM_CONFS,
+        _o11_bloom_join,
+        _session_confs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    agg = _o11_bloom_join(spark, sf)
+    with _session_confs(spark, **O11_BLOOM_CONFS):
+        got = {r["l_returnflag"]: (r["n_rows"], r["sum_price"]) for r in agg.collect()}
+        ex = agg._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in ex, "bloom runtime filter did not inject:\n" + ex[:2000]
+    plain = {
+        r["l_returnflag"]: (r["n_rows"], r["sum_price"])
+        for r in _o11_bloom_join(spark, sf).collect()
+    }
+    assert got == plain
