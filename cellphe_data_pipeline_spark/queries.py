@@ -7302,8 +7302,10 @@ def v13(spark, sf_dir):
     ).select("vec_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
-@register(
-    "v14_ivf_append",
+# train-on-base / assign-all / probe-new oracle chain, shared by v14
+# (batch append lifecycle) and e15 (the same query half served to a
+# probe STREAM — identical semantics, identical rows)
+_V14_ORACLE = (
     _lloyd_cte_prefix(
         train="eb",
         extra_ctes="eb AS (SELECT * FROM e WHERE vec_id % 10 <> 0),\n    ",
@@ -7327,8 +7329,11 @@ def v13(spark, sf_dir):
                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM cand
     ) WHERE rank <= 5
-    """,
+    """
 )
+
+
+@register("v14_ivf_append", _V14_ORACLE)
 def v14(spark, sf_dir):
     """Incremental IVF index maintenance (r9) — what v13's
     build-once/query-many lifecycle needs when the corpus APPENDS:
@@ -7367,6 +7372,61 @@ def v14(spark, sf_dir):
     bucket = spark.read.parquet(bucket_dir)
     # query-many: the new batch queries the refreshed bucket table
     return ivf_query_published(new_batch, bucket, idx, k=5, n_probe=2)
+
+
+@register("e15_streaming_ann_serve", _V14_ORACLE)
+def e15(spark, sf_dir):
+    """§2.11 streaming ANN index serving (r9; streaming/tracker.
+    streaming_ann_serve — the TWELFTH driver-verified streaming
+    runtime, and the first to exercise a STREAM-STATIC join and
+    ``foreachBatch``): the v14 lifecycle's query half with probes
+    arriving as a stream against the published-and-appended index.
+    Probe→list assignment is stateless codegen (centroids inlined as
+    literals — the srp_planes precedent), candidates come from a
+    stream-static hash join on list_id (no state store: the static
+    bucket side is re-planned per micro-batch), and per-probe top-5
+    runs inside foreachBatch — sound because every candidate for a
+    probe is generated in that probe's own micro-batch by the join,
+    so per-batch top-k IS global top-k. Must produce the exact rows
+    of the batch v14 (same oracle text)."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_assign_vectors,
+        lloyd_centroid_vectors,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_ann_serve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    new_batch = emb.filter(F.col("vec_id") % 10 == 0)
+    idx_dir = _stage_dir("e15_ivf_index")
+    lloyd_centroid_vectors(base, k=16).write.mode("overwrite").parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
+    bucket_dir = _stage_dir("e15_ivf_bucket")
+    ivf_assign_vectors(base, idx).write.mode("overwrite").parquet(bucket_dir)
+    ivf_assign_vectors(new_batch, idx).write.mode("append").parquet(bucket_dir)
+    bucket = spark.read.parquet(bucket_dir)
+    centroid_rows = [
+        (int(r["cluster_id"]), [float(x) for x in r["cvec"]])
+        for r in idx.collect()
+    ]
+    probe_dir = _stage_dir("e15_probe_stream")
+    new_batch.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        probe_dir
+    )
+    probe_stream = spark.readStream.schema(
+        new_batch.select("vec_id", "embedding").schema
+    ).parquet(probe_dir)
+    out_dir = _stage_dir("e15_topk_out")
+    ckpt_dir = _stage_dir("e15_topk_ckpt")  # wiped: stale file-source
+    # checkpoints silently skip already-seen paths on replay
+    with _bounded_shuffle_partitions(spark):
+        streaming_ann_serve(
+            probe_stream, bucket, centroid_rows, out_dir,
+            k=5, n_probe=2, ckpt_dir=ckpt_dir,
+        )
+    return spark.read.parquet(out_dir)
 
 
 @register(
@@ -8461,6 +8521,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v15_pq_published",
     "e13_streaming_ewma",
     "e14_streaming_gap_fill",
+    "e15_streaming_ann_serve",
     # the stale r04 cohort remainder (last external proof
     # CORRECTNESS_r04; the r8 verdict's item-2 list minus v3/v4 which
     # sit in the changed-code block above)
@@ -8477,7 +8538,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # per the r8 verdict's item-7 Done criterion, alongside its e14
     # streaming twin above; the rest of the r05 set — c9, s6_s7,
     # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10, with mm5)
+    # line for r10, with mm4/mm5)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
@@ -8493,7 +8554,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "w10_gap_fill",
     "m4_static_features",
     "m6b_mask_contours",
-    "mm4_resize",
     "s1_glob_scan",
     "s5_jpeg_gray",
 ]

@@ -397,6 +397,119 @@ def streaming_ewma(
     )
 
 
+def streaming_ann_serve(
+    probe_stream: DataFrame,
+    bucket: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    out_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    timeout_s: float = 300.0,
+    ckpt_dir: str | None = None,
+) -> None:
+    """Serve an ANN index to a PROBE STREAM (r9) — the production
+    shape of the v13/v14 lifecycle's query half: probes arrive as a
+    stream, the published index stays static. Exercises the two
+    streaming surfaces the other runtimes don't: a STREAM-STATIC
+    equi-join (the standard enrichment topology — the static bucket
+    table is re-planned per micro-batch, no state store involved) and
+    ``foreachBatch`` (per-probe top-k needs a window, which streams
+    don't support — but every candidate for a probe is generated
+    inside that probe's own micro-batch by the join, so per-batch
+    top-k IS global top-k, the documented contract that makes
+    foreachBatch sound here).
+
+    Probe→list assignment is STATELESS per row: the centroid table is
+    driver-inlined as literals (k×dim doubles — the srp_planes
+    precedent), each probe computes its distance struct array,
+    array_sort picks the ``n_probe`` nearest — pure codegen, no
+    shuffle on the stream side before the join.
+
+    Scale: the bucket side is corpus-sized but arrives pre-assigned
+    (vectors + norms materialised at publish time) and the join is a
+    hash equi-join on list_id; per-batch cost is
+    O(batch × corpus/n_lists × n_probe) — v13's query-half contract,
+    now incremental per micro-batch. Results are parquet-APPENDED by
+    foreachBatch (idempotent per epoch via the batch id is the
+    production discipline; the bounded drain here runs each batch
+    once).
+    """
+    from cellphe_data_pipeline_spark.functions.scalars import round_z
+
+    probe_cols = []
+    for lid, cv in centroid_rows:
+        diff = F.zip_with(
+            F.col("_emb"),
+            F.array(*[F.lit(float(x)) for x in cv]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        probe_cols.append(F.struct(d2.alias("d2"), F.lit(int(lid)).alias("list_id")))
+    nearest = F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe)
+    probes = (
+        probe_stream.withColumn(
+            "_emb", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        )
+        .withColumn("_norm", F.sqrt(F.aggregate(
+            F.zip_with(F.col("_emb"), F.col("_emb"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )))
+        .select(
+            "vec_id",
+            F.col("_emb").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(nearest).alias("pr"),
+        )
+        .select("vec_id", "q_emb", "q_norm", F.col("pr.list_id").alias("list_id"))
+    )
+    cand = probes.join(
+        bucket.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+            "list_id",
+        ),
+        "list_id",
+    ).filter(F.col("vec_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.withColumn(
+        "cos_sim", round_z(dot / (F.col("q_norm") * F.col("c_norm")), 5)
+    ).select("vec_id", "neighbor_id", "cos_sim")
+
+    def emit_topk(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        scored.writeStream.foreachBatch(emit_topk)
+        # the caller owns checkpoint lifetime: a STALE checkpoint makes
+        # the file source silently skip already-seen paths — bounded
+        # replays must wipe it alongside the output dir
+        .option("checkpointLocation", ckpt_dir or out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            "streaming_ann_serve: availableNow drain did not finish in "
+            f"{timeout_s:.0f}s — refusing to leave a partial result dir"
+        )
+
+
 GAPFILL_STATE = T.StructType(
     [
         T.StructField("last_h_us", T.LongType()),
