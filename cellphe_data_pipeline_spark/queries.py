@@ -3838,6 +3838,76 @@ def _j12_skewed_sides(spark, sf_dir):
     return li, dim
 
 
+# plan-time setting for o12's pruned point lookup (shared with the
+# plan test): the auto-bucketed-scan heuristic disables bucketed
+# reading when no operator NEEDS the clustering — but bucket PRUNING
+# is itself the benefit for a point lookup, so it must be forced on.
+O12_BUCKET_CONFS = {
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+}
+
+O12_KEYS = (17, 29, 101)  # present at every test SF
+
+
+def _o12_pruned_lookup(spark, sf_dir):
+    """The bucket-pruned point-lookup body of o12, shared with the
+    plan test: publish customer bucketed by c_custkey, read back with
+    an IN-list filter on the bucket column — the scan opens only the
+    buckets the keys hash into (`SelectedBucketsCount: k out of 8`)."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_bucketed,
+        read_bucketed,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    publish_bucketed(
+        cust, "o12_cust_bk", ["c_custkey"], num_buckets=8,
+        path=_stage_dir("o12_cust_bk"),
+    )
+    return read_bucketed(spark, "o12_cust_bk").filter(
+        F.col("c_custkey").isin(*O12_KEYS)
+    )
+
+
+@register(
+    "o12_bucket_pruned_lookup",
+    f"""
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey IN {O12_KEYS}
+    """,
+)
+def o12(spark, sf_dir):
+    """Bucket-pruned point lookup (r9) — the FOURTH scan-pruning
+    mechanism as a driver query, completing the family: o9 prunes
+    partition DIRECTORIES with a static literal, o10 prunes them at
+    runtime (DPP), o11 prunes individual ROWS via a bloom filter on a
+    non-layout column, and o12 prunes bucket FILES — an equality/IN
+    filter on the bucket column hashes each key to its bucket and the
+    scan opens only those files (`SelectedBucketsCount: k out of 8`,
+    plan-gated in tests/test_scale.py). At 100 TB this is the
+    point-lookup path on a bucketed fact: O(keys × corpus/buckets)
+    bytes read with no index structure beyond the o8 publish
+    discipline the joins already paid for. One planner trap captured
+    in O12_BUCKET_CONFS + the test: the auto-bucketed-scan heuristic
+    turns OFF bucketed reading when no join/agg needs the clustering,
+    silently discarding the pruning — it must be forced on for
+    lookup-shaped plans. Values are layout-invariant (oracle = the
+    same filter on the unbucketed original); c_acctbal cast to double
+    on both sides (the bucketed publish stores the parquet original's
+    decimal)."""
+    out = _o12_pruned_lookup(spark, sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    staged = _stage_dir("o12_lookup_out")
+    with _session_confs(spark, **O12_BUCKET_CONFS):
+        out.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
 # execution-time AQE settings under which j12's skewed join is
 # materialised (shared with the plan test): thresholds scaled to the
 # sf0.01 shuffle (the defaults are 256 MB-scale — correct for
@@ -8517,6 +8587,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o10_dpp_join",
     "j12_aqe_skew_split",
     "o11_bloom_filtered_join",
+    "o12_bucket_pruned_lookup",
     "v14_ivf_append",
     "v15_pq_published",
     "e13_streaming_ewma",
@@ -8538,7 +8609,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # per the r8 verdict's item-7 Done criterion, alongside its e14
     # streaming twin above; the rest of the r05 set — c9, s6_s7,
     # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10, with mm4/mm5)
+    # line for r10, with e3 and mm4/mm5)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
@@ -8549,7 +8620,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "d8_duplicated_spans",
     "e1_hourly_rollup",
     "e2_sessionize",
-    "e3_funnel_conversion",
     "e4_retention_cohorts",
     "w10_gap_fill",
     "m4_static_features",

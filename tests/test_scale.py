@@ -345,3 +345,35 @@ def test_o11_bloom_runtime_filter_fires_and_preserves_values(spark):
         for r in _o11_bloom_join(spark, sf).collect()
     }
     assert got == plain
+
+
+def test_o12_bucket_pruning_fires_and_respects_planner_trap(spark):
+    """Under O12_BUCKET_CONFS the bucketed point lookup must read a
+    strict subset of buckets (SelectedBucketsCount k/8 with k<8) —
+    and WITHOUT the conf the auto-bucketed-scan heuristic silently
+    discards the pruning (Bucketed: false), which is exactly the trap
+    the conf exists to defuse."""
+    from cellphe_data_pipeline_spark.queries import (
+        O12_BUCKET_CONFS,
+        O12_KEYS,
+        _o12_pruned_lookup,
+        _session_confs,
+    )
+
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        with _session_confs(spark, **O12_BUCKET_CONFS):
+            t = _o12_pruned_lookup(spark, sf)
+            p = _plan(t, mode="formatted")
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+            assert m, "no bucket pruning in plan:\n" + p[:1500]
+            assert int(m.group(1)) < int(m.group(2))
+            assert {r["c_custkey"] for r in t.collect()} == set(O12_KEYS)
+        # the trap: default heuristic disables the bucketed scan for a
+        # lookup-shaped plan (no operator needs the clustering)
+        t2 = _o12_pruned_lookup(spark, sf)
+        assert "Bucketed: false" in _plan(t2, mode="formatted")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS o12_cust_bk")
