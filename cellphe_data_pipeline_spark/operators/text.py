@@ -2068,3 +2068,76 @@ def pmi_phrases(
     return scored.orderBy(
         F.col("score_ppm").desc(), "w1", "w2"
     ).limit(k)
+
+
+def token_coverage_curve(
+    df: DataFrame,
+    vocab_sizes: tuple[int, ...] = (100, 500, 1000, 5000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage curve (r9) — the tokenizer-design profile:
+    for each candidate vocab size k, what fraction of all corpus token
+    OCCURRENCES the top-k types cover (the curve that picks BPE merge
+    counts and OOV budgets; Zipf's law makes it concave, and the knee
+    is the economical vocab size).
+
+    Scale shape: ONE map-combinable groupBy(token) (|vocab| rows out),
+    a distributed TakeOrdered for the max threshold (constant-size
+    result — NEVER a global rank window, whose single-partition sort
+    is the classic scale-killer this formulation exists to avoid),
+    then the per-threshold sums reduce the max(k)-row slice with a
+    one-row broadcast total. The rank window inside the slice IS
+    unpartitioned — legitimate only because the slice is
+    parameter-bounded (max(vocab_sizes) rows), never data-sized. Ties at the k-boundary break (count desc,
+    token) — deterministic across engines.
+
+    Integer exactness (the t21 discipline): coverage is emitted as
+    ppm via DECIMAL(38,0)*1000000 DIV total — exact at any corpus
+    size an int64 row count can describe.
+
+    Output: (vocab_size, covered_tokens, total_tokens, coverage_ppm),
+    one row per requested size.
+    """
+    counts = (
+        _doc_tokens(df, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("total_tokens")
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(max(vocab_sizes))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+            ),
+        )
+    )
+    sums = top.agg(
+        *[
+            F.sum(F.when(F.col("rank") <= k, F.col("cnt")).otherwise(F.lit(0)))
+            .alias(f"_c{k}")
+            for k in vocab_sizes
+        ]
+    )
+    wide = sums.crossJoin(F.broadcast(total))
+    rows = [
+        wide.select(
+            F.lit(k).cast("bigint").alias("vocab_size"),
+            F.col(f"_c{k}").alias("covered_tokens"),
+            "total_tokens",
+            F.expr(
+                f"CAST(CAST(_c{k} AS DECIMAL(38,0)) * 1000000"
+                " DIV total_tokens AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        for k in vocab_sizes
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

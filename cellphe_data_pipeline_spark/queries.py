@@ -8352,6 +8352,51 @@ def _fertility_oracle_sql() -> str:
     """
 
 
+T26_VOCAB_SIZES = (100, 500, 1000, 5000)
+
+
+@register(
+    "t26_token_coverage",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+    t AS (SELECT SUM(cnt) AS total_tokens FROM c),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
+    ks AS (SELECT UNNEST([100, 500, 1000, 5000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS vocab_size,
+           SUM(CASE WHEN r.rank <= ks.k THEN r.cnt ELSE 0 END) AS covered_tokens,
+           MAX(t.total_tokens) AS total_tokens,
+           CAST(CAST(SUM(CASE WHEN r.rank <= ks.k THEN r.cnt ELSE 0 END)
+                     AS HUGEINT) * 1000000 // MAX(t.total_tokens) AS BIGINT)
+             AS coverage_ppm
+    FROM ks, r, t
+    GROUP BY ks.k
+    """,
+)
+def t26(spark, sf_dir):
+    """Vocabulary coverage curve (r9; text.token_coverage_curve) — the
+    tokenizer-design profile: per candidate vocab size k, the fraction
+    of all corpus token occurrences the top-k types cover (the Zipf
+    knee that sizes BPE merge counts and OOV budgets; feeds directly
+    into t19's n_merges and t11's vocab choices). Scale shape: one
+    map-combinable groupBy(token), a distributed TakeOrdered for the
+    max threshold — NEVER a vocabulary-sized global rank window — and
+    parameter-bounded per-threshold sums; coverage as exact integer
+    ppm via decimal (the t21 discipline). The oracle ranks the full
+    vocabulary (fine at oracle scale) with the identical (count desc,
+    token) tie rule."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        token_coverage_curve,
+    )
+
+    return token_coverage_curve(
+        load_table(spark, sf_dir, "documents"), vocab_sizes=T26_VOCAB_SIZES
+    )
+
+
 @register("t25_tokenizer_fertility", _fertility_oracle_sql())
 def t25(spark, sf_dir):
     """Per-language tokenizer FERTILITY (r8): tokens-per-word and
@@ -8588,6 +8633,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "j12_aqe_skew_split",
     "o11_bloom_filtered_join",
     "o12_bucket_pruned_lookup",
+    "t26_token_coverage",
     "v14_ivf_append",
     "v15_pq_published",
     "e13_streaming_ewma",
@@ -8609,7 +8655,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # per the r8 verdict's item-7 Done criterion, alongside its e14
     # streaming twin above; the rest of the r05 set — c9, s6_s7,
     # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10, with e3 and mm4/mm5)
+    # line for r10, with e3/e4 and mm4/mm5)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
@@ -8620,7 +8666,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "d8_duplicated_spans",
     "e1_hourly_rollup",
     "e2_sessionize",
-    "e4_retention_cohorts",
     "w10_gap_fill",
     "m4_static_features",
     "m6b_mask_contours",
