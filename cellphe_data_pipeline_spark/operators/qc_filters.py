@@ -43,3 +43,42 @@ def rows_with_group_count(
     """
     n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     return df.withColumn("n", n).filter(F.expr(predicate))
+
+
+def expectations_audit(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> DataFrame:
+    """Generic row-level data-quality expectations (r9) — the
+    deequ/dbt-tests engine surface the reference hand-rolls per QC
+    notebook (tracking_qc.qmd's duplicate/NA/size checks, each its own
+    dplyr block): every rule is a named boolean Column evaluated
+    per row; the output carries ``passed`` plus the sorted
+    ``failed_rules`` array, so one pass feeds BOTH the clean branch
+    (``filter(passed)``) and the quarantine branch with its
+    per-rule diagnosis — no second scan, no per-rule job.
+
+    Scale shape: rules are plain Column expressions, so everything
+    row-local stays in whole-stage codegen; a referential rule is
+    expressed by the CALLER as a broadcast-joined flag column before
+    calling (see p15's existence flag — the rule itself stays a
+    Column). NULL rule results count as FAILURES (an expectation that
+    cannot be evaluated is not met — the SQL trap where
+    ``value BETWEEN a AND b`` is NULL, not false, on NULL input).
+    """
+    checks = [
+        (name, F.coalesce(col.cast("boolean"), F.lit(False)))
+        for name, col in sorted(rules.items())
+    ]
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                    for name, ok in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = df.withColumn("failed_rules", failed)
+    return out.withColumn("passed", F.size("failed_rules") == 0)

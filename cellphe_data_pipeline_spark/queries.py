@@ -3838,6 +3838,139 @@ def _j12_skewed_sides(spark, sf_dir):
     return li, dim
 
 
+@register(
+    "c19_scd2_history",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type FROM d
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current,
+           ROW_NUMBER() OVER w2 AS version_no
+    FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def c19(spark, sf_dir):
+    """SCD2 dimension-history builder (r9) — the slowly-changing-
+    dimension pattern every warehouse maintains: per key, collapse
+    consecutive identical attribute values into VERSIONS with
+    half-open validity intervals [valid_from, valid_to), the last
+    version open (is_current). Here the tracked attribute is the
+    user's event_type stream — the engine shape is identical for any
+    dim attribute. Scale: ONE hash partitioning on the key reused by
+    both window layers (the change-detection lag/row_number and the
+    interval lead/version ride the same Exchange — the filter between
+    them preserves partitioning); change rows are the only rows that
+    survive to layer two, so the interval pass runs on versions, not
+    events. Null-safety: the first version is kept by row number (a
+    NULL-attribute first row would vanish under IS DISTINCT FROM
+    alone), and value changes use null-safe comparison on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("_prev"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    chg = d.filter(
+        (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("bigint").alias("version_no"),
+    )
+
+
+@register(
+    "p15_expectations_audit",
+    """
+    WITH fin AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    flagged AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_discount,
+             (fin.o_orderkey IS NOT NULL) AS ok_order_finalized,
+             COALESCE(l.l_discount BETWEEN 0.0 AND 0.08, FALSE) AS ok_discount_in_policy,
+             COALESCE(l.l_quantity BETWEEN 1.0 AND 50.0, FALSE) AS ok_qty_in_range,
+             COALESCE(l.l_extendedprice > 0.0, FALSE) AS ok_price_positive,
+             (l.l_shipdate IS NOT NULL) AS ok_shipdate_present
+      FROM lineitem l LEFT JOIN fin ON l.l_orderkey = fin.o_orderkey
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+           list_sort(list_filter([
+             CASE WHEN NOT ok_discount_in_policy THEN 'discount_in_policy' END,
+             CASE WHEN NOT ok_order_finalized THEN 'order_finalized' END,
+             CASE WHEN NOT ok_price_positive THEN 'price_positive' END,
+             CASE WHEN NOT ok_qty_in_range THEN 'qty_in_range' END,
+             CASE WHEN NOT ok_shipdate_present THEN 'shipdate_present' END
+           ], x -> x IS NOT NULL)) AS failed_rules,
+           (ok_discount_in_policy AND ok_order_finalized AND ok_price_positive
+            AND ok_qty_in_range AND ok_shipdate_present) AS passed
+    FROM flagged
+    """,
+)
+def p15(spark, sf_dir):
+    """Row-level data-quality expectations with quarantine diagnosis
+    (r9; qc_filters.expectations_audit) — the deequ/dbt-tests engine
+    surface: five named rules (two range policies, a NOT NULL, a
+    positivity, and a REFERENTIAL rule — the row's order must exist in
+    the finalized-orders dim) evaluated in ONE pass, emitting
+    ``passed`` plus the sorted ``failed_rules`` array per row, so the
+    clean branch and the per-rule quarantine diagnosis come from the
+    same scan. Scale shape: the four row-local rules are pure codegen;
+    the referential rule arrives as a broadcast-left-join existence
+    flag BEFORE the audit (one broadcast, no shuffle of the fact), and
+    NULL rule results count as failures (the SQL BETWEEN-on-NULL
+    trap, handled identically in both engines via COALESCE)."""
+    from cellphe_data_pipeline_spark.operators.qc_filters import (
+        expectations_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice", "l_shipdate",
+    )
+    fin = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("_fin_key"))
+        .distinct()
+    )
+    flagged = li.join(
+        F.broadcast(fin), li["l_orderkey"] == F.col("_fin_key"), "left"
+    )
+    audited = expectations_audit(
+        flagged,
+        {
+            "qty_in_range": F.col("l_quantity").between(1.0, 50.0),
+            "discount_in_policy": F.col("l_discount").between(0.0, 0.08),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+            "price_positive": F.col("l_extendedprice") > 0.0,
+            "order_finalized": F.col("_fin_key").isNotNull(),
+        },
+    )
+    return audited.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "failed_rules", "passed",
+    )
+
+
 # plan-time setting for o12's pruned point lookup (shared with the
 # plan test): the auto-bucketed-scan heuristic disables bucketed
 # reading when no operator NEEDS the clustering — but bucket PRUNING
@@ -8634,6 +8767,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "o11_bloom_filtered_join",
     "o12_bucket_pruned_lookup",
     "t26_token_coverage",
+    "p15_expectations_audit",
+    "c19_scd2_history",
     "v14_ivf_append",
     "v15_pq_published",
     "e13_streaming_ewma",
@@ -8655,15 +8790,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # per the r8 verdict's item-7 Done criterion, alongside its e14
     # streaming twin above; the rest of the r05 set — c9, s6_s7,
     # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10, with e3/e4 and mm4/mm5)
+    # line for r10, with c8/d8/e3/e4 and mm4/mm5)
     "a12_group_quantiles",
     "c4_hash_stratified_sample",
     "c5_decontaminate",
     "c6_epoch_shuffle",
     "c7_incremental_upsert",
-    "c8_mixture_rebalance",
     "d3b_minhash_expr_bands",
-    "d8_duplicated_spans",
     "e1_hourly_rollup",
     "e2_sessionize",
     "w10_gap_fill",
