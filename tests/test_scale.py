@@ -377,3 +377,48 @@ def test_o12_bucket_pruning_fires_and_respects_planner_trap(spark):
         assert "Bucketed: false" in _plan(t2, mode="formatted")
     finally:
         spark.sql("DROP TABLE IF EXISTS o12_cust_bk")
+
+
+def test_round_z_bits_match_duckdb_round_plus_zero(spark):
+    """Cross-engine bit contract behind every round_z/`ROUND(..)+0.0`
+    pair: for a sweep of hostile values (tiny negatives, half-up
+    boundaries, negative halves, exact representables), Spark's
+    round_z and DuckDB's ROUND(x, 6) + 0.0 must agree to the BIT —
+    the exact axis the driver hashes and the r8 a13 red exposed."""
+    import struct
+
+    import duckdb
+
+    from cellphe_data_pipeline_spark.functions.scalars import round_z
+
+    vals = [
+        -1e-9, 1e-9, -4.999e-7, 4.999e-7, -5e-7, 5e-7, -1.5e-6,
+        0.0, -0.0, 1.0000005, -1.0000005, 123.4567894999,
+        -123.4567895001, 2.5e-6, -2.5e-6, 1e12 + 0.5e-6,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["y"]
+        for r in sdf.select(round_z(F.col("x"), 6).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6) + 0.0", [v]).fetchone()[0]
+        for v in vals
+    ]
+    for v, g, w in zip(vals, got, want):
+        assert struct.pack("<d", g) == struct.pack("<d", w), (v, g, w)
+
+
+def test_session_confs_restores_and_unsets(spark):
+    from cellphe_data_pipeline_spark.queries import _session_confs
+
+    key_known = "spark.sql.autoBroadcastJoinThreshold"
+    key_fresh = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    saved = spark.conf.get(key_known)
+    before_fresh = spark.conf.get(key_fresh)  # engine default, not session-set
+    with _session_confs(spark, **{key_known: "-1", key_fresh: "1KB"}):
+        assert spark.conf.get(key_known) == "-1"
+        assert spark.conf.get(key_fresh) in ("1KB", "1024b")
+    assert spark.conf.get(key_known) == saved
+    assert spark.conf.get(key_fresh) == before_fresh
