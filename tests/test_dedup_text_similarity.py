@@ -2468,3 +2468,36 @@ def test_pq_adc_topk_corpus_side_never_sort_merge_joins(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert rows and all(r["rank"] <= 2 for r in rows)
+
+
+def test_bpe_classify_stop_reasons():
+    """The r9 round-log classifier must name WHY the greedy selector
+    stopped — the SCALE.md stage measurement reads these."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        _bpe_select_batch,
+        _classify_stop,
+    )
+
+    def rows(*tups):
+        return [{"l": l, "r": r, "c": c} for l, r, c in tups]
+
+    # budget stop
+    f = rows(("a", "b", 100), ("c", "d", 90))
+    b = _bpe_select_batch(f, False, 1)
+    assert _classify_stop(f, b, 1) == "max_take"
+    # exhausted: disjoint pairs, huge separation clears the hazard
+    f = rows(("a", "b", 100), ("c", "d", 3))
+    b = _bpe_select_batch(f, False, 10)
+    assert len(b) == 2 and _classify_stop(f, b, 10) == "exhausted"
+    # overlap: next candidate shares a symbol with the selection
+    f = rows(("a", "b", 100), ("b", "c", 90), ("d", "e", 3))
+    b = _bpe_select_batch(f, False, 10)
+    assert len(b) == 1 and _classify_stop(f, b, 10) == "overlap"
+    # hazard: disjoint but count-dense (90 <= 2*90 with ('b','x') sharing 'b')
+    f = rows(("a", "b", 100), ("b", "x", 90), ("c", "d", 90))
+    b = _bpe_select_batch(f, False, 10)
+    # selector takes ('a','b') then hits ('b','x') overlap first
+    assert _classify_stop(f, b, 10) == "overlap"
+    f = rows(("a", "b", 100), ("c", "d", 90), ("b", "x", 85))
+    b = _bpe_select_batch(f, False, 10)
+    assert len(b) == 1 and _classify_stop(f, b, 10) == "hazard"
