@@ -80,3 +80,52 @@ def test_segmentation_highlight_frames(spark):
     # unknown method: the report's documented fallback, not an error
     fb = segmentation_highlight_frames(masks, "sparkle", stride=10).collect()
     assert {(r["frame_index"], r["px"], r["py"]) for r in fb} == oset
+
+
+def test_expectations_audit_properties(spark):
+    """Property test: for arbitrary rows and rule outcomes —
+    (1) failed_rules is exactly the sorted set of rules whose
+    predicate is not TRUE on that row (NULL counts as failure),
+    (2) passed ⟺ failed_rules empty, (3) the audit never drops or
+    duplicates rows."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.qc_filters import (
+        expectations_audit,
+    )
+
+    cell = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(cell, cell), min_size=1, max_size=12))
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rows)],
+            "rid int, a int, b int",
+        )
+        out = expectations_audit(
+            df,
+            {
+                "a_nonneg": F.col("a") >= 0,
+                "b_small": F.col("b") < 3,
+                "a_present": F.col("a").isNotNull(),
+            },
+        ).collect()
+        assert len(out) == len(rows)
+        assert sorted(r["rid"] for r in out) == list(range(len(rows)))
+        for r in out:
+            a, b = rows[r["rid"]]
+            want = sorted(
+                name
+                for name, ok in [
+                    ("a_nonneg", a is not None and a >= 0),
+                    ("b_small", b is not None and b < 3),
+                    ("a_present", a is not None),
+                ]
+                if not ok
+            )
+            assert list(r["failed_rules"]) == want, (a, b, r)
+            assert r["passed"] == (not want)
+
+    check()
