@@ -3720,9 +3720,11 @@ def _session_confs(spark, **confs):
     execution, not plan time, so the caller materialises inside the
     scope — the j12 pattern). Values restored on exit; keys never set
     before are unset back."""
+    # dotted conf names arrive as **kwargs string keys (CPython allows
+    # any string key through **-expansion; the call sites pass
+    # **X_CONFS dicts verbatim)
     saved = {}
-    for k, v in confs.items():
-        key = k.replace("__", ".")
+    for key, v in confs.items():
         try:
             saved[key] = spark.conf.get(key)
         except Exception:
