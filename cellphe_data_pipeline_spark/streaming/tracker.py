@@ -350,6 +350,13 @@ def streaming_ewma(
         import numpy as np
 
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # null contract: rows with NULL (t, seq, value) are dropped —
+        # NULL ordering and NULL-propagating lag arithmetic are
+        # engine-specific, so smoothing them has no portable meaning;
+        # a production caller cleans or imputes upstream (p15's
+        # expectations split is the tool). The driver fixtures carry
+        # no nulls in these columns at any SF (censused r9).
+        batch = batch.dropna(subset=[t_col, seq_col, value_col])
         if len(batch) == 0:
             yield pd.DataFrame([], columns=[f.name for f in EWMA_OUT.fields])
             return
@@ -571,6 +578,11 @@ def streaming_gap_fill(
     ) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch[batch[hour_col].notna()]
+        if key[0] is None:
+            # a NULL grouping key has no portable grid semantics
+            # (engines disagree on NULL group placement); dropped —
+            # the batch oracle's fixtures carry none (censused r9)
+            batch = batch.iloc[0:0]
         if len(batch) == 0:
             yield pd.DataFrame([], columns=[f.name for f in GAPFILL_OUT.fields])
             return
