@@ -12,6 +12,7 @@ Usage: python scripts/verify_local.py [query_name ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -29,21 +30,30 @@ TABLES = [
 
 
 def norm_cell(v):
-    # NOTE: deliberately NO -0.0 → 0.0 normalization here. The driver
-    # hashes raw float bits, so the local gate must distinguish signed
-    # zeros too — r8's a13 red (`-0.0` vs `+0.0`) passed locally only
-    # because this function used to erase the sign. Engine/oracle pairs
-    # normalize zero sign themselves (scalars.round_z / `ROUND(..)+0.0`).
+    # NOTE: deliberately NO -0.0 → 0.0 normalization here, and numeric
+    # values carry a TYPE TAG. The driver hashes raw values, so the
+    # local gate must distinguish everything Python's `==` blurs:
+    # r8's a13 red (`-0.0` vs `+0.0`) passed locally only because this
+    # function used to erase the sign, and `5 == 5.0 == Decimal(5)`
+    # would likewise hide an int-vs-float-vs-decimal engine skew.
+    # Engine/oracle pairs normalize zero sign themselves
+    # (scalars.round_z / `ROUND(..)+0.0`) and cast types identically.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         if v == 0.0:
             # Python == treats -0.0 == 0.0; tag the sign so the gate
             # fails exactly where the driver's bit hash would.
-            return ("zero", math.copysign(1.0, v))
-        return v
+            return ("f", "zero", math.copysign(1.0, v))
+        return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
