@@ -5,7 +5,9 @@ matching ``oracle_sql()`` on DuckDB, then compares:
   - row count
   - sorted column names
   - order-insensitive multiset of row values (columns sorted by name,
-    floats compared exactly — queries are written to be bit-reproducible)
+    floats compared exactly INCLUDING the sign of zero, and every
+    numeric tagged by python type — queries are written to be
+    bit-reproducible and type-identical across engines)
 
 Usage: python scripts/verify_local.py [query_name ...]
 """
