@@ -67,8 +67,12 @@ def expectations_audit(
     """
     checks = [
         (name, F.coalesce(col.cast("boolean"), F.lit(False)))
-        for name, col in sorted(rules.items())
+        for name, col in rules.items()
     ]
+    # array_sort is the ONE place the sorted-failed_rules contract
+    # lives (r9 review: sorting the dict AND the array was the same
+    # work twice); F.filter preserves element order, so the sort runs
+    # once on a bounded array
     failed = F.array_sort(
         F.filter(
             F.array(

@@ -1256,15 +1256,25 @@ def _bpe_select_batch(
     The scan STOPS at the first rejection (serial order beyond it is
     unknowable from this snapshot). The first candidate is always
     taken, so progress is guaranteed; conservatism only shrinks the
-    batch, never changes the learned table."""
+    batch, never changes the learned table.
+
+    Returns ``(selected, stop_reason)`` — the reason names why the
+    scan ended ("max_take" budget, "exhausted" fetch, "overlap" next
+    candidate, "hazard" bound) and is emitted verbatim into the
+    round log the SCALE.md stage measurements read; returning it from
+    the selector itself keeps one source of truth (r9 review: a
+    separate classifier re-deriving the break order would silently
+    misreport if the acceptance rule ever changed)."""
     if not fetched:
-        return []
+        return [], "exhausted"
     floor = int(fetched[-1]["c"]) if truncated else 0
     selected: list[tuple[str, str, int]] = []
     sel_keys: set[tuple[str, str]] = set()
     sel_syms: set[str] = set()
+    reason = "exhausted"
     for row in fetched:
         if len(selected) >= max_take:
+            reason = "max_take"
             break
         l, r, c = row["l"], row["r"], int(row["c"])
         if not selected:
@@ -1273,6 +1283,7 @@ def _bpe_select_batch(
             sel_syms |= {l, r, l + r}
             continue
         if l in sel_syms or r in sel_syms or (l + r) in sel_syms:
+            reason = "overlap"
             break
         hazard = floor
         for q in fetched:
@@ -1282,11 +1293,14 @@ def _bpe_select_batch(
                 hazard = max(hazard, int(q["c"]))
                 break  # fetched is count-sorted: first hit is the max
         if c <= (1 + len(selected)) * hazard:
+            reason = "hazard"
             break
         selected.append((l, r, c))
         sel_keys.add((l, r))
         sel_syms |= {l, r, l + r}
-    return selected
+    else:
+        reason = "exhausted"
+    return selected, reason
 
 
 # observability for tests/SCALE measurements: how many driver rounds
@@ -1301,20 +1315,6 @@ _last_learn_rounds = 0
 # shares a symbol with the batch) or "hazard" (next candidate's count
 # cleared neither the serial-equivalence bound)
 _last_learn_round_log: list[dict] = []
-
-
-def _classify_stop(fetched, batch, max_take) -> str:
-    if len(batch) >= max_take:
-        return "max_take"
-    if len(batch) >= len(fetched):
-        return "exhausted"
-    nxt = fetched[len(batch)]
-    syms = set()
-    for l, r, _ in batch:
-        syms |= {l, r, l + r}
-    if nxt["l"] in syms or nxt["r"] in syms or (nxt["l"] + nxt["r"]) in syms:
-        return "overlap"
-    return "hazard"
 
 
 def bpe_learn_merges(
@@ -1449,16 +1449,15 @@ def bpe_learn_merges(
         )
         if not fetched:
             break
-        max_take = n_merges - len(merges)
-        batch = _bpe_select_batch(
-            fetched, len(fetched) == fetch_width, max_take
+        batch, stop = _bpe_select_batch(
+            fetched, len(fetched) == fetch_width, n_merges - len(merges)
         )
         _last_learn_round_log.append(
             {
                 "round": _last_learn_rounds,
                 "fetched": len(fetched),
                 "batch": len(batch),
-                "stop": _classify_stop(fetched, batch, max_take),
+                "stop": stop,
             }
         )
         for l, r, c in batch:
@@ -2125,19 +2124,31 @@ def token_coverage_curve(
         ]
     )
     wide = sums.crossJoin(F.broadcast(total))
-    rows = [
+    # one STACK over the single wide row (r9 review: a per-k union of
+    # selects embedded the whole count/TakeOrdered pipeline once per
+    # threshold — 4x the corpus aggregation unless ReuseExchange saved
+    # it at runtime); the empty-corpus guard keeps the engine aligned
+    # with the oracle's empty join (a global agg on empty input yields
+    # one NULL row, the oracle yields none)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), _c{k}" for k in vocab_sizes
+    )
+    return (
         wide.select(
-            F.lit(k).cast("bigint").alias("vocab_size"),
-            F.col(f"_c{k}").alias("covered_tokens"),
+            F.expr(
+                f"stack({len(vocab_sizes)}, {stack_args})"
+                " AS (vocab_size, covered_tokens)"
+            ),
+            "total_tokens",
+        )
+        .filter(F.col("total_tokens").isNotNull())
+        .select(
+            "vocab_size",
+            "covered_tokens",
             "total_tokens",
             F.expr(
-                f"CAST(CAST(_c{k} AS DECIMAL(38,0)) * 1000000"
+                "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000"
                 " DIV total_tokens AS BIGINT)"
             ).alias("coverage_ppm"),
         )
-        for k in vocab_sizes
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )

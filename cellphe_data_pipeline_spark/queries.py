@@ -3784,22 +3784,27 @@ def o10(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     publish_partitioned(ev, staged, ["event_type"])
     fact = spark.read.parquet(staged)
-    counts = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
+    # the dim comes to the driver ONCE (a #partition-keys-row collect,
+    # O(1)) and is rebuilt as a local relation with a LITERAL filter:
+    # the DPP insertion heuristic (PartitionPruning.isLikelySelective)
+    # only fires for literal comparisons on the dim side — an
+    # attribute-vs-attribute threshold is not considered selective and
+    # the scan loses its pruning subquery — and building the dim
+    # locally means query EXECUTION never rescans events for it (r9
+    # review: the previous form aggregated events once for the
+    # threshold collect and AGAIN as the join's dim side). In
+    # production the dim filter is a user literal anyway; the
+    # computed mean keeps the demo SF-stable, in the oracle's exact
+    # double arithmetic (exact int sum, one double division).
+    rows = (
+        ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_type"))
+        .collect()
     )
-    # one scalar to the driver (a #partition-keys-row agg, O(1)): the
-    # DPP insertion heuristic (PartitionPruning.isLikelySelective)
-    # only fires for LITERAL comparisons on the dim side — an
-    # attribute-vs-attribute threshold (crossJoin'd 1-row agg) is not
-    # considered selective and the scan loses its pruning subquery.
-    # In production the dim filter is a user literal anyway; here the
-    # literal is computed so the demo stays SF-stable.
-    thr_val = counts.agg(
-        (F.sum("n_type").cast("double") / F.count(F.lit(1))).alias("thr")
-    ).collect()[0]["thr"]
-    dim = counts.filter(F.col("n_type") >= F.lit(thr_val))
+    thr_val = sum(r["n_type"] for r in rows) / len(rows)
+    dim = spark.createDataFrame(rows).filter(
+        F.col("n_type") >= F.lit(thr_val)
+    )
     return (
         fact.join(dim, "event_type")
         .groupBy("event_type")

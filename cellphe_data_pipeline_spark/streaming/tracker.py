@@ -396,7 +396,15 @@ def streaming_ewma(
         new_t = h_t + batch[t_col].tolist()
         new_s = h_s + batch[seq_col].tolist()
         new_v = h_v + batch[value_col].tolist()
-        state.update((new_t[-keep:], new_s[-keep:], new_v[-keep:]))
+        # keep == 0 (horizon=1, identity smoothing) must store NOTHING:
+        # a bare [-0:] slice is the WHOLE list (r9 review), which would
+        # grow per-key state with the stream and quadratically re-feed
+        # history into every batch
+        state.update(
+            (new_t[-keep:], new_s[-keep:], new_v[-keep:])
+            if keep
+            else ([], [], [])
+        )
         yield out
 
     return events.groupBy(key_col).applyInPandasWithState(
@@ -442,6 +450,7 @@ def streaming_ann_serve(
     once).
     """
     from cellphe_data_pipeline_spark.functions.scalars import round_z
+    from cellphe_data_pipeline_spark.operators.similarity import _as_double, _dot
 
     probe_cols = []
     for lid, cv in centroid_rows:
@@ -454,13 +463,8 @@ def streaming_ann_serve(
         probe_cols.append(F.struct(d2.alias("d2"), F.lit(int(lid)).alias("list_id")))
     nearest = F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe)
     probes = (
-        probe_stream.withColumn(
-            "_emb", F.transform(F.col("embedding"), lambda v: v.cast("double"))
-        )
-        .withColumn("_norm", F.sqrt(F.aggregate(
-            F.zip_with(F.col("_emb"), F.col("_emb"), lambda a, b: a * b),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )))
+        probe_stream.withColumn("_emb", _as_double(F.col("embedding")))
+        .withColumn("_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb"))))
         .select(
             "vec_id",
             F.col("_emb").alias("q_emb"),
@@ -478,11 +482,7 @@ def streaming_ann_serve(
         ),
         "list_id",
     ).filter(F.col("vec_id") != F.col("neighbor_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot(F.col("q_emb"), F.col("c_emb"))
     scored = cand.withColumn(
         "cos_sim", round_z(dot / (F.col("q_norm") * F.col("c_norm")), 5)
     ).select("vec_id", "neighbor_id", "cos_sim")

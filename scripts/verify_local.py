@@ -58,6 +58,13 @@ def norm_cell(v):
         return ("d", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        # recurse: numerics INSIDE array/struct cells must get the same
+        # tags (r9 review — a [-0.0] vs [0.0] array element would pass
+        # Python list equality and fail a driver bit hash)
+        return ("a", tuple(norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
     return v
 
 

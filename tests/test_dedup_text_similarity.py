@@ -2098,37 +2098,37 @@ def test_bpe_select_batch_conditions():
 
     # fully disjoint: everything batches
     f = [row("a", "b", 100), row("c", "d", 90), row("e", "f", 80)]
-    assert _bpe_select_batch(f, False, 10) == [
+    assert _bpe_select_batch(f, False, 10)[0] == [
         ("a", "b", 100), ("c", "d", 90), ("e", "f", 80)
     ]
 
     # shared symbol stops the scan at the collision, not past it
     f = [row("a", "b", 100), row("b", "c", 90), row("e", "f", 80)]
-    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+    assert _bpe_select_batch(f, False, 10)[0] == [("a", "b", 100)]
 
     # merged-token collision ("ab" reappears as a member) stops too
     f = [row("a", "b", 100), row("ab", "z", 90)]
-    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+    assert _bpe_select_batch(f, False, 10)[0] == [("a", "b", 100)]
 
     # hazard: (x,a) shares "a" with the selected (a,b) and counts 60;
     # candidate (c,d) at 50 <= 2*60 could have been overtaken by a
     # pair the (a,b) merge boosts -> rejected
     f = [row("a", "b", 100), row("x", "a", 60), row("c", "d", 50)]
-    assert _bpe_select_batch(f, False, 10) == [("a", "b", 100)]
+    assert _bpe_select_batch(f, False, 10)[0] == [("a", "b", 100)]
     # ...but at 150 > 2*60 + floor 0 it is safe
     f = [row("a", "b", 200), row("c", "d", 150), row("x", "a", 60)]
-    assert _bpe_select_batch(f, False, 10) == [
+    assert _bpe_select_batch(f, False, 10)[0] == [
         ("a", "b", 200), ("c", "d", 150)
     ]
 
     # truncated fetch: unfetched pairs may count up to the floor, so
     # a second pick must clear 2 * floor
     f = [row("a", "b", 10), row("c", "d", 9)]
-    assert _bpe_select_batch(f, True, 10) == [("a", "b", 10)]
+    assert _bpe_select_batch(f, True, 10)[0] == [("a", "b", 10)]
 
     # max_take caps the batch
     f = [row("a", "b", 100), row("c", "d", 90)]
-    assert _bpe_select_batch(f, False, 1) == [("a", "b", 100)]
+    assert _bpe_select_batch(f, False, 1)[0] == [("a", "b", 100)]
 
 
 def test_span_corruption_matches_python_oracle(spark):
@@ -2471,33 +2471,30 @@ def test_pq_adc_topk_corpus_side_never_sort_merge_joins(spark):
 
 
 def test_bpe_classify_stop_reasons():
-    """The r9 round-log classifier must name WHY the greedy selector
-    stopped — the SCALE.md stage measurement reads these."""
-    from cellphe_data_pipeline_spark.operators.text import (
-        _bpe_select_batch,
-        _classify_stop,
-    )
+    """The selector reports WHY it stopped — the labels the SCALE.md
+    stage measurement reads come straight from the selection scan
+    (one source of truth, r9 review)."""
+    from cellphe_data_pipeline_spark.operators.text import _bpe_select_batch
 
     def rows(*tups):
         return [{"l": l, "r": r, "c": c} for l, r, c in tups]
 
     # budget stop
-    f = rows(("a", "b", 100), ("c", "d", 90))
-    b = _bpe_select_batch(f, False, 1)
-    assert _classify_stop(f, b, 1) == "max_take"
+    b, why = _bpe_select_batch(rows(("a", "b", 100), ("c", "d", 90)), False, 1)
+    assert len(b) == 1 and why == "max_take"
     # exhausted: disjoint pairs, huge separation clears the hazard
-    f = rows(("a", "b", 100), ("c", "d", 3))
-    b = _bpe_select_batch(f, False, 10)
-    assert len(b) == 2 and _classify_stop(f, b, 10) == "exhausted"
+    b, why = _bpe_select_batch(rows(("a", "b", 100), ("c", "d", 3)), False, 10)
+    assert len(b) == 2 and why == "exhausted"
     # overlap: next candidate shares a symbol with the selection
-    f = rows(("a", "b", 100), ("b", "c", 90), ("d", "e", 3))
-    b = _bpe_select_batch(f, False, 10)
-    assert len(b) == 1 and _classify_stop(f, b, 10) == "overlap"
-    # hazard: disjoint but count-dense (90 <= 2*90 with ('b','x') sharing 'b')
-    f = rows(("a", "b", 100), ("b", "x", 90), ("c", "d", 90))
-    b = _bpe_select_batch(f, False, 10)
-    # selector takes ('a','b') then hits ('b','x') overlap first
-    assert _classify_stop(f, b, 10) == "overlap"
-    f = rows(("a", "b", 100), ("c", "d", 90), ("b", "x", 85))
-    b = _bpe_select_batch(f, False, 10)
-    assert len(b) == 1 and _classify_stop(f, b, 10) == "hazard"
+    b, why = _bpe_select_batch(
+        rows(("a", "b", 100), ("b", "c", 90), ("d", "e", 3)), False, 10
+    )
+    assert len(b) == 1 and why == "overlap"
+    # hazard: disjoint but count-dense
+    b, why = _bpe_select_batch(
+        rows(("a", "b", 100), ("c", "d", 90), ("b", "x", 85)), False, 10
+    )
+    assert len(b) == 1 and why == "hazard"
+    # empty fetch
+    b, why = _bpe_select_batch([], False, 10)
+    assert b == [] and why == "exhausted"

@@ -892,3 +892,44 @@ def test_streaming_gap_fill_emits_gaps_across_batch_boundaries(spark, tmp_path):
         (2, 5 * H): (False, 60, True),    # null-sum hour: unobserved, LOCF
     }
     assert got == want
+
+
+def test_streaming_ewma_horizon_one_keeps_no_state(spark, tmp_path):
+    """Regression (r9 review): horizon=1 means identity smoothing with
+    ZERO history — keep=0 must store an EMPTY state, not the whole
+    list (a bare [-0:] slice is the full list), or per-key state grows
+    with the stream."""
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_ewma
+
+    rows = [(1, 1_000_000 * (i + 1), i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, t_us bigint, event_id bigint, value double"
+    )
+    staged = str(tmp_path / "ewma_h1")
+    import time
+
+    for lo, hi in ((0, 3), (3, 6)):
+        df.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_ewma(stream, horizon=1)
+        .writeStream.format("memory")
+        .queryName("ewma_h1_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_h1_test").collect()
+    }
+    # identity smoothing: ewma == value for every row, across batches
+    assert got == {i: float(i) for i in range(6)}
