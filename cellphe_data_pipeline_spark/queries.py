@@ -3987,13 +3987,13 @@ def c19(spark, sf_dir):
       FROM lineitem l LEFT JOIN fin ON l.l_orderkey = fin.o_orderkey
     )
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
-           list_sort(list_filter([
+           COALESCE(array_to_string(list_sort(list_filter([
              CASE WHEN NOT ok_discount_in_policy THEN 'discount_in_policy' END,
              CASE WHEN NOT ok_order_finalized THEN 'order_finalized' END,
              CASE WHEN NOT ok_price_positive THEN 'price_positive' END,
              CASE WHEN NOT ok_qty_in_range THEN 'qty_in_range' END,
              CASE WHEN NOT ok_shipdate_present THEN 'shipdate_present' END
-           ], x -> x IS NOT NULL)) AS failed_rules,
+           ], x -> x IS NOT NULL)), ','), '') AS failed_rules,
            (ok_discount_in_policy AND ok_order_finalized AND ok_price_positive
             AND ok_qty_in_range AND ok_shipdate_present) AS passed
     FROM flagged
@@ -4039,9 +4039,15 @@ def p15(spark, sf_dir):
             "order_finalized": F.col("_fin_key").isNotNull(),
         },
     )
+    # Registry edge: the driver's pandas canonicalizer cannot sort
+    # list cells (r9 red: "unhashable type: 'list'"), so the registered
+    # query serialises the sorted array to a CSV string. The library
+    # operator (expectations_audit) keeps the array form — that's the
+    # right type for downstream quarantine routing.
     return audited.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
-        "failed_rules", "passed",
+        F.concat_ws(",", "failed_rules").alias("failed_rules"),
+        "passed",
     )
 
 
@@ -8574,8 +8580,9 @@ T26_VOCAB_SIZES = (100, 500, 1000, 5000)
     r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
     ks AS (SELECT UNNEST([100, 500, 1000, 5000]) AS k)
     SELECT CAST(ks.k AS BIGINT) AS vocab_size,
-           SUM(CASE WHEN r.rank <= ks.k THEN r.cnt ELSE 0 END) AS covered_tokens,
-           MAX(t.total_tokens) AS total_tokens,
+           CAST(SUM(CASE WHEN r.rank <= ks.k THEN r.cnt ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(MAX(t.total_tokens) AS BIGINT) AS total_tokens,
            CAST(CAST(SUM(CASE WHEN r.rank <= ks.k THEN r.cnt ELSE 0 END)
                      AS HUGEINT) * 1000000 // MAX(t.total_tokens) AS BIGINT)
              AS coverage_ppm

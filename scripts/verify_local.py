@@ -9,6 +9,19 @@ matching ``oracle_sql()`` on DuckDB, then compares:
     numeric tagged by python type — queries are written to be
     bit-reproducible and type-identical across engines)
 
+GATE PARITY (r10, closing the r9 blind spot): both sides are fetched
+through PANDAS — ``DataFrame.toPandas()`` for Spark and ``cur.df()``
+for DuckDB — because that is the driver's conversion pipeline. The r9
+reds both hid behind the old ``fetchall()`` fetch: DuckDB's Python
+client returns HUGEINT as Python int, but its pandas client converts
+HUGEINT (any uncast SUM over BIGINT) to float64, which the driver then
+hashes as a float while Spark emits int64 (t26). Likewise a top-level
+list cell survives fetchall() but crashes the driver's pandas
+``sort_values`` canonicalizer (p15). Fetching through pandas makes the
+local gate see exactly what the driver sees; ``norm_cell`` then tags
+the pandas-made types. A top-level collection column is reported as a
+failure outright, mirroring the driver's crash.
+
 Usage: python scripts/verify_local.py [query_name ...]
 """
 
@@ -21,6 +34,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,6 +44,23 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def from_pandas(v):
+    """Collapse pandas/numpy wrapper scalars to the plain-Python value
+    the driver's hash would see, PRESERVING the numeric family the
+    pandas conversion chose (np.float64 -> float, np.int64 -> int):
+    that family skew is exactly what the r9 t26 red was made of, so it
+    must survive into norm_cell's type tags."""
+    if v is None or v is pd.NaT or v is pd.NA:
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [from_pandas(x) for x in v.tolist()]
+    if isinstance(v, (pd.Timestamp,)):
+        return v.to_pydatetime()
+    return v
 
 
 def norm_cell(v):
@@ -40,6 +72,7 @@ def norm_cell(v):
     # would likewise hide an int-vs-float-vs-decimal engine skew.
     # Engine/oracle pairs normalize zero sign themselves
     # (scalars.round_z / `ROUND(..)+0.0`) and cast types identically.
+    v = from_pandas(v)
     if v is None:
         return None
     if isinstance(v, bool):
@@ -68,8 +101,25 @@ def norm_cell(v):
     return v
 
 
-def canon(rows, cols):
+def collection_cols(pdf: pd.DataFrame) -> list[str]:
+    """Top-level array/map/struct cells crash the driver's pandas
+    sort_values canonicalizer ('unhashable type: list' — the r9 p15
+    red). Detect them from the fetched frame: any object-dtype column
+    whose first non-null value is a list/dict/ndarray."""
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype != object:
+            continue
+        s = pdf[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (list, dict, np.ndarray)):
+            bad.append(str(c))
+    return bad
+
+
+def canon(pdf: pd.DataFrame):
+    cols = list(pdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = list(pdf.itertuples(index=False, name=None))
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=repr)
     return out
@@ -96,32 +146,36 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            s_cols = sdf.columns
+            s_pdf = sdf.toPandas()
+            s_cols = list(sdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok   {name}: rows-only ({len(s_pdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue
         try:
-            cur = con.execute(sql)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            d_pdf = con.execute(sql).df()
+            d_cols = list(d_pdf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        bad_cols = sorted(set(collection_cols(s_pdf)) | set(collection_cols(d_pdf)))
+        if bad_cols:
+            problems.append(
+                f"top-level collection columns (driver canonicalizer crashes): {bad_cols}"
+            )
+        if len(s_pdf) != len(d_pdf):
+            problems.append(f"rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if not problems:
-            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            cs, cd = canon(s_pdf), canon(d_pdf)
             if cs != cd:
                 diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
@@ -129,7 +183,7 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS {name} ({len(s_pdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0

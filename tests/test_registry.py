@@ -77,3 +77,73 @@ def test_every_query_has_unique_name_and_callable():
     for name, e in REGISTRY.items():
         assert callable(e.fn), name
         assert e.sql is None or isinstance(e.sql, str), name
+
+
+# ---------------------------------------------------------------------
+# Driver-compatible OUTPUT CONTRACT (r10 — both r9 reds were contract
+# violations the local gate could not see):
+#   1. No registered query may emit a top-level array/map/struct
+#      column: the driver canonicalizes through pandas sort_values,
+#      which crashes on list cells ("unhashable type: 'list'" — the
+#      r9 p15 red). Serialize collections at the registry edge.
+#   2. No oracle's FINAL select may leave a HUGEINT column (any uncast
+#      SUM over BIGINT): DuckDB's pandas client converts HUGEINT to
+#      float64 while Spark emits int64, failing the driver's value
+#      hash at type level (the r9 t26 red). CAST(... AS BIGINT) in the
+#      final projection; in-CTE sums are harmless.
+# Both checks are mechanical: DuckDB DESCRIBE plans each oracle
+# without executing it; Spark schemas come from the lazily-built
+# DataFrames (streaming registrations excluded there — building them
+# runs a full availableNow drain; their OUTPUT types are still pinned
+# by the oracle DESCRIBE, which covers every SQL-checked query).
+# ---------------------------------------------------------------------
+
+_SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _oracle_types():
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in _SF_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    out = {}
+    for name, e in REGISTRY.items():
+        if e.sql is None:
+            continue
+        out[name] = [
+            (row[0], row[1])
+            for row in con.execute(f"DESCRIBE ({e.sql})").fetchall()
+        ]
+    return out
+
+
+def test_oracle_outputs_have_no_collection_or_hugeint_columns():
+    bad = []
+    for name, cols in _oracle_types().items():
+        for col, typ in cols:
+            if "[]" in typ or typ.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                bad.append((name, col, typ, "collection crashes driver canonicalizer"))
+            if typ in ("HUGEINT", "UHUGEINT"):
+                bad.append((name, col, typ, "pandas converts to float64, Spark emits int64"))
+    assert not bad, f"driver-incompatible oracle output columns: {bad}"
+
+
+def test_spark_outputs_have_no_collection_columns(spark):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, e in REGISTRY.items():
+        if "_streaming_" in name:
+            continue  # building runs a full drain; oracle DESCRIBE pins these
+        df = e.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, str(f.dataType)[:60]))
+    assert not bad, f"top-level collection columns (driver canonicalizer crashes): {bad}"
