@@ -1299,7 +1299,11 @@ def _bpe_select_batch(
         sel_keys.add((l, r))
         sel_syms |= {l, r, l + r}
     else:
-        reason = "exhausted"
+        # loop consumed the whole fetch: if it ALSO exactly filled the
+        # budget, the stop is budget-bound, not fetch-bound — report
+        # max_take so the SCALE round log doesn't under-count
+        # budget-bound rounds at the boundary (r9 advisor)
+        reason = "max_take" if len(selected) >= max_take else "exhausted"
     return selected, reason
 
 

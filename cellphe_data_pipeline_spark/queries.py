@@ -405,7 +405,7 @@ def a3(spark, sf_dir):
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty, -- l_quantity >= 1: -0.0 unreachable
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -533,12 +533,14 @@ def w1(spark, sf_dir):
     """
     SELECT event_id, user_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+                                  ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS cum_value
     FROM events
     """,
 )
 def w2(spark, sf_dir):
-    """W2 (create_frame_summary_features.py:39): per-key cumulative sum."""
+    """W2 (create_frame_summary_features.py:39): per-key cumulative sum.
+    `value` is signed, so the rounded running sum can be
+    tiny-negative → round_z on both engines (the a13 -0.0 class)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -546,7 +548,7 @@ def w2(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("cum_value")
+        "event_id", "user_id", round_z(F.sum("value").over(w)).alias("cum_value")
     )
 
 
@@ -3718,8 +3720,12 @@ def _session_confs(spark, **confs):
     """Scoped session-conf overrides for a query that must EXECUTE
     under specific runtime settings (AQE thresholds are read at
     execution, not plan time, so the caller materialises inside the
-    scope — the j12 pattern). Values restored on exit; keys never set
-    before are unset back."""
+    scope — the j12 pattern). VALUES are restored on exit (not
+    set-state: ``spark.conf.get`` returns the engine default without
+    raising for most SQL confs, so a key never explicitly set before
+    is restored by re-setting that default — becoming session-pinned
+    at its default value; only defaultless keys take the unset
+    path)."""
     # dotted conf names arrive as **kwargs string keys (CPython allows
     # any string key through **-expansion; the call sites pass
     # **X_CONFS dicts verbatim)
@@ -4677,7 +4683,7 @@ def a15(spark, sf_dir):
     FROM (
       SELECT user_id, event_id, value,
              COUNT(*) OVER w AS cnt_pm5,
-             ROUND(SUM(value) OVER w, 6) AS sum_pm5
+             ROUND(SUM(value) OVER w, 6) + 0.0 AS sum_pm5
       FROM events WHERE user_id < 50
       WINDOW w AS (PARTITION BY user_id ORDER BY value
                    RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)
@@ -4702,7 +4708,9 @@ def w8(spark, sf_dir):
         "event_id",
         "value",
         f"COUNT(*) {over} AS cnt_pm5",
-        f"ROUND(SUM(value) {over}, 6) AS sum_pm5",
+        # signed SUM through ROUND can be tiny-negative → zero-sign
+        # normalization on both engines (round_z's SQL form)
+        f"ROUND(SUM(value) {over}, 6) + 0.0 AS sum_pm5",
     )
 
 

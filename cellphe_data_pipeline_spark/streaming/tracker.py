@@ -328,14 +328,16 @@ def streaming_ewma(
     row-for-row by the e13 driver oracle (w9's oracle text).
 
     Ordering contract: rows are sorted by (t, seq) WITHIN each
-    micro-batch before smoothing, and batches are assumed
-    key-monotone (no row older than an already-processed one — the
-    availableNow backfill drain satisfies this trivially with one
-    batch; the multi-batch chain is pinned by
-    tests/test_streaming.py with explicitly sequenced batches). A
-    production deployment with out-of-order arrival needs watermarked
-    buffering in front — the session-window operators' territory, not
-    a moving-average smoother's.
+    micro-batch before smoothing, and batches must be key-monotone
+    (no row older than an already-processed one — the availableNow
+    backfill drain satisfies this trivially with one batch; the
+    multi-batch chain is pinned by tests/test_streaming.py with
+    explicitly sequenced batches). The contract is ENFORCED: the
+    state's stored (t, seq) tail is compared against each batch's
+    oldest row and a violation raises rather than silently smoothing
+    in the wrong order. A production deployment with out-of-order
+    arrival needs watermarked buffering in front — the session-window
+    operators' territory, not a moving-average smoother's.
 
     Reference analogue: tracking_qc.qmd's per-track rolling smoothers
     over frame-ordered series.
@@ -357,6 +359,14 @@ def streaming_ewma(
         # expectations split is the tool). The driver fixtures carry
         # no nulls in these columns at any SF (censused r9).
         batch = batch.dropna(subset=[t_col, seq_col, value_col])
+        if key[0] is None or pd.isna(key[0]):
+            # a NULL grouping key has no portable smoothing semantics
+            # (same contract as streaming_gap_fill; r9 advisor). NOTE:
+            # Arrow hands a null bigint key to python as float NaN,
+            # not None (measured r10 — `is None` alone never fires),
+            # and the int64 key cast below silently WRAPS NaN to
+            # INT64_MIN rather than raising.
+            batch = batch.iloc[0:0]
         if len(batch) == 0:
             yield pd.DataFrame([], columns=[f.name for f in EWMA_OUT.fields])
             return
@@ -367,6 +377,21 @@ def streaming_ewma(
             h_t, h_s, h_v = state.get
         else:
             h_t, h_s, h_v = [], [], []
+        # the stored (t, seq) tail exists to ENFORCE the key-monotone
+        # contract (r9 advisor: previously written but never read — a
+        # violating batch would silently smooth in the wrong order):
+        # the new batch's oldest row must not precede the newest row
+        # already smoothed into the state.
+        if h_t:
+            b_first = (int(batch[t_col].iloc[0]), int(batch[seq_col].iloc[0]))
+            if b_first < (h_t[-1], h_s[-1]):
+                raise ValueError(
+                    f"streaming_ewma: key={key[0]} batch violates the "
+                    f"key-monotone ordering contract: first row "
+                    f"(t,seq)={b_first} precedes processed tail "
+                    f"({h_t[-1]}, {h_s[-1]}); put watermarked buffering "
+                    f"in front for out-of-order arrival"
+                )
         n_hist = len(h_v)
         vals = np.concatenate(
             [np.asarray(h_v, dtype="float64"), batch[value_col].to_numpy("float64")]
@@ -578,10 +603,13 @@ def streaming_gap_fill(
     ) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch[batch[hour_col].notna()]
-        if key[0] is None:
+        if key[0] is None or pd.isna(key[0]):
             # a NULL grouping key has no portable grid semantics
             # (engines disagree on NULL group placement); dropped —
-            # the batch oracle's fixtures carry none (censused r9)
+            # the batch oracle's fixtures carry none (censused r9).
+            # pd.isna: Arrow hands a null bigint key to python as
+            # float NaN, not None (measured r10), so `is None` alone
+            # never fires and the astype(int64) downstream would raise
             batch = batch.iloc[0:0]
         if len(batch) == 0:
             yield pd.DataFrame([], columns=[f.name for f in GAPFILL_OUT.fields])

@@ -27,6 +27,7 @@ Usage: python scripts/verify_local.py [query_name ...]
 
 from __future__ import annotations
 
+import datetime
 import decimal
 import math
 import os
@@ -89,6 +90,13 @@ def norm_cell(v):
         return ("f", v)
     if isinstance(v, decimal.Decimal):
         return ("d", str(v))
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # date == midnight-timestamp ACROSS ENGINES: Spark DATE
+        # toPandas as datetime.date while DuckDB DATE .df()'s as
+        # datetime64[ns] midnight — and the driver demonstrably
+        # accepts that pair (e4 was driver-green in r5 with exactly
+        # this skew), so the local gate must not be stricter
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

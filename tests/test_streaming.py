@@ -933,3 +933,71 @@ def test_streaming_ewma_horizon_one_keeps_no_state(spark, tmp_path):
     }
     # identity smoothing: ewma == value for every row, across batches
     assert got == {i: float(i) for i in range(6)}
+
+
+def test_streaming_ewma_null_key_batch_is_dropped_not_crashed(spark, tmp_path):
+    """Regression (r9 advisor): a NULL grouping key used to crash the
+    whole stream at the int64 key cast. Contract: null-key rows are
+    dropped (same as streaming_gap_fill); every other key still
+    smooths."""
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_ewma
+
+    rows = [(1, 1_000_000, 0, 4.0), (None, 2_000_000, 1, 5.0), (1, 3_000_000, 2, 6.0)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, t_us bigint, event_id bigint, value double"
+    )
+    staged = str(tmp_path / "ewma_nullkey")
+    df.coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(df.schema).parquet(staged)
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_nullkey_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ewma_nullkey_test").collect()
+    assert sorted(r["event_id"] for r in got) == [0, 2]
+
+
+def test_streaming_ewma_out_of_order_batch_raises(spark, tmp_path):
+    """The key-monotone ordering contract is ENFORCED (r9 advisor: the
+    stored (t, seq) tail was written but never read): a micro-batch
+    whose oldest row precedes the already-smoothed tail must fail the
+    stream loudly, not smooth in the wrong order."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cellphe_data_pipeline_spark.streaming.tracker import streaming_ewma
+
+    df = spark.createDataFrame(
+        [(1, 1_000_000 * (i + 1), i, float(i)) for i in range(6)],
+        "user_id bigint, t_us bigint, event_id bigint, value double",
+    )
+    staged = str(tmp_path / "ewma_ooo")
+    import time
+
+    # NEWER slice written first (older mtime) => it forms batch 1, and
+    # the genuinely-older slice arrives second: a contract violation
+    for lo, hi in ((3, 6), (0, 3)):
+        df.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_ooo_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(120)
+    assert "key-monotone ordering contract" in str(ei.value)
