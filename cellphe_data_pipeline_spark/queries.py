@@ -4273,6 +4273,130 @@ def j12(spark, sf_dir):
     return spark.read.parquet(staged)
 
 
+# execution-time settings for o13's runtime partition coalescing
+# (shared with the plan test): the initial reducer count is
+# deliberately oversized (the static answer for a 100-TB shuffle) and
+# the advisory size makes AQE fuse the near-empty reducers at runtime.
+O13_COALESCE_CONFS = {
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+}
+
+
+def _o13_agg(spark, sf_dir):
+    """The aggregation body of o13, shared with the plan test."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "o13_aqe_coalesced_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def o13(spark, sf_dir):
+    """AQE runtime partition COALESCING (r10) — the second of the two
+    remaining AQE mechanisms after j12's skew split: the shuffle is
+    planned with a deliberately oversized reducer count (256 — the
+    static setting a 100-TB run of the same query would want), and AQE
+    fuses the near-empty reduce partitions into advisory-sized ones at
+    runtime from map-output statistics (`AQEShuffleRead coalesced`
+    WITHOUT `skewed` in the executed plan — asserted by
+    tests/test_scale.py on this exact body). This is the mechanism
+    that makes one static `spark.sql.shuffle.partitions` safe across
+    queries whose shuffle sizes differ by orders of magnitude — the
+    static-sizing-vs-runtime-adaptation trade the reference resolves
+    by retrying whole jobs with escalating resources
+    (nextflow.config:8-10); AQE re-plans the stage instead. Like j12,
+    the confs are read at execution time, so the agg materialises
+    inside the conf scope and the (5-row) result is re-read. The
+    oracle computes the same agg — coalescing must never change
+    values."""
+    out = _o13_agg(spark, sf_dir)
+    staged = _stage_dir("o13_coalesce_out")
+    with _session_confs(spark, **O13_COALESCE_CONFS):
+        out.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
+# execution-time settings for j14's runtime broadcast promotion
+# (shared with the plan test): the STATIC broadcast threshold is off,
+# so the planner commits to a sort-merge join; the ADAPTIVE threshold
+# lets DynamicJoinSelection promote it to broadcast-hash at runtime
+# when the built side's ACTUAL shuffle bytes undershoot it.
+J14_PROMOTE_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+}
+
+
+def _j14_join(spark, sf_dir):
+    """The join body of j14, shared with the plan test: fact × small
+    dim with NO broadcast hint and no static threshold — the promotion
+    must come from runtime statistics alone."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "j14_adaptive_broadcast_join",
+    """
+    SELECT s_nationkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j14(spark, sf_dir):
+    """AQE adaptive BROADCAST PROMOTION (r10) — the runtime half of
+    j1's static broadcast: the planner, denied size estimates (static
+    threshold off — the position a 100-TB planner is in whenever dim
+    size follows a filter it cannot estimate), commits to a sort-merge
+    join; after the dim side's shuffle map stage runs, its ACTUAL
+    bytes undershoot the adaptive threshold and DynamicJoinSelection
+    rewrites the stage to a BroadcastHashJoin with a LOCAL shuffle
+    read on the fact side (no fact-side exchange at all). The plan
+    test asserts the full lifecycle: SortMergeJoin in the
+    pre-execution adaptive plan, BroadcastHashJoin + AQEShuffleRead
+    local in the executed one, values invariant. Together j12 (skew
+    split), o13 (coalesce) and j14 (join re-selection) are the three
+    AQE re-plan mechanisms a 1000-executor run leans on instead of
+    static tuning. Materialised inside the conf scope (execution-time
+    confs), result re-read."""
+    out = _j14_join(spark, sf_dir)
+    staged = _stage_dir("j14_promote_out")
+    with _session_confs(spark, **J14_PROMOTE_CONFS):
+        out.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
 @register(
     "t20_code_detect",
     r"""

@@ -422,3 +422,60 @@ def test_session_confs_restores_and_unsets(spark):
         assert spark.conf.get(key_fresh) in ("1KB", "1024b")
     assert spark.conf.get(key_known) == saved
     assert spark.conf.get(key_fresh) == before_fresh
+
+
+def test_o13_aqe_coalesces_oversized_shuffle(spark):
+    """Under O13_COALESCE_CONFS the 256-reducer agg shuffle must be
+    fused at runtime into far fewer partitions (`AQEShuffleRead
+    coalesced`, no skew split), and the result must match the same agg
+    under default confs — coalescing must never change values."""
+    from cellphe_data_pipeline_spark.queries import (
+        O13_COALESCE_CONFS,
+        _o13_agg,
+        _session_confs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    agg = _o13_agg(spark, sf)
+    with _session_confs(spark, **O13_COALESCE_CONFS):
+        fused = {r["o_orderpriority"]: r["n_orders"] for r in agg.collect()}
+        ex = agg._jdf.queryExecution().executedPlan().toString()
+    assert "coalesced" in ex, "AQE coalesce did not fire:\n" + ex[:2000]
+    assert "skewed" not in ex
+    plain = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in _o13_agg(spark, sf).collect()
+    }
+    assert fused == plain and len(plain) == 5
+
+
+def test_j14_runtime_promotes_smj_to_broadcast(spark):
+    """The j14 lifecycle: with the static broadcast threshold OFF the
+    adaptive plan starts as a SortMergeJoin (isFinalPlan=false); after
+    execution the dim side's actual bytes undershoot the ADAPTIVE
+    threshold and DynamicJoinSelection rewrites to BroadcastHashJoin
+    with a local (no-exchange) shuffle read on the fact side. Values
+    must match the default-conf join."""
+    from cellphe_data_pipeline_spark.queries import (
+        J14_PROMOTE_CONFS,
+        _j14_join,
+        _session_confs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    agg = _j14_join(spark, sf)
+    with _session_confs(spark, **J14_PROMOTE_CONFS):
+        pre = agg._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pre and "isFinalPlan=false" in pre, (
+            "static plan should be SMJ before runtime stats:\n" + pre[:2000]
+        )
+        promoted = {r["s_nationkey"]: r["n_rows"] for r in agg.collect()}
+        ex = agg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex and "isFinalPlan=true" in ex, (
+        "runtime promotion to broadcast did not fire:\n" + ex[:2000]
+    )
+    assert "AQEShuffleRead local" in ex
+    plain = {
+        r["s_nationkey"]: r["n_rows"] for r in _j14_join(spark, sf).collect()
+    }
+    assert promoted == plain
