@@ -5742,6 +5742,88 @@ def a12(spark, sf_dir):
     )
 
 
+_A16_QS = (0.5, 0.9, 0.99)
+_A16_ACCURACY = 100  # deliberately coarse: eps = 1/100 rank error
+
+
+@register(
+    "a16_approx_quantile_audit",
+    """
+    SELECT source,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS q90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS q99,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM documents GROUP BY source
+    """,
+)
+def a16(spark, sf_dir):
+    """Approximate-percentile ACCURACY AUDIT (r10) — the 100-TB twin of
+    a12's exact quantile profile, with the accuracy claim itself under
+    the oracle. At scale the exact `percentile` (which buffers every
+    group value) gives way to `percentile_approx` (Greenwald-Khanna
+    sketch: bounded memory, combinable partials, rank error at most
+    eps = 1/accuracy); a production profile must MEASURE that the
+    sketch honours its bound before trusting it — the same shape as
+    v11/d17's recall audits.
+
+    One pass computes both estimators per group plus the group size;
+    a second conditional-count pass over the base table (joined to the
+    broadcast one-row-per-group sketch output) derives each approx
+    value's true rank interval (count <, count <=). The emitted
+    ok_p{50,90,99} booleans assert the GK theorem's rank window —
+    |rank(approx)/n - q| <= eps, with a +-1-row slack for the
+    boundary-rounding convention — so the oracle's literal TRUE is a
+    THEOREM the driver re-checks against the sketch's actual output,
+    while the exact quantiles are value-matched against DuckDB
+    quantile_cont (the type-7 == Spark `percentile` pair a12
+    established). Measured errors at sf0.01/sf0.1 in SCALE.md; the
+    audit plan is 2 scans + 1 broadcast join — no shuffle of the base
+    table beyond the two group-bys."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    qs = list(_A16_QS)
+    eps = 1.0 / _A16_ACCURACY
+    exact = F.percentile(F.col("n_chars"), F.lit(qs))
+    approx = F.percentile_approx(F.col("n_chars"), F.lit(qs), F.lit(_A16_ACCURACY))
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact.alias("_exact"),
+        approx.alias("_approx"),
+    )
+    joined = docs.join(F.broadcast(agg), "source")
+    rank_aggs = []
+    for i in range(len(qs)):
+        av = F.element_at("_approx", i + 1)
+        rank_aggs.append(
+            F.sum((F.col("n_chars") < av).cast("long")).alias(f"_lt{i}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("n_chars") <= av).cast("long")).alias(f"_le{i}")
+        )
+    audit = joined.groupBy("source").agg(
+        F.first("n").alias("n"),
+        F.first("_exact").alias("_exact"),
+        *rank_aggs,
+    )
+    cols = [F.col("source"), F.col("n")]
+    for i, q in enumerate(qs):
+        cols.append(
+            F.round(F.element_at("_exact", i + 1), 6).alias(
+                f"q{int(q * 100)}"
+            )
+        )
+    for i, q in enumerate(qs):
+        # the approx value v occupies ranks (lt, le]; GK guarantees some
+        # rank within [(q-eps)n, (q+eps)n]; +-1 row absorbs the
+        # floor/ceil convention at the window edges
+        ok = (F.col(f"_le{i}") >= (q - eps) * F.col("n") - F.lit(1)) & (
+            F.col(f"_lt{i}") + F.lit(1) <= (q + eps) * F.col("n") + F.lit(1)
+        )
+        cols.append(ok.alias(f"ok_p{int(q * 100)}"))
+    return audit.select(*cols)
+
+
 @register(
     "m3e_kalman_tracking",
     """
@@ -7845,6 +7927,102 @@ def e15(spark, sf_dir):
 
 
 @register(
+    "e16_streaming_ingest_lifecycle",
+    """
+    WITH prep AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type, value
+      FROM events
+      WHERE value IS NOT NULL AND value <= 150.0
+    ),
+    w AS (
+      SELECT user_id AS key, t_us, event_id AS last_seq,
+             event_type AS last_type, value AS last_value,
+             (event_type = 'error') AS is_delete,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_rows_applied,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM prep WHERE t_us IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT key, t_us, last_seq, last_type, last_value, is_delete,
+           CAST(n_rows_applied AS BIGINT) AS n_rows_applied
+    FROM w WHERE rn = 1
+    """,
+)
+def e16(spark, sf_dir):
+    """§2.11 streaming JOINT LIFECYCLE (r10) — the thirteenth verified
+    streaming runtime, and the first to chain TWO stateful operators in
+    ONE streaming plan (streaming/tracker.streaming_ingest_lifecycle):
+    redelivery dedup (dropDuplicatesWithinWatermark) → quality gate
+    (stateless codegen, `value <= 150`) → latest-wins CDC upsert
+    (python state server, count_rows=True). The twelve prior e-queries
+    each verified one mechanism; production ingest chains them, and the
+    chain's legality + correctness is its own property (Spark's
+    unsupported-operations checker rejects many stateful compositions).
+
+    The staged log REDELIVERS every fifth event as an exact copy
+    (at-least-once delivery's duplicate mode), so the dedup stage is
+    live, not a no-op. Its effect is provable through the final
+    snapshot: the upsert's per-key ``n_rows_applied`` counter must
+    equal the ORIGINAL per-user gated row count the oracle computes —
+    if any redelivered copy leaked past the dedup, or the gate admitted
+    a dropped row, the count (hash-checked per key) would exceed it.
+    Winner columns alone could not show this (a duplicate re-applies
+    the same winner).
+
+    The sink holds one snapshot row per key per emitting micro-batch;
+    (t_us, last_seq) and n_rows_applied are monotone per key, so the
+    final state row is the per-key max under (t_us, last_seq,
+    n_rows_applied) — correct however availableNow splits the drain
+    (multi-micro-batch chaining pinned by tests/test_streaming.py::
+    test_streaming_ingest_lifecycle_dedups_across_batches). Event time
+    carried as exact integer micros (unix_micros ≡ DuckDB epoch_us).
+    The 3650-day watermark spans any sf's 30-day log so no dedup key
+    evicts mid-drain; production sets the redelivery horizon instead
+    (the state-bounding contract, documented at the operator)."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_ingest_lifecycle,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    redelivered = ev.unionAll(ev.filter(F.col("event_id") % 5 == 0))
+    sink = _drain_to_memory(
+        redelivered, "e16_stream_lifecycle", "e16_lifecycle_sink",
+        lambda stream: streaming_ingest_lifecycle(
+            stream,
+            dedup_keys=["user_id", "event_id"],
+            gate_predicate="value IS NOT NULL AND value <= 150.0",
+        ),
+        "append", "e16_streaming_ingest_lifecycle",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("t_ms").desc(),
+        F.col("last_seq").desc(),
+        F.col("n_rows_applied").desc(),
+    )
+    return (
+        sink
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "key",
+            F.col("t_ms").alias("t_us"),
+            "last_seq",
+            "last_type",
+            "last_value",
+            "is_delete",
+            "n_rows_applied",
+        )
+    )
+
+
+@register(
     "v15_pq_published",
     _pq_oracle_sql(
         train_pred="vec_id % 10 <> 0", query_pred="sub.vec_id % 10 = 0"
@@ -8948,75 +9126,77 @@ def e12(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-9 window ---
-    # the r8 red row first: a13 failed hash_match on a -0.0 slope cell;
-    # fixed this round via zero-sign normalization (scalars.round_z +
-    # ROUND(..)+0.0 on the oracle side) — must re-prove under the
-    # driver's bit hash
-    "a13_group_ols",
-    # changed-code re-verification: every query whose engine or oracle
-    # text gained the -0.0 normalization (a8 skew/descent, t9 z, w9
-    # ewma, all cosine outputs), the ivf family refactored through
-    # _probe_centroids/_centers_from_published (v3/v13), and mm7 whose
-    # flat-frame canonical code changed the golden
-    "a8_timeseries_stats",
-    "t9_zscore_outliers",
-    "w9_ewma",
-    "v1_cosine_topk",
-    "v2_srp_topk",
-    "v4_probe_topk",
-    "v7_int8_srp_topk",
-    "v3_ivf_topk",
-    "v13_ivf_published",
-    "d6_embedding_neardup",
-    "d6b_srp_neardup",
-    "d15_semantic_dedup",
-    "d15b_semantic_dedup_trained",
-    "c16_semantic_decontaminate",
-    "mm7_image_phash_neardup",
-    # new this round (never driver-proven)
-    "o10_dpp_join",
-    "j12_aqe_skew_split",
-    "o11_bloom_filtered_join",
-    "o12_bucket_pruned_lookup",
-    "t26_token_coverage",
+    # --- round-10 window ---
+    # the two r9 reds first (the only registry queries the driver has
+    # NEVER proven): p15's array column serialized to a string at the
+    # query edge (list cells crashed the driver's pandas canonicalizer)
+    # and t26's oracle SUMs cast to BIGINT (uncast DuckDB HUGEINT
+    # pandas-converts to float64 while Spark emits bigint) — both
+    # reproduced and both now caught by the pandas-fetch local gate
     "p15_expectations_audit",
-    "c19_scd2_history",
-    "j13_fuzzy_entity_join",
-    "v14_ivf_append",
-    "v15_pq_published",
+    "t26_token_coverage",
+    # new this round (never driver-proven): the two remaining AQE
+    # re-plan mechanisms, the composed two-stateful-op streaming
+    # lifecycle, and the approx-percentile accuracy audit
+    "o13_aqe_coalesced_agg",
+    "j14_adaptive_broadcast_join",
+    "e16_streaming_ingest_lifecycle",
+    "a16_approx_quantile_audit",
+    # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
+    # normalization on rounded signed sums (advisor batch), e13/e14's
+    # kernels gained the pd.isna null-key guard + e13 the key-monotone
+    # contract enforcement, and e6's streaming_upsert was restructured
+    # for the count_rows extension e16 uses
+    "w2_cumulative_sum",
+    "w8_range_frame",
     "e13_streaming_ewma",
     "e14_streaming_gap_fill",
-    "e15_streaming_ann_serve",
-    # the stale r04 cohort remainder (last external proof
-    # CORRECTNESS_r04; the r8 verdict's item-2 list minus v3/v4 which
-    # sit in the changed-code block above)
-    "s8b_trackmate_edges",
-    "t4_token_counts",
-    "t5_redact",
-    "t6_repetition",
-    "u3_u4_multi_concat",
-    "u5_intersect_except",
-    "w6_rank_lead_ntile",
-    "w7_session_window",
-    "w8_range_frame",
-    # the oldest r05 cohort (fills the remaining slots — w10 included
-    # per the r8 verdict's item-7 Done criterion, alongside its e14
-    # streaming twin above; the rest of the r05 set — c9, s6_s7,
-    # s9_s10, s11/s13/s14/s15, t7/t8/t10, u6, v5/v6/v10 — is first in
-    # line for r10, with c4/c8/d8/e3/e4 and mm4/mm5)
-    "a12_group_quantiles",
-    "c5_decontaminate",
-    "c6_epoch_shuffle",
-    "c7_incremental_upsert",
-    "d3b_minhash_expr_bands",
-    "e1_hourly_rollup",
-    "e2_sessionize",
-    "w10_gap_fill",
-    "m4_static_features",
-    "m6b_mask_contours",
-    "s1_glob_scan",
-    "s5_jpeg_gray",
+    "e6_streaming_upsert_state",
+    # the r5 cohort — every query whose last external proof is
+    # CORRECTNESS_r05 (the r9 verdict's item-3 list, oldest-first
+    # rotation discipline)
+    "c4_hash_stratified_sample",
+    "c8_mixture_rebalance",
+    "c9_split_manifest",
+    "d8_duplicated_spans",
+    "e3_funnel_conversion",
+    "e4_retention_cohorts",
+    "mm4_resize",
+    "mm5_audio_resample",
+    "s6_s7_csv_roundtrip",
+    "s9_s10_roi_zip_roundtrip",
+    "s11_png_mask_sink",
+    "s13_config_roundtrip",
+    "s14_lines_source",
+    "s15_publish_roundtrip",
+    "t7_tfidf_topk",
+    "t8_charlm_gate",
+    "t10_normalize_mojibake",
+    "u6_union_by_name",
+    "v5_int8_quantize",
+    "v6_int8_topk",
+    "v10_int8_per_dim",
+    # start of the r6 cohort (fills the remaining slots; the rest —
+    # f*/g* block, w1/w3/w4, o1/o4, u1/u2, v8/v9, e5 — is first in
+    # line for r11)
+    "a1_argmin_first_row",
+    "a2_group_count",
+    "a3_multistat_median",
+    "a7_count_distinct",
+    "p1_p2_filter_min_obs",
+    "p4_filter_distinct",
+    "p5_duplicate_key_rows",
+    "p6_unique_key_rows",
+    "p7_p8_nonzero_nonnull",
+    "p9_p12_project_rename_cast",
+    "p13_stride_sample",
+    "j1_broadcast_dim_join",
+    "j2_composite_key_joinback",
+    "j3_lookup_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_positional_zip_join",
+    "j7_density_grid_join",
 ]
 
 

@@ -1047,6 +1047,19 @@ UPSERT_OUT = T.StructType(
     ]
 )
 
+# count_rows=True variants: state/output gain a monotone applied-rows
+# counter. The counter is the OBSERVABLE that lets an upstream stage's
+# row-dropping (dedup, quality gate) be verified through the final
+# snapshot — identical last-winner rows can hide how many rows the
+# state consumed; the count cannot.
+UPSERT_COUNT_STATE = T.StructType(
+    list(UPSERT_STATE.fields) + [T.StructField("n_rows", T.LongType())]
+)
+
+UPSERT_COUNT_OUT = T.StructType(
+    list(UPSERT_OUT.fields) + [T.StructField("n_rows_applied", T.LongType())]
+)
+
 
 def streaming_upsert(
     changes: DataFrame,
@@ -1056,6 +1069,7 @@ def streaming_upsert(
     type_col: str = "event_type",
     value_col: str = "value",
     delete_type: str = "error",
+    count_rows: bool = False,
 ) -> DataFrame:
     """Latest-wins CDC state as a stream — the incremental twin of
     ``operators/cdc.merge_upsert`` (same (t, seq) total order, same
@@ -1078,7 +1092,19 @@ def streaming_upsert(
     window still surfaces one all-null-ordered row (SQL window
     semantics force some row to rank first). An all-null snapshot row
     (is_delete NULL) is not a meaningful CDC state, so the stream
-    suppresses it rather than mimicking the window artifact."""
+    suppresses it rather than mimicking the window artifact.
+
+    With ``count_rows=True`` the state also carries a monotone counter
+    of rows APPLIED (rows with a non-null ordering key that reached
+    this operator), and each snapshot row reports it as
+    ``n_rows_applied``. The count is what makes upstream row-dropping
+    stages (streaming dedup, a quality gate) externally observable:
+    the last-winner columns can be identical whether or not a
+    redelivered duplicate was dropped upstream, but the applied-row
+    count cannot (e16's chain verification leans on exactly this)."""
+
+    out_schema = UPSERT_COUNT_OUT if count_rows else UPSERT_OUT
+    state_schema = UPSERT_COUNT_STATE if count_rows else UPSERT_STATE
 
     def update(
         key: tuple[Any, ...],
@@ -1086,14 +1112,18 @@ def streaming_upsert(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            t_ms, seq, typ, val, deleted = state.get
+            stored = state.get
+            t_ms, seq, typ, val, deleted = stored[:5]
+            n_rows = stored[5] if count_rows else 0
         else:
             t_ms = seq = typ = val = deleted = None
+            n_rows = 0
         for pdf in pdfs:
             # no sort: the strict (t, seq) tuple max is order-independent
             for _, r in pdf.iterrows():
                 if pd.isna(r[t_col]) or pd.isna(r[seq_col]):
                     continue
+                n_rows += 1
                 rt, rs = int(r[t_col]), int(r[seq_col])
                 if t_ms is None or (rt, rs) > (t_ms, seq):
                     t_ms, seq = rt, rs
@@ -1105,21 +1135,79 @@ def streaming_upsert(
             # null-only group: no winner established, nothing to store
             # or emit (see the divergence note in the docstring)
             return
-        state.update((t_ms, seq, typ, val, deleted))
+        row = {
+            "key": key[0],
+            "t_ms": t_ms,
+            "last_seq": seq,
+            "last_type": typ,
+            "last_value": val,
+            "is_delete": deleted,
+        }
+        if count_rows:
+            state.update((t_ms, seq, typ, val, deleted, n_rows))
+            row["n_rows_applied"] = n_rows
+        else:
+            state.update((t_ms, seq, typ, val, deleted))
         yield pd.DataFrame(
-            [
-                {
-                    "key": key[0],
-                    "t_ms": t_ms,
-                    "last_seq": seq,
-                    "last_type": typ,
-                    "last_value": val,
-                    "is_delete": deleted,
-                }
-            ],
-            columns=[f.name for f in UPSERT_OUT.fields],
+            [row], columns=[f.name for f in out_schema.fields]
         )
 
     return changes.groupBy(key_col).applyInPandasWithState(
-        update, UPSERT_OUT, UPSERT_STATE, "append", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_ingest_lifecycle(
+    changes: DataFrame,
+    dedup_keys: list[str],
+    gate_predicate: str,
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """The production ingest chain as ONE streaming plan — TWO stateful
+    operators with stateless whole-stage codegen between them:
+
+        dropDuplicatesWithinWatermark  (redelivery dedup — stateful #1)
+          → gate_predicate filter      (quality gate — stateless codegen)
+          → latest-wins CDC upsert     (python state server — stateful #2)
+
+    The engine's twelve prior streaming runtimes each exercised one
+    mechanism; a real always-on ingest chains them, and chaining is
+    NOT free — Spark's unsupported-operations checker historically
+    rejected flatMapGroupsWithState-family operators downstream of
+    another stateful operator, so the legality of this exact plan is
+    itself a property worth pinning (it holds on Spark 4.x; verified
+    empirically and by tests/test_streaming.py).
+
+    Semantics and their composition contracts:
+      - The dedup stage keys on ``dedup_keys``; redelivered rows
+        (exact copies — at-least-once delivery's duplicate mode) are
+        dropped while their key lives in the state store. The
+        demonstration watermark spans the whole staged log so no key
+        is evicted mid-drain; production sets it to the delivery
+        layer's redelivery horizon so state stays bounded.
+      - The gate runs BETWEEN the stateful stages and stays in
+        whole-stage codegen; Catalyst cannot push it below the dedup
+        (that would change which row establishes the key) but the gate
+        sees only first-arrivals, so gate work scales with the deduped
+        rate, not the redelivery rate — the right order for a chain
+        where redelivery amplification is the load problem.
+      - The upsert runs with ``count_rows=True``: its per-key
+        ``n_rows_applied`` counter is the observable proving rows
+        dropped upstream (duplicates, gate failures) never reached the
+        state server — identical winner rows could not show that.
+
+    At 100 TB/day the chain is two hash exchanges (dedup keys, then
+    upsert key) plus codegen between; both state stores are
+    hash-partitioned and evict by watermark / live-key set, so state
+    scales with live keys, not stream length."""
+    deduped = changes.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_keys
+    )
+    gated = deduped.filter(gate_predicate)
+    return streaming_upsert(
+        gated, key_col=key_col, t_col=t_col, seq_col=seq_col, count_rows=True
     )

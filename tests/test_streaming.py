@@ -1001,3 +1001,80 @@ def test_streaming_ewma_out_of_order_batch_raises(spark, tmp_path):
     with pytest.raises(StreamingQueryException) as ei:
         q.awaitTermination(120)
     assert "key-monotone ordering contract" in str(ei.value)
+
+
+def test_streaming_ingest_lifecycle_dedups_across_batches(spark, tmp_path):
+    """The composed ingest chain (dedup -> gate -> counted upsert, ONE
+    streaming plan) drained as multiple micro-batches: batch 2 is pure
+    redelivery of batch-1 rows plus a few genuinely-new events. The
+    dedup state must drop the redelivered copies ACROSS the batch
+    boundary (a per-batch dedup would admit them), the gate must keep
+    value>threshold rows out of both the winner and the count, and the
+    final per-key n_rows_applied must equal the distinct gated event
+    count — the observable that duplicates never reached the upsert
+    state server."""
+    import time
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_ingest_lifecycle,
+    )
+
+    # user 1: 4 events (one gated out by value=999); user 2: 3 events,
+    # latest is a tombstone ('error')
+    rows = [
+        (1, 1_000_000, 10, "click", 5.0),
+        (1, 2_000_000, 11, "view", 7.0),
+        (1, 3_000_000, 12, "click", 999.0),   # fails the gate
+        (2, 1_500_000, 20, "signup", 3.0),
+        (2, 2_500_000, 21, "click", 4.0),
+    ]
+    new_rows = [
+        (1, 4_000_000, 13, "purchase", 9.0),
+        (2, 3_500_000, 22, "error", 1.0),     # tombstone wins for user 2
+    ]
+    schema = "user_id bigint, t_us bigint, event_id bigint, event_type string, value double"
+    df1 = spark.createDataFrame(rows, schema)
+    # batch 2 = exact redelivery of ALL batch-1 rows + the new events
+    df2 = spark.createDataFrame(rows + new_rows, schema)
+    with_ts = lambda d: d.withColumn("ts", F.timestamp_micros("t_us"))  # noqa: E731
+    staged = str(tmp_path / "lifecycle_stream")
+    with_ts(df1).coalesce(1).write.mode("append").parquet(staged)
+    time.sleep(1.1)
+    with_ts(df2).coalesce(1).write.mode("append").parquet(staged)
+    stream = (
+        spark.readStream.schema(with_ts(df1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_ingest_lifecycle(
+            stream,
+            dedup_keys=["user_id", "event_id"],
+            gate_predicate="value IS NOT NULL AND value <= 150.0",
+        )
+        .writeStream.format("memory")
+        .queryName("lifecycle_chain_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+    sink = spark.sql("SELECT * FROM lifecycle_chain_test").collect()
+    final = {}
+    for r in sink:
+        cur = final.get(r["key"])
+        k = (r["t_ms"], r["last_seq"], r["n_rows_applied"])
+        if cur is None or k > (cur["t_ms"], cur["last_seq"], cur["n_rows_applied"]):
+            final[r["key"]] = r
+    # user 1: events 10/11/13 pass the gate (12 gated out); the three
+    # batch-2 redeliveries of 10/11 must NOT inflate the count
+    assert final[1]["n_rows_applied"] == 3
+    assert final[1]["last_seq"] == 13
+    assert final[1]["last_type"] == "purchase"
+    assert final[1]["is_delete"] is False
+    # user 2: events 20/21/22 all pass; 22 is the tombstone winner
+    assert final[2]["n_rows_applied"] == 3
+    assert final[2]["last_seq"] == 22
+    assert final[2]["is_delete"] is True
