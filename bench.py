@@ -180,6 +180,38 @@ def main() -> None:
     times["pipeline_726frames"] = min(runs)
     total += times["pipeline_726frames"]
 
+    # Scaling probe (r10, verdict item 7): the same chain at 4x the
+    # frames per container (33 x 88 = 2904 frames — longer tracks, a
+    # 4x-edge lineage graph, 4x the density-join frames) to catch
+    # superlinear creep in track -> CC -> features before it matters.
+    # EXCLUDED from the headline total so "value" stays comparable
+    # across rounds; reported under "scaling" with the wall-vs-data
+    # ratio (sub-linear ratio = fixed overheads amortising; a ratio
+    # > 4 would flag a superlinear stage). Two repeats: the 1x entry
+    # above already paid codegen/warm-up for this plan shape.
+    bins4 = spark.createDataFrame(
+        [
+            (f"tl4_{i:02d}.fake", bytearray(make_fake_timelapse(seed=100 + i, height=48, width=48, n_frames=88)))
+            for i in range(33)
+        ],
+        "path string, content binary",
+    )
+    runs4 = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out4 = run_pipeline(bins4, cc_shuffle_partitions=2)
+        _materialise(out4["timeseries"])
+        _materialise(out4["summary"])
+        runs4.append(round(time.perf_counter() - t0, 3))
+    samples["pipeline_2904frames"] = runs4
+    scaling = {
+        "pipeline_2904frames": min(runs4),
+        "frames_ratio": 4.0,
+        "wall_ratio": round(min(runs4) / times["pipeline_726frames"], 2)
+        if times["pipeline_726frames"] > 0
+        else None,
+    }
+
     # spread self-check (r9): on an idle box a query's STEADY-STATE
     # repeats (runs[1:] — the first run pays codegen by design) agree
     # within ~1.3x; a majority above that marks the artifact contended
@@ -204,6 +236,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "samples": samples,
+                "scaling": scaling,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "warnings": warnings,

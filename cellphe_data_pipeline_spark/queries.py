@@ -8023,6 +8023,77 @@ def e16(spark, sf_dir):
 
 
 @register(
+    "e17_streaming_dedup_rollup",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def e17(spark, sf_dir):
+    """§2.11 streaming dedup → WINDOWED ROLLUP chain (r10) — the
+    fourteenth verified streaming runtime and e16's BUILT-IN sibling:
+    where e16 chained into a python stateful processor, e17 chains the
+    two engine-managed state stores Spark's multi-stateful support was
+    designed around (SPARK-40925): redelivery dedup
+    (dropDuplicatesWithinWatermark) feeding a watermarked tumbling
+    window aggregation, in ONE append-mode streaming plan. Together
+    the two queries pin both legal chain classes.
+
+    The staged log again redelivers every fifth event as an exact
+    copy. Here the dedup's effect needs NO extra observable: a leaked
+    duplicate inflates the rollup's per-window `n` and `sum_value`,
+    which the oracle (e1's exact text — the rollup over the ORIGINAL
+    events) hash-checks.
+
+    Append-mode + bounded drain mechanics: an append agg only emits a
+    window once the watermark passes its end, so a bounded drain would
+    hold back every trailing window (e5 used complete mode for this).
+    A chained dedup+agg plan is append-only (multi-stateful support is
+    append-mode), so e17 instead stages one far-future SENTINEL row
+    (event_id -1, ts 2100-01-01): the engine's no-data final
+    micro-batch advances the watermark decades past every real window
+    and flushes them all, while the sentinel's own window stays held
+    back forever — it never reaches the sink or the compare. The
+    3650-day delay both spans any sf's log (no dedup key evicts
+    mid-drain) and keeps the sentinel-advanced watermark (~2090) clear
+    of real 2024 windows. Tumbling window(1h) starts are epoch-aligned
+    == date_trunc('hour')."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel", _dt.datetime(2100, 1, 1), 0.0)], ev.schema
+    )
+    staged = ev.unionAll(ev.filter(F.col("event_id") % 5 == 0)).unionAll(
+        sentinel
+    )
+
+    def chain(stream):
+        return (
+            stream.withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    sink = _drain_to_memory(
+        staged, "e17_stream_dedup_rollup", "e17_dedup_rollup_sink",
+        chain, "append", "e17_streaming_dedup_rollup",
+    )
+    return sink.select(
+        "event_type", F.col("win.start").alias("hour_ts"), "n", "sum_value"
+    )
+
+
+@register(
     "v15_pq_published",
     _pq_oracle_sql(
         train_pred="vec_id % 10 <> 0", query_pred="sub.vec_id % 10 = 0"
@@ -9141,6 +9212,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o13_aqe_coalesced_agg",
     "j14_adaptive_broadcast_join",
     "e16_streaming_ingest_lifecycle",
+    "e17_streaming_dedup_rollup",
     "a16_approx_quantile_audit",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
@@ -9196,7 +9268,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "j4_semi_join",
     "j5_anti_join",
     "j6_positional_zip_join",
-    "j7_density_grid_join",
+    # (j7_density_grid_join, next in the r6 cohort, is displaced to
+    # r11's head by e17 — it is exercised in every round's bench
+    # headline regardless)
 ]
 
 

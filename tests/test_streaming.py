@@ -1078,3 +1078,65 @@ def test_streaming_ingest_lifecycle_dedups_across_batches(spark, tmp_path):
     assert final[2]["n_rows_applied"] == 3
     assert final[2]["last_seq"] == 22
     assert final[2]["is_delete"] is True
+
+
+def test_streaming_dedup_rollup_chain_across_batches(spark, tmp_path):
+    """e17's built-in two-stateful chain (dedup -> watermarked tumbling
+    agg, ONE append-mode plan) across micro-batches: batch 2 redelivers
+    batch-1 rows (must not inflate any window's count), batch 3 is the
+    far-future sentinel (must flush every real window via the no-data
+    final batch while its own window stays held back)."""
+    import datetime as dt
+    import time
+
+    rows = [
+        # two 1h windows, 3 + 2 events
+        (10, "click", dt.datetime(2024, 1, 1, 0, 5), 1.0),
+        (11, "click", dt.datetime(2024, 1, 1, 0, 25), 2.0),
+        (12, "view", dt.datetime(2024, 1, 1, 0, 45), 4.0),
+        (13, "click", dt.datetime(2024, 1, 1, 1, 10), 8.0),
+        (14, "view", dt.datetime(2024, 1, 1, 1, 50), 16.0),
+    ]
+    schema = "event_id bigint, event_type string, ts timestamp, value double"
+    df1 = spark.createDataFrame(rows, schema)
+    df2 = spark.createDataFrame(rows[:4], schema)  # pure redelivery
+    df3 = spark.createDataFrame(
+        [(-1, "sentinel", dt.datetime(2100, 1, 1), 0.0)], schema
+    )
+    staged = str(tmp_path / "dedup_rollup_stream")
+    for d in (df1, df2, df3):
+        d.coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_rollup_chain_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    got = {
+        (r["event_type"], r["win"]["start"].hour): (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM dedup_rollup_chain_test").collect()
+    }
+    # every real window emitted exactly once with the DEDUPED counts;
+    # the sentinel's 2100 window held back (not in the sink)
+    assert got == {
+        ("click", 0): (2, 3.0),
+        ("view", 0): (1, 4.0),
+        ("click", 1): (1, 8.0),
+        ("view", 1): (1, 16.0),
+    }
