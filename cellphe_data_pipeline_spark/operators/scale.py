@@ -73,6 +73,33 @@ def publish_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Backfill/restatement sink for a partitioned publish: replace
+    ONLY the partition directories present in ``df``, leaving every
+    other partition byte-untouched. This is how a 100-TB corpus takes
+    a single-day (or single-source) correction — rewrite the touched
+    slice at slice cost, never the table.
+
+    Mechanism: ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    scopes the overwrite to the incoming frame's partition tuples. The
+    conf is read at WRITE time, so it is set only around this write
+    and restored after — under the default (static) mode the very same
+    ``mode("overwrite")`` call DELETES the whole table first and
+    leaves only the backfilled partitions, which is the
+    data-destroying trap this helper exists to fence off
+    (tests/test_scale.py pins both directions)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, saved)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -3715,6 +3715,56 @@ def o9(spark, sf_dir):
     )
 
 
+@register(
+    "o14_dynamic_partition_overwrite",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                              THEN value * 2 ELSE value END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def o14(spark, sf_dir):
+    """Dynamic partition OVERWRITE (r10) — the restatement/backfill
+    half of o9's partitioned publish, and the fifth member of the
+    partition-layout family (o8 bucket join, o9 static pruning, o10
+    DPP, o12 bucket pruning): events are published one directory per
+    event_type, then a corrected 'purchase' slice (values restated
+    x2 — exact in binary floating point) is written back with
+    ``mode("overwrite")`` under partitionOverwriteMode=dynamic
+    (operators/scale.overwrite_partitions_dynamic), which replaces
+    ONLY the partitions present in the incoming frame. The read-back
+    rollup must show restated purchase sums AND untouched sums for the
+    other four types — a leaked static overwrite would delete them
+    (the trap: the default mode's same call wipes the table first;
+    both directions pinned in tests/test_scale.py). At 100 TB this is
+    how a single-day correction lands at slice cost: rewrite the
+    touched directories, never the table, with readers pruned to
+    untouched slices throughout."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+        publish_partitioned,
+    )
+
+    staged = _stage_dir("o14_events_part")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    publish_partitioned(ev, staged, ["event_type"])
+    backfill = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") * F.lit(2)
+    )
+    overwrite_partitions_dynamic(backfill, staged, ["event_type"])
+    back = spark.read.parquet(staged)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @contextmanager
 def _session_confs(spark, **confs):
     """Scoped session-conf overrides for a query that must EXECUTE
@@ -9214,6 +9264,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e16_streaming_ingest_lifecycle",
     "e17_streaming_dedup_rollup",
     "a16_approx_quantile_audit",
+    "o14_dynamic_partition_overwrite",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9267,10 +9318,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "j3_lookup_join",
     "j4_semi_join",
     "j5_anti_join",
-    "j6_positional_zip_join",
-    # (j7_density_grid_join, next in the r6 cohort, is displaced to
-    # r11's head by e17 — it is exercised in every round's bench
-    # headline regardless)
+    # (j6_positional_zip_join and j7_density_grid_join, next in the r6
+    # cohort, are displaced to r11's head by e17/o14 — j7 is exercised
+    # in every round's bench headline regardless)
 ]
 
 

@@ -479,3 +479,37 @@ def test_j14_runtime_promotes_smj_to_broadcast(spark):
         r["s_nationkey"]: r["n_rows"] for r in _j14_join(spark, sf).collect()
     }
     assert promoted == plain
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """overwrite_partitions_dynamic replaces ONLY the partitions in the
+    incoming frame; the default (static) mode's same call wipes the
+    table first — both directions pinned, because the static behavior
+    is the data-destroying trap the helper exists to fence off."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+        publish_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id bigint, part string, value double",
+    )
+    path = str(tmp_path / "dyn_part")
+    publish_partitioned(df, path, ["part"])
+    fix = spark.createDataFrame([(9, "b", 99.0)], df.schema)
+    overwrite_partitions_dynamic(fix, path, ["part"])
+    got = {
+        (r["part"], r["id"]): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # b replaced wholesale; a and c byte-untouched
+    assert got == {("a", 1): 10.0, ("a", 2): 20.0, ("b", 9): 99.0, ("c", 4): 40.0}
+    # the conf is restored (scoped to the write)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    # the static trap: the same overwrite call under the default mode
+    # deletes every other partition
+    fix2 = spark.createDataFrame([(8, "b", 88.0)], df.schema)
+    fix2.write.mode("overwrite").partitionBy("part").parquet(path)
+    left = {(r["part"], r["id"]) for r in spark.read.parquet(path).collect()}
+    assert left == {("b", 8)}
