@@ -5792,6 +5792,96 @@ def a12(spark, sf_dir):
     )
 
 
+@register(
+    "a17_drift_profile",
+    """
+    WITH b AS (
+      SELECT source, LEAST(n_chars // 64, 9) AS bucket,
+             COUNT(*) FILTER ((doc_id // 20) % 2 = 0) AS c_ref,
+             COUNT(*) FILTER ((doc_id // 20) % 2 = 1) AS c_cur
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source,
+             CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM b GROUP BY source
+    ),
+    t AS (
+      SELECT b.source, tot.n_ref, tot.n_cur,
+             CAST(SUM(ABS(b.c_ref * tot.n_cur - b.c_cur * tot.n_ref))
+                  AS BIGINT) AS num
+      FROM b JOIN tot USING (source)
+      GROUP BY b.source, tot.n_ref, tot.n_cur
+    )
+    SELECT source, n_ref, n_cur,
+           CAST(FLOOR(1e6 * (CAST(num AS DOUBLE)
+                             / (2.0 * n_ref * n_cur))) AS BIGINT) AS tvd_ppm
+    FROM t
+    """,
+)
+def a17(spark, sf_dir):
+    """Snapshot DRIFT profile (r10) — the between-batches half of the
+    profile family (a14 profiles ONE snapshot; production monitoring
+    diffs TWO): per source, the total-variation distance between the
+    length distributions of a reference slice (even doc_id) and a
+    current slice (alternating (doc_id DIV 20) % 2 stripes — plain
+    doc_id parity is constant per source in this testdata, ids stride
+    by 20), binned into ten fixed-width buckets
+    (n_chars DIV 64, capped). TVD = ½ Σ|p_b − q_b| is the drift score
+    a retraining trigger thresholds on.
+
+    Numerics follow the repo's no-transcendentals discipline (the PMI/
+    log-idf precedent at t21/t7: a PSI's ln(p/q) would hash on libm's
+    last ulp): the numerator Σ|c_ref·n_cur − c_cur·n_ref| is EXACT
+    int64 (order-free associative integer sum; max ~3.6e14 at sf0.1,
+    overflow-safe by 4 orders), and the single double division +
+    FLOOR-to-ppm is the identical expression shape on both engines —
+    one correctly-rounded operation each, no ROUND half-up/half-even
+    edge. Plan: one groupBy(source, bucket) partial-agg then a
+    source-level reduce — two map-side-combinable shuffles on a
+    20-key space, scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("LEAST(n_chars DIV 64, 9)").alias("bucket"),
+        (F.expr("(doc_id DIV 20) % 2") == 0).cast("long").alias("is_ref"),
+    )
+    b = docs.groupBy("source", "bucket").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
+    )
+    w = Window.partitionBy("source")
+    t = (
+        b.withColumn("n_ref", F.sum("c_ref").over(w))
+        .withColumn("n_cur", F.sum("c_cur").over(w))
+        .groupBy("source")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.sum(
+                F.abs(
+                    F.col("c_ref") * F.col("n_cur")
+                    - F.col("c_cur") * F.col("n_ref")
+                )
+            ).alias("num"),
+        )
+    )
+    return t.select(
+        "source",
+        "n_ref",
+        "n_cur",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+            )
+        )
+        .cast("long")
+        .alias("tvd_ppm"),
+    )
+
+
 _A16_QS = (0.5, 0.9, 0.99)
 _A16_ACCURACY = 100  # deliberately coarse: eps = 1/100 rank error
 
@@ -9265,6 +9355,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e17_streaming_dedup_rollup",
     "a16_approx_quantile_audit",
     "o14_dynamic_partition_overwrite",
+    "a17_drift_profile",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9317,10 +9408,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "j2_composite_key_joinback",
     "j3_lookup_join",
     "j4_semi_join",
-    "j5_anti_join",
-    # (j6_positional_zip_join and j7_density_grid_join, next in the r6
-    # cohort, are displaced to r11's head by e17/o14 — j7 is exercised
-    # in every round's bench headline regardless)
+    # (j5_anti_join, j6_positional_zip_join and j7_density_grid_join,
+    # next in the r6 cohort, are displaced to r11's head by the r10
+    # additions — j7 is exercised in every round's bench headline
+    # regardless)
 ]
 
 
