@@ -100,6 +100,48 @@ def overwrite_partitions_dynamic(
         spark.conf.set(key, saved)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    sort_cols: list[str],
+    max_records_per_file: int = 0,
+    target_partitions: int | None = None,
+) -> None:
+    """Small-file compaction — the table-maintenance op every long-run
+    ingest needs: streaming sinks and fine-grained backfills leave
+    thousands of KB-sized files, and at 100 TB the scan cost becomes
+    footer/open-bound (one task per tiny file, NameNode/listing
+    pressure) instead of byte-bound. Rewrite the directory as few,
+    size-targeted, RANGE-SORTED files:
+
+      - ``repartitionByRange(sort_cols)`` + ``sortWithinPartitions``
+        makes each output file a disjoint sorted key range, so the
+        parquet min/max footer stats prune point/range scans on the
+        sort key (the z-order single-key special case — o7 covers the
+        multi-key form);
+      - ``maxRecordsPerFile`` caps file size from above, the partition
+        count from below — together they put files inside the
+        [open-cost, task-skew] window;
+      - values are untouched by construction (pure relayout); the o15
+        driver oracle hash-checks exactly that, and the file-count
+        budget is pinned by tests/test_scale.py.
+
+    Compact into a NEW directory then swap — never in place: readers
+    hold the old listing mid-rewrite (same publish-then-cut discipline
+    as sources/io.publish)."""
+    df = spark.read.parquet(path)
+    n = target_partitions or max(1, df.rdd.getNumPartitions() // 8)
+    w = (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(out_path)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -3765,6 +3765,54 @@ def o14(spark, sf_dir):
     )
 
 
+@register(
+    "o15_small_file_compaction",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def o15(spark, sf_dir):
+    """Small-file COMPACTION (r10) — the table-maintenance half of the
+    layout family (o7 z-order writes the layout once; a long-running
+    ingest then FRAGMENTS it): events staged as 64 deliberately tiny
+    files (a streaming sink's natural debris), compacted by
+    operators/scale.compact_files into 4 range-sorted files
+    (repartitionByRange(user_id) + sortWithinPartitions ⇒ each output
+    file is a disjoint sorted user_id range whose parquet min/max
+    footer prunes point scans on the sort key), then read back and
+    aggregated. The oracle hash-checks the compaction invariant —
+    a pure relayout must never change values — and the mechanical
+    claims (file count collapses 64→4, per-file key ranges disjoint)
+    are pinned by tests/test_scale.py. At 100 TB this is the scheduled
+    job that keeps scan cost byte-bound instead of
+    file-open/listing-bound; compaction writes to a NEW directory and
+    cuts over (readers hold the old listing mid-rewrite)."""
+    from cellphe_data_pipeline_spark.operators.scale import compact_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag = _stage_dir("o15_fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _stage_dir("o15_compacted")
+    compact_files(
+        spark, frag, compacted, sort_cols=["user_id"], target_partitions=4
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 @contextmanager
 def _session_confs(spark, **confs):
     """Scoped session-conf overrides for a query that must EXECUTE
@@ -5815,8 +5863,10 @@ def a12(spark, sf_dir):
       GROUP BY b.source, tot.n_ref, tot.n_cur
     )
     SELECT source, n_ref, n_cur,
-           CAST(FLOOR(1e6 * (CAST(num AS DOUBLE)
-                             / (2.0 * n_ref * n_cur))) AS BIGINT) AS tvd_ppm
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE CAST(FLOOR(1e6 * (CAST(num AS DOUBLE)
+                                       / (2.0 * n_ref * n_cur))) AS BIGINT)
+           END AS tvd_ppm
     FROM t
     """,
 )
@@ -5870,14 +5920,20 @@ def a17(spark, sf_dir):
         "source",
         "n_ref",
         "n_cur",
-        F.floor(
-            F.lit(1e6)
-            * (
-                F.col("num").cast("double")
-                / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
-            )
+        # NULL (undefined drift) when a slice is empty — guards the
+        # ANSI divide-by-zero a degenerate source would raise
+        F.when(
+            (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(None)
         )
-        .cast("long")
+        .otherwise(
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.col("num").cast("double")
+                    / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+                )
+            ).cast("long")
+        )
         .alias("tvd_ppm"),
     )
 
@@ -8197,7 +8253,12 @@ def e17(spark, sf_dir):
     back forever — it never reaches the sink or the compare. The
     3650-day delay both spans any sf's log (no dedup key evicts
     mid-drain) and keeps the sentinel-advanced watermark (~2090) clear
-    of real 2024 windows. Tumbling window(1h) starts are epoch-aligned
+    of real 2024 windows. Ordering note: the registry drain stages
+    everything in ONE parquet write (no file-trigger cap ⇒ one
+    micro-batch), so the sentinel cannot be processed BEFORE real rows
+    and late-drop them; a multi-batch deployment must deliver the
+    heartbeat last-per-source, exactly as the pinning test sequences
+    its files by mtime. Tumbling window(1h) starts are epoch-aligned
     == date_trunc('hour')."""
     import datetime as _dt
 
@@ -9356,6 +9417,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a16_approx_quantile_audit",
     "o14_dynamic_partition_overwrite",
     "a17_drift_profile",
+    "o15_small_file_compaction",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9407,11 +9469,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "j1_broadcast_dim_join",
     "j2_composite_key_joinback",
     "j3_lookup_join",
-    "j4_semi_join",
-    # (j5_anti_join, j6_positional_zip_join and j7_density_grid_join,
-    # next in the r6 cohort, are displaced to r11's head by the r10
-    # additions — j7 is exercised in every round's bench headline
-    # regardless)
+    # (j4_semi_join through j7_density_grid_join, next in the r6
+    # cohort, are displaced to r11's head by the r10 additions — j7 is
+    # exercised in every round's bench headline regardless)
 ]
 
 

@@ -486,3 +486,48 @@ def test_string_profile_counts_and_lengths(spark):
     assert got["a"] == (4, 1, 2, 2, 4, round(8 / 3, 6))
     # b: 'x','x','yyy' + 1 null -> avg (1+1+3)/3
     assert got["b"] == (4, 1, 2, 1, 3, round(5 / 3, 6))
+
+
+def test_drift_profile_tvd_matches_numpy(spark, tmp_path):
+    """a17's integer-exact TVD against an independent numpy oracle on
+    the real sf0.001 documents table: same slicer, same binning, TVD
+    computed in float directly — the engine's cross-multiplied int64
+    path must agree to the floor-ppm."""
+    import math
+
+    import numpy as np
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (r["n_ref"], r["n_cur"], r["tvd_ppm"])
+        for r in REGISTRY["a17_drift_profile"].fn(spark, sf).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, doc_id, n_chars FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    by_src = {}
+    for s, d, n in rows:
+        by_src.setdefault(s, []).append((d, n))
+    for s, items in by_src.items():
+        ref = np.zeros(10)
+        cur = np.zeros(10)
+        for d, n in items:
+            b = min(n // 64, 9)
+            if (d // 20) % 2 == 0:
+                ref[b] += 1
+            else:
+                cur[b] += 1
+        n_ref, n_cur = int(ref.sum()), int(cur.sum())
+        tvd = 0.5 * np.abs(ref / n_ref - cur / n_cur).sum()
+        want_ppm = math.floor(tvd * 1e6)
+        g = got[s]
+        assert g[0] == n_ref and g[1] == n_cur
+        # float-path oracle vs the engine's exact-int path: agreement
+        # within 1 ppm (the float path itself accumulates rounding; the
+        # engine's single division is the better-conditioned one)
+        assert abs(g[2] - want_ppm) <= 1, (s, g, want_ppm)

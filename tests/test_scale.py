@@ -513,3 +513,59 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     fix2.write.mode("overwrite").partitionBy("part").parquet(path)
     left = {(r["part"], r["id"]) for r in spark.read.parquet(path).collect()}
     assert left == {("b", 8)}
+
+
+def test_compact_files_count_and_disjoint_ranges(spark, tmp_path):
+    """compact_files' two mechanical claims: the file count collapses
+    to the target, and each output file covers a DISJOINT sorted range
+    of the sort key (what makes parquet min/max footers prune point
+    scans post-compaction). Values must be a pure relayout."""
+    import glob as _glob
+
+    from cellphe_data_pipeline_spark.operators.scale import compact_files
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 997).alias("v")
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.parquet(frag)
+    assert len(_glob.glob(frag + "/part-*.parquet")) >= 32
+    out = str(tmp_path / "compact")
+    compact_files(spark, frag, out, sort_cols=["k"], target_partitions=4)
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    assert 1 <= len(files) <= 4
+    # per-file key ranges must not overlap
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        ranges.append((mm["lo"], mm["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    # pure relayout
+    got = spark.read.parquet(out).agg(
+        F.count(F.lit(1)), F.sum("v"), F.min("k"), F.max("k")
+    ).collect()[0]
+    assert tuple(got) == (10_000, df.agg(F.sum("v")).collect()[0][0], 0, 9_999)
+
+
+def test_compact_files_max_records_per_file(spark, tmp_path):
+    """maxRecordsPerFile splits an oversized range partition into
+    size-capped files (the upper bound of the compaction window)."""
+    import glob as _glob
+
+    from cellphe_data_pipeline_spark.operators.scale import compact_files
+
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    frag = str(tmp_path / "frag2")
+    df.repartition(16).write.parquet(frag)
+    out = str(tmp_path / "compact2")
+    compact_files(
+        spark, frag, out, sort_cols=["k"], target_partitions=1,
+        max_records_per_file=1_000,
+    )
+    files = _glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 5
+    assert spark.read.parquet(out).count() == 5_000
