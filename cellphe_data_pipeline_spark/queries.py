@@ -7657,14 +7657,18 @@ def d15(spark, sf_dir):
 # updated centroids (d/a). Exposes CTEs `e` (vectors), `c`
 # (cluster_id, cv) and `a` (vec_id, cluster_id, v, rn) for the
 # consuming oracle to build on.
-def _lloyd_cte_prefix(train: str = "e", extra_ctes: str = "") -> str:
+def _lloyd_cte_prefix(
+    train: str = "e", extra_ctes: str = "", assign: str = "e"
+) -> str:
     """Fixed-point-Lloyd CTE chain, parameterised on the TRAINING
     relation (r9: v14 trains on the base slice only and assigns the
-    full appended corpus — the incremental-index lifecycle). `train`
-    feeds seeding + the centroid update; the final d/a assignment
-    always covers `e` so consumers can assign vectors the trainer
-    never saw. `extra_ctes` is spliced right after `e` (slice
-    definitions). Defaults reproduce the r8 text byte-for-byte."""
+    full appended corpus — the incremental-index lifecycle) and (r10)
+    the ASSIGNMENT relation (v16 caps both to the evaluation slice).
+    `train` feeds seeding + the centroid update; the final d/a
+    assignment covers `assign` (default `e`) so consumers can assign
+    vectors the trainer never saw. `extra_ctes` is spliced right after
+    `e` (slice definitions). Defaults reproduce the r8 text
+    byte-for-byte."""
     return ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     """ + extra_ctes + """c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM {t} WHERE vec_id IN
             (SELECT DISTINCT vec_id FROM {t} WHERE vec_id IS NOT NULL
@@ -7697,17 +7701,17 @@ def _lloyd_cte_prefix(train: str = "e", extra_ctes: str = "") -> str:
       FROM ctl GROUP BY cluster_id
     ),
     d AS (
-      SELECT e.vec_id, c.cluster_id, e.v,
-             list_dot_product(list_transform(e.v, (x, i) -> x - c.cv[i]),
-                              list_transform(e.v, (x, i) -> x - c.cv[i])) AS dist
-      FROM e, c
+      SELECT {s}.vec_id, c.cluster_id, {s}.v,
+             list_dot_product(list_transform({s}.v, (x, i) -> x - c.cv[i]),
+                              list_transform({s}.v, (x, i) -> x - c.cv[i])) AS dist
+      FROM {s}, c
     ),
     a AS (
       SELECT vec_id, cluster_id, v,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY dist, cluster_id) AS rn
       FROM d
-    ),""").format(t=train)
+    ),""").format(t=train, s=assign)
 
 
 _LLOYD_CTE_PREFIX = _lloyd_cte_prefix()
@@ -7993,6 +7997,132 @@ def v13(spark, sf_dir):
     return ivf_topk(
         emb, dim=EMB_DIM, k=5, n_probe=2, centroids=idx
     ).select("vec_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+_V16_PROBES = (1, 2, 4)
+
+
+def _ivf_recall_curve_oracle_sql(probes=_V16_PROBES, k: int = 5) -> str:
+    """DuckDB mirror of v16: the full IVF lifecycle on the capped
+    slice (train + assign on es), then one aggregate recall row per
+    n_probe — exact_k from brute force, candidates from rn <= p probe
+    lists, v13's exact ranking conventions throughout."""
+    prefix = _lloyd_cte_prefix(
+        train="es",
+        assign="es",
+        extra_ctes="es AS (SELECT vec_id, v FROM e WHERE vec_id < 300),\n    ",
+    )
+    per_p = []
+    for p in probes:
+        per_p.append(f"""
+    appr{p} AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT q.vec_id, t.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(qn.v, tn.v)
+                                / (qn.nrm * tn.nrm), 5) + 0.0 DESC,
+                          t.vec_id) AS rank
+        FROM (SELECT vec_id, cluster_id FROM a WHERE rn <= {p}) q
+        JOIN asg t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
+        JOIN n qn ON qn.vec_id = q.vec_id
+        JOIN n tn ON tn.vec_id = t.vec_id
+      ) WHERE rank <= {k}
+    ),
+    r{p} AS (
+      SELECT CAST({p} AS BIGINT) AS n_probe,
+             COUNT(*) AS n_exact,
+             COUNT(s.neighbor_id) AS n_hit
+      FROM exact_k e LEFT JOIN appr{p} s
+        ON s.vec_id = e.vec_id AND s.neighbor_id = e.neighbor_id
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT n_probe, CAST(n_exact AS BIGINT) AS n_exact,"
+        f" CAST(n_hit AS BIGINT) AS n_hit,"
+        f" CAST(n_hit * 1000000 AS BIGINT) // n_exact AS recall_ppm"
+        f" FROM r{p}"
+        for p in probes
+    )
+    return f"""
+    {prefix}
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM es),
+    asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
+    exact_k AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a2.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a2.vec_id
+                 ORDER BY ROUND(list_dot_product(a2.v, b.v)
+                                / (a2.nrm * b.nrm), 5) + 0.0 DESC,
+                          b.vec_id) AS rank
+        FROM n a2 JOIN n b ON a2.vec_id <> b.vec_id
+      ) WHERE rank <= {k}
+    ),{','.join(per_p)}
+    {union}
+    """
+
+
+@register("v16_ivf_recall_curve", _ivf_recall_curve_oracle_sql())
+def v16(spark, sf_dir):
+    """IVF recall-vs-probes CURVE (r10) — the capacity-planning twin
+    of v11's single-point recall audit: one aggregate recall@5 row per
+    n_probe ∈ {1, 2, 4}, against the brute-force exact top-5 on the
+    same capped slice. This is the measurement that SIZES an IVF
+    deployment — n_probe is the knob trading scan fraction
+    (n_probe/n_lists of the corpus) for recall, and the curve's shape
+    (steep then flat) tells an operator where the knee is; recall is
+    monotone in n_probe by construction (probe sets are nested —
+    pinned as a property test). All counts bigint-exact, recall in ppm
+    (v11's no-float-averaging discipline); the index is trained,
+    published, and queried with the registry operators unchanged; the
+    ENTIRE lifecycle (train → assign → probe@p → rank → recall) is one
+    DuckDB oracle chain (v13's conventions, _lloyd_cte_prefix
+    parameterised on both train and assign). Corpus capped at 300:
+    the exact side is the deliberately-quadratic baseline, so the gate
+    stays O(1) in sf; at 100 TB the same query runs on a sampled probe
+    set against the full published index."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        lloyd_centroid_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cents = lloyd_centroid_vectors(e, k=16)
+    staged = _stage_dir("v16_ivf_index")
+    cents.write.mode("overwrite").parquet(staged)
+    idx = spark.read.parquet(staged)
+    exact = cosine_topk_bruteforce(e, k=5).select("vec_id", "neighbor_id")
+    curves = []
+    for p in _V16_PROBES:
+        ap = ivf_topk(e, dim=EMB_DIM, k=5, n_probe=p, centroids=idx).select(
+            F.col("vec_id").alias("avec"),
+            F.col("neighbor_id").alias("anb"),
+        )
+        curves.append(
+            exact.join(
+                ap,
+                (exact["vec_id"] == F.col("avec"))
+                & (exact["neighbor_id"] == F.col("anb")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("anb").alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "n_exact",
+                "n_hit",
+                F.expr(
+                    "CAST(n_hit * 1000000 AS BIGINT) div n_exact"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 # train-on-base / assign-all / probe-new oracle chain, shared by v14
@@ -9418,6 +9548,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o14_dynamic_partition_overwrite",
     "a17_drift_profile",
     "o15_small_file_compaction",
+    "v16_ivf_recall_curve",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9468,8 +9599,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "p13_stride_sample",
     "j1_broadcast_dim_join",
     "j2_composite_key_joinback",
-    "j3_lookup_join",
-    # (j4_semi_join through j7_density_grid_join, next in the r6
+    # (j3_lookup_join through j7_density_grid_join, next in the r6
     # cohort, are displaced to r11's head by the r10 additions — j7 is
     # exercised in every round's bench headline regardless)
 ]

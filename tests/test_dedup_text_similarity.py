@@ -2498,3 +2498,25 @@ def test_bpe_classify_stop_reasons():
     # empty fetch
     b, why = _bpe_select_batch([], False, 10)
     assert b == [] and why == "exhausted"
+
+
+def test_ivf_recall_curve_monotone_in_probes(spark):
+    """v16's defining property: probe sets are nested (rn <= 1 subset
+    of rn <= 2 subset of rn <= 4), so candidate sets are nested and
+    recall@k is monotone nondecreasing in n_probe; full probing of all
+    16 lists would reach recall 1.0, so the curve must sit below 1e6
+    ppm and rise toward it."""
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    rows = sorted(
+        (r["n_probe"], r["recall_ppm"], r["n_exact"], r["n_hit"])
+        for r in REGISTRY["v16_ivf_recall_curve"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert [p for p, *_ in rows] == [1, 2, 4]
+    ppms = [ppm for _, ppm, *_ in rows]
+    assert ppms == sorted(ppms), f"recall not monotone in n_probe: {rows}"
+    assert all(0 <= x <= 1_000_000 for x in ppms)
+    # hits never exceed the exact count
+    assert all(h <= n for _, _, n, h in rows)
