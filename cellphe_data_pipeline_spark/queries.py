@@ -8276,13 +8276,18 @@ def e15(spark, sf_dir):
 )
 def e16(spark, sf_dir):
     """§2.11 streaming JOINT LIFECYCLE (r10) — the thirteenth verified
-    streaming runtime, and the first to chain TWO stateful operators in
-    ONE streaming plan (streaming/tracker.streaming_ingest_lifecycle):
+    streaming runtime, and the first to chain a PYTHON stateful
+    processor DOWNSTREAM of another stateful operator in one plan
+    (streaming/tracker.streaming_ingest_lifecycle) — e9 already chains
+    join→dedup, but both its stages are engine-managed; the
+    applyInPandasWithState tail is the composition Spark's checker
+    historically rejected:
     redelivery dedup (dropDuplicatesWithinWatermark) → quality gate
     (stateless codegen, `value <= 150`) → latest-wins CDC upsert
     (python state server, count_rows=True). The twelve prior e-queries
-    each verified one mechanism; production ingest chains them, and the
-    chain's legality + correctness is its own property (Spark's
+    each verified one mechanism (e9's join→dedup being the one prior
+    chain); production ingest chains them further, and each chain
+    class's legality + correctness is its own property (Spark's
     unsupported-operations checker rejects many stateful compositions).
 
     The staged log REDELIVERS every fifth event as an exact copy
@@ -8363,8 +8368,10 @@ def e17(spark, sf_dir):
     two engine-managed state stores Spark's multi-stateful support was
     designed around (SPARK-40925): redelivery dedup
     (dropDuplicatesWithinWatermark) feeding a watermarked tumbling
-    window aggregation, in ONE append-mode streaming plan. Together
-    the two queries pin both legal chain classes.
+    window aggregation, in ONE append-mode streaming plan. With e9's
+    join→dedup and e16's dedup→python-state, the three r10-verified
+    chain classes cover every stateful-operator composition the engine
+    uses.
 
     The staged log again redelivers every fifth event as an exact
     copy. Here the dedup's effect needs NO extra observable: a leaked

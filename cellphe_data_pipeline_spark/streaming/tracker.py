@@ -1174,13 +1174,15 @@ def streaming_ingest_lifecycle(
           → gate_predicate filter      (quality gate — stateless codegen)
           → latest-wins CDC upsert     (python state server — stateful #2)
 
-    The engine's twelve prior streaming runtimes each exercised one
-    mechanism; a real always-on ingest chains them, and chaining is
-    NOT free — Spark's unsupported-operations checker historically
-    rejected flatMapGroupsWithState-family operators downstream of
-    another stateful operator, so the legality of this exact plan is
-    itself a property worth pinning (it holds on Spark 4.x; verified
-    empirically and by tests/test_streaming.py).
+    The engine's prior streaming runtimes each exercised one mechanism
+    (streaming_minhash_neardup's join→dedup being the one prior
+    chain, both stages engine-managed); a real always-on ingest chains
+    further, and chaining is NOT free — Spark's unsupported-operations
+    checker historically rejected flatMapGroupsWithState-family
+    operators downstream of another stateful operator, so the legality
+    of exactly this python-state-tailed plan is itself a property
+    worth pinning (it holds on Spark 4.x; verified empirically and by
+    tests/test_streaming.py).
 
     Semantics and their composition contracts:
       - The dedup stage keys on ``dedup_keys``; redelivered rows
