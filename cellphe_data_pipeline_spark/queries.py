@@ -8432,6 +8432,63 @@ def e17(spark, sf_dir):
 
 
 @register(
+    "e18_streaming_join_rollup",
+    """
+    SELECT date_trunc('hour', p.ts) AS hour_ts,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def e18(spark, sf_dir):
+    """§2.11 streaming JOIN → ROLLUP chain (r10) — the fifteenth
+    verified streaming runtime and the FOURTH stateful chain class
+    (e9 join→dedup, e16 dedup→python-state, e17 dedup→agg, now
+    join→agg): conversion attribution, the canonical streaming-
+    analytics chain — a stream-stream interval self-join (purchases
+    within 1h of a same-user click, the e8 state machinery) feeding a
+    watermarked tumbling rollup of conversions + value per
+    purchase-hour, ONE append-mode plan
+    (streaming/tracker.streaming_join_rollup).
+
+    Bounded-drain mechanics extend e17's sentinel trick to a JOIN: the
+    agg's emission watermark is the min over BOTH join branches, so
+    the far-future sentinel must pass both side filters — it rides
+    through as its own event_type with key -1 (it can never satisfy
+    the join's interval condition against real rows), advances both
+    watermark nodes, and its non-joining rows aggregate nothing.
+    Multiplicity is preserved exactly (a purchase preceded by k clicks
+    counts k times — same in the oracle's join); no dedup stage, so
+    leaked or lost join state would shift n_conversions and fail the
+    hash. Single-write staging ⇒ one micro-batch ⇒ the sentinel cannot
+    late-drop real rows (the e17 ordering note)."""
+    import datetime as _dt
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_join_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel", _dt.datetime(2100, 1, 1), 0.0)], ev.schema
+    )
+    sink = _drain_to_memory(
+        ev.unionAll(sentinel), "e18_stream_join_rollup",
+        "e18_join_rollup_sink",
+        streaming_join_rollup, "append", "e18_streaming_join_rollup",
+    )
+    return sink.select(
+        F.col("win.start").alias("hour_ts"), "n_conversions", "sum_value"
+    )
+
+
+@register(
     "v15_pq_published",
     _pq_oracle_sql(
         train_pred="vec_id % 10 <> 0", query_pred="sub.vec_id % 10 = 0"
@@ -9556,6 +9613,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a17_drift_profile",
     "o15_small_file_compaction",
     "v16_ivf_recall_curve",
+    "e18_streaming_join_rollup",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9605,10 +9663,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "p9_p12_project_rename_cast",
     "p13_stride_sample",
     "j1_broadcast_dim_join",
-    "j2_composite_key_joinback",
-    # (j3_lookup_join through j7_density_grid_join, next in the r6
-    # cohort, are displaced to r11's head by the r10 additions — j7 is
-    # exercised in every round's bench headline regardless)
+    # (j2_composite_key_joinback through j7_density_grid_join, next in
+    # the r6 cohort, are displaced to r11's head by the r10 additions —
+    # j7 is exercised in every round's bench headline regardless)
 ]
 
 

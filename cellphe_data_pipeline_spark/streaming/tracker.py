@@ -1157,6 +1157,86 @@ def streaming_upsert(
     )
 
 
+def streaming_join_rollup(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    sentinel_type: str = "sentinel",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    attribution_seconds: int = 3600,
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Conversion attribution as ONE streaming plan — the fourth
+    verified stateful chain class (after e9 join→dedup, e16
+    dedup→python-state, e17 dedup→agg): a stream-stream INTERVAL JOIN
+    feeding a watermarked tumbling aggregation. The canonical
+    streaming-analytics chain: clicks ⋈ purchases by the same key with
+    the purchase inside the click's attribution window, rolled up to
+    conversions + value per purchase-hour.
+
+    Composition mechanics worth the record:
+      - Both join branches derive from ONE source stream (the e8
+        self-join idiom), each with its own watermark node; the join's
+        output watermark is the min over sides adjusted by the
+        interval bound, and the downstream agg's append-mode emission
+        keys off THAT — so a bounded drain needs the watermark
+        advanced on BOTH branches. The ``sentinel_type`` row rides
+        through BOTH side filters (key -1, far-future ts) purely to
+        advance both watermark nodes; the only pair it can form is
+        WITH ITSELF (the interval bound excludes every real row), and
+        that pair lands in the far-future window, which append mode
+        holds back forever — it never reaches the sink.
+      - THE PUSHDOWN TRAP (found the hard way): the type predicates
+        must live in the SIDE FILTERS, never in the join condition. A
+        single-side predicate inside a join condition
+        (``c_type = 'click'``) is pushed down through the watermark
+        node by Catalyst — correct relationally, but it filters the
+        sentinel out BEFORE the watermark tracker sees its event time,
+        silently freezing the clock at the real data's max and holding
+        every window back. The watermark node only "sees" rows that
+        reach it; anything that must advance the clock has to survive
+        every predicate below the watermark.
+      - Join state evicts by the interval bound once watermarks
+        advance; agg state by window close: both stores bounded, the
+        chain's end-to-end state is O(attribution window × arrival
+        rate + open windows).
+    """
+    def side(prefix: str, typ: str) -> DataFrame:
+        return (
+            events.filter(
+                (F.col("event_type") == typ)
+                | (F.col("event_type") == sentinel_type)
+            )
+            .withWatermark(ts_col, watermark)
+            .select(
+                F.col(key_col).alias(f"{prefix}_key"),
+                F.col(ts_col).alias(f"{prefix}_ts"),
+                F.col(value_col).alias(f"{prefix}_value"),
+            )
+        )
+
+    clicks = side("c", left_type)
+    purchases = side("p", right_type)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {attribution_seconds} SECONDS")
+        ),
+        "inner",
+    )
+    return joined.groupBy(F.window("p_ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("p_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def streaming_ingest_lifecycle(
     changes: DataFrame,
     dedup_keys: list[str],

@@ -1140,3 +1140,71 @@ def test_streaming_dedup_rollup_chain_across_batches(spark, tmp_path):
         ("click", 1): (1, 8.0),
         ("view", 1): (1, 16.0),
     }
+
+
+def test_streaming_join_rollup_chains_across_batches(spark, tmp_path):
+    """e18's join->agg chain across micro-batches: batch 2's purchases
+    must join batch 1's clicks through the join STATE (a per-batch
+    join would miss them), the batch-3 sentinel must flush every real
+    window through BOTH watermark branches, and the sentinel's
+    self-pair window must stay held back."""
+    import datetime as dt
+    import time
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_join_rollup,
+    )
+
+    schema = "user_id bigint, event_type string, ts timestamp, value double"
+    f1 = spark.createDataFrame(
+        [
+            (1, "click", dt.datetime(2024, 1, 1, 0, 10), 0.0),
+            (2, "click", dt.datetime(2024, 1, 1, 0, 20), 0.0),
+            (1, "purchase", dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        ],
+        schema,
+    )
+    # batch 2: purchases attributed to BATCH-1 clicks (state chaining);
+    # u2's second purchase is outside u2's click window (dropped)
+    f2 = spark.createDataFrame(
+        [
+            (2, "purchase", dt.datetime(2024, 1, 1, 1, 5), 20.0),
+            (2, "purchase", dt.datetime(2024, 1, 1, 2, 30), 40.0),
+            (1, "click", dt.datetime(2024, 1, 1, 2, 0), 0.0),
+        ],
+        schema,
+    )
+    f3 = spark.createDataFrame(
+        [(-1, "sentinel", dt.datetime(2100, 1, 1), 0.0)], schema
+    )
+    staged = str(tmp_path / "join_rollup_stream")
+    for d in (f1, f2, f3):
+        d.coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_join_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("join_rollup_chain_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    got = {
+        (r["win"]["start"].year, r["win"]["start"].hour): (
+            r["n_conversions"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM join_rollup_chain_test").collect()
+    }
+    # hour 0: u1's purchase joins u1's click (same batch);
+    # hour 1: u2's 1:05 purchase joins u2's 0:20 click ACROSS batches;
+    # u2's 2:30 purchase attributes to nothing; sentinel window absent
+    assert got == {(2024, 0): (1, 10.0), (2024, 1): (1, 20.0)}
