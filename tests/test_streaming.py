@@ -1208,3 +1208,43 @@ def test_streaming_join_rollup_chains_across_batches(spark, tmp_path):
     # hour 1: u2's 1:05 purchase joins u2's 0:20 click ACROSS batches;
     # u2's 2:30 purchase attributes to nothing; sentinel window absent
     assert got == {(2024, 0): (1, 10.0), (2024, 1): (1, 20.0)}
+
+
+def test_ingest_lifecycle_gate_not_pushed_below_dedup(spark, tmp_path):
+    """The lifecycle's documented plan shape: the gate filter stays
+    ABOVE DeduplicateWithinWatermark in the optimized plan — pushing a
+    non-key predicate below the dedup would change which row
+    establishes a key (and, per the e18 trap, predicates pushed below
+    a watermark node can also starve the event-time clock). Asserted
+    on the optimized plan text."""
+    import contextlib
+    import io
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_ingest_lifecycle,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") * 1_000_000).alias("t_us"),
+        F.col("id").alias("event_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    staged = str(tmp_path / "lifecycle_plan")
+    df.write.parquet(staged)
+    stream = spark.readStream.schema(df.schema).parquet(staged)
+    out = streaming_ingest_lifecycle(
+        stream,
+        dedup_keys=["user_id", "event_id"],
+        gate_predicate="value IS NOT NULL AND value <= 150.0",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(extended=True)
+    txt = buf.getvalue()
+    opt = txt[txt.index("== Optimized Logical Plan =="):]
+    f = opt.index("Filter ")
+    d = opt.index("DeduplicateWithinWatermark")
+    assert f < d, "gate filter was pushed below the dedup:\n" + opt[:1500]
