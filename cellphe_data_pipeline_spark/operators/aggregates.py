@@ -280,6 +280,74 @@ def column_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
     )
 
 
+def profile_partial(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """MERGEABLE profile partial — the incremental-maintenance half of
+    :func:`column_profile`: one compact row per column carrying only
+    ALGEBRAIC statistics (count, null count, min, max, exact decimal
+    sum, non-null count). Partials from disjoint slices merge with
+    :func:`merge_profiles` into exactly the whole-table profile — the
+    100 TB pattern where each daily ingest profiles its own slice once
+    and the monthly/corpus profile is a k-row reduction of stored
+    partials, never a rescan.
+
+    Deliberately EXCLUDED: exact distinct counts — they are not
+    algebraically mergeable from O(1) state (merging needs the value
+    sets themselves, i.e. the full per-value layer column_profile
+    shuffles, or an HLL sketch with its error bar). A consumer that
+    needs distincts across merges stores the per-value counts (heavy)
+    or accepts the sketch; the profile-merge contract stays exact for
+    everything it emits. Decimal sums are order-free (exact, associative)
+    so merge order can never change the mean."""
+    melted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in numeric_cols]
+    ).unpivot([], numeric_cols, "col_name", "value")
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_null"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("_sum_dec"),
+        F.count("value").alias("_n_nonnull"),
+    )
+
+
+def merge_profiles(partials: list[DataFrame]) -> DataFrame:
+    """Reduce :func:`profile_partial` outputs from disjoint slices
+    into the whole-table profile: counts and exact decimal sums add,
+    min/max fold — every emitted statistic is exactly what
+    column_profile (minus n_distinct) computes on the union. The
+    reduction input is k rows per column (k = number of partials), so
+    merging a year of daily profiles is a ~365-row-per-column job."""
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy("col_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_null").alias("n_null"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("_sum_dec").alias("_sum_dec"),
+            F.sum("_n_nonnull").alias("_n_nonnull"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            F.col("n_null").cast("long").alias("n_null"),
+            "min_value",
+            "max_value",
+            F.round(
+                F.col("_sum_dec").cast("double")
+                / F.col("_n_nonnull").cast("double"),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
 def string_profile(df: DataFrame, string_cols: list[str]) -> DataFrame:
     """String-column twin of :func:`column_profile` (same two-level
     scale shape: one unpivot scan, map-side (col_name, value) collapse,

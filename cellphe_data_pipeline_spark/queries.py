@@ -5938,6 +5938,57 @@ def a17(spark, sf_dir):
     )
 
 
+@register(
+    "a18_profile_merge",
+    """
+    WITH u AS (
+      SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS value FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_null,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+    FROM u GROUP BY col_name
+    """,
+)
+def a18(spark, sf_dir):
+    """Algebraic profile MERGE (r10) — incremental maintenance for the
+    profile family (a14 profiles one snapshot in one pass; a
+    long-running ingest profiles each slice ONCE and folds): the
+    events table is split into three disjoint slices, each profiled
+    independently into compact mergeable partials
+    (operators/aggregates.profile_partial — count/nulls/min/max/exact
+    decimal sum per column), and the partials are reduced by
+    merge_profiles into the whole-table profile, which the oracle
+    computes DIRECTLY over the union — merge-equals-rescan is the
+    whole contract, hash-checked. Exact distincts are deliberately
+    excluded from the mergeable set (not algebraic from O(1) state —
+    the trade is documented at the operator; HLL is the mergeable
+    substitute with an error bar). At 100 TB this turns the monthly
+    corpus profile into a ~rows×slices reduction of stored partials
+    instead of a rescan; decimal sums are order-free so merge order
+    cannot change the mean (the a8/a13 exactness idiom)."""
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        merge_profiles,
+        profile_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    slices = [
+        ev.filter(F.col("user_id") < 50),
+        ev.filter((F.col("user_id") >= 50) & (F.col("user_id") < 100)),
+        ev.filter((F.col("user_id") >= 100) | F.col("user_id").isNull()),
+    ]
+    return merge_profiles(
+        [profile_partial(s, ["value", "user_id"]) for s in slices]
+    )
+
+
 _A16_QS = (0.5, 0.9, 0.99)
 _A16_ACCURACY = 100  # deliberately coarse: eps = 1/100 rank error
 
@@ -9614,6 +9665,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o15_small_file_compaction",
     "v16_ivf_recall_curve",
     "e18_streaming_join_rollup",
+    "a18_profile_merge",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9662,10 +9714,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "p7_p8_nonzero_nonnull",
     "p9_p12_project_rename_cast",
     "p13_stride_sample",
-    "j1_broadcast_dim_join",
-    # (j2_composite_key_joinback through j7_density_grid_join, next in
-    # the r6 cohort, are displaced to r11's head by the r10 additions —
-    # j7 is exercised in every round's bench headline regardless)
+    # (j1_broadcast_dim_join through j7_density_grid_join, next in the
+    # r6 cohort, are displaced to r11's head by the r10 additions — j1
+    # and j7 are exercised in every round's bench headline regardless)
 ]
 
 

@@ -531,3 +531,48 @@ def test_drift_profile_tvd_matches_numpy(spark, tmp_path):
         # within 1 ppm (the float path itself accumulates rounding; the
         # engine's single division is the better-conditioned one)
         assert abs(g[2] - want_ppm) <= 1, (s, g, want_ppm)
+
+
+def test_profile_merge_equals_direct_with_nulls(spark):
+    """merge_profiles over disjoint slice partials must equal
+    column_profile's algebraic subset computed directly on the union —
+    including null handling (an all-null slice, a null-bearing slice)
+    and mean exactness across merge order."""
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        merge_profiles,
+        profile_partial,
+    )
+
+    rows = [
+        (0, 1.5, None),
+        (1, None, 4.0),
+        (2, 2.5, 8.0),
+        (3, 0.25, None),
+        (4, None, None),
+        (5, 10.0, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    slices = [
+        df.filter("id < 2"),
+        df.filter("id >= 2 AND id < 4"),
+        df.filter("id >= 4"),
+    ]
+    merged = {
+        r["col_name"]: r
+        for r in merge_profiles(
+            [profile_partial(s, ["a", "b"]) for s in slices]
+        ).collect()
+    }
+    a, b = merged["a"], merged["b"]
+    assert (a["n_rows"], a["n_null"], a["min_value"], a["max_value"]) == (6, 2, 0.25, 10.0)
+    assert a["mean_value"] == round((1.5 + 2.5 + 0.25 + 10.0) / 4, 6)
+    assert (b["n_rows"], b["n_null"], b["min_value"], b["max_value"]) == (6, 3, 4.0, 16.0)
+    assert b["mean_value"] == round((4.0 + 8.0 + 16.0) / 3, 6)
+    # merge order cannot change anything (decimal sums are order-free)
+    rev = {
+        r["col_name"]: r
+        for r in merge_profiles(
+            [profile_partial(s, ["a", "b"]) for s in reversed(slices)]
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in merged.items()} == {k: tuple(v) for k, v in rev.items()}
