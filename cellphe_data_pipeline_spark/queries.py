@@ -5989,6 +5989,53 @@ def a18(spark, sf_dir):
     )
 
 
+@register(
+    "e19_streaming_profile",
+    """
+    WITH u AS (
+      SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS value FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_null,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+    FROM u GROUP BY col_name
+    """,
+)
+def e19(spark, sf_dir):
+    """§2.11 streaming PROFILE (r10) — the sixteenth verified
+    streaming runtime (streaming/tracker.streaming_profile): the
+    a14/a18 profile family run at ingest, a complete-mode streaming
+    aggregation whose ENTIRE state is one row per profiled column
+    (the e11 count-min argument — state independent of stream length,
+    no watermark, unbounded retention safe by construction). The
+    drained sink must equal the batch profile the oracle computes
+    directly (a18's very text): the a18 merge algebra — order-free
+    decimal sums, foldable min/max/counts — is exactly what makes the
+    streaming fold correct under any micro-batch split, and the
+    multi-batch fold is pinned by tests/test_streaming.py. Closes the
+    loop a18 opened: partials merge across BATCH slices there, across
+    MICRO-batches here, same contract, same oracle shape."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    sink = _drain_to_memory(
+        ev, "e19_stream_profile", "e19_profile_sink",
+        lambda stream: streaming_profile(stream, ["value", "user_id"]),
+        "complete", "e19_streaming_profile",
+    )
+    return sink.select(
+        "col_name", "n_rows", "n_null", "min_value", "max_value", "mean_value"
+    )
+
+
 _A16_QS = (0.5, 0.9, 0.99)
 _A16_ACCURACY = 100  # deliberately coarse: eps = 1/100 rank error
 
@@ -9666,6 +9713,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v16_ivf_recall_curve",
     "e18_streaming_join_rollup",
     "a18_profile_merge",
+    "e19_streaming_profile",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9713,10 +9761,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "p6_unique_key_rows",
     "p7_p8_nonzero_nonnull",
     "p9_p12_project_rename_cast",
-    "p13_stride_sample",
-    # (j1_broadcast_dim_join through j7_density_grid_join, next in the
-    # r6 cohort, are displaced to r11's head by the r10 additions — j1
-    # and j7 are exercised in every round's bench headline regardless)
+    # (p13_stride_sample and j1_broadcast_dim_join through
+    # j7_density_grid_join, next in the r6 cohort, are displaced to
+    # r11's head by the r10 additions — j1 and j7 are exercised in
+    # every round's bench headline regardless)
 ]
 
 

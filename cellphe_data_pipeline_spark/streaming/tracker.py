@@ -1157,6 +1157,56 @@ def streaming_upsert(
     )
 
 
+def streaming_profile(
+    events: DataFrame, numeric_cols: list[str]
+) -> DataFrame:
+    """Corpus profile AS A STREAM — the always-on twin of the a14/a18
+    profile family: every micro-batch folds its rows into per-column
+    algebraic statistics (count, nulls, min, max, exact decimal sum →
+    mean), so the sink always holds the profile of EVERYTHING ingested
+    so far. The state is ONE row per profiled column — like e11's
+    count-min, the operator's selling point made literal: state size
+    is independent of stream length, so complete-mode output and
+    unbounded retention are safe by construction (no watermark
+    needed). The same algebra that makes a18's partials mergeable
+    (order-free decimal sums, foldable min/max/counts) is what makes
+    the streaming fold correct under ANY micro-batch split: each batch
+    is just another partial merged into the running one by the
+    engine's partial-aggregation machinery.
+
+    Exact distincts are excluded exactly as in profile_partial — in
+    streaming form they would make state grow with the value universe
+    (the HLL sketch is the bounded-state substitute)."""
+    melted = events.select(
+        *[F.col(c).cast("double").alias(c) for c in numeric_cols]
+    ).unpivot([], numeric_cols, "col_name", "value")
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_null"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("_sum_dec"),
+            F.count("value").alias("_n_nonnull"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            F.col("n_null").cast("long").alias("n_null"),
+            "min_value",
+            "max_value",
+            F.round(
+                F.col("_sum_dec").cast("double")
+                / F.col("_n_nonnull").cast("double"),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
 def streaming_join_rollup(
     events: DataFrame,
     left_type: str = "click",

@@ -1248,3 +1248,45 @@ def test_ingest_lifecycle_gate_not_pushed_below_dedup(spark, tmp_path):
     f = opt.index("Filter ")
     d = opt.index("DeduplicateWithinWatermark")
     assert f < d, "gate filter was pushed below the dedup:\n" + opt[:1500]
+
+
+def test_streaming_profile_folds_across_batches(spark, tmp_path):
+    """e19's profile state must FOLD across micro-batches (each batch
+    is a partial merged into the running one): three sequenced slices
+    with nulls and extremes in different batches must drain to exactly
+    the whole-table profile."""
+    import time
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_profile,
+    )
+
+    schema = "id bigint, a double"
+    f1 = spark.createDataFrame([(0, 1.5), (1, None)], schema)
+    f2 = spark.createDataFrame([(2, -10.0), (3, 2.5)], schema)   # min in batch 2
+    f3 = spark.createDataFrame([(4, 100.0), (5, None)], schema)  # max in batch 3
+    staged = str(tmp_path / "profile_stream")
+    for d in (f1, f2, f3):
+        d.coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        streaming_profile(stream, ["a"])
+        .writeStream.format("memory")
+        .queryName("profile_fold_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    r = spark.sql("SELECT * FROM profile_fold_test").collect()
+    assert len(r) == 1 and r[0]["col_name"] == "a"
+    r = r[0]
+    assert (r["n_rows"], r["n_null"], r["min_value"], r["max_value"]) == (6, 2, -10.0, 100.0)
+    assert r["mean_value"] == round((1.5 - 10.0 + 2.5 + 100.0) / 4, 6)
