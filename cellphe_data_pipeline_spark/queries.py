@@ -5989,6 +5989,48 @@ def a18(spark, sf_dir):
     )
 
 
+_J15_SQL = """
+    WITH lhs AS (SELECT NULLIF(l_suppkey % 100, 37) AS k FROM {li}),
+    sub AS (SELECT s_suppkey % 100 AS k FROM {sup} WHERE s_nationkey < 5)
+    SELECT
+      (SELECT COUNT(*) FROM lhs WHERE k NOT IN (SELECT k FROM sub))
+        AS n_not_in,
+      (SELECT COUNT(*) FROM lhs l
+        WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = l.k))
+        AS n_not_exists,
+      (SELECT COUNT(*) FROM lhs WHERE k IS NULL) AS n_null_lhs
+"""
+
+
+@register(
+    "j15_null_aware_anti_join",
+    _J15_SQL.format(li="lineitem", sup="supplier"),
+)
+def j15(spark, sf_dir):
+    """NULL-AWARE anti join (r10) — the correctness trap every SQL
+    engine must get right and the physical mechanism Spark uses for
+    it: ``NOT IN (subquery)`` over a NULLABLE left key is NOT the same
+    operation as ``NOT EXISTS`` — a NULL lhs compares UNKNOWN to every
+    list element, so NOT IN DROPS those rows while NOT EXISTS keeps
+    them. The query computes both variants plus the null-lhs count on
+    the same derived nullable key (NULLIF injects the nulls) and the
+    oracle hash-checks all three; the invariant n_not_exists =
+    n_not_in + n_null_lhs (the list side has no nulls) and the
+    physical plan — BroadcastHashJoin ... LeftAnti with the
+    isNullAwareAntiJoin flag, single broadcast, no
+    BroadcastNestedLoopJoin — are pinned in tests/test_scale.py. At
+    100 TB the flag is the difference between a hash anti-join and
+    the nested-loop disaster naive NOT-IN planning degrades to; the
+    NOT EXISTS twin stays a plain LeftAnti."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li.createOrReplaceTempView("j15_lineitem")
+    sup.createOrReplaceTempView("j15_supplier")
+    return spark.sql(_J15_SQL.format(li="j15_lineitem", sup="j15_supplier"))
+
+
 @register(
     "e19_streaming_profile",
     """
@@ -9714,6 +9756,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e18_streaming_join_rollup",
     "a18_profile_merge",
     "e19_streaming_profile",
+    "j15_null_aware_anti_join",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9760,11 +9803,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "p5_duplicate_key_rows",
     "p6_unique_key_rows",
     "p7_p8_nonzero_nonnull",
-    "p9_p12_project_rename_cast",
-    # (p13_stride_sample and j1_broadcast_dim_join through
-    # j7_density_grid_join, next in the r6 cohort, are displaced to
-    # r11's head by the r10 additions — j1 and j7 are exercised in
-    # every round's bench headline regardless)
+    # (p9_p12, p13 and j1 through j7, next in the r6 cohort, are
+    # displaced to r11's head by the r10 additions — j1 and j7 are
+    # exercised in every round's bench headline regardless)
 ]
 
 

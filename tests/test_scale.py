@@ -569,3 +569,23 @@ def test_compact_files_max_records_per_file(spark, tmp_path):
     files = _glob.glob(out + "/part-*.parquet")
     assert len(files) >= 5
     assert spark.read.parquet(out).count() == 5_000
+
+
+def test_j15_not_in_uses_null_aware_hash_anti_join(spark):
+    """j15's two pins: (1) semantics — NOT IN drops NULL-lhs rows
+    while NOT EXISTS keeps them (n_not_exists = n_not_in +
+    n_null_lhs, the list side having no nulls); (2) physical — the
+    NOT IN lowers to a single-broadcast HASH anti join with the
+    isNullAwareAntiJoin flag (the trailing `true` on the BHJ line),
+    never a BroadcastNestedLoopJoin."""
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["j15_null_aware_anti_join"].fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    r = df.collect()[0]
+    assert r["n_null_lhs"] > 0, "fixture must exercise the NULL path"
+    assert r["n_not_exists"] == r["n_not_in"] + r["n_null_lhs"]
