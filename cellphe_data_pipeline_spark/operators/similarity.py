@@ -87,6 +87,47 @@ def cosine_topk_bruteforce(
     )
 
 
+def l2_topk_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k EUCLIDEAN neighbors per query (excluding self) — the
+    exact baseline in PQ's own metric (ADC approximates squared L2, so
+    a PQ recall audit must rank truth by L2, not cosine). Same shape
+    as :func:`cosine_topk_bruteforce`: broadcast probes, corpus
+    streams, distance by the sequential ``_dot`` fold on the diff
+    vector (bitwise-reproducible against DuckDB's list_dot_product),
+    rounding before ranking for cross-engine tie stability."""
+    broadcast_probes = queries is not None
+    if queries is None:
+        queries = df
+    q = queries.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("q_emb"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_emb"),
+    )
+    if broadcast_probes:
+        q = F.broadcast(q)
+    diff = F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: x - y)
+    pairs = q.join(c, F.col("vec_id") != F.col("neighbor_id")).withColumn(
+        "dist_sq", round_z(_dot(diff, diff), 5)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_sq").asc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "dist_sq", "rank")
+    )
+
+
 def srp_planes(dim: int, n_bits: int = 8, seed: int = 7) -> list[list[float]]:
     """Deterministic +-1 hyperplanes: weight (m, j) = parity of
     md5(f"{seed}-{m}-{j}"). Tiny driver-side literal; applied JVM-side."""

@@ -6798,6 +6798,33 @@ def _pq_oracle_sql(
     (r9: v15 trains on the base 90% and encodes everything — the v14
     incremental-lifecycle parameterisation); ``query_pred`` selects
     the probes (default: the n_queries lowest ids)."""
+    return _pq_cte_chain(
+        dim, m_subs, n_codes, n_queries, train_pred, query_pred
+    ) + f"""
+    SELECT CAST(vec_id AS INT) AS vec_id,
+           CAST(neighbor_id AS INT) AS neighbor_id,
+           CAST(adc_q AS BIGINT) AS adc_q,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid AS vec_id, neighbor_id, adc_q,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_q, neighbor_id) AS rank
+      FROM sc
+    ) r WHERE rank <= {k}
+    """
+
+
+def _pq_cte_chain(
+    dim: int = EMB_DIM,
+    m_subs: int = 4,
+    n_codes: int = 8,
+    n_queries: int = 10,
+    train_pred: str = "TRUE",
+    query_pred: str | None = None,
+) -> str:
+    """The PQ oracle's CTE chain (train → encode → LUT → ADC scores
+    in ``sc``), split out of :func:`_pq_oracle_sql` (r10, byte-
+    identical composition — v9/v15's oracle texts are unchanged) so
+    v17's recall audit can rank and join against the same scores."""
     sub = dim // m_subs
     if query_pred is None:
         query_pred = f"sub.vec_id < {n_queries}"
@@ -6859,16 +6886,46 @@ def _pq_oracle_sql(
       FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code
       WHERE l.qid <> enc.vec_id
       GROUP BY l.qid, enc.vec_id
-    )
-    SELECT CAST(vec_id AS INT) AS vec_id,
-           CAST(neighbor_id AS INT) AS neighbor_id,
-           CAST(adc_q AS BIGINT) AS adc_q,
-           CAST(rank AS BIGINT) AS rank
-    FROM (
-      SELECT qid AS vec_id, neighbor_id, adc_q,
-             row_number() OVER (PARTITION BY qid ORDER BY adc_q, neighbor_id) AS rank
-      FROM sc
-    ) r WHERE rank <= {k}
+    )"""
+
+
+def _pq_recall_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB mirror of v17: the PQ chain's ADC top-k against the
+    exact L2 top-k on the same probes, joined into per-query recall
+    (the v11 ppm idiom). Exact distances use the identical
+    list_dot_product diff-square fold the PQ chain itself uses."""
+    return _pq_cte_chain(n_queries=n_queries) + f""",
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}),
+    exact_k AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT q.vec_id, t.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(
+                            list_transform(q.v, (x, i) -> x - t.v[i]),
+                            list_transform(q.v, (x, i) -> x - t.v[i])), 5) + 0.0,
+                          t.vec_id) AS rank
+        FROM q JOIN e t ON q.vec_id <> t.vec_id
+      ) WHERE rank <= {k}
+    ),
+    pqk AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT qid AS vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_q, neighbor_id) AS rank
+        FROM sc
+      ) t WHERE rank <= {k}
+    ),
+    hits AS (
+      SELECT e2.vec_id, COUNT(p.neighbor_id) AS n_hit
+      FROM exact_k e2 LEFT JOIN pqk p
+        ON p.vec_id = e2.vec_id AND p.neighbor_id = e2.neighbor_id
+      GROUP BY e2.vec_id
+    ),
+    base AS (SELECT vec_id, COUNT(*) AS n_exact FROM exact_k GROUP BY vec_id)
+    SELECT CAST(b.vec_id AS BIGINT) AS vec_id, b.n_exact, h.n_hit,
+           CAST(h.n_hit * 1000000 AS BIGINT) // b.n_exact AS recall_ppm
+    FROM base b JOIN hits h USING (vec_id)
     """
 
 
@@ -6884,6 +6941,57 @@ def v9(spark, sf_dir):
     from cellphe_data_pipeline_spark.operators.similarity import pq_topk
 
     return pq_topk(load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+@register("v17_pq_recall_audit", _pq_recall_oracle_sql())
+def v17(spark, sf_dir):
+    """PQ recall audit (r10) — completes the per-family ANN quality
+    story (v11 audits SRP, v16 curves IVF, v17 audits the COMPRESSED
+    index): recall@5 of v9's ADC top-k against the exact top-5 in
+    PQ's own metric — squared L2, not cosine (ADC approximates
+    subspace L2; auditing against cosine truth would conflate metric
+    mismatch with quantization loss). Exact side ranks by the same
+    sequential diff-square fold the PQ chain uses
+    (similarity.l2_topk_bruteforce — broadcast probes, corpus
+    streams); recall emitted per query in integer-exact ppm (the v11
+    idiom). This is the number that sizes m_subs/n_codes: PQ trades
+    64x storage for exactly the recall this query measures, and a
+    production deployment re-runs it on a probe sample after every
+    codebook retrain (the v15 lifecycle's acceptance gate)."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        l2_topk_bruteforce,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = l2_topk_bruteforce(emb, k=5, queries=probes).select(
+        "vec_id", "neighbor_id"
+    )
+    pq = pq_topk(emb, dim=EMB_DIM).select(
+        F.col("vec_id").alias("pvec"), F.col("neighbor_id").alias("pnb")
+    )
+    return (
+        exact.join(
+            pq,
+            (exact["vec_id"] == F.col("pvec"))
+            & (exact["neighbor_id"] == F.col("pnb")),
+            "left",
+        )
+        .groupBy(exact["vec_id"].cast("long").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("pnb").alias("n_hit"),
+        )
+        .select(
+            "vec_id",
+            "n_exact",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000000 AS BIGINT) div n_exact").alias(
+                "recall_ppm"
+            ),
+        )
+    )
 
 
 def _stage_dir(name: str) -> str:
@@ -9757,6 +9865,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a18_profile_merge",
     "e19_streaming_profile",
     "j15_null_aware_anti_join",
+    "v17_pq_recall_audit",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9802,10 +9911,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "p4_filter_distinct",
     "p5_duplicate_key_rows",
     "p6_unique_key_rows",
-    "p7_p8_nonzero_nonnull",
-    # (p9_p12, p13 and j1 through j7, next in the r6 cohort, are
-    # displaced to r11's head by the r10 additions — j1 and j7 are
-    # exercised in every round's bench headline regardless)
+    # (p7_p8, p9_p12, p13 and j1 through j7, next in the r6 cohort,
+    # are displaced to r11's head by the r10 additions — j1 and j7
+    # are exercised in every round's bench headline regardless)
 ]
 
 
