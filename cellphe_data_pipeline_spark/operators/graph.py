@@ -442,3 +442,67 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-CORE decomposition membership (r10) → (node, core_degree):
+    the maximal subgraph where every node keeps degree >= k, found by
+    iterative PEELING — remove all nodes of degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Removing one
+    layer can cascade (a pendant chain unravels node by node; a
+    diamond whose low-degree corners prop each other up collapses once
+    either goes), which is why the operation is iterative and not
+    expressible as a monotone recursive CTE — the oracle for the g7
+    driver query is therefore a hand-verifiable golden fixture, and
+    the larger-graph truth is a python peeling oracle in tests (the
+    m3-family pattern).
+
+    In corpus curation this is the web-graph quality primitive
+    triangle_counts complements: a document/link graph's high-k core
+    is its densely-interlinked nucleus, while low-core nodes are
+    periphery/spam (the classic k-core web-spam signal); on a dedup
+    pair graph, core number separates true duplicate clusters (high
+    core) from LSH hub-chains (core 1-2).
+
+    Scale shape (the CC loop's discipline): each round is ONE degree
+    aggregation + TWO semi joins on the shrinking symmetrized edge
+    list — key-partitioned shuffles only, no driver-side graph state;
+    rounds are lineage-cut lazily and the convergence probe (edge
+    count — peeling shrinks monotonically, so equal count == fixpoint)
+    rides the same job. Peeling depth is bounded by the graph's
+    degeneracy ordering; ``max_iter`` is the runaway backstop."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = cut_lineage(sym.distinct(), name="kcore-edges")
+    prev_n = -1
+    for _ in range(max_iter):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("u")
+        nxt = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+        nxt = cut_lineage(nxt, eager=False, name="kcore-round")
+        n = nxt.count()
+        sym = nxt
+        # monotone shrinkage: equal edge count == identical edge set
+        if n == prev_n:
+            break
+        prev_n = n
+        if n == 0:
+            break
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("node"), "core_degree")
+    )

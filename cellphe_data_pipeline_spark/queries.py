@@ -9268,6 +9268,73 @@ def t18(spark, sf_dir):
     )
 
 
+def _kcore_oracle_sql(k: int = 3, rounds: int = 24) -> str:
+    """DuckDB mirror of g7: iterative peeling is not a monotone
+    recursive CTE, so the oracle UNROLLS a fixed number of peeling
+    rounds as chained CTEs (degree → keep → induced edges). The
+    engine computes the true fixpoint; if ``rounds`` ever
+    under-covered a deeper graph the hash would MISMATCH loudly, not
+    pass silently — convergence at every test SF is therefore part of
+    what the gate proves (empirically the mod-97 graph peels out in
+    <10 rounds at every SF)."""
+    ctes = ["""WITH raw AS MATERIALIZED (
+      SELECT doc_id % 97 AS u, UNNEST([(doc_id * 7) % 97,
+                                       (doc_id * 3) % 97,
+                                       (doc_id + 1) % 97]) AS v
+      FROM documents
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM raw WHERE u <> v
+        UNION ALL SELECT v AS u, u AS v FROM raw WHERE u <> v
+      )
+    )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""d{i} AS MATERIALIZED (SELECT u, COUNT(*) AS dg FROM e{p} GROUP BY u),
+    s{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE dg >= {k}),
+    e{i} AS MATERIALIZED (SELECT t.u, t.v FROM e{p} t
+             JOIN s{i} a ON t.u = a.u JOIN s{i} b ON t.v = b.u)""")
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS node, COUNT(*) AS core_degree
+    FROM e{rounds} GROUP BY u
+    """
+    )
+
+
+@register("g7_kcore", _kcore_oracle_sql())
+def g7(spark, sf_dir):
+    """k-CORE decomposition (r10; operators/graph.kcore) on g6's
+    deterministic doc-derived graph — the web-graph quality primitive
+    that complements g6's triangles: the high-k core is a link graph's
+    densely-interlinked nucleus, low-core nodes its periphery/spam,
+    and on a dedup pair graph core number separates true duplicate
+    clusters from LSH hub-chains. The engine peels iteratively to the
+    TRUE fixpoint (one degree agg + two semi joins per round on the
+    shrinking edge list, lineage-cut, count-probe convergence —
+    peeling cascades, so this is not a monotone recursive CTE); the
+    oracle unrolls a covering number of peeling rounds as chained
+    CTEs, so the whole decomposition is still hash-checked on real
+    tables at every SF. Cascade semantics (pendant chains unravel,
+    propped-up diamonds collapse) pinned by the fixture tests."""
+    from cellphe_data_pipeline_spark.operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7) % 97,
+                (F.col("doc_id") * 3) % 97,
+                (F.col("doc_id") + 1) % 97,
+            )
+        ).alias("dst"),
+    )
+    return kcore(edges, k=3)
+
+
 @register(
     "g6_triangle_counts",
     """
@@ -9866,6 +9933,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e19_streaming_profile",
     "j15_null_aware_anti_join",
     "v17_pq_recall_audit",
+    "g7_kcore",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9910,10 +9978,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "p1_p2_filter_min_obs",
     "p4_filter_distinct",
     "p5_duplicate_key_rows",
-    "p6_unique_key_rows",
-    # (p7_p8, p9_p12, p13 and j1 through j7, next in the r6 cohort,
-    # are displaced to r11's head by the r10 additions — j1 and j7
-    # are exercised in every round's bench headline regardless)
+    # (p6, p7_p8, p9_p12, p13 and j1 through j7, next in the r6
+    # cohort, are displaced to r11's head by the r10 additions — j1
+    # and j7 are exercised in every round's bench headline regardless)
 ]
 
 

@@ -190,3 +190,53 @@ def test_triangle_counts_median_id_hub(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, hub: 1}
+
+
+def _py_kcore(edges, k):
+    """Independent python peeling oracle: iteratively drop nodes of
+    degree < k; return {node: induced degree} of the fixpoint."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_cascades_and_matches_python_oracle(spark):
+    """Fixture semantics: a 5-clique survives k=3 intact; a 4-cycle
+    with one diagonal collapses at k=3 (peeling the two degree-2
+    corners strands the propped-up diagonal pair); a pendant chain
+    unravels node by node at k=2. Then the full output on a seeded
+    pseudo-random graph must equal the independent python peeling
+    oracle for several k."""
+    from cellphe_data_pipeline_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    diamond = [(6, 7), (7, 8), (8, 9), (9, 6), (6, 8)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        clique + diamond + chain, "src bigint, dst bigint"
+    )
+    got3 = {r["node"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert got3 == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+    got2 = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    # chain unravelled entirely; clique + diamond survive at k=2
+    assert set(got2) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+    assert got2[7] == 2 and got2[6] == 3
+    # seeded pseudo-random graph vs the python oracle
+    rnd = [((i * 37) % 50, (i * 61 + 13) % 50) for i in range(300)]
+    e2 = spark.createDataFrame(rnd, "src bigint, dst bigint")
+    for k in (2, 3, 5):
+        want = _py_kcore(rnd, k)
+        got = {r["node"]: r["core_degree"] for r in kcore(e2, k=k).collect()}
+        assert got == want, f"k={k}"
