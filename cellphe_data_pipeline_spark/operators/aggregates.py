@@ -395,3 +395,33 @@ def string_profile(df: DataFrame, string_cols: list[str]) -> DataFrame:
             ).alias("avg_len"),
         )
     )
+
+
+def merge_keyed_rollup(
+    partials: list[DataFrame],
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Incremental maintenance for KEYED rollups (r10) — the
+    materialized-view counterpart of ``merge_profiles`` (which merges
+    whole-table profiles): given per-slice rollup partials with the
+    same (keys, measures) schema, fold them into the rollup of the
+    union WITHOUT rescanning any slice. ``merges`` maps each measure
+    column to its fold ('sum' for counts and decimal-exact sums,
+    'min'/'max' for extrema) — the measures must be algebraic monoids
+    for merge==rescan to hold (exact distincts are NOT; that trade is
+    documented at merge_profiles, HLL is the mergeable substitute).
+
+    Scale shape: the fold is a unionByName + ONE combinable groupBy
+    over |groups_old| + |groups_delta| ROWS — the base table is never
+    rescanned, so maintaining a 100 TB fact's published rollup costs
+    O(delta + affected groups) per ingest batch instead of O(base).
+    Decimal sums keep the merge order-free (the a8/a13 exactness
+    idiom): fold order cannot change the result, so slices can merge
+    in any order or in parallel trees.
+    """
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    aggs = [getattr(F, how)(col).alias(col) for col, how in merges.items()]
+    return u.groupBy(*keys).agg(*aggs)

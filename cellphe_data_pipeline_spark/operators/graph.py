@@ -506,3 +506,71 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .select(F.col("u").alias("node"), "core_degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance (r10) → (node, hops): for every
+    node reachable from the source set within ``max_hops`` undirected
+    hops, the MINIMUM number of hops from any source. The web-curation
+    use is crawl-frontier / seed-distance scoring (quality seeds at
+    hops 0, distance-decayed trust outward — the classic seed-set
+    propagation signal) and, on a dedup pair graph, "how far is this
+    doc from a known-bad cluster". Complements connected_components
+    (which answers reachability but not distance) and kcore/pagerank
+    (density/centrality).
+
+    Algorithm: level-synchronous frontier expansion. ``dist`` starts
+    as the sources at hops 0; each round joins ONLY the current
+    frontier (the previous round's newly-discovered nodes — shrinking,
+    usually tiny relative to the graph) against the symmetrized edge
+    list, anti-joins the visited set, and tags survivors with the
+    round number. BFS level-order guarantees first-discovery == min
+    hops, so no per-node min state is ever reconciled.
+
+    Scale shape: per round ONE equi-join keyed on the frontier (a
+    1000-executor cluster broadcasts it while it is small — AQE's
+    runtime promotion does this without hints) + ONE left-anti join
+    against the visited set, both key-partitioned; rounds are
+    lineage-cut and the empty-frontier convergence probe rides the
+    count. Rounds are bounded by min(max_hops, eccentricity of the
+    source set). No driver-side graph state — the visited set lives
+    partitioned across the cluster.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = cut_lineage(sym.distinct(), name="bfs-edges")
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+    )
+    dist = cut_lineage(dist, name="bfs-sources")
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = nbrs.join(dist.select("node"), "node", "left_anti").withColumn(
+            "hops", F.lit(h).cast("bigint")
+        )
+        fresh = cut_lineage(fresh, eager=False, name=f"bfs-round-{h}")
+        if fresh.count() == 0:
+            break
+        dist = cut_lineage(
+            dist.union(fresh), eager=False, name=f"bfs-dist-{h}"
+        )
+        frontier = fresh.select("node")
+    return dist

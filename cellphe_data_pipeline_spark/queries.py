@@ -9891,6 +9891,235 @@ def e12(spark, sf_dir):
 
 
 # =====================================================================
+# Round-10 session-2 additions: BFS seed distance (g8), incremental
+# MV maintenance (c20), grouping sets (a19), distribution windows (w11)
+# =====================================================================
+
+
+def _bfs_oracle_sql(max_hops: int = 8) -> str:
+    """DuckDB mirror of g8: level-synchronous BFS unrolled as chained
+    MATERIALIZED CTEs (the g7 lesson: each round references the
+    previous round's frontier AND visited set, so un-materialized
+    inlining re-expands the base scan exponentially). Round i derives
+    frontier f_i = neighbours(f_{i-1}) minus visited v_{i-1}, and
+    v_i = v_{i-1} union (f_i at hops i). The engine computes the same
+    fixed max_hops bound, and BFS level-order makes first-discovery ==
+    min-hops on both sides, so the hash checks the whole distance
+    map. The mod-97 expander reaches its whole component in <5 hops
+    from the 8 seeds at every SF; unreached-within-bound nodes are
+    absent on BOTH sides by construction."""
+    ctes = ["""WITH raw AS MATERIALIZED (
+      SELECT doc_id % 97 AS u, UNNEST([(doc_id * 7) % 97,
+                                       (doc_id * 3) % 97,
+                                       (doc_id + 1) % 97]) AS v
+      FROM documents
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM raw WHERE u <> v
+        UNION ALL SELECT v AS u, u AS v FROM raw WHERE u <> v
+      )
+    ),
+    f0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0 WHERE u % 13 = 0),
+    v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS hops FROM f0)"""]
+    for i in range(1, max_hops + 1):
+        p = i - 1
+        ctes.append(f"""f{i} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM e0 e JOIN f{p} s ON e.u = s.node
+      WHERE e.v NOT IN (SELECT node FROM v{p})),
+    v{i} AS MATERIALIZED (
+      SELECT node, hops FROM v{p}
+      UNION ALL SELECT node, CAST({i} AS BIGINT) AS hops FROM f{i})""")
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT node, hops FROM v{max_hops}
+    """
+    )
+
+
+@register("g8_bfs_hops", _bfs_oracle_sql())
+def g8(spark, sf_dir):
+    """Multi-source BFS seed distance (r10; operators/graph.bfs_hops)
+    on the g6/g7 deterministic doc-derived graph — the crawl-frontier /
+    seed-propagation primitive the graph family was missing: CC answers
+    WHETHER a node connects, g8 answers HOW FAR (quality seeds at hops
+    0, distance-decayed trust outward; on a dedup pair graph, distance
+    from a known-bad cluster). Engine: level-synchronous frontier
+    expansion — per round one semi join keyed on the (shrinking)
+    frontier + one anti join against the visited set, lineage-cut,
+    empty-frontier count probe; BFS level order makes first-discovery
+    == min-hops with no per-node min reconciliation. Oracle: the same
+    rounds unrolled as MATERIALIZED CTEs (the g7 inlining lesson), so
+    the full distance map is hash-checked on real tables at every SF.
+    Seeds are the 8 residues ≡ 0 (mod 13) present in the edge set."""
+    from cellphe_data_pipeline_spark.operators.graph import bfs_hops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7) % 97,
+                (F.col("doc_id") * 3) % 97,
+                (F.col("doc_id") + 1) % 97,
+            )
+        ).alias("dst"),
+    )
+    live = edges.filter(F.col("src") != F.col("dst"))
+    nodes = (
+        live.select(F.col("src").alias("node"))
+        .union(live.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 13 == 0)
+    return bfs_hops(edges, seeds, max_hops=8)
+
+
+@register(
+    "c20_incremental_mv",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def c20(spark, sf_dir):
+    """Incremental JOIN-AGGREGATE materialized-view maintenance (r10;
+    aggregates.merge_keyed_rollup) — the keyed counterpart of a18's
+    whole-table profile merge and the batch core of what e6/c7 do for
+    row upserts: a published revenue-by-nation rollup is maintained
+    from a base snapshot plus a delta batch by folding the DELTA'S
+    rollup into the stored one — the base is never rescanned — and the
+    oracle recomputes the view DIRECTLY over base ∪ delta, so
+    merge==rescan is the hash-checked contract. Measures are chosen
+    mergeable (bigint count + decimal-exact revenue sum — order-free,
+    so slices fold in any order); each slice's rollup is the standard
+    broadcast-dim star join (supplier→nation broadcast, fact never
+    shuffled for the dims) + one combinable groupBy. At 100 TB the
+    maintenance cost per ingest batch is O(delta + affected groups)
+    instead of an O(base) view rebuild."""
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        merge_keyed_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+
+    def slice_rollup(part):
+        dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+        dec_disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        return (
+            part.join(
+                F.broadcast(sup), part["l_suppkey"] == sup["s_suppkey"]
+            )
+            .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(dec_price * dec_disc).alias("_rev"),
+            )
+        )
+
+    base = slice_rollup(li.filter(F.col("l_orderkey") % 10 != 7))
+    delta = slice_rollup(li.filter(F.col("l_orderkey") % 10 == 7))
+    merged = merge_keyed_rollup(
+        [base, delta], ["nation"], {"n_items": "sum", "_rev": "sum"}
+    )
+    return merged.select(
+        "nation",
+        "n_items",
+        F.col("_rev").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "a19_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def a19(spark, sf_dir):
+    """Arbitrary GROUPING SETS with grouping_id (r10) — completes the
+    multi-granularity trio (a9 ROLLUP, a11 CUBE): the set list here
+    ((status, priority), (priority), ()) is NOT a rollup or cube of
+    its columns, so it exercises the general Expand path, and the
+    grouping_id bitmask (left column = MSB on both engines) is the
+    disambiguator that separates NULL-as-data from NULL-as-subtotal —
+    the correctness piece a9/a11 omit. One scan expanded to the three
+    grouping sets with partial aggregation per set — at 100 TB one
+    pass replaces three unioned scans of the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "w11_distribution_windows",
+    """
+    SELECT user_id, event_id,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(event_id, 3) OVER (
+             PARTITION BY user_id ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_event
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w11(spark, sf_dir):
+    """Distribution window functions (r10) — the remaining SQL window
+    surface after w6's rank/lead/ntile: PERCENT_RANK (relative rank in
+    [0,1] — the per-group quantile position a quality-score gate cuts
+    on), CUME_DIST, and NTH_VALUE over the full-partition frame. Ties
+    are broken deterministically (ORDER BY value, event_id) so
+    nth_value is cross-engine stable; percent_rank's (rank-1)/(n-1)
+    division is identical small-int IEEE arithmetic on both engines,
+    rounded at 6dp (non-negative, so no -0.0 class). All four window
+    expressions share ONE partition shuffle + sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("event_id", 3).over(wf).alias("third_event"),
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries
@@ -9934,6 +10163,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "j15_null_aware_anti_join",
     "v17_pq_recall_audit",
     "g7_kcore",
+    # session-2 additions (never driver-proven): BFS seed distance,
+    # incremental MV maintenance, grouping sets, distribution windows
+    "g8_bfs_hops",
+    "c20_incremental_mv",
+    "a19_grouping_sets",
+    "w11_distribution_windows",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -9974,13 +10209,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "a1_argmin_first_row",
     "a2_group_count",
     "a3_multistat_median",
-    "a7_count_distinct",
-    "p1_p2_filter_min_obs",
-    "p4_filter_distinct",
-    "p5_duplicate_key_rows",
-    # (p6, p7_p8, p9_p12, p13 and j1 through j7, next in the r6
-    # cohort, are displaced to r11's head by the r10 additions — j1
-    # and j7 are exercised in every round's bench headline regardless)
+    # (a7, p1_p2, p4, p5, then p6, p7_p8, p9_p12, p13 and j1 through
+    # j7, next in the r6 cohort, are displaced to r11's head by the
+    # r10 additions — j1 and j7 are exercised in every round's bench
+    # headline regardless)
 ]
 
 

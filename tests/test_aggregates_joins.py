@@ -576,3 +576,38 @@ def test_profile_merge_equals_direct_with_nulls(spark):
         ).collect()
     }
     assert {k: tuple(v) for k, v in merged.items()} == {k: tuple(v) for k, v in rev.items()}
+
+
+def test_merge_keyed_rollup_equals_rescan(spark):
+    """merge==rescan on keyed rollups: three disjoint slices rolled up
+    independently then folded (sum/min/max merges) must equal the
+    rollup computed directly over the union; a key present in only one
+    slice must survive the fold; fold order must not matter."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        merge_keyed_rollup,
+    )
+
+    rows = [(k, i, float((i * 7) % 13)) for i in range(90) for k in ("a", "b")]
+    rows += [("only-slice-2", 1, 99.0)]
+    df = spark.createDataFrame(rows, "k string, i bigint, v double")
+    slices = [
+        df.filter(F.col("i") % 3 == r) for r in range(3)
+    ]  # "only-slice-2" lands in slice i%3==1 only
+
+    def rollup(part):
+        return part.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merges = {"n": "sum", "sv": "sum", "mn": "min", "mx": "max"}
+    merged = merge_keyed_rollup([rollup(s) for s in slices], ["k"], merges)
+    want = {tuple(r) for r in rollup(df).collect()}
+    assert {tuple(r) for r in merged.collect()} == want
+    # fold order cannot change the result
+    rev = merge_keyed_rollup([rollup(s) for s in reversed(slices)], ["k"], merges)
+    assert {tuple(r) for r in rev.collect()} == want

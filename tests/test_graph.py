@@ -240,3 +240,58 @@ def test_kcore_cascades_and_matches_python_oracle(spark):
         want = _py_kcore(rnd, k)
         got = {r["node"]: r["core_degree"] for r in kcore(e2, k=k).collect()}
         assert got == want, f"k={k}"
+
+
+def _py_bfs(edges: list[tuple[int, int]], seeds: set[int], max_hops: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_fixture_and_python_oracle(spark):
+    """Fixture semantics: min-over-sources wins (a node reachable at 1
+    hop from seed B and 3 from seed A gets 1); max_hops truncates the
+    map (nodes beyond the bound are ABSENT, not capped); self-loops and
+    disconnected nodes never appear. Then the full map on a seeded
+    pseudo-random graph must equal the python BFS for several bounds."""
+    from cellphe_data_pipeline_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5, seed at both ends {1, 5}: 3 is 2 hops from either
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]  # + a self-loop
+    edges = spark.createDataFrame(path, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=8).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    # bound truncates: from seed 1 only, max_hops=2 reaches 1,2,3
+    s1 = spark.createDataFrame([(1,)], "node bigint")
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(edges, s1, max_hops=2).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2}
+    # seeded pseudo-random graph vs the python oracle
+    rnd = [((i * 37) % 60, (i * 61 + 13) % 60) for i in range(150)]
+    e2 = spark.createDataFrame(rnd, "src bigint, dst bigint")
+    sd = {0, 7, 21}
+    sdf = spark.createDataFrame([(s,) for s in sd], "node bigint")
+    for bound in (1, 3, 8):
+        want = _py_bfs(rnd, sd, bound)
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(e2, sdf, max_hops=bound).collect()
+        }
+        assert got == want, f"max_hops={bound}"
