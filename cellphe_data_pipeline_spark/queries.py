@@ -10119,6 +10119,80 @@ def w11(spark, sf_dir):
     )
 
 
+@register(
+    "a20_hll_merge_audit",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_exact,
+           TRUE AS ok_single_bound,
+           TRUE AS ok_union_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def a20(spark, sf_dir):
+    """Mergeable HLL distinct-count lifecycle with its accuracy claim
+    under the oracle (r10) — closing the trade a18/merge_profiles
+    documents ("exact distincts are not algebraic from O(1) state; HLL
+    is the mergeable substitute with an error bar") by actually
+    shipping the substitute: per-slice DataSketches HLL partials
+    (hll_sketch_agg — O(2^lgK) bytes per group regardless of slice
+    size), folded with hll_union_agg exactly where merge_keyed_rollup
+    folds sums, plus the whole-table single-pass sketch. The a16
+    theorem-column idiom carries the accuracy claim: the oracle emits
+    literal TRUE for ok_single_bound / ok_union_bound while the engine
+    computes |estimate - exact| <= 5% * exact for BOTH the one-pass
+    sketch and the slice-union (lgConfigK=12 → rsd ≈ 1.6%, so 5% is a
+    ~3-sigma envelope; the sketch is hash-deterministic, so the bound
+    is re-verified, not sampled, at every SF). n_exact itself is
+    value-matched. At 100 TB this is the distinct-count path: stored
+    per-slice sketches make the corpus-wide distinct an O(slices ×
+    groups × 2^lgK) fold instead of a global exact-distinct shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    slice_preds = [
+        (F.col("user_id") % 3 == 0) | F.col("user_id").isNull(),
+        F.col("user_id") % 3 == 1,
+        F.col("user_id") % 3 == 2,
+    ]
+    partials = [
+        ev.filter(p)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("event_id").alias("_sk"))
+        for p in slice_preds
+    ]
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_est")
+    )
+    whole = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_id")).alias(
+            "_single_est"
+        ),
+    )
+    bound = 0.05
+    joined = whole.join(F.broadcast(merged), "event_type")
+    err = lambda est: F.abs(  # noqa: E731 — local readability helper
+        est.cast("double") - F.col("n_exact").cast("double")
+    )
+    return joined.select(
+        "event_type",
+        "n_rows",
+        "n_exact",
+        (err(F.col("_single_est")) <= bound * F.col("n_exact")).alias(
+            "ok_single_bound"
+        ),
+        (err(F.col("_union_est")) <= bound * F.col("n_exact")).alias(
+            "ok_union_bound"
+        ),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10169,6 +10243,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c20_incremental_mv",
     "a19_grouping_sets",
     "w11_distribution_windows",
+    "a20_hll_merge_audit",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
@@ -10208,8 +10283,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # line for r11)
     "a1_argmin_first_row",
     "a2_group_count",
-    "a3_multistat_median",
-    # (a7, p1_p2, p4, p5, then p6, p7_p8, p9_p12, p13 and j1 through
+    # (a3, a7, p1_p2, p4, p5, then p6, p7_p8, p9_p12, p13 and j1 through
     # j7, next in the r6 cohort, are displaced to r11's head by the
     # r10 additions — j1 and j7 are exercised in every round's bench
     # headline regardless)
