@@ -10193,6 +10193,183 @@ def a20(spark, sf_dir):
     )
 
 
+def _stage_ordered_batches(parts, stage_name: str) -> str:
+    """Stage a list of DataFrames as ONE parquet file each, with
+    strictly increasing mtimes, so that readStream + maxFilesPerTrigger
+    =1 replays them as DETERMINISTIC micro-batches in list order
+    (FileStreamSource orders by modification time; the 100-second
+    spacing makes the order unambiguous at any filesystem timestamp
+    granularity). This is the replay harness watermark semantics need:
+    which rows are 'late' depends on BATCH BOUNDARIES, so the
+    boundaries must be pinned for the oracle to reproduce them."""
+    import glob
+    import os
+    import shutil
+
+    staged = _stage_dir(stage_name)
+    for k, part in enumerate(parts):
+        tmp = os.path.join(staged, f"_tmp{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        assert len(files) == 1, f"{stage_name} batch {k}: {len(files)} files"
+        dst = os.path.join(staged, f"b{k}.parquet")
+        shutil.move(files[0], dst)
+        shutil.rmtree(tmp)
+        t = 1_700_000_000 + 100 * k
+        os.utime(dst, (t, t))
+    return staged
+
+
+def _drain_staged_stream(
+    spark, schema, staged, transform, output_mode, sink_name, label
+):
+    """availableNow drain over PRE-STAGED ordered batch files, one file
+    per micro-batch (maxFilesPerTrigger=1 — availableNow respects
+    source rate limits, so the staged order IS the batch order). Same
+    protocol as _drain_to_memory otherwise; the trailing no-data batch
+    (on by default) finalizes the watermark so append-mode emission is
+    complete."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"{label}: availableNow drain did not finish in 300s — "
+                "refusing to return a partial sink table"
+            )
+    return spark.table(sink_name)
+
+
+_E20_T1 = "2024-01-12 00:00:00"
+_E20_T2 = "2024-01-24 00:00:00"
+
+
+@register(
+    "e20_streaming_late_drop",
+    f"""
+    WITH v AS (
+      SELECT ts, value,
+             CASE WHEN event_id % 5 = 2 THEN 2
+                  WHEN ts < TIMESTAMP '{_E20_T1}' THEN 0
+                  WHEN ts < TIMESTAMP '{_E20_T2}' THEN 1
+                  ELSE 2 END AS b
+      FROM events WHERE ts IS NOT NULL
+    ),
+    m AS (
+      SELECT MAX(CASE WHEN b = 0 THEN ts END) AS max0,
+             MAX(ts) AS maxall
+      FROM v
+    ),
+    kept AS (
+      -- late filter for batch k uses the PREVIOUS batch's watermark
+      -- (eviction wm of batch k-1 = max event time through batch k-2
+      -- minus delay): b0/b1 see the initial epoch-0 watermark (keep
+      -- all); b2 sees batch 1's eviction watermark max0 - 2h
+      SELECT v.ts, v.value FROM v, m
+      WHERE v.b <= 1
+         OR (v.b = 2 AND date_trunc('hour', v.ts) + INTERVAL 1 HOUR
+               > m.max0 - INTERVAL 2 HOUR)
+    )
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM kept
+    GROUP BY 1, 2
+    HAVING win_end <= (SELECT maxall - INTERVAL 2 HOUR FROM m)
+    """,
+)
+def e20(spark, sf_dir):
+    """§2.11 APPEND-mode watermark semantics under the driver oracle
+    (r10) — the seventeenth verified streaming runtime and the first
+    to pin the two effects the watermark exists for: LATE-ROW DROPPING
+    (a row arriving after its window's state was evicted is discarded)
+    and ONCE-ONLY EMISSION (a window leaves the state store exactly
+    when the watermark passes its end; trailing windows are withheld).
+    e5 proved the streaming rollup's VALUES in complete mode, where
+    neither effect is visible; e20 makes them the contract.
+
+    Replay protocol: the events table is split into three
+    deterministic micro-batches — in-order history (b0: ts < Jan 12),
+    more in-order history (b1: Jan 12-24), then a final batch (b2)
+    carrying the tail ts >= Jan 24 AND every event_id ≡ 2 (mod 5) row
+    from the WHOLE month — genuine stragglers up to 23 days late.
+    `_stage_ordered_batches` pins the batch order (one file per
+    micro-batch via maxFilesPerTrigger=1, confirmed via
+    StreamingQueryProgress: 2918/3217/3865 rows + a no-data batch at
+    sf0.01); the watermark delay is 2 hours. The oracle replays
+    Spark's TWO-watermark protocol in SQL — the subtlety this query
+    exists to pin: EVICTION/EMISSION in batch k uses the current
+    watermark (max event time through batch k-1, minus delay;
+    watermark stats see every row, including ones the filter then
+    drops), but the LATE-ROW FILTER uses the PREVIOUS batch's
+    watermark (eventTimeWatermarkForLateEvents — a window only closes
+    to stragglers once its state was actually evicted at the END of
+    the prior batch, the no-data-loss half of SPARK-24634's contract;
+    a same-batch model mis-drops everything between the two marks —
+    measured here as 288 of 717 windows wrong). So: b0/b1 filter
+    against the initial epoch watermark (keep all), b2 against batch
+    1's eviction watermark max(b0) - 2h, and final emission keeps
+    windows whose end <= max(all) - 2h. At the data's SFs: b2's
+    stragglers before ~Jan 11 22:00 are dropped, later stragglers
+    merge into still-open state, and the last ~2 hours of windows are
+    withheld — all three magnitudes hash-checked.
+    Strictness at the boundary cannot bite: watermarks inherit the
+    max-ts microsecond offset while window ends sit on the hour grid,
+    so equality is unreachable. At 100 TB/day this is why state stays
+    O(open windows): emitted windows leave the store and their
+    stragglers are filtered before the shuffle."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_append_rollup,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "value", "event_id")
+    )
+    t1 = F.lit(_E20_T1).cast("timestamp")
+    t2 = F.lit(_E20_T2).cast("timestamp")
+    b = (
+        F.when(F.col("event_id") % 5 == 2, 2)
+        .when(F.col("ts") < t1, 0)
+        .when(F.col("ts") < t2, 1)
+        .otherwise(2)
+    )
+    evb = ev.withColumn("_b", b)
+    parts = [
+        evb.filter(F.col("_b") == k).select("ts", "value") for k in (0, 1, 2)
+    ]
+    staged = _stage_ordered_batches(parts, "e20_stream_late")
+    sink = _drain_staged_stream(
+        spark,
+        parts[0].schema,
+        staged,
+        streaming_append_rollup,
+        "append",
+        "e20_late_sink",
+        "e20_streaming_late_drop",
+    )
+    return sink.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n",
+        "sum_value",
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10244,6 +10421,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a19_grouping_sets",
     "w11_distribution_windows",
     "a20_hll_merge_audit",
+    "e20_streaming_late_drop",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

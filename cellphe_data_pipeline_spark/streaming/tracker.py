@@ -55,6 +55,36 @@ def streaming_window_rollup(
     )
 
 
+def streaming_append_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling rollup for APPEND-mode emission (r10, e20)
+    — the late-data-discipline twin of streaming_window_rollup (which
+    e5 drains in COMPLETE mode, where the watermark never drops or
+    withholds anything visible). In append mode the watermark is
+    load-bearing twice: input rows whose window closed before the
+    current watermark are DROPPED (their state was already evicted),
+    and a window is EMITTED exactly once — when the watermark passes
+    its end — so state is O(open windows), not O(all windows ever).
+    That pair of effects is what bounds state at 100 TB/day ingest;
+    e20 pins both against a SQL oracle that replays the same watermark
+    protocol over the same deterministic micro-batches."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 MOVE_STATE = T.StructType(
     [
         T.StructField("x_start", T.DoubleType()),

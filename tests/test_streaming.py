@@ -1290,3 +1290,80 @@ def test_streaming_profile_folds_across_batches(spark, tmp_path):
     r = r[0]
     assert (r["n_rows"], r["n_null"], r["min_value"], r["max_value"]) == (6, 2, -10.0, 100.0)
     assert r["mean_value"] == round((1.5 - 10.0 + 2.5 + 100.0) / 4, 6)
+
+
+def test_append_rollup_two_watermark_protocol(spark, tmp_path):
+    """Pins Spark's two-watermark contract on a hand-computed fixture:
+    the LATE filter in batch k uses batch k-1's eviction watermark
+    (so a straggler for a window whose state is still in the store
+    merges in — no data loss), while EMISSION uses the current
+    watermark (trailing windows are withheld). delay=2h, 1h windows.
+
+    b0: hours 00 (2 rows) and 01 (1 row); runs at the epoch watermark.
+    b1: hour 10 (1 row); runs at eviction wm = max(b0) - 2h = 23:30
+        PREV-DAY (nothing emitted yet, nothing late-filtered).
+    b2: a straggler for hour 00 — KEPT, because b2's late filter is
+        b1's watermark (23:30 prev-day), not b2's own eviction wm
+        (max(b0+b1) - 2h = 08:30, which WOULD have dropped it; that
+        one-batch lag is the contract under test) — a straggler for
+        hour 09, and an in-order row at 12:40. End of b2: eviction wm
+        08:30 emits hours 00 (straggler merged) and 01.
+    no-data batch: final wm = 12:40 - 2h = 10:40 -> hour 09 (end
+        10:00) emitted; hours 10 (end 11:00) and 12 withheld.
+    """
+    import glob
+    import os
+    import shutil
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_append_rollup,
+    )
+
+    D = "2024-03-05 "
+    batches = [
+        [(D + "00:10:00", 1.0), (D + "00:20:00", 2.0), (D + "01:30:00", 4.0)],
+        [(D + "10:30:00", 8.0)],
+        [
+            (D + "00:40:00", 16.0),   # straggler, window already evicted
+            (D + "09:15:00", 32.0),   # straggler, window still open
+            (D + "12:40:00", 64.0),   # in-order tail, withheld
+        ],
+    ]
+    staged = str(tmp_path / "late_drop_stage")
+    os.makedirs(staged)
+    for k, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+        tmp = os.path.join(staged, f"_tmp{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(staged, f"b{k}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp)
+        t = 1_700_000_000 + 100 * k
+        os.utime(dst, (t, t))
+    schema = "ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = (
+        streaming_append_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["win"]["start"].strftime("%H"): (r["n"], r["sum_value"])
+        for r in spark.table("late_drop_test").collect()
+    }
+    assert got == {
+        "00": (3, 19.0),   # straggler KEPT: late filter lags one batch
+        "01": (1, 4.0),
+        "09": (1, 32.0),   # straggler alone creates open state
+    }  # hours 10 and 12 withheld: final wm 10:40 < their window ends
