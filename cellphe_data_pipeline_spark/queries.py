@@ -10370,6 +10370,110 @@ def e20(spark, sf_dir):
     )
 
 
+_E21_C1 = "2024-01-11 00:00:00"
+_E21_C2 = "2024-01-21 00:00:00"
+
+
+@register(
+    "e21_streaming_dedup_expiry",
+    f"""
+    WITH base AS (
+      SELECT CONCAT(user_id, '_', event_type) AS key, ts
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    p AS (
+      SELECT key,
+             MIN(CASE WHEN ts < TIMESTAMP '{_E21_C1}' THEN ts END) AS t0,
+             MIN(CASE WHEN ts >= TIMESTAMP '{_E21_C1}'
+                       AND ts < TIMESTAMP '{_E21_C2}' THEN ts END) AS t1,
+             MIN(CASE WHEN ts >= TIMESTAMP '{_E21_C2}' THEN ts END) AS t2
+      FROM base GROUP BY key
+    ),
+    m AS (SELECT MAX(t0) AS max0 FROM p)
+    SELECT key, t0 AS ts, 0 AS src_batch FROM p WHERE t0 IS NOT NULL
+    UNION ALL
+    SELECT key, t1 AS ts, 1 AS src_batch FROM p
+    WHERE t0 IS NULL AND t1 IS NOT NULL
+    UNION ALL
+    -- a batch-2 re-send re-emits iff the batch-0 state was evicted
+    -- before batch 2's presence check: expiry t0 + 4d fell behind the
+    -- watermark VISIBLE to that check, which is batch 1's watermark
+    -- max(b0) - 4d (the same one-batch lag e20 pins for late rows)
+    SELECT key, t2 AS ts, 2 AS src_batch FROM p, m
+    WHERE t2 IS NOT NULL AND (
+      (t0 IS NULL AND t1 IS NULL)
+      OR (t0 IS NOT NULL
+          AND t0 + INTERVAL 4 DAY < m.max0 - INTERVAL 4 DAY)
+    )
+    """,
+)
+def e21(spark, sf_dir):
+    """§2.11 dedup-state EXPIRY semantics under the driver oracle
+    (r10) — e20's sibling for dropDuplicatesWithinWatermark, the
+    eighteenth verified streaming runtime: what bounds dedup state at
+    100 TB/day is that a key's entry EXPIRES once the watermark passes
+    first_ts + delay — after which a re-send is re-admitted (the
+    at-least-once boundary: bounded state is bought with re-emission
+    beyond the redelivery horizon). e7 proved suppression inside the
+    horizon; e21 makes the whole three-phase lifecycle the contract:
+    suppressed while state lives, evicted when the watermark passes,
+    re-admitted after.
+
+    Replay protocol: keys are (user_id, event_type) pairs; three
+    time-ordered micro-batches (month thirds at Jan 11 / Jan 21), each
+    staged as one row per key (its slice-min ts) so within-batch
+    winner choice — which Spark leaves unspecified across partitions —
+    cannot enter the contract; watermark delay 4 days. Probed
+    semantics the oracle encodes (two fixture probes this round): a
+    duplicate is suppressed iff its key is in the state VISIBLE to its
+    batch, and the visible state excludes keys whose expiry fell
+    behind the PREVIOUS batch's watermark — the same one-batch lag as
+    e20's late filter (a key expiring 'during' batch k still suppresses
+    batch k's re-sends). So: every batch-0 key emits; batch-1 rows
+    emit only for keys unseen in batch 0 (batch 1's visible watermark
+    is the epoch); batch-2 rows emit for keys unseen earlier OR keys
+    whose batch-0 expiry t0+4d < max(b0)-4d — both the re-admitted and
+    the still-suppressed subsets are populated at every SF, and
+    duplicates do NOT extend expiry (first-event anchoring). Dedup
+    output is append-immediate (no watermark-gated emission), so there
+    is no withheld tail — that effect belongs to e20."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_dedup_within_watermark,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.concat_ws("_", "user_id", "event_type").alias("key"), "ts"
+        )
+    )
+    c1 = F.lit(_E21_C1).cast("timestamp")
+    c2 = F.lit(_E21_C2).cast("timestamp")
+    slices = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    parts = [
+        s.groupBy("key")
+        .agg(F.min("ts").alias("ts"))
+        .withColumn("src_batch", F.lit(k).cast("int"))
+        for k, s in enumerate(slices)
+    ]
+    staged = _stage_ordered_batches(parts, "e21_stream_dedup")
+    sink = _drain_staged_stream(
+        spark,
+        parts[0].schema,
+        staged,
+        streaming_dedup_within_watermark,
+        "append",
+        "e21_dedup_sink",
+        "e21_streaming_dedup_expiry",
+    )
+    return sink.select("key", "ts", "src_batch")
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10422,6 +10526,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "w11_distribution_windows",
     "a20_hll_merge_audit",
     "e20_streaming_late_drop",
+    "e21_streaming_dedup_expiry",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

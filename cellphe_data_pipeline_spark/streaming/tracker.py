@@ -85,6 +85,26 @@ def streaming_append_rollup(
     )
 
 
+def streaming_dedup_within_watermark(
+    rows: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "4 days",
+) -> DataFrame:
+    """Bounded-state streaming dedup (r10, e21): suppress re-sends of a
+    key while its state lives, EVICT the entry once the watermark
+    passes first_ts + delay, re-admit later re-sends. The eviction is
+    the whole point at scale — state is O(keys active within one
+    redelivery horizon), not O(keys ever seen) — and its price is the
+    at-least-once boundary e21 pins: a re-send older than the horizon
+    is re-emitted, so downstream must be idempotent on the key (the
+    CDC upsert in e16's chain is). Expiry anchors to the FIRST event;
+    suppressed duplicates do not extend it."""
+    return rows.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["key"]
+    )
+
+
 MOVE_STATE = T.StructType(
     [
         T.StructField("x_start", T.DoubleType()),

@@ -1367,3 +1367,73 @@ def test_append_rollup_two_watermark_protocol(spark, tmp_path):
         "01": (1, 4.0),
         "09": (1, 32.0),   # straggler alone creates open state
     }  # hours 10 and 12 withheld: final wm 10:40 < their window ends
+
+
+def test_dedup_within_watermark_expiry_lifecycle(spark, tmp_path):
+    """Pins the three-phase dedup-state lifecycle on a hand-computed
+    fixture (delay 3 days): suppressed while state lives, evicted when
+    the watermark VISIBLE to the batch (= previous batch's watermark,
+    the e20 lag) passes first_ts + delay, re-admitted after.
+
+    b0: k1@03-01 (exp 03-04), k2@03-05 (exp 03-08).
+    b1: k9@03-10 — wm during b1 = max(b0) - 3d = 03-02.
+    b2: k1@03-20, k2@03-20 — visible wm = wm(b1) = 03-02 < both
+        expiries -> BOTH suppressed (k1's expiry already passed b2's
+        own wm 03-07; the lag keeps it suppressing — the trap).
+    b3: k1@03-25, k2@03-25 — visible wm = wm(b2) = max(b0+b1) - 3d =
+        03-07: k1 (exp 03-04) evicted -> RE-ADMITTED; k2 (exp 03-08)
+        still live -> suppressed.
+    """
+    import glob
+    import os
+    import shutil
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_dedup_within_watermark,
+    )
+
+    D = "2024-03-"
+    batches = [
+        [("k1", D + "01 00:00:00"), ("k2", D + "05 00:00:00")],
+        [("k9", D + "10 00:00:00")],
+        [("k1", D + "20 00:00:00"), ("k2", D + "20 01:00:00")],
+        [("k1", D + "25 00:00:00"), ("k2", D + "25 01:00:00")],
+    ]
+    staged = str(tmp_path / "dedup_expiry_stage")
+    os.makedirs(staged)
+    for k, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "key string, ts_s string").select(
+            "key", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        tmp = os.path.join(staged, f"_tmp{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(staged, f"b{k}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp)
+        t = 1_700_000_000 + 100 * k
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = (
+        streaming_dedup_within_watermark(stream, watermark="3 days")
+        .writeStream.format("memory")
+        .queryName("dedup_expiry_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r["key"], r["ts"].strftime("%m-%d"))
+        for r in spark.table("dedup_expiry_test").collect()
+    )
+    assert got == [
+        ("k1", "03-01"),
+        ("k1", "03-25"),   # re-admitted: bounded state re-emits
+        ("k2", "03-05"),   # k2@03-25 still suppressed (exp 03-08 > 03-07)
+        ("k9", "03-10"),
+    ]
