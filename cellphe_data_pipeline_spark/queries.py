@@ -10474,6 +10474,90 @@ def e21(spark, sf_dir):
     return sink.select("key", "ts", "src_batch")
 
 
+def _takedown_closure_oracle_sql() -> str:
+    """c21 oracle: d7's cluster chain (MinHash pairs → recursive
+    transitive closure) intersected with the seed list, expanded to
+    whole clusters, then full-outer-merged with the raw seed list so
+    singleton seeds (no near-dup pair) are still in the manifest."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 83 = 5),
+    seed_clusters AS (
+      SELECT DISTINCT c.cluster_id FROM comp c
+      JOIN seeds s ON c.doc_id = s.doc_id
+    ),
+    expanded AS (
+      SELECT c.doc_id, c.cluster_id FROM comp c
+      JOIN seed_clusters sc ON c.cluster_id = sc.cluster_id
+    )
+    SELECT COALESCE(e.doc_id, s.doc_id) AS doc_id,
+           (s.doc_id IS NOT NULL) AS is_seed,
+           e.cluster_id
+    FROM expanded e FULL OUTER JOIN seeds s ON e.doc_id = s.doc_id
+    """
+
+
+@register("c21_takedown_closure", _takedown_closure_oracle_sql())
+def c21(spark, sf_dir):
+    """Takedown/compliance DELETE CLOSURE (r10) — the removal-request
+    path a training corpus must implement: deleting only the listed
+    documents leaves their near-copies (mirrors, re-crawls, light
+    edits) in the corpus, so the deletion manifest must close over the
+    near-duplicate CLUSTERS the seeds belong to. Composition of proven
+    parts: MinHash banded pairs (d3) → transitive clusters (d7's CC) →
+    semi join the clusters that contain a seed → expand to every
+    member → full-outer-merge with the seed list so singleton seeds
+    (nothing similar in the corpus) still appear. Output is the
+    auditable manifest: (doc_id, is_seed, cluster_id — NULL for
+    singleton seeds); the surviving corpus is one anti join against
+    it. Scale shape: the seed list and seed-cluster set are broadcast-
+    sized; the pair graph is near-dups only (tiny vs corpus); the
+    corpus itself is touched by exactly the banded-candidate scan d3
+    already pays — no new corpus self-join, no cartesian anywhere."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("doc_id") % 83 == 5).select("doc_id")
+    pairs = minhash_near_duplicates(d)
+    clusters = dedup_clusters(pairs, loop_shuffle_partitions=2).select(
+        "doc_id", "cluster_id"
+    )
+    seed_clusters = (
+        clusters.join(F.broadcast(seeds), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    expanded = clusters.join(
+        F.broadcast(seed_clusters), "cluster_id", "left_semi"
+    )
+    return (
+        expanded.join(
+            seeds.select(F.col("doc_id"), F.lit(True).alias("_s")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.col("_s").isNotNull().alias("is_seed"),
+            "cluster_id",
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10527,6 +10611,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a20_hll_merge_audit",
     "e20_streaming_late_drop",
     "e21_streaming_dedup_expiry",
+    "c21_takedown_closure",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
