@@ -10558,6 +10558,93 @@ def c21(spark, sf_dir):
     )
 
 
+_E22_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "e22_streaming_outer_join",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, event_type, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT event_id AS l_id, user_id AS l_key, ts AS l_ts
+          FROM v WHERE event_type = 'click'),
+    p AS (SELECT event_id AS r_id, user_id AS r_key, ts AS r_ts
+          FROM v WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(l_ts) FROM c),
+                        (SELECT MAX(r_ts) FROM p))
+                  - INTERVAL 2 HOUR AS final_wm),
+    matched AS (
+      SELECT c.l_id, c.l_key, c.l_ts, p.r_id, p.r_ts
+      FROM c JOIN p ON p.r_key = c.l_key
+       AND p.r_ts >= c.l_ts AND p.r_ts <= c.l_ts + INTERVAL 1 HOUR
+    )
+    SELECT l_id, l_key, l_ts, r_id, r_ts FROM matched
+    UNION ALL
+    SELECT c.l_id, c.l_key, c.l_ts,
+           CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+    FROM c, wm
+    WHERE c.l_ts + INTERVAL 1 HOUR < wm.final_wm
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.l_id = c.l_id)
+    """,
+)
+def e22(spark, sf_dir):
+    """§2.11 stream-stream LEFT OUTER interval join under the driver
+    oracle (r10) — the nineteenth verified streaming runtime,
+    completing the watermark-semantics matrix this session built
+    (e20: aggregation late-drop + once-only emission; e21: dedup-state
+    expiry; e22: OUTER-join null-side emission): clicks left-joined to
+    same-user purchases inside a 1h attribution window, where a click
+    with NO conversion is emitted exactly once with a null right side
+    — but only after the watermark proves no partner can still arrive.
+
+    Replay protocol: two time-ordered micro-batches (month halves at
+    Jan 16) through `_stage_ordered_batches`; cross-batch pairs near
+    the cut exercise the join state (a boundary click's state cannot
+    have been evicted when its batch-2 purchase arrives — its interval
+    end sits above every watermark the eviction could have used).
+    Probed semantics the oracle encodes: the GLOBAL watermark is the
+    MIN over both branch watermark nodes (the first probe froze at an
+    early purchase-side max), and a never-matched click null-emits iff
+    l_ts + 1h < min(max click ts, max purchase ts) - 2h — the final
+    no-data batch flushes with the CURRENT watermark, so mid-stream
+    vs final eviction timing cannot change the output SET. Three
+    subsets all populated at every SF: converted clicks (pair rows,
+    possibly several per click), expired unconverted clicks (null
+    rows), and the withheld tail (clicks in the last interval+delay,
+    absent entirely). At 100 TB this is the funnel/attribution outer
+    join run forever on bounded state — eviction by the interval
+    bound is what the time-range condition buys."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_left_outer_interval_join,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    cut = F.lit(_E22_CUT).cast("timestamp")
+    parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    staged = _stage_ordered_batches(parts, "e22_stream_outer")
+    sink = _drain_staged_stream(
+        spark,
+        parts[0].schema,
+        staged,
+        streaming_left_outer_interval_join,
+        "append",
+        "e22_outer_sink",
+        "e22_streaming_outer_join",
+    )
+    return sink.select("l_id", "l_key", "l_ts", "r_id", "r_ts")
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10612,6 +10699,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e20_streaming_late_drop",
     "e21_streaming_dedup_expiry",
     "c21_takedown_closure",
+    "e22_streaming_outer_join",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

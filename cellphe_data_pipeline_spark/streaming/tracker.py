@@ -105,6 +105,64 @@ def streaming_dedup_within_watermark(
     )
 
 
+def streaming_left_outer_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    interval_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (r10, e22): every left
+    row within the attribution window of a right row pairs up exactly
+    as the inner join (e8/e18), and a left row that finds NO partner
+    is emitted ONCE with a null right side — but only after the
+    watermark proves no partner can still arrive (its state expires).
+    That null-side emission is the semantic the outer variant adds,
+    and it is watermark-DRIVEN: unmatched rows near the stream head
+    flush as the clock passes their interval; unmatched rows in the
+    last interval+delay are withheld (e22 pins all three subsets).
+    The e18 pushdown discipline applies: the type predicates live in
+    the SIDE FILTERS — inside the join condition Catalyst would push
+    a single-side predicate below the watermark node and freeze the
+    clock. Global watermark = min over both branch nodes, so BOTH
+    sides must keep flowing for null rows to flush (e22's probe froze
+    at an early purchase max before the fixture fed the right side).
+    State is O(interval × arrival rate) per side — eviction by the
+    interval bound is what makes the outer join runnable forever."""
+    lts, rts = "l_ts", "r_ts"
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("l_id"),
+            F.col(key_col).alias("l_key"),
+            F.col(ts_col).alias(lts),
+        )
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("r_id"),
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias(rts),
+        )
+    )
+    return left.join(
+        right,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col(rts) >= F.col(lts))
+        & (
+            F.col(rts)
+            <= F.col(lts) + F.expr(f"INTERVAL {interval_seconds} SECONDS")
+        ),
+        "leftOuter",
+    ).select("l_id", "l_key", lts, "r_id", rts)
+
+
 MOVE_STATE = T.StructType(
     [
         T.StructField("x_start", T.DoubleType()),
