@@ -10645,6 +10645,79 @@ def e22(spark, sf_dir):
     return sink.select("l_id", "l_key", "l_ts", "r_id", "r_ts")
 
 
+@register(
+    "w12_time_weighted_avg",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM v
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_obs,
+             SUM(CAST(value AS DECIMAL(18,2)) * (t_next - t)) AS num,
+             MAX(t) - MIN(t) AS den
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND(CASE WHEN den > 0
+                      THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 END, 6) AS twa
+    FROM a
+    """,
+)
+def w12(spark, sf_dir):
+    """TIME-WEIGHTED average (r10) — the irregular-sampling correction
+    plain AVG gets wrong: each observation holds (LOCF) until the next
+    one, so its weight is its holding interval, and the per-key TWA is
+    sum(value_i * dt_i) / span. The per-track statistic a sparse
+    time-lapse needs (frames drop; the reference's per-track means
+    silently assume regular sampling) and the standard TWAP shape in
+    metrics/finance pipelines. Numerics: weights are exact int64
+    microsecond deltas from one LEAD over the (ts, event_id)-ordered
+    window (deterministic ties), products decimal-exact
+    (DECIMAL(18,2) × BIGINT — order-free sum), ONE double division per
+    key at the edge (same rational both engines); value > 0 in this
+    corpus so the rounded quotient has no -0.0 class; single-event
+    keys yield NULL (zero span). One shuffle: the window partition is
+    the groupBy key, so the agg reuses the window's Exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    d = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    a = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.col("value").cast("decimal(18,2)")
+            * (F.col("t_next") - F.col("t"))
+        ).alias("_num"),
+        (F.max("t") - F.min("t")).alias("_den"),
+    )
+    return a.select(
+        "user_id",
+        "n_obs",
+        F.round(
+            F.when(
+                F.col("_den") > 0,
+                F.col("_num").cast("double") / F.col("_den").cast("double"),
+            ),
+            6,
+        ).alias("twa"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10700,6 +10773,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e21_streaming_dedup_expiry",
     "c21_takedown_closure",
     "e22_streaming_outer_join",
+    "w12_time_weighted_avg",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
