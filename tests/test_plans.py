@@ -206,3 +206,33 @@ def test_spatial_nn_join_no_cartesian(spark, sf_dir):
     p = plan(REGISTRY["j11_spatial_nn_join"].fn(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_mv_fold_is_broadcast_star(spark, sf_dir):
+    """c20's slice rollups must star-join their dims by BROADCAST (the
+    fact is never shuffled for supplier/nation) and never fall back to
+    a sort-merge join; the fold itself is aggregation, not a join."""
+    p = plan(REGISTRY["c20_incremental_mv"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_is_one_expand_pass(spark, sf_dir):
+    """a19 must run as ONE scan expanded to the grouping sets (the
+    Expand operator), not unioned per-set scans: exactly one orders
+    scan in the plan."""
+    df = REGISTRY["a19_grouping_sets"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "Expand" in p
+    # simple mode prints the tree once (formatted repeats nodes in the
+    # detail section): exactly one scan feeds the Expand
+    assert plan(df, mode="simple").count("Scan parquet") == 1
+
+
+def test_twa_single_exchange(spark, sf_dir):
+    """w12's groupBy key equals its window partition key, so the agg
+    rides the window's Exchange: exactly one in the whole plan."""
+    df = REGISTRY["w12_time_weighted_avg"].fn(spark, sf_dir)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange") == 1
