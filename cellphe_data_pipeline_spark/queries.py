@@ -10718,6 +10718,61 @@ def w12(spark, sf_dir):
     )
 
 
+@register(
+    "s18_schema_evolution",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           CAST(1 AS INT) AS batch_no
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderpriority,
+           CAST(2 AS INT) AS batch_no
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def s18(spark, sf_dir):
+    """SOURCE-level schema evolution (r10) — the ingest-drift surface
+    piece the source family was missing (u6 proves the RELATIONAL
+    union-by-name; s18 proves the STORAGE semantic): a published table
+    grows a column mid-life — batch 1 files lack o_orderpriority,
+    batch 2 files carry it — and a `mergeSchema` read returns the
+    union schema with NULLs for the old files, no rewrite of a single
+    old byte. The oracle is the explicit union-by-name the evolved
+    read must equal. Two traps recorded for the 100-TB deployment:
+    (1) mergeSchema=false takes ONE file's footer as the schema — if
+    that file predates the evolution the new column silently vanishes,
+    and WHICH file wins is not contractual, so the failure is
+    intermittent; (2) mergeSchema=true reads EVERY file's footer at
+    planning time — at millions of files that is the listing
+    bottleneck, so production pins the evolved schema explicitly
+    (`spark.read.schema(evolved)`, same NULL semantics, zero footer
+    sweep — equality with the merged read pinned in
+    tests/test_ingest.py) and mergeSchema stays a migration-audit
+    tool."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    d = _stage_dir("s18_evo") + "/stage"
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("batch_no")
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit(2).alias("batch_no"),
+    )
+    b1.write.mode("overwrite").parquet(d)
+    b2.write.mode("append").parquet(d)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "batch_no")
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10774,6 +10829,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c21_takedown_closure",
     "e22_streaming_outer_join",
     "w12_time_weighted_avg",
+    "s18_schema_evolution",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

@@ -81,3 +81,28 @@ def test_resolve_jpeg_inputs(spark, tmp_path):
         r = by_idx[i]
         dec = np.frombuffer(r["data"], dtype=np.uint8).reshape(r["height"], r["width"])
         assert np.abs(dec.astype(int) - imgs[name].astype(int)).max() <= 1
+
+
+def test_schema_evolution_explicit_schema_equals_merged_read(spark, tmp_path):
+    """The production path for an evolved table — an explicit pinned
+    schema, zero footer sweep — must return exactly what the
+    mergeSchema=true migration-audit read returns: union schema,
+    NULLs for files written before the column existed."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evo")
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    new = spark.createDataFrame(
+        [(3, 30.0, "HIGH")], "id bigint, v double, prio string"
+    )
+    old.write.mode("overwrite").parquet(d)
+    new.write.mode("append").parquet(d)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(d)
+        .select("id", "v", "prio")
+    )
+    pinned = spark.read.schema("id bigint, v double, prio string").parquet(d)
+    got_m = {tuple(r) for r in merged.collect()}
+    got_p = {tuple(r) for r in pinned.select("id", "v", "prio").collect()}
+    assert got_m == got_p == {(1, 10.0, None), (2, 20.0, None), (3, 30.0, "HIGH")}
