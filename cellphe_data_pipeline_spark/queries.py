@@ -10842,7 +10842,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "e6_streaming_upsert_state",
     # the r5 cohort — every query whose last external proof is
     # CORRECTNESS_r05 (the r9 verdict's item-3 list, oldest-first
-    # rotation discipline)
+    # rotation discipline). NOTE: the 11 session-2 additions push the
+    # final four of these (u6, v5, v6, v10) past slot 50 — all four
+    # are r5-proven (displaced-means-proven holds) and go FIRST in
+    # r11's window, ahead of the r6 cohort.
     "c4_hash_stratified_sample",
     "c8_mixture_rebalance",
     "c9_split_manifest",
@@ -10869,10 +10872,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # line for r11)
     "a1_argmin_first_row",
     "a2_group_count",
-    # (a3, a7, p1_p2, p4, p5, then p6, p7_p8, p9_p12, p13 and j1 through
-    # j7, next in the r6 cohort, are displaced to r11's head by the
-    # r10 additions — j1 and j7 are exercised in every round's bench
-    # headline regardless)
+    # (a1/a2 above and the r6 cohort — a3, a7, p1_p2, p4, p5, p6,
+    # p7_p8, p9_p12, p13, j1 through j7 — are past slot 50 after the
+    # session-2 additions; all prior-proven, queued behind the four
+    # r5 leftovers for r11. j1 and j7 are exercised in every round's
+    # bench headline regardless.)
 ]
 
 
