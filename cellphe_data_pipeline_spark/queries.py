@@ -10378,8 +10378,11 @@ _E21_C2 = "2024-01-21 00:00:00"
     "e21_streaming_dedup_expiry",
     f"""
     WITH base AS (
+      -- event_type filtered non-null: a NULL would diverge the key
+      -- builders (concat_ws skips NULLs, CONCAT keeps the separator)
       SELECT CONCAT(user_id, '_', event_type) AS key, ts
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
     ),
     p AS (
       SELECT key,
@@ -10443,7 +10446,11 @@ def e21(spark, sf_dir):
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             F.concat_ws("_", "user_id", "event_type").alias("key"), "ts"
         )
