@@ -10780,6 +10780,137 @@ def s18(spark, sf_dir):
     )
 
 
+@register(
+    "a21_correlation_matrix",
+    """
+    WITH v AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) AS x,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS DOUBLE) AS y,
+             CAST(length(text) - length(replace(text, '.', ''))
+                  AS DOUBLE) AS z
+      FROM documents
+    ),
+    a AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(24,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(24,6))) AS sy,
+             SUM(CAST(z AS DECIMAL(24,6))) AS sz,
+             SUM(CAST(x*x AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(y*y AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(z*z AS DECIMAL(38,12))) AS szz,
+             SUM(CAST(x*y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x*z AS DECIMAL(38,12))) AS sxz,
+             SUM(CAST(y*z AS DECIMAL(38,12))) AS syz
+      FROM v GROUP BY source
+    ),
+    c AS (
+      SELECT source, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sz AS DOUBLE) AS sz,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+             CAST(szz AS DOUBLE) AS szz,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxz AS DOUBLE) AS sxz,
+             CAST(syz AS DOUBLE) AS syz
+      FROM a
+    ),
+    pairs AS (
+      SELECT source, n, 'n_chars' AS col_a, 'n_tokens' AS col_b,
+             nd*sxy - sx*sy AS num, nd*sxx - sx*sx AS da,
+             nd*syy - sy*sy AS db FROM c
+      UNION ALL
+      SELECT source, n, 'n_chars', 'n_periods',
+             nd*sxz - sx*sz, nd*sxx - sx*sx, nd*szz - sz*sz FROM c
+      UNION ALL
+      SELECT source, n, 'n_tokens', 'n_periods',
+             nd*syz - sy*sz, nd*syy - sy*sy, nd*szz - sz*sz FROM c
+    )
+    SELECT source, col_a, col_b, n,
+           ROUND(CASE WHEN da > 0 AND db > 0
+                      THEN num / sqrt(da * db) END, 6) + 0.0 AS corr
+    FROM pairs
+    """,
+)
+def a21(spark, sf_dir):
+    """Per-group CORRELATION MATRIX (r10) — the bivariate completion
+    of the profile family (a14 univariate stats, a13 one regression
+    pair, a21 all pairs): Pearson r between three derived quality
+    signals (chars, whitespace tokens, sentence-period counts) per
+    source, unpivoted to (col_a, col_b) rows. The curation diagnostic
+    this exists for: near-1 correlations mean redundant quality
+    signals (gate on one, drop the rest); a source whose correlation
+    structure differs from the corpus is the drift signal a17's
+    univariate TVD can miss. Numerics are the a13 idiom end-to-end:
+    integer-derived doubles, decimal-exact power/cross sums (order-
+    free — ONE combinable groupBy, map-side partials), then identical
+    double arithmetic on both engines; sqrt is IEEE-correctly-rounded
+    (deterministic given the same operand, which the shared op order
+    guarantees); round_z guards the rounded signed quotient's -0.0
+    class. Scale: one scan, one shuffle on source, O(groups × 10)
+    state — the full k-column matrix is k(k-1)/2 sums in the same
+    single pass."""
+    from cellphe_data_pipeline_spark.functions.scalars import round_z
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    y = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    ).cast("double")
+    z = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(".")))
+    ).cast("double")
+    v = docs.select("source", x.alias("x"), y.alias("y"), z.alias("z"))
+
+    def dsum(col, prec="decimal(38,12)"):
+        return F.sum(col.cast(prec))
+
+    a = v.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), "decimal(24,6)").alias("sx"),
+        dsum(F.col("y"), "decimal(24,6)").alias("sy"),
+        dsum(F.col("z"), "decimal(24,6)").alias("sz"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("z") * F.col("z")).alias("szz"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("z")).alias("sxz"),
+        dsum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    c = a.select(
+        "source",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        *[
+            F.col(s).cast("double").alias(s)
+            for s in (
+                "sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz"
+            )
+        ],
+    )
+
+    def pair(ca, cb, s1, s2, s11, s22, s12):
+        num = F.col("nd") * F.col(s12) - F.col(s1) * F.col(s2)
+        da = F.col("nd") * F.col(s11) - F.col(s1) * F.col(s1)
+        db = F.col("nd") * F.col(s22) - F.col(s2) * F.col(s2)
+        return c.select(
+            "source",
+            F.lit(ca).alias("col_a"),
+            F.lit(cb).alias("col_b"),
+            "n",
+            round_z(
+                F.when((da > 0) & (db > 0), num / F.sqrt(da * db)), 6
+            ).alias("corr"),
+        )
+
+    return (
+        pair("n_chars", "n_tokens", "sx", "sy", "sxx", "syy", "sxy")
+        .unionAll(pair("n_chars", "n_periods", "sx", "sz", "sxx", "szz", "sxz"))
+        .unionAll(pair("n_tokens", "n_periods", "sy", "sz", "syy", "szz", "syz"))
+        .select("source", "col_a", "col_b", "n", "corr")
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10837,6 +10968,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e22_streaming_outer_join",
     "w12_time_weighted_avg",
     "s18_schema_evolution",
+    "a21_correlation_matrix",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
