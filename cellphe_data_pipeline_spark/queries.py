@@ -10911,6 +10911,55 @@ def a21(spark, sf_dir):
     )
 
 
+_G9_SQL = """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT doc_id % 97 AS c FROM {docs}
+    ),
+    edges AS (
+      SELECT c AS child, CAST(FLOOR((c - 1) / 3.0) AS BIGINT) AS parent
+      FROM nodes WHERE c > 0
+    ),
+    closure AS (
+      SELECT c AS anc, c AS des FROM nodes
+      UNION ALL
+      SELECT e.parent AS anc, cl.des AS des
+      FROM closure cl JOIN edges e ON e.child = cl.anc
+    ),
+    d AS (SELECT doc_id % 97 AS cat, n_chars FROM {docs})
+    SELECT cl.anc AS category,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM closure cl JOIN d ON d.cat = cl.des
+    GROUP BY cl.anc
+"""
+
+
+@register("g9_hierarchy_rollup", _G9_SQL.format(docs="documents"))
+def g9(spark, sf_dir):
+    """HIERARCHICAL subtree rollup via NATIVE recursive CTE (r10) —
+    Spark 4's WITH RECURSIVE run as the engine feature, the same SQL
+    text on both engines: a 3-ary category tree over the 97 doc-id
+    residues (child c → parent floor((c-1)/3)), the ancestor-descendant
+    CLOSURE built by the recursion, then doc counts and char sums
+    rolled up to EVERY ancestor — the org-chart/BOM/category-tree
+    aggregate warehouses run daily. This is the declarative
+    counterpart of the graph family's hand-rolled loops, and the
+    docstring is the decision record: native recursion fits MONOTONE,
+    hierarchy-shaped workloads (a tree's closure is one unique path
+    per node — linear rows, guaranteed termination at the root), while
+    UNION ALL recursion on a CYCLIC graph enumerates PATHS, not nodes
+    (exponential — g8's frontier loop with its anti-join dedup and
+    lineage cuts stays the scale path there, and k-core's CASCADES are
+    not expressible as monotone recursion at all, g7). Uncast
+    SUM(BIGINT) would be the t26 HUGEINT trap — cast in the final
+    projection. One scan for the node set, one for the fact; the
+    closure is O(nodes × depth) rows joined to the fact on the
+    category key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs.createOrReplaceTempView("g9_documents")
+    return spark.sql(_G9_SQL.format(docs="g9_documents"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -10969,6 +11018,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "w12_time_weighted_avg",
     "s18_schema_evolution",
     "a21_correlation_matrix",
+    "g9_hierarchy_rollup",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
