@@ -10960,6 +10960,73 @@ def g9(spark, sf_dir):
     return spark.sql(_G9_SQL.format(docs="g9_documents"))
 
 
+@register(
+    "t28_variant_ingest",
+    r"""
+    WITH lines AS (
+      SELECT doc_id,
+             to_json(struct_pack(
+               id := doc_id,
+               meta := struct_pack(lang := lang, source := source),
+               text := text,
+               tags := ['corpus', 'sf'])) AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(json_extract(line, '$.id') AS BIGINT) AS id,
+           json_extract_string(line, '$.meta.lang') AS lang,
+           json_extract_string(line, '$.tags[1]') AS tag2,
+           CAST(json_array_length(json_extract(line, '$.tags')) AS INT)
+             AS n_tags,
+           CAST(length(json_extract_string(line, '$.text')) AS BIGINT)
+             AS n_chars,
+           json_extract_string(line, '$.missing.key') AS absent
+    FROM lines
+    """,
+)
+def t28(spark, sf_dir):
+    """Schema-LESS JSON ingest via the VARIANT type (r10) — Spark 4's
+    semi-structured path and t18's modern twin: t18 declares a full
+    StructType up front (from_json — the right call when the corpus
+    schema is known and stable), t28 parses each line into a VARIANT
+    (parse_json: a binary-encoded document, no schema declared) and
+    extracts typed fields lazily with variant_get — the right call for
+    heterogeneous crawl metadata where fields come and go per source.
+    Exercised surface: nested-path extraction with type binding,
+    array indexing ($.tags[1]), array materialization
+    (variant_get → array<string> → size), and the missing-path probe
+    through try_variant_get (NULL, never an error). At 100 TB the
+    trade is storage/CPU shaped: VARIANT keeps the full document
+    navigable without a schema-evolution migration per new field
+    (s18's concern disappears for these columns), at the price of
+    per-query extraction work a declared column does once at write
+    time — ingest hot fields as real columns, keep the long tail as
+    VARIANT. Pure codegen, zero shuffle, same oracle family as t18."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.struct(F.col("lang"), F.col("source")).alias("meta"),
+            F.col("text").alias("text"),
+            F.array(F.lit("corpus"), F.lit("sf")).alias("tags"),
+        )
+    )
+    v = F.parse_json(line)
+    return docs.select(
+        "doc_id",
+        F.variant_get(v, "$.id", "bigint").alias("id"),
+        F.variant_get(v, "$.meta.lang", "string").alias("lang"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag2"),
+        F.size(F.variant_get(v, "$.tags", "array<string>"))
+        .cast("int")
+        .alias("n_tags"),
+        F.length(F.variant_get(v, "$.text", "string"))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.try_variant_get(v, "$.missing.key", "string").alias("absent"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11019,6 +11086,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "s18_schema_evolution",
     "a21_correlation_matrix",
     "g9_hierarchy_rollup",
+    "t28_variant_ingest",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
