@@ -611,3 +611,55 @@ def test_merge_keyed_rollup_equals_rescan(spark):
     # fold order cannot change the result
     rev = merge_keyed_rollup([rollup(s) for s in reversed(slices)], ["k"], merges)
     assert {tuple(r) for r in rev.collect()} == want
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """a21's decimal-exact co-moment Pearson must match numpy's
+    corrcoef on a hand-built frame (one strongly-correlated pair, one
+    anti-correlated, deterministic)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    # reuse the registered query body on a synthetic documents table:
+    # text drives the derived signals, so build texts with controlled
+    # token/period structure
+    rows = []
+    for i in range(40):
+        words = ["w"] * (i + 2)          # tokens grow with i
+        periods = "." * (40 - i)         # periods shrink with i
+        text = " ".join(words) + periods
+        rows.append((i, text, "en", "srcA", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    docs.createOrReplaceTempView("_a21_docs")
+    # recompute the three signals exactly as the query derives them
+    pdf = docs.select(
+        F.col("n_chars").cast("double").alias("x"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("double")
+        .alias("y"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."))))
+        .cast("double")
+        .alias("z"),
+    ).toPandas()
+    want = {
+        ("n_chars", "n_tokens"): np.corrcoef(pdf.x, pdf.y)[0, 1],
+        ("n_chars", "n_periods"): np.corrcoef(pdf.x, pdf.z)[0, 1],
+        ("n_tokens", "n_periods"): np.corrcoef(pdf.y, pdf.z)[0, 1],
+    }
+    # drive the registered query over a temp sf dir? simpler: call the
+    # internal pair math by running the query fn against a parquet dir
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="a21_fixture_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["a21_correlation_matrix"].fn(spark, d)
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    for k, v in want.items():
+        assert math.isclose(got[k], round(v, 6), abs_tol=2e-6), (k, got[k], v)

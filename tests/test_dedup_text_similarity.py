@@ -2520,3 +2520,22 @@ def test_ivf_recall_curve_monotone_in_probes(spark):
     assert all(0 <= x <= 1_000_000 for x in ppms)
     # hits never exceed the exact count
     assert all(h <= n for _, _, n, h in rows)
+
+
+def test_variant_extraction_missing_paths_and_types(spark):
+    """t28's VARIANT surface: typed extraction binds, missing paths
+    yield NULL (both try and plain forms), out-of-range array index
+    yields NULL."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"a": {"b": 7}, "t": ["p", "q"]}',)], "j string")
+    v = F.parse_json(F.col("j"))
+    r = df.select(
+        F.variant_get(v, "$.a.b", "bigint").alias("b"),
+        F.variant_get(v, "$.t[1]", "string").alias("t1"),
+        F.variant_get(v, "$.t[9]", "string").alias("t_oob"),
+        F.try_variant_get(v, "$.nope.deep", "string").alias("missing"),
+        F.variant_get(v, "$.nope.deep", "string").alias("missing_plain"),
+    ).collect()[0]
+    assert r["b"] == 7 and r["t1"] == "q"
+    assert r["t_oob"] is None and r["missing"] is None and r["missing_plain"] is None

@@ -295,3 +295,39 @@ def test_bfs_hops_fixture_and_python_oracle(spark):
             for r in bfs_hops(e2, sdf, max_hops=bound).collect()
         }
         assert got == want, f"max_hops={bound}"
+
+
+def test_hierarchy_rollup_closure_fixture(spark, tmp_path):
+    """g9's recursive closure on a hand-computed 13-node 3-ary tree
+    (ids 0..12, parent = floor((c-1)/3), one doc per category):
+    subtree counts 13 at the root, 4 at each internal node, 1 at the
+    leaves; char sums follow the same closure."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    rows = [(i, "x" * (10 * (i + 1))) for i in range(13)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").cast("bigint").alias("n_chars"),
+    )
+    d = str(tmp_path / "g9fix")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["category"]: (r["n_docs"], r["sum_chars"])
+           for r in REGISTRY["g9_hierarchy_rollup"].fn(spark, d).collect()}
+    chars = {i: 10 * (i + 1) for i in range(13)}
+    kids = {0: [1, 2, 3], 1: [4, 5, 6], 2: [7, 8, 9], 3: [10, 11, 12]}
+
+    def subtree(c):
+        out_ = {c}
+        for k in kids.get(c, []):
+            out_ |= subtree(k)
+        return out_
+
+    want = {
+        c: (len(subtree(c)), sum(chars[m] for m in subtree(c)))
+        for c in range(13)
+    }
+    assert out == want
