@@ -11027,6 +11027,100 @@ def t28(spark, sf_dir):
     )
 
 
+@register(
+    "o16_partition_merge",
+    """
+    WITH delta AS (
+      SELECT event_id, event_type, value + 1000.0 AS value
+      FROM events WHERE event_id % 17 = 3
+        AND event_type IN ('click', 'purchase')
+      UNION ALL
+      SELECT event_id + 1000000000 AS event_id, 'click' AS event_type,
+             1.5 AS value
+      FROM events WHERE event_id % 97 = 11
+    ),
+    merged AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE e.event_id NOT IN (SELECT event_id FROM delta)
+      UNION ALL
+      SELECT event_id, event_type, value FROM delta
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM merged GROUP BY event_type
+    """,
+)
+def o16(spark, sf_dir):
+    """Partition-scoped MERGE into a published parquet table (r10) —
+    the poor-man's Delta MERGE composed from proven parts, and the
+    table-maintenance completion after o14 (restatement) and o15
+    (compaction): a delta batch of corrections (value restated on a
+    key subset) plus inserts lands in a table partitioned by
+    event_type by (1) reading ONLY the affected partitions (static
+    partition pruning — the delta touches 'click'/'purchase' by
+    construction; a dynamic delta derives the list with one
+    O(#partitions) distinct), (2) latest-wins anti-join + union at
+    slice scale, (3) dynamic partition overwrite of just those
+    directories. The three untouched partitions are never read and
+    never rewritten — at 100 TB the merge costs O(affected slices +
+    delta), not O(table) (bytes-untouched pinned in
+    tests/test_scale.py). The merged frame is lineage-cut before the
+    overwrite: a dynamic overwrite whose job PLAN still reads the
+    target partitions is the self-overwrite hazard (read-path deleted
+    mid-job); at cluster scale stage to a temp dir instead of executor
+    memory, same fence. Constraint recorded: the merge key must not
+    move rows ACROSS partitions (partition keys are immutable under
+    partition-scoped merging — a moved row needs a delete-vector or
+    full-table pass). The oracle computes the merged state
+    relationally; the engine answers from the POST-MERGE table files,
+    so the hash proves the on-disk merge, not just the plan."""
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+        publish_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base_dir = _stage_dir("o16_merge") + "/table"
+    publish_partitioned(ev, base_dir, ["event_type"])
+
+    corrections = ev.filter(
+        (F.col("event_id") % 17 == 3)
+        & F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id", "event_type", (F.col("value") + 1000.0).alias("value")
+    )
+    inserts = ev.filter(F.col("event_id") % 97 == 11).select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.5).alias("value"),
+    )
+    delta = corrections.unionByName(inserts)
+
+    affected = ["click", "purchase"]
+    current = spark.read.parquet(base_dir).filter(
+        F.col("event_type").isin(affected)
+    )
+    merged = current.join(
+        F.broadcast(delta.select("event_id")), "event_id", "left_anti"
+    ).unionByName(delta.select("event_id", "event_type", "value"))
+    merged = cut_lineage(merged, eager=True, name="o16-merged")
+    overwrite_partitions_dynamic(merged, base_dir, ["event_type"])
+
+    return (
+        spark.read.parquet(base_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11087,6 +11181,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a21_correlation_matrix",
     "g9_hierarchy_rollup",
     "t28_variant_ingest",
+    "o16_partition_merge",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

@@ -589,3 +589,49 @@ def test_j15_not_in_uses_null_aware_hash_anti_join(spark):
     r = df.collect()[0]
     assert r["n_null_lhs"] > 0, "fixture must exercise the NULL path"
     assert r["n_not_exists"] == r["n_not_in"] + r["n_null_lhs"]
+
+
+def test_partition_merge_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    """o16's contract at the filesystem level: after the
+    partition-scoped merge, the partition directories the delta never
+    touched hold the exact same files (names + sizes + mtimes) —
+    proving the merge cost O(affected slices), not O(table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+        publish_partitioned,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "event_id bigint, part string, value double")
+    d = str(tmp_path / "merge_tbl")
+    publish_partitioned(df, d, ["part"])
+
+    def snapshot(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(os.path.join(d, "part=c"))
+
+    delta = df.filter((F.col("event_id") % 5 == 0) & (F.col("part") != "c")).select(
+        "event_id", "part", (F.col("value") + 100.0).alias("value")
+    )
+    current = spark.read.parquet(d).filter(F.col("part").isin(["a", "b"]))
+    merged = current.join(delta.select("event_id"), "event_id", "left_anti").unionByName(delta)
+    merged = cut_lineage(merged, eager=True, name="test-merge")
+    overwrite_partitions_dynamic(merged, d, ["part"])
+
+    assert snapshot(os.path.join(d, "part=c")) == before  # untouched bytes
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(d).collect()}
+    for i, p, v in rows:
+        want = v + 100.0 if (i % 5 == 0 and p != "c") else v
+        assert got[i] == want, i
