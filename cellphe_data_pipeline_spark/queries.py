@@ -11121,6 +11121,60 @@ def o16(spark, sf_dir):
     )
 
 
+_S19_LINES = [
+    "1,2.5,alpha",        # good
+    "2,not_a_number,beta",  # type failure in v
+    "3,4.5",              # missing column
+    "4,5.5,gamma,extra",  # extra column
+    "5,6.25,delta",       # good
+]
+
+
+@register(
+    "s19_malformed_ingest",
+    """
+    SELECT id, v, s, corrupt_raw FROM (VALUES
+      (1, 2.5, 'alpha', CAST(NULL AS VARCHAR)),
+      (2, CAST(NULL AS DOUBLE), 'beta', '2,not_a_number,beta'),
+      (3, 4.5, CAST(NULL AS VARCHAR), '3,4.5'),
+      (4, 5.5, 'gamma', '4,5.5,gamma,extra'),
+      (5, 6.25, 'delta', CAST(NULL AS VARCHAR))
+    ) AS t(id, v, s, corrupt_raw)
+    """,
+)
+def s19(spark, sf_dir):
+    """Malformed-record ingest discipline (r10) — what a 100 TB crawl
+    feed actually looks like: rows with type failures, missing fields,
+    extra fields. PERMISSIVE mode (the default, demonstrated
+    explicitly) parses what it can and captures the RAW LINE in the
+    corrupt-record column instead of killing the job or silently
+    dropping data — the quarantine-not-crash contract (p15's
+    expectations audit is the relational stage of the same pipeline;
+    s19 is the parse stage). Golden semantics pinned per failure
+    class: a type failure keeps the parseable fields and flags; a
+    missing trailing column is flagged but parsed fields survive; an
+    EXTRA column likewise flags while every declared field parses.
+    The corrupt column must be declared in the schema (string) and
+    costs nothing on clean rows. The alternatives are recorded:
+    DROPMALFORMED silently deletes (count the quarantine FIRST),
+    FAILFAST for ingest where any corruption means upstream breakage.
+    At scale the corrupt-flag filter splits the stream into the clean
+    branch and a raw-line quarantine for replay after a parser fix."""
+    import os
+
+    d = _stage_dir("s19_csv")
+    with open(os.path.join(d, "feed.csv"), "w") as f:
+        f.write("\n".join(_S19_LINES) + "\n")
+    schema = "id int, v double, s string, corrupt_raw string"
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .csv(d)
+        .select("id", "v", "s", "corrupt_raw")
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11182,6 +11236,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "g9_hierarchy_rollup",
     "t28_variant_ingest",
     "o16_partition_merge",
+    "s19_malformed_ingest",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone
