@@ -11175,6 +11175,110 @@ def s19(spark, sf_dir):
     )
 
 
+@register(
+    "s20_snapshot_time_travel",
+    """
+    WITH delta AS (
+      SELECT event_id, event_type, value + 1000.0 AS value
+      FROM events WHERE event_id % 17 = 3
+        AND event_type IN ('click', 'purchase')
+    ),
+    v2 AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE e.event_id NOT IN (SELECT event_id FROM delta)
+      UNION ALL
+      SELECT event_id, event_type, value FROM delta
+    )
+    SELECT 1 AS snapshot_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 2 AS snapshot_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM v2 GROUP BY event_type
+    """,
+)
+def s20(spark, sf_dir):
+    """SNAPSHOT time travel over plain parquet (r10; sources/io.py
+    snapshot_* helpers) — the table-format core in miniature and the
+    versioned complement of o16's in-place merge: data files are
+    IMMUTABLE, a snapshot is an explicit manifest (file list), and a
+    correction commits snapshot 2 by writing ONLY the affected
+    partitions' replacement files while REUSING every untouched
+    snapshot-1 file (copy-on-write at file granularity — reuse pinned
+    by test, as is snapshot 1's unchanged read-back AFTER the v2
+    commit). The query reads BOTH snapshots through their manifests
+    and rolls each up; the oracle computes both states relationally,
+    so the hash proves the time-travel reads end-to-end. What this
+    buys at 100 TB: reproducibility (a training run pins the exact
+    snapshot its corpus came from), rollback (re-read v1 forever),
+    and reader-writer isolation (a manifest read never races a
+    directory listing mid-write). What it honestly lacks vs
+    Iceberg/Delta: the atomic catalog swap — the manifest write is
+    the commit point, single-writer assumed (recorded at the
+    helpers)."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit,
+        snapshot_data_files,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("s20_tt")
+    types = ["click", "error", "purchase", "signup", "view"]
+    v1_files: list[str] = []
+    per_type_files: dict[str, list[str]] = {}
+    for t in types:
+        d = os.path.join(table, "data", "s1", f"type_{t}")
+        ev.filter(F.col("event_type") == t).write.mode("overwrite").parquet(d)
+        per_type_files[t] = snapshot_data_files(d)
+        v1_files += per_type_files[t]
+    snapshot_commit(table, 1, v1_files)
+
+    affected = ["click", "purchase"]
+    delta = ev.filter(
+        (F.col("event_id") % 17 == 3) & F.col("event_type").isin(affected)
+    ).select(
+        "event_id", "event_type", (F.col("value") + 1000.0).alias("value")
+    )
+    v2_files = [
+        f
+        for t in types
+        if t not in affected
+        for f in per_type_files[t]  # COW: untouched files REUSED
+    ]
+    for t in affected:
+        cur = spark.read.parquet(*per_type_files[t])
+        merged = cur.join(
+            F.broadcast(delta.select("event_id")), "event_id", "left_anti"
+        ).unionByName(delta.filter(F.col("event_type") == t))
+        d = os.path.join(table, "data", "s2", f"type_{t}")
+        merged.write.mode("overwrite").parquet(d)
+        v2_files += snapshot_data_files(d)
+    snapshot_commit(table, 2, v2_files)
+
+    def rollup(df, sid):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(
+            F.lit(sid).cast("int").alias("snapshot_id"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+
+    return rollup(snapshot_read(spark, table, 1), 1).unionByName(
+        rollup(snapshot_read(spark, table, 2), 2)
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11237,6 +11341,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t28_variant_ingest",
     "o16_partition_merge",
     "s19_malformed_ingest",
+    "s20_snapshot_time_travel",
     # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
     # normalization on rounded signed sums (advisor batch), e13/e14's
     # kernels gained the pd.isna null-key guard + e13 the key-monotone

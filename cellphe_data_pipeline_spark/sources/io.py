@@ -69,3 +69,54 @@ def publish(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# ---------------------------------------------------------------------
+# Snapshot manifests (r10, s20): the table-format core in miniature —
+# an immutable parquet-file pool plus per-snapshot manifests (explicit
+# file lists). A new snapshot REUSES every untouched data file
+# (copy-on-write at file granularity), readers resolve a manifest then
+# read exactly its files (never a directory listing race), old
+# snapshots stay readable forever (time travel / rollback = read an
+# older manifest). This is the Iceberg/Delta contract stripped to what
+# plain parquet + JSON can carry; it lacks their atomic catalog swap —
+# the manifest write is the commit point, single-writer assumed.
+# ---------------------------------------------------------------------
+
+
+def snapshot_data_files(path: str) -> list[str]:
+    """All parquet data files under a written slice dir, sorted."""
+    import os
+
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def snapshot_commit(table_dir: str, snapshot_id: int, files: list[str]) -> None:
+    """Commit a snapshot: write its explicit file list as
+    manifests/v{id}.json. The manifest IS the snapshot — data files
+    are immutable and shared across snapshots."""
+    import os
+
+    mdir = os.path.join(table_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"v{snapshot_id}.json"), "w") as f:
+        json.dump({"snapshot_id": snapshot_id, "files": sorted(files)}, f)
+
+
+def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
+    import os
+
+    with open(os.path.join(table_dir, "manifests", f"v{snapshot_id}.json")) as f:
+        return json.load(f)["files"]
+
+
+def snapshot_read(spark: SparkSession, table_dir: str, snapshot_id: int) -> DataFrame:
+    """Time-travel read: resolve the manifest, read exactly its files.
+    Partition values live IN the data (no path-derived columns), so a
+    manifest can mix files from any write batch."""
+    return spark.read.parquet(*snapshot_files(table_dir, snapshot_id))

@@ -106,3 +106,46 @@ def test_schema_evolution_explicit_schema_equals_merged_read(spark, tmp_path):
     got_m = {tuple(r) for r in merged.collect()}
     got_p = {tuple(r) for r in pinned.select("id", "v", "prio").collect()}
     assert got_m == got_p == {(1, 10.0, None), (2, 20.0, None), (3, 30.0, "HIGH")}
+
+
+def test_snapshot_manifests_cow_reuse_and_immutability(spark, tmp_path):
+    """s20's table-format contract at the file level: snapshot 2's
+    manifest REUSES snapshot 1's untouched data files (copy-on-write),
+    and snapshot 1 reads back unchanged AFTER the v2 commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(20)],
+        "id bigint, part string, v double",
+    )
+    per = {}
+    v1 = []
+    for p in ("a", "b"):
+        d = os.path.join(table, "data", "s1", p)
+        df.filter(F.col("part") == p).write.parquet(d)
+        per[p] = snapshot_data_files(d)
+        v1 += per[p]
+    snapshot_commit(table, 1, v1)
+    v1_state = {r["id"]: r["v"] for r in snapshot_read(spark, table, 1).collect()}
+
+    # v2: restate part 'a' only; part 'b' files reused verbatim
+    d2 = os.path.join(table, "data", "s2", "a")
+    fixed = df.filter(F.col("part") == "a").withColumn("v", F.col("v") + 100.0)
+    fixed.write.parquet(d2)
+    snapshot_commit(table, 2, per["b"] + snapshot_data_files(d2))
+
+    assert set(per["b"]) <= set(snapshot_files(table, 2))  # COW reuse
+    got1 = {r["id"]: r["v"] for r in snapshot_read(spark, table, 1).collect()}
+    assert got1 == v1_state  # time travel: v1 unchanged after v2 commit
+    got2 = {r["id"]: r["v"] for r in snapshot_read(spark, table, 2).collect()}
+    assert got2 == {i: v + 100.0 if i % 2 == 0 else v for i, v in v1_state.items()}
