@@ -11354,10 +11354,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "e6_streaming_upsert_state",
     # the r5 cohort — every query whose last external proof is
     # CORRECTNESS_r05 (the r9 verdict's item-3 list, oldest-first
-    # rotation discipline). NOTE: the 14 session-2 additions push the
-    # final seven of these (t7, t8, t10, u6, v5, v6, v10) past slot
-    # 50 — all seven are r5-proven (displaced-means-proven holds) and
-    # go FIRST in r11's window, ahead of the r6 cohort.
+    # rotation discipline). NOTE: the 17 session-2 additions push the
+    # final ten of these (s13, s14, s15, t7, t8, t10, u6, v5, v6, v10)
+    # past slot 50 — all ten are r5-proven (displaced-means-proven
+    # holds) and go FIRST in r11's window, ahead of the r6 cohort.
     "c4_hash_stratified_sample",
     "c8_mixture_rebalance",
     "c9_split_manifest",
