@@ -420,6 +420,20 @@ def merge_keyed_rollup(
     idiom): fold order cannot change the result, so slices can merge
     in any order or in parallel trees.
     """
+    if not partials:
+        raise ValueError("merge_keyed_rollup: empty partials list")
+    # Fail LOUDLY on a non-algebraic fold (r11 advisor): getattr(F, how)
+    # would happily build 'avg'/'first'/... which silently breaks the
+    # documented merge==rescan contract (avg of averages is not the
+    # average; first is order-dependent). Only monoid folds are legal.
+    _MONOID_FOLDS = {"sum", "min", "max"}
+    bad = {c: h for c, h in merges.items() if h not in _MONOID_FOLDS}
+    if bad:
+        raise ValueError(
+            f"merge_keyed_rollup: non-algebraic folds {bad}; "
+            f"allowed: {sorted(_MONOID_FOLDS)} (avg -> merge sum+count "
+            "and divide at read; distinct -> HLL sketches, see a20)"
+        )
     u = partials[0]
     for p in partials[1:]:
         u = u.unionByName(p)

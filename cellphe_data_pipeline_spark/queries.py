@@ -10127,7 +10127,7 @@ def w11(spark, sf_dir):
            COUNT(DISTINCT event_id) AS n_exact,
            TRUE AS ok_single_bound,
            TRUE AS ok_union_bound
-    FROM events GROUP BY event_type
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
     """,
 )
 def a20(spark, sf_dir):
@@ -10148,8 +10148,15 @@ def a20(spark, sf_dir):
     value-matched. At 100 TB this is the distinct-count path: stored
     per-slice sketches make the corpus-wide distinct an O(slices ×
     groups × 2^lgK) fold instead of a global exact-distinct shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "user_id"
+    # NULL-key discipline (r11 advisor): the estimate/exact stitch below
+    # is an INNER equi-join on event_type, which drops a NULL group the
+    # oracle's GROUP BY would keep — filter NULL keys symmetrically on
+    # both engines (the e21/e22 idiom) rather than relying on the
+    # current generation's event_type being non-null.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", "event_id", "user_id")
     )
     slice_preds = [
         (F.col("user_id") % 3 == 0) | F.col("user_id").isNull(),
@@ -11035,8 +11042,8 @@ def t28(spark, sf_dir):
       FROM events WHERE event_id % 17 = 3
         AND event_type IN ('click', 'purchase')
       UNION ALL
-      SELECT event_id + 1000000000 AS event_id, 'click' AS event_type,
-             1.5 AS value
+      SELECT event_id + (SELECT 1 + MAX(event_id) FROM events) AS event_id,
+             'click' AS event_type, 1.5 AS value
       FROM events WHERE event_id % 97 = 11
     ),
     merged AS (
@@ -11092,10 +11099,20 @@ def o16(spark, sf_dir):
     ).select(
         "event_id", "event_type", (F.col("value") + 1000.0).alias("value")
     )
-    inserts = ev.filter(F.col("event_id") % 97 == 11).select(
-        (F.col("event_id") + 1000000000).alias("event_id"),
-        F.lit("click").alias("event_type"),
-        F.lit(1.5).alias("value"),
+    # Insert ids are derived ABOVE max(event_id) (r11 advisor): a fixed
+    # +1e9 offset collides with a generation whose ids reach 1e9 — a
+    # colliding base row in an UNAFFECTED partition would be kept by
+    # the partition-scoped anti-join but removed by the oracle's
+    # table-wide NOT IN. One O(1)-row agg broadcast fixes the class.
+    id_offset = ev.agg((F.lit(1) + F.max("event_id")).alias("_off"))
+    inserts = (
+        ev.filter(F.col("event_id") % 97 == 11)
+        .crossJoin(F.broadcast(id_offset))
+        .select(
+            (F.col("event_id") + F.col("_off")).alias("event_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.5).alias("value"),
+        )
     )
     delta = corrections.unionByName(inserts)
 

@@ -613,6 +613,30 @@ def test_merge_keyed_rollup_equals_rescan(spark):
     assert {tuple(r) for r in rev.collect()} == want
 
 
+def test_merge_keyed_rollup_rejects_bad_inputs(spark):
+    """r11 advisor: an empty partials list and a non-monoid fold must
+    fail LOUDLY — getattr(F, 'avg') would silently build a fold that
+    breaks the merge==rescan contract (avg of averages != average)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        merge_keyed_rollup,
+    )
+
+    with pytest.raises(ValueError, match="empty partials"):
+        merge_keyed_rollup([], ["k"], {"n": "sum"})
+
+    part = (
+        spark.createDataFrame([("a", 1.0)], "k string, v double")
+        .groupBy("k")
+        .agg(F.avg("v").alias("av"))
+    )
+    for how in ("avg", "first", "count"):
+        with pytest.raises(ValueError, match="non-algebraic"):
+            merge_keyed_rollup([part], ["k"], {"av": how})
+
+
 def test_correlation_matrix_matches_numpy(spark):
     """a21's decimal-exact co-moment Pearson must match numpy's
     corrcoef on a hand-built frame (one strongly-correlated pair, one
