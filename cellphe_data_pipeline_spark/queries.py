@@ -11296,6 +11296,121 @@ def s20(spark, sf_dir):
     )
 
 
+@register(
+    "s21_atomic_commit",
+    """
+    WITH da AS (
+      SELECT event_type, value + 500.0 AS value
+      FROM events WHERE event_id % 19 = 7
+    ),
+    db AS (
+      SELECT event_type, value + 900.0 AS value
+      FROM events WHERE event_id % 23 = 5
+    ),
+    snap AS (
+      SELECT 1 AS snapshot_id, event_type, value FROM events
+      UNION ALL
+      SELECT 2, event_type, value FROM events
+      UNION ALL SELECT 2, event_type, value FROM da
+      UNION ALL
+      SELECT 3, event_type, value FROM events
+      UNION ALL SELECT 3, event_type, value FROM da
+      UNION ALL SELECT 3, event_type, value FROM db
+    )
+    SELECT snapshot_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(1 AS INT) AS conflicts
+    FROM snap GROUP BY snapshot_id, event_type
+    """,
+)
+def s21(spark, sf_dir):
+    """Atomic commit + optimistic concurrency over the snapshot table
+    (r11) — closing the gap s20's docstring records (manifest write was
+    the commit point, single-writer assumed). Two writers race from the
+    same parent snapshot: writer A appends delta_A; writer B reads
+    parent 1, but A commits v2 BEFORE B's CAS lands — B's
+    create-if-absent of manifests/v2.json fails atomically
+    (SnapshotConflict), and the production retry loop
+    (io.snapshot_commit_with_retry) REBASES: re-reads current (now 2),
+    rebuilds its file list against v2's manifest, commits v3. The
+    interleaving is replayed inside the query (A's commit fires inside
+    B's first build callback — the exact lost-race window), so the
+    conflict path is exercised by the driver gate itself, not only by
+    test; `conflicts` carries the operational fact into the hash
+    (oracle emits literal 1 — the a16/a20 theorem-column idiom). The
+    final state is ORDER-INDEPENDENT because appends commute; the
+    oracle replays base → base+A → base+A+B relationally. At 100 TB
+    this is the two-racing-backfills day: the loser re-lists one
+    manifest and re-links one file — O(metadata), zero data rewrite
+    (delta files are REUSED verbatim across the rebase). Commit point =
+    POSIX link(2) EEXIST; `current` pointer is a repairable cache, not
+    the CAS — see sources/io.py's protocol note for the object-store
+    (conditional PUT) mapping."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_commit_with_retry,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("s21_commit")
+
+    def write_slice(df, name):
+        d = os.path.join(table, "data", name)
+        df.write.mode("overwrite").parquet(d)
+        return snapshot_data_files(d)
+
+    base_files = write_slice(ev, "base")
+    snapshot_commit_atomic(table, 0, base_files)  # v1
+
+    delta_a = ev.filter(F.col("event_id") % 19 == 7).select(
+        "event_id", "event_type", (F.col("value") + 500.0).alias("value")
+    )
+    delta_b = ev.filter(F.col("event_id") % 23 == 5).select(
+        "event_id", "event_type", (F.col("value") + 900.0).alias("value")
+    )
+    files_a = write_slice(delta_a, "wA")
+    files_b = write_slice(delta_b, "wB")
+
+    # Writer B's commit attempt, with writer A landing inside B's
+    # read-parent -> build -> CAS window (the lost-race interleaving).
+    a_done = {"v": False}
+
+    def b_build(parent: int) -> list[str]:
+        if not a_done["v"]:
+            snapshot_commit_atomic(table, 1, base_files + files_a)  # v2
+            a_done["v"] = True
+        return snapshot_files(table, parent) + files_b
+
+    final_id, conflicts = snapshot_commit_with_retry(table, b_build)
+    assert final_id == 3 and conflicts == 1, (final_id, conflicts)
+
+    def rollup(df, sid):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(
+            F.lit(sid).cast("int").alias("snapshot_id"),
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(conflicts).cast("int").alias("conflicts"),
+        )
+
+    out = rollup(snapshot_read(spark, table, 1), 1)
+    for sid in (2, 3):
+        out = out.unionByName(rollup(snapshot_read(spark, table, sid), sid))
+    return out
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11313,6 +11428,8 @@ def s20(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
+    # --- round-11: new queries (never driver-proven) first ---
+    "s21_atomic_commit",
     # --- round-10 window ---
     # the two r9 reds first (the only registry queries the driver has
     # NEVER proven): p15's array column serialized to a string at the

@@ -120,3 +120,139 @@ def snapshot_read(spark: SparkSession, table_dir: str, snapshot_id: int) -> Data
     Partition values live IN the data (no path-derived columns), so a
     manifest can mix files from any write batch."""
     return spark.read.parquet(*snapshot_files(table_dir, snapshot_id))
+
+
+# ---------------------------------------------------------------------
+# Atomic commit + optimistic concurrency (r11, s21) — closing the gap
+# s20's docstring records ("it lacks their atomic catalog swap — the
+# manifest write is the commit point, single-writer assumed"). This is
+# Iceberg's commit protocol in miniature:
+#   - snapshot ids are SEQUENTIAL; committing snapshot N+1 is a
+#     compare-and-swap on "the table is at N": the commit point is an
+#     atomic create-if-absent (os.link onto manifests/v{N+1}.json —
+#     link(2) fails with EEXIST if the target exists, atomically, on
+#     every POSIX filesystem). Two writers racing from parent N both
+#     try to create v{N+1}; exactly one wins, the loser gets
+#     SnapshotConflict and must REBASE: re-read the current snapshot,
+#     rebuild its file list against it, retry at N+2.
+#   - the `current` pointer file is a derived convenience cache
+#     advanced AFTER the commit by atomic rename (write-temp +
+#     os.rename replace). It is NOT the commit point: a conditional
+#     swap cannot be built from unconditional rename (two renames both
+#     "succeed" — the lost-update race), so truth is the manifest
+#     pool; snapshot_current() reconciles the pointer against
+#     max(manifest id) and repairs a pointer left stale by a crash
+#     between link and rename (the commit was durable; the cache just
+#     lags — exactly Iceberg's catalog-vs-metadata split).
+# At cluster scale the same protocol runs against an object store's
+# conditional PUT (S3 If-None-Match) or a catalog row CAS; the
+# filesystem miniature keeps every semantic the tests can exercise.
+# Reference analogue: the resume-safe publishDir contract
+# (main.nf:26,378) — a stage's outputs become visible all-or-nothing.
+# ---------------------------------------------------------------------
+
+
+class SnapshotConflict(Exception):
+    """Another writer committed first; re-read current and rebase."""
+
+
+def snapshot_current(table_dir: str) -> int:
+    """Current snapshot id: the pointer cache, repaired against the
+    manifest pool (the true commit record). Returns 0 for an empty
+    table (no commits yet)."""
+    import os
+    import re
+
+    mdir = os.path.join(table_dir, "manifests")
+    ids = [0]
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if m:
+                ids.append(int(m.group(1)))
+    truth = max(ids)
+    ptr = os.path.join(table_dir, "current")
+    cached = -1
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cached = json.load(f)["snapshot_id"]
+    if cached != truth:  # crash between link and rename: repair the cache
+        _advance_pointer(table_dir, truth)
+    return truth
+
+
+def _advance_pointer(table_dir: str, snapshot_id: int) -> None:
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = os.path.join(table_dir, f".current.tmp.{os.getpid()}.{snapshot_id}")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": snapshot_id}, f)
+    os.rename(tmp, os.path.join(table_dir, "current"))  # atomic replace
+
+
+def snapshot_commit_atomic(
+    table_dir: str, expected_parent: int, files: list[str]
+) -> int:
+    """CAS commit: publish `files` as snapshot expected_parent+1 iff
+    the table is still at expected_parent. Raises SnapshotConflict on
+    a lost race (manifest for the target id already exists — some
+    other writer advanced the table first)."""
+    import os
+
+    if snapshot_current(table_dir) != expected_parent:
+        raise SnapshotConflict(
+            f"table at {snapshot_current(table_dir)}, "
+            f"expected {expected_parent}"
+        )
+    new_id = expected_parent + 1
+    mdir = os.path.join(table_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{new_id}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "snapshot_id": new_id,
+                "parent_id": expected_parent,
+                "files": sorted(files),
+            },
+            f,
+        )
+    try:
+        os.link(tmp, os.path.join(mdir, f"v{new_id}.json"))  # the CAS
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"lost the race for snapshot {new_id}: another writer "
+            f"committed from parent {expected_parent} first"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    _advance_pointer(table_dir, new_id)
+    return new_id
+
+
+def snapshot_commit_with_retry(
+    table_dir: str,
+    build_files,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Optimistic-concurrency commit loop: ``build_files(parent_id)``
+    rebuilds the new snapshot's file list AGAINST the given parent
+    (append → parent files + new files; the rebase step), then the CAS
+    commit is attempted; on SnapshotConflict the current snapshot is
+    re-read and the build re-runs against it. Returns
+    (committed_snapshot_id, conflicts_hit). Appends always converge;
+    overlapping row-level updates are the caller's rebase problem —
+    exactly Iceberg's serializable-vs-snapshot-isolation validation
+    split."""
+    conflicts = 0
+    while True:
+        parent = snapshot_current(table_dir)
+        try:
+            return snapshot_commit_atomic(
+                table_dir, parent, build_files(parent)
+            ), conflicts
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > max_retries:
+                raise

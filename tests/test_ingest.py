@@ -149,3 +149,59 @@ def test_snapshot_manifests_cow_reuse_and_immutability(spark, tmp_path):
     assert got1 == v1_state  # time travel: v1 unchanged after v2 commit
     got2 = {r["id"]: r["v"] for r in snapshot_read(spark, table, 2).collect()}
     assert got2 == {i: v + 100.0 if i % 2 == 0 else v for i, v in v1_state.items()}
+
+
+def test_snapshot_atomic_commit_conflict_and_retry(tmp_path):
+    """s21's commit protocol at the primitive level: the CAS commit
+    rejects a stale parent AND a lost link race; the retry loop rebases
+    and converges; retry exhaustion surfaces instead of spinning."""
+    import json
+    import os
+
+    import pytest
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        SnapshotConflict,
+        snapshot_commit_atomic,
+        snapshot_commit_with_retry,
+        snapshot_current,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "tt")
+    assert snapshot_current(table) == 0  # empty table
+    assert snapshot_commit_atomic(table, 0, ["f1"]) == 1
+
+    # stale parent detected before any write
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit_atomic(table, 0, ["f2"])
+
+    # two writers from parent 1: A wins, B must conflict at the link
+    snapshot_commit_atomic(table, 1, ["f1", "fA"])  # v2
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit_atomic(table, 1, ["f1", "fB"])
+
+    # retry loop: rebase against whatever parent it sees, converge
+    sid, conflicts = snapshot_commit_with_retry(
+        table, lambda parent: snapshot_files(table, parent) + ["fB"]
+    )
+    assert sid == 3 and conflicts == 0
+    assert set(snapshot_files(table, 3)) == {"f1", "fA", "fB"}
+
+    # retry exhaustion: a builder that always recommits ahead of us
+    def hostile(parent):
+        snapshot_commit_atomic(table, parent, snapshot_files(table, parent))
+        return ["never"]
+
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit_with_retry(table, hostile, max_retries=2)
+
+    # pointer repair: a crash between link and rename leaves the cache
+    # stale; snapshot_current reconciles against the manifest pool
+    cur = snapshot_current(table)
+    ptr = os.path.join(table, "current")
+    with open(ptr, "w") as f:
+        json.dump({"snapshot_id": 1}, f)  # stale cache
+    assert snapshot_current(table) == cur  # repaired from manifests
+    with open(ptr) as f:
+        assert json.load(f)["snapshot_id"] == cur
