@@ -142,6 +142,107 @@ def compact_files(
     w.parquet(out_path)
 
 
+def merge_rows_cow(
+    spark: SparkSession,
+    table_dir: str,
+    delta: DataFrame,
+    key_col: str = "event_id",
+    out_slice: str = "merge",
+) -> tuple[int, dict]:
+    """Row-level MERGE (upsert) via file-level copy-on-write over the
+    snapshot layer (r11, o17) — the Delta/Iceberg MERGE core, and the
+    closure of o16's recorded constraint ("partition keys are immutable
+    under partition-scoped merging — a moved row needs a delete-vector
+    or full-table pass"): because a snapshot manifest is an explicit
+    file list with partition VALUES living in the data, a row whose
+    partition attribute changes is just an updated row in a rewritten
+    file — no directory move exists to go wrong.
+
+    Protocol, per the lakehouse playbook:
+      1. PRUNE: per-file [min,max] stats on the merge key, joined
+         (files LEFT SEMI range-join broadcast delta keys) to find
+         candidate files — a superset of true hits, exactly what
+         footer/manifest stats give. Here the stats are recomputed with
+         one key-column scan over ``_metadata.file_path``; at cluster
+         scale they are written INTO the manifest at commit time so
+         pruning is a metadata-only operation (recorded trade).
+      2. REWRITE only candidate files: survivors = candidates
+         anti-join delta keys (latest-wins), plus ALL delta rows
+         (updates, partition-moving updates, and inserts uniformly —
+         a key absent from the base is an insert by construction).
+      3. COMMIT a new snapshot whose file list is (old - candidates) +
+         rewritten, via the s21 CAS — untouched files are REUSED
+         verbatim (same paths, zero bytes moved), old snapshots stay
+         readable (time travel over the merge boundary).
+
+    Cost at 100 TB: O(candidate files + delta), not O(table); with a
+    key-clustered layout (compact_files / z-order) candidates ≈ true
+    hits. Returns (new_snapshot_id, info) where info carries the
+    kept/hit/new file lists so callers and tests can pin the pruning
+    actually pruned. Delta keys are broadcast for the prune and the
+    anti-join — right-sized for correction batches; a delta too big to
+    broadcast should stage to a dir and shuffle-join (same plan shape,
+    recorded alternative)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+    )
+
+    parent = snapshot_current(table_dir)
+    base_files = snapshot_files(table_dir, parent)
+
+    keys = delta.select(F.col(key_col).alias("_k")).distinct()
+    stats = (
+        spark.read.parquet(*base_files)
+        .groupBy(F.col("_metadata.file_path").alias("_f"))
+        .agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    )
+    candidates = stats.join(
+        F.broadcast(keys),
+        (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        "left_semi",
+    )
+    # bounded collect: one row per CANDIDATE FILE (a file list, the
+    # same metadata a table format holds on the driver during commit)
+    hit_files = sorted(
+        urlparse(r["_f"]).path for r in candidates.select("_f").collect()
+    )
+    hit_set = set(hit_files)
+    kept_files = [f for f in base_files if f not in hit_set]
+
+    cols = delta.columns
+    rewritten = (
+        (
+            spark.read.parquet(*hit_files).select(*cols)
+            if hit_files
+            else spark.createDataFrame([], delta.schema)
+        )
+        .join(F.broadcast(keys), F.col(key_col) == F.col("_k"), "left_anti")
+        .unionByName(delta)
+    )
+    out_dir = os.path.join(
+        table_dir, "data", f"s{parent + 1}_{out_slice}"
+    )
+    rewritten.write.mode("overwrite").parquet(out_dir)
+    new_files = snapshot_data_files(out_dir)
+
+    new_id = snapshot_commit_atomic(
+        table_dir, parent, kept_files + new_files
+    )
+    return new_id, {
+        "kept_files": kept_files,
+        "hit_files": hit_files,
+        "new_files": new_files,
+    }
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -11411,6 +11411,136 @@ def s21(spark, sf_dir):
     return out
 
 
+@register(
+    "o17_row_level_merge",
+    """
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    upd AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN 'relabeled'
+                  ELSE event_type END AS event_type,
+             value + 250.0 AS value
+      FROM events WHERE event_id * 10 < (SELECT m FROM mx)
+    ),
+    ins AS (
+      SELECT event_id + 1 + (SELECT m FROM mx) AS event_id,
+             'relabeled' AS event_type, 3.25 AS value
+      FROM events WHERE event_id % 101 = 7
+    ),
+    delta AS (
+      SELECT * FROM upd UNION ALL SELECT * FROM ins
+    ),
+    merged AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE e.event_id NOT IN (SELECT event_id FROM delta)
+      UNION ALL
+      SELECT event_id, event_type, value FROM delta
+    )
+    SELECT 1 AS snapshot_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM merged GROUP BY event_type
+    """,
+)
+def o17(spark, sf_dir):
+    """Row-level MERGE across partitions via file-level copy-on-write
+    (r11; operators/scale.merge_rows_cow) — closing o16's recorded
+    constraint ("partition keys are immutable under partition-scoped
+    merging"). The delta holds all three MERGE row classes at once:
+    plain value restatements, PARTITION-MOVING updates (event_type →
+    'relabeled' — the rows o16 could not take), and inserts keyed above
+    max(event_id). The base table is committed as fifteen range-
+    clustered files (five types × three event_id ranges) under the s21
+    snapshot layer; the merge then (1) prunes candidate files by
+    per-file [min,max] key stats against the broadcast delta keys —
+    the update band is the lowest id decile, so only the low-range
+    file per type is a candidate and the other ten files are never
+    read — (2) rewrites only candidates with a latest-wins anti-join +
+    union, and (3) CAS-commits a snapshot that REUSES every untouched
+    file verbatim. The oracle computes the merged state relationally;
+    the engine answers BOTH snapshots from manifests, so the hash
+    proves the on-disk merge AND that time travel across the merge
+    boundary still reads the pre-merge state. At 100 TB the cost is
+    O(candidate files + delta); with manifest-held stats the prune is
+    metadata-only (the recorded trade in merge_rows_cow's docstring)."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("o17_merge")
+    types = ["click", "error", "purchase", "signup", "view"]
+    v1_files: list[str] = []
+    for t in types:
+        d = os.path.join(table, "data", "s1", f"type_{t}")
+        (
+            ev.filter(F.col("event_type") == t)
+            .repartitionByRange(3, "event_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        v1_files += snapshot_data_files(d)
+    snapshot_commit_atomic(table, 0, v1_files)
+
+    mx = ev.agg(F.max("event_id").alias("_m"))
+    upd = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("event_id") * 10 < F.col("_m"))
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 2 == 0, "relabeled")
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            (F.col("value") + 250.0).alias("value"),
+        )
+    )
+    ins = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("event_id") % 101 == 7)
+        .select(
+            (F.col("event_id") + 1 + F.col("_m")).alias("event_id"),
+            F.lit("relabeled").alias("event_type"),
+            F.lit(3.25).alias("value"),
+        )
+    )
+    new_id, info = merge_rows_cow(
+        spark, table, upd.unionByName(ins), key_col="event_id"
+    )
+    # operational facts asserted in-query: the commit advanced, the
+    # prune left untouched files REUSED (not rewritten), and candidates
+    # were a strict subset of the table
+    assert new_id == 2, new_id
+    assert info["kept_files"] and set(info["kept_files"]) <= set(v1_files)
+    assert len(info["hit_files"]) < len(v1_files), info["hit_files"]
+
+    def rollup(df, sid):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(
+            F.lit(sid).cast("int").alias("snapshot_id"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+
+    return rollup(snapshot_read(spark, table, 1), 1).unionByName(
+        rollup(snapshot_read(spark, table, 2), 2)
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11430,6 +11560,7 @@ def s21(spark, sf_dir):
 _DRIVER_WINDOW_PRIORITY = [
     # --- round-11: new queries (never driver-proven) first ---
     "s21_atomic_commit",
+    "o17_row_level_merge",
     # --- round-10 window ---
     # the two r9 reds first (the only registry queries the driver has
     # NEVER proven): p15's array column serialized to a string at the

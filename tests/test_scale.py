@@ -635,3 +635,81 @@ def test_partition_merge_leaves_untouched_partitions_byte_identical(spark, tmp_p
     for i, p, v in rows:
         want = v + 100.0 if (i % 5 == 0 and p != "c") else v
         assert got[i] == want, i
+
+
+def test_merge_rows_cow_prunes_reuses_and_moves_rows(spark, tmp_path):
+    """o17's contract at the file level: the COW merge (1) prunes —
+    files whose [min,max] key range excludes every delta key are never
+    rewritten and appear VERBATIM (same path, size, mtime) in the new
+    manifest; (2) moves rows across partition values (the case o16
+    recorded as impossible under directory-scoped merging); (3) leaves
+    the old snapshot readable unchanged (time travel over the merge)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "cow")
+    rows = [(i, ["a", "b"][i % 2], float(i)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, part string, value double"
+    )
+    v1 = []
+    for p in ("a", "b"):
+        d = os.path.join(table, "data", "s1", p)
+        (
+            df.filter(F.col("part") == p)
+            .repartitionByRange(3, "event_id")
+            .write.parquet(d)
+        )
+        v1 += snapshot_data_files(d)
+    snapshot_commit_atomic(table, 0, v1)
+    v1_state = {
+        r["event_id"]: (r["part"], r["value"])
+        for r in snapshot_read(spark, table, 1).collect()
+    }
+
+    # delta: low-id band only (prunable), one row MOVES part a -> z,
+    # one insert above max
+    delta = spark.createDataFrame(
+        [(2, "z", 1000.0), (3, "b", 2000.0), (999, "z", 3000.0)],
+        "event_id bigint, part string, value double",
+    )
+    stat = {f: os.stat(f) for f in v1}
+    new_id, info = merge_rows_cow(spark, table, delta, key_col="event_id")
+    assert new_id == 2
+
+    # pruning: only the low-range file per part is a candidate
+    assert len(info["hit_files"]) == 2, info["hit_files"]
+    assert len(info["kept_files"]) == 4
+    # verbatim reuse: kept files are the SAME files, untouched bytes
+    for f in info["kept_files"]:
+        st = os.stat(f)
+        assert (st.st_size, st.st_mtime_ns) == (
+            stat[f].st_size,
+            stat[f].st_mtime_ns,
+        ), f
+    assert set(info["kept_files"]) < set(snapshot_files(table, 2))
+
+    got = {
+        r["event_id"]: (r["part"], r["value"])
+        for r in snapshot_read(spark, table, 2).collect()
+    }
+    want = dict(v1_state)
+    want[2] = ("z", 1000.0)   # moved across partition values
+    want[3] = ("b", 2000.0)
+    want[999] = ("z", 3000.0)  # insert
+    assert got == want
+    # time travel: the pre-merge snapshot is unchanged
+    got1 = {
+        r["event_id"]: (r["part"], r["value"])
+        for r in snapshot_read(spark, table, 1).collect()
+    }
+    assert got1 == v1_state
