@@ -86,3 +86,34 @@ def expectations_audit(
     )
     out = df.withColumn("failed_rules", failed)
     return out.withColumn("passed", F.size("failed_rules") == 0)
+
+
+def observe_stats(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
+    """In-flight pipeline observability (r11, p16) — p15's expectations
+    audit moved INTO the job: ``df.observe`` attaches named aggregate
+    metrics to a point in the plan, computed as an accumulator
+    side-channel WHILE the enclosing action runs — row counts, null
+    rates, domain violations arrive with the job's own result, not
+    from a second pass (at 100 TB nobody re-scans the input to learn
+    the output was wrong). Returns ``(observed_df, observation)``;
+    read ``observation.get`` AFTER an action has run over the
+    returned frame.
+
+    Mechanics and limits, recorded:
+      - metrics must be aggregate expressions with NO distinct and no
+        result-dependent short-circuits (Spark enforces this at
+        analysis time) — they fold map-side like any partial agg, so
+        the side-channel costs no extra shuffle and no second scan;
+      - the metric point OBSERVES the rows flowing through that exact
+        plan node: place it on the source to audit ingest, after a
+        filter to audit the surviving branch;
+      - values surface through the JVM QueryExecutionListener /
+        observedMetrics machinery — ``Observation`` is PySpark's
+        blessed wrapper over that listener (streaming surfaces the
+        same node per micro-batch via ``progress.observedMetrics``);
+      - AQE re-planning preserves observe nodes (the collected metrics
+        survive runtime plan rewrites — pinned by test)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

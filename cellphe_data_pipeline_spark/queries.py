@@ -4155,6 +4155,101 @@ def p15(spark, sf_dir):
     )
 
 
+@register(
+    "p16_observe_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_qty,
+           CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+             AS disc_violations,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           CAST(COUNT(*) - SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+             AS BIGINT) AS clean_rows_written,
+           TRUE AS ok_rescan
+    FROM lineitem
+    """,
+)
+def p16(spark, sf_dir):
+    """In-flight pipeline observability (r11; qc_filters.observe_stats)
+    — the r10 verdict's ask #4, and p15's audit moved INTO the job:
+    ``df.observe`` metrics (row count, null count, domain violations,
+    min/max) ride the SAME action that does the pipeline's real work
+    (writing the clean branch to the published stage), so the QC facts
+    arrive with the job instead of from a second scan. The engine
+    result is built FROM the observed metrics — the driver hash against
+    the oracle's relational aggregates proves the side-channel equals
+    a rescan; ``clean_rows_written`` additionally ties a SECOND observe
+    point (after the violation filter, counted during the write) to
+    the relational complement, pinning per-plan-node placement; and
+    ``ok_rescan`` re-checks observed == in-engine relational recompute
+    so the query self-audits even outside the driver. AQE is ON in
+    this session — the metrics survive runtime re-planning (also
+    pinned by tests/test_qc.py). At 100 TB this is how a pipeline
+    self-monitors: no second pass, no sampling, exact counts per run,
+    with ``Observation`` wrapping the JVM QueryExecutionListener."""
+    from cellphe_data_pipeline_spark.operators.qc_filters import observe_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    observed, obs = observe_stats(
+        li,
+        "p16_ingest",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_qty": F.sum(F.col("l_quantity").isNull().cast("bigint")),
+            "disc_violations": F.sum(
+                (F.col("l_discount") > 0.08).cast("bigint")
+            ),
+            "min_qty": F.min("l_quantity"),
+            "max_qty": F.max("l_quantity"),
+        },
+    )
+    clean, clean_obs = observe_stats(
+        observed.filter(F.col("l_discount") <= 0.08),
+        "p16_clean",
+        {"clean_rows_written": F.count(F.lit(1))},
+    )
+    # the job's real action: publish the clean branch; both observe
+    # points populate as side-channels of this single write
+    clean.write.mode("overwrite").parquet(_stage_dir("p16_clean"))
+    m = obs.get
+    m["clean_rows_written"] = clean_obs.get["clean_rows_written"]
+
+    # in-engine rescan audit (one bounded row): observed == relational
+    rescan = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("null_qty"),
+        F.sum((F.col("l_discount") > 0.08).cast("bigint")).alias(
+            "disc_violations"
+        ),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum((F.col("l_discount") <= 0.08).cast("bigint")).alias(
+            "clean_rows_written"
+        ),
+    ).first()
+    ok = all(m[k] == rescan[k] for k in m)
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_qty"],
+                m["disc_violations"],
+                float(m["min_qty"]),
+                float(m["max_qty"]),
+                m["clean_rows_written"],
+                ok,
+            )
+        ],
+        "n_rows bigint, null_qty bigint, disc_violations bigint, "
+        "min_qty double, max_qty double, clean_rows_written bigint, "
+        "ok_rescan boolean",
+    )
+
+
 # plan-time setting for o12's pruned point lookup (shared with the
 # plan test): the auto-bucketed-scan heuristic disables bucketed
 # reading when no operator NEEDS the clustering — but bucket PRUNING
@@ -11561,6 +11656,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-11: new queries (never driver-proven) first ---
     "s21_atomic_commit",
     "o17_row_level_merge",
+    "p16_observe_metrics",
     # --- round-10 window ---
     # the two r9 reds first (the only registry queries the driver has
     # NEVER proven): p15's array column serialized to a string at the

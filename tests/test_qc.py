@@ -129,3 +129,40 @@ def test_expectations_audit_properties(spark):
             assert r["passed"] == (not want)
 
     check()
+
+
+def test_observe_stats_survive_aqe_replanning(spark):
+    """p16's contract: observed metrics equal a relational rescan even
+    when the enclosing action runs under AQE (re-planned at runtime —
+    the executed plan must actually be adaptive for the pin to mean
+    anything), and a second observe point after a filter counts only
+    the surviving branch."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.qc_filters import observe_stats
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = spark.createDataFrame(
+        [(i % 7, float(i), None if i % 5 == 0 else i) for i in range(300)],
+        "k bigint, v double, maybe bigint",
+    )
+    observed, obs = observe_stats(
+        df,
+        "t_src",
+        {
+            "n": F.count(F.lit(1)),
+            "nulls": F.sum(F.col("maybe").isNull().cast("bigint")),
+            "mx": F.max("v"),
+        },
+    )
+    filtered, obs2 = observe_stats(
+        observed.filter(F.col("k") != 0), "t_clean", {"n": F.count(F.lit(1))}
+    )
+    # force a shuffle so AQE has something to re-plan, then act
+    out = filtered.groupBy("k").agg(F.sum("v").alias("sv"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan and "isFinalPlan=true" in plan
+
+    assert obs.get == {"n": 300, "nulls": 60, "mx": 299.0}
+    assert obs2.get == {"n": 300 - len([i for i in range(300) if i % 7 == 0])}
