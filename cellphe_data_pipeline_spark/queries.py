@@ -11636,6 +11636,95 @@ def o17(spark, sf_dir):
     )
 
 
+@register(
+    "e23_streaming_restart",
+    """
+    WITH v AS (SELECT ts, value FROM events WHERE ts IS NOT NULL),
+    m AS (SELECT MAX(ts) AS maxts FROM v)
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM v GROUP BY 1, 2
+    HAVING win_end <= (SELECT maxts - INTERVAL 2 HOUR FROM m)
+    """,
+)
+def e23(spark, sf_dir):
+    """§2.11 checkpoint-restart / failure recovery (r11) — the one
+    streaming surface r10 left unproven, now under the driver oracle:
+    the staged event log is drained in TWO separate runs of the same
+    job (streaming/tracker.streaming_restartable_drain) — the first
+    sees only the first half of the batch files and terminates (the
+    stop-between-micro-batches recovery point; a kill -9 differs only
+    by replaying one uncommitted batch, whose sink commit is
+    idempotent), then the remaining files appear and a second run
+    resumes from the SAME checkpoint and parquet sink. The pair must
+    equal ONE continuous run: the checkpoint's source log prevents
+    re-reading drained files (no duplicate input), the state store +
+    watermark restore so hour-windows OPEN at the stop keep
+    accumulating across it, and the sink's _spark_metadata commit log
+    makes emission exactly-once (a window emitted before the stop
+    never re-emits after). The oracle is the batch rollup over the
+    whole log with the final-watermark emission rule — it cannot know
+    there was a restart, so a hash match IS the exactly-once proof.
+    Chunks are ts-ordered (every row on time ⇒ the append-mode drop
+    rule never fires; e20 pins that rule separately) via a one-shot
+    global sort — a STAGING fixture (10k rows), not the operator.
+    tests/test_streaming.py additionally pins a window spanning the
+    restart boundary on a hand-built log where the split provably
+    bisects an hour. At 100 TB this is the nightly reality: executors
+    die, the job restarts, and the ledger must not double-count."""
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "value", "event_id")
+    )
+    chunk = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    parts = [
+        ev.withColumn("_c", chunk).filter(F.col("_c") == k).drop("_c")
+        for k in (1, 2, 3, 4)
+    ]
+    staged = _stage_ordered_batches(parts, "e23_staged")
+    src = _stage_dir("e23_src")
+    out = _stage_dir("e23_out")
+    ckpt = _stage_dir("e23_ckpt")
+    schema = parts[0].schema
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_append_rollup,
+        streaming_restartable_drain,
+    )
+
+    def transform(stream):
+        agg = streaming_append_rollup(stream, ts_col="ts", value_col="value")
+        return agg.select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "sum_value",
+        )
+
+    def feed(names):
+        for b in names:
+            shutil.copy2(f"{staged}/{b}.parquet", f"{src}/{b}.parquet")
+
+    with _bounded_shuffle_partitions(spark):
+        feed(["b0", "b1"])
+        n_first = streaming_restartable_drain(
+            spark, schema, src, out, ckpt, transform
+        )
+        feed(["b2", "b3"])
+        n_final = streaming_restartable_drain(
+            spark, schema, src, out, ckpt, transform
+        )
+    # operational facts: the first run emitted (so the restart had
+    # committed output to NOT duplicate), and the second added to it
+    assert 0 < n_first < n_final, (n_first, n_final)
+    return spark.read.parquet(out)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -11657,6 +11746,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "s21_atomic_commit",
     "o17_row_level_merge",
     "p16_observe_metrics",
+    "e23_streaming_restart",
     # --- round-10 window ---
     # the two r9 reds first (the only registry queries the driver has
     # NEVER proven): p15's array column serialized to a string at the

@@ -1451,3 +1451,59 @@ def streaming_ingest_lifecycle(
     return streaming_upsert(
         gated, key_col=key_col, t_col=t_col, seq_col=seq_col, count_rows=True
     )
+
+
+def streaming_restartable_drain(
+    spark,
+    schema,
+    source_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    transform,
+    timeout_s: int = 300,
+) -> int:
+    """One availableNow drain of a restartable file-source job (r11,
+    e23) — the failure-recovery primitive: call it, let it finish (or
+    die), add more source files, call it AGAIN with the same
+    checkpoint and sink, and the pair behaves as ONE continuous run:
+
+      - the checkpoint's source log records which files each
+        micro-batch read — a restart never re-reads them (no duplicate
+        input processing);
+      - the state store and the WATERMARK are restored from the last
+        committed batch, so a window/keyed-state entry spanning the
+        stop keeps accumulating where it left off;
+      - the parquet sink is transactional via its _spark_metadata
+        commit log: a batch's files become visible atomically and
+        exactly once — a window emitted before the stop is not
+        re-emitted after it, and readers (spark.read over the sink
+        dir) never see an uncommitted file, even one left by a crash
+        mid-write.
+
+    Together: end-to-end exactly-once for (replayable source ×
+    idempotent-committing sink), which is Structured Streaming's
+    actual recovery contract — kill -9 between micro-batches replays
+    at most the one uncommitted batch, whose sink commit is idempotent.
+    maxFilesPerTrigger=1 keeps micro-batches deterministic (the staged
+    files ARE the batches). Returns the number of committed sink rows
+    after this drain."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"restartable drain did not finish in {timeout_s}s"
+        )
+    return spark.read.parquet(out_dir).count()

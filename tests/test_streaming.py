@@ -1437,3 +1437,72 @@ def test_dedup_within_watermark_expiry_lifecycle(spark, tmp_path):
         ("k2", "03-05"),   # k2@03-25 still suppressed (exp 03-08 > 03-07)
         ("k9", "03-10"),
     ]
+
+
+def test_restartable_drain_restores_state_and_emits_once(spark, tmp_path):
+    """e23's semantics on a hand-built log where the restart provably
+    bisects an hour window: h1 has one row in the pre-stop file and
+    one in the post-stop file, so its final count is 2 ONLY if the
+    state store and watermark were restored; h0 is emitted by the
+    first drain and must not re-emit after the restart."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_append_rollup,
+        streaming_restartable_drain,
+    )
+
+    def ts(s):
+        return f"2024-03-01 {s}:00"
+
+    batch_a = [(ts("00:10"), 1.0), (ts("00:40"), 2.0),
+               (ts("01:10"), 4.0), (ts("03:30"), 8.0)]
+    batch_b = [(ts("01:40"), 16.0), (ts("06:30"), 32.0)]
+
+    staged = str(tmp_path / "staged")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staged)
+    os.makedirs(src)
+    for k, rows in enumerate((batch_a, batch_b)):
+        df = spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+        d = str(tmp_path / f"tmp{k}")
+        df.coalesce(1).write.parquet(d)
+        [f] = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        dst = os.path.join(staged, f"b{k}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        t = 1_700_000_000 + 100 * k
+        os.utime(dst, (t, t))
+
+    schema = "ts timestamp, value double"
+
+    def transform(stream):
+        return streaming_append_rollup(
+            stream, ts_col="ts", value_col="value"
+        ).select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+
+    import shutil
+
+    shutil.copy2(f"{staged}/b0.parquet", f"{src}/b0.parquet")
+    n1 = streaming_restartable_drain(spark, schema, src, out, ckpt, transform)
+    first = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert n1 == 1 and first == {("2024-03-01 00:00:00", 2, 3.0)}
+
+    shutil.copy2(f"{staged}/b1.parquet", f"{src}/b1.parquet")
+    n2 = streaming_restartable_drain(spark, schema, src, out, ckpt, transform)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert n2 == 3
+    assert got == {
+        ("2024-03-01 00:00:00", 2, 3.0),    # emitted pre-stop, ONCE
+        ("2024-03-01 01:00:00", 2, 20.0),   # spans the restart: 4+16
+        ("2024-03-01 03:00:00", 1, 8.0),
+    }
