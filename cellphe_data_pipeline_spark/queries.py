@@ -11637,6 +11637,134 @@ def o17(spark, sf_dir):
 
 
 @register(
+    "s22_write_audit_publish",
+    """
+    WITH good AS (
+      SELECT event_type, value + 200.0 AS value
+      FROM events WHERE event_id % 29 = 3
+    ),
+    pub AS (
+      SELECT event_type, value FROM events
+      UNION ALL SELECT event_type, value FROM good
+    ),
+    q AS (
+      SELECT COUNT(*) AS quarantined
+      FROM events WHERE event_id % 31 = 4 AND event_id % 2 = 0
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(2 AS INT) AS current_snapshot,
+           (SELECT CAST(quarantined AS BIGINT) FROM q) AS quarantined
+    FROM pub GROUP BY event_type
+    """,
+)
+def s22(spark, sf_dir):
+    """Write-audit-publish (r11) — the WAP pattern that makes a shared
+    100 TB table safe to ingest into, composed entirely from proven
+    parts: a delta batch is (1) WRITTEN to the immutable file pool as
+    staged parquet — invisible, because no manifest references it —
+    (2) AUDITED from the staged files themselves (qc_filters.
+    expectations_audit, p15's rules engine: the audit sees exactly the
+    bytes readers would see, not the pre-write frame), and (3)
+    PUBLISHED only if zero rows fail, by the s21 CAS commit advancing
+    `current`. Two batches run: a clean one (published, v2) and a
+    corrupted one (NULL values injected on half its rows — audit
+    fails, the batch is quarantined via the s19 contract and `current`
+    does NOT move; its staged files stay orphaned in the pool, never
+    readable, reclaimable by a vacuum that keeps manifest-referenced
+    files). The engine answers from the published table AFTER both
+    attempts, so the hash proves the bad batch never leaked;
+    `current_snapshot`/`quarantined` carry the protocol facts (oracle
+    emits the expected literals — the theorem-column idiom). At scale
+    this is atomic visibility for ingest: auditors and writers race
+    freely because staged data has no name until the commit, and a
+    failed audit costs zero cleanup on the read path."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.qc_filters import (
+        expectations_audit,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("s22_wap")
+
+    def stage(df, name):
+        d = os.path.join(table, "data", name)
+        df.write.mode("overwrite").parquet(d)
+        return d, snapshot_data_files(d)
+
+    _, base_files = stage(ev, "base")
+    snapshot_commit_atomic(table, 0, base_files)  # v1
+
+    rules = {
+        "value_present": F.col("value").isNotNull(),
+        "type_known": F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        ),
+    }
+
+    def write_audit_publish(delta, name):
+        d, files = stage(delta, name)  # write (invisible: no manifest)
+        audited = expectations_audit(spark.read.parquet(d), rules)
+        bad = audited.filter(~F.col("passed"))
+        n_bad = bad.count()
+        if n_bad == 0:
+            parent = snapshot_current(table)
+            snapshot_commit_atomic(
+                table, parent, snapshot_files(table, parent) + files
+            )
+        else:  # quarantine, never publish
+            bad.drop("passed").write.mode("overwrite").parquet(
+                os.path.join(table, "quarantine", name)
+            )
+        return n_bad
+
+    good = ev.filter(F.col("event_id") % 29 == 3).select(
+        "event_id", "event_type", (F.col("value") + 200.0).alias("value")
+    )
+    bad = ev.filter(F.col("event_id") % 31 == 4).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("value") + 999.0
+        ).alias("value"),
+    )
+    n_bad_good = write_audit_publish(good, "batch_good")
+    quarantined = write_audit_publish(bad, "batch_bad")
+    cur = snapshot_current(table)
+    assert n_bad_good == 0 and quarantined > 0 and cur == 2, (
+        n_bad_good, quarantined, cur,
+    )
+
+    return (
+        snapshot_read(spark, table, cur)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(cur).cast("int").alias("current_snapshot"),
+            F.lit(quarantined).cast("bigint").alias("quarantined"),
+        )
+    )
+
+
+@register(
     "e23_streaming_restart",
     """
     WITH v AS (SELECT ts, value FROM events WHERE ts IS NOT NULL),
@@ -11742,84 +11870,23 @@ def e23(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-11: new queries (never driver-proven) first ---
+    # =============== ROUND-11 WINDOW ===============
+    # New this round (never driver-proven): the snapshot layer's atomic
+    # commit/conflict closure, the cross-partition COW MERGE, in-flight
+    # observe metrics, and streaming checkpoint-restart.
     "s21_atomic_commit",
     "o17_row_level_merge",
     "p16_observe_metrics",
     "e23_streaming_restart",
-    # --- round-10 window ---
-    # the two r9 reds first (the only registry queries the driver has
-    # NEVER proven): p15's array column serialized to a string at the
-    # query edge (list cells crashed the driver's pandas canonicalizer)
-    # and t26's oracle SUMs cast to BIGINT (uncast DuckDB HUGEINT
-    # pandas-converts to float64 while Spark emits bigint) — both
-    # reproduced and both now caught by the pandas-fetch local gate
-    "p15_expectations_audit",
-    "t26_token_coverage",
-    # new this round (never driver-proven): the two remaining AQE
-    # re-plan mechanisms, the composed two-stateful-op streaming
-    # lifecycle, and the approx-percentile accuracy audit
-    "o13_aqe_coalesced_agg",
-    "j14_adaptive_broadcast_join",
-    "e16_streaming_ingest_lifecycle",
-    "e17_streaming_dedup_rollup",
-    "a16_approx_quantile_audit",
-    "o14_dynamic_partition_overwrite",
-    "a17_drift_profile",
-    "o15_small_file_compaction",
-    "v16_ivf_recall_curve",
-    "e18_streaming_join_rollup",
-    "a18_profile_merge",
-    "e19_streaming_profile",
-    "j15_null_aware_anti_join",
-    "v17_pq_recall_audit",
-    "g7_kcore",
-    # session-2 additions (never driver-proven): BFS seed distance,
-    # incremental MV maintenance, grouping sets, distribution windows
-    "g8_bfs_hops",
-    "c20_incremental_mv",
-    "a19_grouping_sets",
-    "w11_distribution_windows",
+    "s22_write_audit_publish",
+    # Changed-code re-proofs: the r11 advisor batch touched a20's
+    # engine+oracle (NULL-key filter) and o16's engine+oracle (insert
+    # ids derived above max) — both were r10-proven with the OLD code.
     "a20_hll_merge_audit",
-    "e20_streaming_late_drop",
-    "e21_streaming_dedup_expiry",
-    "c21_takedown_closure",
-    "e22_streaming_outer_join",
-    "w12_time_weighted_avg",
-    "s18_schema_evolution",
-    "a21_correlation_matrix",
-    "g9_hierarchy_rollup",
-    "t28_variant_ingest",
     "o16_partition_merge",
-    "s19_malformed_ingest",
-    "s20_snapshot_time_travel",
-    # changed-code re-proof: w2/w8 gained the -0.0 zero-sign
-    # normalization on rounded signed sums (advisor batch), e13/e14's
-    # kernels gained the pd.isna null-key guard + e13 the key-monotone
-    # contract enforcement, and e6's streaming_upsert was restructured
-    # for the count_rows extension e16 uses
-    "w2_cumulative_sum",
-    "w8_range_frame",
-    "e13_streaming_ewma",
-    "e14_streaming_gap_fill",
-    "e6_streaming_upsert_state",
-    # the r5 cohort — every query whose last external proof is
-    # CORRECTNESS_r05 (the r9 verdict's item-3 list, oldest-first
-    # rotation discipline). NOTE: the 17 session-2 additions push the
-    # final ten of these (s13, s14, s15, t7, t8, t10, u6, v5, v6, v10)
-    # past slot 50 — all ten are r5-proven (displaced-means-proven
-    # holds) and go FIRST in r11's window, ahead of the r6 cohort.
-    "c4_hash_stratified_sample",
-    "c8_mixture_rebalance",
-    "c9_split_manifest",
-    "d8_duplicated_spans",
-    "e3_funnel_conversion",
-    "e4_retention_cohorts",
-    "mm4_resize",
-    "mm5_audio_resample",
-    "s6_s7_csv_roundtrip",
-    "s9_s10_roi_zip_roundtrip",
-    "s11_png_mask_sink",
+    # The stale-proof cohort, oldest-first (the r10 verdict's ask #1,
+    # ledger recomputed from CORRECTNESS_r01-r10 this session): first
+    # the ten queries last proven in r5...
     "s13_config_roundtrip",
     "s14_lines_source",
     "s15_publish_roundtrip",
@@ -11830,16 +11897,47 @@ _DRIVER_WINDOW_PRIORITY = [
     "v5_int8_quantize",
     "v6_int8_topk",
     "v10_int8_per_dim",
-    # start of the r6 cohort (fills the remaining slots; the rest —
-    # f*/g* block, w1/w3/w4, o1/o4, u1/u2, v8/v9, e5 — is first in
-    # line for r11)
+    # ...then the r6-proven cohort (44 total; the 34 below fill the
+    # window; the remaining ten — t2, t3, t11, u1, u2, v8, v9, w1, w3,
+    # w4 — lead r12, all r6-proven so displaced-means-proven holds).
     "a1_argmin_first_row",
     "a2_group_count",
-    # (a1/a2 above and the r6 cohort — a3, a7, p1_p2, p4, p5, p6,
-    # p7_p8, p9_p12, p13, j1 through j7 — are past slot 50 after the
-    # session-2 additions; all prior-proven, queued behind the four
-    # r5 leftovers for r11. j1 and j7 are exercised in every round's
-    # bench headline regardless.)
+    "a3_multistat_median",
+    "a7_count_distinct",
+    "d1_exact_dedup",
+    "d2_shingle_counts",
+    "d9_shingle_novelty",
+    "d10_incremental_neardup",
+    "d12_line_dedup",
+    "e5_streaming_rollup",
+    "f1_f4_string_funcs",
+    "f3_lpad_two_pass",
+    "f11_json_extract",
+    "f13_recode",
+    "g1_edge_build",
+    "g2_degree",
+    "g3_roots",
+    "j1_broadcast_dim_join",
+    "j2_composite_key_joinback",
+    "j3_lookup_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_positional_zip_join",
+    "o1_multikey_sort_rank",
+    "o4_order_preserving_dedup",
+    "p1_p2_filter_min_obs",
+    "p4_filter_distinct",
+    "p5_duplicate_key_rows",
+    "p6_unique_key_rows",
+    "p7_p8_nonzero_nonnull",
+    "p9_p12_project_rename_cast",
+    "p13_stride_sample",
+    "s16_trackmate_sink_roundtrip",
+    # =============== end round-11 window ===============
+    # Prior-round windows are recorded in git history and in the
+    # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps its
+    # registration order and is driver-proven in a recorded round
+    # (tests/test_registry.py enforces displaced-means-proven).
 ]
 
 
