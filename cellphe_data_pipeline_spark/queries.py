@@ -11854,6 +11854,141 @@ def e23(spark, sf_dir):
 
 
 # =====================================================================
+# Round-12 session additions
+# =====================================================================
+
+
+@register(
+    "w13_ohlc_resample",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket_ts,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           MIN(value) AS low_value,
+           MAX(value) AS high_value,
+           COUNT(*) AS n_events
+    FROM w GROUP BY user_id, bucket_ts
+    """,
+)
+def w13(spark, sf_dir):
+    """Time-bucketed OHLC downsample (r11) — the canonical time-series
+    resample (first/last/min/max per user-hour; the reference's
+    movement chain consumes per-frame series the same way a market
+    pipeline consumes ticks). The 100 TB point is the PHYSICAL
+    strategy: open/close are MIN_BY/MAX_BY over a (ts, event_id)
+    ordering struct — single-pass, COMBINABLE aggregates whose partial
+    state is one (ord, value) pair per group per partition — so the
+    whole OHLC row costs ONE hash-aggregate shuffle with map-side
+    combine. The window formulation the oracle uses (ROW_NUMBER over a
+    per-bucket sort, then re-aggregate) must SORT and move EVERY row
+    through the exchange; at 1000 executors that is the difference
+    between shuffling |groups| pairs and shuffling the table. The
+    struct tie-break (event_id inside the ordering) makes open/close
+    deterministic — min_by alone on a tied ts is engine-arbitrary,
+    the same class of nondeterminism the a1 argmin query pins."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.min_by("value", ord_).alias("open_value"),
+        F.max_by("value", ord_).alias("close_value"),
+        F.min("value").alias("low_value"),
+        F.max("value").alias("high_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "a23_hll_setops_audit",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union,
+           CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+                - (SELECT COUNT(*) FROM u) AS BIGINT) AS n_intersect,
+           TRUE AS ok_union_bound,
+           TRUE AS ok_intersect_bound
+    """,
+)
+def a23(spark, sf_dir):
+    """HLL set-operation estimates under the oracle (r11) — the a20
+    lifecycle extended from merge to ALGEBRA: |A∪B| from the UNION of
+    two independently-built sketches (hll_union_agg over the stored
+    per-segment sketches — the corpus is NEVER rescanned for the
+    union), and |A∩B| by inclusion-exclusion (est_a + est_b −
+    est_union; HLL has no native intersect — this is the standard
+    derivation and its error COMPOUNDS: |err| ≤ err_a + err_b +
+    err_union, so the theorem bound is 5% of (n_a + n_b + n_union),
+    not 5% of the intersection — the honest bar for why theta
+    sketches exist when intersections are small). Exact counts are
+    value-matched; the bounds ride as a16/a20-style theorem columns
+    (oracle emits literal TRUE, engine computes the inequality —
+    hash-deterministic sketches make this re-verified, not sampled,
+    at every SF). At 100 TB: audience-overlap / cross-corpus-overlap
+    questions answered from O(2^lgK) stored sketch bytes per segment
+    instead of a distinct-shuffle over both corpora."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+
+    def seg(df, tag):
+        return df.agg(
+            F.hll_sketch_agg("user_id").alias(f"_sk_{tag}"),
+            F.count_distinct("user_id").alias(f"n_{tag}"),
+        )
+
+    ska, skb = seg(a, "a"), seg(b, "b")
+    union_est = (
+        ska.select(F.col("_sk_a").alias("_sk"))
+        .unionAll(skb.select(F.col("_sk_b").alias("_sk")))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_union")
+        )
+    )
+    exact_union = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .agg(F.count_distinct("user_id").alias("n_union"))
+    )
+    row = (
+        ska.crossJoin(F.broadcast(skb))
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(exact_union))
+    )
+    est_a = F.hll_sketch_estimate("_sk_a").cast("double")
+    est_b = F.hll_sketch_estimate("_sk_b").cast("double")
+    est_u = F.col("_est_union").cast("double")
+    est_inter = est_a + est_b - est_u
+    n_inter = (F.col("n_a") + F.col("n_b") - F.col("n_union")).cast("bigint")
+    bound = 0.05
+    return row.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        n_inter.alias("n_intersect"),
+        (
+            F.abs(est_u - F.col("n_union").cast("double"))
+            <= bound * F.col("n_union")
+        ).alias("ok_union_bound"),
+        (
+            F.abs(est_inter - n_inter.cast("double"))
+            <= bound * (F.col("n_a") + F.col("n_b") + F.col("n_union"))
+        ).alias("ok_intersect_bound"),
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries
@@ -11871,6 +12006,11 @@ def e23(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # =============== ROUND-11 WINDOW ===============
+    # Session-3 additions (never driver-proven). Each name added here
+    # displaces one r6-proven query past slot 50 (displaced-means-proven
+    # holds; the displaced cohort leads r12's window).
+    "w13_ohlc_resample",
+    "a23_hll_setops_audit",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -687,3 +687,94 @@ def test_correlation_matrix_matches_numpy(spark):
     got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
     for k, v in want.items():
         assert math.isclose(got[k], round(v, 6), abs_tol=2e-6), (k, got[k], v)
+
+
+def _write_events_fixture(spark, rows):
+    """Stage a minimal events.parquet a registered query can load."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="ev_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_w13_ohlc_tie_break_is_deterministic(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 30)
+    # two rows share the SAME ts: event_id must break the tie for
+    # open (lower id) and close (higher id); min/max scan all rows
+    rows = [
+        (2, t, 7, "click", 5.0, ""),
+        (1, t, 7, "click", 9.0, ""),
+        (3, dt.datetime(2024, 1, 1, 10, 45), 7, "click", 1.0, ""),
+        (4, dt.datetime(2024, 1, 1, 11, 5), 7, "click", 4.0, ""),
+    ]
+    d = _write_events_fixture(spark, rows)
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    out = {
+        r["bucket_ts"]: r
+        for r in REGISTRY["w13_ohlc_resample"].fn(spark, d).collect()
+    }
+    b10 = out[dt.datetime(2024, 1, 1, 10, 0)]
+    assert b10["open_value"] == 9.0  # event_id 1 wins the ts tie
+    assert b10["close_value"] == 1.0
+    assert b10["low_value"] == 1.0 and b10["high_value"] == 9.0
+    assert b10["n_events"] == 3
+    b11 = out[dt.datetime(2024, 1, 1, 11, 0)]
+    assert (
+        b11["open_value"] == b11["close_value"] == 4.0 and b11["n_events"] == 1
+    )
+
+
+def test_w13_plan_is_single_aggregate_exchange_no_sort(spark, sf_dir):
+    """The min_by/max_by formulation must plan as ONE hash-aggregate
+    shuffle — no Sort, no Window (the oracle's formulation would sort
+    and shuffle every row; the engine's moves one pair per group per
+    partition)."""
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["w13_ohlc_resample"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "Sort" not in plan, plan
+    physical = (
+        REGISTRY["w13_ohlc_resample"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert physical.count("Exchange") == 1, physical
+
+
+def test_a23_intersection_identity_and_bounds(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 3, 1)
+    # A = {1,2,3}, B = {3,4} -> union 4, intersect 1
+    rows = [
+        (1, t, 1, "click", 0.0, ""),
+        (2, t, 2, "click", 0.0, ""),
+        (3, t, 3, "click", 0.0, ""),
+        (4, t, 3, "view", 0.0, ""),
+        (5, t, 4, "view", 0.0, ""),
+        (6, t, 9, "purchase", 0.0, ""),  # other types must not leak in
+    ]
+    d = _write_events_fixture(spark, rows)
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    [r] = REGISTRY["a23_hll_setops_audit"].fn(spark, d).collect()
+    assert (r["n_a"], r["n_b"], r["n_union"], r["n_intersect"]) == (3, 2, 4, 1)
+    assert r["ok_union_bound"] and r["ok_intersect_bound"]
