@@ -574,3 +574,70 @@ def bfs_hops(
         )
         frontier = fresh.select("node")
     return dist
+
+
+def common_neighbor_scores(
+    incidence: DataFrame,
+    node_col: str,
+    neighbor_col: str,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores over a bipartite incidence list (r11,
+    g10): for every pair of nodes sharing at least one neighbor,
+    emit the common-neighbor count and the Jaccard coefficient of
+    their neighbor sets — the collaborative-filtering / related-item
+    primitive (nodes = suppliers, neighbors = parts ⇒ "suppliers with
+    overlapping catalogs"; nodes = docs, neighbors = shingles ⇒ d5's
+    pairwise-Jaccard, which this generalizes to ANY co-occurrence
+    relation).
+
+    Physical shape: distinct the incidence list, self-equi-join on the
+    NEIGHBOR (never node×node — candidate pairs are generated only
+    where overlap exists), node_a < node_b to halve the space, one
+    combinable groupBy for the pair counts, then two broadcast-able
+    joins against the per-node degree table. The scale hazard is the
+    hub neighbor: a neighbor shared by d nodes emits d(d-1)/2 pairs,
+    so cost is Σ_neighbors d². ``max_neighbor_degree`` is the standard
+    mitigation (drop neighbors above the cap before pairing — a
+    stopword-style frequency cut: a neighbor half the corpus shares
+    carries no signal and dominates the cost; d12/d16 apply the same
+    cut to dedup shingles). The cap changes SCORES (capped neighbors
+    leave the numerator but not the denominator), so the default is
+    None and callers opt in."""
+    inc = (
+        incidence.select(
+            F.col(node_col).alias("node"), F.col(neighbor_col).alias("nbr")
+        )
+        .filter(F.col("node").isNotNull() & F.col("nbr").isNotNull())
+        .distinct()
+    )
+    deg = inc.groupBy("node").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    paired = inc
+    if max_neighbor_degree is not None:
+        keep = (
+            inc.groupBy("nbr")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_neighbor_degree)
+            .select("nbr")
+        )
+        paired = inc.join(keep, "nbr", "left_semi")
+    x = paired.select(F.col("node").alias("node_a"), "nbr")
+    y = paired.select(F.col("node").alias("node_b"), "nbr")
+    pairs = (
+        x.join(y, "nbr")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("n_nbrs").alias("_na"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("n_nbrs").alias("_nb"))
+    return pairs.join(da, "node_a").join(db, "node_b").select(
+        "node_a",
+        "node_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

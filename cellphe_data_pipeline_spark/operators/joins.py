@@ -351,3 +351,95 @@ def nearest_neighbor_join(
             F.col("_m._d2").alias("dist2"),
         )
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` (r11, j16) — the
+    as-of contract under the OTHER physical strategy, and the decision
+    record for when each is right (the two agree except at CROSS-SIDE
+    ts collisions: asof_join interleaves by a shared tie column, this
+    kernel admits every same-ts right row — DuckDB ASOF <= semantics;
+    both variants are pinned by their own oracles and by test):
+
+    - ``asof_join`` (union + one key window) stays entirely JVM-side —
+      prefer it whenever the per-key logic is expressible relationally.
+    - This kernel co-shuffles BOTH sides on the key and hands each
+      key's two Arrow batches to ONE pandas callback
+      (``pd.merge_asof``). Same shuffle volume (|L|+|R| on the key, the
+      two Exchanges of a shuffle join), plus Arrow serialization both
+      ways — strictly more expensive HERE, but the callback is
+      arbitrary imperative code: use this shape when the per-key
+      alignment is something a window cannot say (DTW, per-key
+      curve fitting, stateful simulation replay — the m3 trackers are
+      this pattern's heavy users). j16 registers it against the same
+      oracle family as j9 precisely so the cogroup path's SEMANTICS
+      are pinned by hash, not just its plumbing.
+
+    Per-key state must fit one executor's memory (the applyInPandas
+    contract — one group, one Arrow batch); a hot key needs the j8
+    salt-and-merge treatment. Ties: right rows sorted by (ts, tie_col),
+    the LAST eligible row wins ⇒ max (ts, tie_col) with r.ts <= l.ts,
+    exact matches included — DuckDB ASOF (<=) semantics, total given
+    unique tie_col."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields)
+    int_like = set()
+    for c in right_cols:
+        f = right.schema[c]
+        out_fields.append(T.StructField(f"asof_{c}", f.dataType, True))
+        if isinstance(f.dataType, (T.LongType, T.IntegerType)):
+            int_like.add(f"asof_{c}")
+    out_schema = T.StructType(out_fields)
+    lcols = left.columns
+    # Both sides often derive from the SAME scan (self-cogroup), so
+    # their same-named columns share Catalyst attribute ids — the
+    # deduplication pass then silently DROPS the right side's duplicate
+    # from the Arrow batch (observed: right `ts` vanishing). Re-alias
+    # every non-key right column to a fresh name before grouping.
+    r_pre = right.select(
+        F.col(key).alias(key),
+        F.col(ts).alias("_r_ts"),
+        *([F.col(tie_col).alias("_r_tie")] if tie_col else []),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    )
+    r_sort = ["_r_ts"] + (["_r_tie"] if tie_col else [])
+    r_keep = ["_r_ts"] + [f"asof_{c}" for c in right_cols]
+
+    def align(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only ONE side arrives with the other side as
+        # an EMPTY frame (which may carry no columns at all) — handle
+        # both one-sided cases before touching column labels
+        if lp.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_fields}
+            )
+        if rp.empty:
+            out = lp.copy()
+            for c in right_cols:
+                out[f"asof_{c}"] = pd.Series(dtype="object")
+            return out
+        lp = lp.sort_values(ts)
+        rp = rp.sort_values(r_sort)[r_keep]
+        out = pd.merge_asof(
+            lp, rp, left_on=ts, right_on="_r_ts",
+            direction="backward", allow_exact_matches=True,
+        ).drop(columns=["_r_ts"])
+        for c in int_like:  # NaN-safe integers for the Arrow return trip
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(r_pre.groupBy(key))
+        .applyInPandas(align, schema=out_schema)
+        .select(*lcols, *[f"asof_{c}" for c in right_cols])
+    )

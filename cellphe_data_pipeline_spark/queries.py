@@ -11988,6 +11988,110 @@ def a23(spark, sf_dir):
     )
 
 
+@register(
+    "g10_common_neighbors",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    deg AS (SELECT supp, COUNT(*) AS n_nbrs FROM ps GROUP BY supp),
+    pairs AS (
+      SELECT x.supp AS node_a, y.supp AS node_b, COUNT(*) AS n_common
+      FROM ps x JOIN ps y ON x.part = y.part AND x.supp < y.supp
+      GROUP BY 1, 2
+    )
+    SELECT p.node_a, p.node_b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / CAST(da.n_nbrs + db.n_nbrs - p.n_common AS DOUBLE),
+                 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON p.node_a = da.supp
+    JOIN deg db ON p.node_b = db.supp
+    ORDER BY p.n_common DESC, p.node_a, p.node_b
+    LIMIT 100
+    """,
+)
+def g10(spark, sf_dir):
+    """Common-neighbor link prediction (r11; graph.py
+    common_neighbor_scores) — the co-occurrence / related-item
+    primitive the graph family lacked (g2 counts a node's own edges;
+    g10 scores PAIRS by shared neighborhood): suppliers ranked by
+    catalog overlap (shared parts) with common-neighbor count +
+    Jaccard, the top-100 by overlap. Candidate pairs are generated by
+    a self-equi-join on the SHARED NEIGHBOR — never node×node, so
+    cost is Σ_parts d² (the hub hazard and its frequency-cut
+    mitigation are the kernel's documented knob); the top-100 is
+    TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    never a global sort. Deterministic tie-break (n_common DESC,
+    node_a, node_b) makes the LIMIT boundary cross-engine stable.
+    The oracle is the same formulation relationally; Jaccard is one
+    int-ratio division, identical IEEE op on both engines."""
+    from cellphe_data_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scores = common_neighbor_scores(li, "l_suppkey", "l_partkey")
+    return scores.orderBy(
+        F.col("n_common").desc(), "node_a", "node_b"
+    ).limit(100)
+
+
+@register(
+    "j16_cogroup_asof",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS pid, 1 AS side
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, event_id AS pid, 0 AS side
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_purchase_id
+      FROM u
+    )
+    SELECT user_id, ts, event_id AS view_id, last_purchase_id
+    FROM f WHERE side = 1
+    """,
+)
+def j16(spark, sf_dir):
+    """As-of alignment via cogroup + Arrow (r11; joins.py
+    asof_join_cogroup) — j9's semantics under the OTHER physical
+    strategy: both sides co-shuffled on user_id,
+    ``cogroup().applyInPandas`` hands each user's views and purchases
+    to one ``pd.merge_asof`` callback. The kernel docstring is the
+    decision record (window-union stays JVM-side and wins when the
+    logic is relational; cogroup is the shape for imperative per-key
+    alignment — DTW, curve fits, the m3 trackers); registering BOTH
+    against the same oracle family pins that the cogroup path's
+    semantics — tie-break included (right rows sorted by (ts,
+    event_id), last eligible wins, exact matches in) — equal the
+    window formulation's, by hash. Views aligned to the most recent
+    prior-or-simultaneous same-user purchase."""
+    from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("pid")
+    )
+    out = asof_join_cogroup(
+        views, purchases, key="user_id", ts="ts",
+        right_cols=["pid"], tie_col="event_id",
+    )
+    return out.select(
+        "user_id", "ts", "view_id",
+        F.col("asof_pid").alias("last_purchase_id"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12011,6 +12115,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # holds; the displaced cohort leads r12's window).
     "w13_ohlc_resample",
     "a23_hll_setops_audit",
+    "g10_common_neighbors",
+    "j16_cogroup_asof",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -778,3 +778,81 @@ def test_a23_intersection_identity_and_bounds(spark):
     [r] = REGISTRY["a23_hll_setops_audit"].fn(spark, d).collect()
     assert (r["n_a"], r["n_b"], r["n_union"], r["n_intersect"]) == (3, 2, 4, 1)
     assert r["ok_union_bound"] and r["ok_intersect_bound"]
+
+
+def test_asof_cogroup_exact_match_and_tie_semantics(spark):
+    """The cogroup kernel implements DuckDB ASOF (<=) semantics: a
+    right row at EXACTLY the left ts is eligible, and among same-ts
+    right rows the highest tie id wins. (The window-union asof_join
+    interleaves by a SHARED tie column instead, so the two differ at
+    cross-side ts collisions — each is pinned by its own oracle.)"""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
+
+    t = lambda m: dt.datetime(2024, 5, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t(10), 100),  # after r-rows at :05 -> 501
+            (1, t(5), 101),   # EXACT match at :05 -> still 501
+            (1, t(0), 102),   # before everything -> null
+            (2, t(30), 200),  # key only on the left -> null
+        ],
+        "k bigint, ts timestamp, lid bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(5), 500),
+            (1, t(5), 501),   # tie on ts: higher tie id must win
+            (3, t(1), 900),   # key only on the right -> no output row
+        ],
+        "k bigint, ts timestamp, rid bigint",
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join_cogroup(
+            left, right, key="k", ts="ts", right_cols=["rid"], tie_col="rid"
+        ).collect()
+    }
+    assert got == {100: 501, 101: 501, 102: None, 200: None}
+
+
+def test_asof_cogroup_matches_window_formulation(spark):
+    """On collision-free timestamps (no cross-side equal ts) the two
+    physical as-of strategies must agree row-for-row."""
+    import datetime as dt
+    import random
+
+    from cellphe_data_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 5, 1)
+    mins = rng.sample(range(10_000), 400)  # unique -> no ts collisions
+    rows = [
+        (rng.randint(1, 5), base + dt.timedelta(minutes=m), i)
+        for i, m in enumerate(mins)
+    ]
+    left = spark.createDataFrame(
+        rows[:200], "k bigint, ts timestamp, eid bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, e, e * 10) for k, ts, e in rows[200:]],
+        "k bigint, ts timestamp, eid bigint, rv bigint",
+    )
+    got = {
+        r["eid"]: r["asof_rv"]
+        for r in asof_join_cogroup(
+            left, right, key="k", ts="ts", right_cols=["rv"], tie_col="eid"
+        ).collect()
+    }
+    want = {
+        r["eid"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, key="k", ts="ts", right_cols=["rv"], tie_col="eid"
+        ).collect()
+    }
+    assert got == want and len(got) == 200
+    assert any(v is not None for v in got.values())

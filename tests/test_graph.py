@@ -331,3 +331,50 @@ def test_hierarchy_rollup_closure_fixture(spark, tmp_path):
         for c in range(13)
     }
     assert out == want
+
+
+def test_common_neighbor_scores_match_hand_computation(spark):
+    from cellphe_data_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    # supplier -> parts: s1={p1,p2,p3}, s2={p2,p3}, s3={p3}, s4={p9}
+    inc = spark.createDataFrame(
+        [
+            (1, 101), (1, 102), (1, 103),
+            (2, 102), (2, 103),
+            (3, 103),
+            (4, 109),
+            (1, 101),  # duplicate incidence must not double-count
+        ],
+        "supp bigint, part bigint",
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+        for r in common_neighbor_scores(inc, "supp", "part").collect()
+    }
+    # (1,2): common {p2,p3}=2, union 3 -> 2/3; (1,3): common {p3}=1, union 3
+    # (2,3): common {p3}=1, union 2; s4 shares nothing -> absent
+    assert out[(1, 2)] == (2, round(2 / 3, 6))
+    assert out[(1, 3)] == (1, round(1 / 3, 6))
+    assert out[(2, 3)] == (1, 0.5)
+    assert len(out) == 3
+
+
+def test_common_neighbor_hub_cap_drops_hub_pairs(spark):
+    from cellphe_data_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    # part 999 is a hub shared by all four suppliers; part 101 only by 1,2
+    rows = [(s, 999) for s in (1, 2, 3, 4)] + [(1, 101), (2, 101)]
+    inc = spark.createDataFrame(rows, "supp bigint, part bigint")
+    capped = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in common_neighbor_scores(
+            inc, "supp", "part", max_neighbor_degree=2
+        ).collect()
+    }
+    # only the non-hub co-occurrence survives pairing; the denominator
+    # still uses the FULL degree (documented: capping changes scores)
+    assert list(capped) == [(1, 2)] and capped[(1, 2)] == 1
