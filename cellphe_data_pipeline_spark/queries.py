@@ -12092,6 +12092,65 @@ def j16(spark, sf_dir):
     )
 
 
+@register(
+    "e24_streaming_static_enrich",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'gold'
+                  WHEN user_id % 3 = 1 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM events
+    )
+    SELECT d.tier, date_trunc('hour', e.ts) AS hour_ts, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.tier, date_trunc('hour', e.ts)
+    """,
+)
+def e24(spark, sf_dir):
+    """§2.11 stream-STATIC enrichment → rollup (r11;
+    streaming/tracker.streaming_static_enrich_rollup) — the twentieth
+    driver-verified streaming runtime and the join class the
+    stream-stream family (e8/e18/e22) does not cover: a fact stream
+    broadcast-joined per micro-batch against a BATCH dimension (user →
+    tier), feeding a windowed rollup. The join is stateless (no state
+    store, no watermark node on the dim side — the watermark belongs
+    to the downstream agg), so dim cost is O(|dim|) once, not
+    O(stream) state — the reason enrichment is stream-static whenever
+    dim staleness is tolerable; the kernel docstring records the
+    per-micro-batch re-plan (bounded-staleness SCD feed) and the
+    inner-join-drops-unmatched trap (ingest gates use left_outer +
+    null-flag, the s19/s22 discipline). COMPLETE drain mode per e5
+    (every window emitted regardless of batch split); tumbling 1h
+    windows are epoch-aligned = date_trunc('hour')."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_static_enrich_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    sink = _drain_to_memory(
+        ev, "e24_stream_enrich", "e24_enrich_sink",
+        lambda stream: streaming_static_enrich_rollup(stream, dim),
+        "complete", "e24_streaming_static_enrich",
+    )
+    return sink.select(
+        "tier", F.col("win.start").alias("hour_ts"), "n", "sum_value"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12117,6 +12176,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a23_hll_setops_audit",
     "g10_common_neighbors",
     "j16_cogroup_asof",
+    "e24_streaming_static_enrich",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -1507,3 +1507,44 @@ def streaming_restartable_drain(
             f"restartable drain did not finish in {timeout_s}s"
         )
     return spark.read.parquet(out_dir).count()
+
+
+def streaming_static_enrich_rollup(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_col: str = "tier",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment (r11, e24) — the canonical ingest
+    pattern the stream-stream family (e8/e18/e22) does not cover:
+    facts arriving as a stream are joined against a bounded dimension
+    that is a plain batch DataFrame. The join is STATELESS — no state
+    store, no watermark participation: each micro-batch hash-joins
+    against the (broadcast) dim and moves on, so the dim side costs
+    O(|dim|) memory once, not O(stream) state — which is exactly why
+    enrichment should be stream-static whenever the dim's staleness
+    tolerance allows (vs e22's stateful interval join when BOTH sides
+    move). Two operational facts recorded: (1) the static side is
+    re-planned per micro-batch, so a dim backed by a table picks up
+    slowly-changing updates between batches WITHOUT a restart —
+    staleness is bounded by batch cadence, the poor-man's SCD feed;
+    (2) an INNER stream-static join cannot drop rows silently on the
+    STREAM side without that being a semantic choice — unmatched keys
+    vanish, so ingest gates that must quarantine (s19/s22 discipline)
+    use left_outer + null-flag instead. The watermark here belongs to
+    the downstream windowed AGG, not the join."""
+    enriched = stream.join(F.broadcast(dim), key_col)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(dim_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

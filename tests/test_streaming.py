@@ -1506,3 +1506,55 @@ def test_restartable_drain_restores_state_and_emits_once(spark, tmp_path):
         ("2024-03-01 01:00:00", 2, 20.0),   # spans the restart: 4+16
         ("2024-03-01 03:00:00", 1, 8.0),
     }
+
+
+def test_streaming_static_enrich_stateless_join(spark, sf_dir, tmp_path):
+    """e24's kernel: results equal the batch twin, and the join adds NO
+    state operator — the last progress reports exactly one stateful op
+    (the windowed agg), proving the stream-static join is per-batch."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_static_enrich_rollup,
+    )
+
+    ev, path = _stage_events(spark, sf_dir, tmp_path)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("tier"),
+        )
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        streaming_static_enrich_rollup(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state_ops = q.lastProgress["stateOperators"]
+    assert len(state_ops) == 1, state_ops  # agg only; the join is stateless
+    assert state_ops[0]["operatorName"] == "stateStoreSave", state_ops  # the agg's save; no symmetricHashJoin op
+
+    got = {
+        (r["win"]["start"], r["tier"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        (r["hour_ts"], r["tier"]): (r["n"], r["sum_value"])
+        for r in ev.join(dim, "user_id")
+        .groupBy("tier", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
