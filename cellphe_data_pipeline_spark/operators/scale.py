@@ -199,10 +199,10 @@ def merge_rows_cow(
     base_files = snapshot_files(table_dir, parent)
 
     keys = delta.select(F.col(key_col).alias("_k")).distinct()
-    stats = (
-        spark.read.parquet(*base_files)
-        .groupBy(F.col("_metadata.file_path").alias("_f"))
-        .agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    stats = file_key_stats(spark, base_files, key_col).select(
+        F.col("file").alias("_f"),
+        F.col("min_v").alias("_lo"),
+        F.col("max_v").alias("_hi"),
     )
     candidates = stats.join(
         F.broadcast(keys),
@@ -447,4 +447,41 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
         F.expr(
             "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 * n_keys DIV total AS BIGINT)"
         ).alias("vs_mean_ppm"),
+    )
+
+
+def file_key_stats(spark: SparkSession, files: list[str], col: str) -> DataFrame:
+    """Per-file [min, max, row-count] statistics for one column over an
+    explicit file list (r11) — the zone-map primitive behind o17's
+    merge prune and o18's skipping scan: one COLUMN-PRUNED scan grouped
+    on ``_metadata.file_path`` (the stats column plus file metadata is
+    all that leaves the scan). At cluster scale these stats are written
+    INTO the snapshot manifest at commit time (Delta checkpoint /
+    Iceberg manifest stats), making every later consultation
+    metadata-only; recomputing, as here, costs one single-column scan
+    amortized across every query that then skips files."""
+    return (
+        spark.read.parquet(*files)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def prune_files_by_range(stats_rows, lo, hi) -> list[str]:
+    """Driver-side zone-map prune: keep files whose [min,max] interval
+    intersects [lo,hi] — a superset of true hits (exactly what footer
+    stats admit; the residual predicate still applies after the scan).
+    Operates on COLLECTED stats rows: one row per file, the same
+    metadata a table format's planner holds — this list is the unit
+    table formats are built to keep driver-sized."""
+    from urllib.parse import urlparse
+
+    return sorted(
+        urlparse(r["file"]).path
+        for r in stats_rows
+        if not (r["max_v"] < lo or r["min_v"] > hi)
     )

@@ -12151,6 +12151,184 @@ def e24(spark, sf_dir):
     )
 
 
+@register(
+    "s23_snapshot_changes",
+    """
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    aff AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    upd AS (
+      SELECT event_id, event_type, value + 1000.0 AS value FROM aff
+      WHERE event_id % 17 = 3 AND event_id % 29 <> 11
+    ),
+    del AS (SELECT * FROM aff WHERE event_id % 29 = 11),
+    ins AS (
+      SELECT event_id + 1 + (SELECT m FROM mx) AS event_id,
+             'click' AS event_type, 2.75 AS value
+      FROM events WHERE event_id % 89 = 13
+    )
+    SELECT event_id, 'update_pre' AS change_type, event_type, value
+    FROM aff WHERE event_id % 17 = 3 AND event_id % 29 <> 11
+    UNION ALL SELECT event_id, 'update_post', event_type, value FROM upd
+    UNION ALL SELECT event_id, 'delete', event_type, value FROM del
+    UNION ALL SELECT event_id, 'insert', event_type, value FROM ins
+    """,
+)
+def s23(spark, sf_dir):
+    """Change data feed between snapshots (r11; sources/io.py
+    snapshot_changes) — the CDC completion of the lakehouse trio (s20
+    time travel, s21 atomic commit, o17 COW merge): "what changed from
+    v1 to v2" as typed rows (insert / delete / update_pre /
+    update_post), the feed an incremental consumer (a downstream MV,
+    c20; a replication target; a retraining trigger, a17) reads
+    instead of diffing two full table states. The scale mechanism is
+    the MANIFEST DIFF: shared files are byte-identical by the
+    immutability contract, so only (v1−v2) and (v2−v1) files are read
+    and full-outer-joined — O(rewritten slices), the untouched
+    majority pruned by metadata alone (asserted in-query: the three
+    untouched type slices are shared, removed/added are strict
+    subsets). Rewritten-but-unchanged rows (COW rewrites whole files)
+    are dropped by null-safe column comparison — the semantic that
+    separates a CDC feed from a file diff. The v2 commit exercises all
+    three change classes at once: value restatements, deletes, and
+    inserts keyed above max(event_id) (the o16 id discipline); the
+    oracle replays the delta relationally, so the hash proves the
+    feed end-to-end from the on-disk snapshots."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_commit_atomic,
+        snapshot_data_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("s23_cdc")
+    types = ["click", "error", "purchase", "signup", "view"]
+    v1_files: list[str] = []
+    per_type: dict[str, list[str]] = {}
+    for t in types:
+        d = os.path.join(table, "data", "s1", f"type_{t}")
+        ev.filter(F.col("event_type") == t).write.mode("overwrite").parquet(d)
+        per_type[t] = snapshot_data_files(d)
+        v1_files += per_type[t]
+    snapshot_commit_atomic(table, 0, v1_files)
+
+    affected = ["click", "purchase"]
+    mx = ev.agg(F.max("event_id").alias("_m"))
+    upd = ev.filter(
+        (F.col("event_id") % 17 == 3)
+        & (F.col("event_id") % 29 != 11)
+        & F.col("event_type").isin(affected)
+    ).select("event_id", "event_type", (F.col("value") + 1000.0).alias("value"))
+    del_keys = ev.filter(
+        (F.col("event_id") % 29 == 11) & F.col("event_type").isin(affected)
+    ).select("event_id")
+    ins = (
+        ev.filter(F.col("event_id") % 89 == 13)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("event_id") + 1 + F.col("_m")).alias("event_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(2.75).alias("value"),
+        )
+    )
+    v2_files = [f for t in types if t not in affected for f in per_type[t]]
+    gone = F.broadcast(
+        upd.select("event_id").unionByName(del_keys)
+    )
+    for t in affected:
+        cur = spark.read.parquet(*per_type[t])
+        merged = cur.join(gone, "event_id", "left_anti").unionByName(
+            upd.filter(F.col("event_type") == t)
+        )
+        if t == "click":
+            merged = merged.unionByName(ins)
+        d = os.path.join(table, "data", "s2", f"type_{t}")
+        merged.write.mode("overwrite").parquet(d)
+        v2_files += snapshot_data_files(d)
+    snapshot_commit_atomic(table, 1, v2_files)
+
+    changes, info = snapshot_changes(
+        spark, table, 1, 2, key_col="event_id",
+        compare_cols=["event_type", "value"],
+    )
+    # metadata-prune facts: the three untouched slices are SHARED
+    # (never read), the rewritten slices are the only removed/added
+    assert info["shared"] == sorted(
+        f for t in types if t not in affected for f in per_type[t]
+    )
+    assert info["removed"] and info["added"], info
+    return changes.select("event_id", "change_type", "event_type", "value")
+
+
+@register(
+    "o18_file_skipping_scan",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_files_skipped
+    FROM events WHERE value >= 100.0 AND value <= 140.0
+    GROUP BY event_type
+    """,
+)
+def o18(spark, sf_dir):
+    """Zone-map file skipping on the READ path (r11; scale.py
+    file_key_stats + prune_files_by_range) — the scan-side twin of
+    o17's merge prune and the explicit form of what o15's range
+    compaction buys implicitly through parquet footers: the table is
+    laid out value-clustered (repartitionByRange — each file owns a
+    disjoint value range), a per-file [min,max] stats manifest is
+    built once (one single-column scan; at cluster scale these stats
+    live IN the snapshot manifest, making the prune metadata-only),
+    and a range query plans its FILE LIST against the manifest before
+    any scan — files whose interval misses [lo,hi] are never opened.
+    The prune is a superset admit (footer-stats semantics), so the
+    residual predicate still applies; correctness therefore never
+    depends on the layout, only the skip count does — the in-query
+    assert pins that files WERE skipped, and ``ok_files_skipped``
+    carries the fact into the hash (theorem-column idiom). The
+    layout+stats+prune trio is the difference between a selective
+    range query costing O(matching files) and O(table) at 100 TB —
+    the engine-level form of what o9 does with directories and o12
+    with buckets, on a column too dense to partition by."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        prune_files_by_range,
+    )
+    from cellphe_data_pipeline_spark.sources.io import snapshot_data_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = _stage_dir("o18_layout")
+    ev.repartitionByRange(16, "value").write.mode("overwrite").parquet(d)
+    files = snapshot_data_files(d)
+    stats = file_key_stats(spark, files, "value").collect()
+    lo, hi = 100.0, 140.0
+    selected = prune_files_by_range(stats, lo, hi)
+    assert 0 < len(selected) < len(files), (len(selected), len(files))
+    return (
+        spark.read.parquet(*selected)
+        .filter((F.col("value") >= lo) & (F.col("value") <= hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.lit(len(selected) < len(files)).alias("ok_files_skipped"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12177,6 +12355,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "g10_common_neighbors",
     "j16_cogroup_asof",
     "e24_streaming_static_enrich",
+    "s23_snapshot_changes",
+    "o18_file_skipping_scan",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -256,3 +256,89 @@ def snapshot_commit_with_retry(
             conflicts += 1
             if conflicts > max_retries:
                 raise
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_id: int,
+    to_id: int,
+    key_col: str,
+    compare_cols: list[str],
+) -> tuple[DataFrame, dict]:
+    """Change data feed between two snapshots (r11, s23) — the CDC
+    completion of the snapshot layer (s20 time travel, s21 atomic
+    commit, o17 COW merge): what changed from snapshot A to B, as
+    typed change rows (insert / delete / update_pre / update_post).
+
+    The scale insight is that COW at file granularity makes CDC a
+    MANIFEST DIFF, not a table diff: files present in both manifests
+    are byte-identical by the immutability contract, so their rows
+    cannot have changed — only (files_A − files_B) and (files_B −
+    files_A) are read, then full-outer-joined on the key. At 100 TB a
+    day's merge touches a sliver of files; the feed costs O(rewritten
+    slices), the shared-file majority is pruned by METADATA alone.
+    One honest subtlety is handled rather than hidden: a rewritten
+    file carries its UNCHANGED rows too (COW rewrites whole files), so
+    same-key rows whose compared columns are null-safely equal are
+    dropped — they moved files, not values. Emission is one pass:
+    per joined key, a compacted array of candidate change structs is
+    exploded (0 rows for rewritten-unchanged, 2 for updates).
+
+    Returns (changes_df, info) where info carries the file-diff facts
+    (shared/removed/added lists) so callers and tests can pin that the
+    metadata prune actually pruned."""
+    old_files = snapshot_files(table_dir, from_id)
+    new_files = snapshot_files(table_dir, to_id)
+    removed = sorted(set(old_files) - set(new_files))
+    added = sorted(set(new_files) - set(old_files))
+    shared = sorted(set(old_files) & set(new_files))
+
+    def side(files, prefix):
+        if files:
+            df = spark.read.parquet(*files)
+        else:
+            df = spark.read.parquet(*old_files).limit(0)
+        return df.select(
+            F.col(key_col).alias("_k"),
+            F.lit(1).alias(f"{prefix}present"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in compare_cols],
+        )
+
+    o = side(removed, "_o_")
+    n = side(added, "_n_")
+    j = o.join(n, "_k", "full_outer")
+    is_ins = F.col("_n_present").isNotNull() & F.col("_o_present").isNull()
+    is_del = F.col("_o_present").isNotNull() & F.col("_n_present").isNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    is_upd = (
+        F.col("_o_present").isNotNull()
+        & F.col("_n_present").isNotNull()
+        & differs
+    )
+
+    def change(tag, cond, prefix):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(tag).alias("change_type"),
+                *[F.col(f"{prefix}{c}").alias(c) for c in compare_cols],
+            ),
+        )
+
+    changes = j.select(
+        "_k",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    change("insert", is_ins, "_n_"),
+                    change("delete", is_del, "_o_"),
+                    change("update_pre", is_upd, "_o_"),
+                    change("update_post", is_upd, "_n_"),
+                )
+            )
+        ).alias("_c"),
+    ).select(F.col("_k").alias(key_col), "_c.*")
+    return changes, {"shared": shared, "removed": removed, "added": added}

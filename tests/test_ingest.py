@@ -205,3 +205,51 @@ def test_snapshot_atomic_commit_conflict_and_retry(tmp_path):
     assert snapshot_current(table) == cur  # repaired from manifests
     with open(ptr) as f:
         assert json.load(f)["snapshot_id"] == cur
+
+
+def test_snapshot_changes_classifies_and_prunes(spark, tmp_path):
+    """snapshot_changes: insert/delete/update classes typed correctly,
+    rewritten-but-unchanged rows dropped, shared files never part of
+    the diff read set."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_commit_atomic,
+        snapshot_data_files,
+    )
+
+    table = str(tmp_path / "cdc")
+    base_a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 2.0), (3, "x", 3.0)],
+        "k bigint, grp string, v double",
+    )
+    base_b = spark.createDataFrame(
+        [(10, "y", 10.0)], "k bigint, grp string, v double"
+    )
+    da, db = f"{table}/a1", f"{table}/b1"
+    base_a.write.parquet(da)
+    base_b.write.parquet(db)
+    files_a, files_b = snapshot_data_files(da), snapshot_data_files(db)
+    snapshot_commit_atomic(table, 0, files_a + files_b)
+
+    # rewrite ONLY slice a: k=1 updated, k=2 deleted, k=3 untouched
+    # (but rewritten — must NOT appear in the feed), k=4 inserted
+    new_a = spark.createDataFrame(
+        [(1, "x", 100.0), (3, "x", 3.0), (4, "x", 4.0)],
+        "k bigint, grp string, v double",
+    )
+    da2 = f"{table}/a2"
+    new_a.coalesce(1).write.parquet(da2)
+    snapshot_commit_atomic(table, 1, snapshot_data_files(da2) + files_b)
+
+    changes, info = snapshot_changes(
+        spark, table, 1, 2, key_col="k", compare_cols=["grp", "v"]
+    )
+    got = {(r["k"], r["change_type"]): r["v"] for r in changes.collect()}
+    assert got == {
+        (1, "update_pre"): 1.0,
+        (1, "update_post"): 100.0,
+        (2, "delete"): 2.0,
+        (4, "insert"): 4.0,
+    }
+    assert info["shared"] == files_b  # slice b pruned by metadata
+    assert set(info["removed"]) == set(files_a)

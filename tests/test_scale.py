@@ -713,3 +713,39 @@ def test_merge_rows_cow_prunes_reuses_and_moves_rows(spark, tmp_path):
         for r in snapshot_read(spark, table, 1).collect()
     }
     assert got1 == v1_state
+
+
+def test_file_key_stats_and_range_prune(spark, tmp_path):
+    """Zone-map primitives: stats are per-file exact, the prune admits
+    a superset of true hits and never drops a file whose interval
+    intersects the query range."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        prune_files_by_range,
+    )
+    from cellphe_data_pipeline_spark.sources.io import snapshot_data_files
+
+    d = str(tmp_path / "layout")
+    df = spark.range(0, 300).select(F.col("id").cast("double").alias("v"))
+    df.repartitionByRange(3, "v").write.parquet(d)
+    files = snapshot_data_files(d)
+    stats = file_key_stats(spark, files, "v").collect()
+    assert len(stats) == 3
+    assert sum(r["n_rows"] for r in stats) == 300
+    ivs = sorted((r["min_v"], r["max_v"]) for r in stats)
+    for (_, hi_a), (lo_b, _) in zip(ivs, ivs[1:]):
+        assert hi_a < lo_b  # range layout => disjoint per-file ranges
+
+    sel = prune_files_by_range(stats, ivs[1][0] + 1, ivs[1][1] - 1)
+    assert len(sel) == 1  # mid-range query touches exactly one file
+    got = (
+        spark.read.parquet(*sel)
+        .filter((F.col("v") >= ivs[1][0] + 1) & (F.col("v") <= ivs[1][1] - 1))
+        .count()
+    )
+    want = df.filter(
+        (F.col("v") >= ivs[1][0] + 1) & (F.col("v") <= ivs[1][1] - 1)
+    ).count()
+    assert got == want
+    # a range outside every interval selects nothing
+    assert prune_files_by_range(stats, 1e9, 2e9) == []
