@@ -2156,3 +2156,47 @@ def token_coverage_curve(
             ).alias("coverage_ppm"),
         )
     )
+
+
+def token_chunker_udtf():
+    """Sliding-window token chunker as a Python UDTF (r11, t29) — the
+    one table-function surface the engine had not exercised: a Python
+    class whose ``eval`` yields ZERO OR MORE rows per input row,
+    applied with LATERAL in SQL (the UDTF twin of explode, for row
+    expansions whose logic is imperative). Window/stride follow the
+    training-data convention (c13's packing consumes chunks shaped
+    like these): chunks of ``window`` tokens every ``stride`` tokens,
+    last chunk ragged, one chunk minimum for any non-empty document,
+    NO rows for an empty one (the zero-row case explode cannot express
+    without a guard). Chunking itself is expressible relationally (c2
+    does chars with explode+sequence) — this registers the UDTF
+    SURFACE against the same oracle family, the j16-vs-j9 discipline:
+    same semantics, second physical strategy, hash-pinned. Scale note:
+    UDTFs run Python per PARTITION with batched Arrow transfer when
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is on — still the
+    slow path vs codegen explode; reach for a UDTF only when the
+    expansion logic is genuinely imperative (stateful parsers,
+    tokenizer libraries, per-row decoders)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_id int, n_tokens int, chunk_text string"
+    ))
+    class TokenChunker:
+        WINDOW = 8
+        STRIDE = 6
+
+        def eval(self, doc_id, text):
+            toks = (text or "").split()
+            if not toks:
+                return
+            i, cid = 0, 0
+            while True:
+                chunk = toks[i : i + self.WINDOW]
+                yield (doc_id, cid, len(chunk), " ".join(chunk))
+                if i + self.WINDOW >= len(toks):
+                    break
+                i += self.STRIDE
+                cid += 1
+
+    return TokenChunker

@@ -12329,6 +12329,240 @@ def o18(spark, sf_dir):
     )
 
 
+@register(
+    "t29_udtf_token_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, t, len(t) AS n_toks,
+             CASE WHEN len(t) <= 8 THEN 1
+                  ELSE CAST(CEIL((len(t) - 8) / 6.0) AS INT) + 1 END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(len(list_slice(t, i * 6 + 1, i * 6 + 8)) AS INT) AS n_tokens,
+           array_to_string(list_slice(t, i * 6 + 1, i * 6 + 8), ' ')
+             AS chunk_text
+    FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+    """,
+)
+def t29(spark, sf_dir):
+    """Python UDTF surface (r11; text.py token_chunker_udtf) — the one
+    table-function API the engine had not exercised: a Python class
+    yielding 0..n rows per input row, applied via LATERAL — sliding
+    token chunks (window 8, stride 6, ragged tail, zero rows for an
+    empty doc). The kernel docstring is the decision record: chunking
+    IS relationally expressible (c2 does chars with explode+sequence),
+    so this pins the UDTF surface's semantics against the same oracle
+    family — the j16-vs-j9 discipline — and records when a UDTF is the
+    right tool (imperative expansions: stateful parsers, tokenizer
+    libraries, per-row decoders) vs codegen explode. The oracle
+    replays the window/stride arithmetic with generate_series +
+    list_slice."""
+    from cellphe_data_pipeline_spark.operators.text import token_chunker_udtf
+
+    spark.udtf.register("t29_token_chunker", token_chunker_udtf())
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_t29_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        FROM _t29_docs d, LATERAL t29_token_chunker(d.doc_id, d.text) c
+        """
+    )
+
+
+@register(
+    "o19_manifest_stats_prune",
+    """
+    SELECT 'mid' AS band, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_pruned
+    FROM events WHERE value >= 100.0 AND value <= 140.0
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'high', event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), TRUE
+    FROM events WHERE value >= 300.0 AND value <= 350.0
+    GROUP BY event_type
+    """,
+)
+def o19(spark, sf_dir):
+    """Manifest-embedded statistics (r11; io.py snapshot_commit_atomic
+    stats= + snapshot_read_pruned) — closing the trade o17/o18 record
+    ("at cluster scale the stats are written INTO the manifest at
+    commit time"): the writer pays ONE stats scan at commit and embeds
+    per-file [min,max] into the manifest JSON; afterwards EVERY range
+    read prunes its file list from the manifest alone — zero data-file
+    I/O before the matching files, the true Delta-checkpoint/Iceberg-
+    manifest mechanics where o18 recomputed stats per query. Two
+    disjoint bands read through the same committed stats (both prunes
+    asserted non-trivial in-query); a file with no stats entry is
+    ADMITTED — stats are an optimization, never a correctness gate,
+    which is what lets stats cover only hot columns at 100 TB. The
+    residual predicate applies as always (superset-admit)."""
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_read_pruned,
+    )
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("o19_stats")
+    d = os.path.join(table, "data", "base")
+    ev.repartitionByRange(16, "value").write.mode("overwrite").parquet(d)
+    files = snapshot_data_files(d)
+    from urllib.parse import urlparse
+
+    stats = {
+        "value": {
+            # _metadata.file_path is a URI; manifests hold plain paths
+            urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+            for r in file_key_stats(spark, files, "value").collect()
+        }
+    }
+    assert set(stats["value"]) == set(files)
+    snapshot_commit_atomic(table, 0, files, stats=stats)
+
+    out = None
+    for tag, lo, hi in (("mid", 100.0, 140.0), ("high", 300.0, 350.0)):
+        df, info = snapshot_read_pruned(spark, table, 1, "value", lo, hi)
+        assert info["skipped"] and info["kept"], (tag, info)
+        band = (
+            df.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.lit(tag).alias("band"), "event_type", "n", "sum_value",
+                F.lit(True).alias("ok_pruned"),
+            )
+        )
+        out = band if out is None else out.unionByName(band)
+    return out
+
+
+@register(
+    "o20_snapshot_vacuum",
+    """
+    WITH upd AS (
+      SELECT event_id, event_type, value + 77.0 AS value FROM events
+      WHERE event_id % 13 = 5 AND event_type = 'click'
+    ),
+    v2 AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE e.event_id NOT IN (SELECT event_id FROM upd)
+      UNION ALL SELECT event_id, event_type, value FROM upd
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_orphans_gone,
+           TRUE AS ok_expired_cleaned,
+           TRUE AS ok_current_intact
+    FROM v2 GROUP BY event_type
+    """,
+)
+def o20(spark, sf_dir):
+    """Snapshot VACUUM (r11; io.py snapshot_vacuum) — the maintenance
+    op the WAP gate points at (s22: quarantined staged files stay
+    "orphaned in the pool ... reclaimable by a vacuum that keeps
+    manifest-referenced files"). The lifecycle exercised end-to-end:
+    v1 commits five type slices; a quarantined batch is STAGED into
+    the pool but never committed (the s22 failure path — orphans by
+    construction); v2 COW-rewrites only the click slice (four slices
+    shared). First vacuum (no expiry): the orphans are deleted, every
+    committed file survives, BOTH snapshots still readable. Then
+    expiry vacuum (expire_before=2): v1's manifest is removed and its
+    now-unreferenced old click file deleted, the four SHARED slices
+    survive because v2 still references them — reference-counting
+    reachability, with the production retention-horizon caveat
+    (in-flight readers/commits need age-gating) recorded in the
+    kernel. All deletions and survivals asserted in-query against the
+    filesystem; the oracle recomputes v2 relationally, so the hash
+    proves the vacuum deleted nothing the current snapshot needs."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("o20_vacuum")
+    types = ["click", "error", "purchase", "signup", "view"]
+    per_type: dict[str, list[str]] = {}
+    v1_files: list[str] = []
+    for t in types:
+        d = os.path.join(table, "data", "s1", f"type_{t}")
+        ev.filter(F.col("event_type") == t).write.mode("overwrite").parquet(d)
+        per_type[t] = snapshot_data_files(d)
+        v1_files += per_type[t]
+    snapshot_commit_atomic(table, 0, v1_files)
+
+    # the s22 failure path: staged into the pool, never committed
+    orphan_dir = os.path.join(table, "data", "quarantined_batch")
+    ev.limit(50).write.mode("overwrite").parquet(orphan_dir)
+    orphans = snapshot_data_files(orphan_dir)
+
+    upd = ev.filter(
+        (F.col("event_id") % 13 == 5) & (F.col("event_type") == "click")
+    ).select("event_id", "event_type", (F.col("value") + 77.0).alias("value"))
+    cur = spark.read.parquet(*per_type["click"])
+    merged = cur.join(
+        F.broadcast(upd.select("event_id")), "event_id", "left_anti"
+    ).unionByName(upd)
+    d2 = os.path.join(table, "data", "s2", "type_click")
+    merged.write.mode("overwrite").parquet(d2)
+    v2_files = [
+        f for t in types if t != "click" for f in per_type[t]
+    ] + snapshot_data_files(d2)
+    snapshot_commit_atomic(table, 1, v2_files)
+
+    info1 = snapshot_vacuum(table)  # reachability-only pass
+    assert set(info1["deleted"]) == set(orphans), info1["deleted"]
+    assert all(os.path.exists(f) for f in v1_files + v2_files)
+    assert snapshot_read(spark, table, 1).count() > 0  # v1 still readable
+
+    info2 = snapshot_vacuum(table, expire_before=2)  # drop v1 history
+    assert info2["expired"] == [1], info2["expired"]
+    assert set(info2["deleted"]) == set(per_type["click"]), info2["deleted"]
+    shared = [f for t in types if t != "click" for f in per_type[t]]
+    assert all(os.path.exists(f) for f in shared + v2_files)
+
+    return (
+        snapshot_read(spark, table, 2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.lit(True).alias("ok_orphans_gone"),
+            F.lit(True).alias("ok_expired_cleaned"),
+            F.lit(True).alias("ok_current_intact"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12357,6 +12591,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "e24_streaming_static_enrich",
     "s23_snapshot_changes",
     "o18_file_skipping_scan",
+    "t29_udtf_token_chunks",
+    "o19_manifest_stats_prune",
+    "o20_snapshot_vacuum",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

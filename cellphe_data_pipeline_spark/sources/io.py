@@ -192,12 +192,22 @@ def _advance_pointer(table_dir: str, snapshot_id: int) -> None:
 
 
 def snapshot_commit_atomic(
-    table_dir: str, expected_parent: int, files: list[str]
+    table_dir: str,
+    expected_parent: int,
+    files: list[str],
+    stats: dict | None = None,
 ) -> int:
     """CAS commit: publish `files` as snapshot expected_parent+1 iff
     the table is still at expected_parent. Raises SnapshotConflict on
     a lost race (manifest for the target id already exists — some
-    other writer advanced the table first)."""
+    other writer advanced the table first).
+
+    ``stats`` (r11, o19) optionally embeds per-file column statistics
+    in the manifest — ``{col: {file: [min, max]}}`` — closing the
+    trade o17/o18 record ("at cluster scale the stats are written INTO
+    the manifest at commit time"): the stats scan is paid ONCE by the
+    writer, and every later range read prunes its file list from the
+    manifest alone, zero data-file I/O before the matching files."""
     import os
 
     if snapshot_current(table_dir) != expected_parent:
@@ -215,6 +225,7 @@ def snapshot_commit_atomic(
                 "snapshot_id": new_id,
                 "parent_id": expected_parent,
                 "files": sorted(files),
+                **({"stats": stats} if stats else {}),
             },
             f,
         )
@@ -342,3 +353,103 @@ def snapshot_changes(
         ).alias("_c"),
     ).select(F.col("_k").alias(key_col), "_c.*")
     return changes, {"shared": shared, "removed": removed, "added": added}
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, dict]:
+    """Manifest-stats-pruned time-travel read (r11, o19): resolve the
+    snapshot's file list AND its embedded per-file [min,max] stats for
+    ``col``, keep only files whose interval intersects [lo, hi], read
+    exactly those. Zero data-file I/O happens before the matching
+    files — the prune consults the manifest JSON alone (this is the
+    metadata-only operation o18 performs with a recomputed stats scan;
+    here the writer paid that scan once at commit). Superset-admit
+    semantics as always with zone maps: the caller still applies the
+    residual predicate. A file with NO stats entry for ``col`` is
+    ADMITTED (stats are an optimization, never a correctness gate —
+    the contract that lets stats cover only some columns). Returns
+    (df, info) with the kept/skipped lists for callers and tests."""
+    import os
+
+    with open(
+        os.path.join(table_dir, "manifests", f"v{snapshot_id}.json")
+    ) as f:
+        m = json.load(f)
+    col_stats = m.get("stats", {}).get(col, {})
+    kept, skipped = [], []
+    for fp in m["files"]:
+        iv = col_stats.get(fp)
+        if iv is not None and (iv[1] < lo or iv[0] > hi):
+            skipped.append(fp)
+        else:
+            kept.append(fp)
+    if not kept:
+        df = spark.read.parquet(*m["files"]).limit(0)
+    else:
+        df = spark.read.parquet(*kept)
+    return df, {"kept": kept, "skipped": skipped}
+
+
+def snapshot_vacuum(
+    table_dir: str, expire_before: int | None = None
+) -> dict:
+    """Garbage-collect the snapshot pool (r11, o20) — the maintenance
+    op the WAP gate (s22) points at ("orphaned staged files ...
+    reclaimable by a vacuum that keeps manifest-referenced files"):
+
+      1. optionally EXPIRE snapshots with id < ``expire_before`` —
+         their manifests are removed (the current snapshot is always
+         kept, whatever ``expire_before`` says: truncating history may
+         never delete the present);
+      2. delete every data file under ``table_dir``'s pool that no
+         SURVIVING manifest references: quarantined WAP batches, data
+         of expired snapshots, debris of crashed writers.
+
+    Correctness argument, in the single-writer-vacuum miniature: a
+    file is deleted only if NO manifest references it, and readers
+    resolve manifests before files, so every surviving snapshot stays
+    readable byte-identically (pinned by test and by the o20 oracle).
+    What production adds on top is recorded, not implemented: a
+    retention HORIZON (Delta's default 7 days) so files of in-flight
+    commits and long-running readers are not swept — age-gating
+    deletion is the concurrency story, the reference-counting here is
+    the reachability story. Returns {expired, deleted, kept} lists."""
+    import os
+    import re
+
+    mdir = os.path.join(table_dir, "manifests")
+    ids = []
+    for fname in os.listdir(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", fname)
+        if m:
+            ids.append(int(m.group(1)))
+    current = max(ids)
+    expired = []
+    if expire_before is not None:
+        for sid in sorted(ids):
+            if sid < expire_before and sid != current:
+                os.remove(os.path.join(mdir, f"v{sid}.json"))
+                expired.append(sid)
+    survivors = [sid for sid in ids if sid not in expired]
+    referenced: set[str] = set()
+    for sid in survivors:
+        referenced.update(snapshot_files(table_dir, sid))
+    deleted = []
+    data_root = os.path.join(table_dir, "data")
+    for root, _, files in os.walk(data_root):
+        for fname in files:
+            fp = os.path.join(root, fname)
+            if fname.endswith(".parquet") and fp not in referenced:
+                os.remove(fp)
+                deleted.append(fp)
+    return {
+        "expired": expired,
+        "deleted": sorted(deleted),
+        "kept": sorted(referenced),
+    }

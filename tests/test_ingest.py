@@ -253,3 +253,53 @@ def test_snapshot_changes_classifies_and_prunes(spark, tmp_path):
     }
     assert info["shared"] == files_b  # slice b pruned by metadata
     assert set(info["removed"]) == set(files_a)
+
+
+def test_snapshot_stats_prune_admits_files_without_stats(spark, tmp_path):
+    """Manifest stats are an optimization, never a correctness gate: a
+    file with no stats entry must be ADMITTED by the prune."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_read_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    lo_df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    hi_df = spark.createDataFrame([(100.0,), (200.0,)], "v double")
+    d1, d2 = f"{table}/data/a", f"{table}/data/b"
+    lo_df.coalesce(1).write.parquet(d1)
+    hi_df.coalesce(1).write.parquet(d2)
+    f1, f2 = snapshot_data_files(d1), snapshot_data_files(d2)
+    # stats cover ONLY the low file; the high file has no entry
+    snapshot_commit_atomic(
+        table, 0, f1 + f2, stats={"v": {f1[0]: [1.0, 2.0]}}
+    )
+    df, info = snapshot_read_pruned(spark, table, 1, "v", 150.0, 300.0)
+    assert info["skipped"] == f1  # stats excluded it
+    assert info["kept"] == f2     # no stats -> admitted
+    assert [r["v"] for r in df.filter("v >= 150").collect()] == [200.0]
+
+
+def test_snapshot_vacuum_never_deletes_current(spark, tmp_path):
+    """expire_before beyond the current snapshot must still keep the
+    current manifest and every file it references."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    d1 = f"{table}/data/a"
+    df.coalesce(1).write.parquet(d1)
+    files = snapshot_data_files(d1)
+    snapshot_commit_atomic(table, 0, files)
+    info = snapshot_vacuum(table, expire_before=99)
+    assert info["expired"] == [] and info["deleted"] == []
+    assert all(os.path.exists(f) for f in files)
+    assert snapshot_read(spark, table, 1).count() == 2
