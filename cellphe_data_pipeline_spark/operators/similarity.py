@@ -1023,3 +1023,76 @@ def mean_pool_embeddings(
         "n_chunks",
         scale,
     )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 4,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (r11, v18) — the
+    diversification stage between retrieval and consumption (Carbonell
+    & Goldstein 1998): greedily pick k results maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)`` so near-duplicate
+    hits don't crowd the result list — for a training-data pipeline,
+    the anti-redundancy selection over retrieved context/examples.
+
+    Inputs are RELATIONAL and exact: ``candidates`` (qid, did, rel)
+    from the retrieval stage (rounded-then-ranked, the v1 discipline)
+    and ``pair_sims`` (qid, d1, d2, sim) over each query's candidate
+    set — both computed with the engine's sequential-fold cosine, so
+    every float entering the greedy is cross-engine byte-identical.
+    The greedy itself runs per query via cogroup + applyInPandas (the
+    j16 shape: imperative per-key logic over two co-shuffled inputs)
+    and performs ONLY order-deterministic IEEE ops (x0.5 is exact;
+    max/compare are order-free; ties broken by did) — which is what
+    lets an UNROLLED chained-CTE oracle replay it bit-for-bit.
+
+    Scale: MMR cost is per-query k·|C| with |C| the retrieved top-k
+    window (never the corpus) plus the |C|² pair sims — the standard
+    rerank budget; everything shuffles on qid once. Empty-set maxsim
+    is 0, making pick 1 = argmax rel under the same score formula."""
+    import pandas as pd
+
+    lam = float(lam)
+
+    def greedy(cand: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["vec_id", "pick_rank", "neighbor_id", "mmr_score"]
+        if cand.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        qid = int(cand["qid"].iloc[0])
+        rel = dict(zip(cand["did"], cand["rel"]))
+        sim: dict = {}
+        if not pairs.empty:
+            sim = {
+                (d1, d2): s
+                for d1, d2, s in zip(pairs["d1"], pairs["d2"], pairs["sim"])
+            }
+        remaining = sorted(rel)
+        selected: list = []
+        rows = []
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best_key, best = None, None
+            for d in remaining:
+                ms = max((sim[(d, s)] for s in selected), default=0.0)
+                score = lam * rel[d] - (1.0 - lam) * ms
+                key = (-score, d)
+                if best_key is None or key < best_key:
+                    best_key, best = key, (d, score)
+            rows.append((qid, rank, best[0], best[1]))
+            selected.append(best[0])
+            remaining.remove(best[0])
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        candidates.groupBy("qid")
+        .cogroup(pair_sims.groupBy("qid"))
+        .applyInPandas(
+            greedy,
+            schema=(
+                "vec_id bigint, pick_rank int, "
+                "neighbor_id bigint, mmr_score double"
+            ),
+        )
+    )

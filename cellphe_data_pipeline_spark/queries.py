@@ -12563,6 +12563,134 @@ def o20(spark, sf_dir):
     )
 
 
+def _mmr_oracle_sql(k: int = 4, cand_k: int = 10, qmod: int = 40) -> str:
+    """v18 oracle: the MMR greedy UNROLLED as chained MATERIALIZED CTEs
+    (the g7/g8 lesson — a bounded iterative algorithm's oracle is its
+    unrolled rounds). selset0 is empty; each round scores the remaining
+    candidates with 0.5·rel − 0.5·COALESCE(max sim to selset, 0) —
+    exactly the engine's arithmetic on exactly the same 5-decimal
+    rounded inputs — and picks the (score DESC, did) winner."""
+    cos = "ROUND(list_dot_product({a}.emb, {b}.emb) / ({a}.nrm * {b}.nrm), 5) + 0.0"
+    parts = [f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % {qmod} = 0),
+    cand AS MATERIALIZED (
+      SELECT qid, did, rel FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS did,
+               {cos.format(a='q', b='c')} AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos.format(a='q', b='c')} DESC, c.vec_id) AS rnk
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+      ) t WHERE rnk <= {cand_k}
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.qid, a.did AS d1, b.did AS d2,
+             {cos.format(a='x', b='y')} AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.did <> b.did
+      JOIN n x ON x.vec_id = a.did
+      JOIN n y ON y.vec_id = b.did
+    ),
+    selset0 AS (SELECT qid, did FROM cand WHERE 1 = 0)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    m{i} AS (
+      SELECT r.qid, r.did, 0.5 * r.rel - 0.5 * COALESCE(mx.ms, 0.0) AS score
+      FROM cand r
+      LEFT JOIN (
+        SELECT p.qid, p.d1 AS did, MAX(p.sim) AS ms
+        FROM ps p JOIN selset{i - 1} s ON s.qid = p.qid AND s.did = p.d2
+        GROUP BY p.qid, p.d1
+      ) mx ON mx.qid = r.qid AND mx.did = r.did
+      LEFT JOIN selset{i - 1} x ON x.qid = r.qid AND x.did = r.did
+      WHERE x.did IS NULL
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT qid, did, score FROM (
+        SELECT qid, did, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, did) AS rn
+        FROM m{i}
+      ) t WHERE rn = 1
+    ),
+    selset{i} AS (
+      SELECT qid, did FROM selset{i - 1}
+      UNION ALL SELECT qid, did FROM s{i}
+    )""")
+    finals = [
+        f"SELECT qid AS vec_id, CAST({i} AS INT) AS pick_rank, "
+        f"did AS neighbor_id, score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@register("v18_mmr_diversify", _mmr_oracle_sql())
+def v18(spark, sf_dir):
+    """MMR diversification rerank (r11; similarity.py mmr_diversify) —
+    the selection stage between retrieval and consumption: from each
+    query's exact top-10 (the v1 chain), greedily keep 4 maximizing
+    0.5·rel − 0.5·max-sim-to-already-kept, so near-duplicates don't
+    crowd the window — the anti-redundancy pass a retrieval-augmented
+    training pipeline runs over candidate context (and the per-query
+    cousin of d15's corpus-level SemDeDup). Everything FLOAT is
+    computed relationally first (candidate rels and candidate-pair
+    sims via the sequential-fold cosine, rounded-then-ranked — the v1
+    discipline), so the imperative greedy (cogroup + applyInPandas,
+    the j16 shape) performs only order-deterministic IEEE ops and the
+    unrolled chained-CTE oracle (the g7 lesson) replays it
+    bit-for-bit. Scale: cost is per-query k·|C| + |C|² pair sims with
+    |C| = the top-k window, never the corpus; one qid shuffle."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        _dot,
+        cosine_topk_bruteforce,
+        mmr_diversify,
+        with_norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    cand = cosine_topk_bruteforce(e, k=10, queries=q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("neighbor_id").alias("did"),
+        F.col("cos_sim").alias("rel"),
+    )
+    a, b = cand.alias("ca"), cand.alias("cb")
+    cpairs = a.join(
+        b,
+        (F.col("ca.qid") == F.col("cb.qid"))
+        & (F.col("ca.did") != F.col("cb.did")),
+    ).select(
+        F.col("ca.qid").alias("qid"),
+        F.col("ca.did").alias("d1"),
+        F.col("cb.did").alias("d2"),
+    )
+    n1 = with_norm(e).select(
+        F.col("vec_id").alias("_v1"),
+        F.col("_emb").alias("_e1"),
+        F.col("_norm").alias("_n1"),
+    )
+    n2 = with_norm(e).select(
+        F.col("vec_id").alias("_v2"),
+        F.col("_emb").alias("_e2"),
+        F.col("_norm").alias("_n2"),
+    )
+    pairs = (
+        cpairs
+        .join(F.broadcast(n1), F.col("d1") == F.col("_v1"))
+        .join(F.broadcast(n2), F.col("d2") == F.col("_v2"))
+        .select(
+            "qid", "d1", "d2",
+            round_z(
+                _dot(F.col("_e1"), F.col("_e2"))
+                / (F.col("_n1") * F.col("_n2")),
+                5,
+            ).alias("sim"),
+        )
+    )
+    return mmr_diversify(cand, pairs, k=4, lam=0.5)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12594,6 +12722,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t29_udtf_token_chunks",
     "o19_manifest_stats_prune",
     "o20_snapshot_vacuum",
+    "v18_mmr_diversify",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

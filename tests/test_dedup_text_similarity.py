@@ -2539,3 +2539,47 @@ def test_variant_extraction_missing_paths_and_types(spark):
     ).collect()[0]
     assert r["b"] == 7 and r["t1"] == "q"
     assert r["t_oob"] is None and r["missing"] is None and r["missing_plain"] is None
+
+
+def test_mmr_diversify_skips_near_duplicate(spark):
+    """Hand-computed MMR: the second pick must skip the near-duplicate
+    of the first even though it has the higher relevance."""
+    from cellphe_data_pipeline_spark.operators.similarity import mmr_diversify
+
+    # candidates for one query: a (rel .9), b (rel .89, near-dup of a),
+    # c (rel .5, diverse)
+    cand = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.89), (1, 12, 0.5)],
+        "qid bigint, did bigint, rel double",
+    )
+    sims = [
+        (1, 10, 11, 0.99), (1, 11, 10, 0.99),
+        (1, 10, 12, 0.10), (1, 12, 10, 0.10),
+        (1, 11, 12, 0.10), (1, 12, 11, 0.10),
+    ]
+    pairs = spark.createDataFrame(
+        sims, "qid bigint, d1 bigint, d2 bigint, sim double"
+    )
+    got = {
+        r["pick_rank"]: (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_diversify(cand, pairs, k=3, lam=0.5).collect()
+    }
+    # rank1: a (score .45); rank2: b scores .89/2-.99/2=-.05,
+    # c scores .5/2-.1/2=.2 -> c wins despite lower rel; rank3: b
+    assert got[1] == (10, 0.5 * 0.9)
+    assert got[2] == (12, 0.5 * 0.5 - 0.5 * 0.10)
+    assert got[3][0] == 11
+
+
+def test_mmr_diversify_handles_short_candidate_lists(spark):
+    from cellphe_data_pipeline_spark.operators.similarity import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [(7, 1, 0.8), (7, 2, 0.6)], "qid bigint, did bigint, rel double"
+    )
+    pairs = spark.createDataFrame(
+        [(7, 1, 2, 0.3), (7, 2, 1, 0.3)],
+        "qid bigint, d1 bigint, d2 bigint, sim double",
+    )
+    out = mmr_diversify(cand, pairs, k=5, lam=0.5).collect()
+    assert sorted(r["pick_rank"] for r in out) == [1, 2]  # k capped at |C|
