@@ -12691,6 +12691,78 @@ def v18(spark, sf_dir):
     return mmr_diversify(cand, pairs, k=4, lam=0.5)
 
 
+@register(
+    "e25_streaming_snapshot_sink",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_replay_noop
+    FROM events GROUP BY event_type
+    """,
+)
+def e25(spark, sf_dir):
+    """§2.11 exactly-once streaming sink into the snapshot table (r11;
+    tracker.streaming_snapshot_sink_drain + io.snapshot_append_batch)
+    — the twenty-first verified streaming runtime, composing streaming
+    with the lakehouse layer: three deterministic micro-batches drain
+    through foreachBatch, each CAS-committing a snapshot whose
+    manifest records the ``last_batch_id`` watermark (Delta's txn
+    action in miniature). The failure mode e23 leaves open is then
+    EXERCISED: the engine's contract re-delivers a micro-batch when a
+    crash lands between sink output and checkpoint commit — simulated
+    by re-invoking the sink with the final batch and its batch_id,
+    which must be a NO-OP (returns False, snapshot id unchanged —
+    asserted in-query; ok_replay_noop carries the fact). The final
+    snapshot's rollup hash-matches the whole-input oracle: every
+    input row visible exactly once despite the replay. Also the first
+    incremental-ingest lifecycle where each micro-batch is a READABLE
+    committed snapshot — a downstream s23 CDC consumer could follow
+    the stream batch-by-batch through manifests alone."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch,
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_snapshot_sink_drain,
+    )
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == m) for m in range(3)]
+    staged = _stage_ordered_batches(parts, "e25_batches")
+    root = _stage_dir("e25_sink")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_snapshot_sink_drain(
+            spark, parts[0].schema, staged, table, ckpt
+        )
+    assert counts == {"committed": 3, "skipped": 0}, counts
+    sid = snapshot_current(table)
+    assert sid == 3, sid
+    # the re-delivery the engine's contract permits: same batch, same
+    # id — the sink must refuse and the table must not advance
+    replayed = snapshot_append_batch(table, parts[2], 2)
+    assert replayed is False and snapshot_current(table) == 3
+    return (
+        snapshot_read(spark, table, 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.lit(True).alias("ok_replay_noop"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12723,6 +12795,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "o19_manifest_stats_prune",
     "o20_snapshot_vacuum",
     "v18_mmr_diversify",
+    "e25_streaming_snapshot_sink",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

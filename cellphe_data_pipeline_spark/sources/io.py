@@ -191,11 +191,23 @@ def _advance_pointer(table_dir: str, snapshot_id: int) -> None:
     os.rename(tmp, os.path.join(table_dir, "current"))  # atomic replace
 
 
+def snapshot_manifest(table_dir: str, snapshot_id: int) -> dict:
+    """Full manifest document for a snapshot (files + any embedded
+    metadata: stats, transaction watermarks)."""
+    import os
+
+    with open(
+        os.path.join(table_dir, "manifests", f"v{snapshot_id}.json")
+    ) as f:
+        return json.load(f)
+
+
 def snapshot_commit_atomic(
     table_dir: str,
     expected_parent: int,
     files: list[str],
     stats: dict | None = None,
+    extra: dict | None = None,
 ) -> int:
     """CAS commit: publish `files` as snapshot expected_parent+1 iff
     the table is still at expected_parent. Raises SnapshotConflict on
@@ -226,6 +238,7 @@ def snapshot_commit_atomic(
                 "parent_id": expected_parent,
                 "files": sorted(files),
                 **({"stats": stats} if stats else {}),
+                **(extra or {}),
             },
             f,
         )
@@ -453,3 +466,43 @@ def snapshot_vacuum(
         "deleted": sorted(deleted),
         "kept": sorted(referenced),
     }
+
+
+def snapshot_append_batch(
+    table_dir: str, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Idempotent-by-batch-id append into the snapshot table (r11,
+    e25) — the sink half of streaming exactly-once, Delta's `txn`
+    action in miniature: the manifest carries ``last_batch_id``, and a
+    batch at or below it is a REPLAY (the engine re-delivers a
+    micro-batch whenever a crash lands between sink output and
+    checkpoint commit) — skipped entirely, returns False. A fresh
+    batch writes its files into the pool and CAS-commits a snapshot
+    recording the new watermark; the data write targets a
+    deterministic per-batch dir with mode=overwrite, so a crash
+    BETWEEN data write and commit leaves debris the replay simply
+    overwrites (and o20's vacuum would reclaim if the stream never
+    returns). With checkpointed batch ids strictly increasing, sink
+    state (one int) + idempotent commit = exactly-once OUTPUT on top
+    of the source's at-least-once replay. Single-writer per table
+    assumed here (a multi-writer stream would retry the CAS via
+    snapshot_commit_with_retry and re-check the watermark on rebase
+    — recorded, not needed for one query's one sink)."""
+    import os
+
+    parent = snapshot_current(table_dir)
+    last = -1
+    if parent > 0:
+        last = snapshot_manifest(table_dir, parent).get("last_batch_id", -1)
+    if batch_id <= last:
+        return False
+    out_dir = os.path.join(table_dir, "data", f"batch_{batch_id}")
+    batch_df.write.mode("overwrite").parquet(out_dir)
+    base = snapshot_files(table_dir, parent) if parent > 0 else []
+    snapshot_commit_atomic(
+        table_dir,
+        parent,
+        base + snapshot_data_files(out_dir),
+        extra={"last_batch_id": batch_id},
+    )
+    return True

@@ -1548,3 +1548,51 @@ def streaming_static_enrich_rollup(
             .alias("sum_value"),
         )
     )
+
+
+def streaming_snapshot_sink_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    ckpt_dir: str,
+    timeout_s: int = 300,
+) -> dict:
+    """availableNow drain through a foreachBatch sink that commits each
+    micro-batch into the SNAPSHOT TABLE idempotently (r11, e25;
+    io.snapshot_append_batch) — the sink-side half of exactly-once,
+    composing the streaming runtime with the lakehouse layer: e23
+    proved the ENGINE restarts without re-reading or re-emitting; e25
+    proves the SINK tolerates the re-delivery the engine's contract
+    still permits (a crash between sink output and checkpoint commit
+    replays that micro-batch). foreachBatch gives the batch_id the
+    idempotency keys on; the snapshot commit records it as the
+    manifest's ``last_batch_id`` watermark, so a replayed batch is a
+    no-op and a reader of ANY snapshot sees each input row exactly
+    once. maxFilesPerTrigger=1 keeps the staged files = the batches.
+    Returns {committed, skipped} counts observed by the sink."""
+    from cellphe_data_pipeline_spark.sources.io import snapshot_append_batch
+
+    counts = {"committed": 0, "skipped": 0}
+
+    def sink(batch_df, batch_id):
+        if snapshot_append_batch(table_dir, batch_df, batch_id):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"snapshot-sink drain did not finish in {timeout_s}s")
+    return counts

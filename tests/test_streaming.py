@@ -1558,3 +1558,29 @@ def test_streaming_static_enrich_stateless_join(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_append_batch_idempotent_by_batch_id(spark, tmp_path):
+    """The exactly-once sink primitive: replays (same or lower batch
+    id) are no-ops; fresh ids commit readable snapshots."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch,
+        snapshot_current,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    b1 = spark.createDataFrame([(2, 2.0)], "k bigint, v double")
+    assert snapshot_append_batch(table, b0, 0) is True
+    assert snapshot_append_batch(table, b1, 1) is True
+    assert snapshot_current(table) == 2
+    # replay of batch 1 AND a late replay of batch 0: both refused
+    assert snapshot_append_batch(table, b1, 1) is False
+    assert snapshot_append_batch(table, b0, 0) is False
+    assert snapshot_current(table) == 2
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, table, 2).collect()}
+    assert rows == {1: 1.0, 2: 2.0}
+    # snapshot 1 (after batch 0 only) still readable: each micro-batch
+    # is a committed, time-travelable table version
+    assert snapshot_read(spark, table, 1).count() == 1
