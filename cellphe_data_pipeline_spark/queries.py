@@ -12763,6 +12763,186 @@ def e25(spark, sf_dir):
     )
 
 
+@register(
+    "c22_chat_template_render",
+    """
+    WITH m AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS content
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, content,
+             CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      FROM m
+    )
+    SELECT user_id,
+           string_agg('<|' || role || '|>' || content, '' ORDER BY rn)
+             AS rendered_text,
+           COUNT(*) AS n_msgs,
+           CAST(COALESCE(SUM(length(content))
+                  FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
+             AS n_loss_chars
+    FROM r GROUP BY user_id
+    """,
+)
+def c22(spark, sf_dir):
+    """Chat-template rendering with loss-span accounting (r11) — the
+    SFT-data prep step between raw logs and the tokenizer: per-key
+    event sequences become alternating-role conversations rendered
+    into ONE training string with role sentinels, plus the
+    loss-masking arithmetic (assistant-content chars are what the loss
+    covers; c14/c15 are the objective-side transforms, c22 is the
+    dialogue-format one). The 100 TB mechanism is ordered
+    aggregation-concat done right: Spark has no ordered string_agg,
+    and collect_list alone is ASSEMBLY-ORDER-NONDETERMINISTIC — the
+    deterministic idiom is collect_list(struct(rn, piece)) →
+    array_sort → transform → array_join, one combinable groupBy whose
+    partial state is each key's pieces (never a window sort over the
+    corpus). Conversation length is the skew knob: one hot key's
+    transcript must fit executor memory — the j8/cogroup caveat, cap
+    turns upstream. The oracle is DuckDB's native ordered string_agg;
+    hash equality pins the sort-struct idiom EQUALS ordered
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("content"),
+    ).select(
+        "user_id", "rn", "content",
+        F.when(F.col("rn") % 2 == 1, "user")
+        .otherwise("assistant")
+        .alias("role"),
+    )
+    piece = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"), F.col("content"))
+    return (
+        m.select(
+            "user_id", F.struct("rn", piece.alias("piece")).alias("_p"),
+            "role", "content",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_p")), lambda x: x["piece"]
+                ),
+                "",
+            ).alias("rendered_text"),
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("role") == "assistant", F.length("content")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_loss_chars"),
+        )
+    )
+
+
+@register(
+    "u7_multiset_set_ops",
+    """
+    SELECT user_id, 'intersect_all' AS side, COUNT(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'except_all', COUNT(*) FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    """,
+)
+def u7(spark, sf_dir):
+    """Multiset set operations (r11) — u5's missing ALL half:
+    INTERSECT ALL keeps min(multiplicity) copies per value, EXCEPT ALL
+    subtracts multiplicities — bag semantics SQL defines and Spark
+    implements natively (intersectAll/exceptAll plan as aggregate-
+    with-count + generate, one shuffle on the value, never a distinct
+    that would collapse the counts). The practical reading: per-user
+    click-vs-view exposure matching (how many clicks have a matching
+    view LEFT OVER after pairing) — the multiplicity arithmetic a
+    DISTINCT-based u5 formulation silently destroys. Counts aggregated
+    per user so the multiset result is hash-checked via its
+    multiplicity vector."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    ia = (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.lit("intersect_all").alias("side"), "n")
+    )
+    ea = (
+        clicks.exceptAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.lit("except_all").alias("side"), "n")
+    )
+    return ia.unionByName(ea)
+
+
+def _o21_bucketed_agg(spark, sf_dir):
+    """The exchange-free aggregate body of o21, split out so the plan
+    test can assert ZERO Exchange end-to-end (scan → partial agg →
+    final agg, no shuffle at all)."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        publish_bucketed,
+        read_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    publish_bucketed(
+        ev, "o21_events_bk", ["user_id"], num_buckets=8,
+        path=_stage_dir("o21_events_bk"),
+    )
+    return (
+        read_bucketed(spark, "o21_events_bk")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "o21_bucketed_agg",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def o21(spark, sf_dir):
+    """Exchange-free aggregation over a bucketed table (r11) — the
+    aggregation half of o8's story (o8 proves bucketed JOINS shuffle
+    nothing; o21 proves bucketed GROUP BYs don't either): the bucketed
+    scan reports HashPartitioning(user_id, 8), which satisfies the
+    aggregate's ClusteredDistribution, so the plan is scan → partial
+    agg → final agg with ZERO Exchange (pinned by
+    tests/test_scale.py::test_o21_bucketed_agg_is_exchange_free).
+    Together o8 + o21 are the bucketed-publish payoff at 100 TB: pay
+    one clustered write per fact table, then EVERY downstream join AND
+    rollup on that key runs shuffle-free — the S15 publish discipline's
+    whole economic argument. The oracle aggregates the plain parquet
+    original: layout must never change values."""
+    return _o21_bucketed_agg(spark, sf_dir)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12796,6 +12976,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "o20_snapshot_vacuum",
     "v18_mmr_diversify",
     "e25_streaming_snapshot_sink",
+    "c22_chat_template_render",
+    "u7_multiset_set_ops",
+    "o21_bucketed_agg",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -856,3 +856,53 @@ def test_asof_cogroup_matches_window_formulation(spark):
     }
     assert got == want and len(got) == 200
     assert any(v is not None for v in got.values())
+
+
+def test_c22_render_is_order_deterministic(spark):
+    """The sort-struct aggregation-concat must produce the (ts,
+    event_id)-ordered rendering no matter the input row order, with
+    assistant-only loss chars."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = lambda m: dt.datetime(2024, 6, 1, 9, m)  # noqa: E731
+    rows = [  # deliberately shuffled input order
+        (3, t(3), 5, "view", 0.0, ""),
+        (1, t(1), 5, "click", 0.0, ""),
+        (2, t(2), 5, "purchase", 0.0, ""),
+    ]
+    d = _write_events_fixture(spark, rows)
+    [r] = REGISTRY["c22_chat_template_render"].fn(spark, d).collect()
+    assert r["rendered_text"] == (
+        "<|user|>click#1<|assistant|>purchase#2<|user|>view#3"
+    )
+    assert r["n_msgs"] == 3
+    assert r["n_loss_chars"] == len("purchase#2")
+
+
+def test_u7_multiset_semantics(spark):
+    """INTERSECT ALL keeps min(multiplicity); EXCEPT ALL subtracts."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = dt.datetime(2024, 6, 2)
+    # user 1: 3 clicks, 1 view -> intersect 1, except 2
+    # user 2: 1 click, 2 views -> intersect 1, except 0 (absent)
+    rows = (
+        [(i, t, 1, "click", 0.0, "") for i in (1, 2, 3)]
+        + [(4, t, 1, "view", 0.0, "")]
+        + [(5, t, 2, "click", 0.0, "")]
+        + [(i, t, 2, "view", 0.0, "") for i in (6, 7)]
+    )
+    d = _write_events_fixture(spark, rows)
+    got = {
+        (r["user_id"], r["side"]): r["n"]
+        for r in REGISTRY["u7_multiset_set_ops"].fn(spark, d).collect()
+    }
+    assert got == {
+        (1, "intersect_all"): 1,
+        (1, "except_all"): 2,
+        (2, "intersect_all"): 1,
+    }

@@ -749,3 +749,18 @@ def test_file_key_stats_and_range_prune(spark, tmp_path):
     assert got == want
     # a range outside every interval selects nothing
     assert prune_files_by_range(stats, 1e9, 2e9) == []
+
+
+def test_o21_bucketed_agg_is_exchange_free(spark, sf_dir):
+    """Bucketed scan satisfies the aggregate's distribution: the whole
+    plan (scan -> partial agg -> final agg) must contain NO Exchange."""
+    from cellphe_data_pipeline_spark.queries import _o21_bucketed_agg
+
+    plan = (
+        _o21_bucketed_agg(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" in plan, plan
