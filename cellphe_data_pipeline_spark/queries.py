@@ -12943,6 +12943,115 @@ def o21(spark, sf_dir):
     return _o21_bucketed_agg(spark, sf_dir)
 
 
+@register(
+    "a25_sliding_window_rollup",
+    """
+    SELECT win_start, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, value,
+             date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+      FROM events, UNNEST(generate_series(0, 5)) AS g(k)
+    ) t GROUP BY win_start
+    """,
+)
+def a25(spark, sf_dir):
+    """SLIDING-window rollup (r11) — the overlap half of the window
+    surface (e1/e5 are tumbling; w7 is session): 6-hour windows
+    sliding hourly, so each event belongs to SIX windows — trailing
+    6h activity refreshed every hour, the monitoring/trend shape.
+    The cost model is the point: Spark's window(ts, '6 hours',
+    '1 hour') EXPANDS each row into window/slide = 6 replicas BEFORE
+    the shuffle — the overlap factor is a literal input multiplier,
+    which is why the slide should be as coarse as the consumer
+    tolerates. The production alternative is recorded: compute
+    TUMBLING per-slide partials once and fold 6 partials per sliding
+    window (a18's merge algebra — sums/counts fold; the n_users exact
+    distinct here is deliberately the NON-mergeable measure, the a20
+    HLL trade made concrete: at 100 TB you either pay the expand or
+    switch distinct to a sketch). The oracle replays the expansion
+    with generate_series; epoch-aligned hourly starts equal
+    date_trunc arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "n_users", "sum_value")
+    )
+
+
+def _c23_oracle_sql() -> str:
+    """c23 oracle: the d7 closure chain (minhash pairs → WITH RECURSIVE
+    transitive closure → min-id cluster labels) left-joined onto the
+    corpus, split key = cluster id (or own id for singletons), split by
+    the c9 seeded-md5 arithmetic on the KEY."""
+    key = "COALESCE(c.cluster_id, d.doc_id)"
+    bucket = (
+        f"('0x' || substring(md5('leak1-' || CAST({key} AS VARCHAR)), 1, 8))"
+        "::BIGINT % 10000"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT d.doc_id, {key} AS split_key,
+           CASE WHEN {bucket} < 9000 THEN 'train' ELSE 'val' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+@register("c23_leakage_safe_split", _c23_oracle_sql())
+def c23(spark, sf_dir):
+    """Leakage-safe train/val split (r11) — the composition c9 warns
+    about but cannot enforce alone: a per-DOCUMENT split puts near-
+    duplicates on opposite sides of the train/eval boundary, silently
+    inflating eval (the contamination c5/c12/c16 scrub AFTER the fact;
+    c23 prevents it AT split time). The split key is the near-dup
+    CLUSTER (d3 banded pairs → d7 transitive closure → min-id label;
+    singletons key on their own doc_id), then the c9 seeded-md5 bucket
+    arithmetic applies to the KEY — so every member of a cluster lands
+    in the same split BY CONSTRUCTION, not by audit. Cost at 100 TB:
+    exactly the banded-candidate scan dedup already pays (the closure
+    is the same CC the takedown path c21 uses), plus one broadcast-able
+    left join of the cluster labels; the split itself stays zero-
+    shuffle codegen. Cluster-side cohesion is pinned by test; the
+    oracle replays pairs → WITH RECURSIVE closure → identical md5
+    bucket arithmetic."""
+    from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        minhash_near_duplicates(d), loop_shuffle_partitions=2
+    ).select("doc_id", "cluster_id")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    b = portable_hash64(key.cast("string"), seed="leak1-") % 10000
+    return d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        key.alias("split_key"),
+        F.when(b < 9000, "train").otherwise("val").alias("split"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -12979,6 +13088,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "c22_chat_template_render",
     "u7_multiset_set_ops",
     "o21_bucketed_agg",
+    "a25_sliding_window_rollup",
+    "c23_leakage_safe_split",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -2583,3 +2583,22 @@ def test_mmr_diversify_handles_short_candidate_lists(spark):
     )
     out = mmr_diversify(cand, pairs, k=5, lam=0.5).collect()
     assert sorted(r["pick_rank"] for r in out) == [1, 2]  # k capped at |C|
+
+
+def test_c23_clusters_never_straddle_splits(spark, sf_dir):
+    """The leakage-safety invariant: every multi-doc near-dup cluster
+    lands wholly in one split, and both splits are populated."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["c23_leakage_safe_split"].fn(spark, sf_dir)
+    per_key = out.groupBy("split_key").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_key.filter(F.col("n_splits") > 1).count() == 0
+    # real clusters exist at this SF (else the test proves nothing)
+    assert per_key.filter(F.col("n_docs") > 1).count() > 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val"}
