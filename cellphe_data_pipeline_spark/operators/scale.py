@@ -475,13 +475,20 @@ def prune_files_by_range(stats_rows, lo, hi) -> list[str]:
     """Driver-side zone-map prune: keep files whose [min,max] interval
     intersects [lo,hi] — a superset of true hits (exactly what footer
     stats admit; the residual predicate still applies after the scan).
-    Operates on COLLECTED stats rows: one row per file, the same
-    metadata a table format's planner holds — this list is the unit
-    table formats are built to keep driver-sized."""
+    A file whose stats are NULL (every value in it null — min/max of
+    an all-null column) is ADMITTED: stats are an optimization, never
+    a correctness gate (the o19 contract; here admission is also
+    conservative — null values can't match a range predicate, the
+    residual filter drops them). Operates on COLLECTED stats rows: one
+    row per file, the same metadata a table format's planner holds —
+    this list is the unit table formats are built to keep
+    driver-sized."""
     from urllib.parse import urlparse
 
     return sorted(
         urlparse(r["file"]).path
         for r in stats_rows
-        if not (r["max_v"] < lo or r["min_v"] > hi)
+        if r["min_v"] is None
+        or r["max_v"] is None
+        or not (r["max_v"] < lo or r["min_v"] > hi)
     )

@@ -398,7 +398,14 @@ def snapshot_read_pruned(
     kept, skipped = [], []
     for fp in m["files"]:
         iv = col_stats.get(fp)
-        if iv is not None and (iv[1] < lo or iv[0] > hi):
+        # missing entry OR null bounds (all-null column in that file):
+        # admit — stats never gate correctness
+        if (
+            iv is not None
+            and iv[0] is not None
+            and iv[1] is not None
+            and (iv[1] < lo or iv[0] > hi)
+        ):
             skipped.append(fp)
         else:
             kept.append(fp)

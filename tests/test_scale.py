@@ -764,3 +764,30 @@ def test_o21_bucketed_agg_is_exchange_free(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_prune_admits_all_null_stats_file(spark, tmp_path):
+    """A file whose stat column is entirely NULL has NULL min/max —
+    the prune must admit it, not crash on the None comparison."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        prune_files_by_range,
+    )
+    from cellphe_data_pipeline_spark.sources.io import snapshot_data_files
+
+    d = str(tmp_path / "mix")
+    spark.createDataFrame([(1, 5.0)], "k bigint, v double").coalesce(
+        1
+    ).write.parquet(d + "/a")
+    spark.createDataFrame(
+        [(2, None)], "k bigint, v double"
+    ).coalesce(1).write.parquet(d + "/b")
+    files = snapshot_data_files(d)
+    stats = file_key_stats(spark, files, "v").collect()
+    sel = prune_files_by_range(stats, 100.0, 200.0)
+    # the valued file (5.0 outside range) is skipped; the all-null
+    # file is admitted
+    assert len(sel) == 1 and sel[0].endswith(".parquet")
+    assert (
+        spark.read.parquet(*sel).filter("v >= 100 AND v <= 200").count() == 0
+    )
