@@ -360,6 +360,7 @@ def asof_join_cogroup(
     ts: str,
     right_cols: list[str],
     tie_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join via ``cogroup().applyInPandas`` (r11, j16) — the
     as-of contract under the OTHER physical strategy, and the decision
@@ -387,7 +388,12 @@ def asof_join_cogroup(
     salt-and-merge treatment. Ties: right rows sorted by (ts, tie_col),
     the LAST eligible row wins ⇒ max (ts, tie_col) with r.ts <= l.ts,
     exact matches included — DuckDB ASOF (<=) semantics, total given
-    unique tie_col."""
+    unique tie_col. ``direction`` (r11, j17) extends the contract the
+    window-union form cannot express without a second mirrored window:
+    'backward' (default, most recent at-or-before) or 'forward' (next
+    at-or-after — attribution's "next purchase after the view" shape);
+    forward ties take the FIRST (ts, tie_col) at-or-after, the mirror
+    of backward's last-at-or-before."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -431,7 +437,7 @@ def asof_join_cogroup(
         rp = rp.sort_values(r_sort)[r_keep]
         out = pd.merge_asof(
             lp, rp, left_on=ts, right_on="_r_ts",
-            direction="backward", allow_exact_matches=True,
+            direction=direction, allow_exact_matches=True,
         ).drop(columns=["_r_ts"])
         for c in int_like:  # NaN-safe integers for the Arrow return trip
             out[c] = out[c].astype("Int64")

@@ -13052,6 +13052,98 @@ def c23(spark, sf_dir):
     )
 
 
+@register(
+    "j17_forward_asof",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS pid, 0 AS side
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, event_id AS pid, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, side,
+             FIRST_VALUE(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_id
+      FROM u
+    )
+    SELECT user_id, ts, event_id AS view_id, next_purchase_id
+    FROM f WHERE side = 0
+    """,
+)
+def j17(spark, sf_dir):
+    """FORWARD as-of (r11; the `direction` extension of
+    joins.asof_join_cogroup) — attribution's other half: j9/j16 answer
+    "what came before", j17 answers "what happened NEXT" (each view
+    joined to the next at-or-after same-user purchase — the
+    time-to-convert primitive; e18 counts such conversions, j17 names
+    them). In pd.merge_asof the direction is one argument; the
+    window-union formulation needs a fully mirrored second window
+    (FIRST_VALUE over the FOLLOWING frame, left-before-right at equal
+    ts, min-tie first) — which the oracle spells out, pinning the
+    mirror semantics: forward ties take the FIRST (ts, event_id)
+    at-or-after, exactly reversing backward's last-at-or-before."""
+    from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("pid")
+    )
+    out = asof_join_cogroup(
+        views, purchases, key="user_id", ts="ts",
+        right_cols=["pid"], tie_col="event_id", direction="forward",
+    )
+    return out.select(
+        "user_id", "ts", "view_id",
+        F.col("asof_pid").alias("next_purchase_id"),
+    )
+
+
+@register(
+    "e26_streaming_sliding_rollup",
+    """
+    SELECT win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT value,
+             date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+      FROM events, UNNEST(generate_series(0, 5)) AS g(k)
+    ) t GROUP BY win_start
+    """,
+)
+def e26(spark, sf_dir):
+    """§2.11 SLIDING-window streaming rollup (r11;
+    tracker.streaming_sliding_rollup) — the twenty-second verified
+    streaming runtime, completing the window-shape matrix (tumbling
+    e5/e20, session e12, sliding e26): 6h windows sliding hourly under
+    a watermark, drained complete-mode (every window emitted). The
+    state story is the point: the overlap factor multiplies STATE
+    rows, not just input expansion — ~window/slide more open windows
+    than tumbling at any watermark — and DISTINCT aggregates are
+    flatly unsupported in streaming aggregation (the a25 exact
+    n_users is impossible here; a20's HLL is the substitute), so the
+    batch/streaming split of the same rollup is itself the recorded
+    lesson. Oracle = a25's expansion replay minus the distinct."""
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_sliding_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    sink = _drain_to_memory(
+        ev, "e26_stream_sliding", "e26_sliding_sink",
+        streaming_sliding_rollup, "complete", "e26_streaming_sliding_rollup",
+    )
+    return sink.select(
+        F.col("win.start").alias("win_start"), "n", "sum_value"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13094,6 +13186,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "o21_bucketed_agg",
     "a25_sliding_window_rollup",
     "c23_leakage_safe_split",
+    "j17_forward_asof",
+    "e26_streaming_sliding_rollup",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

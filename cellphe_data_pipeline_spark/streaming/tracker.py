@@ -1596,3 +1596,34 @@ def streaming_snapshot_sink_drain(
         q.stop()
         raise RuntimeError(f"snapshot-sink drain did not finish in {timeout_s}s")
     return counts
+
+
+def streaming_sliding_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window streaming rollup (r11, e26) — a25's overlap cost
+    model inside the streaming runtime: window(6h, 1h) expands every
+    input row into window/slide = 6 state updates, so the overlap
+    factor multiplies STATE WRITES, not just shuffle input — each open
+    sliding window is its own state-store row, and at any watermark
+    there are ~window/slide times more open windows than tumbling
+    would hold. Same knob, sharper cliff: slide coarseness bounds both
+    the input expansion AND the state footprint. DISTINCT aggregates
+    are unsupported in streaming aggregation — exactly where a20's
+    HLL substitute applies; count + decimal sum here are the mergeable
+    measures."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

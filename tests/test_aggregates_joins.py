@@ -906,3 +906,54 @@ def test_u7_multiset_semantics(spark):
         (1, "except_all"): 2,
         (2, "intersect_all"): 1,
     }
+
+
+def test_asof_cogroup_property_vs_bruteforce(spark):
+    """Property: for random per-key event sets, backward picks the max
+    (ts, tie) right row with ts <= left ts and forward the min (ts,
+    tie) with ts >= left ts — against a python brute force."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
+
+    base = dt.datetime(2024, 7, 1)
+    ev = st.tuples(st.integers(1, 3), st.integers(0, 20))  # (key, minute)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(ev, min_size=1, max_size=8),
+        st.lists(ev, min_size=0, max_size=8),
+    )
+    def check(lefts, rights):
+        lrows = [
+            (k, base + dt.timedelta(minutes=m), i)
+            for i, (k, m) in enumerate(lefts)
+        ]
+        rrows = [
+            (k, base + dt.timedelta(minutes=m), 100 + i)
+            for i, (k, m) in enumerate(rights)
+        ]
+        ldf = spark.createDataFrame(lrows, "k bigint, ts timestamp, lid bigint")
+        rdf = spark.createDataFrame(rrows, "k bigint, ts timestamp, rid bigint")
+        for direction in ("backward", "forward"):
+            got = {
+                r["lid"]: r["asof_rid"]
+                for r in asof_join_cogroup(
+                    ldf, rdf, key="k", ts="ts", right_cols=["rid"],
+                    tie_col="rid", direction=direction,
+                ).collect()
+            }
+            for k, ts, lid in lrows:
+                if direction == "backward":
+                    elig = [(rts, rid) for rk, rts, rid in rrows
+                            if rk == k and rts <= ts]
+                    want = max(elig)[1] if elig else None
+                else:
+                    elig = [(rts, rid) for rk, rts, rid in rrows
+                            if rk == k and rts >= ts]
+                    want = min(elig)[1] if elig else None
+                assert got[lid] == want, (direction, lid, got[lid], want)
+
+    check()

@@ -2602,3 +2602,54 @@ def test_c23_clusters_never_straddle_splits(spark, sf_dir):
     assert per_key.filter(F.col("n_docs") > 1).count() > 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val"}
+
+
+def test_mmr_property_vs_python_greedy(spark):
+    """Property: on arbitrary small candidate sets with 2-decimal rels
+    and sims, mmr_diversify equals an independent python greedy (argmax
+    of 0.5*rel - 0.5*maxsim, ties by id)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.similarity import mmr_diversify
+
+    score2 = st.integers(0, 100).map(lambda v: v / 100.0)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(2, 5), st.data())
+    def check(n_cand, data):
+        dids = list(range(1, n_cand + 1))
+        rel = {d: data.draw(score2) for d in dids}
+        sim = {
+            (a, b): data.draw(score2)
+            for a in dids for b in dids if a != b
+        }
+        cand = spark.createDataFrame(
+            [(1, d, rel[d]) for d in dids],
+            "qid bigint, did bigint, rel double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, a, b, s) for (a, b), s in sim.items()],
+            "qid bigint, d1 bigint, d2 bigint, sim double",
+        )
+        got = {
+            r["pick_rank"]: (r["neighbor_id"], r["mmr_score"])
+            for r in mmr_diversify(cand, pairs, k=3, lam=0.5).collect()
+        }
+        remaining, selected, want = sorted(dids), [], {}
+        for rank in range(1, min(3, n_cand) + 1):
+            best = min(
+                remaining,
+                key=lambda d: (
+                    -(0.5 * rel[d] - 0.5 * max(
+                        (sim[(d, s)] for s in selected), default=0.0
+                    )),
+                    d,
+                ),
+            )
+            ms = max((sim[(best, s)] for s in selected), default=0.0)
+            want[rank] = (best, 0.5 * rel[best] - 0.5 * ms)
+            selected.append(best)
+            remaining.remove(best)
+        assert got == want
+
+    check()
