@@ -13144,6 +13144,71 @@ def e26(spark, sf_dir):
     )
 
 
+@register(
+    "a26_grouped_pandas_mad",
+    """
+    WITH m AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(median(abs(e.value - m.med)), 6) + 0.0 AS mad
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def a26(spark, sf_dir):
+    """Median absolute deviation via a GROUPED-AGG pandas UDF (r11) —
+    the one Python-UDF surface the engine had not exercised (scalar
+    pandas_udf: rois.py; applyInPandas: a8/m3/j16; mapInPandas: the
+    media kernels; UDTF: t29; this is the Series→scalar aggregate
+    form, Arrow-shipping each group's column as ONE pandas Series into
+    a custom reduction). The statistic is the robust-dispersion gate
+    t9's z-score should use when outliers contaminate the std itself
+    (MAD's breakdown point is 50% vs the std's 0%). Numeric
+    discipline: medians interpolate as (a+b)/2 on both sides, but
+    DuckDB's interpolation differs from IEEE averaging in the LAST ULP
+    (measured: ~1e-5 of pairs) — exactly the class the conventions
+    header's rounding rule exists for; MAD is rounded to 6 decimals
+    against values with 2, so the ulp noise is 8 orders below the
+    granularity. The honest scale note: a grouped-agg UDF receives the
+    WHOLE group (no partial aggregation, one executor per group) — at
+    100 TB an exact per-group MAD needs the group to fit (it's the
+    cogroup/applyInPandas constraint), else switch to the a16
+    approx-quantile machinery."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _median(arr):
+        n = len(arr)
+        mid = n // 2
+        if n % 2:
+            return float(arr[mid])
+        return (float(arr[mid - 1]) + float(arr[mid])) / 2.0
+
+    # functionType spelled explicitly: the module runs under
+    # `from __future__ import annotations`, which turns the type-hint
+    # registration form into unresolvable strings
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad_udf(v):
+        arr = np.sort(v.to_numpy(dtype="float64"))
+        med = _median(arr)
+        return _median(np.sort(np.abs(arr - med)))
+
+    # discovered contract: a grouped-agg pandas UDF cannot be mixed
+    # with built-in aggregates in one agg() (INVALID_PANDAS_UDF_
+    # PLACEMENT) — the count rides a separate relational agg joined
+    # back (broadcast; one row per group)
+    ev = load_table(spark, sf_dir, "events")
+    mad = ev.groupBy("event_type").agg(
+        round_z(mad_udf("value"), 6).alias("mad")
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return n.join(F.broadcast(mad), "event_type").select(
+        "event_type", "n", "mad"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13188,6 +13253,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c23_leakage_safe_split",
     "j17_forward_asof",
     "e26_streaming_sliding_rollup",
+    "a26_grouped_pandas_mad",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

@@ -957,3 +957,30 @@ def test_asof_cogroup_property_vs_bruteforce(spark):
                 assert got[lid] == want, (direction, lid, got[lid], want)
 
     check()
+
+
+def test_a26_mad_matches_python(spark):
+    """MAD fixture: hand-computable odd/even group sizes, outlier
+    robustness visible (the outlier moves the mean/std, not the MAD)."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = dt.datetime(2024, 8, 1)
+    rows = [
+        (1, t, 1, "click", 1.0, ""),
+        (2, t, 1, "click", 2.0, ""),
+        (3, t, 1, "click", 3.0, ""),
+        (4, t, 1, "click", 1000.0, ""),  # outlier
+        (5, t, 1, "view", 10.0, ""),
+        (6, t, 1, "view", 14.0, ""),
+    ]
+    d = _write_events_fixture(spark, rows)
+    got = {
+        r["event_type"]: (r["n"], r["mad"])
+        for r in REGISTRY["a26_grouped_pandas_mad"].fn(spark, d).collect()
+    }
+    # click: med 2.5, devs {1.5,0.5,0.5,997.5} sorted -> med 1.0
+    assert got["click"] == (4, 1.0)
+    # view: med 12, devs {2,2} -> 2
+    assert got["view"] == (2, 2.0)
