@@ -13209,6 +13209,88 @@ def a26(spark, sf_dir):
     )
 
 
+@register(
+    "s24_cdc_feed_replay",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_feed_reconstructs
+    FROM events GROUP BY event_type
+    """,
+)
+def s24(spark, sf_dir):
+    """CDC feed-replay invariant (r11) — the duality that makes a
+    change feed TRUSTABLE: replaying every snapshot-to-snapshot feed
+    from the empty table reconstructs the current table exactly
+    (stream-table duality, the property a downstream replica or MV
+    maintainer silently depends on). Build: the e25 idempotent sink
+    ingests three micro-batches as snapshots v1..v3; consume: s23's
+    manifest-diff CDC runs over each CONSECUTIVE pair — including
+    from version 0, the bootstrap semantic (initial snapshot's rows
+    arrive as INSERTS, so a consumer needs no out-of-band initial
+    copy); verify: the concatenated insert feeds equal the final
+    table EXACTLY (exceptAll in both directions empty — multiset
+    equality, asserted in-query) and the per-pair feeds are
+    insert-only (append-only ingest ⇒ no update/delete rows —
+    asserted). The oracle rolls up the source events; the engine
+    answers from the REPLAYED FEED, so the hash proves feed
+    completeness end-to-end, not just table correctness. At 100 TB
+    this is the nightly invariant check a replication pipeline runs
+    on metadata + rewritten slices only — each pair's diff costs
+    O(that batch's files), never O(table)."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_snapshot_sink_drain,
+    )
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == m) for m in range(3)]
+    staged = _stage_ordered_batches(parts, "s24_batches")
+    root = _stage_dir("s24_replay")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    with _bounded_shuffle_partitions(spark):
+        streaming_snapshot_sink_drain(
+            spark, parts[0].schema, staged, table, ckpt
+        )
+    n_snaps = snapshot_current(table)
+    assert n_snaps == 3, n_snaps
+
+    feed = None
+    for sid in range(1, n_snaps + 1):
+        changes, _ = snapshot_changes(
+            spark, table, sid - 1, sid, key_col="event_id",
+            compare_cols=["event_type", "value"],
+        )
+        # append-only ingest: every change row must be an insert
+        assert changes.filter(F.col("change_type") != "insert").count() == 0
+        batch = changes.select("event_id", "event_type", "value")
+        feed = batch if feed is None else feed.unionByName(batch)
+
+    final = snapshot_read(spark, table, n_snaps).select(
+        "event_id", "event_type", "value"
+    )
+    # multiset equality: replayed feed == current table, exactly
+    assert feed.exceptAll(final).count() == 0
+    assert final.exceptAll(feed).count() == 0
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    ).select(
+        "event_type", "n", "sum_value",
+        F.lit(True).alias("ok_feed_reconstructs"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13254,6 +13336,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "j17_forward_asof",
     "e26_streaming_sliding_rollup",
     "a26_grouped_pandas_mad",
+    "s24_cdc_feed_replay",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

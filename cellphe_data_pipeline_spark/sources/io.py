@@ -312,17 +312,22 @@ def snapshot_changes(
     Returns (changes_df, info) where info carries the file-diff facts
     (shared/removed/added lists) so callers and tests can pin that the
     metadata prune actually pruned."""
-    old_files = snapshot_files(table_dir, from_id)
+    # from_id == 0 is the pre-first-commit empty table: the feed from 0
+    # returns the initial snapshot's rows as INSERTS (the Delta CDF
+    # "starting version 0" semantic — what lets a consumer bootstrap
+    # from the feed alone, s24's replay invariant)
+    old_files = snapshot_files(table_dir, from_id) if from_id > 0 else []
     new_files = snapshot_files(table_dir, to_id)
     removed = sorted(set(old_files) - set(new_files))
     added = sorted(set(new_files) - set(old_files))
     shared = sorted(set(old_files) & set(new_files))
+    schema_files = removed or added or new_files
 
     def side(files, prefix):
         if files:
             df = spark.read.parquet(*files)
         else:
-            df = spark.read.parquet(*old_files).limit(0)
+            df = spark.read.parquet(*schema_files).limit(0)
         return df.select(
             F.col(key_col).alias("_k"),
             F.lit(1).alias(f"{prefix}present"),

@@ -303,3 +303,27 @@ def test_snapshot_vacuum_never_deletes_current(spark, tmp_path):
     assert info["expired"] == [] and info["deleted"] == []
     assert all(os.path.exists(f) for f in files)
     assert snapshot_read(spark, table, 1).count() == 2
+
+
+def test_snapshot_changes_from_version_zero(spark, tmp_path):
+    """The bootstrap semantic: the feed from version 0 returns the
+    initial snapshot's rows as inserts."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_commit_atomic,
+        snapshot_data_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, g string, v double"
+    )
+    d = f"{table}/data/a"
+    df.coalesce(1).write.parquet(d)
+    snapshot_commit_atomic(table, 0, snapshot_data_files(d))
+    changes, info = snapshot_changes(
+        spark, table, 0, 1, key_col="k", compare_cols=["g", "v"]
+    )
+    got = {(r["k"], r["change_type"]) for r in changes.collect()}
+    assert got == {(1, "insert"), (2, "insert")}
+    assert info["shared"] == [] and info["removed"] == []
