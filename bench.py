@@ -212,6 +212,35 @@ def main() -> None:
         else None,
     }
 
+    # LLM-corpus composed chain (r11): the text-side counterpart of
+    # pipeline_726frames — minhash near-dup clustering → transitive
+    # closure → leakage-safe cluster split (c23's full chain) joined
+    # with per-doc token counts (t4) into a per-split token budget,
+    # ONE lazy plan materialised end-to-end. EXCLUDED from the
+    # headline total (new in r11 — keeping "value" comparable across
+    # rounds); reported under "corpus". Two repeats; the registered
+    # queries it composes are individually gate-verified, so this
+    # measures the composition's wall, not correctness.
+    from pyspark.sql import functions as F
+
+    runs_c = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        split_df = qs["c23_leakage_safe_split"](spark, sf_dir)
+        tok_df = qs["t4_token_counts"](spark, sf_dir)
+        budget = (
+            split_df.join(tok_df, "doc_id")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens_ws").alias("n_tokens"),
+            )
+        )
+        _materialise(budget)
+        runs_c.append(round(time.perf_counter() - t0, 3))
+    samples["corpus_split_pipeline"] = runs_c
+    corpus = {"corpus_split_pipeline": min(runs_c)}
+
     # spread self-check (r9): on an idle box a query's STEADY-STATE
     # repeats (runs[1:] — the first run pays codegen by design) agree
     # within ~1.3x; a majority above that marks the artifact contended
@@ -237,6 +266,7 @@ def main() -> None:
                 "queries": times,
                 "samples": samples,
                 "scaling": scaling,
+                "corpus": corpus,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "warnings": warnings,
