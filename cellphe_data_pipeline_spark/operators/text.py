@@ -2200,3 +2200,49 @@ def token_chunker_udtf():
                 cid += 1
 
     return TokenChunker
+
+
+def arrow_doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document byte/char/word stats via ``mapInArrow`` (r11, t31)
+    — the last Python execution surface the engine had not exercised
+    (scalar pandas_udf, grouped applyInPandas, cogroup, mapInPandas,
+    grouped-agg, UDTF are all covered elsewhere): the callback
+    receives pyarrow RecordBatches and computes with ``pyarrow.
+    compute`` kernels — vectorized C++ end to end, ZERO
+    pandas/numpy materialisation, no per-row Python. That is the
+    niche: mapInPandas pays Arrow→pandas→Arrow conversion per batch
+    (object boxing for strings — the expensive part); mapInArrow
+    keeps the data in Arrow buffers, so a pure-columnar transform
+    runs at kernel speed with only the Python call overhead per
+    BATCH. Still the slow path vs JVM codegen (t1 computes similar
+    stats natively) — reach for it when the logic needs an Arrow-only
+    library (tokenizers' batched encode is the canonical case; this
+    kernel is the plumbing proof with a hash-checkable payload).
+    Semantics pinned against the oracle: Arrow's split_whitespace
+    keeps EDGE empties (" x " → ['', 'x', '']) — trim first, then
+    empty-string ⇒ 0 words; inner whitespace runs collapse like
+    Python's str.split()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            text = b.column(text_col)
+            trimmed = pc.utf8_trim_whitespace(text)
+            words = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+            n_words = pc.if_else(
+                pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), words
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pc.utf8_length(text),
+                    pc.binary_length(text),
+                    n_words,
+                ],
+                names=[id_col, "n_chars", "n_bytes", "n_words"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        stats, schema=f"{id_col} bigint, n_chars int, n_bytes int, n_words int"
+    )

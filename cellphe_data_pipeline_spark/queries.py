@@ -13291,6 +13291,36 @@ def s24(spark, sf_dir):
     )
 
 
+@register(
+    "t31_arrow_doc_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)
+             AS n_words
+    FROM documents
+    """,
+)
+def t31(spark, sf_dir):
+    """mapInArrow surface (r11; text.py arrow_doc_stats) — the last
+    Python execution surface exercised, completing the ladder the
+    engine documents per rung (codegen expression → mapInArrow →
+    mapInPandas → row Python): the callback computes byte/char/word
+    stats with pyarrow.compute kernels directly on Arrow buffers —
+    no pandas materialisation, no string boxing, Python overhead per
+    BATCH only. The kernel docstring records the niche (Arrow-only
+    libraries — tokenizers' batched encode is the canonical consumer;
+    t1 computes comparable stats in JVM codegen, which stays the
+    default) and the discovered semantics: Arrow's split_whitespace
+    keeps EDGE empties, so trim-then-split with an empty guard is
+    what equals Python str.split() and the oracle's regex split."""
+    from cellphe_data_pipeline_spark.operators.text import arrow_doc_stats
+
+    return arrow_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13337,6 +13367,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e26_streaming_sliding_rollup",
     "a26_grouped_pandas_mad",
     "s24_cdc_feed_replay",
+    "t31_arrow_doc_stats",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

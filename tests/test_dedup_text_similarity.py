@@ -2653,3 +2653,30 @@ def test_mmr_property_vs_python_greedy(spark):
         assert got == want
 
     check()
+
+
+def test_arrow_doc_stats_edge_semantics(spark):
+    """mapInArrow stats: multibyte chars (bytes != chars), whitespace
+    runs, edge whitespace, and the empty/whitespace-only zero-word
+    guard."""
+    from cellphe_data_pipeline_spark.operators.text import arrow_doc_stats
+
+    rows = [
+        (1, "a  b"),       # inner run collapses -> 2 words
+        (2, " x y "),      # edge whitespace -> 2 words, 5 chars
+        (3, ""),           # empty -> 0 words
+        (4, "   "),        # whitespace-only -> 0 words
+        (5, "héllo"),      # é is 2 bytes utf-8 -> 5 chars, 6 bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_bytes"], r["n_words"])
+        for r in arrow_doc_stats(df).collect()
+    }
+    assert got == {
+        1: (4, 4, 2),
+        2: (5, 5, 2),
+        3: (0, 0, 0),
+        4: (3, 3, 0),
+        5: (5, 6, 1),
+    }
