@@ -13321,6 +13321,70 @@ def t31(spark, sf_dir):
     return arrow_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "e27_streaming_quantile_audit",
+    """
+    SELECT event_type, COUNT(*) AS n, TRUE AS ok_p50, TRUE AS ok_p90
+    FROM events GROUP BY event_type
+    """,
+)
+def e27(spark, sf_dir):
+    """§2.11 quantile SKETCHES inside streaming state (r11) — the
+    twenty-third verified streaming runtime and the streaming half of
+    a16's accuracy audit: percentile_approx's Greenwald-Khanna summary
+    IS a legal streaming aggregation state (bounded memory, mergeable
+    partials — the same properties that make it the 100 TB batch
+    answer make it the streaming-state answer), accumulated per
+    micro-batch in complete mode. The accuracy claim is then audited
+    BATCH-side exactly as a16 does: a conditional-count pass derives
+    each streamed approx value's true rank interval, and the ok_p
+    booleans assert the rank window — with TWICE the single-pass eps,
+    because the streaming path COMPRESSES AND MERGES per-batch
+    partials and the merged-summary guarantee is the looser 2·eps
+    bound (the recorded difference between one-pass and merged GK —
+    a16's batch sketch gets eps, e27's streamed one gets 2·eps; both
+    theorem-checked at every SF). n is value-matched; the oracle
+    emits the literal booleans."""
+    acc = 1000
+    eps = 1.0 / acc
+    qs = [0.5, 0.9]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def transform(stream):
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("value", F.lit(qs), F.lit(acc)).alias(
+                "_approx"
+            ),
+        )
+
+    sink = _drain_to_memory(
+        ev, "e27_stream_q", "e27_q_sink", transform,
+        "complete", "e27_streaming_quantile_audit",
+    )
+    joined = ev.join(F.broadcast(sink), "event_type")
+    rank_aggs = []
+    for i in range(len(qs)):
+        av = F.element_at("_approx", i + 1)
+        rank_aggs.append(
+            F.sum((F.col("value") < av).cast("long")).alias(f"_lt{i}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") <= av).cast("long")).alias(f"_le{i}")
+        )
+    audit = joined.groupBy("event_type").agg(
+        F.first("n").alias("n"), *rank_aggs
+    )
+    slack = 2.0 * eps  # merged-summary bound (vs a16's one-pass eps)
+    cols = [F.col("event_type"), F.col("n")]
+    for i, q in enumerate(qs):
+        ok = (
+            F.col(f"_le{i}") >= (q - slack) * F.col("n") - F.lit(1)
+        ) & (F.col(f"_lt{i}") + F.lit(1) <= (q + slack) * F.col("n") + F.lit(1))
+        cols.append(ok.alias(f"ok_p{int(q * 100)}"))
+    return audit.select(*cols)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13368,6 +13432,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a26_grouped_pandas_mad",
     "s24_cdc_feed_replay",
     "t31_arrow_doc_stats",
+    "e27_streaming_quantile_audit",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.
