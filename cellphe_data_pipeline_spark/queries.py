@@ -11910,8 +11910,10 @@ def w13(spark, sf_dir):
 @register(
     "a23_hll_setops_audit",
     """
-    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL),
     u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
     SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
            CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
@@ -11939,7 +11941,15 @@ def a23(spark, sf_dir):
     at every SF). At 100 TB: audience-overlap / cross-corpus-overlap
     questions answered from O(2^lgK) stored sketch bytes per segment
     instead of a distinct-shuffle over both corpora."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL-key discipline (the a20/e21 idiom): COUNT(*) over a DISTINCT
+    # subquery KEEPS a NULL row while count_distinct drops it — filter
+    # NULL ids symmetrically so a regeneration with NULL user_id
+    # cannot diverge the engines
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "view")
 
@@ -12042,10 +12052,10 @@ def g10(spark, sf_dir):
     """
     WITH u AS (
       SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS pid, 1 AS side
-      FROM events WHERE event_type = 'view'
+      FROM events WHERE event_type = 'view' AND ts IS NOT NULL
       UNION ALL
       SELECT user_id, ts, event_id, event_id AS pid, 0 AS side
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     f AS (
       SELECT user_id, ts, event_id, side,
@@ -12075,7 +12085,9 @@ def j16(spark, sf_dir):
     prior-or-simultaneous same-user purchase."""
     from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
 
-    ev = load_table(spark, sf_dir, "events")
+    # null-ts guard (symmetric with the oracle): merge_asof rejects
+    # NaT in the on-column, and null ORDERING differs cross-engine
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_id")
     )
@@ -12771,7 +12783,7 @@ def e25(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn,
              event_type || '#' || CAST(event_id AS VARCHAR) AS content
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     r AS (
       SELECT user_id, rn, content,
@@ -12806,7 +12818,9 @@ def c22(spark, sf_dir):
     turns upstream. The oracle is DuckDB's native ordered string_agg;
     hash equality pins the sort-struct idiom EQUALS ordered
     aggregation."""
-    ev = load_table(spark, sf_dir, "events")
+    # null-ts guard (the c19 precedent): ASC null ORDERING differs
+    # cross-engine (Spark NULLS FIRST, DuckDB NULLS LAST)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     m = ev.select(
         "user_id",
@@ -12953,6 +12967,7 @@ def o21(spark, sf_dir):
       SELECT user_id, value,
              date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
       FROM events, UNNEST(generate_series(0, 5)) AS g(k)
+      WHERE ts IS NOT NULL
     ) t GROUP BY win_start
     """,
 )
@@ -12973,7 +12988,9 @@ def a25(spark, sf_dir):
     switch distinct to a sketch). The oracle replays the expansion
     with generate_series; epoch-aligned hourly starts equal
     date_trunc arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
+    # null-ts guard: Spark's window() DROPS a null-ts row while the
+    # oracle's date_trunc would keep a NULL group — filter symmetric
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("win"))
         .agg(
@@ -13057,10 +13074,10 @@ def c23(spark, sf_dir):
     """
     WITH u AS (
       SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS pid, 0 AS side
-      FROM events WHERE event_type = 'view'
+      FROM events WHERE event_type = 'view' AND ts IS NOT NULL
       UNION ALL
       SELECT user_id, ts, event_id, event_id AS pid, 1 AS side
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     f AS (
       SELECT user_id, ts, event_id, side,
@@ -13088,7 +13105,7 @@ def j17(spark, sf_dir):
     at-or-after, exactly reversing backward's last-at-or-before."""
     from cellphe_data_pipeline_spark.operators.joins import asof_join_cogroup
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_id")
     )
@@ -13114,6 +13131,7 @@ def j17(spark, sf_dir):
       SELECT value,
              date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
       FROM events, UNNEST(generate_series(0, 5)) AS g(k)
+      WHERE ts IS NOT NULL
     ) t GROUP BY win_start
     """,
 )
@@ -13134,7 +13152,11 @@ def e26(spark, sf_dir):
         streaming_sliding_rollup,
     )
 
-    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # symmetric with the oracle
+        .select("ts", "value")
+    )
     sink = _drain_to_memory(
         ev, "e26_stream_sliding", "e26_sliding_sink",
         streaming_sliding_rollup, "complete", "e26_streaming_sliding_rollup",
@@ -13191,7 +13213,11 @@ def a26(spark, sf_dir):
     # registration form into unresolvable strings
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def mad_udf(v):
-        arr = np.sort(v.to_numpy(dtype="float64"))
+        # dropna FIRST: to_numpy turns None into NaN, which would
+        # poison the selection — SQL median ignores NULLs, so must we
+        arr = np.sort(v.dropna().to_numpy(dtype="float64"))
+        if len(arr) == 0:
+            return None
         med = _median(arr)
         return _median(np.sort(np.abs(arr - med)))
 
@@ -13325,7 +13351,7 @@ def t31(spark, sf_dir):
     "e27_streaming_quantile_audit",
     """
     SELECT event_type, COUNT(*) AS n, TRUE AS ok_p50, TRUE AS ok_p90
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
 )
 def e27(spark, sf_dir):
@@ -13348,7 +13374,14 @@ def e27(spark, sf_dir):
     acc = 1000
     eps = 1.0 / acc
     qs = [0.5, 0.9]
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # null-value guard (symmetric with the oracle): the sketch skips
+    # NULLs while n counts rows — a null-heavy regeneration would
+    # shift the rank window against the sketch's true population
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
 
     def transform(stream):
         return stream.groupBy("event_type").agg(

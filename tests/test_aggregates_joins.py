@@ -974,6 +974,7 @@ def test_a26_mad_matches_python(spark):
         (4, t, 1, "click", 1000.0, ""),  # outlier
         (5, t, 1, "view", 10.0, ""),
         (6, t, 1, "view", 14.0, ""),
+        (7, t, 1, "view", None, ""),  # NULL must not poison the median
     ]
     d = _write_events_fixture(spark, rows)
     got = {
@@ -982,5 +983,6 @@ def test_a26_mad_matches_python(spark):
     }
     # click: med 2.5, devs {1.5,0.5,0.5,997.5} sorted -> med 1.0
     assert got["click"] == (4, 1.0)
-    # view: med 12, devs {2,2} -> 2
-    assert got["view"] == (2, 2.0)
+    # view: NULL dropped by the UDF (SQL-median semantics); med 12,
+    # devs {2,2} -> 2; n counts the null row (count(*) semantics)
+    assert got["view"] == (3, 2.0)
