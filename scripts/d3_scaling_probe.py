@@ -19,6 +19,9 @@ Output: one JSON line per SF plus a summary with the scaling exponent
 alpha where wall ~ data^alpha (alpha = slope of log wall vs log SF).
 
 Usage: python scripts/d3_scaling_probe.py [--sfs 0.001,0.01,0.1]
+       [--query=<registry name>] [--table=<x-axis row-count table>]
+(r11: generalised — any registered query, x-axis rows from any table;
+the d3 default keeps the original behaviour byte-for-byte.)
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ spark = get_spark(
     }},
 )
 from cellphe_data_pipeline_spark.queries import REGISTRY
-fn = REGISTRY["d3_minhash_near_dups"].fn
+fn = REGISTRY[{query!r}].fn
 
 fn(spark, sf_dir).collect()  # warm: JVM, codegen, python workers
 warm_last_job = max(
@@ -95,14 +98,20 @@ print(json.dumps({{
 
 def main() -> None:
     sfs = ["0.001", "0.01", "0.1"]
+    query = "d3_minhash_near_dups"
+    table = "documents"
     for a in sys.argv[1:]:
         if a.startswith("--sfs"):
             sfs = a.split("=", 1)[1].split(",")
+        elif a.startswith("--query"):
+            query = a.split("=", 1)[1]
+        elif a.startswith("--table"):
+            table = a.split("=", 1)[1]
     results = []
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
-        evdir = f"/tmp/cellphe_stage/d3_probe_ev_{sf}"
-        code = _RUNNER.format(repo=REPO, sf_dir=sf_dir, evdir=evdir)
+        evdir = f"/tmp/cellphe_stage/probe_ev_{query}_{sf}"
+        code = _RUNNER.format(repo=REPO, sf_dir=sf_dir, evdir=evdir, query=query)
         out = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True,
@@ -120,7 +129,7 @@ def main() -> None:
         import duckdb
 
         r["n_docs"] = duckdb.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/{table}.parquet')"
         ).fetchone()[0]
         results.append(r)
         print(json.dumps(r))
@@ -136,7 +145,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "summary": "d3 scaling",
+                    "summary": f"{query} scaling",
                     "wall_exponent_alpha": round(alpha, 3),
                     "shuffle_bytes_exponent": round(beta, 3),
                     "note": "alpha<=1 is linear-or-better in data volume",
