@@ -13418,6 +13418,81 @@ def e27(spark, sf_dir):
     return audit.select(*cols)
 
 
+@register(
+    "a27_sliding_hll_fold",
+    """
+    SELECT win_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS ok_expand_bound, TRUE AS ok_fold_bound
+    FROM (
+      SELECT user_id,
+             date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start
+      FROM events, UNNEST(generate_series(0, 5)) AS g(k)
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ) t GROUP BY win_start
+    """,
+)
+def a27(spark, sf_dir):
+    """Sliding-window distinct via the TUMBLING-PARTIALS FOLD (r11) —
+    shipping the production path a25's docstring records instead of
+    only recording it: the corpus is sketched ONCE per hour (tumbling
+    HLL partials — one row per hour, O(2^lgK) bytes each), and every
+    6h sliding window is then derived by hll_union_agg over its six
+    partials. The cost flip is the whole point: the expand path
+    multiplies the EVENT stream by window/slide before the shuffle;
+    the fold path multiplies only the |hours| PARTIAL rows — at 100 TB
+    that is events×6 versus hours×6 shuffled rows, and the partials
+    are reusable by every other window geometry over the same slide
+    (the a18 merge-algebra dividend). Both estimators are audited in
+    one query: the direct expand-then-sketch estimate AND the folded
+    estimate each carry a 5% theorem bound against the exact distinct
+    (value-matched; lgK=12 ≈ 3σ envelope, hash-deterministic so
+    re-verified at every SF) — and fold == merge-of-partials means
+    ok_fold_bound also certifies the sketch algebra itself, the a20
+    merge contract at window granularity."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+    )
+    ks = F.sequence(F.lit(0), F.lit(5))
+    expanded = ev.select(
+        "user_id", "hr", F.explode(ks).alias("k")
+    ).select(
+        "user_id",
+        (F.col("hr") - F.make_interval(hours=F.col("k"))).alias("win_start"),
+    )
+    exact_and_direct = expanded.groupBy("win_start").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct"),
+    )
+    partials = ev.groupBy("hr").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    folded = (
+        partials.select("_sk", F.explode(ks).alias("k"), "hr")
+        .select(
+            "_sk",
+            (F.col("hr") - F.make_interval(hours=F.col("k"))).alias(
+                "win_start"
+            ),
+        )
+        .groupBy("win_start")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_folded"))
+    )
+    bound = 0.05
+    joined = exact_and_direct.join(folded, "win_start")
+    err = lambda est: F.abs(  # noqa: E731 — local readability helper
+        F.col(est).cast("double") - F.col("n_users").cast("double")
+    )
+    return joined.select(
+        "win_start",
+        "n_users",
+        (err("_direct") <= bound * F.col("n_users")).alias("ok_expand_bound"),
+        (err("_folded") <= bound * F.col("n_users")).alias("ok_fold_bound"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13466,6 +13541,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "s24_cdc_feed_replay",
     "t31_arrow_doc_stats",
     "e27_streaming_quantile_audit",
+    "a27_sliding_hll_fold",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.
