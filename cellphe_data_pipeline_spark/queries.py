@@ -13438,11 +13438,15 @@ def a27(spark, sf_dir):
     only recording it: the corpus is sketched ONCE per hour (tumbling
     HLL partials — one row per hour, O(2^lgK) bytes each), and every
     6h sliding window is then derived by hll_union_agg over its six
-    partials. The cost flip is the whole point: the expand path
-    multiplies the EVENT stream by window/slide before the shuffle;
-    the fold path multiplies only the |hours| PARTIAL rows — at 100 TB
-    that is events×6 versus hours×6 shuffled rows, and the partials
-    are reusable by every other window geometry over the same slide
+    partials. The cost accounting, stated precisely (a first draft
+    overclaimed the shuffle): for SKETCH measures map-side combine
+    collapses BOTH paths' shuffle to ~|windows|×partitions partial
+    rows — the expand's real 6× tax is per-event AGGREGATION WORK
+    (six sketch updates per event versus one) plus, for the EXACT
+    measure (a25's count_distinct), a genuine 6× shuffled-row blowup
+    (exact distinct cannot combine below (window, user) granularity).
+    The fold's second dividend is REUSE: stored hourly partials serve
+    every window geometry over the same slide without rescanning
     (the a18 merge-algebra dividend). Both estimators are audited in
     one query: the direct expand-then-sketch estimate AND the folded
     estimate each carry a 5% theorem bound against the exact distinct
