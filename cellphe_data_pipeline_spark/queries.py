@@ -13497,6 +13497,100 @@ def a27(spark, sf_dir):
     )
 
 
+_V19_ORACLE = (
+    _lloyd_cte_prefix()
+    + """
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    live AS (SELECT vec_id, cluster_id FROM a
+             WHERE rn = 1 AND vec_id % 17 <> 3),
+    pr AS (SELECT vec_id, cluster_id FROM a
+           WHERE rn <= 2 AND vec_id % 10 = 0 AND vec_id % 17 <> 3),
+    cand AS (
+      SELECT q.vec_id, t.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5)
+               + 0.0 AS cos_sim
+      FROM pr q
+      JOIN live t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
+      JOIN n qn ON qn.vec_id = q.vec_id
+      JOIN n tn ON tn.vec_id = t.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """
+)
+
+
+@register("v19_ivf_delete", _V19_ORACLE)
+def v19(spark, sf_dir):
+    """DELETE from the published IVF serving index (r11) — closing the
+    loop c21 opens: the takedown path removes documents from the
+    CORPUS, but the day the request lands, their vectors are still in
+    the SERVING index returning them as neighbors. The lifecycle the
+    index family lacked (v13 build, v14 append, v19 delete): the
+    bucket table is published PARTITIONED BY list_id; the delete set's
+    affected lists are found with one broadcast semi-pass
+    (O(#deleted)), ONLY those list partitions are rewritten
+    (anti-join at list cost — the o16 dynamic-overwrite machinery on
+    the index instead of the fact table), and untouched lists are
+    never read or written. Queries against the post-delete index can
+    never return a deleted id — asserted in-query AND proven by the
+    oracle hash (the oracle's candidate set excludes deletions).
+    Centroids deliberately do NOT move (same drift trade v14 records
+    for appends — mass deletion from one region degrades list balance
+    until the monitored retrain). At 100 TB: takedown latency on
+    serving becomes O(affected lists), not an index rebuild."""
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+    )
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_assign_vectors,
+        ivf_query_published,
+        lloyd_centroid_vectors,
+    )
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = _stage_dir("v19_ivf_index")
+    lloyd_centroid_vectors(emb, k=16).write.mode("overwrite").parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
+    bucket_dir = _stage_dir("v19_ivf_bucket")
+    ivf_assign_vectors(emb, idx).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(bucket_dir)
+
+    deleted = emb.filter(F.col("vec_id") % 17 == 3).select("vec_id")
+    bucket = spark.read.parquet(bucket_dir)
+    affected = [
+        r["list_id"]
+        for r in bucket.join(F.broadcast(deleted), "vec_id")
+        .select("list_id")
+        .distinct()
+        .collect()
+    ]
+    n_lists = bucket.select("list_id").distinct().count()
+    assert 0 < len(affected) <= n_lists, (len(affected), n_lists)
+    survivors = (
+        bucket.filter(F.col("list_id").isin(affected))
+        .join(F.broadcast(deleted), "vec_id", "left_anti")
+    )
+    # lineage-cut before overwriting partitions the plan reads (the
+    # o16 self-overwrite fence)
+    survivors = cut_lineage(survivors, eager=True, name="v19-survivors")
+    overwrite_partitions_dynamic(survivors, bucket_dir, ["list_id"])
+
+    refreshed = spark.read.parquet(bucket_dir)
+    assert refreshed.join(F.broadcast(deleted), "vec_id").count() == 0
+    probes = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 17 != 3)
+    )
+    out = ivf_query_published(probes, refreshed, idx, k=5, n_probe=2)
+    return out
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13546,6 +13640,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "t31_arrow_doc_stats",
     "e27_streaming_quantile_audit",
     "a27_sliding_hll_fold",
+    "v19_ivf_delete",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.
