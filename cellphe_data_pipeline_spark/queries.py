@@ -13591,6 +13591,68 @@ def v19(spark, sf_dir):
     return out
 
 
+@register(
+    "j18_multitouch_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.value,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT click_id,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value / n_touch), 6) + 0.0 AS credit
+    FROM touch GROUP BY click_id
+    """,
+)
+def j18(spark, sf_dir):
+    """Linear multi-touch attribution (r11) — the fractional-credit
+    semantics the join family lacked (j9/j16 pick ONE prior event;
+    e18 counts conversions; j18 DISTRIBUTES each conversion's value
+    equally across every click in its 1h lookback): per purchase,
+    credit = value / n_touching_clicks, summed per click. The
+    physical shape is deliberately NOT a theta join: user_id is an
+    equi key, so the touch set is one keyed hash join with the
+    interval as a residual filter — per-user joins stay
+    shuffle-keyed at any scale (skew = one hyperactive user, the j8
+    salting case), never an all-pairs. n_touch rides a purchase-keyed
+    window on the SAME shuffled rows. Float discipline: value/n_touch
+    is exact IEEE division but the per-click SUM is an unordered
+    reduction — rounded to 6 decimals per the conventions header
+    (credits are O(10²), accumulation error O(1e-13))."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"), "value",
+    )
+    touch = p.join(c, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touch.select(
+        "click_id",
+        (F.col("value") / F.count(F.lit(1)).over(w)).alias("_credit"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        round_z(F.sum("_credit"), 6).alias("credit"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13641,6 +13703,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "e27_streaming_quantile_audit",
     "a27_sliding_hll_fold",
     "v19_ivf_delete",
+    "j18_multitouch_attribution",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

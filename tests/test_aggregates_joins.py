@@ -986,3 +986,29 @@ def test_a26_mad_matches_python(spark):
     # view: NULL dropped by the UDF (SQL-median semantics); med 12,
     # devs {2,2} -> 2; n counts the null row (count(*) semantics)
     assert got["view"] == (3, 2.0)
+
+
+def test_j18_fractional_credit_hand_computed(spark):
+    """Two clicks before one purchase split its value; a click touching
+    two purchases accumulates; an out-of-window click gets nothing."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = lambda m: dt.datetime(2024, 9, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "click", 0.0, ""),     # touches p1 AND p2
+        (2, t(30), 7, "click", 0.0, ""),    # touches p1, p2
+        (3, t(40), 7, "purchase", 10.0, ""),   # p1: 2 touches -> 5 each
+        (4, t(50), 7, "purchase", 4.0, ""),    # p2: 2 touches -> 2 each
+        (5, t(0), 8, "click", 0.0, ""),     # >1h before its purchase
+        (6, t(2), 8, "purchase", 9.0, ""),  # 1 touch (click 5 IS in window)
+    ]
+    d = _write_events_fixture(spark, rows)
+    got = {
+        r["click_id"]: (r["n_purchases"], r["credit"])
+        for r in REGISTRY["j18_multitouch_attribution"].fn(spark, d).collect()
+    }
+    assert got[1] == (2, 7.0)  # 5 + 2
+    assert got[2] == (2, 7.0)
+    assert got[5] == (1, 9.0)
