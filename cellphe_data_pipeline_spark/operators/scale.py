@@ -148,6 +148,7 @@ def merge_rows_cow(
     delta: DataFrame,
     key_col: str = "event_id",
     out_slice: str = "merge",
+    commit_extra: dict | None = None,
 ) -> tuple[int, dict]:
     """Row-level MERGE (upsert) via file-level copy-on-write over the
     snapshot layer (r11, o17) — the Delta/Iceberg MERGE core, and the
@@ -196,24 +197,30 @@ def merge_rows_cow(
     )
 
     parent = snapshot_current(table_dir)
-    base_files = snapshot_files(table_dir, parent)
+    # bootstrap (r11, e28): merging into an EMPTY table is the first
+    # micro-batch of a streaming MERGE sink — no base files, every
+    # delta row an insert, no prune pass to run
+    base_files = snapshot_files(table_dir, parent) if parent > 0 else []
 
     keys = delta.select(F.col(key_col).alias("_k")).distinct()
-    stats = file_key_stats(spark, base_files, key_col).select(
-        F.col("file").alias("_f"),
-        F.col("min_v").alias("_lo"),
-        F.col("max_v").alias("_hi"),
-    )
-    candidates = stats.join(
-        F.broadcast(keys),
-        (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
-        "left_semi",
-    )
-    # bounded collect: one row per CANDIDATE FILE (a file list, the
-    # same metadata a table format holds on the driver during commit)
-    hit_files = sorted(
-        urlparse(r["_f"]).path for r in candidates.select("_f").collect()
-    )
+    if base_files:
+        stats = file_key_stats(spark, base_files, key_col).select(
+            F.col("file").alias("_f"),
+            F.col("min_v").alias("_lo"),
+            F.col("max_v").alias("_hi"),
+        )
+        candidates = stats.join(
+            F.broadcast(keys),
+            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            "left_semi",
+        )
+        # bounded collect: one row per CANDIDATE FILE (a file list, the
+        # same metadata a table format holds on the driver during commit)
+        hit_files = sorted(
+            urlparse(r["_f"]).path for r in candidates.select("_f").collect()
+        )
+    else:
+        hit_files = []
     hit_set = set(hit_files)
     kept_files = [f for f in base_files if f not in hit_set]
 
@@ -234,7 +241,7 @@ def merge_rows_cow(
     new_files = snapshot_data_files(out_dir)
 
     new_id = snapshot_commit_atomic(
-        table_dir, parent, kept_files + new_files
+        table_dir, parent, kept_files + new_files, extra=commit_extra
     )
     return new_id, {
         "kept_files": kept_files,

@@ -13653,6 +13653,101 @@ def j18(spark, sf_dir):
     )
 
 
+@register(
+    "e28_streaming_merge_sink",
+    """
+    WITH u1 AS (
+      SELECT event_id, event_type, value + 50.0 AS value
+      FROM events WHERE event_id % 7 = 2
+    ),
+    u2 AS (
+      SELECT event_id, event_type, value + 90.0 AS value
+      FROM events WHERE event_id % 11 = 3
+    ),
+    final AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE event_id % 7 <> 2 AND event_id % 11 <> 3
+      UNION ALL
+      SELECT event_id, event_type, value FROM u1 WHERE event_id % 11 <> 3
+      UNION ALL
+      SELECT event_id, event_type, value FROM u2
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_replay_noop
+    FROM final GROUP BY event_type
+    """,
+)
+def e28(spark, sf_dir):
+    """§2.11 streaming MERGE sink (r11;
+    tracker.streaming_merge_sink_drain) — the twenty-fourth verified
+    streaming runtime and e25's append sink upgraded to the
+    Delta-streaming-MERGE shape: three micro-batches (full base, then
+    two OVERLAPPING correction batches — keys divisible by both 7 and
+    11 are updated twice, latest wins) each applied with the o17
+    file-level COW merge (zone-map prune, only hit files rewritten)
+    and made exactly-once by the manifest batch-id watermark; the
+    replay check re-invokes the sink with the final batch (no-op,
+    snapshot unchanged — the guard runs BEFORE any merge work, which
+    is what makes a non-idempotent MERGE replay-safe by construction).
+    The first batch exercises merge_rows_cow's empty-table bootstrap.
+    The oracle computes base ∘ u1 ∘ u2 relationally (u2 from BASE
+    values — updates replace, they don't compose); the engine answers
+    from the final snapshot's files."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_merge_sink_drain,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    u1 = ev.filter(F.col("event_id") % 7 == 2).select(
+        "event_id", "event_type", (F.col("value") + 50.0).alias("value")
+    )
+    u2 = ev.filter(F.col("event_id") % 11 == 3).select(
+        "event_id", "event_type", (F.col("value") + 90.0).alias("value")
+    )
+    staged = _stage_ordered_batches([ev, u1, u2], "e28_batches")
+    root = _stage_dir("e28_merge_sink")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_merge_sink_drain(
+            spark, ev.schema, staged, table, ckpt
+        )
+    assert counts == {"committed": 3, "skipped": 0}, counts
+    assert snapshot_current(table) == 3
+    # the replay the engine's contract permits: re-apply the final
+    # batch through the sink's own guarded applier — it must refuse
+    # BEFORE any merge work, and the table must not advance
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        merge_batch_idempotent,
+    )
+
+    replayed = merge_batch_idempotent(spark, table, u2, 2)
+    assert replayed is False and snapshot_current(table) == 3
+    return (
+        snapshot_read(spark, table, 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.lit(True).alias("ok_replay_noop"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13704,6 +13799,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "a27_sliding_hll_fold",
     "v19_ivf_delete",
     "j18_multitouch_attribution",
+    "e28_streaming_merge_sink",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

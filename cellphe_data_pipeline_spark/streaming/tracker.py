@@ -1627,3 +1627,80 @@ def streaming_sliding_rollup(
             .alias("sum_value"),
         )
     )
+
+
+def merge_batch_idempotent(
+    spark, table_dir: str, batch_df, batch_id: int, key_col: str = "event_id"
+) -> bool:
+    """The e28 sink's per-batch applier, exposed so the replay guard is
+    testable in isolation: skip (return False) if the manifest's
+    batch-id watermark already covers ``batch_id`` — BEFORE any merge
+    work, which is what makes a non-idempotent MERGE replay-safe —
+    else apply the o17 COW merge and commit with the new watermark."""
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_manifest,
+    )
+
+    cur = snapshot_current(table_dir)
+    last = -1
+    if cur > 0:
+        last = snapshot_manifest(table_dir, cur).get("last_batch_id", -1)
+    if batch_id <= last:
+        return False
+    merge_rows_cow(
+        spark, table_dir, batch_df, key_col=key_col,
+        out_slice=f"b{batch_id}",
+        commit_extra={"last_batch_id": batch_id},
+    )
+    return True
+
+
+def streaming_merge_sink_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    ckpt_dir: str,
+    key_col: str = "event_id",
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming MERGE (latest-wins upsert) into the snapshot table
+    via foreachBatch (r11, e28) — e25's append sink upgraded to the
+    Delta-streaming-MERGE shape: each micro-batch is a correction/
+    upsert batch, applied with the o17 file-level COW merge (zone-map
+    candidate prune, only hit files rewritten, untouched files reused
+    verbatim) and made EXACTLY-ONCE by the same manifest batch-id
+    watermark e25 uses — a replayed batch is skipped BEFORE any merge
+    work runs, so the non-idempotent-by-nature merge (applying an
+    upsert twice is harmless here, but a general MERGE with
+    aggregating clauses is not) is replay-safe by construction. The
+    first batch bootstraps the empty table (merge_rows_cow's r11
+    bootstrap path). Cost per batch: O(candidate files + batch), the
+    o17 economics on a streaming cadence."""
+    counts = {"committed": 0, "skipped": 0}
+
+    def sink(batch_df, batch_id):
+        if merge_batch_idempotent(
+            spark, table_dir, batch_df, batch_id, key_col=key_col
+        ):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"merge-sink drain did not finish in {timeout_s}s")
+    return counts

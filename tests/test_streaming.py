@@ -1584,3 +1584,33 @@ def test_snapshot_append_batch_idempotent_by_batch_id(spark, tmp_path):
     # snapshot 1 (after batch 0 only) still readable: each micro-batch
     # is a committed, time-travelable table version
     assert snapshot_read(spark, table, 1).count() == 1
+
+
+def test_merge_batch_idempotent_guard_and_bootstrap(spark, tmp_path):
+    """The streaming-MERGE applier: bootstraps an empty table, applies
+    latest-wins upserts, and refuses replays before any merge work."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        merge_batch_idempotent,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "event_id bigint, g string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(2, "a", 20.0), (3, "a", 3.0)], "event_id bigint, g string, v double"
+    )
+    assert merge_batch_idempotent(spark, table, base, 0) is True  # bootstrap
+    assert merge_batch_idempotent(spark, table, upd, 1) is True
+    assert merge_batch_idempotent(spark, table, upd, 1) is False  # replay
+    assert merge_batch_idempotent(spark, table, base, 0) is False
+    assert snapshot_current(table) == 2
+    rows = {
+        r["event_id"]: r["v"]
+        for r in snapshot_read(spark, table, 2).collect()
+    }
+    assert rows == {1: 1.0, 2: 20.0, 3: 3.0}  # latest wins, insert applied
