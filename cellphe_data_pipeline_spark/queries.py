@@ -13748,6 +13748,90 @@ def e28(spark, sf_dir):
     )
 
 
+@register(
+    "s25_snapshot_rollback",
+    """
+    WITH bad AS (
+      SELECT event_id, event_type, value * 0.0 AS value
+      FROM events WHERE event_id % 5 = 1
+    ),
+    corrupted AS (
+      SELECT e.event_id, e.event_type, e.value FROM events e
+      WHERE e.event_id NOT IN (SELECT event_id FROM bad)
+      UNION ALL SELECT event_id, event_type, value FROM bad
+    )
+    SELECT 'corrupted' AS state, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM corrupted GROUP BY event_type
+    UNION ALL
+    SELECT 'current', event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY event_type
+    """,
+)
+def s25(spark, sf_dir):
+    """Snapshot ROLLBACK as a forward commit (r11; io.py
+    snapshot_rollback) — the recovery verb completing the table-ops
+    set (commit s21, merge o17, CDC s23, vacuum o20, WAP s22): a bad
+    merge lands (a fifth of the rows zeroed — the classic botched
+    backfill), and rollback reverts `current` by CAS-committing a NEW
+    snapshot whose file list IS v1's — history stays linear and
+    append-only (the bad snapshot remains readable for forensics
+    until an expiry vacuum reclaims it; v3 reuses v1's files
+    verbatim, zero data movement), readers see the revert atomically,
+    and a concurrent writer races the rollback through the same CAS
+    as any commit. The rejected alternative is recorded in the
+    helper: moving the pointer backwards would fork it from the
+    manifest pool snapshot_current() treats as truth. The query
+    returns the CORRUPTED state (read via time travel — forensics
+    still works) and the post-rollback CURRENT state; the oracle
+    computes both relationally, so the hash proves the revert
+    restored v1 exactly AND the bad state stayed readable."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("s25_rollback")
+    d = os.path.join(table, "data", "base")
+    ev.write.mode("overwrite").parquet(d)
+    snapshot_commit_atomic(table, 0, snapshot_data_files(d))
+
+    bad = ev.filter(F.col("event_id") % 5 == 1).select(
+        "event_id", "event_type", (F.col("value") * 0.0).alias("value")
+    )
+    merge_rows_cow(spark, table, bad, out_slice="bad_backfill")
+    assert snapshot_current(table) == 2
+
+    from cellphe_data_pipeline_spark.sources.io import snapshot_rollback
+
+    new_id = snapshot_rollback(table, 1)
+    assert new_id == 3 and snapshot_current(table) == 3
+    # zero data movement: v3's manifest IS v1's file list
+    assert snapshot_files(table, 3) == snapshot_files(table, 1)
+
+    def rollup(df, tag):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(F.lit(tag).alias("state"), "event_type", "n", "sum_value")
+
+    return rollup(snapshot_read(spark, table, 2), "corrupted").unionByName(
+        rollup(snapshot_read(spark, table, snapshot_current(table)), "current")
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13800,6 +13884,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "v19_ivf_delete",
     "j18_multitouch_attribution",
     "e28_streaming_merge_sink",
+    "s25_snapshot_rollback",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.

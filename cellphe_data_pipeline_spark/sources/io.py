@@ -518,3 +518,21 @@ def snapshot_append_batch(
         extra={"last_batch_id": batch_id},
     )
     return True
+
+
+def snapshot_rollback(table_dir: str, to_id: int) -> int:
+    """ROLLBACK as a forward commit (r11, s25): revert the table to an
+    older snapshot by CAS-committing a NEW snapshot whose file list is
+    the old one's — history stays linear and append-only (the bad
+    snapshot remains readable for forensics; nothing is deleted — a
+    vacuum with expiry reclaims it later), readers of `current` see
+    the reverted state atomically, and concurrent writers race the
+    rollback through the same CAS every commit uses. This is
+    Iceberg's rollback semantics; the alternative (moving the pointer
+    backwards) would fork truth from the manifest pool, which
+    snapshot_current() treats as authoritative — recorded, rejected."""
+    files = snapshot_files(table_dir, to_id)
+    parent = snapshot_current(table_dir)
+    return snapshot_commit_atomic(
+        table_dir, parent, files, extra={"rollback_of": to_id}
+    )
