@@ -13850,13 +13850,15 @@ def s25(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # =============== ROUND-11 WINDOW ===============
-    # Session-3 additions (23 queries, never driver-proven). Each name
+    # Session-3 additions (28 queries, never driver-proven). Each name
     # here displaces one r6-proven query past slot 50
     # (displaced-means-proven holds). Window arithmetic at close:
-    # 23 session-3 new + 5 session-1 new + 2 changed-code re-proofs +
-    # 10 r5-proven + 10 r6-proven = 50. The r12 window should lead
-    # with the r6-proven remainder (the 24 displaced below plus the 10
-    # listed in the r6-cohort note) — all r6-proven, oldest-first.
+    # 28 session-3 new + 5 session-1 new + 2 changed-code re-proofs +
+    # 10 r5-proven + 5 r6-proven = 50; additions were STOPPED here so
+    # the whole r5-proven cohort keeps its slots. The r12 window
+    # should lead with the r6-proven remainder (the 29 displaced below
+    # plus the 10 listed in the r6-cohort note) — all r6-proven,
+    # oldest-first.
     "w13_ohlc_resample",
     "a23_hll_setops_audit",
     "g10_common_neighbors",
