@@ -400,3 +400,58 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                     assert snapshot_read(spark, table, sid).count() >= 0
 
     check()
+
+
+def test_snapshot_changes_property_vs_model_diff(spark, tmp_path):
+    """Property: the CDC feed between two random states equals the
+    dict diff (inserts/deletes/updates; unchanged rows absent even
+    when their file was rewritten)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_commit_atomic,
+        snapshot_data_files,
+    )
+
+    state = st.dictionaries(
+        st.integers(1, 8), st.integers(0, 9).map(float),
+        min_size=0, max_size=6,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(state, state, st.integers(0, 10**6))
+    def check(s1, s2, salt):
+        if not s1 and not s2:
+            return
+        import shutil
+
+        table = str(tmp_path / f"cdcp_{salt}")
+        shutil.rmtree(table, ignore_errors=True)
+        parent = 0
+        for sid, s in ((1, s1), (2, s2)):
+            d = f"{table}/data/s{sid}_{salt}"
+            df = spark.createDataFrame(
+                [(k, v) for k, v in s.items()] or [],
+                "k bigint, v double",
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            parent = snapshot_commit_atomic(
+                table, parent, snapshot_data_files(d)
+            )
+        changes, _ = snapshot_changes(
+            spark, table, 1, 2, key_col="k", compare_cols=["v"]
+        )
+        got = {(r["k"], r["change_type"]): r["v"] for r in changes.collect()}
+        want = {}
+        for k in set(s1) | set(s2):
+            if k in s1 and k not in s2:
+                want[(k, "delete")] = s1[k]
+            elif k in s2 and k not in s1:
+                want[(k, "insert")] = s2[k]
+            elif s1[k] != s2[k]:
+                want[(k, "update_pre")] = s1[k]
+                want[(k, "update_post")] = s2[k]
+        assert got == want, (s1, s2, got, want)
+
+    check()
