@@ -13832,6 +13832,140 @@ def s25(spark, sf_dir):
     )
 
 
+@register(
+    "m7_msd_lags",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT a.user_id, CAST(lag.tau AS INT) AS tau,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(
+             (CAST(b.value AS DECIMAL(18,2)) - CAST(a.value AS DECIMAL(18,2)))
+             * (CAST(b.value AS DECIMAL(18,2)) - CAST(a.value AS DECIMAL(18,2)))
+           ) AS DOUBLE) / COUNT(*), 6) + 0.0 AS msd
+    FROM s a
+    JOIN (SELECT UNNEST(generate_series(1, 3)) AS tau) lag ON TRUE
+    JOIN s b ON b.user_id = a.user_id AND b.t = a.t + lag.tau
+    GROUP BY a.user_id, lag.tau
+    """,
+)
+def m7(spark, sf_dir):
+    """Mean-squared-displacement curve (r11) — the diffusion-analysis
+    depth the movement family (M5) reports single-step stats for:
+    MSD(τ) = ⟨(x(t+τ) − x(t))²⟩ per track and lag τ ∈ {1,2,3}, whose
+    SHAPE over τ classifies motion (linear = Brownian, superlinear =
+    directed, plateau = confined — the CellPhe-domain question a
+    tracking pipeline's consumers actually ask; reference tracks =
+    user event sequences under the TESTDATA.md mapping). Physical
+    shape: ONE window shuffle keys the per-track sequence numbers,
+    then lagged pairs come from a SELF-EQUI-JOIN on (track, t+τ) with
+    τ exploded — keyed join, never a theta join; all three lags ride
+    one plan, sharing the sequence scan. Squared displacement is
+    exact IEEE; the per-(track,τ) AVG is an unordered reduction,
+    rounded per the conventions header."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("t")
+    )
+    a = s.select(
+        F.col("user_id").alias("_u"), F.col("value").alias("_va"),
+        F.col("t").alias("_ta"),
+    ).select(
+        "_u", "_va", "_ta", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("tau")
+    )
+    b = s.select(
+        F.col("user_id").alias("_ub"), F.col("value").alias("_vb"),
+        F.col("t").alias("_tb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_u") == F.col("_ub"))
+        & (F.col("_tb") == F.col("_ta") + F.col("tau")),
+    )
+    # decimal-exact squared-displacement sum (the conventions-header
+    # money-sum discipline): 2dp values subtract and square EXACTLY in
+    # decimal, the sum is order-free, one double division at the end —
+    # a plain double AVG diverged in the last ulp at ~1e4 magnitudes
+    d = F.col("_vb").cast("decimal(18,2)") - F.col("_va").cast(
+        "decimal(18,2)"
+    )
+    return pairs.groupBy(
+        F.col("_u").alias("user_id"), F.col("tau").cast("int").alias("tau")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round_z(
+            F.sum(d * d).cast("double") / F.count(F.lit(1)), 6
+        ).alias("msd"),
+    )
+
+
+@register(
+    "e29_streaming_observe",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           (SELECT COUNT(*) FROM events) AS obs_total_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def e29(spark, sf_dir):
+    """§2.11 in-flight observability on a STREAM (r11) — p16's
+    df.observe discipline carried into the streaming runtime (the
+    twenty-fifth verified): the observe node rides the streaming plan
+    and its metrics arrive per micro-batch in
+    StreamingQueryProgress.observedMetrics — the self-monitoring
+    channel a 24/7 ingest reads instead of running audit queries
+    against itself. The observed row count is summed across the
+    drain's progress entries and emitted INTO the result
+    (obs_total_rows), value-matched against the oracle's relational
+    count — the driver hash proves the progress-channel metrics equal
+    a rescan, p16's contract at streaming cadence. The batch rollup
+    rows prove the observe node changed nothing downstream. Recorded
+    contract: metrics are per-BATCH (cumulative reading = caller's
+    fold, exactly how a metrics exporter consumes them)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    staged = _stage_dir("e29_stream_obs")
+    ev.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    observed = stream.observe(
+        "e29_obs", F.count(F.lit(1)).alias("obs_rows")
+    )
+    transformed = observed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    with _bounded_shuffle_partitions(spark):
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName("e29_obs_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("e29: drain did not finish in 300s")
+    total_obs = 0
+    for prog in q.recentProgress:
+        om = (prog or {}).get("observedMetrics") or {}
+        if "e29_obs" in om:
+            total_obs += om["e29_obs"]["obs_rows"]
+    assert total_obs > 0, "observe metrics never surfaced in progress"
+    return spark.table("e29_obs_sink").select(
+        "event_type", "n", "sum_value",
+        F.lit(total_obs).cast("bigint").alias("obs_total_rows"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -13850,13 +13984,13 @@ def s25(spark, sf_dir):
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
     # =============== ROUND-11 WINDOW ===============
-    # Session-3 additions (28 queries, never driver-proven). Each name
+    # Session-3 additions (30 queries, never driver-proven). Each name
     # here displaces one r6-proven query past slot 50
     # (displaced-means-proven holds). Window arithmetic at close:
-    # 28 session-3 new + 5 session-1 new + 2 changed-code re-proofs +
-    # 10 r5-proven + 5 r6-proven = 50; additions were STOPPED here so
+    # 30 session-3 new + 5 session-1 new + 2 changed-code re-proofs +
+    # 10 r5-proven + 3 r6-proven = 50; additions were STOPPED here so
     # the whole r5-proven cohort keeps its slots. The r12 window
-    # should lead with the r6-proven remainder (the 29 displaced below
+    # should lead with the r6-proven remainder (the 31 displaced below
     # plus the 10 listed in the r6-cohort note) — all r6-proven,
     # oldest-first.
     "w13_ohlc_resample",
@@ -13887,6 +14021,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "j18_multitouch_attribution",
     "e28_streaming_merge_sink",
     "s25_snapshot_rollback",
+    "m7_msd_lags",
+    "e29_streaming_observe",
     # New this round (never driver-proven): the snapshot layer's atomic
     # commit/conflict closure, the cross-partition COW MERGE, in-flight
     # observe metrics, and streaming checkpoint-restart.
