@@ -1056,3 +1056,27 @@ def test_u7_property_vs_counter(spark):
         assert got == want
 
     check()
+
+
+def test_m7_msd_hand_computed_directed_vs_stationary(spark):
+    """MSD fixture: a linearly drifting track shows msd = (step*tau)^2
+    (superlinear in tau — directed motion); a constant track shows 0."""
+    import datetime as dt
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    t = lambda m: dt.datetime(2024, 11, 1, 8, m)  # noqa: E731
+    rows = [  # track 1 drifts +2.0 per step; track 2 is stationary
+        (i, t(i), 1, "click", 2.0 * i, "") for i in range(1, 6)
+    ] + [
+        (10 + i, t(i), 2, "click", 7.0, "") for i in range(1, 5)
+    ]
+    d = _write_events_fixture(spark, rows)
+    got = {
+        (r["user_id"], r["tau"]): (r["n_pairs"], r["msd"])
+        for r in REGISTRY["m7_msd_lags"].fn(spark, d).collect()
+    }
+    assert got[(1, 1)] == (4, 4.0)    # (2*1)^2
+    assert got[(1, 2)] == (3, 16.0)   # (2*2)^2
+    assert got[(1, 3)] == (2, 36.0)   # (2*3)^2 -> quadratic = directed
+    assert got[(2, 1)] == (3, 0.0) and got[(2, 3)] == (1, 0.0)

@@ -1614,3 +1614,36 @@ def test_merge_batch_idempotent_guard_and_bootstrap(spark, tmp_path):
         for r in snapshot_read(spark, table, 2).collect()
     }
     assert rows == {1: 1.0, 2: 20.0, 3: 3.0}  # latest wins, insert applied
+
+
+def test_streaming_observe_metrics_fold_across_batches(spark, sf_dir, tmp_path):
+    """The e29 contract: observedMetrics are PER micro-batch; with
+    maxFilesPerTrigger=1 over three staged files, the fold across
+    progress entries equals the total row count."""
+    ev, path = _stage_events(spark, sf_dir, tmp_path, n_users=10)
+    # restage as three files so the drain runs three micro-batches
+    three = str(tmp_path / "three")
+    ev.repartition(3).write.mode("overwrite").parquet(three)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(three)
+    )
+    observed = stream.observe(
+        "obs_test", F.count(F.lit(1)).alias("obs_rows")
+    ).groupBy("event_type").count()
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_fold_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_batch = [
+        p["observedMetrics"]["obs_test"]["obs_rows"]
+        for p in q.recentProgress
+        if (p or {}).get("observedMetrics", {}).get("obs_test")
+    ]
+    assert len(per_batch) >= 2  # genuinely multi-batch
+    assert sum(per_batch) == ev.count()
