@@ -1080,3 +1080,48 @@ def test_m7_msd_hand_computed_directed_vs_stationary(spark):
     assert got[(1, 2)] == (3, 16.0)   # (2*2)^2
     assert got[(1, 3)] == (2, 36.0)   # (2*3)^2 -> quadratic = directed
     assert got[(2, 1)] == (3, 0.0) and got[(2, 3)] == (1, 0.0)
+
+
+def test_w13_property_vs_python(spark):
+    """Property: OHLC per (user, hour-bucket) equals a python fold over
+    random event sets with deliberate ts collisions."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    base = dt.datetime(2024, 12, 1)
+    ev = st.tuples(
+        st.integers(1, 3),          # user
+        st.integers(0, 179),        # minute across 3 hours
+        st.integers(0, 9),          # value (small domain -> ties)
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=12))
+    def check(events):
+        rows = [
+            (i, base + dt.timedelta(minutes=m), u, "click", float(v), "")
+            for i, (u, m, v) in enumerate(events)
+        ]
+        d = _write_events_fixture(spark, rows)
+        got = {
+            (r["user_id"], r["bucket_ts"]): (
+                r["open_value"], r["close_value"],
+                r["low_value"], r["high_value"], r["n_events"],
+            )
+            for r in REGISTRY["w13_ohlc_resample"].fn(spark, d).collect()
+        }
+        buckets: dict = {}
+        for i, ts, u, _, v, _p in rows:
+            b = ts.replace(minute=0, second=0, microsecond=0)
+            buckets.setdefault((u, b), []).append((ts, i, v))
+        want = {}
+        for k, items in buckets.items():
+            items.sort()  # (ts, event_id) order
+            vals = [v for _, _, v in items]
+            want[k] = (items[0][2], items[-1][2], min(vals), max(vals), len(items))
+        assert got == want
+
+    check()
