@@ -2680,3 +2680,54 @@ def test_arrow_doc_stats_edge_semantics(spark):
         4: (3, 3, 0),
         5: (5, 6, 1),
     }
+
+
+def test_v19_untouched_lists_not_rewritten(spark, sf_dir, tmp_path):
+    """The v19 delete's file discipline on a fixture: only lists
+    containing deleted vectors are rewritten; other list partitions
+    keep their exact files (names + sizes + mtimes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+    )
+
+    d = str(tmp_path / "bucket")
+    rows = [(i, float(i), 1.0, i % 4) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, emb double, norm double, list_id bigint"
+    )
+    df.write.mode("overwrite").partitionBy("list_id").parquet(d)
+
+    def snap(lists):
+        out = {}
+        for li in lists:
+            p = os.path.join(d, f"list_id={li}")
+            out[li] = sorted(
+                (f, os.path.getsize(os.path.join(p, f)),
+                 os.path.getmtime(os.path.join(p, f)))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        return out
+
+    before = snap(range(4))
+    # delete ids living only in lists 0 and 2
+    deleted = spark.createDataFrame(
+        [(0,), (8,), (2,), (10,)], "vec_id bigint"
+    )
+    bucket = spark.read.parquet(d)
+    affected = [0, 2]
+    survivors = bucket.filter(F.col("list_id").isin(affected)).join(
+        F.broadcast(deleted), "vec_id", "left_anti"
+    )
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+
+    survivors = cut_lineage(survivors, eager=True, name="v19-test")
+    overwrite_partitions_dynamic(survivors, d, ["list_id"])
+    after = snap(range(4))
+    assert after[1] == before[1] and after[3] == before[3]  # untouched
+    refreshed = spark.read.parquet(d)
+    assert refreshed.join(deleted, "vec_id").count() == 0
+    assert refreshed.count() == 36
