@@ -1125,3 +1125,48 @@ def test_w13_property_vs_python(spark):
         assert got == want
 
     check()
+
+
+def test_c22_property_vs_python_render(spark):
+    """Property: the sort-struct aggregation-concat equals a python
+    fold over random per-user event sets, shuffled input order."""
+    import datetime as dt
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.queries import REGISTRY
+
+    base = dt.datetime(2025, 1, 1)
+    ev = st.tuples(st.integers(1, 3), st.integers(0, 500))
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=10, unique=True), st.integers(0, 9))
+    def check(events, seed):
+        rows = [
+            (i, base + dt.timedelta(minutes=m), u, "click", 0.0, "")
+            for i, (u, m) in enumerate(events)
+        ]
+        random.Random(seed).shuffle(rows)
+        d = _write_events_fixture(spark, rows)
+        got = {
+            r["user_id"]: (r["rendered_text"], r["n_msgs"], r["n_loss_chars"])
+            for r in REGISTRY["c22_chat_template_render"].fn(spark, d).collect()
+        }
+        per_user: dict = {}
+        for i, ts, u, et, _v, _p in rows:
+            per_user.setdefault(u, []).append((ts, i, et))
+        want = {}
+        for u, items in per_user.items():
+            items.sort()
+            text, loss = "", 0
+            for rn, (_ts, i, et) in enumerate(items, start=1):
+                role = "user" if rn % 2 == 1 else "assistant"
+                content = f"{et}#{i}"
+                text += f"<|{role}|>{content}"
+                if role == "assistant":
+                    loss += len(content)
+            want[u] = (text, len(items), loss)
+        assert got == want
+
+    check()
