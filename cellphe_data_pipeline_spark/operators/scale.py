@@ -250,6 +250,75 @@ def merge_rows_cow(
     }
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    sort_cols: list[str],
+    target_partitions: int = 1,
+    max_records_per_file: int = 0,
+    commit_extra: dict | None = None,
+) -> tuple[int, dict]:
+    """Compaction AS a snapshot commit (r12, the r11 verdict's ask #4):
+    o15's compact_files and the s20-s25 snapshot layer were separate
+    machines; real table maintenance rewrites small files UNDER a
+    snapshot so readers never see a half-compacted table. Protocol,
+    per Iceberg's rewrite_data_files / Delta's OPTIMIZE:
+
+      1. read the CURRENT snapshot's file list (the stream-sink /
+         fine-grained-backfill debris o15's docstring describes),
+      2. rewrite the whole row set as few range-sorted files into a
+         fresh per-commit slice (repartitionByRange + sortWithin —
+         each output file a disjoint sorted key range, so footer/
+         manifest stats prune point scans on the sort key),
+      3. CAS-commit a NEW snapshot whose file list is exactly the
+         compacted files, ``extra={'compaction_of': parent}`` marking
+         the commit as row-preserving metadata motion.
+
+    The row set is IDENTICAL by construction (pure relayout — the o22
+    driver oracle hash-checks exactly that); concurrent readers keep
+    the old snapshot via time travel until a vacuum with expiry
+    reclaims the pre-compaction files; a concurrent WRITER's commit
+    wins or loses the same CAS every commit uses (a lost compaction is
+    retried against the new parent — compaction never has rebase
+    conflicts of its own because it writes no new rows; production
+    systems additionally validate no concurrent DELETE touched the
+    compacted files — recorded, single-maintainer assumed here, same
+    as Delta's conflict matrix treats OPTIMIZE vs UPDATE). Returns
+    (new_snapshot_id, info{replaced, new_files}); the commit carries
+    the parent's exactly-once watermark forward automatically (the
+    r12 carry-forward contract), so compacting between stream batches
+    cannot re-enable replay."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+    )
+
+    parent = snapshot_current(table_dir)
+    old_files = snapshot_files(table_dir, parent)
+    out_dir = os.path.join(table_dir, "data", f"s{parent + 1}_compact")
+    w = (
+        spark.read.parquet(*old_files)
+        .repartitionByRange(target_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(out_dir)
+    new_files = snapshot_data_files(out_dir)
+    new_id = snapshot_commit_atomic(
+        table_dir,
+        parent,
+        new_files,
+        extra={"compaction_of": parent, **(commit_extra or {})},
+    )
+    return new_id, {"replaced": old_files, "new_files": new_files}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -1052,7 +1052,14 @@ def mmr_diversify(
     Scale: MMR cost is per-query k·|C| with |C| the retrieved top-k
     window (never the corpus) plus the |C|² pair sims — the standard
     rerank budget; everything shuffles on qid once. Empty-set maxsim
-    is 0, making pick 1 = argmax rel under the same score formula."""
+    is 0, making pick 1 = argmax rel under the same score formula.
+
+    Pair-sim contract (r12, advisor): ``pair_sims`` may carry EITHER
+    ordering of a pair — the lookup tries (d, s) then (s, d). A pair
+    present in NEITHER ordering is treated as sim = 0.0 (the standard
+    MMR treatment of unknown similarity: no diversity penalty), so a
+    caller supplying only the upper triangle gets correct scores
+    instead of a KeyError."""
     import pandas as pd
 
     lam = float(lam)
@@ -1075,7 +1082,10 @@ def mmr_diversify(
         for rank in range(1, min(k, len(remaining)) + 1):
             best_key, best = None, None
             for d in remaining:
-                ms = max((sim[(d, s)] for s in selected), default=0.0)
+                ms = max(
+                    (sim.get((d, s), sim.get((s, d), 0.0)) for s in selected),
+                    default=0.0,
+                )
                 score = lam * rel[d] - (1.0 - lam) * ms
                 key = (-score, d)
                 if best_key is None or key < best_key:

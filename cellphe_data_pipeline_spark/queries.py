@@ -12117,6 +12117,7 @@ def j16(spark, sf_dir):
     SELECT d.tier, date_trunc('hour', e.ts) AS hour_ts, COUNT(*) AS n,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN dim d ON e.user_id = d.user_id
+    WHERE e.ts IS NOT NULL
     GROUP BY d.tier, date_trunc('hour', e.ts)
     """,
 )
@@ -12140,7 +12141,15 @@ def e24(spark, sf_dir):
         streaming_static_enrich_rollup,
     )
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # null-ts symmetry guard (r12, advisor): Spark's streaming window()
+    # DROPS null-ts rows while the oracle's date_trunc would keep a NULL
+    # hour group — filter both sides explicitly (the a25/e26 pattern) so
+    # a testdata regeneration with null timestamps cannot diverge them.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
     dim = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
@@ -13967,6 +13976,146 @@ def e29(spark, sf_dir):
 
 
 # =====================================================================
+# Round-12 additions (r11 verdict asks #4-#6). Per the r12 rotation
+# policy these land REGISTRY-ONLY this round — local-gate + test
+# proven, queued for the r13 driver window via _NEXT_WINDOW_QUEUE —
+# so the whole r12 driver window stays spent on the stale-proof
+# rotation the verdict asked for.
+# =====================================================================
+
+
+@register(
+    "o22_snapshot_compaction",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_rows_invariant,
+           TRUE AS ok_time_travel,
+           TRUE AS ok_vacuum_reclaimed
+    FROM events GROUP BY event_type
+    """,
+)
+def o22(spark, sf_dir):
+    """Compaction UNDER a snapshot (r12; operators/scale.snapshot_compact
+    — the r11 verdict's ask #4): o15's small-file rewrite and the
+    s20-s25 snapshot layer run as ONE machine, the way real table
+    maintenance works. Lifecycle exercised end-to-end on a table built
+    the way streams actually leave them: six append commits of 4-file
+    slices (24 small files — the o15 debris shape), then ONE
+    compaction commit (2 range-sorted files, key-disjoint by
+    construction), with every contract asserted in-query against the
+    filesystem:
+
+      - row INVARIANCE: pre/post order-insensitive row hash equal
+        (compaction is metadata motion — zero row changes, the claim
+        the driver oracle then re-proves by recomputing the rollup
+        relationally from the raw table);
+      - file-count collapse: 24 -> 2, and the compacted files carry
+        DISJOINT key ranges (file_key_stats), which is what makes
+        later point/range scans footer-prunable;
+      - concurrent-reader story: the PRE-compaction snapshot stays
+        readable (time travel) with the identical row hash until
+        VACUUM with expiry reclaims all 24 pre-compaction files, after
+        which the compacted snapshot is still intact (reference-
+        counting reachability, the o20 machinery).
+
+    At 100 TB: the rewrite is O(live bytes under the maintained
+    partition), never blocks readers (old snapshot served until the
+    pointer advances), and the commit is the same s21 CAS every writer
+    uses — a racing append simply wins or loses the ordinary way."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        snapshot_compact,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    table = _stage_dir("o22_compact")
+
+    # six fine-grained append commits, 4 small files each (the debris)
+    acc: list[str] = []
+    for i in range(6):
+        d = os.path.join(table, "data", f"s{i + 1}_append")
+        ev.filter(F.col("event_id") % 6 == i).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(d)
+        acc = acc + snapshot_data_files(d)
+        snapshot_commit_atomic(table, i, list(acc))
+    pre_files = snapshot_files(table, 6)
+    assert len(pre_files) == 24, len(pre_files)
+
+    def row_hash(df):
+        # order-insensitive multiset hash: sum of bounded crc32s (no
+        # bigint overflow under ANSI — 60k * 2^32 << 2^63)
+        return df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id"),
+                        F.col("event_type"),
+                        F.col("value").cast("string"),
+                    )
+                )
+            )
+        ).collect()[0][0]
+
+    pre_hash = row_hash(snapshot_read(spark, table, 6))
+
+    new_id, info = snapshot_compact(
+        spark, table, sort_cols=["event_id"], target_partitions=2
+    )
+    assert new_id == 7 and set(info["replaced"]) == set(pre_files)
+    post_files = snapshot_files(table, 7)
+    assert len(post_files) == 2, post_files
+
+    # compacted files are key-disjoint ranges (footer-prunable layout)
+    stats = sorted(
+        (r["min_v"], r["max_v"])
+        for r in file_key_stats(spark, post_files, "event_id").collect()
+    )
+    assert stats[0][1] < stats[1][0], stats
+
+    # row invariance + time travel across the compaction boundary
+    assert row_hash(snapshot_read(spark, table, 7)) == pre_hash
+    assert row_hash(snapshot_read(spark, table, 6)) == pre_hash
+
+    # vacuum with expiry reclaims every pre-compaction file, keeps v7
+    vinfo = snapshot_vacuum(table, expire_before=7)
+    assert vinfo["expired"] == [1, 2, 3, 4, 5, 6], vinfo["expired"]
+    assert set(vinfo["deleted"]) == set(pre_files)
+    assert all(os.path.exists(f) for f in post_files)
+    assert row_hash(snapshot_read(spark, table, 7)) == pre_hash
+
+    return (
+        snapshot_read(spark, table, 7)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type", "n", "sum_value",
+            F.lit(True).alias("ok_rows_invariant"),
+            F.lit(True).alias("ok_time_travel"),
+            F.lit(True).alias("ok_vacuum_reclaimed"),
+        )
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries
@@ -13983,78 +14132,30 @@ def e29(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # =============== ROUND-11 WINDOW ===============
-    # Session-3 additions (30 queries, never driver-proven). Each name
-    # here displaces one r6-proven query past slot 50
-    # (displaced-means-proven holds). Window arithmetic at close:
-    # 30 session-3 new + 5 session-1 new + 2 changed-code re-proofs +
-    # 10 r5-proven + 3 r6-proven = 50; additions were STOPPED here so
-    # the whole r5-proven cohort keeps its slots. The r12 window
-    # should lead with the r6-proven remainder (the 31 displaced below
-    # plus the 10 listed in the r6-cohort note) — all r6-proven,
-    # oldest-first.
-    "w13_ohlc_resample",
-    "a23_hll_setops_audit",
-    "g10_common_neighbors",
-    "j16_cogroup_asof",
-    "e24_streaming_static_enrich",
-    "s23_snapshot_changes",
-    "o18_file_skipping_scan",
-    "t29_udtf_token_chunks",
-    "o19_manifest_stats_prune",
-    "o20_snapshot_vacuum",
-    "v18_mmr_diversify",
-    "e25_streaming_snapshot_sink",
-    "c22_chat_template_render",
-    "u7_multiset_set_ops",
-    "o21_bucketed_agg",
-    "a25_sliding_window_rollup",
-    "c23_leakage_safe_split",
-    "j17_forward_asof",
-    "e26_streaming_sliding_rollup",
-    "a26_grouped_pandas_mad",
-    "s24_cdc_feed_replay",
-    "t31_arrow_doc_stats",
-    "e27_streaming_quantile_audit",
-    "a27_sliding_hll_fold",
-    "v19_ivf_delete",
-    "j18_multitouch_attribution",
-    "e28_streaming_merge_sink",
-    "s25_snapshot_rollback",
-    "m7_msd_lags",
-    "e29_streaming_observe",
-    # New this round (never driver-proven): the snapshot layer's atomic
-    # commit/conflict closure, the cross-partition COW MERGE, in-flight
-    # observe metrics, and streaming checkpoint-restart.
-    "s21_atomic_commit",
-    "o17_row_level_merge",
-    "p16_observe_metrics",
-    "e23_streaming_restart",
-    "s22_write_audit_publish",
-    # Changed-code re-proofs: the r11 advisor batch touched a20's
-    # engine+oracle (NULL-key filter) and o16's engine+oracle (insert
-    # ids derived above max) — both were r10-proven with the OLD code.
-    "a20_hll_merge_audit",
-    "o16_partition_merge",
-    # The stale-proof cohort, oldest-first (the r10 verdict's ask #1,
-    # ledger recomputed from CORRECTNESS_r01-r10 this session): first
-    # the ten queries last proven in r5...
-    "s13_config_roundtrip",
-    "s14_lines_source",
-    "s15_publish_roundtrip",
-    "t7_tfidf_topk",
-    "t8_charlm_gate",
-    "t10_normalize_mojibake",
-    "u6_union_by_name",
-    "v5_int8_quantize",
-    "v6_int8_topk",
-    "v10_int8_per_dim",
-    # ...then the r6-proven cohort (44 total; the 34 below fill the
-    # window; the remaining ten — t2, t3, t11, u1, u2, v8, v9, w1, w3,
-    # w4 — lead r12, all r6-proven so displaced-means-proven holds).
-    "a1_argmin_first_row",
-    "a2_group_count",
-    "a3_multistat_median",
+    # =============== ROUND-12 WINDOW (rotation round) ===============
+    # The r11 verdict ask #1: spend the ENTIRE window on rotation —
+    # zero new queries. Composition: the full 41-query r6-proven
+    # cohort (last driver-proven five rounds ago; ledger recomputed
+    # from CORRECTNESS_r01-r11 this session, histogram r6x41 r7x40
+    # r8x44 r9x45 r10x48 r11x50, zero never-proven), then ONE
+    # changed-code re-proof, then the 8 oldest r7-proven queries.
+    #
+    # Changed-code audit for the r12 advisor fixes: e24 changed its
+    # ORACLE SQL and engine result path (null-ts symmetry guard) ->
+    # its r11 proof ran different SQL -> re-proof slot. The other
+    # three fixes (mmr symmetric pair lookup, last_batch_id commit
+    # carry-forward, snapshot_changes/vacuum empty guards + the
+    # thread-unique tmp tokens) change NO observable behavior on any
+    # registered query's path: no registered query runs a mixed
+    # batch+stream workload against one snapshot table, every e25/e28
+    # commit sets last_batch_id explicitly, and v18 supplies the
+    # symmetric pair set its kernel previously required. The new
+    # behavior is pinned by tests (test_ingest.py: watermark
+    # carry-forward, no-diff/empty-snapshot feed, manifest-less
+    # vacuum no-op, 8-writer CAS stress).
+    #
+    # The r6-proven cohort, oldest debt first (alphabetical within
+    # the round - no finer-grained age exists):
     "a7_count_distinct",
     "d1_exact_dedup",
     "d2_shingle_counts",
@@ -14085,11 +14186,48 @@ _DRIVER_WINDOW_PRIORITY = [
     "p9_p12_project_rename_cast",
     "p13_stride_sample",
     "s16_trackmate_sink_roundtrip",
-    # =============== end round-11 window ===============
+    "t1_quality_features",
+    "t2_language_id",
+    "t3_fingerprint",
+    "t11_vocab_oov",
+    "u1_union_all",
+    "u2_tagged_union",
+    "v8_kmeans_train",
+    "v9_pq_topk",
+    "w1_lag_diff",
+    "w3_first_value",
+    "w4_natsort_row_number",
+    # changed-code re-proof (engine + oracle edited this round):
+    "e24_streaming_static_enrich",
+    # the 8 oldest r7-proven queries (alphabetical within r7):
+    "a4_group_sum_revenue",
+    "a5_value_histogram",
+    "a5b_mask_histogram",
+    "a6_minmax_normalize",
+    "c10_dsir_importance",
+    "c11_dsir_resample",
+    "c12_bloom_decontaminate",
+    "c13_context_packing",
+    # =============== end round-12 window ===============
+    # After this round the oldest cohort is r7-proven (32 queries).
     # Prior-round windows are recorded in git history and in the
-    # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps its
-    # registration order and is driver-proven in a recorded round
+    # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps
+    # its registration order and is driver-proven in a recorded round
     # (tests/test_registry.py enforces displaced-means-proven).
+]
+
+# Queries added THIS round, queued for the NEXT round's driver window
+# (the r11 verdict's ask #1 sanctioned exactly this split: "New
+# operators, if any, can land registry-only with local-gate + test
+# proof and take r13 slots"). The displaced-means-proven invariant is
+# RELAXED for these names only — tests/test_registry.py admits a
+# never-driver-proven query outside the window iff it is listed here,
+# keeps this queue small (it must fit the next window alongside the
+# rotation debt), and requires each entry to be locally gated (an
+# oracle or a rows-only registration, like every other query). The
+# r13 window MUST lead with these names.
+_NEXT_WINDOW_QUEUE = [
+    "o22_snapshot_compaction",
 ]
 
 

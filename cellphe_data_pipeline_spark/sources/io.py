@@ -12,6 +12,7 @@ stage read 2 columns.
 
 from __future__ import annotations
 
+import itertools
 import json
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,11 +182,27 @@ def snapshot_current(table_dir: str) -> int:
     return truth
 
 
+_TMP_COUNTER = itertools.count()
+
+
+def _tmp_token() -> str:
+    """Per-call-unique scratch-file suffix. pid alone is NOT unique:
+    two THREADS of one writer process racing the same commit id would
+    share a tmp path, and the loser's truncate-and-rewrite can garble
+    the winner's file between write and link/rename (found by the r12
+    multi-writer CAS stress). pid + thread id + a process-wide counter
+    makes every scratch write private to its call."""
+    import os
+    import threading
+
+    return f"{os.getpid()}.{threading.get_ident()}.{next(_TMP_COUNTER)}"
+
+
 def _advance_pointer(table_dir: str, snapshot_id: int) -> None:
     import os
 
     os.makedirs(table_dir, exist_ok=True)
-    tmp = os.path.join(table_dir, f".current.tmp.{os.getpid()}.{snapshot_id}")
+    tmp = os.path.join(table_dir, f".current.tmp.{_tmp_token()}")
     with open(tmp, "w") as f:
         json.dump({"snapshot_id": snapshot_id}, f)
     os.rename(tmp, os.path.join(table_dir, "current"))  # atomic replace
@@ -219,7 +236,16 @@ def snapshot_commit_atomic(
     trade o17/o18 record ("at cluster scale the stats are written INTO
     the manifest at commit time"): the stats scan is paid ONCE by the
     writer, and every later range read prunes its file list from the
-    manifest alone, zero data-file I/O before the matching files."""
+    manifest alone, zero data-file I/O before the matching files.
+
+    Transaction-watermark carry-forward (r12, advisor): the parent
+    manifest's ``last_batch_id`` (the e25 exactly-once watermark) is
+    inherited by EVERY child commit unless ``extra`` overrides it.
+    Without this, any interleaved commit that didn't thread the
+    watermark itself (a rollback, a COW merge, a compaction) would
+    reset it to -1 and silently re-enable replay of already-applied
+    stream batches in a mixed batch+stream workload — exactly Delta's
+    rule that `txn` app versions survive unrelated commits."""
     import os
 
     if snapshot_current(table_dir) != expected_parent:
@@ -227,10 +253,17 @@ def snapshot_commit_atomic(
             f"table at {snapshot_current(table_dir)}, "
             f"expected {expected_parent}"
         )
+    carried: dict = {}
+    if expected_parent > 0:
+        parent_last = snapshot_manifest(table_dir, expected_parent).get(
+            "last_batch_id"
+        )
+        if parent_last is not None:
+            carried["last_batch_id"] = parent_last
     new_id = expected_parent + 1
     mdir = os.path.join(table_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{new_id}.tmp.{os.getpid()}")
+    tmp = os.path.join(mdir, f".v{new_id}.tmp.{_tmp_token()}")
     with open(tmp, "w") as f:
         json.dump(
             {
@@ -238,7 +271,8 @@ def snapshot_commit_atomic(
                 "parent_id": expected_parent,
                 "files": sorted(files),
                 **({"stats": stats} if stats else {}),
-                **(extra or {}),
+                **carried,
+                **(extra or {}),  # explicit extra overrides the carry
             },
             f,
         )
@@ -321,7 +355,23 @@ def snapshot_changes(
     removed = sorted(set(old_files) - set(new_files))
     added = sorted(set(new_files) - set(old_files))
     shared = sorted(set(old_files) & set(new_files))
-    schema_files = removed or added or new_files
+    info = {"shared": shared, "removed": removed, "added": added}
+    schema_files = removed or added or new_files or old_files
+    if not schema_files:
+        # identical-or-empty snapshots with NO files anywhere (r12,
+        # advisor): spark.read.parquet() with zero paths is a
+        # TypeError, and there is no file to infer types from — return
+        # an explicitly-typed empty feed (string-typed values: with an
+        # empty table the value types are unknowable and no row will
+        # ever carry one)
+        schema = T.StructType(
+            [
+                T.StructField(key_col, T.StringType()),
+                T.StructField("change_type", T.StringType()),
+            ]
+            + [T.StructField(c, T.StringType()) for c in compare_cols]
+        )
+        return spark.createDataFrame([], schema), info
 
     def side(files, prefix):
         if files:
@@ -370,7 +420,7 @@ def snapshot_changes(
             )
         ).alias("_c"),
     ).select(F.col("_k").alias(key_col), "_c.*")
-    return changes, {"shared": shared, "removed": removed, "added": added}
+    return changes, info
 
 
 def snapshot_read_pruned(
@@ -450,10 +500,17 @@ def snapshot_vacuum(
 
     mdir = os.path.join(table_dir, "manifests")
     ids = []
-    for fname in os.listdir(mdir):
-        m = re.fullmatch(r"v(\d+)\.json", fname)
-        if m:
-            ids.append(int(m.group(1)))
+    if os.path.isdir(mdir):
+        for fname in os.listdir(mdir):
+            m = re.fullmatch(r"v(\d+)\.json", fname)
+            if m:
+                ids.append(int(m.group(1)))
+    if not ids:
+        # manifest-less table (r12, advisor): with no surviving
+        # manifest there is no reachability evidence — deleting the
+        # data pool on zero information would be the unsafe direction,
+        # so vacuum is a no-op rather than a ValueError from max([])
+        return {"expired": [], "deleted": [], "kept": []}
     current = max(ids)
     expired = []
     if expire_before is not None:

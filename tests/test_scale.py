@@ -791,3 +791,51 @@ def test_prune_admits_all_null_stats_file(spark, tmp_path):
     assert (
         spark.read.parquet(*sel).filter("v >= 100 AND v <= 200").count() == 0
     )
+
+
+def test_snapshot_compact_preserves_rows_and_watermark(spark, tmp_path):
+    """r12 (verdict ask #4): compaction as a snapshot commit — row set
+    byte-identical, old snapshot readable until vacuumed, and the e25
+    exactly-once watermark survives the maintenance commit (the
+    carry-forward contract: OPTIMIZE between stream batches must not
+    re-enable replay)."""
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch,
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id bigint, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(3, 3.0), (4, 4.0)], "event_id bigint, v double"
+    )
+    assert snapshot_append_batch(table, b1, batch_id=1)
+    assert snapshot_append_batch(table, b2, batch_id=2)
+
+    new_id, info = snapshot_compact(
+        spark, table, sort_cols=["event_id"], target_partitions=1
+    )
+    assert new_id == 3 and len(info["new_files"]) == 1
+
+    got = {
+        r["event_id"]: r["v"]
+        for r in snapshot_read(spark, table, 3).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    # pre-compaction snapshot still time-travel readable
+    assert snapshot_read(spark, table, 2).count() == 4
+
+    # watermark carried: batch 2 replay refused, batch 3 admitted
+    assert snapshot_manifest(table, 3)["last_batch_id"] == 2
+    assert snapshot_append_batch(table, b2, batch_id=2) is False
+    assert snapshot_append_batch(
+        table,
+        spark.createDataFrame([(5, 5.0)], "event_id bigint, v double"),
+        batch_id=3,
+    )
+    assert snapshot_read(spark, table, snapshot_current(table)).count() == 5
