@@ -378,7 +378,10 @@ def tfidf_topk(
 
 
 def html_to_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """HTML → plain text extraction (r6) — the web-corpus front door
     (the WET-file step every crawl-based training corpus starts from).
@@ -438,6 +441,10 @@ def html_to_text(
         F.col(id_col).alias("doc_id"),
         n_tags.cast("bigint").alias("n_tags"),
         t.alias("text_clean"),
+        # keep_cols (r12, c24): pass-through payload columns so a
+        # composed pipeline stays one zero-shuffle projection instead
+        # of paying a join-back to re-attach them
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -838,7 +845,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """The Gopher quality rule set (r7) — the published heuristic gates
     (Rae et al., "Scaling Language Models: ... Gopher", 2021 §A1.1)
@@ -921,6 +931,10 @@ def gopher_rules(
         mean_wl.alias("mean_word_len"),
         (mask == 0).alias("keep"),
         mask.alias("fail_mask"),
+        # keep_cols (r12, c24): payload pass-through — the composed
+        # pipeline filters on `keep` and continues with the text in
+        # the same zero-shuffle projection, no join-back
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 

@@ -6537,11 +6537,18 @@ def t11(spark, sf_dir):
     return vocab_oov(load_table(spark, sf_dir, "documents"), vocab_size=100)
 
 
-@register(
-    "t13_html_to_text",
-    r"""
-    WITH aug AS (
-      SELECT doc_id,
+def _html_clean_ctes(extra_cols: str = "", doc_rel: str = "documents") -> str:
+    """The t13 HTML→text CTE list aug→stripped→tagless→cleanrel,
+    ending in ``cleanrel(doc_id[, extra], n_tags, text_clean)`` —
+    shared by the t13 oracle and the composed c24 pipeline oracle
+    (one canonical text, the r8 lesson). ``extra_cols`` (e.g.
+    ``", source"``) is threaded through every stage so payload
+    columns survive without a join-back — the SQL twin of the
+    operators' ``keep_cols``. ``doc_rel`` redirects the input
+    relation (c24 reads its duplicate-injected base corpus)."""
+    return (
+        r"""aug AS (
+      SELECT doc_id{X},
              CASE WHEN doc_id % 3 = 0 THEN
                '<html><head><style>p{color:red}</style>'
                || '<script type="text/javascript">var x=1;<!--x--></script>'
@@ -6553,7 +6560,7 @@ def t11(spark, sf_dir):
       FROM documents
     ),
     stripped AS (
-      SELECT doc_id,
+      SELECT doc_id{X},
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(COALESCE(text, ''),
                '(?is)<script\b(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</script\s*>', ' ', 'g'),
@@ -6564,22 +6571,31 @@ def t11(spark, sf_dir):
       FROM aug
     ),
     tagless AS (
-      SELECT doc_id,
+      SELECT doc_id{X},
              CAST(len(string_split_regex(t,
                '</?[a-zA-Z!](?:[^>"'']|"[^"]*"|''[^'']*'')*>')) - 1
                   AS BIGINT) AS n_tags,
              regexp_replace(t,
                '</?[a-zA-Z!](?:[^>"'']|"[^"]*"|''[^'']*'')*>', ' ', 'g') AS t
       FROM stripped
-    )
-    SELECT doc_id, n_tags,
-           trim(regexp_replace(
-             replace(replace(replace(replace(replace(replace(t,
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS text_clean
-    FROM tagless
-    """,
+    ),
+    cleanrel AS (
+      SELECT doc_id{X}, n_tags,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS text_clean
+      FROM tagless
+    )"""
+    ).replace("{X}", extra_cols).replace("FROM documents", "FROM " + doc_rel)
+
+
+@register(
+    "t13_html_to_text",
+    "\n    WITH "
+    + _html_clean_ctes()
+    + "\n    SELECT doc_id, n_tags, text_clean FROM cleanrel\n    ",
 )
 def t13(spark, sf_dir):
     """HTML → text extraction (r6; text.py html_to_text) — the WET-file
@@ -8875,10 +8891,11 @@ def v15(spark, sf_dir):
     return pq_adc_topk(codes, pq_query_lut(sub_new, cb), k=5)
 
 
-def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:
-    """Gopher-rule CTE chain shared by t15 (augmented input via the `aug`
-    prelude) and e10 (raw readStream input) — r8 review: the two oracles
-    were 40-of-41 identical lines maintained by hand."""
+def _gopher_chain_ctes(doc_rel: str) -> str:
+    """The Gopher feat→m→flags CTE list WITHOUT a final SELECT —
+    shared by _gopher_oracle_sql (t15/e10) and the composed c24
+    pipeline oracle, which needs the chain as an intermediate stage
+    (same r8 lesson: one canonical text, never hand-copies)."""
     chain = r'''feat AS (
       SELECT doc_id,
         list_filter(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' '),
@@ -8916,12 +8933,22 @@ def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:
         + CAST(COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) < 0.8, TRUE) AS BIGINT) * 32
         + CAST(n_stop < 2 AS BIGINT) * 64 AS fail_mask
       FROM m
-    )
+    )'''
+    return chain.replace("FROM aug", "FROM " + doc_rel, 1)
+
+
+def _gopher_oracle_sql(doc_rel: str = "documents", prelude: str = "") -> str:
+    """Gopher-rule CTE chain shared by t15 (augmented input via the `aug`
+    prelude) and e10 (raw readStream input) — r8 review: the two oracles
+    were 40-of-41 identical lines maintained by hand."""
+    return (
+        "\n    WITH " + prelude + _gopher_chain_ctes(doc_rel)
+        + """
     SELECT doc_id, n_words, mean_word_len,
            fail_mask = 0 AS keep, fail_mask
     FROM flags
-    '''
-    return "\n    WITH " + prelude + chain.replace("FROM aug", "FROM " + doc_rel, 1)
+    """
+    )
 
 
 @register(
@@ -13984,6 +14011,273 @@ def e29(spark, sf_dir):
 # =====================================================================
 
 
+_C24_CANNED = (
+    "deterministic fixtures keep both engines aligned during every "
+    "verification round because the oracle and the engine must agree "
+    "on every byte of the corpus while careful reviewers measure "
+    "shuffle plans across distributed clusters and tune partition "
+    "counts before committing large scale changes so that document "
+    "quality gates stay green and replay remains stable"
+)
+
+
+def _c24_oracle_sql() -> str:
+    """c24 oracle: the composed corpus pipeline replayed stage-for-
+    stage from the canonical CTE helpers (t13 chain via
+    _html_clean_ctes, Gopher via _gopher_chain_ctes, minhash pairs via
+    _minhash_oracle_sql redirected to the duplicate-injected base,
+    c23's closure + seeded-split arithmetic, c13's packing chain) —
+    one query, zero hand-copied stage text."""
+    bucket = (
+        "('0x' || substring(md5('leak1-' || "
+        "CAST(COALESCE(cluster_id, doc_id) AS VARCHAR)), 1, 8))"
+        "::BIGINT % 10000"
+    )
+    bpe = (
+        r"'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+"
+        r"| ?[^\sa-zA-Z0-9]+'"
+    )
+    pairs_sql = _minhash_oracle_sql().replace("FROM documents", "FROM basedocs")
+    return f"""
+    WITH RECURSIVE basedocs AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 1 AND doc_id >= 20
+                  THEN '{_C24_CANNED}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {_html_clean_ctes(", source", doc_rel="basedocs")},
+    gin AS (SELECT doc_id, text_clean AS text FROM cleanrel),
+    {_gopher_chain_ctes("gin")},
+    curated AS (
+      SELECT c.doc_id, c.source, c.text_clean
+      FROM cleanrel c JOIN flags f USING (doc_id)
+      WHERE f.fail_mask & 63 = 0
+    ),
+    exact_rep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text_clean)
+                                  ORDER BY doc_id) AS rn
+        FROM curated
+      ) t WHERE rn = 1
+    ),
+    pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    toks4 AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM basedocs
+    ),
+    sh4 AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+      FROM toks4,
+           UNNEST(CASE WHEN len(t) >= 4 THEN generate_series(1, len(t)-3)
+                       ELSE [] END) AS g(i)
+    ),
+    contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh4 s JOIN (SELECT DISTINCT sh FROM sh4 WHERE doc_id < 20) b
+        USING (sh)
+      WHERE s.doc_id >= 20
+    ),
+    corpus AS (
+      SELECT c.doc_id, c.source, c.text_clean, comp.cluster_id
+      FROM curated c LEFT JOIN comp ON comp.doc_id = c.doc_id
+      WHERE c.doc_id >= 20
+        AND c.doc_id IN (SELECT doc_id FROM exact_rep)
+        AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    labeled AS (
+      SELECT doc_id, text_clean,
+             (CASE WHEN {bucket} < 9000 THEN 'train' ELSE 'val' END)
+               || '/' || source AS stream
+      FROM corpus
+    ),
+    pt AS (
+      SELECT doc_id, stream,
+             len(regexp_extract_all(text_clean, {bpe})) AS n_tokens
+      FROM labeled
+    ),
+    pc AS (
+      SELECT doc_id, stream, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+      FROM pt
+    ),
+    ps AS (
+      SELECT doc_id, stream, n_tokens,
+             CAST(start AS BIGINT) AS start,
+             CAST(start + n_tokens - 1 AS BIGINT) AS fin
+      FROM pc WHERE n_tokens > 0
+    )
+    SELECT stream, CAST(w AS BIGINT) AS window_id, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(0, start - w * 512) AS BIGINT) AS tok_start,
+           CAST(LEAST(511, fin - w * 512) AS BIGINT) AS tok_end
+    FROM ps, UNNEST(generate_series(start // 512, fin // 512)) AS g(w)
+    """
+
+
+@register("c24_corpus_pipeline", _c24_oracle_sql())
+def c24(spark, sf_dir):
+    """Composed LLM-corpus pipeline (r12; the r11 verdict's ask #5) —
+    ingest → curate → dedup → decontaminate → split → pack as ONE
+    lazy plan, because at 100 TB the COMPOSITION is the product: what
+    each stage's shuffle inherits decides whether the corpus is read
+    once or five times. Stages, all pre-existing operators:
+
+      1. INGEST: t13's HTML→text (injected crawl shapes, zero-shuffle
+         codegen) — `keep_cols` threads the payload through so no
+         stage pays a join-back;
+      2. CURATE: t15's Gopher gate on the CLEANED text, same
+         projection, still zero shuffle. The gate is the RULE SUBSET
+         applicable to this corpus (fail_mask & 63 == 0 — the
+         stop-word rule, bit 64, is excluded because the synthetic
+         corpus contains no English stop words by construction and
+         would empty the pipeline; a real deployment gates on the
+         full mask, and t15's own query proves every bit);
+      3. DEDUP: exact duplicates dropped by content hash
+         (row_number over md5(text_clean), keep min doc_id — the ONE
+         corpus-keyed shuffle this side of packing);
+      4. DECONTAMINATE: c5's 3-gram overlap vs the doc_id < 20 bench
+         slice, bench side broadcast, applied as a broadcast
+         anti-join;
+      5. SPLIT: c23's leakage-safe assignment — the key is the
+         NEAR-DUP CLUSTER (d3 pairs → d7 closure), so near-duplicates
+         that survive exact dedup cannot straddle train/val; labels
+         broadcast;
+      6. PACK: c13's 512-token context windows per (split, source)
+         stream — the packing window shuffle, keyed on the stream.
+
+    Stage ORDER is load-bearing and recorded: exact-dedup runs on
+    CURATED text (cheaper: curation is map-side, dedup shuffles);
+    near-dup clustering runs on RAW text (fingerprints must see the
+    corpus before any lossy transform, and the takedown/split
+    machinery c21/c23 key on the same raw clusters); a non-
+    representative whose duplicate group head fails curation keeps
+    its own slot (exact groups are keyed on the CURATED survivor set,
+    not pre-curation ids). Plan contract (tests/test_plans.py): ZERO
+    sort-merge joins — every enrichment side (contamination list,
+    cluster labels) broadcasts; the corpus stream shuffles exactly
+    twice (content-hash dedup, stream packing), each on a key no
+    earlier stage could provide."""
+    from cellphe_data_pipeline_spark.functions.scalars import portable_hash64
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        flag_contaminated,
+        minhash_near_duplicates,
+    )
+    from cellphe_data_pipeline_spark.operators.text import (
+        gopher_rules,
+        html_to_text,
+        pack_context_windows,
+    )
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # deterministic duplicate injection (the t13 fixture discipline —
+    # identical in both engines): every 7th training doc becomes the
+    # same canned passage, so exact dedup has real work (the synthetic
+    # corpus has no natural duplicates; bench docs < 20 are untouched)
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 7 == 1) & (F.col("doc_id") >= 20),
+            F.lit(_C24_CANNED),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><style>p{color:red}</style>'
+                    '<script type="text/javascript">var x=1;<!--x--></script>'
+                    '</head><body><p class="a">'
+                ),
+                F.col("text"),
+                F.lit('</p><br/>&amp; &lt;b&gt;&nbsp;&quot;q&quot;&#39;</body></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<div id="main">'),
+                F.col("text"),
+                F.lit("</div><!-- footer\ncomment -->"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = html_to_text(aug, keep_cols=["source"])
+    curated = (
+        gopher_rules(
+            clean, text_col="text_clean", keep_cols=["source", "text_clean"]
+        )
+        .filter(F.col("fail_mask").bitwiseAND(F.lit(63)) == 0)
+        .select("doc_id", "source", "text_clean")
+    )
+
+    # stage 3: exact dedup — one content-keyed shuffle, no join-back
+    w = Window.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
+    deduped = (
+        curated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # stage 4/5 sides: bench-overlap list + raw-text near-dup clusters.
+    # 4-gram overlap (not the corpus's 3-gram shingles): measured on
+    # this corpus, 3-grams flag 379/480 training docs (the synthetic
+    # vocabulary is repetitive — everything overlaps), 4-grams flag 36
+    # — a real gate instead of a corpus wipe; production uses 13-grams
+    # (GPT-3) for the same reason, scaled to real text entropy.
+    contam = flag_contaminated(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=4,
+    ).select("doc_id")
+    clusters = dedup_clusters(
+        minhash_near_duplicates(docs), loop_shuffle_partitions=2
+    ).select("doc_id", "cluster_id")
+
+    corpus = (
+        deduped.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .join(F.broadcast(clusters), "doc_id", "left")
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    split = F.when(
+        portable_hash64(key.cast("string"), seed="leak1-") % 10000 < 9000,
+        "train",
+    ).otherwise("val")
+    staged = corpus.select(
+        "doc_id",
+        F.concat_ws("/", split, F.col("source")).alias("source"),
+        F.col("text_clean").alias("text"),
+    )
+    return pack_context_windows(staged, window_tokens=512)
+
+
 @register(
     "o22_snapshot_compaction",
     """
@@ -14228,6 +14522,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # r13 window MUST lead with these names.
 _NEXT_WINDOW_QUEUE = [
     "o22_snapshot_compaction",
+    "c24_corpus_pipeline",
 ]
 
 

@@ -284,3 +284,29 @@ def test_j16_cogroup_plan_is_two_sided_key_shuffle(spark, sf_dir):
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in ex, ex
     assert ex.count("Exchange") >= 2, ex
+
+
+def test_c24_composition_no_smj_two_corpus_shuffles(spark, sf_dir):
+    """r12 (verdict ask #5): the composed corpus pipeline's plan
+    contract — every enrichment side (contamination list, cluster
+    labels) BROADCASTS (zero sort-merge joins anywhere), and the
+    corpus stream itself shuffles exactly twice: once on the content
+    hash (exact-dedup window) and once on the packing stream key. A
+    stage re-shuffling what a prior stage already keyed would show up
+    as a second exchange on either key."""
+    df = REGISTRY["c24_corpus_pipeline"].fn(spark, sf_dir)
+    p = plan(df, mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    # exactly one packing shuffle (the stream key exists nowhere
+    # upstream) and one content-hash shuffle (the dedup window)
+    stream_ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(stream#" in ln
+    ]
+    md5_ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(_w0#" in ln
+    ]
+    assert len(stream_ex) == 1, p
+    assert len(md5_ex) == 1, p
