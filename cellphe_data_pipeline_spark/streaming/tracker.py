@@ -1704,3 +1704,83 @@ def streaming_merge_sink_drain(
         q.stop()
         raise RuntimeError(f"merge-sink drain did not finish in {timeout_s}s")
     return counts
+
+
+def ivf_delete_batch_idempotent(
+    spark, bucket_dir: str, ids_df, batch_id: int
+) -> bool:
+    """The e30 sink's per-batch applier, exposed so the replay guard
+    is testable in isolation (the e28/merge_batch_idempotent
+    discipline): skip (return False) if the index's sidecar batch-id
+    watermark already covers ``batch_id``, else apply the
+    similarity.ivf_delete_ids partition-scoped rewrite and advance
+    the watermark. Ordering note: the watermark is written AFTER the
+    rewrite — a crash between them replays the batch, and the delete
+    is IDEMPOTENT (re-deleting absent ids rewrites the affected lists
+    to identical content), so at-least-once replay + idempotent
+    apply = exactly-once OUTPUT; the snapshot-table sinks (e25/e28)
+    get the same guarantee the other way round, skipping BEFORE a
+    non-idempotent merge."""
+    import json
+    import os
+
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        ivf_delete_ids,
+    )
+
+    wm_path = os.path.join(bucket_dir, "_delete_watermark.json")
+    last = -1
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            last = json.load(f)["last_batch_id"]
+    if batch_id <= last:
+        return False
+    ivf_delete_ids(spark, bucket_dir, ids_df)
+    tmp = f"{wm_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    os.rename(tmp, wm_path)
+    return True
+
+
+def streaming_ivf_delete_drain(
+    spark,
+    schema,
+    source_dir: str,
+    bucket_dir: str,
+    ckpt_dir: str,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming DELETE maintenance of a published IVF serving index
+    (r12, e30 — the r11 verdict's ask #6): v19 closes batch takedown;
+    this is its streaming twin, closing the serving loop end-to-end —
+    a takedown STREAM (micro-batches of vec_ids) applied to the live
+    index via foreachBatch, each batch an O(affected lists) partition
+    rewrite (similarity.ivf_delete_ids), replay-safe via the sidecar
+    batch-id watermark. At 100 TB the serving story becomes: ingest
+    appends (v14), takedowns stream in (e30), queries keep hitting
+    the published store throughout — no rebuild, no downtime window,
+    per-batch latency bounded by the takedown's list fan-out."""
+    counts = {"committed": 0, "skipped": 0}
+
+    def sink(batch_df, batch_id):
+        if ivf_delete_batch_idempotent(spark, bucket_dir, batch_df, batch_id):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"ivf-delete drain did not finish in {timeout_s}s")
+    return counts

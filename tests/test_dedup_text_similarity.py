@@ -2731,3 +2731,37 @@ def test_v19_untouched_lists_not_rewritten(spark, sf_dir, tmp_path):
     refreshed = spark.read.parquet(d)
     assert refreshed.join(deleted, "vec_id").count() == 0
     assert refreshed.count() == 36
+
+
+def test_ivf_delete_ids_removes_fully_emptied_lists(spark, tmp_path):
+    """r12 (e30 kernel): dynamic partition overwrite only replaces
+    partitions the write produces rows for — a list whose EVERY vector
+    is deleted must be removed explicitly or its old files silently
+    resurrect the deleted ids. Pin both paths: partial list rewritten,
+    emptied list gone from disk and from reads."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.similarity import ivf_delete_ids
+
+    bucket_dir = str(tmp_path / "bucket")
+    spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0), (4, 1, 4.0), (5, 2, 5.0)],
+        "vec_id bigint, list_id int, v double",
+    ).write.partitionBy("list_id").parquet(bucket_dir)
+
+    # list 0 fully deleted, list 1 partially, list 2 untouched
+    deleted = spark.createDataFrame([(1,), (2,), (3,)], "vec_id bigint")
+    info = ivf_delete_ids(spark, bucket_dir, deleted)
+    assert info["affected_lists"] == [0, 1]
+    assert info["emptied_lists"] == [0]
+    assert not os.path.exists(os.path.join(bucket_dir, "list_id=0"))
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(bucket_dir).collect()
+    }
+    assert got == {(4, 1), (5, 2)}
+
+    # deleting absent ids is a no-op (the idempotent-replay leg)
+    info2 = ivf_delete_ids(spark, bucket_dir, deleted)
+    assert info2 == {"affected_lists": [], "emptied_lists": []}
+    assert spark.read.parquet(bucket_dir).count() == 2
