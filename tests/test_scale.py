@@ -839,3 +839,53 @@ def test_snapshot_compact_preserves_rows_and_watermark(spark, tmp_path):
         batch_id=3,
     )
     assert snapshot_read(spark, table, snapshot_current(table)).count() == 5
+
+
+def test_snapshot_compact_loses_cas_race_cleanly(spark, tmp_path):
+    """A concurrent append committing between the compaction's read
+    and its CAS must surface SnapshotConflict (never clobber the
+    racing commit) — the single-maintainer contract the kernel
+    docstring records; the caller's retry loop re-reads and re-runs."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
+    from cellphe_data_pipeline_spark.sources.io import (
+        SnapshotConflict,
+        snapshot_append_batch,
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_files,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_append_batch(
+        table,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id bigint, v double"),
+        batch_id=1,
+    )
+
+    # race: advance the table AFTER compact has read parent=1 — emulate
+    # by committing v2 ourselves and then compacting "against" v1
+    racing_files = snapshot_files(table, 1)
+    snapshot_commit_atomic(table, 1, racing_files)  # v2 (the racer wins)
+
+    import cellphe_data_pipeline_spark.sources.io as io_mod
+
+    orig = io_mod.snapshot_current
+
+    def stale_current(td):
+        return 1  # what compact saw before the racer committed
+
+    io_mod.snapshot_current = stale_current
+    try:
+        with pytest.raises(SnapshotConflict):
+            snapshot_compact(spark, table, sort_cols=["event_id"])
+    finally:
+        io_mod.snapshot_current = orig
+
+    # the racer's commit is intact and a fresh compaction succeeds
+    assert snapshot_current(table) == 2
+    new_id, _ = snapshot_compact(spark, table, sort_cols=["event_id"])
+    assert new_id == 3
+    assert snapshot_read(spark, table, 3).count() == 2
