@@ -257,6 +257,8 @@ def snapshot_compact(
     target_partitions: int = 1,
     max_records_per_file: int = 0,
     commit_extra: dict | None = None,
+    small_file_bytes: int | None = None,
+    stats_col: str | None = None,
 ) -> tuple[int, dict]:
     """Compaction AS a snapshot commit (r12, the r11 verdict's ask #4):
     o15's compact_files and the s20-s25 snapshot layer were separate
@@ -284,10 +286,29 @@ def snapshot_compact(
     systems additionally validate no concurrent DELETE touched the
     compacted files — recorded, single-maintainer assumed here, same
     as Delta's conflict matrix treats OPTIMIZE vs UPDATE). Returns
-    (new_snapshot_id, info{replaced, new_files}); the commit carries
-    the parent's exactly-once watermark forward automatically (the
-    r12 carry-forward contract), so compacting between stream batches
-    cannot re-enable replay."""
+    (new_snapshot_id, info{replaced, kept, new_files}); the commit
+    carries the parent's exactly-once watermark forward automatically
+    (the r12 carry-forward contract), so compacting between stream
+    batches cannot re-enable replay.
+
+    Two production refinements, each opt-in:
+    - ``small_file_bytes``: compact ONLY files below the threshold,
+      reusing larger files verbatim in the new manifest — the real
+      economics of table maintenance is O(small-file debris), never
+      O(table) (Iceberg's rewrite_data_files file-size filter; a
+      nightly on a 100 TB table rewrites the day's streaming dribble,
+      not the year's history). Fewer than 2 small files → NO-OP:
+      returns (parent, info) with nothing committed, because a
+      1-file "compaction" would churn a snapshot for zero layout
+      gain.
+    - ``stats_col``: embed per-file [min, max] zone maps for that
+      column INTO the commit (the o19 manifest-stats machinery) —
+      compaction is exactly when stats refresh is free, since the
+      rewritten files are being scanned anyway and the range-sorted
+      layout makes the new bounds maximally selective. Stats cover
+      every file in the new manifest (kept files are re-scanned here;
+      at cluster scale their bounds would be copied from the parent
+      manifest instead — recorded trade)."""
     import os
 
     from cellphe_data_pipeline_spark.sources.io import (
@@ -299,9 +320,22 @@ def snapshot_compact(
 
     parent = snapshot_current(table_dir)
     old_files = snapshot_files(table_dir, parent)
+    if small_file_bytes is not None:
+        to_compact = [
+            f for f in old_files if os.path.getsize(f) < small_file_bytes
+        ]
+        kept = [f for f in old_files if f not in set(to_compact)]
+        if len(to_compact) < 2:
+            return parent, {
+                "replaced": [],
+                "kept": old_files,
+                "new_files": [],
+            }
+    else:
+        to_compact, kept = old_files, []
     out_dir = os.path.join(table_dir, "data", f"s{parent + 1}_compact")
     w = (
-        spark.read.parquet(*old_files)
+        spark.read.parquet(*to_compact)
         .repartitionByRange(target_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
@@ -310,13 +344,31 @@ def snapshot_compact(
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(out_dir)
     new_files = snapshot_data_files(out_dir)
+    manifest_files = kept + new_files
+    stats = None
+    if stats_col is not None:
+        from urllib.parse import urlparse
+
+        stats = {
+            stats_col: {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(
+                    spark, manifest_files, stats_col
+                ).collect()
+            }
+        }
     new_id = snapshot_commit_atomic(
         table_dir,
         parent,
-        new_files,
+        manifest_files,
+        stats=stats,
         extra={"compaction_of": parent, **(commit_extra or {})},
     )
-    return new_id, {"replaced": old_files, "new_files": new_files}
+    return new_id, {
+        "replaced": to_compact,
+        "kept": kept,
+        "new_files": new_files,
+    }
 
 
 def salted_join(

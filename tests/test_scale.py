@@ -889,3 +889,65 @@ def test_snapshot_compact_loses_cas_race_cleanly(spark, tmp_path):
     new_id, _ = snapshot_compact(spark, table, sort_cols=["event_id"])
     assert new_id == 3
     assert snapshot_read(spark, table, 3).count() == 2
+
+
+def test_snapshot_compact_selective_and_stats_refresh(spark, tmp_path):
+    """r12: the two production refinements of compaction-under-
+    snapshot. (a) small_file_bytes compacts ONLY the small-file debris
+    and reuses large files verbatim — maintenance is O(small files),
+    never O(table); below 2 small files it is a no-op that commits
+    nothing. (b) stats_col embeds refreshed zone maps in the commit,
+    and a post-compaction pruned read skips files from the manifest
+    alone."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_read,
+        snapshot_read_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    # one LARGE file (ids 0..999) + four tiny ones (3 rows each)
+    big_dir = f"{table}/data/big"
+    spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.parquet(big_dir)
+    files = snapshot_data_files(big_dir)
+    for i in range(4):
+        d = f"{table}/data/small{i}"
+        spark.createDataFrame(
+            [(1000 + i * 3 + j, float(j)) for j in range(3)],
+            "k bigint, v double",
+        ).coalesce(1).write.parquet(d)
+        files += snapshot_data_files(d)
+    snapshot_commit_atomic(table, 0, files)
+    big_file = snapshot_data_files(big_dir)[0]
+    threshold = os.path.getsize(big_file)  # big is AT threshold: kept
+
+    new_id, info = snapshot_compact(
+        spark, table, sort_cols=["k"], target_partitions=1,
+        small_file_bytes=threshold, stats_col="k",
+    )
+    assert new_id == 2
+    assert info["kept"] == [big_file]          # large file reused verbatim
+    assert len(info["replaced"]) == 4          # only the debris rewritten
+    assert len(info["new_files"]) == 1
+    assert snapshot_read(spark, table, 2).count() == 1012
+
+    # refreshed zone maps prune from the manifest alone: a read over
+    # the small-id range must skip the compacted debris file
+    df, pinfo = snapshot_read_pruned(spark, table, 2, "k", 0, 500)
+    assert pinfo["kept"] == [big_file], pinfo
+    assert pinfo["skipped"] == info["new_files"], pinfo
+    assert df.filter("k <= 500").count() == 501
+
+    # second pass: nothing small enough twice -> no-op, no new commit
+    nid2, info2 = snapshot_compact(
+        spark, table, sort_cols=["k"], small_file_bytes=threshold,
+    )
+    assert nid2 == 2 and snapshot_current(table) == 2
+    assert info2["replaced"] == [] and info2["new_files"] == []
+    assert set(info2["kept"]) == {big_file, *info["new_files"]}
