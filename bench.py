@@ -241,6 +241,21 @@ def main() -> None:
     samples["corpus_split_pipeline"] = runs_c
     corpus = {"corpus_split_pipeline": min(runs_c)}
 
+    # Full composed corpus pipeline (r12): the oracle-checked c24
+    # chain — HTML ingest → Gopher gate → exact dedup → 4-gram
+    # decontamination → cluster-keyed split → 512-token packing, one
+    # lazy plan (zero SMJ, two corpus shuffles — plan-pinned in
+    # tests/test_plans.py). EXCLUDED from the headline total (same
+    # cross-round comparability rule as corpus_split_pipeline); two
+    # repeats, reported under "corpus".
+    runs_e = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialise(qs["c24_corpus_pipeline"](spark, sf_dir))
+        runs_e.append(round(time.perf_counter() - t0, 3))
+    samples["corpus_e2e_pipeline"] = runs_e
+    corpus["corpus_e2e_pipeline"] = min(runs_e)
+
     # spread self-check (r9): on an idle box a query's STEADY-STATE
     # repeats (runs[1:] — the first run pays codegen by design) agree
     # within ~1.3x; a majority above that marks the artifact contended

@@ -14043,6 +14043,7 @@ def _c24_oracle_sql() -> str:
       SELECT doc_id, source,
              CASE WHEN doc_id % 7 = 1 AND doc_id >= 20
                   THEN '{_C24_CANNED}'
+                       || ' group marker ' || CAST(doc_id // 70 AS VARCHAR)
                   ELSE text END AS text
       FROM documents
     ),
@@ -14189,15 +14190,22 @@ def c24(spark, sf_dir):
         "doc_id", "source", "text"
     )
     # deterministic duplicate injection (the t13 fixture discipline —
-    # identical in both engines): every 7th training doc becomes the
-    # same canned passage, so exact dedup has real work (the synthetic
-    # corpus has no natural duplicates; bench docs < 20 are untouched)
+    # identical in both engines): every 7th training doc becomes a
+    # canned passage suffixed with a doc_id//70 GROUP marker, so exact
+    # dedup has real work in the shape real corpora have — many SMALL
+    # duplicate groups (~10 docs each), never one corpus-wide clique
+    # (a single giant identical set makes the near-dup candidate pass
+    # quadratic, which is a fixture artifact, not a pipeline property;
+    # bench docs < 20 are untouched)
     docs = raw.select(
         "doc_id",
         "source",
         F.when(
             (F.col("doc_id") % 7 == 1) & (F.col("doc_id") >= 20),
-            F.lit(_C24_CANNED),
+            F.concat(
+                F.lit(_C24_CANNED + " group marker "),
+                F.expr("CAST(doc_id DIV 70 AS STRING)"),
+            ),
         )
         .otherwise(F.col("text"))
         .alias("text"),
