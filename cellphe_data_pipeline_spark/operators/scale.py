@@ -362,7 +362,16 @@ def snapshot_compact(
         parent,
         manifest_files,
         stats=stats,
-        extra={"compaction_of": parent, **(commit_extra or {})},
+        # data_change=false (r12): the commit declares its row multiset
+        # identical to the parent's, so single-step CDC across it is
+        # EMPTY at metadata cost (Delta's dataChange rule; the feed
+        # helper honors it) — the guarantee the row-invariance hash in
+        # the o22 oracle proves
+        extra={
+            "compaction_of": parent,
+            "data_change": False,
+            **(commit_extra or {}),
+        },
     )
     return new_id, {
         "replaced": to_compact,

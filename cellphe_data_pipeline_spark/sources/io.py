@@ -356,6 +356,18 @@ def snapshot_changes(
     added = sorted(set(new_files) - set(old_files))
     shared = sorted(set(old_files) & set(new_files))
     info = {"shared": shared, "removed": removed, "added": added}
+    # rewrite-only commits (r12): a commit carrying data_change=false
+    # (compaction — snapshot_compact sets it) declares its row multiset
+    # IDENTICAL to the parent's, so the single-step feed across it is
+    # EMPTY at metadata cost — Delta's dataChange=false rule, the
+    # reason a nightly OPTIMIZE doesn't force every CDC consumer to
+    # re-diff the whole rewritten table. Applies only to the exact
+    # parent→child step; a multi-commit span still diffs honestly
+    # (some commit in the span may have changed data).
+    if from_id == to_id - 1 and to_id > 0:
+        if snapshot_manifest(table_dir, to_id).get("data_change", True) is False:
+            info["rewrite_only"] = True
+            removed, added = [], []
     schema_files = removed or added or new_files or old_files
     if not schema_files:
         # identical-or-empty snapshots with NO files anywhere (r12,

@@ -638,3 +638,69 @@ def test_snapshot_cas_multiwriter_stress(tmp_path):
     # each writer's count within its own allowance
     for sid, conflicts in results.values():
         assert conflicts <= n_writers + 2
+
+
+def test_cdc_feed_skips_rewrite_only_compaction_step(spark, tmp_path):
+    """r12: Delta's dataChange=false rule — a compaction commit
+    declares its row multiset identical to the parent's, so (a) the
+    single-step CDC feed across it is EMPTY without reading data
+    files, (b) an s24-style full replay across the compaction
+    boundary still reconstructs the table exactly, and (c) a
+    MULTI-step span containing the compaction plus a real change
+    still diffs honestly."""
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch,
+        snapshot_changes,
+        snapshot_current,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id bigint, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(3, 3.0), (4, 4.0)], "event_id bigint, v double"
+    )
+    snapshot_append_batch(table, b1, batch_id=1)     # v1
+    snapshot_append_batch(table, b2, batch_id=2)     # v2
+    snapshot_compact(spark, table, sort_cols=["event_id"])  # v3, no-data-change
+    snapshot_append_batch(
+        table,
+        spark.createDataFrame([(5, 5.0)], "event_id bigint, v double"),
+        batch_id=3,
+    )                                                 # v4
+    assert snapshot_current(table) == 4
+
+    # (a) the compaction step is empty and marked rewrite-only
+    step, info = snapshot_changes(
+        spark, table, 2, 3, key_col="event_id", compare_cols=["v"]
+    )
+    assert info.get("rewrite_only") is True
+    assert step.count() == 0
+
+    # (b) full replay v0..v4 reconstructs the current table exactly
+    rows: dict[int, float] = {}
+    for to in range(1, 5):
+        feed, _ = snapshot_changes(
+            spark, table, to - 1, to, key_col="event_id", compare_cols=["v"]
+        )
+        for r in feed.collect():
+            if r["change_type"] in ("insert", "update_post"):
+                rows[r["event_id"]] = r["v"]
+            elif r["change_type"] == "delete":
+                rows.pop(r["event_id"], None)
+    got = {
+        r["event_id"]: r["v"] for r in snapshot_read(spark, table, 4).collect()
+    }
+    assert rows == got == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
+
+    # (c) a multi-commit span (v1 -> v4: compaction + a real insert)
+    # diffs honestly — the flag never short-circuits a span
+    span, sinfo = snapshot_changes(
+        spark, table, 1, 4, key_col="event_id", compare_cols=["v"]
+    )
+    assert "rewrite_only" not in sinfo
+    got_span = {(r["event_id"], r["change_type"]) for r in span.collect()}
+    assert got_span == {(3, "insert"), (4, "insert"), (5, "insert")}
