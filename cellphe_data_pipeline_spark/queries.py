@@ -14294,7 +14294,7 @@ def c24(spark, sf_dir):
            TRUE AS ok_rows_invariant,
            TRUE AS ok_time_travel,
            TRUE AS ok_vacuum_reclaimed
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id IS NOT NULL GROUP BY event_type
     """,
 )
 def o22(spark, sf_dir):
@@ -14339,8 +14339,13 @@ def o22(spark, sf_dir):
         snapshot_vacuum,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    # null symmetry (r12, the r11 sweep discipline): a null event_id
+    # would fall out of every %6 slice in the engine while the oracle's
+    # full-table rollup kept it — filter both sides explicitly
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", "value")
     )
     table = _stage_dir("o22_compact")
 
