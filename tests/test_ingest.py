@@ -331,8 +331,8 @@ def test_snapshot_changes_from_version_zero(spark, tmp_path):
 
 def test_snapshot_layer_stateful_property(spark, tmp_path):
     """Stateful property test over the whole table-format surface:
-    random sequences of APPEND / MERGE / ROLLBACK / VACUUM ops against
-    a python model. Invariants after every op:
+    random sequences of APPEND / MERGE / ROLLBACK / VACUUM / COMPACT
+    ops against a python model. Invariants after every op:
       - current state == the model's row dict, exactly;
       - every unexpired snapshot is still readable;
       - vacuum never deletes a file any surviving manifest references.
@@ -356,6 +356,7 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         )),
         st.tuples(st.just("rollback"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
+        st.tuples(st.just("compact"), st.just(None)),
     )
 
     @settings(max_examples=4, deadline=None)
@@ -388,6 +389,18 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                     continue
                 info = snapshot_vacuum(table)  # reachability-only
                 assert info["expired"] == []
+            elif kind == "compact":
+                if cur == 0:
+                    continue
+                # r12: compaction is metadata motion — the model is
+                # UNCHANGED, a new snapshot appears, the exactly-once
+                # watermark survives (later merges still commit)
+                from cellphe_data_pipeline_spark.operators.scale import (
+                    snapshot_compact,
+                )
+
+                snapshot_compact(spark, table, sort_cols=["event_id"])
+                history.append(dict(model))
             cur = snapshot_current(table)
             if cur > 0:
                 got = {
