@@ -14519,6 +14519,124 @@ def e30(spark, sf_dir):
     return ivf_query_published(probes, refreshed, idx, k=5, n_probe=2)
 
 
+@register(
+    "s26_snapshot_refs",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id IS NOT NULL
+    ),
+    upd AS (
+      SELECT event_id, event_type, value + 77.0 AS value FROM base
+      WHERE event_id % 13 = 5 AND event_type = 'click'
+    ),
+    v2 AS (
+      SELECT b.event_id, b.event_type, b.value FROM base b
+      WHERE b.event_id NOT IN (SELECT event_id FROM upd)
+      UNION ALL SELECT event_id, event_type, value FROM upd
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS ok_promoted,
+           TRUE AS ok_bad_not_promoted,
+           TRUE AS ok_ref_pinned_vacuum
+    FROM v2 GROUP BY event_type
+    """,
+)
+def s26(spark, sf_dir):
+    """Named refs over the snapshot pool (r12; io.py snapshot_set_ref /
+    snapshot_read_ref) — the serving indirection that completes the
+    table-ops set: commit/merge/CDC/vacuum/rollback/compaction move
+    SNAPSHOTS, refs decide what readers CONSUME. Lifecycle, the WAP
+    gate (s22) finished end-to-end:
+
+      1. v1 commits; ref `prod` -> v1 (serving starts);
+      2. a good correction lands as v2 via COW merge; the audit
+         passes (in-query: the update delta equals +77 on exactly the
+         touched keys) -> promotion is ONE atomic pointer swap,
+         `prod` -> v2;
+      3. a BAD batch lands as v3 (values zeroed, the s25 botched
+         backfill); its audit fails -> `prod` stays at v2: readers
+         never see v3 even though it is the current snapshot —
+         publish-by-pointer means a bad commit is a non-event for
+         serving;
+      4. vacuum with expiry: v1 (unpinned) expires, v2 SURVIVES
+         whatever expire_before says because `prod` pins it —
+         expiring a ref'd snapshot would dangle every reader
+         (Iceberg's expire_snapshots retained-refs rule), asserted
+         against the filesystem.
+
+    The query answers from the PROD REF (never the current snapshot),
+    so the oracle hash proves serving reads exactly the blessed v2
+    state. At 100 TB the swap is a catalog row update: promotion and
+    rollback-of-serving are O(1) metadata, zero data movement."""
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_read,
+        snapshot_read_ref,
+        snapshot_resolve_ref,
+        snapshot_set_ref,
+        snapshot_vacuum,
+    )
+    import os
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    table = _stage_dir("s26_refs")
+    d1 = os.path.join(table, "data", "s1")
+    ev.write.mode("overwrite").parquet(d1)
+    snapshot_commit_atomic(table, 0, snapshot_data_files(d1))
+    snapshot_set_ref(table, "prod", 1)
+
+    # good correction -> v2; audit passes -> promote
+    upd = ev.filter(
+        (F.col("event_id") % 13 == 5) & (F.col("event_type") == "click")
+    ).select("event_id", "event_type", (F.col("value") + 77.0).alias("value"))
+    merge_rows_cow(spark, table, upd, key_col="event_id", out_slice="good")
+    n_upd = upd.count()
+    delta = (
+        snapshot_read(spark, table, 2)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+        .collect()[0][0]
+        - snapshot_read(spark, table, 1)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    assert float(delta) == 77.0 * n_upd, (delta, n_upd)  # audit
+    snapshot_set_ref(table, "prod", 2)  # promotion = pointer swap
+
+    # bad batch -> v3; audit fails -> prod NOT promoted
+    bad = ev.filter(F.col("event_id") % 5 == 1).select(
+        "event_id", "event_type", (F.col("value") * 0.0).alias("value")
+    )
+    merge_rows_cow(spark, table, bad, key_col="event_id", out_slice="bad")
+    assert snapshot_current(table) == 3
+    assert snapshot_resolve_ref(table, "prod") == 2  # readers unaffected
+
+    # expiry vacuum: v1 goes, ref-pinned v2 survives any expire_before
+    info = snapshot_vacuum(table, expire_before=99)
+    assert info["expired"] == [1], info["expired"]
+    prod = snapshot_read_ref(spark, table, "prod")  # still resolvable
+
+    return prod.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    ).select(
+        "event_type", "n", "sum_value",
+        F.lit(True).alias("ok_promoted"),
+        F.lit(True).alias("ok_bad_not_promoted"),
+        F.lit(True).alias("ok_ref_pinned_vacuum"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -14640,6 +14758,7 @@ _NEXT_WINDOW_QUEUE = [
     "o22_snapshot_compaction",
     "c24_corpus_pipeline",
     "e30_streaming_ivf_delete",
+    "s26_snapshot_refs",
 ]
 
 

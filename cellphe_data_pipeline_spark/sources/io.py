@@ -506,7 +506,12 @@ def snapshot_vacuum(
     retention HORIZON (Delta's default 7 days) so files of in-flight
     commits and long-running readers are not swept — age-gating
     deletion is the concurrency story, the reference-counting here is
-    the reachability story. Returns {expired, deleted, kept} lists."""
+    the reachability story. Returns {expired, deleted, kept} lists.
+
+    Named refs PIN snapshots (r12, s26): a snapshot a ref points to is
+    never expired, whatever ``expire_before`` says — expiring it would
+    dangle every reader resolving that ref (Iceberg's
+    expire_snapshots honors retained refs the same way)."""
     import os
     import re
 
@@ -524,10 +529,11 @@ def snapshot_vacuum(
         # so vacuum is a no-op rather than a ValueError from max([])
         return {"expired": [], "deleted": [], "kept": []}
     current = max(ids)
+    pinned = set(snapshot_refs(table_dir).values())
     expired = []
     if expire_before is not None:
         for sid in sorted(ids):
-            if sid < expire_before and sid != current:
+            if sid < expire_before and sid != current and sid not in pinned:
                 os.remove(os.path.join(mdir, f"v{sid}.json"))
                 expired.append(sid)
     survivors = [sid for sid in ids if sid not in expired]
@@ -605,3 +611,61 @@ def snapshot_rollback(table_dir: str, to_id: int) -> int:
     return snapshot_commit_atomic(
         table_dir, parent, files, extra={"rollback_of": to_id}
     )
+
+
+def snapshot_set_ref(table_dir: str, name: str, snapshot_id: int) -> None:
+    """Named REF over the snapshot pool (r12, s26) — Iceberg's
+    refs/tags surface: a ref is a named pointer (``refs/<name>.json``)
+    updated by atomic rename, so readers resolving it see one snapshot
+    or the other, never a torn state. Refs decouple "what readers
+    consume" from "what writers produce": serving reads ``prod``, the
+    nightly writes and audits candidates, and promotion is ONE pointer
+    swap (the WAP publish gate completed — s22 quarantines a failed
+    batch, refs name the blessed one). Semantics here are Iceberg's
+    BRANCH-style mutable ref; its immutable-tag variant is the same
+    file never rewritten — recorded, not separately implemented. The
+    target snapshot must exist (fail-fast beats a dangling ref)."""
+    import os
+
+    # existence check: resolving must never dangle
+    snapshot_manifest(table_dir, snapshot_id)
+    rdir = os.path.join(table_dir, "refs")
+    os.makedirs(rdir, exist_ok=True)
+    tmp = os.path.join(rdir, f".{name}.tmp.{_tmp_token()}")
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "snapshot_id": snapshot_id}, f)
+    os.rename(tmp, os.path.join(rdir, f"{name}.json"))
+
+
+def snapshot_resolve_ref(table_dir: str, name: str) -> int:
+    """Resolve a named ref to its snapshot id (KeyError if absent)."""
+    import os
+
+    path = os.path.join(table_dir, "refs", f"{name}.json")
+    if not os.path.exists(path):
+        raise KeyError(f"no ref {name!r} in {table_dir}")
+    with open(path) as f:
+        return json.load(f)["snapshot_id"]
+
+
+def snapshot_refs(table_dir: str) -> dict[str, int]:
+    """All named refs as {name: snapshot_id}."""
+    import os
+
+    rdir = os.path.join(table_dir, "refs")
+    out: dict[str, int] = {}
+    if os.path.isdir(rdir):
+        for fname in os.listdir(rdir):
+            if fname.endswith(".json") and not fname.startswith("."):
+                with open(os.path.join(rdir, fname)) as f:
+                    d = json.load(f)
+                out[d["name"]] = d["snapshot_id"]
+    return out
+
+
+def snapshot_read_ref(
+    spark: SparkSession, table_dir: str, name: str
+) -> DataFrame:
+    """Time-travel read through a named ref — what a serving job runs:
+    ``read_ref(table, 'prod')`` instead of a hardcoded snapshot id."""
+    return snapshot_read(spark, table_dir, snapshot_resolve_ref(table_dir, name))

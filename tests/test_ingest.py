@@ -717,3 +717,49 @@ def test_cdc_feed_skips_rewrite_only_compaction_step(spark, tmp_path):
     assert "rewrite_only" not in sinfo
     got_span = {(r["event_id"], r["change_type"]) for r in span.collect()}
     assert got_span == {(3, "insert"), (4, "insert"), (5, "insert")}
+
+
+def test_snapshot_refs_contract(spark, tmp_path):
+    """r12 (s26): refs fail-fast on a missing target, update by atomic
+    replace, pin their snapshot against expiry vacuum, and never pin
+    data a surviving manifest doesn't reference."""
+    import pytest
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch,
+        snapshot_read_ref,
+        snapshot_refs,
+        snapshot_resolve_ref,
+        snapshot_set_ref,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, 1.0)], "event_id bigint, v double")
+    snapshot_append_batch(table, b, batch_id=1)             # v1
+    snapshot_append_batch(
+        table,
+        spark.createDataFrame([(2, 2.0)], "event_id bigint, v double"),
+        batch_id=2,
+    )                                                        # v2
+    snapshot_append_batch(
+        table,
+        spark.createDataFrame([(3, 3.0)], "event_id bigint, v double"),
+        batch_id=3,
+    )                                                        # v3
+
+    with pytest.raises(FileNotFoundError):
+        snapshot_set_ref(table, "prod", 9)  # dangling target refused
+    with pytest.raises(KeyError):
+        snapshot_resolve_ref(table, "prod")
+
+    snapshot_set_ref(table, "prod", 1)
+    snapshot_set_ref(table, "staging", 2)
+    assert snapshot_refs(table) == {"prod": 1, "staging": 2}
+    snapshot_set_ref(table, "prod", 2)  # atomic retarget
+    assert snapshot_resolve_ref(table, "prod") == 2
+
+    # expiry vacuum: v1 (unpinned) expires; v2 pinned by two refs stays
+    info = snapshot_vacuum(table, expire_before=99)
+    assert info["expired"] == [1]
+    assert snapshot_read_ref(spark, table, "prod").count() == 2
