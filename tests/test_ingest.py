@@ -331,18 +331,24 @@ def test_snapshot_changes_from_version_zero(spark, tmp_path):
 
 def test_snapshot_layer_stateful_property(spark, tmp_path):
     """Stateful property test over the whole table-format surface:
-    random sequences of APPEND / MERGE / ROLLBACK / VACUUM / COMPACT
-    ops against a python model. Invariants after every op:
+    random sequences of MERGE / ROLLBACK / VACUUM / COMPACT / SET-REF
+    / EXPIRE ops against a python model. Invariants after every op:
       - current state == the model's row dict, exactly;
-      - every unexpired snapshot is still readable;
-      - vacuum never deletes a file any surviving manifest references.
+      - every LIVE (unexpired) snapshot is still readable;
+      - vacuum never deletes a file any surviving manifest references;
+      - expiry expires exactly the unpinned pre-current ids, never a
+        ref-pinned one, and every ref keeps resolving to the state the
+        model recorded at its target (r12: refs + expiry in the mix).
     """
     from hypothesis import given, settings, strategies as st
 
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
     from cellphe_data_pipeline_spark.sources.io import (
         snapshot_current,
         snapshot_read,
+        snapshot_read_ref,
         snapshot_rollback,
+        snapshot_set_ref,
         snapshot_vacuum,
     )
     from cellphe_data_pipeline_spark.streaming.tracker import (
@@ -357,17 +363,21 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         st.tuples(st.just("rollback"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
         st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("setref"), st.integers(0, 3)),
+        st.tuples(st.just("expire"), st.just(None)),
     )
 
     @settings(max_examples=4, deadline=None)
-    @given(st.lists(op, min_size=2, max_size=6), st.integers(0, 10**6))
+    @given(st.lists(op, min_size=2, max_size=7), st.integers(0, 10**6))
     def check(ops, salt):
         import shutil
 
         table = str(tmp_path / f"prop_{salt}")
         shutil.rmtree(table, ignore_errors=True)
         model: dict[int, float] = {}
-        history: list[dict] = []  # model state per committed snapshot
+        history: dict[int, dict] = {}  # sid -> model state at commit
+        live: set[int] = set()         # unexpired snapshot ids
+        refs: dict[str, int] = {}
         batch_id = 0
         for kind, arg in ops:
             cur = snapshot_current(table)
@@ -377,13 +387,15 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 assert merge_batch_idempotent(spark, table, df, batch_id)
                 batch_id += 1
                 model.update({k: float(v) for k, v in arg})
-                history.append(dict(model))
+                history[cur + 1] = dict(model)
+                live.add(cur + 1)
             elif kind == "rollback":
-                if cur < 2:
-                    continue  # nothing earlier to roll back to
+                if cur < 2 or (cur - 1) not in live:
+                    continue  # target must exist and be unexpired
                 snapshot_rollback(table, cur - 1)
-                model = dict(history[cur - 2])
-                history.append(dict(model))
+                model = dict(history[cur - 1])
+                history[cur + 1] = dict(model)
+                live.add(cur + 1)
             elif kind == "vacuum":
                 if cur == 0:
                     continue
@@ -392,15 +404,30 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
             elif kind == "compact":
                 if cur == 0:
                     continue
-                # r12: compaction is metadata motion — the model is
-                # UNCHANGED, a new snapshot appears, the exactly-once
-                # watermark survives (later merges still commit)
-                from cellphe_data_pipeline_spark.operators.scale import (
-                    snapshot_compact,
-                )
-
+                # r12: metadata motion — model UNCHANGED, new snapshot,
+                # the exactly-once watermark survives (later merges
+                # still commit)
                 snapshot_compact(spark, table, sort_cols=["event_id"])
-                history.append(dict(model))
+                history[cur + 1] = dict(model)
+                live.add(cur + 1)
+            elif kind == "setref":
+                if cur == 0:
+                    continue
+                target = max(1, cur - arg)
+                if target not in live:
+                    continue
+                snapshot_set_ref(table, "r", target)
+                refs["r"] = target
+            elif kind == "expire":
+                if cur == 0:
+                    continue
+                info = snapshot_vacuum(table, expire_before=cur)
+                pinned = set(refs.values())
+                want = sorted(
+                    s for s in live if s < cur and s not in pinned
+                )
+                assert info["expired"] == want, (info["expired"], want)
+                live -= set(want)
             cur = snapshot_current(table)
             if cur > 0:
                 got = {
@@ -408,9 +435,17 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                     for r in snapshot_read(spark, table, cur).collect()
                 }
                 assert got == model, (kind, got, model)
-                # every snapshot still readable (nothing expired)
-                for sid in range(1, cur + 1):
+                # every LIVE snapshot still readable, bit-stable
+                for sid in sorted(live):
                     assert snapshot_read(spark, table, sid).count() >= 0
+                # every ref resolves to the state recorded at its target
+                for name, sid in refs.items():
+                    assert sid in live, (name, sid, live)
+                    got_ref = {
+                        r["event_id"]: r["v"]
+                        for r in snapshot_read_ref(spark, table, name).collect()
+                    }
+                    assert got_ref == history[sid], (name, sid)
 
     check()
 
