@@ -1581,6 +1581,89 @@ def pack_context_windows(
     )
 
 
+def pack_samples_nosplit(
+    df: DataFrame,
+    window_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """NO-SPLIT sample packing (r12, c25) — the SFT/instruction-tuning
+    counterpart of :func:`pack_context_windows`: samples must stay
+    WHOLE (a split conversation is a corrupted training example), so
+    docs are packed NEXT-FIT into fixed-capacity bins — in
+    deterministic (stream, doc_id) order, a doc goes into the current
+    bin if it fits, else opens a new one; a doc longer than the bin
+    gets a bin of its own, TRUNCATED to capacity (flagged — the
+    loader's drop-or-truncate policy decision, surfaced not hidden).
+    This is the packing HF's `group_by_length`/packed-SFT loaders do;
+    c13 remains the pretraining form (docs straddle, no padding at
+    all). Padding waste = capacity − fill, directly measurable from
+    the output (the efficiency lever that motivates packing).
+
+    Next-fit is a SEQUENTIAL fold (each decision depends on the
+    running fill — not expressible as a frame-based window), so the
+    kernel runs per stream via applyInPandas over a stream-keyed
+    shuffle, integer-only state (bit-replayable by an unrolled
+    recursive-CTE oracle — the g7/j16 discipline). Scale: streams are
+    the parallel unit, cost O(docs-per-stream) sequential each; a
+    mega-stream is the recorded hazard (shard it upstream into
+    sub-streams — packing quality loss is one partially-filled bin
+    per shard, negligible at corpus scale). First-fit-decreasing
+    would pack ~2-5% tighter but destroys doc-order locality and
+    needs a global sort per stream — recorded trade, next-fit chosen.
+
+    Output: (stream, bin_id, doc_id, n_tokens, tok_start, tok_end,
+    truncated) — tok_* inclusive in-bin offsets; zero-token docs emit
+    nothing."""
+    import pandas as pd
+
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    W = window_tokens
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stream_col).alias("stream"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_ids, starts, ends, truncs = [], [], [], []
+        bin_id, fill = -1, W  # sentinel: first doc always opens bin 0
+        for n in pdf["n_tokens"]:
+            eff = min(int(n), W)
+            if fill + eff <= W:
+                start = fill
+                fill += eff
+            else:
+                bin_id += 1
+                start = 0
+                fill = eff
+            bin_ids.append(bin_id)
+            starts.append(start)
+            ends.append(start + eff - 1)
+            truncs.append(int(n) > W)
+        out = pdf[["stream", "doc_id", "n_tokens"]].copy()
+        out["bin_id"] = bin_ids
+        out["tok_start"] = starts
+        out["tok_end"] = ends
+        out["truncated"] = truncs
+        return out[
+            ["stream", "bin_id", "doc_id", "n_tokens",
+             "tok_start", "tok_end", "truncated"]
+        ]
+
+    return base.groupBy("stream").applyInPandas(
+        fold,
+        schema=(
+            "stream string, bin_id bigint, doc_id bigint, "
+            "n_tokens bigint, tok_start bigint, tok_end bigint, "
+            "truncated boolean"
+        ),
+    )
+
+
 #: Program-keyword alternation for code detection — language-agnostic
 #: common keywords; word-bounded, RE2-portable (no lookaround).
 CODE_KEYWORD_RE = (

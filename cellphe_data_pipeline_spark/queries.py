@@ -14637,6 +14637,75 @@ def s26(spark, sf_dir):
     )
 
 
+_C25_BPE = (
+    r"'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+"
+    r"| ?[^\sa-zA-Z0-9]+'"
+)
+
+
+@register(
+    "c25_pack_samples_nosplit",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source AS stream,
+             CAST(len(regexp_extract_all(text, {bpe})) AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, stream, n,
+             ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+      FROM t WHERE n > 0
+    ),
+    f(stream, rn, doc_id, n, bin_id, fill, tok_start) AS (
+      SELECT stream, rn, doc_id, n, CAST(0 AS BIGINT),
+             LEAST(n, 512), CAST(0 AS BIGINT)
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.stream, o.rn, o.doc_id, o.n,
+             CASE WHEN f.fill + LEAST(o.n, 512) <= 512
+                  THEN f.bin_id ELSE f.bin_id + 1 END,
+             CASE WHEN f.fill + LEAST(o.n, 512) <= 512
+                  THEN f.fill + LEAST(o.n, 512) ELSE LEAST(o.n, 512) END,
+             CASE WHEN f.fill + LEAST(o.n, 512) <= 512
+                  THEN f.fill ELSE CAST(0 AS BIGINT) END
+      FROM f JOIN o ON o.stream = f.stream AND o.rn = f.rn + 1
+    )
+    SELECT stream, bin_id, doc_id, n AS n_tokens, tok_start,
+           CAST(tok_start + LEAST(n, 512) - 1 AS BIGINT) AS tok_end,
+           n > 512 AS truncated
+    FROM f
+    """.replace("{bpe}", _C25_BPE),
+)
+def c25(spark, sf_dir):
+    """NO-SPLIT sample packing (r12; text.pack_samples_nosplit) — the
+    SFT/instruction-tuning loader's packing, completing the packing
+    matrix: c3 assigns docs to the shard where they START, c13 splits
+    docs across fixed pretraining windows, c25 keeps samples WHOLE
+    (a split conversation is a corrupted training example) and packs
+    them next-fit into fixed-capacity bins per stream, oversized docs
+    truncated-and-flagged in a bin of their own. Padding waste per
+    bin = capacity − max(tok_end) − 1 is directly measurable from the
+    manifest — the efficiency lever that motivates packing at all.
+
+    Next-fit is a sequential integer fold (each decision depends on
+    the running fill — no frame-based window expresses it), run per
+    stream via applyInPandas over one stream-keyed shuffle; the
+    oracle UNROLLS the same fold as a recursive CTE stepping one doc
+    per stream per iteration (the g7/j16 discipline: a bounded
+    iterative kernel's oracle is its unrolled rounds), so every bin
+    id, offset, and truncation flag is bit-checked. Scale: streams
+    are the parallel unit (the c3/c13 contract); a mega-stream is
+    sharded upstream — recorded in the kernel docstring with the
+    first-fit-decreasing trade."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        pack_samples_nosplit,
+    )
+
+    return pack_samples_nosplit(
+        load_table(spark, sf_dir, "documents"), window_tokens=512
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -14759,6 +14828,7 @@ _NEXT_WINDOW_QUEUE = [
     "c24_corpus_pipeline",
     "e30_streaming_ivf_delete",
     "s26_snapshot_refs",
+    "c25_pack_samples_nosplit",
 ]
 
 

@@ -2765,3 +2765,87 @@ def test_ivf_delete_ids_removes_fully_emptied_lists(spark, tmp_path):
     info2 = ivf_delete_ids(spark, bucket_dir, deleted)
     assert info2 == {"affected_lists": [], "emptied_lists": []}
     assert spark.read.parquet(bucket_dir).count() == 2
+
+
+def test_pack_samples_nosplit_hand_case(spark):
+    """r12 (c25): next-fit no-split semantics on a hand fixture —
+    fit, overflow to a new bin, oversize truncated in its own bin,
+    zero-token docs dropped."""
+    from cellphe_data_pipeline_spark.operators.text import (
+        pack_samples_nosplit,
+    )
+
+    # token counts with the BPE-ish estimator: "a b c" -> 3 tokens
+    def words(n, w="tok"):
+        return " ".join([w] * n)
+
+    rows = [
+        (1, "s", words(6)),    # bin 0: fill 6
+        (2, "s", words(3)),    # bin 0: fill 9
+        (3, "s", words(2)),    # overflow (9+2>10) -> bin 1: fill 2
+        (4, "s", words(15)),   # oversize -> bin 2 alone, truncated
+        (5, "s", ""),          # zero tokens -> dropped
+        (6, "s", words(10)),   # exactly capacity -> bin 3
+        (7, "t", words(4)),    # separate stream packs independently
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["doc_id"]: (
+            r["stream"], r["bin_id"], r["tok_start"], r["tok_end"], r["truncated"]
+        )
+        for r in pack_samples_nosplit(df, window_tokens=10).collect()
+    }
+    assert got == {
+        1: ("s", 0, 0, 5, False),
+        2: ("s", 0, 6, 8, False),
+        3: ("s", 1, 0, 1, False),
+        4: ("s", 2, 0, 9, True),
+        6: ("s", 3, 0, 9, False),
+        7: ("t", 0, 0, 3, False),
+    }
+
+
+def test_pack_samples_nosplit_matches_python_fold(spark):
+    """r12 (c25): property vs a python reference fold over random
+    per-stream token multisets — bin assignment, offsets, truncation,
+    and the never-straddle invariant (tok_end < capacity; whole doc in
+    one bin)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        pack_samples_nosplit,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 13)),
+        min_size=1, max_size=14,
+    ))
+    def check(specs):
+        W = 8
+        rows = [
+            (i, s, " ".join(["w"] * n)) for i, (s, n) in enumerate(specs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string"
+        )
+        got = {
+            r["doc_id"]: (r["bin_id"], r["tok_start"], r["tok_end"], r["truncated"])
+            for r in pack_samples_nosplit(df, window_tokens=W).collect()
+        }
+        want = {}
+        for stream in ("a", "b"):
+            bin_id, fill = -1, W
+            for i, (s, n) in enumerate(specs):
+                if s != stream or n == 0:
+                    continue
+                eff = min(n, W)
+                if fill + eff <= W:
+                    start, fill = fill, fill + eff
+                else:
+                    bin_id, start, fill = bin_id + 1, 0, eff
+                want[i] = (bin_id, start, start + eff - 1, n > W)
+        assert got == want, (specs, got, want)
+        assert all(te < W for (_, _, te, _) in got.values())
+
+    check()
