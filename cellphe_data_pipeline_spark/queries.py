@@ -14807,9 +14807,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (tests/test_registry.py enforces displaced-means-proven).
     #
     # r13 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
-    # (3 never-driver-proven r12 additions — MUST take slots, the
+    # (5 never-driver-proven r12 additions — MUST take slots, the
     # queue's contract), then the 32 remaining r7-proven queries, then
-    # the 15 oldest r8-proven — 3 + 32 + 15 = 50, leaving no query
+    # the 13 oldest r8-proven — 5 + 32 + 13 = 50, leaving no query
     # older than r8-proven at the r13 close.
 ]
 
