@@ -310,3 +310,13 @@ def test_c24_composition_no_smj_two_corpus_shuffles(spark, sf_dir):
     ]
     assert len(stream_ex) == 1, p
     assert len(md5_ex) == 1, p
+
+
+def test_c25_nosplit_packing_is_one_stream_shuffle(spark, sf_dir):
+    """r12 (c25): the next-fit fold must plan as FlatMapGroupsInPandas
+    over exactly ONE stream-keyed Exchange — the token count stays in
+    codegen below the shuffle, and nothing re-shuffles the output."""
+    df = REGISTRY["c25_pack_samples_nosplit"].fn(spark, sf_dir)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in ex, ex
+    assert ex.count("Exchange") == 1, ex
