@@ -14706,6 +14706,78 @@ def c25(spark, sf_dir):
     )
 
 
+@register(
+    "d18_best_representative",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id,
+             CAST(len(regexp_extract_all(d.text, {_C25_BPE})) AS BIGINT)
+               AS n_tokens
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+    FROM scored
+    """,
+)
+def d18(spark, sf_dir):
+    """Quality-aware dedup representative (r12) — the canonical-pick
+    POLICY knob d3/d7's min-id convention hides: production curation
+    keeps the BEST member of each near-dup cluster, not the first
+    (near-duplicates are usually a full document plus its truncated
+    or boilerplate-wrapped variants — min-id keeps whichever crawled
+    first). Policy here: highest token count wins (the longest member
+    is the superset in the common truncation case), ties to min
+    doc_id for determinism; any scalar quality score (t1's features,
+    a classifier margin) drops into the same argmax slot. Output is
+    the per-member verdict (doc_id, cluster_id, n_tokens, keep) —
+    `filter(NOT keep)` is the drop-list the corpus anti-joins, and
+    the losers stay attributed to their cluster for audit.
+
+    Physical shape: the d3 banded candidate scan + d7 star closure
+    (both proven machinery, costing what dedup already pays), one
+    codegen token count on the CLUSTERED MEMBERS ONLY (never the
+    corpus — clusters are the skewed minority), and an a1-style
+    row_number window keyed by cluster. The oracle replays pairs →
+    WITH RECURSIVE closure → identical scoring and tie order."""
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        minhash_near_duplicates(docs), loop_shuffle_partitions=2
+    ).select("doc_id", "cluster_id")
+    scored = clusters.join(
+        docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id", "cluster_id", "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -14807,9 +14879,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (tests/test_registry.py enforces displaced-means-proven).
     #
     # r13 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
-    # (5 never-driver-proven r12 additions — MUST take slots, the
+    # (6 never-driver-proven r12 additions — MUST take slots, the
     # queue's contract), then the 32 remaining r7-proven queries, then
-    # the 13 oldest r8-proven — 5 + 32 + 13 = 50, leaving no query
+    # the 12 oldest r8-proven — 6 + 32 + 12 = 50, leaving no query
     # older than r8-proven at the r13 close.
 ]
 
@@ -14829,6 +14901,7 @@ _NEXT_WINDOW_QUEUE = [
     "e30_streaming_ivf_delete",
     "s26_snapshot_refs",
     "c25_pack_samples_nosplit",
+    "d18_best_representative",
 ]
 
 
