@@ -439,3 +439,67 @@ def merge_keyed_rollup(
         u = u.unionByName(p)
     aggs = [getattr(F, how)(col).alias(col) for col, how in merges.items()]
     return u.groupBy(*keys).agg(*aggs)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    tag_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """KMV (k-minimum-values / theta-style) distinct sketch per tag
+    (r13, a28 — closing the gap a23 records: "HLL has no native
+    intersect... the honest bar for why theta sketches exist when
+    intersections are small"). Public algorithm: Beyer et al., "On
+    Synopses for Distinct-Value Estimation" (SIGMOD'07); the theta
+    framework is Dasgupta et al. / Apache DataSketches.
+
+    Each tag's sketch is the k smallest values of a uniform hash
+    h(key) ∈ [0,1): a fixed-rate uniform sample of the tag's DISTINCT
+    keys whose rate θ = k-th smallest h is KNOWN from the sketch
+    itself. That sampling semantics is what HLL lacks: sketches
+    INTERSECT by set arithmetic on retained hashes (every hash below
+    min(θ_a, θ_b) is retained by both sketches iff the key is in both
+    sets), so the intersection estimate j/θ carries a per-estimate
+    binomial bound ~√j/θ that scales with the INTERSECTION, not with
+    the unions.
+
+    Physical shape, scale-safe bottom-k: one distinct shuffle on
+    (tag, key), then per-(tag, input-partition) row_number windows —
+    the per-partition heaps — then a k·P-row merge window per tag.
+    Bottom-k is a semilattice, so the result is invariant to how the
+    partials were grouped; hashing is unseeded md5 (deterministic
+    across runs and engines). Returns (tag, h) — k rows per tag (all
+    rows when a tag has < k distinct keys, in which case its θ is 1
+    and every downstream estimate is exact).
+
+    At 100 TB: the corpus is touched by exactly the one distinct
+    shuffle any exact count-distinct already pays; everything after
+    operates on ≤ k·P then ≤ k rows per tag. Stored per-segment
+    sketches union/intersect at O(k) without rescanning (the a20
+    lifecycle), and h-equality joins between sketches stand in for
+    key-equality with 2^-60 collision odds."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("_k").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(2**60))
+    ).alias("h")
+    hashed = (
+        df.select(F.col(tag_col).alias("tag"), F.col(key_col).alias("_k"))
+        .dropDuplicates(["tag", "_k"])
+        .select("tag", h)
+    )
+    part = hashed.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("tag", "_pid").orderBy("h")
+    cand = (
+        part.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w2 = Window.partitionBy("tag").orderBy("h")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

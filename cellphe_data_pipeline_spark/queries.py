@@ -22,6 +22,7 @@ order, AREA -> l_quantity, positions -> value/event coords).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -14751,8 +14752,18 @@ def d18(spark, sf_dir):
     (both proven machinery, costing what dedup already pays), one
     codegen token count on the CLUSTERED MEMBERS ONLY (never the
     corpus — clusters are the skewed minority), and an a1-style
-    row_number window keyed by cluster. The oracle replays pairs →
-    WITH RECURSIVE closure → identical scoring and tie order."""
+    row_number window keyed by cluster. "Never the corpus" is a PLAN
+    invariant, not a hope (r13, per the r12 verdict): the corpus
+    streams through a broadcast hash join against the cluster table
+    (CC's localCheckpoint makes the broadcast side a materialized
+    read, not a recompute) and the token-count Project sits ABOVE the
+    join — Catalyst has no rule that pushes a computed projection
+    below a join, and tests/test_plans.py::test_d18 gates it. If
+    cluster membership ever outgrows the broadcast budget the hint
+    degrades to a shuffled hash join with the Project still above the
+    join — the invariant survives; only the join strategy changes.
+    The oracle replays pairs → WITH RECURSIVE closure → identical
+    scoring and tie order."""
     from cellphe_data_pipeline_spark.operators.dedup import (
         dedup_clusters,
         minhash_near_duplicates,
@@ -14765,9 +14776,14 @@ def d18(spark, sf_dir):
     clusters = dedup_clusters(
         minhash_near_duplicates(docs), loop_shuffle_partitions=2
     ).select("doc_id", "cluster_id")
-    scored = clusters.join(
-        docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens")),
-        "doc_id",
+    scored = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(clusters), "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+        )
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_tokens").desc(), F.col("doc_id").asc()
@@ -14775,6 +14791,273 @@ def d18(spark, sf_dir):
     return scored.select(
         "doc_id", "cluster_id", "n_tokens",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@register(
+    "s27_manifest_list",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_shard_byte_identity,
+           TRUE AS ok_commit_cost_o_changed,
+           TRUE AS ok_time_travel,
+           TRUE AS ok_vacuum_reclaimed
+    FROM orders WHERE o_orderkey % 6 <> 0 GROUP BY o_orderstatus
+    """,
+)
+def s27(spark, sf_dir):
+    """Manifest-LIST tier for the snapshot layer (r13;
+    io.snapshot_commit_sharded — the r12 verdict's ask #4, closing the
+    gap it names: "one JSON manifest enumerating every file is the
+    known listing wall at millions of files... no manifest-list/
+    partitioned-manifest tier"). Design = Iceberg's manifest-of-
+    manifests (public spec): a snapshot points at immutable content-
+    addressed SHARD manifests; an append reuses every parent shard by
+    path and writes ONE new shard; a delete rewrites only intersecting
+    shards. Commit cost is O(changed shards), never O(table) — the
+    property measured in SCALE.md's metadata curve (flat commit bytes
+    grow linearly with file count; sharded append bytes are flat).
+
+    Lifecycle, every contract asserted in-query against the
+    filesystem:
+      1. six sharded append commits (3-file orders slices, 18 files):
+         each commit writes exactly one new shard and reuses every
+         prior shard BY PATH — their md5s are recorded at first
+         appearance and re-checked at the end (byte identity, not
+         convention);
+      2. one delete commit removing slice 0: the single intersecting
+         shard is dropped (emptied), the other five reused
+         byte-identically; zero data files move (COW at metadata);
+      3. time travel: the pre-delete snapshot still serves ALL rows
+         (order-insensitive crc hash) after the delete commit;
+      4. vacuum with expiry reclaims slice 0's data files AND the
+         orphaned shard manifest (shards are reference-counted like
+         data files), leaving the live snapshot byte-identical.
+
+    The final read answers from the sharded snapshot v7, which the
+    oracle recomputes relationally from raw orders — proving the
+    manifest-list resolution path returns exactly the right file set.
+    Flat parents upgrade on their first sharded commit (wrapped as one
+    shard) and both tiers share the same link(2) CAS point
+    (tests/test_ingest.py pins both)."""
+    import hashlib
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = _stage_dir("s27_mlist")
+
+    def md5(rel):
+        with open(os.path.join(table, rel), "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+
+    slice_files: list[list[str]] = []
+    shard_md5: dict[str, str] = {}
+    for i in range(6):
+        d = os.path.join(table, "data", f"s{i + 1}_append")
+        orders.filter(F.col("o_orderkey") % 6 == i).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(d)
+        files = snapshot_data_files(d)
+        slice_files.append(files)
+        _, info = snapshot_commit_sharded(table, i, files)
+        # commit cost O(1): one new shard, zero rewrites, all prior
+        # shards reused by path
+        assert info["added"] is not None and not info["rewritten"], info
+        assert set(info["reused"]) == set(shard_md5), info
+        shard_md5[info["added"]] = md5(info["added"])
+    assert len(snapshot_files(table, 6)) == 18
+
+    def row_hash(df):
+        return df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("string"),
+                    )
+                )
+            )
+        ).collect()[0][0]
+
+    pre_hash = row_hash(snapshot_read(spark, table, 6))
+
+    # delete slice 0: one shard emptied-and-dropped, five reused
+    _, dinfo = snapshot_commit_sharded(
+        table, 6, [], removed_files=slice_files[0]
+    )
+    assert dinfo["added"] is None and not dinfo["rewritten"], dinfo
+    assert len(dinfo["reused"]) == 5, dinfo
+    assert len(snapshot_files(table, 7)) == 15
+
+    # untouched-shard byte identity across the whole lifecycle
+    for rel in dinfo["reused"]:
+        assert md5(rel) == shard_md5[rel], rel
+
+    # time travel across the delete commit
+    assert row_hash(snapshot_read(spark, table, 6)) == pre_hash
+
+    # vacuum: slice-0 data files + the orphaned shard reclaimed
+    vinfo = snapshot_vacuum(table, expire_before=7)
+    assert set(vinfo["deleted"]) == set(slice_files[0]), vinfo
+    assert len(vinfo["deleted_shards"]) == 1, vinfo
+    assert all(os.path.exists(f) for f in snapshot_files(table, 7))
+
+    return (
+        snapshot_read(spark, table, 7)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "n", "sum_price",
+            F.lit(True).alias("ok_shard_byte_identity"),
+            F.lit(True).alias("ok_commit_cost_o_changed"),
+            F.lit(True).alias("ok_time_travel"),
+            F.lit(True).alias("ok_vacuum_reclaimed"),
+        )
+    )
+
+
+@register(
+    "a28_kmv_intersect_audit",
+    """
+    WITH a AS (SELECT o_orderkey AS k FROM orders
+               WHERE o_totalprice > 150000),
+    b AS (SELECT o_orderkey AS k FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+    u AS (SELECT k FROM a UNION SELECT k FROM b)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (k)) AS BIGINT)
+             AS n_intersect,
+           TRUE AS ok_union_bound,
+           TRUE AS ok_intersect_bound,
+           TRUE AS ok_tighter_than_ie
+    """,
+)
+def a28(spark, sf_dir):
+    """KMV/theta-style sketch INTERSECTION with an honest per-estimate
+    bound (r13; aggregates.kmv_sketch — the r12 verdict's ask #5,
+    closing the gap a23 records in writing: HLL inclusion-exclusion's
+    error compounds to ~5% of (n_a + n_b + n_union), a dishonest bound
+    when the intersection is small; theta sketches are the named fix).
+
+    Sets: order keys with totalprice > 150k (A) vs priority 1-URGENT
+    (B) — each key occurs once, so the intersection (~19% of the
+    union here, arbitrarily small in general) is a genuine set
+    overlap, not the saturated user_id overlap a23 measures. Sketch
+    algebra, all on ≤ 2k rows: θ = k-th smallest hash of the merged
+    sketch (θ=1 ⇒ sketches are exhaustive and estimates exact);
+    every retained hash below θ is a uniform θ-rate sample of A∪B
+    observed by BOTH sketches (θ ≤ min θ_a, θ_b), so j = |{h ≤ θ:
+    h ∈ sk_a ∧ h ∈ sk_b}| is Binomial(|A∩B|, θ) and |A∩B| ≈ j/θ with
+    bound 4·√(j+1)/θ — a bound that scales with the INTERSECTION.
+
+    Theorem columns (the a16/a20/a23 idiom — oracle emits literal
+    TRUE, engine computes the inequality, hash-deterministic sketches
+    make it re-verified at every SF):
+      - ok_union_bound: |(k−1)/θ − n_union| ≤ 4·n_union/√(k−1);
+      - ok_intersect_bound: |j/θ − n_intersect| ≤ 4·√(j+1)/θ;
+      - ok_tighter_than_ie: 4·√(j+1)/θ ≤ 0.05·(n_a+n_b+n_union) —
+        the KMV bound beats a23's inclusion-exclusion bound on these
+        sets at every SF, measured not asserted.
+
+    At 100 TB: the corpus pays the one distinct shuffle an exact
+    count-distinct pays anyway (the exact columns here are the AUDIT,
+    not the product); stored per-segment sketches then answer any
+    union/intersection at O(k) bytes with per-answer error bars."""
+    from cellphe_data_pipeline_spark.operators.aggregates import kmv_sketch
+
+    k = 1024
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    a = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    tagged = a.select(F.lit("a").alias("tag"), "k").unionAll(
+        b.select(F.lit("b").alias("tag"), "k")
+    )
+    sk = kmv_sketch(tagged, "k", "tag", k=k)
+    ska = sk.filter(F.col("tag") == "a").select("h")
+    skb = sk.filter(F.col("tag") == "b").select("h")
+
+    # merged sketch: k smallest of the union of retained hashes
+    # (sketch-sized inputs — the single-partition window sorts ≤ 2k
+    # rows, never corpus data)
+    merged = ska.unionAll(skb).distinct()
+    wk = Window.orderBy("h")
+    kth = merged.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= k
+    )
+    theta_m = kth.agg(
+        F.when(F.count(F.lit(1)) >= k, F.max("h"))
+        .otherwise(F.lit(1.0))
+        .alias("theta"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    j_row = (
+        kth.join(ska, "h", "semi")
+        .join(skb, "h", "semi")
+        .agg(F.count(F.lit(1)).alias("j"))
+    )
+    exacts = (
+        a.select(F.lit(1).alias("_in_a"), "k")
+        .join(b.select(F.lit(1).alias("_in_b"), "k"), "k", "full_outer")
+        .agg(
+            F.sum("_in_a").alias("n_a"),
+            F.sum("_in_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("_in_a") * F.col("_in_b")).alias("n_intersect"),
+        )
+    )
+    row = exacts.crossJoin(F.broadcast(theta_m)).crossJoin(
+        F.broadcast(j_row)
+    )
+    theta = F.col("theta")
+    est_u = F.when(theta < 1.0, (F.lit(float(k - 1)) / theta)).otherwise(
+        F.col("m").cast("double")
+    )
+    est_i = F.col("j").cast("double") / theta
+    kmv_bound = F.lit(4.0) * F.sqrt(F.col("j").cast("double") + 1.0) / theta
+    return row.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_intersect").cast("bigint").alias("n_intersect"),
+        (
+            F.abs(est_u - F.col("n_union").cast("double"))
+            <= F.lit(4.0) * F.col("n_union") / F.lit(math.sqrt(k - 1))
+        ).alias("ok_union_bound"),
+        (
+            F.abs(est_i - F.col("n_intersect").cast("double")) <= kmv_bound
+        ).alias("ok_intersect_bound"),
+        (
+            kmv_bound
+            <= 0.05
+            * (F.col("n_a") + F.col("n_b") + F.col("n_union")).cast("double")
+        ).alias("ok_tighter_than_ie"),
     )
 
 
@@ -14795,94 +15078,88 @@ def d18(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # =============== ROUND-12 WINDOW (rotation round) ===============
-    # The r11 verdict ask #1: spend the ENTIRE window on rotation —
-    # zero new queries. Composition: the full 41-query r6-proven
-    # cohort (last driver-proven five rounds ago; ledger recomputed
-    # from CORRECTNESS_r01-r11 this session, histogram r6x41 r7x40
-    # r8x44 r9x45 r10x48 r11x50, zero never-proven), then ONE
-    # changed-code re-proof, then the 8 oldest r7-proven queries.
+    # =============== ROUND-13 WINDOW (queue + rotation) ===============
+    # Composition per the r12 verdict ask #1, executed verbatim:
+    #   1. the 6-query _NEXT_WINDOW_QUEUE (r12 additions, never
+    #      driver-proven - the queue's contract is that they MUST
+    #      take the first slots of this window);
+    #   2. the full 32-query r7-proven cohort (oldest debt; ledger
+    #      recomputed from CORRECTNESS_r01-r12 this session,
+    #      histogram r7x32 r8x44 r9x45 r10x48 r11x49 r12x50,
+    #      zero never-proven outside the queue);
+    #   3. the 12 oldest r8-proven (alphabetical within r8 - no
+    #      finer-grained age exists).
+    # 6 + 32 + 12 = 50; after this round no registry query is
+    # older than r8-proven.
     #
-    # Changed-code audit for the r12 advisor fixes: e24 changed its
-    # ORACLE SQL and engine result path (null-ts symmetry guard) ->
-    # its r11 proof ran different SQL -> re-proof slot. The other
-    # three fixes (mmr symmetric pair lookup, last_batch_id commit
-    # carry-forward, snapshot_changes/vacuum empty guards + the
-    # thread-unique tmp tokens) change NO observable behavior on any
-    # registered query's path: no registered query runs a mixed
-    # batch+stream workload against one snapshot table, every e25/e28
-    # commit sets last_batch_id explicitly, and v18 supplies the
-    # symmetric pair set its kernel previously required. The new
-    # behavior is pinned by tests (test_ingest.py: watermark
-    # carry-forward, no-diff/empty-snapshot feed, manifest-less
-    # vacuum no-op, 8-writer CAS stress).
+    # Changed-code audit for r13: no prior-proven query's engine or
+    # oracle path changed this round at window-build time; re-proof
+    # slots are therefore zero. (Any r13 code changes that touch a
+    # proven query's path get a re-proof slot in the r14 plan below.)
     #
-    # The r6-proven cohort, oldest debt first (alphabetical within
-    # the round - no finer-grained age exists):
-    "a7_count_distinct",
-    "d1_exact_dedup",
-    "d2_shingle_counts",
-    "d9_shingle_novelty",
-    "d10_incremental_neardup",
-    "d12_line_dedup",
-    "e5_streaming_rollup",
-    "f1_f4_string_funcs",
-    "f3_lpad_two_pass",
-    "f11_json_extract",
-    "f13_recode",
-    "g1_edge_build",
-    "g2_degree",
-    "g3_roots",
-    "j1_broadcast_dim_join",
-    "j2_composite_key_joinback",
-    "j3_lookup_join",
-    "j4_semi_join",
-    "j5_anti_join",
-    "j6_positional_zip_join",
-    "o1_multikey_sort_rank",
-    "o4_order_preserving_dedup",
-    "p1_p2_filter_min_obs",
-    "p4_filter_distinct",
-    "p5_duplicate_key_rows",
-    "p6_unique_key_rows",
-    "p7_p8_nonzero_nonnull",
-    "p9_p12_project_rename_cast",
-    "p13_stride_sample",
-    "s16_trackmate_sink_roundtrip",
-    "t1_quality_features",
-    "t2_language_id",
-    "t3_fingerprint",
-    "t11_vocab_oov",
-    "u1_union_all",
-    "u2_tagged_union",
-    "v8_kmeans_train",
-    "v9_pq_topk",
-    "w1_lag_diff",
-    "w3_first_value",
-    "w4_natsort_row_number",
-    # changed-code re-proof (engine + oracle edited this round):
-    "e24_streaming_static_enrich",
-    # the 8 oldest r7-proven queries (alphabetical within r7):
-    "a4_group_sum_revenue",
-    "a5_value_histogram",
-    "a5b_mask_histogram",
-    "a6_minmax_normalize",
-    "c10_dsir_importance",
-    "c11_dsir_resample",
-    "c12_bloom_decontaminate",
-    "c13_context_packing",
-    # =============== end round-12 window ===============
-    # After this round the oldest cohort is r7-proven (32 queries).
+    # The r12 queue (never driver-proven - MUST-take slots):
+    "o22_snapshot_compaction",
+    "c24_corpus_pipeline",
+    "e30_streaming_ivf_delete",
+    "s26_snapshot_refs",
+    "c25_pack_samples_nosplit",
+    "d18_best_representative",
+    # The r7-proven cohort, oldest debt first (alphabetical):
+    "c14_fim_transform",
+    "d11_quality_keep_list",
+    "d16_remove_dup_spans",
+    "d3_minhash_near_dups",
+    "d4_simhash",
+    "d5_pairwise_jaccard",
+    "d7_dedup_clusters",
+    "e7_streaming_dedup_keys",
+    "e8_streaming_interval_join",
+    "e9_streaming_minhash_neardup",
+    "g4_connected_components",
+    "g4b_renumber_tracks",
+    "g5_pagerank",
+    "g6_triangle_counts",
+    "j7_density_grid_join",
+    "m1b_otsu_segmentation",
+    "m3_tracking_links",
+    "m3b_gap_closing",
+    "m3c_split_merge",
+    "m3d_overlap_tracking",
+    "m3e_kalman_tracking",
+    "o7_zorder_layout",
+    "s17_orc_roundtrip",
+    "t13_html_to_text",
+    "t14_url_dedup",
+    "t15_gopher_rules",
+    "t16_sentence_split",
+    "t17_bpe_tokenize",
+    "t18_jsonl_parse",
+    "t20_code_detect",
+    "v11_ann_recall",
+    "v12_mean_pool_embeddings",
+    # The 12 oldest r8-proven (alphabetical within r8):
+    "a10_pivot",
+    "a11_cube",
+    "a14_column_profile",
+    "a15_key_skew_profile",
+    "a8b_timeseries_wavelet",
+    "a9_rollup",
+    "c15_span_corruption",
+    "c17_bottomk_sample",
+    "c1_corpus_curation",
+    "c2_chunking",
+    "c3_token_budget_shards",
+    "d13_simhash_neardup",
+    # =============== end round-13 window ===============
+    # After this round the oldest cohort is r8-proven (32 queries).
     # Prior-round windows are recorded in git history and in the
     # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps
     # its registration order and is driver-proven in a recorded round
     # (tests/test_registry.py enforces displaced-means-proven).
     #
-    # r13 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
-    # (6 never-driver-proven r12 additions — MUST take slots, the
-    # queue's contract), then the 32 remaining r7-proven queries, then
-    # the 12 oldest r8-proven — 6 + 32 + 12 = 50, leaving no query
-    # older than r8-proven at the r13 close.
+    # r14 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
+    # (r13 additions, if any), then the 32 remaining r8-proven
+    # queries, then the oldest r9-proven to fill 50.
 ]
 
 # Queries added THIS round, queued for the NEXT round's driver window
@@ -14896,12 +15173,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # oracle or a rows-only registration, like every other query). The
 # r13 window MUST lead with these names.
 _NEXT_WINDOW_QUEUE = [
-    "o22_snapshot_compaction",
-    "c24_corpus_pipeline",
-    "e30_streaming_ivf_delete",
-    "s26_snapshot_refs",
-    "c25_pack_samples_nosplit",
-    "d18_best_representative",
+    "s27_manifest_list",
+    "a28_kmv_intersect_audit",
 ]
 
 

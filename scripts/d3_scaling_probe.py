@@ -68,6 +68,7 @@ shuffle_write = 0
 records = 0
 job_of_stage = {{}}
 timed_stages = set()
+per_stage = {{}}
 paths = [
     p
     for pat in (app_id + "*", "*" + app_id + "*/*")
@@ -88,10 +89,17 @@ for path in paths:
                     sw = m.get("Shuffle Write Metrics") or {{}}
                     shuffle_write += sw.get("Shuffle Bytes Written", 0)
                     records += sw.get("Shuffle Records Written", 0)
+                    b = sw.get("Shuffle Bytes Written", 0)
+                    if b:
+                        sid = ev["Stage ID"]
+                        per_stage[sid] = per_stage.get(sid, 0) + b
+top = sorted(per_stage.values(), reverse=True)
 print(json.dumps({{
     "sf_dir": sf_dir, "rows": rows, "wall_s": round(wall, 3),
     "shuffle_write_bytes": shuffle_write,
     "shuffle_records": records,
+    "shuffle_stages": len(per_stage),
+    "top_stage_bytes": top[:4],
 }}))
 """
 

@@ -1170,3 +1170,32 @@ def test_c22_property_vs_python_render(spark):
         assert got == want
 
     check()
+
+
+def test_kmv_sketch_partition_invariant_and_exact_when_small(spark):
+    """a28's kernel contract: bottom-k is a semilattice, so the sketch
+    is INVARIANT to input partitioning (the per-partition-heap stage
+    may group partials any way it likes); and a tag with < k distinct
+    keys keeps every hash (θ=1 ⇒ downstream estimates exact)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(40)],
+        "tag string, k bigint",
+    )
+
+    def hashes(frame, k):
+        out = {}
+        for r in kmv_sketch(frame, "k", "tag", k=k).collect():
+            out.setdefault(r["tag"], set()).add(r["h"])
+        return out
+
+    base = hashes(df, 64)
+    assert hashes(df.repartition(17), 64) == base
+    assert hashes(df.coalesce(1), 64) == base
+    assert len(base["a"]) == 64  # exactly k retained
+    assert len(base["b"]) == 40  # < k distinct ⇒ exhaustive (θ = 1)
+    # duplicates don't change the sketch (distinct-value semantics)
+    assert hashes(df.unionAll(df), 64) == base

@@ -597,14 +597,15 @@ def test_snapshot_vacuum_manifestless_table_is_noop(tmp_path):
 
     from cellphe_data_pipeline_spark.sources.io import snapshot_vacuum
 
+    empty = {"expired": [], "deleted": [], "kept": [], "deleted_shards": []}
     table = str(tmp_path / "nomanifest")
     # dir entirely absent
-    assert snapshot_vacuum(table) == {"expired": [], "deleted": [], "kept": []}
+    assert snapshot_vacuum(table) == empty
     # data pool present but no manifest dir: files must survive
     os.makedirs(f"{table}/data")
     with open(f"{table}/data/orphan.parquet", "w") as f:
         f.write("x")
-    assert snapshot_vacuum(table) == {"expired": [], "deleted": [], "kept": []}
+    assert snapshot_vacuum(table) == empty
     assert os.path.exists(f"{table}/data/orphan.parquet")
 
 
@@ -798,3 +799,122 @@ def test_snapshot_refs_contract(spark, tmp_path):
     info = snapshot_vacuum(table, expire_before=99)
     assert info["expired"] == [1]
     assert snapshot_read_ref(spark, table, "prod").count() == 2
+
+
+def test_snapshot_sharded_manifest_list_contract(spark, tmp_path):
+    """s27 (r13): the manifest-list tier's three load-bearing claims,
+    pinned at the primitive level:
+      1. APPEND reuses every parent shard BY PATH and byte-identically
+         (commit cost = one new shard + one manifest list, O(1));
+      2. DELETE rewrites ONLY the intersecting shard — the others stay
+         byte-identical (O(changed shards), never O(table));
+      3. readers are tier-blind: snapshot_files / snapshot_read /
+         snapshot_read_pruned resolve shards exactly like flat lists,
+         and a FLAT parent upgrades in place on its first sharded
+         commit."""
+    import hashlib
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_read,
+        snapshot_read_pruned,
+        snapshot_vacuum,
+    )
+
+    def md5(path):
+        with open(path, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id bigint, v double"
+    )
+
+    # v1: FLAT commit (the legacy tier) — 10 ids
+    d1 = os.path.join(table, "data", "s1")
+    df.filter("id < 10").write.parquet(d1)
+    f1 = snapshot_data_files(d1)
+    snapshot_commit_atomic(
+        table, 0, f1, stats={"id": {fp: [0, 9] for fp in f1}}
+    )
+
+    # v2: first SHARDED commit — converts the flat parent to one shard
+    d2 = os.path.join(table, "data", "s2")
+    df.filter("id >= 10 and id < 20").write.parquet(d2)
+    f2 = snapshot_data_files(d2)
+    _, info2 = snapshot_commit_sharded(
+        table, 1, f2, stats={"id": {fp: [10, 19] for fp in f2}}
+    )
+    assert info2["added"] and not info2["rewritten"]
+    assert sorted(snapshot_files(table, 2)) == sorted(f1 + f2)
+    shard_hashes = {
+        sp: md5(os.path.join(table, sp))
+        for sp in (info2["reused"] + [info2["added"]])
+    }
+
+    # v3: append — every v2 shard reused BY PATH, bytes untouched
+    d3 = os.path.join(table, "data", "s3")
+    df.filter("id >= 20 and id < 30").write.parquet(d3)
+    f3 = snapshot_data_files(d3)
+    _, info3 = snapshot_commit_sharded(
+        table, 2, f3, stats={"id": {fp: [20, 29] for fp in f3}}
+    )
+    assert set(info3["reused"]) == set(shard_hashes)  # path reuse
+    assert not info3["rewritten"]
+    for sp, h in shard_hashes.items():
+        assert md5(os.path.join(table, sp)) == h  # byte identity
+
+    # v4: delete ids 10-19 — exactly ONE shard rewritten (emptied →
+    # dropped), the other two reused byte-identically
+    _, info4 = snapshot_commit_sharded(table, 3, [], removed_files=f2)
+    assert not info4["rewritten"] and info4["added"] is None
+    assert len(info4["reused"]) == 2
+    assert sorted(snapshot_files(table, 4)) == sorted(f1 + f3)
+    got = {r["id"] for r in snapshot_read(spark, table, 4).collect()}
+    assert got == set(range(10)) | set(range(20, 30))
+
+    # tier-blind stats prune: shard-carried stats reach the pruner
+    _, pinfo = snapshot_read_pruned(spark, table, 3, "id", 25, 27)
+    assert set(pinfo["kept"]) == set(f3), pinfo
+    assert set(pinfo["skipped"]) == set(f1 + f2), pinfo
+
+    # vacuum with expiry: v2/v3's dropped shard and f2's data files
+    # are reclaimed; surviving snapshots stay byte-identical
+    vinfo = snapshot_vacuum(table, expire_before=4)
+    assert set(vinfo["deleted"]) == set(f2)
+    assert vinfo["deleted_shards"], vinfo  # the orphaned f2 shard
+    assert {r["id"] for r in snapshot_read(spark, table, 4).collect()} == got
+
+
+def test_snapshot_sharded_and_flat_commits_share_the_cas(tmp_path):
+    """A sharded commit and a flat commit racing from the same parent
+    contend on the SAME link(2) point — exactly one wins."""
+    import json
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        SnapshotConflict,
+        snapshot_commit_atomic,
+        snapshot_commit_sharded,
+        snapshot_files,
+    )
+    import pytest
+
+    table = str(tmp_path / "tt")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    fake = os.path.join(table, "data", "a.parquet")
+    open(fake, "w").close()
+    snapshot_commit_sharded(table, 0, [fake])
+    # simulate a racer that already took v2 (flat tier)
+    mdir = os.path.join(table, "manifests")
+    with open(os.path.join(mdir, "v2.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": 1, "files": [fake]}, f)
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit_sharded(table, 1, [fake])
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit_atomic(table, 1, [fake])
+    assert snapshot_files(table, 2) == [fake]

@@ -320,3 +320,24 @@ def test_c25_nosplit_packing_is_one_stream_shuffle(spark, sf_dir):
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in ex, ex
     assert ex.count("Exchange") == 1, ex
+
+
+def test_d18_token_count_never_evaluates_on_the_corpus(spark, sf_dir):
+    """r13 (r12 verdict ask #2): d18's docstring claims the quality
+    score (the BPE-ish regexp token count) touches only CLUSTERED
+    MEMBERS, never the corpus. Gate it structurally: in the optimized
+    plan the regexp Project must sit ABOVE the clusters⋈docs join
+    (tree prints parents first), and the corpus side below the join
+    must be a bare column projection over the parquet relation — no
+    regexp anywhere under the join."""
+    df = REGISTRY["d18_best_representative"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    regexp_idx = [i for i, ln in enumerate(lines) if "regexp_extract_all" in ln]
+    join_idx = [i for i, ln in enumerate(lines) if "Join Inner" in ln]
+    assert len(regexp_idx) == 1, opt  # scored exactly once, nowhere else
+    assert join_idx, opt
+    assert regexp_idx[0] < min(join_idx), opt  # Project is a parent of the join
+    # and the physical strategy is the broadcast the docstring records
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex, ex
