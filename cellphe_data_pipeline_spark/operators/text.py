@@ -1560,6 +1560,18 @@ def pack_context_windows(
     pos = base.withColumn(
         "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     ).filter(F.col("n_tokens") > 0)
+    return explode_token_windows(pos, window_tokens)
+
+
+def explode_token_windows(pos: DataFrame, window_tokens: int) -> DataFrame:
+    """The window-slicing tail of :func:`pack_context_windows`,
+    factored out (r13) so the STREAMING packer (tracker.
+    streaming_corpus_ingest_drain) shares the identical boundary
+    arithmetic instead of a copy: given (stream, doc_id, n_tokens,
+    start) — `start` being the doc's GLOBAL token offset in its
+    stream, however it was computed (batch cumulative window, or
+    carried offset + in-batch cumsum) — emit one row per
+    (window, doc) overlap with clipped in-window spans."""
     L = F.lit(window_tokens)
     pos = pos.withColumn("end", F.col("start") + F.col("n_tokens") - 1)
     out = pos.withColumn(

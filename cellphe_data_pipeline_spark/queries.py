@@ -14022,6 +14022,64 @@ _C24_CANNED = (
 )
 
 
+def _c24_injected_corpus(spark, sf_dir):
+    """Shared duplicate-injected, HTML-wrapped corpus for c24 and its
+    streaming twin e31 — byte-identical to the oracles' basedocs/aug
+    CTEs (the one-canonical-text discipline: one fixture expression,
+    never hand-copies). Deterministic duplicate injection (the t13
+    fixture discipline — identical in both engines): every 7th
+    training doc becomes a canned passage suffixed with a doc_id//70
+    GROUP marker, so exact dedup has real work in the shape real
+    corpora have — many SMALL duplicate groups (~10 docs each), never
+    one corpus-wide clique (a single giant identical set makes the
+    near-dup candidate pass quadratic, which is a fixture artifact,
+    not a pipeline property; bench docs < 20 are untouched). Returns
+    (docs, aug): the canned-dup corpus and its HTML-wrapped form."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 7 == 1) & (F.col("doc_id") >= 20),
+            F.concat(
+                F.lit(_C24_CANNED + " group marker "),
+                F.expr("CAST(doc_id DIV 70 AS STRING)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><style>p{color:red}</style>'
+                    '<script type="text/javascript">var x=1;<!--x--></script>'
+                    '</head><body><p class="a">'
+                ),
+                F.col("text"),
+                F.lit('</p><br/>&amp; &lt;b&gt;&nbsp;&quot;q&quot;&#39;</body></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<div id="main">'),
+                F.col("text"),
+                F.lit("</div><!-- footer\ncomment -->"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return docs, aug
+
+
 def _c24_oracle_sql() -> str:
     """c24 oracle: the composed corpus pipeline replayed stage-for-
     stage from the canonical CTE helpers (t13 chain via
@@ -14187,56 +14245,7 @@ def c24(spark, sf_dir):
         pack_context_windows,
     )
 
-    raw = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    # deterministic duplicate injection (the t13 fixture discipline —
-    # identical in both engines): every 7th training doc becomes a
-    # canned passage suffixed with a doc_id//70 GROUP marker, so exact
-    # dedup has real work in the shape real corpora have — many SMALL
-    # duplicate groups (~10 docs each), never one corpus-wide clique
-    # (a single giant identical set makes the near-dup candidate pass
-    # quadratic, which is a fixture artifact, not a pipeline property;
-    # bench docs < 20 are untouched)
-    docs = raw.select(
-        "doc_id",
-        "source",
-        F.when(
-            (F.col("doc_id") % 7 == 1) & (F.col("doc_id") >= 20),
-            F.concat(
-                F.lit(_C24_CANNED + " group marker "),
-                F.expr("CAST(doc_id DIV 70 AS STRING)"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    aug = docs.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit(
-                    '<html><head><style>p{color:red}</style>'
-                    '<script type="text/javascript">var x=1;<!--x--></script>'
-                    '</head><body><p class="a">'
-                ),
-                F.col("text"),
-                F.lit('</p><br/>&amp; &lt;b&gt;&nbsp;&quot;q&quot;&#39;</body></html>'),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.lit('<div id="main">'),
-                F.col("text"),
-                F.lit("</div><!-- footer\ncomment -->"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    docs, aug = _c24_injected_corpus(spark, sf_dir)
     clean = html_to_text(aug, keep_cols=["source"])
     curated = (
         gopher_rules(
@@ -15061,6 +15070,154 @@ def a28(spark, sf_dir):
     )
 
 
+def _e31_oracle_sql() -> str:
+    """e31 oracle: c24's stage SUBSET (ingest → curate → exact dedup →
+    pack, no decontamination/split — the streaming twin carries no
+    bench list or cluster labels) replayed from the same canonical CTE
+    helpers, stream key = source, all docs kept."""
+    bpe = (
+        r"'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+"
+        r"| ?[^\sa-zA-Z0-9]+'"
+    )
+    return f"""
+    WITH basedocs AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 1 AND doc_id >= 20
+                  THEN '{_C24_CANNED}'
+                       || ' group marker ' || CAST(doc_id // 70 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {_html_clean_ctes(", source", doc_rel="basedocs")},
+    gin AS (SELECT doc_id, text_clean AS text FROM cleanrel),
+    {_gopher_chain_ctes("gin")},
+    curated AS (
+      SELECT c.doc_id, c.source, c.text_clean
+      FROM cleanrel c JOIN flags f USING (doc_id)
+      WHERE f.fail_mask & 63 = 0
+    ),
+    kept AS (
+      SELECT doc_id, source AS stream, text_clean FROM (
+        SELECT doc_id, source, text_clean,
+               ROW_NUMBER() OVER (PARTITION BY md5(text_clean)
+                                  ORDER BY doc_id) AS rn
+        FROM curated
+      ) t WHERE rn = 1
+    ),
+    pt AS (
+      SELECT doc_id, stream,
+             len(regexp_extract_all(text_clean, {bpe})) AS n_tokens
+      FROM kept
+    ),
+    pc AS (
+      SELECT doc_id, stream, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+      FROM pt
+    ),
+    ps AS (
+      SELECT doc_id, stream, n_tokens,
+             CAST(start AS BIGINT) AS start,
+             CAST(start + n_tokens - 1 AS BIGINT) AS fin
+      FROM pc WHERE n_tokens > 0
+    )
+    SELECT stream, CAST(w AS BIGINT) AS window_id, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(0, start - w * 512) AS BIGINT) AS tok_start,
+           CAST(LEAST(511, fin - w * 512) AS BIGINT) AS tok_end
+    FROM ps, UNNEST(generate_series(start // 512, fin // 512)) AS g(w)
+    """
+
+
+@register("e31_streaming_corpus_ingest", _e31_oracle_sql())
+def e31(spark, sf_dir):
+    """§2.11 streaming COMPOSED corpus ingest (r13;
+    tracker.streaming_corpus_ingest_drain — the r12 verdict's ask #6:
+    "the curation pipeline IS the ingest path"). c24's
+    ingest→curate→dedup→pack stage subset as ONE availableNow plan:
+    the stateless stages (t13 html strip, t15 Gopher gate) run inside
+    the streaming plan; exact dedup and c13 packing run in the
+    foreachBatch sink with their state in the LAKEHOUSE — cross-batch
+    dedup state is a seen-hash snapshot table (queryable, restart-
+    proof), packing state is per-stream token offsets carried in the
+    windows table's own manifest (the e25 last_batch_id idiom,
+    extended with `pack_offsets`). Windows straddle micro-batch
+    boundaries exactly as batch windows straddle doc boundaries —
+    the SAME explode_token_windows kernel computes both.
+
+    Exactly-once, both legs asserted in-query: four ordered
+    micro-batches commit 4/0; a full REPLAY of the same files through
+    a fresh checkpoint is refused by the manifest watermark before
+    any packing work (0 committed / 4 skipped), and the final table
+    is byte-identical to the single-pass result (row hash compared).
+    The driver oracle then replays the batch-subset pipeline
+    relationally — proving streaming arrival (in doc order, the
+    _stage_ordered_batches pin) composes to exactly the batch answer.
+
+    At 100 TB: per-batch work is O(batch) for every stage except the
+    seen-table probe (O(seen) scan here; bucketed/bloom-fronted in
+    production — recorded in the drain's docstring), and the commit
+    is the ordinary s21 CAS — the ingest path and the maintenance
+    path share one table format."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_corpus_ingest_drain,
+    )
+    import os
+
+    _, aug = _c24_injected_corpus(spark, sf_dir)
+    mx = aug.agg(F.max("doc_id")).collect()[0][0]  # bounded: one row
+    cuts = [0, mx // 4 + 1, mx // 2 + 1, (3 * mx) // 4 + 1, mx + 1]
+    parts = [
+        aug.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    staged = _stage_ordered_batches(parts, "e31_batches")
+    root = _stage_dir("e31_sink")
+    table = os.path.join(root, "table")
+    seen = os.path.join(root, "seen")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_corpus_ingest_drain(
+            spark, parts[0].schema, staged, table, seen,
+            os.path.join(root, "ckpt"),
+        )
+    assert counts == {"committed": 4, "skipped": 0}, counts
+    sid = snapshot_current(table)
+
+    def row_hash(df):
+        return df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|", "stream", "window_id", "doc_id",
+                        "n_tokens", "tok_start", "tok_end",
+                    )
+                )
+            )
+        ).collect()[0][0]
+
+    pre = row_hash(snapshot_read(spark, table, sid))
+    # replay leg: same files, fresh checkpoint — the watermark must
+    # refuse every batch before any packing work, table unchanged
+    with _bounded_shuffle_partitions(spark):
+        counts2 = streaming_corpus_ingest_drain(
+            spark, parts[0].schema, staged, table, seen,
+            os.path.join(root, "ckpt_replay"),
+        )
+    assert counts2 == {"committed": 0, "skipped": 4}, counts2
+    assert snapshot_current(table) == sid
+    assert row_hash(snapshot_read(spark, table, sid)) == pre
+    return snapshot_read(spark, table, sid).select(
+        "stream", "window_id", "doc_id", "n_tokens", "tok_start", "tok_end"
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -15175,6 +15332,7 @@ _DRIVER_WINDOW_PRIORITY = [
 _NEXT_WINDOW_QUEUE = [
     "s27_manifest_list",
     "a28_kmv_intersect_audit",
+    "e31_streaming_corpus_ingest",
 ]
 
 

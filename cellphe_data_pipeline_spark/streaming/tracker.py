@@ -1786,3 +1786,187 @@ def streaming_ivf_delete_drain(
         q.stop()
         raise RuntimeError(f"ivf-delete drain did not finish in {timeout_s}s")
     return counts
+
+
+def streaming_corpus_ingest_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    seen_dir: str,
+    ckpt_dir: str,
+    window_tokens: int = 512,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming COMPOSED corpus ingest (r13, e31 — the r12 verdict's
+    ask #6: "the curation pipeline IS the ingest path"): c24's
+    html→gopher→exact-dedup→pack stage subset as ONE availableNow
+    plan draining to the snapshot sink. Composition of already-proven
+    parts: the STATELESS stages (t13 html_to_text + t15 gopher_rules,
+    pure codegen — the e10 shape) run inside the streaming plan per
+    micro-batch; the two STATEFUL stages run in the foreachBatch sink
+    with their state in the LAKEHOUSE, not the state store:
+
+      - exact dedup: within-batch representative = min doc_id (a
+        deterministic window — never Spark's arbitrary streaming
+        dropDuplicates pick), cross-batch suppression = anti-join
+        against a SEEN-HASH snapshot table the sink appends to
+        idempotently (Delta's stream-dedup-via-MERGE pattern: state
+        is a queryable table, survives restarts, and at scale is a
+        bucketed/bloom-fronted probe rather than a state store scan);
+      - packing: c13's window arithmetic (the SAME
+        explode_token_windows kernel batch packing uses) started from
+        per-stream token offsets CARRIED in the windows table's own
+        manifest (`pack_offsets`, the last_batch_id idiom) — windows
+        straddle micro-batch boundaries exactly as they straddle doc
+        boundaries in batch.
+
+    Exactly-once: both tables guard on their manifest's
+    last_batch_id independently, so a crash between the two commits
+    replays into one skip + one commit, never a double-apply; a full
+    replay (fresh checkpoint, same files) is all-skips. Batch
+    equivalence (the driver oracle replays the batch subset) holds
+    because arrival order is doc order (_stage_ordered_batches pins
+    file order by mtime): a duplicate group's minimum doc_id is in
+    the EARLIEST batch containing any member, so earliest-batch-wins
+    + min-in-batch == global min doc_id.
+
+    Returns {committed, skipped} as observed by the sink."""
+    from pyspark.sql import Window
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+        explode_token_windows,
+        gopher_rules,
+        html_to_text,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    import os
+
+    counts = {"committed": 0, "skipped": 0}
+
+    def _last(tdir):
+        cur = snapshot_current(tdir)
+        if cur == 0:
+            return cur, -1, {}
+        man = snapshot_manifest(tdir, cur)
+        return cur, man.get("last_batch_id", -1), man.get("pack_offsets", {})
+
+    def sink(batch_df, batch_id):
+        b = batch_df.withColumn("_h", F.md5("text_clean"))
+        win = Window.partitionBy("_h").orderBy("doc_id")
+        b = (
+            b.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen_cur, seen_last, _ = _last(seen_dir)
+        if seen_cur > 0:
+            b = b.join(
+                snapshot_read(spark, seen_dir, seen_cur), "_h", "left_anti"
+            )
+        b = b.persist()  # two consumers below; tiny (one micro-batch)
+        try:
+            cur, last, offsets = _last(table_dir)
+            if batch_id > last:
+                base = spark.createDataFrame(
+                    list(offsets.items()) or [("", 0)],
+                    "stream string, _base bigint",
+                )
+                cum = (
+                    Window.partitionBy("stream")
+                    .orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                pos = (
+                    b.select(
+                        "doc_id",
+                        "stream",
+                        bpe_ish_token_count(F.col("text_clean")).alias(
+                            "n_tokens"
+                        ),
+                    )
+                    .withColumn(
+                        "_cum",
+                        F.coalesce(F.sum("n_tokens").over(cum), F.lit(0)),
+                    )
+                    .join(F.broadcast(base), "stream", "left")
+                    .withColumn(
+                        "start",
+                        (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_cum"))
+                        .cast("bigint"),
+                    )
+                    .filter(F.col("n_tokens") > 0)
+                )
+                out = explode_token_windows(pos, window_tokens)
+                d = os.path.join(table_dir, "data", f"b{batch_id}")
+                out.write.mode("overwrite").parquet(d)
+                batch_sums = {
+                    r["stream"]: r["s"]
+                    for r in pos.groupBy("stream")
+                    .agg(F.sum("n_tokens").alias("s"))
+                    .collect()  # bounded: one row per stream
+                }
+                new_offsets = dict(offsets)
+                for s, n in batch_sums.items():
+                    new_offsets[s] = int(new_offsets.get(s, 0)) + int(n)
+                prev = snapshot_files(table_dir, cur) if cur > 0 else []
+                snapshot_commit_atomic(
+                    table_dir,
+                    cur,
+                    prev + snapshot_data_files(d),
+                    extra={
+                        "last_batch_id": batch_id,
+                        "pack_offsets": new_offsets,
+                    },
+                )
+                counts["committed"] += 1
+            else:
+                counts["skipped"] += 1
+            if batch_id > seen_last:
+                ds = os.path.join(seen_dir, "data", f"b{batch_id}")
+                b.select("_h").write.mode("overwrite").parquet(ds)
+                prev = (
+                    snapshot_files(seen_dir, seen_cur) if seen_cur > 0 else []
+                )
+                snapshot_commit_atomic(
+                    seen_dir,
+                    seen_cur,
+                    prev + snapshot_data_files(ds),
+                    extra={"last_batch_id": batch_id},
+                )
+        finally:
+            b.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    curated = (
+        gopher_rules(
+            html_to_text(stream, keep_cols=["source"]),
+            text_col="text_clean",
+            keep_cols=["source", "text_clean"],
+        )
+        .filter(F.col("fail_mask").bitwiseAND(F.lit(63)) == 0)
+        .select("doc_id", F.col("source").alias("stream"), "text_clean")
+    )
+    q = (
+        curated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"corpus-ingest drain did not finish in {timeout_s}s"
+        )
+    return counts
