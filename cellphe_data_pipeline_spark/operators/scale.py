@@ -313,13 +313,16 @@ def snapshot_compact(
 
     from cellphe_data_pipeline_spark.sources.io import (
         snapshot_commit_atomic,
+        snapshot_commit_sharded,
         snapshot_current,
         snapshot_data_files,
         snapshot_files,
+        snapshot_manifest,
     )
 
     parent = snapshot_current(table_dir)
     old_files = snapshot_files(table_dir, parent)
+    sharded = parent > 0 and "shards" in snapshot_manifest(table_dir, parent)
     if small_file_bytes is not None:
         to_compact = [
             f for f in old_files if os.path.getsize(f) < small_file_bytes
@@ -349,30 +352,52 @@ def snapshot_compact(
     if stats_col is not None:
         from urllib.parse import urlparse
 
+        # tier-aware stats scope (r13): a FLAT commit re-states every
+        # file's bounds, so kept files are re-scanned here; a SHARDED
+        # commit rewrites only the shards the compaction touches —
+        # kept files keep their shard-carried bounds untouched (the
+        # "copied from the parent manifest" trade the flat path
+        # records, realized structurally by the manifest-list tier)
+        stats_files = new_files if sharded else manifest_files
         stats = {
             stats_col: {
                 urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
                 for r in file_key_stats(
-                    spark, manifest_files, stats_col
+                    spark, stats_files, stats_col
                 ).collect()
             }
         }
-    new_id = snapshot_commit_atomic(
-        table_dir,
-        parent,
-        manifest_files,
-        stats=stats,
-        # data_change=false (r12): the commit declares its row multiset
-        # identical to the parent's, so single-step CDC across it is
-        # EMPTY at metadata cost (Delta's dataChange rule; the feed
-        # helper honors it) — the guarantee the row-invariance hash in
-        # the o22 oracle proves
-        extra={
-            "compaction_of": parent,
-            "data_change": False,
-            **(commit_extra or {}),
-        },
-    )
+    # data_change=false (r12): the commit declares its row multiset
+    # identical to the parent's, so single-step CDC across it is
+    # EMPTY at metadata cost (Delta's dataChange rule; the feed
+    # helper honors it) — the guarantee the row-invariance hash in
+    # the o22 oracle proves
+    extra = {
+        "compaction_of": parent,
+        "data_change": False,
+        **(commit_extra or {}),
+    }
+    if sharded:
+        # tier-preserving commit (r13): compacting a manifest-LIST
+        # table must not silently downgrade it to a flat manifest
+        # (which would re-inline every kept file — the listing wall
+        # returning through the maintenance door). The sharded commit
+        # rewrites only shards intersecting the replaced files; with
+        # `small_file_bytes` the kept majority's shards are reused by
+        # path, so maintenance metadata cost is O(debris), same as
+        # its data cost.
+        new_id, _ = snapshot_commit_sharded(
+            table_dir,
+            parent,
+            new_files,
+            removed_files=to_compact,
+            stats=stats,
+            extra=extra,
+        )
+    else:
+        new_id = snapshot_commit_atomic(
+            table_dir, parent, manifest_files, stats=stats, extra=extra
+        )
     return new_id, {
         "replaced": to_compact,
         "kept": kept,

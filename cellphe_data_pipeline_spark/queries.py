@@ -14850,7 +14850,20 @@ def s27(spark, sf_dir):
     manifest-list resolution path returns exactly the right file set.
     Flat parents upgrade on their first sharded commit (wrapped as one
     shard) and both tiers share the same link(2) CAS point
-    (tests/test_ingest.py pins both)."""
+    (tests/test_ingest.py pins both).
+
+    The full tier story, each leg pinned in tests/test_ingest.py:
+    shard-level [min,max] bounds ride in the manifest list so range
+    reads SKIP whole shards without opening them
+    (test_sharded_prune_skips_whole_shards); data compaction on a
+    sharded table is tier-preserving — it commits a manifest list
+    rewriting only intersecting shards, never a silent flat downgrade
+    (test_snapshot_compact_preserves_manifest_tier); and the
+    per-commit shard dribble is merged by manifest-list compaction
+    (snapshot_compact_manifests, Iceberg's rewrite_manifests) with
+    the table byte-identical and the read-side cost collapsing back
+    to one parse — measured in SCALE.md's metadata curve
+    (test_snapshot_compact_manifests_byte_identical_table)."""
     import hashlib
     import os
 

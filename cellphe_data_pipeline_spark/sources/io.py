@@ -365,6 +365,27 @@ def _write_shard(mdir: str, files: list[str], stats: dict | None) -> str:
     return os.path.join("manifests", name)
 
 
+def _shard_bounds(table_dir: str, rel: str) -> dict:
+    """Shard-level [min, max] per column, derived from the shard's own
+    per-file stats (r13): emitted ONLY when every file in the shard
+    has non-null bounds for the column — a partial or null-bounded
+    stats set cannot bound the shard, and stats never gate
+    correctness (the o19 admit rule, one level up)."""
+    import os
+
+    with open(os.path.join(table_dir, rel)) as f:
+        sd = json.load(f)
+    out = {}
+    for col, per_file in sd.get("stats", {}).items():
+        ivs = [per_file.get(fp) for fp in sd["files"]]
+        if all(
+            iv is not None and iv[0] is not None and iv[1] is not None
+            for iv in ivs
+        ):
+            out[col] = [min(iv[0] for iv in ivs), max(iv[1] for iv in ivs)]
+    return out
+
+
 def snapshot_commit_sharded(
     table_dir: str,
     expected_parent: int,
@@ -406,42 +427,68 @@ def snapshot_commit_sharded(
     removed = set(removed_files)
     mdir = os.path.join(table_dir, "manifests")
     parent_shards: list[str] = []
+    parent_shard_stats: dict = {}
     if expected_parent > 0:
         pman = snapshot_manifest(table_dir, expected_parent)
         if "shards" in pman:
             parent_shards = list(pman["shards"])
+            parent_shard_stats = pman.get("shard_stats", {})
         elif pman.get("files"):
-            # flat parent: wrap inline list as one shard (idempotent)
-            parent_shards = [
-                _write_shard(mdir, pman["files"], pman.get("stats"))
-            ]
+            # flat parent: wrap inline list as one shard (idempotent);
+            # its bounds are computed here, where the write was just
+            # paid, so the converted shard is prunable from birth
+            conv = _write_shard(mdir, pman["files"], pman.get("stats"))
+            parent_shards = [conv]
+            b = _shard_bounds(table_dir, conv)
+            if b:
+                parent_shard_stats[conv] = b
     reused, rewritten = [], []
     new_shards: list[str] = []
+    shard_stats: dict = {}
+
+    def _note_bounds(rel: str) -> None:
+        b = _shard_bounds(table_dir, rel)
+        if b:
+            shard_stats[rel] = b
+
     for sp in parent_shards:
         if not removed:
             # pure append: reuse WITHOUT opening the shard — commit
-            # metadata reads stay O(1) in table size, not O(shards)
+            # metadata reads stay O(1) in table size, not O(shards).
+            # Shard-level bounds are COPIED from the parent list when
+            # present (never recomputed — that would reopen the shard);
+            # a shard committed before bounds existed simply stays
+            # unbounded until some commit rewrites it.
             new_shards.append(sp)
             reused.append(sp)
+            if sp in parent_shard_stats:
+                shard_stats[sp] = parent_shard_stats[sp]
             continue
         with open(os.path.join(table_dir, sp)) as f:
             sd = json.load(f)
         if removed.isdisjoint(sd["files"]):
             new_shards.append(sp)  # reuse by path: zero bytes written
             reused.append(sp)
+            if sp in parent_shard_stats:
+                shard_stats[sp] = parent_shard_stats[sp]
+            else:
+                _note_bounds(sp)  # already open: bounds are free
         else:
             keep = [fp for fp in sd["files"] if fp not in removed]
             if keep:
                 nsp = _write_shard(mdir, keep, sd.get("stats"))
                 new_shards.append(nsp)
                 rewritten.append(nsp)
+                _note_bounds(nsp)
     added_shard = None
     if added_files:
         added_shard = _write_shard(mdir, list(added_files), stats)
         new_shards.append(added_shard)
-    new_id = _cas_publish_manifest(
-        table_dir, expected_parent, {"shards": new_shards}, extra
-    )
+        _note_bounds(added_shard)
+    body: dict = {"shards": new_shards}
+    if shard_stats:
+        body["shard_stats"] = shard_stats
+    new_id = _cas_publish_manifest(table_dir, expected_parent, body, extra)
     return new_id, {
         "reused": reused,
         "rewritten": rewritten,
@@ -474,6 +521,84 @@ def snapshot_commit_with_retry(
             conflicts += 1
             if conflicts > max_retries:
                 raise
+
+
+def snapshot_compact_manifests(
+    table_dir: str,
+    min_files: int = 100,
+    files_per_shard: int = 1000,
+) -> tuple[int, dict]:
+    """Manifest-list COMPACTION (r13) — the tier above shard commits,
+    closing the trade snapshot_commit_sharded records: every commit
+    adds one shard, so after N commits a full read resolution opens N
+    shard files. This op merges shards smaller than ``min_files``
+    into merged shards of ~``files_per_shard`` entries (Iceberg's
+    rewrite_manifests): DATA FILES ARE UNTOUCHED — the table is
+    byte-identical before and after (pinned by test via the resolved
+    file list), the commit carries data_change=false so CDC skips it
+    at metadata cost, and the exactly-once watermark carries forward
+    like any commit.
+
+    Cost is O(shards) metadata reads — the honest floor for an op
+    whose job is to read the small shards it merges; big shards are
+    reused BY PATH (zero bytes rewritten). Fewer than 2 small shards
+    is a NO-OP returning the parent unchanged (merging one shard
+    would churn a snapshot for zero resolution gain). Run it on the
+    maintenance cadence compaction runs on; between runs, commit cost
+    stays O(changed shards) and read cost degrades only linearly in
+    commits-since-last-maintenance. Returns (snapshot_id, info) with
+    {merged (old paths), kept (reused paths), new (merged paths)}."""
+    import os
+
+    parent = snapshot_current(table_dir)
+    if parent == 0:
+        return 0, {"merged": [], "kept": [], "new": []}
+    man = snapshot_manifest(table_dir, parent)
+    if "shards" not in man:
+        return parent, {"merged": [], "kept": [], "new": []}
+    mdir = os.path.join(table_dir, "manifests")
+    small, kept = [], []
+    docs = {}
+    for sp in man["shards"]:
+        with open(os.path.join(table_dir, sp)) as f:
+            sd = json.load(f)
+        if len(sd["files"]) < min_files:
+            small.append(sp)
+            docs[sp] = sd
+        else:
+            kept.append(sp)
+    if len(small) < 2:
+        return parent, {"merged": [], "kept": man["shards"], "new": []}
+    # merge small shards' file lists + stats into ~files_per_shard
+    # chunks, keeping file order deterministic (sorted, the shard
+    # payload convention)
+    all_files = sorted(fp for sp in small for fp in docs[sp]["files"])
+    all_stats: dict = {}
+    for sp in small:
+        for col, per_file in docs[sp].get("stats", {}).items():
+            all_stats.setdefault(col, {}).update(per_file)
+    new_shards, shard_stats = [], {}
+    parent_sstats = man.get("shard_stats", {})
+    for sp in kept:
+        if sp in parent_sstats:
+            shard_stats[sp] = parent_sstats[sp]
+    for i in range(0, len(all_files), files_per_shard):
+        chunk = all_files[i : i + files_per_shard]
+        nsp = _write_shard(mdir, chunk, all_stats)
+        new_shards.append(nsp)
+        b = _shard_bounds(table_dir, nsp)
+        if b:
+            shard_stats[nsp] = b
+    body: dict = {"shards": kept + new_shards}
+    if shard_stats:
+        body["shard_stats"] = shard_stats
+    new_id = _cas_publish_manifest(
+        table_dir,
+        parent,
+        body,
+        {"manifest_compaction_of": parent, "data_change": False},
+    )
+    return new_id, {"merged": small, "kept": kept, "new": new_shards}
 
 
 def snapshot_changes(
@@ -621,7 +746,31 @@ def snapshot_read_pruned(
         os.path.join(table_dir, "manifests", f"v{snapshot_id}.json")
     ) as f:
         m = json.load(f)
-    all_files, all_stats = _manifest_files_and_stats(table_dir, m)
+    info: dict = {}
+    if "shards" in m:
+        # manifest-LIST prune (r13): consult shard-level bounds FIRST
+        # and never open a shard whose [min, max] misses [lo, hi] —
+        # Iceberg's manifest-list partition-summary skip. A shard with
+        # no bound for `col` is opened (admit rule, one level up).
+        # Prune I/O is O(matching shards), not O(shards).
+        sstats = m.get("shard_stats", {})
+        opened, shards_skipped = [], []
+        for sp in m["shards"]:
+            b = sstats.get(sp, {}).get(col)
+            if b is not None and (b[1] < lo or b[0] > hi):
+                shards_skipped.append(sp)
+            else:
+                opened.append(sp)
+        all_files, all_stats = _manifest_files_and_stats(
+            table_dir, {"shards": opened}
+        )
+        info["shards_opened"] = opened
+        info["shards_skipped"] = shards_skipped
+        # `skipped` below lists only files from OPENED shards: files
+        # inside skipped shards are pruned without ever being listed
+        # (that unlisting IS the point)
+    else:
+        all_files, all_stats = _manifest_files_and_stats(table_dir, m)
     col_stats = all_stats.get(col, {})
     kept, skipped = [], []
     for fp in all_files:
@@ -638,10 +787,11 @@ def snapshot_read_pruned(
         else:
             kept.append(fp)
     if not kept:
-        df = spark.read.parquet(*all_files).limit(0)
+        schema_files = all_files or _manifest_files_and_stats(table_dir, m)[0]
+        df = spark.read.parquet(*schema_files).limit(0)
     else:
         df = spark.read.parquet(*kept)
-    return df, {"kept": kept, "skipped": skipped}
+    return df, {"kept": kept, "skipped": skipped, **info}
 
 
 def snapshot_vacuum(

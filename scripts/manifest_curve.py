@@ -41,6 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cellphe_data_pipeline_spark.sources.io import (  # noqa: E402
     snapshot_commit_atomic,
     snapshot_commit_sharded,
+    snapshot_compact_manifests,
     snapshot_files,
 )
 
@@ -91,13 +92,33 @@ def probe(tier: str, n_files: int) -> dict:
         )
         n_resolved = len(snapshot_files(table, parent))
         assert n_resolved == n_files, (n_resolved, n_files)
-        return {
+        out = {
             "tier": tier,
             "n_files": n_files,
             "commit_s": round(commit_s, 6),
             "commit_bytes": commit_bytes,
             "read_s": round(read_s, 6),
         }
+        if tier == "sharded":
+            # the read-side fix: manifest-list compaction merges the
+            # per-commit shard dribble; resolution cost collapses back
+            # toward the flat tier's single parse while commit cost
+            # stays O(changed shards)
+            parent, info = snapshot_compact_manifests(
+                table, min_files=BATCH + 1, files_per_shard=25 * BATCH
+            )
+            assert len(snapshot_files(table, parent)) == n_files
+            out["read_s_after_manifest_compaction"] = round(
+                min(
+                    _timed(lambda: snapshot_files(table, parent))
+                    for _ in range(3)
+                ),
+                6,
+            )
+            out["shards_after_compaction"] = len(info["kept"]) + len(
+                info["new"]
+            )
+        return out
     finally:
         shutil.rmtree(table, ignore_errors=True)
 

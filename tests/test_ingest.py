@@ -877,10 +877,14 @@ def test_snapshot_sharded_manifest_list_contract(spark, tmp_path):
     got = {r["id"] for r in snapshot_read(spark, table, 4).collect()}
     assert got == set(range(10)) | set(range(20, 30))
 
-    # tier-blind stats prune: shard-carried stats reach the pruner
+    # tier-blind stats prune, now shard-level (r13): the two
+    # non-matching shards are skipped WITHOUT being opened — their
+    # files never even get listed (that unlisting is the point)
     _, pinfo = snapshot_read_pruned(spark, table, 3, "id", 25, 27)
     assert set(pinfo["kept"]) == set(f3), pinfo
-    assert set(pinfo["skipped"]) == set(f1 + f2), pinfo
+    assert pinfo["skipped"] == [], pinfo
+    assert len(pinfo["shards_skipped"]) == 2, pinfo
+    assert len(pinfo["shards_opened"]) == 1, pinfo
 
     # vacuum with expiry: v2/v3's dropped shard and f2's data files
     # are reclaimed; surviving snapshots stay byte-identical
@@ -918,3 +922,176 @@ def test_snapshot_sharded_and_flat_commits_share_the_cas(tmp_path):
     with pytest.raises(SnapshotConflict):
         snapshot_commit_atomic(table, 1, [fake])
     assert snapshot_files(table, 2) == [fake]
+
+
+def test_sharded_prune_skips_whole_shards(spark, tmp_path):
+    """r13: the manifest LIST carries shard-level [min,max] bounds, so
+    a range read prunes at the SHARD level first — non-matching shards
+    are never opened (O(matching shards) metadata I/O), and files
+    inside them are pruned without being listed. Bounds are emitted
+    only when every file in the shard has them; a boundless shard is
+    admitted."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_read_pruned,
+    )
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "id bigint, v double"
+    )
+    parent = 0
+    ranges = [(0, 20), (20, 40), (40, 60)]
+    per_slice = []
+    for n, (a, b) in enumerate(ranges):
+        d = os.path.join(table, "data", f"s{n + 1}")
+        df.filter(f"id >= {a} and id < {b}").coalesce(1).write.parquet(d)
+        files = snapshot_data_files(d)
+        per_slice.append(files)
+        parent, _ = snapshot_commit_sharded(
+            table, parent, files,
+            stats={"id": {fp: [a, b - 1] for fp in files}},
+        )
+    # point-range read inside slice 2 only: exactly one shard opened
+    got, info = snapshot_read_pruned(spark, table, 3, "id", 25, 27)
+    assert len(info["shards_opened"]) == 1, info
+    assert len(info["shards_skipped"]) == 2, info
+    assert info["kept"] == per_slice[1], info
+    assert {r["id"] for r in got.collect()} == set(range(20, 40))
+    # a shard with NO bounds (stats omitted) is admitted, not skipped
+    d = os.path.join(table, "data", "s4")
+    df.filter("id < 5").coalesce(1).write.parquet(d)
+    parent, _ = snapshot_commit_sharded(
+        table, parent, snapshot_data_files(d)  # no stats
+    )
+    _, info = snapshot_read_pruned(spark, table, 4, "id", 25, 27)
+    assert len(info["shards_opened"]) == 2, info  # slice 2 + boundless
+    assert len(info["shards_skipped"]) == 2, info
+
+
+def test_snapshot_compact_preserves_manifest_tier(spark, tmp_path):
+    """r13: compacting a manifest-LIST table commits a manifest LIST
+    (never a silent downgrade to flat), rewrites only the shards the
+    compaction touches, and with small_file_bytes the kept files'
+    shards are reused byte-identically — maintenance metadata cost is
+    O(debris), matching its data cost."""
+    import hashlib
+    import json
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import snapshot_compact
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id bigint, v double"
+    )
+    # one BIG slice (kept) + two small-file debris slices (compacted)
+    parent = 0
+    d = os.path.join(table, "data", "big")
+    df.filter("id < 200").coalesce(1).write.parquet(d)
+    big = snapshot_data_files(d)
+    parent, _ = snapshot_commit_sharded(table, parent, big)
+    for n, (a, b) in enumerate([(200, 300), (300, 400)]):
+        d = os.path.join(table, "data", f"small{n}")
+        df.filter(f"id >= {a} and id < {b}").repartition(4).write.parquet(d)
+        parent, _ = snapshot_commit_sharded(
+            table, parent, snapshot_data_files(d)
+        )
+    pre_rows = {r["id"] for r in snapshot_read(spark, table, parent).collect()}
+    big_shard = snapshot_manifest(table, 1)["shards"][0]
+    with open(os.path.join(table, big_shard), "rb") as f:
+        big_md5 = hashlib.md5(f.read()).hexdigest()
+
+    threshold = max(os.path.getsize(f) for f in big) // 2
+    new_id, info = snapshot_compact(
+        spark, table, sort_cols=["id"], target_partitions=1,
+        small_file_bytes=threshold, stats_col="id",
+    )
+    man = snapshot_manifest(table, new_id)
+    assert "shards" in man and "files" not in man  # tier preserved
+    assert man.get("data_change") is False
+    assert set(info["kept"]) == set(big)
+    # the kept slice's shard survives BY PATH, byte-identical
+    assert big_shard in man["shards"]
+    with open(os.path.join(table, big_shard), "rb") as f:
+        assert hashlib.md5(f.read()).hexdigest() == big_md5
+    # row invariance and stats on the compacted shard
+    assert {
+        r["id"] for r in snapshot_read(spark, table, new_id).collect()
+    } == pre_rows
+    assert len(snapshot_files(table, new_id)) == len(big) + 1
+    comp_shards = [s for s in man["shards"] if s != big_shard]
+    assert len(comp_shards) == 1
+    with open(os.path.join(table, comp_shards[0])) as f:
+        sd = json.load(f)
+    assert set(sd["files"]) == set(info["new_files"])
+    assert "id" in sd.get("stats", {})
+    # shard-level bounds cover the compacted range -> prunable
+    b = man.get("shard_stats", {}).get(comp_shards[0], {}).get("id")
+    assert b == [200, 399], man.get("shard_stats")
+
+
+def test_snapshot_compact_manifests_byte_identical_table(spark, tmp_path):
+    """r13: manifest-list compaction merges small shards without
+    touching a single data file — the resolved file list (hence the
+    table) is byte-identical, big shards are reused by path, CDC sees
+    data_change=false, and the watermark carries forward."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_changes,
+        snapshot_commit_sharded,
+        snapshot_compact_manifests,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+    )
+
+    table = str(tmp_path / "tt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "id bigint, v double"
+    )
+    parent = 0
+    # one big slice (many files) + 8 one-file commit dribble
+    d = os.path.join(table, "data", "big")
+    df.filter("id < 100").repartition(5).write.parquet(d)
+    parent, _ = snapshot_commit_sharded(
+        table, parent, snapshot_data_files(d)
+    )
+    for n in range(8):
+        d = os.path.join(table, "data", f"s{n}")
+        df.filter(f"id = {100 + n}").coalesce(1).write.parquet(d)
+        parent, _ = snapshot_commit_sharded(
+            table, parent, snapshot_data_files(d),
+            extra={"last_batch_id": n},
+        )
+    pre_files = snapshot_files(table, parent)
+    assert len(snapshot_manifest(table, parent)["shards"]) == 9
+
+    new_id, info = snapshot_compact_manifests(table, min_files=3)
+    assert new_id == parent + 1
+    man = snapshot_manifest(table, new_id)
+    assert snapshot_files(table, new_id) == pre_files  # byte-identical
+    assert len(man["shards"]) == 2  # big (kept by path) + 1 merged
+    assert len(info["merged"]) == 8 and len(info["new"]) == 1
+    assert info["kept"] == [s for s in man["shards"] if s not in info["new"]]
+    assert man.get("data_change") is False
+    assert man.get("last_batch_id") == 7  # watermark carried
+    # CDC across the manifest compaction is empty at metadata cost
+    feed, finfo = snapshot_changes(
+        spark, table, parent, new_id, "id", ["v"]
+    )
+    assert finfo.get("rewrite_only") is True and feed.count() == 0
+    # no-op below the threshold: nothing to merge twice
+    nid2, info2 = snapshot_compact_manifests(table, min_files=3)
+    assert nid2 == new_id and not info2["merged"]
