@@ -1851,98 +1851,13 @@ def streaming_corpus_ingest_drain(
 
     counts = {"committed": 0, "skipped": 0}
 
-    def _last(tdir):
-        cur = snapshot_current(tdir)
-        if cur == 0:
-            return cur, -1, {}
-        man = snapshot_manifest(tdir, cur)
-        return cur, man.get("last_batch_id", -1), man.get("pack_offsets", {})
-
     def sink(batch_df, batch_id):
-        b = batch_df.withColumn("_h", F.md5("text_clean"))
-        win = Window.partitionBy("_h").orderBy("doc_id")
-        b = (
-            b.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        seen_cur, seen_last, _ = _last(seen_dir)
-        if seen_cur > 0:
-            b = b.join(
-                snapshot_read(spark, seen_dir, seen_cur), "_h", "left_anti"
-            )
-        b = b.persist()  # two consumers below; tiny (one micro-batch)
-        try:
-            cur, last, offsets = _last(table_dir)
-            if batch_id > last:
-                base = spark.createDataFrame(
-                    list(offsets.items()) or [("", 0)],
-                    "stream string, _base bigint",
-                )
-                cum = (
-                    Window.partitionBy("stream")
-                    .orderBy("doc_id")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                )
-                pos = (
-                    b.select(
-                        "doc_id",
-                        "stream",
-                        bpe_ish_token_count(F.col("text_clean")).alias(
-                            "n_tokens"
-                        ),
-                    )
-                    .withColumn(
-                        "_cum",
-                        F.coalesce(F.sum("n_tokens").over(cum), F.lit(0)),
-                    )
-                    .join(F.broadcast(base), "stream", "left")
-                    .withColumn(
-                        "start",
-                        (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_cum"))
-                        .cast("bigint"),
-                    )
-                    .filter(F.col("n_tokens") > 0)
-                )
-                out = explode_token_windows(pos, window_tokens)
-                d = os.path.join(table_dir, "data", f"b{batch_id}")
-                out.write.mode("overwrite").parquet(d)
-                batch_sums = {
-                    r["stream"]: r["s"]
-                    for r in pos.groupBy("stream")
-                    .agg(F.sum("n_tokens").alias("s"))
-                    .collect()  # bounded: one row per stream
-                }
-                new_offsets = dict(offsets)
-                for s, n in batch_sums.items():
-                    new_offsets[s] = int(new_offsets.get(s, 0)) + int(n)
-                prev = snapshot_files(table_dir, cur) if cur > 0 else []
-                snapshot_commit_atomic(
-                    table_dir,
-                    cur,
-                    prev + snapshot_data_files(d),
-                    extra={
-                        "last_batch_id": batch_id,
-                        "pack_offsets": new_offsets,
-                    },
-                )
-                counts["committed"] += 1
-            else:
-                counts["skipped"] += 1
-            if batch_id > seen_last:
-                ds = os.path.join(seen_dir, "data", f"b{batch_id}")
-                b.select("_h").write.mode("overwrite").parquet(ds)
-                prev = (
-                    snapshot_files(seen_dir, seen_cur) if seen_cur > 0 else []
-                )
-                snapshot_commit_atomic(
-                    seen_dir,
-                    seen_cur,
-                    prev + snapshot_data_files(ds),
-                    extra={"last_batch_id": batch_id},
-                )
-        finally:
-            b.unpersist()
+        if corpus_ingest_apply_batch(
+            spark, table_dir, seen_dir, batch_df, batch_id, window_tokens
+        ):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
 
     stream = (
         spark.readStream.schema(schema)
@@ -1970,3 +1885,134 @@ def streaming_corpus_ingest_drain(
             f"corpus-ingest drain did not finish in {timeout_s}s"
         )
     return counts
+
+
+def corpus_ingest_apply_batch(
+    spark,
+    table_dir: str,
+    seen_dir: str,
+    batch_df,
+    batch_id: int,
+    window_tokens: int = 512,
+) -> bool:
+    """The e31 sink's per-batch applier, exposed (the e28
+    merge_batch_idempotent discipline) so the exactly-once semantics
+    are testable in isolation — in particular the PARTIAL-CRASH leg
+    the drain cannot easily orchestrate: the two tables commit
+    non-atomically, each guarded by its OWN last_batch_id watermark,
+    so a crash between the windows commit and the seen commit replays
+    into one skip + one commit, never a double-apply on either side.
+
+    Steps: within-batch exact dedup (min doc_id representative, a
+    deterministic window), cross-batch suppression (anti-join vs the
+    seen-hash table), packing from the manifest-carried per-stream
+    offsets, then the two idempotent commits. Returns True iff the
+    WINDOWS table committed (the drain's counting contract)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from cellphe_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+        explode_token_windows,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    def _last(tdir):
+        cur = snapshot_current(tdir)
+        if cur == 0:
+            return cur, -1, {}
+        man = snapshot_manifest(tdir, cur)
+        return cur, man.get("last_batch_id", -1), man.get("pack_offsets", {})
+
+    b = batch_df.withColumn("_h", F.md5("text_clean"))
+    win = Window.partitionBy("_h").orderBy("doc_id")
+    b = (
+        b.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seen_cur, seen_last, _ = _last(seen_dir)
+    if seen_cur > 0:
+        b = b.join(
+            snapshot_read(spark, seen_dir, seen_cur), "_h", "left_anti"
+        )
+    b = b.persist()  # two consumers below; tiny (one micro-batch)
+    committed = False
+    try:
+        cur, last, offsets = _last(table_dir)
+        if batch_id > last:
+            base = spark.createDataFrame(
+                list(offsets.items()) or [("", 0)],
+                "stream string, _base bigint",
+            )
+            cum = (
+                Window.partitionBy("stream")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            pos = (
+                b.select(
+                    "doc_id",
+                    "stream",
+                    bpe_ish_token_count(F.col("text_clean")).alias(
+                        "n_tokens"
+                    ),
+                )
+                .withColumn(
+                    "_cum",
+                    F.coalesce(F.sum("n_tokens").over(cum), F.lit(0)),
+                )
+                .join(F.broadcast(base), "stream", "left")
+                .withColumn(
+                    "start",
+                    (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_cum"))
+                    .cast("bigint"),
+                )
+                .filter(F.col("n_tokens") > 0)
+            )
+            out = explode_token_windows(pos, window_tokens)
+            d = os.path.join(table_dir, "data", f"b{batch_id}")
+            out.write.mode("overwrite").parquet(d)
+            batch_sums = {
+                r["stream"]: r["s"]
+                for r in pos.groupBy("stream")
+                .agg(F.sum("n_tokens").alias("s"))
+                .collect()  # bounded: one row per stream
+            }
+            new_offsets = dict(offsets)
+            for s, n in batch_sums.items():
+                new_offsets[s] = int(new_offsets.get(s, 0)) + int(n)
+            prev = snapshot_files(table_dir, cur) if cur > 0 else []
+            snapshot_commit_atomic(
+                table_dir,
+                cur,
+                prev + snapshot_data_files(d),
+                extra={
+                    "last_batch_id": batch_id,
+                    "pack_offsets": new_offsets,
+                },
+            )
+            committed = True
+        if batch_id > seen_last:
+            ds = os.path.join(seen_dir, "data", f"b{batch_id}")
+            b.select("_h").write.mode("overwrite").parquet(ds)
+            prev = (
+                snapshot_files(seen_dir, seen_cur) if seen_cur > 0 else []
+            )
+            snapshot_commit_atomic(
+                seen_dir,
+                seen_cur,
+                prev + snapshot_data_files(ds),
+                extra={"last_batch_id": batch_id},
+            )
+    finally:
+        b.unpersist()
+    return committed

@@ -1647,3 +1647,63 @@ def test_streaming_observe_metrics_fold_across_batches(spark, sf_dir, tmp_path):
     ]
     assert len(per_batch) >= 2  # genuinely multi-batch
     assert sum(per_batch) == ev.count()
+
+
+def test_corpus_ingest_partial_crash_replays_into_one_skip_one_commit(
+    spark, tmp_path
+):
+    """e31's exactly-once across its TWO non-atomic commits: simulate a
+    crash between the windows commit and the seen commit (apply batch
+    0, then roll the seen table back to empty by wiping it), replay
+    batch 0 — the windows table refuses (its watermark covers 0), the
+    seen table commits, and batch 1 then dedups correctly against the
+    recovered seen state. Also pins the carried pack_offsets: batch
+    1's windows continue batch 0's per-stream token positions."""
+    import shutil
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        corpus_ingest_apply_batch,
+    )
+
+    table = str(tmp_path / "win")
+    seen = str(tmp_path / "seen")
+    # 30-token docs -> offsets are 30-multiples; doc 3 duplicates doc 1
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, stream string, text_clean string"
+    )
+    # pure-alpha words: each is exactly ONE BPE-ish token (a trailing
+    # digit would split into two)
+    t = " ".join("abcdefghij"[i % 10] * 3 for i in range(30))
+    b0 = mk([(1, "a", t), (3, "a", t), (2, "a", t + " extra")])
+    b1 = mk([(4, "a", t), (5, "a", t + " novel")])
+
+    assert corpus_ingest_apply_batch(spark, table, seen, b0, 0, 512)
+    # batch 0: doc 3 deduped within-batch (same hash as doc 1)
+    got0 = {r["doc_id"] for r in snapshot_read(spark, table, 1).collect()}
+    assert got0 == {1, 2}
+    off0 = snapshot_manifest(table, 1)["pack_offsets"]
+    assert off0 == {"a": 61}, off0  # 30 + 31 tokens consumed
+
+    # CRASH between commits: windows committed, seen lost
+    shutil.rmtree(seen)
+    # replay the same batch: windows skips, seen recovers
+    assert corpus_ingest_apply_batch(spark, table, seen, b0, 0, 512) is False
+    assert snapshot_current(table) == 1  # no double-apply
+    assert snapshot_current(seen) == 1  # recovered
+    assert snapshot_manifest(table, 1)["pack_offsets"] == {"a": 61}
+
+    # batch 1: doc 4 (dup of doc 1, cross-batch) suppressed by the
+    # recovered seen table; doc 5 packs at the carried offset
+    assert corpus_ingest_apply_batch(spark, table, seen, b1, 1, 512)
+    rows = {
+        r["doc_id"]: r
+        for r in snapshot_read(spark, table, 2).collect()
+        if r["doc_id"] > 2
+    }
+    assert set(rows) == {5}, set(rows)
+    assert rows[5]["tok_start"] == 61, rows[5]  # continues the stream
