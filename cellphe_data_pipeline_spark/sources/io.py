@@ -901,7 +901,16 @@ def snapshot_append_batch(
     of the source's at-least-once replay. Single-writer per table
     assumed here (a multi-writer stream would retry the CAS via
     snapshot_commit_with_retry and re-check the watermark on rebase
-    — recorded, not needed for one query's one sink)."""
+    — recorded, not needed for one query's one sink).
+
+    r13: the commit is SHARDED (snapshot_commit_sharded) — a stream
+    sink is exactly the commit-per-micro-batch workload whose flat
+    manifest grows O(table) per commit (the measured listing wall in
+    SCALE.md's metadata curve); the sharded append writes one shard
+    for the batch's files and reuses every prior shard by path, so
+    sink commit cost is O(batch) forever. Readers are tier-blind;
+    the manifest-list dribble is merged by the same maintenance
+    cadence that compacts the data files (snapshot_compact_manifests)."""
     import os
 
     parent = snapshot_current(table_dir)
@@ -912,11 +921,10 @@ def snapshot_append_batch(
         return False
     out_dir = os.path.join(table_dir, "data", f"batch_{batch_id}")
     batch_df.write.mode("overwrite").parquet(out_dir)
-    base = snapshot_files(table_dir, parent) if parent > 0 else []
-    snapshot_commit_atomic(
+    snapshot_commit_sharded(
         table_dir,
         parent,
-        base + snapshot_data_files(out_dir),
+        snapshot_data_files(out_dir),
         extra={"last_batch_id": batch_id},
     )
     return True

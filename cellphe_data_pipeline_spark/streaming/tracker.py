@@ -1832,22 +1832,10 @@ def streaming_corpus_ingest_drain(
     + min-in-batch == global min doc_id.
 
     Returns {committed, skipped} as observed by the sink."""
-    from pyspark.sql import Window
     from cellphe_data_pipeline_spark.operators.text import (
-        bpe_ish_token_count,
-        explode_token_windows,
         gopher_rules,
         html_to_text,
     )
-    from cellphe_data_pipeline_spark.sources.io import (
-        snapshot_commit_atomic,
-        snapshot_current,
-        snapshot_data_files,
-        snapshot_files,
-        snapshot_manifest,
-        snapshot_read,
-    )
-    import os
 
     counts = {"committed": 0, "skipped": 0}
 
@@ -1917,10 +1905,9 @@ def corpus_ingest_apply_batch(
         explode_token_windows,
     )
     from cellphe_data_pipeline_spark.sources.io import (
-        snapshot_commit_atomic,
+        snapshot_commit_sharded,
         snapshot_current,
         snapshot_data_files,
-        snapshot_files,
         snapshot_manifest,
         snapshot_read,
     )
@@ -1990,11 +1977,13 @@ def corpus_ingest_apply_batch(
             new_offsets = dict(offsets)
             for s, n in batch_sums.items():
                 new_offsets[s] = int(new_offsets.get(s, 0)) + int(n)
-            prev = snapshot_files(table_dir, cur) if cur > 0 else []
-            snapshot_commit_atomic(
+            # sharded commits (r13): a sink commits per micro-batch —
+            # the exact workload whose flat manifest costs O(table)
+            # per commit; the sharded append costs O(batch) forever
+            snapshot_commit_sharded(
                 table_dir,
                 cur,
-                prev + snapshot_data_files(d),
+                snapshot_data_files(d),
                 extra={
                     "last_batch_id": batch_id,
                     "pack_offsets": new_offsets,
@@ -2004,13 +1993,10 @@ def corpus_ingest_apply_batch(
         if batch_id > seen_last:
             ds = os.path.join(seen_dir, "data", f"b{batch_id}")
             b.select("_h").write.mode("overwrite").parquet(ds)
-            prev = (
-                snapshot_files(seen_dir, seen_cur) if seen_cur > 0 else []
-            )
-            snapshot_commit_atomic(
+            snapshot_commit_sharded(
                 seen_dir,
                 seen_cur,
-                prev + snapshot_data_files(ds),
+                snapshot_data_files(ds),
                 extra={"last_batch_id": batch_id},
             )
     finally:
