@@ -15231,6 +15231,191 @@ def e31(spark, sf_dir):
     )
 
 
+@register(
+    "o23_sharded_maintenance",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           TRUE AS ok_shard_prune,
+           TRUE AS ok_manifest_compaction,
+           TRUE AS ok_tier_preserved,
+           TRUE AS ok_rows_invariant
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o23(spark, sf_dir):
+    """Sharded-tier MAINTENANCE lifecycle (r13) — the driver-facing
+    proof of the three behaviors that complete s27's manifest-list
+    story (each also unit-pinned in tests/test_ingest.py):
+
+      1. SHARD PRUNING: six range-keyed sharded appends with per-file
+         stats (file_key_stats at commit — the o19 writer-pays
+         contract) give the manifest list shard-level bounds; a range
+         read inside one slice opens exactly ONE shard — the other
+         five are skipped without ever being opened (asserted from
+         snapshot_read_pruned's info), and the pruned result equals
+         the direct filter (count-checked in-query).
+      2. MANIFEST COMPACTION: two one-file dribble commits (the
+         stream-sink shape) are merged by snapshot_compact_manifests
+         with the resolved FILE LIST BYTE-IDENTICAL (asserted) and
+         data_change=false — metadata motion only.
+      3. TIER-PRESERVING DATA COMPACTION: a selective compaction
+         (small_file_bytes catches only the dribble files) commits a
+         MANIFEST LIST (never a flat downgrade), rewrites only the
+         merged-dribble shard, and reuses the six range shards BY
+         PATH (md5-asserted byte identity); the row multiset is
+         invariant (crc hash equal across all three maintenance
+         commits — time travel included).
+
+    The final rollup answers from the post-maintenance snapshot; the
+    oracle recomputes it from raw lineitem (nothing was ever
+    deleted), so the value hash proves every maintenance step
+    preserved the table exactly. At 100 TB: reads prune at O(matching
+    shards) metadata, sink dribble costs O(batch) per commit and is
+    merged on the maintenance cadence, and maintenance itself costs
+    O(debris) in data AND metadata."""
+    import hashlib
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        snapshot_compact,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_compact_manifests,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_read_pruned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    table = _stage_dir("o23_maint")
+
+    def md5(rel):
+        with open(os.path.join(table, rel), "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]  # bounded: 1 row
+    cuts = [((mx + 6) // 6) * i for i in range(6)] + [mx + 1]
+    parent = 0
+    range_shards: dict[str, str] = {}
+    for i in range(6):
+        d = os.path.join(table, "data", f"s{i + 1}_range")
+        li.filter(
+            (F.col("l_orderkey") >= cuts[i]) & (F.col("l_orderkey") < cuts[i + 1])
+        ).repartition(2).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        from urllib.parse import urlparse
+
+        stats = {
+            "l_orderkey": {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(spark, files, "l_orderkey").collect()
+            }
+        }
+        parent, info = snapshot_commit_sharded(table, parent, files, stats=stats)
+        range_shards[info["added"]] = md5(info["added"])
+
+    def row_hash(sid):
+        return (
+            snapshot_read(spark, table, sid)
+            .agg(
+                F.sum(
+                    F.crc32(
+                        F.concat_ws(
+                            "|", "l_orderkey", "l_returnflag",
+                            F.col("l_quantity").cast("string"),
+                        )
+                    )
+                )
+            )
+            .collect()[0][0]
+        )
+
+    pre_hash = row_hash(6)
+
+    # 1. shard prune: a read inside slice 3 opens exactly one shard
+    probe_lo, probe_hi = cuts[2], cuts[3] - 1
+    pruned, pinfo = snapshot_read_pruned(
+        spark, table, 6, "l_orderkey", probe_lo, probe_hi
+    )
+    assert len(pinfo["shards_opened"]) == 1, pinfo
+    assert len(pinfo["shards_skipped"]) == 5, pinfo
+    want = li.filter(
+        (F.col("l_orderkey") >= probe_lo) & (F.col("l_orderkey") <= probe_hi)
+    ).count()
+    got = pruned.filter(
+        (F.col("l_orderkey") >= probe_lo) & (F.col("l_orderkey") <= probe_hi)
+    ).count()
+    assert got == want, (got, want)
+
+    # sink-shaped dribble: two one-file commits of key-SHIFTED rows
+    # (l_orderkey > mx — disjoint from the base table by construction,
+    # so the final rollup can exclude them with one filter and the
+    # oracle stays a plain scan of raw lineitem)
+    dribble: list[str] = []
+    for n in range(2):
+        d = os.path.join(table, "data", f"dribble{n}")
+        li.filter(F.col("l_orderkey") == cuts[1] + n).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(mx + 1000)
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        dribble += files
+        parent, _ = snapshot_commit_sharded(table, parent, files)
+    v8_hash = row_hash(8)
+
+    # 2. manifest compaction: byte-identical file list, fewer shards
+    pre_files = snapshot_files(table, 8)
+    parent, minfo = snapshot_compact_manifests(table, min_files=2)
+    assert parent == 9, parent
+    assert snapshot_files(table, 9) == pre_files, "file list changed"
+    assert len(minfo["merged"]) == 2 and len(minfo["new"]) == 1, minfo
+    assert snapshot_manifest(table, 9).get("data_change") is False
+    assert row_hash(9) == v8_hash
+
+    # 3. tier-preserving selective compaction of the dribble only
+    threshold = max(os.path.getsize(f) for f in dribble) + 1
+    big_sizes = [
+        os.path.getsize(f) for f in pre_files if f not in set(dribble)
+    ]
+    assert min(big_sizes) >= threshold, "threshold would catch range files"
+    new_id, cinfo = snapshot_compact(
+        spark, table, sort_cols=["l_orderkey"], target_partitions=1,
+        small_file_bytes=threshold,
+    )
+    assert new_id == 10 and set(cinfo["replaced"]) == set(dribble)
+    man = snapshot_manifest(table, 10)
+    assert "shards" in man and "files" not in man  # tier preserved
+    for rel, h in range_shards.items():
+        assert rel in man["shards"] and md5(rel) == h  # byte identity
+    assert row_hash(10) == v8_hash
+    assert row_hash(6) == pre_hash  # time travel intact
+
+    # the oracle recomputes from raw lineitem: the key-shifted dribble
+    # rows are excluded by one filter (disjoint by construction)
+    final = snapshot_read(spark, table, 10).filter(
+        F.col("l_orderkey") <= mx
+    )
+    return final.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(
+        "l_returnflag", "n", "sum_qty",
+        F.lit(True).alias("ok_shard_prune"),
+        F.lit(True).alias("ok_manifest_compaction"),
+        F.lit(True).alias("ok_tier_preserved"),
+        F.lit(True).alias("ok_rows_invariant"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -15346,6 +15531,7 @@ _NEXT_WINDOW_QUEUE = [
     "s27_manifest_list",
     "a28_kmv_intersect_audit",
     "e31_streaming_corpus_ingest",
+    "o23_sharded_maintenance",
 ]
 
 

@@ -1199,3 +1199,35 @@ def test_kmv_sketch_partition_invariant_and_exact_when_small(spark):
     assert len(base["b"]) == 40  # < k distinct ⇒ exhaustive (θ = 1)
     # duplicates don't change the sketch (distinct-value semantics)
     assert hashes(df.unionAll(df), 64) == base
+
+
+def test_kmv_sketch_merge_equals_sketch_of_union(spark):
+    """The a20-style stored-sketch lifecycle for KMV: merging two
+    per-segment sketches (union their hashes, keep the k smallest)
+    equals sketching the unioned data — bottom-k is a semilattice, so
+    stored sketches answer union questions without rescanning."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import kmv_sketch
+
+    k = 32
+    a = spark.createDataFrame(
+        [("s", i) for i in range(200)], "tag string, k bigint"
+    )
+    b = spark.createDataFrame(
+        [("s", i) for i in range(150, 350)], "tag string, k bigint"
+    )
+    direct = {
+        r["h"] for r in kmv_sketch(a.unionAll(b), "k", "tag", k=k).collect()
+    }
+    sk_a = kmv_sketch(a, "k", "tag", k=k).select("h")
+    sk_b = kmv_sketch(b, "k", "tag", k=k).select("h")
+    merged = {
+        r["h"]
+        for r in sk_a.unionAll(sk_b)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    }
+    assert merged == direct
