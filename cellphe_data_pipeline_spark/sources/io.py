@@ -795,7 +795,9 @@ def snapshot_read_pruned(
 
 
 def snapshot_vacuum(
-    table_dir: str, expire_before: int | None = None
+    table_dir: str,
+    expire_before: int | None = None,
+    min_age_s: float | None = None,
 ) -> dict:
     """Garbage-collect the snapshot pool (r11, o20) — the maintenance
     op the WAP gate (s22) points at ("orphaned staged files ...
@@ -813,11 +815,18 @@ def snapshot_vacuum(
     file is deleted only if NO manifest references it, and readers
     resolve manifests before files, so every surviving snapshot stays
     readable byte-identically (pinned by test and by the o20 oracle).
-    What production adds on top is recorded, not implemented: a
-    retention HORIZON (Delta's default 7 days) so files of in-flight
-    commits and long-running readers are not swept — age-gating
-    deletion is the concurrency story, the reference-counting here is
-    the reachability story. Returns {expired, deleted, kept} lists.
+
+    Retention HORIZON (r13, closing this docstring's own recorded
+    trade): ``min_age_s`` age-gates deletion (Delta's default is 7
+    days) — an unreferenced file younger than the horizon is spared
+    (reported in ``spared``), because "unreferenced" and "garbage"
+    differ exactly for files an IN-FLIGHT commit has written but not
+    yet linked into a manifest: reference-counting is the
+    reachability story, the age gate is the concurrency story.
+    ``None`` keeps the reachability-only behavior (safe here, where
+    the single-writer miniature has no in-flight commits by
+    construction). Returns {expired, deleted, kept, deleted_shards,
+    spared} lists.
 
     Named refs PIN snapshots (r12, s26): a snapshot a ref points to is
     never expired, whatever ``expire_before`` says — expiring it would
@@ -838,7 +847,10 @@ def snapshot_vacuum(
         # manifest there is no reachability evidence — deleting the
         # data pool on zero information would be the unsafe direction,
         # so vacuum is a no-op rather than a ValueError from max([])
-        return {"expired": [], "deleted": [], "kept": [], "deleted_shards": []}
+        return {
+            "expired": [], "deleted": [], "kept": [],
+            "deleted_shards": [], "spared": [],
+        }
     current = max(ids)
     pinned = set(snapshot_refs(table_dir).values())
     expired = []
@@ -855,12 +867,22 @@ def snapshot_vacuum(
         referenced_shards.update(
             snapshot_manifest(table_dir, sid).get("shards", [])
         )
+    import time as _time
+
     deleted = []
+    spared = []
+    now = _time.time()
     data_root = os.path.join(table_dir, "data")
     for root, _, files in os.walk(data_root):
         for fname in files:
             fp = os.path.join(root, fname)
             if fname.endswith(".parquet") and fp not in referenced:
+                if (
+                    min_age_s is not None
+                    and now - os.path.getmtime(fp) < min_age_s
+                ):
+                    spared.append(fp)  # possibly an in-flight commit
+                    continue
                 os.remove(fp)
                 deleted.append(fp)
     # shard manifests are reference-counted exactly like data files
@@ -879,6 +901,7 @@ def snapshot_vacuum(
         "deleted": sorted(deleted),
         "kept": sorted(referenced),
         "deleted_shards": sorted(deleted_shards),
+        "spared": sorted(spared),
     }
 
 

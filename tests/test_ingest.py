@@ -597,7 +597,10 @@ def test_snapshot_vacuum_manifestless_table_is_noop(tmp_path):
 
     from cellphe_data_pipeline_spark.sources.io import snapshot_vacuum
 
-    empty = {"expired": [], "deleted": [], "kept": [], "deleted_shards": []}
+    empty = {
+        "expired": [], "deleted": [], "kept": [],
+        "deleted_shards": [], "spared": [],
+    }
     table = str(tmp_path / "nomanifest")
     # dir entirely absent
     assert snapshot_vacuum(table) == empty
@@ -1095,3 +1098,48 @@ def test_snapshot_compact_manifests_byte_identical_table(spark, tmp_path):
     # no-op below the threshold: nothing to merge twice
     nid2, info2 = snapshot_compact_manifests(table, min_files=3)
     assert nid2 == new_id and not info2["merged"]
+
+
+def test_snapshot_vacuum_retention_horizon_spares_young_orphans(
+    spark, tmp_path
+):
+    """r13 (closing the vacuum docstring's recorded trade): with a
+    retention horizon, an unreferenced file YOUNGER than min_age_s is
+    spared — it may belong to an in-flight commit that has written
+    data but not yet linked its manifest; once aged past the horizon
+    it is swept like any orphan."""
+    import os
+    import time
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_data_files,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").write.parquet(d)
+    snapshot_commit_atomic(table, 0, snapshot_data_files(d))
+    # an "in-flight" write: data staged, manifest not yet committed
+    orphan = os.path.join(table, "data", "inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    with open(orphan, "w") as f:
+        f.write("x")
+
+    v = snapshot_vacuum(table, min_age_s=3600)
+    assert v["spared"] == [orphan] and v["deleted"] == []
+    assert os.path.exists(orphan)
+
+    # age it past the horizon: now it is garbage
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    v = snapshot_vacuum(table, min_age_s=3600)
+    assert v["deleted"] == [orphan] and v["spared"] == []
+    assert not os.path.exists(orphan)
+
+    # no horizon (None) keeps the reachability-only behavior
+    with open(orphan, "w") as f:
+        f.write("x")
+    v = snapshot_vacuum(table)
+    assert v["deleted"] == [orphan]
