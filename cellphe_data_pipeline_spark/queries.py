@@ -15513,8 +15513,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # (tests/test_registry.py enforces displaced-means-proven).
     #
     # r14 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
-    # (r13 additions, if any), then the 32 remaining r8-proven
-    # queries, then the oldest r9-proven to fill 50.
+    # (the 4 r13 additions: s27, a28, e31, o23 — all locally
+    # oracle-verified at sf0.001/0.01/0.1 this round), then the 32
+    # remaining r8-proven queries, then the 14 oldest r9-proven —
+    # 4 + 32 + 14 = 50, leaving no query older than r9-proven at the
+    # r14 close.
 ]
 
 # Queries added THIS round, queued for the NEXT round's driver window

@@ -355,6 +355,12 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         merge_batch_idempotent,
     )
 
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_compact_manifests,
+        snapshot_data_files,
+    )
+
     op = st.one_of(
         st.tuples(st.just("merge"), st.lists(
             st.tuples(st.integers(1, 6), st.integers(0, 99)),
@@ -365,6 +371,10 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("setref"), st.integers(0, 3)),
         st.tuples(st.just("expire"), st.just(None)),
+        # r13: the sharded tier joins the mix — histories may mix
+        # flat and manifest-list snapshots freely
+        st.tuples(st.just("sharded_append"), st.integers(0, 99)),
+        st.tuples(st.just("mcompact"), st.just(None)),
     )
 
     @settings(max_examples=4, deadline=None)
@@ -410,6 +420,32 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 snapshot_compact(spark, table, sort_cols=["event_id"])
                 history[cur + 1] = dict(model)
                 live.add(cur + 1)
+            elif kind == "sharded_append":
+                # fresh keys only (appends ADD rows; colliding with a
+                # merged key would make the table a multiset and the
+                # dict model wrong by construction)
+                key = 1000 + batch_id
+                import os as _os
+
+                d = _os.path.join(table, "data", f"sh{batch_id}")
+                spark.createDataFrame(
+                    [(key, float(arg))], "event_id bigint, v double"
+                ).coalesce(1).write.mode("overwrite").parquet(d)
+                snapshot_commit_sharded(
+                    table, cur, snapshot_data_files(d),
+                    extra={"last_batch_id": batch_id},
+                )
+                batch_id += 1
+                model[key] = float(arg)
+                history[cur + 1] = dict(model)
+                live.add(cur + 1)
+            elif kind == "mcompact":
+                if cur == 0:
+                    continue
+                nid, _ = snapshot_compact_manifests(table, min_files=3)
+                if nid != cur:  # no-op below 2 small shards
+                    history[nid] = dict(model)  # metadata motion only
+                    live.add(nid)
             elif kind == "setref":
                 if cur == 0:
                     continue
