@@ -1894,7 +1894,14 @@ def corpus_ingest_apply_batch(
     Steps: within-batch exact dedup (min doc_id representative, a
     deterministic window), cross-batch suppression (anti-join vs the
     seen-hash table), packing from the manifest-carried per-stream
-    offsets, then the two idempotent commits. Returns True iff the
+    offsets, then the two idempotent commits.
+
+    Commit ORDER is load-bearing: windows first, seen LAST, return
+    after both. The engine advances its checkpoint only after
+    foreachBatch returns, so any crash before the seen commit forces
+    a replay of the whole batch — "seen missing a batch the
+    checkpoint already covers" (which would silently re-admit that
+    batch's duplicates forever) cannot occur. Returns True iff the
     WINDOWS table committed (the drain's counting contract)."""
     import os
 
