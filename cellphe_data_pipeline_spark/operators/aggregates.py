@@ -441,6 +441,16 @@ def merge_keyed_rollup(
     return u.groupBy(*keys).agg(*aggs)
 
 
+def kmv_theta(h_col):
+    """Map a stored KMV hash (BIGINT in [0, 2^60), see kmv_sketch) to
+    its sampling rate θ ∈ (0, 1]. The division to double happens ONLY
+    here, at estimate time — storage and h-equality joins stay on the
+    exact 60-bit integer, and the 53-bit mantissa loss affects only
+    the final estimate's ~15 significant digits, never which keys
+    collide or where the k-th-value cut lands."""
+    return h_col.cast("double") / F.lit(float(2**60))
+
+
 def kmv_sketch(
     df: DataFrame,
     key_col: str,
@@ -476,15 +486,19 @@ def kmv_sketch(
     At 100 TB: the corpus is touched by exactly the one distinct
     shuffle any exact count-distinct already pays; everything after
     operates on ≤ k·P then ≤ k rows per tag. Stored per-segment
-    sketches union/intersect at O(k) without rescanning (the a20
+    sketches union/intersect at O(k) without rescanning (the a29
     lifecycle), and h-equality joins between sketches stand in for
-    key-equality with 2^-60 collision odds."""
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("_k").cast("string")), 1, 15), 16, 10
-        ).cast("double")
-        / F.lit(float(2**60))
-    ).alias("h")
+    key-equality with 2^-60 collision odds.
+
+    ``h`` is stored as a BIGINT in [0, 2^60) (r14, advisor-low: the
+    earlier double form squeezed 60 hash bits through a 53-bit
+    mantissa, so h-equality collided at ~2^-53, not the documented
+    2^-60, and mantissa ties could perturb the k-th-value cut).
+    Ordering is identical (non-negative ints); θ is derived at
+    estimate time as h/2^60 via kmv_theta()."""
+    h = F.conv(
+        F.substring(F.md5(F.col("_k").cast("string")), 1, 15), 16, 10
+    ).cast("bigint").alias("h")
     hashed = (
         df.select(F.col(tag_col).alias("tag"), F.col(key_col).alias("_k"))
         .dropDuplicates(["tag", "_k"])

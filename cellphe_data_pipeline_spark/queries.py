@@ -15006,7 +15006,10 @@ def a28(spark, sf_dir):
     count-distinct pays anyway (the exact columns here are the AUDIT,
     not the product); stored per-segment sketches then answer any
     union/intersection at O(k) bytes with per-answer error bars."""
-    from cellphe_data_pipeline_spark.operators.aggregates import kmv_sketch
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_sketch,
+        kmv_theta,
+    )
 
     k = 1024
     orders = load_table(spark, sf_dir, "orders").select(
@@ -15034,7 +15037,7 @@ def a28(spark, sf_dir):
         F.col("_rn") <= k
     )
     theta_m = kth.agg(
-        F.when(F.count(F.lit(1)) >= k, F.max("h"))
+        F.when(F.count(F.lit(1)) >= k, kmv_theta(F.max("h")))
         .otherwise(F.lit(1.0))
         .alias("theta"),
         F.count(F.lit(1)).alias("m"),

@@ -282,6 +282,13 @@ def snapshot_commit_atomic(
     )
 
 
+# Manifest keys that must survive EVERY commit regardless of which
+# writer produced it (stream-sink cursors a maintenance commit has no
+# reason to know about). _cas_publish_manifest carries them forward
+# from the parent; a commit's explicit `extra` overrides the carry.
+_WATERMARK_KEYS = ("last_batch_id", "pack_offsets")
+
+
 def _cas_publish_manifest(
     table_dir: str,
     expected_parent: int,
@@ -301,11 +308,19 @@ def _cas_publish_manifest(
         )
     carried: dict = {}
     if expected_parent > 0:
-        parent_last = snapshot_manifest(table_dir, expected_parent).get(
-            "last_batch_id"
-        )
-        if parent_last is not None:
-            carried["last_batch_id"] = parent_last
+        parent_man = snapshot_manifest(table_dir, expected_parent)
+        # Carry EVERY watermark-class key, not just last_batch_id
+        # (r14, advisor-high): pack_offsets is the e31 packer's
+        # per-stream token cursor, read back from the CURRENT manifest
+        # each micro-batch. Any interleaved commit that doesn't thread
+        # it — snapshot_compact_manifests, snapshot_compact, rollback —
+        # used to drop it, after which the next batch read offsets={}
+        # and silently re-packed every stream from 0 while the
+        # last_batch_id watermark still looked intact. Watermark-class
+        # state survives ALL commits; explicit `extra` still overrides.
+        for key in _WATERMARK_KEYS:
+            if parent_man.get(key) is not None:
+                carried[key] = parent_man[key]
     new_id = expected_parent + 1
     mdir = os.path.join(table_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
@@ -849,7 +864,7 @@ def snapshot_vacuum(
         # so vacuum is a no-op rather than a ValueError from max([])
         return {
             "expired": [], "deleted": [], "kept": [],
-            "deleted_shards": [], "spared": [],
+            "deleted_shards": [], "spared": [], "spared_shards": [],
         }
     current = max(ids)
     pinned = set(snapshot_refs(table_dir).values())
@@ -888,13 +903,28 @@ def snapshot_vacuum(
     # shard manifests are reference-counted exactly like data files
     # (r13, s27): a shard no surviving manifest LIST points at is
     # debris of expired snapshots — reclaim it the same reachability
-    # way, so the manifest pool stays O(live shards), never O(history)
+    # way, so the manifest pool stays O(live shards), never O(history).
+    # The min_age_s horizon applies HERE too (r14, advisor-medium): a
+    # sharded commit writes its shard files BEFORE the CAS publishes
+    # the list that references them, so an unconditional GC could
+    # delete a freshly written shard and leave the racing commit's
+    # manifest pointing at a missing file — the exact in-flight hazard
+    # min_age_s closes for data files, reopened one tier up. Young
+    # unreferenced shards are spared and reported, same as data files.
     deleted_shards = []
+    spared_shards = []
     for fname in os.listdir(mdir):
         if fname.startswith("shard-") and fname.endswith(".json"):
             rel = os.path.join("manifests", fname)
             if rel not in referenced_shards:
-                os.remove(os.path.join(mdir, fname))
+                fp = os.path.join(mdir, fname)
+                if (
+                    min_age_s is not None
+                    and now - os.path.getmtime(fp) < min_age_s
+                ):
+                    spared_shards.append(rel)
+                    continue
+                os.remove(fp)
                 deleted_shards.append(rel)
     return {
         "expired": expired,
@@ -902,6 +932,7 @@ def snapshot_vacuum(
         "kept": sorted(referenced),
         "deleted_shards": sorted(deleted_shards),
         "spared": sorted(spared),
+        "spared_shards": sorted(spared_shards),
     }
 
 

@@ -635,7 +635,7 @@ def test_snapshot_vacuum_manifestless_table_is_noop(tmp_path):
 
     empty = {
         "expired": [], "deleted": [], "kept": [],
-        "deleted_shards": [], "spared": [],
+        "deleted_shards": [], "spared": [], "spared_shards": [],
     }
     table = str(tmp_path / "nomanifest")
     # dir entirely absent
@@ -1179,3 +1179,97 @@ def test_snapshot_vacuum_retention_horizon_spares_young_orphans(
         f.write("x")
     v = snapshot_vacuum(table)
     assert v["deleted"] == [orphan]
+
+
+def test_snapshot_vacuum_retention_horizon_spares_young_shards(
+    spark, tmp_path
+):
+    """r14 (advisor): the min_age_s horizon must gate SHARD-manifest GC
+    exactly as it gates data files — a sharded commit writes its shard
+    files before the CAS publishes the manifest list, so an
+    unconditional sweep could delete a freshly written shard out from
+    under the racing commit. Young unreferenced shards are spared (and
+    reported in spared_shards); aged ones are swept."""
+    import os
+    import time
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        _write_shard,
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+    # an "in-flight" sharded commit: shard written, list not yet linked
+    mdir = os.path.join(table, "manifests")
+    orphan_rel = _write_shard(mdir, ["data/inflight/part-0.parquet"], None)
+    orphan = os.path.join(table, orphan_rel)
+
+    v = snapshot_vacuum(table, min_age_s=3600)
+    assert v["spared_shards"] == [orphan_rel], v
+    assert v["deleted_shards"] == [] and os.path.exists(orphan)
+
+    # age it past the horizon: now it is debris
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    v = snapshot_vacuum(table, min_age_s=3600)
+    assert v["deleted_shards"] == [orphan_rel] and v["spared_shards"] == []
+    assert not os.path.exists(orphan)
+
+    # the referenced shard is never touched on either pass
+    assert snapshot_data_files(d)
+
+
+def test_pack_offsets_survive_interleaved_maintenance_commits(
+    spark, tmp_path
+):
+    """r14 (advisor-high regression): pack_offsets is watermark-class
+    manifest state — a maintenance commit the stream sink never sees
+    (snapshot_compact_manifests here, the docstring-recommended cadence
+    for a dribbling sink) must carry it forward, or the next
+    micro-batch reads offsets={} and silently re-packs every stream
+    from token 0 while last_batch_id still looks intact."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_compact_manifests,
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        corpus_ingest_apply_batch,
+    )
+
+    table = str(tmp_path / "win")
+    seen = str(tmp_path / "seen")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, stream string, text_clean string"
+    )
+    t = " ".join("abcdefghij"[i % 10] * 3 for i in range(30))
+    b0 = mk([(1, "a", t)])
+    b1 = mk([(2, "a", t + " novel")])
+    b2 = mk([(3, "a", t + " novel again")])
+
+    assert corpus_ingest_apply_batch(spark, table, seen, b0, 0, 512)
+    assert corpus_ingest_apply_batch(spark, table, seen, b1, 1, 512)
+    assert snapshot_manifest(table, 2)["pack_offsets"] == {"a": 61}
+
+    # interleaved maintenance: merge the two dribble shards
+    nid, info = snapshot_compact_manifests(table, min_files=100)
+    assert info["merged"], info  # a real compaction, not a no-op
+    man = snapshot_manifest(table, snapshot_current(table))
+    assert man.get("pack_offsets") == {"a": 61}, man
+    assert man.get("last_batch_id") == 1
+
+    # the next micro-batch continues the stream, not restart-from-0
+    assert corpus_ingest_apply_batch(spark, table, seen, b2, 2, 512)
+    rows = {
+        r["doc_id"]: r
+        for r in snapshot_read(
+            spark, table, snapshot_current(table)
+        ).collect()
+    }
+    assert rows[3]["tok_start"] == 61, rows[3]
