@@ -15436,91 +15436,93 @@ def o23(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # =============== ROUND-13 WINDOW (queue + rotation) ===============
-    # Composition per the r12 verdict ask #1, executed verbatim:
-    #   1. the 6-query _NEXT_WINDOW_QUEUE (r12 additions, never
-    #      driver-proven - the queue's contract is that they MUST
+    # =============== ROUND-14 WINDOW (queue + rotation) ===============
+    # Composition per the r13 verdict ask #1, executed verbatim:
+    #   1. the 4-query _NEXT_WINDOW_QUEUE (r13 additions, never
+    #      driver-proven — the queue's contract is that they MUST
     #      take the first slots of this window);
-    #   2. the full 32-query r7-proven cohort (oldest debt; ledger
-    #      recomputed from CORRECTNESS_r01-r12 this session,
-    #      histogram r7x32 r8x44 r9x45 r10x48 r11x49 r12x50,
+    #   2. the full 32-query r8-proven cohort (oldest debt; ledger
+    #      recomputed from CORRECTNESS_r01-r13 this session,
+    #      histogram r8x32 r9x45 r10x48 r11x49 r12x50 r13x50,
     #      zero never-proven outside the queue);
-    #   3. the 12 oldest r8-proven (alphabetical within r8 - no
+    #   3. the 14 oldest r9-proven (alphabetical within r9 — no
     #      finer-grained age exists).
-    # 6 + 32 + 12 = 50; after this round no registry query is
-    # older than r8-proven.
+    # 4 + 32 + 14 = 50; after this round no registry query is
+    # older than r9-proven.
     #
-    # Changed-code audit for r13: no prior-proven query's engine or
-    # oracle path changed this round at window-build time; re-proof
-    # slots are therefore zero. (Any r13 code changes that touch a
-    # proven query's path get a re-proof slot in the r14 plan below.)
+    # Changed-code audit for r14: the advisor fixes touch
+    # sources/io.py (watermark carry, shard-GC horizon) and
+    # aggregates.kmv_sketch — the queries whose paths changed are
+    # s27/o23/e31/a28 (ALL in the queue below, so driver-re-proven
+    # this round) plus the r13-proven snapshot-lifecycle queries
+    # (o22, s26), whose commit path gained only additive carry keys
+    # and which are pinned by unit tests; re-proof slots zero per the
+    # verbatim ask ("zero other additions").
     #
-    # The r12 queue (never driver-proven - MUST-take slots):
-    "o22_snapshot_compaction",
-    "c24_corpus_pipeline",
-    "e30_streaming_ivf_delete",
-    "s26_snapshot_refs",
-    "c25_pack_samples_nosplit",
-    "d18_best_representative",
-    # The r7-proven cohort, oldest debt first (alphabetical):
-    "c14_fim_transform",
-    "d11_quality_keep_list",
-    "d16_remove_dup_spans",
-    "d3_minhash_near_dups",
-    "d4_simhash",
-    "d5_pairwise_jaccard",
-    "d7_dedup_clusters",
-    "e7_streaming_dedup_keys",
-    "e8_streaming_interval_join",
-    "e9_streaming_minhash_neardup",
-    "g4_connected_components",
-    "g4b_renumber_tracks",
-    "g5_pagerank",
-    "g6_triangle_counts",
-    "j7_density_grid_join",
-    "m1b_otsu_segmentation",
-    "m3_tracking_links",
-    "m3b_gap_closing",
-    "m3c_split_merge",
-    "m3d_overlap_tracking",
-    "m3e_kalman_tracking",
-    "o7_zorder_layout",
-    "s17_orc_roundtrip",
-    "t13_html_to_text",
-    "t14_url_dedup",
-    "t15_gopher_rules",
-    "t16_sentence_split",
-    "t17_bpe_tokenize",
-    "t18_jsonl_parse",
-    "t20_code_detect",
-    "v11_ann_recall",
-    "v12_mean_pool_embeddings",
-    # The 12 oldest r8-proven (alphabetical within r8):
-    "a10_pivot",
-    "a11_cube",
-    "a14_column_profile",
-    "a15_key_skew_profile",
-    "a8b_timeseries_wavelet",
-    "a9_rollup",
-    "c15_span_corruption",
-    "c17_bottomk_sample",
-    "c1_corpus_curation",
-    "c2_chunking",
-    "c3_token_budget_shards",
-    "d13_simhash_neardup",
-    # =============== end round-13 window ===============
-    # After this round the oldest cohort is r8-proven (32 queries).
+    # The r13 queue (never driver-proven — MUST-take slots):
+    "s27_manifest_list",
+    "a28_kmv_intersect_audit",
+    "e31_streaming_corpus_ingest",
+    "o23_sharded_maintenance",
+    # The r8-proven cohort, oldest debt first (alphabetical):
+    "d14_containment_neardup",
+    "d17_lsh_recall",
+    "e10_streaming_quality_gate",
+    "e11_streaming_count_min",
+    "e12_streaming_sessionization",
+    "f15_json_encode",
+    "f16_roi_interpolation",
+    "f9_f12_clip_sprintf",
+    "j10_interval_join",
+    "j11_spatial_nn_join",
+    "j8_salted_join",
+    "j9_asof_join",
+    "m3f_joint_lap",
+    "m5_movement_features",
+    "mm1_scene_cuts",
+    "mm2_audio_quality",
+    "mm3_clip_segments",
+    "mm6_image_dhash_neardup",
+    "o5_topk",
+    "o6_limit_per_group",
+    "o8_bucketed_join",
+    "o9_partition_pruned_scan",
+    "p14_predicate_branch",
+    "p3_conditional_output",
+    "s2_ome_companion_scan",
+    "s8_trackmate_spots",
+    "t19_bpe_learn_merges",
+    "t21_pmi_phrases",
+    "t22_bpe_roundtrip",
+    "t23_count_min_topk",
+    "t24_bpe_tokenize_arrow",
+    "t25_tokenizer_fertility",
+    # The 14 oldest r9-proven (alphabetical within r9):
+    "a12_group_quantiles",
+    "a13_group_ols",
+    "a8_timeseries_stats",
+    "c16_semantic_decontaminate",
+    "c19_scd2_history",
+    "c5_decontaminate",
+    "c6_epoch_shuffle",
+    "c7_incremental_upsert",
+    "d15_semantic_dedup",
+    "d15b_semantic_dedup_trained",
+    "d3b_minhash_expr_bands",
+    "d6_embedding_neardup",
+    "d6b_srp_neardup",
+    "e15_streaming_ann_serve",
+    # =============== end round-14 window ===============
+    # After this round the oldest cohort is r9-proven (31 queries).
     # Prior-round windows are recorded in git history and in the
     # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps
     # its registration order and is driver-proven in a recorded round
     # (tests/test_registry.py enforces displaced-means-proven).
     #
-    # r14 window plan (continuity note): lead with _NEXT_WINDOW_QUEUE
-    # (the 4 r13 additions: s27, a28, e31, o23 — all locally
-    # oracle-verified at sf0.001/0.01/0.1 this round), then the 32
-    # remaining r8-proven queries, then the 14 oldest r9-proven —
-    # 4 + 32 + 14 = 50, leaving no query older than r9-proven at the
-    # r14 close.
+    # r15 window plan (continuity note): lead with whatever
+    # _NEXT_WINDOW_QUEUE holds at the r14 close (r14 additions, each
+    # locally oracle-verified before queueing), then the 31 remaining
+    # r9-proven queries, then the oldest r10-proven to fill 50.
 ]
 
 # Queries added THIS round, queued for the NEXT round's driver window
@@ -15534,10 +15536,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # oracle or a rows-only registration, like every other query). The
 # r13 window MUST lead with these names.
 _NEXT_WINDOW_QUEUE = [
-    "s27_manifest_list",
-    "a28_kmv_intersect_audit",
-    "e31_streaming_corpus_ingest",
-    "o23_sharded_maintenance",
+    # r14 additions land here as they are built (each locally
+    # oracle-verified before queueing); the r13 queue (s27, a28, e31,
+    # o23) graduated into the r14 window's first four slots above.
 ]
 
 
