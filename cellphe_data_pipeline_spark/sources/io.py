@@ -538,6 +538,41 @@ def snapshot_commit_with_retry(
                 raise
 
 
+def snapshot_commit_sharded_with_retry(
+    table_dir: str,
+    added_files: list[str],
+    removed_files: list[str] | tuple = (),
+    stats: dict | None = None,
+    extra: dict | None = None,
+    max_retries: int = 5,
+) -> tuple[int, dict, int]:
+    """Optimistic-concurrency loop for the manifest-LIST tier (r14,
+    the r13 verdict's ask #3). The sharded commit carries strictly
+    more state across a retry than the flat one — parent_shards,
+    shard_stats, the flat→sharded conversion — and ALL of it is
+    re-derived inside snapshot_commit_sharded from whatever parent the
+    retry observes, so the rebase here is just "re-read the pointer
+    and go again": the added shard is content-addressed (a retry
+    rewrites the same path with the same bytes), parent-shard reuse is
+    recomputed against the NEW parent's list, and a racing flat commit
+    is converted exactly as a flat parent would be. Disjoint appends
+    always converge; overlapping removed_files across writers are the
+    caller's rebase problem (the snapshot_commit_with_retry caveat,
+    unchanged). Returns (snapshot_id, info, conflicts_hit)."""
+    conflicts = 0
+    while True:
+        parent = snapshot_current(table_dir)
+        try:
+            nid, info = snapshot_commit_sharded(
+                table_dir, parent, added_files, removed_files, stats, extra
+            )
+            return nid, info, conflicts
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > max_retries:
+                raise
+
+
 def snapshot_compact_manifests(
     table_dir: str,
     min_files: int = 100,
@@ -743,19 +778,57 @@ def snapshot_read_pruned(
     lo,
     hi,
 ) -> tuple[DataFrame, dict]:
-    """Manifest-stats-pruned time-travel read (r11, o19): resolve the
-    snapshot's file list AND its embedded per-file [min,max] stats for
-    ``col``, keep only files whose interval intersects [lo, hi], read
-    exactly those. Zero data-file I/O happens before the matching
-    files — the prune consults the manifest JSON alone (this is the
-    metadata-only operation o18 performs with a recomputed stats scan;
-    here the writer paid that scan once at commit). Superset-admit
-    semantics as always with zone maps: the caller still applies the
-    residual predicate. A file with NO stats entry for ``col`` is
-    ADMITTED (stats are an optimization, never a correctness gate —
-    the contract that lets stats cover only some columns). Returns
-    (df, info) with the kept/skipped lists for callers and tests."""
+    """Manifest-stats-pruned time-travel read (r11, o19): the
+    single-predicate surface over :func:`snapshot_read_pruned_multi`
+    — see there for the prune semantics (superset-admit, tier-aware,
+    string bounds). Returns (df, info) with kept/skipped lists."""
+    return snapshot_read_pruned_multi(
+        spark, table_dir, snapshot_id, {col: (lo, hi)}
+    )
+
+
+def snapshot_read_pruned_multi(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int,
+    preds: dict,
+) -> tuple[DataFrame, dict]:
+    """Manifest-stats-pruned time-travel read, CONJUNCTIVE form (r14,
+    the r13 verdict's ask #5): ``preds`` maps column -> (lo, hi); a
+    shard/file is read only if EVERY predicate's interval intersects
+    its [min, max] bounds for that column — the admitted set is the
+    INTERSECTION of the per-predicate admitted sets, which is why a
+    two-predicate read can open strictly fewer shards than either
+    predicate alone. Bounds are typed as the column is typed: string
+    columns prune by lexicographic [min, max] exactly as ints do (the
+    stats dict has been per-column since o19; JSON round-trips str
+    bounds losslessly), so date-string partitions, tag prefixes, and
+    id ranges all zone-map the same way.
+
+    Zero data-file I/O happens before the matching files — the prune
+    consults the manifest JSON alone (the metadata-only operation o18
+    performs with a recomputed stats scan; here the writer paid that
+    scan once at commit). On a manifest LIST, shard-level bounds are
+    consulted FIRST and a shard failing ANY predicate is never opened
+    (Iceberg's manifest-list partition-summary skip) — prune I/O is
+    O(shards admitted by the conjunction), not O(shards). Superset-
+    admit semantics as always with zone maps: the caller still
+    applies the residual predicate. A file or shard with NO bounds
+    for some predicate column is ADMITTED for that predicate (stats
+    are an optimization, never a correctness gate — the contract that
+    lets stats cover only some columns). Returns (df, info) with the
+    kept/skipped lists for callers and tests."""
     import os
+
+    def _excluded(iv, lo, hi) -> bool:
+        # disjoint-interval test; None bounds (missing stats or
+        # all-null column) admit
+        return (
+            iv is not None
+            and iv[0] is not None
+            and iv[1] is not None
+            and (iv[1] < lo or iv[0] > hi)
+        )
 
     with open(
         os.path.join(table_dir, "manifests", f"v{snapshot_id}.json")
@@ -763,16 +836,14 @@ def snapshot_read_pruned(
         m = json.load(f)
     info: dict = {}
     if "shards" in m:
-        # manifest-LIST prune (r13): consult shard-level bounds FIRST
-        # and never open a shard whose [min, max] misses [lo, hi] —
-        # Iceberg's manifest-list partition-summary skip. A shard with
-        # no bound for `col` is opened (admit rule, one level up).
-        # Prune I/O is O(matching shards), not O(shards).
         sstats = m.get("shard_stats", {})
         opened, shards_skipped = [], []
         for sp in m["shards"]:
-            b = sstats.get(sp, {}).get(col)
-            if b is not None and (b[1] < lo or b[0] > hi):
+            bounds = sstats.get(sp, {})
+            if any(
+                _excluded(bounds.get(col), lo, hi)
+                for col, (lo, hi) in preds.items()
+            ):
                 shards_skipped.append(sp)
             else:
                 opened.append(sp)
@@ -786,17 +857,11 @@ def snapshot_read_pruned(
         # (that unlisting IS the point)
     else:
         all_files, all_stats = _manifest_files_and_stats(table_dir, m)
-    col_stats = all_stats.get(col, {})
     kept, skipped = [], []
     for fp in all_files:
-        iv = col_stats.get(fp)
-        # missing entry OR null bounds (all-null column in that file):
-        # admit — stats never gate correctness
-        if (
-            iv is not None
-            and iv[0] is not None
-            and iv[1] is not None
-            and (iv[1] < lo or iv[0] > hi)
+        if any(
+            _excluded(all_stats.get(col, {}).get(fp), lo, hi)
+            for col, (lo, hi) in preds.items()
         ):
             skipped.append(fp)
         else:

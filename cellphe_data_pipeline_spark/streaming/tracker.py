@@ -1875,6 +1875,149 @@ def streaming_corpus_ingest_drain(
     return counts
 
 
+def streaming_corpus_full_ingest_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    seen_dir: str,
+    ckpt_dir: str,
+    clusters_dir: str,
+    bench_dir: str,
+    window_tokens: int = 512,
+    split_seed: str = "leak1-",
+    train_bps: int = 9000,
+    bench_cutoff: int = 20,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming corpus ingest at FULL c24 stage parity (r14, e32 —
+    the r13 verdict's ask #2): all SIX composed-pipeline stages in one
+    availableNow plan. e31 streams the ingest→curate→dedup→pack
+    subset; this drain adds the two enrichment stages, each placed by
+    its state class:
+
+      - DECONTAMINATE (c24 stage 4) runs in the SINK, after dedup,
+        against two STATIC bench-side artifacts read from
+        ``bench_dir`` (cleaned bench docs — eval suites are batch-
+        published side tables, MBs at 100 TB corpus scale): a Bloom
+        prefilter (bloom_decontaminate — one ~KB bitmap broadcast, the
+        c5 scale path) flags candidate docs map-side, then
+        flag_contaminated exact-verifies ONLY the candidates against
+        the broadcast bench shingle set (candidate-first verify, the
+        d3 ordering). Bloom errs toward flagging, the exact pass
+        removes the phantoms, so admission is exactly c5's semantics
+        at the bloom's probe cost for the clean majority.
+      - LEAKAGE-SAFE SPLIT (c24 stage 5) runs in the STREAMING PLAN as
+        a stream-static broadcast left join against the cluster-label
+        table at ``clusters_dir`` (near-dup clusters are a batch
+        clustering job's output — precisely c23's label side), then
+        the seeded split hash on COALESCE(cluster_id, doc_id) — pure
+        codegen, no state.
+
+    Shingling for decontamination uses the CLEANED text (a stream
+    only ever has the crawl HTML; c24's raw-text shingling is a
+    fixture convenience its batch oracle can afford) — the e32 oracle
+    replays the same choice, so both engines shingle identical bytes.
+
+    Stage ORDER matches c24 exactly: dedup (sink, stateful) precedes
+    the bench-slice/contamination admission filters, which therefore
+    run as the sink's post_dedup_gate — gating only what PACKS while
+    the seen table records every representative's hash (see
+    corpus_ingest_apply_batch). Exactly-once is untouched: the gate is
+    deterministic per batch, so replays skip at the same watermarks.
+
+    Returns {committed, skipped} as observed by the sink."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.functions.scalars import (
+        portable_hash64,
+    )
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        bloom_decontaminate,
+        flag_contaminated,
+    )
+    from cellphe_data_pipeline_spark.operators.text import (
+        gopher_rules,
+        html_to_text,
+    )
+
+    bench = spark.read.parquet(bench_dir).persist()  # (doc_id, text_clean)
+    bench.count()  # materialize once; every batch's gate reuses it
+    clusters = spark.read.parquet(clusters_dir)  # (doc_id, cluster_id)
+    counts = {"committed": 0, "skipped": 0}
+
+    def gate(b):
+        # candidate-first decontamination: bloom prefilter, exact
+        # verify only the flagged docs, then the c24 admission filters
+        cand = bloom_decontaminate(
+            b, bench, n=4, text_col="text_clean"
+        ).select("doc_id")
+        contam = flag_contaminated(
+            b.join(F.broadcast(cand), "doc_id", "semi"),
+            bench,
+            n=4,
+            text_col="text_clean",
+        ).select("doc_id")
+        return b.filter(F.col("doc_id") >= bench_cutoff).join(
+            F.broadcast(contam), "doc_id", "left_anti"
+        )
+
+    def sink(batch_df, batch_id):
+        if corpus_ingest_apply_batch(
+            spark,
+            table_dir,
+            seen_dir,
+            batch_df,
+            batch_id,
+            window_tokens,
+            post_dedup_gate=gate,
+        ):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    curated = (
+        gopher_rules(
+            html_to_text(stream, keep_cols=["source"]),
+            text_col="text_clean",
+            keep_cols=["source", "text_clean"],
+        )
+        .filter(F.col("fail_mask").bitwiseAND(F.lit(63)) == 0)
+        .select("doc_id", "source", "text_clean")
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    split = F.when(
+        portable_hash64(key.cast("string"), seed=split_seed) % 10000
+        < train_bps,
+        "train",
+    ).otherwise("val")
+    labeled = (
+        curated.join(F.broadcast(clusters), "doc_id", "left")
+        .withColumn("stream", F.concat_ws("/", split, F.col("source")))
+        .select("doc_id", "stream", "text_clean")
+    )
+    q = (
+        labeled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError(
+                f"full corpus-ingest drain did not finish in {timeout_s}s"
+            )
+    finally:
+        bench.unpersist()
+    return counts
+
+
 def corpus_ingest_apply_batch(
     spark,
     table_dir: str,
@@ -1882,6 +2025,7 @@ def corpus_ingest_apply_batch(
     batch_df,
     batch_id: int,
     window_tokens: int = 512,
+    post_dedup_gate=None,
 ) -> bool:
     """The e31 sink's per-batch applier, exposed (the e28
     merge_batch_idempotent discipline) so the exactly-once semantics
@@ -1902,7 +2046,18 @@ def corpus_ingest_apply_batch(
     a replay of the whole batch — "seen missing a batch the
     checkpoint already covers" (which would silently re-admit that
     batch's duplicates forever) cannot occur. Returns True iff the
-    WINDOWS table committed (the drain's counting contract)."""
+    WINDOWS table committed (the drain's counting contract).
+
+    ``post_dedup_gate`` (r14, e32): an optional callable applied to
+    the deduped, seen-filtered batch to select the subset that PACKS —
+    the hook the full c24 stage order needs, because c24 runs exact
+    dedup BEFORE its per-doc admission filters (bench slice-off,
+    decontamination), and dedup is this sink's stateful stage. The
+    seen table still records EVERY deduped row's hash (gated or not):
+    a later exact duplicate of a gated-out representative must stay
+    suppressed, exactly as c24's post-dedup filters drop the whole
+    group — gating only the pack side and never the dedup state is
+    what keeps the streaming composition equal to the batch plan."""
     import os
 
     from pyspark.sql import Window
@@ -1943,6 +2098,7 @@ def corpus_ingest_apply_batch(
     try:
         cur, last, offsets = _last(table_dir)
         if batch_id > last:
+            packable = post_dedup_gate(b) if post_dedup_gate else b
             base = spark.createDataFrame(
                 list(offsets.items()) or [("", 0)],
                 "stream string, _base bigint",
@@ -1953,7 +2109,7 @@ def corpus_ingest_apply_batch(
                 .rowsBetween(Window.unboundedPreceding, -1)
             )
             pos = (
-                b.select(
+                packable.select(
                     "doc_id",
                     "stream",
                     bpe_ish_token_count(F.col("text_clean")).alias(

@@ -1273,3 +1273,174 @@ def test_pack_offsets_survive_interleaved_maintenance_commits(
         ).collect()
     }
     assert rows[3]["tok_start"] == 61, rows[3]
+
+
+def test_snapshot_sharded_cas_multiwriter_stress(tmp_path):
+    """r14 (verdict ask #3): the 8-writer stress rerun against the
+    manifest-LIST tier — concurrent writers appending DISJOINT shards
+    through snapshot_commit_sharded_with_retry, each retry re-deriving
+    parent-shard reuse against whatever parent won. Proves (a) linear
+    history with no gaps; (b) no lost shards: the head's shard list
+    contains the seed shard plus every writer's content-addressed
+    shard, and the resolved file set has every writer's file exactly
+    once; (c) shard stats survive the races: the head's shard_stats
+    carries every writer's bounds; (d) no scratch debris; (e) bounded
+    retries."""
+    import os
+    import threading
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_commit_sharded_with_retry,
+        snapshot_current,
+        snapshot_files,
+        snapshot_manifest,
+    )
+
+    table = str(tmp_path / "race")
+    snapshot_commit_sharded(
+        table, 0, ["seed"], stats={"k": {"seed": [0, 0]}}
+    )  # v1
+
+    n_writers = 8
+    results: dict[int, tuple[int, dict, int]] = {}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(n_writers)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()  # maximise the race
+            results[i] = snapshot_commit_sharded_with_retry(
+                table,
+                [f"w{i}"],
+                stats={"k": {f"w{i}": [i + 1, i + 1]}},
+                max_retries=n_writers + 2,
+            )
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # (a) linear history: ids 2..9, parent chain exact
+    assert len(results) == n_writers
+    ids = sorted(sid for sid, _, _ in results.values())
+    assert ids == list(range(2, 2 + n_writers))
+    head_id = snapshot_current(table)
+    assert head_id == 1 + n_writers
+    for sid in range(1, head_id + 1):
+        m = snapshot_manifest(table, sid)
+        assert m["snapshot_id"] == sid and m["parent_id"] == sid - 1
+
+    # (b) no lost shards or files: head has seed + 8 writer shards,
+    # every writer's own added shard reused BY PATH all the way up
+    head = snapshot_manifest(table, head_id)
+    assert len(head["shards"]) == 1 + n_writers
+    for i, (sid, info, _) in results.items():
+        assert info["added"] in head["shards"], (i, info)
+        assert info["rewritten"] == []
+    files = snapshot_files(table, head_id)
+    assert sorted(files) == sorted(
+        ["seed"] + [f"w{i}" for i in range(n_writers)]
+    )
+
+    # (c) stats survive every race: head bounds cover all 9 shards
+    sstats = head.get("shard_stats", {})
+    assert len(sstats) == 1 + n_writers, sorted(sstats)
+    got_bounds = sorted(b["k"] for b in sstats.values())
+    assert got_bounds == sorted(
+        [[0, 0]] + [[i + 1, i + 1] for i in range(n_writers)]
+    )
+
+    # (d) no scratch debris (tmp files from lost races)
+    leftovers = [
+        f
+        for f in os.listdir(os.path.join(table, "manifests"))
+        if not f.endswith(".json")
+    ]
+    assert leftovers == []
+
+    # (e) bounded retries
+    for _, _, conflicts in results.values():
+        assert conflicts <= n_writers + 2
+
+
+def test_sharded_prune_string_bounds_and_conjunction(spark, tmp_path):
+    """r14 (verdict ask #5): shard-stats pruning on a STRING column
+    (lexicographic [min, max] bounds — date-strings/tags/prefixes
+    zone-map exactly like ints) and CONJUNCTIVE two-predicate reads
+    that open only the INTERSECTION of the per-predicate shard sets —
+    strictly fewer shards than either predicate admits alone."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_read_pruned,
+        snapshot_read_pruned_multi,
+    )
+
+    table = str(tmp_path / "tt")
+    # four shards on a 2x2 grid of (k-range, tag-range)
+    grid = [
+        ("A", range(0, 10), ["aa", "ab"]),
+        ("B", range(10, 20), ["aa", "ab"]),
+        ("C", range(0, 10), ["ca", "cb"]),
+        ("D", range(10, 20), ["ca", "cb"]),
+    ]
+    added = {}
+    for name, ks, tags in grid:
+        d = os.path.join(table, "data", name)
+        rows = [(k, tags[k % 2]) for k in ks]
+        spark.createDataFrame(rows, "k bigint, tag string").coalesce(
+            1
+        ).write.parquet(d)
+        files = snapshot_data_files(d)
+        stats = {
+            "k": {fp: [min(ks), max(ks)] for fp in files},
+            "tag": {fp: [min(tags), max(tags)] for fp in files},
+        }
+        _, info = snapshot_commit_sharded(
+            table, snapshot_current(table), files, stats=stats
+        )
+        added[name] = info["added"]
+
+    sid = snapshot_current(table)
+
+    # STRING bounds prune alone: tag in ["ca","cz"] admits C and D
+    df, info = snapshot_read_pruned(spark, table, sid, "tag", "ca", "cz")
+    assert sorted(info["shards_opened"]) == sorted(
+        [added["C"], added["D"]]
+    ), info
+    assert df.count() == 20
+
+    # int predicate alone: k in [0, 9] admits A and C
+    _, info_k = snapshot_read_pruned(spark, table, sid, "k", 0, 9)
+    assert sorted(info_k["shards_opened"]) == sorted(
+        [added["A"], added["C"]]
+    )
+
+    # CONJUNCTION opens only the intersection: exactly shard C
+    df2, info2 = snapshot_read_pruned_multi(
+        spark, table, sid, {"k": (0, 9), "tag": ("ca", "cz")}
+    )
+    assert info2["shards_opened"] == [added["C"]], info2
+    assert len(info2["shards_skipped"]) == 3
+    got = {(r["k"], r["tag"]) for r in df2.collect()}
+    assert got == {(k, ["ca", "cb"][k % 2]) for k in range(0, 10)}
+
+    # superset-admit: a predicate on a column with NO bounds anywhere
+    # admits every shard (stats never gate correctness)
+    _, info3 = snapshot_read_pruned_multi(
+        spark, table, sid, {"nosuch": (0, 1), "k": (0, 9)}
+    )
+    assert sorted(info3["shards_opened"]) == sorted(
+        [added["A"], added["C"]]
+    )

@@ -1707,3 +1707,77 @@ def test_corpus_ingest_partial_crash_replays_into_one_skip_one_commit(
     }
     assert set(rows) == {5}, set(rows)
     assert rows[5]["tok_start"] == 61, rows[5]  # continues the stream
+
+
+def test_corpus_ingest_gate_packs_subset_but_seen_records_all(
+    spark, tmp_path
+):
+    """e32's post_dedup_gate contract (r14): the gate selects what
+    PACKS, but the seen table records EVERY deduped representative's
+    hash — a later exact duplicate of a gated-out doc must stay
+    suppressed (c24 drops the whole group when its representative
+    fails admission), and pack offsets advance only by gated-in
+    tokens. Also the crash leg with a gate in place: replay after the
+    seen table is lost refuses the windows commit and recovers seen."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        corpus_ingest_apply_batch,
+    )
+
+    table = str(tmp_path / "win")
+    seen = str(tmp_path / "seen")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, stream string, text_clean string"
+    )
+    gate = lambda b: b.filter(F.col("doc_id") >= 20)  # noqa: E731
+    t = " ".join("abcdefghij"[i % 10] * 3 for i in range(30))
+    # doc 5 is gated OUT (bench slice); doc 21 is its exact duplicate
+    b0 = mk([(5, "a", t), (20, "a", t + " extra")])
+    b1 = mk([(21, "a", t), (22, "a", t + " novel")])
+
+    assert corpus_ingest_apply_batch(
+        spark, table, seen, b0, 0, 512, post_dedup_gate=gate
+    )
+    got0 = {r["doc_id"] for r in snapshot_read(spark, table, 1).collect()}
+    assert got0 == {20}, got0  # doc 5 gated out of the PACK side
+    # offsets advanced only by doc 20's tokens (31), not doc 5's
+    assert snapshot_manifest(table, 1)["pack_offsets"] == {"a": 31}
+    # but the seen table recorded BOTH hashes
+    assert snapshot_read(spark, seen, 1).count() == 2
+
+    assert corpus_ingest_apply_batch(
+        spark, table, seen, b1, 1, 512, post_dedup_gate=gate
+    )
+    got1 = {r["doc_id"] for r in snapshot_read(spark, table, 2).collect()}
+    # doc 21 suppressed by the gated-out doc 5's seen hash; 22 packs
+    assert got1 == {20, 22}, got1
+    assert snapshot_manifest(table, 2)["pack_offsets"] == {"a": 62}
+
+    # crash leg with the gate: windows committed, seen lost — replay
+    # skips windows, recovers seen, never double-applies
+    shutil.rmtree(seen)
+    assert (
+        corpus_ingest_apply_batch(
+            spark, table, seen, b0, 0, 512, post_dedup_gate=gate
+        )
+        is False
+    )
+    assert (
+        corpus_ingest_apply_batch(
+            spark, table, seen, b1, 1, 512, post_dedup_gate=gate
+        )
+        is False
+    )
+    assert snapshot_current(table) == 2  # unchanged
+    assert snapshot_current(seen) == 2  # recovered both batches
+    # 3 distinct hashes: t, t+extra, t+novel — doc 21's hash equals
+    # the gated-out doc 5's, so it was anti-joined before recording
+    assert snapshot_read(spark, seen, 2).count() == 3
