@@ -117,7 +117,10 @@ def main() -> None:
             table = a.split("=", 1)[1]
     results = []
     for sf in sfs:
-        sf_dir = f"/root/testdata/sf{sf}"
+        # r14: an absolute path is used as the SF dir verbatim — the
+        # third-decade probe points at a synthetic 50k-doc corpus
+        # (scripts/synth_docs_decade.py) outside /root/testdata
+        sf_dir = sf if sf.startswith("/") else f"/root/testdata/sf{sf}"
         evdir = f"/tmp/cellphe_stage/probe_ev_{query}_{sf}"
         code = _RUNNER.format(repo=REPO, sf_dir=sf_dir, evdir=evdir, query=query)
         out = subprocess.run(
@@ -131,7 +134,7 @@ def main() -> None:
             print(out.stdout, out.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"probe failed at sf{sf}")
         r = json.loads(line[-1])
-        r["sf"] = float(sf)
+        r["sf"] = sf if sf.startswith("/") else float(sf)
         # the honest x-axis: documents rows (sf0.001 and sf0.01 ship
         # the SAME 500-row documents table; only sf0.1 is 10x)
         import duckdb
