@@ -127,7 +127,7 @@ def main() -> None:
             [sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=7200,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not line:
@@ -139,8 +139,13 @@ def main() -> None:
         # the SAME 500-row documents table; only sf0.1 is 10x)
         import duckdb
 
+        # a Spark-written table is a DIRECTORY of part files (the
+        # synthetic third-decade corpus); testdata ships single files
+        tpath = f"{sf_dir}/{table}.parquet"
+        if os.path.isdir(tpath):
+            tpath = f"{tpath}/*.parquet"
         r["n_docs"] = duckdb.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/{table}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{tpath}')"
         ).fetchone()[0]
         results.append(r)
         print(json.dumps(r))
