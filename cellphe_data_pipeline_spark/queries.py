@@ -15457,8 +15457,11 @@ def e32(spark, sf_dir):
     clusters_dir = os.path.join(root, "clusters")
     bench_dir = os.path.join(root, "bench")
     with _bounded_shuffle_partitions(spark):
+        # "auto" sizes the closure loop from the materialized edge
+        # count (r14, graph.connected_components) — the clustering job
+        # is a batch side job whose edge volume the caller cannot know
         dedup_clusters(
-            minhash_near_duplicates(docs), loop_shuffle_partitions=2
+            minhash_near_duplicates(docs), loop_shuffle_partitions="auto"
         ).select("doc_id", "cluster_id").write.parquet(clusters_dir)
         html_to_text(aug.filter(F.col("doc_id") < 20)).select(
             "doc_id", "text_clean"

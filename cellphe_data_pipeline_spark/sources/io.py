@@ -286,7 +286,9 @@ def snapshot_commit_atomic(
 # writer produced it (stream-sink cursors a maintenance commit has no
 # reason to know about). _cas_publish_manifest carries them forward
 # from the parent; a commit's explicit `extra` overrides the carry.
-_WATERMARK_KEYS = ("last_batch_id", "pack_offsets")
+# last_batch_ids (plural) is the per-writer watermark map of the
+# multi-writer sink (r14, snapshot_append_batch_multiwriter).
+_WATERMARK_KEYS = ("last_batch_id", "pack_offsets", "last_batch_ids")
 
 
 def _cas_publish_manifest(
@@ -1018,9 +1020,9 @@ def snapshot_append_batch(
     returns). With checkpointed batch ids strictly increasing, sink
     state (one int) + idempotent commit = exactly-once OUTPUT on top
     of the source's at-least-once replay. Single-writer per table
-    assumed here (a multi-writer stream would retry the CAS via
-    snapshot_commit_with_retry and re-check the watermark on rebase
-    — recorded, not needed for one query's one sink).
+    assumed here; r14 closed the recorded multi-writer trade —
+    :func:`snapshot_append_batch_multiwriter` gives each sink its own
+    watermark in a shared last_batch_ids map with the rebase re-check.
 
     r13: the commit is SHARDED (snapshot_commit_sharded) — a stream
     sink is exactly the commit-per-micro-batch workload whose flat
@@ -1047,6 +1049,88 @@ def snapshot_append_batch(
         extra={"last_batch_id": batch_id},
     )
     return True
+
+
+def snapshot_append_batch_multiwriter(
+    table_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    writer_id: str,
+    max_retries: int = 8,
+) -> bool:
+    """MULTI-WRITER idempotent-by-batch-id append (r14) — closing the
+    trade snapshot_append_batch records in writing ("a multi-writer
+    stream would retry the CAS via snapshot_commit_with_retry and
+    re-check the watermark on rebase — recorded, not needed for one
+    query's one sink"). N independent streaming sinks append to ONE
+    table; each carries its own exactly-once watermark in the shared
+    manifest's ``last_batch_ids`` map (Delta's per-appId `txn` action
+    — one table, many transactional writers):
+
+      - the per-writer watermark is checked BEFORE the data write
+        (cheap replay refusal), and RE-CHECKED after every lost CAS
+        (the rebase re-check the flat docstring promises): a racing
+        commit that advanced OUR OWN watermark — a crashed
+        predecessor's replay landing concurrently — turns the retry
+        into a skip, never a double-apply;
+      - other writers' watermarks are never touched: each commit
+        re-merges the FRESH parent's map with its own entry, per
+        retry, so concurrent writers' advances interleave losslessly
+        (asserted by the barrier stress in tests);
+      - data lands in a per-writer, per-batch deterministic dir with
+        mode=overwrite — two writers can never collide on a path, and
+        a crash between data write and commit leaves debris the
+        replay overwrites (vacuum's retention horizon covers the
+        never-returns case);
+      - last_batch_ids is WATERMARK-CLASS (carried by every commit,
+        maintenance included) and the commit is sharded: per-batch
+        cost stays O(batch) regardless of writer count or table size.
+
+    Single-writer-per-writer_id remains the contract (one streaming
+    query per checkpoint); what this adds is many such writers per
+    TABLE. Returns True iff this call committed the batch."""
+    import os
+
+    def _last(parent: int) -> int:
+        if parent == 0:
+            return -1
+        return snapshot_manifest(table_dir, parent).get(
+            "last_batch_ids", {}
+        ).get(writer_id, -1)
+
+    parent = snapshot_current(table_dir)
+    if batch_id <= _last(parent):
+        return False
+    out_dir = os.path.join(
+        table_dir, "data", f"w_{writer_id}", f"batch_{batch_id}"
+    )
+    batch_df.write.mode("overwrite").parquet(out_dir)
+    files = snapshot_data_files(out_dir)
+    conflicts = 0
+    while True:
+        parent = snapshot_current(table_dir)
+        if batch_id <= _last(parent):
+            # rebase re-check: our own watermark advanced while we
+            # raced — a concurrent replay of this writer committed
+            return False
+        merged = dict(
+            snapshot_manifest(table_dir, parent).get("last_batch_ids", {})
+            if parent > 0
+            else {}
+        )
+        merged[writer_id] = batch_id
+        try:
+            snapshot_commit_sharded(
+                table_dir,
+                parent,
+                files,
+                extra={"last_batch_ids": merged},
+            )
+            return True
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > max_retries:
+                raise
 
 
 def snapshot_rollback(table_dir: str, to_id: int) -> int:

@@ -447,3 +447,39 @@ def test_common_neighbor_hub_cap_bounds_pair_volume_on_power_law(spark):
         ).collect()
     }
     assert got[(0, 1)] == (2, round(2 / 6, 6))
+
+
+def test_cc_auto_loop_partitions_matches_and_restores_conf(spark):
+    """r14 (SCALE.md third-decade finding): loop_shuffle_partitions=
+    "auto" sizes the closure loop from the materialized edge count
+    instead of a constant measured at one scale. Must produce labels
+    identical to the explicit-int and default paths (it only re-sizes
+    shuffles), restore the session conf afterwards, and take the fully
+    distributed loop (cap=0) without error."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    ids = rng.sample(range(1_000_000), n)
+    edges = [
+        (ids[rng.randrange(n)], ids[rng.randrange(n)]) for _ in range(300)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, loop_shuffle_partitions="auto", driver_finish_cap=0
+        ).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    explicit = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, loop_shuffle_partitions=4, driver_finish_cap=0
+        ).collect()
+    }
+    assert auto == explicit
+    assert _partition(auto) == _partition(_uf_components(edges))

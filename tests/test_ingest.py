@@ -1444,3 +1444,76 @@ def test_sharded_prune_string_bounds_and_conjunction(spark, tmp_path):
     assert sorted(info3["shards_opened"]) == sorted(
         [added["A"], added["C"]]
     )
+
+
+def test_snapshot_multiwriter_streaming_sinks_one_table(spark, tmp_path):
+    """r14: N independent streaming sinks appending to ONE table, each
+    with its own exactly-once watermark in the shared manifest's
+    last_batch_ids map (snapshot_append_batch_multiwriter — the trade
+    snapshot_append_batch recorded, closed). Two concurrent writers
+    race their batches through the sharded CAS; then: per-writer
+    watermarks correct, every batch's rows present exactly once,
+    replays refused per writer, and the map survives an interleaved
+    maintenance commit (watermark-class carry)."""
+    import threading
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch_multiwriter,
+        snapshot_compact_manifests,
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    mk = lambda w, b: spark.createDataFrame(  # noqa: E731
+        [(w, b, i) for i in range(5)], "writer string, batch bigint, i bigint"
+    )
+    plan = {"w0": [0, 1, 2, 3], "w1": [0, 1, 2]}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(len(plan))
+
+    def run(w: str) -> None:
+        try:
+            barrier.wait()
+            for b in plan[w]:
+                assert snapshot_append_batch_multiwriter(
+                    table, mk(w, b), b, w
+                )
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in plan]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    cur = snapshot_current(table)
+    assert cur == 7  # 4 + 3 commits, linear history
+    man = snapshot_manifest(table, cur)
+    assert man["last_batch_ids"] == {"w0": 3, "w1": 2}
+
+    got = {
+        (r["writer"], r["batch"], r["i"])
+        for r in snapshot_read(spark, table, cur).collect()
+    }
+    assert got == {
+        (w, b, i) for w, bs in plan.items() for b in bs for i in range(5)
+    }
+
+    # per-writer replay refusal (each checks its OWN watermark)
+    assert snapshot_append_batch_multiwriter(table, mk("w0", 2), 2, "w0") is False
+    assert snapshot_append_batch_multiwriter(table, mk("w1", 0), 0, "w1") is False
+    assert snapshot_current(table) == cur
+
+    # a maintenance commit carries the whole map (watermark-class)
+    nid, info = snapshot_compact_manifests(table, min_files=100)
+    assert info["merged"], info
+    man2 = snapshot_manifest(table, snapshot_current(table))
+    assert man2["last_batch_ids"] == {"w0": 3, "w1": 2}
+    # and a fresh writer keeps everyone else's watermark intact
+    assert snapshot_append_batch_multiwriter(table, mk("w2", 0), 0, "w2")
+    man3 = snapshot_manifest(table, snapshot_current(table))
+    assert man3["last_batch_ids"] == {"w0": 3, "w1": 2, "w2": 0}
