@@ -15827,6 +15827,153 @@ def s28(spark, sf_dir):
     )
 
 
+@register(
+    "o24_mor_equality_delete",
+    """
+    WITH cut AS (SELECT (MAX(o_orderkey) + 6) // 6 AS c FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_zero_rewrite_commit,
+           TRUE AS ok_time_travel,
+           TRUE AS ok_bounded_fold,
+           TRUE AS ok_fold_invariant
+    FROM orders, cut
+    WHERE NOT (o_orderkey >= 2 * c AND o_orderkey < 3 * c
+               AND o_orderkey % 2 = 1)
+    GROUP BY o_orderpriority
+    """,
+)
+def o24(spark, sf_dir):
+    """MERGE-ON-READ equality-delete lifecycle (r14;
+    io.snapshot_delete_keys / snapshot_apply_deletes) — the deletion
+    tier COW lacks at 100 TB: o17's copy-on-write DELETE rewrites
+    every file containing any affected key, which for a scattered
+    takedown/GDPR key set is a table-scale rewrite paid at ingest
+    urgency. The MOR commit writes the KEY SET as a parquet delete
+    file appended to the snapshot's delete_files — O(delete set)
+    commit, ZERO data files touched — and every reader anti-joins the
+    broadcast key set at read time (Iceberg v2 equality deletes; the
+    design is public spec). Maintenance folds deletes into the data
+    on its own cadence, using shard/file stats to rewrite only
+    candidate files.
+
+    Lifecycle driven end-to-end on a 6-slice range-sharded orders
+    table (per-file key stats, the o19 writer-pays contract), every
+    contract asserted in-query against the filesystem:
+
+      - ok_zero_rewrite_commit: the delete commit (odd keys within
+        slice 3) changes NO data file — resolved file list identical
+        pre/post, only delete_files grew;
+      - ok_time_travel: the pre-delete snapshot still reads every row
+        (delete_files are per-snapshot state; rollback restores them
+        — pinned in tests);
+      - ok_bounded_fold: snapshot_apply_deletes rewrites EXACTLY the
+        slice-3 files (stats-range candidates; the other five slices
+        reused by path) and clears delete_files;
+      - ok_fold_invariant: order-insensitive row hash equal between
+        the MOR view and the folded table.
+
+    The rollup answers from the FOLDED snapshot; the oracle
+    recomputes it from raw orders with the delete predicate — the
+    value hash proves the MOR mask and its fold drop exactly the
+    deleted keys, nothing else. At 100 TB: delete commits are O(keys)
+    at urgency time, reads pay one broadcast probe per outstanding
+    delete file, and the rewrite happens once, bounded by stats, on
+    the maintenance cadence."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _stage_dir("o24_mor")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # bounded
+    c = (mx + 6) // 6
+    cuts = [c * i for i in range(6)] + [mx + 1]
+    parent = 0
+    slice_files: dict[int, list] = {}
+    for i in range(6):
+        d = os.path.join(table, "data", f"s{i + 1}")
+        orders.filter(
+            (F.col("o_orderkey") >= cuts[i])
+            & (F.col("o_orderkey") < cuts[i + 1])
+        ).repartition(2).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        slice_files[i] = files
+        from urllib.parse import urlparse
+
+        stats = {
+            "o_orderkey": {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(
+                    spark, files, "o_orderkey"
+                ).collect()
+            }
+        }
+        parent, _ = snapshot_commit_sharded(table, parent, files, stats=stats)
+
+    def row_hash(df):
+        return df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|", "o_orderkey", "o_orderpriority",
+                        F.col("o_totalprice").cast("string"),
+                    )
+                )
+            )
+        ).collect()[0][0]
+
+    # MOR delete: odd keys inside slice 3 — zero data files rewritten
+    pre_files = set(snapshot_files(table, 6))
+    keys = orders.filter(
+        (F.col("o_orderkey") >= 2 * c)
+        & (F.col("o_orderkey") < 3 * c)
+        & (F.col("o_orderkey") % 2 == 1)
+    ).select("o_orderkey")
+    did = snapshot_delete_keys(spark, table, "o_orderkey", keys)
+    assert set(snapshot_files(table, did)) == pre_files, "data rewritten"
+    assert snapshot_manifest(table, did)["delete_files"], "no delete file"
+
+    # time travel: pre-delete snapshot unmasked
+    assert snapshot_read(spark, table, 6).count() == orders.count()
+    mor_hash = row_hash(snapshot_read(spark, table, did))
+
+    # fold: exactly the slice-3 files rewritten, five slices reused
+    fid, finfo = snapshot_apply_deletes(spark, table)
+    assert sorted(finfo["rewritten"]) == sorted(slice_files[2]), finfo
+    assert set(finfo["reused"]) == pre_files - set(slice_files[2])
+    assert snapshot_manifest(table, fid).get("delete_files", []) == []
+    assert row_hash(snapshot_read(spark, table, fid)) == mor_hash
+
+    return snapshot_read(spark, table, fid).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_zero_rewrite_commit"),
+        F.lit(True).alias("ok_time_travel"),
+        F.lit(True).alias("ok_bounded_fold"),
+        F.lit(True).alias("ok_fold_invariant"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -15950,6 +16097,7 @@ _NEXT_WINDOW_QUEUE = [
     "e32_streaming_corpus_full",
     "a29_kmv_segment_lifecycle",
     "s28_string_conjunctive_prune",
+    "o24_mor_equality_delete",
 ]
 
 

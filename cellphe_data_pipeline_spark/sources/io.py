@@ -141,11 +141,32 @@ def snapshot_files(table_dir: str, snapshot_id: int) -> list[str]:
         return _manifest_files_and_stats(table_dir, json.load(f))[0]
 
 
+def _apply_delete_files(
+    spark: SparkSession, man: dict, df: DataFrame
+) -> DataFrame:
+    """Apply a manifest's equality-delete files to a data read (r14,
+    MOR tier — Iceberg v2 equality deletes / Delta deletion-vector
+    semantics at key granularity): each entry is a parquet key set;
+    the read anti-joins them away. Delete sets are orders of magnitude
+    smaller than the table (a takedown list, a GDPR batch), so they
+    BROADCAST — the corpus-side read stays a map-side hash probe, no
+    shuffle is added to any reader. A manifest with no delete_files
+    pays nothing (the common case compiles to the bare scan)."""
+    for d in man.get("delete_files", []):
+        keys = spark.read.parquet(*d["paths"]).select(d["key"]).distinct()
+        df = df.join(F.broadcast(keys), d["key"], "left_anti")
+    return df
+
+
 def snapshot_read(spark: SparkSession, table_dir: str, snapshot_id: int) -> DataFrame:
-    """Time-travel read: resolve the manifest, read exactly its files.
-    Partition values live IN the data (no path-derived columns), so a
-    manifest can mix files from any write batch."""
-    return spark.read.parquet(*snapshot_files(table_dir, snapshot_id))
+    """Time-travel read: resolve the manifest, read exactly its files,
+    then apply the snapshot's equality-delete files (r14, MOR — a
+    no-op for manifests without them). Partition values live IN the
+    data (no path-derived columns), so a manifest can mix files from
+    any write batch."""
+    man = snapshot_manifest(table_dir, snapshot_id)
+    files = _manifest_files_and_stats(table_dir, man)[0]
+    return _apply_delete_files(spark, man, spark.read.parquet(*files))
 
 
 # ---------------------------------------------------------------------
@@ -323,6 +344,19 @@ def _cas_publish_manifest(
         for key in _WATERMARK_KEYS:
             if parent_man.get(key) is not None:
                 carried[key] = parent_man[key]
+        # equality-delete files are SNAPSHOT STATE, not a watermark,
+        # but they inherit the same way (r14, MOR tier): any commit
+        # that does not explicitly restate delete_files (in body or
+        # extra) keeps the parent's — otherwise an ordinary append or
+        # maintenance commit would silently resurrect deleted rows.
+        # Explicit restatement ([] from a fold, the appended list from
+        # a delete commit, the target's list from a rollback) wins.
+        if (
+            "delete_files" not in body
+            and not (extra and "delete_files" in extra)
+            and parent_man.get("delete_files")
+        ):
+            carried["delete_files"] = parent_man["delete_files"]
     new_id = expected_parent + 1
     mdir = os.path.join(table_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
@@ -410,6 +444,7 @@ def snapshot_commit_sharded(
     removed_files: list[str] | tuple = (),
     stats: dict | None = None,
     extra: dict | None = None,
+    delete_files: list | None = None,
 ) -> tuple[int, dict]:
     """Manifest-LIST commit (r13, s27) — the tier that survives
     millions of files, closing the gap the r12 verdict names ("one
@@ -505,6 +540,13 @@ def snapshot_commit_sharded(
     body: dict = {"shards": new_shards}
     if shard_stats:
         body["shard_stats"] = shard_stats
+    # equality-delete files (r14, MOR tier): when the caller restates
+    # them (a delete commit appends to the list, a fold commit clears
+    # it with []), the explicit value is committed — an ABSENT key
+    # inherits the parent's list inside _cas_publish_manifest, so no
+    # commit path can silently resurrect deleted rows
+    if delete_files is not None:
+        body["delete_files"] = list(delete_files)
     new_id = _cas_publish_manifest(table_dir, expected_parent, body, extra)
     return new_id, {
         "reused": reused,
@@ -573,6 +615,134 @@ def snapshot_commit_sharded_with_retry(
             conflicts += 1
             if conflicts > max_retries:
                 raise
+
+
+def snapshot_delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> int:
+    """MERGE-ON-READ equality delete (r14) — the tier COW deletion
+    lacks at 100 TB: deleting a scattered key set under copy-on-write
+    rewrites every file containing any key (o17's honest cost), which
+    for a takedown list spread across a 100 TB table is a full-table
+    rewrite. This commit instead writes the KEY SET as a parquet
+    delete file and appends it to the snapshot's ``delete_files`` —
+    commit cost O(delete set), ZERO data files touched (Iceberg v2
+    equality deletes; Delta's deletion vectors are the positional
+    variant — recorded, same read-side contract). Every reader
+    (snapshot_read, both pruned readers, anything downstream of them)
+    anti-joins the broadcast key set at read time; time travel is
+    exact because delete_files are per-snapshot state (the parent
+    snapshot still reads the rows; rollback restores the target's
+    list). Reads pay one broadcast hash probe per outstanding delete
+    file — snapshot_apply_deletes folds them into the data on the
+    maintenance cadence, exactly like manifest compaction absorbs the
+    commit dribble. The CDC manifest-diff fast path (snapshot_changes)
+    diffs DATA files only — a delete-file-only commit is a metadata
+    change it reports as empty; consumers needing row-level deletes
+    from MOR commits read the delete file itself (recorded trade).
+
+    SEMANTICS DECISION (recorded): a delete file is a SNAPSHOT-WIDE
+    TOMBSTONE — it masks the key in every data file of every later
+    snapshot, including rows APPENDED after the delete commit, until
+    a fold clears it. That is the right contract for the workloads
+    the tier exists for (takedown/GDPR: the key must stay gone even
+    if a replayed ingest re-delivers it), and it is deliberately NOT
+    Iceberg's sequence-number scoping (deletes apply only to files
+    older than the delete), which exists to make upsert-after-delete
+    work under MOR — that variant needs per-file add-sequences that
+    survive shard rewrites, and this engine's upsert path is the COW
+    merge (o17/c7), so the extra machinery buys nothing here.
+    Re-inserting a tombstoned key on purpose = fold first (or use the
+    COW merge). The stateful property suite models exactly these
+    semantics.
+
+    Returns the new snapshot id."""
+    import os
+
+    parent = snapshot_current(table_dir)
+    dels = (
+        list(
+            snapshot_manifest(table_dir, parent).get("delete_files", [])
+        )
+        if parent > 0
+        else []
+    )
+    d = os.path.join(table_dir, "data", "deletes", f"d{parent + 1}")
+    keys_df.select(key_col).distinct().write.mode("overwrite").parquet(d)
+    dels.append({"key": key_col, "paths": snapshot_data_files(d)})
+    new_id, _ = snapshot_commit_sharded(
+        table_dir, parent, [], delete_files=dels
+    )
+    return new_id
+
+
+def snapshot_apply_deletes(
+    spark: SparkSession, table_dir: str
+) -> tuple[int, dict]:
+    """FOLD outstanding equality deletes into the data (r14) — the
+    maintenance half of the MOR tier: rewrite only the data files
+    whose stats COULD contain a deleted key (superset-admit range
+    check per delete file's [min, max]; a file without bounds for the
+    key column is admitted — stats never gate correctness), dropping
+    the deleted rows, and commit with delete_files=[] so reads go
+    back to bare scans. Untouched files are reused BY PATH through
+    the sharded commit's removed_files path; with range-sorted data
+    and key-local deletes the rewrite is O(affected files), and the
+    worst case (unbounded stats, scattered keys) degrades to the COW
+    cost the delete COMMIT avoided paying up front — pay-late at
+    maintenance, never pay-eager at ingest. Row invariance (folded
+    table == MOR view) is the caller's assertable contract; the o24
+    query pins it with a hash. No-op (current id, empty info) when
+    nothing is outstanding."""
+    import os
+
+    cur = snapshot_current(table_dir)
+    man = snapshot_manifest(table_dir, cur)
+    dels = man.get("delete_files", [])
+    if not dels:
+        return cur, {"rewritten": [], "reused": [], "folded": 0}
+    files, stats = _manifest_files_and_stats(table_dir, man)
+    # candidate files per delete set: stats-range superset
+    candidates: set[str] = set()
+    for d in dels:
+        keys = spark.read.parquet(*d["paths"]).select(d["key"])
+        row = keys.agg(
+            F.min(d["key"]).alias("lo"), F.max(d["key"]).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        col_stats = stats.get(d["key"], {})
+        for fp in files:
+            iv = col_stats.get(fp)
+            if (
+                iv is None
+                or iv[0] is None
+                or iv[1] is None
+                or not (iv[1] < lo or iv[0] > hi)
+            ):
+                candidates.add(fp)
+    rewritten = sorted(candidates)
+    out = os.path.join(table_dir, "data", f"fold_{cur + 1}")
+    df = spark.read.parquet(*rewritten)
+    df = _apply_delete_files(spark, man, df)
+    df.write.mode("overwrite").parquet(out)
+    new_files = snapshot_data_files(out)
+    new_id, info = snapshot_commit_sharded(
+        table_dir,
+        cur,
+        new_files,
+        removed_files=rewritten,
+        delete_files=[],
+        extra={"fold_of": cur},
+    )
+    return new_id, {
+        "rewritten": rewritten,
+        "reused": sorted(set(files) - candidates),
+        "folded": len(dels),
+        "commit_info": info,  # shard-level reuse/rewrite facts
+    }
 
 
 def snapshot_compact_manifests(
@@ -873,6 +1043,9 @@ def snapshot_read_pruned_multi(
         df = spark.read.parquet(*schema_files).limit(0)
     else:
         df = spark.read.parquet(*kept)
+    # MOR correctness (r14): a pruned read honors the snapshot's
+    # equality-delete files exactly like the full read does
+    df = _apply_delete_files(spark, m, df)
     return df, {"kept": kept, "skipped": skipped, **info}
 
 
@@ -946,9 +1119,12 @@ def snapshot_vacuum(
     referenced_shards: set[str] = set()
     for sid in survivors:
         referenced.update(snapshot_files(table_dir, sid))
-        referenced_shards.update(
-            snapshot_manifest(table_dir, sid).get("shards", [])
-        )
+        sman = snapshot_manifest(table_dir, sid)
+        referenced_shards.update(sman.get("shards", []))
+        # live equality-delete files are load-bearing read state (r14,
+        # MOR): reclaiming one would silently resurrect deleted rows
+        for d in sman.get("delete_files", []):
+            referenced.update(d["paths"])
     import time as _time
 
     deleted = []
@@ -1146,8 +1322,19 @@ def snapshot_rollback(table_dir: str, to_id: int) -> int:
     snapshot_current() treats as authoritative — recorded, rejected."""
     files = snapshot_files(table_dir, to_id)
     parent = snapshot_current(table_dir)
+    # restore the TARGET's delete-file list too (r14, MOR tier):
+    # rollback re-states the whole table state, so the reverted
+    # snapshot's deletes come back with it (and deletes applied since
+    # are rolled back) — the default parent-inheritance would keep
+    # the HEAD's list, which is the wrong snapshot's state
+    target_dels = snapshot_manifest(table_dir, to_id).get(
+        "delete_files", []
+    )
     return snapshot_commit_atomic(
-        table_dir, parent, files, extra={"rollback_of": to_id}
+        table_dir,
+        parent,
+        files,
+        extra={"rollback_of": to_id, "delete_files": target_dels},
     )
 
 

@@ -356,9 +356,11 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
     )
 
     from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
         snapshot_commit_sharded,
         snapshot_compact_manifests,
         snapshot_data_files,
+        snapshot_delete_keys,
     )
 
     op = st.one_of(
@@ -375,6 +377,11 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         # flat and manifest-list snapshots freely
         st.tuples(st.just("sharded_append"), st.integers(0, 99)),
         st.tuples(st.just("mcompact"), st.just(None)),
+        # r14: the MOR tier joins the mix — snapshot-wide tombstones
+        # (a deleted key stays masked even if a later merge re-adds
+        # it, until a fold clears the list: the documented semantics)
+        st.tuples(st.just("mor_delete"), st.integers(0, 99)),
+        st.tuples(st.just("fold"), st.just(None)),
     )
 
     @settings(max_examples=4, deadline=None)
@@ -385,7 +392,9 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
         table = str(tmp_path / f"prop_{salt}")
         shutil.rmtree(table, ignore_errors=True)
         model: dict[int, float] = {}
+        tomb: set[int] = set()         # outstanding MOR tombstones
         history: dict[int, dict] = {}  # sid -> model state at commit
+        hist_tomb: dict[int, set] = {}  # sid -> tombstones at commit
         live: set[int] = set()         # unexpired snapshot ids
         refs: dict[str, int] = {}
         batch_id = 0
@@ -397,14 +406,19 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 assert merge_batch_idempotent(spark, table, df, batch_id)
                 batch_id += 1
                 model.update({k: float(v) for k, v in arg})
+                for k in tomb:  # tombstones mask re-merged keys too
+                    model.pop(k, None)
                 history[cur + 1] = dict(model)
+                hist_tomb[cur + 1] = set(tomb)
                 live.add(cur + 1)
             elif kind == "rollback":
                 if cur < 2 or (cur - 1) not in live:
                     continue  # target must exist and be unexpired
                 snapshot_rollback(table, cur - 1)
                 model = dict(history[cur - 1])
+                tomb = set(hist_tomb.get(cur - 1, set()))
                 history[cur + 1] = dict(model)
+                hist_tomb[cur + 1] = set(tomb)
                 live.add(cur + 1)
             elif kind == "vacuum":
                 if cur == 0:
@@ -419,6 +433,7 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 # still commit)
                 snapshot_compact(spark, table, sort_cols=["event_id"])
                 history[cur + 1] = dict(model)
+                hist_tomb[cur + 1] = set(tomb)
                 live.add(cur + 1)
             elif kind == "sharded_append":
                 # fresh keys only (appends ADD rows; colliding with a
@@ -438,6 +453,7 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 batch_id += 1
                 model[key] = float(arg)
                 history[cur + 1] = dict(model)
+                hist_tomb[cur + 1] = set(tomb)
                 live.add(cur + 1)
             elif kind == "mcompact":
                 if cur == 0:
@@ -445,6 +461,30 @@ def test_snapshot_layer_stateful_property(spark, tmp_path):
                 nid, _ = snapshot_compact_manifests(table, min_files=3)
                 if nid != cur:  # no-op below 2 small shards
                     history[nid] = dict(model)  # metadata motion only
+                    hist_tomb[nid] = set(tomb)
+                    live.add(nid)
+            elif kind == "mor_delete":
+                if cur == 0 or not model:
+                    continue
+                ks = sorted(model)[: 1 + arg % 3]
+                kdf = spark.createDataFrame(
+                    [(k,) for k in ks], "event_id bigint"
+                )
+                snapshot_delete_keys(spark, table, "event_id", kdf)
+                tomb |= set(ks)
+                for k in ks:
+                    model.pop(k, None)
+                history[cur + 1] = dict(model)
+                hist_tomb[cur + 1] = set(tomb)
+                live.add(cur + 1)
+            elif kind == "fold":
+                if cur == 0:
+                    continue
+                nid, _ = snapshot_apply_deletes(spark, table)
+                if nid != cur:  # no-op without outstanding deletes
+                    tomb = set()
+                    history[nid] = dict(model)  # read state unchanged
+                    hist_tomb[nid] = set()
                     live.add(nid)
             elif kind == "setref":
                 if cur == 0:
@@ -1517,3 +1557,120 @@ def test_snapshot_multiwriter_streaming_sinks_one_table(spark, tmp_path):
     assert snapshot_append_batch_multiwriter(table, mk("w2", 0), 0, "w2")
     man3 = snapshot_manifest(table, snapshot_current(table))
     assert man3["last_batch_ids"] == {"w0": 3, "w1": 2, "w2": 0}
+
+
+def test_mor_equality_delete_lifecycle(spark, tmp_path):
+    """r14 MOR tier end-to-end: a delete commit touches ZERO data
+    files; every reader (full, pruned) masks the rows; an ordinary
+    append INHERITS the delete list (no resurrection); time travel
+    and rollback restore per-snapshot delete state; the fold rewrites
+    only stats-admitted candidates and is row-invariant; vacuum never
+    reclaims a live delete file and reclaims folded ones after
+    expiry."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_read_pruned,
+        snapshot_rollback,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "tt")
+    # two range slices with per-file key stats
+    for lo in (0, 100):
+        d = os.path.join(table, "data", f"s{lo}")
+        spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(50)], "k bigint, v double"
+        ).coalesce(1).write.parquet(d)
+        files = snapshot_data_files(d)
+        stats = {"k": {fp: [lo, lo + 49] for fp in files}}
+        snapshot_commit_sharded(
+            table, snapshot_current(table), files, stats=stats
+        )
+    base_files = set(snapshot_files(table, 2))
+
+    # MOR delete: keys 10..19 (inside slice 1) — zero data files change
+    keys = spark.createDataFrame([(k,) for k in range(10, 20)], "k bigint")
+    did = snapshot_delete_keys(spark, table, "k", keys)
+    assert did == 3
+    assert set(snapshot_files(table, 3)) == base_files  # untouched
+    got = {r["k"] for r in snapshot_read(spark, table, 3).collect()}
+    assert got == set(range(0, 10)) | set(range(20, 50)) | set(
+        range(100, 150)
+    )
+    # time travel: the pre-delete snapshot still has the rows
+    assert snapshot_read(spark, table, 2).count() == 100
+    # pruned read honors the deletes
+    df, info = snapshot_read_pruned(spark, table, 3, "k", 0, 49)
+    assert len(info["kept"]) == 1
+    assert {r["k"] for r in df.collect()} == set(range(0, 10)) | set(
+        range(20, 50)
+    )
+
+    # an ordinary append inherits the delete list — no resurrection
+    d2 = os.path.join(table, "data", "s200")
+    spark.createDataFrame(
+        [(200 + i, 0.0) for i in range(5)], "k bigint, v double"
+    ).coalesce(1).write.parquet(d2)
+    f2 = snapshot_data_files(d2)
+    snapshot_commit_sharded(
+        table, 3, f2, stats={"k": {fp: [200, 204] for fp in f2}}
+    )
+    assert snapshot_manifest(table, 4)["delete_files"], "carry lost"
+    assert snapshot_read(spark, table, 4).count() == 95
+
+    # fold: only slice-1 files rewritten (stats-admitted), slice-2 and
+    # the append reused by path; row-invariant vs the MOR view
+    mor = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, table, 4).collect()
+    }
+    fid, finfo = snapshot_apply_deletes(spark, table)
+    assert fid == 5 and finfo["folded"] == 1
+    assert all("/s0/" in f or "s0" in f for f in finfo["rewritten"]), finfo
+    assert len(finfo["rewritten"]) == 1
+    assert snapshot_manifest(table, 5).get("delete_files", []) == []
+    folded = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, table, 5).collect()
+    }
+    assert folded == mor
+
+    # rollback to the MOR snapshot restores its delete list
+    rid = snapshot_rollback(table, 3)
+    assert snapshot_manifest(table, rid)["delete_files"]
+    assert snapshot_read(spark, table, rid).count() == 90
+    # roll forward again to the folded state for vacuum
+    rid2 = snapshot_rollback(table, 5)
+    assert snapshot_manifest(table, rid2).get("delete_files", []) == []
+
+    # vacuum with full history: live delete file referenced, kept
+    del_paths = {
+        p
+        for dd in snapshot_manifest(table, 3)["delete_files"]
+        for p in dd["paths"]
+    }
+    v = snapshot_vacuum(table)
+    assert del_paths <= set(v["kept"]) or not (
+        del_paths & set(v["deleted"])
+    )
+    for p in del_paths:
+        assert os.path.exists(p)
+    # expire every snapshot that references the delete file (incl.
+    # the rollback-to-3, whose manifest restored the list): debris now
+    old = time.time() - 7200
+    for p in del_paths:
+        os.utime(p, (old, old))
+    v2 = snapshot_vacuum(table, expire_before=7, min_age_s=3600)
+    assert del_paths <= set(v2["deleted"])
+    for p in del_paths:
+        assert not os.path.exists(p)
