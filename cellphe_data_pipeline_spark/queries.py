@@ -15827,6 +15827,49 @@ def s28(spark, sf_dir):
     )
 
 
+def _build_range_sharded_orders(spark, sf_dir, table):
+    """Shared fixture builder for the MOR-tier queries (o24, e33): a
+    6-slice range-sharded orders table with honest per-file
+    o_orderkey stats (the o19 writer-pays contract). Returns
+    (orders, c, slice_files) where c is the slice width."""
+    import os
+
+    from urllib.parse import urlparse
+
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # bounded
+    c = (mx + 6) // 6
+    cuts = [c * i for i in range(6)] + [mx + 1]
+    parent = 0
+    slice_files: dict[int, list] = {}
+    for i in range(6):
+        d = os.path.join(table, "data", f"s{i + 1}")
+        orders.filter(
+            (F.col("o_orderkey") >= cuts[i])
+            & (F.col("o_orderkey") < cuts[i + 1])
+        ).repartition(2).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        slice_files[i] = files
+        stats = {
+            "o_orderkey": {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(
+                    spark, files, "o_orderkey"
+                ).collect()
+            }
+        }
+        parent, _ = snapshot_commit_sharded(table, parent, files, stats=stats)
+    return orders, c, slice_files
+
+
 @register(
     "o24_mor_equality_delete",
     """
@@ -15881,48 +15924,18 @@ def o24(spark, sf_dir):
     at urgency time, reads pay one broadcast probe per outstanding
     delete file, and the rewrite happens once, bounded by stats, on
     the maintenance cadence."""
-    import os
-
-    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
     from cellphe_data_pipeline_spark.sources.io import (
         snapshot_apply_deletes,
-        snapshot_commit_sharded,
-        snapshot_current,
-        snapshot_data_files,
         snapshot_delete_keys,
         snapshot_files,
         snapshot_manifest,
         snapshot_read,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
     table = _stage_dir("o24_mor")
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # bounded
-    c = (mx + 6) // 6
-    cuts = [c * i for i in range(6)] + [mx + 1]
-    parent = 0
-    slice_files: dict[int, list] = {}
-    for i in range(6):
-        d = os.path.join(table, "data", f"s{i + 1}")
-        orders.filter(
-            (F.col("o_orderkey") >= cuts[i])
-            & (F.col("o_orderkey") < cuts[i + 1])
-        ).repartition(2).write.mode("overwrite").parquet(d)
-        files = snapshot_data_files(d)
-        slice_files[i] = files
-        from urllib.parse import urlparse
-
-        stats = {
-            "o_orderkey": {
-                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
-                for r in file_key_stats(
-                    spark, files, "o_orderkey"
-                ).collect()
-            }
-        }
-        parent, _ = snapshot_commit_sharded(table, parent, files, stats=stats)
+    orders, c, slice_files = _build_range_sharded_orders(
+        spark, sf_dir, table
+    )
 
     def row_hash(df):
         return df.agg(
@@ -15970,6 +15983,124 @@ def o24(spark, sf_dir):
         F.lit(True).alias("ok_zero_rewrite_commit"),
         F.lit(True).alias("ok_time_travel"),
         F.lit(True).alias("ok_bounded_fold"),
+        F.lit(True).alias("ok_fold_invariant"),
+    )
+
+
+@register(
+    "e33_streaming_mor_takedown",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_zero_rewrite,
+           TRUE AS ok_exactly_once,
+           TRUE AS ok_fold_invariant
+    FROM orders WHERE o_orderkey % 7 <> 2
+    GROUP BY o_orderpriority
+    """,
+)
+def e33(spark, sf_dir):
+    """§2.11 streaming TAKEDOWN against a published table via MOR
+    tombstone commits (r14; tracker.streaming_mor_takedown_drain) —
+    the table-format completion of the takedown family: c21's closure
+    computes WHAT to remove, v19/e30 remove from the serving INDEX,
+    this removes from the CORPUS TABLE itself at streaming latency.
+    Each micro-batch of takedown keys (o_orderkey % 7 == 2, arriving
+    in three key-range batches) becomes ONE equality-delete commit:
+    O(batch keys) bytes, ZERO data files touched — asserted in-query
+    by comparing the resolved file list across all three commits —
+    and the keys are masked for every reader from the next read on.
+    The snapshot-wide tombstone semantics (o24) are exactly the
+    takedown contract: a replayed ingest re-delivering a taken-down
+    key stays masked until maintenance folds the tombstones.
+
+    Exactly-once, both legs in-query: three ordered batches commit
+    3/0; a fresh-checkpoint replay refuses all three at the manifest
+    watermark (0/3) with the snapshot id unchanged. Maintenance then
+    folds the tombstones (stats-bounded rewrite) and the rollup
+    answers from the FOLDED table — the oracle recomputes it from raw
+    orders with the takedown predicate, so the value hash proves the
+    urgent path + the deferred fold dropped exactly the streamed
+    keys. At 100 TB: takedown latency is one micro-batch, the
+    expensive rewrite is deferred, batched, and bounded by stats."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_current,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_mor_takedown_drain,
+    )
+    import os
+
+    root = _stage_dir("e33_takedown")
+    table = os.path.join(root, "table")
+    orders, c, _ = _build_range_sharded_orders(spark, sf_dir, table)
+    base_files = set(snapshot_files(table, 6))
+
+    takedown = orders.filter(F.col("o_orderkey") % 7 == 2).select(
+        "o_orderkey"
+    )
+    bounds = [(0, 2 * c), (2 * c, 4 * c), (4 * c, 7 * c)]
+    parts = [
+        takedown.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        )
+        for lo, hi in bounds
+    ]
+    staged = _stage_ordered_batches(parts, "e33_batches")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_mor_takedown_drain(
+            spark, parts[0].schema, staged, table,
+            os.path.join(root, "ckpt"), "o_orderkey",
+        )
+    assert counts == {"committed": 3, "skipped": 0}, counts
+    sid = snapshot_current(table)
+    assert sid == 9
+    # zero data rewrite across all three takedown commits
+    assert set(snapshot_files(table, sid)) == base_files
+    assert len(snapshot_manifest(table, sid)["delete_files"]) == 3
+
+    # replay leg: fresh checkpoint, same batches — all refused
+    with _bounded_shuffle_partitions(spark):
+        counts2 = streaming_mor_takedown_drain(
+            spark, parts[0].schema, staged, table,
+            os.path.join(root, "ckpt_replay"), "o_orderkey",
+        )
+    assert counts2 == {"committed": 0, "skipped": 3}, counts2
+    assert snapshot_current(table) == sid
+
+    def row_hash(df):
+        return df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|", "o_orderkey", "o_orderpriority",
+                        F.col("o_totalprice").cast("string"),
+                    )
+                )
+            )
+        ).collect()[0][0]
+
+    mor_hash = row_hash(snapshot_read(spark, table, sid))
+    fid, finfo = snapshot_apply_deletes(spark, table)
+    assert snapshot_manifest(table, fid).get("delete_files", []) == []
+    assert row_hash(snapshot_read(spark, table, fid)) == mor_hash
+
+    return snapshot_read(spark, table, fid).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_zero_rewrite"),
+        F.lit(True).alias("ok_exactly_once"),
         F.lit(True).alias("ok_fold_invariant"),
     )
 
@@ -16098,6 +16229,7 @@ _NEXT_WINDOW_QUEUE = [
     "a29_kmv_segment_lifecycle",
     "s28_string_conjunctive_prune",
     "o24_mor_equality_delete",
+    "e33_streaming_mor_takedown",
 ]
 
 

@@ -622,6 +622,7 @@ def snapshot_delete_keys(
     table_dir: str,
     key_col: str,
     keys_df: DataFrame,
+    extra: dict | None = None,
 ) -> int:
     """MERGE-ON-READ equality delete (r14) — the tier COW deletion
     lacks at 100 TB: deleting a scattered key set under copy-on-write
@@ -674,7 +675,7 @@ def snapshot_delete_keys(
     keys_df.select(key_col).distinct().write.mode("overwrite").parquet(d)
     dels.append({"key": key_col, "paths": snapshot_data_files(d)})
     new_id, _ = snapshot_commit_sharded(
-        table_dir, parent, [], delete_files=dels
+        table_dir, parent, [], delete_files=dels, extra=extra
     )
     return new_id
 

@@ -2018,6 +2018,97 @@ def streaming_corpus_full_ingest_drain(
     return counts
 
 
+def mor_takedown_apply_batch(
+    spark,
+    table_dir: str,
+    key_col: str,
+    batch_df,
+    batch_id: int,
+) -> bool:
+    """Per-batch applier of the streaming MOR takedown sink (r14,
+    e33): one micro-batch of takedown keys becomes ONE equality-delete
+    commit — O(batch keys) of work and bytes, ZERO data files touched,
+    with the e25 last_batch_id watermark making replays refuse before
+    any write. Composes two proven pieces: snapshot_delete_keys (the
+    o24 MOR tier — snapshot-wide tombstones, so a key taken down in
+    batch k stays masked even if some ingest re-delivers it later) and
+    the idempotent-by-batch-id commit discipline every streaming sink
+    here uses. Returns True iff this call committed."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_delete_keys,
+        snapshot_manifest,
+    )
+
+    cur = snapshot_current(table_dir)
+    last = -1
+    if cur > 0:
+        last = snapshot_manifest(table_dir, cur).get("last_batch_id", -1)
+    if batch_id <= last:
+        return False
+    snapshot_delete_keys(
+        spark,
+        table_dir,
+        key_col,
+        batch_df,
+        extra={"last_batch_id": batch_id},
+    )
+    return True
+
+
+def streaming_mor_takedown_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    ckpt_dir: str,
+    key_col: str,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming TAKEDOWN against a published table via MOR tombstone
+    commits (r14, e33) — the table-format completion of the takedown
+    family (c21 closure computes WHAT to remove; v19/e30 delete from
+    the serving index; this removes from the CORPUS TABLE itself):
+    each micro-batch of takedown keys lands as one equality-delete
+    commit, so the keys are masked for every reader at the NEXT read
+    after the commit — takedown latency is one micro-batch, not one
+    compaction cycle — and the data rewrite happens later, bounded by
+    stats, on the maintenance cadence (snapshot_apply_deletes).
+
+    At 100 TB this is the only shape that meets takedown SLAs: the
+    urgent path writes O(keys) bytes; the expensive path (rewriting
+    the files that contain them) is deferred and batched. Exactly-once
+    via the manifest watermark; a full replay is all-refusals with
+    the table byte-identical (asserted by the e33 query)."""
+    counts = {"committed": 0, "skipped": 0}
+
+    def sink(batch_df, batch_id):
+        if mor_takedown_apply_batch(
+            spark, table_dir, key_col, batch_df, batch_id
+        ):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"mor-takedown drain did not finish in {timeout_s}s"
+        )
+    return counts
+
+
 def corpus_ingest_apply_batch(
     spark,
     table_dir: str,
