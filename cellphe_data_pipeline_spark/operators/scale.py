@@ -405,6 +405,44 @@ def snapshot_compact(
     }
 
 
+def snapshot_compact_with_retry(
+    spark: SparkSession,
+    table_dir: str,
+    max_retries: int = 5,
+    **compact_kwargs,
+) -> tuple[int, dict]:
+    """Maintenance-side optimistic retry for compaction (r14) —
+    closing the concurrent-DELETE validation trade snapshot_compact
+    records ("production systems additionally validate no concurrent
+    DELETE touched the compacted files"). The validation here is
+    REBASE-BY-RECONSTRUCTION rather than a conflict matrix: every
+    attempt re-runs snapshot_compact from scratch, which derives its
+    entire state (file list, small-file split, rewrite, stats) from
+    the snapshot CURRENT at attempt time — so a concurrent COW
+    delete/merge that removed files between attempts is respected
+    automatically, and the unsafe commit-level retry (re-publishing a
+    STALE file list, resurrecting concurrently-deleted rows) is
+    structurally impossible, not merely checked for. Wasted work on a
+    lost race is the rewrite of one attempt — the price of not
+    holding a lock, same as Iceberg's rewrite_data_files retry.
+    Concurrent MOR deletes commute with any interleaving: they remove
+    no files, and their tombstones carry through the compaction
+    commit (the delete-list inheritance contract), so the compacted
+    table masks them identically. Returns
+    (snapshot_id, info, )-compatible (new_id, info) from the winning
+    attempt."""
+    from cellphe_data_pipeline_spark.sources.io import SnapshotConflict
+
+    conflicts = 0
+    while True:
+        try:
+            return snapshot_compact(spark, table_dir, **compact_kwargs)
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > max_retries:
+                raise
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

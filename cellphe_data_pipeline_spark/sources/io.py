@@ -1348,19 +1348,62 @@ def snapshot_set_ref(table_dir: str, name: str, snapshot_id: int) -> None:
     nightly writes and audits candidates, and promotion is ONE pointer
     swap (the WAP publish gate completed — s22 quarantines a failed
     batch, refs name the blessed one). Semantics here are Iceberg's
-    BRANCH-style mutable ref; its immutable-tag variant is the same
-    file never rewritten — recorded, not separately implemented. The
-    target snapshot must exist (fail-fast beats a dangling ref)."""
+    BRANCH-style mutable ref; the immutable-tag variant is
+    :func:`snapshot_set_tag` (r14 — the s26 recorded variant, closed).
+    The target snapshot must exist (fail-fast beats a dangling ref);
+    moving a name a TAG already holds is refused — a tag's whole
+    contract is that it never moves."""
     import os
 
     # existence check: resolving must never dangle
     snapshot_manifest(table_dir, snapshot_id)
     rdir = os.path.join(table_dir, "refs")
     os.makedirs(rdir, exist_ok=True)
+    dst = os.path.join(rdir, f"{name}.json")
+    if os.path.exists(dst):
+        with open(dst) as f:
+            if json.load(f).get("immutable"):
+                raise ValueError(
+                    f"'{name}' is an immutable tag; a tag never moves"
+                )
     tmp = os.path.join(rdir, f".{name}.tmp.{_tmp_token()}")
     with open(tmp, "w") as f:
         json.dump({"name": name, "snapshot_id": snapshot_id}, f)
-    os.rename(tmp, os.path.join(rdir, f"{name}.json"))
+    os.rename(tmp, dst)
+
+
+def snapshot_set_tag(table_dir: str, name: str, snapshot_id: int) -> None:
+    """Immutable TAG over the snapshot pool (r14) — the variant s26
+    recorded ("the same file never rewritten"), now structural rather
+    than conventional: the tag file is created with link(2)
+    create-if-absent (the commit CAS idiom), so two racing taggers
+    get one winner and one error, and BOTH snapshot_set_tag and
+    snapshot_set_ref refuse to move an existing tag. Tags are the
+    audit-grade names (a release, a reproduced-run input pin) — the
+    pointer a reader can cite knowing it can never silently move;
+    they pin their target against expiry exactly like refs (vacuum
+    reads the same refs/ dir). Delete the file to drop the pin —
+    an explicit filesystem act, not an API, by design."""
+    import os
+
+    snapshot_manifest(table_dir, snapshot_id)  # no dangling tags
+    rdir = os.path.join(table_dir, "refs")
+    os.makedirs(rdir, exist_ok=True)
+    dst = os.path.join(rdir, f"{name}.json")
+    tmp = os.path.join(rdir, f".{name}.tmp.{_tmp_token()}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"name": name, "snapshot_id": snapshot_id, "immutable": True},
+            f,
+        )
+    try:
+        os.link(tmp, dst)  # create-if-absent: one winner
+    except FileExistsError:
+        raise ValueError(
+            f"tag '{name}' already exists (tags never move; refs do)"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def snapshot_resolve_ref(table_dir: str, name: str) -> int:

@@ -1674,3 +1674,89 @@ def test_mor_equality_delete_lifecycle(spark, tmp_path):
     assert del_paths <= set(v2["deleted"])
     for p in del_paths:
         assert not os.path.exists(p)
+
+
+def test_snapshot_compact_retry_rebases_by_reconstruction(spark, tmp_path):
+    """r14: compaction's concurrent-DELETE validation, closed by
+    construction — a retry re-derives EVERYTHING from the parent
+    current at attempt time. Leg 1 (deterministic): force the first
+    attempt's commit to lose the CAS by committing a COW delete
+    between read and publish (patched commit hook); the retry must
+    compact the POST-delete file list — the deleted rows stay gone.
+    Leg 2: immutable tags — set once, never move, refused by both
+    set_tag and set_ref, pinned against expiry like refs."""
+    import os
+
+    import pytest
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        snapshot_compact_with_retry,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        SnapshotConflict,
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_read,
+        snapshot_refs,
+        snapshot_resolve_ref,
+        snapshot_set_ref,
+        snapshot_set_tag,
+        snapshot_vacuum,
+    )
+
+    table = str(tmp_path / "tt")
+    slice_files = {}
+    for lo in (0, 100):
+        d = os.path.join(table, "data", f"s{lo}")
+        spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(20)], "k bigint, v double"
+        ).coalesce(1).write.parquet(d)
+        slice_files[lo] = snapshot_data_files(d)
+        snapshot_commit_sharded(
+            table, snapshot_current(table), slice_files[lo]
+        )
+
+    # a racing COW delete fires INSIDE the first compaction attempt,
+    # after it has read the file list: drop the s100 slice entirely.
+    # snapshot_compact binds the commit fn by from-import at call
+    # time, so the patch goes on the io module attribute.
+    from cellphe_data_pipeline_spark.sources import io as io_mod
+
+    real_sharded = io_mod.snapshot_commit_sharded
+    fired = {"n": 0}
+
+    def racing_commit(table_dir, parent, *a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            real_sharded(
+                table, parent, [], removed_files=slice_files[100]
+            )  # v3: the concurrent DELETE wins the race
+        return real_sharded(table_dir, parent, *a, **kw)
+
+    io_mod.snapshot_commit_sharded = racing_commit
+    try:
+        new_id, info = snapshot_compact_with_retry(
+            spark, table, sort_cols=["k"], target_partitions=1
+        )
+    finally:
+        io_mod.snapshot_commit_sharded = real_sharded
+    # the losing attempt's stale list (which still contained s100)
+    # must NOT have been published: the winner compacted post-delete
+    got = {r["k"] for r in snapshot_read(spark, table, new_id).collect()}
+    assert got == set(range(0, 20)), "deleted rows resurrected"
+    assert fired["n"] == 1  # exactly one injected race
+
+    # immutable tags
+    snapshot_set_tag(table, "release-1", 2)
+    assert snapshot_resolve_ref(table, "release-1") == 2
+    with pytest.raises(ValueError):
+        snapshot_set_tag(table, "release-1", new_id)
+    with pytest.raises(ValueError):
+        snapshot_set_ref(table, "release-1", new_id)
+    snapshot_set_ref(table, "serving", new_id)  # branches still move
+    snapshot_set_ref(table, "serving", 2)
+    # tags pin against expiry exactly like refs
+    v = snapshot_vacuum(table, expire_before=new_id)
+    assert 2 not in v["expired"]
+    assert snapshot_refs(table)["release-1"] == 2
