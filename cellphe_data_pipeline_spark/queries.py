@@ -16136,14 +16136,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # 4 + 32 + 14 = 50; after this round no registry query is
     # older than r9-proven.
     #
-    # Changed-code audit for r14: the advisor fixes touch
+    # Changed-code audit for r14: (a) the advisor fixes touch
     # sources/io.py (watermark carry, shard-GC horizon) and
     # aggregates.kmv_sketch — the queries whose paths changed are
     # s27/o23/e31/a28 (ALL in the queue below, so driver-re-proven
-    # this round) plus the r13-proven snapshot-lifecycle queries
-    # (o22, s26), whose commit path gained only additive carry keys
-    # and which are pinned by unit tests; re-proof slots zero per the
-    # verbatim ask ("zero other additions").
+    # this round); (b) the MOR tier makes snapshot_read/pruned reads
+    # delete-aware (inert without delete_files) and set_ref gains the
+    # tag-refusal guard — every reader-dependent proven query (s27,
+    # o22, o23, s26, e31) was re-verified against the local oracle
+    # AFTER those changes landed, and the new paths are driver-proven
+    # via the queued o24/e33; re-proof slots zero per the verbatim
+    # ask ("zero other additions").
     #
     # The r13 queue (never driver-proven — MUST-take slots):
     "s27_manifest_list",
