@@ -341,3 +341,44 @@ def test_d18_token_count_never_evaluates_on_the_corpus(spark, sf_dir):
     # and the physical strategy is the broadcast the docstring records
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in ex, ex
+
+
+def test_mor_read_masks_via_broadcast_anti_never_smj(spark, tmp_path):
+    """r14 (MOR tier): a delete-masked read must plan each outstanding
+    delete file as a BROADCAST anti hash join (one map-side probe per
+    delete file, no shuffle added to the scan) and never a
+    SortMergeJoin; a read of a snapshot WITHOUT delete files must
+    plan as the bare scan — zero joins, the mask costs nothing when
+    absent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).write.parquet(d)
+    snapshot_commit_sharded(
+        table, snapshot_current(table), snapshot_data_files(d)
+    )
+    bare = snapshot_read(spark, table, 1)
+    ex0 = bare._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ex0, ex0  # no mask, no join
+
+    keys = spark.range(10, 20).select(F.col("id").alias("k"))
+    snapshot_delete_keys(spark, table, "k", keys)
+    masked = snapshot_read(spark, table, 2)
+    ex = masked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex and "LeftAnti" in ex, ex
+    assert "SortMergeJoin" not in ex, ex
+    got = masked.count()
+    assert got == 990
