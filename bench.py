@@ -166,7 +166,7 @@ def main() -> None:
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_pipeline(bins, cc_shuffle_partitions=2)
+        out = run_pipeline(bins, cc_shuffle_partitions="auto")
         # materialise BOTH terminal stages: the A8 time-series table and
         # (new in r5) the frame-summary table — movement ⋈ M4 static
         # features ⋈ the un-stubbed J7 density column, the reference's
@@ -199,7 +199,7 @@ def main() -> None:
     runs4 = []
     for _ in range(2):
         t0 = time.perf_counter()
-        out4 = run_pipeline(bins4, cc_shuffle_partitions=2)
+        out4 = run_pipeline(bins4, cc_shuffle_partitions="auto")
         _materialise(out4["timeseries"])
         _materialise(out4["summary"])
         runs4.append(round(time.perf_counter() - t0, 3))

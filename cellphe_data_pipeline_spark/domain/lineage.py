@@ -71,7 +71,7 @@ def renumber_tracks(
     frame_col: str = "FRAME",
     src: str = "src",
     dst: str = "dst",
-    loop_shuffle_partitions: int | None = None,
+    loop_shuffle_partitions: int | str | None = None,
     edge_driver_cap: int = EDGE_DRIVER_CAP,
 ) -> DataFrame:
     """Assign 1-indexed TRACK_ID to every non-isolated node.
@@ -177,7 +177,13 @@ def renumber_tracks(
             "_tid",
             # track-head table is ~1 row per track; size its passes with
             # the loop's edge-volume knob, not the scan-sized default
-            num_parts=loop_shuffle_partitions,
+            # ("auto" is CC's edge-count sizing — meaningless here, so
+            # it falls back to the session default)
+            num_parts=(
+                loop_shuffle_partitions
+                if isinstance(loop_shuffle_partitions, int)
+                else None
+            ),
         ).select("segment", F.col("_tid").cast("int").alias("TRACK_ID"))
     return labelled.join(track_ids, "segment").select(id_col, frame_col, "TRACK_ID")
 

@@ -495,7 +495,24 @@ def kmv_sketch(
     mantissa, so h-equality collided at ~2^-53, not the documented
     2^-60, and mantissa ties could perturb the k-th-value cut).
     Ordering is identical (non-negative ints); θ is derived at
-    estimate time as h/2^60 via kmv_theta()."""
+    estimate time as h/2^60 via kmv_theta(). Stored tables are
+    version-guarded by kmv_check_format (the schema is the marker).
+
+    COMPOSITION WITH MOR DELETES (r15 rule, the r14 verdict's ask #6):
+    a KMV sketch is NOT subtractive — hashes of deleted keys cannot be
+    removed from a stored sketch, because the sketch retains only the
+    bottom-k and eviction history is gone. So a sketch built at
+    snapshot S serves estimates for S; after a delete commit touches
+    the segment it summarizes, the stale sketch OVER-counts by at most
+    the deleted distinct keys (deletes only remove set members, and
+    the retained-hash sample can only shrink toward the true set). The
+    rule: segments with outstanding (or folded) deletes REBUILD their
+    sketch from the delete-masked read (snapshot_read applies the
+    masks, so the rebuild is one pass over the surviving segment —
+    never the corpus); until the rebuild, estimates carry the
+    documented one-sided bound. tests/test_aggregates.py pins both
+    halves (stale ≥ truth; rebuilt-from-masked-read == sketch of the
+    surviving keys, exactly, by the semilattice property)."""
     h = F.conv(
         F.substring(F.md5(F.col("_k").cast("string")), 1, 15), 16, 10
     ).cast("bigint").alias("h")
@@ -516,4 +533,55 @@ def kmv_sketch(
         cand.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def kmv_check_format(df: DataFrame) -> DataFrame:
+    """Guard a STORED KMV sketch table against the r13 on-disk format
+    (r15, advisor-low): kmv_sketch's ``h`` changed from DOUBLE theta
+    in [0,1) to BIGINT in [0, 2^60) in r14, and a v1 table read
+    through the v2 estimate path (kmv_theta divides by 2^60) yields
+    theta ~= 0 and absurd estimates with no error. The parquet schema
+    IS the version marker — bigint h = v2, double h = v1 — so the
+    check needs no side-channel stamp and cannot drift from the data.
+    Raises ValueError naming the migration (rebuild the sketch; v1
+    retained less entropy than v2, so an in-place upscale would fake
+    precision that was never stored). Every stored-sketch read path
+    (the a29 lifecycle) goes through this guard."""
+    dt = dict(df.dtypes).get("h")
+    if dt is None:
+        raise ValueError("not a KMV sketch table: no 'h' column")
+    if dt != "bigint":
+        raise ValueError(
+            f"KMV sketch format mismatch: stored h is {dt}, expected "
+            "bigint (v2, r14+). A double h is a v1 (pre-r14) sketch "
+            "whose theta-in-[0,1) encoding mis-scales by 2^60 under "
+            "the v2 estimate path — rebuild the sketch from source "
+            "(v1 kept only 53 of 60 hash bits; upscaling in place "
+            "would fabricate precision)."
+        )
+    return df
+
+
+def kmv_merge(sketches: DataFrame, k: int, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Merge stored KMV sketches to the bottom-k per ``keys`` group
+    (the whole input as one group when empty) — correct because
+    bottom-k is a semilattice: the k smallest of a union equal the k
+    smallest of the union of per-part bottom-k's. Duplicate hashes
+    across parts (the same key observed by two segments) collapse to
+    ONE slot (collect_set), matching kmv_sketch's distinct-keys
+    semantics.
+
+    Physical shape (r15, the r14 verdict's ask #7): one AGGREGATE —
+    collect_set → sort_array → slice → explode — instead of a
+    row_number over an unpartitioned window, which planned a
+    single-partition WindowExec and warned on every run. Inputs are
+    sketch-sized by construction (≤ k rows per input sketch), so the
+    per-group set is bounded at k * n_parts; never feed corpus data
+    through this."""
+    grouped = sketches.groupBy(*[F.col(c) for c in keys]).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("_hs")
+    )
+    return grouped.select(
+        *[F.col(c) for c in keys], F.explode("_hs").alias("h")
     )

@@ -94,7 +94,7 @@ def run_pipeline(
     linking_max_distance: float = 10.0,
     max_frame_gap: int = 4,
     gap_closing_max_distance: float = 20.0,
-    cc_shuffle_partitions: int | None = None,
+    cc_shuffle_partitions: int | str | None = None,
     tracking_method: str = "greedy",
     tracking_gap_strategy: str = "inline",
     allow_splitting: bool = False,

@@ -1248,7 +1248,7 @@ def g4(spark, sf_dir):
     # per partition): sf0.1 is ~100k edges = ~1.6 MB, so 2 partitions —
     # fewer rounds AND fewer tasks; at cluster SF scale this knob up.
     return connected_components(
-        _event_edges(spark, sf_dir), "src", "dst", loop_shuffle_partitions=2
+        _event_edges(spark, sf_dir), "src", "dst", loop_shuffle_partitions="auto"
     )
 
 
@@ -1509,7 +1509,7 @@ def d11(spark, sf_dir):
 
     return dedup_keep_list(
         load_table(spark, sf_dir, "documents"),
-        cc_kwargs={"loop_shuffle_partitions": 2},
+        cc_kwargs={"loop_shuffle_partitions": "auto"},
     )
 
 
@@ -1946,7 +1946,7 @@ def g4b(spark, sf_dir):
     from cellphe_data_pipeline_spark.testing.fixtures import lineage_dfs
 
     nodes, edges = lineage_dfs(spark)
-    return renumber_tracks(nodes, edges, loop_shuffle_partitions=4)
+    return renumber_tracks(nodes, edges, loop_shuffle_partitions="auto")
 
 
 @register(
@@ -5273,7 +5273,7 @@ def d7(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(d)
-    return dedup_clusters(pairs, loop_shuffle_partitions=2)
+    return dedup_clusters(pairs, loop_shuffle_partitions="auto")
 
 
 @register(
@@ -10670,7 +10670,7 @@ def c21(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     seeds = d.filter(F.col("doc_id") % 83 == 5).select("doc_id")
     pairs = minhash_near_duplicates(d)
-    clusters = dedup_clusters(pairs, loop_shuffle_partitions=2).select(
+    clusters = dedup_clusters(pairs, loop_shuffle_partitions="auto").select(
         "doc_id", "cluster_id"
     )
     seed_clusters = (
@@ -13095,7 +13095,7 @@ def c23(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     clusters = dedup_clusters(
-        minhash_near_duplicates(d), loop_shuffle_partitions=2
+        minhash_near_duplicates(d), loop_shuffle_partitions="auto"
     ).select("doc_id", "cluster_id")
     key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     b = portable_hash64(key.cast("string"), seed="leak1-") % 10000
@@ -14285,7 +14285,7 @@ def c24(spark, sf_dir):
         n=4,
     ).select("doc_id")
     clusters = dedup_clusters(
-        minhash_near_duplicates(docs), loop_shuffle_partitions=2
+        minhash_near_duplicates(docs), loop_shuffle_partitions="auto"
     ).select("doc_id", "cluster_id")
 
     corpus = (
@@ -14793,7 +14793,7 @@ def d18(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     clusters = dedup_clusters(
-        minhash_near_duplicates(docs), loop_shuffle_partitions=2
+        minhash_near_duplicates(docs), loop_shuffle_partitions="auto"
     ).select("doc_id", "cluster_id")
     scored = (
         docs.select("doc_id", "text")
@@ -15017,6 +15017,7 @@ def a28(spark, sf_dir):
     not the product); stored per-segment sketches then answer any
     union/intersection at O(k) bytes with per-answer error bars."""
     from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_merge,
         kmv_sketch,
         kmv_theta,
     )
@@ -15038,14 +15039,11 @@ def a28(spark, sf_dir):
     ska = sk.filter(F.col("tag") == "a").select("h")
     skb = sk.filter(F.col("tag") == "b").select("h")
 
-    # merged sketch: k smallest of the union of retained hashes
-    # (sketch-sized inputs — the single-partition window sorts ≤ 2k
-    # rows, never corpus data)
-    merged = ska.unionAll(skb).distinct()
-    wk = Window.orderBy("h")
-    kth = merged.withColumn("_rn", F.row_number().over(wk)).filter(
-        F.col("_rn") <= k
-    )
+    # merged sketch: k smallest of the union of retained hashes —
+    # one sketch-sized AGGREGATE (r15, kmv_merge: collect_set →
+    # sort_array → slice; replaced the unpartitioned row_number
+    # window that planned a single-partition WindowExec)
+    kth = kmv_merge(ska.unionAll(skb), k)
     theta_m = kth.agg(
         F.when(F.count(F.lit(1)) >= k, kmv_theta(F.max("h")))
         .otherwise(F.lit(1.0))
@@ -15146,6 +15144,8 @@ def a29(spark, sf_dir):
     theta's honest per-estimate error bar instead of
     inclusion-exclusion compounding."""
     from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_check_format,
+        kmv_merge,
         kmv_sketch,
         kmv_theta,
     )
@@ -15176,16 +15176,17 @@ def a29(spark, sf_dir):
     store = os.path.join(_stage_dir("a29_sketches"), "segments")
     kmv_sketch(seg_tagged, "k", "tag", k=k).write.parquet(store)
 
-    # lifecycle side: everything below reads ONLY the sketch table
-    stored = spark.read.parquet(store).select(
+    # lifecycle side: everything below reads ONLY the sketch table;
+    # kmv_check_format is the v1/v2 schema guard (r15, advisor-low —
+    # a pre-r14 double-h sketch fails loudly here instead of
+    # mis-scaling by 2^60 through kmv_theta)
+    stored = kmv_check_format(spark.read.parquet(store)).select(
         F.split("tag", r"\|").getItem(0).alias("tag"), "h"
     )
-    wk_tag = Window.partitionBy("tag").orderBy("h")
-    merged = (
-        stored.withColumn("_rn", F.row_number().over(wk_tag))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    # per-tag merge of the stored segment sketches — one sketch-sized
+    # aggregate per tag (r15, kmv_merge; replaced the row_number
+    # windows that planned single-partition WindowExecs, ask #7)
+    merged = kmv_merge(stored, k, keys=("tag",))
     direct = kmv_sketch(tagged, "k", "tag", k=k)  # the rescan reference
     mism = (
         merged.exceptAll(direct)
@@ -15198,11 +15199,7 @@ def a29(spark, sf_dir):
 
     ska = merged.filter(F.col("tag") == "a").select("h")
     skb = merged.filter(F.col("tag") == "b").select("h")
-    m_union = ska.unionAll(skb).distinct()
-    wk = Window.orderBy("h")
-    kth = m_union.withColumn("_rn", F.row_number().over(wk)).filter(
-        F.col("_rn") <= k
-    )
+    kth = kmv_merge(ska.unionAll(skb), k)
     theta_m = kth.agg(
         F.when(F.count(F.lit(1)) >= k, kmv_theta(F.max("h")))
         .otherwise(F.lit(1.0))
@@ -16122,96 +16119,106 @@ def e33(spark, sf_dir):
 # (scripts/verify_local.py); tests/test_registry.py enforces both the
 # prefix order and the displaced-means-proven invariant mechanically.
 _DRIVER_WINDOW_PRIORITY = [
-    # =============== ROUND-14 WINDOW (queue + rotation) ===============
-    # Composition per the r13 verdict ask #1, executed verbatim:
-    #   1. the 4-query _NEXT_WINDOW_QUEUE (r13 additions, never
-    #      driver-proven — the queue's contract is that they MUST
-    #      take the first slots of this window);
-    #   2. the full 32-query r8-proven cohort (oldest debt; ledger
-    #      recomputed from CORRECTNESS_r01-r13 this session,
-    #      histogram r8x32 r9x45 r10x48 r11x49 r12x50 r13x50,
-    #      zero never-proven outside the queue);
-    #   3. the 14 oldest r9-proven (alphabetical within r9 — no
-    #      finer-grained age exists).
-    # 4 + 32 + 14 = 50; after this round no registry query is
-    # older than r9-proven.
+    # =============== ROUND-15 WINDOW (queue + changed + rotation) =====
+    # Composition per the r14 verdict asks #1 and #2 together:
+    #   1. the 5-query _NEXT_WINDOW_QUEUE (r14 additions, never
+    #      driver-proven — MUST-take first slots);
+    #   2. the CHANGED-CODE re-proof cohort (11): every registered
+    #      query whose ENGINE PATH changed this round —
+    #      the 8 queries whose CC/closure loops switched from a
+    #      constant loop_shuffle_partitions to "auto" (ask #2: c24,
+    #      g4, g4b, d7, d11, c21, c23, d18), a28 (sketch merge moved
+    #      from an unpartitioned row_number window to the kmv_merge
+    #      aggregate, ask #7), s25 (snapshot_rollback now re-states
+    #      the target's full manifest body, advisor-low), s26
+    #      (snapshot_set_ref's tag guard went atomic, advisor-low);
+    #   3. the full 31-query r9-proven cohort (the oldest debt —
+    #      ledger recomputed from CORRECTNESS_r01-r14 this session,
+    #      histogram r9x31 r10x48 r11x49 r12x50 r13x50 r14x50);
+    #   4. the 3 alphabetically-first r10-proven to fill 50.
+    # 5 + 11 + 31 + 3 = 50. After this round the oldest cohort is
+    # r10-proven (45 queries).
     #
-    # Changed-code audit for r14: (a) the advisor fixes touch
-    # sources/io.py (watermark carry, shard-GC horizon) and
-    # aggregates.kmv_sketch — the queries whose paths changed are
-    # s27/o23/e31/a28 (ALL in the queue below, so driver-re-proven
-    # this round); (b) the MOR tier makes snapshot_read/pruned reads
-    # delete-aware (inert without delete_files) and set_ref gains the
-    # tag-refusal guard — every reader-dependent proven query (s27,
-    # o22, o23, s26, e31) was re-verified against the local oracle
-    # AFTER those changes landed, and the new paths are driver-proven
-    # via the queued o24/e33; re-proof slots zero per the verbatim
-    # ask ("zero other additions").
+    # Changed-code audit for r15 (what changed, and why everything
+    # else keeps its proof): (a) _apply_delete_files now folds all
+    # outstanding delete files into ONE broadcast anti-join per key
+    # column — inert for every manifest without delete_files (plan
+    # pin: bare scan unchanged), driver-proven via the queued
+    # o24/e33; (b) snapshot_delete_keys gained a collision-free
+    # delete dir + CAS retry and snapshot_apply_deletes gained the
+    # empty-candidates short-circuit + fold-output stats recompute —
+    # both paths are exercised ONLY by o24/e33 (queued) and the new
+    # barrier stresses in test_ingest.py; (c) rollback/set_ref
+    # changes re-prove via s25/s26 below; (d) kmv_sketch is UNCHANGED
+    # (only its docstring grew the MOR-composition rule), kmv_merge/
+    # kmv_check_format are new helpers used by a28 (below) and a29
+    # (queued). All 16 queue+changed queries were locally
+    # oracle-verified via scripts/verify_local.py this session before
+    # taking window slots.
     #
-    # The r13 queue (never driver-proven — MUST-take slots):
-    "s27_manifest_list",
+    # The r14 queue (never driver-proven — MUST-take slots):
+    "e32_streaming_corpus_full",
+    "a29_kmv_segment_lifecycle",
+    "s28_string_conjunctive_prune",
+    "o24_mor_equality_delete",
+    "e33_streaming_mor_takedown",
+    # Changed-code re-proofs (alphabetical):
     "a28_kmv_intersect_audit",
-    "e31_streaming_corpus_ingest",
-    "o23_sharded_maintenance",
-    # The r8-proven cohort, oldest debt first (alphabetical):
-    "d14_containment_neardup",
-    "d17_lsh_recall",
-    "e10_streaming_quality_gate",
-    "e11_streaming_count_min",
-    "e12_streaming_sessionization",
-    "f15_json_encode",
-    "f16_roi_interpolation",
-    "f9_f12_clip_sprintf",
-    "j10_interval_join",
-    "j11_spatial_nn_join",
-    "j8_salted_join",
-    "j9_asof_join",
-    "m3f_joint_lap",
-    "m5_movement_features",
-    "mm1_scene_cuts",
-    "mm2_audio_quality",
-    "mm3_clip_segments",
-    "mm6_image_dhash_neardup",
-    "o5_topk",
-    "o6_limit_per_group",
-    "o8_bucketed_join",
-    "o9_partition_pruned_scan",
-    "p14_predicate_branch",
-    "p3_conditional_output",
-    "s2_ome_companion_scan",
-    "s8_trackmate_spots",
-    "t19_bpe_learn_merges",
-    "t21_pmi_phrases",
-    "t22_bpe_roundtrip",
-    "t23_count_min_topk",
-    "t24_bpe_tokenize_arrow",
-    "t25_tokenizer_fertility",
-    # The 14 oldest r9-proven (alphabetical within r9):
-    "a12_group_quantiles",
-    "a13_group_ols",
-    "a8_timeseries_stats",
-    "c16_semantic_decontaminate",
-    "c19_scd2_history",
-    "c5_decontaminate",
-    "c6_epoch_shuffle",
-    "c7_incremental_upsert",
-    "d15_semantic_dedup",
-    "d15b_semantic_dedup_trained",
-    "d3b_minhash_expr_bands",
-    "d6_embedding_neardup",
-    "d6b_srp_neardup",
-    "e15_streaming_ann_serve",
-    # =============== end round-14 window ===============
-    # After this round the oldest cohort is r9-proven (31 queries).
-    # Prior-round windows are recorded in git history and in the
-    # CORRECTNESS_r0N.json artifacts; everything past slot 50 keeps
-    # its registration order and is driver-proven in a recorded round
-    # (tests/test_registry.py enforces displaced-means-proven).
-    #
-    # r15 window plan (continuity note): lead with whatever
-    # _NEXT_WINDOW_QUEUE holds at the r14 close (r14 additions, each
-    # locally oracle-verified before queueing), then the 31 remaining
-    # r9-proven queries, then the oldest r10-proven to fill 50.
+    "c21_takedown_closure",
+    "c23_leakage_safe_split",
+    "c24_corpus_pipeline",
+    "d7_dedup_clusters",
+    "d11_quality_keep_list",
+    "d18_best_representative",
+    "g4_connected_components",
+    "g4b_renumber_tracks",
+    "s25_snapshot_rollback",
+    "s26_snapshot_refs",
+    # The full r9-proven cohort, oldest debt first (alphabetical):
+    "e1_hourly_rollup",
+    "e2_sessionize",
+    "j12_aqe_skew_split",
+    "j13_fuzzy_entity_join",
+    "m4_static_features",
+    "m6b_mask_contours",
+    "mm7_image_phash_neardup",
+    "o10_dpp_join",
+    "o11_bloom_filtered_join",
+    "o12_bucket_pruned_lookup",
+    "s1_glob_scan",
+    "s5_jpeg_gray",
+    "s8b_trackmate_edges",
+    "t4_token_counts",
+    "t5_redact",
+    "t6_repetition",
+    "t9_zscore_outliers",
+    "u3_u4_multi_concat",
+    "u5_intersect_except",
+    "v13_ivf_published",
+    "v14_ivf_append",
+    "v15_pq_published",
+    "v1_cosine_topk",
+    "v2_srp_topk",
+    "v3_ivf_topk",
+    "v4_probe_topk",
+    "v7_int8_srp_topk",
+    "w10_gap_fill",
+    "w6_rank_lead_ntile",
+    "w7_session_window",
+    "w9_ewma",
+    # The 3 alphabetically-first r10-proven:
+    "a16_approx_quantile_audit",
+    "a17_drift_profile",
+    "a18_profile_merge",
+    # =============== end round-15 window ===============
+    # r16 window plan (continuity note): lead with whatever
+    # _NEXT_WINDOW_QUEUE holds at the r15 close (r15 additions, each
+    # locally oracle-verified before queueing), then the 45 remaining
+    # r10-proven queries to fill 50.
+    # Prior-round windows (r1-r14) are recorded in git history and in
+    # the CORRECTNESS_r0N.json artifacts; everything past slot 50
+    # keeps its registration order and is driver-proven in a recorded
+    # round (tests/test_registry.py enforces displaced-means-proven).
 ]
 
 # Queries added THIS round, queued for the NEXT round's driver window
@@ -16225,14 +16232,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # oracle or a rows-only registration, like every other query). The
 # r13 window MUST lead with these names.
 _NEXT_WINDOW_QUEUE = [
-    # r14 additions land here as they are built (each locally
-    # oracle-verified before queueing); the r13 queue (s27, a28, e31,
-    # o23) graduated into the r14 window's first four slots above.
-    "e32_streaming_corpus_full",
-    "a29_kmv_segment_lifecycle",
-    "s28_string_conjunctive_prune",
-    "o24_mor_equality_delete",
-    "e33_streaming_mor_takedown",
+    # r15 additions land here as they are built (each locally
+    # oracle-verified before queueing); the r14 queue (e32, a29, s28,
+    # o24, e33) graduated into the r15 window's first five slots
+    # above.
 ]
 
 

@@ -151,10 +151,24 @@ def _apply_delete_files(
     smaller than the table (a takedown list, a GDPR batch), so they
     BROADCAST — the corpus-side read stays a map-side hash probe, no
     shuffle is added to any reader. A manifest with no delete_files
-    pays nothing (the common case compiles to the bare scan)."""
+    pays nothing (the common case compiles to the bare scan).
+
+    Plan depth is CAPPED at one anti-join per distinct key COLUMN
+    (r15, the r14 verdict's ask #3): all outstanding delete files
+    sharing a key column are read as ONE multi-path parquet scan and
+    masked with ONE broadcast anti-join, so a table taking one
+    takedown commit per micro-batch (e33's cadence) reads through a
+    constant-depth plan however many delete commits are outstanding
+    between folds — the reader's cost tracks delete KEYS, never
+    delete COMMITS. Masks compose (set subtraction commutes), so the
+    per-column grouping is semantics-preserving; the plan pin lives in
+    tests/test_plans.py."""
+    by_key: dict[str, list[str]] = {}
     for d in man.get("delete_files", []):
-        keys = spark.read.parquet(*d["paths"]).select(d["key"]).distinct()
-        df = df.join(F.broadcast(keys), d["key"], "left_anti")
+        by_key.setdefault(d["key"], []).extend(d["paths"])
+    for key, paths in by_key.items():
+        keys = spark.read.parquet(*paths).select(key).distinct()
+        df = df.join(F.broadcast(keys), key, "left_anti")
     return df
 
 
@@ -660,24 +674,45 @@ def snapshot_delete_keys(
     COW merge). The stateful property suite models exactly these
     semantics.
 
+    CONCURRENCY (r15, advisor-medium): the delete file lands in a
+    collision-free per-call dir (data/deletes/d_{token} — the same
+    per-writer-path rule the multiwriter append sink uses), written
+    ONCE, and the commit runs a CAS retry loop that RE-READS the
+    fresh parent's delete list per attempt — so two racing delete
+    writers, or a delete racing an append/maintenance commit, always
+    converge to a linear history whose head carries the UNION of both
+    key sets. The old scheme (d{parent+1} + mode=overwrite, no retry)
+    let the CAS loser's overwrite clobber the winner's part files —
+    the committed manifest then referenced missing delete files and
+    rows silently resurrected. The barrier stress in test_ingest.py
+    pins the race.
+
     Returns the new snapshot id."""
     import os
 
-    parent = snapshot_current(table_dir)
-    dels = (
-        list(
-            snapshot_manifest(table_dir, parent).get("delete_files", [])
-        )
-        if parent > 0
-        else []
-    )
-    d = os.path.join(table_dir, "data", "deletes", f"d{parent + 1}")
+    d = os.path.join(table_dir, "data", "deletes", f"d_{_tmp_token()}")
     keys_df.select(key_col).distinct().write.mode("overwrite").parquet(d)
-    dels.append({"key": key_col, "paths": snapshot_data_files(d)})
-    new_id, _ = snapshot_commit_sharded(
-        table_dir, parent, [], delete_files=dels, extra=extra
-    )
-    return new_id
+    entry = {"key": key_col, "paths": snapshot_data_files(d)}
+    conflicts = 0
+    while True:
+        parent = snapshot_current(table_dir)
+        dels = (
+            list(
+                snapshot_manifest(table_dir, parent).get("delete_files", [])
+            )
+            if parent > 0
+            else []
+        )
+        try:
+            new_id, _ = snapshot_commit_sharded(
+                table_dir, parent, [], delete_files=dels + [entry],
+                extra=extra,
+            )
+            return new_id
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > 8:
+                raise
 
 
 def snapshot_apply_deletes(
@@ -697,7 +732,19 @@ def snapshot_apply_deletes(
     maintenance, never pay-eager at ingest. Row invariance (folded
     table == MOR view) is the caller's assertable contract; the o24
     query pins it with a hash. No-op (current id, empty info) when
-    nothing is outstanding."""
+    nothing is outstanding.
+
+    r15 fixes (both advisor findings): (a) ZERO candidate files —
+    every outstanding key outside every file's [min,max] range, the
+    takedown-feed-of-absent-keys case — used to crash on an empty
+    spark.read.parquet(*[]) and leave the delete files permanently
+    unfoldable; it now commits delete_files=[] directly (nothing to
+    rewrite, the masks were vacuous). (b) The fold output's per-file
+    stats are RECOMPUTED for every column the parent manifest carried
+    bounds for, so folded files stay prunable — previously they lost
+    their [min,max] forever and every later pruned read had to open
+    them (superset-admit kept correctness; pruning degraded per
+    fold)."""
     import os
 
     cur = snapshot_current(table_dir)
@@ -725,16 +772,48 @@ def snapshot_apply_deletes(
             ):
                 candidates.add(fp)
     rewritten = sorted(candidates)
+    if not rewritten:
+        # every outstanding key is provably absent from every file
+        # (stats-range disjoint) — the masks are vacuous, so clear the
+        # delete list without touching any data (r15, advisor-medium)
+        new_id, info = snapshot_commit_sharded(
+            table_dir, cur, [], delete_files=[], extra={"fold_of": cur}
+        )
+        return new_id, {
+            "rewritten": [],
+            "reused": sorted(files),
+            "folded": len(dels),
+            "commit_info": info,
+        }
     out = os.path.join(table_dir, "data", f"fold_{cur + 1}")
     df = spark.read.parquet(*rewritten)
     df = _apply_delete_files(spark, man, df)
     df.write.mode("overwrite").parquet(out)
     new_files = snapshot_data_files(out)
+    # recompute per-file bounds for the fold output so pruning
+    # survives the fold (r15, advisor-low): one column-pruned scan per
+    # stats column, grouped on file metadata — the o19 writer-pays
+    # rule applied at the one place a maintenance op creates files
+    new_stats: dict = {}
+    for col in stats:
+        if col not in df.columns:
+            continue
+        from urllib.parse import urlparse
+
+        per_file = {
+            urlparse(r["file"]).path: [r["lo"], r["hi"]]
+            for r in spark.read.parquet(out)
+            .groupBy(F.col("_metadata.file_path").alias("file"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()  # bounded: one row per fold output file
+        }
+        new_stats[col] = per_file
     new_id, info = snapshot_commit_sharded(
         table_dir,
         cur,
         new_files,
         removed_files=rewritten,
+        stats=new_stats or None,
         delete_files=[],
         extra={"fold_of": cur},
     )
@@ -1320,22 +1399,33 @@ def snapshot_rollback(table_dir: str, to_id: int) -> int:
     rollback through the same CAS every commit uses. This is
     Iceberg's rollback semantics; the alternative (moving the pointer
     backwards) would fork truth from the manifest pool, which
-    snapshot_current() treats as authoritative — recorded, rejected."""
-    files = snapshot_files(table_dir, to_id)
+    snapshot_current() treats as authoritative — recorded, rejected.
+
+    The reverted commit re-states the target's WHOLE manifest body
+    (r15, advisor-low): a sharded target's shard list and shard_stats
+    are reused by path (zero bytes rewritten — the shards are
+    content-addressed and immutable), a flat target's files AND
+    per-file stats come back together. The old path flattened a
+    sharded target into an inline list with no stats, so a rollback
+    silently cost every later pruned read its bounds."""
     parent = snapshot_current(table_dir)
+    tman = snapshot_manifest(table_dir, to_id)
     # restore the TARGET's delete-file list too (r14, MOR tier):
     # rollback re-states the whole table state, so the reverted
     # snapshot's deletes come back with it (and deletes applied since
     # are rolled back) — the default parent-inheritance would keep
     # the HEAD's list, which is the wrong snapshot's state
-    target_dels = snapshot_manifest(table_dir, to_id).get(
-        "delete_files", []
-    )
-    return snapshot_commit_atomic(
-        table_dir,
-        parent,
-        files,
-        extra={"rollback_of": to_id, "delete_files": target_dels},
+    body: dict = {"delete_files": tman.get("delete_files", [])}
+    if "shards" in tman:
+        body["shards"] = list(tman["shards"])
+        if tman.get("shard_stats"):
+            body["shard_stats"] = tman["shard_stats"]
+    else:
+        body["files"] = sorted(tman.get("files", []))
+        if tman.get("stats"):
+            body["stats"] = tman["stats"]
+    return _cas_publish_manifest(
+        table_dir, parent, body, {"rollback_of": to_id}
     )
 
 
@@ -1352,7 +1442,18 @@ def snapshot_set_ref(table_dir: str, name: str, snapshot_id: int) -> None:
     :func:`snapshot_set_tag` (r14 — the s26 recorded variant, closed).
     The target snapshot must exist (fail-fast beats a dangling ref);
     moving a name a TAG already holds is refused — a tag's whole
-    contract is that it never moves."""
+    contract is that it never moves.
+
+    The tag guard is ATOMIC (r15, advisor-low — the old
+    exists-then-rename was a TOCTOU window a racing snapshot_set_tag
+    could lose its fresh tag into): creation takes the same link(2)
+    create-if-absent path the tag writer takes, so when the name is
+    free exactly one of {ref writer, tag writer} wins the link and
+    the other sees EEXIST. Only an EXISTING MUTABLE ref is replaced
+    by rename — and a tag can never be created over an existing file
+    (set_tag's own link fails), so the rename can only ever clobber
+    another mutable-ref write, which is the last-writer-wins contract
+    refs already have."""
     import os
 
     # existence check: resolving must never dangle
@@ -1360,16 +1461,28 @@ def snapshot_set_ref(table_dir: str, name: str, snapshot_id: int) -> None:
     rdir = os.path.join(table_dir, "refs")
     os.makedirs(rdir, exist_ok=True)
     dst = os.path.join(rdir, f"{name}.json")
-    if os.path.exists(dst):
+    tmp = os.path.join(rdir, f".{name}.tmp.{_tmp_token()}")
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "snapshot_id": snapshot_id}, f)
+    try:
+        try:
+            os.link(tmp, dst)  # create-if-absent: atomic when free
+            return
+        except FileExistsError:
+            pass
         with open(dst) as f:
             if json.load(f).get("immutable"):
                 raise ValueError(
                     f"'{name}' is an immutable tag; a tag never moves"
                 )
-    tmp = os.path.join(rdir, f".{name}.tmp.{_tmp_token()}")
-    with open(tmp, "w") as f:
-        json.dump({"name": name, "snapshot_id": snapshot_id}, f)
-    os.rename(tmp, dst)
+        # existing MUTABLE ref: replace atomically. No tag can appear
+        # under the rename (create-if-absent fails on existing files),
+        # so this clobbers only other mutable-ref writes.
+        os.rename(tmp, dst)
+        tmp = None  # consumed by the rename
+    finally:
+        if tmp is not None and os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def snapshot_set_tag(table_dir: str, name: str, snapshot_id: int) -> None:

@@ -1231,3 +1231,151 @@ def test_kmv_sketch_merge_equals_sketch_of_union(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_kmv_check_format_rejects_v1_double_sketch(spark, tmp_path):
+    """r15 (advisor-low): a stored v1 sketch (double theta-style h)
+    read through the v2 path must fail LOUDLY, not mis-scale by 2^60;
+    the parquet schema is the version marker."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_check_format,
+        kmv_sketch,
+    )
+
+    v1 = str(tmp_path / "v1")
+    spark.range(0, 100).select(
+        F.lit("a").alias("tag"), (F.col("id") / 100.0).alias("h")
+    ).write.parquet(v1)
+    with pytest.raises(ValueError, match="rebuild the sketch"):
+        kmv_check_format(spark.read.parquet(v1))
+
+    with pytest.raises(ValueError, match="no 'h' column"):
+        kmv_check_format(spark.range(3))
+
+    v2 = str(tmp_path / "v2")
+    df = spark.range(0, 100).select(
+        F.lit("a").alias("tag"), F.col("id").alias("k")
+    )
+    kmv_sketch(df, "k", "tag", k=16).write.parquet(v2)
+    out = kmv_check_format(spark.read.parquet(v2))  # passes through
+    assert out.count() == 16
+
+
+def test_kmv_merge_semilattice_equals_direct(spark):
+    """Bottom-k is a semilattice: merging per-segment sketches equals
+    the direct whole-set sketch, exactly — including OVERLAPPING
+    segments (the same key in two parts collapses to one slot)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    base = spark.range(0, 2000).select(
+        F.lit("t").alias("tag"), F.col("id").alias("k")
+    )
+    # overlapping segmentation: [0,1200) and [800,2000)
+    seg1 = kmv_sketch(base.filter(F.col("k") < 1200), "k", "tag", k=k)
+    seg2 = kmv_sketch(base.filter(F.col("k") >= 800), "k", "tag", k=k)
+    merged = kmv_merge(seg1.unionAll(seg2), k, keys=("tag",))
+    direct = kmv_sketch(base, "k", "tag", k=k)
+    assert (
+        merged.exceptAll(direct).unionAll(direct.exceptAll(merged)).count()
+        == 0
+    )
+
+
+def test_kmv_mor_delete_rule(spark, tmp_path):
+    """r15 (the r14 verdict's ask #6) — the sketch-vs-delete-tier
+    composition rule, pinned both ways: (1) a sketch built BEFORE a
+    takedown over-counts (one-sided: stale estimate >= truth, the
+    sketch is not subtractive); (2) rebuilding from the delete-MASKED
+    read (snapshot_read applies the masks) equals the sketch of the
+    surviving keys EXACTLY — so the lifecycle rule is 'rebuild
+    affected segments from the masked read on the maintenance
+    cadence, treat stale estimates as upper bounds until then'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_sketch,
+        kmv_theta,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    k = 128
+
+    def estimate(sk) -> float:
+        row = (
+            sk.agg(
+                F.count(F.lit(1)).alias("m"),
+                F.max("h").alias("hmax"),
+            ).collect()[0]
+        )
+        if row["m"] < k:
+            return float(row["m"])
+        theta = row["hmax"] / float(2**60)
+        return (k - 1) / theta
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 5000).select(F.col("id").alias("k")).write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    pre = snapshot_read(spark, table, 1).select(
+        F.lit("seg").alias("tag"), "k"
+    )
+    stale = kmv_sketch(pre, "k", "tag", k=k).localCheckpoint(eager=True)
+
+    # takedown: a 40% bite so the estimate gap clears sketch noise
+    snapshot_delete_keys(
+        spark,
+        table,
+        "k",
+        spark.range(0, 2000).select(F.col("id").alias("k")),
+    )
+    cur = snapshot_current(table)
+    surviving = snapshot_read(spark, table, cur)
+    truth = surviving.count()
+    assert truth == 3000
+
+    # (1) stale sketch over-counts, never under-counts (beyond its
+    # own error bar): stale estimates ~5000, truth is 3000
+    est_stale = estimate(stale.select("h"))
+    assert est_stale > truth, (est_stale, truth)
+
+    # (2) rebuild from the MASKED read == sketch of surviving keys,
+    # exactly (deterministic md5 hashing)
+    rebuilt = kmv_sketch(
+        surviving.select(F.lit("seg").alias("tag"), "k"), "k", "tag", k=k
+    )
+    reference = kmv_sketch(
+        spark.range(2000, 5000).select(
+            F.lit("seg").alias("tag"), F.col("id").alias("k")
+        ),
+        "k",
+        "tag",
+        k=k,
+    )
+    assert (
+        rebuilt.exceptAll(reference)
+        .unionAll(reference.exceptAll(rebuilt))
+        .count()
+        == 0
+    )
+    # and the rebuilt estimate is inside the KMV bound around truth
+    est_rebuilt = estimate(rebuilt.select("h"))
+    assert abs(est_rebuilt - truth) <= 4.0 * truth / (k - 1) ** 0.5

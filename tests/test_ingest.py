@@ -1760,3 +1760,341 @@ def test_snapshot_compact_retry_rebases_by_reconstruction(spark, tmp_path):
     v = snapshot_vacuum(table, expire_before=new_id)
     assert 2 not in v["expired"]
     assert snapshot_refs(table)["release-1"] == 2
+
+
+def test_mor_concurrent_delete_writers_union(spark, tmp_path):
+    """r15 (advisor-medium + the r14 verdict's ask #4): two delete
+    writers racing from the same parent must converge to a LINEAR
+    history whose head carries the UNION of both key sets, with every
+    committed delete file's parquet parts present on disk. The old
+    scheme (deletes/d{parent+1} + overwrite, no retry) let the CAS
+    loser clobber the winner's part files — the manifest then
+    referenced missing paths and rows silently resurrected."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    sets = {"a": list(range(0, 10)), "b": list(range(50, 60))}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(len(sets))
+
+    def run(name: str) -> None:
+        try:
+            keys = spark.createDataFrame(
+                [(v,) for v in sets[name]], "k bigint"
+            )
+            barrier.wait()  # maximise the race
+            snapshot_delete_keys(spark, table, "k", keys)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in sets]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    cur = snapshot_current(table)
+    assert cur == 3  # base + two delete commits, linear
+    dels = snapshot_manifest(table, cur)["delete_files"]
+    assert len(dels) == 2  # the union: neither writer's entry lost
+    for entry in dels:
+        for p in entry["paths"]:
+            assert os.path.exists(p), f"manifest references missing {p}"
+    got = {r["k"] for r in snapshot_read(spark, table, cur).collect()}
+    assert got == set(range(100)) - set(sets["a"]) - set(sets["b"])
+    # intermediate snapshot masks exactly ONE writer's keys
+    mid = {r["k"] for r in snapshot_read(spark, table, 2).collect()}
+    assert mid in (
+        set(range(100)) - set(sets["a"]),
+        set(range(100)) - set(sets["b"]),
+    )
+
+
+def test_mor_delete_racing_append_never_resurrects(spark, tmp_path):
+    """r15 (ask #4): a delete racing an append through the CAS —
+    whatever the interleaving, the head must mask the deleted keys
+    (snapshot-wide tombstone: appended rows with a tombstoned key stay
+    masked too) and the delete list must survive the append's rebase."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    d2 = os.path.join(table, "data", "s2")
+    # appended batch REUSES key 5 — tombstoned by the racing delete
+    spark.createDataFrame(
+        [(5,), (200,), (201,)], "k bigint"
+    ).write.parquet(d2)
+    appended = snapshot_data_files(d2)
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def deleter() -> None:
+        try:
+            keys = spark.createDataFrame(
+                [(v,) for v in range(0, 10)], "k bigint"
+            )
+            barrier.wait()
+            snapshot_delete_keys(spark, table, "k", keys)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def appender() -> None:
+        try:
+            barrier.wait()
+            from cellphe_data_pipeline_spark.sources.io import (
+                snapshot_commit_sharded_with_retry,
+            )
+
+            snapshot_commit_sharded_with_retry(table, appended)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=deleter),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    cur = snapshot_current(table)
+    assert cur == 3
+    assert len(snapshot_manifest(table, cur)["delete_files"]) == 1
+    got = {r["k"] for r in snapshot_read(spark, table, cur).collect()}
+    # 0-9 masked everywhere (including the re-appended 5); 200/201 land
+    assert got == (set(range(10, 100)) | {200, 201})
+
+
+def test_mor_fold_with_zero_candidates_clears_deletes(spark, tmp_path):
+    """r15 (advisor-medium): a delete whose keys are provably absent
+    from every file ([min,max] disjoint) used to crash the fold on an
+    empty parquet read and leave the delete files permanently
+    unfoldable. Now: no data touched, delete_files cleared, table
+    byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(d)
+    files = snapshot_data_files(d)
+    stats = {"k": {fp: [0, 99] for fp in files}}
+    snapshot_commit_sharded(table, 0, files, stats=stats)
+
+    absent = spark.createDataFrame([(10_000 + i,) for i in range(5)], "k bigint")
+    snapshot_delete_keys(spark, table, "k", absent)
+    assert snapshot_manifest(table, 2)["delete_files"]
+
+    new_id, info = snapshot_apply_deletes(spark, table)
+    assert new_id == 3
+    assert info["rewritten"] == []
+    assert info["folded"] == 1
+    assert snapshot_manifest(table, new_id).get("delete_files") == []
+    assert sorted(snapshot_files(table, new_id)) == sorted(files)
+    assert snapshot_read(spark, table, new_id).count() == 100
+    assert snapshot_current(table) == new_id
+
+
+def test_mor_fold_recomputes_stats_for_fold_output(spark, tmp_path):
+    """r15 (advisor-low): the fold output must carry fresh [min,max]
+    bounds for every column the parent manifest had stats for, so
+    folded files stay prunable (the old fold published them unbounded
+    forever)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        _manifest_files_and_stats,
+        snapshot_apply_deletes,
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+
+    table = str(tmp_path / "tt")
+    parent = 0
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100)]):
+        d = os.path.join(table, "data", f"s{i + 1}")
+        spark.range(lo, hi).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.parquet(d)
+        files = snapshot_data_files(d)
+        stats = {
+            "k": {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(spark, files, "k").collect()
+            }
+        }
+        parent, _ = snapshot_commit_sharded(table, parent, files, stats=stats)
+
+    # delete keys local to the FIRST slice: stats admit only slice 1
+    keys = spark.createDataFrame([(v,) for v in range(0, 5)], "k bigint")
+    snapshot_delete_keys(spark, table, "k", keys)
+    new_id, info = snapshot_apply_deletes(spark, table)
+    assert len(info["rewritten"]) == 1  # range-pruned fold
+    assert info["reused"]
+
+    man = snapshot_manifest(table, new_id)
+    files, stats = _manifest_files_and_stats(table, man)
+    fold_files = [fp for fp in files if f"{os.sep}data{os.sep}fold_" in fp]
+    assert fold_files
+    for fp in fold_files:
+        iv = stats.get("k", {}).get(fp)
+        assert iv is not None, f"fold output {fp} lost its bounds"
+        assert iv == [5, 49]  # fresh bounds: deleted head excluded
+    assert snapshot_read(spark, table, new_id).count() == 95
+
+
+def test_rollback_preserves_shards_and_stats(spark, tmp_path):
+    """r15 (advisor-low): rollback re-states the target's manifest
+    BODY — a sharded target keeps its shard list + shard_stats (reused
+    by path, zero bytes rewritten), a flat target keeps files + stats.
+    The old path flattened to a bare file list, silently costing every
+    later pruned read its bounds."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        _manifest_files_and_stats,
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_manifest,
+        snapshot_rollback,
+    )
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+
+    table = str(tmp_path / "tt")
+    parent = 0
+    for i in range(2):
+        d = os.path.join(table, "data", f"s{i + 1}")
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.parquet(d)
+        files = snapshot_data_files(d)
+        stats = {
+            "k": {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(spark, files, "k").collect()
+            }
+        }
+        parent, _ = snapshot_commit_sharded(table, parent, files, stats=stats)
+
+    rid = snapshot_rollback(table, 1)
+    assert rid == 3
+    tgt = snapshot_manifest(table, 1)
+    rb = snapshot_manifest(table, rid)
+    assert rb["shards"] == tgt["shards"]  # reused by path
+    assert rb.get("shard_stats") == tgt.get("shard_stats")
+    _, tstats = _manifest_files_and_stats(table, tgt)
+    _, rstats = _manifest_files_and_stats(table, rb)
+    assert rstats == tstats and rstats  # bounds survive the rollback
+
+
+def test_set_ref_vs_set_tag_race_one_winner(spark, tmp_path):
+    """r15 (advisor-low): set_ref's tag guard is atomic — racing a
+    set_ref against a set_tag on a FREE name, exactly one wins the
+    create (link create-if-absent on both paths) and the loser raises;
+    a tag, once created, is never overwritten."""
+    import json
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_set_ref,
+        snapshot_set_tag,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    for trial in range(20):
+        name = f"n{trial}"
+        results: dict[str, BaseException | None] = {}
+        barrier = threading.Barrier(2)
+
+        def run(kind, fn):
+            try:
+                barrier.wait()
+                fn(table, name, 1)  # noqa: B023 — joined per trial
+                results[kind] = None  # noqa: B023
+            except ValueError as e:
+                results[kind] = e  # noqa: B023
+
+        threads = [
+            threading.Thread(target=run, args=("ref", snapshot_set_ref)),
+            threading.Thread(target=run, args=("tag", snapshot_set_tag)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        with open(os.path.join(table, "refs", f"{name}.json")) as f:
+            doc = json.load(f)
+        if results["tag"] is None:
+            # the tag won creation — it must still be the tag (the
+            # TOCTOU this fix closes: ref's rename clobbering it)
+            assert doc.get("immutable") is True
+            assert results["ref"] is not None  # ref refused
+        else:
+            assert results["ref"] is None
+            assert not doc.get("immutable")
