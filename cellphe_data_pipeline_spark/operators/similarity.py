@@ -87,6 +87,74 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_filtered(
+    df: DataFrame,
+    filter_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """FILTERED vector search (r15): top-k cosine neighbors per query
+    vector among candidates sharing ``filter_col`` — the
+    metadata-constrained ANN every serving stack exposes ("nearest
+    docs in MY tenant / language / date range"). Semantics are
+    PRE-filter (filter-then-search): the candidate set is restricted
+    BEFORE ranking, so every query gets its true k nearest among the
+    admissible vectors. The alternative — post-filtering an
+    unconstrained top-k — silently returns FEWER than k (or none)
+    whenever the global neighborhood is dominated by out-of-filter
+    vectors; that recall cliff is the documented reason vector DBs
+    implement pre-filtering natively.
+
+    Physical shape: the filter column turns the self-join into an
+    EQUI-join — hash-partitioned on filter_col, so the quadratic
+    blowup is bounded per filter GROUP, never corpus-wide, and the
+    plan is a shuffle hash/sort-merge join, never a cartesian
+    (plan-pinned in tests). At 100 TB the same shape holds: partition
+    the index by the filter column (tenant, lang) and each query
+    touches one partition's candidates; for high-cardinality filters
+    compose with the IVF/SRP bucket probe inside each group.
+
+    Output: (vec_id, <filter_col>, neighbor_id, cos_sim rounded to 5,
+    rank) — rounding before ranking keeps ordering reproducible
+    across engines (the v1 contract)."""
+    q = with_norm(df, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(filter_col),
+        F.col("_emb").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = with_norm(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("_f"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    pairs = (
+        q.join(
+            c,
+            (F.col(filter_col) == F.col("_f"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            round_z(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                5,
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", filter_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def l2_topk_bruteforce(
     df: DataFrame,
     id_col: str = "vec_id",

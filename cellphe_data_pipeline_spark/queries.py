@@ -16102,6 +16102,604 @@ def e33(spark, sf_dir):
     )
 
 
+@register(
+    "o25_mor_commit_cadence",
+    """
+    WITH cut AS (SELECT (MAX(o_orderkey) + 6) // 6 AS c FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_plan_depth_capped,
+           TRUE AS ok_zero_rewrite_commits,
+           TRUE AS ok_bounded_fold,
+           TRUE AS ok_fold_stats_prune
+    FROM orders, cut
+    WHERE NOT (o_orderkey >= c AND o_orderkey < 3 * c
+               AND o_orderkey % 5 = 3)
+    GROUP BY o_orderpriority
+    """,
+)
+def o25(spark, sf_dir):
+    """MOR delete-commit CADENCE read (r15; the r14 verdict's ask #3
+    driver-proven end-to-end) — the read-side scaling contract o24's
+    single-commit lifecycle doesn't exercise: a table taking one
+    takedown commit per micro-batch (e33's pattern) accumulates
+    delete files between maintenance folds, and the reader must stay
+    CONSTANT-DEPTH in the number of those commits. Engine:
+    io._apply_delete_files unions all outstanding delete files per
+    key COLUMN into ONE multi-path scan masked by ONE broadcast
+    anti-join (Iceberg readers make the same move: all equality
+    deletes applicable to a task merge into one filter, spec
+    §"Scan Planning" — public).
+
+    Lifecycle, every contract asserted in-query on a 6-slice
+    range-sharded orders table with per-file key stats:
+      - TWO delete commits land (keys ≡ 3 mod 5, one commit per
+        slice, slices 2 and 3), each touching ZERO data files
+        (ok_zero_rewrite_commits);
+      - the masked read's EXECUTED plan carries exactly ONE
+        BroadcastHashJoin — not one per commit (ok_plan_depth_capped,
+        the structural fact; the plan pin in tests/test_plans.py
+        holds it at 5 and 7 commits);
+      - the fold rewrites exactly the slice-2/3 files (stats-range
+        candidates; four slices reused by path — ok_bounded_fold);
+      - the fold output carries RECOMPUTED per-file [min,max], so a
+        post-fold pruned read of a slice-1 key range opens NO fold
+        file and NO other slice (ok_fold_stats_prune — the r15
+        advisor fix driver-proven: pre-fix, folded files lost their
+        bounds forever).
+
+    The rollup answers from the folded table; the pruned read is the
+    assertion probe only. Oracle recomputes from raw orders with the
+    delete predicate. At 100 TB: reader cost tracks
+    delete KEYS (one hash probe), never delete COMMITS; maintenance
+    cost tracks affected files, and pruning quality survives the
+    maintenance."""
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_current,
+        snapshot_delete_keys,
+        snapshot_files,
+        snapshot_read,
+        snapshot_read_pruned,
+    )
+
+    table = _stage_dir("o25_mor_cadence")
+    orders, c, slice_files = _build_range_sharded_orders(
+        spark, sf_dir, table
+    )
+
+    # one delete commit per affected slice — the micro-batch cadence
+    pre_files = set(snapshot_files(table, 6))
+    for lo, hi in [(c, 2 * c), (2 * c, 3 * c)]:
+        keys = orders.filter(
+            (F.col("o_orderkey") >= lo)
+            & (F.col("o_orderkey") < hi)
+            & (F.col("o_orderkey") % 5 == 3)
+        ).select("o_orderkey")
+        did = snapshot_delete_keys(spark, table, "o_orderkey", keys)
+        assert set(snapshot_files(table, did)) == pre_files, "rewrite"
+
+    # constant plan depth: 2 commits, ONE broadcast anti-join
+    cur = snapshot_current(table)
+    masked = snapshot_read(spark, table, cur)
+    ex = masked._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("BroadcastHashJoin") == 1, ex
+    assert "SortMergeJoin" not in ex, ex
+
+    # bounded fold: exactly the slice-2/3 files rewritten
+    affected = set(slice_files[1]) | set(slice_files[2])
+    fid, finfo = snapshot_apply_deletes(spark, table)
+    assert set(finfo["rewritten"]) == affected, finfo
+    assert set(finfo["reused"]) == pre_files - affected
+
+    # fold-output stats: a slice-1 range prune must skip every fold
+    # file AND every other slice (bounds were recomputed at the fold)
+    probe_hi = c // 2
+    pruned, pinfo = snapshot_read_pruned(
+        spark, table, fid, "o_orderkey", 0, probe_hi
+    )
+    kept = set(pinfo["kept"])
+    assert kept == set(slice_files[0]), pinfo
+    assert pruned.filter(
+        (F.col("o_orderkey") >= 0) & (F.col("o_orderkey") <= probe_hi)
+    ).count() == orders.filter(F.col("o_orderkey") <= probe_hi).count()
+
+    return snapshot_read(spark, table, fid).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_plan_depth_capped"),
+        F.lit(True).alias("ok_zero_rewrite_commits"),
+        F.lit(True).alias("ok_bounded_fold"),
+        F.lit(True).alias("ok_fold_stats_prune"),
+    )
+
+
+@register(
+    "o26_mor_concurrent_writers",
+    """
+    WITH survivors AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 9 NOT IN (1, 4)
+    ),
+    appended AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    final AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM appended
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_linear_history,
+           TRUE AS ok_delete_union,
+           TRUE AS ok_no_resurrection
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def o26(spark, sf_dir):
+    """CONCURRENT MOR writers (r15; the r14 verdict's ask #4 and the
+    advisor-medium fix, driver-proven): two delete writers and one
+    appender race from overlapping parents through the sharded CAS —
+    the exact multi-writer shape a takedown service plus a streaming
+    ingest produce against one table. The old delete commit
+    (data/deletes/d{parent+1} + mode=overwrite, no retry) let the CAS
+    loser clobber the winner's delete-file parts; the r15 commit
+    writes each delete set to a collision-free per-call dir and
+    rebases through a retry loop that RE-READS the fresh parent's
+    delete list — so every interleaving converges to the same table
+    state (what makes this gate-checkable: the assertions hold for
+    ANY serialization, and the final row multiset is
+    interleaving-independent).
+
+    The race, in-query (threads + barrier, the test_ingest.py stress
+    shape run at gate scale):
+      - writer A: MOR-delete keys ≡ 1 (mod 9); writer B: keys ≡ 4
+        (mod 9); writer C: append a batch whose keys are shifted by
+        10M — and which also RE-DELIVERS writer A's keys verbatim
+        (the replayed-ingest case the snapshot-wide tombstone
+        contract exists for).
+    Asserted after the join: linear history (base + 3 commits, no
+    gaps — ok_linear_history); the head manifest carries BOTH delete
+    entries with every referenced delete-file part present on disk
+    (ok_delete_union); the re-delivered rows stay masked — the final
+    read contains the shifted batch but NOT the re-delivered
+    tombstoned keys (ok_no_resurrection).
+
+    Oracle: raw orders minus both key classes, union the shifted
+    batch. At 100 TB: delete and append writers never serialize
+    through a lock — optimistic CAS with O(change) rebase cost,
+    Iceberg's commit model (spec §"Optimistic Concurrency",
+    public)."""
+    import os
+    import threading
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_commit_sharded_with_retry,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    table = _stage_dir("o26_mor_race")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    d = os.path.join(table, "data", "base")
+    orders.repartition(4).write.mode("overwrite").parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    # the appended batch: shifted keys + a verbatim re-delivery of
+    # writer A's tombstoned rows (staged BEFORE the race — the race
+    # is over COMMITS, not writes)
+    shifted = orders.filter(F.col("o_orderkey") % 13 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    redelivered = orders.filter(F.col("o_orderkey") % 9 == 1)
+    batch_dir = os.path.join(table, "data", "batch_c")
+    shifted.unionByName(redelivered).write.mode("overwrite").parquet(
+        batch_dir
+    )
+    batch_files = snapshot_data_files(batch_dir)
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(3)
+
+    def deleter(residue: int) -> None:
+        try:
+            keys = orders.filter(
+                F.col("o_orderkey") % 9 == residue
+            ).select("o_orderkey")
+            barrier.wait()
+            snapshot_delete_keys(spark, table, "o_orderkey", keys)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    def appender() -> None:
+        try:
+            barrier.wait()
+            snapshot_commit_sharded_with_retry(table, batch_files)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=deleter, args=(1,)),
+        threading.Thread(target=deleter, args=(4,)),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    cur = snapshot_current(table)
+    assert cur == 4, cur  # base + 3 racing commits, linear
+    dels = snapshot_manifest(table, cur)["delete_files"]
+    assert len(dels) == 2, dels  # the union: neither entry lost
+    for entry in dels:
+        assert entry["key"] == "o_orderkey"
+        for p in entry["paths"]:
+            assert os.path.exists(p), f"missing delete part {p}"
+
+    return snapshot_read(spark, table, cur).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_linear_history"),
+        F.lit(True).alias("ok_delete_union"),
+        F.lit(True).alias("ok_no_resurrection"),
+    )
+
+
+@register(
+    "a30_kmv_takedown_rebuild",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(4 AS BIGINT) AS n_segment_sketches,
+           TRUE AS ok_stale_upper_bound,
+           TRUE AS ok_rebuild_exact,
+           TRUE AS ok_rebuilt_bound
+    FROM orders
+    """,
+)
+def a30(spark, sf_dir):
+    """KMV stored-sketch lifecycle COMPOSED with the MOR delete tier
+    (r15; the r14 verdict's ask #6 driver-proven — the rule
+    aggregates.kmv_sketch's docstring states, exercised end-to-end):
+    per-segment sketches are built at ingest and STORED; then a
+    takedown lands as an equality-delete commit; what happens to the
+    sketches? A KMV sketch is NOT subtractive (eviction history is
+    gone — deleted keys' hashes can't be removed), so the contract
+    has two halves, each asserted in-query:
+
+      - STALE IS AN UPPER BOUND (ok_stale_upper_bound): the pre-
+        takedown merged estimate exceeds the true surviving distinct
+        count — a 33% bite (keys ≡ 0 mod 3) clears the sketch's own
+        ±4/√(k−1) error bar by 2.6×, so the inequality is structural,
+        not luck;
+      - REBUILD FROM THE MASKED READ IS EXACT (ok_rebuild_exact):
+        re-sketching each segment from snapshot_read — which applies
+        the delete masks — yields hash-identical sketches to a direct
+        sketch of the surviving keys (unseeded md5: deterministic
+        across runs, engines, and SFs), because the masked read IS
+        the surviving key set; the rebuilt merged estimate then sits
+        inside the standard KMV bound around the true post-takedown
+        count (ok_rebuilt_bound).
+
+    Lifecycle rule this proves: rebuild affected segments from the
+    MOR-masked read on the maintenance cadence (one pass over the
+    surviving segment, never the corpus); serve stale estimates as
+    upper bounds until then. The exact columns (n_before, n_after)
+    are the oracle's audit; the sketch algebra is Beyer et al.
+    (SIGMOD'07) as in a28/a29. At 100 TB: a takedown costs the
+    sketch store O(affected segments × segment scan), not a corpus
+    re-sketch — the same affected-list-only discipline as the IVF
+    index's delete path (v19)."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_check_format,
+        kmv_merge,
+        kmv_sketch,
+        kmv_theta,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    k = 1024
+    root = _stage_dir("a30_kmv_takedown")
+    table = os.path.join(root, "table")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    d = os.path.join(table, "data", "base")
+    orders.repartition(4).write.mode("overwrite").parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    def seg_tagged(df):
+        return df.select(
+            F.concat(
+                F.lit("s"), (F.col("o_orderkey") % 4).cast("string")
+            ).alias("tag"),
+            F.col("o_orderkey").alias("key"),
+        )
+
+    # ingest-side: per-segment sketches built from the PUBLISHED
+    # table and stored (the a29 lifecycle, now against a real table)
+    store = os.path.join(root, "sketches")
+    kmv_sketch(
+        seg_tagged(snapshot_read(spark, table, 1)), "key", "tag", k=k
+    ).write.parquet(store)
+
+    def estimate(sk):
+        row = sk.agg(
+            F.count(F.lit(1)).alias("m"), F.max("h").alias("hmax")
+        ).collect()[0]  # bounded: one row over a sketch-sized input
+        if row["m"] < k:
+            return float(row["m"])
+        return float(k - 1) / (row["hmax"] / float(2**60))
+
+    # takedown: a 33% bite as an equality-delete commit
+    snapshot_delete_keys(
+        spark,
+        table,
+        "o_orderkey",
+        orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+    )
+    cur = snapshot_current(table)
+    masked = snapshot_read(spark, table, cur)
+    n_before = orders.count()
+    n_after = masked.count()
+
+    stored = kmv_check_format(spark.read.parquet(store))
+    est_stale = estimate(kmv_merge(stored.select("h"), k))
+    assert est_stale > n_after, (est_stale, n_after)
+
+    # maintenance-side: rebuild every segment from the MASKED read
+    rebuilt = kmv_sketch(seg_tagged(masked), "key", "tag", k=k)
+    reference = kmv_sketch(
+        seg_tagged(orders.filter(F.col("o_orderkey") % 3 != 0)),
+        "key",
+        "tag",
+        k=k,
+    )
+    mism = (
+        rebuilt.exceptAll(reference)
+        .unionAll(reference.exceptAll(rebuilt))
+        .count()
+    )
+    assert mism == 0, mism
+
+    est_rebuilt = estimate(kmv_merge(rebuilt.select("h"), k))
+    bound = 4.0 * n_after / (k - 1) ** 0.5
+    assert abs(est_rebuilt - n_after) <= bound, (est_rebuilt, n_after)
+
+    return spark.createDataFrame(
+        [(n_before, n_after, 4)],
+        "n_before bigint, n_after bigint, n_segment_sketches bigint",
+    ).select(
+        "n_before", "n_after", "n_segment_sketches",
+        F.lit(True).alias("ok_stale_upper_bound"),
+        F.lit(True).alias("ok_rebuild_exact"),
+        F.lit(True).alias("ok_rebuilt_bound"),
+    )
+
+
+@register(
+    "v20_filtered_ann",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, label, emb,
+                 sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    p AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5)
+               + 0.0 AS cos_sim
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, label, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+               AS rank
+      FROM p
+    )
+    SELECT vec_id, label, neighbor_id, cos_sim, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def v20(spark, sf_dir):
+    """FILTERED vector search (r15; similarity.cosine_topk_filtered) —
+    the metadata-constrained ANN surface the v-family lacked: top-3
+    cosine neighbors per vector AMONG VECTORS SHARING ITS LABEL
+    (tenant/language/collection in production). Pre-filter semantics
+    (filter-then-search): the candidate set is restricted before
+    ranking, so every query gets its true k nearest admissible
+    neighbors — post-filtering a global top-k silently under-returns
+    whenever a query's neighborhood is dominated by out-of-filter
+    vectors (the recall cliff vector stores document; pre-filtering
+    is the named fix).
+
+    Physical: the filter predicate makes the self-join an EQUI-join
+    hash-partitioned on label — candidate pairs are bounded per
+    label group, never corpus-wide, and the plan contains no
+    cartesian/nested-loop node (pinned in tests/test_plans.py). The
+    oracle mirrors the exact same algebra in SQL (list_dot_product +
+    the label equi-join), so the value hash proves the filtered
+    ranking end-to-end. At 100 TB: partition the stored index by the
+    filter column and each query probes one partition; inside a huge
+    group, compose with the SRP/IVF bucket probe (v2/v3) unchanged —
+    the filter join and the bucket join stack."""
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        cosine_topk_filtered,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_filtered(e, "label", k=3)
+
+
+@register(
+    "e34_streaming_kmv_distinct",
+    """
+    SELECT o_orderpriority AS tag,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           TRUE AS ok_stream_equals_rescan,
+           TRUE AS ok_estimate_bound,
+           TRUE AS ok_exactly_once,
+           TRUE AS ok_bounded_state
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def e34(spark, sf_dir):
+    """§2.11 streaming DISTINCT-COUNT via stored KMV sketches (r15;
+    tracker.streaming_kmv_distinct_drain) — the streaming aggregate
+    whose exact form needs UNBOUNDED state (every distinct key seen),
+    solved the way production streams solve it: per-batch bottom-k
+    sketches folded into a stored sketch table, state capped at
+    k·tags rows however long the stream runs (ok_bounded_state,
+    asserted). Three ordered micro-batches of (priority, custkey)
+    rows drain through foreachBatch; each batch sketches its keys and
+    merges via the kmv_merge semilattice into the snapshot-committed
+    store.
+
+    The semilattice is what makes this gate-checkable: bottom-k
+    merging is associative/commutative/idempotent, so the STREAMED
+    store is hash-identical to a one-shot batch sketch of the same
+    rows (ok_stream_equals_rescan — multiset-compared via exceptAll
+    both ways; unseeded md5 keys make it deterministic at every SF).
+    Exactly-once both legs in-query: 3/0 commits on the first drain,
+    0/3 refusals on a fresh-checkpoint replay with the snapshot id
+    unchanged (ok_exactly_once). Per-tag estimates from the stored
+    sketch sit inside the standard KMV bound around the EXACT
+    distinct counts (ok_estimate_bound), and the exact counts are
+    what the oracle recomputes — the estimate audits the sketch, the
+    oracle audits the engine.
+
+    At 100 TB: per-batch cost is one distinct shuffle over the BATCH
+    plus a k·tags-row merge; the sketch table answers any later
+    union/intersection (a28/a29/a30 algebra) at O(k) without
+    touching the stream's history. Completes the streaming sketch
+    family: e11 count-min (frequency), e19 moment profiles, e34
+    distinct cardinality."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_check_format,
+        kmv_sketch,
+        kmv_theta,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_kmv_distinct_drain,
+    )
+
+    k = 512
+    root = _stage_dir("e34_kmv_stream")
+    table = os.path.join(root, "sketches")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("tag"),
+        F.col("o_custkey").alias("key"),
+        "o_orderkey",
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # bounded
+    c = (mx + 3) // 3
+    parts = [
+        orders.filter(
+            (F.col("o_orderkey") >= c * i)
+            & (F.col("o_orderkey") < (c * (i + 1) if i < 2 else mx + 1))
+        ).select("tag", "key")
+        for i in range(3)
+    ]
+    staged = _stage_ordered_batches(parts, "e34_batches")
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_kmv_distinct_drain(
+            spark, parts[0].schema, staged, table,
+            os.path.join(root, "ckpt"), "key", "tag", k=k,
+        )
+    assert counts == {"committed": 3, "skipped": 0}, counts
+    sid = snapshot_current(table)
+
+    # replay leg: fresh checkpoint, same batches — all refused
+    with _bounded_shuffle_partitions(spark):
+        counts2 = streaming_kmv_distinct_drain(
+            spark, parts[0].schema, staged, table,
+            os.path.join(root, "ckpt_replay"), "key", "tag", k=k,
+        )
+    assert counts2 == {"committed": 0, "skipped": 3}, counts2
+    assert snapshot_current(table) == sid
+
+    stored = kmv_check_format(snapshot_read(spark, table, sid))
+    direct = kmv_sketch(orders.select("tag", "key"), "key", "tag", k=k)
+    mism = (
+        stored.exceptAll(direct).unionAll(direct.exceptAll(stored)).count()
+    )
+    assert mism == 0, mism
+
+    # per-tag estimate vs exact, inside the KMV bound (bounded
+    # collects: sketch-sized and tag-count-sized)
+    est = {
+        r["tag"]: (
+            float(r["m"])
+            if r["m"] < k
+            else float(k - 1) / (r["hmax"] / float(2**60))
+        )
+        for r in stored.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hmax"))
+        .collect()
+    }
+    exact = (
+        orders.groupBy("tag")
+        .agg(F.count_distinct("key").alias("n_distinct"))
+    )
+    for r in exact.collect():
+        bound = 4.0 * r["n_distinct"] / (k - 1) ** 0.5
+        assert abs(est[r["tag"]] - r["n_distinct"]) <= bound, (
+            r["tag"], est[r["tag"]], r["n_distinct"],
+        )
+    n_tags = exact.count()
+    assert stored.count() <= k * n_tags  # state cap
+
+    return exact.select(
+        "tag",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.lit(True).alias("ok_stream_equals_rescan"),
+        F.lit(True).alias("ok_estimate_bound"),
+        F.lit(True).alias("ok_exactly_once"),
+        F.lit(True).alias("ok_bounded_state"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -16236,6 +16834,11 @@ _NEXT_WINDOW_QUEUE = [
     # oracle-verified before queueing); the r14 queue (e32, a29, s28,
     # o24, e33) graduated into the r15 window's first five slots
     # above.
+    "o25_mor_commit_cadence",
+    "o26_mor_concurrent_writers",
+    "a30_kmv_takedown_rebuild",
+    "v20_filtered_ann",
+    "e34_streaming_kmv_distinct",
 ]
 
 

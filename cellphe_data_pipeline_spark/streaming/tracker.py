@@ -2256,3 +2256,127 @@ def corpus_ingest_apply_batch(
     finally:
         b.unpersist()
     return committed
+
+
+def kmv_distinct_apply_batch(
+    spark,
+    table_dir: str,
+    key_col: str,
+    tag_col: str,
+    batch_df,
+    batch_id: int,
+    k: int = 512,
+) -> bool:
+    """Per-batch applier of the streaming KMV distinct-count sink
+    (r15, e34): each micro-batch's keys are sketched (bottom-k per
+    tag) and MERGED into the stored sketch table — the state is the
+    sketch itself, O(k) per tag REGARDLESS of stream length, which is
+    the whole point of sketch-backed streaming distinct counts (an
+    exact streaming count-distinct carries unbounded key state; the
+    e21-style dedup store grows with distinct keys; this never grows
+    past k·tags rows). Correct because bottom-k is a semilattice
+    (aggregates.kmv_merge): merging per-batch sketches in ANY batch
+    order equals the one-shot sketch of the union — so the streamed
+    store is hash-identical to a batch rebuild, asserted by the e34
+    query.
+
+    Exactly-once via the e25 manifest watermark: the batch id is
+    checked against last_batch_id before any write, and each commit
+    REPLACES the previous sketch files (removed_files) — sketch-sized
+    bytes per commit, never corpus-sized. Returns True iff this call
+    committed."""
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    import os
+
+    cur = snapshot_current(table_dir)
+    last = -1
+    old_files: list[str] = []
+    if cur > 0:
+        man = snapshot_manifest(table_dir, cur)
+        last = man.get("last_batch_id", -1)
+        old_files = snapshot_files(table_dir, cur)
+    if batch_id <= last:
+        return False
+    batch_sk = kmv_sketch(batch_df, key_col, tag_col, k=k)
+    if old_files:
+        merged = kmv_merge(
+            snapshot_read(spark, table_dir, cur).unionByName(batch_sk),
+            k,
+            keys=("tag",),
+        )
+    else:
+        merged = batch_sk
+    out = os.path.join(table_dir, "data", f"sk_b{batch_id}")
+    merged.write.mode("overwrite").parquet(out)
+    snapshot_commit_sharded(
+        table_dir,
+        cur,
+        snapshot_data_files(out),
+        removed_files=old_files,
+        extra={"last_batch_id": batch_id},
+    )
+    return True
+
+
+def streaming_kmv_distinct_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    ckpt_dir: str,
+    key_col: str,
+    tag_col: str,
+    k: int = 512,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming DISTINCT-COUNT sketches per tag (r15, e34) — the
+    sketch-lifecycle completion of the streaming family: e11 streams
+    count-min (frequency), e19 streams moment profiles, this streams
+    KMV distinct sketches, the one streaming aggregate whose exact
+    form needs unbounded state. Each micro-batch folds into a stored
+    bottom-k sketch table via the kmv_merge semilattice; any later
+    union/intersection across tags or time-slices reads O(k) rows
+    (the a29/a30 lifecycle, fed by a stream instead of a batch
+    ingest). Exactly-once via the manifest watermark; a full replay
+    is all-refusals with the sketch table byte-identical (asserted by
+    the e34 query). At 100 TB: per-batch cost is one distinct shuffle
+    over the BATCH plus a k·tags-row merge; state never exceeds
+    k·tags rows however long the stream runs."""
+    counts = {"committed": 0, "skipped": 0}
+
+    def sink(batch_df, batch_id):
+        if kmv_distinct_apply_batch(
+            spark, table_dir, key_col, tag_col, batch_df, batch_id, k=k
+        ):
+            counts["committed"] += 1
+        else:
+            counts["skipped"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"kmv-distinct drain did not finish in {timeout_s}s"
+        )
+    return counts

@@ -470,3 +470,32 @@ def test_kmv_merge_plans_no_single_partition_window(spark):
     # and the merge is value-correct: per-tag merge of an already
     # bottom-k sketch is the sketch itself
     assert per_tag.exceptAll(sk).unionAll(sk.exceptAll(per_tag)).count() == 0
+
+
+def test_filtered_ann_plans_equi_join_never_cartesian(spark):
+    """r15 (v20): the filtered vector search's label constraint must
+    plan as an EQUI-join (hash-partitioned per filter group) — never
+    a CartesianProduct / BroadcastNestedLoopJoin, which is what a
+    theta-only self-join degrades to."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.similarity import (
+        cosine_topk_filtered,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 5).cast("float"),
+            (F.col("id") % 3 + 1).cast("float"),
+        ).alias("embedding"),
+    )
+    out = cosine_topk_filtered(df, "label", k=3)
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex, ex
+    assert "BroadcastNestedLoopJoin" not in ex, ex
+    # pre-filter semantics: every neighbor shares the query's label
+    joined = out.count()
+    assert joined == 200 * 3
