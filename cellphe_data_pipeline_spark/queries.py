@@ -16700,6 +16700,292 @@ def e34(spark, sf_dir):
     )
 
 
+@register(
+    "o27_zorder_table",
+    """
+    WITH b AS (SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+               FROM lineitem)
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           TRUE AS ok_prune_both_dims,
+           TRUE AS ok_zorder_beats_linear,
+           TRUE AS ok_superset_admit_exact
+    FROM lineitem, b
+    WHERE l_partkey >= mn + (mx - mn) // 8
+      AND l_partkey <= mn + (mx - mn) // 4
+    GROUP BY l_returnflag
+    """,
+)
+def o27(spark, sf_dir):
+    """Z-ORDER CLUSTERED TABLE with two-dimensional data skipping
+    (r15; scale.zorder_key + the snapshot stats tier, end-to-end) —
+    o7 computes the Morton keys; this PUBLISHES a table in z-key
+    ranges and proves the skipping claim against the manifest, the
+    way Delta/Iceberg OPTIMIZE ZORDER users consume it. Two layouts
+    of the same lineitem slice, 16 files each, per-file [min,max]
+    committed for BOTH l_orderkey and l_partkey (the o19 writer-pays
+    contract):
+
+      - LINEAR: range-partitioned by l_orderkey alone — tight stats
+        on that column, arbitrary on the other;
+      - Z-ORDER: range-partitioned by the bit-interleaved z-key of
+        the two rank-normalized columns.
+
+    Asserted in-query via snapshot_read_pruned's kept/skipped lists:
+      - ok_prune_both_dims: on the z-layout, a quarter-range probe on
+        EITHER column skips at least half the files — one layout
+        serves both predicate families;
+      - ok_zorder_beats_linear: on the SECONDARY column the linear
+        layout skips (essentially) nothing while the z-layout skips
+        ≥ half — the measured reason ZORDER exists;
+      - ok_superset_admit_exact: the pruned read + residual predicate
+        returns exactly the full-scan answer (stats are an
+        optimization, never a correctness gate).
+
+    The rollup answers from the z-layout's PRUNED read with the
+    residual filter applied; the oracle recomputes from raw lineitem
+    with the same integer-arithmetic range. At 100 TB: a z-ordered
+    maintenance rewrite (the compaction cadence o15/o23 already run)
+    turns every two-column dashboard/lookup family from full scans
+    into O(matching files) reads — data layout as an optimizer
+    surface, no index structure to maintain."""
+    import os
+
+    from urllib.parse import urlparse
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        file_key_stats,
+        zorder_key,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_read_pruned,
+    )
+
+    root = _stage_dir("o27_zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    row = li.agg(
+        F.min("l_orderkey").alias("omn"), F.max("l_orderkey").alias("omx"),
+        F.min("l_partkey").alias("pmn"), F.max("l_partkey").alias("pmx"),
+    ).collect()[0]  # bounded: 1 row
+    omn, omx, pmn, pmx = row["omn"], row["omx"], row["pmn"], row["pmx"]
+    bits = 10
+    top = (1 << bits) - 1
+    x = ((F.col("l_orderkey") - omn) * top / max(omx - omn, 1)).cast("bigint")
+    y = ((F.col("l_partkey") - pmn) * top / max(pmx - pmn, 1)).cast("bigint")
+
+    def publish(df, order_col, name):
+        table = os.path.join(root, name)
+        d = os.path.join(table, "data", "s1")
+        df.repartitionByRange(16, F.col(order_col)).drop(
+            "_z"
+        ).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        stats = {}
+        for col in ("l_orderkey", "l_partkey"):
+            stats[col] = {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(spark, files, col).collect()
+            }
+        snapshot_commit_sharded(table, 0, files, stats=stats)
+        return table, len(files)
+
+    ztab, zn = publish(li.withColumn("_z", zorder_key(x, y, bits=bits)), "_z", "z")
+    ltab, ln = publish(li.withColumn("_z", F.col("l_orderkey")), "_z", "linear")
+
+    def probe(table, col, lo, hi):
+        df, info = snapshot_read_pruned(spark, table, 1, col, lo, hi)
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), info
+
+    o_lo, o_hi = omn + (omx - omn) // 8, omn + (omx - omn) // 4
+    p_lo, p_hi = pmn + (pmx - pmn) // 8, pmn + (pmx - pmn) // 4
+
+    # z-layout: BOTH dims prune at least half the files
+    _, z_o = probe(ztab, "l_orderkey", o_lo, o_hi)
+    zp_df, z_p = probe(ztab, "l_partkey", p_lo, p_hi)
+    assert len(z_o["skipped"]) >= zn // 2, z_o
+    assert len(z_p["skipped"]) >= zn // 2, z_p
+
+    # linear layout: primary prunes hard, secondary barely at all —
+    # and the z-layout strictly beats it on the secondary column
+    _, l_o = probe(ltab, "l_orderkey", o_lo, o_hi)
+    _, l_p = probe(ltab, "l_partkey", p_lo, p_hi)
+    assert len(l_o["skipped"]) >= ln // 2, l_o
+    assert len(z_p["skipped"]) > len(l_p["skipped"]), (z_p, l_p)
+
+    # superset-admit exactness: pruned+residual == full-scan answer
+    full = li.filter(
+        (F.col("l_partkey") >= p_lo) & (F.col("l_partkey") <= p_hi)
+    )
+    assert zp_df.count() == full.count()
+
+    return zp_df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    ).select(
+        "l_returnflag", "n", "sum_qty",
+        F.lit(True).alias("ok_prune_both_dims"),
+        F.lit(True).alias("ok_zorder_beats_linear"),
+        F.lit(True).alias("ok_superset_admit_exact"),
+    )
+
+
+@register(
+    "o28_mor_cdc",
+    """
+    SELECT CAST(1 AS INT) AS step, 'insert' AS change_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_fold_feed_empty,
+           TRUE AS ok_mv_matches_direct,
+           TRUE AS ok_resurrect_feed
+    FROM orders WHERE o_orderkey % 11 = 5
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           TRUE, TRUE, TRUE
+    FROM orders WHERE o_orderkey % 9 = 1
+    """,
+)
+def o28(spark, sf_dir):
+    """CDC over MOR deletes (r15; io.snapshot_changes, mask-aware) —
+    closing the trade the r14 MOR tier recorded in writing: "a
+    delete-file-only commit is a metadata change [the CDC feed]
+    reports as empty", which would let every incremental-MV consumer
+    keep serving tombstoned rows forever. The feed is now the diff of
+    the snapshots' MOR VIEWS: file-diff sides are masked by their own
+    snapshot's delete files, and a tombstone VALUE delta turns
+    shared-file rows into delete/insert changes with full row values
+    (what MV consumers need — Iceberg's changelog scan pays the same
+    read for the same reason).
+
+    Four-commit lifecycle, each feed's shape asserted in-query:
+      - append commit → feed is pure inserts, computed from the
+        manifest diff alone (removed list empty);
+      - tombstone commit (keys ≡ 1 mod 9) → feed is DELETE rows
+        CARRYING VALUES (the oracle sums the deleted rows'
+        o_totalprice — the value hash proves the feed read the right
+        rows), produced by one broadcast semi-join scan of shared
+        files, info names the delta column;
+      - fold commit → feed EMPTY (ok_fold_feed_empty): the fold
+        materializes the masks into rewritten files, so the MOR view
+        is unchanged and the mask-aware diff says so — consumers skip
+        maintenance commits with zero re-diff;
+      - rollback to the pre-delete snapshot → feed emits the
+        tombstoned rows back as INSERTS (ok_resurrect_feed): the
+        resurrected-visibility direction of the same delta.
+    Then the MV contract end-to-end (ok_mv_matches_direct): base rows
+    + insert feed − delete feed == the direct MOR read, compared as
+    multisets.
+
+    Output: per-step change summaries (steps 1-2; steps 3-4 assert
+    structurally). At 100 TB: appends stay metadata-only CDC, a
+    takedown's feed costs one masked scan of shared files bounded by
+    broadcast key sets, and maintenance folds cost consumers
+    nothing."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_changes,
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    table = _stage_dir("o28_mor_cdc")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    d = os.path.join(table, "data", "base")
+    orders.repartition(4).write.mode("overwrite").parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    appended = orders.filter(F.col("o_orderkey") % 11 == 5).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    d2 = os.path.join(table, "data", "b2")
+    appended.write.mode("overwrite").parquet(d2)
+    snapshot_commit_sharded(
+        table, 1, snapshot_data_files(d2)
+    )  # -> snapshot 2
+
+    takedown = orders.filter(F.col("o_orderkey") % 9 == 1).select(
+        "o_orderkey"
+    )
+    snapshot_delete_keys(spark, table, "o_orderkey", takedown)  # -> 3
+
+    cols = ["o_orderpriority", "o_totalprice"]
+    f1, i1 = snapshot_changes(spark, table, 1, 2, "o_orderkey", cols)
+    assert i1["removed"] == [] and not i1["delete_delta_cols"], i1
+
+    f2, i2 = snapshot_changes(spark, table, 2, 3, "o_orderkey", cols)
+    assert i2["delete_delta_cols"] == ["o_orderkey"], i2
+    assert i2["removed"] == [] and i2["added"] == [], i2
+
+    # rollback to the pre-delete snapshot: ZERO file changes, masks
+    # only — the tombstoned rows come back as inserts through the
+    # resurrect direction of the value delta
+    rid = snapshot_rollback(table, 2)  # -> 4
+    f4, i4 = snapshot_changes(spark, table, 3, rid, "o_orderkey", cols)
+    assert i4["removed"] == [] and i4["added"] == [], i4
+    res = f4.groupBy("change_type").count().collect()
+    assert {r["change_type"] for r in res} == {"insert"}, res
+    assert res[0]["count"] == takedown.count()
+
+    # re-delete, then FOLD: the maintenance commit's feed is empty
+    snapshot_delete_keys(spark, table, "o_orderkey", takedown)  # -> 5
+    snapshot_apply_deletes(spark, table)  # -> 6
+    f5, _ = snapshot_changes(spark, table, 5, 6, "o_orderkey", cols)
+    assert f5.count() == 0, "fold must be invisible to CDC consumers"
+
+    # MV contract: base + inserts - deletes == direct MOR read at 3
+    base = snapshot_read(spark, table, 1)
+    ins = f1.filter(F.col("change_type") == "insert").select(
+        "o_orderkey", *cols
+    )
+    dels = f2.filter(F.col("change_type") == "delete").select(
+        "o_orderkey"
+    )
+    mv = base.unionByName(ins).join(
+        F.broadcast(dels), "o_orderkey", "left_anti"
+    )
+    direct = snapshot_read(spark, table, 3)
+    assert (
+        mv.exceptAll(direct).unionAll(direct.exceptAll(mv)).count() == 0
+    )
+
+    def summarize(step, feed, ct):
+        return feed.filter(F.col("change_type") == ct).agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(ct).alias("change_type"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    return (
+        summarize(1, f1, "insert")
+        .unionByName(summarize(2, f2, "delete"))
+        .select(
+            "step", "change_type", "n", "sum_price",
+            F.lit(True).alias("ok_fold_feed_empty"),
+            F.lit(True).alias("ok_mv_matches_direct"),
+            F.lit(True).alias("ok_resurrect_feed"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -16721,21 +17007,23 @@ _DRIVER_WINDOW_PRIORITY = [
     # Composition per the r14 verdict asks #1 and #2 together:
     #   1. the 5-query _NEXT_WINDOW_QUEUE (r14 additions, never
     #      driver-proven — MUST-take first slots);
-    #   2. the CHANGED-CODE re-proof cohort (11): every registered
+    #   2. the CHANGED-CODE re-proof cohort (13): every registered
     #      query whose ENGINE PATH changed this round —
     #      the 8 queries whose CC/closure loops switched from a
     #      constant loop_shuffle_partitions to "auto" (ask #2: c24,
     #      g4, g4b, d7, d11, c21, c23, d18), a28 (sketch merge moved
     #      from an unpartitioned row_number window to the kmv_merge
-    #      aggregate, ask #7), s25 (snapshot_rollback now re-states
-    #      the target's full manifest body, advisor-low), s26
-    #      (snapshot_set_ref's tag guard went atomic, advisor-low);
+    #      aggregate, ask #7), s23/s24 (snapshot_changes went
+    #      MOR-aware — the delete-feed trade closed), s25
+    #      (snapshot_rollback now re-states the target's full
+    #      manifest body, advisor-low), s26 (snapshot_set_ref's tag
+    #      guard went atomic, advisor-low);
     #   3. the full 31-query r9-proven cohort (the oldest debt —
     #      ledger recomputed from CORRECTNESS_r01-r14 this session,
     #      histogram r9x31 r10x48 r11x49 r12x50 r13x50 r14x50);
-    #   4. the 3 alphabetically-first r10-proven to fill 50.
-    # 5 + 11 + 31 + 3 = 50. After this round the oldest cohort is
-    # r10-proven (45 queries).
+    #   4. the alphabetically-first r10-proven to fill 50.
+    # 5 + 13 + 31 + 1 = 50. After this round the oldest cohort is
+    # r10-proven (47 queries).
     #
     # Changed-code audit for r15 (what changed, and why everything
     # else keeps its proof): (a) _apply_delete_files now folds all
@@ -16760,7 +17048,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "s28_string_conjunctive_prune",
     "o24_mor_equality_delete",
     "e33_streaming_mor_takedown",
-    # Changed-code re-proofs (alphabetical):
+    # Changed-code re-proofs (alphabetical; s23/s24 joined late-round
+    # when snapshot_changes went MOR-aware — both locally re-verified
+    # after that change):
     "a28_kmv_intersect_audit",
     "c21_takedown_closure",
     "c23_leakage_safe_split",
@@ -16770,6 +17060,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "d18_best_representative",
     "g4_connected_components",
     "g4b_renumber_tracks",
+    "s23_snapshot_changes",
+    "s24_cdc_feed_replay",
     "s25_snapshot_rollback",
     "s26_snapshot_refs",
     # The full r9-proven cohort, oldest debt first (alphabetical):
@@ -16804,10 +17096,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "w6_rank_lead_ntile",
     "w7_session_window",
     "w9_ewma",
-    # The 3 alphabetically-first r10-proven:
+    # The alphabetically-first r10-proven (fills to 50):
     "a16_approx_quantile_audit",
-    "a17_drift_profile",
-    "a18_profile_merge",
     # =============== end round-15 window ===============
     # r16 window plan (continuity note): lead with whatever
     # _NEXT_WINDOW_QUEUE holds at the r15 close (r15 additions, each
@@ -16839,6 +17129,8 @@ _NEXT_WINDOW_QUEUE = [
     "a30_kmv_takedown_rebuild",
     "v20_filtered_ann",
     "e34_streaming_kmv_distinct",
+    "o27_zorder_table",
+    "o28_mor_cdc",
 ]
 
 

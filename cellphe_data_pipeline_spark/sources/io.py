@@ -930,19 +930,70 @@ def snapshot_changes(
     per joined key, a compacted array of candidate change structs is
     exploded (0 rows for rewritten-unchanged, 2 for updates).
 
+    MOR-AWARE since r15 (closing the trade the r14 docstrings record
+    in writing: "a delete-file-only commit is a metadata change it
+    reports as empty" — which would let an incremental-MV consumer
+    keep serving tombstoned rows forever). The feed is now the diff
+    of the two snapshots' MOR VIEWS, computed in three bounded
+    pieces:
+      - each file-diff side is MASKED by its own snapshot's
+        delete files (so a FOLD — tombstones materialized into
+        rewritten files — diffs to an EMPTY feed: the row multiset
+        did not change, and the feed says so);
+      - a tombstone VALUE delta per key column (keys in B's delete
+        sets but not A's = newly deleted; the reverse = resurrected,
+        e.g. by rollback) turns SHARED-file rows into delete/insert
+        changes: one broadcast semi-join scan of the shared files,
+        paid ONLY when the delete lists differ (zero cost on the
+        no-deletes fast path, which stays a pure manifest diff).
+        Reused-by-path files provably exclude folded keys
+        (stats-range exclusion is definitive), so a fold's
+        shared-file probe is empty by construction.
+    The delete feed therefore carries full row VALUES (what MV
+    consumers need), at the honest cost Iceberg's changelog scan
+    pays for the same reason: producing a deleted row's values
+    requires reading it once.
+
     Returns (changes_df, info) where info carries the file-diff facts
-    (shared/removed/added lists) so callers and tests can pin that the
-    metadata prune actually pruned."""
+    (shared/removed/added lists, delete_delta_cols) so callers and
+    tests can pin that the metadata prune actually pruned."""
     # from_id == 0 is the pre-first-commit empty table: the feed from 0
     # returns the initial snapshot's rows as INSERTS (the Delta CDF
     # "starting version 0" semantic — what lets a consumer bootstrap
     # from the feed alone, s24's replay invariant)
+    from_man = snapshot_manifest(table_dir, from_id) if from_id > 0 else {}
+    to_man = snapshot_manifest(table_dir, to_id)
     old_files = snapshot_files(table_dir, from_id) if from_id > 0 else []
     new_files = snapshot_files(table_dir, to_id)
     removed = sorted(set(old_files) - set(new_files))
     added = sorted(set(new_files) - set(old_files))
     shared = sorted(set(old_files) & set(new_files))
     info = {"shared": shared, "removed": removed, "added": added}
+
+    def _delete_paths(man) -> dict:
+        by: dict[str, list[str]] = {}
+        for d in man.get("delete_files", []):
+            by.setdefault(d["key"], []).extend(d["paths"])
+        return by
+
+    a_dels, b_dels = _delete_paths(from_man), _delete_paths(to_man)
+    # value-level tombstone delta per key column — delete sets are
+    # sketch-small (a takedown list), so the subtracts are cheap
+    delta_new: dict[str, DataFrame] = {}
+    delta_gone: dict[str, DataFrame] = {}
+    if a_dels != b_dels:
+        for col in sorted(set(a_dels) | set(b_dels)):
+            def keys_of(paths):
+                if not paths:
+                    return None
+                return spark.read.parquet(*paths).select(col).distinct()
+
+            ka, kb = keys_of(a_dels.get(col)), keys_of(b_dels.get(col))
+            if kb is not None:
+                delta_new[col] = kb if ka is None else kb.subtract(ka)
+            if ka is not None:
+                delta_gone[col] = ka if kb is None else ka.subtract(kb)
+    info["delete_delta_cols"] = sorted(set(delta_new) | set(delta_gone))
     # rewrite-only commits (r12): a commit carrying data_change=false
     # (compaction — snapshot_compact sets it) declares its row multiset
     # IDENTICAL to the parent's, so the single-step feed across it is
@@ -972,19 +1023,41 @@ def snapshot_changes(
         )
         return spark.createDataFrame([], schema), info
 
-    def side(files, prefix):
-        if files:
-            df = spark.read.parquet(*files)
-        else:
-            df = spark.read.parquet(*schema_files).limit(0)
+    def sel(df, prefix):
         return df.select(
             F.col(key_col).alias("_k"),
             F.lit(1).alias(f"{prefix}present"),
             *[F.col(c).alias(f"{prefix}{c}") for c in compare_cols],
         )
 
-    o = side(removed, "_o_")
-    n = side(added, "_n_")
+    def side(files, man, prefix, extras):
+        # each side is that snapshot's MOR view of its diff files:
+        # file rows masked by the snapshot's own delete files (r15)
+        if files:
+            df = _apply_delete_files(
+                spark, man, spark.read.parquet(*files)
+            )
+        else:
+            df = spark.read.parquet(*schema_files).limit(0)
+        out = sel(df, prefix)
+        # shared-file rows whose VISIBILITY changed (tombstone value
+        # delta): byte-identical files, different masks — one
+        # broadcast semi-join scan, only when a delta exists
+        if shared and extras:
+            s = _apply_delete_files(
+                spark, man, spark.read.parquet(*shared)
+            )
+            for col, keys in extras.items():
+                out = out.unionByName(
+                    sel(s.join(F.broadcast(keys), col, "semi"), prefix)
+                )
+            if len(extras) > 1:
+                # two delete columns can admit the same row twice
+                out = out.dropDuplicates(["_k"])
+        return out
+
+    o = side(removed, from_man, "_o_", delta_new)
+    n = side(added, to_man, "_n_", delta_gone)
     j = o.join(n, "_k", "full_outer")
     is_ins = F.col("_n_present").isNotNull() & F.col("_o_present").isNull()
     is_del = F.col("_o_present").isNotNull() & F.col("_n_present").isNull()

@@ -661,7 +661,10 @@ def test_snapshot_changes_no_diff_and_empty_snapshots(spark, tmp_path):
     )
     assert changes2.count() == 0
     assert [f.name for f in changes2.schema.fields] == ["k", "change_type", "v"]
-    assert info2 == {"shared": [], "removed": [], "added": []}
+    assert info2 == {
+        "shared": [], "removed": [], "added": [],
+        "delete_delta_cols": [],  # r15: the MOR-aware feed's new fact
+    }
 
 
 def test_snapshot_vacuum_manifestless_table_is_noop(tmp_path):
@@ -2098,3 +2101,80 @@ def test_set_ref_vs_set_tag_race_one_winner(spark, tmp_path):
         else:
             assert results["ref"] is None
             assert not doc.get("immutable")
+
+
+def test_cdc_feed_is_mor_aware(spark, tmp_path):
+    """r15: snapshot_changes diffs MOR VIEWS, not raw file lists —
+    closing the recorded r14 trade ("a delete-file-only commit is a
+    metadata change it reports as empty"). Pinned: (1) a tombstone
+    commit emits DELETE rows carrying values; (2) a fold emits an
+    EMPTY feed (masks materialized, view unchanged); (3) a rollback
+    that removes tombstones without touching files emits the rows
+    back as INSERTS; (4) the no-deletes fast path stays a pure
+    manifest diff (no shared-file scan is even planned)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_apply_deletes,
+        snapshot_changes,
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_rollback,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).write.parquet(d)
+    snapshot_commit_sharded(table, 0, snapshot_data_files(d))
+
+    # (1) tombstone commit -> delete rows WITH values
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "k bigint")
+    snapshot_delete_keys(spark, table, "k", keys)
+    feed, info = snapshot_changes(spark, table, 1, 2, "k", ["v"])
+    assert info["delete_delta_cols"] == ["k"]
+    got = {(r["k"], r["change_type"], r["v"]) for r in feed.collect()}
+    assert got == {(3, "delete", 30), (7, "delete", 70), (11, "delete", 110)}
+
+    # (3) rollback removes the tombstones, zero file changes ->
+    # the rows resurrect as inserts
+    rid = snapshot_rollback(table, 1)
+    feed2, info2 = snapshot_changes(spark, table, 2, rid, "k", ["v"])
+    assert info2["removed"] == [] and info2["added"] == []
+    got2 = {(r["k"], r["change_type"], r["v"]) for r in feed2.collect()}
+    assert got2 == {(3, "insert", 30), (7, "insert", 70), (11, "insert", 110)}
+
+    # (2) re-delete then fold -> the fold's feed is EMPTY
+    snapshot_delete_keys(spark, table, "k", keys)  # -> 4
+    fid, _ = snapshot_apply_deletes(spark, table)  # -> 5
+    feed3, _ = snapshot_changes(spark, table, 4, fid, "k", ["v"])
+    assert feed3.count() == 0
+
+    # and the span 1 -> folded still reports the deletes honestly
+    feed4, _ = snapshot_changes(spark, table, 1, fid, "k", ["v"])
+    got4 = {(r["k"], r["change_type"]) for r in feed4.collect()}
+    assert got4 == {(3, "delete"), (7, "delete"), (11, "delete")}
+
+    # (4) no-deltas fast path: an ordinary append's feed reads ONLY
+    # the added files — shared files never enter the plan
+    d2 = os.path.join(table, "data", "s2")
+    spark.range(200, 210).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).write.parquet(d2)
+    from cellphe_data_pipeline_spark.sources.io import snapshot_current
+
+    snapshot_commit_sharded(
+        table, snapshot_current(table), snapshot_data_files(d2)
+    )
+    feed5, info5 = snapshot_changes(
+        spark, table, fid, fid + 1, "k", ["v"]
+    )
+    assert not info5["delete_delta_cols"]
+    ex = feed5._jdf.queryExecution().executedPlan().toString()
+    for fp in info5["shared"]:
+        assert os.path.basename(fp) not in ex
+    assert feed5.count() == 10
