@@ -692,3 +692,100 @@ def prune_files_by_range(stats_rows, lo, hi) -> list[str]:
         or r["max_v"] is None
         or not (r["max_v"] < lo or r["min_v"] > hi)
     )
+
+
+BLOOM_M_BITS = 131072  # 16 KiB per file — sized for ~12k distinct
+BLOOM_K = 5
+
+
+def _bloom_positions_py(value, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """The k bit positions for a value — md5-derived, byte-identical
+    to the Spark-side expression in build_file_blooms (the kmv_sketch
+    engine-portable-hash idiom: hashlib.md5 in the planner, F.md5 in
+    the executors, same positions on both sides)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16)
+        % m_bits
+        for i in range(1, k + 1)
+    ]
+
+
+def build_file_blooms(
+    spark: SparkSession,
+    files: list[str],
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> dict:
+    """Per-FILE Bloom filters for a point-lookup column (r15, o29) —
+    the secondary-index half of the data-skipping story: [min,max]
+    zone maps prune RANGE predicates but are useless for point
+    lookups on a column the layout wasn't sorted by (a hash-scattered
+    key intersects every file's bounds). A per-file Bloom over the
+    column's distinct values turns `col = v` into a metadata test
+    that skips every file whose k bits aren't all set — Iceberg/Delta
+    ship exactly this as file-level bloom indexes, and parquet embeds
+    the same structure per row group.
+
+    Build: one column-pruned distinct scan grouped by file metadata
+    (the file_key_stats shape); the per-file distinct values come to
+    the driver ONCE, at commit time, to be folded into m-bit bitsets
+    (stored base64 in the manifest — ~m/8 bytes per file). That
+    writer-pays collect is the documented miniature: a production
+    writer folds the same bitset inside the file writer as it streams
+    rows (parquet's own bloom write path), never post-hoc; the
+    manifest payload and the read-side test are identical either way.
+
+    Returns {"m": m_bits, "k": k, "files": {path: base64_bitset}} —
+    attach to the commit (manifest extra) and probe with
+    bloom_admits()."""
+    import base64
+    from urllib.parse import urlparse
+
+    rows = (
+        spark.read.parquet(*files)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(col).cast("string").alias("v"),
+        )
+        .distinct()
+        .collect()  # bounded: sum of per-file distinct values, paid
+        # once by the committing writer (see docstring)
+    )
+    bitsets: dict[str, bytearray] = {}
+    for r in rows:
+        fp = urlparse(r["file"]).path
+        bs = bitsets.setdefault(fp, bytearray(m_bits // 8))
+        for pos in _bloom_positions_py(r["v"], m_bits, k):
+            bs[pos // 8] |= 1 << (pos % 8)
+    return {
+        "m": m_bits,
+        "k": k,
+        "col": col,
+        "files": {
+            fp: base64.b64encode(bytes(bs)).decode()
+            for fp, bs in bitsets.items()
+        },
+    }
+
+
+def bloom_admits(bloom_doc: dict, file_path: str, value) -> bool:
+    """Metadata-only point-lookup test: True iff the file MIGHT
+    contain the value (all k bits set — false positives possible at
+    the documented rate, false negatives never) or the file has no
+    bloom recorded (admit: indexes are an optimization, never a
+    correctness gate — the o19 stats contract)."""
+    import base64
+
+    b64 = bloom_doc.get("files", {}).get(file_path)
+    if b64 is None:
+        return True
+    bs = base64.b64decode(b64)
+    return all(
+        bs[pos // 8] & (1 << (pos % 8))
+        for pos in _bloom_positions_py(
+            str(value), bloom_doc["m"], bloom_doc["k"]
+        )
+    )

@@ -16986,6 +16986,332 @@ def o28(spark, sf_dir):
     )
 
 
+@register(
+    "s29_partition_evolution",
+    """
+    WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+               FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_old_layout_prunes_old_col,
+           TRUE AS ok_new_layout_prunes_new_col,
+           TRUE AS ok_cross_layout_superset_admit,
+           TRUE AS ok_rewrite_completes_evolution
+    FROM orders, b
+    WHERE o_orderkey <= mn + (mx - mn) // 4
+    GROUP BY o_orderpriority
+    """,
+)
+def s29(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION (r15) — Iceberg's marquee table-format
+    claim ("change the partition layout without rewriting old data",
+    spec §"Partition Evolution", public), realized here the
+    stats-first way: because every reader prunes from PER-FILE
+    [min,max] bounds rather than from path-encoded partition values,
+    files written under DIFFERENT layouts coexist in one table and
+    each is pruned by whatever bounds its writer recorded — layout is
+    a write-side optimization, never a read-side contract.
+
+    Lifecycle, each phase asserted against the pruned reader's
+    kept/skipped lists:
+      - spec v1 writes one file per o_orderpriority (string bounds on
+        the priority column — lexicographic zone maps, the s28
+        machinery);
+      - spec v2 appends range-shards on o_orderkey (int bounds);
+      - MIXED reads: a priority probe skips exactly the v1 files of
+        other priorities (ok_old_layout_prunes_old_col) while
+        ADMITTING every v2 file (no priority bounds — superset-admit,
+        ok_cross_layout_superset_admit: stats never gate
+        correctness); an orderkey probe prunes v2 and admits v1
+        (ok_new_layout_prunes_new_col) — exactly Iceberg's documented
+        semantics that pre-evolution data answers new-spec queries by
+        scan, not by error;
+      - a maintenance REWRITE re-sorts the v1 files under v2's layout
+        with bounds on BOTH columns, after which the orderkey probe
+        prunes the whole table (ok_rewrite_completes_evolution) — the
+        migration is a compaction-cadence rewrite, amortized, never a
+        blocking table rewrite at ALTER time.
+
+    The rollup answers from the post-rewrite pruned read (+residual);
+    the oracle recomputes from raw orders. At 100 TB: an ALTER of the
+    partition spec is a metadata decision that costs zero data I/O;
+    old files keep answering, and each compaction pass migrates what
+    it touches."""
+    import os
+
+    from urllib.parse import urlparse
+
+    from cellphe_data_pipeline_spark.operators.scale import file_key_stats
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_read_pruned,
+    )
+
+    table = _stage_dir("s29_evolution")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]  # bounded
+    mn, mx = row["mn"], row["mx"]
+    half = mn + (mx - mn) // 2
+
+    def stats_for(files, cols):
+        out = {}
+        for col in cols:
+            out[col] = {
+                urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+                for r in file_key_stats(spark, files, col).collect()
+            }
+        return out
+
+    # spec v1: one file per priority, bounds on the priority string.
+    # Only the FIRST HALF of the key range lands under v1 — the rest
+    # arrives after the spec change, the evolution timeline.
+    v1 = orders.filter(F.col("o_orderkey") <= half)
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in orders.select("o_orderpriority").distinct().collect()
+    )  # bounded: 5 values
+    v1_files: dict[str, list] = {}
+    parent = 0
+    for p in prios:
+        d = os.path.join(table, "data", f"v1_{p.split('-')[0]}")
+        v1.filter(F.col("o_orderpriority") == p).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        files = snapshot_data_files(d)
+        v1_files[p] = files
+        parent, _ = snapshot_commit_sharded(
+            table, parent, files, stats=stats_for(files, ["o_orderpriority"])
+        )
+    all_v1 = [fp for fps in v1_files.values() for fp in fps]
+
+    # spec v2: range shards on o_orderkey for the second half
+    v2 = orders.filter(F.col("o_orderkey") > half)
+    cuts = [half + ((mx - half + 4) // 4) * i for i in range(4)] + [mx + 1]
+    v2_all: list = []
+    for i in range(4):
+        d = os.path.join(table, "data", f"v2_s{i}")
+        v2.filter(
+            (F.col("o_orderkey") > cuts[i] if i == 0 else F.col("o_orderkey") >= cuts[i])
+            & (F.col("o_orderkey") < cuts[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        files = snapshot_data_files(d)
+        st = stats_for(files, ["o_orderkey"])
+        if not st["o_orderkey"]:
+            continue  # empty range shard (sparse keys): nothing to commit
+        v2_all.extend(files)
+        parent, _ = snapshot_commit_sharded(table, parent, files, stats=st)
+
+    # MIXED reads — assert on the KEPT set, which is prune-level
+    # agnostic (non-matching v1 commits are skipped at the SHARD
+    # level here, so their files never even appear in the skipped
+    # list — the manifest-list unlisting that makes prune I/O
+    # O(admitted shards))
+    probe_p = prios[0]
+    _, ip = snapshot_read_pruned(
+        spark, table, parent, "o_orderpriority", probe_p, probe_p
+    )
+    # exactly: the probe priority's v1 file + every v2 file
+    # (superset-admit — v2 has no priority bounds)
+    assert set(ip["kept"]) == set(v1_files[probe_p]) | set(v2_all), ip
+
+    k_hi = mn + (mx - mn) // 4
+    _, ik = snapshot_read_pruned(
+        spark, table, parent, "o_orderkey", mn, k_hi
+    )
+    # probe range is inside the v1 half: every v2 shard pruned,
+    # every v1 file admitted (no orderkey bounds under spec v1)
+    assert set(ik["kept"]) == set(all_v1), ik
+
+    # maintenance rewrite: migrate the v1 files to spec v2 layout
+    # with bounds on BOTH columns — removed by path, added re-sorted
+    mig = os.path.join(table, "data", "migrated")
+    spark.read.parquet(*all_v1).repartitionByRange(
+        4, F.col("o_orderkey")
+    ).sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(mig)
+    mig_files = snapshot_data_files(mig)
+    parent, _ = snapshot_commit_sharded(
+        table,
+        parent,
+        mig_files,
+        removed_files=all_v1,
+        stats=stats_for(mig_files, ["o_orderkey", "o_orderpriority"]),
+    )
+    pruned, ik2 = snapshot_read_pruned(
+        spark, table, snapshot_current(table), "o_orderkey", mn, k_hi
+    )
+    # post-rewrite: the whole table prunes on the new column — kept
+    # is a strict subset of the migrated shards, zero v2 files open
+    assert set(ik2["kept"]) <= set(mig_files), ik2
+    assert len(ik2["kept"]) < len(mig_files), ik2
+
+    return pruned.filter(F.col("o_orderkey") <= k_hi).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_old_layout_prunes_old_col"),
+        F.lit(True).alias("ok_new_layout_prunes_new_col"),
+        F.lit(True).alias("ok_cross_layout_superset_admit"),
+        F.lit(True).alias("ok_rewrite_completes_evolution"),
+    )
+
+
+@register(
+    "o29_bloom_point_lookup",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+               GROUP BY o_custkey),
+    m AS (SELECT MIN(cnt) AS mncnt FROM c),
+    pick AS (SELECT MIN(o_custkey) AS ck FROM c, m WHERE cnt = mncnt)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_zonemap_cannot_prune,
+           TRUE AS ok_bloom_prunes,
+           TRUE AS ok_no_false_negative
+    FROM orders, pick WHERE o_custkey = ck
+    GROUP BY o_orderpriority
+    """,
+)
+def o29(spark, sf_dir):
+    """FILE-LEVEL BLOOM INDEX point lookup (r15; scale.
+    build_file_blooms / bloom_admits) — the secondary-index half of
+    data skipping, the gap zone maps leave open: the table's layout
+    is range-sharded by o_orderkey (the primary access path), so a
+    point lookup on o_custkey — hash-scattered across every shard —
+    intersects every file's [min,max] and the zone-map reader prunes
+    NOTHING (ok_zonemap_cannot_prune, asserted: skipped list empty).
+    A per-file Bloom over the column's distinct values, committed
+    into the manifest at write time (Iceberg/Delta file-level bloom
+    indexes; parquet embeds the same structure per row group), turns
+    the same lookup into a metadata test:
+
+      - ok_bloom_prunes: ≥ half the files are skipped without
+        opening (false-positive rate at the committed m=2^17, k=5 is
+        a few percent at gate scale);
+      - ok_no_false_negative: the admitted set contains every file
+        that truly holds the key — Blooms err ONLY toward admission,
+        and a file with no bloom recorded is admitted (the o19
+        stats-never-gate-correctness contract, applied to indexes).
+
+    The probe key is the smallest single-order customer (computed
+    identically in the oracle), so the lookup is a genuine
+    needle-in-one-file. The rollup answers from the bloom-admitted
+    read with the residual predicate; the oracle recomputes from raw
+    orders. At 100 TB: the bloom build rides the committing writer's
+    stream (parquet's own bloom write path — the driver-side fold
+    here is the gate-scale miniature, documented in the operator),
+    costs m/8 bytes per file in the manifest, and converts
+    point-lookup families on ANY column into O(matching files) reads
+    without re-laying-out the table — the index complements z-order
+    (o27), which serves range families."""
+    import os
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        bloom_admits,
+        build_file_blooms,
+        file_key_stats,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_data_files,
+        snapshot_manifest,
+        snapshot_read_pruned,
+    )
+    from urllib.parse import urlparse
+
+    table = _stage_dir("o29_bloom")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    d = os.path.join(table, "data", "s1")
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.mode("overwrite").parquet(d)
+    files = snapshot_data_files(d)
+    stats = {
+        "o_custkey": {
+            urlparse(r["file"]).path: [r["min_v"], r["max_v"]]
+            for r in file_key_stats(spark, files, "o_custkey").collect()
+        }
+    }
+    bloom = build_file_blooms(spark, files, "o_custkey")
+    snapshot_commit_sharded(
+        table, 0, files, stats=stats, extra={"bloom_o_custkey": bloom}
+    )
+
+    # the probe: the fewest-orders customer, smallest key on ties —
+    # deterministic at every SF and computed identically in the
+    # oracle (a needle touching the fewest possible files)
+    counts = orders.groupBy("o_custkey").count()
+    mncnt = counts.agg(F.min("count")).collect()[0][0]  # bounded
+    ck = (
+        counts.filter(F.col("count") == mncnt)
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )  # bounded: 1 row
+
+    # zone maps can't prune a scattered point key under this layout
+    _, zinfo = snapshot_read_pruned(
+        spark, table, 1, "o_custkey", ck, ck
+    )
+    assert zinfo["skipped"] == [], zinfo
+
+    # the files that truly hold the key (for the skip bound below)
+    truth = {
+        urlparse(r["file"]).path
+        for r in orders.filter(F.col("o_custkey") == ck)
+        .join(
+            spark.read.parquet(*files).select(
+                F.col("_metadata.file_path").alias("file"), "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        .select("file")
+        .distinct()
+        .collect()  # bounded: the probe key's files
+    }
+
+    # the bloom can: metadata-only admit test per file. At least
+    # half of the truly-skippable files must skip (false positives
+    # bounded), and no false negative is ever allowed.
+    doc = snapshot_manifest(table, 1)["bloom_o_custkey"]
+    kept = [fp for fp in files if bloom_admits(doc, fp, ck)]
+    skipped = sorted(set(files) - set(kept))
+    skippable = len(files) - len(truth)
+    assert len(skipped) >= max(1, skippable // 2), (skipped, truth)
+    assert truth <= set(kept), (truth, kept)
+
+    return (
+        spark.read.parquet(*kept)
+        .filter(F.col("o_custkey") == ck)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderpriority", "n", "sum_price",
+            F.lit(True).alias("ok_zonemap_cannot_prune"),
+            F.lit(True).alias("ok_bloom_prunes"),
+            F.lit(True).alias("ok_no_false_negative"),
+        )
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -17131,6 +17457,8 @@ _NEXT_WINDOW_QUEUE = [
     "e34_streaming_kmv_distinct",
     "o27_zorder_table",
     "o28_mor_cdc",
+    "s29_partition_evolution",
+    "o29_bloom_point_lookup",
 ]
 
 
