@@ -699,10 +699,13 @@ BLOOM_K = 5
 
 
 def _bloom_positions_py(value, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
-    """The k bit positions for a value — md5-derived, byte-identical
-    to the Spark-side expression in build_file_blooms (the kmv_sketch
-    engine-portable-hash idiom: hashlib.md5 in the planner, F.md5 in
-    the executors, same positions on both sides)."""
+    """The k bit positions for a value — md5-derived so the same
+    positions are computable ANYWHERE (hashlib.md5 here; F.md5 +
+    conv would give identical positions executor-side if a future
+    writer folds the bitset distributedly — the kmv_sketch
+    engine-portable-hash idiom). Build and probe share this one
+    function, so admit tests can never drift from the written
+    bits."""
     import hashlib
 
     return [

@@ -951,3 +951,54 @@ def test_snapshot_compact_selective_and_stats_refresh(spark, tmp_path):
     assert nid2 == 2 and snapshot_current(table) == 2
     assert info2["replaced"] == [] and info2["new_files"] == []
     assert set(info2["kept"]) == {big_file, *info["new_files"]}
+
+
+def test_file_bloom_build_and_admit(spark, tmp_path):
+    """r15 (o29): per-file Bloom index — no false negatives ever
+    (every present value admits its file), false positives bounded at
+    the sized m/k, absent-bloom files admitted (indexes never gate
+    correctness)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        bloom_admits,
+        build_file_blooms,
+    )
+    from cellphe_data_pipeline_spark.sources.io import snapshot_data_files
+
+    d = str(tmp_path / "t")
+    # two files with disjoint value sets
+    spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).repartitionByRange(2, "k").write.parquet(d)
+    files = snapshot_data_files(d)
+    assert len(files) == 2
+    doc = build_file_blooms(spark, files, "k", m_bits=8192, k=5)
+
+    rows = (
+        spark.read.parquet(d)
+        .select(F.col("_metadata.file_path").alias("f"), "k")
+        .collect()
+    )
+    from urllib.parse import urlparse
+
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(urlparse(r["f"]).path, set()).add(r["k"])
+
+    fp_hits = 0
+    trials = 0
+    for fp, vals in by_file.items():
+        for v in vals:
+            assert bloom_admits(doc, fp, v)  # no false negatives
+        other = set(range(500)) - vals
+        for v in sorted(other):
+            trials += 1
+            if bloom_admits(doc, fp, v):
+                fp_hits += 1
+    # 250 values * 5 hashes in 8192 bits: fill ~0.14, fp ~0.014^... 
+    # generous bound: under 10% false positives
+    assert fp_hits / trials < 0.10, (fp_hits, trials)
+
+    # values never written: admitted almost never, absent bloom: always
+    assert bloom_admits({"m": 8192, "k": 5, "files": {}}, files[0], 123)
