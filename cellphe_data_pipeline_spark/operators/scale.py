@@ -792,3 +792,74 @@ def bloom_admits(bloom_doc: dict, file_path: str, value) -> bool:
             str(value), bloom_doc["m"], bloom_doc["k"]
         )
     )
+
+
+def purge_rows_cow(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    key_col: str = "event_id",
+    out_slice: str = "purge",
+    commit_extra: dict | None = None,
+) -> tuple[int, dict]:
+    """PHYSICAL key purge via file-level copy-on-write (r15, e35) —
+    merge_rows_cow's removal half, as its own function: rewrite only
+    the stats-admitted candidate files minus the given keys, reuse
+    the rest by path. Exists standalone (rather than a flag on the
+    merge) so the CDC-apply sink can remove a re-inserted key's OLD
+    physical copies without touching the merge's proven path: the
+    sink then appends the new rows through the value-watermarked
+    append and un-masks the key last — a decomposition whose every
+    step is replay-idempotent (purging absent keys is a no-op;
+    appends replay-refuse on the watermark). Keys absent from every
+    file cost a stats consult and nothing else. Returns
+    (new_id, {kept_files, hit_files, new_files}); no commit happens
+    when no file is hit (returns the current id)."""
+    import os
+
+    from urllib.parse import urlparse
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_atomic,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_files,
+    )
+
+    parent = snapshot_current(table_dir)
+    base_files = snapshot_files(table_dir, parent) if parent > 0 else []
+    if not base_files:
+        return parent, {"kept_files": [], "hit_files": [], "new_files": []}
+    keys = keys_df.select(F.col(key_col).alias("_k")).distinct()
+    stats = file_key_stats(spark, base_files, key_col).select(
+        F.col("file").alias("_f"),
+        F.col("min_v").alias("_lo"),
+        F.col("max_v").alias("_hi"),
+    )
+    candidates = stats.join(
+        F.broadcast(keys),
+        (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        "left_semi",
+    )
+    hit_files = sorted(
+        urlparse(r["_f"]).path for r in candidates.select("_f").collect()
+    )  # bounded: one row per candidate file
+    if not hit_files:
+        return parent, {
+            "kept_files": base_files, "hit_files": [], "new_files": [],
+        }
+    kept_files = [f for f in base_files if f not in set(hit_files)]
+    rewritten = spark.read.parquet(*hit_files).join(
+        F.broadcast(keys), F.col(key_col) == F.col("_k"), "left_anti"
+    )
+    out_dir = os.path.join(table_dir, "data", f"s{parent + 1}_{out_slice}")
+    rewritten.write.mode("overwrite").parquet(out_dir)
+    new_files = snapshot_data_files(out_dir)
+    new_id = snapshot_commit_atomic(
+        table_dir, parent, kept_files + new_files, extra=commit_extra
+    )
+    return new_id, {
+        "kept_files": kept_files,
+        "hit_files": hit_files,
+        "new_files": new_files,
+    }

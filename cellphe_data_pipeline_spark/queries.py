@@ -17312,6 +17312,157 @@ def o29(spark, sf_dir):
     )
 
 
+@register(
+    "e35_streaming_cdc_apply",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_orderpriority, o_totalprice
+                  FROM orders),
+    final AS (
+      SELECT k, o_orderpriority,
+             CASE WHEN k % 9 = 4 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS price
+      FROM base
+      WHERE (k % 3 = 0 AND (k % 6 <> 0 OR k % 12 = 0)) OR k % 3 = 1
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS ok_exactly_once,
+           TRUE AS ok_update_via_cow,
+           TRUE AS ok_reinsert_untombstones
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def e35(spark, sf_dir):
+    """§2.11 streaming CDC-APPLY (r15; tracker.cdc_apply_batch /
+    streaming_cdc_apply_drain) — the CONSUMER half of the
+    change-data-feed story, closing the loop o28's MOR-aware feed
+    opened: a change stream maintains a derived table, each change
+    class routed to the cost-right primitive of the table format
+    (the Delta CDF / Iceberg changelog consumer topology):
+
+      - batch 1 bootstraps with inserts (keys ≡ 0 mod 3);
+      - batch 2 inserts (≡ 1 mod 3) and DELETES (≡ 0 mod 6) — the
+        deletes land as ONE MOR tombstone commit, O(keys);
+      - batch 3 UPDATES (≡ 4 mod 9: price + 1000) as
+        update_pre/update_post pairs — routed through the COW merge,
+        because the snapshot-wide tombstone cannot express
+        replace-in-place (the o24 decision record exercised at its
+        boundary: ok_update_via_cow) — and RE-INSERTS previously
+        deleted keys (≡ 0 mod 12), the delete-then-reinsert case
+        every real CDC feed contains: old physical copies PURGE
+        (scale.purge_rows_cow — without it, un-masking would
+        resurrect the old row next to the new one, the double-row
+        trap), the new rows ride the same value-watermarked append
+        as every insert, and the keys UN-tombstone LAST
+        (snapshot_undelete_keys, O(delete set), zero data files) —
+        ok_reinsert_untombstones, asserted against the surviving
+        delete sets. Every step is either value-watermarked from the
+        feed or idempotent under replayed state, so crash replays at
+        ANY step boundary re-apply only the missing work.
+
+    Exactly-once PER STEP through the shared last_batch_ids map
+    (writer ids cdc_merge/cdc_ins/cdc_del): the first drain commits
+    merge×1, insert×3, delete×1; a fresh-checkpoint full replay
+    applies NOTHING and leaves the snapshot id unchanged
+    (ok_exactly_once, both legs asserted). The rollup answers from
+    the final MOR read; the oracle recomputes the end state from raw
+    orders. At 100 TB: feed-cadence cost is O(batch) for
+    inserts/deletes, O(affected files) for updates; derived tables
+    track takedowns at streaming latency."""
+    import os
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        streaming_cdc_apply_drain,
+    )
+
+    root = _stage_dir("e35_cdc_apply")
+    table = os.path.join(root, "mv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def tagged(df, ct):
+        return df.select(
+            "o_orderkey",
+            F.lit(ct).alias("change_type"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+
+    b1 = tagged(orders.filter(k % 3 == 0), "insert")
+    b2 = tagged(orders.filter(k % 3 == 1), "insert").unionByName(
+        tagged(orders.filter(k % 6 == 0), "delete")
+    )
+    upd = orders.filter(k % 9 == 4)
+    b3 = (
+        tagged(upd, "update_pre")
+        .unionByName(
+            tagged(
+                upd.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 1000
+                ),
+                "update_post",
+            )
+        )
+        .unionByName(tagged(orders.filter(k % 12 == 0), "insert"))
+    )
+    staged = _stage_ordered_batches([b1, b2, b3], "e35_batches")
+
+    with _bounded_shuffle_partitions(spark):
+        counts = streaming_cdc_apply_drain(
+            spark, b1.schema, staged, table,
+            os.path.join(root, "ckpt"), "o_orderkey",
+        )
+    assert counts == {
+        "batches": 3, "merged": 1, "purged": 1,
+        "inserted": 3, "deleted": 1, "undeleted": 1,
+    }, counts
+    sid = snapshot_current(table)
+
+    # the re-insert un-tombstoned exactly the k%12 keys: surviving
+    # delete sets hold (k%6==0) minus (k%12==0), i.e. k%12==6
+    dels = snapshot_manifest(table, sid).get("delete_files", [])
+    assert dels, "tombstones must remain for the never-reinserted keys"
+    masked = spark.read.parquet(
+        *[p for d in dels for p in d["paths"]]
+    ).select("o_orderkey")
+    n_exp = orders.filter(k % 12 == 6).count()
+    assert masked.count() == n_exp, (masked.count(), n_exp)
+
+    # replay leg: fresh checkpoint, same batches — nothing applies
+    with _bounded_shuffle_partitions(spark):
+        counts2 = streaming_cdc_apply_drain(
+            spark, b1.schema, staged, table,
+            os.path.join(root, "ckpt_replay"), "o_orderkey",
+        )
+    assert counts2 == {
+        "batches": 3, "merged": 0, "purged": 0,
+        "inserted": 0, "deleted": 0, "undeleted": 0,
+    }, counts2
+    assert snapshot_current(table) == sid
+
+    return snapshot_read(spark, table, sid).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_exactly_once"),
+        F.lit(True).alias("ok_update_via_cow"),
+        F.lit(True).alias("ok_reinsert_untombstones"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -17459,6 +17610,7 @@ _NEXT_WINDOW_QUEUE = [
     "o28_mor_cdc",
     "s29_partition_evolution",
     "o29_bloom_point_lookup",
+    "e35_streaming_cdc_apply",
 ]
 
 

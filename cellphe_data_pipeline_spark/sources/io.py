@@ -715,6 +715,74 @@ def snapshot_delete_keys(
                 raise
 
 
+def snapshot_undelete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+    extra: dict | None = None,
+) -> int:
+    """UN-TOMBSTONE keys (r15, e35) — the restore verb the CDC-apply
+    consumer needs: a feed that deletes key k in one batch and
+    re-inserts it in a later one would have its re-insert masked
+    forever by the snapshot-wide tombstone (the documented o24
+    semantics: "re-inserting a tombstoned key on purpose = fold
+    first"). Folding is table-scale maintenance; this is the
+    key-scale alternative: REWRITE each outstanding delete file for
+    ``key_col`` minus the given keys (delete sets are sketch-small,
+    so the rewrite is O(delete set) — zero data files touched, same
+    cost class as the delete commit itself), dropping entries that
+    empty out. Keys never tombstoned are a no-op; if nothing changes,
+    no commit is made and the current id returns. CAS retry like
+    snapshot_delete_keys; collision-free output dirs."""
+    import os
+
+    keys = keys_df.select(key_col).distinct()
+    conflicts = 0
+    while True:
+        parent = snapshot_current(table_dir)
+        if parent == 0:
+            return 0
+        dels = list(
+            snapshot_manifest(table_dir, parent).get("delete_files", [])
+        )
+        if not any(d["key"] == key_col for d in dels):
+            return parent
+        new_dels = []
+        changed = False
+        for d in dels:
+            if d["key"] != key_col:
+                new_dels.append(d)
+                continue
+            stored = spark.read.parquet(*d["paths"]).select(key_col)
+            kept = stored.join(F.broadcast(keys), key_col, "left_anti")
+            n_stored, n_kept = stored.count(), kept.count()
+            if n_kept == n_stored:
+                new_dels.append(d)  # untouched entry: reuse by path
+                continue
+            changed = True
+            if n_kept == 0:
+                continue  # entry emptied: drop it
+            out = os.path.join(
+                table_dir, "data", "deletes", f"u_{_tmp_token()}"
+            )
+            kept.write.mode("overwrite").parquet(out)
+            new_dels.append(
+                {"key": key_col, "paths": snapshot_data_files(out)}
+            )
+        if not changed:
+            return parent
+        try:
+            new_id, _ = snapshot_commit_sharded(
+                table_dir, parent, [], delete_files=new_dels, extra=extra
+            )
+            return new_id
+        except SnapshotConflict:
+            conflicts += 1
+            if conflicts > 8:
+                raise
+
+
 def snapshot_apply_deletes(
     spark: SparkSession, table_dir: str
 ) -> tuple[int, dict]:

@@ -2380,3 +2380,224 @@ def streaming_kmv_distinct_drain(
             f"kmv-distinct drain did not finish in {timeout_s}s"
         )
     return counts
+
+
+def cdc_apply_batch(
+    spark,
+    table_dir: str,
+    key_col: str,
+    batch_df,
+    batch_id: int,
+) -> dict:
+    """Per-batch applier of the streaming CDC-APPLY sink (r15, e35) —
+    the CONSUMER half of the change-data-feed story (snapshot_changes
+    produces feeds; this maintains a downstream materialized table
+    from one). Each change row routes to the cost-right primitive of
+    the target's own table format, per the o24 decision record:
+
+      - UPDATES (a key in both the delete- and insert-side of the
+        batch, i.e. update_pre/update_post pairs) go through the COW
+        MERGE (scale.merge_rows_cow) — replace-in-place, O(affected
+        files); the MOR tombstone cannot express replace (it would
+        mask the new version too — the documented snapshot-wide
+        semantics);
+      - INSERTS — all of them — append through the value-watermarked
+        multiwriter path (replay-refusal keyed on the batch id, never
+        on table state). A key tombstoned by an EARLIER batch first
+        has its OLD physical copies purged (scale.purge_rows_cow —
+        without the purge, un-masking would resurrect the old row
+        next to the appended new one, the double-row trap) and is
+        UN-tombstoned LAST (snapshot_undelete_keys — O(delete set),
+        zero data files), so the new row becomes visible exactly
+        once;
+      - pure DELETES land as one MOR tombstone commit — O(keys),
+        zero data files.
+
+    REPLAY SAFETY is the design constraint that shaped the step
+    decomposition: a crash can strike between any two commits, and
+    the re-run recomputes its routing from CURRENT table state — so
+    every step is either (a) guarded by a VALUE watermark derived
+    only from the feed (the append: pure_ins is feed-only, the
+    multiwriter watermark refuses replays outright), or (b)
+    intrinsically idempotent under state drift (merge replaces by
+    key; purging absent keys is a no-op; un-tombstoning untombstoned
+    keys is a no-op), with per-step marks (cdc_merge / cdc_purge /
+    cdc_del / cdc_undel in the shared watermark-class last_batch_ids
+    map) to skip completed work. The undelete runs LAST so no earlier
+    step of the same attempt can observe the keys unmasked.
+    Single-writer contract (one streaming query per checkpoint), as
+    for every sink here. Returns {"merged", "purged", "inserted",
+    "deleted", "undeleted"} booleans — False = skipped (replay) or
+    empty."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        merge_rows_cow,
+        purge_rows_cow,
+    )
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_append_batch_multiwriter,
+        snapshot_current,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_undelete_keys,
+    )
+
+    def marks() -> dict:
+        cur = snapshot_current(table_dir)
+        if cur == 0:
+            return {}
+        return dict(
+            snapshot_manifest(table_dir, cur).get("last_batch_ids", {})
+        )
+
+    def tombstoned_keys():
+        cur = snapshot_current(table_dir)
+        dels = (
+            snapshot_manifest(table_dir, cur).get("delete_files", [])
+            if cur > 0
+            else []
+        )
+        paths = [p for d in dels if d["key"] == key_col for p in d["paths"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select(key_col).distinct()
+
+    b = batch_df.localCheckpoint(eager=True)  # feed slice: batch-sized
+    del_side = b.filter(
+        F.col("change_type").isin("delete", "update_pre")
+    ).select(key_col).distinct()
+    ins_side = b.filter(
+        F.col("change_type").isin("insert", "update_post")
+    ).drop("change_type")
+    upd_keys = del_side.join(
+        ins_side.select(key_col), key_col, "semi"
+    ).localCheckpoint(eager=True)
+    pure_del = del_side.join(F.broadcast(upd_keys), key_col, "left_anti")
+    pure_ins = ins_side.join(F.broadcast(upd_keys), key_col, "left_anti")
+    upd_rows = ins_side.join(F.broadcast(upd_keys), key_col, "semi")
+
+    # re-inserts of currently-tombstoned keys (the probe is
+    # sketch-small — a takedown list, not data); consumed ONLY by the
+    # idempotent purge/undelete steps, never by the append
+    tomb = tombstoned_keys()
+    reins = (
+        pure_ins.select(key_col)
+        .join(F.broadcast(tomb), key_col, "semi")
+        .localCheckpoint(eager=True)
+        if tomb is not None
+        else None
+    )
+
+    out = {
+        "merged": False, "purged": False, "inserted": False,
+        "deleted": False, "undeleted": False,
+    }
+
+    # step 1: updates via COW merge
+    if marks().get("cdc_merge", -1) < batch_id and not upd_rows.isEmpty():
+        m = marks()
+        m["cdc_merge"] = batch_id
+        merge_rows_cow(
+            spark, table_dir, upd_rows, key_col=key_col,
+            out_slice=f"cdc_b{batch_id}",
+            commit_extra={"last_batch_ids": m},
+        )
+        out["merged"] = True
+
+    # step 2: purge old physical copies of re-inserted keys
+    if (
+        marks().get("cdc_purge", -1) < batch_id
+        and reins is not None
+        and not reins.isEmpty()
+    ):
+        m = marks()
+        m["cdc_purge"] = batch_id
+        purge_rows_cow(
+            spark, table_dir, reins, key_col=key_col,
+            out_slice=f"cdc_pb{batch_id}",
+            commit_extra={"last_batch_ids": m},
+        )
+        out["purged"] = True
+
+    # step 3: ALL inserts via the value-watermarked append
+    if marks().get("cdc_ins", -1) < batch_id and not pure_ins.isEmpty():
+        out["inserted"] = snapshot_append_batch_multiwriter(
+            table_dir, pure_ins, batch_id, "cdc_ins"
+        )
+
+    # step 4: deletes as one MOR tombstone commit (disjoint from this
+    # batch's insert side by construction — an overlap is an update)
+    if marks().get("cdc_del", -1) < batch_id and not pure_del.isEmpty():
+        m = marks()
+        m["cdc_del"] = batch_id
+        snapshot_delete_keys(
+            spark, table_dir, key_col, pure_del,
+            extra={"last_batch_ids": m},
+        )
+        out["deleted"] = True
+
+    # step 5 — LAST: un-tombstone the re-inserted keys (old copies
+    # purged in step 2, new rows appended in step 3 — unmasking now
+    # reveals exactly the new row)
+    if (
+        marks().get("cdc_undel", -1) < batch_id
+        and reins is not None
+        and not reins.isEmpty()
+    ):
+        m = marks()
+        m["cdc_undel"] = batch_id
+        snapshot_undelete_keys(
+            spark, table_dir, key_col, reins, extra={"last_batch_ids": m}
+        )
+        out["undeleted"] = True
+    return out
+
+
+def streaming_cdc_apply_drain(
+    spark,
+    schema,
+    source_dir: str,
+    table_dir: str,
+    ckpt_dir: str,
+    key_col: str,
+    timeout_s: int = 300,
+) -> dict:
+    """Streaming CDC-APPLY sink (r15, e35): a change-data feed drains
+    into a materialized downstream table through foreachBatch, each
+    micro-batch routed to the cost-right primitives (COW merge for
+    updates, watermarked append + un-tombstone for inserts, MOR
+    tombstone for deletes — see cdc_apply_batch). This is the
+    consumer topology Delta CDF / Iceberg changelog users run to keep
+    a derived table live; with the r15 MOR-aware feed (o28), the pair
+    closes the loop: takedowns propagate from source table to every
+    derived table at streaming latency, with exactly-once per step.
+    At 100 TB: per-batch cost is O(batch) for inserts/deletes and
+    O(affected files) for updates; the table never rewrites at feed
+    cadence."""
+    counts = {
+        "batches": 0, "merged": 0, "purged": 0,
+        "inserted": 0, "deleted": 0, "undeleted": 0,
+    }
+
+    def sink(batch_df, batch_id):
+        r = cdc_apply_batch(spark, table_dir, key_col, batch_df, batch_id)
+        counts["batches"] += 1
+        for k in ("merged", "purged", "inserted", "deleted", "undeleted"):
+            counts[k] += int(r[k])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"cdc-apply drain did not finish in {timeout_s}s")
+    return counts

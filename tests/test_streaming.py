@@ -1781,3 +1781,118 @@ def test_corpus_ingest_gate_packs_subset_but_seen_records_all(
     # 3 distinct hashes: t, t+extra, t+novel — doc 21's hash equals
     # the gated-out doc 5's, so it was anti-joined before recording
     assert snapshot_read(spark, seen, 2).count() == 3
+
+
+def test_cdc_apply_batch_partial_crash_replay(spark, tmp_path, monkeypatch):
+    """r15 (e35): the CDC applier's 5-step decomposition must replay
+    a crash at ANY step boundary into skips-for-done +
+    applies-for-missing — in particular the nastiest boundary, a
+    crash AFTER the re-inserted rows were appended but BEFORE their
+    keys were un-tombstoned (replay must not re-append: the append
+    watermark is feed-derived, immune to the tombstone state the
+    crash left behind)."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import snapshot_read
+    from cellphe_data_pipeline_spark.streaming.tracker import (
+        cdc_apply_batch,
+    )
+
+    table = str(tmp_path / "mv")
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, change_type string, v bigint"
+        )
+
+    # batch 0: bootstrap inserts
+    r0 = cdc_apply_batch(
+        spark, table, "k",
+        feed([(i, "insert", i * 10) for i in range(10)]), 0,
+    )
+    assert r0["inserted"] and not r0["deleted"]
+    # batch 1: tombstone 3 and 7
+    r1 = cdc_apply_batch(
+        spark, table, "k",
+        feed([(3, "delete", None), (7, "delete", None)]), 1,
+    )
+    assert r1["deleted"] and not r1["inserted"]
+    from cellphe_data_pipeline_spark.sources.io import snapshot_current
+
+    assert {
+        r["k"]
+        for r in snapshot_read(
+            spark, table, snapshot_current(table)
+        ).collect()
+    } == (set(range(10)) - {3, 7})
+
+    # batch 2: update 5 -> 555, re-insert 3 -> 333; CRASH before the
+    # final un-tombstone step
+    b2 = feed(
+        [
+            (5, "update_pre", 50),
+            (5, "update_post", 555),
+            (3, "insert", 333),
+        ]
+    )
+    import cellphe_data_pipeline_spark.sources.io as io_mod
+
+    real_undelete = io_mod.snapshot_undelete_keys
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before undelete")
+
+    monkeypatch.setattr(
+        "cellphe_data_pipeline_spark.sources.io.snapshot_undelete_keys",
+        boom,
+    )
+    # cdc_apply_batch imports the symbol inside the function body, so
+    # patching the io module is enough
+    import pytest
+
+    with pytest.raises(RuntimeError, match="crash before undelete"):
+        cdc_apply_batch(spark, table, "k", b2, 2)
+    # mid-crash state: merge+purge+append+delete committed; key 3's
+    # new row exists but is STILL masked
+    mid = {
+        r["k"]: r["v"]
+        for r in snapshot_read(
+            spark, table, snapshot_current(table)
+        ).collect()
+    }
+    assert 3 not in mid and mid[5] == 555
+
+    # REPLAY batch 2 (the recovery): only the undelete applies
+    monkeypatch.setattr(
+        "cellphe_data_pipeline_spark.sources.io.snapshot_undelete_keys",
+        real_undelete,
+    )
+    r2 = cdc_apply_batch(spark, table, "k", b2, 2)
+    assert r2 == {
+        "merged": False, "purged": False, "inserted": False,
+        "deleted": False, "undeleted": True,
+    }, r2
+
+    final = {
+        r["k"]: r["v"]
+        for r in snapshot_read(
+            spark, table, snapshot_current(table)
+        ).collect()
+    }
+    # key 3 exactly once with the NEW value; 5 updated; 7 still gone
+    assert final == {
+        **{i: i * 10 for i in range(10) if i not in (3, 5, 7)},
+        3: 333,
+        5: 555,
+    }, final
+
+    # a full replay of every batch is all-skips, state unchanged
+    sid = snapshot_current(table)
+    for bid, bdf in [
+        (0, feed([(i, "insert", i * 10) for i in range(10)])),
+        (1, feed([(3, "delete", None), (7, "delete", None)])),
+        (2, b2),
+    ]:
+        r = cdc_apply_batch(spark, table, "k", bdf, bid)
+        assert not any(r.values()), (bid, r)
+    assert snapshot_current(table) == sid
