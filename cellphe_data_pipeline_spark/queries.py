@@ -17578,8 +17578,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # =============== end round-15 window ===============
     # r16 window plan (continuity note): lead with whatever
     # _NEXT_WINDOW_QUEUE holds at the r15 close (r15 additions, each
-    # locally oracle-verified before queueing), then the 45 remaining
-    # r10-proven queries to fill 50.
+    # locally oracle-verified before queueing — 10 at close: the MOR
+    # cadence/race/CDC trio o25/o26/o28, the sketch lifecycle
+    # a30/e34, v20 filtered ANN, o27 z-order, s29 partition
+    # evolution, o29 bloom index, e35 CDC apply), then the remaining
+    # r10-proven queries (46 after this window re-proves c21/a16),
+    # oldest first, to fill 50.
     # Prior-round windows (r1-r14) are recorded in git history and in
     # the CORRECTNESS_r0N.json artifacts; everything past slot 50
     # keeps its registration order and is driver-proven in a recorded

@@ -654,10 +654,12 @@ def snapshot_delete_keys(
     list). Reads pay one broadcast hash probe per outstanding delete
     file — snapshot_apply_deletes folds them into the data on the
     maintenance cadence, exactly like manifest compaction absorbs the
-    commit dribble. The CDC manifest-diff fast path (snapshot_changes)
-    diffs DATA files only — a delete-file-only commit is a metadata
-    change it reports as empty; consumers needing row-level deletes
-    from MOR commits read the delete file itself (recorded trade).
+    commit dribble. The CDC feed (snapshot_changes) is MOR-aware
+    since r15: a delete-file-only commit emits its deleted rows WITH
+    values (one broadcast semi-join scan of shared files), a fold
+    diffs to an empty feed, and the no-deletes fast path stays a
+    pure manifest diff — the trade this sentence recorded in r14 is
+    closed, driver-proven by o28.
 
     SEMANTICS DECISION (recorded): a delete file is a SNAPSHOT-WIDE
     TOMBSTONE — it masks the key in every data file of every later
@@ -670,9 +672,11 @@ def snapshot_delete_keys(
     work under MOR — that variant needs per-file add-sequences that
     survive shard rewrites, and this engine's upsert path is the COW
     merge (o17/c7), so the extra machinery buys nothing here.
-    Re-inserting a tombstoned key on purpose = fold first (or use the
-    COW merge). The stateful property suite models exactly these
-    semantics.
+    Re-inserting a tombstoned key on purpose = fold first, use the
+    COW merge, or (r15, the key-scale path the e35 CDC-apply sink
+    runs) purge the old physical copies and snapshot_undelete_keys —
+    O(delete set), zero blanket rewrite. The stateful property suite
+    models exactly these semantics.
 
     CONCURRENCY (r15, advisor-medium): the delete file lands in a
     collision-free per-call dir (data/deletes/d_{token} — the same

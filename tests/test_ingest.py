@@ -2178,3 +2178,59 @@ def test_cdc_feed_is_mor_aware(spark, tmp_path):
     for fp in info5["shared"]:
         assert os.path.basename(fp) not in ex
     assert feed5.count() == 10
+
+
+def test_snapshot_undelete_keys_entry_lifecycle(spark, tmp_path):
+    """r15 (e35): un-tombstoning rewrites only the touched delete
+    entries (O(delete set), zero data files), drops entries that
+    empty out, reuses untouched entries by path, and makes NO commit
+    when nothing changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_commit_sharded,
+        snapshot_current,
+        snapshot_data_files,
+        snapshot_delete_keys,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_undelete_keys,
+    )
+
+    table = str(tmp_path / "tt")
+    d = os.path.join(table, "data", "s1")
+    spark.range(0, 100).select(F.col("id").alias("k")).write.parquet(d)
+    files = snapshot_data_files(d)
+    snapshot_commit_sharded(table, 0, files)
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(v,) for v in vals], "k bigint"
+    )
+    snapshot_delete_keys(spark, table, "k", mk([1, 2, 3]))  # entry A
+    snapshot_delete_keys(spark, table, "k", mk([50, 51]))  # entry B
+    man = snapshot_manifest(table, snapshot_current(table))
+    entry_b_paths = man["delete_files"][1]["paths"]
+
+    # partial undelete of entry A; entry B untouched (reused by path)
+    nid = snapshot_undelete_keys(spark, table, "k", mk([1, 3]))
+    dels = snapshot_manifest(table, nid)["delete_files"]
+    assert len(dels) == 2
+    assert dels[1]["paths"] == entry_b_paths  # reuse, not rewrite
+    got = {r["k"] for r in snapshot_read(spark, table, nid).collect()}
+    assert got == set(range(100)) - {2, 50, 51}
+    # data files untouched throughout
+    from cellphe_data_pipeline_spark.sources.io import snapshot_files
+
+    assert snapshot_files(table, nid) == sorted(files)
+
+    # no-op undelete (keys never tombstoned): NO commit
+    cur = snapshot_current(table)
+    assert snapshot_undelete_keys(spark, table, "k", mk([90, 91])) == cur
+    assert snapshot_current(table) == cur
+
+    # undelete the rest: entries empty out and drop; reads bare
+    nid2 = snapshot_undelete_keys(spark, table, "k", mk([2, 50, 51]))
+    assert snapshot_manifest(table, nid2)["delete_files"] == []
+    assert snapshot_read(spark, table, nid2).count() == 100
