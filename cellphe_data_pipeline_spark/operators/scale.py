@@ -149,6 +149,7 @@ def merge_rows_cow(
     key_col: str = "event_id",
     out_slice: str = "merge",
     commit_extra: dict | None = None,
+    use_manifest_stats: bool = False,
 ) -> tuple[int, dict]:
     """Row-level MERGE (upsert) via file-level copy-on-write over the
     snapshot layer (r11, o17) — the Delta/Iceberg MERGE core, and the
@@ -183,17 +184,31 @@ def merge_rows_cow(
     actually pruned. Delta keys are broadcast for the prune and the
     anti-join — right-sized for correction batches; a delta too big to
     broadcast should stage to a dir and shuffle-join (same plan shape,
-    recorded alternative)."""
+    recorded alternative).
+
+    ``use_manifest_stats`` (r15, closing step 1's recorded trade
+    behind an opt-in — the e32-then-c24 pattern: the new path ships
+    proven by its own query, o30, while every existing caller keeps
+    its byte-identical path and its proof): when True, the candidate
+    detection consults the COMMITTED per-file [min,max] bounds from
+    the snapshot manifest instead of rescanning the key column; only
+    files the manifest carries no bounds for are recomputed (the
+    o19 writer-pays contract — stats never gate correctness, so an
+    unbounded file is scanned, never mis-skipped). info then reports
+    {stats_from_manifest, stats_recomputed} so callers can pin that
+    the prune really was metadata-only."""
     import os
     from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
 
     from cellphe_data_pipeline_spark.sources.io import (
+        _manifest_files_and_stats,
         snapshot_commit_atomic,
         snapshot_current,
         snapshot_data_files,
         snapshot_files,
+        snapshot_manifest,
     )
 
     parent = snapshot_current(table_dir)
@@ -203,12 +218,45 @@ def merge_rows_cow(
     base_files = snapshot_files(table_dir, parent) if parent > 0 else []
 
     keys = delta.select(F.col(key_col).alias("_k")).distinct()
+    stats_from_manifest = 0
     if base_files:
-        stats = file_key_stats(spark, base_files, key_col).select(
-            F.col("file").alias("_f"),
-            F.col("min_v").alias("_lo"),
-            F.col("max_v").alias("_hi"),
-        )
+        recompute_files = base_files
+        manifest_stats_df = None
+        if use_manifest_stats:
+            man = snapshot_manifest(table_dir, parent)
+            bounds = _manifest_files_and_stats(table_dir, man)[1].get(
+                key_col, {}
+            )
+            covered = [
+                (f, iv[0], iv[1])
+                for f in base_files
+                if (iv := bounds.get(f)) is not None
+                and iv[0] is not None
+                and iv[1] is not None
+            ]
+            if covered:
+                stats_from_manifest = len(covered)
+                recompute_files = [
+                    f for f in base_files if f not in {c[0] for c in covered}
+                ]
+                manifest_stats_df = spark.createDataFrame(
+                    covered, ["_f", "_lo", "_hi"]
+                )
+        if recompute_files:
+            recomputed = file_key_stats(
+                spark, recompute_files, key_col
+            ).select(
+                F.col("file").alias("_f"),
+                F.col("min_v").alias("_lo"),
+                F.col("max_v").alias("_hi"),
+            )
+            stats = (
+                manifest_stats_df.unionByName(recomputed)
+                if manifest_stats_df is not None
+                else recomputed
+            )
+        else:
+            stats = manifest_stats_df
         candidates = stats.join(
             F.broadcast(keys),
             (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
@@ -247,6 +295,8 @@ def merge_rows_cow(
         "kept_files": kept_files,
         "hit_files": hit_files,
         "new_files": new_files,
+        "stats_from_manifest": stats_from_manifest,
+        "stats_recomputed": len(base_files) - stats_from_manifest,
     }
 
 

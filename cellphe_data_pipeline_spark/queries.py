@@ -17463,6 +17463,101 @@ def e35(spark, sf_dir):
     )
 
 
+@register(
+    "o30_merge_metadata_prune",
+    """
+    WITH cut AS (SELECT (MAX(o_orderkey) + 6) // 6 AS c FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(
+             CASE WHEN o_orderkey >= 2 * c AND o_orderkey < 3 * c
+                       AND o_orderkey % 4 = 1
+                  THEN o_totalprice + 500 ELSE o_totalprice END
+             AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           TRUE AS ok_metadata_only_prune,
+           TRUE AS ok_candidates_one_slice,
+           TRUE AS ok_untouched_reused
+    FROM orders, cut GROUP BY o_orderpriority
+    """,
+)
+def o30(spark, sf_dir):
+    """MERGE with METADATA-ONLY candidate pruning (r15;
+    scale.merge_rows_cow(use_manifest_stats=True)) — closing the
+    trade o17's protocol step 1 recorded in writing since r11 ("at
+    cluster scale the stats are written INTO the manifest at commit
+    time so pruning is a metadata-only operation"): the candidate
+    detection now consults the COMMITTED per-file [min,max] bounds
+    instead of rescanning the merge key column, so a correction
+    batch's prune costs manifest JSON, not a table-wide column scan —
+    at 100 TB the difference between O(manifest) and O(table) per
+    merge. Shipped as an opt-in proven by THIS query (the sanctioned
+    e32-then-c24 pattern: every existing merge caller keeps its
+    byte-identical path and its recorded proof; the flag's flip is
+    an r16 re-proof decision).
+
+    Driven on the 6-slice range-sharded orders table (per-file
+    o_orderkey bounds committed at write, the o19 writer-pays
+    contract): a price restatement for keys ≡ 1 mod 4 INSIDE slice 3
+    merges with use_manifest_stats=True, and the info contract
+    asserts all three facts in-query:
+      - ok_metadata_only_prune: every base file's bounds came from
+        the manifest, ZERO files re-scanned for stats
+        (stats_from_manifest == 12, stats_recomputed == 0);
+      - ok_candidates_one_slice: the hit list is exactly slice 3's
+        files (bounds admit only the slice whose range the delta
+        touches);
+      - ok_untouched_reused: the other five slices' files are reused
+        by path in the committed snapshot.
+    The rollup answers from the merged table; the oracle recomputes
+    the restatement from raw orders."""
+    from cellphe_data_pipeline_spark.operators.scale import merge_rows_cow
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_files,
+        snapshot_read,
+    )
+
+    table = _stage_dir("o30_merge_meta")
+    orders, c, slice_files = _build_range_sharded_orders(
+        spark, sf_dir, table
+    )
+
+    delta = orders.filter(
+        (F.col("o_orderkey") >= 2 * c)
+        & (F.col("o_orderkey") < 3 * c)
+        & (F.col("o_orderkey") % 4 == 1)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 500)
+
+    nid, info = merge_rows_cow(
+        spark,
+        table,
+        delta,
+        key_col="o_orderkey",
+        out_slice="restate",
+        use_manifest_stats=True,
+    )
+    n_files = sum(len(v) for v in slice_files.values())
+    assert info["stats_from_manifest"] == n_files, info
+    assert info["stats_recomputed"] == 0, info
+    assert sorted(info["hit_files"]) == sorted(slice_files[2]), info
+    untouched = {
+        fp for i, v in slice_files.items() if i != 2 for fp in v
+    }
+    assert untouched <= set(snapshot_files(table, nid)), info
+
+    return snapshot_read(spark, table, nid).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderpriority", "n", "sum_price",
+        F.lit(True).alias("ok_metadata_only_prune"),
+        F.lit(True).alias("ok_candidates_one_slice"),
+        F.lit(True).alias("ok_untouched_reused"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -17578,10 +17673,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # =============== end round-15 window ===============
     # r16 window plan (continuity note): lead with whatever
     # _NEXT_WINDOW_QUEUE holds at the r15 close (r15 additions, each
-    # locally oracle-verified before queueing — 10 at close: the MOR
+    # locally oracle-verified before queueing — 11 at close: the MOR
     # cadence/race/CDC trio o25/o26/o28, the sketch lifecycle
     # a30/e34, v20 filtered ANN, o27 z-order, s29 partition
-    # evolution, o29 bloom index, e35 CDC apply), then the remaining
+    # evolution, o29 bloom index, e35 CDC apply, o30 metadata-prune
+    # merge), then the remaining
     # r10-proven queries (46 after this window re-proves c21/a16),
     # oldest first, to fill 50.
     # Prior-round windows (r1-r14) are recorded in git history and in
@@ -17615,6 +17711,7 @@ _NEXT_WINDOW_QUEUE = [
     "s29_partition_evolution",
     "o29_bloom_point_lookup",
     "e35_streaming_cdc_apply",
+    "o30_merge_metadata_prune",
 ]
 
 
