@@ -585,3 +585,74 @@ def kmv_merge(sketches: DataFrame, k: int, keys: tuple[str, ...] = ()) -> DataFr
     return grouped.select(
         *[F.col(c) for c in keys], F.explode("_hs").alias("h")
     )
+
+
+def kmv_value_sample(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tag_col: str,
+    k: int = 2048,
+) -> DataFrame:
+    """Deterministic MERGEABLE uniform row sample per tag (r15, a31) —
+    the KMV bottom-k machinery reused as a QUANTILE sketch: keep the
+    k rows whose md5(key) hashes are smallest, CARRYING the value
+    column. Because the hash is uniform and ``key_col`` is unique per
+    row (the caller's contract — a repeated key would be sampled as
+    one unit), the retained rows are a simple random sample without
+    replacement of the tag's rows, and the sample's empirical CDF
+    estimates any quantile with the DKW bound sup|F_m − F| ≤
+    √(ln(2/δ)/2m) — an honest, distribution-free error bar per
+    estimate, the quantile analogue of the KMV distinct bound.
+
+    Mergeable by the same semilattice as kmv_sketch: bottom-k of a
+    union equals bottom-k of unioned bottom-k's, so per-segment
+    stored samples fold at O(k) per tag without rescanning
+    (kmv_sample_merge), and the merged sample is hash-identical to a
+    one-shot sample of the union — the storable/streamable property
+    count-min (frequency) and KMV (cardinality) already have; this
+    completes the trio with quantiles. Physical shape identical to
+    kmv_sketch: one narrow shuffle, per-partition bottom-k windows,
+    then a k·P-row merge window per tag. Returns (tag, h, v)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint").alias("h")
+    rows = df.select(
+        F.col(tag_col).alias("tag"), h, F.col(value_col).alias("v")
+    )
+    part = rows.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("tag", "_pid").orderBy("h")
+    cand = (
+        part.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w2 = Window.partitionBy("tag").orderBy("h")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_sample_merge(
+    samples: DataFrame, k: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge stored value samples to the bottom-k per ``keys`` group —
+    kmv_merge's (tag, h, v) twin: one sketch-sized aggregate
+    (collect_set of (h, v) structs → sort_array, which orders by h
+    first → slice → explode), no unpartitioned window. Duplicate
+    (h, v) pairs across segments (the same row observed twice)
+    collapse to one slot. Sketch-sized inputs only."""
+    grouped = samples.groupBy(*[F.col(c) for c in keys]).agg(
+        F.slice(
+            F.sort_array(F.collect_set(F.struct("h", "v"))), 1, k
+        ).alias("_s")
+    )
+    return grouped.select(
+        *[F.col(c) for c in keys], F.explode("_s").alias("_e")
+    ).select(
+        *[F.col(c) for c in keys],
+        F.col("_e.h").alias("h"),
+        F.col("_e.v").alias("v"),
+    )

@@ -17558,6 +17558,149 @@ def o30(spark, sf_dir):
     )
 
 
+@register(
+    "a31_quantile_sample_lifecycle",
+    """
+    SELECT o_orderpriority AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MEDIAN(o_totalprice) AS exact_median,
+           TRUE AS ok_merge_equals_rescan,
+           TRUE AS ok_dkw_median,
+           TRUE AS ok_dkw_p90,
+           TRUE AS ok_bounded_state
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a31(spark, sf_dir):
+    """MERGEABLE QUANTILE SAMPLE lifecycle (r15;
+    aggregates.kmv_value_sample / kmv_sample_merge) — completing the
+    stored-sketch trio: count-min answers FREQUENCY (t23/e11), KMV
+    answers CARDINALITY (a28-a30/e34), this answers QUANTILES, with
+    the same storable/mergeable/streamable shape. The sketch is the
+    KMV bottom-k machinery carrying the VALUE column: the k rows with
+    smallest md5(key) are a simple random sample without replacement
+    (uniform hash over unique keys), so the sample's empirical CDF
+    estimates ANY quantile with the distribution-free DKW bound
+    sup|F_m − F| ≤ √(ln(2/δ)/2m) — an honest per-estimate error bar,
+    where approx_percentile's accuracy knob is a rank guarantee with
+    no stored, mergeable artifact (a16's audit covers that surface;
+    this one is the STORED lifecycle).
+
+    Lifecycle, asserted in-query at every SF (unseeded md5 makes the
+    sample deterministic across runs and engines):
+      - per-SEGMENT samples (o_orderkey % 4 within each priority)
+        built once, STORED, read back (kmv_check_format guards the
+        h schema), merged at O(k) per tag — merged equals a direct
+        whole-corpus sample EXACTLY (bottom-k semilattice,
+        exceptAll both ways: ok_merge_equals_rescan);
+      - median and p90 estimated from the merged sample via the
+        ceil(p·m)-th order statistic; each estimate's TRUE rank in
+        the full data sits within ε + 5/m of p, ε at δ = 1e-6
+        (ok_dkw_median / ok_dkw_p90 — exhaustive and exact below
+        m = k, genuinely sampled above it);
+      - state never exceeds k rows per segment (ok_bounded_state).
+
+    The exact columns (n, exact MEDIAN — the a3 cross-engine-exact
+    form) are the oracle's audit. At 100 TB: each segment pays one
+    narrow shuffle at ingest; any later quantile over any segment
+    subset is an O(k·segments) fold — percentile dashboards over a
+    corpus without rescanning it, the quantile analogue of the a29
+    stored-distinct story."""
+    import math as _math
+    import os
+
+    from cellphe_data_pipeline_spark.operators.aggregates import (
+        kmv_check_format,
+        kmv_sample_merge,
+        kmv_value_sample,
+    )
+
+    k = 2048
+    root = _stage_dir("a31_qsample")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    seg = orders.select(
+        F.concat_ws(
+            "|", "o_orderpriority", (F.col("o_orderkey") % 4).cast("string")
+        ).alias("seg_tag"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    store = os.path.join(root, "samples")
+    kmv_value_sample(
+        seg, "o_orderkey", "o_totalprice", "seg_tag", k=k
+    ).write.parquet(store)
+
+    stored = kmv_check_format(spark.read.parquet(store))
+    assert (
+        stored.groupBy("tag").count().agg(F.max("count")).collect()[0][0]
+        <= k
+    )  # bounded state, per segment
+    by_prio = stored.select(
+        F.split("tag", r"\|").getItem(0).alias("tag"), "h", "v"
+    )
+    merged = kmv_sample_merge(by_prio, k, keys=("tag",))
+
+    tagged = orders.select(
+        F.col("o_orderpriority").alias("tag"), "o_orderkey", "o_totalprice"
+    )
+    direct = kmv_value_sample(
+        tagged, "o_orderkey", "o_totalprice", "tag", k=k
+    )
+    mism = (
+        merged.exceptAll(direct).unionAll(direct.exceptAll(merged)).count()
+    )
+    assert mism == 0, mism
+
+    # per-tag order-statistic estimates from the sketch-sized sample
+    ests = {
+        r["tag"]: (r["vals"], len(r["vals"]))
+        for r in merged.groupBy("tag")
+        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+        .collect()  # bounded: ≤ k values per tag
+    }
+    exact_n = {
+        r["tag"]: r["n"]
+        for r in tagged.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per priority
+    }
+    checks = []
+    for tag, (vals, m) in ests.items():
+        eps = _math.sqrt(_math.log(2.0 / 1e-6) / (2.0 * m)) + 5.0 / m
+        for p in (0.5, 0.9):
+            est = vals[min(m - 1, _math.ceil(p * m) - 1)]
+            checks.append((tag, p, est, eps))
+    # one pass computes every estimate's true rank
+    rank_exprs = [
+        (
+            F.sum(
+                F.when(
+                    (F.col("tag") == tag) & (F.col("o_totalprice") <= est),
+                    1,
+                ).otherwise(0)
+            )
+            / F.lit(exact_n[tag])
+        ).alias(f"r_{i}")
+        for i, (tag, p, est, eps) in enumerate(checks)
+    ]
+    ranks = tagged.agg(*rank_exprs).collect()[0]  # bounded: 1 row
+    for i, (tag, p, est, eps) in enumerate(checks):
+        assert abs(ranks[f"r_{i}"] - p) <= eps, (tag, p, ranks[f"r_{i}"], eps)
+
+    return tagged.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.median("o_totalprice").alias("exact_median"),
+    ).select(
+        "tag", "n", "exact_median",
+        F.lit(True).alias("ok_merge_equals_rescan"),
+        F.lit(True).alias("ok_dkw_median"),
+        F.lit(True).alias("ok_dkw_p90"),
+        F.lit(True).alias("ok_bounded_state"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -17673,9 +17816,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # =============== end round-15 window ===============
     # r16 window plan (continuity note): lead with whatever
     # _NEXT_WINDOW_QUEUE holds at the r15 close (r15 additions, each
-    # locally oracle-verified before queueing — 11 at close: the MOR
-    # cadence/race/CDC trio o25/o26/o28, the sketch lifecycle
-    # a30/e34, v20 filtered ANN, o27 z-order, s29 partition
+    # locally oracle-verified before queueing — 12 at close: the MOR
+    # cadence/race/CDC trio o25/o26/o28, the sketch lifecycles
+    # a30/e34/a31, v20 filtered ANN, o27 z-order, s29 partition
     # evolution, o29 bloom index, e35 CDC apply, o30 metadata-prune
     # merge), then the remaining
     # r10-proven queries (46 after this window re-proves c21/a16),
@@ -17712,6 +17855,7 @@ _NEXT_WINDOW_QUEUE = [
     "o29_bloom_point_lookup",
     "e35_streaming_cdc_apply",
     "o30_merge_metadata_prune",
+    "a31_quantile_sample_lifecycle",
 ]
 
 
