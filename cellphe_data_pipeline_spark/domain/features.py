@@ -651,54 +651,67 @@ def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:
         roi_cols = ["path"] + roi_cols
     else:
         join_keys = ["FrameID"]
+    # r16 (guide §2.3/§8 "shuffle keys, not payloads"): nest the cells of
+    # each frame into ONE row BEFORE joining the raster on. The previous
+    # shape joined the frame payload onto every cell row, so the join +
+    # the kernel pre-shuffle moved each raster once per cell (25x at the
+    # bench shape, unbounded at production cell counts); pre-aggregating
+    # makes both exchanges carry each raster exactly once. The cells
+    # aggregation shuffles only coords — bytes proportional to the ROI
+    # boundary set, never to the image payload.
+    cells_agg = rois.select(*roi_cols).groupBy(*join_keys).agg(
+        F.collect_list(F.struct("CellID", "ROI_filename", "coords")).alias("_cells")
+    )
     tagged = frames.select(
         "path",
         F.col("frame_index").alias("FrameID"),
         "height",
         "width",
         "data",
-    ).join(rois.select(*roi_cols), join_keys)
+    ).join(cells_agg, join_keys)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf.iloc[0]
-        raw = first["data"]
-        if bytes(raw[:5]) == b"FAKE1":
-            img = decode_frame(bytes(raw))[0].astype("float64")
-        else:
-            img = np.frombuffer(raw, dtype=np.uint8).reshape(
-                first["height"], first["width"]
-            ).astype("float64")
-        lo, hi = img.min(), img.max()  # A6+F10 min-max normalise once/frame
-        if hi > lo:
-            img = (img - lo) / (hi - lo)
-        rows = []
-        for _, r in pdf.iterrows():
-            coords = np.array([(c["x"], c["y"]) for c in r["coords"]], dtype="int64")
-            feats = _cell_features(img, coords)
-            if feats is None:
-                continue  # degenerate ROI skip
-            rows.append(
-                {
-                    "path": r["path"],
-                    "FrameID": int(r["FrameID"]),
-                    "CellID": int(r["CellID"]),
-                    "ROI_filename": r["ROI_filename"],
-                    **feats,
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+    out_cols = [f.name for f in FEATURES_SCHEMA.fields]
 
-    # CPU-bound kernel over tiny rows: pre-shuffle with the
-    # coalesce-exempt range repartition so AQE's byte-based coalescing
-    # cannot serialize all frames through one task (measured 19s -> 1.9s
-    # at the 726-frame bench shape; rationale in
-    # operators/scale.py `repartition_for_cpu_kernel`).
-    from cellphe_data_pipeline_spark.operators.scale import (
-        repartition_for_cpu_kernel,
-    )
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = r["data"]
+                if bytes(raw[:5]) == b"FAKE1":
+                    img = decode_frame(bytes(raw))[0].astype("float64")
+                else:
+                    img = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        r["height"], r["width"]
+                    ).astype("float64")
+                lo, hi = img.min(), img.max()  # A6+F10 min-max normalise once/frame
+                if hi > lo:
+                    img = (img - lo) / (hi - lo)
+                for cell in r["_cells"]:
+                    coords = np.array(
+                        [(c["x"], c["y"]) for c in cell["coords"]], dtype="int64"
+                    )
+                    feats = _cell_features(img, coords)
+                    if feats is None:
+                        continue  # degenerate ROI skip
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "FrameID": int(r["FrameID"]),
+                            "CellID": int(cell["CellID"]),
+                            "ROI_filename": cell["ROI_filename"],
+                            **feats,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return (
-        repartition_for_cpu_kernel(tagged, "path", "FrameID")
-        .groupBy("path", "FrameID")
-        .applyInPandas(kernel, FEATURES_SCHEMA)
-    )
+    # CPU-bound kernel over tiny rows: spread with an explicit
+    # ROUND-ROBIN repartition sized to cores so AQE's byte-based
+    # coalescing cannot serialize all frames through one task (measured
+    # 19s -> 1.9s at the 726-frame bench shape when coalesced). The
+    # kernel needs no co-location by key — each row already carries a
+    # complete frame — so round-robin replaces the old
+    # repartitionByRange, whose RangePartitioner SAMPLING pass executed
+    # the frames⋈cells join twice per action (measured ~1s/action at
+    # the bench shape; guide §2.4 "remove shuffles outright").
+    n = max(2, frames.sparkSession.sparkContext.defaultParallelism)
+    return tagged.repartition(n).mapInPandas(kernel, FEATURES_SCHEMA)

@@ -229,19 +229,32 @@ def connected_components(
     if loop_shuffle_partitions is not None and not auto:
         spark.conf.set(conf_key, str(loop_shuffle_partitions))
     try:
-        if pre_contract:
-            n_parts = (
-                None if auto else loop_shuffle_partitions
-            ) or max(2, spark.sparkContext.defaultParallelism // 4)
-            e = _contract_local(e, n_parts)
-        # materialise the input ONCE: round 0's large-star references the
-        # edge list several times (e ∪ swap(e), then the join) and would
-        # otherwise recompute the upstream lineage per reference
+        # materialise the RAW distinct edge list first (r16): its count
+        # decides both the auto partition sizing and — new — whether the
+        # bounded driver finish can run directly on the raw edges,
+        # SKIPPING the contraction pre-pass entirely. Contraction exists
+        # to collapse intra-partition paths for the distributed
+        # alternation; when the whole edge list fits the driver cap the
+        # union-find swallows raw edges just as well (same shared
+        # union-find, identical min-id labels), and skipping saves the
+        # RangePartitioner sampling job, one Python kernel wave, and one
+        # checkpoint per call (measured ~0.5-0.9s/call at bench scale;
+        # guide §1.2 "don't compute things you throw away"). Checkpointing
+        # the raw list before contraction also stops the contraction's
+        # range-sampling pass from re-executing the upstream lineage.
         e = cut_lineage(e, name="cc-edges")
+        n_edges = e.count() if (auto or driver_finish_cap) else None
+        if driver_finish_cap and n_edges is not None and n_edges <= driver_finish_cap:
+            rows = e.take(driver_finish_cap + 1)
+            parent, find, union = _union_find()
+            for r in rows:
+                union(r["u"], r["v"])
+            node_type = dict(e.dtypes)["u"]
+            return spark.createDataFrame(
+                [(n, find(n)) for n in parent],
+                f"node {node_type}, component {node_type}",
+            )
         if auto:
-            # edges are checkpointed — the count is one cheap scan, and
-            # it is the honest x for sizing the loop (see docstring)
-            n_edges = e.count()
             parts = max(
                 2,
                 min(
@@ -250,12 +263,19 @@ def connected_components(
                 ),
             )
             spark.conf.set(conf_key, str(parts))
+        if pre_contract:
+            n_parts = (
+                None if auto else loop_shuffle_partitions
+            ) or max(2, spark.sparkContext.defaultParallelism // 4)
+            e = cut_lineage(_contract_local(e, n_parts), name="cc-contracted")
         if driver_finish_cap:
-            # bounded driver finish (see CC_DRIVER_FINISH_CAP): probe the
-            # contracted edge count with one limit-pushed take() on the
-            # checkpointed list; within the cap, finish the union-find
-            # centrally and return a size-known local relation (so the
-            # caller's label join can BROADCAST it).
+            # bounded driver finish (see CC_DRIVER_FINISH_CAP): the raw
+            # list was over the cap, but contraction may have shrunk the
+            # surviving star graph under it — probe with one
+            # limit-pushed take() on the checkpointed list; within the
+            # cap, finish the union-find centrally and return a
+            # size-known local relation (so the caller's label join can
+            # BROADCAST it).
             rows = e.take(driver_finish_cap + 1)
             if len(rows) <= driver_finish_cap:
                 parent, find, union = _union_find()

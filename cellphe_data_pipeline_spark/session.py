@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16: AQE's coalescing floor (default 1 MiB) decides the
+        # MINIMUM post-shuffle partition size, and with
+        # parallelismFirst=true (default) it is also the coalescing
+        # TARGET. At byte-light/CPU-heavy stages (window chains over
+        # narrow rows) the 1 MiB floor collapses the post-shuffle stage
+        # to 1-4 tasks and serialises the work (measured at sf0.1,
+        # ABBA-interleaved: m5's window chain median 0.61s at a 256 KiB
+        # floor vs 1.06s at 1 MiB; a8 similar; shuffle-chain queries
+        # j10/t6 within noise). 64-128 KiB floors over-fragment the
+        # multi-exchange queries, so 256 KiB is the measured optimum.
+        # The floor only ever SPLITS nothing — partitions bigger than it
+        # are untouched — so at 100 TB (partitions >> 1 MiB) the knob is
+        # inert. Env-overridable for deployments whose per-task overhead
+        # dominates at 256 KiB.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "262144"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE demote sort-merge joins to shuffled-hash when the
         # per-partition build side fits 128 MiB (default 0 disables the
