@@ -791,9 +791,22 @@ def build_file_blooms(
     rows (parquet's own bloom write path), never post-hoc; the
     manifest payload and the read-side test are identical either way.
 
-    Returns {"m": m_bits, "k": k, "files": {path: base64_bitset}} —
-    attach to the commit (manifest extra) and probe with
-    bloom_admits()."""
+    ``m_bits`` is a FLOOR, not the size (r16, advisor fix): the fixed
+    16 KiB bitset was sized for ~12k distinct values per file, and a
+    file carrying far more drives the false-positive rate toward 1 —
+    every probe admits everything and the index silently stops
+    skipping. Each file's bitset is now sized from its OBSERVED
+    distinct count at build time (~10 bits/value ≈ 1% fp at k=5,
+    rounded up to a power of two, never below the floor) and the
+    per-file size is stored in the doc, so files at or under the
+    floor's capacity produce byte-identical bitsets to the fixed-size
+    form while bigger files keep their documented fp rate instead of
+    degrading unbounded.
+
+    Returns {"m": m_bits, "k": k, "m_by_file": {path: bits},
+    "files": {path: base64_bitset}} — attach to the commit (manifest
+    extra) and probe with bloom_admits(); readers of docs written
+    before m_by_file existed fall back to the doc-level "m"."""
     import base64
     from urllib.parse import urlparse
 
@@ -807,16 +820,25 @@ def build_file_blooms(
         .collect()  # bounded: sum of per-file distinct values, paid
         # once by the committing writer (see docstring)
     )
-    bitsets: dict[str, bytearray] = {}
+    by_file: dict[str, list[str]] = {}
     for r in rows:
-        fp = urlparse(r["file"]).path
-        bs = bitsets.setdefault(fp, bytearray(m_bits // 8))
-        for pos in _bloom_positions_py(r["v"], m_bits, k):
-            bs[pos // 8] |= 1 << (pos % 8)
+        by_file.setdefault(urlparse(r["file"]).path, []).append(r["v"])
+    m_by_file: dict[str, int] = {}
+    bitsets: dict[str, bytearray] = {}
+    for fp, values in by_file.items():
+        m_f = m_bits
+        while m_f < 10 * len(values):  # ~1% fp at k=5
+            m_f *= 2
+        m_by_file[fp] = m_f
+        bs = bitsets[fp] = bytearray(m_f // 8)
+        for v in values:
+            for pos in _bloom_positions_py(v, m_f, k):
+                bs[pos // 8] |= 1 << (pos % 8)
     return {
         "m": m_bits,
         "k": k,
         "col": col,
+        "m_by_file": m_by_file,
         "files": {
             fp: base64.b64encode(bytes(bs)).decode()
             for fp, bs in bitsets.items()
@@ -836,11 +858,12 @@ def bloom_admits(bloom_doc: dict, file_path: str, value) -> bool:
     if b64 is None:
         return True
     bs = base64.b64decode(b64)
+    # per-file adaptive sizing (r16); docs written before m_by_file
+    # existed carry only the doc-level fixed "m"
+    m = bloom_doc.get("m_by_file", {}).get(file_path, bloom_doc["m"])
     return all(
         bs[pos // 8] & (1 << (pos % 8))
-        for pos in _bloom_positions_py(
-            str(value), bloom_doc["m"], bloom_doc["k"]
-        )
+        for pos in _bloom_positions_py(str(value), m, bloom_doc["k"])
     )
 
 

@@ -1119,13 +1119,22 @@ def snapshot_changes(
             s = _apply_delete_files(
                 spark, man, spark.read.parquet(*shared)
             )
+            extra_out = None
             for col, keys in extras.items():
-                out = out.unionByName(
-                    sel(s.join(F.broadcast(keys), col, "semi"), prefix)
+                part = sel(s.join(F.broadcast(keys), col, "semi"), prefix)
+                extra_out = (
+                    part if extra_out is None else extra_out.unionByName(part)
                 )
             if len(extras) > 1:
-                # two delete columns can admit the same row twice
-                out = out.dropDuplicates(["_k"])
+                # two delete columns can admit the SAME row twice —
+                # collapse FULL-ROW duplicates, and only across the
+                # extras union (r16, advisor fix): the old
+                # dropDuplicates(["_k"]) over the whole side kept an
+                # arbitrary row per key, so on a table whose rows are
+                # not unique per key_col a legitimate file-diff change
+                # row could be dropped nondeterministically
+                extra_out = extra_out.distinct()
+            out = out.unionByName(extra_out)
         return out
 
     o = side(removed, from_man, "_o_", delta_new)

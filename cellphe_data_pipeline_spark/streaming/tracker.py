@@ -2467,9 +2467,31 @@ def cdc_apply_batch(
     del_side = b.filter(
         F.col("change_type").isin("delete", "update_pre")
     ).select(key_col).distinct()
-    ins_side = b.filter(
-        F.col("change_type").isin("insert", "update_post")
-    ).drop("change_type")
+    # COMPACT the insert side to the LAST change per key (r16, advisor
+    # fix): a batch carrying insert(k) AND update_pre/update_post(k)
+    # (insert-then-update inside one micro-batch — normal in CDC feeds)
+    # previously put BOTH ins-side rows into upd_rows, and the COW
+    # merge appended the delta verbatim — two committed rows for one
+    # key. Within a batch the ordinal-free rule is: update_post
+    # supersedes insert (CDC emit order); equal-precedence duplicates
+    # (a malformed feed) collapse deterministically by max payload
+    # struct. One O(batch) combinable aggregation; well-formed feeds
+    # (one ins-side row per key) are byte-identical through it.
+    ins_raw = b.filter(F.col("change_type").isin("insert", "update_post"))
+    data_cols = [c for c in ins_raw.columns if c not in (key_col, "change_type")]
+    prec = F.when(F.col("change_type") == "update_post", F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    ins_side = (
+        ins_raw.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(prec.alias("_p"), *[F.col(c).alias(c) for c in data_cols])
+            ).alias("_s")
+        )
+        .select(key_col, *[F.col(f"_s.{c}").alias(c) for c in data_cols])
+        .select(*[c for c in ins_raw.columns if c != "change_type"])
+    )
     upd_keys = del_side.join(
         ins_side.select(key_col), key_col, "semi"
     ).localCheckpoint(eager=True)
@@ -2477,12 +2499,26 @@ def cdc_apply_batch(
     pure_ins = ins_side.join(F.broadcast(upd_keys), key_col, "left_anti")
     upd_rows = ins_side.join(F.broadcast(upd_keys), key_col, "semi")
 
-    # re-inserts of currently-tombstoned keys (the probe is
-    # sketch-small — a takedown list, not data); consumed ONLY by the
-    # idempotent purge/undelete steps, never by the append
+    # keys of currently-tombstoned rows this batch re-introduces (the
+    # probe is sketch-small — a takedown list, not data); consumed ONLY
+    # by the idempotent purge/undelete steps, never by the append.
+    # PURGE set = tombstoned pure RE-INSERTS (their old physical copies
+    # must go before the new append lands). UNDELETE set (r16, advisor
+    # fix) = tombstoned keys from the WHOLE ins side — an UPDATE of a
+    # tombstoned key flows through the COW merge (which rewrites the
+    # old physical copies in place, so no purge is needed) but must
+    # still be un-masked in step 5, or the updated row stays invisible
+    # forever.
     tomb = tombstoned_keys()
     reins = (
         pure_ins.select(key_col)
+        .join(F.broadcast(tomb), key_col, "semi")
+        .localCheckpoint(eager=True)
+        if tomb is not None
+        else None
+    )
+    undel = (
+        ins_side.select(key_col)
         .join(F.broadcast(tomb), key_col, "semi")
         .localCheckpoint(eager=True)
         if tomb is not None
@@ -2505,9 +2541,20 @@ def cdc_apply_batch(
         )
         out["merged"] = True
 
-    # step 2: purge old physical copies of re-inserted keys
+    # step 2: purge old physical copies of re-inserted keys. The
+    # cdc_ins guard (r16, advisor fix) closes a replay hole:
+    # purge_rows_cow returns WITHOUT committing when no candidate file
+    # is hit (re-inserted key tombstoned but physically absent), so
+    # the cdc_purge mark is never persisted on a no-op. If a crash
+    # then struck after step 3's append, the replayed purge would
+    # re-scan stats, admit the FRESHLY APPENDED files, and rewrite
+    # them minus the re-inserted keys — silently deleting the new
+    # rows before step 5 unmasks them. Once cdc_ins == batch_id the
+    # purge is either committed (mark persisted) or was vacuously
+    # complete, so skipping is always correct.
     if (
         marks().get("cdc_purge", -1) < batch_id
+        and marks().get("cdc_ins", -1) < batch_id
         and reins is not None
         and not reins.isEmpty()
     ):
@@ -2537,18 +2584,20 @@ def cdc_apply_batch(
         )
         out["deleted"] = True
 
-    # step 5 — LAST: un-tombstone the re-inserted keys (old copies
-    # purged in step 2, new rows appended in step 3 — unmasking now
-    # reveals exactly the new row)
+    # step 5 — LAST: un-tombstone every re-introduced key (old copies
+    # purged in step 2 or rewritten by step 1's merge, new rows
+    # appended in step 3 — unmasking now reveals exactly the new row).
+    # `undel` covers BOTH re-inserts and updates-of-tombstoned keys
+    # (r16 fix — see the routing block above).
     if (
         marks().get("cdc_undel", -1) < batch_id
-        and reins is not None
-        and not reins.isEmpty()
+        and undel is not None
+        and not undel.isEmpty()
     ):
         m = marks()
         m["cdc_undel"] = batch_id
         snapshot_undelete_keys(
-            spark, table_dir, key_col, reins, extra={"last_batch_ids": m}
+            spark, table_dir, key_col, undel, extra={"last_batch_ids": m}
         )
         out["undeleted"] = True
     return out

@@ -1002,3 +1002,45 @@ def test_file_bloom_build_and_admit(spark, tmp_path):
 
     # values never written: admitted almost never, absent bloom: always
     assert bloom_admits({"m": 8192, "k": 5, "files": {}}, files[0], 123)
+
+
+def test_file_bloom_adaptive_sizing_keeps_fp_bounded(spark, tmp_path):
+    """r16 advisor fix: ``m_bits`` is a floor — a file whose distinct
+    count exceeds the floor's ~m/10 capacity gets a bigger
+    power-of-two bitset (recorded per file in ``m_by_file``), keeping
+    the false-positive rate bounded where the fixed-size form
+    saturated toward admit-everything. Files under capacity keep the
+    floor (byte-identical to the pre-fix doc), and docs without
+    ``m_by_file`` still probe via the doc-level "m"."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.scale import (
+        bloom_admits,
+        build_file_blooms,
+    )
+    from cellphe_data_pipeline_spark.sources.io import snapshot_data_files
+
+    d = str(tmp_path / "t")
+    # one file with 4000 distinct values: a 1024-bit floor (capacity
+    # ~100) would saturate; adaptive sizing must pick >= 40960 bits
+    spark.range(0, 4000).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(d)
+    files = snapshot_data_files(d)
+    assert len(files) == 1
+    doc = build_file_blooms(spark, files, "k", m_bits=1024, k=5)
+    fp = files[0]
+    assert doc["m"] == 1024
+    m_f = doc["m_by_file"][fp]
+    assert m_f >= 40000 and (m_f & (m_f - 1)) == 0  # power of two
+    # no false negatives
+    for v in range(0, 4000, 97):
+        assert bloom_admits(doc, fp, v)
+    # false positives bounded (the fixed 1024-bit form admits ~100%)
+    hits = sum(
+        1 for v in range(4000, 8000) if bloom_admits(doc, fp, v)
+    )
+    assert hits / 4000 < 0.10, hits
+    # pre-m_by_file docs still probe through the doc-level "m"
+    legacy = {"m": 1024, "k": 5, "files": {}}
+    assert bloom_admits(legacy, fp, 1)

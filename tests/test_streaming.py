@@ -1896,3 +1896,109 @@ def test_cdc_apply_batch_partial_crash_replay(spark, tmp_path, monkeypatch):
         r = cdc_apply_batch(spark, table, "k", bdf, bid)
         assert not any(r.values()), (bid, r)
     assert snapshot_current(table) == sid
+
+
+def test_cdc_apply_batch_insert_then_update_and_tombstoned_update(
+    spark, tmp_path, monkeypatch
+):
+    """r16 advisor fixes, pinned:
+
+    1. a batch carrying insert(k) AND update_pre/update_post(k)
+       (insert-then-update inside one micro-batch) commits exactly ONE
+       row for k, with the update_post payload — the pre-fix router
+       put both ins-side rows into the merge delta and committed two;
+    2. an UPDATE of a currently-tombstoned key is un-masked by step 5
+       — pre-fix, the undelete set was derived from pure inserts only,
+       so the merged row stayed invisible forever;
+    3. the no-op-purge replay hole: when a re-inserted key is
+       tombstoned but physically ABSENT, the purge commits nothing (so
+       its mark never persists) — after a crash between the append and
+       the undelete, the REPLAYED purge must not run again (pre-fix it
+       re-scanned stats, admitted the freshly appended file, and
+       deleted the new row before it was ever unmasked).
+    """
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.sources.io import (
+        snapshot_current,
+        snapshot_read,
+    )
+    from cellphe_data_pipeline_spark.streaming.tracker import cdc_apply_batch
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, change_type string, v bigint"
+        )
+
+    def state(table):
+        return {
+            r["k"]: r["v"]
+            for r in snapshot_read(
+                spark, table, snapshot_current(table)
+            ).collect()
+        }
+
+    # --- (1) insert-then-update of the same key in one batch
+    t1 = str(tmp_path / "t1")
+    cdc_apply_batch(spark, t1, "k", feed([(1, "insert", 10)]), 0)
+    cdc_apply_batch(
+        spark, t1, "k",
+        feed([
+            (2, "insert", 20),
+            (2, "update_pre", 20),
+            (2, "update_post", 222),
+        ]),
+        1,
+    )
+    assert state(t1) == {1: 10, 2: 222}
+
+    # --- (2) update of a tombstoned key becomes visible again
+    t2 = str(tmp_path / "t2")
+    cdc_apply_batch(
+        spark, t2, "k", feed([(1, "insert", 10), (2, "insert", 20)]), 0
+    )
+    cdc_apply_batch(spark, t2, "k", feed([(2, "delete", None)]), 1)
+    assert state(t2) == {1: 10}
+    r = cdc_apply_batch(
+        spark, t2, "k",
+        feed([(2, "update_pre", 20), (2, "update_post", 202)]), 2,
+    )
+    assert r["undeleted"], r
+    assert state(t2) == {1: 10, 2: 202}
+
+    # --- (3) replay after crash must not purge the fresh append when
+    # the original purge was a no-op (key tombstoned, physically absent)
+    t3 = str(tmp_path / "t3")
+    cdc_apply_batch(spark, t3, "k", feed([(1, "insert", 10)]), 0)
+    # tombstone a key that never physically existed: purge has no
+    # candidate files to hit
+    cdc_apply_batch(spark, t3, "k", feed([(9, "delete", None)]), 1)
+    b2 = feed([(9, "insert", 99)])
+
+    import cellphe_data_pipeline_spark.sources.io as io_mod
+
+    real_undelete = io_mod.snapshot_undelete_keys
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before undelete")
+
+    monkeypatch.setattr(
+        "cellphe_data_pipeline_spark.sources.io.snapshot_undelete_keys",
+        boom,
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="crash before undelete"):
+        cdc_apply_batch(spark, t3, "k", b2, 2)
+    monkeypatch.setattr(
+        "cellphe_data_pipeline_spark.sources.io.snapshot_undelete_keys",
+        real_undelete,
+    )
+    r2 = cdc_apply_batch(spark, t3, "k", b2, 2)
+    # replay applies ONLY the undelete — in particular no purge, which
+    # would have eaten the appended row
+    assert r2 == {
+        "merged": False, "purged": False, "inserted": False,
+        "deleted": False, "undeleted": True,
+    }, r2
+    assert state(t3) == {1: 10, 9: 99}
