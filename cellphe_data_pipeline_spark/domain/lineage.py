@@ -85,30 +85,52 @@ def renumber_tracks(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if edge_driver_cap:
-        edge_rows = e.take(edge_driver_cap + 1)
-        if len(edge_rows) <= edge_driver_cap:
+        # Arrow on every driver crossing (r16, guide §6 "Arrow for
+        # driver transfers"): the Row-pickle take()/collect() pair and
+        # the list-of-tuples createDataFrame each serialise one object
+        # per field; toPandas / createDataFrame(pandas) move the same
+        # rows as columnar batches. Series.tolist() restores plain
+        # Python scalars, so the oracle's dict keys and the returned
+        # values are identical to the Row path (the DDL schema pins the
+        # return types as before).
+        edge_pdf = e.limit(edge_driver_cap + 1).toPandas()
+        if len(edge_pdf) <= edge_driver_cap:
             spark = nodes.sparkSession
-            edge_list = [(r["src"], r["dst"]) for r in edge_rows]
+            edge_list = list(
+                zip(edge_pdf["src"].tolist(), edge_pdf["dst"].tolist())
+            )
             touched = sorted({n for uv in edge_list for n in uv})
             id_type = dict(nodes.dtypes)[id_col]
             frame_type = dict(nodes.dtypes)[frame_col]
-            node_rows = nodes.join(
+            node_pdf = nodes.join(
                 F.broadcast(
                     spark.createDataFrame([(n,) for n in touched], f"{id_col} {id_type}")
                 ),
                 id_col,
                 "left_semi",
-            ).select(id_col, frame_col).collect()
-            node_list = [(r[id_col], r[frame_col]) for r in node_rows]
+            ).select(id_col, frame_col).toPandas()
+            node_list = list(
+                zip(node_pdf[id_col].tolist(), node_pdf[frame_col].tolist())
+            )
             if len({i for i, _ in node_list}) == len(touched):
                 tid = renumber_tracks_oracle(node_list, edge_list)
                 # a keep-edge CYCLE (non-temporal-DAG input) has no head,
                 # so its nodes get no id — the distributed path drops
                 # them too (no head ⇒ the numbering join misses the
                 # segment); mirror that instead of raising
+                out = [(i, f, tid[i]) for i, f in node_list if i in tid]
+                out_schema = (
+                    f"{id_col} {id_type}, {frame_col} {frame_type}, TRACK_ID int"
+                )
+                if not out:
+                    return spark.createDataFrame([], out_schema)
+                import pandas as pd
+
                 return spark.createDataFrame(
-                    [(i, f, tid[i]) for i, f in node_list if i in tid],
-                    f"{id_col} {id_type}, {frame_col} {frame_type}, TRACK_ID int",
+                    pd.DataFrame(
+                        out, columns=[id_col, frame_col, "TRACK_ID"]
+                    ),
+                    out_schema,
                 )
             # else: edges reference ids absent from the node table — the
             # oracle has no frame for them; fall through to the

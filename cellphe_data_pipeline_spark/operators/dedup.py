@@ -50,6 +50,21 @@ def word_shingles(
 
     Docs with < n tokens produce no shingles (guard required: Spark's
     ``sequence`` would otherwise emit a *descending* range).
+
+    The dedup is ``array_distinct`` on the per-doc gram array BEFORE
+    the explode (r16, guide §2.4 "remove shuffles outright"): a doc's
+    shingles all live in one row at that point, so the per-row distinct
+    produces exactly the set the old row-level ``.distinct()`` did —
+    but with ZERO shuffle, where the old form paid a full Exchange +
+    two hash aggregates over every (doc_id, shingle) in the corpus
+    before any consumer had filtered anything. This is the largest
+    single shuffle in the MinHash chain (d2/d3/d7/c23/c24 and the
+    containment/incremental paths all sit on it); measured at sf0.1 it
+    takes d3's plan from 3 corpus-wide exchanges to 2. Contract note:
+    row-level and per-doc distinct coincide because every caller feeds
+    one row per ``id_col`` (the documents-table key) — a caller with
+    duplicate id rows would previously have had cross-row dedup, which
+    no engine path relies on (all feed keyed doc tables).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -59,7 +74,7 @@ def word_shingles(
         F.sequence(F.lit(0), F.size("t") - n),
         lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
     )
-    return toks.select("doc_id", F.explode(joined).alias("sh")).distinct()
+    return toks.select("doc_id", F.explode(F.array_distinct(joined)).alias("sh"))
 
 
 def pairwise_jaccard(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
@@ -205,7 +220,25 @@ def minhash_near_duplicates(
     durable form of the same cut: publish the shingle table to parquet
     (S15) and read it back, which survives executor loss where a
     localCheckpoint's unreplicated blocks do not."""
-    sh = cut_lineage(word_shingles(df, text_col, id_col, n), eager=False, name="shingles")
+    # Spread the DOC rows across cores before shingling (r16):
+    # word_shingles is now shuffle-free (array_distinct, guide §2.4),
+    # so without this the exploded shingles inherit the SCAN's
+    # partitioning — and a small-file corpus (the bench's documents
+    # table is one parquet file = one task) runs the md5-heavy
+    # signature map phase serial. The keyed repartition moves ~1x the
+    # text bytes where the removed shingle distinct moved ~n x (every
+    # token sits in n grams), and it hash-partitions the checkpoint by
+    # doc_id — the exact distribution the signature groupBy and the
+    # sizes groupBy need. Measured on d3 at sf0.1, 6-rep interleaved:
+    # distinct 2.9s / array_distinct-alone 4.1s (serial hashing) /
+    # this form 2.26s median. Fewer shuffled bytes than the r15 shape
+    # at every scale, not just the bench's.
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = cut_lineage(
+        word_shingles(spread, text_col, id_col, n), eager=False, name="shingles"
+    )
     # dedup=False: pairwise_jaccard's candidate-first verify (r7) does
     # its own distinct over the pair set, so a second cross-band
     # distinct here would be a duplicated shuffle
@@ -845,9 +878,27 @@ def flag_contaminated(
     shingle string. The benchmark side is orders of magnitude smaller
     than a 100 TB corpus (eval sets are MBs), so it is BROADCAST —
     the corpus streams through map-side hash probes with no shuffle of
-    the training side at all; the only shuffle is the per-doc count.
+    the training side at all; the only shuffle carries the MATCHED
+    shingles. The corpus side deliberately skips ``word_shingles``'s
+    per-doc distinct (r16, guide §2.3 "project before the exchange"):
+    that distinct was a full corpus-shingle Exchange paid before the
+    broadcast probe had filtered anything, while matches against an
+    eval set are the rare case — probing the RAW shingles map-side and
+    counting DISTINCT matched shingles per doc afterwards computes the
+    identical number (a within-doc repeat still counts once) with the
+    only shuffle sized by the contamination hits, not the corpus.
+    Measured at the c24 bench shape: the contamination side 3.1s →
+    1.2s, corpus-wide Exchange eliminated from the plan.
     """
-    d = word_shingles(docs, text_col, id_col, n)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
+    ).filter(F.size("t") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+    )
+    d = toks.select("doc_id", F.explode(grams).alias("sh"))
     b = (
         word_shingles(benchmark, text_col, id_col, n)
         .select("sh")
@@ -856,7 +907,7 @@ def flag_contaminated(
     return (
         d.join(F.broadcast(b), "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .agg(F.count_distinct(F.col("sh")).alias("n_contaminated_shingles"))
     )
 
 

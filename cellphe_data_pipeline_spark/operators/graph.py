@@ -149,6 +149,35 @@ def _contract_local(e: DataFrame, num_parts: int) -> DataFrame:
 CC_DRIVER_FINISH_CAP = 1_000_000
 
 
+def _finish_on_driver(spark, e: DataFrame, pdf) -> DataFrame:
+    """Union-find the (u, v) edge frame ``pdf`` (pandas, fetched via the
+    Arrow collect path) and return the (node, component=min id) labels
+    as a size-known local relation.
+
+    Both boundary crossings ride Arrow (r16): ``toPandas`` on the fetch
+    and ``createDataFrame(pandas)`` on the return replace the Row-pickle
+    ``take()`` / list-of-tuples ``createDataFrame`` pair, which spent
+    ~0.9s of g4's 1.9s bench time serialising ~100k rows each way
+    (guide §6 "Arrow for driver transfers"). ``Series.tolist()`` yields
+    plain Python scalars, so the union-find dict and the min-id labels
+    are value-identical to the Row path; the explicit DDL schema pins
+    the return types to the edge column type exactly as before.
+    """
+    import pandas as pd
+
+    parent, find, union = _union_find()
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        union(u, v)
+    node_type = dict(e.dtypes)["u"]
+    schema = f"node {node_type}, component {node_type}"
+    labels = [(n, find(n)) for n in parent]
+    if not labels:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(labels, columns=["node", "component"]), schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -242,18 +271,20 @@ def connected_components(
         # guide §1.2 "don't compute things you throw away"). Checkpointing
         # the raw list before contraction also stops the contraction's
         # range-sampling pass from re-executing the upstream lineage.
-        e = cut_lineage(e, name="cc-edges")
-        n_edges = e.count() if (auto or driver_finish_cap) else None
-        if driver_finish_cap and n_edges is not None and n_edges <= driver_finish_cap:
-            rows = e.take(driver_finish_cap + 1)
-            parent, find, union = _union_find()
-            for r in rows:
-                union(r["u"], r["v"])
-            node_type = dict(e.dtypes)["u"]
-            return spark.createDataFrame(
-                [(n, find(n)) for n in parent],
-                f"node {node_type}, component {node_type}",
-            )
+        # LAZY cut + count as the materialising action (r16): the eager
+        # localCheckpoint ran one job to store the edge partitions and
+        # the sizing count ran a second job over them; fusing them makes
+        # the count's job do the storing — one pass over the edge build
+        # instead of two (~0.25s/call at bench scale). The count always
+        # runs: it is the honest x for auto sizing AND the driver-finish
+        # gate, and materialising here keeps the loop's multi-reference
+        # rounds reading stored blocks. (Under the replicated-checkpoint
+        # conf the cut is eager parquet regardless — the count is then a
+        # metadata-cheap parquet count.)
+        e = cut_lineage(e, eager=False, name="cc-edges")
+        n_edges = e.count()
+        if driver_finish_cap and n_edges <= driver_finish_cap:
+            return _finish_on_driver(spark, e, e.toPandas())
         if auto:
             parts = max(
                 2,
@@ -272,20 +303,13 @@ def connected_components(
             # bounded driver finish (see CC_DRIVER_FINISH_CAP): the raw
             # list was over the cap, but contraction may have shrunk the
             # surviving star graph under it — probe with one
-            # limit-pushed take() on the checkpointed list; within the
+            # limit-pushed fetch on the checkpointed list; within the
             # cap, finish the union-find centrally and return a
             # size-known local relation (so the caller's label join can
             # BROADCAST it).
-            rows = e.take(driver_finish_cap + 1)
-            if len(rows) <= driver_finish_cap:
-                parent, find, union = _union_find()
-                for r in rows:
-                    union(r["u"], r["v"])
-                node_type = dict(e.dtypes)["u"]
-                return spark.createDataFrame(
-                    [(n, find(n)) for n in parent],
-                    f"node {node_type}, component {node_type}",
-                )
+            pdf = e.limit(driver_finish_cap + 1).toPandas()
+            if len(pdf) <= driver_finish_cap:
+                return _finish_on_driver(spark, e, pdf)
         prev_hash: tuple | int = -1
         for i in range(max_iter):
             # LAZY checkpoint mark + the convergence probe as the

@@ -55,6 +55,22 @@ def test_shingles_match_python(spark):
         assert got.get(doc_id, set()) == _py_shingles(text), doc_id
 
 
+def test_shingles_are_distinct_rows_without_shuffle(spark):
+    """r16 pin for the shuffle-free distinct: a doc whose n-gram repeats
+    ('a b a b a b' → 'a b a' and 'b a b' each twice) emits exactly ONE
+    row per distinct shingle — as the old row-level ``.distinct()``
+    did — and the plan carries no Exchange (the dedup is the per-row
+    ``array_distinct``, not a shuffle)."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = word_shingles(df)
+    rows = [(r["doc_id"], r["sh"]) for r in out.collect()]
+    assert sorted(rows) == [(1, "a b a"), (1, "b a b"), (2, "x y z")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_pairwise_jaccard_exact(spark):
     sh = word_shingles(_docs_df(spark))
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairwise_jaccard(sh, 0.0).collect()}
