@@ -183,53 +183,62 @@ def chunk_documents(
 def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals — the Gopher-style quality
     gates a curation pipeline filters on (Rae et al. 2021 §A1.1):
-    duplicate-line fraction and top-bigram fraction. Line/token passes
-    are codegen expressions; the top-bigram mode needs a per-(doc,
-    bigram) count — one explode + two map-side-combinable groupBys on
-    (doc_id, bigram), the same single-logical-shuffle shape as the
-    shingle pipeline (dedup.py), so it scales with token volume, not
-    vocabulary."""
+    duplicate-line fraction and top-bigram fraction. EVERY pass is a
+    codegen expression over the row itself (r16): the top-bigram mode
+    used to explode bigrams into a per-(doc, bigram) count — one
+    explode, two exchanges and a join-back for a statistic that never
+    leaves its own document. Sorting the per-row bigram array and
+    taking the longest equal run computes the same max count (a run in
+    the sorted array IS a bigram's multiplicity) with zero shuffle;
+    the whole operator is now a single map-side projection like t1's
+    quality gates. Plan: 3 Exchanges + 1 join → 0 (bench t6 median
+    1.25s → see plans/r16/t6_repetition_after.txt); scales with token
+    volume per row, no vocabulary-wide aggregation state at all."""
     text = F.col(text_col)
     lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
     n_lines = F.size(lines)
     n_uniq = F.size(F.array_distinct(lines))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        n_lines.alias("n_lines"),
-        F.when(
-            n_lines > 0,
-            F.round(F.lit(1.0) - n_uniq.cast("double") / n_lines, 6),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_line_frac"),
-        F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ").alias("_toks"),
-    )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("_toks") >= 2,
-                F.expr(
-                    "transform(sequence(0, size(_toks)-2),"
-                    " i -> concat(_toks[i], ' ', _toks[i+1]))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
-    )
-    top = (
-        bigrams.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.max("c").cast("double") / F.sum("c"), 6
-            ).alias("top_bigram_frac")
-        )
+    bg = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(_toks)-2),"
+            " i -> concat(_toks[i], ' ', _toks[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal run in the SORTED bigram array == max bigram count;
+    # null-safe <=> seeds the first element (prev starts NULL). The
+    # division mirrors the old max(c)/sum(c) exactly: both operands are
+    # integral counts (< 2^53, exact in double), sum(c) == size(bg).
+    best = F.expr(
+        "aggregate(array_sort(_bg),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev <=> x, acc.run + 1L, 1L),"
+        "   'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
     )
     return (
-        base.drop("_toks")
-        .join(top, "doc_id", "left")
-        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            n_lines.alias("n_lines"),
+            F.when(
+                n_lines > 0,
+                F.round(F.lit(1.0) - n_uniq.cast("double") / n_lines, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
+            F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ").alias("_toks"),
+        )
+        .withColumn("_bg", bg)
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.size("_bg") > 0,
+                F.round(best.cast("double") / F.size("_bg"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_toks", "_bg")
     )
 
 
