@@ -57,7 +57,11 @@ _HEADLINE_OPS = {
     "j7_density_grid_join": ["Join", "Generate"],
     "a8_timeseries_stats": ["Window"],
     "j10_interval_join": ["Join", "Generate"],
-    "t6_repetition": ["Join"],
+    # t6 was rewritten in r16 to a single map-side projection (the
+    # top-bigram count is the longest equal run of the sorted per-row
+    # bigram array) — no join/exchange remains BY DESIGN, so the pin is
+    # the projection expression itself, same idiom as t1's "regexp"
+    "t6_repetition": ["array_sort"],
     "c3_token_budget_shards": ["Window"],
     "t1_quality_features": ["regexp"],
     "a4_group_sum_revenue": ["HashAggregate"],
