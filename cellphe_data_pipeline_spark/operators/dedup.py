@@ -43,6 +43,29 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT word n-gram shingle SET as ONE array row:
+    (doc_id, sh_set array<string>). The set form of
+    :func:`word_shingles` — same tokenizer, same per-doc distinct —
+    kept un-exploded so set-algebra consumers (the minhash verify's
+    ``array_intersect``, per-doc set sizes) can run ROW-WISE with no
+    explode, no aggregation and no shuffle (r16, guide §2.4).
+
+    Docs with < n tokens produce no row (guard required: Spark's
+    ``sequence`` would otherwise emit a *descending* range)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
+    ).filter(F.size("t") >= n)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+    )
+    return toks.select("doc_id", F.array_distinct(joined).alias("sh_set"))
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -52,19 +75,33 @@ def word_shingles(
     ``sequence`` would otherwise emit a *descending* range).
 
     The dedup is ``array_distinct`` on the per-doc gram array BEFORE
-    the explode (r16, guide §2.4 "remove shuffles outright"): a doc's
-    shingles all live in one row at that point, so the per-row distinct
-    produces exactly the set the old row-level ``.distinct()`` did —
-    but with ZERO shuffle, where the old form paid a full Exchange +
-    two hash aggregates over every (doc_id, shingle) in the corpus
-    before any consumer had filtered anything. This is the largest
-    single shuffle in the MinHash chain (d2/d3/d7/c23/c24 and the
-    containment/incremental paths all sit on it); measured at sf0.1 it
-    takes d3's plan from 3 corpus-wide exchanges to 2. Contract note:
-    row-level and per-doc distinct coincide because every caller feeds
-    one row per ``id_col`` (the documents-table key) — a caller with
-    duplicate id rows would previously have had cross-row dedup, which
-    no engine path relies on (all feed keyed doc tables).
+    the explode (r16, guide §2.4 "remove shuffles outright"; the array
+    stage is :func:`shingle_arrays`): a doc's shingles all live in one
+    row at that point, so the per-row distinct produces exactly the set
+    the old row-level ``.distinct()`` did — but with ZERO shuffle,
+    where the old form paid a full Exchange + two hash aggregates over
+    every (doc_id, shingle) in the corpus before any consumer had
+    filtered anything. This is the largest single shuffle in the
+    MinHash chain (d2/d3/d7/c23/c24 and the containment/incremental
+    paths all sit on it); measured at sf0.1 it takes d3's plan from 3
+    corpus-wide exchanges to 2. Contract note: row-level and per-doc
+    distinct coincide because every caller feeds one row per ``id_col``
+    (the documents-table key) — a caller with duplicate id rows would
+    previously have had cross-row dedup, which no engine path relies on
+    (all feed keyed doc tables).
+
+    NOT expressed as ``shingle_arrays(...).select(explode(sh_set))``
+    (r16): exploding an ATTRIBUTE triggers InferFiltersFromGenerate,
+    whose inferred ``size(sh_set) > 0`` guard is pushed below the
+    token-count filter and — because the array expression then appears
+    twice in the pushed predicate — codegen's common-subexpression
+    elimination evaluates the gram transform EAGERLY on unguarded rows,
+    where a < n-token doc's descending ``sequence`` indexes past the
+    token array (runtime ArrayIndexOutOfBounds). Exploding the
+    expression directly keeps the generator input non-trivial, which
+    that rule skips. (Exploding a CHECKPOINTED sh_set attribute — the
+    minhash path — is safe: the inferred guard lands on the checkpoint
+    scan, where size() is cheap and the transform no longer exists.)
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -209,43 +246,94 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band-join →
     exact-Jaccard verify. Output: (doc_a, doc_b, jaccard).
 
-    The shingle table is referenced four times downstream (signature,
-    both sides of the verify join, sizes), so it is cut here with a
-    lazy localCheckpoint — the signature aggregation's job materialises
-    it and the other three consumers scan the stored partitions instead
-    of re-running the regexp/explode/distinct (r6; measured sf0.1 warm:
-    4.0s -> 3.2s. An earlier persist(MEMORY_AND_DISK) WITHOUT the
-    lineage cut saved nothing — the win is skipping re-optimisation of
-    the exploded plan, not just the IO). At cluster scale prefer the
-    durable form of the same cut: publish the shingle table to parquet
-    (S15) and read it back, which survives executor loss where a
-    localCheckpoint's unreplicated blocks do not."""
+    Restructured r16 (guide §2.3/§2.4) around a per-doc shingle-SET
+    checkpoint (:func:`shingle_arrays`, one array row per doc) instead
+    of the old exploded (doc_id, sh) checkpoint. What that removes,
+    with the r15 plan's operator count at sf0.1 in brackets:
+
+    - the band-key signature subtree is computed ONCE behind its own
+      lazy cut — the LSH self-join's two sides previously each re-ran
+      the scan→partial-min→explode chain [2 aggregation passes → 1];
+    - the per-doc set SIZES are ``F.size(sh_set)`` carried by the
+      verify join rows — previously two full corpus scans + two
+      partial-count aggregations + two broadcast join-backs
+      [2 passes + 2 joins → 0];
+    - the exact-Jaccard intersection is row-wise
+      ``size(array_intersect(sa, sb))`` on the candidate pairs —
+      previously a join of the exploded corpus keyed (doc_b, sh),
+      which at cluster scale shuffles EVERY shingle row by a compound
+      key LSH never partitioned by (at bench scale it only survived as
+      a broadcast because the corpus fits) [corpus-wide exchange → a
+      candidate-sized join];
+    - the checkpoint materialises 1 row/doc (same string bytes, no
+      per-shingle row headers, no explode in the write job).
+
+    The signature aggregation itself deliberately KEEPS the
+    explode + groupBy row form: per-row md5 is whole-stage-codegen'd
+    and the 16 mins are one map-side-combinable hash aggregate whose
+    exchange carries partial states (1 row/doc/map-partition), while
+    the HOF array form evaluates on the interpreted expression path —
+    measured 5x slower staged, 50x monolithic (r8 hierarchy note in
+    :func:`minhash_band_key_rows`).
+
+    Equivalence to the pairwise_jaccard verify (oracle-reproven r16):
+    both arrays are per-doc DISTINCT sets, so size(array_intersect) is
+    exactly the old per-pair match count; na/nb = size() equal the old
+    per-doc counts; the ni >= 1 gate reproduces the old inner
+    shingle-join's "pairs sharing at least one shingle" row set for
+    ANY threshold; the jaccard double is the same exact-integer
+    division. At cluster scale prefer the durable form of the cuts:
+    publish to parquet (S15) and read back, which survives executor
+    loss where a localCheckpoint's unreplicated blocks do not."""
     # Spread the DOC rows across cores before shingling (r16):
-    # word_shingles is now shuffle-free (array_distinct, guide §2.4),
-    # so without this the exploded shingles inherit the SCAN's
-    # partitioning — and a small-file corpus (the bench's documents
-    # table is one parquet file = one task) runs the md5-heavy
-    # signature map phase serial. The keyed repartition moves ~1x the
-    # text bytes where the removed shingle distinct moved ~n x (every
-    # token sits in n grams), and it hash-partitions the checkpoint by
-    # doc_id — the exact distribution the signature groupBy and the
-    # sizes groupBy need. Measured on d3 at sf0.1, 6-rep interleaved:
-    # distinct 2.9s / array_distinct-alone 4.1s (serial hashing) /
-    # this form 2.26s median. Fewer shuffled bytes than the r15 shape
-    # at every scale, not just the bench's.
+    # shingle_arrays is shuffle-free, so without this the shingle sets
+    # inherit the SCAN's partitioning — and a small-file corpus (the
+    # bench's documents table is one parquet file = one task) runs the
+    # md5-heavy signature map phase serial. The keyed repartition moves
+    # ~1x the text bytes where the pre-r16 shingle distinct moved ~n x
+    # (every token sits in n grams). Measured on d3 at sf0.1, 6-rep
+    # interleaved: distinct 2.9s / array_distinct-alone 4.1s (serial
+    # hashing) / repartitioned 2.26s median.
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    sh = cut_lineage(
-        word_shingles(spread, text_col, id_col, n), eager=False, name="shingles"
+    arr = cut_lineage(
+        shingle_arrays(spread, text_col, id_col, n),
+        eager=False,
+        name="shingle_arrays",
     )
-    # dedup=False: pairwise_jaccard's candidate-first verify (r7) does
-    # its own distinct over the pair set, so a second cross-band
-    # distinct here would be a duplicated shuffle
-    cand = lsh_candidate_pairs(
-        minhash_band_keys(sh, num_hashes, band_size), dedup=False
+    sh = arr.select("doc_id", F.explode("sh_set").alias("sh"))
+    # band keys behind their own lazy cut: the LSH self-join references
+    # this table TWICE, and a localCheckpoint reports
+    # UnknownPartitioning, so without the cut each side re-runs the
+    # signature aggregation over the full shingle set (duplicate
+    # subtree — Catalyst does not CSE across self-join branches). The
+    # cut is 4 narrow rows per doc.
+    bk = cut_lineage(
+        minhash_band_keys(sh, num_hashes, band_size),
+        eager=False,
+        name="band_keys",
     )
-    return pairwise_jaccard(sh, threshold, candidates=cand)
+    # dedup=True: the row-wise verify computes each pair ONCE, so the
+    # cross-band multiplicity must collapse here (the old
+    # candidate-first pairwise_jaccard did the same distinct itself)
+    cand = lsh_candidate_pairs(bk, dedup=True)
+    a = cand.join(
+        arr.withColumnsRenamed({"doc_id": "doc_a", "sh_set": "_sa"}), "doc_a"
+    )
+    ab = a.join(
+        arr.withColumnsRenamed({"doc_id": "doc_b", "sh_set": "_sb"}), "doc_b"
+    )
+    scored = ab.withColumn(
+        "_ni", F.size(F.array_intersect("_sa", "_sb"))
+    ).withColumn(
+        "jaccard",
+        F.col("_ni").cast("double")
+        / (F.size("_sa") + F.size("_sb") - F.col("_ni")),
+    )
+    return scored.filter(
+        (F.col("_ni") >= 1) & (F.col("jaccard") >= F.lit(threshold))
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash_codes(

@@ -182,6 +182,38 @@ def test_pairwise_jaccard_candidate_first_plan_and_equivalence(spark):
     assert not solo_shingle_join.search(plan3)
 
 
+def test_minhash_verify_is_rowwise_set_algebra(spark):
+    """r16 (guide §2.3/§2.4): minhash_near_duplicates' exact-Jaccard
+    verify runs ROW-WISE on the per-doc shingle-set arrays. Pins on
+    the EXECUTED plan:
+
+    1. the verify is ``array_intersect`` over the candidate join rows
+       (the pre-r16 form joined the exploded corpus keyed (doc_b, sh)
+       — a corpus-wide compound-key shuffle at cluster scale);
+    2. no join is keyed on a shingle column at all;
+    3. the band-key signature aggregation does NOT appear in the final
+       plan — it runs exactly once inside its own lineage cut (the LSH
+       self-join's two sides previously each re-ran the partial-min
+       pass), so the final plan sees only checkpoint scans."""
+    import re
+
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    df = minhash_near_duplicates(_docs_df(spark), band_size=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    assert not re.search(r"Join [^\n]*\bsh#\d+", plan), (
+        "verify join keyed on an exploded shingle column"
+    )
+    assert "partial_min" not in plan, (
+        "signature aggregation re-ran in the final plan (band-key cut "
+        "not effective)"
+    )
+
+
 def test_shingle_novelty_first_occurrence_attribution(spark):
     """r6: novelty = fraction of a doc's distinct shingles first seen
     (min doc_id) in that doc. Hand-check: doc 1 owns all its shingles;
