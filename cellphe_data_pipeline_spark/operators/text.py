@@ -858,6 +858,7 @@ def gopher_rules(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: list[str] | None = None,
+    gate_mask: int | None = None,
 ) -> DataFrame:
     """The Gopher quality rule set (r7) — the published heuristic gates
     (Rae et al., "Scaling Language Models: ... Gopher", 2021 §A1.1)
@@ -876,55 +877,118 @@ def gopher_rules(
     ``fail_mask`` is a bitmask (1=word-count, 2=mean-word-length,
     4=symbol-ratio, 8=bullet-lines, 16=ellipsis-lines, 32=alpha-words,
     64=stop-words) — the audit column telling a curation run WHY each
-    doc fell, which the boolean alone cannot. Pure codegen expressions
-    (single divisions, no float accumulation): zero shuffle, a 100 TB
+    doc fell, which the boolean alone cannot. Zero shuffle; a 100 TB
     corpus streams through map tasks at scan speed.
+
+    STAGED PROJECTIONS (r16, guide §4/§1.2 — the r8
+    ``minhash_band_key_rows`` lesson applied here): the rule set leans
+    on higher-order functions (filter/aggregate/transform over the
+    token and line arrays), which do not participate in whole-stage
+    codegen — the projection evaluates on the interpreted expression
+    path, where re-inlined sub-expressions are NOT common-subexpression
+    eliminated. The r7-r15 single-select form therefore re-ran the
+    whitespace regexp + split per HOF reference (4x for the token
+    array, 3x for the line array, per row). Staging the normalised
+    text / token array / line array into their OWN select makes every
+    downstream reference an attribute; CollapseProject keeps non-cheap
+    multi-referenced aliases materialised. Measured at the c24 corpus
+    shape (sf0.1, noop sink): see OPTIMIZATION_r16.md. Values are
+    bit-identical (same expressions over the same inputs; the staged
+    aliases carry a ``_gq_`` prefix reserved against keep_cols
+    collisions).
+
+    ``gate_mask`` (r16): when set, rows whose ``fail_mask & gate_mask``
+    is non-zero are dropped INSIDE the operator, on the staged count
+    attributes. This exists because a downstream
+    ``.filter(fail_mask & m == 0)`` on the returned frame is pushed
+    below every projection by PushPredicateThroughProject, which
+    re-inlines the ENTIRE tokenise/count tree into one giant predicate
+    — and predicates containing higher-order functions evaluate on the
+    interpreted path with NO common-subexpression elimination, so the
+    whole document parse runs once for the filter and again for the
+    projection (measured 3.0x at the c24 corpus shape: 0.88s unfiltered
+    vs 2.64s with the pushed filter, sf0.1 noop). The in-operator gate
+    filters on the ALREADY-STAGED counts; its non-deterministic
+    disjunct (seeded ``rand() > 2``, statically false) blocks the
+    pushdown — guide §4.4's asNondeterministic() remedy, applied to a
+    native expression tree. Row set and all output values are
+    identical to the external-filter form (oracle-reproven: c24, e32).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "),
                     lambda x: x != "")
-    n_words = F.size(toks).cast("bigint")
-    n_words_nz = F.when(n_words == 0, F.lit(None)).otherwise(n_words)
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    )
-    mean_wl = F.round(total_chars.cast("double") / n_words_nz, 6)
-    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("bigint")
-    n_ell = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3).cast("bigint")
-    n_ell = n_ell + (
-        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
-    ).cast("bigint")
     lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    n_lines = F.size(lines).cast("bigint")
-    n_lines_nz = F.when(n_lines == 0, F.lit(None)).otherwise(n_lines)
+    keep_names = list(keep_cols or [])
+    p1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_names],
+        t.alias("_gq_t"),
+        toks.alias("_gq_toks"),
+        lines.alias("_gq_lines"),
+    )
+
+    tA, toksA, linesA = F.col("_gq_t"), F.col("_gq_toks"), F.col("_gq_lines")
+    n_words = F.size(toksA).cast("bigint")
+    total_chars = F.aggregate(
+        toksA, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = (F.length(tA) - F.length(F.replace(tA, F.lit("#"), F.lit("")))).cast("bigint")
+    n_ell = ((F.length(tA) - F.length(F.replace(tA, F.lit("..."), F.lit("")))) / 3).cast("bigint")
+    n_ell = n_ell + (
+        F.length(tA) - F.length(F.replace(tA, F.lit("…"), F.lit("")))
+    ).cast("bigint")
+    n_lines = F.size(linesA).cast("bigint")
     n_bullet = F.size(
-        F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•])( |$)"))
+        F.filter(linesA, lambda x: F.trim(x).rlike(r"^([-*•])( |$)"))
     ).cast("bigint")
     n_ell_end = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+        F.filter(linesA, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
     ).cast("bigint")
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    n_alpha = F.size(F.filter(toksA, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
     # ONE lowercase pass + set intersection (r7 review: a per-stopword
     # filter lambda re-evaluated transform(toks, lower) 8x per row —
     # Catalyst does not CSE across higher-order-function lambdas)
     n_stop = F.size(
         F.array_intersect(
-            F.array_distinct(F.transform(toks, F.lower)),
+            F.array_distinct(F.transform(toksA, F.lower)),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
         )
     ).cast("bigint")
+    p2 = p1.select(
+        "doc_id",
+        *keep_names,
+        n_words.alias("_gq_nw"),
+        total_chars.alias("_gq_tc"),
+        n_hash.alias("_gq_nhash"),
+        n_ell.alias("_gq_nell"),
+        n_lines.alias("_gq_nl"),
+        n_bullet.alias("_gq_nb"),
+        n_ell_end.alias("_gq_ne"),
+        n_alpha.alias("_gq_na"),
+        n_stop.alias("_gq_ns"),
+    )
 
-    fail_wc = (n_words < 50) | (n_words > 100_000)
+    nw = F.col("_gq_nw")
+    n_words_nz = F.when(nw == 0, F.lit(None)).otherwise(nw)
+    mean_wl = F.round(F.col("_gq_tc").cast("double") / n_words_nz, 6)
+    n_lines_nz = F.when(F.col("_gq_nl") == 0, F.lit(None)).otherwise(F.col("_gq_nl"))
+    fail_wc = (nw < 50) | (nw > 100_000)
     fail_wl = (mean_wl.isNull()) | (mean_wl < 3.0) | (mean_wl > 10.0)
     fail_sym = F.coalesce(
-        (n_hash.cast("double") / n_words_nz > 0.1)
-        | (n_ell.cast("double") / n_words_nz > 0.1),
+        (F.col("_gq_nhash").cast("double") / n_words_nz > 0.1)
+        | (F.col("_gq_nell").cast("double") / n_words_nz > 0.1),
         F.lit(True),
     )
-    fail_bullet = F.coalesce(n_bullet.cast("double") / n_lines_nz > 0.9, F.lit(True))
-    fail_ell = F.coalesce(n_ell_end.cast("double") / n_lines_nz > 0.3, F.lit(True))
-    fail_alpha = F.coalesce(n_alpha.cast("double") / n_words_nz < 0.8, F.lit(True))
-    fail_stop = n_stop < 2
+    fail_bullet = F.coalesce(
+        F.col("_gq_nb").cast("double") / n_lines_nz > 0.9, F.lit(True)
+    )
+    fail_ell = F.coalesce(
+        F.col("_gq_ne").cast("double") / n_lines_nz > 0.3, F.lit(True)
+    )
+    fail_alpha = F.coalesce(
+        F.col("_gq_na").cast("double") / n_words_nz < 0.8, F.lit(True)
+    )
+    fail_stop = F.col("_gq_ns") < 2
     mask = (
         fail_wc.cast("bigint") * 1
         + fail_wl.cast("bigint") * 2
@@ -934,16 +998,39 @@ def gopher_rules(
         + fail_alpha.cast("bigint") * 32
         + fail_stop.cast("bigint") * 64
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
+    if gate_mask is not None:
+        # Gate on the STAGED count attributes, through a projected gate
+        # COLUMN whose expression carries statically-false seeded-rand
+        # noise (rand(0)*0.0 > 1.0). Why each piece is load-bearing:
+        # Spark 4 pushes even NON-deterministic filter conditions
+        # through deterministic projects, so the barrier must be a
+        # nondeterministic PROJECT FIELD (PushPredicateThroughNonJoin
+        # requires fields.forall(_.deterministic)); and a bare
+        # rand() > 2 disjunct is constant-folded away by the
+        # rand-range simplification, while the Multiply hides it.
+        # The filter therefore stays ABOVE this projection instead of
+        # being re-inlined into one giant un-CSE'd scan predicate
+        # (guide §4.4; measured 3.0x — see docstring). Values: the
+        # disjunct is always false, so the row set is exactly
+        # fail_mask & gate_mask == 0.
+        gate = (mask.bitwiseAND(F.lit(gate_mask)) == 0) | (
+            F.rand(0) * F.lit(0.0) > F.lit(1.0)
+        )
+        p2 = (
+            p2.withColumn("_gq_gate", gate)
+            .filter(F.col("_gq_gate"))
+            .drop("_gq_gate")
+        )
+    return p2.select(
+        "doc_id",
+        nw.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         (mask == 0).alias("keep"),
         mask.alias("fail_mask"),
         # keep_cols (r12, c24): payload pass-through — the composed
         # pipeline filters on `keep` and continues with the text in
         # the same zero-shuffle projection, no join-back
-        *[F.col(c) for c in (keep_cols or [])],
+        *[F.col(c) for c in keep_names],
     )
 
 

@@ -1852,15 +1852,15 @@ def streaming_corpus_ingest_drain(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
     )
-    curated = (
-        gopher_rules(
-            html_to_text(stream, keep_cols=["source"]),
-            text_col="text_clean",
-            keep_cols=["source", "text_clean"],
-        )
-        .filter(F.col("fail_mask").bitwiseAND(F.lit(63)) == 0)
-        .select("doc_id", F.col("source").alias("stream"), "text_clean")
-    )
+    # gate_mask=63: in-operator gate — the external fail_mask filter
+    # was optimizer-pushed below the projections, re-running the
+    # interpreted HOF tree per row (gopher_rules docstring, r16)
+    curated = gopher_rules(
+        html_to_text(stream, keep_cols=["source"]),
+        text_col="text_clean",
+        keep_cols=["source", "text_clean"],
+        gate_mask=63,
+    ).select("doc_id", F.col("source").alias("stream"), "text_clean")
     q = (
         curated.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt_dir)
@@ -1981,15 +1981,13 @@ def streaming_corpus_full_ingest_drain(
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
     )
-    curated = (
-        gopher_rules(
-            html_to_text(stream, keep_cols=["source"]),
-            text_col="text_clean",
-            keep_cols=["source", "text_clean"],
-        )
-        .filter(F.col("fail_mask").bitwiseAND(F.lit(63)) == 0)
-        .select("doc_id", "source", "text_clean")
-    )
+    # gate_mask=63: in-operator gate — see gopher_rules docstring (r16)
+    curated = gopher_rules(
+        html_to_text(stream, keep_cols=["source"]),
+        text_col="text_clean",
+        keep_cols=["source", "text_clean"],
+        gate_mask=63,
+    ).select("doc_id", "source", "text_clean")
     key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     split = F.when(
         portable_hash64(key.cast("string"), seed=split_seed) % 10000

@@ -214,6 +214,43 @@ def test_minhash_verify_is_rowwise_set_algebra(spark):
     )
 
 
+def test_gopher_gate_mask_not_pushed_into_scan(spark):
+    """r16 (guide §4.4 for native trees): gopher_rules(gate_mask=...)
+    must keep the rule gate ABOVE the tokenise/count projections. A
+    plain downstream .filter(fail_mask & m == 0) is optimizer-pushed
+    into the scan predicate with the ENTIRE interpreted HOF tree
+    re-inlined (no CSE on the interpreted path — measured 3x at the
+    c24 corpus shape). Pins: (1) row set identical to the external
+    filter; (2) no Filter in the executed plan re-inlines the
+    tokeniser; (3) the gate column does not leak into the output."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps with and of to in is that " * 8),
+         (2, "short"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    ext = gopher_rules(df).filter(
+        F.col("fail_mask").bitwiseAND(F.lit(63)) == 0
+    )
+    gated = gopher_rules(df, gate_mask=63)
+    assert sorted(map(tuple, ext.collect())) == sorted(
+        map(tuple, gated.collect())
+    )
+    assert gated.columns == ext.columns  # no _gq_gate leak
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Filter [^\n]*", plan):
+        assert "split(trim(regexp_replace" not in m.group(0), (
+            "gate filter re-inlined the tokeniser tree (pushdown "
+            "barrier lost)"
+        )
+
+
 def test_shingle_novelty_first_occurrence_attribution(spark):
     """r6: novelty = fraction of a doc's distinct shingles first seen
     (min doc_id) in that doc. Hand-check: doc 1 owns all its shingles;
