@@ -1305,37 +1305,39 @@ def incremental_near_duplicates(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes_a = sh_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    sizes_b = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    # candidate-first join order (the O(batch) contract): attach the
-    # index side's shingles to the candidate PAIRS, then equi-join the
-    # batch side on (doc_b, shingle) — the intermediate is bounded by
-    # |candidates| x shingles-per-doc. Joining the two shingle tables
-    # on shingle equality FIRST would materialise every cross-corpus
-    # occurrence of every common shingle before the candidate filter
-    # (a ~1e9-row blowup on a 1M-doc index with common trigrams).
+    # Row-wise set-algebra verify (r16, the minhash_near_duplicates 8b
+    # shape): attach each side's per-doc DISTINCT shingle-set ARRAY to
+    # the candidate pairs and compute |A∩B| as size(array_intersect) —
+    # one row per candidate instead of |candidates| x shingles-per-doc
+    # exploded rows, no (doc_b, shingle) compound-key join of the
+    # batch side, and the two per-side size aggregations collapse to
+    # row-wise size(). The pre-r16 candidate-first exploded join is
+    # preserved in spirit: work is still bounded by the candidate set,
+    # never by shingle-frequency quadratics. The ``_inter >= 1`` gate
+    # reproduces the old inner shingle-join's row set (pairs sharing
+    # at least one shingle) for ANY threshold.
     a = cand.join(
-        sh_idx.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh"}), "doc_a"
+        shingle_arrays(index_docs, text_col, id_col, n).withColumnsRenamed(
+            {"doc_id": "doc_a", "sh_set": "_sa"}
+        ),
+        "doc_a",
     )
-    inter = (
-        a.join(
-            sh_new.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh"}),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    ab = a.join(
+        shingle_arrays(new_docs, text_col, id_col, n).withColumnsRenamed(
+            {"doc_id": "doc_b", "sh_set": "_sb"}
+        ),
+        "doc_b",
     )
+    scored = ab.withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
     # threshold on the RAW ratio, round after — the same order as
     # pairwise_jaccard, so the incremental result is exactly the full
     # self-join result restricted to (index, new) pairs even at the
     # rounding boundary
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast(
-        "double"
-    )
+    jac = F.col("_inter") / (
+        F.size("_sa") + F.size("_sb") - F.col("_inter")
+    ).cast("double")
     return (
-        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sizes_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .filter(jac >= threshold)
+        scored.filter((F.col("_inter") >= 1) & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -1373,9 +1375,19 @@ def containment_near_duplicates(
     the intermediate is |candidates| x shingles-per-doc. Output:
     (doc_a, doc_b, n_inter, containment) with doc_a < doc_b.
     """
-    sh = cut_lineage(
-        word_shingles(df, text_col, id_col, n), eager=False, name="cont-shingles"
+    # Checkpoint the per-doc shingle-set ARRAYS (r16, the 8b shape):
+    # the rare-shingle blocking still needs exploded rows (derived
+    # here by exploding the CHECKPOINTED attribute — safe, unlike
+    # exploding the raw expression's attribute, see word_shingles),
+    # but the verify attaches the arrays to the candidate pairs and
+    # computes |A∩B| row-wise — no (doc_b, shingle) compound-key
+    # corpus join, no per-pair aggregation, no sizes passes.
+    arr = cut_lineage(
+        shingle_arrays(df, text_col, id_col, n),
+        eager=False,
+        name="cont-shingle-arrays",
     )
+    sh = arr.select("doc_id", F.explode("sh_set").alias("sh"))
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1393,23 +1405,34 @@ def containment_near_duplicates(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    ab = (
+        cands.join(
+            arr.withColumnsRenamed({"doc_id": "doc_a", "sh_set": "_sa"}),
+            "doc_a",
+        )
+        .join(
+            arr.withColumnsRenamed({"doc_id": "doc_b", "sh_set": "_sb"}),
+            "doc_b",
+        )
+        # bigint: the pre-r16 count aggregate emitted long — the
+        # oracle gate compares numeric TYPES, not just values
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("_sa", "_sb")).cast("bigint"),
+        )
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        ab
         # threshold on the RAW ratio; round only in the final select —
         # rounding first admits pairs in [threshold - 5e-7, threshold)
         # that the oracle (raw-ratio HAVING) rejects (r8 ADVICE fix,
-        # same divergence class the r6 d10 fix removed)
+        # same divergence class the r6 d10 fix removed). Every
+        # candidate shares its blocking rare shingle, so n_inter >= 1
+        # holds by construction — the old inner-join row set is
+        # preserved with no extra gate.
         .withColumn(
             "containment_raw",
-            F.col("n_inter").cast("double") / F.least("na", "nb"),
+            F.col("n_inter").cast("double") / F.least(F.size("_sa"), F.size("_sb")),
         )
         .filter(F.col("containment_raw") >= F.lit(threshold))
         .select(
