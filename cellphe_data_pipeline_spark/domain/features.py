@@ -715,3 +715,127 @@ def static_features(frames: DataFrame, rois: DataFrame) -> DataFrame:
     # the bench shape; guide §2.4 "remove shuffles outright").
     n = max(2, frames.sparkSession.sparkContext.defaultParallelism)
     return tagged.repartition(n).mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def static_features_fused(fused: DataFrame, keep: DataFrame) -> DataFrame:
+    """M4 over the pipeline's FUSED frame checkpoint (r17, guide §4/§2.4):
+    contour tracing + feature extraction in ONE Python wave.
+
+    ``fused``: the decode_segment_centroid rows (path, frame_index,
+    height, width, data, mask, cents). ``keep``: the QC-surviving cell
+    keys (path, FrameID, CellID, TRACK_ID) — NARROW rows.
+
+    Equivalent to the staged pipeline M4 branch
+    (``mask_rois(masks) ⋈ keep → roi_filename → static_features``),
+    pinned by test, but the staged branch paid: a mask_contours Python
+    wave over every mask, a corpus-wide groupBy shuffle of the contour
+    PIXEL rows (collect_list per cell), the kept-cells join against
+    those coords arrays, and a second aggregation nesting the coords
+    back per frame. Here the only pre-kernel work is one aggregation of
+    the NARROW keep keys per frame (collect_list of (CellID, TRACK_ID)
+    structs — bytes per cell, not per boundary pixel) joined onto the
+    fused rows (broadcast-sized at any realistic per-batch frame
+    count), and the kernel traces each kept cell's contour from the
+    mask raster it already holds — the guide §8 rule (shuffle
+    keys/metadata, not payload-derived row sets) applied to the
+    boundary geometry.
+
+    Contour, ordering, ROI naming and feature math are IDENTICAL to
+    the staged form: same per-label bbox crop + largest-component +
+    Moore trace (shared code), trace order == the staged
+    array_sort(seq) order; the 3-part FRAME-TRACK-ID zero-padding
+    widths are computed with the same global aggregate — over ``keep``,
+    whose row set equals the staged join's (every QC survivor has >= 1
+    mask pixel, hence >= 1 contour row). Only KEPT cells are traced
+    (the staged form traced every label, then discarded the QC
+    failures at the join).
+
+    16-bit note: raster dtype is derived from the byte count
+    (``_raster_dtype``); the staged kernel assumed uint8 for raw
+    payloads and would raise on a 16-bit raster's reshape, so no
+    behaviour silently diverges."""
+    from cellphe_data_pipeline_spark.domain.images import (
+        _largest_component,
+        _raster_dtype,
+        trace_outer_contour,
+    )
+
+    widths = keep.agg(
+        *[
+            F.max(F.length(F.col(c).cast("string"))).alias(f"_w_{c}")
+            for c in ("FrameID", "TRACK_ID", "CellID")
+        ]
+    )
+    keep_agg = keep.groupBy("path", "FrameID").agg(
+        F.collect_list(F.struct("CellID", "TRACK_ID")).alias("_keep")
+    )
+    tagged = (
+        fused.select(
+            "path",
+            F.col("frame_index").alias("FrameID"),
+            "height",
+            "width",
+            "data",
+            "mask",
+        )
+        .join(keep_agg, ["path", "FrameID"])
+        .crossJoin(F.broadcast(widths))
+    )
+
+    out_cols = [f.name for f in FEATURES_SCHEMA.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = r["data"]
+                h, w = int(r["height"]), int(r["width"])
+                if bytes(raw[:5]) == b"FAKE1":
+                    img = decode_frame(bytes(raw))[0].astype("float64")
+                else:
+                    img = np.frombuffer(raw, dtype=_raster_dtype(raw, h, w)).reshape(
+                        h, w
+                    ).astype("float64")
+                lo, hi = img.min(), img.max()  # A6+F10 min-max normalise once/frame
+                if hi > lo:
+                    img = (img - lo) / (hi - lo)
+                m = np.frombuffer(r["mask"], dtype=np.uint16).reshape(h, w)
+                wf, wt, wc = int(r["_w_FrameID"]), int(r["_w_TRACK_ID"]), int(r["_w_CellID"])
+                for cell in r["_keep"]:
+                    label = int(cell["CellID"])
+                    lys, lxs = np.nonzero(m == label)
+                    if len(lys) == 0:
+                        continue  # defensive: kept cell absent from mask
+                    y0, x0 = int(lys.min()), int(lxs.min())
+                    region = _largest_component(
+                        m[y0 : int(lys.max()) + 1, x0 : int(lxs.max()) + 1] == label
+                    )
+                    cxs, cys = trace_outer_contour(region)
+                    # trace order == the staged array_sort((seq,x,y))
+                    # order (seq is unique per step)
+                    coords = np.column_stack(
+                        [(cxs + x0).astype("int64"), (cys + y0).astype("int64")]
+                    )
+                    feats = _cell_features(img, coords)
+                    if feats is None:
+                        continue  # degenerate ROI skip
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "FrameID": int(r["FrameID"]),
+                            "CellID": label,
+                            "ROI_filename": "-".join(
+                                (
+                                    str(int(r["FrameID"])).rjust(wf, "0"),
+                                    str(int(cell["TRACK_ID"])).rjust(wt, "0"),
+                                    str(label).rjust(wc, "0"),
+                                )
+                            ),
+                            **feats,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    # same round-robin spread rationale as static_features
+    n = max(2, fused.sparkSession.sparkContext.defaultParallelism)
+    return tagged.repartition(n).mapInPandas(kernel, FEATURES_SCHEMA)

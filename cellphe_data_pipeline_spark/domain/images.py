@@ -545,6 +545,61 @@ def _otsu_segment(img: np.ndarray) -> np.ndarray:
 SEGMENT_METHODS = ("median", "otsu", "model")
 
 
+def _validate_segment_method(method: str, model_cls: type | None) -> type | None:
+    """Driver-side method/model resolution shared by
+    :func:`segment_frames` and :func:`decode_segment_centroid` — one
+    home so the two entry points cannot drift (fail-fast import check
+    happens on the DRIVER, not inside a task)."""
+    if method not in SEGMENT_METHODS:
+        raise ValueError(f"unknown segmentation method: {method!r}")
+    if method == "model" and model_cls is None:
+        try:
+            from cellpose import models as _cp_models  # noqa: PLC0415
+
+            model_cls = _cp_models.CellposeModel
+        except ImportError as e:
+            raise ImportError(
+                "segmentation method='model' needs the `cellpose` "
+                "package (not installed in this environment) or an "
+                "injected model_cls implementing "
+                "cls(**model_args).eval(image, **eval_args) -> (masks, ...)"
+            ) from e
+    return model_cls
+
+
+def _make_segmenter(
+    method: str,
+    model_args: dict | None,
+    eval_args: dict | None,
+    model_cls: type | None,
+):
+    """Build the per-task frame→uint16-mask callable (heavyweight model
+    construction happens HERE, once per task — guide §4.5). Shared by
+    both segmentation entry points; the uint16 overflow invariant is
+    identical in each."""
+    if method == "model":
+        inst = model_cls(**(model_args or {}))
+
+        def model(img: np.ndarray) -> np.ndarray:
+            # reference: masks = model.eval(image, **eval_args)[0],
+            # saved astype("uint16") (segment_image.py:22-23).
+            # Same overflow invariant as label_components_runs: a
+            # label > 65535 must fail loudly — astype would wrap
+            # 65536 into 0 (background: cell silently deleted) and
+            # alias 65537 with label 1.
+            raw = np.asarray(inst.eval(img, **(eval_args or {}))[0])
+            if raw.size and int(raw.max()) > 65535:
+                raise ValueError(
+                    "model mask label exceeds 65535 — would wrap in "
+                    "the uint16 mask (label "
+                    f"{int(raw.max())}); renumber labels per frame"
+                )
+            return raw.astype(np.uint16)
+
+        return model
+    return _otsu_segment if method == "otsu" else _fake_segment
+
+
 def segment_frames(
     frames: DataFrame,
     model_args: dict | None = None,
@@ -572,43 +627,10 @@ def segment_frames(
     clear message when the package is absent in this environment);
     injecting any class with that constructor/eval signature — the
     contract test does — requires no code changes here."""
-    if method not in SEGMENT_METHODS:
-        raise ValueError(f"unknown segmentation method: {method!r}")
-    if method == "model" and model_cls is None:
-        try:
-            from cellpose import models as _cp_models  # noqa: PLC0415
-
-            model_cls = _cp_models.CellposeModel
-        except ImportError as e:
-            raise ImportError(
-                "segment_frames(method='model') needs the `cellpose` "
-                "package (not installed in this environment) or an "
-                "injected model_cls implementing "
-                "cls(**model_args).eval(image, **eval_args) -> (masks, ...)"
-            ) from e
+    model_cls = _validate_segment_method(method, model_cls)
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if method == "model":
-            inst = model_cls(**(model_args or {}))
-
-            def model(img: np.ndarray) -> np.ndarray:
-                # reference: masks = model.eval(image, **eval_args)[0],
-                # saved astype("uint16") (segment_image.py:22-23).
-                # Same overflow invariant as label_components_runs: a
-                # label > 65535 must fail loudly — astype would wrap
-                # 65536 into 0 (background: cell silently deleted) and
-                # alias 65537 with label 1.
-                raw = np.asarray(inst.eval(img, **(eval_args or {}))[0])
-                if raw.size and int(raw.max()) > 65535:
-                    raise ValueError(
-                        "model mask label exceeds 65535 — would wrap in "
-                        "the uint16 mask (label "
-                        f"{int(raw.max())}); renumber labels per frame"
-                    )
-                return raw.astype(np.uint16)
-
-        else:
-            model = _otsu_segment if method == "otsu" else _fake_segment
+        model = _make_segmenter(method, model_args, eval_args, model_cls)
         for pdf in batches:
             masks = []
             for _, row in pdf.iterrows():
@@ -1038,6 +1060,110 @@ def mask_centroids(masks: DataFrame) -> DataFrame:
                 yield pd.concat(parts, ignore_index=True)
 
     return masks.mapInPandas(cent, CENTROID_SCHEMA)
+
+
+#: per-cell centroid struct nested into FUSED_FRAME_SCHEMA — the same
+#: fields (minus the frame keys, carried by the row) as CENTROID_SCHEMA
+FUSED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("mask", T.BinaryType()),
+        T.StructField(
+            "cents",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("mask_id", T.IntegerType()),
+                        T.StructField("area", T.LongType()),
+                        T.StructField("cx", T.DoubleType()),
+                        T.StructField("cy", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def decode_segment_centroid(
+    binaries: DataFrame,
+    method: str = "median",
+    model_args: dict | None = None,
+    eval_args: dict | None = None,
+    model_cls: type | None = None,
+) -> DataFrame:
+    """S3/S4 + M1/M2 + detection in ONE Python wave (r17, guide §4/§1.2):
+    container → per-frame (raster, mask, nested centroid structs) rows.
+
+    Row-for-row equivalent to the staged
+    ``split_frames → segment_frames → mask_centroids`` chain (property
+    test pins it): ``select(path, frame_index, height, width, data)``
+    is the frames table, ``...mask`` the masks table, and
+    ``explode(cents)`` the detection rows — but the payload crosses the
+    JVM↔Python boundary ONCE instead of four times (data out, data in →
+    mask out, mask in → centroids out), and a pipeline that previously
+    materialised three kernel checkpoints (three actions, three Python
+    stage launches at ~200 ms fixed cost each on the bench host) now
+    materialises one. Frames with zero cells carry ``cents == []`` —
+    ``explode`` drops them, matching ``mask_centroids``'s skip.
+
+    Same method menu / model-injection contract as
+    :func:`segment_frames` (shared helpers, cannot drift)."""
+    model_cls = _validate_segment_method(method, model_cls)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _make_segmenter(method, model_args, eval_args, model_cls)
+        cols = [f.name for f in FUSED_FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for i, img in enumerate(decode_frame(bytes(row["content"]))):
+                    m = model(img)
+                    ids, counts = np.unique(m, return_counts=True)
+                    keep = ids != 0
+                    ids, counts = ids[keep], counts[keep]
+                    if len(ids):
+                        ys, xs = np.indices(m.shape)
+                        sum_x = np.bincount(m.ravel(), weights=xs.ravel())
+                        sum_y = np.bincount(m.ravel(), weights=ys.ravel())
+                        # identical float math to mask_centroids
+                        # (float64 / int64 division per label)
+                        cx = sum_x[ids] / counts
+                        cy = sum_y[ids] / counts
+                        cents = [
+                            {
+                                "mask_id": int(mid),
+                                "area": int(a),
+                                "cx": float(x),
+                                "cy": float(y),
+                            }
+                            for mid, a, x, y in zip(
+                                ids.tolist(),
+                                counts.tolist(),
+                                cx.tolist(),
+                                cy.tolist(),
+                            )
+                        ]
+                    else:
+                        cents = []
+                    rows.append(
+                        {
+                            "path": row["path"],
+                            "frame_index": i,
+                            "height": img.shape[0],
+                            "width": img.shape[1],
+                            "data": img.tobytes(),
+                            "mask": m.tobytes(),
+                            "cents": cents,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binaries.select("path", "content").mapInPandas(fused, FUSED_FRAME_SCHEMA)
 
 
 def make_fake_timelapse(

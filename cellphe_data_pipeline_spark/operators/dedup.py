@@ -43,6 +43,28 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _distinct_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+):
+    """ONE home for the shingle tokenizer + n-gram transform (r17, per
+    the r16 ADVICE): returns ``(toks, grams)`` where ``toks`` is the
+    (doc_id, t=token array) frame already filtered to ``size(t) >= n``
+    and ``grams`` is the DISTINCT per-doc gram-array Column over it.
+    :func:`shingle_arrays` and :func:`word_shingles` both compose this,
+    so the two expressions cannot drift — drift would silently corrupt
+    :func:`incremental_near_duplicates`, whose band keys and verify
+    arrays come from the two functions respectively."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
+    ).filter(F.size("t") >= n)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+    )
+    return toks, F.array_distinct(joined)
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -55,15 +77,8 @@ def shingle_arrays(
 
     Docs with < n tokens produce no row (guard required: Spark's
     ``sequence`` would otherwise emit a *descending* range)."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
-    ).filter(F.size("t") >= n)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size("t") - n),
-        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
-    )
-    return toks.select("doc_id", F.array_distinct(joined).alias("sh_set"))
+    toks, grams = _distinct_gram_rows(df, text_col, id_col, n)
+    return toks.select("doc_id", grams.alias("sh_set"))
 
 
 def word_shingles(
@@ -103,15 +118,8 @@ def word_shingles(
     minhash path — is safe: the inferred guard lands on the checkpoint
     scan, where size() is cheap and the transform no longer exists.)
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias("t"),
-    ).filter(F.size("t") >= n)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size("t") - n),
-        lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
-    )
-    return toks.select("doc_id", F.explode(F.array_distinct(joined)).alias("sh"))
+    toks, grams = _distinct_gram_rows(df, text_col, id_col, n)
+    return toks.select("doc_id", F.explode(grams).alias("sh"))
 
 
 def pairwise_jaccard(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
@@ -294,9 +302,19 @@ def minhash_near_duplicates(
     # (every token sits in n grams). Measured on d3 at sf0.1, 6-rep
     # interleaved: distinct 2.9s / array_distinct-alone 4.1s (serial
     # hashing) / repartitioned 2.26s median.
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    #
+    # GATED on actual scan parallelism (r17, verdict item 3): the
+    # repartition repairs a SMALL-FILE pathology — a production table
+    # with >= cores scan partitions already hashes in parallel, and the
+    # unconditional form would buy a full-corpus text-byte shuffle for
+    # nothing at 100 TB. getNumPartitions() is a driver-side plan
+    # probe (no job runs); the checkpoint reports UnknownPartitioning
+    # either way, so the repartition never elided a downstream
+    # exchange — parallelism is all it ever bought (r16 record, 8b).
+    para = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.repartition(para, F.col(id_col)) if (
+        df.rdd.getNumPartitions() < para
+    ) else df
     arr = cut_lineage(
         shingle_arrays(spread, text_col, id_col, n),
         eager=False,
@@ -1287,13 +1305,29 @@ def incremental_near_duplicates(
     O(batch + matched index rows); the index band table is never
     self-joined.
     """
-    # NOT checkpointed, unlike d3's corpus shingle table: measured at
-    # sf0.1 (r6) the cut saved nothing here — the candidate-first join
-    # order already bounds the re-consumed volume, and in the real
-    # daily-ingest deployment sh_idx comes from the PERSISTED index
-    # (S15) anyway, so only the small batch side ever recomputes.
-    sh_idx = word_shingles(index_docs, text_col, id_col, n)
-    sh_new = word_shingles(new_docs, text_col, id_col, n)
+    # Tokenize ONCE per side (r17, per the r16 ADVICE): each side's
+    # shingle-set arrays are cut once, and both consumers — the band
+    # keys (via exploding the CHECKPOINTED sh_set attribute, the
+    # containment_near_duplicates pattern, safe post-cut) and the
+    # row-wise verify — read the cut. The pre-r17 form ran
+    # word_shingles AND shingle_arrays per side, i.e. the full index
+    # text was regexp/split/grammed twice per batch (the r6
+    # "checkpoint saved nothing" measurement predates that duplicated
+    # subtree). In the real daily-ingest deployment the index side
+    # comes from the PERSISTED band-key/shingle tables (S15) anyway,
+    # so only the small batch side ever recomputes.
+    arr_idx = cut_lineage(
+        shingle_arrays(index_docs, text_col, id_col, n),
+        eager=False,
+        name="inc-idx-arrays",
+    )
+    arr_new = cut_lineage(
+        shingle_arrays(new_docs, text_col, id_col, n),
+        eager=False,
+        name="inc-new-arrays",
+    )
+    sh_idx = arr_idx.select("doc_id", F.explode("sh_set").alias("sh"))
+    sh_new = arr_new.select("doc_id", F.explode("sh_set").alias("sh"))
     bk_idx = minhash_band_keys(sh_idx, num_hashes, band_size).withColumnRenamed(
         "doc_id", "doc_a"
     )
@@ -1317,15 +1351,11 @@ def incremental_near_duplicates(
     # reproduces the old inner shingle-join's row set (pairs sharing
     # at least one shingle) for ANY threshold.
     a = cand.join(
-        shingle_arrays(index_docs, text_col, id_col, n).withColumnsRenamed(
-            {"doc_id": "doc_a", "sh_set": "_sa"}
-        ),
+        arr_idx.withColumnsRenamed({"doc_id": "doc_a", "sh_set": "_sa"}),
         "doc_a",
     )
     ab = a.join(
-        shingle_arrays(new_docs, text_col, id_col, n).withColumnsRenamed(
-            {"doc_id": "doc_b", "sh_set": "_sb"}
-        ),
+        arr_new.withColumnsRenamed({"doc_id": "doc_b", "sh_set": "_sb"}),
         "doc_b",
     )
     scored = ab.withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))

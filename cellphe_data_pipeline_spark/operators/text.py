@@ -919,6 +919,14 @@ def gopher_rules(
                     lambda x: x != "")
     lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
     keep_names = list(keep_cols or [])
+    # the _gq_ staged-alias prefix is documented as reserved — enforce
+    # it (r17, per the r16 ADVICE): a keep col named e.g. _gq_nw would
+    # otherwise produce duplicate/ambiguous columns in the staged selects
+    bad = [c for c in keep_names if c.startswith("_gq_")]
+    if bad:
+        raise ValueError(
+            f"keep_cols may not start with the reserved '_gq_' prefix: {bad}"
+        )
     p1 = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_names],

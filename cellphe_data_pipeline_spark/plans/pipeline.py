@@ -22,11 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellphe_data_pipeline_spark.domain.images import (
-    mask_centroids,
-    segment_frames,
-    split_frames,
-)
+from cellphe_data_pipeline_spark.domain.images import decode_segment_centroid
 from cellphe_data_pipeline_spark.checkpoint import cut_lineage
 from cellphe_data_pipeline_spark.domain.lineage import renumber_tracks
 from cellphe_data_pipeline_spark.domain.tracking import track_detections
@@ -121,17 +117,27 @@ def run_pipeline(
     """
     qc = {**DEFAULT_QC, **(qc or {})}
 
-    # Checkpoint chain: frames (decode once), masks (segment once),
-    # dets (centroid once). Each cut materializes exactly one kernel
-    # stage; every downstream consumer — detection AND the M4 feature
-    # branch, which re-reads both frames (pixels) and masks (ROIs) —
-    # reuses the checkpointed rows instead of re-running the upstream
-    # Python kernels per action. Payloads are one raster per frame
-    # (~2-5 KB at QC sizes): the cuts are MBs, not the input corpus.
-    frames = cut_lineage(split_frames(binaries), name="frames")   # S3/S4
-    masks = cut_lineage(
-        segment_frames(frames, method=segmentation_method), name="masks"
-    )  # M1/M2
+    # ONE fused kernel checkpoint (r17, guide §4/§1.2): decode +
+    # segment + centroid run in a single Python wave and materialise
+    # behind a single cut — the r16 record measured ~200 ms of fixed
+    # launch cost PER Python stage wave on the bench host, and the
+    # staged chain paid three waves (and shipped each raster across
+    # the JVM↔Python boundary four times: data out, data in → mask
+    # out, mask in → centroids out). frames/masks/detections become
+    # column selects over the fused rows; every downstream consumer —
+    # tracking AND the M4 feature branch, which re-reads both frames
+    # (pixels) and masks (ROIs) — reuses the checkpointed rows instead
+    # of re-running the upstream Python kernels per action. Payloads
+    # are one raster+mask per frame (~2-5 KB at QC sizes): the cut is
+    # MBs, not the input corpus. Under the replicated parquet cut
+    # (CELLPHE_CHECKPOINT_DIR) the read-back is column-pruned, so a
+    # frames-only consumer never scans the mask bytes.
+    fused = cut_lineage(
+        decode_segment_centroid(binaries, method=segmentation_method),
+        name="fused_frames",
+    )  # S3/S4 + M1/M2 + detection kernel
+    frames = fused.select("path", "frame_index", "height", "width", "data")
+    masks = fused.select("path", "frame_index", "height", "width", "mask")
     # broadcast timelapse index dim: spot ids must be unique ACROSS
     # timelapses (lineage runs on the union) and frame-monotone within
     # one. The dim has one row per CONTAINER in this ingest batch —
@@ -154,8 +160,20 @@ def run_pipeline(
         tl_dim = global_row_number(
             binaries.select(F.col("path")).distinct(), ["path"], "_tl_idx", num_parts=4
         )
+    # detection rows come straight off the fused checkpoint's nested
+    # centroid structs — a native explode, no third Python wave
+    cent_rows = fused.select(
+        "path", "frame_index", F.explode("cents").alias("_c")
+    ).select(
+        "path",
+        "frame_index",
+        F.col("_c.mask_id").alias("mask_id"),
+        F.col("_c.area").alias("area"),
+        F.col("_c.cx").alias("cx"),
+        F.col("_c.cy").alias("cy"),
+    )
     dets = (
-        mask_centroids(masks)
+        cent_rows
         .join(F.broadcast(tl_dim), "path")
         .select(
             F.col("path").alias("timelapse_id"),
@@ -306,31 +324,27 @@ def run_pipeline(
     # relational form) grouped per label; the semi-join keeps only
     # cells that passed P1/P2, exactly the reference's filtered->M4
     # ordering (main.nf:499 -> 511-514 manual predicate-push).
-    from cellphe_data_pipeline_spark.domain.features import static_features
+    from cellphe_data_pipeline_spark.domain.features import static_features_fused
 
-    rois = mask_rois(masks)
     # mask label recovered from the bit-packed spot id (low 21 bits —
     # see the id construction above); avoids widening the spots schema.
-    # The inner join both applies the QC gate (one spot row per cell-
-    # frame, so no fan-out) and brings TRACK_ID in, letting the ROI
+    # The keep keys both apply the QC gate (one spot row per cell-
+    # frame, so no fan-out) and bring TRACK_ID in, letting the ROI
     # name follow the reference's 3-part FRAME-TRACK-ID convention with
     # data-driven zero-padding (parse_xml.py:202-211, F3 two-pass).
+    # r17: contour tracing happens INSIDE the M4 kernel over the fused
+    # rows (static_features_fused) — the staged
+    # mask_rois → roi_filename → static_features branch paid a
+    # mask_contours Python wave plus a corpus-wide contour-pixel
+    # shuffle to deliver coords the kernel can trace from the mask
+    # raster it already holds; equivalence is test-pinned.
     keep = filtered.select(
         F.col("timelapse_id").alias("path"),
         F.col("frame").alias("FrameID"),
         F.col("id").bitwiseAND(F.lit((1 << 21) - 1)).cast("int").alias("CellID"),
         "TRACK_ID",
     )
-    from cellphe_data_pipeline_spark.domain.rois import roi_filename
-
-    kept_rois = roi_filename(
-        rois.drop("ROI_filename").join(keep, ["path", "FrameID", "CellID"]),
-        frame_col="FrameID",
-        track_col="TRACK_ID",
-        id_col="CellID",
-        out_col="ROI_filename",
-    ).drop("TRACK_ID")
-    features = static_features(frames, kept_rois)
+    features = static_features_fused(fused, keep)
     # Frame-summary table (create_frame_summary_features.py:1-70): the
     # reference's final per-(cell,frame) CSV = identity/track columns +
     # movement (Dis/Trac/D2T/Vel) + the static features + `dens`. The

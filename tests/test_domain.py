@@ -2825,3 +2825,83 @@ def test_frame_phash_invariances_and_oracle(spark):
     # but the median-threshold code stays within a small Hamming ball
     assert bin(got["contrast.fake"] ^ got["base.fake"]).count("1") <= 3
     assert bin(got["other.fake"] ^ got["base.fake"]).count("1") > 10
+
+
+def test_decode_segment_centroid_matches_staged_chain(spark):
+    """r17 fused kernel: decode+segment+centroid in ONE Python wave must
+    reproduce the staged split_frames -> segment_frames -> mask_centroids
+    chain row-for-row (frames, masks, and detections), for both the
+    median and otsu segmentation methods — the pipeline now derives all
+    three tables from the fused rows."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.domain.images import (
+        decode_segment_centroid,
+        make_fake_timelapse,
+        mask_centroids,
+        segment_frames,
+        split_frames,
+    )
+
+    bins = spark.createDataFrame(
+        [
+            (
+                f"tl_{i}.fake",
+                bytearray(
+                    make_fake_timelapse(seed=200 + i, height=40, width=40, n_frames=4)
+                ),
+            )
+            for i in range(3)
+        ],
+        "path string, content binary",
+    )
+    for method in ("median", "otsu"):
+        fused = decode_segment_centroid(bins, method=method)
+        frames = split_frames(bins)
+        masks = segment_frames(frames, method=method)
+        cents = mask_centroids(masks)
+
+        def fkey(rows, payload):
+            return sorted(
+                (r["path"], r["frame_index"], r["height"], r["width"],
+                 bytes(r[payload]))
+                for r in rows
+            )
+
+        got_frames = fused.select(
+            "path", "frame_index", "height", "width", "data"
+        ).collect()
+        assert fkey(got_frames, "data") == fkey(frames.collect(), "data")
+        got_masks = fused.select(
+            "path", "frame_index", "height", "width", "mask"
+        ).collect()
+        assert fkey(got_masks, "mask") == fkey(masks.collect(), "mask")
+
+        got_cents = (
+            fused.select("path", "frame_index", F.explode("cents").alias("_c"))
+            .select(
+                "path",
+                "frame_index",
+                F.col("_c.mask_id").alias("mask_id"),
+                F.col("_c.area").alias("area"),
+                F.col("_c.cx").alias("cx"),
+                F.col("_c.cy").alias("cy"),
+            )
+            .collect()
+        )
+
+        def ckey(rows):
+            return sorted(
+                (r["path"], r["frame_index"], r["mask_id"], r["area"],
+                 r["cx"], r["cy"])
+                for r in rows
+            )
+
+        # exact equality including float bits: identical numpy math
+        assert ckey(got_cents) == ckey(cents.collect())
+        # schema parity for the exploded detection rows
+        got_schema = dict(
+            fused.select(F.explode("cents").alias("_c")).select("_c.*").dtypes
+        )
+        want_schema = dict(cents.drop("path", "frame_index").dtypes)
+        assert got_schema == want_schema

@@ -379,3 +379,72 @@ def test_pipeline_config_selects_otsu_segmentation(spark, tmp_path):
     assert out["detections"].count() > 0
     with pytest.raises(ValueError, match="unknown segmentation method"):
         run_pipeline(bins, segmentation_method="nope")
+
+
+def test_static_features_fused_matches_staged_branch(spark):
+    """r17: the pipeline's fused M4 branch (contour tracing inside the
+    feature kernel over the fused checkpoint rows) must reproduce the
+    staged mask_rois -> roi_filename -> static_features branch
+    row-for-row, ROI names included."""
+    from pyspark.sql import functions as F
+
+    from cellphe_data_pipeline_spark.domain.features import (
+        static_features,
+        static_features_fused,
+    )
+    from cellphe_data_pipeline_spark.domain.images import (
+        decode_segment_centroid,
+        make_fake_timelapse,
+    )
+    from cellphe_data_pipeline_spark.domain.rois import roi_filename
+    from cellphe_data_pipeline_spark.plans.pipeline import mask_rois, run_pipeline
+
+    bins = spark.createDataFrame(
+        [
+            (
+                f"tl_{i}.fake",
+                bytearray(
+                    make_fake_timelapse(seed=300 + i, height=48, width=48, n_frames=6)
+                ),
+            )
+            for i in range(2)
+        ],
+        "path string, content binary",
+    )
+    out = run_pipeline(bins)
+    filtered = out["spots_filtered"]
+    keep = filtered.select(
+        F.col("timelapse_id").alias("path"),
+        F.col("frame").alias("FrameID"),
+        F.col("id").bitwiseAND(F.lit((1 << 21) - 1)).cast("int").alias("CellID"),
+        "TRACK_ID",
+    )
+    fused = decode_segment_centroid(bins)
+
+    # staged form (the pre-r17 pipeline branch)
+    kept_rois = roi_filename(
+        mask_rois(out["masks"]).drop("ROI_filename").join(
+            keep, ["path", "FrameID", "CellID"]
+        ),
+        frame_col="FrameID",
+        track_col="TRACK_ID",
+        id_col="CellID",
+        out_col="ROI_filename",
+    ).drop("TRACK_ID")
+    staged = static_features(out["frames"], kept_rois)
+    fused_feats = static_features_fused(fused, keep)
+
+    def key(rows):
+        return sorted(
+            tuple(r[c] for c in r.__fields__) for r in rows
+        )
+
+    srows = staged.collect()
+    frows = fused_feats.select(*staged.columns).collect()
+    assert len(srows) > 0
+    # exact equality including float bits: identical numpy math on
+    # identical coords and rasters
+    assert key(frows) == key(srows)
+    # and the pipeline's features stage IS the fused form now
+    prows = out["features"].select(*staged.columns).collect()
+    assert key(prows) == key(srows)
