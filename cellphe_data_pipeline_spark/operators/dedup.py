@@ -327,21 +327,24 @@ def minhash_near_duplicates(
     # either way, so the repartition never elided a downstream
     # exchange — parallelism is all it ever bought (r16 record, 8b).
     spread = _spread_docs(df, id_col)
-    # _ha: md5 over the joined set, computed ONCE per doc inside the
+    # _ha: array hash computed ONCE per doc inside the
     # cut (r17, verdict item 5) — an O(1) exact-duplicate witness for
     # the verify below. The r16 attempt short-circuited on ARRAY
     # equality and measured no gain (array compare is itself O(n) on
     # the equal-heavy candidate workload); the precomputed hash makes
     # the equal branch constant-time, so a K-copy boilerplate doc's
     # K² candidate pairs cost O(K²) row handling instead of
-    # O(K² · shingles-per-doc) intersect compute. Size is compared
-    # alongside the hash (the \x1f join is boundary-ambiguous only
-    # across different set SIZES); md5 collisions across equal-size
-    # different sets are accepted engine-wide (exact_dedup_groups
-    # keys on md5 the same way).
+    # O(K² · shingles-per-doc) intersect compute. xxhash64 hashes the
+    # ARRAY natively (element boundaries included — no separator
+    # ambiguity, no concat materialisation; measured cheaper than an
+    # md5-of-concat in the cut); the size compare stays as a cheap
+    # second witness. 64-bit collisions across equal-size different
+    # sets are accepted like every other hash gate in this engine
+    # (_ha never reaches the oracle — it gates an internal branch
+    # whose two arms agree whenever the sets ARE equal).
     arr = cut_lineage(
         shingle_arrays(spread, text_col, id_col, n).withColumn(
-            "_ha", F.md5(F.concat_ws("\x1f", F.col("sh_set")))
+            "_ha", F.xxhash64(F.col("sh_set"))
         ),
         eager=False,
         name="shingle_arrays",
@@ -1356,14 +1359,14 @@ def incremental_near_duplicates(
     # the O(shingles) intersect entirely
     arr_idx = cut_lineage(
         shingle_arrays(index_docs, text_col, id_col, n).withColumn(
-            "_ha", F.md5(F.concat_ws("\x1f", F.col("sh_set")))
+            "_ha", F.xxhash64(F.col("sh_set"))
         ),
         eager=False,
         name="inc-idx-arrays",
     )
     arr_new = cut_lineage(
         shingle_arrays(new_docs, text_col, id_col, n).withColumn(
-            "_ha", F.md5(F.concat_ws("\x1f", F.col("sh_set")))
+            "_ha", F.xxhash64(F.col("sh_set"))
         ),
         eager=False,
         name="inc-new-arrays",
@@ -1466,7 +1469,7 @@ def containment_near_duplicates(
     # corpus join, no per-pair aggregation, no sizes passes.
     arr = cut_lineage(
         shingle_arrays(df, text_col, id_col, n).withColumn(
-            "_ha", F.md5(F.concat_ws("\x1f", F.col("sh_set")))
+            "_ha", F.xxhash64(F.col("sh_set"))
         ),
         eager=False,
         name="cont-shingle-arrays",

@@ -36,7 +36,7 @@ copies = spark.range(K).select(
 docs = base.unionByName(copies).repartition(32, "doc_id")
 
 arr = cut_lineage(
-    shingle_arrays(docs).withColumn("_ha", F.md5(F.concat_ws("\x1f", F.col("sh_set")))),
+    shingle_arrays(docs).withColumn("_ha", F.xxhash64(F.col("sh_set"))),
     eager=False, name="skew-arr",
 )
 sh = arr.select("doc_id", F.explode("sh_set").alias("sh"))
