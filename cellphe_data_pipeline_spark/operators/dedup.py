@@ -242,6 +242,26 @@ def lsh_candidate_pairs(band_keys: DataFrame, dedup: bool = True) -> DataFrame:
     return pairs.distinct() if dedup else pairs
 
 
+def _eval_once_barrier(col, cast_type: str):
+    """Append a STATICALLY-ZERO non-deterministic term to an expensive
+    projection field so it is evaluated exactly ONCE (r17).
+
+    CollapseProject re-inlines deterministic aliases into every
+    consumer, and Filter/Project are separate codegen operators with no
+    cross-operator subexpression elimination — measured on the c24
+    verify: the aliased ``size(array_intersect(...))`` ran ~4x per row
+    (once for the output column, twice inside the jaccard ratio, once
+    per filter conjunct), 3.57s vs 0.91s for a single evaluation over
+    the same joined rows. A non-deterministic project field blocks both
+    the re-inlining and predicate pushdown through it — the same two
+    Catalyst facts the gopher ``gate_mask`` barrier pins
+    (ConstantFolding keeps ``rand()`` because it is non-deterministic;
+    the ``* 0.0`` hides the rand-range constant fold). The added term
+    is exactly 0, so values are unchanged; the SCALE.md Spark-upgrade
+    checklist covers the fragility."""
+    return col + (F.rand(0) * F.lit(0.0)).cast(cast_type)
+
+
 def _spread_docs(df: DataFrame, id_col: str) -> DataFrame:
     """Keyed repartition of the doc table to defaultParallelism — ONLY
     when the input has fewer partitions than cores (r17). The spread
@@ -374,17 +394,23 @@ def minhash_near_duplicates(
         "doc_b",
     )
     # identical sets (equal hash + equal size) skip the O(n) intersect:
-    # |A∩A| = |A| exactly, so values are unchanged
-    scored = ab.withColumn(
-        "_ni",
-        F.when(
-            (F.col("_hha") == F.col("_hhb")) & (F.size("_sa") == F.size("_sb")),
-            F.size("_sa"),
-        ).otherwise(F.size(F.array_intersect("_sa", "_sb"))),
+    # |A∩A| = |A| exactly, so values are unchanged. The intersect is
+    # projected ONCE behind the eval-once barrier — without it the
+    # jaccard ratio and the two filter conjuncts re-inline the whole
+    # intersect ~4x per candidate row (measured 3.57s -> 1.1s on the
+    # c24 corpus verify; see _eval_once_barrier).
+    ni = F.when(
+        (F.col("_hha") == F.col("_hhb")) & (F.size("_sa") == F.size("_sb")),
+        F.size("_sa"),
+    ).otherwise(F.size(F.array_intersect("_sa", "_sb")))
+    scored = ab.select(
+        "doc_a",
+        "doc_b",
+        _eval_once_barrier(ni, "int").alias("_ni"),
+        (F.size("_sa") + F.size("_sb")).alias("_nab"),
     ).withColumn(
         "jaccard",
-        F.col("_ni").cast("double")
-        / (F.size("_sa") + F.size("_sb") - F.col("_ni")),
+        F.col("_ni").cast("double") / (F.col("_nab") - F.col("_ni")),
     )
     return scored.filter(
         (F.col("_ni") >= 1) & (F.col("jaccard") >= F.lit(threshold))
@@ -1407,20 +1433,23 @@ def incremental_near_duplicates(
         ),
         "doc_b",
     )
-    scored = ab.withColumn(
-        "_inter",
-        F.when(
-            (F.col("_hha") == F.col("_hhb")) & (F.size("_sa") == F.size("_sb")),
-            F.size("_sa"),
-        ).otherwise(F.size(F.array_intersect("_sa", "_sb"))),
+    # intersect projected ONCE behind the eval-once barrier (see
+    # minhash_near_duplicates / _eval_once_barrier)
+    inter = F.when(
+        (F.col("_hha") == F.col("_hhb")) & (F.size("_sa") == F.size("_sb")),
+        F.size("_sa"),
+    ).otherwise(F.size(F.array_intersect("_sa", "_sb")))
+    scored = ab.select(
+        "doc_a",
+        "doc_b",
+        _eval_once_barrier(inter, "int").alias("_inter"),
+        (F.size("_sa") + F.size("_sb")).alias("_nab"),
     )
     # threshold on the RAW ratio, round after — the same order as
     # pairwise_jaccard, so the incremental result is exactly the full
     # self-join result restricted to (index, new) pairs even at the
     # rounding boundary
-    jac = F.col("_inter") / (
-        F.size("_sa") + F.size("_sb") - F.col("_inter")
-    ).cast("double")
+    jac = F.col("_inter") / (F.col("_nab") - F.col("_inter")).cast("double")
     return (
         scored.filter((F.col("_inter") >= 1) & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -1507,16 +1536,22 @@ def containment_near_duplicates(
         )
         # bigint: the pre-r16 count aggregate emitted long — the
         # oracle gate compares numeric TYPES, not just values.
-        # Equal-hash pairs (r17): |A∩A| = |A| exactly, O(1).
-        .withColumn(
-            "n_inter",
-            F.when(
-                (F.col("_hha") == F.col("_hhb"))
-                & (F.size("_sa") == F.size("_sb")),
-                F.size("_sa"),
-            )
-            .otherwise(F.size(F.array_intersect("_sa", "_sb")))
-            .cast("bigint"),
+        # Equal-hash pairs (r17): |A∩A| = |A| exactly, O(1); the
+        # intersect is projected ONCE behind the eval-once barrier
+        # (see _eval_once_barrier — the ratio + filter would otherwise
+        # re-inline it per consumer).
+        .select(
+            "doc_a",
+            "doc_b",
+            _eval_once_barrier(
+                F.when(
+                    (F.col("_hha") == F.col("_hhb"))
+                    & (F.size("_sa") == F.size("_sb")),
+                    F.size("_sa"),
+                ).otherwise(F.size(F.array_intersect("_sa", "_sb"))),
+                "bigint",
+            ).alias("n_inter"),
+            F.least(F.size("_sa"), F.size("_sb")).alias("_minab"),
         )
     )
     return (
@@ -1530,7 +1565,7 @@ def containment_near_duplicates(
         # preserved with no extra gate.
         .withColumn(
             "containment_raw",
-            F.col("n_inter").cast("double") / F.least(F.size("_sa"), F.size("_sb")),
+            F.col("n_inter").cast("double") / F.col("_minab"),
         )
         .filter(F.col("containment_raw") >= F.lit(threshold))
         .select(

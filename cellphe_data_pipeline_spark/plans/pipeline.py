@@ -132,10 +132,31 @@ def run_pipeline(
     # MBs, not the input corpus. Under the replicated parquet cut
     # (CELLPHE_CHECKPOINT_DIR) the read-back is column-pruned, so a
     # frames-only consumer never scans the mask bytes.
-    fused = cut_lineage(
-        decode_segment_centroid(binaries, method=segmentation_method),
-        name="fused_frames",
-    )  # S3/S4 + M1/M2 + detection kernel
+    # The timelapse-dim probe below is an INDEPENDENT job over the
+    # 33-row-ish binaries relation (~0.35s of pure job-launch cost at
+    # the bench shape) — run it on a driver thread WHILE the fused
+    # kernel checkpoint materialises (guide §2.6 "overlap independent
+    # jobs"): actions are only sequential because driver code calls
+    # them sequentially. inheritable_thread_target propagates the
+    # JVM thread-local job group/description into the pool thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    spark = binaries.sparkSession
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _probe_f = _pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: binaries.select(F.col("path"))
+                .distinct()
+                .take(TL_DIM_DRIVER_CAP + 1)
+            )
+        )
+        fused = cut_lineage(
+            decode_segment_centroid(binaries, method=segmentation_method),
+            name="fused_frames",
+        )  # S3/S4 + M1/M2 + detection kernel
+        probe = _probe_f.result()
     frames = fused.select("path", "frame_index", "height", "width", "data")
     masks = fused.select("path", "frame_index", "height", "width", "mask")
     # broadcast timelapse index dim: spot ids must be unique ACROSS
@@ -147,8 +168,6 @@ def run_pipeline(
     # two-pass numbering. (The old unconditional two-pass form cost ~8s
     # of the pipeline's cold start in sampling/checkpoint/collect jobs
     # for a 33-row relation.)
-    spark = binaries.sparkSession
-    probe = binaries.select(F.col("path")).distinct().take(TL_DIM_DRIVER_CAP + 1)
     if len(probe) <= TL_DIM_DRIVER_CAP:
         tl_dim = spark.createDataFrame(
             [(p, i) for i, p in enumerate(sorted(r["path"] for r in probe), start=1)],
